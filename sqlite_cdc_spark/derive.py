@@ -1,0 +1,175 @@
+"""Derived CDC analytics (SURVEY.md §2 B1/B2/B9/B12/B13).
+
+The reference's output — an ordered change stream with before/after images —
+exists to feed replication, caches, and warehousing
+(``/root/reference/README.md:26-30``). This module is that downstream
+surface: derive a change set from two snapshots, collapse a log back to
+current state, read state as of a time, and the supporting set/top-k ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .model import OP_DELETE, OP_INSERT, OP_UPDATE
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Derive INSERT/UPDATE/DELETE changes between two snapshots on a key —
+    the set the reference's triggers (``/root/reference/triggers.go:420-437``)
+    would have produced had they watched the transition.
+
+    Output columns: key cols, ``operation``, ``before`` (old JSON image),
+    ``after`` (new JSON image); unchanged rows are dropped.
+
+    Scale: one full-outer sort-merge join shuffled on the key. Comparison is
+    null-safe (``eqNullSafe``) so NULL→value and value→NULL edits classify
+    as UPDATE. With AQE on, skewed keys are split automatically.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [o[k].eqNullSafe(n[k]) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+
+    old_key_null = F.lit(True)
+    new_key_null = F.lit(True)
+    for k in keys:
+        old_key_null = old_key_null & o[k].isNull()
+        new_key_null = new_key_null & n[k].isNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~o[c].eqNullSafe(n[c])
+
+    op = (
+        F.when(old_key_null, F.lit(OP_INSERT))
+        .when(new_key_null, F.lit(OP_DELETE))
+        .when(changed, F.lit(OP_UPDATE))
+    )
+    before_img = F.to_json(F.struct(*[o[c].alias(c) for c in old.columns]))
+    after_img = F.to_json(F.struct(*[n[c].alias(c) for c in new.columns]))
+    key_cols = [F.coalesce(n[k], o[k]).alias(k) for k in keys]
+    return (
+        joined.select(
+            *key_cols,
+            op.alias("operation"),
+            F.when(op != OP_INSERT, before_img).alias("before"),
+            F.when(op != OP_DELETE, after_img).alias("after"),
+        )
+        .filter(F.col("operation").isNotNull())
+    )
+
+
+def compact_log(
+    changes: DataFrame,
+    key: Column | str,
+    order_cols: Sequence[str] = ("id",),
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """Collapse a change log to current state: last image per key wins; keys
+    whose final operation is DELETE are dropped — the "read replica" use
+    case (``/root/reference/README.md:26-30``).
+
+    Scale: one shuffle on the key; the rank is a per-key top-1, which AQE
+    handles under skew. For truly hot keys, pre-aggregate with
+    ``max_by``-style reduction instead of a window (same shuffle count).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(k).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if drop_deletes:
+        latest = latest.filter(F.col("operation") != OP_DELETE)
+    return latest
+
+
+def asof_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    as_of,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Latest row at or before ``as_of`` per key — a temporal read of the
+    log (SURVEY §2 B9). ``order_cols`` break timestamp ties (e.g. ``id``).
+
+    The time predicate is pushed to the scan (partition pruning on
+    time-partitioned logs); then one shuffle + per-key top-1.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.filter(F.col(ts_col) <= F.lit(as_of))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the same key
+    and ``right_ts <= left_ts``.
+
+    Implementation: equi-join on the key (single shuffle, Catalyst picks the
+    strategy), range filter, then per-(left row) top-1 by right timestamp.
+    For dense right sides, a bucketed/interval-partitioned variant bounds
+    the join fan-out; at fixture scales the fan-out is modest.
+    """
+    lpref = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    rpref = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond = [F.col(f"l_{k}") == F.col(f"r_{k}") for k in keys]
+    cond.append(F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    joined = lpref.join(rpref, cond, "left")
+    w = Window.partitionBy(*[F.col(f"l_{c}") for c in left.columns]).orderBy(
+        F.col(f"r_{right_ts}").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group via window rank (SURVEY §2 B12).
+
+    One shuffle on the group key; ``row_number`` (not ``rank``) keeps output
+    size exactly k·groups. Deterministic iff ``order`` is a total order —
+    callers append a unique tiebreaker column.
+    """
+    w = Window.partitionBy(*[F.col(g) for g in group]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rnk")
+    )
+
+
+def snapshots_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Multiset equality of two snapshots via ``exceptAll`` both ways
+    (SURVEY §2 B13) — the replication-correctness check."""
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

@@ -1,0 +1,103 @@
+"""Tests for the log drain (A10) and derived CDC analytics (B1/B2/B9/B12/B13)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark import derive, log
+from sqlite_cdc_spark.model import LOG_SCHEMA, OP_DELETE, validate_change_invariants
+from sqlite_cdc_spark.sources import load_table
+
+
+def test_events_as_changes_invariants(spark, sf_dir):
+    ch = log.events_as_changes(load_table(spark, sf_dir, "events"))
+    assert validate_change_invariants(ch).isEmpty()
+    assert ch.schema.fieldNames() == [f.name for f in LOG_SCHEMA.fields]
+
+
+def test_drain_all_ordered_and_complete(spark, sf_dir):
+    # parity: drainChanges loop (triggers.go:164-223) — ordered batches,
+    # bounded size, union == whole log
+    ch = log.events_as_changes(load_table(spark, sf_dir, "events"))
+    n = ch.count()
+    ids: list[int] = []
+    for batch in log.drain_all(ch, 256):
+        assert len(batch) <= 256
+        ids.extend(r["id"] for r in batch)
+    assert ids == sorted(ids)
+    assert len(ids) == n
+
+
+def _mini_log(spark):
+    rows = [
+        (1, "t", dt.datetime(2024, 1, 1, 0, 0, 1), "INSERT", None, '{"k":1,"v":10}'),
+        (2, "t", dt.datetime(2024, 1, 1, 0, 0, 2), "UPDATE", '{"k":1,"v":10}', '{"k":1,"v":11}'),
+        (3, "t", dt.datetime(2024, 1, 1, 0, 0, 3), "INSERT", None, '{"k":2,"v":20}'),
+        (4, "t", dt.datetime(2024, 1, 1, 0, 0, 4), "DELETE", '{"k":2,"v":20}', None),
+        (5, "t", dt.datetime(2024, 1, 1, 0, 0, 5), "UPDATE", '{"k":1,"v":11}', '{"k":1,"v":12}'),
+    ]
+    return spark.createDataFrame(rows, LOG_SCHEMA)
+
+
+def test_compact_log_last_image_wins(spark):
+    # the key must come from whichever image is present (DELETEs have no
+    # after); coalesce(after, before) is the canonical key extraction
+    key = F.coalesce(
+        F.get_json_object("after", "$.k"), F.get_json_object("before", "$.k")
+    )
+    state = derive.compact_log(
+        _mini_log(spark), key, order_cols=["id"], drop_deletes=False
+    )
+    # key 1 → id 5 (v=12); key 2 → id 4 (DELETE)
+    assert {r.id for r in state.collect()} == {4, 5}
+    dropped = derive.compact_log(_mini_log(spark), key, order_cols=["id"])
+    assert {r.id for r in dropped.collect()} == {5}
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    new = spark.createDataFrame([(2, "b"), (3, "C"), (4, "d")], ["k", "v"])
+    diff = derive.snapshot_diff(old, new, ["k"])
+    got = {r.k: r.operation for r in diff.collect()}
+    assert got == {1: "DELETE", 3: "UPDATE", 4: "INSERT"}
+    del_row = diff.filter(F.col("k") == 1).first()
+    assert del_row.after is None and del_row.before is not None
+
+
+def test_snapshot_diff_null_safe(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], ["k", "v"])
+    new = spark.createDataFrame([(1, "y"), (2, None)], ["k", "v"])
+    diff = derive.snapshot_diff(old, new, ["k"])
+    got = {r.k: r.operation for r in diff.collect()}
+    assert got == {1: "UPDATE", 2: "UPDATE"}
+
+
+def test_asof_latest(spark):
+    df = _mini_log(spark).withColumn("k", F.get_json_object(
+        F.coalesce("after", "before"), "$.k"))
+    asof = derive.asof_latest(
+        df, ["k"], "timestamp", dt.datetime(2024, 1, 1, 0, 0, 3), order_cols=["id"]
+    )
+    assert {r.id for r in asof.collect()} == {2, 3}
+
+
+def test_topk_per_group(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    top = derive.topk_per_group(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        3,
+    )
+    rows = top.collect()
+    flags = li.select("l_returnflag").distinct().count()
+    assert len(rows) == 3 * flags
+
+
+def test_snapshots_equal(spark, sf_dir):
+    a = load_table(spark, sf_dir, "nation")
+    assert derive.snapshots_equal(a, a.orderBy(F.rand(7)))
+    assert not derive.snapshots_equal(a, a.limit(20))
