@@ -191,6 +191,255 @@ def q_b3_change_stats(spark, sf_dir):
     return log.change_stats(_events_changes(spark, sf_dir), "hour").drop("approx_ids")
 
 
+# --- B1: snapshot-diff CDC ---------------------------------------------------
+
+_ORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def _orders_old_new(spark, sf_dir):
+    """Deterministic snapshot mutation (FIXTURES.md §2): keys ≡0 mod 97
+    deleted, ≡1 mod 97 price-bumped, ≡2 mod 97 re-keyed as fresh inserts."""
+    old = _t(spark, sf_dir, "orders").select(*_ORD_COLS)
+    k = F.col("o_orderkey")
+    surviving = old.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 97 == 1, F.col("o_totalprice") + F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = old.filter(k % 97 == 2).select(
+        (k + F.lit(100000000)).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    return old, surviving.unionByName(inserts)
+
+
+_ORDERS_OLD_NEW_SQL = """
+old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 1 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM old WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderpriority
+  FROM old WHERE o_orderkey % 97 = 2
+)
+"""
+
+
+def q_b1_snapshot_diff(spark, sf_dir):
+    old, new = _orders_old_new(spark, sf_dir)
+    return derive.snapshot_diff(old, new, ["o_orderkey"])
+
+
+def q_b2_log_compaction(spark, sf_dir):
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+    state = derive.compact_log(ch, key, order_cols=["id"])
+    return state.select(
+        F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+        .cast("bigint")
+        .alias("user_id"),
+        F.col("id").alias("last_id"),
+        F.col("operation").alias("last_op"),
+        F.get_json_object("after", "$.value").cast("double").alias("last_value"),
+    )
+
+
+def q_b5_filter_json(spark, sf_dir):
+    ch = _events_changes(spark, sf_dir)
+    return ch.filter(
+        (F.col("operation") == "UPDATE")
+        & (model.image_field("after", "event_type") == "purchase")
+        & (model.image_field("after", "value").cast("double") > 150.0)
+    ).select("id", "timestamp", model.image_field("after", "value").cast("double").alias("value"))
+
+
+def q_b6_projection(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey"),
+        F.upper(F.col("p_brand")).alias("brand_uc"),
+        (F.col("p_retailprice") * F.lit(0.9)).alias("discounted"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).cast("bigint").alias("name_len"),
+    )
+
+
+def q_b7_join_enrich(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # dims are broadcast: no shuffle of the fact side
+    enriched = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return enriched.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+    )
+
+
+def q_b8_anti_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    no_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.select("c_custkey", "c_mktsegment")
+
+
+def q_b8_semi_join(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return with_orders.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_b9_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    latest = derive.asof_latest(
+        ev, ["user_id"], "ts", "2024-02-01 00:00:00", order_cols=["event_id"]
+    )
+    return latest.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def q_b10_agg_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # DECIMAL(18,4) products stay exact decimal in BOTH engines
+            # ((18,4)×(18,4)→(37,8) fits width 38; (38,6)×(38,6) would
+            # overflow DuckDB's decimal and silently fall back to double)
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_b10_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        )
+    )
+
+
+def q_b11_window_funcs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    # full rows are unique; order on every remaining column so the window
+    # order is total (the "PK" (l_orderkey, l_linenumber) has duplicates)
+    order_cols = [
+        F.col(c)
+        for c in li.columns
+        if c != "l_orderkey"
+    ]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        F.lead("l_extendedprice").over(w).alias("next_price"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(wsum).cast("double").alias("run_qty"),
+    )
+
+
+def q_b12_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    top = derive.topk_per_group(
+        li,
+        ["l_returnflag"],
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_partkey").asc(),
+            F.col("l_suppkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_quantity").asc(),
+        ],
+        5,
+    )
+    return top.select(
+        "l_returnflag",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+
+
+def q_b13_set_ops(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    inactive = customer.subtract(orders)  # EXCEPT DISTINCT
+    active = customer.intersect(orders)
+    return inactive.withColumn("status", F.lit("inactive")).unionByName(
+        active.withColumn("status", F.lit("active"))
+    )
+
+
+def q_b14_scalar_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
+        (F.col("p_partkey") % 7).alias("k_mod"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("OTHER")).alias("brand_o"),
+    )
+
+
+def q_b14_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_to_eoy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a2_snapshot_first_page": q_a2_snapshot_first_page,
@@ -204,7 +453,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_op_decode": q_a12_op_decode,
         "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
         "a18_stdout_lines": q_a18_stdout_lines,
+        "b1_snapshot_diff": q_b1_snapshot_diff,
+        "b2_log_compaction": q_b2_log_compaction,
         "b3_change_stats": q_b3_change_stats,
+        "b5_filter_json": q_b5_filter_json,
+        "b6_projection": q_b6_projection,
+        "b7_join_enrich": q_b7_join_enrich,
+        "b8_anti_join": q_b8_anti_join,
+        "b8_semi_join": q_b8_semi_join,
+        "b9_asof": q_b9_asof,
+        "b10_agg_pricing": q_b10_agg_pricing,
+        "b10_rollup": q_b10_rollup,
+        "b11_window_funcs": q_b11_window_funcs,
+        "b12_topk": q_b12_topk,
+        "b13_set_ops": q_b13_set_ops,
+        "b14_scalar_funcs": q_b14_scalar_funcs,
+        "b14_date_funcs": q_b14_date_funcs,
     }
 
 
@@ -302,5 +566,171 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', timestamp) AS bucket,
                    count(*) AS n_changes
             FROM changes GROUP BY 1, 2, 3
+        """,
+        "b1_snapshot_diff": f"""
+            WITH {_ORDERS_OLD_NEW_SQL},
+            j AS (
+              SELECT o.o_orderkey AS ok, o.o_custkey AS ock, o.o_orderstatus AS ost,
+                     o.o_totalprice AS otp, o.o_orderpriority AS opr,
+                     n.o_orderkey AS nk, n.o_custkey AS nck, n.o_orderstatus AS nst,
+                     n.o_totalprice AS ntp, n.o_orderpriority AS npr
+              FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            ),
+            cl AS (
+              SELECT *,
+                     CASE WHEN ok IS NULL THEN 'INSERT'
+                          WHEN nk IS NULL THEN 'DELETE'
+                          WHEN ock IS DISTINCT FROM nck
+                            OR ost IS DISTINCT FROM nst
+                            OR otp IS DISTINCT FROM ntp
+                            OR opr IS DISTINCT FROM npr THEN 'UPDATE'
+                     END AS operation
+              FROM j
+            )
+            SELECT coalesce(nk, ok) AS o_orderkey, operation,
+                   CASE WHEN operation != 'INSERT' THEN CAST(json_object(
+                     'o_orderkey', ok, 'o_custkey', ock, 'o_orderstatus', ost,
+                     'o_totalprice', otp, 'o_orderpriority', opr) AS VARCHAR)
+                   END AS before,
+                   CASE WHEN operation != 'DELETE' THEN CAST(json_object(
+                     'o_orderkey', nk, 'o_custkey', nck, 'o_orderstatus', nst,
+                     'o_totalprice', ntp, 'o_orderpriority', npr) AS VARCHAR)
+                   END AS after
+            FROM cl WHERE operation IS NOT NULL
+        """,
+        "b2_log_compaction": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT *,
+                     json_extract_string(coalesce(after, before), '$.user_id') AS uk
+              FROM changes
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY uk ORDER BY id DESC) AS rn
+              FROM keyed
+            )
+            SELECT CAST(uk AS BIGINT) AS user_id, id AS last_id,
+                   operation AS last_op,
+                   CAST(json_extract_string(after, '$.value') AS DOUBLE) AS last_value
+            FROM ranked WHERE rn = 1 AND operation != 'DELETE'
+        """,
+        "b5_filter_json": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT id, timestamp,
+                   CAST(json_extract_string(after, '$.value') AS DOUBLE) AS value
+            FROM changes
+            WHERE operation = 'UPDATE'
+              AND json_extract_string(after, '$.event_type') = 'purchase'
+              AND CAST(json_extract_string(after, '$.value') AS DOUBLE) > 150.0
+        """,
+        "b6_projection": """
+            SELECT p_partkey, upper(p_brand) AS brand_uc,
+                   p_retailprice * 0.9 AS discounted,
+                   p_brand || '/' || p_type AS brand_type,
+                   length(p_name) AS name_len
+            FROM part
+        """,
+        "b7_join_enrich": """
+            SELECT r_name AS region, n_name AS nation,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2
+        """,
+        "b8_anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "b8_semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "b9_asof": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
+            ) WHERE rn = 1
+        """,
+        "b10_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "b10_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "b11_window_funcs": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(l_extendedprice) OVER w AS prev_price,
+                   lead(l_extendedprice) OVER w AS next_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                     w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS run_qty
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_partkey, l_suppkey, l_linenumber, l_quantity,
+                                  l_extendedprice, l_discount, l_tax,
+                                  l_returnflag, l_linestatus, l_shipdate)
+        """,
+        "b12_topk": """
+            SELECT l_returnflag, CAST(rnk AS BIGINT) AS rnk,
+                   l_orderkey, l_linenumber, l_extendedprice
+            FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_partkey,
+                                l_suppkey, l_linenumber, l_quantity) AS rnk
+              FROM lineitem
+            ) WHERE rnk <= 5
+        """,
+        "b13_set_ops": """
+            SELECT k, 'inactive' AS status FROM (
+              SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT k, 'active' AS status FROM (
+              SELECT c_custkey AS k FROM customer
+              INTERSECT SELECT o_custkey FROM orders)
+        """,
+        "b14_scalar_funcs": """
+            SELECT p_partkey,
+                   substr(p_name, 1, 8) AS name8,
+                   upper(p_brand) AS brand_uc,
+                   lower(p_type) AS type_lc,
+                   length(p_name) AS name_len,
+                   round(p_retailprice * 1.1, 2) AS price_up,
+                   CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+                   p_partkey % 7 AS k_mod,
+                   coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_o
+            FROM part
+        """,
+        "b14_date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+            FROM orders
         """,
     }

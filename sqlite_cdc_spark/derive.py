@@ -36,28 +36,37 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in keys]
-    o = old.alias("o")
-    n = new.alias("n")
-    cond = [o[k].eqNullSafe(n[k]) for k in keys]
+    # column-rename isolation: old and new may derive from the same source
+    # (a snapshot and its mutation), which trips Spark's ambiguous-self-join
+    # detection if we join on shared lineage columns
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in new.columns])
+    cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
 
     old_key_null = F.lit(True)
     new_key_null = F.lit(True)
     for k in keys:
-        old_key_null = old_key_null & o[k].isNull()
-        new_key_null = new_key_null & n[k].isNull()
+        old_key_null = old_key_null & F.col(f"__o_{k}").isNull()
+        new_key_null = new_key_null & F.col(f"__n_{k}").isNull()
     changed = F.lit(False)
     for c in compare_cols:
-        changed = changed | ~o[c].eqNullSafe(n[c])
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
 
     op = (
         F.when(old_key_null, F.lit(OP_INSERT))
         .when(new_key_null, F.lit(OP_DELETE))
         .when(changed, F.lit(OP_UPDATE))
     )
-    before_img = F.to_json(F.struct(*[o[c].alias(c) for c in old.columns]))
-    after_img = F.to_json(F.struct(*[n[c].alias(c) for c in new.columns]))
-    key_cols = [F.coalesce(n[k], o[k]).alias(k) for k in keys]
+    before_img = F.to_json(
+        F.struct(*[F.col(f"__o_{c}").alias(c) for c in old.columns])
+    )
+    after_img = F.to_json(
+        F.struct(*[F.col(f"__n_{c}").alias(c) for c in new.columns])
+    )
+    key_cols = [
+        F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys
+    ]
     return (
         joined.select(
             *key_cols,
