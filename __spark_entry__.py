@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from sqlite_cdc_spark import bootstrap as bs
 from sqlite_cdc_spark import derive, log, model
+from sqlite_cdc_spark.pipeline import dedup, multimodal, similarity, text as textops
 from sqlite_cdc_spark.sources import load_table
 
 BOOTSTRAP_TS = "2024-06-01 00:00:00"
@@ -425,6 +426,166 @@ def q_b14_scalar_funcs(spark, sf_dir):
     )
 
 
+# --- north-star pipeline operators (B18-B22) --------------------------------
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ re-keyed copies of every 10th doc — the fixture has no
+    exact duplicates, so synthesize a deterministic dup population."""
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return docs.unionByName(copies)
+
+
+_DOCS_DUPS_SQL = """
+docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def q_b18_dup_groups(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    g = dedup.duplicate_groups(d, ["text"], "doc_id")
+    return g.select(
+        F.md5("text").alias("text_fp"), "n_copies", "keeper_id"
+    )
+
+
+def q_b18_dedup_exact(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    kept = dedup.exact_dedup(d, ["text"], "doc_id")
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_b19_word_jaccard(spark, sf_dir):
+    """Exact word-set Jaccard for adjacent-doc pairs (the SQL-expressible
+    core of near-dedup; the MinHash candidate generator is rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(dedup.normalize_text("text"), " "))
+    a = docs.select(F.col("doc_id").alias("id_a"), toks.alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), toks.alias("tb"))
+    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+    inter = F.array_size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.array_size(F.array_union("ta", "tb")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def q_b19_minhash_candidates(spark, sf_dir):
+    """MinHash-LSH near-dup discovery (rows-only check: xxhash64 has no
+    DuckDB equivalent). Planted near-dups: every 7th doc gets a copy with
+    a one-token suffix edit; candidates must surface them."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_b19_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (rows-only: xxhash64-based)."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    return dedup.simhash_candidates(corpus, "doc_id", "text", max_hamming=3, bands=4)
+
+
+def q_b20_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4)
+    return similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
+def q_b20_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate neighbors (rows-only: approximate by
+    design; recall asserted in unit tests against the exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4)
+    return similarity.ann_topk_lsh(emb, queries_df, k=5, dim=64).select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
+def q_b21_lang_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs)
+    return feats.select(
+        "doc_id",
+        textops.lang_id("text").alias("lang_guess"),
+        "q_chars",
+        "q_tokens",
+        "q_mean_tok_len",
+        "q_alpha_ratio",
+        "q_stopword_ratio",
+        "quality_score",
+    )
+
+
+def q_b21_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            textops.token_count("text").alias("n_tok"),
+            textops.bpe_ish_token_count("text").alias("n_bpe"),
+            textops.fingerprint("text").alias("fp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum("n_bpe").alias("sum_bpe"),
+            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+        )
+    )
+
+
+def q_b22_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    packed = multimodal.pack_binary(
+        docs.select("doc_id", "text"), multimodal.text_as_payload("text"), "text/plain"
+    )
+    return packed.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+        F.octet_length(multimodal.hex_roundtrip("payload")).cast("long").alias("rt_hex_bytes"),
+        F.octet_length(multimodal.base64_roundtrip("payload")).cast("long").alias("rt_b64_bytes"),
+    )
+
+
+def q_b23_udf_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (rows-only: the stub
+    decode is imperative Python by design; unit-tested for determinism)."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = multimodal.pack_binary(
+        docs.select("doc_id", "text"), multimodal.text_as_payload("text"), "text/plain"
+    )
+    feats = multimodal.extract_features(packed)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
 def q_b14_date_funcs(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.select(
@@ -469,7 +630,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_set_ops": q_b13_set_ops,
         "b14_scalar_funcs": q_b14_scalar_funcs,
         "b14_date_funcs": q_b14_date_funcs,
+        "b18_dup_groups": q_b18_dup_groups,
+        "b18_dedup_exact": q_b18_dedup_exact,
+        "b19_word_jaccard": q_b19_word_jaccard,
+        "b19_minhash_candidates": q_b19_minhash_candidates,
+        "b19_simhash": q_b19_simhash,
+        "b20_cosine_topk": q_b20_cosine_topk,
+        "b20_ann_lsh": q_b20_ann_lsh,
+        "b21_lang_quality": q_b21_lang_quality,
+        "b21_token_stats": q_b21_token_stats,
+        "b22_multimodal_meta": q_b22_multimodal_meta,
+        "b23_udf_features": q_b23_udf_features,
     }
+
+
+#: DuckDB rendering of pipeline.text normalization/tokens (keep in lockstep
+#: with dedup.normalize_text / text.tokens)
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _sw_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS_SQL}, t -> list_contains([{words}], t)))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -732,5 +915,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('day', CAST(o_orderdate AS DATE),
                                   DATE '1998-12-31') AS BIGINT) AS days_to_eoy
             FROM orders
+        """,
+        "b18_dup_groups": f"""
+            WITH {_DOCS_DUPS_SQL}
+            SELECT md5(text) AS text_fp, count(*) AS n_copies,
+                   min(doc_id) AS keeper_id
+            FROM docs GROUP BY text HAVING count(*) > 1
+        """,
+        "b18_dedup_exact": f"""
+            WITH {_DOCS_DUPS_SQL},
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM docs
+            )
+            SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
+        """,
+        "b19_word_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / CAST(len(a.toks) + len(b.toks)
+                                - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
+                         6) AS jaccard
+            FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+        """,
+        "b20_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 4
+            ),
+            c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     AS score
+              FROM q, c WHERE neighbor_id != query_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(score, 6) AS score,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "b21_lang_quality": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     {_sw_hits_sql('de')} AS s_de,
+                     {_sw_hits_sql('en')} AS s_en,
+                     {_sw_hits_sql('es')} AS s_es,
+                     {_sw_hits_sql('fr')} AS s_fr,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                     CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces
+              FROM documents
+            ),
+            feat AS (
+              SELECT *,
+                round(CAST(q_chars - spaces AS DOUBLE) / CAST(greatest(q_tokens, 1) AS DOUBLE), 6) AS q_mean_tok_len,
+                round(CAST(alpha AS DOUBLE) / CAST(greatest(q_chars, 1) AS DOUBLE), 6) AS q_alpha_ratio,
+                round(CAST(s_en AS DOUBLE) / CAST(greatest(q_tokens, 1) AS DOUBLE), 6) AS q_stopword_ratio
+              FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   q_chars, q_tokens, q_mean_tok_len, q_alpha_ratio,
+                   q_stopword_ratio,
+                   round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                         + q_alpha_ratio * 0.4
+                         + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+            FROM feat
+        """,
+        "b21_token_stats": f"""
+            WITH per_doc AS (
+              SELECT lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
+                     md5({_NORM_SQL}) AS fp
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tok,
+                   sum(n_bpe) AS sum_bpe,
+                   count(DISTINCT fp) AS n_distinct_fp
+            FROM per_doc GROUP BY lang
+        """,
+        "b22_multimodal_meta": """
+            SELECT doc_id,
+                   'text/plain' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS rt_hex_bytes,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS rt_b64_bytes
+            FROM documents
         """,
     }

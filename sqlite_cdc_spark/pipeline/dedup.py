@@ -1,0 +1,296 @@
+"""Deduplication operators (SURVEY.md §2 B18/B19).
+
+Exact dedup is a keyed reduction; near-dedup avoids the O(n²) all-pairs
+trap with locality-sensitive bucketing:
+
+- **MinHash + LSH**: shingle → per-seed min-hash signature → band hashes →
+  self-join on (band, hash). Only same-bucket pairs are compared, so the
+  join is an equi-join Catalyst shuffles on the band key — the standard
+  web-scale dedup layout (one shuffle, no cartesian).
+- **SimHash**: 64-bit weighted-bit fingerprint; near-dups have small
+  Hamming distance. Banding the 64 bits into chunks gives the same
+  equi-join candidate generation.
+
+Everything is built-in expressions (xxhash64, transform, aggregate,
+zip_with) — no Python UDFs, whole-stage codegen end to end. Determinism:
+xxhash64 with fixed per-seed salts, no RNG.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- exact dedup (B18) -------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per duplicate group — deterministically the one
+    with the smallest ``id_col`` (``dropDuplicates`` keeps an arbitrary row,
+    which is useless for reproducible corpus builds).
+
+    One shuffle on the dup-key. At skew (a viral duplicated doc) AQE splits
+    the hot group.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Duplicate-group inventory: key cols + group size + keeper id."""
+    return (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col(id_col)).alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- shingling + MinHash (B19) ----------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, non-alphanumerics → space, squeezed."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text.
+
+    Pure expression: substring over a generated index sequence — no
+    explode, no UDF; the array stays inside the row.
+    """
+    c = normalize_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined) of the normalized text."""
+    c = normalize_text(col)
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed *i*, ``min(xxhash64(shingle, i))``.
+
+    Single-pass fold: one traversal of the shingle array updating a
+    ``num_hashes``-wide running-min accumulator (a naive per-seed
+    ``array_min(transform(...))`` inlines the shingle expression
+    ``num_hashes`` times and explodes codegen). All JVM-side; 64 hashes ≈
+    Jaccard estimator σ≈0.125 — raise for tighter thresholds.
+    """
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(s, i)),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+
+
+def lsh_band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band (contiguous signature slice) → array of band buckets.
+
+    Two docs sharing any band bucket become a candidate pair; with
+    signature length b·r the match probability curve is 1-(1-s^r)^b.
+    """
+    return F.array(
+        *[
+            F.hash(F.slice(signature, b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Plan shape: narrow map (shingle→sig→bands) → explode bands → self
+    equi-join on (band_idx, band_hash) → distinct. The join key includes
+    the band index so buckets from different bands never collide.
+    """
+    rows_per_band = num_hashes // bands
+    # materialize shingles, then the signature, as real columns so each
+    # downstream expression references a computed array instead of
+    # re-inlining the whole shingle pipeline
+    shingled = df.select(
+        F.col(id_col).alias("doc"), char_shingles(text_col, shingle_k).alias("__sh")
+    )
+    signed = shingled.select(
+        "doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    banded = signed.select(
+        "doc",
+        F.posexplode(lsh_band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
+            "band", "bucket"
+        ),
+    )
+    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    use_words: bool = False,
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs (the verify step after
+    LSH): |A∩B| / |A∪B| over distinct shingle sets.
+
+    Two broadcast-or-shuffle equi-joins against the (small) candidate set;
+    shingle arrays are recomputed per side — cheaper than shuffling big
+    arrays when candidates ≪ corpus.
+    """
+    sh = word_shingles(text_col, shingle_k) if use_words else char_shingles(text_col, shingle_k)
+    docs = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
+    a = docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    The complete B19 operator: candidates via banding, then exact Jaccard
+    ≥ threshold. Both stages are equi-joins — no cartesian anywhere.
+    """
+    cand = minhash_candidates(df, id_col, text_col, shingle_k, num_hashes, bands)
+    scored = jaccard_pairs(df, cand, id_col, text_col, shingle_k)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash (B19 variant) ---------------------------------------------------
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the normalized token stream.
+
+    Classic scheme: each token votes ±1 per bit of its 64-bit hash; the
+    fingerprint sets bit *i* iff the summed vote is positive. Expressed as
+    a single ``aggregate`` over the token-hash array with a 64-long vote
+    accumulator — one pass, no explode, no UDF.
+    """
+    toks = F.split(normalize_text(col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                # getbit accepts a column bit position (shiftright doesn't)
+                lambda i: F.when(F.getbit(h, i) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fold votes back into a 64-bit fingerprint (python-side loop over
+    # literal bit positions so shiftleft gets an int, no long overflow)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.element_at(votes, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return fp
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit fingerprints: popcount(a XOR b)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64 bits into ``bands`` chunks;
+    any pair within ``max_hamming`` ≤ bands-1 bit flips shares ≥1 exact
+    chunk (pigeonhole), so an equi-join on (chunk_idx, chunk_value) finds
+    them without all-pairs. Verified by exact Hamming ≤ ``max_hamming``.
+    """
+    width = 64 // bands
+    fp = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("fp"))
+    chunks = fp.select(
+        "doc",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("fp"), b * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("chunk", "val"),
+    )
+    a = chunks.select(F.col("doc").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "val")
+    b = chunks.select(F.col("doc").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64("fp_a", "fp_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

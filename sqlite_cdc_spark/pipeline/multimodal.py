@@ -1,0 +1,135 @@
+"""Multimodal binary columns (SURVEY.md §2 B22/B23).
+
+The reference's only binary story is BLOB→hex inside JSON images
+(``/root/reference/triggers.go:464-481``). Here binary payloads are
+first-class: opaque ``binary`` columns with a typed metadata struct, plus
+the Spark-side plumbing a multimodal pipeline needs — schema, partition
+shape, Arrow-batched UDF signatures — all real and tested.
+
+Actual media decoding (image/audio/video) is STUBBED deterministically:
+the container ships no codec libraries, so ``decode_stub`` derives fake
+"features" from the payload bytes alone. Swap `_fake_decode` for a real
+PIL/ffmpeg call and nothing else changes — batch shapes, schemas and
+partitioning are production-real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata carried beside every payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("checksum", T.StringType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def pack_binary(df: DataFrame, payload: Column, media_type: str) -> DataFrame:
+    """Attach a binary payload + typed metadata struct to each row."""
+    return df.select(
+        "*",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def text_as_payload(col: Column | str) -> Column:
+    """Deterministic stand-in payload: UTF-8 bytes of a text column (the
+    fixtures ship no real media; the pipeline doesn't care)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.encode(c, "UTF-8")
+
+
+def hex_roundtrip(payload: Column | str) -> Column:
+    """BLOB→hex→BLOB roundtrip (reference parity A5/B22)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    return F.unhex(F.hex(c))
+
+
+def base64_roundtrip(payload: Column | str) -> Column:
+    c = F.col(payload) if isinstance(payload, str) else payload
+    return F.unbase64(F.base64(c))
+
+
+def _fake_decode(buf: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a media decoder: fold payload bytes into
+    ``dim`` byte-histogram-ish floats. Replace with a real codec call."""
+    acc = [0] * dim
+    for i, b in enumerate(buf):
+        acc[i % dim] = (acc[i % dim] + b) % 997
+    return [float(x) / 997.0 for x in acc]
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 8
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the real multimodal plumbing (partition-parallel,
+    batched, schema-checked); only the per-payload decode is a stub.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "feature": pdf[payload_col].map(lambda b: _fake_decode(bytes(b), dim)),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real image decode — requires PIL, which this container doesn't ship.
+
+    The gate is explicit so the operator surface exists and fails loudly;
+    the plumbing around it (:func:`extract_features`) is fully tested.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding needs Pillow, which is not installed in this "
+            "environment; use extract_features (stubbed decode) instead"
+        ) from e
+    raise NotImplementedError("real decode path reserved for codec-enabled builds")
+
+
+def frame_sample_plan(
+    df: DataFrame, every_n_bytes: int = 1024, payload_col: str = "payload"
+) -> DataFrame:
+    """'Frame sampling' over an opaque payload: byte offsets every
+    ``every_n_bytes`` — the partition/explode shape of video frame
+    sampling with the codec stubbed to byte slices."""
+    n = F.octet_length(F.col(payload_col))
+    offsets = F.sequence(
+        F.lit(0), F.greatest((n / every_n_bytes).cast("int") - 1, F.lit(0))
+    )
+    return df.select(
+        "*",
+        F.explode(
+            F.transform(offsets, lambda i: i * every_n_bytes)
+        ).alias("frame_offset"),
+    )

@@ -1,0 +1,187 @@
+"""Vector similarity search (SURVEY.md §2 B20).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set against the corpus — the corpus never shuffles for scoring, only the
+per-query top-k reduction moves data. The scale path is LSH bucketing
+(random-hyperplane signs): corpus and queries hash to buckets, candidates
+come from an equi-join, and only bucket-mates are scored — the IVF-style
+recall/cost dial is the number of probe permutations.
+
+Dot products use ``zip_with`` + ``aggregate`` (JVM codegen) in double
+precision; no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Output: ``query_id, neighbor_id, score, rnk``. Ties broken by neighbor
+    id for full determinism.
+
+    Plan: broadcast nested-loop join (queries are lit-small) → narrow score
+    map over the corpus → one shuffle on query_id for the top-k window.
+    Corpus norms are computed inline; for a served index they'd be
+    precomputed once (see :func:`with_norm`).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm — precompute once when the corpus is reused."""
+    return df.withColumn("__norm", l2_norm(as_double(vec_col)))
+
+
+# --- LSH-bucketed ANN (the scale path) ---------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic random hyperplanes (host-side numpy, shipped as
+    literals — tiny: n_planes × dim doubles)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_bits(vec: Column, planes) -> Column:
+    """Sign bits of the vector against each hyperplane, packed to a long."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(v)) for v in plane])) >= 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: ``n_tables`` independent hyperplane signatures;
+    candidates = corpus rows sharing a (table, signature) bucket with the
+    query; exact cosine + top-k within candidates.
+
+    At 100 TB the corpus is hashed once (narrow map), the join is an
+    equi-join on (table, bucket) — expected bucket size n/2^planes — and
+    only candidates are scored. Recall rises with ``n_tables`` and with
+    ``multiprobe`` (each query also probes every one-bit-flip bucket —
+    query-side only, so the corpus never re-hashes; the standard recall/
+    cost dial when true-neighbor cosine is modest).
+    """
+    sigs = [
+        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+
+    def bucketize(df: DataFrame, side: str, probe: bool) -> DataFrame:
+        v = as_double(vec_col)
+        buckets_per_table = []
+        for planes in sigs:
+            base = signature_bits(v, planes)
+            buckets_per_table.append(base)
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            v.alias(f"{side}_v"),
+            F.posexplode(F.array(*buckets_per_table)).alias("table", "bucket"),
+        )
+        if probe:
+            flips = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
+            out = out.select(
+                f"{side}_id", f"{side}_v", "table", F.explode(flips).alias("bucket")
+            )
+        return out
+
+    cb = bucketize(corpus, "neighbor", probe=False)
+    qb = bucketize(queries, "query", probe=multiprobe)
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_v", "neighbor_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("query_v"), F.col("neighbor_v"))
+            / (l2_norm(F.col("query_v")) * l2_norm(F.col("neighbor_v")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )

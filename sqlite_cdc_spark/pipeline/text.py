@@ -1,0 +1,134 @@
+"""Text analysis operators (SURVEY.md §2 B21).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting over a ``documents``-shaped table. Everything is
+built-in string/array expressions — codegen'd, shuffle-free per row — and
+every scoring rule is reproducible in plain SQL for the DuckDB oracle.
+
+Fingerprints use md5 (stable across engines and runs, unlike hash/xxhash64
+which are Spark-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+#: Tiny embedded stopword lists — enough signal for a deterministic
+#: heuristic; the point is the operator shape, not lexical coverage.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "que"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: a GPT-2-style pre-tokenizer regex (word
+    pieces, digit runs, punctuation runs) — a cheap, deterministic proxy
+    for BPE token counts when no tokenizer model is shipped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), 0)
+    ).cast("bigint")
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens (with multiplicity) found in ``lang``'s stopword
+    list — ``filter``/``array_contains``, not ``array_intersect`` (which
+    would dedup and undercount)."""
+    lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lst, t))).cast(
+        "bigint"
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Deterministic language guess: argmax stopword-hit rate, ties broken
+    by language code order, 'und' (undetermined) when nothing hits."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in sorted(STOPWORDS):  # later langs win only on strict >
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (all bigint/double, oracle-friendly):
+    char/token counts, mean token length, alpha & space & punct ratios,
+    stopword ratio (en), and a composite ``quality_score`` in [0,1].
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("bigint")
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("bigint")
+    spaces = F.length(F.regexp_replace(c, "[^ ]", "")).cast("bigint")
+    punct = (n_chars - alpha - spaces
+             - F.length(F.regexp_replace(c, "[^0-9]", "")).cast("bigint"))
+    sw = stopword_hits(text_col, "en")
+    mean_tok_len = F.round(
+        (n_chars - spaces).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    )
+    alpha_ratio = F.round(alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
+    punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
+    sw_ratio = F.round(sw.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6)
+    # bounded composite: long-enough, wordy, low-punct documents score high
+    score = F.round(
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + F.least(sw_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.2),
+        6,
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        mean_tok_len.alias("q_mean_tok_len"),
+        alpha_ratio.alias("q_alpha_ratio"),
+        punct_ratio.alias("q_punct_ratio"),
+        sw_ratio.alias("q_stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text (engine- and
+    run-stable; use for idempotent dedup keys in sinks)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_fingerprints(col: Column | str, window_tokens: int = 16, stride: int = 8) -> Column:
+    """Windowed fingerprints: md5 per token window (stride-spaced) — the
+    building block for fuzzy containment / plagiarism-style matching.
+    Returns an array of hex digests."""
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - F.lit(window_tokens)) / F.lit(stride), F.lit(0)).cast("int"),
+    )
+    return F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice(toks, i * stride + 1, window_tokens), " ")),
+    )

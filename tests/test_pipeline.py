@@ -1,0 +1,155 @@
+"""Tests for the LLM-data-pipeline operators (SURVEY §2 B18-B23)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark.pipeline import dedup, multimodal, similarity
+from sqlite_cdc_spark.pipeline import text as textops
+from sqlite_cdc_spark.sources import load_table
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b"), (9, "a")], ["id", "t"]
+    )
+    kept = dedup.exact_dedup(df, ["t"], "id")
+    assert sorted(r.id for r in kept.collect()) == [1, 2]
+    groups = dedup.duplicate_groups(df, ["t"], "id").collect()
+    assert len(groups) == 1
+    assert groups[0].n_copies == 3 and groups[0].keeper_id == 1
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("Hello, World",)], ["text"])
+    got = df.select(dedup.char_shingles("text", 5).alias("s")).first().s
+    # normalized: "hello world" → 7 shingles, distinct
+    assert "hello" in got and "o wor" in got
+    assert all(len(s) == 5 for s in got)
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame([("the quick brown fox",), ("the quick brown fox",)], ["text"])
+    sigs = df.select(
+        dedup.minhash_signature(dedup.char_shingles("text", 5), 32).alias("sig")
+    ).collect()
+    assert sigs[0].sig == sigs[1].sig
+    assert len(sigs[0].sig) == 32
+
+
+def test_near_dup_pairs_finds_planted_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    n_planted = mutated.count()
+    pairs = dedup.near_dup_pairs(corpus, "doc_id", "text", threshold=0.8).collect()
+    planted_found = {
+        (a, b) for a, b in ((r.id_a, r.id_b) for r in pairs) if b == a + 200000
+    }
+    # LSH with 16 bands × 4 rows at jaccard≈0.99 should find essentially all
+    assert len(planted_found) >= int(0.95 * n_planted)
+    # and every reported pair really is ≥ threshold (verified by construction)
+    assert all(r.jaccard >= 0.8 for r in pairs)
+
+
+def test_simhash_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different words entirely unrelated content")],
+        ["doc_id", "text"],
+    )
+    fp = df.select("doc_id", dedup.simhash64("text").alias("fp"))
+    vals = {r.doc_id: r.fp for r in fp.collect()}
+    assert vals[1] == vals[2]
+    d = (
+        fp.alias("a")
+        .crossJoin(fp.alias("b"))
+        .select(dedup.hamming64(F.col("a.fp"), F.col("b.fp")).alias("h"))
+    )
+    assert d.agg(F.max("h")).first()[0] > 0  # different docs differ
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = similarity.cosine_topk(emb, q, k=3).collect()
+    assert len(top) == 3
+    assert [r.rnk for r in sorted(top, key=lambda r: r.rnk)] == [1, 2, 3]
+    assert all(r.neighbor_id != 0 for r in top)
+    scores = [r.score for r in sorted(top, key=lambda r: r.rnk)]
+    assert scores == sorted(scores, reverse=True)
+    assert all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in scores)
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.ann_topk_lsh(emb, q, k=5, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day for the cat"),
+            (2, "der hund ist nicht auf der couch und das ist gut"),
+            (3, "le chat est dans la maison et il est pour le mieux"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.l for r in df.select("doc_id", textops.lang_id("text").alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+    feats = textops.quality_features(df, "text").collect()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].quality_score > by_id[4].quality_score
+    assert 0.0 <= by_id[1].quality_score <= 1.0
+    assert by_id[1].q_tokens == 15
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("different",)], ["text"]
+    )
+    fps = [r.f for r in df.select(textops.fingerprint("text").alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]  # normalization-stable
+    rolled = df.select(
+        textops.rolling_fingerprints("text", window_tokens=2, stride=1).alias("r")
+    ).first().r
+    assert len(rolled) >= 1
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    packed = multimodal.pack_binary(
+        docs, multimodal.text_as_payload("text"), "text/plain"
+    )
+    row = packed.first()
+    assert row.media_meta.media_type == "text/plain"
+    assert row.media_meta.n_bytes == len(row.payload)
+    # hex/base64 roundtrips are identity
+    rt = packed.select(
+        (multimodal.hex_roundtrip("payload") == F.col("payload")).alias("h"),
+        (multimodal.base64_roundtrip("payload") == F.col("payload")).alias("b"),
+    )
+    assert rt.filter(~F.col("h") | ~F.col("b")).isEmpty()
+    # Arrow-batched feature extraction: deterministic across runs
+    f1 = {r.doc_id: r.feature for r in multimodal.extract_features(packed).collect()}
+    f2 = {r.doc_id: r.feature for r in multimodal.extract_features(packed).collect()}
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"x" * 5000)], ["doc_id", "payload"])
+    frames = multimodal.frame_sample_plan(df, every_n_bytes=1024)
+    offs = [r.frame_offset for r in frames.collect()]
+    assert offs == [0, 1024, 2048, 3072]
