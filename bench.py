@@ -1,0 +1,74 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative slice of every operator family on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is forced with the noop sink (full materialization, no driver
+collect — measures the plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import __spark_entry__ as entry
+from sqlite_cdc_spark.session import get_spark
+
+#: the headline slice: one representative per operator family
+HEADLINE = [
+    "a6_bootstrap",            # snapshot→change images (A2/A4/A6)
+    "a10_drain_batch",         # ordered log drain (A10)
+    "b1_snapshot_diff",        # full-outer diff CDC (B1)
+    "b2_log_compaction",       # latest-state window (B2)
+    "b3_change_stats",         # change-rate agg (B3)
+    "b7_join_enrich",          # broadcast dim joins (B7)
+    "b10_agg_pricing",         # hash agg (B10)
+    "b11_window_funcs",        # analytic windows (B11)
+    "b12_topk",                # per-group top-k (B12)
+    "b18_dedup_exact",         # exact dedup (B18)
+    "b19_minhash_candidates",  # MinHash-LSH near-dup (B19)
+    "b20_cosine_topk",         # vector top-k (B20)
+    "b21_lang_quality",        # text analysis (B21)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

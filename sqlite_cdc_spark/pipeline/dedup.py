@@ -87,6 +87,45 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Distinct shingles as *rows* ``(doc, sh)`` — the scale formulation.
+
+    Array-returning shingle expressions (:func:`char_shingles`) run Spark's
+    higher-order functions interpreted (~ms/doc); this path is pure
+    codegen: explode tokens/chars with position, then ``lead`` windows
+    concatenate k-grams. One shuffle (window by doc); every operator is
+    whole-stage-codegen.
+
+    ``unit``: ``word`` (k-grams over whitespace tokens — discriminative
+    for natural text) or ``char`` (classic k-char shingles).
+    """
+    c = normalize_text(text_col)
+    if unit == "word":
+        parts = F.split(c, " ")
+    else:
+        parts = F.split(c, "")
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(parts).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    sep = " " if unit == "word" else ""
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, k)
+    ]
+    grams = toks.select(
+        "doc",
+        F.concat_ws(sep, *gram_cols).alias("sh"),
+        gram_cols[-1].isNotNull().alias("__full"),
+    )
+    return grams.filter(F.col("__full")).select("doc", "sh").distinct()
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: for seed *i*, ``min(xxhash64(shingle, i))``.
 
@@ -126,25 +165,28 @@ def minhash_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """LSH candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``.
 
-    Plan shape: narrow map (shingle→sig→bands) → explode bands → self
-    equi-join on (band_idx, band_hash) → distinct. The join key includes
-    the band index so buckets from different bands never collide.
+    Plan shape, all whole-stage-codegen: shingle rows → 64 hash columns →
+    map-side-combined min agg (the signature) → band hashes → explode →
+    self equi-join on (band_idx, band_hash) → distinct. The join key
+    includes the band index so buckets from different bands never collide.
+    Shuffle volume: |shingle rows| once (window), then |docs|×64 longs.
     """
     rows_per_band = num_hashes // bands
-    # materialize shingles, then the signature, as real columns so each
-    # downstream expression references a computed array instead of
-    # re-inlining the whole shingle pipeline
-    shingled = df.select(
-        F.col(id_col).alias("doc"), char_shingles(text_col, shingle_k).alias("__sh")
+    exploded = shingle_rows(df, id_col, text_col, k=shingle_k, unit=shingle_unit)
+    hashed = exploded.select(
+        "doc", *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
-    signed = shingled.select(
-        "doc", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    signed = hashed.groupBy("doc").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    ).select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("__sig")
     )
     banded = signed.select(
         "doc",
@@ -167,29 +209,48 @@ def jaccard_pairs(
     pairs: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_k: int = 5,
-    use_words: bool = False,
+    shingle_k: int = 3,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs (the verify step after
     LSH): |A∩B| / |A∪B| over distinct shingle sets.
 
-    Two broadcast-or-shuffle equi-joins against the (small) candidate set;
-    shingle arrays are recomputed per side — cheaper than shuffling big
-    arrays when candidates ≪ corpus.
+    Set algebra as joins/aggregations over shingle *rows* (no array
+    intersects, no interpreted lambdas): per-doc set sizes once, then
+    |A∩B| = count of shingles shared by a candidate pair — an equi-join on
+    the shingle value pre-filtered to candidate docs. Every step shuffles
+    on small keys and combines map-side.
     """
-    sh = word_shingles(text_col, shingle_k) if use_words else char_shingles(text_col, shingle_k)
-    docs = df.select(F.col(id_col).alias("__id"), sh.alias("__sh"))
-    a = docs.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = docs.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    rows = shingle_rows(df, id_col, text_col, k=shingle_k, unit=shingle_unit)
+    sizes = rows.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    docs_in_play = (
+        pairs.select(F.col("id_a").alias("doc"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    rows = rows.join(docs_in_play, "doc")  # prune to candidate docs
+    a = rows.select(F.col("doc").alias("id_a"), "sh")
+    b = rows.select(F.col("doc").alias("id_b"), "sh")
+    inter = (
         pairs.join(a, "id_a")
-        .join(b, "id_b")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
         )
     )
 
@@ -199,17 +260,20 @@ def near_dup_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     The complete B19 operator: candidates via banding, then exact Jaccard
     ≥ threshold. Both stages are equi-joins — no cartesian anywhere.
     """
-    cand = minhash_candidates(df, id_col, text_col, shingle_k, num_hashes, bands)
-    scored = jaccard_pairs(df, cand, id_col, text_col, shingle_k)
+    cand = minhash_candidates(
+        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit
+    )
+    scored = jaccard_pairs(df, cand, id_col, text_col, shingle_k, shingle_unit)
     return scored.filter(F.col("jaccard") >= threshold)
 
 

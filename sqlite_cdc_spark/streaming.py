@@ -1,0 +1,176 @@
+"""Structured Streaming wiring (SURVEY.md §2 A13-A17, B15-B17).
+
+The reference's CDC loop — fsnotify wakeup → ordered drain → serialized
+handler delivery → ack-by-delete (``/root/reference/triggers.go:122-223``)
+— maps onto Structured Streaming one-to-one:
+
+================================  =========================================
+reference                         Spark
+================================  =========================================
+fsnotify watch (triggers.go:122)  file-source discovery / trigger cadence
+ORDER BY id LIMIT n (:167)        ``maxFilesPerTrigger`` admission + explicit
+                                  per-batch ``orderBy('id')``
+handler.HandleChanges (:205)      ``foreachBatch`` (serialized, in order)
+handler error stops engine        exception in foreachBatch fails the query
+DELETE WHERE id<=max (ack, :215)  checkpointed offsets (non-destructive)
+Setup/Teardown DDL (:334-395)     checkpoint/log dir lifecycle
+================================  =========================================
+
+Ordering note (SURVEY §4): micro-batch *sequence* is guaranteed by Spark;
+*intra-batch* row order is not — handlers that need total order sort by
+``id`` inside the batch, which is cheap because batches are bounded.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import LOG_SCHEMA
+
+
+class StreamEngine:
+    """Lifecycle owner for a streaming CDC pipeline over an append-only
+    change-log directory (parquet files with :data:`model.LOG_SCHEMA`).
+
+    Parity with the reference's engine surface (``cdc.go:10-31``):
+    ``setup``/``teardown`` manage durable locations (A17), ``cdc`` starts
+    the ordered delivery loop (A14/A15), ``bootstrap_and_cdc`` composes a
+    snapshot with the live feed (A16), checkpoints replace ack-by-delete
+    (A13).
+    """
+
+    def __init__(self, spark: SparkSession, log_dir: str, checkpoint_dir: str):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.checkpoint_dir = checkpoint_dir
+
+    # --- A17: setup / teardown ------------------------------------------
+
+    def setup(self) -> None:
+        """Create the log + checkpoint locations (idempotent, like the
+        reference's ``IF NOT EXISTS`` DDL, triggers.go:334-364)."""
+        import os
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+
+    def teardown(self) -> None:
+        """Drop engine state (log + checkpoints), parity with Teardown's
+        transactional drops (triggers.go:365-395)."""
+        shutil.rmtree(self.checkpoint_dir, ignore_errors=True)
+        shutil.rmtree(self.log_dir, ignore_errors=True)
+
+    # --- sources ----------------------------------------------------------
+
+    def read_log_stream(self, max_files_per_trigger: int = 1) -> DataFrame:
+        """The change log as a stream; admission bounded per micro-batch
+        (parity with LIMIT maxBatchSize, triggers.go:167)."""
+        return (
+            self.spark.readStream.schema(LOG_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(self.log_dir)
+        )
+
+    # --- A15: ordered at-least-once delivery ------------------------------
+
+    def deliver(
+        self,
+        changes: DataFrame,
+        handler: Callable[[DataFrame, int], None],
+        ordered: bool = True,
+        available_now: bool = True,
+        query_name: str = "cdc-deliver",
+    ):
+        """Serialized batch delivery via ``foreachBatch``.
+
+        The handler receives each micro-batch exactly like the reference's
+        ``ChangesHandler`` (handler.go:8-17): one batch at a time, in
+        order; raising inside the handler fails the query (fault-stop
+        parity). Offsets commit to the checkpoint only after the handler
+        returns — at-least-once, like the reference's post-success
+        ack-delete (triggers.go:209-221).
+        """
+
+        def run(batch: DataFrame, batch_id: int) -> None:
+            if ordered:
+                batch = batch.orderBy(F.col("id").asc())
+            handler(batch, batch_id)
+
+        writer = (
+            changes.writeStream.foreachBatch(run)
+            .queryName(query_name)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # --- A16/B17: bootstrap + CDC composition -----------------------------
+
+    def bootstrap_and_cdc(
+        self,
+        snapshot_changes: DataFrame,
+        handler: Callable[[DataFrame, int], None],
+        dedup_key: list[str] | None = None,
+        watermark: str = "1 hour",
+    ):
+        """Snapshot-then-stream composition (parity: triggers.go:323-333).
+
+        The reference double-delivers rows changed during bootstrap and
+        leaves dedup to the consumer (cdc.go:19-22). Here the stream side
+        can deduplicate within a watermark (B17): pass ``dedup_key`` (e.g.
+        ``['tablename','id']``) to upgrade toward effectively-once.
+
+        Batch bootstrap runs to completion first (driver-blocking, like
+        the reference's sequential composition), then the stream starts
+        from offset zero.
+        """
+        handler(snapshot_changes, -1)  # bootstrap is "batch -1"
+        stream = self.read_log_stream()
+        if dedup_key:
+            stream = stream.withWatermark("timestamp", watermark)
+            stream = stream.dropDuplicatesWithinWatermark(dedup_key)
+        return self.deliver(stream, handler)
+
+
+# --- B15: windowed change-rate analytics (streaming form of B3) -------------
+
+
+def windowed_change_counts(
+    changes: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling/sliding change counts with late-data tolerance (B15/B16).
+
+    Works on both batch and streaming DataFrames (same expression); on a
+    stream the watermark bounds state so the aggregation runs forever at
+    bounded memory.
+    """
+    if changes.isStreaming:
+        changes = changes.withWatermark("timestamp", watermark)
+    win = (
+        F.window("timestamp", window, slide)
+        if slide
+        else F.window("timestamp", window)
+    )
+    return changes.groupBy(
+        F.col("tablename"), F.col("operation"), win.alias("win")
+    ).agg(F.count(F.lit(1)).alias("n_changes"))
+
+
+def session_windows(
+    changes: DataFrame, gap: str = "30 minutes", key: str = "tablename",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window activity bursts per key (B15)."""
+    if changes.isStreaming:
+        changes = changes.withWatermark("timestamp", watermark)
+    return changes.groupBy(
+        F.col(key), F.session_window("timestamp", gap).alias("sess")
+    ).agg(F.count(F.lit(1)).alias("n_changes"))

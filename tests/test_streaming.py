@@ -1,0 +1,154 @@
+"""Streaming lifecycle tests (SURVEY §2 A13-A17, B15-B17).
+
+Mirror of the reference's CDC tests (trigger_test.go:56-244): write rows to
+the log, run the engine, assert batch math, ordering, and composition —
+against real temp-dir parquet logs, no mocks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark import sinks, streaming
+from sqlite_cdc_spark.bootstrap import snapshot_as_inserts
+from sqlite_cdc_spark.log import events_as_changes
+from sqlite_cdc_spark.model import LOG_SCHEMA
+from sqlite_cdc_spark.sources import load_table
+
+
+@pytest.fixture()
+def log_dir(tmp_path, spark, sf_dir):
+    """A change-log directory: events→changes written as FOUR parquet files
+    so maxFilesPerTrigger=1 yields four ordered micro-batches."""
+    d = str(tmp_path / "log")
+    ch = events_as_changes(load_table(spark, sf_dir, "events"))
+    ch.withColumn("bucket", (F.col("id") / 250).cast("int")).repartitionByRange(
+        4, "bucket"
+    ).drop("bucket").write.parquet(d)
+    return d
+
+
+def test_stream_delivers_all_changes_in_order(spark, sf_dir, log_dir, tmp_path):
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    eng.setup()
+    store: list = []
+    q = eng.deliver(eng.read_log_stream(), sinks.collecting_handler(store))
+    q.awaitTermination(120)
+    total = sum(len(rows) for _, rows in store)
+    assert total == 1000
+    assert len(store) > 1  # bounded admission → multiple micro-batches
+    for _, rows in store:  # intra-batch ordering (explicit orderBy in deliver)
+        ids = [r.id for r in rows]
+        assert ids == sorted(ids)
+
+
+def test_checkpoint_resume_no_redelivery(spark, sf_dir, log_dir, tmp_path):
+    # A13: offsets replace ack-by-delete — a restarted query delivers nothing new
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    eng.setup()
+    first: list = []
+    eng.deliver(eng.read_log_stream(), sinks.collecting_handler(first)).awaitTermination(120)
+    second: list = []
+    eng.deliver(eng.read_log_stream(), sinks.collecting_handler(second)).awaitTermination(120)
+    assert sum(len(r) for _, r in first) == 1000
+    assert sum(len(r) for _, r in second) == 0
+
+
+def test_handler_error_fault_stops(spark, sf_dir, log_dir, tmp_path):
+    # A15: handler error ⇒ engine fault-stop (handler.go:8-17 contract)
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    eng.setup()
+
+    def bad_handler(batch, batch_id):
+        raise RuntimeError("sink exploded")
+
+    q = eng.deliver(eng.read_log_stream(), bad_handler)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise AssertionError("query should have failed")
+
+
+def test_bootstrap_and_cdc_counts(spark, sf_dir, log_dir, tmp_path):
+    # A16 parity with TestBootstrapAndCDC (trigger_test.go:168-244):
+    # snapshot rows + live rows all arrive, snapshot first
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    eng.setup()
+    nation = load_table(spark, sf_dir, "nation")
+    snap = snapshot_as_inserts(nation, "nation").withColumn(
+        "id", F.lit(None).cast("long")
+    ).select([f.name for f in LOG_SCHEMA.fields])
+    store: list = []
+    q = eng.bootstrap_and_cdc(snap, sinks.collecting_handler(store))
+    q.awaitTermination(120)
+    assert store[0][0] == -1 and len(store[0][1]) == 25  # snapshot batch first
+    assert sum(len(rows) for _, rows in store) == 25 + 1000
+
+
+def test_teardown_removes_state(spark, log_dir, tmp_path):
+    import os
+
+    ckpt = str(tmp_path / "ckpt2")
+    eng = streaming.StreamEngine(spark, log_dir, ckpt)
+    eng.setup()
+    assert os.path.isdir(ckpt)
+    eng.teardown()
+    assert not os.path.isdir(ckpt) and not os.path.isdir(log_dir)
+
+
+def test_windowed_change_counts_stream_matches_batch(spark, sf_dir, log_dir, tmp_path):
+    # B15/B16: the same expression aggregates a stream (with watermark) and
+    # a batch; totals agree
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    eng.setup()
+    stream_out: list = []
+
+    def collect_agg(batch, batch_id):
+        stream_out.extend(batch.collect())
+
+    agg = streaming.windowed_change_counts(eng.read_log_stream(), "6 hours")
+    q = (
+        agg.writeStream.foreachBatch(collect_agg)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch_df = streaming.windowed_change_counts(
+        spark.read.schema(LOG_SCHEMA).parquet(log_dir), "6 hours"
+    )
+    batch_counts = {
+        (r.tablename, r.operation, r.win.start): r.n_changes for r in batch_df.collect()
+    }
+    # complete-mode emits cumulative state per trigger; final state is last
+    final = {}
+    for r in stream_out:
+        final[(r.tablename, r.operation, r.win.start)] = r.n_changes
+    assert final == batch_counts
+
+
+def test_stateful_dedup_within_watermark(spark, tmp_path):
+    # B17: duplicated log entries collapse via dropDuplicatesWithinWatermark
+    rows = [
+        (i, "t", dt.datetime(2024, 1, 1, 0, 0, i % 60), "INSERT", None, "{}")
+        for i in range(100)
+    ]
+    dup_dir = str(tmp_path / "duplog")
+    df = spark.createDataFrame(rows + rows[:50], LOG_SCHEMA)  # 50 dupes
+    df.repartition(2).write.parquet(dup_dir)
+    eng = streaming.StreamEngine(spark, dup_dir, str(tmp_path / "ckpt"))
+    stream = (
+        eng.read_log_stream(max_files_per_trigger=10)
+        .withWatermark("timestamp", "1 hour")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    store: list = []
+    eng.deliver(stream, sinks.collecting_handler(store)).awaitTermination(120)
+    ids = [r.id for _, rows_ in store for r in rows_]
+    assert len(ids) == 100
+    assert sorted(set(ids)) == list(range(100))
