@@ -1,0 +1,108 @@
+"""CLI entry point (SURVEY.md §2 A21).
+
+Parity with ``/root/reference/cmd/sqlite-cdc/main.go:49-142``: flags select
+a handler (``-`` simplified stdout / ``json`` / an HTTP URL) and a mode —
+``setup``, ``teardown``, ``bootstrap``, ``cdc``, or ``bootstrap-and-cdc``
+— over either a SQLite database (via the trigger bridge) or a parquet
+change-log directory (the Spark-native path).
+
+Usage examples::
+
+    python -m sqlite_cdc_spark.cli --db app.db --tables t1,t2 --setup
+    python -m sqlite_cdc_spark.cli --db app.db --tables t1 --log-dir /tmp/log --cdc -
+    python -m sqlite_cdc_spark.cli --log-dir /tmp/log --cdc json
+    python -m sqlite_cdc_spark.cli --data-dir /root/testdata/sf0.001 \\
+        --tables lineitem --bootstrap http://sink:8080/changes
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import sinks, sqlite_bridge, streaming
+from .bootstrap import bootstrap_tables
+from .session import get_spark
+from .sources import load_table
+
+
+def _handler(spec: str):
+    # parity: main.go handler dispatch — '-' stdout, 'json', else URL
+    if spec == "-":
+        return sinks.stdout_handler
+    if spec == "json":
+        return sinks.json_handler
+    if spec.startswith(("http://", "https://")):
+        return sinks.http_handler(spec)
+    raise SystemExit(f"unknown handler {spec!r}: use '-', 'json', or an http(s) URL")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sqlite-cdc-spark", description=__doc__)
+    p.add_argument("--db", help="SQLite database file (trigger-bridge mode)")
+    p.add_argument("--data-dir", help="parquet tables dir (bootstrap source)")
+    p.add_argument("--log-dir", help="parquet change-log dir (stream source/target)")
+    p.add_argument("--checkpoint-dir", help="stream checkpoint location")
+    p.add_argument("--tables", default="", help="comma-separated table names")
+    p.add_argument("--log-table", default=sqlite_bridge.DEFAULT_LOG_TABLE)
+    p.add_argument("--batch-size", type=int, default=256)  # CLI default, main.go:65
+    p.add_argument("--blobs", action="store_true", help="hex-encode BLOBs in images")
+    p.add_argument("--cpus", type=int, default=None)
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--setup", action="store_true")
+    mode.add_argument("--teardown", action="store_true")
+    mode.add_argument("--bootstrap", metavar="HANDLER")
+    mode.add_argument("--cdc", metavar="HANDLER")
+    mode.add_argument("--both", metavar="HANDLER", help="bootstrap then cdc")
+    args = p.parse_args(argv)
+    tables = [t for t in args.tables.split(",") if t]
+
+    def sqlite_conn():
+        import sqlite3
+
+        if not args.db:
+            raise SystemExit("--db required for this mode")
+        conn = sqlite3.connect(args.db)
+        conn.execute("PRAGMA journal_mode=WAL")  # README.md:205-209 prerequisite
+        conn.execute("PRAGMA busy_timeout=5000")  # main.go:57 default
+        return conn
+
+    if args.setup:
+        sqlite_bridge.setup(sqlite_conn(), tables, args.log_table, args.blobs)
+        print(f"setup complete: log table {args.log_table!r}, {len(tables)} tables")
+        return 0
+    if args.teardown:
+        sqlite_bridge.teardown(sqlite_conn(), tables, args.log_table)
+        print("teardown complete")
+        return 0
+
+    spark = get_spark("sqlite-cdc-spark-cli", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.bootstrap or args.both:
+        handler = _handler(args.bootstrap or args.both)
+        if not args.data_dir:
+            raise SystemExit("--data-dir required for bootstrap")
+        loaded = {t: load_table(spark, args.data_dir, t) for t in tables}
+        changes = bootstrap_tables(loaded, blob_support=args.blobs)
+        handler(changes, -1)
+        if not args.both:
+            return 0
+
+    if args.cdc or args.both:
+        handler = _handler(args.cdc or args.both)
+        if not (args.log_dir and args.checkpoint_dir):
+            raise SystemExit("--log-dir and --checkpoint-dir required for cdc")
+        if args.db:  # drain the SQLite log into the stream source first
+            sqlite_bridge.poll_log(
+                sqlite_conn(), args.log_dir, args.log_table, args.batch_size
+            )
+        eng = streaming.StreamEngine(spark, args.log_dir, args.checkpoint_dir)
+        eng.setup()
+        q = eng.deliver(eng.read_log_stream(), handler)
+        q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,225 @@
+"""SQLite ingest edge: trigger install + log polling (SURVEY.md §2 A7-A9,
+A13, A17 at the storage boundary).
+
+The reference captures changes *inside* SQLite with three triggers per
+table appending JSON row images to ``__cdc_log``
+(``/root/reference/triggers.go:410-437``). That part of the system is
+inherently single-node — it runs inside every writer's transaction — so
+this module is the one deliberately non-distributed edge of the engine:
+
+- :func:`setup` / :func:`teardown` — generate and install the equivalent
+  DDL (log table + INSERT/UPDATE/DELETE triggers built from discovered
+  columns), idempotent like the reference's ``IF [NOT] EXISTS``.
+- :func:`poll_log` — drain ``ORDER BY id LIMIT batch`` pages into parquet
+  files in a Spark log directory (each page = one file, so the streaming
+  engine's ``maxFilesPerTrigger`` admission mirrors the reference's batch
+  bound), then ack-by-delete in its own transaction
+  (``triggers.go:209-221``).
+
+Downstream of the parquet hand-off everything is distributed Spark
+(:mod:`sqlite_cdc_spark.streaming`). Differences from the reference, by
+design: no 63-column ``json_object`` chunking (we emit one ``json_object``
+per ≤63-column chunk and merge with ``json_patch`` exactly when needed —
+same behavior, same cap), and BLOBs hex-encode only when ``blob_support``.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import time
+from dataclasses import dataclass
+
+DEFAULT_LOG_TABLE = "__cdc_log"  # parity: triggers.go:18-21
+DEFAULT_BATCH = 50
+MAX_COLUMNS = 1000  # parity: triggers.go:457-518 hard cap
+JSON_CHUNK = 63  # 127-arg json_object limit → 63 k/v pairs
+
+
+@dataclass
+class TableInfo:
+    name: str
+    columns: list[str]
+    types: list[str]
+
+
+def _table_info(conn: sqlite3.Connection, table: str) -> TableInfo:
+    rows = conn.execute(f"PRAGMA table_info({_q(table)})").fetchall()
+    return TableInfo(
+        name=table,
+        columns=[r[1] for r in rows],
+        types=[(r[2] or "").upper() for r in rows],
+    )
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _json_object_sql(info: TableInfo, rowref: str, blob_support: bool) -> str:
+    """Row→JSON projection SQL (parity: sqlJsonObject, triggers.go:457-518):
+    ≤63 pairs per ``json_object`` call, chunks merged with ``json_patch``;
+    BLOB columns skipped unless ``blob_support`` (then upper-hex)."""
+    if len(info.columns) > MAX_COLUMNS:
+        raise ValueError(f"{info.name}: more than {MAX_COLUMNS} columns unsupported")
+    pairs: list[str] = []
+    for col, typ in zip(info.columns, info.types):
+        if typ == "BLOB":
+            if not blob_support:
+                continue
+            pairs.append(f"'{col}', hex({rowref}.{_q(col)})")
+        else:
+            pairs.append(f"'{col}', {rowref}.{_q(col)}")
+    chunks = [
+        "json_object(" + ", ".join(pairs[i : i + JSON_CHUNK]) + ")"
+        for i in range(0, len(pairs), JSON_CHUNK)
+    ]
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = f"json_patch({out}, {c})"
+    return out
+
+
+def _now_expr(conn: sqlite3.Connection, subsec: bool) -> str:
+    """Parity: triggers.go:438-443 — subsecond timestamps need SQLite
+    ≥3.42 (WithoutSubsecondTime is the reference's fallback knob); probe
+    the runtime instead of trusting the caller."""
+    if subsec:
+        try:
+            if conn.execute("SELECT datetime('now','subsec')").fetchone()[0]:
+                return "datetime('now','subsec')"
+        except sqlite3.Error:
+            pass
+    return "datetime('now')"
+
+
+def setup(
+    conn: sqlite3.Connection,
+    tables: list[str],
+    log_table: str = DEFAULT_LOG_TABLE,
+    blob_support: bool = False,
+    subsec: bool = True,
+) -> None:
+    """Create the log table + 3 capture triggers per table, in one
+    transaction (parity: Setup, triggers.go:334-364)."""
+    cur = conn.cursor()
+    cur.execute("BEGIN")
+    try:
+        # AUTOINCREMENT deliberately strengthens the reference's plain
+        # INTEGER PRIMARY KEY (triggers.go:411): after ack-by-delete empties
+        # the log, plain rowids would restart and collide, breaking global
+        # id order in the parquet log the streaming engine sorts/dedups on.
+        cur.execute(
+            f"""CREATE TABLE IF NOT EXISTS {_q(log_table)} (
+                id INTEGER PRIMARY KEY AUTOINCREMENT,
+                timestamp TEXT NOT NULL,
+                tablename TEXT NOT NULL,
+                operation TEXT NOT NULL,
+                before TEXT,
+                after TEXT
+            )"""
+        )
+        now = _now_expr(conn, subsec)
+        for t in tables:
+            info = _table_info(conn, t)
+            new_img = _json_object_sql(info, "NEW", blob_support)
+            old_img = _json_object_sql(info, "OLD", blob_support)
+            specs = [
+                ("insert", "INSERT", "NULL", new_img),
+                ("update", "UPDATE", old_img, new_img),
+                ("delete", "DELETE", old_img, "NULL"),
+            ]
+            for suffix, op, before, after in specs:
+                cur.execute(
+                    f"""CREATE TRIGGER IF NOT EXISTS {_q(f"{t}__cdc_{suffix}")}
+                        AFTER {op} ON {_q(t)} BEGIN
+                          INSERT INTO {_q(log_table)}
+                            (timestamp, tablename, operation, before, after)
+                          VALUES ({now}, '{t}', '{op}', {before}, {after});
+                        END"""
+                )
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+
+
+def teardown(
+    conn: sqlite3.Connection,
+    tables: list[str],
+    log_table: str = DEFAULT_LOG_TABLE,
+) -> None:
+    """Drop triggers + log table (parity: Teardown, triggers.go:365-395)."""
+    cur = conn.cursor()
+    cur.execute("BEGIN")
+    try:
+        for t in tables:
+            for suffix in ("insert", "update", "delete"):
+                cur.execute(f"DROP TRIGGER IF EXISTS {_q(f'{t}__cdc_{suffix}')}")
+        cur.execute(f"DROP TABLE IF EXISTS {_q(log_table)}")
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+
+
+def poll_log(
+    conn: sqlite3.Connection,
+    out_dir: str,
+    log_table: str = DEFAULT_LOG_TABLE,
+    batch_size: int = DEFAULT_BATCH,
+    ack: bool = True,
+    max_batches: int | None = None,
+) -> int:
+    """Drain the SQLite log into parquet files under ``out_dir``.
+
+    Each page (``ORDER BY id ASC LIMIT batch``, parity triggers.go:167) is
+    written as ONE parquet file so Spark's ``maxFilesPerTrigger=1``
+    reproduces the reference's one-batch-at-a-time delivery. After a page
+    lands durably, ack-by-delete runs in its own transaction
+    (``DELETE ... WHERE id <= max``, triggers.go:209-221) — at-least-once,
+    exactly the reference's contract. Returns number of changes drained.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    batches = 0
+    while max_batches is None or batches < max_batches:
+        rows = conn.execute(
+            f"SELECT id, timestamp, tablename, operation, before, after "
+            f"FROM {_q(log_table)} ORDER BY id ASC LIMIT ?",
+            (batch_size,),
+        ).fetchall()
+        if not rows:
+            break
+        ids = [r[0] for r in rows]
+        # log timestamps are UTC text 'YYYY-MM-DD HH:MM:SS[.SSS]'
+        ts = [
+            (r[1] + ".000" if "." not in r[1] else r[1]).replace(" ", "T")
+            for r in rows
+        ]
+        table = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "timestamp": pa.array(ts, pa.string()).cast(pa.timestamp("us")),
+                "tablename": pa.array([r[2] for r in rows], pa.string()),
+                "operation": pa.array([r[3] for r in rows], pa.string()),
+                # explicit string type: an all-NULL page (e.g. pure-INSERT
+                # before images) must not infer a null/int parquet column
+                "before": pa.array([r[4] for r in rows], pa.string()),
+                "after": pa.array([r[5] for r in rows], pa.string()),
+            }
+        )
+        fname = os.path.join(out_dir, f"batch-{time.time_ns()}-{ids[-1]}.parquet")
+        pq.write_table(table, fname)
+        if ack:
+            conn.execute("BEGIN")
+            conn.execute(f"DELETE FROM {_q(log_table)} WHERE id <= ?", (ids[-1],))
+            conn.commit()
+        total += len(rows)
+        batches += 1
+        if len(rows) < batch_size and not ack:
+            break
+    return total

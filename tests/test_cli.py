@@ -1,0 +1,71 @@
+"""CLI mode-dispatch tests (SURVEY §2 A21)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from sqlite_cdc_spark import cli
+
+
+def test_cli_setup_cdc_roundtrip(tmp_path, spark, capsys):
+    db = str(tmp_path / "app.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE widgets (id INTEGER PRIMARY KEY, name TEXT)")
+    conn.commit()
+    conn.close()
+
+    assert cli.main(["--db", db, "--tables", "widgets", "--setup"]) == 0
+    conn = sqlite3.connect(db)
+    conn.executemany(
+        "INSERT INTO widgets VALUES (?,?)", [(i, f"w{i}") for i in range(25)]
+    )
+    conn.execute("DELETE FROM widgets WHERE id = 3")
+    conn.commit()
+    conn.close()
+
+    assert (
+        cli.main(
+            [
+                "--db", db, "--tables", "widgets",
+                "--log-dir", str(tmp_path / "log"),
+                "--checkpoint-dir", str(tmp_path / "ckpt"),
+                "--batch-size", "10",
+                "--cdc", "-",
+            ]
+        )
+        == 0
+    )
+    lines = [l for l in capsys.readouterr().out.splitlines() if ": widgets " in l]
+    assert len(lines) == 26
+    assert lines[-1].endswith("widgets DELETE")
+
+    assert cli.main(["--db", db, "--tables", "widgets", "--teardown"]) == 0
+    conn = sqlite3.connect(db)
+    assert (
+        conn.execute(
+            "SELECT count(*) FROM sqlite_master WHERE name = '__cdc_log'"
+        ).fetchone()[0]
+        == 0
+    )
+
+
+def test_cli_bootstrap_json(tmp_path, sf_dir, spark, capsys):
+    assert (
+        cli.main(
+            ["--data-dir", sf_dir, "--tables", "region,nation", "--bootstrap", "json"]
+        )
+        == 0
+    )
+    import json
+
+    lines = capsys.readouterr().out.strip().splitlines()
+    parsed = [json.loads(l) for l in lines if l.startswith("{")]
+    assert len(parsed) == 30  # 5 regions + 25 nations
+    assert all(p["operation"] == "INSERT" for p in parsed)
+
+
+def test_cli_bad_handler(tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(["--log-dir", str(tmp_path), "--checkpoint-dir", str(tmp_path), "--cdc", "bogus"])
