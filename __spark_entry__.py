@@ -426,6 +426,103 @@ def q_b14_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_b10_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+    )
+
+
+def q_b11_ranks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wr = Window.partitionBy("o_orderstatus").orderBy(
+        F.floor(F.col("o_totalprice") / 100000).desc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(wr).cast("bigint").alias("rnk_bucket"),
+        F.dense_rank().over(wr).cast("bigint").alias("drnk_bucket"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    ).filter(F.col("rn") <= 200)
+
+
+def q_b9_asof_join(spark, sf_dir):
+    """As-of join: each order enriched with the user's latest event at or
+    before the order date (key: o_custkey % 100 == events.user_id)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts"), F.col("event_id"), F.col("value")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100).alias("k"),
+            F.col("o_orderdate"),
+        )
+        .filter(F.col("o_orderkey") % 29 == 0)
+    )
+    # the time bound must live IN the join condition: filtering after a
+    # plain left join would drop orders whose events are all later
+    joined = o.join(
+        ev, (o["k"] == ev["k"]) & (ev["ts"] <= o["o_orderdate"]), "left"
+    ).drop(ev["k"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    latest = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.select("o_orderkey", "k", "event_id", "value")
+
+
+def q_b14_json_funcs(spark, sf_dir):
+    """JSON function battery over the events props payload (B14):
+    get_json_object, from_json typed extraction, json length/keys."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_dyn"),
+        F.from_json("props", schema).getField("k").alias("k_typed"),
+        F.json_array_length(F.concat(F.lit("["), F.col("props"), F.lit("]"))).cast("bigint").alias("arr_len"),
+        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("packed"),
+    )
+
+
+def q_b15_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows, batch form (B15): 2-hour window sliding
+    1 hour — each event lands in 2 windows."""
+    ch = _events_changes(spark, sf_dir)
+    return (
+        ch.groupBy(
+            F.window("timestamp", "2 hours", "1 hour").alias("win"),
+            F.col("operation"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "operation",
+            "n",
+        )
+    )
+
+
 # --- north-star pipeline operators (B18-B22) --------------------------------
 
 
@@ -630,6 +727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_set_ops": q_b13_set_ops,
         "b14_scalar_funcs": q_b14_scalar_funcs,
         "b14_date_funcs": q_b14_date_funcs,
+        "b9_asof_join": q_b9_asof_join,
+        "b10_cube": q_b10_cube,
+        "b11_ranks": q_b11_ranks,
+        "b14_json_funcs": q_b14_json_funcs,
+        "b15_sliding_windows": q_b15_sliding_windows,
         "b18_dup_groups": q_b18_dup_groups,
         "b18_dedup_exact": q_b18_dedup_exact,
         "b19_word_jaccard": q_b19_word_jaccard,
@@ -915,6 +1017,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('day', CAST(o_orderdate AS DATE),
                                   DATE '1998-12-31') AS BIGINT) AS days_to_eoy
             FROM orders
+        """,
+        "b9_asof_join": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey % 100 AS k, o_orderdate
+              FROM orders WHERE o_orderkey % 29 = 0
+            ),
+            j AS (
+              SELECT o.o_orderkey, o.k, e.ts, e.event_id, e.value
+              FROM o LEFT JOIN events e
+                ON o.k = e.user_id AND e.ts <= o.o_orderdate
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey
+                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+              FROM j
+            )
+            SELECT o_orderkey, k, event_id, value FROM ranked WHERE rn = 1
+        """,
+        "b10_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "b11_ranks": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(rank() OVER wr AS BIGINT) AS rnk_bucket,
+                   CAST(dense_rank() OVER wr AS BIGINT) AS drnk_bucket,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey ASC),
+                   wr AS (PARTITION BY o_orderstatus
+                          ORDER BY floor(o_totalprice / 100000) DESC)
+            QUALIFY rn <= 200
+        """,
+        "b14_json_funcs": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_dyn,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+                   CAST(json_array_length('[' || props || ']') AS BIGINT) AS arr_len,
+                   CAST(json_object('event_type', event_type,
+                                    'user_id', user_id) AS VARCHAR) AS packed
+            FROM events
+        """,
+        "b15_sliding_windows": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            landed AS (
+              SELECT date_trunc('hour', timestamp) AS win_start, operation
+              FROM changes
+              UNION ALL
+              SELECT date_trunc('hour', timestamp) - INTERVAL 1 HOUR, operation
+              FROM changes
+            )
+            SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+                   operation, count(*) AS n
+            FROM landed GROUP BY 1, 3
         """,
         "b18_dup_groups": f"""
             WITH {_DOCS_DUPS_SQL}
