@@ -602,6 +602,14 @@ def q_b19_simhash(spark, sf_dir):
     return dedup.simhash_candidates(corpus, "doc_id", "text", max_hamming=3, bands=4)
 
 
+def q_b19_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact mode; the LSH mode is the
+    scale path, exercised in unit tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.4, exact=True)
+    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
 def q_b20_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 4)
@@ -737,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_word_jaccard": q_b19_word_jaccard,
         "b19_minhash_candidates": q_b19_minhash_candidates,
         "b19_simhash": q_b19_simhash,
+        "b19_embedding_dups": q_b19_embedding_dups,
         "b20_cosine_topk": q_b20_cosine_topk,
         "b20_ann_lsh": q_b20_ann_lsh,
         "b21_lang_quality": q_b21_lang_quality,
@@ -1101,6 +1110,25 @@ def oracle_sql() -> dict[str, str]:
                                 - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
                          6) AS jaccard
             FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+        """,
+        "b19_embedding_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])))),
+                         6) AS score
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[]))))
+                  >= 0.4
         """,
         "b20_cosine_topk": """
             WITH q AS (

@@ -325,6 +325,50 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    exact: bool | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (B19 vector variant):
+    ``(id_a, id_b, score)`` with ``id_a < id_b`` and cosine ≥ threshold.
+
+    ``exact=True`` scores all pairs via a broadcast self-join — right for
+    corpora that fit an executor (≲10⁵ vectors). The scale path
+    (``exact=False``) generates candidates with the hyperplane-LSH buckets
+    from :mod:`.similarity` (equi-join, no cartesian) and exact-scores only
+    bucket-mates — same recall dials as ANN search. Default: exact, since
+    thresholded dedup usually runs on an already-clustered shard.
+    """
+    from . import similarity as sim
+
+    v = sim.as_double(vec_col)
+    if exact or exact is None:
+        # norms once per row; per-pair cost = one dot product
+        a = df.select(
+            F.col(id_col).alias("id_a"), v.alias("va"), sim.l2_norm(v).alias("na")
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"), v.alias("vb"), sim.l2_norm(v).alias("nb")
+        )
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        score = sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        return pairs.select("id_a", "id_b", score.alias("score")).filter(
+            F.col("score") >= threshold
+        )
+    cand = sim.ann_topk_lsh(
+        df, df, k=50, id_col=id_col, vec_col=vec_col, dim=dim
+    ).filter(F.col("query_id") < F.col("neighbor_id"))
+    return cand.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "score",
+    ).filter(F.col("score") >= threshold)
+
+
 def simhash_candidates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
 ) -> DataFrame:

@@ -56,18 +56,21 @@ def cosine_topk(
     Corpus norms are computed inline; for a served index they'd be
     precomputed once (see :func:`with_norm`).
     """
+    # norms precomputed per ROW (once), never per pair — the per-pair work
+    # is exactly one dot product
+    qv = as_double(vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), qv.alias("qv"), l2_norm(qv).alias("qn")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"), qv.alias("cv"), l2_norm(qv).alias("cn")
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (l2_norm(F.col("qv")) * l2_norm(F.col("cv")))).alias("score"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -137,6 +137,76 @@ class StreamEngine:
         return self.deliver(stream, handler)
 
 
+def streaming_compaction(
+    changes: DataFrame,
+    key_json_path: str = "$.user_id",
+    timeout_s: int = 0,
+) -> DataFrame:
+    """Streaming latest-state materialization (B2's streaming form) via
+    ``applyInPandasWithState``: per key, keep the highest-``id`` change
+    seen so far; emit the new current state whenever it advances, with
+    ``is_delete`` marking tombstones.
+
+    State per key is one (id, operation, after) triple — bounded, no
+    watermark needed (state size = live key count, the same as any
+    materialized replica). Output stream is an upsert/changelog feed a
+    sink can apply idempotently.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    keyed = changes.withColumn(
+        "__key",
+        F.get_json_object(F.coalesce("after", "before"), key_json_path),
+    ).filter(F.col("__key").isNotNull())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("last_id", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("after", T.StringType()),
+            T.StructField("is_delete", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_id", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("after", T.StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        last_id, op, after = state.get if state.exists else (-1, None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("id")
+            tail = pdf.iloc[-1]
+            if int(tail["id"]) > last_id:
+                last_id = int(tail["id"])
+                op = tail["operation"]
+                after = tail["after"] if tail["after"] is not None else None
+        state.update((last_id, op, after))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "last_id": [last_id],
+                "operation": [op],
+                "after": [after],
+                "is_delete": [op == "DELETE"],
+            }
+        )
+
+    return keyed.groupBy("__key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- B15: windowed change-rate analytics (streaming form of B3) -------------
 
 

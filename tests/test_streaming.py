@@ -152,3 +152,48 @@ def test_stateful_dedup_within_watermark(spark, tmp_path):
     ids = [r.id for _, rows_ in store for r in rows_]
     assert len(ids) == 100
     assert sorted(set(ids)) == list(range(100))
+
+
+def test_streaming_compaction_matches_batch(spark, sf_dir, log_dir, tmp_path):
+    # B2 streaming form: the applyInPandasWithState materialization must
+    # converge to the same final state as the batch compaction
+    from sqlite_cdc_spark import derive
+    from sqlite_cdc_spark.log import events_as_changes
+    from sqlite_cdc_spark.sources import load_table
+
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    compacted = streaming.streaming_compaction(
+        eng.read_log_stream(max_files_per_trigger=2)
+    )
+    emitted: list = []
+
+    def collect(batch, batch_id):
+        emitted.extend(batch.collect())
+
+    q = (
+        compacted.writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emission per key = streaming final state
+    final: dict = {}
+    for r in emitted:
+        if r.last_id >= final.get(r.key, (None, -1))[1]:
+            final[r.key] = (r, r.last_id)
+    stream_state = {
+        k: (v[0].last_id, v[0].operation)
+        for k, v in final.items()
+        if not v[0].is_delete
+    }
+    batch_changes = events_as_changes(load_table(spark, sf_dir, "events"))
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+    batch_state = {
+        r.k: (r.id, r.operation)
+        for r in derive.compact_log(batch_changes, key, order_cols=["id"])
+        .withColumn("k", key)
+        .collect()
+    }
+    assert stream_state == batch_state
