@@ -523,6 +523,31 @@ def q_b15_sliding_windows(spark, sf_dir):
     )
 
 
+def q_b10_grouping_sets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+    )
+
+
+def q_b14_array_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.explode(words).alias("word"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_join(F.sort_array(words), ",").alias("sorted_words"),
+    )
+
+
 # --- north-star pipeline operators (B18-B22) --------------------------------
 
 
@@ -738,7 +763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_asof_join": q_b9_asof_join,
         "b10_cube": q_b10_cube,
         "b11_ranks": q_b11_ranks,
+        "b10_grouping_sets": q_b10_grouping_sets,
         "b14_json_funcs": q_b14_json_funcs,
+        "b14_array_funcs": q_b14_array_funcs,
         "b15_sliding_windows": q_b15_sliding_windows,
         "b18_dup_groups": q_b18_dup_groups,
         "b18_dedup_exact": q_b18_dedup_exact,
@@ -1063,6 +1090,22 @@ def oracle_sql() -> dict[str, str]:
                    wr AS (PARTITION BY o_orderstatus
                           ORDER BY floor(o_totalprice / 100000) DESC)
             QUALIFY rn <= 200
+        """,
+        "b10_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "b14_array_funcs": """
+            SELECT p_partkey,
+                   unnest(string_split(p_type, ' ')) AS word,
+                   CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+                   string_split(p_type, ' ')[1] AS first_word,
+                   array_to_string(list_sort(string_split(p_type, ' ')), ',')
+                     AS sorted_words
+            FROM part
         """,
         "b14_json_funcs": """
             SELECT event_id,

@@ -178,6 +178,35 @@ def topk_per_group(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side into
+    ``salt`` sub-keys and replicate the right side across all salts.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    is for the pathological hot-key join where one key exceeds a single
+    task even after splitting (e.g. a change log where one table/tenant
+    dominates). Cost: right side replicated ``salt``× — use for
+    moderate-size right sides only (broadcast beats salting when the right
+    side fits in memory).
+    """
+    lsalted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    rsalted = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = lsalted.join(rsalted, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def snapshots_equal(a: DataFrame, b: DataFrame) -> bool:
     """Multiset equality of two snapshots via ``exceptAll`` both ways
     (SURVEY §2 B13) — the replication-correctness check."""

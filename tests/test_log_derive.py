@@ -101,3 +101,13 @@ def test_snapshots_equal(spark, sf_dir):
     a = load_table(spark, sf_dir, "nation")
     assert derive.snapshots_equal(a, a.orderBy(F.rand(7)))
     assert not derive.snapshots_equal(a, a.limit(20))
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    plain = li.join(orders, "o_orderkey").count()
+    salted = derive.salted_join(li, orders, "o_orderkey", salt=4).count()
+    assert salted == plain

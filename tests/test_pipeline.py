@@ -153,3 +153,25 @@ def test_frame_sample_plan(spark):
     frames = multimodal.frame_sample_plan(df, every_n_bytes=1024)
     offs = [r.frame_offset for r in frames.collect()]
     assert offs == [0, 1024, 2048, 3072]
+
+
+def test_cosine_topk_pandas_matches_fold(spark, sf_dir):
+    # B23: the numpy Pandas-UDF fast path returns the same neighbor sets
+    # as the expression fold (scores differ only in float summation order)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    fold = similarity.cosine_topk(emb, q, k=5)
+    fast = similarity.cosine_topk_pandas(emb, q, k=5)
+    a = {(r.query_id, r.neighbor_id, r.rnk) for r in fold.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rnk) for r in fast.collect()}
+    assert a == b
+
+
+def test_embedding_near_dups_lsh_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = dedup.embedding_near_dups(emb, threshold=0.4, exact=True)
+    approx = dedup.embedding_near_dups(emb, threshold=0.4, exact=False)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    assert a <= e  # LSH candidates are a subset, all above threshold
+    assert len(a) >= 0.5 * len(e)  # and recall is reasonable

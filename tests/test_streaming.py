@@ -197,3 +197,56 @@ def test_streaming_compaction_matches_batch(spark, sf_dir, log_dir, tmp_path):
         .collect()
     }
     assert stream_state == batch_state
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    # B16: watermark semantics. Spark's watermark is a may-drop lower
+    # bound: a late row is only guaranteed-dropped once its window's state
+    # has been EVICTED, which happens at the end of the first batch after
+    # the watermark advances past the window end. Three batches:
+    #   1. on-time rows (watermark still epoch)
+    #   2. an advancer row → watermark 9:30, hour-1/2/5 windows evicted+emitted
+    #   3. the late row → its window is gone → dropped by watermark
+    import os
+    import time
+
+    log = str(tmp_path / "latelog")
+    os.makedirs(log)
+    on_time = [
+        (i, "t", dt.datetime(2024, 1, 1, h, 0, 0), "INSERT", None, "{}")
+        for i, h in enumerate([1, 1, 2, 5, 9, 10])
+    ]
+    advancer = [(50, "t", dt.datetime(2024, 1, 1, 10, 30, 0), "INSERT", None, "{}")]
+    late = [(99, "t", dt.datetime(2024, 1, 1, 1, 30, 0), "INSERT", None, "{}")]
+    for i, rows in enumerate((on_time, advancer, late)):
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.parquet(
+            log + f"/f{i}"
+        )
+        time.sleep(1.2)  # the file source orders by mtime; disambiguate
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log + "/f*")
+        .withWatermark("timestamp", "30 minutes")
+        .groupBy(F.window("timestamp", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out: list = []
+    q = (
+        stream.writeStream.foreachBatch(lambda b, i: out.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    while q.isActive:
+        time.sleep(0.5)
+    counts = {r.win.start.hour: r.n for r in out}
+    # hour-1 window closed with exactly its on-time rows; late row dropped
+    assert counts.get(1) == 2
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
