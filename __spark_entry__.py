@@ -426,6 +426,49 @@ def q_b14_scalar_funcs(spark, sf_dir):
     )
 
 
+def q_b4_event_source(spark, sf_dir):
+    """Event-stream CDC source, batch parity (B4): the full append-only
+    events table projected to the canonical change schema."""
+    return _events_changes(spark, sf_dir)
+
+
+def q_a19_json_lines(spark, sf_dir):
+    """Full JSON serialization of each change (A19, debug sink projection)
+    — timestamps pre-formatted so the JSON text is engine-portable."""
+    ch = _events_changes(spark, sf_dir)
+    return ch.select(
+        "id",
+        F.to_json(
+            F.struct(
+                F.col("tablename"),
+                model.format_log_timestamp("timestamp").alias("timestamp"),
+                F.col("operation"),
+                F.col("before"),
+                F.col("after"),
+            ),
+            {"ignoreNullFields": "false"},  # keep null images, like json_object
+        ).alias("j"),
+    )
+
+
+def q_b15_session_windows(spark, sf_dir):
+    """Session windows per user (B15): 30-minute inactivity gap, batch
+    form of session_window."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("sess")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def q_b10_cube(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
@@ -760,7 +803,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_set_ops": q_b13_set_ops,
         "b14_scalar_funcs": q_b14_scalar_funcs,
         "b14_date_funcs": q_b14_date_funcs,
+        "a19_json_lines": q_a19_json_lines,
+        "b4_event_source": q_b4_event_source,
         "b9_asof_join": q_b9_asof_join,
+        "b15_session_windows": q_b15_session_windows,
         "b10_cube": q_b10_cube,
         "b11_ranks": q_b11_ranks,
         "b10_grouping_sets": q_b10_grouping_sets,
@@ -1053,6 +1099,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('day', CAST(o_orderdate AS DATE),
                                   DATE '1998-12-31') AS BIGINT) AS days_to_eoy
             FROM orders
+        """,
+        "a19_json_lines": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT id,
+                   CAST(json_object(
+                     'tablename', tablename,
+                     'timestamp', strftime(timestamp, '%Y-%m-%d %H:%M:%S.%g'),
+                     'operation', operation,
+                     'before', before,
+                     'after', after) AS VARCHAR) AS j
+            FROM changes
+        """,
+        "b4_event_source": _EVENTS_CHANGES_SQL,
+        "b15_session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            grp AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS sess_start,
+                   max(ts) + INTERVAL 30 MINUTE AS sess_end,
+                   count(*) AS n_events
+            FROM grp GROUP BY user_id, sid
         """,
         "b9_asof_join": """
             WITH o AS (
