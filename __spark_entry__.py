@@ -241,6 +241,15 @@ def q_b1_snapshot_diff(spark, sf_dir):
     return derive.snapshot_diff(old, new, ["o_orderkey"])
 
 
+def q_b1_apply_roundtrip(spark, sf_dir):
+    """Replication roundtrip (B1+B2): apply the snapshot diff to the old
+    snapshot; the oracle is the mutated snapshot itself — value-hash
+    equality IS the replication-correctness proof."""
+    old, new = _orders_old_new(spark, sf_dir)
+    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
+    return derive.apply_changes(old, diff, ["o_orderkey"])
+
+
 def q_b2_log_compaction(spark, sf_dir):
     ch = _events_changes(spark, sf_dir)
     key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
@@ -788,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
         "a18_stdout_lines": q_a18_stdout_lines,
         "b1_snapshot_diff": q_b1_snapshot_diff,
+        "b1_apply_roundtrip": q_b1_apply_roundtrip,
         "b2_log_compaction": q_b2_log_compaction,
         "b3_change_stats": q_b3_change_stats,
         "b5_filter_json": q_b5_filter_json,
@@ -964,6 +974,10 @@ def oracle_sql() -> dict[str, str]:
                      'o_totalprice', ntp, 'o_orderpriority', npr) AS VARCHAR)
                    END AS after
             FROM cl WHERE operation IS NOT NULL
+        """,
+        "b1_apply_roundtrip": f"""
+            WITH {_ORDERS_OLD_NEW_SQL}
+            SELECT * FROM new
         """,
         "b2_log_compaction": f"""
             WITH changes AS ({_EVENTS_CHANGES_SQL}),

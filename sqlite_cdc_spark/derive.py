@@ -178,6 +178,42 @@ def topk_per_group(
     )
 
 
+def apply_changes(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Apply a change batch to a materialized state — the replica-side
+    write path of the reference's replication use case
+    (``/root/reference/README.md:26-30``): INSERT/UPDATE upsert the after
+    image, DELETE removes the key. Invariant (tested):
+    ``apply_changes(old, snapshot_diff(old, new)) ≡ new``.
+
+    Expects at most one change per key (a compacted batch — run
+    :func:`compact_log` first on raw logs). Typed rows come from the after
+    image via ``from_json`` with the state's schema.
+
+    Scale: one anti-join (state ∖ changed-keys) + a union of parsed
+    upserts — both shuffled on the key; the state side streams through.
+    This is exactly the merge a ``foreachBatch`` sink runs per micro-batch
+    for an idempotent, effectively-once replica (B17).
+    """
+    schema = state.schema
+    img = F.coalesce(F.col("after"), F.col("before"))
+    parsed = changes.select(
+        F.col("operation"), F.from_json(img, schema).alias("__row")
+    )
+    keyed = parsed.select(
+        "operation", "__row", *[F.col(f"__row.{k}").alias(k) for k in keys]
+    )
+    changed_keys = keyed.select(*keys).distinct()
+    survivors = state.join(changed_keys, list(keys), "left_anti")
+    upserts = keyed.filter(F.col("operation") != OP_DELETE).select(
+        *[F.col(f"__row.{c}").alias(c) for c in state.columns]
+    )
+    return survivors.unionByName(upserts)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -111,3 +111,33 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = li.join(orders, "o_orderkey").count()
     salted = derive.salted_join(li, orders, "o_orderkey", salt=4).count()
     assert salted == plain
+
+
+def test_apply_changes_roundtrip(spark, sf_dir):
+    # the replication invariant: apply(old, diff(old,new)) == new
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    new = (
+        old.filter(k % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 11 == 1, F.col("o_totalprice") * 2).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(k % 11 == 2).select(
+                (k + 900000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+            )
+        )
+    )
+    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
+    applied = derive.apply_changes(old, diff, ["o_orderkey"])
+    assert derive.snapshots_equal(applied, new)
+    # and a no-op diff applies to identity
+    empty_diff = derive.snapshot_diff(old, old, ["o_orderkey"])
+    assert empty_diff.isEmpty()
+    assert derive.snapshots_equal(
+        derive.apply_changes(old, empty_diff, ["o_orderkey"]), old
+    )
