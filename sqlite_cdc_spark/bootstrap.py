@@ -98,8 +98,12 @@ def snapshot_next_page(
     (``sqlSelectNext``, ``/root/reference/triggers.go:539-568``) — keyset
     pagination, never OFFSET.
 
-    The tuple comparison matches SQLite row-value ordering; the range
-    predicate on the leading key is pushed down to the parquet scan.
+    The tuple comparison matches SQLite row-value ordering. Struct
+    comparisons don't reach the parquet scan, so a redundant bound on the
+    leading key (``k0 >= v0`` — implied by the tuple predicate) is added:
+    that simple predicate IS pushable and prunes row groups via min/max
+    stats, which is what makes keyset pages O(page) instead of O(table)
+    on sorted/clustered storage.
     """
     last = F.struct(
         *[
@@ -107,8 +111,11 @@ def snapshot_next_page(
             for k, v in zip(keys, last_key)
         ]
     )
+    leading_bound = F.col(keys[0]) >= F.lit(last_key[0]).cast(
+        df.schema[keys[0]].dataType
+    )
     return (
-        df.filter(_key_tuple(keys) > last)
+        df.filter(leading_bound & (_key_tuple(keys) > last))
         .orderBy(*[F.col(k).asc() for k in keys])
         .limit(batch_size)
     )

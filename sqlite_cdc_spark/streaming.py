@@ -137,6 +137,41 @@ class StreamEngine:
         return self.deliver(stream, handler)
 
 
+def prune_log(
+    spark: SparkSession, log_dir: str, up_to_id: int, dry_run: bool = False
+) -> list[str]:
+    """Retention GC for the parquet change log — the distributed analog of
+    the reference's ack-by-delete (``triggers.go:209-221``: "log size ≈
+    unacked backlog").
+
+    File-granular: a file is removed only when its **max** ``id`` is ≤ the
+    committed watermark, so partially-consumed files survive (at-least-once
+    preserved). Metadata-only decision — reads parquet footer statistics,
+    never row data. Returns the deleted (or would-delete) paths.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    doomed: list[str] = []
+    for path in glob.glob(os.path.join(log_dir, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(path).metadata
+        max_id = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "id" and col.statistics is not None:
+                    m = col.statistics.max
+                    max_id = m if max_id is None else max(max_id, m)
+        if max_id is not None and max_id <= up_to_id:
+            doomed.append(path)
+    if not dry_run:
+        for path in doomed:
+            os.remove(path)
+    return doomed
+
+
 def streaming_compaction(
     changes: DataFrame,
     key_json_path: str = "$.user_id",

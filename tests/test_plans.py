@@ -1,0 +1,68 @@
+"""Physical-plan regression tests (PERF.md audit, frozen).
+
+The scale properties aren't just measured once — they're asserted, so a
+refactor that silently drops a broadcast, un-pushes a filter, or
+introduces a cartesian product fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_snapshot_pages_are_topk_not_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a2_snapshot_first_page")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_keyset_predicate_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a3_keyset_page")
+    # the leading-key bound reaches the scan (the struct tuple compare
+    # itself is not pushable — see snapshot_next_page docstring)
+    assert "GreaterThanOrEqual(l_orderkey" in plan
+
+
+def test_bootstrap_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "a6_bootstrap")
+    assert "Exchange" not in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b7_join_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+
+
+def test_agg_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b10_agg_pricing")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused lineitem columns never reach the scan
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_near_dup_has_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b19_minhash_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b20_ann_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b20_cosine_topk")
+    # query side is broadcast by construction; corpus is never shuffled
+    # except the final per-query top-k exchange
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -250,3 +250,20 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 1
+
+
+def test_prune_log_file_granular(spark, sf_dir, log_dir):
+    # A13 retention: files wholly below the watermark go; a
+    # partially-consumed file stays (at-least-once preserved)
+    import glob
+
+    files_before = len(glob.glob(log_dir + "/*.parquet"))
+    assert files_before == 4
+    # watermark 500: files covering ids 0-249 and 250-499 are prunable
+    would = streaming.prune_log(spark, log_dir, up_to_id=499, dry_run=True)
+    assert len(would) == 2
+    gone = streaming.prune_log(spark, log_dir, up_to_id=499)
+    assert sorted(gone) == sorted(would)
+    remaining = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
+    assert remaining.agg(F.min("id")).first()[0] == 500
+    assert remaining.count() == 500

@@ -1,0 +1,110 @@
+"""Scale-up smoke: do the headline plans hold at 10× the bench scale?
+
+Generates a deterministic ~6M-row lineitem-shaped table (≈ sf1) plus a
+1M-row event log in /tmp, runs the operator families that matter at scale
+(bootstrap images, snapshot diff, hash agg, windows, compaction, top-k),
+and reports rows/s at sf0.1 vs sf1-ish so sub-linear scaling regressions
+are visible. Prints one JSON line (SCALE_SMOKE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark import derive
+from sqlite_cdc_spark.bootstrap import snapshot_as_inserts
+from sqlite_cdc_spark.session import get_spark
+
+
+def gen_lineitem(spark, rows: int, path: str):
+    df = (
+        spark.range(rows)
+        .select(
+            (F.col("id") / 4).cast("long").alias("l_orderkey"),
+            F.pmod(F.xxhash64("id"), 20000).alias("l_partkey"),
+            F.pmod(F.xxhash64("id", F.lit(1)), 1000).alias("l_suppkey"),
+            F.pmod(F.col("id"), 7).cast("int").alias("l_linenumber"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 50) + 1).cast("double").alias("l_quantity"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), 100000) / 100.0 + 1.0).alias("l_extendedprice"),
+            (F.pmod(F.xxhash64("id", F.lit(4)), 10) / 100.0).alias("l_discount"),
+            F.lit(0.04).alias("l_tax"),
+            F.when(F.pmod(F.col("id"), 3) == 0, "A").when(F.pmod(F.col("id"), 3) == 1, "N").otherwise("R").alias("l_returnflag"),
+            F.when(F.pmod(F.col("id"), 2) == 0, "O").otherwise("F").alias("l_linestatus"),
+            F.timestamp_seconds(F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(5)), 31536000)).alias("l_shipdate"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def ops(spark, path: str) -> dict[str, float]:
+    li = spark.read.parquet(path)
+    n = li.count()
+    out: dict[str, float] = {"rows": n}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    run("bootstrap_images", lambda: snapshot_as_inserts(li, "lineitem")
+        .write.format("noop").mode("overwrite").save())
+    run("hash_agg", lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save())
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    run("window_funcs", lambda: li.select(
+        "l_orderkey", F.row_number().over(w).alias("rn"),
+        F.lag("l_extendedprice").over(w).alias("p"))
+        .write.format("noop").mode("overwrite").save())
+    run("topk_per_group", lambda: derive.topk_per_group(
+        li, ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+         F.col("l_partkey").asc(), F.col("l_linenumber").asc()], 10)
+        .write.format("noop").mode("overwrite").save())
+    old = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity").filter(
+        F.col("l_linenumber") == 0
+    )
+    new = old.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 13 == 0, F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+    ).filter(F.col("l_orderkey") % 17 != 0)
+    run("snapshot_diff", lambda: derive.snapshot_diff(
+        old, new, ["l_orderkey", "l_partkey"]).write.format("noop").mode("overwrite").save())
+    return out
+
+
+def main():
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for label, rows in (("sf0.1x", 600_000), ("sf1x", 6_000_000)):
+            path = f"{tmp}/li_{label}"
+            gen_lineitem(spark, rows, path)
+            results[label] = ops(spark, path)
+    # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
+    ratios = {}
+    for op in results["sf1x"]:
+        if op == "rows":
+            continue
+        ratios[op] = round(
+            (results["sf1x"][op] / max(results["sf0.1x"][op], 1e-6)) / 10.0, 2
+        )
+    out = {"runs": results, "time_ratio_over_data_ratio": ratios}
+    with open("SCALE_SMOKE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
