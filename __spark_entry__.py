@@ -740,6 +740,28 @@ def q_b21_token_stats(spark, sf_dir):
     )
 
 
+def q_b21_nchars_histogram(spark, sf_dir):
+    """n-chars distribution over documents (B21): 50-char buckets with
+    count + share, per language."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("bigint")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    hist = (
+        docs.groupBy("lang", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(per_lang, "lang")
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("lang_total").cast("double"), 6
+            ).alias("share"),
+        )
+    )
+    return hist
+
+
 def q_b22_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     packed = multimodal.pack_binary(
@@ -833,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_ann_lsh": q_b20_ann_lsh,
         "b21_lang_quality": q_b21_lang_quality,
         "b21_token_stats": q_b21_token_stats,
+        "b21_nchars_histogram": q_b21_nchars_histogram,
         "b22_multimodal_meta": q_b22_multimodal_meta,
         "b23_udf_features": q_b23_udf_features,
     }
@@ -1336,6 +1359,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_bpe) AS sum_bpe,
                    count(DISTINCT fp) AS n_distinct_fp
             FROM per_doc GROUP BY lang
+        """,
+        "b21_nchars_histogram": """
+            WITH per_lang AS (
+              SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang
+            ),
+            hist AS (
+              SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
+                     count(*) AS n_docs
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT h.lang, h.bucket, h.n_docs,
+                   round(CAST(h.n_docs AS DOUBLE) / CAST(p.lang_total AS DOUBLE), 6)
+                     AS share
+            FROM hist h JOIN per_lang p ON h.lang = p.lang
         """,
         "b22_multimodal_meta": """
             SELECT doc_id,

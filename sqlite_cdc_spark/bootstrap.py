@@ -121,6 +121,30 @@ def snapshot_next_page(
     )
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write a snapshot range-clustered and sorted by ``keys``.
+
+    This is the storage layout that makes the keyset operators (A2/A3)
+    O(page): ``repartitionByRange`` gives disjoint key ranges per file,
+    ``sortWithinPartitions`` orders within, so parquet min/max stats let a
+    ``k > last`` predicate prune to a single file and Spark's top-k stops
+    early. The Spark-native stand-in for the reference's reliance on the
+    SQLite PK index (``triggers.go:539-568``).
+    """
+    (
+        df.repartitionByRange(num_files, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*[F.col(k) for k in keys])
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def iterate_pages(
     df: DataFrame, keys: Sequence[str], batch_size: int
 ) -> Iterator[list]:

@@ -58,3 +58,89 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# --- JDBC sources -----------------------------------------------------------
+#
+# The reference reads SQLite in-process; the Spark-native equivalent for a
+# live relational source is the JDBC reader with keyset-style partitioning
+# (BASELINE "Structured Streaming + JDBC source"). Spark ships no SQLite
+# JDBC driver, so tests exercise these against embedded Derby — the code
+# path is driver-agnostic.
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    num_partitions: int = 8,
+    lower: int | None = None,
+    upper: int | None = None,
+    driver: str | None = None,
+) -> DataFrame:
+    """Partition-parallel JDBC scan.
+
+    The reference's keyset pagination (``triggers.go:539-568``) exists to
+    bound single-connection reads; on Spark the same idea becomes
+    ``partitionColumn/lowerBound/upperBound/numPartitions`` — N concurrent
+    range-bounded connections. Bounds are discovered with one min/max
+    query when not given (metadata-cheap, like the reference's schema
+    pragmas). Filters on the partition column push into each connection's
+    WHERE clause.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    if driver:
+        reader = reader.option("driver", driver)
+    if lower is None or upper is None:
+        bounds = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "dbtable",
+                f"(SELECT MIN({partition_column}) AS lo, "
+                f"MAX({partition_column}) AS hi FROM {table}) b",
+            )
+        )
+        if driver:
+            bounds = bounds.option("driver", driver)
+        row = bounds.load().first()
+        lower = row.LO if hasattr(row, "LO") else row.lo
+        upper = row.HI if hasattr(row, "HI") else row.hi
+        if lower is None:  # empty table
+            lower, upper = 0, 0
+    return (
+        reader.option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower))
+        .option("upperBound", str(max(upper, lower + 1)))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+
+
+def jdbc_poll_increment(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    id_col: str,
+    after_id: int,
+    driver: str | None = None,
+) -> DataFrame:
+    """One incremental poll: rows with ``id_col > after_id`` — the JDBC
+    rendition of the reference's ordered drain predicate
+    (``triggers.go:167``). Drive it from a scheduler/foreachBatch loop and
+    land increments in the parquet log dir; the committed max id is the
+    offset (ack without deletes).
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option(
+            "dbtable",
+            f"(SELECT * FROM {table} WHERE {id_col} > {int(after_id)}) inc",
+        )
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    return reader.load()

@@ -67,3 +67,31 @@ def test_bootstrap_tables_union(spark, sf_dir):
     feed = bs.bootstrap_tables(tables)
     counts = {r.tablename: r.n for r in feed.groupBy("tablename").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"region": 5, "nation": 25}
+
+
+def test_write_clustered_disjoint_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "clustered")
+    bs.write_clustered(li, out, ["l_orderkey"], num_files=8)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "l_orderkey":
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges per file
+    # and the clustered copy is the same data
+    assert spark.read.parquet(out).count() == li.count()
