@@ -194,20 +194,34 @@ def ann_topk_lsh(
     query-side only, so the corpus never re-hashes; the standard recall/
     cost dial when true-neighbor cosine is modest).
     """
-    sigs = [
-        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
-    ]
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # all tables' hyperplanes stacked: (n_tables*n_planes, dim); one
+    # Arrow-batched matmul computes every bucket bit for a whole batch —
+    # the interpreted per-plane expression fold is ~50× slower
+    planes_mat = np.vstack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _buckets(vecs):
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes_mat.T) >= 0  # (batch, n_tables*n_planes)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        packed = (bits * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(packed))
+
+    _buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    buckets_udf = pandas_udf(_buckets, "array<long>")
 
     def bucketize(df: DataFrame, side: str, probe: bool) -> DataFrame:
         v = as_double(vec_col)
-        buckets_per_table = []
-        for planes in sigs:
-            base = signature_bits(v, planes)
-            buckets_per_table.append(base)
         out = df.select(
             F.col(id_col).alias(f"{side}_id"),
             v.alias(f"{side}_v"),
-            F.posexplode(F.array(*buckets_per_table)).alias("table", "bucket"),
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("table", "bucket"),
         )
         if probe:
             flips = F.array(
