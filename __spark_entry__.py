@@ -297,7 +297,9 @@ def q_b7_join_enrich(spark, sf_dir):
     )
     return enriched.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("revenue"),
     )
 
 
@@ -335,14 +337,20 @@ def q_b10_agg_pricing(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # money sums: exact decimal aggregation, then round AFTER the
+            # double cast — at 17 significant digits the decimal→double
+            # conversion can differ by 1 ulp between engines
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
             # DECIMAL(18,4) products stay exact decimal in BOTH engines
             # ((18,4)×(18,4)→(37,8) fits width 38; (38,6)×(38,6) would
             # overflow DuckDB's decimal and silently fall back to double)
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,4)")
-                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -354,7 +362,9 @@ def q_b10_rollup(spark, sf_dir):
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total"),
             F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
             F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
         )
@@ -1037,7 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "b7_join_enrich": """
             SELECT r_name AS region, n_name AS nation,
                    count(*) AS n_orders,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -1063,10 +1073,10 @@ def oracle_sql() -> dict[str, str]:
         "b10_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
                         * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                        AS DOUBLE) AS sum_disc_price,
+                        AS DOUBLE), 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1074,7 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b10_rollup": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total,
                    CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
                    CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
             FROM orders

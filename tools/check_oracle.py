@@ -33,11 +33,11 @@ def _canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse float noise far below any intentional signal
-        return repr(round(v, 9))
+        # bit-strict: any cross-engine ulp difference must surface here,
+        # because the driver's value hash may be exact
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return repr(round(f, 9))
+        return repr(float(v))
     if isinstance(v, (dt.datetime,)):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
