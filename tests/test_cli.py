@@ -37,9 +37,11 @@ def test_cli_setup_cdc_roundtrip(tmp_path, spark, capsys):
         )
         == 0
     )
-    lines = [l for l in capsys.readouterr().out.splitlines() if ": widgets " in l]
-    assert len(lines) == 26
-    assert lines[-1].endswith("widgets DELETE")
+    # substring count, not line count: print() writes text and newline
+    # separately, so another thread's output can merge lines mid-stream
+    out = capsys.readouterr().out
+    assert out.count(": widgets ") == 26
+    assert out.count("widgets DELETE") == 1
 
     assert cli.main(["--db", db, "--tables", "widgets", "--teardown"]) == 0
     conn = sqlite3.connect(db)
