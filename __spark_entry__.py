@@ -488,6 +488,18 @@ def q_b15_session_windows(spark, sf_dir):
     )
 
 
+def q_b10_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group (B10 depth) — bit-identical
+    interpolation in Spark `percentile` and DuckDB `quantile_cont`."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.min("l_extendedprice").alias("pmin"),
+        F.max("l_extendedprice").alias("pmax"),
+    )
+
+
 def q_b10_cube(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_asof_join": q_b9_asof_join,
         "b15_session_windows": q_b15_session_windows,
         "b10_cube": q_b10_cube,
+        "b10_percentiles": q_b10_percentiles,
         "b11_ranks": q_b11_ranks,
         "b10_grouping_sets": q_b10_grouping_sets,
         "b14_json_funcs": q_b14_json_funcs,
@@ -1199,6 +1212,14 @@ def oracle_sql() -> dict[str, str]:
               FROM j
             )
             SELECT o_orderkey, k, event_id, value FROM ranked WHERE rn = 1
+        """,
+        "b10_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.9) AS p90,
+                   min(l_extendedprice) AS pmin,
+                   max(l_extendedprice) AS pmax
+            FROM lineitem GROUP BY 1
         """,
         "b10_cube": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -267,3 +267,63 @@ def test_prune_log_file_granular(spark, sf_dir, log_dir):
     remaining = spark.read.schema(LOG_SCHEMA).parquet(log_dir)
     assert remaining.agg(F.min("id")).first()[0] == 500
     assert remaining.count() == 500
+
+
+def test_streamed_replica_via_apply_changes(spark, sf_dir, log_dir, tmp_path):
+    # the flagship CDC story end to end: micro-batches maintain a parquet
+    # replica via compact-then-apply in foreachBatch; the final replica
+    # equals the batch compaction of the whole log
+    import os
+
+    from sqlite_cdc_spark import derive
+    from sqlite_cdc_spark.log import events_as_changes
+    from sqlite_cdc_spark.sources import load_table
+
+    replica_dir = str(tmp_path / "replica")
+    state_schema = "user_id bigint, value double"
+
+    def apply_batch(batch, batch_id):
+        key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+        compacted = derive.compact_log(batch, key, order_cols=["id"],
+                                       drop_deletes=False)
+        if os.path.isdir(replica_dir):
+            state = spark.read.schema(state_schema).parquet(replica_dir)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        # project images to the replica schema before applying
+        typed = compacted.select(
+            "operation",
+            F.to_json(
+                F.struct(
+                    key.cast("bigint").alias("user_id"),
+                    F.get_json_object("after", "$.value").cast("double").alias("value"),
+                )
+            ).alias("after"),
+            F.lit(None).cast("string").alias("before"),
+        )
+        new_state = derive.apply_changes(state, typed, ["user_id"])
+        new_state.write.mode("overwrite").parquet(replica_dir + "_next")
+        # atomic-ish swap for the test (a real sink would MERGE / use a
+        # transactional table format)
+        import shutil
+
+        if os.path.isdir(replica_dir):
+            shutil.rmtree(replica_dir)
+        os.rename(replica_dir + "_next", replica_dir)
+
+    eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+    eng.deliver(
+        eng.read_log_stream(max_files_per_trigger=1), apply_batch, ordered=False
+    ).awaitTermination(180)
+
+    # expected: batch compaction of the full log (DELETE keys dropped)
+    all_changes = events_as_changes(load_table(spark, sf_dir, "events"))
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+    expected = derive.compact_log(all_changes, key, order_cols=["id"]).select(
+        key.cast("bigint").alias("user_id"),
+        F.get_json_object("after", "$.value").cast("double").alias("value"),
+    )
+    got = spark.read.schema(state_schema).parquet(replica_dir)
+    from sqlite_cdc_spark.derive import snapshots_equal
+
+    assert snapshots_equal(got, expected)
