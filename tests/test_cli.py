@@ -71,3 +71,32 @@ def test_cli_bootstrap_json(tmp_path, sf_dir, spark, capsys):
 def test_cli_bad_handler(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["--log-dir", str(tmp_path), "--checkpoint-dir", str(tmp_path), "--cdc", "bogus"])
+
+
+def test_cli_both_mode(tmp_path, sf_dir, spark, capsys):
+    # --both: bootstrap first, then stream the log (A16 via the CLI)
+    db = str(tmp_path / "b.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+    conn.close()
+    assert cli.main(["--db", db, "--tables", "t", "--setup"]) == 0
+    conn = sqlite3.connect(db)
+    conn.executemany("INSERT INTO t VALUES (?,?)", [(i, "x") for i in range(7)])
+    conn.commit()
+    conn.close()
+    assert (
+        cli.main(
+            [
+                "--db", db, "--tables", "region",
+                "--data-dir", sf_dir,
+                "--log-dir", str(tmp_path / "log"),
+                "--checkpoint-dir", str(tmp_path / "ckpt"),
+                "--both", "-",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert out.count(": region INSERT") == 5   # bootstrap side
+    assert out.count(": t INSERT") == 7        # live log side
