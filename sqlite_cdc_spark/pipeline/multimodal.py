@@ -39,6 +39,32 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def read_binary_dir(
+    spark, path: str, glob: str | None = None, media_type: str = "application/octet-stream"
+) -> DataFrame:
+    """Ingest raw media files via Spark's ``binaryFile`` source into the
+    engine's payload+metadata shape (B22): one row per file with
+    ``payload`` bytes, path, length, modification time, and the typed
+    ``media_meta`` struct. Partitioning and predicate pushdown (on path/
+    length/modTime) come from the source for free.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    return raw.select(
+        F.col("path"),
+        F.col("length"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
 def pack_binary(df: DataFrame, payload: Column, media_type: str) -> DataFrame:
     """Attach a binary payload + typed metadata struct to each row."""
     return df.select(

@@ -93,6 +93,14 @@ class StreamEngine:
         parity). Offsets commit to the checkpoint only after the handler
         returns — at-least-once, like the reference's post-success
         ack-delete (triggers.go:209-221).
+
+        Ordering caveat: *cross-batch* order equals the source's admission
+        order — for the file source that is (modTime, path), so a log
+        writer must produce files whose mtime/path order matches id order
+        (``sqlite_bridge.poll_log`` does: time_ns-named file per page).
+        If the log can arrive out of order, make the sink id-aware (e.g.
+        :func:`sqlite_cdc_spark.derive.apply_changes` after a per-key
+        max-id guard) rather than assuming sequence.
         """
 
         def run(batch: DataFrame, batch_id: int) -> None:

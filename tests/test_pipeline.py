@@ -175,3 +175,23 @@ def test_embedding_near_dups_lsh_vs_exact(spark, sf_dir):
     a = {(r.id_a, r.id_b) for r in approx.collect()}
     assert a <= e  # LSH candidates are a subset, all above threshold
     assert len(a) >= 0.5 * len(e)  # and recall is reasonable
+
+
+def test_read_binary_dir(spark, tmp_path):
+    # B22: binaryFile ingest into the payload+metadata shape
+    import hashlib
+
+    files = {"a.bin": b"\x00\x01\x02" * 100, "b.bin": b"media-bytes", "skip.txt": b"x"}
+    for name, data in files.items():
+        (tmp_path / name).write_bytes(data)
+    df = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"].media_meta.n_bytes == 300
+    assert bytes(rows["b.bin"].payload) == b"media-bytes"
+    assert rows["b.bin"].media_meta.checksum == hashlib.md5(b"media-bytes").hexdigest()
+    # feature extraction runs unchanged on file-sourced payloads
+    feats = multimodal.extract_features(
+        df.select(F.col("length").alias("doc_id"), "payload")
+    ).collect()
+    assert len(feats) == 2

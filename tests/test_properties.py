@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the core roundtrip invariants.
+
+The reference ships example-based tests only (SURVEY §5); these properties
+pin the algebra: diff/apply inverse, codec roundtrips, image extraction.
+Examples are bounded small — each case builds a real DataFrame.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark import derive, model
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# simple relational rows: key + two nullable value columns
+rows_st = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=30),
+    values=st.tuples(
+        st.one_of(st.none(), st.text(alphabet="abcdef", max_size=4)),
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+    ),
+    max_size=12,
+)
+
+
+def _df(spark, d):
+    rows = [(k, v[0], v[1]) for k, v in d.items()]
+    return spark.createDataFrame(rows, "k bigint, s string, n bigint")
+
+
+@given(old=rows_st, new=rows_st)
+@settings(**SETTINGS)
+def test_diff_apply_inverse(spark, old, new):
+    """apply(old, diff(old, new)) == new — for ANY pair of snapshots,
+    including null values, disjoint keys, and empty sides."""
+    o, n = _df(spark, old), _df(spark, new)
+    diff = derive.snapshot_diff(o, n, ["k"])
+    applied = derive.apply_changes(o, diff, ["k"])
+    got = {(r.k, r.s, r.n) for r in applied.collect()}
+    want = {(k, v[0], v[1]) for k, v in new.items()}
+    assert got == want
+
+
+@given(old=rows_st)
+@settings(**SETTINGS)
+def test_diff_self_is_empty(spark, old):
+    o = _df(spark, old)
+    assert derive.snapshot_diff(o, o, ["k"]).isEmpty()
+
+
+@given(data=st.binary(min_size=0, max_size=64))
+@settings(**SETTINGS)
+def test_hex_roundtrip(spark, data):
+    df = spark.createDataFrame([(bytearray(data),)], "b binary")
+    out = df.select(F.unhex(model.blob_to_hex("b")).alias("rt")).first().rt
+    assert bytes(out or b"") == data
+
+
+@given(
+    ts=st.datetimes(
+        min_value=dt.datetime(1971, 1, 1),
+        max_value=dt.datetime(2200, 1, 1),
+    )
+)
+@settings(**SETTINGS)
+def test_log_timestamp_roundtrip_ms(spark, ts):
+    ts = ts.replace(microsecond=(ts.microsecond // 1000) * 1000)  # ms precision
+    df = spark.createDataFrame([(ts,)], "t timestamp")
+    rt = df.select(
+        model.parse_log_timestamp(model.format_log_timestamp("t")).alias("rt")
+    ).first().rt
+    assert rt == ts
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.text(alphabet="abc ,\"\\", max_size=8),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_row_image_field_extraction(spark, vals):
+    """Every field of a JSON row image extracts back intact — including
+    JSON-hostile strings (quotes, backslashes, commas)."""
+    df = spark.createDataFrame(vals, "a bigint, s string")
+    out = df.select(
+        model.row_image(df).alias("img"), F.col("a"), F.col("s")
+    ).collect()
+    for r in out:
+        parsed = json.loads(r.img)
+        assert parsed["a"] == r.a
+        assert parsed["s"] == r.s

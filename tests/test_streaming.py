@@ -22,12 +22,30 @@ from sqlite_cdc_spark.sources import load_table
 @pytest.fixture()
 def log_dir(tmp_path, spark, sf_dir):
     """A change-log directory: events→changes written as FOUR parquet files
-    so maxFilesPerTrigger=1 yields four ordered micro-batches."""
+    so maxFilesPerTrigger=1 yields four ordered micro-batches.
+
+    Files are written sequentially with distinct mtimes: the file source
+    admits in (modTime, path) order, and four files from one job share an
+    mtime — making cross-batch arrival order ambiguous."""
+    import glob
+    import os
+    import time
+
     d = str(tmp_path / "log")
+    os.makedirs(d)
     ch = events_as_changes(load_table(spark, sf_dir, "events"))
-    ch.withColumn("bucket", (F.col("id") / 250).cast("int")).repartitionByRange(
-        4, "bucket"
-    ).drop("bucket").write.parquet(d)
+    for b in range(4):
+        part = ch.filter(
+            (F.col("id") >= b * 250) & (F.col("id") < (b + 1) * 250)
+        ).coalesce(1)
+        part.write.parquet(d + f"/tmp{b}")
+        src = glob.glob(d + f"/tmp{b}/*.parquet")[0]
+        os.rename(src, d + f"/batch-{b}.parquet")
+        import shutil
+
+        shutil.rmtree(d + f"/tmp{b}")
+        now = time.time() + b  # strictly increasing mtimes
+        os.utime(d + f"/batch-{b}.parquet", (now, now))
     return d
 
 
