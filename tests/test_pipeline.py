@@ -195,3 +195,19 @@ def test_read_binary_dir(spark, tmp_path):
         df.select(F.col("length").alias("doc_id"), "payload")
     ).collect()
     assert len(feats) == 2
+
+
+def test_zscore_by_group_applyinpandas(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    z = textops.zscore_by_group(docs, ["lang"], "n_chars")
+    rows = z.collect()
+    assert len(rows) == docs.count()
+    import statistics
+
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.zscore)
+    for lang, zs in by_lang.items():
+        assert abs(statistics.mean(zs)) < 1e-9  # centered per group
+        if len(zs) > 1:
+            assert abs(statistics.pstdev(zs) - 1.0) < 1e-9  # unit variance
