@@ -93,6 +93,7 @@ def shingle_rows(
     text_col: str,
     k: int = 3,
     unit: str = "word",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct shingles as *rows* ``(doc, sh)`` — the scale formulation.
 
@@ -123,7 +124,10 @@ def shingle_rows(
         F.concat_ws(sep, *gram_cols).alias("sh"),
         gram_cols[-1].isNotNull().alias("__full"),
     )
-    return grams.filter(F.col("__full")).select("doc", "sh").distinct()
+    out = grams.filter(F.col("__full")).select("doc", "sh")
+    # distinct costs a shuffle — set semantics matter for Jaccard sizes,
+    # but NOT for min-hash signatures (duplicates can't change a min)
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -179,7 +183,9 @@ def minhash_candidates(
     Shuffle volume: |shingle rows| once (window), then |docs|×64 longs.
     """
     rows_per_band = num_hashes // bands
-    exploded = shingle_rows(df, id_col, text_col, k=shingle_k, unit=shingle_unit)
+    exploded = shingle_rows(
+        df, id_col, text_col, k=shingle_k, unit=shingle_unit, distinct=False
+    )
     hashed = exploded.select(
         "doc", *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
