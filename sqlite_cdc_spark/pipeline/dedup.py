@@ -182,6 +182,34 @@ def minhash_candidates(
     includes the band index so buckets from different bands never collide.
     Shuffle volume: |shingle rows| once (window), then |docs|×64 longs.
     """
+    banded = build_lsh_index(
+        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit
+    )
+    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """Materializable LSH index: ``(doc, band, bucket)`` rows for the
+    corpus. Persist this once (parquet, partitioned/bucketed by
+    ``(band, bucket)``) and incremental dedup never re-hashes the corpus —
+    the CDC × dedup composition: bootstrap builds the index, the change
+    feed queries and appends to it.
+    """
     rows_per_band = num_hashes // bands
     exploded = shingle_rows(
         df, id_col, text_col, k=shingle_k, unit=shingle_unit, distinct=False
@@ -194,18 +222,40 @@ def minhash_candidates(
     ).select(
         "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("__sig")
     )
-    banded = signed.select(
+    return signed.select(
         "doc",
         F.posexplode(lsh_band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
             "band", "bucket"
         ),
     )
-    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+
+
+def query_lsh_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_unit: str = "word",
+) -> DataFrame:
+    """Near-dup candidates of ``new_docs`` against a prebuilt corpus index
+    (same hyperparameters as :func:`build_lsh_index` — signatures must
+    agree). Output: ``(new_id, corpus_id)``; only the new docs are hashed,
+    and the join is an equi-join on (band, bucket) — incremental cost is
+    proportional to the batch, not the corpus.
+    """
+    probe = build_lsh_index(
+        new_docs, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit
+    ).select(F.col("doc").alias("new_id"), "band", "bucket")
+    hits = probe.join(
+        index.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
+        ["band", "bucket"],
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        hits.filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
         .distinct()
     )
 

@@ -211,3 +211,32 @@ def test_zscore_by_group_applyinpandas(spark, sf_dir):
         assert abs(statistics.mean(zs)) < 1e-9  # centered per group
         if len(zs) > 1:
             assert abs(statistics.pstdev(zs) - 1.0) < 1e-9  # unit variance
+
+
+def test_incremental_lsh_index(spark, sf_dir, tmp_path):
+    # CDC x dedup composition: index the corpus once, probe with a batch
+    # of newly-arrived near-duplicates; only the batch is hashed
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_path = str(tmp_path / "lsh_index")
+    dedup.build_lsh_index(docs, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    new_batch = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" qqq")).alias("text"),
+    )
+    n_new = new_batch.count()
+    cand = dedup.query_lsh_index(index, new_batch, "doc_id", "text")
+    pairs = {(r.new_id, r.corpus_id) for r in cand.collect()}
+    found_sources = {n for n, c in pairs if c == n - 500000}
+    assert len(found_sources) >= int(0.95 * n_new)
+    # and candidates verify through the shared jaccard stage
+    both = docs.unionByName(new_batch)
+    scored = dedup.jaccard_pairs(
+        both,
+        cand.select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")),
+        "doc_id",
+        "text",
+    )
+    true_pairs = scored.filter(F.col("jaccard") >= 0.8)
+    assert true_pairs.count() >= int(0.95 * n_new)
