@@ -787,6 +787,32 @@ def q_b21_nchars_histogram(spark, sf_dir):
     return hist
 
 
+def q_b24_corpus_build(spark, sf_dir):
+    """Capstone composition (B18+B21): training-corpus build — quality
+    scoring → language/quality gates → exact dedup on normalized text →
+    per-language corpus stats."""
+    docs = _docs_with_dups(spark, sf_dir)
+    feats = textops.quality_features(docs)
+    gated = feats.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    )
+    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_tokens").alias("total_tokens"),
+            # avg as exact-decimal sum ÷ count in double (engine avg()
+            # return types differ on decimals)
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
 def q_b22_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     packed = multimodal.pack_binary(
@@ -883,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_token_stats": q_b21_token_stats,
         "b21_nchars_histogram": q_b21_nchars_histogram,
         "b22_multimodal_meta": q_b22_multimodal_meta,
+        "b24_corpus_build": q_b24_corpus_build,
         "b23_udf_features": q_b23_udf_features,
     }
 
@@ -1407,6 +1434,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(h.n_docs AS DOUBLE) / CAST(p.lang_total AS DOUBLE), 6)
                      AS share
             FROM hist h JOIN per_lang p ON h.lang = p.lang
+        """,
+        "b24_corpus_build": f"""
+            WITH {_DOCS_DUPS_SQL},
+            feat AS (
+              SELECT doc_id, text, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS q_alpha_ratio,
+                     round(CAST({_sw_hits_sql('en')} AS DOUBLE)
+                           / CAST(greatest(len({_TOKS_SQL}), 1) AS DOUBLE), 6) AS q_sw_ratio
+              FROM docs
+            ),
+            scored AS (
+              SELECT *,
+                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + q_alpha_ratio * 0.4
+                           + least(q_sw_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+              FROM feat
+            ),
+            gated AS (
+              SELECT * FROM scored WHERE quality_score >= 0.5 AND q_tokens >= 20
+            ),
+            deduped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            )
+            SELECT lang, count(*) AS n_docs, sum(q_tokens) AS total_tokens,
+                   round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS avg_quality
+            FROM deduped GROUP BY lang
         """,
         "b22_multimodal_meta": """
             SELECT doc_id,
