@@ -250,6 +250,27 @@ def q_b1_apply_roundtrip(spark, sf_dir):
     return derive.apply_changes(old, diff, ["o_orderkey"])
 
 
+def q_b11_reconstruct_befores(spark, sf_dir):
+    """Before-image reconstruction via lag (B11's CDC use-case): the
+    events log only carries key-only befores; rebuild full ones from the
+    predecessor's after-image per user."""
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+    rebuilt = derive.reconstruct_befores(
+        ch.withColumn("__k", key).drop("before").withColumn(
+            "before", F.lit(None).cast("string")
+        ),
+        "__k",
+    )
+    return rebuilt.select(
+        "id",
+        F.col("__k").cast("bigint").alias("user_id"),
+        "operation",
+        "before",
+        "after",
+    )
+
+
 def q_b2_log_compaction(spark, sf_dir):
     ch = _events_changes(spark, sf_dir)
     key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
@@ -882,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_agg_pricing": q_b10_agg_pricing,
         "b10_rollup": q_b10_rollup,
         "b11_window_funcs": q_b11_window_funcs,
+        "b11_reconstruct_befores": q_b11_reconstruct_befores,
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
         "b14_scalar_funcs": q_b14_scalar_funcs,
@@ -1132,6 +1154,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "b11_reconstruct_befores": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT id,
+                     CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT) AS user_id,
+                     operation, after
+              FROM changes
+            )
+            SELECT id, user_id, operation,
+                   lag(after) OVER (PARTITION BY user_id ORDER BY id) AS before,
+                   after
+            FROM keyed
         """,
         "b11_window_funcs": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

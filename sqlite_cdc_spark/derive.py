@@ -178,6 +178,27 @@ def topk_per_group(
     )
 
 
+def reconstruct_befores(
+    changes: DataFrame,
+    key: Column | str,
+    order_cols: Sequence[str] = ("id",),
+) -> DataFrame:
+    """Derive missing before-images: per key in log order, each change's
+    ``before`` is the previous change's ``after`` (SURVEY §2 B11's CDC
+    use-case — image *n-1* vs *n* per key). Sources that only capture
+    after-images (append-only event logs, B4) get full before/after
+    semantics back with one window pass.
+
+    An existing non-null ``before`` is preserved; the first change of a
+    key keeps before=NULL (INSERT semantics). One shuffle on the key.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(k).orderBy(*[F.col(c).asc() for c in order_cols])
+    return changes.withColumn(
+        "before", F.coalesce(F.col("before"), F.lag("after").over(w))
+    )
+
+
 def apply_changes(
     state: DataFrame,
     changes: DataFrame,

@@ -141,3 +141,24 @@ def test_apply_changes_roundtrip(spark, sf_dir):
     assert derive.snapshots_equal(
         derive.apply_changes(old, empty_diff, ["o_orderkey"]), old
     )
+
+
+def test_reconstruct_befores(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.model import LOG_SCHEMA
+
+    rows = [
+        (1, "t", dt.datetime(2024, 1, 1), "INSERT", None, '{"k":1,"v":1}'),
+        (2, "t", dt.datetime(2024, 1, 2), "UPDATE", None, '{"k":1,"v":2}'),
+        (3, "t", dt.datetime(2024, 1, 3), "INSERT", None, '{"k":2,"v":9}'),
+        (4, "t", dt.datetime(2024, 1, 4), "UPDATE", '{"k":1,"v":2}', '{"k":1,"v":3}'),
+    ]
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.k")
+    out = {r.id: r.before for r in derive.reconstruct_befores(
+        df.withColumn("__k", key), "__k").collect()}
+    assert out[1] is None                      # first change of key 1
+    assert out[2] == '{"k":1,"v":1}'           # filled from predecessor
+    assert out[3] is None                      # first change of key 2
+    assert out[4] == '{"k":1,"v":2}'           # existing before preserved
