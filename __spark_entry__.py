@@ -643,6 +643,22 @@ def q_b14_array_funcs(spark, sf_dir):
     )
 
 
+def q_b14_map_funcs(spark, sf_dir):
+    """Map-type functions (B14): construct, extract, cardinality — output
+    scalars so the comparison is engine-portable."""
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("m_brand"),
+        F.element_at(m, "type").alias("m_type"),
+        F.size(m).cast("bigint").alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+
+
 # --- north-star pipeline operators (B18-B22) --------------------------------
 
 
@@ -918,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_grouping_sets": q_b10_grouping_sets,
         "b14_json_funcs": q_b14_json_funcs,
         "b14_array_funcs": q_b14_array_funcs,
+        "b14_map_funcs": q_b14_map_funcs,
         "b15_sliding_windows": q_b15_sliding_windows,
         "b18_dup_groups": q_b18_dup_groups,
         "b18_dedup_exact": q_b18_dedup_exact,
@@ -1317,6 +1334,14 @@ def oracle_sql() -> dict[str, str]:
                    string_split(p_type, ' ')[1] AS first_word,
                    array_to_string(list_sort(string_split(p_type, ' ')), ',')
                      AS sorted_words
+            FROM part
+        """,
+        "b14_map_funcs": """
+            SELECT p_partkey,
+                   map(['brand','type'], [p_brand, p_type])['brand'][1] AS m_brand,
+                   map(['brand','type'], [p_brand, p_type])['type'][1] AS m_type,
+                   CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_size,
+                   array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS m_keys
             FROM part
         """,
         "b14_json_funcs": """
