@@ -767,6 +767,96 @@ def q_b20_ann_lsh(spark, sf_dir):
     )
 
 
+def q_b20_ann_ivf(spark, sf_dir):
+    """IVF approximate neighbors (rows-only: approximate by design; recall
+    asserted in unit tests against the exact baseline). The learned-centroid
+    counterpart to the LSH path — cells track the data distribution."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4)
+    return similarity.ann_topk_ivf(emb, queries_df, k=5, n_centroids=8, n_probe=3).select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
+def q_b10_pivot(spark, sf_dir):
+    """Pivot (B10 depth): order counts + revenue per priority × status.
+    Pivot values are EXPLICIT — at scale the values-less form runs an extra
+    distinct job over the fact table just to learn the column set."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total"),
+        )
+    )
+    out = piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+        *[
+            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(f"total_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+    return out
+
+
+def q_b10_unpivot(spark, sf_dir):
+    """Unpivot/melt (B10 depth): wide part measures to long (measure, value)
+    rows — `df.unpivot`, the inverse of pivot, a pure narrow map (no
+    shuffle; each input row yields one output row per measure)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+
+
+def q_b7_multi_join_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped star join (B7 depth): local-supplier revenue per
+    nation for one region-year. Plan shape at scale: lineitem⋈orders
+    shuffles on orderkey (the only big-big join); customer/supplier/nation/
+    region broadcast; aggregation is partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    dec4("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec4("l_discount"))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_b21_lang_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = textops.quality_features(docs)
@@ -944,6 +1034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_embedding_dups": q_b19_embedding_dups,
         "b20_cosine_topk": q_b20_cosine_topk,
         "b20_ann_lsh": q_b20_ann_lsh,
+        "b20_ann_ivf": q_b20_ann_ivf,
+        "b10_pivot": q_b10_pivot,
+        "b10_unpivot": q_b10_unpivot,
+        "b7_multi_join_revenue": q_b7_multi_join_revenue,
         "b21_lang_quality": q_b21_lang_quality,
         "b21_token_stats": q_b21_token_stats,
         "b21_nchars_histogram": q_b21_nchars_histogram,
@@ -1171,6 +1265,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "b10_pivot": """
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2), 0.0) AS total_f,
+                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 2), 0.0) AS total_o,
+                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 2), 0.0) AS total_p
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "b10_unpivot": """
+            SELECT p_partkey, 'p_size' AS measure,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS measure,
+                   p_retailprice AS value FROM part
+        """,
+        "b7_multi_join_revenue": """
+            SELECT n_name AS nation,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "b11_reconstruct_befores": f"""
             WITH changes AS ({_EVENTS_CHANGES_SQL}),

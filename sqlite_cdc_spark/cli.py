@@ -68,7 +68,10 @@ def main(argv: list[str] | None = None) -> int:
         return conn
 
     if args.setup:
-        sqlite_bridge.setup(sqlite_conn(), tables, args.log_table, args.blobs)
+        try:
+            sqlite_bridge.setup(sqlite_conn(), tables, args.log_table, args.blobs)
+        except ValueError as e:  # e.g. monitored table missing — clean exit
+            raise SystemExit(str(e)) from e
         print(f"setup complete: log table {args.log_table!r}, {len(tables)} tables")
         return 0
     if args.teardown:

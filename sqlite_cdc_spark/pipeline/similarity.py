@@ -171,6 +171,103 @@ def signature_bits(vec: Column, planes) -> Column:
     return out
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    n_iters: int = 8,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: spherical k-means
+    centroids trained on a bounded corpus sample, every corpus vector
+    assigned to its nearest centroid cell, queries probe their ``n_probe``
+    nearest cells and score only those cells' members exactly.
+
+    The scale story differs from LSH: the index is *learned* (cells follow
+    the data distribution, so cell sizes stay balanced under clustering
+    that would overload fixed hyperplane buckets). At 100 TB: training
+    reads a ~sample_size sample (one cheap pass), the centroid matrix is a
+    few KB broadcast to every executor, assignment is a narrow Arrow-batched
+    map, and candidate generation is an equi-join on ``cell`` — expected
+    n·n_probe/n_centroids pairs scored per query.
+
+    Deterministic end to end: the training sample is the first
+    ``sample_size`` vectors by id (swap for ``df.sample(seed=…)`` on a real
+    corpus), Lloyd iterations break argmax ties by lowest centroid index,
+    and empty cells re-seed from the sample row with the worst fit.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    samp = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sm = np.array([np.asarray(r[1], dtype=np.float64) for r in samp])
+    sm = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+    n_centroids = min(n_centroids, len(sm))
+    # deterministic init: evenly spaced sample rows (sorted by id)
+    cm = sm[np.linspace(0, len(sm) - 1, n_centroids).astype(int)].copy()
+    for _ in range(n_iters):
+        sims = sm @ cm.T  # (sample, cells)
+        assign = sims.argmax(axis=1)  # ties -> lowest index
+        for c in range(n_centroids):
+            members = sm[assign == c]
+            if len(members):
+                mu = members.sum(axis=0)
+                cm[c] = mu / np.linalg.norm(mu)
+            else:  # re-seed an empty cell with the worst-fit sample vector
+                cm[c] = sm[sims.max(axis=1).argmin()]
+    bcm = corpus.sparkSession.sparkContext.broadcast(cm)
+
+    def _cells(vecs):
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ bcm.value.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    _cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    cells_udf = pandas_udf(_cells, "array<long>")
+
+    v = as_double(vec_col)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("neighbor_v"),
+        # corpus rows live in exactly ONE cell (their nearest): element 1
+        F.element_at(cells_udf(F.col(vec_col)), 1).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("query_v"),
+        F.explode(cells_udf(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_v", "neighbor_v")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("query_v"), F.col("neighbor_v"))
+            / (l2_norm(F.col("query_v")) * l2_norm(F.col("neighbor_v")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -74,6 +74,11 @@ def _json_object_sql(info: TableInfo, rowref: str, blob_support: bool) -> str:
         "json_object(" + ", ".join(pairs[i : i + JSON_CHUNK]) + ")"
         for i in range(0, len(pairs), JSON_CHUNK)
     ]
+    if not chunks:  # every column was a skipped BLOB
+        raise ValueError(
+            f"{info.name}: no JSON-encodable columns (all BLOB and blob "
+            "support is off — pass --blobs / blob_support=True)"
+        )
     out = chunks[0]
     for c in chunks[1:]:
         out = f"json_patch({out}, {c})"
@@ -122,6 +127,11 @@ def setup(
         now = _now_expr(conn, subsec)
         for t in tables:
             info = _table_info(conn, t)
+            if not info.columns:
+                raise ValueError(
+                    f"table {t!r} does not exist (or has no columns); "
+                    "create it before --setup"
+                )
             new_img = _json_object_sql(info, "NEW", blob_support)
             old_img = _json_object_sql(info, "OLD", blob_support)
             specs = [

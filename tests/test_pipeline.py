@@ -96,6 +96,36 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.ann_topk_ivf(emb, q, k=5, n_centroids=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # approximate results are a subset of all scored pairs: every returned
+    # score must match the exact cosine for that pair
+    ex_scores = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in ex_scores:
+            assert abs(r.score - ex_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_ann_ivf_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    r1 = similarity.ann_topk_ivf(emb, q, k=5).collect()
+    r2 = similarity.ann_topk_ivf(emb, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+    assert sorted(
+        [(r.query_id, r.neighbor_id, r.rnk) for r in r1], key=lambda t: (t[0], t[2])
+    ) == sorted(
+        [(r.query_id, r.neighbor_id, r.rnk) for r in r2], key=lambda t: (t[0], t[2])
+    )
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [

@@ -96,6 +96,24 @@ def test_blob_support_hex(db):
     assert after["r"] == "DEADBEAF"  # upper-case hex, triggers.go:464-469
 
 
+def test_setup_missing_table_raises_cleanly(db):
+    with pytest.raises(ValueError, match="does not exist"):
+        sqlite_bridge.setup(db, ["no_such_table"])
+    # failed setup must roll back: no triggers half-installed
+    n = db.execute(
+        "SELECT count(*) FROM sqlite_master WHERE type = 'trigger'"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_setup_all_blob_table_without_blob_support_raises(db):
+    db.execute("CREATE TABLE blobs_only (x BLOB, y BLOB)")
+    db.commit()
+    with pytest.raises(ValueError, match="no JSON-encodable columns"):
+        sqlite_bridge.setup(db, ["blobs_only"])
+    sqlite_bridge.setup(db, ["blobs_only"], blob_support=True)  # ok with blobs
+
+
 def test_wide_table_json_patch_chunking(db):
     # parity with TestWideTables (trigger_test.go:246-296): 200 columns
     # (>63 → chunked json_object + json_patch) survive intact
