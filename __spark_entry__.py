@@ -857,6 +857,57 @@ def q_b7_multi_join_revenue(spark, sf_dir):
     )
 
 
+#: SQL-surface family (B25): the same engine driven through ``spark.sql``
+#: over temp views — subqueries/CTEs come free from Catalyst (SURVEY §2
+#: "explicit non-goals" … because Spark SQL gives them; these queries prove
+#: it). Oracle strings are the IDENTICAL SQL run on DuckDB.
+_SQL_EXISTS = """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+"""
+
+_SQL_CORRELATED_COUNT = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE (SELECT count(*) FROM orders o
+           WHERE o.o_custkey = c.c_custkey) >= 15
+"""
+
+#: TPC-H Q15 shape: CTE + scalar subquery over an exact-decimal revenue so
+#: the max-equality filter is engine-portable (doubles would tie-break on
+#: summation order).
+_SQL_CTE_TOP_SUPPLIER = """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+               AS total
+      FROM lineitem
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total AS DOUBLE), 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total = (SELECT max(total) FROM rev)
+"""
+
+
+def _sql_query(sql: str, *tables: str):
+    def run(spark, sf_dir):
+        for t in tables:
+            _t(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run
+
+
+q_b25_sql_exists = _sql_query(_SQL_EXISTS, "orders", "lineitem")
+q_b25_sql_correlated = _sql_query(_SQL_CORRELATED_COUNT, "customer", "orders")
+q_b25_sql_cte_top_supplier = _sql_query(_SQL_CTE_TOP_SUPPLIER, "lineitem", "supplier")
+
+
 def q_b21_lang_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = textops.quality_features(docs)
@@ -1038,6 +1089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_pivot": q_b10_pivot,
         "b10_unpivot": q_b10_unpivot,
         "b7_multi_join_revenue": q_b7_multi_join_revenue,
+        "b25_sql_exists": q_b25_sql_exists,
+        "b25_sql_correlated": q_b25_sql_correlated,
+        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b21_lang_quality": q_b21_lang_quality,
         "b21_token_stats": q_b21_token_stats,
         "b21_nchars_histogram": q_b21_nchars_histogram,
@@ -1305,6 +1359,9 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name
         """,
+        "b25_sql_exists": _SQL_EXISTS,
+        "b25_sql_correlated": _SQL_CORRELATED_COUNT,
+        "b25_sql_cte_top_supplier": _SQL_CTE_TOP_SUPPLIER,
         "b11_reconstruct_befores": f"""
             WITH changes AS ({_EVENTS_CHANGES_SQL}),
             keyed AS (

@@ -66,3 +66,42 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     # query side is broadcast by construction; corpus is never shuffled
     # except the final per-query top-k exchange
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_star_join_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b7_multi_join_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # dims never shuffle the fact side
+    # both selective predicates reach their parquet scans
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b10_unpivot")
+    # melt is a pure narrow map: Expand node, zero exchanges
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_pivot_is_single_aggregate_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b10_pivot")
+    # explicit pivot values: no eager distinct job, no join, just hash agg
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_exists_subquery_is_semi_join_with_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b25_sql_exists")
+    # Catalyst rewrites EXISTS to a (broadcast) semi join — never a
+    # per-row subquery, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_ann_ivf_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b20_ann_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
