@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 from sqlite_cdc_spark import bootstrap as bs
 from sqlite_cdc_spark import derive, log, model
-from sqlite_cdc_spark.pipeline import dedup, multimodal, similarity, text as textops
+from sqlite_cdc_spark.pipeline import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
 from sqlite_cdc_spark.sources import load_table
 
 BOOTSTRAP_TS = "2024-06-01 00:00:00"
@@ -908,6 +914,34 @@ q_b25_sql_correlated = _sql_query(_SQL_CORRELATED_COUNT, "customer", "orders")
 q_b25_sql_cte_top_supplier = _sql_query(_SQL_CTE_TOP_SUPPLIER, "lineitem", "supplier")
 
 
+def q_b26_hash_sample(spark, sf_dir):
+    """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
+    group-coherent (whole orders in or out), shuffle-free, replayable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sampling.sample_by_key(li, "l_orderkey", 10).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def q_b26_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment per document —
+    disjoint + exhaustive by construction, stable across runs/partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", sampling.split_assign("doc_id").alias("split")
+    )
+
+
+def q_b26_stratified_sample(spark, sf_dir):
+    """Per-language stratified sampling: downsample dominant English to
+    25%, keep low-resource languages whole — corpus rebalancing as one
+    narrow filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 25, "de": 100, "fr": 100}, default_rate=50
+    ).select("doc_id", "lang", "source")
+
+
 def q_b21_lang_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = textops.quality_features(docs)
@@ -1092,6 +1126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_exists": q_b25_sql_exists,
         "b25_sql_correlated": q_b25_sql_correlated,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
+        "b26_hash_sample": q_b26_hash_sample,
+        "b26_train_split": q_b26_train_split,
+        "b26_stratified_sample": q_b26_stratified_sample,
         "b21_lang_quality": q_b21_lang_quality,
         "b21_token_stats": q_b21_token_stats,
         "b21_nchars_histogram": q_b21_nchars_histogram,
@@ -1358,6 +1395,26 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "b26_hash_sample": f"""
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem
+            WHERE {sampling.bucket_sql('l_orderkey')} < 10
+        """,
+        "b26_train_split": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN {sampling.bucket_sql('doc_id')} < 80 THEN 'train'
+                        WHEN {sampling.bucket_sql('doc_id')} < 90 THEN 'val'
+                        WHEN {sampling.bucket_sql('doc_id')} < 100 THEN 'test'
+                   END AS split
+            FROM documents
+        """,
+        "b26_stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {sampling.bucket_sql('doc_id')} <
+                  CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 25
+                            WHEN 'fr' THEN 100 ELSE 50 END
         """,
         "b25_sql_exists": _SQL_EXISTS,
         "b25_sql_correlated": _SQL_CORRELATED_COUNT,

@@ -1,0 +1,99 @@
+"""Deterministic sampling / split assignment (training-pipeline surface).
+
+A 100 TB corpus is sampled by KEY, never by `rand()`: the same row must
+land in the same split on every run, on every executor, after every
+repartition — otherwise training/validation leak into each other between
+pipeline runs. The primitive is a hash bucket in [0, buckets): filters and
+split assignment are pure narrow maps over it (no shuffle, no state, no
+driver participation), so sampling composes with any downstream operator
+and survives arbitrary re-partitioning.
+
+Bucketing uses the Knuth multiplicative hash ((key * 2654435761) mod 2^32)
+— chosen over Spark's ``xxhash64`` only because it is *engine-portable*
+(exact same arithmetic in DuckDB SQL, so the oracle can replay it
+bit-for-bit). At production scale swap :func:`hash_bucket` for
+``F.xxhash64 % buckets`` for better avalanche on adversarial keys; every
+other function here is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative constant (2^32 / phi)
+KNUTH = 2654435761
+_M32 = 1 << 32
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key column.
+
+    Exact-integer arithmetic end to end (fits int64 for keys < 2^33), so
+    a DuckDB oracle replays it identically::
+
+        ((key * 2654435761) % 4294967296) % buckets
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return ((k.cast("long") * F.lit(KNUTH)) % F.lit(_M32) % F.lit(buckets)).cast(
+        "bigint"
+    )
+
+
+def bucket_sql(key: str, buckets: int = 100) -> str:
+    """The DuckDB-portable SQL rendering of :func:`hash_bucket`."""
+    return f"(({key} * {KNUTH}) % {_M32}) % {buckets}"
+
+
+def sample_by_key(df: DataFrame, key: str, percent: int, buckets: int = 100) -> DataFrame:
+    """Keep rows whose bucket < percent — a deterministic ~percent% sample.
+
+    Sampling on a *group* key (e.g. l_orderkey) keeps groups intact:
+    either every row of an order is sampled or none, which is what a
+    training pipeline wants when documents span multiple rows.
+    """
+    return df.filter(hash_bucket(key, buckets) < percent)
+
+
+def split_assign(
+    key: Column | str,
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("val", 10), ("test", 10)),
+    buckets: int = 100,
+) -> Column:
+    """Assign each row to a named split by bucket range; ranges are
+    cumulative so the splits are disjoint and exhaustive (weights must sum
+    to ``buckets``)."""
+    total = sum(w for _, w in splits)
+    if total != buckets:
+        raise ValueError(f"split weights sum to {total}, expected {buckets}")
+    b = hash_bucket(key, buckets)
+    expr = None
+    acc = 0
+    for name, weight in splits:
+        acc += weight
+        cond = b < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strat_col: str,
+    rates: Mapping[str, int],
+    default_rate: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its bucket is
+    below the stratum's rate (percent). The workhorse for rebalancing a
+    corpus (e.g. keep 10% of English, 100% of low-resource languages)
+    without a shuffle — one narrow filter, rates broadcast as a literal
+    CASE expression."""
+    rate = None
+    for value, pct in sorted(rates.items()):
+        cond = F.col(strat_col) == value
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate = rate.otherwise(default_rate) if rate is not None else F.lit(default_rate)
+    return df.filter(hash_bucket(key, buckets) < rate)

@@ -1,0 +1,64 @@
+"""Deterministic sampling/split operators (pipeline.sampling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark.pipeline import sampling
+from sqlite_cdc_spark.sources import load_table
+
+
+def test_sample_is_deterministic_and_group_coherent(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s1 = sampling.sample_by_key(li, "l_orderkey", 10)
+    s2 = sampling.sample_by_key(li.repartition(7), "l_orderkey", 10)
+    # identical keys regardless of partitioning / run
+    k1 = {r[0] for r in s1.select("l_orderkey").distinct().collect()}
+    k2 = {r[0] for r in s2.select("l_orderkey").distinct().collect()}
+    assert k1 == k2
+    # group coherence: sampled orders keep ALL their lineitems
+    full_counts = {
+        r[0]: r[1]
+        for r in li.groupBy("l_orderkey").count().collect()
+    }
+    samp_counts = {r[0]: r[1] for r in s1.groupBy("l_orderkey").count().collect()}
+    assert all(full_counts[k] == v for k, v in samp_counts.items())
+    # rate is in the right ballpark (hash is uniform-ish)
+    assert 0.03 < len(k1) / len(full_counts) < 0.25
+
+
+def test_split_assign_disjoint_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", sampling.split_assign("doc_id").alias("split"))
+    counts = {r[0]: r[1] for r in out.groupBy("split").count().collect()}
+    assert None not in counts  # exhaustive: every row got a split
+    assert sum(counts.values()) == docs.count()
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+
+
+def test_split_assign_rejects_bad_weights():
+    with pytest.raises(ValueError, match="sum to 70"):
+        sampling.split_assign("k", [("a", 50), ("b", 20)])
+
+
+def test_stratified_rates_respected(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"de": 100, "en": 25}, default_rate=0
+    )
+    full = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    kept = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert kept.get("de") == full["de"]  # rate 100 keeps everything
+    assert 0 < kept.get("en", 0) < full["en"]  # downsampled, nonempty
+    assert set(kept) == {"de", "en"}  # default 0 drops other strata
+
+
+def test_bucket_values_in_range(spark):
+    df = spark.range(10_000).select(
+        sampling.hash_bucket(F.col("id"), 100).alias("b")
+    )
+    mn, mx, n = df.agg(F.min("b"), F.max("b"), F.count_distinct("b")).first()
+    assert mn >= 0 and mx <= 99
+    assert n > 90  # buckets are actually spread
