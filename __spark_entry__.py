@@ -914,6 +914,29 @@ q_b25_sql_correlated = _sql_query(_SQL_CORRELATED_COUNT, "customer", "orders")
 q_b25_sql_cte_top_supplier = _sql_query(_SQL_CTE_TOP_SUPPLIER, "lineitem", "supplier")
 
 
+def q_b2_scd2(spark, sf_dir):
+    """SCD type-2 history table from the change feed (B2 depth): one
+    version row per non-DELETE change, valid until the key's next change;
+    DELETEs close versions without emitting rows."""
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id").cast("bigint")
+    versions = derive.scd2(ch.withColumn("user_id", key), "user_id")
+    return versions.select(
+        "user_id", "id", "after", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_b1_column_diff(spark, sf_dir):
+    """Column-level change tracking (B1 depth): per UPDATE, which fields
+    actually differ between before/after images — audit-trail flattening."""
+    old, new = _orders_old_new(spark, sf_dir)
+    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
+    out = derive.column_diff(
+        diff, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+    return out.select("o_orderkey", "changed_cols", "n_changed")
+
+
 def q_b26_hash_sample(spark, sf_dir):
     """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
     group-coherent (whole orders in or out), shuffle-free, replayable."""
@@ -1126,6 +1149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_exists": q_b25_sql_exists,
         "b25_sql_correlated": q_b25_sql_correlated,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
+        "b2_scd2": q_b2_scd2,
+        "b1_column_diff": q_b1_column_diff,
         "b26_hash_sample": q_b26_hash_sample,
         "b26_train_split": q_b26_train_split,
         "b26_stratified_sample": q_b26_stratified_sample,
@@ -1395,6 +1420,53 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "b2_scd2": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT id, timestamp, operation, after,
+                     CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT) AS user_id
+              FROM changes
+            ),
+            v AS (
+              SELECT *,
+                     lead(timestamp) OVER (PARTITION BY user_id ORDER BY id)
+                       AS valid_to
+              FROM keyed
+            )
+            SELECT user_id, id, after,
+                   timestamp AS valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM v
+            WHERE operation <> 'DELETE'
+        """,
+        "b1_column_diff": f"""
+            WITH {_ORDERS_OLD_NEW_SQL},
+            j AS (
+              SELECT o.o_orderkey AS ok,
+                     o.o_custkey AS ock, o.o_orderstatus AS ost,
+                     o.o_totalprice AS otp, o.o_orderpriority AS opr,
+                     n.o_custkey AS nck, n.o_orderstatus AS nst,
+                     n.o_totalprice AS ntp, n.o_orderpriority AS npr
+              FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT ok AS o_orderkey,
+                   list_filter([
+                     CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
+                     CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
+                     CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
+                     CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
+                   ], x -> x IS NOT NULL) AS changed_cols,
+                   CAST(len(list_filter([
+                     CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
+                     CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
+                     CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
+                     CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
+                   ], x -> x IS NOT NULL)) AS BIGINT) AS n_changed
+            FROM j
+            WHERE (ock IS DISTINCT FROM nck) OR (ost IS DISTINCT FROM nst)
+               OR (otp IS DISTINCT FROM ntp) OR (opr IS DISTINCT FROM npr)
         """,
         "b26_hash_sample": f"""
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity

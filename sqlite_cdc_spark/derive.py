@@ -235,6 +235,61 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def scd2(
+    changes: DataFrame,
+    key: Column | str,
+    order_cols: Sequence[str] = ("id",),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension materialization: every non-DELETE
+    change becomes a version row valid from its own timestamp until the
+    NEXT change of the same key (``valid_to`` NULL = still current); a
+    DELETE emits no row but closes the prior version. The standard
+    warehouse history table derived from the reference's change feed
+    (the "data warehousing" consumer, ``/root/reference/README.md:26-30``).
+
+    One shuffle on the key; the lead() window is computed over ALL
+    changes (including DELETEs) so deletions terminate validity, then
+    DELETE rows are dropped.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(k).orderBy(*[F.col(c).asc() for c in order_cols])
+    nxt = F.lead(ts_col).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+        .filter(F.col("operation") != OP_DELETE)
+    )
+
+
+def column_diff(
+    changes: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Column-level change tracking: for each UPDATE, which of ``columns``
+    actually changed between the before and after JSON images. Audit-trail
+    flattening — the per-field view replication/cache consumers diff by
+    hand. Narrow map (JSON field extraction + null-safe compare per
+    column), no shuffle.
+
+    Adds ``changed_cols`` (array, in ``columns`` order) and ``n_changed``.
+    """
+    diffs = [
+        F.when(
+            ~F.get_json_object(F.col("before"), f"$.{c}").eqNullSafe(
+                F.get_json_object(F.col("after"), f"$.{c}")
+            ),
+            F.lit(c),
+        )
+        for c in columns
+    ]
+    return changes.filter(F.col("operation") == OP_UPDATE).select(
+        "*",
+        F.array_compact(F.array(*diffs)).alias("changed_cols"),
+    ).withColumn("n_changed", F.size("changed_cols").cast("bigint"))
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -162,3 +162,44 @@ def test_reconstruct_befores(spark):
     assert out[2] == '{"k":1,"v":1}'           # filled from predecessor
     assert out[3] is None                      # first change of key 2
     assert out[4] == '{"k":1,"v":2}'           # existing before preserved
+
+
+def test_scd2_versions_and_delete_closes(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.model import LOG_SCHEMA
+
+    rows = [
+        (1, "t", dt.datetime(2024, 1, 1), "INSERT", None, '{"k":1,"v":1}'),
+        (2, "t", dt.datetime(2024, 1, 2), "UPDATE", '{"k":1,"v":1}', '{"k":1,"v":2}'),
+        (3, "t", dt.datetime(2024, 1, 3), "DELETE", '{"k":1,"v":2}', None),
+        (4, "t", dt.datetime(2024, 1, 5), "INSERT", None, '{"k":2,"v":9}'),
+    ]
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.k").cast("bigint")
+    out = {r.id: r for r in derive.scd2(df.withColumn("k", key), "k").collect()}
+    assert set(out) == {1, 2, 4}  # the DELETE emits no version row
+    assert out[1].valid_to == dt.datetime(2024, 1, 2)  # closed by the UPDATE
+    assert out[2].valid_to == dt.datetime(2024, 1, 3)  # closed by the DELETE
+    assert not out[2].is_current  # deleted keys have NO current version
+    assert out[4].valid_to is None and out[4].is_current  # live key
+
+
+def test_column_diff_fields_and_order(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.model import LOG_SCHEMA
+
+    rows = [
+        (1, "t", dt.datetime(2024, 1, 1), "UPDATE",
+         '{"a":1,"b":"x","c":null}', '{"a":2,"b":"x","c":"now"}'),
+        (2, "t", dt.datetime(2024, 1, 2), "UPDATE",
+         '{"a":1,"b":"x","c":"s"}', '{"a":1,"b":"x","c":"s"}'),
+        (3, "t", dt.datetime(2024, 1, 3), "INSERT", None, '{"a":9}'),
+    ]
+    df = spark.createDataFrame(rows, LOG_SCHEMA)
+    out = {r.id: r for r in derive.column_diff(df, ["a", "b", "c"]).collect()}
+    assert set(out) == {1, 2}  # INSERTs are excluded
+    assert out[1].changed_cols == ["a", "c"]  # declared-column order, null→value counts
+    assert out[1].n_changed == 2
+    assert out[2].changed_cols == [] and out[2].n_changed == 0
