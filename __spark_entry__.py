@@ -914,6 +914,30 @@ q_b25_sql_correlated = _sql_query(_SQL_CORRELATED_COUNT, "customer", "orders")
 q_b25_sql_cte_top_supplier = _sql_query(_SQL_CTE_TOP_SUPPLIER, "lineitem", "supplier")
 
 
+def q_b15_interval_join(spark, sf_dir):
+    """Batch form of the stream-stream interval join (B15/B16): purchases
+    within 7 days after the same user's signup. Identical expression runs
+    on watermarked streams (tested in tests/test_streaming.py)."""
+    from sqlite_cdc_spark import streaming as st
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("s_event"),
+        F.col("ts").alias("s_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = st.interval_join_streams(
+        signups, purchases, "s_user", "p_user", "s_ts", "p_ts", within="7 days"
+    )
+    return joined.select("s_user", "s_event", "p_event", "p_value")
+
+
 def q_b2_scd2(spark, sf_dir):
     """SCD type-2 history table from the change feed (B2 depth): one
     version row per non-DELETE change, valid until the key's next change;
@@ -1149,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_exists": q_b25_sql_exists,
         "b25_sql_correlated": q_b25_sql_correlated,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
+        "b15_interval_join": q_b15_interval_join,
         "b2_scd2": q_b2_scd2,
         "b1_column_diff": q_b1_column_diff,
         "b26_hash_sample": q_b26_hash_sample,
@@ -1420,6 +1445,15 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate <  TIMESTAMP '1997-01-01'
             GROUP BY n_name
+        """,
+        "b15_interval_join": """
+            SELECT s.user_id AS s_user, s.event_id AS s_event,
+                   p.event_id AS p_event, p.value AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id
+             AND p.ts >= s.ts
+             AND p.ts <= s.ts + INTERVAL 7 DAY
         """,
         "b2_scd2": f"""
             WITH changes AS ({_EVENTS_CHANGES_SQL}),

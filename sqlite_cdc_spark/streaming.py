@@ -287,3 +287,39 @@ def session_windows(
     return changes.groupBy(
         F.col(key), F.session_window("timestamp", gap).alias("sess")
     ).agg(F.count(F.lit(1)).alias("n_changes"))
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on a key within a time interval: each left
+    row matches right rows with ``ts_left <= ts_right <= ts_left + within``
+    (B15/B16 composition — e.g. purchases within N minutes of a signup).
+
+    Watermarks on BOTH sides plus the two-sided time condition are what
+    make the join runnable forever: Spark derives the state-retention
+    bound from them and evicts buffered rows once they can no longer
+    match (unbounded state otherwise). Works identically on batch frames
+    (watermark is a no-op there), so batch parity is testable — and the
+    batch form IS the oracle-checkable operator.
+
+    Column names must be disjoint between the two sides (rename before
+    joining) — the standard Spark stream-stream join contract.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(ts_left, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(ts_right, watermark)
+    cond = (
+        (F.col(key_left) == F.col(key_right))
+        & (F.col(ts_right) >= F.col(ts_left))
+        & (F.col(ts_right) <= F.col(ts_left) + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner")

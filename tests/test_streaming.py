@@ -345,3 +345,43 @@ def test_streamed_replica_via_apply_changes(spark, sf_dir, log_dir, tmp_path):
     from sqlite_cdc_spark.derive import snapshots_equal
 
     assert snapshots_equal(got, expected)
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) returns exactly
+    the batch join's rows once all input is processed."""
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    signups = [(1, base), (2, base + dt.timedelta(minutes=5)),
+               (3, base + dt.timedelta(hours=2))]
+    purchases = [
+        (1, base + dt.timedelta(minutes=3), 10.0),   # within 10 min
+        (1, base + dt.timedelta(minutes=20), 20.0),  # too late
+        (2, base + dt.timedelta(minutes=6), 30.0),   # within
+        (3, base + dt.timedelta(hours=1), 40.0),     # BEFORE signup: no match
+    ]
+    ldf = spark.createDataFrame(signups, "s_user bigint, s_ts timestamp")
+    rdf = spark.createDataFrame(
+        purchases, "p_user bigint, p_ts timestamp, amount double"
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.write.parquet(ldir)
+    rdf.write.parquet(rdir)
+    ls = spark.readStream.schema(ldf.schema).parquet(ldir)
+    rs = spark.readStream.schema(rdf.schema).parquet(rdir)
+    joined = streaming.interval_join_streams(
+        ls, rs, "s_user", "p_user", "s_ts", "p_ts", within="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.s_user, r.amount) for r in spark.sql("SELECT * FROM ivj").collect()}
+    batch = streaming.interval_join_streams(
+        ldf, rdf, "s_user", "p_user", "s_ts", "p_ts", within="10 minutes"
+    )
+    expect = {(r.s_user, r.amount) for r in batch.collect()}
+    assert got == expect == {(1, 10.0), (2, 30.0)}
