@@ -29,6 +29,7 @@ HEADLINE = [
     "b2_log_compaction",       # latest-state window (B2)
     "b3_change_stats",         # change-rate agg (B3)
     "b7_join_enrich",          # broadcast dim joins (B7)
+    "b7_multi_join_revenue",   # TPC-H Q5-shape star join (B7 depth)
     "b10_agg_pricing",         # hash agg (B10)
     "b11_window_funcs",        # analytic windows (B11)
     "b12_topk",                # per-group top-k (B12)
