@@ -961,6 +961,22 @@ def q_b1_column_diff(spark, sf_dir):
     return out.select("o_orderkey", "changed_cols", "n_changed")
 
 
+def q_b27_sketches(spark, sf_dir):
+    """Approximate sketches (rows-only: approx values are engine-specific
+    by design; error bounds vs exact are asserted in unit tests). At 100 TB
+    these are THE distinct/quantile operators — HLL++ and KLL-style
+    sketches merge associatively so the agg stays one partial+final pass
+    with tiny shuffle payloads, where exact distinct counts would shuffle
+    every key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+    )
+
+
 def q_b26_hash_sample(spark, sf_dir):
     """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
     group-coherent (whole orders in or out), shuffle-free, replayable."""
@@ -1176,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_interval_join": q_b15_interval_join,
         "b2_scd2": q_b2_scd2,
         "b1_column_diff": q_b1_column_diff,
+        "b27_sketches": q_b27_sketches,
         "b26_hash_sample": q_b26_hash_sample,
         "b26_train_split": q_b26_train_split,
         "b26_stratified_sample": q_b26_stratified_sample,

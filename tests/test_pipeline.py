@@ -270,3 +270,18 @@ def test_incremental_lsh_index(spark, sf_dir, tmp_path):
     )
     true_pairs = scored.filter(F.col("jaccard") >= 0.8)
     assert true_pairs.count() >= int(0.95 * n_new)
+
+
+def test_sketches_error_bounds(spark, sf_dir):
+    """approx_count_distinct (HLL++) and percentile_approx stay within
+    published error bounds of the exact values on real data."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b27_sketches"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HLL++ default rsd is 5%; allow 3 sigma
+        assert abs(r.approx_orders - r.exact_orders) <= 0.15 * r.exact_orders + 1
+        # percentile_approx at accuracy=1000: within 1% rank error ≈ small
+        # value error on this smooth distribution
+        assert abs(r.p50_approx - r.p50_exact) <= 0.05 * abs(r.p50_exact)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sqlite_cdc_spark import derive
 from sqlite_cdc_spark.bootstrap import snapshot_as_inserts
+from sqlite_cdc_spark.pipeline import sampling
 from sqlite_cdc_spark.session import get_spark
 
 
@@ -80,6 +81,18 @@ def ops(spark, path: str) -> dict[str, float]:
     ).filter(F.col("l_orderkey") % 17 != 0)
     run("snapshot_diff", lambda: derive.snapshot_diff(
         old, new, ["l_orderkey", "l_partkey"]).write.format("noop").mode("overwrite").save())
+    run("keyed_sample", lambda: sampling.sample_by_key(li, "l_orderkey", 10)
+        .write.format("noop").mode("overwrite").save())
+    # big-big equi-join + agg: the star-join core (orders derived from the
+    # fact so both sides scale together)
+    orders = li.select("l_orderkey").distinct().select(
+        "l_orderkey", F.pmod(F.xxhash64("l_orderkey"), 5).alias("o_status")
+    )
+    run("fact_fact_join_agg", lambda: li.join(orders, "l_orderkey")
+        .groupBy("o_status")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("rev"))
+        .write.format("noop").mode("overwrite").save())
     return out
 
 
