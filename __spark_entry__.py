@@ -977,6 +977,48 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b11_value_funcs(spark, sf_dir):
+    """Window value functions (B11 depth): first/last/nth price per order
+    over an explicit frame (last_value needs the full-partition frame or
+    it degenerates to the running last)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    order_cols = [F.col(c) for c in li.columns if c != "l_orderkey"]
+    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        F.first("l_extendedprice").over(wfull).alias("first_price"),
+        F.last("l_extendedprice").over(wfull).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(wfull).alias("second_price"),
+    )
+
+
+def q_b14_string_sim(spark, sf_dir):
+    """Edit-distance string similarity (B14/B19 depth): levenshtein over
+    adjacent part names — the classic fuzzy-matching scalar, useful as a
+    dedup verify stage for short fields."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        (
+            F.lit(1.0)
+            - F.levenshtein("name_a", "name_b")
+            / F.greatest(F.length("name_a"), F.length("name_b")).cast("double")
+        ).alias("sim"),
+    )
+
+
 def q_b26_hash_sample(spark, sf_dir):
     """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
     group-coherent (whole orders in or out), shuffle-free, replayable."""
@@ -1192,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_interval_join": q_b15_interval_join,
         "b2_scd2": q_b2_scd2,
         "b1_column_diff": q_b1_column_diff,
+        "b11_value_funcs": q_b11_value_funcs,
+        "b14_string_sim": q_b14_string_sim,
         "b27_sketches": q_b27_sketches,
         "b26_hash_sample": q_b26_hash_sample,
         "b26_train_split": q_b26_train_split,
@@ -1518,6 +1562,27 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE (ock IS DISTINCT FROM nck) OR (ost IS DISTINCT FROM nst)
                OR (otp IS DISTINCT FROM ntp) OR (opr IS DISTINCT FROM npr)
+        """,
+        "b11_value_funcs": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                   first_value(l_extendedprice) OVER wf AS first_price,
+                   last_value(l_extendedprice) OVER wf AS last_price,
+                   nth_value(l_extendedprice, 2) OVER wf AS second_price
+            FROM lineitem
+            WINDOW wf AS (PARTITION BY l_orderkey
+                          ORDER BY l_partkey, l_suppkey, l_linenumber,
+                                   l_quantity, l_extendedprice, l_discount,
+                                   l_tax, l_returnflag, l_linestatus, l_shipdate
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        """,
+        "b14_string_sim": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+                   1.0 - levenshtein(a.p_name, b.p_name)
+                       / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)
+                     AS sim
+            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
         """,
         "b26_hash_sample": f"""
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
