@@ -159,3 +159,77 @@ def frame_sample_plan(
             F.transform(offsets, lambda i: i * every_n_bytes)
         ).alias("frame_offset"),
     )
+
+
+def resize_stub(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """'Resize' images to target_w×target_h — codec STUBBED (deterministic
+    byte subsample sized w·h); the Spark-side contract is real: Arrow-
+    batched mapInPandas, output schema carries the new dims in metadata,
+    payload stays ``binary``. Swap the body for PIL's ``Image.resize`` and
+    nothing outside the closure changes.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    n_out = target_w * target_h
+
+    def batches(it):
+        for pdf in it:
+            resized = []
+            for buf in pdf["payload"]:
+                b = bytes(buf)
+                # deterministic fake: evenly-strided byte subsample, padded
+                stride = max(1, len(b) // n_out)
+                rb = b[::stride][:n_out].ljust(n_out, b"\0")
+                resized.append(rb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, out_schema)
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    chunk_seconds: float = 5.0,
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio chunking: split an opaque PCM-shaped payload into fixed-length
+    time windows — one row per (doc, chunk) with byte offset/length, the
+    partition/explode shape ASR or audio-embedding pipelines fan out over.
+    Pure narrow map; the decode itself stays stubbed (no codec libs).
+    """
+    chunk_bytes = int(chunk_seconds * sample_rate * bytes_per_sample)
+    n = F.octet_length(F.col(payload_col))
+    n_chunks = F.ceil(n / F.lit(chunk_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return df.select(
+        "*",
+        F.explode(idx).alias("chunk_idx"),
+    ).select(
+        "*",
+        (F.col("chunk_idx") * chunk_bytes).alias("chunk_offset"),
+        F.least(
+            F.lit(chunk_bytes), n - F.col("chunk_idx") * chunk_bytes
+        ).alias("chunk_len"),
+        (F.col("chunk_idx") * F.lit(float(chunk_seconds))).alias("chunk_start_s"),
+    )

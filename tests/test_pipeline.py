@@ -285,3 +285,27 @@ def test_sketches_error_bounds(spark, sf_dir):
         # percentile_approx at accuracy=1000: within 1% rank error ≈ small
         # value error on this smooth distribution
         assert abs(r.p50_approx - r.p50_exact) <= 0.05 * abs(r.p50_exact)
+
+
+def test_resize_stub_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, b"a" * 10000), (2, b"b" * 100)], ["doc_id", "payload"]
+    )
+    out = {r.doc_id: r for r in multimodal.resize_stub(df, 8, 8).collect()}
+    assert all(len(r.payload) == 64 for r in out.values())  # w*h bytes
+    assert out[1].width == 8 and out[1].height == 8
+    # deterministic across runs
+    again = {r.doc_id: r.payload for r in multimodal.resize_stub(df, 8, 8).collect()}
+    assert {k: v.payload for k, v in out.items()} == again
+
+
+def test_audio_chunk_plan_covers_payload(spark):
+    rate, bps = 1000, 2  # 2000 B/s
+    df = spark.createDataFrame([(1, b"x" * 4500)], ["doc_id", "payload"])
+    rows = multimodal.audio_chunk_plan(
+        df, chunk_seconds=1.0, sample_rate=rate, bytes_per_sample=bps
+    ).collect()
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert sum(r.chunk_len for r in rows) == 4500  # exhaustive, no overlap
+    assert rows[-1].chunk_len == 500  # tail chunk is short
+    assert rows[1].chunk_offset == 2000 and rows[1].chunk_start_s == 1.0
