@@ -144,3 +144,56 @@ def jdbc_poll_increment(
     if driver:
         reader = reader.option("driver", driver)
     return reader.load()
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source. An EXPLICIT schema is strongly preferred at scale:
+    ``inferSchema`` runs a whole extra pass over the data just to guess
+    types (at 100 TB that is a second full scan). With a schema the read
+    is single-pass and malformed rows land in ``_corrupt_record`` under
+    the default PERMISSIVE mode instead of failing the job.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def load_json_lines(
+    spark: SparkSession, path: str, schema=None, **options
+) -> DataFrame:
+    """JSON-lines source — the change log's native interchange format
+    (each line one change object, mirroring the reference's JSON sink,
+    handlers/debug.go). Same explicit-schema rule as CSV: schemaless JSON
+    reads cost an inference pass and type-widen unpredictably.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_log_evolving(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Read a parquet change-log directory whose files were written under
+    EVOLVING schemas (columns added over time — the CDC reality the
+    reference cannot see: its dbMeta is frozen at construction,
+    /root/reference/dbmeta.go:12-91 + triggers.go:68-71).
+
+    ``mergeSchema`` unions all file footers' schemas; files missing a
+    column read it as NULL. Cost note: merging reads every footer up
+    front — for a long-lived log, compact or pin the schema once it
+    stabilizes rather than paying the merge on every read.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(log_dir)

@@ -123,3 +123,46 @@ def test_write_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines sources roundtrip the nation table losslessly
+    with an explicit schema (no inference pass)."""
+    nation = load_table(spark, sf_dir, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    nation.write.option("header", "true").csv(csv_dir)
+    nation.write.json(json_dir)
+    from sqlite_cdc_spark.sources import load_csv, load_json_lines
+
+    back_csv = load_csv(spark, csv_dir, schema=nation.schema)
+    back_json = load_json_lines(spark, json_dir, schema=nation.schema)
+    want = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in back_csv.collect()} == want
+    assert {tuple(r) for r in back_json.collect()} == want
+    assert back_csv.schema == nation.schema
+
+
+def test_read_log_evolving_merges_added_column(spark, tmp_path):
+    """Change-log files written under an evolving schema (column added
+    later) read as one frame; pre-evolution files yield NULL for the new
+    column — the scenario the reference's frozen dbMeta cannot handle."""
+    import datetime as dt
+
+    from sqlite_cdc_spark.sources import read_log_evolving
+
+    d = str(tmp_path / "log")
+    v1 = spark.createDataFrame(
+        [(1, "t", dt.datetime(2024, 1, 1), "INSERT", None, '{"k":1}')],
+        "id long, tablename string, timestamp timestamp, operation string, before string, after string",
+    )
+    v2 = v1.limit(0).unionByName(v1).withColumn(
+        "txn_id", F.lit(77).cast("long")
+    ).withColumn("id", F.lit(2).cast("long"))
+    v1.write.parquet(d + "/f1")
+    v2.write.parquet(d + "/f2")
+    merged = read_log_evolving(spark, d + "/f*")
+    assert "txn_id" in merged.columns
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].txn_id is None  # pre-evolution file: NULL-filled
+    assert rows[2].txn_id == 77
+    assert len(rows) == 2
