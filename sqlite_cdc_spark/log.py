@@ -128,3 +128,38 @@ def change_stats(
             F.approx_count_distinct(F.col("id")).alias("approx_ids"),
         )
     )
+
+
+def write_log_partitioned(
+    changes: DataFrame, path: str, mode: str = "append"
+) -> None:
+    """Persist a change batch date-partitioned (``log_date=YYYY-MM-DD/``).
+
+    The 100 TB log layout: retention GC becomes a partition drop (delete
+    whole directories — no rewrite, contrast the reference's per-batch
+    ``DELETE FROM log``, /root/reference/triggers.go:215), and any
+    time-bounded read prunes to the touched dates at PLANNING time via
+    partition discovery — verified by plan test (``PartitionFilters``).
+    """
+    (
+        changes.withColumn("log_date", F.to_date("timestamp"))
+        .write.partitionBy("log_date")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_log_range(
+    spark: SparkSession, path: str, start_date: str, end_date: str
+) -> DataFrame:
+    """Time-bounded read of a date-partitioned log — the filter is on the
+    PARTITION column so only the touched date directories are listed and
+    scanned; ``[start_date, end_date)`` half-open."""
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("log_date") >= F.lit(start_date))
+            & (F.col("log_date") < F.lit(end_date))
+        )
+        .drop("log_date")
+    )

@@ -203,3 +203,30 @@ def test_column_diff_fields_and_order(spark):
     assert out[1].changed_cols == ["a", "c"]  # declared-column order, null→value counts
     assert out[1].n_changed == 2
     assert out[2].changed_cols == [] and out[2].n_changed == 0
+
+
+def test_partitioned_log_prunes_by_date(spark, sf_dir, tmp_path):
+    """Date-partitioned log: a time-range read prunes to the touched
+    partitions at planning time, and retention is a partition drop."""
+    import os
+
+    from sqlite_cdc_spark.log import read_log_range, write_log_partitioned
+
+    ch = log.events_as_changes(load_table(spark, sf_dir, "events"))
+    d = str(tmp_path / "plog")
+    write_log_partitioned(ch, d)
+    # physical layout: one directory per date
+    parts = sorted(p for p in os.listdir(d) if p.startswith("log_date="))
+    assert len(parts) > 1
+    lo, hi = parts[0].split("=")[1], parts[1].split("=")[1]
+    sub = read_log_range(spark, d, lo, hi)  # half-open: first date only
+    want = ch.filter(F.to_date("timestamp") == lo).count()
+    assert sub.count() == want > 0
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(log_date" in plan or "log_date" in plan.split("PartitionFilters")[1][:200]
+    # retention = drop the oldest partition directory, no rewrite
+    import shutil
+
+    shutil.rmtree(os.path.join(d, parts[0]))
+    assert spark.read.parquet(d).count() == ch.count() - want
