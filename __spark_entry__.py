@@ -1130,6 +1130,30 @@ def q_b24_corpus_build(spark, sf_dir):
     )
 
 
+def q_b28_training_manifest(spark, sf_dir):
+    """Full training-data pipeline composed end to end (B18+B21+B26):
+    quality gate → exact dedup → per-language stratified downsampling →
+    deterministic train/val/test split → the manifest a trainer consumes
+    (doc/token counts per split × language). Every stage is a narrow map
+    or keyed shuffle; the whole plan is one job."""
+    docs = _docs_with_dups(spark, sf_dir)
+    feats = textops.quality_features(docs)
+    gated = feats.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    )
+    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
+    sampled = sampling.stratified_sample(
+        deduped, "doc_id", "lang", {"en": 50}, default_rate=100
+    )
+    manifest = sampled.select(
+        "*", sampling.split_assign("doc_id").alias("split")
+    )
+    return manifest.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_tokens").alias("total_tokens"),
+    )
+
+
 def q_b22_multimodal_meta(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     packed = multimodal.pack_binary(
@@ -1245,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_nchars_histogram": q_b21_nchars_histogram,
         "b22_multimodal_meta": q_b22_multimodal_meta,
         "b24_corpus_build": q_b24_corpus_build,
+        "b28_training_manifest": q_b28_training_manifest,
         "b23_udf_features": q_b23_udf_features,
     }
 
@@ -1962,6 +1987,49 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS avg_quality
             FROM deduped GROUP BY lang
+        """,
+        "b28_training_manifest": f"""
+            WITH {_DOCS_DUPS_SQL},
+            feat AS (
+              SELECT doc_id, text, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS q_alpha_ratio,
+                     round(CAST({_sw_hits_sql('en')} AS DOUBLE)
+                           / CAST(greatest(len({_TOKS_SQL}), 1) AS DOUBLE), 6) AS q_sw_ratio
+              FROM docs
+            ),
+            scored AS (
+              SELECT *,
+                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + q_alpha_ratio * 0.4
+                           + least(q_sw_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+              FROM feat
+            ),
+            gated AS (
+              SELECT * FROM scored WHERE quality_score >= 0.5 AND q_tokens >= 20
+            ),
+            deduped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            ),
+            sampled AS (
+              SELECT * FROM deduped
+              WHERE {sampling.bucket_sql('doc_id')} <
+                    CASE lang WHEN 'en' THEN 50 ELSE 100 END
+            ),
+            manifest AS (
+              SELECT *,
+                     CASE WHEN {sampling.bucket_sql('doc_id')} < 80 THEN 'train'
+                          WHEN {sampling.bucket_sql('doc_id')} < 90 THEN 'val'
+                          WHEN {sampling.bucket_sql('doc_id')} < 100 THEN 'test'
+                     END AS split
+              FROM sampled
+            )
+            SELECT split, lang, count(*) AS n_docs, sum(q_tokens) AS total_tokens
+            FROM manifest GROUP BY split, lang
         """,
         "b22_multimodal_meta": """
             SELECT doc_id,
