@@ -1019,6 +1019,52 @@ def q_b14_string_sim(spark, sf_dir):
     )
 
 
+def q_b10_stats_agg(spark, sf_dir):
+    """Statistical aggregates (B10 depth) computed from EXACT decimal power
+    sums (n, Σx, Σx², Σy, Σy², Σxy) — the map-side-combinable form — then
+    derived in double with expressions mirrored verbatim in the oracle.
+    Built-in stddev/corr stream doubles in shuffle order (run- and
+    engine-varying last ulp); power sums are order-independent, so this is
+    bit-exact at any parallelism."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec4("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec4("l_quantity") * dec4("l_quantity")).cast("double").alias("sxx"),
+        F.sum(dec4("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dec4("l_extendedprice") * dec4("l_extendedprice")).cast("double").alias("syy"),
+        F.sum(dec4("l_quantity") * dec4("l_extendedprice")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("sd_qty"),
+        F.round(F.sqrt((syy - sy * sy / n) / (n - 1)), 6).alias("sd_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+def q_b14_regex_funcs(spark, sf_dir):
+    """Regex battery (B14 depth): extract / replace / match over part
+    names. DuckDB regexp_replace is single-match unless the 'g' flag is
+    passed — the oracle says so explicitly."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"^[a-m]").cast("boolean").alias("first_half"),
+        F.regexp_extract("p_type", r"(\w+)", 1).alias("type_head"),
+    )
+
+
 def q_b26_hash_sample(spark, sf_dir):
     """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
     group-coherent (whole orders in or out), shuffle-free, replayable."""
@@ -1258,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_interval_join": q_b15_interval_join,
         "b2_scd2": q_b2_scd2,
         "b1_column_diff": q_b1_column_diff,
+        "b10_stats_agg": q_b10_stats_agg,
+        "b14_regex_funcs": q_b14_regex_funcs,
         "b11_value_funcs": q_b11_value_funcs,
         "b14_string_sim": q_b14_string_sim,
         "b27_sketches": q_b27_sketches,
@@ -1587,6 +1635,37 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE (ock IS DISTINCT FROM nck) OR (ost IS DISTINCT FROM nst)
                OR (otp IS DISTINCT FROM ntp) OR (opr IS DISTINCT FROM npr)
+        """,
+        "b10_stats_agg": """
+            WITH sums AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
+                              * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+                              * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
+                              * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
+                   round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_price,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                         6) AS corr_qty_price
+            FROM sums
+        """,
+        "b14_regex_funcs": """
+            SELECT p_partkey,
+                   coalesce(regexp_extract(p_name, '(\\w+)$', 1), '') AS last_word,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                   regexp_matches(p_name, '^[a-m]') AS first_half,
+                   coalesce(regexp_extract(p_type, '(\\w+)', 1), '') AS type_head
+            FROM part
         """,
         "b11_value_funcs": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
