@@ -1019,6 +1019,18 @@ def q_b14_string_sim(spark, sf_dir):
     )
 
 
+def q_b7_outer_join(spark, sf_dir):
+    """Outer-join family (B7 depth): customers LEFT JOIN their orders —
+    null-extended rows for order-less customers kept and flagged."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+    return j.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),  # count() skips nulls
+        (F.count("o_orderkey") == 0).alias("is_inactive"),
+    )
+
+
 def q_b10_stats_agg(spark, sf_dir):
     """Statistical aggregates (B10 depth) computed from EXACT decimal power
     sums (n, Σx, Σx², Σy, Σy², Σxy) — the map-side-combinable form — then
@@ -1304,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_interval_join": q_b15_interval_join,
         "b2_scd2": q_b2_scd2,
         "b1_column_diff": q_b1_column_diff,
+        "b7_outer_join": q_b7_outer_join,
         "b10_stats_agg": q_b10_stats_agg,
         "b14_regex_funcs": q_b14_regex_funcs,
         "b11_value_funcs": q_b11_value_funcs,
@@ -1635,6 +1648,13 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             WHERE (ock IS DISTINCT FROM nck) OR (ost IS DISTINCT FROM nst)
                OR (otp IS DISTINCT FROM ntp) OR (opr IS DISTINCT FROM npr)
+        """,
+        "b7_outer_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   count(o.o_orderkey) AS n_orders,
+                   count(o.o_orderkey) = 0 AS is_inactive
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
         """,
         "b10_stats_agg": """
             WITH sums AS (
