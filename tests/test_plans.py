@@ -105,3 +105,17 @@ def test_ann_ivf_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b20_ann_ivf")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stats_agg_is_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b10_stats_agg")
+    # power sums: one partial+final hash agg, no join, no window
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_training_manifest_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b28_training_manifest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
