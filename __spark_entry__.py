@@ -718,9 +718,12 @@ def q_b19_word_jaccard(spark, sf_dir):
 
 
 def q_b19_minhash_candidates(spark, sf_dir):
-    """MinHash-LSH near-dup discovery (rows-only check: xxhash64 has no
-    DuckDB equivalent). Planted near-dups: every 7th doc gets a copy with
-    a one-token suffix edit; candidates must surface them."""
+    """MinHash-LSH near-dup discovery in the engine-portable hash mode
+    (``base_hash='md5'``): the WHOLE pipeline — shingles → universal-hash
+    signatures → band buckets → candidate join → exact-Jaccard verify —
+    is replayed bit-for-bit by the DuckDB oracle. Planted near-dups:
+    every 7th doc gets a copy with a one-token suffix edit; candidates
+    must surface them."""
     docs = _t(spark, sf_dir, "documents")
     mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
@@ -731,20 +734,26 @@ def q_b19_minhash_candidates(spark, sf_dir):
     # curve; P(candidate) at jaccard 0.8 is still 0.985) at half the
     # signature cost — the bench-scale configuration
     pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_b19_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (rows-only: xxhash64-based)."""
+    """SimHash near-dup candidates in portable-hash mode (60-bit md5-based
+    fingerprints — DuckDB replays votes, fingerprint, banding and the
+    Hamming verify exactly)."""
     docs = _t(spark, sf_dir, "documents")
     mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(mutated)
-    return dedup.simhash_candidates(corpus, "doc_id", "text", max_hamming=3, bands=4)
+    pairs = dedup.simhash_candidates(
+        corpus, "doc_id", "text", max_hamming=3, bands=4, base_hash="md5"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_b19_embedding_dups(spark, sf_dir):
@@ -1344,6 +1353,119 @@ _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 def _sw_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
     return f"len(list_filter({_TOKS_SQL}, t -> list_contains([{words}], t)))"
+
+
+#: the planted-near-dup corpus both b19 oracle queries run on (mirror of the
+#: Spark-side mutation in q_b19_minhash_candidates / q_b19_simhash)
+_B19_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+#: word 3-gram expression over a `toks` list column (DuckDB 1-based)
+_GRAM3_SQL = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+
+
+def _minhash_oracle_sql() -> str:
+    """Full DuckDB replay of near_dup_pairs(base_hash='md5', 32 hashes,
+    8 bands): portable md5 base hash → universal-hash mins → polynomial
+    band buckets → candidate equi-join → exact-Jaccard ≥ 0.8."""
+    P = dedup.MINHASH_P
+    fam = dedup._hash_family(32)
+    mins = ",\n                 ".join(
+        f"min((h * {a} + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+
+    def fold(b: int) -> str:
+        expr = f"h{b * 4}"
+        for j in range(1, 4):
+            expr = f"(({expr}) * {dedup.BAND_B} + h{b * 4 + j}) % {P}"
+        return expr
+
+    buckets = ", ".join(fold(b) for b in range(8))
+    bands = ", ".join(str(b) for b in range(8))
+    return f"""
+        WITH corpus AS ({_B19_CORPUS_SQL}),
+        tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> {_GRAM3_SQL})) AS sh
+          FROM tk
+        ),
+        hashed AS (
+          SELECT doc_id, ({dedup.portable_hash60_sql('sh')}) % {P} AS h FROM sh
+        ),
+        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, unnest([{bands}]) AS band, unnest([{buckets}]) AS bucket
+          FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id
+        ),
+        tsets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                               i -> {_GRAM3_SQL})) AS shs
+          FROM tk
+        ),
+        scored AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                 / CAST(len(sa.shs) + len(sb.shs)
+                        - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS j
+          FROM cand
+          JOIN tsets sa ON sa.doc_id = cand.id_a
+          JOIN tsets sb ON sb.doc_id = cand.id_b
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.8
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Full DuckDB replay of simhash_candidates(base_hash='md5'): 60-bit
+    portable fingerprints (per-bit ±1 token votes), 4×15-bit pigeonhole
+    bands, exact Hamming ≤ 3 verify."""
+    shifts = ", ".join(f"(fp >> {b * 15}) & 32767" for b in range(4))
+    return f"""
+        WITH corpus AS ({_B19_CORPUS_SQL}),
+        tok AS (
+          SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t FROM corpus
+        ),
+        th AS (SELECT doc_id, {dedup.portable_hash60_sql('t')} AS h FROM tok),
+        votes AS (
+          SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM th
+          CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
+          GROUP BY doc_id, bit
+        ),
+        fp AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0
+                               THEN (CAST(1 AS BIGINT) << bit)
+                               ELSE 0 END) AS BIGINT) AS fp
+          FROM votes GROUP BY doc_id
+        ),
+        ch AS (
+          SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS chunk,
+                 unnest([{shifts}]) AS val
+          FROM fp
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.val = b.val
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1950,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jaccard
             FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
         """,
+        "b19_minhash_candidates": _minhash_oracle_sql(),
+        "b19_simhash": _simhash_oracle_sql(),
         "b19_embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(CAST(a.embedding AS DOUBLE[]),

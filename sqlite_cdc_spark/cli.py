@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=256)  # CLI default, main.go:65
     p.add_argument("--blobs", action="store_true", help="hex-encode BLOBs in images")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument(
+        "--follow", action="store_true",
+        help="cdc mode: keep polling the SQLite log (continuous daemon) "
+             "instead of draining once",
+    )
+    p.add_argument("--poll-interval", type=float, default=0.25)
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--setup", action="store_true")
     mode.add_argument("--teardown", action="store_true")
@@ -84,10 +90,27 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.bootstrap or args.both:
         handler = _handler(args.bootstrap or args.both)
-        if not args.data_dir:
-            raise SystemExit("--data-dir required for bootstrap")
-        loaded = {t: load_table(spark, args.data_dir, t) for t in tables}
-        changes = bootstrap_tables(loaded, blob_support=args.blobs)
+        if args.data_dir:
+            loaded = {t: load_table(spark, args.data_dir, t) for t in tables}
+            changes = bootstrap_tables(loaded, blob_support=args.blobs)
+        elif args.db:
+            # bootstrap straight off the live SQLite database: keyset-scan
+            # each monitored table in PK order into synthetic-INSERT parquet
+            # pages (parity: triggers.go:225-321), then hand the pages to
+            # Spark. Pages land under --log-dir/__bootstrap (or a temp dir).
+            import tempfile
+
+            pages = (
+                f"{args.log_dir}/__bootstrap" if args.log_dir
+                else tempfile.mkdtemp(prefix="cdc-bootstrap-")
+            )
+            n = sqlite_bridge.bootstrap_scan(
+                sqlite_conn(), tables, pages, args.batch_size, args.blobs
+            )
+            print(f"bootstrap: scanned {n} rows from {len(tables)} tables")
+            changes = spark.read.parquet(pages)
+        else:
+            raise SystemExit("--data-dir or --db required for bootstrap")
         handler(changes, -1)
         if not args.both:
             return 0
@@ -96,7 +119,19 @@ def main(argv: list[str] | None = None) -> int:
         handler = _handler(args.cdc or args.both)
         if not (args.log_dir and args.checkpoint_dir):
             raise SystemExit("--log-dir and --checkpoint-dir required for cdc")
-        if args.db:  # drain the SQLite log into the stream source first
+        if args.db and args.follow:
+            # continuous daemon: keep draining the SQLite log alongside the
+            # stream (reference event loop, triggers.go:122-162)
+            import threading
+
+            def _follow():  # the thread opens its own conn (sqlite3
+                sqlite_bridge.follow_log(  # check_same_thread)
+                    sqlite_conn(), args.log_dir, args.log_table,
+                    args.batch_size, args.poll_interval,
+                )
+
+            threading.Thread(target=_follow, daemon=True).start()
+        elif args.db:  # drain the SQLite log into the stream source once
             sqlite_bridge.poll_log(
                 sqlite_conn(), args.log_dir, args.log_table, args.batch_size
             )

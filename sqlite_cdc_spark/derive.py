@@ -143,18 +143,23 @@ def asof_join(
     For dense right sides, a bucketed/interval-partitioned variant bounds
     the join fan-out; at fixture scales the fan-out is modest.
     """
-    lpref = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    # a synthetic unique row id keys the per-left-row top-1: partitioning
+    # the dedup window by the left *columns* would collapse duplicate left
+    # rows into one output row
+    lpref = left.select(
+        [F.col(c).alias(f"l_{c}") for c in left.columns]
+    ).withColumn("__lid", F.monotonically_increasing_id())
     rpref = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
     cond = [F.col(f"l_{k}") == F.col(f"r_{k}") for k in keys]
     cond.append(F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
     joined = lpref.join(rpref, cond, "left")
-    w = Window.partitionBy(*[F.col(f"l_{c}") for c in left.columns]).orderBy(
+    w = Window.partitionBy("__lid").orderBy(
         F.col(f"r_{right_ts}").desc_nulls_last()
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__lid")
     )
 
 
@@ -306,7 +311,16 @@ def salted_join(
     dominates). Cost: right side replicated ``salt``× — use for
     moderate-size right sides only (broadcast beats salting when the right
     side fits in memory).
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated across every salt value, so for ``right``/``full`` each
+    *unmatched* right row would be emitted ``salt`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows"
+        )
     lsalted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )

@@ -134,6 +134,25 @@ def shingle_rows(
 #: pairs stay < 2^31 so a*h+b < 2^62 — no int64 overflow, ANSI-mode safe.
 MINHASH_P = 2147483647
 
+#: polynomial-combine base for portable band buckets (see _band_bucket)
+BAND_B = 1000003
+
+
+def portable_hash60(col: Column | str) -> Column:
+    """Engine-portable 60-bit string hash: first 15 hex chars of md5 as an
+    int64. md5 is byte-identical everywhere, so DuckDB replays it as
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` — this is the
+    oracle-mode base hash that turns the MinHash/SimHash queries into
+    bit-checkable rows. Production default stays ``xxhash64`` (cheaper:
+    one 64-bit mix vs a cryptographic digest + hex parse)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`portable_hash60`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
 
 def _hash_family(num_hashes: int, seed: int = 0xCDC) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal family
@@ -200,6 +219,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_unit: str = "word",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs ``(id_a, id_b)`` with ``id_a < id_b``.
 
@@ -208,9 +228,14 @@ def minhash_candidates(
     self equi-join on (band_idx, band_hash) → distinct. The join key
     includes the band index so buckets from different bands never collide.
     Shuffle volume: |shingle rows| once (window), then |docs|×64 longs.
+
+    ``base_hash='md5'`` swaps xxhash64 for :func:`portable_hash60` and the
+    band combine for exact polynomial arithmetic, making the whole operator
+    bit-replayable in DuckDB (the oracle mode).
     """
     banded = build_lsh_index(
-        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit
+        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit,
+        base_hash=base_hash,
     )
     a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
@@ -230,18 +255,27 @@ def build_lsh_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_unit: str = "word",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Materializable LSH index: ``(doc, band, bucket)`` rows for the
     corpus. Persist this once (parquet, partitioned/bucketed by
     ``(band, bucket)``) and incremental dedup never re-hashes the corpus —
     the CDC × dedup composition: bootstrap builds the index, the change
     feed queries and appends to it.
+
+    ``base_hash``: ``'xxhash64'`` (default; band bucket = murmur3 of the
+    band slice) or ``'md5'`` — the engine-portable oracle mode where the
+    base hash is :func:`portable_hash60` and the band bucket is an exact
+    polynomial fold ``((h0·B + h1)·B + ...) mod P`` that DuckDB replays.
     """
     rows_per_band = num_hashes // bands
     exploded = shingle_rows(
         df, id_col, text_col, k=shingle_k, unit=shingle_unit, distinct=False
     )
-    base = F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P))
+    if base_hash == "md5":
+        base = F.pmod(portable_hash60("sh"), F.lit(MINHASH_P))
+    else:
+        base = F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P))
     hashed = exploded.select(
         "doc",
         *[
@@ -251,14 +285,23 @@ def build_lsh_index(
     )
     signed = hashed.groupBy("doc").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    ).select(
-        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("__sig")
     )
+    if base_hash == "md5":
+        buckets = []
+        for b in range(bands):
+            acc: Column = F.col(f"h{b * rows_per_band}")
+            for j in range(1, rows_per_band):
+                acc = F.pmod(
+                    acc * F.lit(BAND_B) + F.col(f"h{b * rows_per_band + j}"),
+                    F.lit(MINHASH_P),
+                )
+            buckets.append(acc)
+        banded = F.array(*buckets)
+    else:
+        sig = F.array(*[f"h{i}" for i in range(num_hashes)])
+        banded = lsh_band_hashes(sig, bands, rows_per_band)
     return signed.select(
-        "doc",
-        F.posexplode(lsh_band_hashes(F.col("__sig"), bands, rows_per_band)).alias(
-            "band", "bucket"
-        ),
+        "doc", F.posexplode(banded).alias("band", "bucket")
     )
 
 
@@ -271,6 +314,7 @@ def query_lsh_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_unit: str = "word",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates of ``new_docs`` against a prebuilt corpus index
     (same hyperparameters as :func:`build_lsh_index` — signatures must
@@ -279,7 +323,8 @@ def query_lsh_index(
     proportional to the batch, not the corpus.
     """
     probe = build_lsh_index(
-        new_docs, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit
+        new_docs, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit,
+        base_hash=base_hash,
     ).select(F.col("doc").alias("new_id"), "band", "bucket")
     hits = probe.join(
         index.select(F.col("doc").alias("corpus_id"), "band", "bucket"),
@@ -349,6 +394,7 @@ def near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_unit: str = "word",
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -356,7 +402,8 @@ def near_dup_pairs(
     ≥ threshold. Both stages are equi-joins — no cartesian anywhere.
     """
     cand = minhash_candidates(
-        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit
+        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit,
+        base_hash=base_hash,
     )
     scored = jaccard_pairs(df, cand, id_col, text_col, shingle_k, shingle_unit)
     return scored.filter(F.col("jaccard") >= threshold)
@@ -365,23 +412,31 @@ def near_dup_pairs(
 # --- SimHash (B19 variant) ---------------------------------------------------
 
 
-def simhash64(col: Column | str) -> Column:
+def simhash64(col: Column | str, base_hash: str = "xxhash64") -> Column:
     """64-bit SimHash of the normalized token stream.
 
     Classic scheme: each token votes ±1 per bit of its 64-bit hash; the
     fingerprint sets bit *i* iff the summed vote is positive. Expressed as
     a single ``aggregate`` over the token-hash array with a 64-long vote
     accumulator — one pass, no explode, no UDF.
+
+    ``base_hash='md5'`` is the oracle mode: token hashes come from
+    :func:`portable_hash60` and the fingerprint is 60 bits wide, so DuckDB
+    replays the whole computation with plain ``>>``/``&``/``sum``.
     """
+    nbits = 60 if base_hash == "md5" else 64
     toks = F.split(normalize_text(col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if base_hash == "md5":
+        hashes = F.transform(toks, lambda t: portable_hash60(t))
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), nbits),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.lit(nbits - 1)),
                 # getbit accepts a column bit position (shiftright doesn't)
                 lambda i: F.when(F.getbit(h, i) == 1, F.lit(1))
                 .otherwise(F.lit(-1))
@@ -390,10 +445,10 @@ def simhash64(col: Column | str) -> Column:
             lambda a, v: a + v,
         ),
     )
-    # fold votes back into a 64-bit fingerprint (python-side loop over
-    # literal bit positions so shiftleft gets an int, no long overflow)
+    # fold votes back into a fingerprint (python-side loop over literal
+    # bit positions so shiftleft gets an int, no long overflow)
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         fp = fp.bitwiseOR(
             F.when(
                 F.element_at(votes, i + 1) > 0,
@@ -415,23 +470,23 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    exact: bool | None = None,
+    exact: bool = False,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (B19 vector variant):
     ``(id_a, id_b, score)`` with ``id_a < id_b`` and cosine ≥ threshold.
 
-    ``exact=True`` scores all pairs via a broadcast self-join — right for
-    corpora that fit an executor (≲10⁵ vectors). The scale path
-    (``exact=False``) generates candidates with the hyperplane-LSH buckets
-    from :mod:`.similarity` (equi-join, no cartesian) and exact-scores only
-    bucket-mates — same recall dials as ANN search. Default: exact, since
-    thresholded dedup usually runs on an already-clustered shard.
+    Default (``exact=False``) is the scale path: candidates come from the
+    hyperplane-LSH buckets in :mod:`.similarity` (equi-join, no cartesian)
+    and only bucket-mates are exact-scored — survives any corpus size,
+    with ANN-style recall dials. ``exact=True`` opts into the broadcast
+    all-pairs self-join: O(n²) scoring, exact recall — only for corpora
+    that fit an executor (≲10⁵ vectors).
     """
     from . import similarity as sim
 
     v = sim.as_double(vec_col)
-    if exact or exact is None:
+    if exact:
         # norms once per row; per-pair cost = one dot product
         a = df.select(
             F.col(id_col).alias("id_a"), v.alias("va"), sim.l2_norm(v).alias("na")
@@ -455,15 +510,24 @@ def embedding_near_dups(
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup candidates: band the 64 bits into ``bands`` chunks;
-    any pair within ``max_hamming`` ≤ bands-1 bit flips shares ≥1 exact
-    chunk (pigeonhole), so an equi-join on (chunk_idx, chunk_value) finds
-    them without all-pairs. Verified by exact Hamming ≤ ``max_hamming``.
+    """SimHash near-dup candidates: band the fingerprint bits into
+    ``bands`` chunks; any pair within ``max_hamming`` ≤ bands-1 bit flips
+    shares ≥1 exact chunk (pigeonhole), so an equi-join on
+    (chunk_idx, chunk_value) finds them without all-pairs. Verified by
+    exact Hamming ≤ ``max_hamming``. ``base_hash='md5'`` → portable 60-bit
+    fingerprints (oracle mode, see :func:`simhash64`).
     """
-    width = 64 // bands
-    fp = df.select(F.col(id_col).alias("doc"), simhash64(text_col).alias("fp"))
+    width = (60 if base_hash == "md5" else 64) // bands
+    fp = df.select(
+        F.col(id_col).alias("doc"), simhash64(text_col, base_hash).alias("fp")
+    )
     chunks = fp.select(
         "doc",
         "fp",

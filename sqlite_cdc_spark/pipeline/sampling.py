@@ -25,26 +25,37 @@ from pyspark.sql import functions as F
 
 #: Knuth's multiplicative constant (2^32 / phi)
 KNUTH = 2654435761
+_M31 = 1 << 31
 _M32 = 1 << 32
 
 
 def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets) from an integer key column.
 
-    Exact-integer arithmetic end to end (fits int64 for keys < 2^33), so
-    a DuckDB oracle replays it identically::
+    Exact-integer arithmetic end to end, valid for the FULL int64 key
+    range including negatives: the key is first reduced to [0, 2^31) with
+    a positive mod (``pmod``), so the Knuth multiply peaks below
+    2^31 · 2654435761 < 2^63 — no silent int64 wrap on either engine —
+    and the result is always non-negative (a plain ``%`` would emit
+    negative buckets for negative keys, silently routing them all into
+    the first split). DuckDB replays it bit-for-bit::
 
-        ((key * 2654435761) % 4294967296) % buckets
+        ((((key % 2^31 + 2^31) % 2^31) * 2654435761) % 2^32) % buckets
+
+    Keys that differ only above bit 31 share a bucket sequence (the
+    pre-reduction drops high bits); for 64-bit hash keys fold the high
+    word in first (``xor(key, shiftright(key, 32))``).
     """
     k = F.col(key) if isinstance(key, str) else key
-    return ((k.cast("long") * F.lit(KNUTH)) % F.lit(_M32) % F.lit(buckets)).cast(
+    k31 = F.pmod(k.cast("long"), F.lit(_M31))
+    return F.pmod(k31 * F.lit(KNUTH), F.lit(_M32)).__mod__(F.lit(buckets)).cast(
         "bigint"
     )
 
 
 def bucket_sql(key: str, buckets: int = 100) -> str:
     """The DuckDB-portable SQL rendering of :func:`hash_bucket`."""
-    return f"(({key} * {KNUTH}) % {_M32}) % {buckets}"
+    return f"((((({key} % {_M31}) + {_M31}) % {_M31}) * {KNUTH}) % {_M32}) % {buckets}"
 
 
 def sample_by_key(df: DataFrame, key: str, percent: int, buckets: int = 100) -> DataFrame:

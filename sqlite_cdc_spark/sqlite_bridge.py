@@ -56,6 +56,11 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+def _lit(text: str) -> str:
+    """SQL single-quoted string literal with embedded quotes doubled."""
+    return "'" + text.replace("'", "''") + "'"
+
+
 def _json_object_sql(info: TableInfo, rowref: str, blob_support: bool) -> str:
     """Row→JSON projection SQL (parity: sqlJsonObject, triggers.go:457-518):
     ≤63 pairs per ``json_object`` call, chunks merged with ``json_patch``;
@@ -67,9 +72,9 @@ def _json_object_sql(info: TableInfo, rowref: str, blob_support: bool) -> str:
         if typ == "BLOB":
             if not blob_support:
                 continue
-            pairs.append(f"'{col}', hex({rowref}.{_q(col)})")
+            pairs.append(f"{_lit(col)}, hex({rowref}.{_q(col)})")
         else:
-            pairs.append(f"'{col}', {rowref}.{_q(col)}")
+            pairs.append(f"{_lit(col)}, {rowref}.{_q(col)}")
     chunks = [
         "json_object(" + ", ".join(pairs[i : i + JSON_CHUNK]) + ")"
         for i in range(0, len(pairs), JSON_CHUNK)
@@ -145,7 +150,7 @@ def setup(
                         AFTER {op} ON {_q(t)} BEGIN
                           INSERT INTO {_q(log_table)}
                             (timestamp, tablename, operation, before, after)
-                          VALUES ({now}, '{t}', '{op}', {before}, {after});
+                          VALUES ({now}, {_lit(t)}, '{op}', {before}, {after});
                         END"""
                 )
         conn.commit()
@@ -196,11 +201,14 @@ def poll_log(
     os.makedirs(out_dir, exist_ok=True)
     total = 0
     batches = 0
+    # With ack=True the DELETE advances the cursor; without it we must keep
+    # our own keyset cursor or every iteration re-reads the same first page.
+    last_id = 0
     while max_batches is None or batches < max_batches:
         rows = conn.execute(
             f"SELECT id, timestamp, tablename, operation, before, after "
-            f"FROM {_q(log_table)} ORDER BY id ASC LIMIT ?",
-            (batch_size,),
+            f"FROM {_q(log_table)} WHERE id > ? ORDER BY id ASC LIMIT ?",
+            (last_id if not ack else 0, batch_size),
         ).fetchall()
         if not rows:
             break
@@ -228,8 +236,139 @@ def poll_log(
             conn.execute("BEGIN")
             conn.execute(f"DELETE FROM {_q(log_table)} WHERE id <= ?", (ids[-1],))
             conn.commit()
+        last_id = ids[-1]
         total += len(rows)
         batches += 1
-        if len(rows) < batch_size and not ack:
+        if len(rows) < batch_size:
+            # short page: the log is drained; don't issue one more empty query
             break
+    return total
+
+
+def primary_key(conn: sqlite3.Connection, table: str) -> list[str]:
+    """Declared primary-key columns in PK ordinal order.
+
+    Parity: ``/root/reference/dbmeta.go:31-45`` — ``PRAGMA table_info``'s
+    ``pk`` column gives the 1-based position of each column inside the
+    primary key (0 = not part of it), which is what makes WITHOUT-ROWID
+    composite keys paginate in true PK order. Empty list ⇒ no declared PK
+    (ordinary rowid table): callers fall back to ``rowid``.
+    """
+    rows = conn.execute(f"PRAGMA table_info({_q(table)})").fetchall()
+    pk = sorted((r[5], r[1]) for r in rows if r[5] > 0)
+    return [name for _, name in pk]
+
+
+def bootstrap_scan(
+    conn: sqlite3.Connection,
+    tables: list[str],
+    out_dir: str,
+    batch_size: int = DEFAULT_BATCH,
+    blob_support: bool = False,
+    timestamp: str | None = None,
+) -> int:
+    """Keyset-scan LIVE tables into synthetic-INSERT parquet pages.
+
+    Parity: ``bootstrapTable`` (``/root/reference/triggers.go:225-321``) —
+    first page ``ORDER BY pk LIMIT n`` (``sqlSelectFirst``,
+    ``triggers.go:520-537``), subsequent pages
+    ``WHERE (pk...) > (last...) ORDER BY pk LIMIT n`` (``sqlSelectNext``,
+    ``triggers.go:539-568``; SQLite row-value comparison), every row emitted
+    as ``Change{op=INSERT, before=NULL, after=row image}``. Honors declared
+    (incl. WITHOUT-ROWID composite) primary keys via :func:`primary_key`;
+    plain rowid tables page on ``rowid``.
+
+    Output schema matches :func:`sqlite_cdc_spark.bootstrap.snapshot_as_inserts`
+    (tablename/timestamp/operation/before/after) so the pages union directly
+    with the trigger log downstream. Returns total rows emitted.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ts = timestamp or conn.execute("SELECT datetime('now')").fetchone()[0]
+    ts = (ts + ".000" if "." not in ts else ts).replace(" ", "T")
+    total = 0
+    for t in tables:
+        info = _table_info(conn, t)
+        if not info.columns:
+            raise ValueError(
+                f"table {t!r} does not exist (or has no columns); "
+                "cannot bootstrap"
+            )
+        keys = primary_key(conn, t) or ["rowid"]
+        key_sel = ", ".join(f"t.{_q(k)}" for k in keys)
+        order = ", ".join(f"t.{_q(k)} ASC" for k in keys)
+        img = _json_object_sql(info, "t", blob_support)
+        last: tuple | None = None
+        page_no = 0
+        while True:
+            if last is None:
+                rows = conn.execute(
+                    f"SELECT {key_sel}, {img} FROM {_q(t)} t "
+                    f"ORDER BY {order} LIMIT ?",
+                    (batch_size,),
+                ).fetchall()
+            else:
+                ph = ", ".join("?" for _ in keys)
+                rows = conn.execute(
+                    f"SELECT {key_sel}, {img} FROM {_q(t)} t "
+                    f"WHERE ({key_sel}) > ({ph}) "
+                    f"ORDER BY {order} LIMIT ?",
+                    (*last, batch_size),
+                ).fetchall()
+            if not rows:
+                break
+            n = len(rows)
+            page = pa.table(
+                {
+                    "tablename": pa.array([t] * n, pa.string()),
+                    "timestamp": pa.array([ts] * n, pa.string()).cast(
+                        pa.timestamp("us")
+                    ),
+                    "operation": pa.array(["INSERT"] * n, pa.string()),
+                    "before": pa.array([None] * n, pa.string()),
+                    "after": pa.array([r[-1] for r in rows], pa.string()),
+                }
+            )
+            pq.write_table(
+                page, os.path.join(out_dir, f"bootstrap-{t}-{page_no:08d}.parquet")
+            )
+            last = tuple(rows[-1][:-1])
+            total += n
+            page_no += 1
+            if n < batch_size:
+                break
+    return total
+
+
+def follow_log(
+    conn: sqlite3.Connection,
+    out_dir: str,
+    log_table: str = DEFAULT_LOG_TABLE,
+    batch_size: int = DEFAULT_BATCH,
+    poll_interval: float = 0.25,
+    max_polls: int | None = None,
+    stop=None,
+) -> int:
+    """Continuously drain the SQLite log into the parquet stream source.
+
+    The reference's event loop blocks on fsnotify wakeups for the db/WAL
+    file and re-drains until quiet (``/root/reference/triggers.go:122-162``);
+    cadence polling is the portable single-file equivalent — each tick is
+    one :func:`poll_log` drain (ack-by-delete, at-least-once), so writes
+    appearing *after* the loop starts are picked up without re-invoking
+    anything. ``stop`` is an optional zero-arg callable (e.g.
+    ``threading.Event().is_set``) checked every tick; ``max_polls`` bounds
+    the loop for tests. Returns total changes drained.
+    """
+    total = 0
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        if stop is not None and stop():
+            break
+        total += poll_log(conn, out_dir, log_table, batch_size)
+        polls += 1
+        if max_polls is None or polls < max_polls:
+            time.sleep(poll_interval)
     return total

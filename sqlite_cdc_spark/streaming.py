@@ -223,6 +223,7 @@ def streaming_compaction(
 
     def update(key, pdf_iter, state: GroupState):
         last_id, op, after = state.get if state.exists else (-1, None, None)
+        advanced = False
         for pdf in pdf_iter:
             pdf = pdf.sort_values("id")
             tail = pdf.iloc[-1]
@@ -230,16 +231,21 @@ def streaming_compaction(
                 last_id = int(tail["id"])
                 op = tail["operation"]
                 after = tail["after"] if tail["after"] is not None else None
+                advanced = True
         state.update((last_id, op, after))
-        yield pd.DataFrame(
-            {
-                "key": [key[0]],
-                "last_id": [last_id],
-                "operation": [op],
-                "after": [after],
-                "is_delete": [op == "DELETE"],
-            }
-        )
+        # emit only when the id actually advanced this batch: stale replays
+        # (at-least-once redelivery of already-applied changes) would
+        # otherwise re-emit the unchanged state every time they arrive
+        if advanced:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "last_id": [last_id],
+                    "operation": [op],
+                    "after": [after],
+                    "is_delete": [op == "DELETE"],
+                }
+            )
 
     return keyed.groupBy("__key").applyInPandasWithState(
         update,
