@@ -793,6 +793,30 @@ def q_b20_ann_ivf(spark, sf_dir):
     )
 
 
+def q_b20_ann_recall(spark, sf_dir):
+    """Deterministic ANN quality gate (VERDICT r1 next-7): recall@5 of the
+    engine-portable LSH candidates against the exact cosine top-5. Both
+    sides — integer-exact bucket assignment AND the exact top-k — are
+    replayed by the DuckDB oracle, so the recall number itself is a fully
+    green correctness row (unlike the float-plane production ANN, which is
+    approximate by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4)
+    cand = similarity.ann_lsh_portable(
+        emb, queries_df, dim=64, n_planes=8, quant=1000, multiprobe=True
+    )
+    topk = similarity.cosine_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    joined = topk.join(
+        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("__hit").alias("n_hits"),
+        (F.count("__hit") / F.lit(5.0)).alias("recall"),
+    )
+
+
 def q_b10_pivot(spark, sf_dir):
     """Pivot (B10 depth): order counts + revenue per priority × status.
     Pivot values are EXPLICIT — at scale the values-less form runs an extra
@@ -1265,82 +1289,99 @@ def q_b14_date_funcs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is load-bearing: the driver's correctness gate checks the
+    FIRST 50 entries (CORRECTNESS_r01 cut off at position 50, leaving 25
+    queries unverified in round 1 — VERDICT r1 next-1). Layout:
+
+    - slots 1-28: queries with NO green driver row yet — the 25 that fell
+      outside round 1's window plus the newly-oracled b19 portable-hash
+      pair and the new b20_ann_recall;
+    - slots 29-50: the strongest already-green rows (one per operator
+      family) so regressions in core operators still surface;
+    - past 50: long-proven trivials, within-family variants, and the three
+      declared-no-oracle approximate queries.
+    """
     return {
-        "a2_snapshot_first_page": q_a2_snapshot_first_page,
-        "a3_keyset_page": q_a3_keyset_page,
-        "a4_row_json": q_a4_row_json,
-        "a5_hex": q_a5_hex,
-        "a6_bootstrap": q_a6_bootstrap,
-        "a10_drain_batch": q_a10_drain_batch,
-        "a10_drain_after": q_a10_drain_after,
-        "a11_ts_codec": q_a11_ts_codec,
-        "a12_op_decode": q_a12_op_decode,
-        "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
-        "a18_stdout_lines": q_a18_stdout_lines,
-        "b1_snapshot_diff": q_b1_snapshot_diff,
-        "b1_apply_roundtrip": q_b1_apply_roundtrip,
-        "b2_log_compaction": q_b2_log_compaction,
-        "b3_change_stats": q_b3_change_stats,
-        "b5_filter_json": q_b5_filter_json,
-        "b6_projection": q_b6_projection,
-        "b7_join_enrich": q_b7_join_enrich,
-        "b8_anti_join": q_b8_anti_join,
-        "b8_semi_join": q_b8_semi_join,
-        "b9_asof": q_b9_asof,
-        "b10_agg_pricing": q_b10_agg_pricing,
-        "b10_rollup": q_b10_rollup,
-        "b11_window_funcs": q_b11_window_funcs,
-        "b11_reconstruct_befores": q_b11_reconstruct_befores,
-        "b12_topk": q_b12_topk,
-        "b13_set_ops": q_b13_set_ops,
-        "b14_scalar_funcs": q_b14_scalar_funcs,
-        "b14_date_funcs": q_b14_date_funcs,
-        "a19_json_lines": q_a19_json_lines,
-        "b4_event_source": q_b4_event_source,
-        "b9_asof_join": q_b9_asof_join,
-        "b15_session_windows": q_b15_session_windows,
-        "b10_cube": q_b10_cube,
-        "b10_percentiles": q_b10_percentiles,
-        "b11_ranks": q_b11_ranks,
-        "b10_grouping_sets": q_b10_grouping_sets,
-        "b14_json_funcs": q_b14_json_funcs,
-        "b14_array_funcs": q_b14_array_funcs,
-        "b14_map_funcs": q_b14_map_funcs,
-        "b15_sliding_windows": q_b15_sliding_windows,
-        "b18_dup_groups": q_b18_dup_groups,
-        "b18_dedup_exact": q_b18_dedup_exact,
-        "b19_word_jaccard": q_b19_word_jaccard,
-        "b19_minhash_candidates": q_b19_minhash_candidates,
-        "b19_simhash": q_b19_simhash,
-        "b19_embedding_dups": q_b19_embedding_dups,
-        "b20_cosine_topk": q_b20_cosine_topk,
-        "b20_ann_lsh": q_b20_ann_lsh,
-        "b20_ann_ivf": q_b20_ann_ivf,
-        "b10_pivot": q_b10_pivot,
-        "b10_unpivot": q_b10_unpivot,
-        "b7_multi_join_revenue": q_b7_multi_join_revenue,
-        "b25_sql_exists": q_b25_sql_exists,
-        "b25_sql_correlated": q_b25_sql_correlated,
-        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
-        "b15_interval_join": q_b15_interval_join,
-        "b2_scd2": q_b2_scd2,
-        "b1_column_diff": q_b1_column_diff,
-        "b7_outer_join": q_b7_outer_join,
-        "b10_stats_agg": q_b10_stats_agg,
-        "b14_regex_funcs": q_b14_regex_funcs,
-        "b11_value_funcs": q_b11_value_funcs,
-        "b14_string_sim": q_b14_string_sim,
-        "b27_sketches": q_b27_sketches,
-        "b26_hash_sample": q_b26_hash_sample,
-        "b26_train_split": q_b26_train_split,
-        "b26_stratified_sample": q_b26_stratified_sample,
+        # --- never driver-verified (round-1 window overflow) -------------
         "b21_lang_quality": q_b21_lang_quality,
         "b21_token_stats": q_b21_token_stats,
         "b21_nchars_histogram": q_b21_nchars_histogram,
         "b22_multimodal_meta": q_b22_multimodal_meta,
-        "b24_corpus_build": q_b24_corpus_build,
-        "b28_training_manifest": q_b28_training_manifest,
         "b23_udf_features": q_b23_udf_features,
+        "b24_corpus_build": q_b24_corpus_build,
+        "b26_hash_sample": q_b26_hash_sample,
+        "b26_train_split": q_b26_train_split,
+        "b26_stratified_sample": q_b26_stratified_sample,
+        "b27_sketches": q_b27_sketches,
+        "b28_training_manifest": q_b28_training_manifest,
+        "b25_sql_exists": q_b25_sql_exists,
+        "b25_sql_correlated": q_b25_sql_correlated,
+        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
+        "b1_column_diff": q_b1_column_diff,
+        "b2_scd2": q_b2_scd2,
+        "b7_multi_join_revenue": q_b7_multi_join_revenue,
+        "b7_outer_join": q_b7_outer_join,
+        "b10_pivot": q_b10_pivot,
+        "b10_unpivot": q_b10_unpivot,
+        "b10_stats_agg": q_b10_stats_agg,
+        "b11_value_funcs": q_b11_value_funcs,
+        "b14_regex_funcs": q_b14_regex_funcs,
+        "b14_string_sim": q_b14_string_sim,
+        "b15_interval_join": q_b15_interval_join,
+        # --- newly oracle-able this round --------------------------------
+        "b19_minhash_candidates": q_b19_minhash_candidates,
+        "b19_simhash": q_b19_simhash,
+        "b20_ann_recall": q_b20_ann_recall,
+        # --- already-green anchors (one per operator family) -------------
+        "a6_bootstrap": q_a6_bootstrap,
+        "a10_drain_batch": q_a10_drain_batch,
+        "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
+        "b1_snapshot_diff": q_b1_snapshot_diff,
+        "b1_apply_roundtrip": q_b1_apply_roundtrip,
+        "b2_log_compaction": q_b2_log_compaction,
+        "b3_change_stats": q_b3_change_stats,
+        "b4_event_source": q_b4_event_source,
+        "b5_filter_json": q_b5_filter_json,
+        "b6_projection": q_b6_projection,
+        "b7_join_enrich": q_b7_join_enrich,
+        "b8_semi_join": q_b8_semi_join,
+        "b8_anti_join": q_b8_anti_join,
+        "b9_asof": q_b9_asof,
+        "b9_asof_join": q_b9_asof_join,
+        "b10_agg_pricing": q_b10_agg_pricing,
+        "b11_window_funcs": q_b11_window_funcs,
+        "b12_topk": q_b12_topk,
+        "b13_set_ops": q_b13_set_ops,
+        "b18_dedup_exact": q_b18_dedup_exact,
+        "b19_word_jaccard": q_b19_word_jaccard,
+        "b20_cosine_topk": q_b20_cosine_topk,
+        # ---- position 51+: proven trivials, variants, no-oracle ---------
+        "a2_snapshot_first_page": q_a2_snapshot_first_page,
+        "a3_keyset_page": q_a3_keyset_page,
+        "a4_row_json": q_a4_row_json,
+        "a5_hex": q_a5_hex,
+        "a10_drain_after": q_a10_drain_after,
+        "a11_ts_codec": q_a11_ts_codec,
+        "a12_op_decode": q_a12_op_decode,
+        "a18_stdout_lines": q_a18_stdout_lines,
+        "a19_json_lines": q_a19_json_lines,
+        "b10_rollup": q_b10_rollup,
+        "b10_cube": q_b10_cube,
+        "b10_percentiles": q_b10_percentiles,
+        "b10_grouping_sets": q_b10_grouping_sets,
+        "b11_ranks": q_b11_ranks,
+        "b11_reconstruct_befores": q_b11_reconstruct_befores,
+        "b14_scalar_funcs": q_b14_scalar_funcs,
+        "b14_date_funcs": q_b14_date_funcs,
+        "b14_json_funcs": q_b14_json_funcs,
+        "b14_array_funcs": q_b14_array_funcs,
+        "b14_map_funcs": q_b14_map_funcs,
+        "b15_session_windows": q_b15_session_windows,
+        "b15_sliding_windows": q_b15_sliding_windows,
+        "b18_dup_groups": q_b18_dup_groups,
+        "b19_embedding_dups": q_b19_embedding_dups,
+        "b20_ann_lsh": q_b20_ann_lsh,
+        "b20_ann_ivf": q_b20_ann_ivf,
     }
 
 
@@ -1465,6 +1506,70 @@ def _simhash_oracle_sql() -> str:
           WHERE a.doc_id < b.doc_id
         )
         SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """
+
+
+def _ann_recall_oracle_sql() -> str:
+    """DuckDB replay of q_b20_ann_recall: portable integer LSH buckets
+    (Rademacher signs from the plane_sign LCG, floor-quantized components)
+    + exact cosine top-5 + per-query recall."""
+    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(8)]
+    )
+    return f"""
+        WITH planes AS (
+          SELECT p, d,
+                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
+                           < 2147483648 THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, 7)) AS p),
+               (SELECT unnest(generate_series(0, 63)) AS d)
+        ),
+        comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        dots AS (
+          SELECT id, p, sum(s * q) AS dp
+          FROM comp JOIN planes USING (d) GROUP BY id, p
+        ),
+        buckets AS (
+          SELECT id,
+                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id
+        ),
+        qb AS (
+          SELECT id AS query_id, unnest([{probes}]) AS bucket
+          FROM buckets WHERE id < 4
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, c.id AS neighbor_id
+          FROM qb JOIN buckets c ON qb.bucket = c.bucket
+          WHERE c.id != query_id
+        ),
+        topk AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_dot_product(qv, cv)
+                              / (sqrt(list_dot_product(qv, qv))
+                                 * sqrt(list_dot_product(cv, cv))) DESC,
+                              c.neighbor_id ASC) AS rnk
+            FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 4) q
+            JOIN (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings) c
+              ON q.query_id != c.neighbor_id
+          ) WHERE rnk <= 5
+        )
+        SELECT t.query_id, count(c.neighbor_id) AS n_hits,
+               count(c.neighbor_id) / 5.0 AS recall
+        FROM topk t LEFT JOIN cand c
+          ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+        GROUP BY t.query_id
     """
 
 
@@ -2074,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_minhash_candidates": _minhash_oracle_sql(),
         "b19_simhash": _simhash_oracle_sql(),
+        "b20_ann_recall": _ann_recall_oracle_sql(),
         "b19_embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(CAST(a.embedding AS DOUBLE[]),

@@ -268,6 +268,91 @@ def ann_topk_ivf(
     )
 
 
+#: LCG constants for portable Rademacher hyperplanes (see plane_sign)
+PLANE_MIX = 131
+PLANE_KNUTH = 2654435761
+
+
+def plane_sign(p: int, d: int) -> int:
+    """Deterministic ±1 hyperplane entry from pure integer arithmetic —
+    identical in any engine: ``((p·131 + d) · 2654435761) mod 2^32``,
+    sign by which half of the range it lands in."""
+    return 1 if ((p * PLANE_MIX + d) * PLANE_KNUTH) % (1 << 32) < (1 << 31) else -1
+
+
+def ann_lsh_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    quant: int = 1000,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Engine-portable hyperplane-LSH candidates ``(query_id, neighbor_id)``
+    — the ORACLE-mode ANN: every step is exact integer arithmetic, so a SQL
+    engine replays the bucket assignment bit-for-bit (no float summation
+    order, no RNG).
+
+    Construction: components quantized to ``floor(v·quant)`` int64;
+    hyperplanes are Rademacher ±1 entries from :func:`plane_sign`; bucket
+    bit *p* = sign of the exact integer dot; query-side multiprobe flips
+    each bit once. Shape: narrow posexplode → broadcast join with the tiny
+    (n_planes·dim) sign table → two keyed aggs → equi-join on bucket —
+    scales like the production :func:`ann_topk_lsh` (which keeps Arrow
+    matmul hashing and float planes for recall; use this variant when
+    cross-engine reproducibility of the index matters more than recall
+    tuning).
+    """
+    spark = corpus.sparkSession
+    planes = spark.createDataFrame(
+        [(p, d, plane_sign(p, d)) for p in range(n_planes) for d in range(dim)],
+        "p int, d int, s long",
+    )
+
+    def buckets(df: DataFrame) -> DataFrame:
+        comp = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(as_double(vec_col)).alias("d", "v"),
+        ).select(
+            "id", "d", F.floor(F.col("v") * quant).cast("long").alias("q")
+        )
+        dots = (
+            comp.join(F.broadcast(planes), "d")
+            .groupBy("id", "p")
+            .agg(F.sum(F.col("s") * F.col("q")).alias("dp"))
+        )
+        return dots.groupBy("id").agg(
+            F.sum(
+                F.when(
+                    F.col("dp") >= 0,
+                    # column shift amount needs the SQL form (the Python
+                    # F.shiftleft only takes an int literal)
+                    F.expr("shiftleft(cast(1 as bigint), p)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+
+    cb = buckets(corpus).select(F.col("id").alias("neighbor_id"), "bucket")
+    qb = buckets(queries).select(F.col("id").alias("query_id"), "bucket")
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.select("query_id", F.explode(flips).alias("bucket"))
+    return (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -230,3 +230,34 @@ def test_partitioned_log_prunes_by_date(spark, sf_dir, tmp_path):
 
     shutil.rmtree(os.path.join(d, parts[0]))
     assert spark.read.parquet(d).count() == ch.count() - want
+
+
+def test_asof_join_keeps_duplicate_left_rows(spark):
+    # regression (VERDICT r1 §wrong-3): two IDENTICAL left rows must each
+    # produce an output row — the dedup window keys on a synthetic row id,
+    # not the left columns
+    from sqlite_cdc_spark.derive import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 10), ("k", 5)], "key string, ts int"
+    )
+    right = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 8, "new")], "key string, ts int, val string"
+    )
+    out = asof_join(left, right, ["key"], "ts", "ts")
+    assert out.count() == 3  # both duplicates survive
+    rows = sorted(
+        [(r["l_ts"], r["r_val"]) for r in out.collect()]
+    )
+    assert rows == [(5, "old"), (10, "new"), (10, "new")]
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    import pytest as _pytest
+
+    from sqlite_cdc_spark.derive import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join(df, df, "k", how=how)

@@ -62,3 +62,29 @@ def test_bucket_values_in_range(spark):
     mn, mx, n = df.agg(F.min("b"), F.max("b"), F.count_distinct("b")).first()
     assert mn >= 0 and mx <= 99
     assert n > 90  # buckets are actually spread
+
+
+def test_hash_bucket_negative_and_large_keys(spark):
+    # regression (ADVICE r1): negative keys must bucket in [0, 100) (a
+    # plain % emitted negative buckets → every negative key was 'kept' by
+    # sample filters); int64-extreme keys must not silently wrap
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark.pipeline import sampling
+
+    keys = [-5, -1, 0, 1, 2**31 - 1, -(2**31), 2**62, -(2**62), 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", sampling.hash_bucket(F.col("k"), 100).alias("b")
+        ).collect()
+    }
+    assert all(0 <= b < 100 for b in got.values())
+    # engine portability over the full range, incl. negatives
+    for k in keys:
+        duck = duckdb.execute(
+            f"SELECT {sampling.bucket_sql(str(k))}"
+        ).fetchone()[0]
+        assert got[k] == duck, k

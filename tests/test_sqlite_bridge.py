@@ -187,3 +187,166 @@ def test_end_to_end_sqlite_to_streaming_engine(db, tmp_path, spark):
     # ordered delivery across the whole feed (ids strictly increase)
     ids = [r.id for r in flat]
     assert ids == sorted(ids)
+
+
+# --- round 2: direct bootstrap, continuous follow, cursor/quoting fixes ------
+
+
+def test_bootstrap_scan_page_math_and_pk_order(db, tmp_path):
+    # parity: TestBootstrap page loop (trigger_test.go:225-321 impl) —
+    # 1024 rows at batch 50 → ceil(1024/50) = 21 pages, every row emitted
+    # exactly once as a synthetic INSERT, scanned in PK order
+    import glob
+    import json
+
+    _insert_rows(db, 1024)
+    out = str(tmp_path / "boot")
+    n = sqlite_bridge.bootstrap_scan(db, ["affinity_test"], out, batch_size=50)
+    assert n == 1024
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) == math.ceil(1024 / 50)
+
+    import pyarrow.parquet as pq
+
+    seen = []
+    for f in files:
+        t = pq.read_table(f)
+        assert set(t.column_names) == {
+            "tablename", "timestamp", "operation", "before", "after"
+        }
+        assert t.column("operation").to_pylist() == ["INSERT"] * t.num_rows
+        assert t.column("before").to_pylist() == [None] * t.num_rows
+        seen += [json.loads(a)["a"] for a in t.column("after").to_pylist()]
+    # keyset pages in composite-PK order → globally sorted, no dups/gaps
+    assert seen == list(range(1024))
+
+
+def test_bootstrap_scan_without_rowid(db, tmp_path):
+    # parity: TestBootstrapWithoutRowID (trigger_test.go:95-127) — a
+    # WITHOUT ROWID table with a composite TEXT+INT key must paginate in
+    # declared-PK ordinal order, not column order
+    import glob
+    import json
+
+    db.execute(
+        """CREATE TABLE wr (v TEXT, k2 INTEGER, k1 TEXT,
+           PRIMARY KEY (k1, k2)) WITHOUT ROWID"""
+    )
+    rows = [(f"val{i}", i % 7, f"key{i:04d}") for i in range(257)]
+    db.executemany("INSERT INTO wr VALUES (?,?,?)", rows)
+    db.commit()
+    assert sqlite_bridge.primary_key(db, "wr") == ["k1", "k2"]
+
+    out = str(tmp_path / "wr")
+    n = sqlite_bridge.bootstrap_scan(db, ["wr"], out, batch_size=50)
+    assert n == 257
+    assert len(glob.glob(f"{out}/*.parquet")) == math.ceil(257 / 50)
+
+    import pyarrow.parquet as pq
+
+    ks = []
+    for f in sorted(glob.glob(f"{out}/*.parquet")):
+        t = pq.read_table(f)
+        ks += [
+            (json.loads(a)["k1"], json.loads(a)["k2"])
+            for a in t.column("after").to_pylist()
+        ]
+    assert ks == sorted(ks)
+    assert len(set(ks)) == 257
+
+
+def test_bootstrap_scan_rowid_fallback(db, tmp_path):
+    # table with no declared PK pages on rowid
+    import glob
+
+    db.execute("CREATE TABLE nopk (x TEXT)")
+    db.executemany("INSERT INTO nopk VALUES (?)", [(f"r{i}",) for i in range(120)])
+    db.commit()
+    assert sqlite_bridge.primary_key(db, "nopk") == []
+    out = str(tmp_path / "nopk")
+    assert sqlite_bridge.bootstrap_scan(db, ["nopk"], out, batch_size=50) == 120
+    assert len(glob.glob(f"{out}/*.parquet")) == 3
+
+
+def test_poll_log_no_ack_keyset_cursor(db, tmp_path):
+    # regression (ADVICE r1): ack=False used to re-read the same first page
+    # forever; now a keyset cursor advances and every change lands once
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sqlite_bridge.setup(db, ["affinity_test"])
+    _insert_rows(db, 120)
+    out = str(tmp_path / "noack")
+    n = sqlite_bridge.poll_log(db, out, batch_size=50, ack=False)
+    assert n == 120
+    ids = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        ids += pq.read_table(f).column("id").to_pylist()
+    assert sorted(ids) == list(range(1, 121))  # no duplicates, no gaps
+    # log NOT acked: rows still present for a real consumer
+    assert db.execute("SELECT count(*) FROM __cdc_log").fetchone()[0] == 120
+
+
+def test_follow_log_delivers_post_start_writes(db, tmp_path):
+    # parity: the reference event loop keeps following the live DB
+    # (triggers.go:122-162) — writes that happen AFTER the loop starts are
+    # drained without re-invoking anything
+    import glob
+    import threading
+
+    import pyarrow.parquet as pq
+
+    sqlite_bridge.setup(db, ["affinity_test"])
+    _insert_rows(db, 10)
+    out = str(tmp_path / "follow")
+    path = db.execute("PRAGMA database_list").fetchone()[2]
+
+    done = threading.Event()
+
+    def run():
+        conn = sqlite3.connect(path)  # own conn: sqlite3 check_same_thread
+        try:
+            sqlite_bridge.follow_log(
+                conn, out, batch_size=50, poll_interval=0.05,
+                stop=done.is_set,
+            )
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    import time as _time
+
+    _time.sleep(0.3)  # first wave drained
+    _insert_rows(db, 25, offset=5000)  # live writes AFTER the loop started
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        total = sum(
+            pq.read_table(f).num_rows for f in glob.glob(f"{out}/*.parquet")
+        )
+        if total >= 35:
+            break
+        _time.sleep(0.1)
+    done.set()
+    t.join(timeout=5)
+    assert total == 35
+
+
+def test_trigger_name_literal_escaping(tmp_path):
+    # a table whose name contains a single quote must not break the
+    # generated trigger body (name is embedded as a SQL string literal)
+    conn = sqlite3.connect(str(tmp_path / "q.db"))
+    conn.execute("PRAGMA journal_mode=WAL")
+    conn.execute("CREATE TABLE \"it's\" (id INTEGER PRIMARY KEY, \"va'l\" TEXT)")
+    conn.commit()
+    sqlite_bridge.setup(conn, ["it's"])
+    conn.execute("INSERT INTO \"it's\" VALUES (1, ?)", ("x",))
+    conn.commit()
+    row = conn.execute(
+        "SELECT tablename, operation, after FROM __cdc_log"
+    ).fetchone()
+    assert row[0] == "it's"
+    assert row[1] == "INSERT"
+    assert '"va\'l"' in row[2] or "va'l" in row[2]
+    conn.close()
