@@ -37,6 +37,9 @@ HEADLINE = [
     "b19_minhash_candidates",  # MinHash-LSH near-dup (B19)
     "b20_cosine_topk",         # vector top-k (B20)
     "b21_lang_quality",        # text analysis (B21)
+    "b24_corpus_build",        # composed corpus pipeline (B24 capstone)
+    "b25_sql_cte_top_supplier",  # SQL surface: CTE + subquery (B25)
+    "b28_training_manifest",   # gate→dedup→sample→split manifest (B28)
 ]
 
 

@@ -156,6 +156,13 @@ def prune_log(
     committed watermark, so partially-consumed files survive (at-least-once
     preserved). Metadata-only decision — reads parquet footer statistics,
     never row data. Returns the deleted (or would-delete) paths.
+
+    SMALL-LOG ONLY: the footer walk is a driver-side loop over every file —
+    fine for the bounded unacked backlog it mirrors, wrong for a
+    100 TB/multi-million-file log. The PRIMARY retention path at scale is
+    the date-partitioned layout (:func:`sqlite_cdc_spark.log.write_log_partitioned`):
+    retention there is dropping whole ``date=`` partition directories — a
+    metadata operation on the partition listing, no per-file footers.
     """
     import glob
     import os
