@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from sqlite_cdc_spark import bootstrap as bs
 from sqlite_cdc_spark import derive, log, model
 from sqlite_cdc_spark.pipeline import (
+    decontam,
     dedup,
     multimodal,
     sampling,
@@ -1261,8 +1262,10 @@ def q_b22_multimodal_meta(spark, sf_dir):
 
 
 def q_b23_udf_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction (rows-only: the stub
-    decode is imperative Python by design; unit-tested for determinism)."""
+    """Arrow-batched mapInPandas feature extraction. The stub decode is
+    imperative Python, but it's pure byte arithmetic — so the DuckDB
+    oracle replays it from hex(encode(text)) and the mapInPandas plumbing
+    itself gets a bit-exact correctness row."""
     docs = _t(spark, sf_dir, "documents")
     packed = multimodal.pack_binary(
         docs.select("doc_id", "text"), multimodal.text_as_payload("text"), "text/plain"
@@ -1271,6 +1274,68 @@ def q_b23_udf_features(spark, sf_dir):
     return feats.select(
         "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+def q_b29_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style exact 5-gram overlap): docs
+    0-19 act as the eval set; the corpus is every other doc plus planted
+    contaminated copies (each doc_id%10==5 doc gets bench doc 0's text
+    appended). Complete keep/drop manifest, fully DuckDB-replayable (the
+    join key is the raw n-gram string — no hashing)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    bench0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
+    planted = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .crossJoin(F.broadcast(bench0))
+        .select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("bt")).alias("text"),
+        )
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") >= 20)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return decontam.ngram_contamination(corpus, bench, "doc_id", "text", n=5)
+
+
+def q_b21_pii_scrub(spark, sf_dir):
+    """PII audit + redaction over planted emails/phones/IPs (engine-equal
+    character-class regexes: no lookarounds, no backrefs)."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" reach me at first.last+spam@example.co.uk ok"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit(" call +1 (555) 123-4567 now")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0, F.lit(" server at 10.0.42.7 down")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = textops.pii_counts("text")
+    return injected.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ip"),
+        textops.redact_pii("text").alias("redacted"),
+    )
+
+
+def q_b21_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: distinct-token ratio, top-token
+    ratio, duplicate-2-gram ratio per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.repetition_features(docs, "doc_id", "text")
 
 
 def q_b14_date_funcs(spark, sf_dir):
@@ -1328,10 +1393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b14_regex_funcs": q_b14_regex_funcs,
         "b14_string_sim": q_b14_string_sim,
         "b15_interval_join": q_b15_interval_join,
-        # --- newly oracle-able this round --------------------------------
+        # --- newly oracle-able / new operators this round ----------------
         "b19_minhash_candidates": q_b19_minhash_candidates,
         "b19_simhash": q_b19_simhash,
         "b20_ann_recall": q_b20_ann_recall,
+        "b29_decontamination": q_b29_decontamination,
+        "b21_pii_scrub": q_b21_pii_scrub,
+        "b21_repetition": q_b21_repetition,
         # --- already-green anchors (one per operator family) -------------
         "a6_bootstrap": q_a6_bootstrap,
         "a10_drain_batch": q_a10_drain_batch,
@@ -1352,10 +1420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_window_funcs": q_b11_window_funcs,
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
+        # ---- position 51+: proven trivials, variants, no-oracle ---------
         "b18_dedup_exact": q_b18_dedup_exact,
         "b19_word_jaccard": q_b19_word_jaccard,
         "b20_cosine_topk": q_b20_cosine_topk,
-        # ---- position 51+: proven trivials, variants, no-oracle ---------
         "a2_snapshot_first_page": q_a2_snapshot_first_page,
         "a3_keyset_page": q_a3_keyset_page,
         "a4_row_json": q_a4_row_json,
@@ -1506,6 +1574,143 @@ def _simhash_oracle_sql() -> str:
           WHERE a.doc_id < b.doc_id
         )
         SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """
+
+
+def _decontam_oracle_sql() -> str:
+    """DuckDB replay of q_b29_decontamination: raw-string 5-gram overlap
+    between the planted corpus and the doc_id<20 benchmark."""
+    gram5 = (
+        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+        "toks[i+3] || ' ' || toks[i+4]"
+    )
+    return f"""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        b0 AS (SELECT text AS bt FROM documents WHERE doc_id = 0),
+        corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 20
+          UNION ALL
+          SELECT doc_id + 300000 AS doc_id, text || ' ' || bt AS text
+          FROM documents, b0 WHERE doc_id % 10 = 5
+        ),
+        btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
+        bg AS (
+          SELECT DISTINCT sh FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+                          i -> {gram5})) AS sh
+            FROM btk)
+        ),
+        ctk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
+        cg AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 4),
+                          i -> {gram5})) AS sh
+            FROM ctk)
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (sh)
+          GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_ngrams,
+               COALESCE(n, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replay of q_b21_pii_scrub (same regexes, 'g' flag for the
+    global replace)."""
+    e, i4, ph = (
+        textops.PII_PATTERNS["email"],
+        textops.PII_PATTERNS["ipv4"],
+        textops.PII_PATTERNS["phone"],
+    )
+    return f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 13 = 0
+                      THEN ' reach me at first.last+spam@example.co.uk ok'
+                      ELSE '' END ||
+                 CASE WHEN doc_id % 17 = 0
+                      THEN ' call +1 (555) 123-4567 now' ELSE '' END ||
+                 CASE WHEN doc_id % 19 = 0
+                      THEN ' server at 10.0.42.7 down' ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{i4}')) AS BIGINT) AS n_ip,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{e}', '[EMAIL]', 'g'),
+                   '{i4}', '[IP]', 'g'),
+                   '{ph}', '[PHONE]', 'g') AS redacted
+        FROM injected
+    """
+
+
+def _repetition_oracle_sql() -> str:
+    """DuckDB replay of text.repetition_features."""
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        pt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+        ts AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct, max(cnt) AS top_cnt
+          FROM pt GROUP BY doc_id
+        ),
+        gr AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1])) AS g
+          FROM tk
+        ),
+        pg AS (SELECT doc_id, g, count(*) AS cnt FROM gr GROUP BY doc_id, g),
+        gs AS (
+          SELECT doc_id, sum(cnt) AS n_2grams,
+                 sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_2grams
+          FROM pg GROUP BY doc_id
+        )
+        SELECT ts.doc_id, n_tokens,
+               round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 AS distinct_ratio,
+               round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 AS top_token_ratio,
+               round(CAST(COALESCE(dup_2grams, 0) AS DOUBLE)
+                     / CAST(greatest(COALESCE(n_2grams, 1), 1) AS DOUBLE), 6)
+                 AS dup_2gram_ratio
+        FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+    """
+
+
+def _udf_features_oracle_sql() -> str:
+    """DuckDB replay of q_b23_udf_features: the mapInPandas fake-decode is
+    pure arithmetic — f0 = (Σ bytes at positions ≡0 mod 8, mod 997)/997 —
+    so the Arrow plumbing itself gets a bit-exact oracle row (bytes read
+    back via hex(encode(text)))."""
+    return """
+        WITH p AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n,
+                 COALESCE(list_sum(list_transform(
+                     generate_series(0, CAST(floor((n - 1) / 8.0) AS INT)),
+                     j -> CAST('0x' || substr(h, j * 16 + 1, 2) AS BIGINT))), 0)
+                   AS tot
+          FROM p
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+               round((tot % 997) / 997.0, 6) AS f0
+        FROM s
     """
 
 
@@ -2180,6 +2385,10 @@ def oracle_sql() -> dict[str, str]:
         "b19_minhash_candidates": _minhash_oracle_sql(),
         "b19_simhash": _simhash_oracle_sql(),
         "b20_ann_recall": _ann_recall_oracle_sql(),
+        "b29_decontamination": _decontam_oracle_sql(),
+        "b21_pii_scrub": _pii_oracle_sql(),
+        "b21_repetition": _repetition_oracle_sql(),
+        "b23_udf_features": _udf_features_oracle_sql(),
         "b19_embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(CAST(a.embedding AS DOUBLE[]),

@@ -34,7 +34,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
     ]
 )
 

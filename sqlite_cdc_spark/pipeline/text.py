@@ -142,6 +142,101 @@ def zscore_by_group(
     return df.groupBy(*group_cols).applyInPandas(norm, schema)
 
 
+# --- PII scrubbing (training-pipeline hygiene) -------------------------------
+
+#: deliberately simple character-class patterns: identical semantics under
+#: Java regex (Spark) and RE2 (DuckDB/Trino) — no lookarounds, no backrefs
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9()\- ]{6,}[0-9]",
+}
+PII_TOKENS = {"email": "[EMAIL]", "ipv4": "[IP]", "phone": "[PHONE]"}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-class PII match counts (bigint) — the audit side of scrubbing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its class token — email first (its
+    local part can contain digits that the phone pattern would then
+    mangle), then IP, then phone. Pure ``regexp_replace`` chain: codegen,
+    shuffle-free, and byte-identical across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ipv4", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], PII_TOKENS[kind])
+    return c
+
+
+# --- repetition / Gopher-style quality rules ---------------------------------
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: total/distinct token
+    counts, top-token frequency ratio, and duplicate-2-gram ratio — the
+    standard web-corpus filters for boilerplate and degenerate text
+    (Gopher §A1.1, C4's repetition rules).
+
+    Scale formulation: tokens as ROWS (explode → two keyed aggregations),
+    never per-row higher-order lambdas — the same shuffle budget as any
+    word-count, so it runs at corpus scale. Ratios are exact divisions of
+    exact counts (oracle-friendly doubles, rounded to 6)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    )
+    per_tok = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tok_stats = per_tok.groupBy("doc").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    c = normalize_text(text_col)
+    toks2 = df.select(F.col(id_col).alias("doc"), F.posexplode(F.split(c, " ")).alias("pos", "tok"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc").orderBy("pos")
+    grams = toks2.select(
+        "doc",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("g"),
+        F.lead("tok", 1).over(w).isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    gram_stats = (
+        grams.groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc")
+        .agg(
+            F.sum("cnt").alias("n_2grams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_2grams"
+            ),
+        )
+    )
+    out = tok_stats.join(gram_stats, "doc", "left")
+    return out.select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("top_token_ratio"),
+        F.round(
+            F.coalesce(F.col("dup_2grams"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_2grams"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_2gram_ratio"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Whole-document fingerprint: md5 of the normalized text (engine- and
     run-stable; use for idempotent dedup keys in sinks)."""

@@ -309,3 +309,79 @@ def test_audio_chunk_plan_covers_payload(spark):
     assert sum(r.chunk_len for r in rows) == 4500  # exhaustive, no overlap
     assert rows[-1].chunk_len == 500  # tail chunk is short
     assert rows[1].chunk_offset == 2000 and rows[1].chunk_start_s == 1.0
+
+
+# --- round 2: decontamination, PII, repetition -------------------------------
+
+
+def test_decontaminate_drops_planted_overlaps(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import decontam
+    from sqlite_cdc_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
+    planted = (
+        docs.filter((F.col("doc_id") % 10 == 5) & (F.col("doc_id") >= 20))
+        .crossJoin(F.broadcast(b0))
+        .select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+            F.concat("text", F.lit(" "), "bt").alias("text"),
+        )
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text").unionByName(planted)
+    flags = decontam.ngram_contamination(corpus, bench, n=5)
+    # every planted doc contains bench doc 0's full text -> contaminated
+    planted_flags = flags.filter(F.col("doc_id") >= 300000)
+    assert planted_flags.filter(~F.col("contaminated")).isEmpty()
+    # the filter form drops exactly the contaminated ids
+    kept = decontam.decontaminate(corpus, bench, n=5)
+    n_contam = flags.filter(F.col("contaminated")).count()
+    assert kept.count() == corpus.count() - n_contam
+
+
+def test_redact_pii_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or x@y.io, call +44 20 7946 0958!"),
+            (2, "host 192.168.0.1 plain text"),
+            (3, "nothing here"),
+        ],
+        "id int, text string",
+    )
+    out = df.select(
+        "id",
+        textops.redact_pii("text").alias("r"),
+        *[c.alias(k) for k, c in textops.pii_counts("text").items()],
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["email"] == 2 and by_id[1]["phone"] == 1
+    assert "[EMAIL]" in by_id[1]["r"] and "[PHONE]" in by_id[1]["r"]
+    assert "@" not in by_id[1]["r"]
+    assert by_id[2]["ipv4"] == 1 and "[IP]" in by_id[2]["r"]
+    assert by_id[3]["r"] == "nothing here"
+
+
+def test_repetition_features_flags_degenerate_text(spark):
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "the quick brown fox jumps high"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_features(df).collect()}
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["top_token_ratio"] == 1.0
+    assert rows[1]["dup_2gram_ratio"] == 1.0  # all 5 bigrams identical
+    assert rows[2]["distinct_ratio"] == 1.0
+    assert rows[2]["top_token_ratio"] == round(1 / 6, 6)
+    assert rows[2]["dup_2gram_ratio"] == 0.0
