@@ -100,3 +100,36 @@ def test_cli_both_mode(tmp_path, sf_dir, spark, capsys):
     out = capsys.readouterr().out
     assert out.count(": region INSERT") == 5   # bootstrap side
     assert out.count(": t INSERT") == 7        # live log side
+
+
+def test_cli_bootstrap_direct_from_sqlite(tmp_path, spark, capsys):
+    # --db + --bootstrap without --data-dir: keyset-scan the LIVE database
+    # (reference bootstrap mode, triggers.go:225-321)
+    db = str(tmp_path / "direct.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT)")
+    conn.executemany(
+        "INSERT INTO items VALUES (?,?)", [(i, f"n{i}") for i in range(123)]
+    )
+    conn.commit()
+    conn.close()
+
+    assert (
+        cli.main(
+            [
+                "--db", db, "--tables", "items",
+                "--log-dir", str(tmp_path / "log"),
+                "--batch-size", "50",
+                "--bootstrap", "json",
+            ]
+        )
+        == 0
+    )
+    import json
+
+    lines = capsys.readouterr().out.strip().splitlines()
+    parsed = [json.loads(l) for l in lines if l.startswith("{")]
+    assert len(parsed) == 123
+    assert all(p["operation"] == "INSERT" for p in parsed)
+    ids = sorted(json.loads(p["after"])["id"] for p in parsed)
+    assert ids == list(range(123))

@@ -119,3 +119,32 @@ def test_training_manifest_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b28_training_manifest")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_bench_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b29_decontamination")
+    # the bench gram set must broadcast; the only BroadcastNestedLoopJoin
+    # allowed is the deliberate 1-row bench0 plant replication
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b21_pii_scrub")
+    # pure regexp chain: narrow map, zero exchanges
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_repetition_no_cartesian_two_agg_passes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b21_repetition")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ann_recall_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b20_ann_recall")
+    # candidate generation is an equi-join on bucket; only the exact-topk
+    # reference (4 queries) broadcasts
+    assert "CartesianProduct" not in plan

@@ -385,3 +385,59 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     )
     expect = {(r.s_user, r.amount) for r in batch.collect()}
     assert got == expect == {(1, 10.0), (2, 30.0)}
+
+
+def test_streaming_compaction_silent_on_stale_replay(spark, tmp_path):
+    # round-2 fix (ADVICE r1): a micro-batch that only redelivers already-
+    # applied ids (at-least-once replay) must NOT re-emit the unchanged
+    # state; a batch that advances the id must emit exactly once
+    import json
+
+    from sqlite_cdc_spark.model import LOG_SCHEMA
+
+    import time
+
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+
+    ts = dt.datetime(2024, 1, 1)
+    # LOG_SCHEMA order: id, tablename, timestamp, operation, before, after
+    row = lambda i, uid: (  # noqa: E731
+        i, "t", ts, "UPDATE", None, json.dumps({"user_id": uid, "v": i})
+    )
+    # batch 1: ids 1,2 for user a; batch 2: REPLAY of id 2 (stale);
+    # batch 3: id 3 (advances)
+    batches = [
+        [row(1, "a"), row(2, "a")],
+        [row(2, "a")],
+        [row(3, "a")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.parquet(
+            f"{log_dir}/f{i}"
+        )
+        time.sleep(1.2)  # the file source orders by mtime; disambiguate
+
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir + "/f*")
+    )
+    compacted = streaming.streaming_compaction(stream)
+    emitted: list = []
+
+    def collect(batch, batch_id):
+        emitted.extend(batch.collect())
+
+    q = (
+        compacted.writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # one emission per ADVANCING batch only (file order within the
+    # directory listing is lexicographic: f1, f2, f3)
+    ids = [r.last_id for r in emitted]
+    assert sorted(ids) == [2, 3]  # nothing emitted for the stale replay
