@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from sqlite_cdc_spark import derive
 from sqlite_cdc_spark.bootstrap import snapshot_as_inserts
-from sqlite_cdc_spark.pipeline import sampling
+from sqlite_cdc_spark.pipeline import decontam, dedup, sampling
+from sqlite_cdc_spark.pipeline import text as textops
 from sqlite_cdc_spark.session import get_spark
 
 
@@ -96,6 +97,48 @@ def ops(spark, path: str) -> dict[str, float]:
     return out
 
 
+def gen_documents(spark, rows: int, path: str):
+    """Deterministic 30-token documents from a 500-word vocabulary."""
+    vocab = F.array(*[F.lit(f"w{i:03d}") for i in range(500)])
+    df = spark.range(rows).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.element_at(
+                    vocab, (F.pmod(F.xxhash64("id", i), 500) + 1).cast("int")
+                ),
+            ),
+        ).alias("text"),
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def text_ops(spark, path: str) -> dict[str, float]:
+    """The text-pipeline families at scale: near-dedup candidates
+    (production xxhash64 mode), benchmark decontamination, repetition
+    rules. All shuffle volume ∝ token rows — the families that dominate a
+    real corpus build."""
+    docs = spark.read.parquet(path)
+    bench = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    out: dict[str, float] = {"doc_rows": docs.count()}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    run("minhash_candidates", lambda: dedup.minhash_candidates(
+        docs, "doc_id", "text", num_hashes=32, bands=8)
+        .write.format("noop").mode("overwrite").save())
+    run("decontamination", lambda: decontam.ngram_contamination(docs, bench)
+        .write.format("noop").mode("overwrite").save())
+    run("repetition_rules", lambda: textops.repetition_features(docs)
+        .write.format("noop").mode("overwrite").save())
+    return out
+
+
 def main():
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,10 +148,13 @@ def main():
             path = f"{tmp}/li_{label}"
             gen_lineitem(spark, rows, path)
             results[label] = ops(spark, path)
+            dpath = f"{tmp}/docs_{label}"
+            gen_documents(spark, rows // 10, dpath)
+            results[label].update(text_ops(spark, dpath))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
     for op in results["sf1x"]:
-        if op == "rows":
+        if op in ("rows", "doc_rows"):
             continue
         ratios[op] = round(
             (results["sf1x"][op] / max(results["sf0.1x"][op], 1e-6)) / 10.0, 2
