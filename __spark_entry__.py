@@ -757,6 +757,30 @@ def q_b19_simhash(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_b19_incremental_index(spark, sf_dir):
+    """The CDC × dedup composition (the reference's change feed meeting the
+    corpus index): an LSH index built ONCE over the standing corpus
+    (doc_id >= 20), probed by a small 'new documents' batch (mutated
+    copies of docs 0-19 — the shape of a CDC insert batch). Only the batch
+    is hashed; the join is an equi-join on (band, bucket). Portable hash
+    mode, so DuckDB replays index, probe and join bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text")
+    # the batch = near-copies of docs that ARE in the corpus (one-token
+    # suffix edit) — the incremental probe must find their originals
+    batch = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
+    )
+    index = dedup.build_lsh_index(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    )
+    hits = dedup.query_lsh_index(
+        index, batch, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    )
+    return hits.select("new_id", "corpus_id")
+
+
 def q_b19_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact mode; the LSH mode is the
     scale path, exercised in unit tests)."""
@@ -1400,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_decontamination": q_b29_decontamination,
         "b21_pii_scrub": q_b21_pii_scrub,
         "b21_repetition": q_b21_repetition,
+        "b19_incremental_index": q_b19_incremental_index,
         # --- already-green anchors (one per operator family) -------------
         "a6_bootstrap": q_a6_bootstrap,
         "a10_drain_batch": q_a10_drain_batch,
@@ -1419,8 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_agg_pricing": q_b10_agg_pricing,
         "b11_window_funcs": q_b11_window_funcs,
         "b12_topk": q_b12_topk,
-        "b13_set_ops": q_b13_set_ops,
         # ---- position 51+: proven trivials, variants, no-oracle ---------
+        "b13_set_ops": q_b13_set_ops,
         "b18_dedup_exact": q_b18_dedup_exact,
         "b19_word_jaccard": q_b19_word_jaccard,
         "b20_cosine_topk": q_b20_cosine_topk,
@@ -1534,6 +1559,63 @@ def _minhash_oracle_sql() -> str:
           JOIN tsets sb ON sb.doc_id = cand.id_b
         )
         SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.8
+    """
+
+
+def _incremental_index_oracle_sql() -> str:
+    """DuckDB replay of q_b19_incremental_index: portable-hash LSH index
+    over the standing corpus, probed by the mutated batch."""
+    P = dedup.MINHASH_P
+    fam = dedup._hash_family(32)
+    mins = ",\n                 ".join(
+        f"min((h * {a} + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+
+    def fold(b: int) -> str:
+        expr = f"h{b * 4}"
+        for j in range(1, 4):
+            expr = f"(({expr}) * {dedup.BAND_B} + h{b * 4 + j}) % {P}"
+        return expr
+
+    buckets = ", ".join(fold(b) for b in range(8))
+    bands = ", ".join(str(b) for b in range(8))
+
+    def banded(src: str, alias: str) -> str:
+        return f"""
+        {alias}_tk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}
+        ),
+        {alias}_sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> {_GRAM3_SQL})) AS sh
+          FROM {alias}_tk
+        ),
+        {alias}_hashed AS (
+          SELECT doc_id, ({dedup.portable_hash60_sql('sh')}) % {P} AS h
+          FROM {alias}_sh
+        ),
+        {alias}_sig AS (
+          SELECT doc_id, {mins} FROM {alias}_hashed GROUP BY doc_id
+        ),
+        {alias}_banded AS (
+          SELECT doc_id, unnest([{bands}]) AS band,
+                 unnest([{buckets}]) AS bucket
+          FROM {alias}_sig
+        )"""
+
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        ),
+        batch AS (
+          SELECT doc_id + 400000 AS doc_id, text || ' qqq' AS text
+          FROM documents WHERE doc_id >= 20 AND doc_id < 40
+        ),{banded('corpus', 'c')},{banded('batch', 'q')}
+        SELECT DISTINCT q.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM q_banded q JOIN c_banded c
+          ON q.band = c.band AND q.bucket = c.bucket
+        WHERE q.doc_id != c.doc_id
     """
 
 
@@ -2385,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         "b19_minhash_candidates": _minhash_oracle_sql(),
         "b19_simhash": _simhash_oracle_sql(),
         "b20_ann_recall": _ann_recall_oracle_sql(),
+        "b19_incremental_index": _incremental_index_oracle_sql(),
         "b29_decontamination": _decontam_oracle_sql(),
         "b21_pii_scrub": _pii_oracle_sql(),
         "b21_repetition": _repetition_oracle_sql(),
