@@ -1362,6 +1362,21 @@ def q_b21_repetition(spark, sf_dir):
     return textops.repetition_features(docs, "doc_id", "text")
 
 
+def q_b28_packing(spark, sf_dir):
+    """Sequence packing for training (the op after the manifest): docs in
+    doc_id order packed into 512-token budgets via a DISTRIBUTED exclusive
+    prefix sum (two-phase bucket cumsum + broadcast offsets — no
+    single-partition global window). Oracle: plain window cumsum."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    packed = sampling.pack_sequences(
+        sized, "doc_id", "n_tok", budget=512, bucket_size=64
+    )
+    return packed.select("doc_id", "n_tok", "pack_id")
+
+
 def q_b14_date_funcs(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.select(
@@ -1425,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_pii_scrub": q_b21_pii_scrub,
         "b21_repetition": q_b21_repetition,
         "b19_incremental_index": q_b19_incremental_index,
+        "b28_packing": q_b28_packing,
         # --- already-green anchors (one per operator family) -------------
         "a6_bootstrap": q_a6_bootstrap,
         "a10_drain_batch": q_a10_drain_batch,
@@ -1443,8 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_asof_join": q_b9_asof_join,
         "b10_agg_pricing": q_b10_agg_pricing,
         "b11_window_funcs": q_b11_window_funcs,
-        "b12_topk": q_b12_topk,
         # ---- position 51+: proven trivials, variants, no-oracle ---------
+        "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
         "b18_dedup_exact": q_b18_dedup_exact,
         "b19_word_jaccard": q_b19_word_jaccard,
@@ -2468,6 +2484,19 @@ def oracle_sql() -> dict[str, str]:
         "b19_simhash": _simhash_oracle_sql(),
         "b20_ann_recall": _ann_recall_oracle_sql(),
         "b19_incremental_index": _incremental_index_oracle_sql(),
+        "b28_packing": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            )
+            SELECT doc_id, n_tok,
+                   CAST(floor(
+                     CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS DOUBLE) / 512) AS BIGINT) AS pack_id
+            FROM t
+        """,
         "b29_decontamination": _decontam_oracle_sql(),
         "b21_pii_scrub": _pii_oracle_sql(),
         "b21_repetition": _repetition_oracle_sql(),

@@ -89,6 +89,87 @@ def split_assign(
     return expr
 
 
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``order_col``
+    order — without the single-partition window a naive global cumsum
+    plans (``Window.orderBy`` with no partition key serializes the whole
+    table through one task).
+
+    Two-phase scan algorithm: (1) windowed cumsum WITHIN each
+    ``order_col div bucket_size`` bucket (shuffle on the bucket key, all
+    buckets in parallel); (2) per-bucket totals — one row per bucket, tiny
+    — are prefix-summed and broadcast back as each bucket's base offset.
+    Deterministic for any fixed ``order_col``; requires ``order_col`` to
+    be unique and non-negative.
+    """
+    from pyspark.sql import Window as W
+
+    b = (F.col(order_col) / F.lit(bucket_size)).cast("long").alias("__b")
+    with_bucket = df.select("*", b)
+    w = W.partitionBy("__b").orderBy(F.col(order_col).asc())
+    local = with_bucket.withColumn(
+        "__local",
+        F.coalesce(
+            F.sum(F.col(value_col)).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = (
+        with_bucket.groupBy("__b")
+        .agg(F.sum(F.col(value_col)).alias("__t"))
+        .select(
+            "__b",
+            F.coalesce(
+                F.sum("__t").over(
+                    W.orderBy(F.col("__b").asc()).rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__base"),
+        )
+    )
+    # totals has ONE row per bucket — the only single-partition window in
+    # the plan runs over that tiny relation, then broadcasts back
+    return (
+        local.join(F.broadcast(totals), "__b")
+        .withColumn(out_col, (F.col("__base") + F.col("__local")).cast("bigint"))
+        .drop("__b", "__local", "__base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Assign each document to a training pack: sequential fill in
+    ``order_col`` order, pack *p* = ``floor(exclusive-cumsum / budget)``
+    (documents may straddle a boundary — the trainer's concat-then-chunk
+    contract, exactly how GPT-style pretraining packs token streams).
+
+    Built on :func:`prefix_sum`, so it scales: no single-partition global
+    window, deterministic replay on any engine with a window cumsum.
+    """
+    out = prefix_sum(df, order_col, size_col, "__cum", bucket_size)
+    # explicit floor: a bare double→long cast truncates on Spark but
+    # ROUNDS on DuckDB — floor is the engine-agnostic spelling
+    return out.withColumn(
+        pack_col, F.floor(F.col("__cum") / F.lit(budget)).cast("long")
+    ).drop("__cum")
+
+
 def stratified_sample(
     df: DataFrame,
     key: str,

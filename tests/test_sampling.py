@@ -88,3 +88,52 @@ def test_hash_bucket_negative_and_large_keys(spark):
             f"SELECT {sampling.bucket_sql(str(k))}"
         ).fetchone()[0]
         assert got[k] == duck, k
+
+
+def test_prefix_sum_matches_global_window(spark):
+    # two-phase distributed cumsum == the naive single-partition window
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.pmod(F.xxhash64("id"), 50) + 1).alias("v")
+    )
+    got = {
+        r["k"]: r["cumsum"]
+        for r in sampling.prefix_sum(df, "k", "v", bucket_size=64).collect()
+    }
+    ref = {
+        r["k"]: r["ref"]
+        for r in df.withColumn(
+            "ref",
+            F.coalesce(
+                F.sum("v").over(
+                    W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_pack_sequences_budget_contract(spark):
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.pmod(F.xxhash64("id"), 30) + 1).alias("n")
+    )
+    rows = sorted(
+        sampling.pack_sequences(df, "k", "n", budget=100, bucket_size=16)
+        .collect(),
+        key=lambda r: r["k"],
+    )
+    # pack ids are non-decreasing in order, start at 0, and each pack's
+    # exclusive start offset lies inside [pack*budget, (pack+1)*budget)
+    assert rows[0]["pack_id"] == 0
+    cum = 0
+    for r in rows:
+        assert r["pack_id"] == cum // 100
+        cum += r["n"]
