@@ -1016,7 +1016,14 @@ def q_b1_column_diff(spark, sf_dir):
     out = derive.column_diff(
         diff, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     )
-    return out.select("o_orderkey", "changed_cols", "n_changed")
+    # Stringify the array column: the driver's pandas-based canonicalizer
+    # cannot sort/hash list cells (r02 `unhashable type: 'list'`), and a
+    # csv rendering is just as checkable. Oracle mirrors via array_to_string.
+    return out.select(
+        "o_orderkey",
+        F.concat_ws(",", "changed_cols").alias("changed_cols"),
+        "n_changed",
+    )
 
 
 def q_b27_sketches(spark, sf_dir):
@@ -2163,12 +2170,12 @@ def oracle_sql() -> dict[str, str]:
               FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
             )
             SELECT ok AS o_orderkey,
-                   list_filter([
+                   array_to_string(list_filter([
                      CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
                      CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
                      CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
                      CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
-                   ], x -> x IS NOT NULL) AS changed_cols,
+                   ], x -> x IS NOT NULL), ',') AS changed_cols,
                    CAST(len(list_filter([
                      CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
                      CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
@@ -2587,8 +2594,9 @@ def oracle_sql() -> dict[str, str]:
                      md5({_NORM_SQL}) AS fp
               FROM documents
             )
-            SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tok,
-                   sum(n_bpe) AS sum_bpe,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
                    count(DISTINCT fp) AS n_distinct_fp
             FROM per_doc GROUP BY lang
         """,
@@ -2633,7 +2641,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM gated
               ) WHERE rn = 1
             )
-            SELECT lang, count(*) AS n_docs, sum(q_tokens) AS total_tokens,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(q_tokens) AS BIGINT) AS total_tokens,
                    round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
                          / CAST(count(*) AS DOUBLE), 6) AS avg_quality
             FROM deduped GROUP BY lang
@@ -2678,7 +2687,8 @@ def oracle_sql() -> dict[str, str]:
                      END AS split
               FROM sampled
             )
-            SELECT split, lang, count(*) AS n_docs, sum(q_tokens) AS total_tokens
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(q_tokens) AS BIGINT) AS total_tokens
             FROM manifest GROUP BY split, lang
         """,
         "b22_multimodal_meta": """
