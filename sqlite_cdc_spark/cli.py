@@ -98,17 +98,26 @@ def main(argv: list[str] | None = None) -> int:
             # each monitored table in PK order into synthetic-INSERT parquet
             # pages (parity: triggers.go:225-321), then hand the pages to
             # Spark. Pages land under --log-dir/__bootstrap (or a temp dir).
+            import shutil
             import tempfile
 
-            pages = (
-                f"{args.log_dir}/__bootstrap" if args.log_dir
-                else tempfile.mkdtemp(prefix="cdc-bootstrap-")
-            )
+            if args.log_dir:
+                pages = f"{args.log_dir}/__bootstrap"
+                # stale pages from a prior (larger) run would be re-read and
+                # duplicate rows — the dir is per-run scratch, not state
+                shutil.rmtree(pages, ignore_errors=True)
+            else:
+                pages = tempfile.mkdtemp(prefix="cdc-bootstrap-")
             n = sqlite_bridge.bootstrap_scan(
                 sqlite_conn(), tables, pages, args.batch_size, args.blobs
             )
             print(f"bootstrap: scanned {n} rows from {len(tables)} tables")
-            changes = spark.read.parquet(pages)
+            if n == 0:  # no page files — parquet read would fail on inference
+                from .model import CHANGE_SCHEMA
+
+                changes = spark.createDataFrame([], CHANGE_SCHEMA)
+            else:
+                changes = spark.read.parquet(pages)
         else:
             raise SystemExit("--data-dir or --db required for bootstrap")
         handler(changes, -1)
@@ -123,12 +132,22 @@ def main(argv: list[str] | None = None) -> int:
             # continuous daemon: keep draining the SQLite log alongside the
             # stream (reference event loop, triggers.go:122-162)
             import threading
+            import traceback
+
+            follow_err: list[BaseException] = []
 
             def _follow():  # the thread opens its own conn (sqlite3
-                sqlite_bridge.follow_log(  # check_same_thread)
-                    sqlite_conn(), args.log_dir, args.log_table,
-                    args.batch_size, args.poll_interval,
-                )
+                try:
+                    sqlite_bridge.follow_log(  # check_same_thread)
+                        sqlite_conn(), args.log_dir, args.log_table,
+                        args.batch_size, args.poll_interval,
+                    )
+                except BaseException as e:  # a silent dead follow loop
+                    follow_err.append(e)    # looks like a healthy idle one
+                    traceback.print_exc()
+                    print(
+                        "follow loop died; stopping stream", file=sys.stderr
+                    )
 
             threading.Thread(target=_follow, daemon=True).start()
         elif args.db:  # drain the SQLite log into the stream source once
@@ -138,7 +157,17 @@ def main(argv: list[str] | None = None) -> int:
         eng = streaming.StreamEngine(spark, args.log_dir, args.checkpoint_dir)
         eng.setup()
         q = eng.deliver(eng.read_log_stream(), handler)
-        q.awaitTermination()
+        if args.db and args.follow:
+            # ingestion runs in the follow thread: if it dies the stream
+            # would idle forever looking healthy — stop and exit non-zero
+            while not q.awaitTermination(1.0):
+                if follow_err:
+                    q.stop()
+                    raise SystemExit(
+                        f"cdc follow loop failed: {follow_err[0]!r}"
+                    )
+        else:
+            q.awaitTermination()
     return 0
 
 

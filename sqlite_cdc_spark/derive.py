@@ -316,11 +316,15 @@ def salted_join(
     replicated across every salt value, so for ``right``/``full`` each
     *unmatched* right row would be emitted ``salt`` times.
     """
-    if how not in ("inner", "left"):
+    norm = how.strip().lower().replace("_", "")
+    if norm != "outer" and norm.endswith("outer"):
+        norm = norm[: -len("outer")]  # Spark alias: left_outer/leftouter ≡ left
+    if norm not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left', got {how!r}: the "
             "replicated right side would duplicate unmatched right rows"
         )
+    how = norm
     lsalted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     )

@@ -110,7 +110,9 @@ def prefix_sum(
     """
     from pyspark.sql import Window as W
 
-    b = (F.col(order_col) / F.lit(bucket_size)).cast("long").alias("__b")
+    # exact long division (`div`), not float division-then-cast: double
+    # rounding is only monotone below 2^53 while order_col is spec'd int64
+    b = F.expr(f"cast(`{order_col}` as bigint) div {int(bucket_size)}").alias("__b")
     with_bucket = df.select("*", b)
     w = W.partitionBy("__b").orderBy(F.col(order_col).asc())
     local = with_bucket.withColumn(

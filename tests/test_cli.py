@@ -133,3 +133,58 @@ def test_cli_bootstrap_direct_from_sqlite(tmp_path, spark, capsys):
     assert all(p["operation"] == "INSERT" for p in parsed)
     ids = sorted(json.loads(p["after"])["id"] for p in parsed)
     assert ids == list(range(123))
+
+
+def test_cli_bootstrap_rerun_clears_stale_pages(tmp_path, spark, capsys):
+    # re-running a direct bootstrap after rows were deleted must not re-read
+    # stale page files from the previous (larger) run
+    db = str(tmp_path / "rerun.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT)")
+    conn.executemany(
+        "INSERT INTO items VALUES (?,?)", [(i, f"n{i}") for i in range(40)]
+    )
+    conn.commit()
+    conn.close()
+    argv = [
+        "--db", db, "--tables", "items",
+        "--log-dir", str(tmp_path / "log"),
+        "--batch-size", "16",
+        "--bootstrap", "json",
+    ]
+    assert cli.main(argv) == 0
+    capsys.readouterr()
+
+    conn = sqlite3.connect(db)
+    conn.execute("DELETE FROM items WHERE id >= 10")
+    conn.commit()
+    conn.close()
+    assert cli.main(argv) == 0
+    import json
+
+    lines = capsys.readouterr().out.strip().splitlines()
+    parsed = [json.loads(l) for l in lines if l.startswith("{")]
+    assert len(parsed) == 10  # not 40-from-stale-pages + 10
+
+
+def test_cli_bootstrap_empty_table(tmp_path, spark, capsys):
+    # all-empty bootstrap: no page files are written; the CLI must not die
+    # on parquet schema inference over an empty dir
+    db = str(tmp_path / "empty.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE items (id INTEGER PRIMARY KEY, name TEXT)")
+    conn.commit()
+    conn.close()
+    assert (
+        cli.main(
+            [
+                "--db", db, "--tables", "items",
+                "--log-dir", str(tmp_path / "log"),
+                "--bootstrap", "json",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "scanned 0 rows" in out
+    assert not [l for l in out.splitlines() if l.startswith("{")]

@@ -261,3 +261,23 @@ def test_salted_join_rejects_right_and_full(spark, sf_dir):
     for how in ("right", "full", "outer"):
         with _pytest.raises(ValueError):
             salted_join(df, df, "k", how=how)
+
+
+def test_salted_join_accepts_spark_aliases(spark):
+    # left_outer / leftouter are Spark-accepted spellings of 'left'; the
+    # guard must not reject them (round-2 advice)
+    from sqlite_cdc_spark.derive import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    right = spark.createDataFrame([(1, "x")], "k int, rv string")
+    for how in ("left", "left_outer", "leftouter", "LEFT_OUTER"):
+        rows = {
+            (r["k"], r["rv"])
+            for r in salted_join(left, right, "k", salt=3, how=how).collect()
+        }
+        assert rows == {(1, "x"), (2, None)}, how
+    import pytest
+
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", how=how)

@@ -137,3 +137,34 @@ def test_pack_sequences_budget_contract(spark):
     for r in rows:
         assert r["pack_id"] == cum // 100
         cum += r["n"]
+
+
+def test_prefix_sum_exact_above_2_53(spark):
+    # bucket ids must come from exact integer division: double division is
+    # only exact below 2^53 while order_col is spec'd int64 (round-2 advice)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark.pipeline import sampling
+
+    base = 1 << 61
+    df = spark.range(500).select(
+        (F.col("id") * 3 + F.lit(base)).alias("k"),
+        (F.pmod(F.xxhash64("id"), 9) + 1).alias("v"),
+    )
+    got = {
+        r["k"]: r["cumsum"]
+        for r in sampling.prefix_sum(df, "k", "v", bucket_size=64).collect()
+    }
+    ref = {
+        r["k"]: r["ref"]
+        for r in df.withColumn(
+            "ref",
+            F.coalesce(
+                F.sum("v").over(
+                    W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        ).collect()
+    }
+    assert got == ref
