@@ -331,6 +331,23 @@ def q_b7_join_enrich(spark, sf_dir):
     )
 
 
+def q_b7_salted_join(spark, sf_dir):
+    """Skew-resistant salted equi-join (B7 depth, derive.salted_join):
+    lineitem⋈orders on the hot order key with an 8-way salt, aggregated
+    per customer. The oracle is the PLAIN SQL join — salting must be
+    invisible in the result, which is exactly the property worth a green
+    driver row (salt column dropped, no dup/lost rows)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = derive.salted_join(li, orders, "o_orderkey", salt=8)
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+    )
+
+
 def q_b8_anti_join(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -1205,6 +1222,20 @@ def q_b21_token_stats(spark, sf_dir):
     )
 
 
+def q_b21_token_per_doc(spark, sf_dir):
+    """Per-document token canary (B21 depth): doc-level token counts +
+    fingerprint, un-aggregated — localizes any future tokenization
+    divergence to the exact doc_id in one driver run instead of a
+    lang-level hash mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tok"),
+        textops.bpe_ish_token_count("text").alias("n_bpe"),
+        textops.fingerprint("text").alias("fp"),
+    )
+
+
 def q_b21_nchars_histogram(spark, sf_dir):
     """n-chars distribution over documents (B21): 50-char buckets with
     count + share, per language."""
@@ -1401,72 +1432,27 @@ def q_b14_date_funcs(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks the
-    FIRST 50 entries (CORRECTNESS_r01 cut off at position 50, leaving 25
-    queries unverified in round 1 — VERDICT r1 next-1). Layout:
+    FIRST 50 entries per round. Round-3 layout (VERDICT r2 next-2):
 
-    - slots 1-28: queries with NO green driver row yet — the 25 that fell
-      outside round 1's window plus the newly-oracled b19 portable-hash
-      pair and the new b20_ann_recall;
-    - slots 29-50: the strongest already-green rows (one per operator
-      family) so regressions in core operators still surface;
-    - past 50: long-proven trivials, within-family variants, and the three
-      declared-no-oracle approximate queries.
+    - first: the 4 rows that hash-failed in r02 on driver-canonicalization
+      artifacts (now fixed) plus this round's new queries — none has a
+      green row yet;
+    - then: the 31 entries whose last green row is r01 (rotated below the
+      window in r02) — the broadest regression canary;
+    - then: a spread of r02-green anchors filling the window to 50;
+    - past 50: remaining r02-green rows and the three declared-no-oracle
+      approximate queries.
     """
     return {
-        # --- never driver-verified (round-1 window overflow) -------------
-        "b21_lang_quality": q_b21_lang_quality,
+        # --- r02 harness-fails, fixed this round -------------------------
         "b21_token_stats": q_b21_token_stats,
-        "b21_nchars_histogram": q_b21_nchars_histogram,
-        "b22_multimodal_meta": q_b22_multimodal_meta,
-        "b23_udf_features": q_b23_udf_features,
         "b24_corpus_build": q_b24_corpus_build,
-        "b26_hash_sample": q_b26_hash_sample,
-        "b26_train_split": q_b26_train_split,
-        "b26_stratified_sample": q_b26_stratified_sample,
-        "b27_sketches": q_b27_sketches,
         "b28_training_manifest": q_b28_training_manifest,
-        "b25_sql_exists": q_b25_sql_exists,
-        "b25_sql_correlated": q_b25_sql_correlated,
-        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b1_column_diff": q_b1_column_diff,
-        "b2_scd2": q_b2_scd2,
-        "b7_multi_join_revenue": q_b7_multi_join_revenue,
-        "b7_outer_join": q_b7_outer_join,
-        "b10_pivot": q_b10_pivot,
-        "b10_unpivot": q_b10_unpivot,
-        "b10_stats_agg": q_b10_stats_agg,
-        "b11_value_funcs": q_b11_value_funcs,
-        "b14_regex_funcs": q_b14_regex_funcs,
-        "b14_string_sim": q_b14_string_sim,
-        "b15_interval_join": q_b15_interval_join,
-        # --- newly oracle-able / new operators this round ----------------
-        "b19_minhash_candidates": q_b19_minhash_candidates,
-        "b19_simhash": q_b19_simhash,
-        "b20_ann_recall": q_b20_ann_recall,
-        "b29_decontamination": q_b29_decontamination,
-        "b21_pii_scrub": q_b21_pii_scrub,
-        "b21_repetition": q_b21_repetition,
-        "b19_incremental_index": q_b19_incremental_index,
-        "b28_packing": q_b28_packing,
-        # --- already-green anchors (one per operator family) -------------
-        "a6_bootstrap": q_a6_bootstrap,
-        "a10_drain_batch": q_a10_drain_batch,
-        "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
-        "b1_snapshot_diff": q_b1_snapshot_diff,
-        "b1_apply_roundtrip": q_b1_apply_roundtrip,
-        "b2_log_compaction": q_b2_log_compaction,
-        "b3_change_stats": q_b3_change_stats,
-        "b4_event_source": q_b4_event_source,
-        "b5_filter_json": q_b5_filter_json,
-        "b6_projection": q_b6_projection,
-        "b7_join_enrich": q_b7_join_enrich,
-        "b8_semi_join": q_b8_semi_join,
-        "b8_anti_join": q_b8_anti_join,
-        "b9_asof": q_b9_asof,
-        "b9_asof_join": q_b9_asof_join,
-        "b10_agg_pricing": q_b10_agg_pricing,
-        "b11_window_funcs": q_b11_window_funcs,
-        # ---- position 51+: proven trivials, variants, no-oracle ---------
+        # --- new this round ----------------------------------------------
+        "b21_token_per_doc": q_b21_token_per_doc,
+        "b7_salted_join": q_b7_salted_join,
+        # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
         "b18_dedup_exact": q_b18_dedup_exact,
@@ -1498,6 +1484,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_embedding_dups": q_b19_embedding_dups,
         "b20_ann_lsh": q_b20_ann_lsh,
         "b20_ann_ivf": q_b20_ann_ivf,
+        # --- r02-green anchors filling the window to 50 ------------------
+        "b19_minhash_candidates": q_b19_minhash_candidates,
+        "b19_simhash": q_b19_simhash,
+        "b20_ann_recall": q_b20_ann_recall,
+        "b29_decontamination": q_b29_decontamination,
+        "b26_hash_sample": q_b26_hash_sample,
+        "b23_udf_features": q_b23_udf_features,
+        "b22_multimodal_meta": q_b22_multimodal_meta,
+        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
+        "b2_scd2": q_b2_scd2,
+        "b7_multi_join_revenue": q_b7_multi_join_revenue,
+        "b10_stats_agg": q_b10_stats_agg,
+        "b15_interval_join": q_b15_interval_join,
+        "b1_snapshot_diff": q_b1_snapshot_diff,
+        # ---- position 51+: r02-green rows resting out of the window -----
+        "b3_change_stats": q_b3_change_stats,
+        "b21_lang_quality": q_b21_lang_quality,
+        "b21_nchars_histogram": q_b21_nchars_histogram,
+        "b25_sql_exists": q_b25_sql_exists,
+        "b25_sql_correlated": q_b25_sql_correlated,
+        "b7_outer_join": q_b7_outer_join,
+        "b10_pivot": q_b10_pivot,
+        "b10_unpivot": q_b10_unpivot,
+        "b11_value_funcs": q_b11_value_funcs,
+        "b14_regex_funcs": q_b14_regex_funcs,
+        "b14_string_sim": q_b14_string_sim,
+        "b21_pii_scrub": q_b21_pii_scrub,
+        "b21_repetition": q_b21_repetition,
+        "b19_incremental_index": q_b19_incremental_index,
+        "b28_packing": q_b28_packing,
+        "b26_train_split": q_b26_train_split,
+        "b26_stratified_sample": q_b26_stratified_sample,
+        "a6_bootstrap": q_a6_bootstrap,
+        "a10_drain_batch": q_a10_drain_batch,
+        "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
+        "b1_apply_roundtrip": q_b1_apply_roundtrip,
+        "b2_log_compaction": q_b2_log_compaction,
+        "b4_event_source": q_b4_event_source,
+        "b5_filter_json": q_b5_filter_json,
+        "b6_projection": q_b6_projection,
+        "b7_join_enrich": q_b7_join_enrich,
+        "b8_semi_join": q_b8_semi_join,
+        "b8_anti_join": q_b8_anti_join,
+        "b9_asof": q_b9_asof,
+        "b9_asof_join": q_b9_asof_join,
+        "b10_agg_pricing": q_b10_agg_pricing,
+        "b11_window_funcs": q_b11_window_funcs,
+        "b27_sketches": q_b27_sketches,
     }
 
 
@@ -2599,6 +2633,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
                    count(DISTINCT fp) AS n_distinct_fp
             FROM per_doc GROUP BY lang
+        """,
+        "b21_token_per_doc": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
+                   md5({_NORM_SQL}) AS fp
+            FROM documents
+        """,
+        "b7_salted_join": """
+            SELECT o.o_custkey, count(*) AS n_items,
+                   CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
         """,
         "b21_nchars_histogram": """
             WITH per_lang AS (

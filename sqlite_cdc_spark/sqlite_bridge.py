@@ -342,6 +342,29 @@ def bootstrap_scan(
     return total
 
 
+def _watch_paths(conn: sqlite3.Connection) -> list[str]:
+    """The files the reference watches for wakeups: main db + WAL + SHM
+    (``/root/reference/triggers.go:122-162`` registers exactly these with
+    fsnotify). Empty for in-memory databases."""
+    for _seq, name, file in conn.execute("PRAGMA database_list"):
+        if name == "main" and file:
+            return [file, file + "-wal", file + "-shm"]
+    return []
+
+
+def _fs_state(paths: list[str]) -> tuple:
+    """(mtime_ns, size) per watched file; None for a missing file — a WAL
+    appearing/disappearing is itself a change worth a drain."""
+    state = []
+    for p in paths:
+        try:
+            s = os.stat(p)
+            state.append((s.st_mtime_ns, s.st_size))
+        except OSError:
+            state.append(None)
+    return tuple(state)
+
+
 def follow_log(
     conn: sqlite3.Connection,
     out_dir: str,
@@ -350,18 +373,27 @@ def follow_log(
     poll_interval: float = 0.25,
     max_polls: int | None = None,
     stop=None,
+    check_interval: float = 0.02,
 ) -> int:
     """Continuously drain the SQLite log into the parquet stream source.
 
-    The reference's event loop blocks on fsnotify wakeups for the db/WAL
-    file and re-drains until quiet (``/root/reference/triggers.go:122-162``);
-    cadence polling is the portable single-file equivalent — each tick is
-    one :func:`poll_log` drain (ack-by-delete, at-least-once), so writes
-    appearing *after* the loop starts are picked up without re-invoking
-    anything. ``stop`` is an optional zero-arg callable (e.g.
-    ``threading.Event().is_set``) checked every tick; ``max_polls`` bounds
-    the loop for tests. Returns total changes drained.
+    Event-driven wakeup, fsnotify parity: the reference's loop blocks on
+    filesystem notifications for the db/WAL files and re-drains until
+    quiet (``/root/reference/triggers.go:122-162``). Portable equivalent:
+    between drains we stat the db/-wal/-shm files every ``check_interval``
+    (cheap: three ``os.stat`` calls) and drain IMMEDIATELY when any
+    (mtime, size) moves, instead of sleeping a fixed ``poll_interval`` —
+    write-to-drain latency is ~``check_interval``, not ``poll_interval``.
+    ``poll_interval`` remains the idle re-drain deadline (safety net for
+    clock-granularity misses and same-ns writes). Each tick is one
+    :func:`poll_log` drain (ack-by-delete, at-least-once); the baseline
+    snapshot is taken AFTER the drain so our own ack writes don't wake us.
+    ``stop`` is an optional zero-arg callable (e.g.
+    ``threading.Event().is_set``) checked every ``check_interval``;
+    ``max_polls`` bounds the loop for tests. Returns total changes drained.
     """
+    paths = _watch_paths(conn)
+    check = min(check_interval, poll_interval) if paths else poll_interval
     total = 0
     polls = 0
     while max_polls is None or polls < max_polls:
@@ -369,6 +401,14 @@ def follow_log(
             break
         total += poll_log(conn, out_dir, log_table, batch_size)
         polls += 1
-        if max_polls is None or polls < max_polls:
-            time.sleep(poll_interval)
+        if max_polls is not None and polls >= max_polls:
+            break
+        baseline = _fs_state(paths)
+        deadline = time.monotonic() + poll_interval
+        while time.monotonic() < deadline:
+            if stop is not None and stop():
+                break
+            time.sleep(check)
+            if paths and _fs_state(paths) != baseline:
+                break  # filesystem moved — wake and drain now
     return total

@@ -350,3 +350,50 @@ def test_trigger_name_literal_escaping(tmp_path):
     assert row[1] == "INSERT"
     assert '"va\'l"' in row[2] or "va'l" in row[2]
     conn.close()
+
+
+def test_follow_log_wakes_on_write_before_poll_interval(db, tmp_path):
+    # fsnotify parity (triggers.go:122-162): a write landing while the loop
+    # is idle must trigger a drain at stat-check latency (~20ms), NOT after
+    # the full poll_interval deadline — poll_interval here is 30s, so the
+    # test only passes via the filesystem wakeup
+    import glob
+    import threading
+
+    import pyarrow.parquet as pq
+
+    sqlite_bridge.setup(db, ["affinity_test"])
+    out = str(tmp_path / "wake")
+    path = db.execute("PRAGMA database_list").fetchone()[2]
+    done = threading.Event()
+
+    def run():
+        conn = sqlite3.connect(path)  # own conn: sqlite3 check_same_thread
+        try:
+            sqlite_bridge.follow_log(
+                conn, out, batch_size=50, poll_interval=30.0,
+                stop=done.is_set,
+            )
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    import time as _time
+
+    _time.sleep(0.5)  # loop has drained tick 1 and sits in its idle wait
+    t0 = _time.time()
+    _insert_rows(db, 7, offset=9000)
+    total = 0
+    while _time.time() - t0 < 5:  # ≪ the 30s poll interval
+        total = sum(
+            pq.read_table(f).num_rows for f in glob.glob(f"{out}/*.parquet")
+        )
+        if total >= 7:
+            break
+        _time.sleep(0.05)
+    elapsed = _time.time() - t0
+    done.set()
+    t.join(timeout=5)
+    assert total == 7, "write was not drained"
+    assert elapsed < 5, f"drain took {elapsed:.1f}s — wakeup did not fire"
