@@ -441,3 +441,55 @@ def test_streaming_compaction_silent_on_stale_replay(spark, tmp_path):
     # directory listing is lexicographic: f1, f2, f3)
     ids = [r.last_id for r in emitted]
     assert sorted(ids) == [2, 3]  # nothing emitted for the stale replay
+
+
+def test_streaming_compaction_out_of_order_replay(spark, tmp_path):
+    # VERDICT r2 item 7: emit-only-on-advance must also hold when a replay
+    # arrives OUT OF ORDER — a batch whose ids all sit below the applied
+    # high-water mark (not merely equal to it) stays silent, and a batch
+    # that is internally unsorted applies its max id, not its last row
+    import json
+    import time
+
+    from sqlite_cdc_spark.model import LOG_SCHEMA
+
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 1, 1)
+    row = lambda i, uid: (  # noqa: E731
+        i, "t", ts, "UPDATE", None, json.dumps({"user_id": uid, "v": i})
+    )
+    batches = [
+        [row(5, "a"), row(2, "a")],  # internally unsorted: max wins
+        [row(1, "a"), row(4, "a")],  # regression replay below hwm 5: silent
+        [row(7, "a")],               # advances: emit
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, LOG_SCHEMA).coalesce(1).write.parquet(
+            f"{log_dir}/f{i}"
+        )
+        time.sleep(1.2)  # the file source orders by mtime; disambiguate
+
+    stream = (
+        spark.readStream.schema(LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log_dir + "/f*")
+    )
+    compacted = streaming.streaming_compaction(stream)
+    emitted: list = []
+
+    def collect(batch, batch_id):
+        emitted.extend(batch.collect())
+
+    q = (
+        compacted.writeStream.foreachBatch(collect)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ids = sorted(r.last_id for r in emitted)
+    assert ids == [5, 7], ids  # nothing for the out-of-order replay batch
+    for r in emitted:  # the emitted state is the max-id row's payload
+        assert json.loads(r.after)["v"] == r.last_id
