@@ -34,13 +34,43 @@ HEADLINE = [
     "b11_window_funcs",        # analytic windows (B11)
     "b12_topk",                # per-group top-k (B12)
     "b18_dedup_exact",         # exact dedup (B18)
-    "b19_minhash_candidates",  # MinHash-LSH near-dup (B19)
+    "b19_minhash_candidates",  # MinHash-LSH near-dup, md5 oracle mode (B19)
+    "b19_minhash_xxh64",       # same plan, xxhash64 production mode (B19)
+    "b19_incremental_index",   # CDC-batch probe of a standing LSH index
     "b20_cosine_topk",         # vector top-k (B20)
     "b21_lang_quality",        # text analysis (B21)
     "b24_corpus_build",        # composed corpus pipeline (B24 capstone)
     "b25_sql_cte_top_supplier",  # SQL surface: CTE + subquery (B25)
     "b28_training_manifest",   # gate→dedup→sample→split manifest (B28)
+    "b28_packing",             # two-phase prefix-sum sequence packing (B28)
 ]
+
+
+def _minhash_xxh64(spark, sf_dir):
+    """Production-hash twin of b19_minhash_candidates: identical plan
+    shape with the default xxhash64 base hash instead of the portable-md5
+    oracle mode — benched as its own line so the oracle-mode hash cost is
+    visible instead of reading as a round-over-round regression."""
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import dedup
+    from sqlite_cdc_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="xxhash64",
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+#: bench-only variants not in the driver's queries() registry
+EXTRA = {"b19_minhash_xxh64": _minhash_xxh64}
 
 
 def main() -> None:
@@ -54,7 +84,7 @@ def main() -> None:
     queries = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
+        fn = EXTRA.get(name) or queries[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
