@@ -758,6 +758,26 @@ def q_b19_minhash_candidates(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_b19_dup_clusters(spark, sf_dir):
+    """Dup-cluster formation (B19 depth): near-dup PAIRS are not
+    actionable for a corpus build until transitively closed into
+    components — keep each cluster's min id, drop the rest. Spark side:
+    iterative min-label propagation (dedup.dup_clusters); oracle side:
+    the same closure as a DuckDB recursive CTE over the identical
+    portable-md5 pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    )
+    return dedup.dup_clusters(pairs)
+
+
 def q_b19_simhash(spark, sf_dir):
     """SimHash near-dup candidates in portable-hash mode (60-bit md5-based
     fingerprints — DuckDB replays votes, fingerprint, banding and the
@@ -1236,6 +1256,33 @@ def q_b21_token_per_doc(spark, sf_dir):
     )
 
 
+def q_b21_fingerprints(spark, sf_dir):
+    """Rolling windowed fingerprints (B21 depth): stride-8 md5 over
+    16-token windows, exploded to (doc_id, win_idx, fp) — the building
+    block for fuzzy containment / plagiarism-style matching
+    (textops.rolling_fingerprints)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", textops.rolling_fingerprints("text").alias("fps"))
+    return fps.select(
+        "doc_id", F.posexplode("fps").alias("win_idx", "fp")
+    ).withColumn("win_idx", F.col("win_idx").cast("bigint"))
+
+
+def q_b28_mixture(spark, sf_dir):
+    """Budget-aware mixture sampling (B28 depth): downsample each language
+    to a token budget with integer-exact deterministic keep rates
+    (sampling.mixture_sample) — the data-mixing step of a corpus build."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", textops.token_count("text").alias("n_tok")
+    )
+    mixed = sampling.mixture_sample(
+        sized, "lang", "doc_id", "n_tok",
+        budgets={"en": 4000, "de": 1500}, default_budget=2000,
+    )
+    return mixed.select("doc_id", "lang", "n_tok")
+
+
 def q_b21_nchars_histogram(spark, sf_dir):
     """n-chars distribution over documents (B21): 50-char buckets with
     count + share, per language."""
@@ -1452,6 +1499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ----------------------------------------------
         "b21_token_per_doc": q_b21_token_per_doc,
         "b7_salted_join": q_b7_salted_join,
+        "b19_dup_clusters": q_b19_dup_clusters,
+        "b21_fingerprints": q_b21_fingerprints,
+        "b28_mixture": q_b28_mixture,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1486,7 +1536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_ann_ivf": q_b20_ann_ivf,
         # --- r02-green anchors filling the window to 50 ------------------
         "b19_minhash_candidates": q_b19_minhash_candidates,
-        "b19_simhash": q_b19_simhash,
         "b20_ann_recall": q_b20_ann_recall,
         "b29_decontamination": q_b29_decontamination,
         "b26_hash_sample": q_b26_hash_sample,
@@ -1495,10 +1544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b2_scd2": q_b2_scd2,
         "b7_multi_join_revenue": q_b7_multi_join_revenue,
-        "b10_stats_agg": q_b10_stats_agg,
-        "b15_interval_join": q_b15_interval_join,
         "b1_snapshot_diff": q_b1_snapshot_diff,
         # ---- position 51+: r02-green rows resting out of the window -----
+        "b19_simhash": q_b19_simhash,
+        "b10_stats_agg": q_b10_stats_agg,
+        "b15_interval_join": q_b15_interval_join,
         "b3_change_stats": q_b3_change_stats,
         "b21_lang_quality": q_b21_lang_quality,
         "b21_nchars_histogram": q_b21_nchars_histogram,
@@ -1616,6 +1666,31 @@ def _minhash_oracle_sql() -> str:
           JOIN tsets sb ON sb.doc_id = cand.id_b
         )
         SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.8
+    """
+
+
+def _dup_clusters_oracle_sql() -> str:
+    """DuckDB replay of q_b19_dup_clusters: the portable-md5 pair set
+    (same SQL as the b19_minhash_candidates oracle, nested as a CTE)
+    transitively closed by a recursive CTE — label = min reachable id,
+    the same canonical labeling dedup.dup_clusters converges to."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT DISTINCT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+        ),
+        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size
+        FROM lab
     """
 
 
@@ -2633,6 +2708,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
                    count(DISTINCT fp) AS n_distinct_fp
             FROM per_doc GROUP BY lang
+        """,
+        "b19_dup_clusters": _dup_clusters_oracle_sql(),
+        "b21_fingerprints": f"""
+            WITH tk AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
+                   md5(array_to_string(list_slice(toks, i*8 + 1, i*8 + 16),
+                       ' ')) AS fp
+            FROM tk,
+                 unnest(generate_series(0,
+                   greatest((len(toks) - 16) // 8, 0))) AS t(i)
+        """,
+        "b28_mixture": f"""
+            WITH sized AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            totals AS (
+              SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
+            ),
+            rates AS (
+              SELECT lang,
+                     least(100,
+                       ((CASE lang WHEN 'en' THEN 4000
+                                   WHEN 'de' THEN 1500
+                                   ELSE 2000 END) * 100) // total) AS keep_b
+              FROM totals
+            )
+            SELECT s.doc_id, s.lang, s.n_tok
+            FROM sized s JOIN rates r ON s.lang = r.lang
+            WHERE {sampling.bucket_sql('s.doc_id')} < r.keep_b
         """,
         "b21_token_per_doc": f"""
             SELECT doc_id,

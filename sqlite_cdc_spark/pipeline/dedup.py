@@ -551,3 +551,69 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- dup-cluster formation (B19 depth: pairs → components) -------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every doc appearing in a
+    pair gets a ``cluster_id`` = the smallest doc id in its component.
+    Pair output (A~B, B~C) is not directly actionable for corpus builds —
+    the keep/drop decision needs the transitive closure (keep cluster min,
+    drop the rest); this is that closure.
+
+    Iterative min-label propagation, the textbook distributed CC
+    algorithm: labels start as self, each round every vertex takes the min
+    of its own and its neighbors' labels, stop when no label moved.
+    Converges in O(component diameter) rounds — near-dup clusters are
+    short chains (a doc and its close variants), so 2-4 rounds in
+    practice; ``max_iter`` only backstops adversarial chains. Per round:
+    one equi-join (edges ⋈ labels) + one min-agg — both shuffle on the
+    vertex id, no cartesian. ``localCheckpoint`` truncates the lineage so
+    the plan stays flat across rounds (iterative DAGs otherwise grow
+    exponentially); the per-round ``count`` action is the convergence
+    test every driver-side iterative algorithm needs — the data itself
+    never leaves the executors. At 100 TB with adversarially long chains,
+    swap the propagation loop for large-star/small-star (same join
+    primitive, O(log n) rounds).
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every round: compute the pair plan once
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "label")
+        new = (
+            labels.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        moved = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if moved == 0:
+            break
+    sizes = Window.partitionBy("label")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(sizes).cast("bigint").alias("cluster_size"),
+    )

@@ -191,3 +191,58 @@ def stratified_sample(
         rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
     rate = rate.otherwise(default_rate) if rate is not None else F.lit(default_rate)
     return df.filter(hash_bucket(key, buckets) < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    budgets: Mapping[str, int],
+    default_budget: int | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """Budget-aware mixture sampling — the data-mixing step of a corpus
+    build: deterministically downsample each group (domain / language /
+    source) to ≈ its ``size_col`` budget (e.g. a token budget per lang).
+
+    Three cheap steps: (1) per-group totals — one partial+final agg whose
+    result is |groups| rows; (2) keep rate as an INTEGER bucket count,
+    ``keep_b = min(buckets, (budget * buckets) div total)`` — exact
+    integer arithmetic, so the decision replays identically on any engine
+    (a float rate can flip a floor() on representation noise); (3) the
+    tiny rate table broadcast back and ``bucket(key) < keep_b`` applied
+    as a narrow map — the corpus itself is never shuffled. Quota
+    resolution is 1/buckets (±1% at the default 100); raise ``buckets``
+    for finer quotas. Groups absent from ``budgets`` keep everything
+    unless ``default_budget`` is given. Deterministic: same key → same
+    keep decision on every run at any parallelism.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(F.col(size_col)).alias("__total"))
+    case = None
+    for g, amount in budgets.items():
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(int(amount))
+        case = F.when(cond, lit) if case is None else case.when(cond, lit)
+    if case is None:
+        budget = F.lit(default_budget).cast("long")
+    elif default_budget is not None:
+        budget = case.otherwise(F.lit(int(default_budget)))
+    else:
+        budget = case  # unbudgeted groups -> NULL -> keep everything
+    rates = totals.withColumn("__budget", budget).select(
+        group_col,
+        F.when(F.col("__budget").isNull(), F.lit(buckets))
+        .otherwise(
+            F.least(
+                F.lit(buckets), F.expr(f"(__budget * {int(buckets)}) div __total")
+            )
+        )
+        .cast("long")
+        .alias("__keep_b"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(key_col, buckets) < F.col("__keep_b"))
+        .drop("__keep_b")
+    )

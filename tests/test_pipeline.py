@@ -385,3 +385,80 @@ def test_repetition_features_flags_degenerate_text(spark):
     assert rows[2]["distinct_ratio"] == 1.0
     assert rows[2]["top_token_ratio"] == round(1 / 6, 6)
     assert rows[2]["dup_2gram_ratio"] == 0.0
+
+
+def test_dup_clusters_transitive_closure(spark):
+    # pairs (2,1),(2,3) chain into one component labeled by its min id;
+    # disjoint pairs stay separate; labels converge regardless of pair
+    # orientation
+    from sqlite_cdc_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    out = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(pairs).collect()
+    )
+    assert out == [
+        (1, 1, 3), (2, 1, 3), (3, 1, 3),
+        (10, 10, 2), (11, 10, 2),
+        (20, 20, 2), (21, 20, 2),
+    ]
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-hop path needs multiple propagation rounds — exercises the
+    # fixpoint loop, not just one round
+    from sqlite_cdc_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    rows = dedup.dup_clusters(pairs).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert all(r.cluster_size == 13 for r in rows)
+
+
+def test_mixture_sample_quota_and_determinism(spark):
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+        F.lit(10).alias("n_tok"),
+    )
+    # de: 1500 docs * 10 tok = 15000 total, budget 3000 -> keep_b 20 -> ~20%
+    # en: 500 * 10 = 5000 total, budget 5000 -> keep everything
+    out = sampling.mixture_sample(
+        df, "lang", "doc_id", "n_tok", budgets={"de": 3000, "en": 5000}
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 500
+    assert 0 < counts["de"] < 1500 * 0.3  # ≈20% of 1500, quota respected
+    # deterministic: a second run keeps the identical doc set
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.mixture_sample(
+            df, "lang", "doc_id", "n_tok", budgets={"de": 3000, "en": 5000}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_mixture_sample_unbudgeted_group_kept(spark):
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, "en").otherwise("xx").alias("lang"),
+        F.lit(100).alias("n_tok"),
+    )
+    # no default budget: 'xx' has no quota -> fully kept
+    out = sampling.mixture_sample(
+        df, "lang", "doc_id", "n_tok", budgets={"en": 1000}
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["xx"] == 50
+    assert counts["en"] < 50  # en is quota'd (1000 of 5000 tokens -> 20%)
