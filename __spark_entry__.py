@@ -1410,6 +1410,32 @@ def q_b29_decontamination(spark, sf_dir):
     return decontam.ngram_contamination(corpus, bench, "doc_id", "text", n=5)
 
 
+def q_b29_containment(spark, sf_dir):
+    """Fuzzy containment decontamination (B29 depth): windowed-fingerprint
+    match — dense benchmark windows (stride 1) vs stride-8 corpus samples,
+    guaranteeing detection of any shared run ≥ 23 tokens at 1/8 the
+    corpus row volume of exact n-grams. Same planted fixture as
+    b29_decontamination; the planted docs append a full benchmark text,
+    so they must be flagged here too."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    bench0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
+    planted = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .crossJoin(F.broadcast(bench0))
+        .select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("bt")).alias("text"),
+        )
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") >= 20)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return decontam.fingerprint_containment(corpus, bench, "doc_id", "text")
+
+
 def q_b21_pii_scrub(spark, sf_dir):
     """PII audit + redaction over planted emails/phones/IPs (engine-equal
     character-class regexes: no lookarounds, no backrefs)."""
@@ -1502,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_dup_clusters": q_b19_dup_clusters,
         "b21_fingerprints": q_b21_fingerprints,
         "b28_mixture": q_b28_mixture,
+        "b29_containment": q_b29_containment,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1544,8 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b2_scd2": q_b2_scd2,
         "b7_multi_join_revenue": q_b7_multi_join_revenue,
-        "b1_snapshot_diff": q_b1_snapshot_diff,
         # ---- position 51+: r02-green rows resting out of the window -----
+        "b1_snapshot_diff": q_b1_snapshot_diff,
         "b19_simhash": q_b19_simhash,
         "b10_stats_agg": q_b10_stats_agg,
         "b15_interval_join": q_b15_interval_join,
@@ -1829,6 +1856,48 @@ def _decontam_oracle_sql() -> str:
         SELECT c.doc_id,
                CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_ngrams,
                COALESCE(n, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """
+
+
+def _containment_oracle_sql() -> str:
+    """DuckDB replay of q_b29_containment: dense benchmark window
+    fingerprints vs stride-8 corpus window fingerprints over the same
+    planted fixture as the exact-n-gram oracle."""
+    return f"""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        b0 AS (SELECT text AS bt FROM documents WHERE doc_id = 0),
+        corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 20
+          UNION ALL
+          SELECT doc_id + 300000 AS doc_id, text || ' ' || bt AS text
+          FROM documents, b0 WHERE doc_id % 10 = 5
+        ),
+        btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
+        bfp AS (
+          SELECT DISTINCT
+                 md5(array_to_string(list_slice(toks, i + 1, i + 16), ' ')) AS fp
+          FROM btk,
+               unnest(generate_series(0, greatest(len(toks) - 16, 0))) AS t(i)
+        ),
+        ctk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
+        ),
+        cfp AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(list_slice(toks, i*8 + 1, i*8 + 16),
+                     ' ')) AS fp
+          FROM ctk,
+               unnest(generate_series(0,
+                 greatest((len(toks) - 16) // 8, 0))) AS t(i)
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM cfp JOIN bfp USING (fp)
+          GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_windows,
+               COALESCE(n, 0) > 0 AS contained
         FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
     """
 
@@ -2614,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "b29_decontamination": _decontam_oracle_sql(),
+        "b29_containment": _containment_oracle_sql(),
         "b21_pii_scrub": _pii_oracle_sql(),
         "b21_repetition": _repetition_oracle_sql(),
         "b23_udf_features": _udf_features_oracle_sql(),

@@ -89,3 +89,60 @@ def decontaminate(
     return corpus.join(
         flagged.select(F.col(id_col)), id_col, "left_anti"
     )
+
+
+def fingerprint_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    window_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Fuzzy containment decontamination via windowed fingerprints: flag
+    corpus docs sharing any ``window_tokens``-token window with a
+    benchmark doc — catches long verbatim passages at a fraction of
+    the exact-n-gram row volume.
+
+    Asymmetric sampling gives a detection guarantee: the benchmark side
+    is DENSE (stride 1 — every window; eval sets are small by
+    construction) while the corpus side is SPARSE (every ``stride``-th
+    window). Any shared verbatim run of ≥ ``window_tokens + stride - 1``
+    tokens must contain a corpus-sampled window entirely, and the dense
+    benchmark has every window — so the match cannot be missed. Corpus
+    cost: ~|tokens|/stride fingerprint rows (``stride``× fewer than
+    per-token n-grams) through the same broadcast equi-join shape as
+    :func:`ngram_contamination` — at 100 TB the corpus side stays one
+    narrow pass + one keyed agg, benchmark fingerprints broadcast.
+    """
+    from .text import rolling_fingerprints
+
+    bench_fp = (
+        benchmark.select(
+            F.explode(
+                rolling_fingerprints(bench_text_col or text_col, window_tokens, 1)
+            ).alias("fp")
+        ).distinct()
+    )
+    corp_fp = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.explode(rolling_fingerprints(text_col, window_tokens, stride)).alias("fp"),
+    ).distinct()
+    hits = (
+        corp_fp.join(F.broadcast(bench_fp), "fp")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("n_shared_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_windows"),
+            (F.coalesce(F.col("n_shared_windows"), F.lit(0)) > 0).alias("contained"),
+        )
+    )

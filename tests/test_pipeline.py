@@ -462,3 +462,24 @@ def test_mixture_sample_unbudgeted_group_kept(spark):
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["xx"] == 50
     assert counts["en"] < 50  # en is quota'd (1000 of 5000 tokens -> 20%)
+
+
+def test_fingerprint_containment_flags_planted_run(spark):
+    # a corpus doc embedding a >=23-token verbatim benchmark run MUST be
+    # flagged (dense-bench/sparse-corpus sampling guarantee); clean docs
+    # must not be
+    from sqlite_cdc_spark.pipeline import decontam
+
+    bench_text = " ".join(f"b{i}" for i in range(30))
+    clean_text = " ".join(f"c{i}" for i in range(40))
+    dirty_text = " ".join(f"d{i}" for i in range(11)) + " " + bench_text
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, clean_text), (2, dirty_text)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_shared_windows, r.contained)
+        for r in decontam.fingerprint_containment(corpus, bench).collect()
+    }
+    assert rows[1] == (0, False)
+    assert rows[2][0] > 0 and rows[2][1] is True
