@@ -1256,6 +1256,26 @@ def q_b21_token_per_doc(spark, sf_dir):
     )
 
 
+def q_b21_top_tokens(spark, sf_dir):
+    """Corpus vocabulary stats (B21 depth): top-10 tokens per language by
+    raw count with a total tie-break (count desc, token asc) — the vocab
+    coverage / tokenizer-fit check of corpus QA. One explode pass into a
+    partial+final agg, then a per-group window top-k: no global sort, no
+    driver collection."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(textops.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 def q_b21_fingerprints(spark, sf_dir):
     """Rolling windowed fingerprints (B21 depth): stride-8 md5 over
     16-token windows, exploded to (doc_id, win_idx, fp) — the building
@@ -1529,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_fingerprints": q_b21_fingerprints,
         "b28_mixture": q_b28_mixture,
         "b29_containment": q_b29_containment,
+        "b21_top_tokens": q_b21_top_tokens,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1570,8 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_multimodal_meta": q_b22_multimodal_meta,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b2_scd2": q_b2_scd2,
-        "b7_multi_join_revenue": q_b7_multi_join_revenue,
         # ---- position 51+: r02-green rows resting out of the window -----
+        "b7_multi_join_revenue": q_b7_multi_join_revenue,
         "b1_snapshot_diff": q_b1_snapshot_diff,
         "b19_simhash": q_b19_simhash,
         "b10_stats_agg": q_b10_stats_agg,
@@ -2780,6 +2801,23 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY lang
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
+        "b21_top_tokens": f"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            counts AS (
+              SELECT lang, tok, count(*) AS n FROM toks
+              WHERE tok <> '' GROUP BY lang, tok
+            )
+            SELECT lang, tok, n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank
+              FROM counts
+            ) WHERE rank <= 10
+        """,
         "b21_fingerprints": f"""
             WITH tk AS (
               SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks

@@ -148,3 +148,33 @@ def test_ann_recall_no_cartesian(spark, sf_dir):
     # candidate generation is an equi-join on bucket; only the exact-topk
     # reference (4 queries) broadcasts
     assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b28_mixture")
+    # the per-group rate table joins back via broadcast: the corpus side
+    # is never shuffled for the join (its only Exchange feeds the tiny
+    # totals agg)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_broadcasts_bench_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b29_containment")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_tokens_is_window_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b21_top_tokens")
+    # per-lang top-k = partial+final hash agg then a per-group window;
+    # no global range sort of the token counts
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_no_shuffle_of_salt_range(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b7_salted_join")
+    # the salt range replicates via broadcast nested loop (8 rows), the
+    # data join itself is a hash join on (key, salt)
+    assert "CartesianProduct" not in plan
