@@ -1279,13 +1279,12 @@ def q_b21_top_tokens(spark, sf_dir):
 def q_b21_fingerprints(spark, sf_dir):
     """Rolling windowed fingerprints (B21 depth): stride-8 md5 over
     16-token windows, exploded to (doc_id, win_idx, fp) — the building
-    block for fuzzy containment / plagiarism-style matching
-    (textops.rolling_fingerprints)."""
+    block for fuzzy containment / plagiarism-style matching. Uses the
+    codegen row form (textops.fingerprint_rows: posexplode + window
+    leads), output-identical to exploding the array-form
+    rolling_fingerprints but free of interpreted HOF lambdas."""
     docs = _t(spark, sf_dir, "documents")
-    fps = docs.select("doc_id", textops.rolling_fingerprints("text").alias("fps"))
-    return fps.select(
-        "doc_id", F.posexplode("fps").alias("win_idx", "fp")
-    ).withColumn("win_idx", F.col("win_idx").cast("bigint"))
+    return textops.fingerprint_rows(docs, "doc_id", "text")
 
 
 def q_b28_mixture(spark, sf_dir):

@@ -117,19 +117,21 @@ def fingerprint_containment(
     :func:`ngram_contamination` — at 100 TB the corpus side stays one
     narrow pass + one keyed agg, benchmark fingerprints broadcast.
     """
-    from .text import rolling_fingerprints
+    from .text import fingerprint_rows
 
     bench_fp = (
-        benchmark.select(
-            F.explode(
-                rolling_fingerprints(bench_text_col or text_col, window_tokens, 1)
-            ).alias("fp")
-        ).distinct()
+        fingerprint_rows(
+            benchmark, bench_id_col or id_col, bench_text_col or text_col,
+            window_tokens, 1,
+        )
+        .select("fp")
+        .distinct()
     )
-    corp_fp = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.explode(rolling_fingerprints(text_col, window_tokens, stride)).alias("fp"),
-    ).distinct()
+    corp_fp = (
+        fingerprint_rows(corpus, id_col, text_col, window_tokens, stride)
+        .select(F.col(id_col).alias("doc"), "fp")
+        .distinct()
+    )
     hits = (
         corp_fp.join(F.broadcast(bench_fp), "fp")
         .groupBy("doc")

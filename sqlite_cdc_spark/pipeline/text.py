@@ -257,3 +257,57 @@ def rolling_fingerprints(col: Column | str, window_tokens: int = 16, stride: int
         starts,
         lambda i: F.md5(F.array_join(F.slice(toks, i * stride + 1, window_tokens), " ")),
     )
+
+
+def fingerprint_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Row-form rolling fingerprints — the whole-stage-codegen path.
+
+    Output-identical to ``explode(rolling_fingerprints(...))`` (one row
+    per stride-spaced window: ``(id_col, win_idx, fp)``), but built from
+    ``posexplode`` + window ``lead``s + ``concat_ws`` instead of a
+    ``transform()`` lambda — higher-order-function lambdas run
+    interpreted per element, and this exact rewrite measured ~50× on the
+    shingle pipeline (PERF.md). Use this form on the corpus-scale side;
+    the array form remains for per-doc array consumers.
+
+    Window starts replicate the array form exactly: every ``stride``-th
+    position up to ``n - window_tokens``, plus position 0 for docs
+    shorter than one window (``concat_ws`` drops the NULL leads past the
+    end, matching the truncated ``slice``).
+    """
+    from pyspark.sql import Window as W
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, window_tokens)
+    ]
+    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    return (
+        ex.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("__win"),
+            n.alias("__n"),
+        )
+        .filter(
+            (F.col("pos") % stride == 0)
+            & (
+                (F.col("pos") <= F.col("__n") - window_tokens)
+                | (F.col("pos") == 0)
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"pos div {int(stride)}").cast("bigint").alias("win_idx"),
+            F.md5("__win").alias("fp"),
+        )
+    )

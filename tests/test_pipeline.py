@@ -483,3 +483,30 @@ def test_fingerprint_containment_flags_planted_run(spark):
     }
     assert rows[1] == (0, False)
     assert rows[2][0] > 0 and rows[2][1] is True
+
+
+def test_fingerprint_rows_equals_array_form(spark):
+    # the codegen row form must be output-identical to exploding the
+    # array-form rolling_fingerprints, across every length regime:
+    # empty, < window, == window, window+stride-1 boundary, long
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    rows = [
+        (d, " ".join(f"w{d}x{i}" for i in range(k)))
+        for d, k in enumerate([0, 1, 5, 15, 16, 17, 23, 24, 25, 40, 100, 129])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r.doc_id, r.win_idx, r.fp)
+        for r in textops.fingerprint_rows(df, "doc_id").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.win_idx, r.fp)
+        for r in df.select(
+            "doc_id",
+            F.posexplode(textops.rolling_fingerprints("text")).alias(
+                "win_idx", "fp"
+            ),
+        ).collect()
+    )
+    assert a == b
