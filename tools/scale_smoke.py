@@ -134,7 +134,32 @@ def text_ops(spark, path: str) -> dict[str, float]:
         .write.format("noop").mode("overwrite").save())
     run("decontamination", lambda: decontam.ngram_contamination(docs, bench)
         .write.format("noop").mode("overwrite").save())
+    run("containment", lambda: decontam.fingerprint_containment(docs, bench)
+        .write.format("noop").mode("overwrite").save())
     run("repetition_rules", lambda: textops.repetition_features(docs)
+        .write.format("noop").mode("overwrite").save())
+    run("mixture_sample", lambda: sampling.mixture_sample(
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), 5).cast("string").alias("lang"),
+            F.lit(30).alias("n_tok"),
+        ),
+        "lang", "doc_id", "n_tok", budgets={"0": 100_000, "1": 50_000},
+        default_budget=200_000)
+        .write.format("noop").mode("overwrite").save())
+    # dup-cluster formation over synthetic pair components (size 2-3, the
+    # realistic near-dup shape): measures the iterative CC rounds, not the
+    # pair generation
+    n = out["doc_rows"]
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + n).alias("id_b")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + n).alias("id_a"),
+            (F.col("doc_id") + 2 * n).alias("id_b"),
+        )
+    )
+    run("dup_clusters", lambda: dedup.dup_clusters(pairs)
         .write.format("noop").mode("overwrite").save())
     return out
 
