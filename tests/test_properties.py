@@ -104,3 +104,71 @@ def test_row_image_field_extraction(spark, vals):
         parsed = json.loads(r.img)
         assert parsed["a"] == r.a
         assert parsed["s"] == r.s
+
+
+edges_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(edges=edges_st)
+@settings(**SETTINGS)
+def test_dup_clusters_is_valid_partition(spark, edges):
+    """For ANY pair set: every endpoint gets exactly one cluster, both
+    endpoints of every pair share a cluster, each cluster is labeled by
+    its own min member, and sizes are consistent — i.e. the output is a
+    genuine partition refinable to connected components."""
+    from sqlite_cdc_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = dedup.dup_clusters(pairs).collect()
+    label = {r.doc_id: r.cluster_id for r in rows}
+    size = {r.doc_id: r.cluster_size for r in rows}
+    verts = {v for e in edges for v in e}
+    assert set(label) == verts  # every endpoint labeled exactly once
+    for a, b in edges:
+        assert label[a] == label[b]  # pair endpoints co-clustered
+    from collections import Counter
+
+    members = Counter(label.values())
+    for v in verts:
+        assert label[label[v]] == label[v]  # label is a member of its own cluster
+        assert label[v] == min(
+            u for u in verts if label[u] == label[v]
+        )  # canonical min labeling
+        assert size[v] == members[label[v]]
+
+
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    budget=st.integers(min_value=0, max_value=2000),
+)
+@settings(**SETTINGS)
+def test_mixture_sample_subset_and_monotone(spark, keys, budget):
+    """For ANY key set and budget: the sample is a subset of the input,
+    and raising the budget never drops a previously kept row
+    (monotonicity — the property that makes budget tuning reproducible)."""
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(k, "g", 10) for k in keys], "doc_id long, lang string, n_tok long"
+    )
+    lo = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            df, "lang", "doc_id", "n_tok", budgets={"g": budget}
+        ).collect()
+    }
+    hi = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            df, "lang", "doc_id", "n_tok", budgets={"g": budget * 2 + 10}
+        ).collect()
+    }
+    assert lo <= keys and hi <= keys
+    assert lo <= hi
