@@ -37,12 +37,14 @@ HEADLINE = [
     "b19_minhash_candidates",  # MinHash-LSH near-dup, md5 oracle mode (B19)
     "b19_minhash_xxh64",       # same plan, xxhash64 production mode (B19)
     "b19_incremental_index",   # CDC-batch probe of a standing LSH index
+    "b19_dup_clusters",        # pairs → components (iterative CC) (B19 depth)
     "b20_cosine_topk",         # vector top-k (B20)
     "b21_lang_quality",        # text analysis (B21)
     "b24_corpus_build",        # composed corpus pipeline (B24 capstone)
     "b25_sql_cte_top_supplier",  # SQL surface: CTE + subquery (B25)
     "b28_training_manifest",   # gate→dedup→sample→split manifest (B28)
     "b28_packing",             # two-phase prefix-sum sequence packing (B28)
+    "b29_containment",         # fuzzy windowed-fingerprint decontam (B29 depth)
 ]
 
 
