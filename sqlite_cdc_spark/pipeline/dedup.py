@@ -594,23 +594,28 @@ def dup_clusters(
     labels = edges.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("v", "src"), "src"
         ).select(F.col("dst").alias("v"), "label")
         new = (
             labels.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        moved = (
-            new.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # round 1 always moves labels when any edge exists — skip its
+        # convergence job (each driver-side action costs a full job of
+        # scheduling overhead, which dominates at small scale)
+        if it > 0:
+            moved = (
+                new.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if moved == 0:
+                labels = new
+                break
         labels = new
-        if moved == 0:
-            break
     sizes = Window.partitionBy("label")
     return labels.select(
         F.col("v").alias("doc_id"),
