@@ -826,6 +826,18 @@ def q_b19_embedding_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
+def q_b19_embedding_clusters(spark, sf_dir):
+    """Cross-modality composition (B19 depth): dup-cluster formation over
+    EMBEDDING-space near-dup pairs — the same dup_clusters operator that
+    closes MinHash pairs closes cosine pairs (threshold 0.4, exact mode;
+    pair membership is the already-oracled b19_embedding_dups decision)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.4, exact=True)
+    return dedup.dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
 def q_b20_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 4)
@@ -1549,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b28_mixture": q_b28_mixture,
         "b29_containment": q_b29_containment,
         "b21_top_tokens": q_b21_top_tokens,
+        "b19_embedding_clusters": q_b19_embedding_clusters,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1589,8 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_udf_features": q_b23_udf_features,
         "b22_multimodal_meta": q_b22_multimodal_meta,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
-        "b2_scd2": q_b2_scd2,
         # ---- position 51+: r02-green rows resting out of the window -----
+        "b2_scd2": q_b2_scd2,
         "b7_multi_join_revenue": q_b7_multi_join_revenue,
         "b1_snapshot_diff": q_b1_snapshot_diff,
         "b19_simhash": q_b19_simhash,
@@ -2707,6 +2720,36 @@ def oracle_sql() -> dict[str, str]:
         "b21_pii_scrub": _pii_oracle_sql(),
         "b21_repetition": _repetition_oracle_sql(),
         "b23_udf_features": _udf_features_oracle_sql(),
+        "b19_embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[]))))
+                    >= 0.4
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT DISTINCT src AS v, src AS r FROM edges
+              UNION
+              SELECT e.dst AS v, reach.r AS r
+              FROM reach JOIN edges e ON e.src = reach.v
+            ),
+            lab AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
+            SELECT vec_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS cluster_size
+            FROM lab
+        """,
         "b19_embedding_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
