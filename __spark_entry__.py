@@ -818,6 +818,41 @@ def q_b19_incremental_index(spark, sf_dir):
     return hits.select("new_id", "corpus_id")
 
 
+def q_b19_incremental_clusters(spark, sf_dir):
+    """The full CDC × dedup loop (B19 capstone): a standing corpus with
+    planted near-dups is clustered ONCE (minhash pairs → dup_clusters);
+    then a CDC batch of new documents probes the standing LSH index
+    (cost ∝ batch) and its candidate pairs merge into the assignment via
+    update_clusters (cost ∝ batch + affected clusters). Batch docs derived
+    from docs that already have a planted twin exercise real cluster
+    MERGES, not just appends. Oracle: from-scratch recursive-CTE closure
+    over (standing pairs ∪ batch pairs) — the incremental path must equal
+    the full recompute."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    pairs1 = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    labels = dedup.dup_clusters(pairs1)
+    batch = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
+    )
+    index = dedup.build_lsh_index(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    )
+    hits = dedup.query_lsh_index(
+        index, batch, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    )
+    return dedup.update_clusters(labels, hits, "new_id", "corpus_id")
+
+
 def q_b19_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact mode; the LSH mode is the
     scale path, exercised in unit tests)."""
@@ -1562,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_containment": q_b29_containment,
         "b21_top_tokens": q_b21_top_tokens,
         "b19_embedding_clusters": q_b19_embedding_clusters,
+        "b19_incremental_clusters": q_b19_incremental_clusters,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1601,8 +1637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_hash_sample": q_b26_hash_sample,
         "b23_udf_features": q_b23_udf_features,
         "b22_multimodal_meta": q_b22_multimodal_meta,
-        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         # ---- position 51+: r02-green rows resting out of the window -----
+        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b2_scd2": q_b2_scd2,
         "b7_multi_join_revenue": q_b7_multi_join_revenue,
         "b1_snapshot_diff": q_b1_snapshot_diff,
@@ -1808,6 +1844,108 @@ def _incremental_index_oracle_sql() -> str:
         FROM q_banded q JOIN c_banded c
           ON q.band = c.band AND q.bucket = c.bucket
         WHERE q.doc_id != c.doc_id
+    """
+
+
+def _incremental_clusters_oracle_sql() -> str:
+    """DuckDB replay of q_b19_incremental_clusters: from-scratch closure
+    over (standing minhash-verified pairs ∪ batch index-probe pairs) —
+    the oracle for the incremental update path being exact."""
+    P = dedup.MINHASH_P
+    fam = dedup._hash_family(32)
+    mins = ",\n                 ".join(
+        f"min((h * {a} + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+
+    def fold(b: int) -> str:
+        expr = f"h{b * 4}"
+        for j in range(1, 4):
+            expr = f"(({expr}) * {dedup.BAND_B} + h{b * 4 + j}) % {P}"
+        return expr
+
+    buckets = ", ".join(fold(b) for b in range(8))
+    bands = ", ".join(str(b) for b in range(8))
+
+    def banded(src: str, alias: str) -> str:
+        return f"""
+        {alias}_tk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}
+        ),
+        {alias}_sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> {_GRAM3_SQL})) AS sh
+          FROM {alias}_tk
+        ),
+        {alias}_hashed AS (
+          SELECT doc_id, ({dedup.portable_hash60_sql('sh')}) % {P} AS h
+          FROM {alias}_sh
+        ),
+        {alias}_sig AS (
+          SELECT doc_id, {mins} FROM {alias}_hashed GROUP BY doc_id
+        ),
+        {alias}_banded AS (
+          SELECT doc_id, unnest([{bands}]) AS band,
+                 unnest([{buckets}]) AS bucket
+          FROM {alias}_sig
+        )"""
+
+    return f"""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 20
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
+          FROM documents WHERE doc_id % 7 = 0 AND doc_id >= 20
+        ),
+        batch AS (
+          SELECT doc_id + 400000 AS doc_id, text || ' qqq' AS text
+          FROM documents WHERE doc_id >= 20 AND doc_id < 40
+        ),{banded('corpus', 'c')},{banded('batch', 'q')},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM c_banded a JOIN c_banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id
+        ),
+        tsets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                               i -> {_GRAM3_SQL})) AS shs
+          FROM c_tk
+        ),
+        p1 AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                   / CAST(len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS j
+            FROM cand
+            JOIN tsets sa ON sa.doc_id = cand.id_a
+            JOIN tsets sb ON sb.doc_id = cand.id_b
+          ) WHERE j >= 0.8
+        ),
+        p2 AS (
+          SELECT DISTINCT q.doc_id AS id_a, c.doc_id AS id_b
+          FROM q_banded q JOIN c_banded c
+            ON q.band = c.band AND q.bucket = c.bucket
+          WHERE q.doc_id != c.doc_id
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p1
+          UNION SELECT id_b, id_a FROM p1
+          UNION SELECT id_a, id_b FROM p2
+          UNION SELECT id_b, id_a FROM p2
+        ),
+        reach AS (
+          SELECT DISTINCT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+        ),
+        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+        SELECT doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                 AS cluster_size
+        FROM lab
     """
 
 
@@ -2843,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY lang
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
+        "b19_incremental_clusters": _incremental_clusters_oracle_sql(),
         "b21_top_tokens": f"""
             WITH toks AS (
               SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok

@@ -622,3 +622,57 @@ def dup_clusters(
         F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(sizes).cast("bigint").alias("cluster_size"),
     )
+
+
+def update_clusters(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental dup-cluster maintenance under CDC: merge a batch of NEW
+    near-dup pairs into an existing assignment without re-running
+    connected components over the corpus pair set.
+
+    ``labels`` is a prior :func:`dup_clusters` output (``doc_id,
+    cluster_id, cluster_size`` — ``cluster_id`` is the component min, so
+    it is itself a member vertex). The merge builds a SUBGRAPH: the batch
+    pairs plus one virtual ``member → cluster_id`` edge for every member
+    of a cluster the batch touches — that pulls exactly the affected
+    components in, nothing else — and runs :func:`dup_clusters` on it.
+    Untouched clusters pass through unchanged. Cost ∝ |batch| + |members
+    of affected clusters| (two semi-join-shaped probes of the label
+    table), NOT ∝ |corpus pairs|: the same asymptotics as
+    :func:`query_lsh_index`, so the full CDC loop (probe candidates →
+    merge clusters) stays batch-bounded. Invariant (tested):
+    ``update_clusters(dup_clusters(P1), P2) == dup_clusters(P1 ∪ P2)``.
+    """
+    lab = labels.select(
+        F.col("doc_id").cast("long").alias("v"),
+        F.col("cluster_id").cast("long").alias("label"),
+    )
+    e = new_pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    touched = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    affected = lab.join(touched, "v").select("label").distinct()
+    virt = (
+        lab.join(affected, "label")
+        .filter(F.col("v") != F.col("label"))
+        .select(F.col("v").alias(id_a), F.col("label").alias(id_b))
+    )
+    sub = dup_clusters(
+        e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b)).unionByName(virt),
+        id_a,
+        id_b,
+        max_iter,
+    )
+    untouched = labels.select("doc_id", "cluster_id", "cluster_size").join(
+        sub.select("doc_id"), "doc_id", "left_anti"
+    )
+    return untouched.unionByName(sub)

@@ -510,3 +510,31 @@ def test_fingerprint_rows_equals_array_form(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_update_clusters_equals_scratch(spark):
+    # the incremental-maintenance invariant:
+    # update_clusters(dup_clusters(P1), P2) == dup_clusters(P1 ∪ P2)
+    # — on random pair sets with overlapping vertex ranges (merges,
+    # appends, and untouched clusters all occur)
+    import random
+
+    from sqlite_cdc_spark.pipeline import dedup
+
+    rng = random.Random(11)
+    for trial in range(3):
+        p1 = [(rng.randint(0, 15), rng.randint(0, 15)) for _ in range(6)]
+        p2 = [(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(4)]
+        P1 = spark.createDataFrame(p1, "id_a long, id_b long")
+        P2 = spark.createDataFrame(p2, "id_a long, id_b long")
+        scratch = sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dedup.dup_clusters(P1.unionByName(P2)).collect()
+        )
+        inc = sorted(
+            (r.doc_id, r.cluster_id, r.cluster_size)
+            for r in dedup.update_clusters(
+                dedup.dup_clusters(P1), P2
+            ).collect()
+        )
+        assert inc == scratch, (trial, p1, p2)
