@@ -493,3 +493,90 @@ def test_streaming_compaction_out_of_order_replay(spark, tmp_path):
     assert ids == [5, 7], ids  # nothing for the out-of-order replay batch
     for r in emitted:  # the emitted state is the max-id row's payload
         assert json.loads(r.after)["v"] == r.last_id
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    # the live corpus-hygiene loop, end to end: each micro-batch of new
+    # docs probes the standing LSH index (cost ∝ batch), appends its own
+    # signatures, and merges candidate pairs into the cluster assignment
+    # via update_clusters. After the stream drains, the assignment must
+    # equal a from-scratch clustering of the full corpus — regardless of
+    # how the file source happened to slice the batches (candidate sets
+    # are per-doc deterministic, so incremental ∪ == global).
+    import random
+    import time
+
+    from sqlite_cdc_spark.pipeline import dedup
+
+    def text(seed):
+        r = random.Random(seed)
+        return " ".join(f"t{r.randint(0, 400)}" for _ in range(25))
+
+    base = {i: text(i) for i in range(3)}
+    waves = [
+        [(0, base[0]), (1, base[1]), (2, base[2]), (3, text(50))],
+        [(100, base[0] + " x"), (101, text(51)), (102, base[1] + " y")],
+        [(200, base[0] + " z"), (201, base[2] + " w"), (202, text(52)),
+         (203, text(52) + " q")],
+    ]
+    src = str(tmp_path / "src")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, "doc_id long, text string").coalesce(1)\
+            .write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    K = dict(num_hashes=32, bands=8)
+    state = {
+        "index": None,
+        "labels": spark.createDataFrame(
+            [], "doc_id long, cluster_id long, cluster_size bigint"
+        ),
+    }
+
+    def handle(batch, bid):
+        batch = batch.localCheckpoint()
+        pairs = dedup.minhash_candidates(batch, "doc_id", "text", **K)
+        if state["index"] is not None:
+            cross = dedup.query_lsh_index(
+                state["index"], batch, "doc_id", "text", **K
+            ).select(
+                F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            pairs = pairs.select("id_a", "id_b").unionByName(cross)
+        else:
+            pairs = pairs.select("id_a", "id_b")
+        state["labels"] = dedup.update_clusters(
+            state["labels"], pairs
+        ).localCheckpoint()
+        bi = dedup.build_lsh_index(batch, "doc_id", "text", **K)
+        state["index"] = (
+            bi if state["index"] is None
+            else state["index"].unionByName(bi)
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    all_docs = spark.createDataFrame(
+        [d for w in waves for d in w], "doc_id long, text string"
+    )
+    want = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(
+            dedup.minhash_candidates(all_docs, "doc_id", "text", **K)
+        ).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in state["labels"].collect()
+    )
+    assert len(got) >= 8  # the planted cross/within-wave dups collided
+    assert got == want
