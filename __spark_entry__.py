@@ -853,6 +853,47 @@ def q_b19_incremental_clusters(spark, sf_dir):
     return dedup.update_clusters(labels, hits, "new_id", "corpus_id")
 
 
+def q_b26_split_leakage(spark, sf_dir):
+    """Dedup-aware splitting (B26 × B19): a near-dup pair straddling
+    train/test is leakage — eval measures memorization. Doc-keyed split
+    assignment leaks (pair endpoints hash independently); keying the
+    split by CLUSTER id puts every member of a dup cluster in the same
+    split, so cross-split pairs are impossible by construction. One-row
+    report: leak counts under both keyings + total pairs — the
+    cluster_keyed_leaks == 0 column is the design property, oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    clusters = dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
+    keyed = clusters.select(
+        "doc_id",
+        sampling.split_assign("doc_id").alias("dsp"),
+        sampling.split_assign("cluster_id").alias("csp"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dsp").alias("da"), F.col("csp").alias("ca"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dsp").alias("db"), F.col("csp").alias("cb"),
+    )
+    return pairs.join(a, "id_a").join(b, "id_b").select(
+        F.sum((F.col("da") != F.col("db")).cast("bigint")).alias("doc_keyed_leaks"),
+        F.sum((F.col("ca") != F.col("cb")).cast("bigint")).alias(
+            "cluster_keyed_leaks"
+        ),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
 def q_b19_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact mode; the LSH mode is the
     scale path, exercised in unit tests)."""
@@ -1598,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_top_tokens": q_b21_top_tokens,
         "b19_embedding_clusters": q_b19_embedding_clusters,
         "b19_incremental_clusters": q_b19_incremental_clusters,
+        "b26_split_leakage": q_b26_split_leakage,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1636,8 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_decontamination": q_b29_decontamination,
         "b26_hash_sample": q_b26_hash_sample,
         "b23_udf_features": q_b23_udf_features,
-        "b22_multimodal_meta": q_b22_multimodal_meta,
         # ---- position 51+: r02-green rows resting out of the window -----
+        "b22_multimodal_meta": q_b22_multimodal_meta,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b2_scd2": q_b2_scd2,
         "b7_multi_join_revenue": q_b7_multi_join_revenue,
@@ -1946,6 +1988,49 @@ def _incremental_clusters_oracle_sql() -> str:
                CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                  AS cluster_size
         FROM lab
+    """
+
+
+def _split_leakage_oracle_sql() -> str:
+    """DuckDB replay of q_b26_split_leakage: minhash pairs → recursive-CTE
+    closure → split both ways (doc bucket vs cluster bucket) → leak
+    counts."""
+
+    def split(key: str) -> str:
+        return (
+            f"CASE WHEN {sampling.bucket_sql(key)} < 80 THEN 'train' "
+            f"WHEN {sampling.bucket_sql(key)} < 90 THEN 'val' "
+            f"ELSE 'test' END"
+        )
+
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT DISTINCT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+        ),
+        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        keyed AS (
+          SELECT doc_id,
+                 {split('doc_id')} AS dsp,
+                 {split('cluster_id')} AS csp
+          FROM lab
+        )
+        SELECT
+          CAST(sum(CASE WHEN a.dsp != b.dsp THEN 1 ELSE 0 END) AS BIGINT)
+            AS doc_keyed_leaks,
+          CAST(sum(CASE WHEN a.csp != b.csp THEN 1 ELSE 0 END) AS BIGINT)
+            AS cluster_keyed_leaks,
+          count(*) AS n_pairs
+        FROM pairs p
+        JOIN keyed a ON a.doc_id = p.id_a
+        JOIN keyed b ON b.doc_id = p.id_b
     """
 
 
@@ -2982,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_incremental_clusters": _incremental_clusters_oracle_sql(),
+        "b26_split_leakage": _split_leakage_oracle_sql(),
         "b21_top_tokens": f"""
             WITH toks AS (
               SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
