@@ -1267,6 +1267,91 @@ def q_b14_regex_funcs(spark, sf_dir):
     )
 
 
+def q_b14_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar battery (B14 depth): shifts, masks, xor, popcount —
+    the ops flag-packing/bloom-ish code paths need. All integer-exact on
+    any engine."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(F.lit(0xFF)).alias("low_byte"),
+        k.bitwiseOR(F.lit(0x10)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("xor_cust"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
+
+
+def q_b14_url_funcs(spark, sf_dir):
+    """URL-ish parsing (B14 depth) via engine-equal regexes over synthetic
+    URLs built from order columns (no parse_url dependency — DuckDB lacks
+    it, and regex keeps both engines on identical semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shard"),
+        (F.col("o_orderkey") % 8).cast("string"),
+        F.lit(".example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?prio="),
+        F.regexp_replace("o_orderpriority", r"\s+", "+"),
+    )
+    return o.select(
+        "o_orderkey",
+        url.alias("url"),
+        F.regexp_extract(url, r"^https://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"^https://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"prio=([^&]+)", 1).alias("prio_param"),
+    )
+
+
+def q_b11_ntile(spark, sf_dir):
+    """ntile quartiles per status (B11 depth): equi-depth bucketing over a
+    total order — the percentile-bin assignment a feature pipeline uses."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    )
+
+
+def q_b10_median_mode(spark, sf_dir):
+    """Median + deterministic mode per group (B10 depth). Spark's mode()
+    breaks ties arbitrarily, so the mode is DERIVED (max count, then min
+    value) — identical tie-breaking on both engines; median over decimal
+    cast to double after the exact midpoint average."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("n").alias("mode_n")
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median(F.col("l_quantity").cast("double")).alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty", "mode_n", "n_rows"
+    )
+
+
 def q_b26_hash_sample(spark, sf_dir):
     """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
     group-coherent (whole orders in or out), shuffle-free, replayable."""
@@ -1678,7 +1763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_decontamination": q_b29_decontamination,
         "b26_hash_sample": q_b26_hash_sample,
         "b23_udf_features": q_b23_udf_features,
-        # ---- position 51+: r02-green rows resting out of the window -----
+        # ---- position 51+: r02-green rows resting out of the window, plus
+        # ---- the r3 depth pool awaiting a future window rotation --------
+        "b14_bitwise_funcs": q_b14_bitwise_funcs,
+        "b14_url_funcs": q_b14_url_funcs,
+        "b11_ntile": q_b11_ntile,
+        "b10_median_mode": q_b10_median_mode,
         "b22_multimodal_meta": q_b22_multimodal_meta,
         "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
         "b2_scd2": q_b2_scd2,
@@ -2683,6 +2773,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
             FROM lineitem
             WHERE {sampling.bucket_sql('l_orderkey')} < 10
+        """,
+        "b14_bitwise_funcs": """
+            SELECT o_orderkey,
+                   o_orderkey << 3 AS shl3,
+                   o_orderkey >> 2 AS shr2,
+                   o_orderkey & 255 AS low_byte,
+                   o_orderkey | 16 AS with_flag,
+                   xor(o_orderkey, o_custkey) AS xor_cust,
+                   CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT)
+                     AS popcount
+            FROM orders
+        """,
+        "b14_url_funcs": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     'https://shard' || CAST(o_orderkey % 8 AS VARCHAR)
+                     || '.example.com/orders/' || CAST(o_orderkey AS VARCHAR)
+                     || '?prio=' || regexp_replace(o_orderpriority, '\\s+', '+', 'g')
+                       AS url
+              FROM orders
+            )
+            SELECT o_orderkey, url,
+                   regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                   regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, 'prio=([^&]+)', 1) AS prio_param
+            FROM u
+        """,
+        "b11_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ) AS BIGINT) AS price_quartile
+            FROM orders
+        """,
+        "b10_median_mode": """
+            WITH counts AS (
+              SELECT l_returnflag, l_quantity, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ),
+            mode AS (
+              SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC
+                ) AS rn FROM counts
+              ) WHERE rn = 1
+            ),
+            med AS (
+              SELECT l_returnflag,
+                     median(CAST(l_quantity AS DOUBLE)) AS median_qty,
+                     count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT m.l_returnflag, m.median_qty, mo.mode_qty, mo.mode_n,
+                   m.n_rows
+            FROM med m JOIN mode mo ON m.l_returnflag = mo.l_returnflag
         """,
         "b26_train_split": f"""
             SELECT doc_id, lang,
