@@ -1475,6 +1475,14 @@ def q_b28_mixture(spark, sf_dir):
     return mixed.select("doc_id", "lang", "n_tok")
 
 
+def q_b21_chunking(spark, sf_dir):
+    """Document chunking (B21/B24 depth): 16-token chunks every 12 tokens
+    (4-token overlap) — the training/RAG prep step, emitted as rows with
+    per-chunk token counts (textops.chunk_rows, codegen path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.chunk_rows(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+
 def q_b21_nchars_histogram(spark, sf_dir):
     """n-chars distribution over documents (B21): 50-char buckets with
     count + share, per language."""
@@ -1765,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_udf_features": q_b23_udf_features,
         # ---- position 51+: r02-green rows resting out of the window, plus
         # ---- the r3 depth pool awaiting a future window rotation --------
+        "b21_chunking": q_b21_chunking,
         "b14_bitwise_funcs": q_b14_bitwise_funcs,
         "b14_url_funcs": q_b14_url_funcs,
         "b11_ntile": q_b11_ntile,
@@ -3264,6 +3273,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.lang, s.n_tok
             FROM sized s JOIN rates r ON s.lang = r.lang
             WHERE {sampling.bucket_sql('s.doc_id')} < r.keep_b
+        """,
+        "b21_chunking": f"""
+            WITH tk AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(toks, i*12 + 1, i*12 + 16), ' ')
+                     AS chunk_text,
+                   CAST(least(16, len(toks) - i*12) AS BIGINT) AS n_tok
+            FROM tk,
+                 unnest(generate_series(0, greatest((len(toks) - 1) // 12, 0)))
+                   AS t(i)
+            WHERE i = 0 OR i*12 + 4 < len(toks)
         """,
         "b21_token_per_doc": f"""
             SELECT doc_id,

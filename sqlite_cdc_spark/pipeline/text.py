@@ -311,3 +311,57 @@ def fingerprint_rows(
             F.md5("__win").alias("fp"),
         )
     )
+
+
+def chunk_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the training/RAG prep
+    step that splits documents into ``chunk_tokens``-token windows every
+    ``chunk_tokens - overlap`` tokens. Emits ``(id_col, chunk_idx,
+    chunk_text, n_tok)``.
+
+    Same whole-stage-codegen shape as :func:`fingerprint_rows`
+    (posexplode + window leads + concat_ws — no interpreted lambdas,
+    one shuffle on the doc key). A trailing window that adds no new
+    tokens beyond the previous chunk's coverage (start + overlap ≥ doc
+    length) is suppressed; position 0 always emits so short docs yield
+    exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    from pyspark.sql import Window as W
+
+    stride = chunk_tokens - overlap
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, chunk_tokens)
+    ]
+    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    return (
+        ex.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("chunk_text"),
+            n.alias("__n"),
+        )
+        .filter(
+            (F.col("pos") % stride == 0)
+            & ((F.col("pos") == 0) | (F.col("pos") + overlap < F.col("__n")))
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"pos div {stride}").cast("bigint").alias("chunk_idx"),
+            "chunk_text",
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("pos"))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+    )

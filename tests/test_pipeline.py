@@ -538,3 +538,33 @@ def test_update_clusters_equals_scratch(spark):
             ).collect()
         )
         assert inc == scratch, (trial, p1, p2)
+
+
+def test_chunk_rows_covers_document(spark):
+    # every token lands in some chunk, chunks are exact token slices with
+    # the declared overlap, zero-new-content tails are suppressed, and
+    # short/empty docs yield exactly one chunk
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    doc = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, doc), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = textops.chunk_rows(df, "doc_id", chunk_tokens=16, overlap=4).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tok))
+    c1 = sorted(by_doc[1])
+    # 40 tokens, stride 12: starts 0,12,24; start 36 adds no new content
+    # beyond chunk@24's coverage (36+4 >= 40) and is suppressed
+    assert [c[0] for c in c1] == [0, 1, 2]
+    toks = doc.split()
+    covered: set = set()
+    for idx, chunk_text, n in c1:
+        start = idx * 12
+        assert chunk_text.split() == toks[start : start + 16]
+        assert n == len(chunk_text.split())
+        covered |= set(range(start, start + n))
+    assert covered == set(range(40))
+    assert by_doc[2] == [(0, "a b", 2)]
+    assert by_doc[3] == [(0, "", 1)]
