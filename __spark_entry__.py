@@ -1636,6 +1636,48 @@ def q_b29_containment(spark, sf_dir):
     return decontam.fingerprint_containment(corpus, bench, "doc_id", "text")
 
 
+def q_b24_corpus_v2(spark, sf_dir):
+    """Round-3 capstone (B24 depth): the corpus build recomposed from this
+    round's operators — near-dup CLUSTER dedup (transitive closure, keep
+    each cluster's min id), token gate, budget-aware mixture sampling,
+    then document chunking — ending in per-lang chunk statistics. Every
+    stage is the library operator, and the whole chain is one lazy plan
+    replayed bit-exact by the DuckDB oracle (closure via recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "lang", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    clusters = dedup.dup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    surv = corpus.join(dropped, "doc_id", "left_anti")
+    gated = surv.select(
+        "doc_id", "lang", "text", textops.token_count("text").alias("n_tok")
+    ).filter(F.col("n_tok") >= 20)
+    mixed = sampling.mixture_sample(
+        gated, "lang", "doc_id", "n_tok",
+        budgets={"en": 4000, "de": 1500}, default_budget=2000,
+    )
+    chunks = textops.chunk_rows(mixed, "doc_id", "text", 16, 4)
+    return (
+        chunks.join(mixed.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("sum_chunk_tokens"),
+        )
+    )
+
+
 def q_b21_pii_scrub(spark, sf_dir):
     """PII audit + redaction over planted emails/phones/IPs (engine-equal
     character-class regexes: no lookarounds, no backrefs)."""
@@ -1733,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_embedding_clusters": q_b19_embedding_clusters,
         "b19_incremental_clusters": q_b19_incremental_clusters,
         "b26_split_leakage": q_b26_split_leakage,
+        "b24_corpus_v2": q_b24_corpus_v2,
         # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
@@ -1770,8 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_ann_recall": q_b20_ann_recall,
         "b29_decontamination": q_b29_decontamination,
         "b26_hash_sample": q_b26_hash_sample,
-        "b23_udf_features": q_b23_udf_features,
         # ---- position 51+: r02-green rows resting out of the window, plus
+        "b23_udf_features": q_b23_udf_features,
         # ---- the r3 depth pool awaiting a future window rotation --------
         "b21_chunking": q_b21_chunking,
         "b14_bitwise_funcs": q_b14_bitwise_funcs,
@@ -2087,6 +2130,76 @@ def _incremental_clusters_oracle_sql() -> str:
                CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                  AS cluster_size
         FROM lab
+    """
+
+
+def _corpus_v2_oracle_sql() -> str:
+    """DuckDB replay of q_b24_corpus_v2: minhash pairs → recursive-CTE
+    cluster closure → drop non-minima → token gate → integer-exact
+    mixture rates → chunk windows → per-lang stats."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT DISTINCT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+        ),
+        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        corpus_l AS (
+          SELECT doc_id, lang, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, lang, text || ' zzz' AS text
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        surv AS (
+          SELECT * FROM corpus_l
+          WHERE doc_id NOT IN (
+            SELECT doc_id FROM lab WHERE doc_id != cluster_id
+          )
+        ),
+        gated AS (
+          SELECT doc_id, lang, text,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+          FROM surv
+          WHERE CAST(len({_TOKS_SQL}) AS BIGINT) >= 20
+        ),
+        totals AS (
+          SELECT lang, sum(n_tok) AS total FROM gated GROUP BY lang
+        ),
+        rates AS (
+          SELECT lang,
+                 least(100,
+                   ((CASE lang WHEN 'en' THEN 4000
+                               WHEN 'de' THEN 1500
+                               ELSE 2000 END) * 100) // total) AS keep_b
+          FROM totals
+        ),
+        mixed AS (
+          SELECT g.* FROM gated g JOIN rates r ON g.lang = r.lang
+          WHERE {sampling.bucket_sql('g.doc_id')} < r.keep_b
+        ),
+        tk2 AS (
+          SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+          FROM mixed
+        ),
+        chunks AS (
+          SELECT doc_id, lang,
+                 CAST(least(16, len(toks) - i*12) AS BIGINT) AS ct
+          FROM tk2,
+               unnest(generate_series(0, greatest((len(toks) - 1) // 12, 0)))
+                 AS t(i)
+          WHERE i = 0 OR i*12 + 4 < len(toks)
+        )
+        SELECT lang,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_chunks,
+               CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens
+        FROM chunks GROUP BY lang
     """
 
 
@@ -3224,6 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_incremental_clusters": _incremental_clusters_oracle_sql(),
         "b26_split_leakage": _split_leakage_oracle_sql(),
+        "b24_corpus_v2": _corpus_v2_oracle_sql(),
         "b21_top_tokens": f"""
             WITH toks AS (
               SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
