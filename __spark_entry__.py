@@ -1267,6 +1267,36 @@ def q_b14_regex_funcs(spark, sf_dir):
     )
 
 
+def q_b10_bool_agg(spark, sf_dir):
+    """Boolean aggregate battery (B10 depth): any/every/count_if per
+    group — the data-quality assertion shapes (`every(price > 0)`)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_b14_null_funcs(spark, sf_dir):
+    """Null-handling scalar battery (B14 depth): coalesce / nullif /
+    nvl2-shape / null-safe equality over a column made sparse on a
+    deterministic key."""
+    c = _t(spark, sf_dir, "customer")
+    sparse = F.when(F.col("c_custkey") % 3 == 0, F.col("c_name"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(sparse, F.lit("<missing>")).alias("comment_or_default"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.when(sparse.isNotNull(), F.lit("has")).otherwise(F.lit("none")).alias(
+            "nvl2_shape"
+        ),
+        sparse.eqNullSafe(F.col("c_name")).alias("nullsafe_eq"),
+        F.isnull(sparse).alias("is_missing"),
+    )
+
+
 def q_b14_bitwise_funcs(spark, sf_dir):
     """Bitwise scalar battery (B14 depth): shifts, masks, xor, popcount —
     the ops flag-packing/bloom-ish code paths need. All integer-exact on
@@ -1817,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_udf_features": q_b23_udf_features,
         # ---- the r3 depth pool awaiting a future window rotation --------
         "b21_chunking": q_b21_chunking,
+        "b10_bool_agg": q_b10_bool_agg,
+        "b14_null_funcs": q_b14_null_funcs,
         "b14_bitwise_funcs": q_b14_bitwise_funcs,
         "b14_url_funcs": q_b14_url_funcs,
         "b11_ntile": q_b11_ntile,
@@ -2895,6 +2927,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
             FROM lineitem
             WHERE {sampling.bucket_sql('l_orderkey')} < 10
+        """,
+        "b10_bool_agg": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_totalprice > 200000) AS n_big,
+                   bool_and(o_totalprice > 0) AS all_positive,
+                   bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "b14_null_funcs": """
+            WITH s AS (
+              SELECT *,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_name END AS sp
+              FROM customer
+            )
+            SELECT c_custkey,
+                   coalesce(sp, '<missing>') AS comment_or_default,
+                   nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+                   CASE WHEN sp IS NOT NULL THEN 'has' ELSE 'none' END
+                     AS nvl2_shape,
+                   sp IS NOT DISTINCT FROM c_name AS nullsafe_eq,
+                   sp IS NULL AS is_missing
+            FROM s
         """,
         "b14_bitwise_funcs": """
             SELECT o_orderkey,
