@@ -1267,6 +1267,27 @@ def q_b14_regex_funcs(spark, sf_dir):
     )
 
 
+def q_b9_band_join(spark, sf_dir):
+    """Numeric band join (B9 depth): price rows joined to a small band
+    table on a range condition (lo <= price < hi) — the binning-by-join
+    shape. The band table is literal/broadcast, so Catalyst plans a
+    broadcast nested-loop with the range predicate — no cartesian of two
+    big sides, the only sane plan for range joins at scale."""
+    bands = [(0, 50000, "low"), (50000, 150000, "mid"), (150000, 10**9, "high")]
+    o = _t(spark, sf_dir, "orders")
+    b = spark.createDataFrame(bands, "lo long, hi long, band string")
+    j = o.join(
+        F.broadcast(b),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+
+
 def q_b10_bool_agg(spark, sf_dir):
     """Boolean aggregate battery (B10 depth): any/every/count_if per
     group — the data-quality assertion shapes (`every(price > 0)`)."""
@@ -1847,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_udf_features": q_b23_udf_features,
         # ---- the r3 depth pool awaiting a future window rotation --------
         "b21_chunking": q_b21_chunking,
+        "b9_band_join": q_b9_band_join,
         "b10_bool_agg": q_b10_bool_agg,
         "b14_null_funcs": q_b14_null_funcs,
         "b14_bitwise_funcs": q_b14_bitwise_funcs,
@@ -2927,6 +2949,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
             FROM lineitem
             WHERE {sampling.bucket_sql('l_orderkey')} < 10
+        """,
+        "b9_band_join": """
+            WITH bands AS (
+              SELECT * FROM (VALUES
+                (0, 50000, 'low'),
+                (50000, 150000, 'mid'),
+                (150000, 1000000000, 'high')) t(lo, hi, band)
+            )
+            SELECT band, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                              AS DOUBLE), 2) AS revenue
+            FROM orders o JOIN bands b
+              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+            GROUP BY band
         """,
         "b10_bool_agg": """
             SELECT o_orderstatus,
