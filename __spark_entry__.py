@@ -1267,6 +1267,20 @@ def q_b14_regex_funcs(spark, sf_dir):
     )
 
 
+def q_b5_time_range(spark, sf_dir):
+    """Time-range + JSON predicate scan (B5 depth): changes inside a
+    one-week window whose after-image value exceeds a threshold — the
+    canonical 'what changed last week for big accounts' slice over the
+    change feed."""
+    ch = _events_changes(spark, sf_dir)
+    v = F.get_json_object("after", "$.value").cast("double")
+    return ch.filter(
+        (F.col("timestamp") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("timestamp") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (v > 50.0)
+    ).select("id", "operation", "timestamp", F.round(v, 6).alias("value"))
+
+
 def q_b9_band_join(spark, sf_dir):
     """Numeric band join (B9 depth): price rows joined to a small band
     table on a range condition (lo <= price < hi) — the binning-by-join
@@ -1868,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_udf_features": q_b23_udf_features,
         # ---- the r3 depth pool awaiting a future window rotation --------
         "b21_chunking": q_b21_chunking,
+        "b5_time_range": q_b5_time_range,
         "b9_band_join": q_b9_band_join,
         "b10_bool_agg": q_b10_bool_agg,
         "b14_null_funcs": q_b14_null_funcs,
@@ -2949,6 +2964,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
             FROM lineitem
             WHERE {sampling.bucket_sql('l_orderkey')} < 10
+        """,
+        "b5_time_range": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT id, operation, timestamp,
+                   round(CAST(json_extract_string(after, '$.value') AS DOUBLE),
+                         6) AS value
+            FROM changes
+            WHERE timestamp >= TIMESTAMP '2024-01-08 00:00:00'
+              AND timestamp < TIMESTAMP '2024-01-15 00:00:00'
+              AND CAST(json_extract_string(after, '$.value') AS DOUBLE) > 50.0
         """,
         "b9_band_join": """
             WITH bands AS (
