@@ -676,3 +676,29 @@ def update_clusters(
         sub.select("doc_id"), "doc_id", "left_anti"
     )
     return untouched.unionByName(sub)
+
+
+def update_lsh_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_unit: str = "word",
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Append a batch's signatures to a standing LSH index — the write
+    half of the incremental loop (:func:`query_lsh_index` is the read
+    half, :func:`update_clusters` the merge). Hyperparameters must match
+    the standing index or signatures won't collide. Only the batch is
+    hashed; on a persisted parquet index this is an append of
+    ``|batch| × bands`` rows, nothing is rewritten.
+    """
+    return index.unionByName(
+        build_lsh_index(
+            new_docs, id_col, text_col, shingle_k, num_hashes, bands,
+            shingle_unit, base_hash=base_hash,
+        )
+    )

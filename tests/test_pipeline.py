@@ -568,3 +568,23 @@ def test_chunk_rows_covers_document(spark):
     assert covered == set(range(40))
     assert by_doc[2] == [(0, "a b", 2)]
     assert by_doc[3] == [(0, "", 1)]
+
+
+def test_update_lsh_index_equals_rebuild(spark):
+    # appending a batch's signatures must equal rebuilding the index over
+    # the combined corpus (signatures are per-doc, no corpus dependence)
+    from sqlite_cdc_spark.pipeline import dedup
+
+    a = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame([(3, "x y z w v u t s q")], "doc_id long, text string")
+    K = dict(num_hashes=16, bands=4)
+    appended = dedup.update_lsh_index(
+        dedup.build_lsh_index(a, "doc_id", "text", **K), b, "doc_id", "text", **K
+    )
+    rebuilt = dedup.build_lsh_index(a.unionByName(b), "doc_id", "text", **K)
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )

@@ -548,11 +548,14 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
         state["labels"] = dedup.update_clusters(
             state["labels"], pairs
         ).localCheckpoint()
-        bi = dedup.build_lsh_index(batch, "doc_id", "text", **K)
-        state["index"] = (
-            bi if state["index"] is None
-            else state["index"].unionByName(bi)
-        ).localCheckpoint()
+        if state["index"] is None:
+            state["index"] = dedup.build_lsh_index(
+                batch, "doc_id", "text", **K
+            ).localCheckpoint()
+        else:
+            state["index"] = dedup.update_lsh_index(
+                state["index"], batch, "doc_id", "text", **K
+            ).localCheckpoint()
 
     q = (
         spark.readStream.schema("doc_id long, text string")
