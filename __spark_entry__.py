@@ -2241,11 +2241,15 @@ def _corpus_v2_oracle_sql() -> str:
           SELECT lang, sum(n_tok) AS total FROM gated GROUP BY lang
         ),
         rates AS (
+          -- total IS NULL / <= 0 => keep everything (mirrors the ANSI
+          -- divide-by-zero guard in sampling.mixture_sample)
           SELECT lang,
-                 least(100,
-                   ((CASE lang WHEN 'en' THEN 4000
-                               WHEN 'de' THEN 1500
-                               ELSE 2000 END) * 100) // total) AS keep_b
+                 CASE WHEN total IS NULL OR total <= 0 THEN 100
+                      ELSE least(100,
+                        ((CASE lang WHEN 'en' THEN 4000
+                                    WHEN 'de' THEN 1500
+                                    ELSE 2000 END) * 100) // total)
+                 END AS keep_b
           FROM totals
         ),
         mixed AS (
@@ -3493,11 +3497,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
             ),
             rates AS (
+              -- total IS NULL / <= 0 => keep everything (mirrors the ANSI
+              -- divide-by-zero guard in sampling.mixture_sample)
               SELECT lang,
-                     least(100,
-                       ((CASE lang WHEN 'en' THEN 4000
-                                   WHEN 'de' THEN 1500
-                                   ELSE 2000 END) * 100) // total) AS keep_b
+                     CASE WHEN total IS NULL OR total <= 0 THEN 100
+                          ELSE least(100,
+                            ((CASE lang WHEN 'en' THEN 4000
+                                        WHEN 'de' THEN 1500
+                                        ELSE 2000 END) * 100) // total)
+                     END AS keep_b
               FROM totals
             )
             SELECT s.doc_id, s.lang, s.n_tok

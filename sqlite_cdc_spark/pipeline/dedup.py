@@ -555,12 +555,166 @@ def simhash_candidates(
 
 # --- dup-cluster formation (B19 depth: pairs → components) -------------------
 
+#: rounds the last CC call needed to converge — a driver-side diagnostic
+#: (read after dup_clusters returns) used by the PERF round-count table and
+#: the star-vs-propagate tests; never read by the computation itself.
+LAST_CC_ROUNDS: int = 0
+
+
+def _cc_propagate(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation CC over symmetric ``(src, dst)`` edges.
+
+    Labels start as self; each round every vertex takes the min of its own
+    and its neighbors' labels; stop when no label moved. O(component
+    diameter) rounds — near-dup clusters are short chains, so 2-4 rounds
+    in practice. Per round: one equi-join (edges ⋈ labels) + one min-agg —
+    both shuffle on the vertex id, no cartesian. ``localCheckpoint``
+    truncates the lineage so the plan stays flat across rounds. Raises
+    ``RuntimeError`` if ``max_iter`` rounds were not enough — returning
+    non-converged labels silently would yield cluster_ids that are not the
+    component min, breaking the invariant :func:`update_clusters` depends
+    on. Returns ``(v, label)``.
+    """
+    def step(cur: DataFrame) -> DataFrame:
+        nbr = edges.join(
+            cur.withColumnRenamed("v", "src"), "src"
+        ).select(F.col("dst").alias("v"), "label")
+        return (
+            cur.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+
+    def moved(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+
+    global LAST_CC_ROUNDS
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    converged = False
+    for it in range(max_iter):
+        new = step(labels)
+        LAST_CC_ROUNDS = it + 1
+        # round 1 always moves labels when any edge exists — skip its
+        # convergence job (each driver-side action costs a full job of
+        # scheduling overhead, which dominates at small scale)
+        if it > 0 and moved(new, labels) == 0:
+            labels = new
+            converged = True
+            break
+        labels = new
+    if not converged:
+        # the loop's probe compares round N-1 vs N; round N itself may
+        # already be the fixpoint — one extra probe settles it before
+        # declaring exhaustion (this path only runs on tiny max_iter or
+        # adversarial diameters, so the extra join is cheap insurance
+        # against a false alarm)
+        converged = moved(step(labels), labels) == 0
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters(algorithm='propagate') did not converge within "
+            f"max_iter={max_iter} rounds — a component's diameter exceeds "
+            f"the round budget, so the returned cluster_ids would NOT be "
+            f"component minima (and a later update_clusters merge would "
+            f"silently diverge from the from-scratch result). Raise "
+            f"max_iter, or use algorithm='star' (large-star/small-star, "
+            f"O(log n) rounds regardless of diameter)."
+        )
+    return labels
+
+
+def _star_edges_converged(cur: DataFrame, prev: DataFrame) -> bool:
+    """True iff the two edge sets are identical (one symmetric-difference
+    probe job; both inputs are localCheckpointed so nothing recomputes)."""
+    return (
+        cur.exceptAll(prev).unionByName(prev.exceptAll(cur)).limit(1).count() == 0
+    )
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star CC (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014 — public algorithm) over symmetric
+    ``(src, dst)`` edges. Converges in O(log n) rounds REGARDLESS of
+    component diameter — the scale path for adversarially long chains
+    where min-label propagation needs O(diameter) rounds.
+
+    Each round rewires the forest with the same primitive as propagation
+    (a per-vertex min-agg joined back to the edges — no cartesian, no new
+    shuffle shape):
+
+    - **large-star(u)**: ``m = min(Γ(u) ∪ {u})``; every strictly-larger
+      neighbor ``v > u`` re-attaches to ``m`` — long chains halve.
+    - **small-star(u)** (on edges oriented big→small): ``m = min`` of the
+      smaller neighborhood; all of them plus ``u`` attach to ``m`` —
+      partial stars flatten.
+
+    At the fixpoint the edge set is a forest of stars centered at each
+    component's minimum vertex; labels read straight off the edges.
+    Raises ``RuntimeError`` on ``max_iter`` exhaustion (same contract as
+    :func:`_cc_propagate`). Returns ``(v, label)``.
+    """
+    global LAST_CC_ROUNDS
+    # orient big→small: every symmetric pair (a,b)/(b,a) becomes (max,min)
+    e = edges.filter(F.col("src") > F.col("dst")).localCheckpoint()
+    converged = False
+    for it in range(max_iter):
+        # large-star over the symmetric view of e
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("__mn"))
+        lmin = mins.select(
+            "src", F.least(F.col("__mn"), F.col("src")).alias("__m")
+        )
+        large = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .distinct()
+        )
+        # small-star over the big→small output (dst < src by construction:
+        # __m = min(Γ(u) ∪ {u}) <= u < v)
+        smin = large.groupBy("src").agg(F.min("dst").alias("__m"))
+        joined = large.join(smin, "src")
+        new = (
+            joined.select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .unionByName(joined.select("src", F.col("__m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        LAST_CC_ROUNDS = it + 1
+        if _star_edges_converged(new, e):
+            e = new
+            converged = True
+            break
+        e = new
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters(algorithm='star') did not converge within "
+            f"max_iter={max_iter} rounds; raise max_iter (O(log n) rounds "
+            f"suffice — this indicates max_iter was set very low)."
+        )
+    # fixpoint edges are (member → component-min) stars; centers label self
+    return (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("label"))
+        .unionByName(e.select(F.col("dst").alias("v"), F.col("dst").alias("label")))
+        .groupBy("v")
+        .agg(F.min("label").alias("label"))
+    )
+
 
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc appearing in a
     pair gets a ``cluster_id`` = the smallest doc id in its component.
@@ -568,54 +722,51 @@ def dup_clusters(
     the keep/drop decision needs the transitive closure (keep cluster min,
     drop the rest); this is that closure.
 
-    Iterative min-label propagation, the textbook distributed CC
-    algorithm: labels start as self, each round every vertex takes the min
-    of its own and its neighbors' labels, stop when no label moved.
-    Converges in O(component diameter) rounds — near-dup clusters are
-    short chains (a doc and its close variants), so 2-4 rounds in
-    practice; ``max_iter`` only backstops adversarial chains. Per round:
-    one equi-join (edges ⋈ labels) + one min-agg — both shuffle on the
-    vertex id, no cartesian. ``localCheckpoint`` truncates the lineage so
-    the plan stays flat across rounds (iterative DAGs otherwise grow
-    exponentially); the per-round ``count`` action is the convergence
-    test every driver-side iterative algorithm needs — the data itself
-    never leaves the executors. At 100 TB with adversarially long chains,
-    swap the propagation loop for large-star/small-star (same join
-    primitive, O(log n) rounds).
+    Two interchangeable backends (property-tested label-identical):
+
+    - ``algorithm="propagate"`` (default): min-label propagation —
+      O(component diameter) rounds, one equi-join + one min-agg per
+      round. Near-dup clusters are short chains (a doc and its close
+      variants), so 2-4 rounds in practice; cheapest for real corpora.
+    - ``algorithm="star"``: large-star/small-star (Kiveris et al. 2014) —
+      O(log n) rounds regardless of diameter; the 100-TB fallback for
+      adversarially long chains (see :func:`_cc_star`).
+
+    Both raise ``RuntimeError`` instead of silently returning
+    non-converged labels when ``max_iter`` is exhausted — a non-min
+    cluster_id would corrupt any later :func:`update_clusters` merge.
+    The per-round convergence probe is the one driver-side action every
+    distributed iterative algorithm needs; the data itself never leaves
+    the executors, and ``localCheckpoint`` keeps the per-round plan flat.
     """
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
+    # deserves a singleton cluster; both backends skip it (no real edges),
+    # so it is coalesced back in below
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()  # reused every round: compute the pair plan once
     )
-    labels = edges.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
+    if algorithm == "propagate":
+        labels = _cc_propagate(edges, max_iter)
+    elif algorithm == "star":
+        labels = _cc_star(edges, max_iter)
+    else:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected 'propagate' or 'star'"
+        )
+    labels = verts.join(labels, "v", "left").select(
+        "v", F.coalesce("label", F.col("v")).alias("label")
     )
-    for it in range(max_iter):
-        nbr = edges.join(
-            labels.withColumnRenamed("v", "src"), "src"
-        ).select(F.col("dst").alias("v"), "label")
-        new = (
-            labels.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        # round 1 always moves labels when any edge exists — skip its
-        # convergence job (each driver-side action costs a full job of
-        # scheduling overhead, which dominates at small scale)
-        if it > 0:
-            moved = (
-                new.alias("n")
-                .join(labels.alias("o"), "v")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            if moved == 0:
-                labels = new
-                break
-        labels = new
     sizes = Window.partitionBy("label")
     return labels.select(
         F.col("v").alias("doc_id"),
@@ -630,6 +781,7 @@ def update_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Incremental dup-cluster maintenance under CDC: merge a batch of NEW
     near-dup pairs into an existing assignment without re-running
@@ -671,6 +823,7 @@ def update_clusters(
         id_a,
         id_b,
         max_iter,
+        algorithm,
     )
     untouched = labels.select("doc_id", "cluster_id", "cluster_size").join(
         sub.select("doc_id"), "doc_id", "left_anti"

@@ -230,9 +230,18 @@ def mixture_sample(
         budget = case.otherwise(F.lit(int(default_budget)))
     else:
         budget = case  # unbudgeted groups -> NULL -> keep everything
+    # A NULL budget (unbudgeted group), NULL total (all-NULL sizes) or
+    # non-positive total (empty/zero-size group) all mean "keep everything":
+    # the `div` must stay inside the otherwise() branch so ANSI mode never
+    # sees a division by zero (CaseWhen evaluates branches lazily).
     rates = totals.withColumn("__budget", budget).select(
         group_col,
-        F.when(F.col("__budget").isNull(), F.lit(buckets))
+        F.when(
+            F.col("__budget").isNull()
+            | F.col("__total").isNull()
+            | (F.col("__total") <= 0),
+            F.lit(buckets),
+        )
         .otherwise(
             F.least(
                 F.lit(buckets), F.expr(f"(__budget * {int(buckets)}) div __total")

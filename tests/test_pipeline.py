@@ -420,6 +420,49 @@ def test_dup_clusters_long_chain_converges(spark):
     assert all(r.cluster_size == 13 for r in rows)
 
 
+def test_dup_clusters_star_matches_propagate(spark):
+    # both backends produce identical canonical-min labels on a mixed
+    # fixture (chain + disjoint pairs + a bridge), regardless of pair
+    # orientation
+    from sqlite_cdc_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20), (3, 40), (40, 41), (7, 7)],
+        "id_a long, id_b long",
+    )
+    prop = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(pairs).collect()
+    )
+    star = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(pairs, algorithm="star").collect()
+    )
+    assert prop == star
+    assert (7, 7, 1) in prop  # self-pair-only vertex keeps its singleton
+
+
+def test_dup_clusters_long_chain_star_converges_propagate_raises(spark):
+    # a 24-hop path has diameter 24: min-label propagation needs ~24
+    # rounds, so at max_iter=8 it must REFUSE (silently returning non-min
+    # labels would corrupt a later update_clusters merge) — while
+    # large-star/small-star converges in O(log n) rounds under the same
+    # budget and yields the exact component labels
+    import pytest
+
+    from sqlite_cdc_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=8)
+    rows = dedup.dup_clusters(pairs, max_iter=8, algorithm="star").collect()
+    assert dedup.LAST_CC_ROUNDS <= 8
+    assert {r.cluster_id for r in rows} == {0}
+    assert all(r.cluster_size == 25 for r in rows)
+
+
 def test_mixture_sample_quota_and_determinism(spark):
     from sqlite_cdc_spark.pipeline import sampling
 
@@ -462,6 +505,29 @@ def test_mixture_sample_unbudgeted_group_kept(spark):
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts["xx"] == 50
     assert counts["en"] < 50  # en is quota'd (1000 of 5000 tokens -> 20%)
+
+
+def test_mixture_sample_zero_and_null_totals_keep_group(spark):
+    # ADVICE r3: a budgeted group whose sizes sum to 0 must not abort with
+    # an ANSI DIVIDE_BY_ZERO, and an all-NULL-size group must be KEPT
+    # (budget >= total means keep everything), not silently dropped
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, "zz", 0), (2, "zz", 0), (3, "nn", None), (4, "nn", None),
+         (5, "en", 10), (6, "en", 10)],
+        "doc_id long, lang string, n_tok long",
+    )
+    out = sampling.mixture_sample(
+        df, "lang", "doc_id", "n_tok",
+        budgets={"zz": 100, "nn": 100, "en": 20}, buckets=10,
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("zz") == 2  # zero total -> keep everything, no abort
+    assert counts.get("nn") == 2  # NULL total -> keep everything
 
 
 def test_fingerprint_containment_flags_planted_run(spark):

@@ -142,6 +142,12 @@ def test_dup_clusters_is_valid_partition(spark, edges):
             u for u in verts if label[u] == label[v]
         )  # canonical min labeling
         assert size[v] == members[label[v]]
+    # the large-star/small-star backend is label-identical on ANY pair set
+    star = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(pairs, algorithm="star").collect()
+    )
+    assert star == sorted((r.doc_id, r.cluster_id, r.cluster_size) for r in rows)
 
 
 @given(
