@@ -923,22 +923,29 @@ def q_b20_cosine_topk(spark, sf_dir):
 
 
 def q_b20_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate neighbors (rows-only: approximate by
-    design; recall asserted in unit tests against the exact baseline)."""
+    """LSH ANN top-k, now a full correctness row (VERDICT r3 next-2):
+    engine-portable integer-exact bucket assignment → exact-cosine
+    re-rank, so the DuckDB oracle replays candidates AND ranking
+    bit-for-bit. Approximate in which neighbors it CONSIDERS (bucket
+    mates only), deterministic in what it RETURNS. The float-plane
+    production path (ann_topk_lsh, multi-table recall tuning) keeps its
+    pytest recall gate."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 4)
-    return similarity.ann_topk_lsh(emb, queries_df, k=5, dim=64).select(
+    return similarity.ann_topk_lsh_portable(emb, queries_df, k=5, dim=64).select(
         "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
     )
 
 
 def q_b20_ann_ivf(spark, sf_dir):
-    """IVF approximate neighbors (rows-only: approximate by design; recall
-    asserted in unit tests against the exact baseline). The learned-centroid
-    counterpart to the LSH path — cells track the data distribution."""
+    """IVF ANN top-k, now a full correctness row (VERDICT r3 next-2):
+    seed-centroid inverted file with integer-exact cell assignment →
+    exact-cosine re-rank — same cells/probe structure as IVF, replayable
+    in any engine. The learned-kmeans production path (ann_topk_ivf)
+    keeps its pytest recall gate."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 4)
-    return similarity.ann_topk_ivf(emb, queries_df, k=5, n_centroids=8, n_probe=3).select(
+    return similarity.ann_topk_ivf_portable(emb, queries_df, k=5, n_probe=3).select(
         "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
     )
 
@@ -2602,6 +2609,111 @@ def _ann_recall_oracle_sql() -> str:
     """
 
 
+_ANN_RESCORE_SQL = """
+        vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))) AS score
+          FROM cand JOIN vecs q ON q.vec_id = cand.query_id
+                    JOIN vecs c ON c.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 5
+"""
+
+
+def _ann_lsh_topk_oracle_sql(n_planes: int = 8, n_tables: int = 4) -> str:
+    """DuckDB replay of q_b20_ann_lsh: multi-table portable integer LSH
+    buckets (table t = plane rows t·n_planes…, same plane_sign LCG as
+    _ann_recall_oracle_sql) + exact-cosine re-rank of the candidate
+    union."""
+    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+        WITH planes AS (
+          SELECT p // {n_planes} AS t, p % {n_planes} AS pb, d,
+                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
+                           < 2147483648 THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, {n_tables * n_planes - 1})) AS p),
+               (SELECT unnest(generate_series(0, 63)) AS d)
+        ),
+        comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        dots AS (
+          SELECT id, t, pb, sum(s * q) AS dp
+          FROM comp JOIN planes USING (d) GROUP BY id, t, pb
+        ),
+        buckets AS (
+          SELECT id, t,
+                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << pb)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t
+        ),
+        qb AS (
+          SELECT id AS query_id, t, unnest([{probes}]) AS bucket
+          FROM buckets WHERE id < 4
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, c.id AS neighbor_id
+          FROM qb JOIN buckets c ON qb.t = c.t AND qb.bucket = c.bucket
+          WHERE c.id != query_id
+        ),
+        {_ANN_RESCORE_SQL}
+    """
+
+
+def _ann_ivf_topk_oracle_sql() -> str:
+    """DuckDB replay of q_b20_ann_ivf: seed-centroid IVF — integer-exact
+    cell assignment (argmax quantized dot, ties to lowest centroid id),
+    n_probe=3 query probing, exact-cosine re-rank."""
+    cids = ", ".join(str(c) for c in similarity.IVF_SEED_CENTROIDS)
+    return f"""
+        WITH comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        cents AS (
+          SELECT id AS cid, d, q AS cq FROM comp WHERE id IN ({cids})
+        ),
+        dots AS (
+          SELECT comp.id, cid, sum(comp.q * cq) AS dp
+          FROM comp JOIN cents USING (d) GROUP BY comp.id, cid
+        ),
+        ranked_cells AS (
+          SELECT id, cid,
+                 row_number() OVER (PARTITION BY id ORDER BY dp DESC, cid ASC) AS r
+          FROM dots
+        ),
+        ccell AS (SELECT id AS neighbor_id, cid AS cell FROM ranked_cells WHERE r = 1),
+        qcell AS (
+          SELECT id AS query_id, cid AS cell
+          FROM ranked_cells WHERE r <= 3 AND id < 4
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM qcell JOIN ccell USING (cell)
+          WHERE neighbor_id != query_id
+        ),
+        {_ANN_RESCORE_SQL}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     li_img_json = (
         "json_object('l_orderkey', l_orderkey, 'l_partkey', l_partkey, "
@@ -3313,6 +3425,8 @@ def oracle_sql() -> dict[str, str]:
         "b19_minhash_candidates": _minhash_oracle_sql(),
         "b19_simhash": _simhash_oracle_sql(),
         "b20_ann_recall": _ann_recall_oracle_sql(),
+        "b20_ann_lsh": _ann_lsh_topk_oracle_sql(),
+        "b20_ann_ivf": _ann_ivf_topk_oracle_sql(),
         "b19_incremental_index": _incremental_index_oracle_sql(),
         "b28_packing": f"""
             WITH t AS (

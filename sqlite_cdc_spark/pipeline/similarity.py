@@ -289,6 +289,7 @@ def ann_lsh_portable(
     n_planes: int = 8,
     quant: int = 1000,
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Engine-portable hyperplane-LSH candidates ``(query_id, neighbor_id)``
     — the ORACLE-mode ANN: every step is exact integer arithmetic, so a SQL
@@ -298,17 +299,24 @@ def ann_lsh_portable(
     Construction: components quantized to ``floor(v·quant)`` int64;
     hyperplanes are Rademacher ±1 entries from :func:`plane_sign`; bucket
     bit *p* = sign of the exact integer dot; query-side multiprobe flips
-    each bit once. Shape: narrow posexplode → broadcast join with the tiny
-    (n_planes·dim) sign table → two keyed aggs → equi-join on bucket —
-    scales like the production :func:`ann_topk_lsh` (which keeps Arrow
-    matmul hashing and float planes for recall; use this variant when
-    cross-engine reproducibility of the index matters more than recall
-    tuning).
+    each bit once. ``n_tables`` independent tables (table *t* uses plane
+    rows ``t·n_planes … (t+1)·n_planes−1`` of the same LCG family — the
+    recall dial: candidates are the union of per-table bucket matches,
+    still fully integer-exact). Shape: narrow posexplode → broadcast join
+    with the tiny (n_tables·n_planes·dim) sign table → two keyed aggs →
+    equi-join on (table, bucket) — scales like the production
+    :func:`ann_topk_lsh` (which keeps Arrow matmul hashing and float
+    planes; use this variant when cross-engine reproducibility of the
+    index matters).
     """
     spark = corpus.sparkSession
     planes = spark.createDataFrame(
-        [(p, d, plane_sign(p, d)) for p in range(n_planes) for d in range(dim)],
-        "p int, d int, s long",
+        [
+            (p // n_planes, p % n_planes, d, plane_sign(p, d))
+            for p in range(n_tables * n_planes)
+            for d in range(dim)
+        ],
+        "t int, p int, d int, s long",
     )
 
     def buckets(df: DataFrame) -> DataFrame:
@@ -320,10 +328,10 @@ def ann_lsh_portable(
         )
         dots = (
             comp.join(F.broadcast(planes), "d")
-            .groupBy("id", "p")
+            .groupBy("id", "t", "p")
             .agg(F.sum(F.col("s") * F.col("q")).alias("dp"))
         )
-        return dots.groupBy("id").agg(
+        return dots.groupBy("id", "t").agg(
             F.sum(
                 F.when(
                     F.col("dp") >= 0,
@@ -334,8 +342,8 @@ def ann_lsh_portable(
             ).alias("bucket")
         )
 
-    cb = buckets(corpus).select(F.col("id").alias("neighbor_id"), "bucket")
-    qb = buckets(queries).select(F.col("id").alias("query_id"), "bucket")
+    cb = buckets(corpus).select(F.col("id").alias("neighbor_id"), "t", "bucket")
+    qb = buckets(queries).select(F.col("id").alias("query_id"), "t", "bucket")
     if multiprobe:
         flips = F.array(
             F.col("bucket"),
@@ -344,13 +352,152 @@ def ann_lsh_portable(
                 for i in range(n_planes)
             ],
         )
-        qb = qb.select("query_id", F.explode(flips).alias("bucket"))
+        qb = qb.select("query_id", "t", F.explode(flips).alias("bucket"))
     return (
-        qb.join(cb, "bucket")
+        qb.join(cb, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def _rescore_topk(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN candidate set ``(query_id,
+    neighbor_id)``: join the vectors back (query side broadcast), score,
+    per-query top-k window with neighbor-id tiebreak. The shared tail of
+    both portable ANN paths."""
+    v = as_double(vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("qv"), l2_norm(v).alias("qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("cv"), l2_norm(v).alias("cn")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ann_topk_lsh_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    quant: int = 1000,
+    multiprobe: bool = True,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Deterministic, oracle-able LSH ANN top-k: :func:`ann_lsh_portable`
+    candidates (integer-exact bucket assignment — replayable bit-for-bit
+    by any SQL engine) re-ranked by exact cosine (:func:`_rescore_topk`).
+
+    This is the ANN variant registered as a correctness row: approximate
+    in WHICH neighbors it considers (bucket-mates only — the whole point
+    of ANN), but fully deterministic in WHAT it returns, so a DuckDB
+    oracle can replay candidates AND ranking exactly. The float-plane
+    :func:`ann_topk_lsh` stays the production recall-tuning path (more
+    tables, learned nothing, Arrow matmul hashing).
+    """
+    cand = ann_lsh_portable(
+        corpus, queries, id_col, vec_col, dim, n_planes, quant, multiprobe,
+        n_tables,
+    )
+    return _rescore_topk(cand, corpus, queries, k, id_col, vec_col)
+
+
+#: default seed-centroid ids for ann_topk_ivf_portable — a fixed stride-61
+#: walk of the embeddings fixture id space; all exist at every SF (max id
+#: 437 < 500). An explicit literal list (not an expression over max(id))
+#: keeps the index definition engine-independent and SF-stable.
+IVF_SEED_CENTROIDS = (10, 71, 132, 193, 254, 315, 376, 437)
+
+
+def ann_topk_ivf_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids=IVF_SEED_CENTROIDS,
+    n_probe: int = 3,
+    quant: int = 1000,
+) -> DataFrame:
+    """Deterministic, oracle-able IVF ANN top-k: seed-centroid inverted
+    file with integer-exact cell assignment.
+
+    Same IVF shape as the learned :func:`ann_topk_ivf` — corpus vectors
+    live in exactly one cell (their best centroid), queries probe their
+    ``n_probe`` best cells, only cell-mates are scored — but the
+    centroids are FIXED corpus rows (``centroid_ids``) and the
+    assignment metric is the exact integer dot of floor-quantized
+    components, so cells (and therefore the candidate set) replay
+    bit-for-bit in any engine: no kmeans float accumulation, no RNG.
+    Assignment ties break to the lowest centroid id. At 100 TB the
+    centroid component table is a few KB broadcast; assignment is one
+    posexplode + keyed agg + per-row top-1 window over |cells| rows per
+    vector; candidates come from an equi-join on ``cell``. Production
+    recall tuning (data-adaptive cells) stays with :func:`ann_topk_ivf`.
+    """
+    cents = (
+        corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.posexplode(as_double(vec_col)).alias("d", "cv"),
+        )
+        .select("cid", "d", F.floor(F.col("cv") * quant).cast("long").alias("cq"))
+    )
+
+    def cells(df: DataFrame, take: int) -> DataFrame:
+        comp = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(as_double(vec_col)).alias("d", "v"),
+        ).select("id", "d", F.floor(F.col("v") * quant).cast("long").alias("q"))
+        dots = (
+            comp.join(F.broadcast(cents), "d")
+            .groupBy("id", "cid")
+            .agg(F.sum(F.col("q") * F.col("cq")).alias("dp"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("dp").desc(), F.col("cid").asc())
+        return (
+            dots.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= take)
+            .select("id", F.col("cid").alias("cell"))
+        )
+
+    cc = cells(corpus, 1).select(F.col("id").alias("neighbor_id"), "cell")
+    qc = cells(queries, n_probe).select(F.col("id").alias("query_id"), "cell")
+    cand = (
+        qc.join(cc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _rescore_topk(cand, corpus, queries, k, id_col, vec_col)
 
 
 def ann_topk_lsh(

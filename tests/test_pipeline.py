@@ -113,6 +113,25 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
             assert abs(r.score - ex_scores[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_ann_portable_topk_recall_vs_exact(spark, sf_dir):
+    # the oracle-able ANN variants (integer-exact candidates + exact
+    # rescoring, registered as b20_ann_lsh / b20_ann_ivf) must stay
+    # useful approximations, not just deterministic ones
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_topk_lsh_portable(emb, q, k=5, dim=64).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_topk_ivf_portable(emb, q, k=5, n_probe=3).collect()
+    }
+    assert len(exact & lsh) / len(exact) >= 0.3, "portable LSH recall too low"
+    assert len(exact & ivf) / len(exact) >= 0.5, "portable IVF recall too low"
+
+
 def test_ann_ivf_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 4)
