@@ -54,12 +54,35 @@ def main(argv: list[str] | None = None) -> int:
              "instead of draining once",
     )
     p.add_argument("--poll-interval", type=float, default=0.25)
+    # corpus-pipeline mode options (see the pipeline modes below)
+    p.add_argument("--threshold", type=float, default=0.7,
+                   help="dedup-clusters: near-dup Jaccard threshold")
+    p.add_argument("--algorithm", choices=["propagate", "star"],
+                   default="propagate",
+                   help="dedup-clusters: CC backend (star = O(log n) rounds)")
+    p.add_argument("--budgets", default="",
+                   help="mixture: per-group token budgets, e.g. en=4000,de=1500")
+    p.add_argument("--default-budget", type=int, default=None)
+    p.add_argument("--group-col", default="lang")
+    p.add_argument("--chunk-tokens", type=int, default=16)
+    p.add_argument("--overlap", type=int, default=4)
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--setup", action="store_true")
     mode.add_argument("--teardown", action="store_true")
     mode.add_argument("--bootstrap", metavar="HANDLER")
     mode.add_argument("--cdc", metavar="HANDLER")
     mode.add_argument("--both", metavar="HANDLER", help="bootstrap then cdc")
+    # corpus-pipeline modes (VERDICT r3 item 8): the r3 library operators,
+    # drivable end-to-end like bootstrap/cdc — each reads documents.parquet
+    # from --data-dir and writes a parquet result to its OUT argument,
+    # mirroring the library defaults
+    mode.add_argument("--dedup-clusters", metavar="OUT",
+                      help="near-dup pairs -> connected components; writes "
+                           "(doc_id, cluster_id, cluster_size)")
+    mode.add_argument("--mixture", metavar="OUT",
+                      help="budget mixture sampling of documents by --budgets")
+    mode.add_argument("--chunk", metavar="OUT",
+                      help="split documents into --chunk-tokens token chunks")
     args = p.parse_args(argv)
     tables = [t for t in args.tables.split(",") if t]
 
@@ -87,6 +110,47 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("sqlite-cdc-spark-cli", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.dedup_clusters or args.mixture or args.chunk:
+        if not args.data_dir:
+            raise SystemExit("--data-dir required for pipeline modes")
+        from .pipeline import dedup as dedup_mod
+        from .pipeline import sampling as sampling_mod
+        from .pipeline import text as text_mod
+
+        docs = load_table(spark, args.data_dir, "documents")
+        if args.dedup_clusters:
+            pairs = dedup_mod.near_dup_pairs(
+                docs.select("doc_id", "text"), "doc_id", "text",
+                threshold=args.threshold,
+            )
+            out = dedup_mod.dup_clusters(pairs, algorithm=args.algorithm)
+            out.write.mode("overwrite").parquet(args.dedup_clusters)
+            n = out.count()
+            print(f"dedup-clusters: {n} clustered docs -> {args.dedup_clusters}")
+        elif args.mixture:
+            budgets = {}
+            for part in (s for s in args.budgets.split(",") if s):
+                g, _, amount = part.partition("=")
+                if not amount:
+                    raise SystemExit(f"bad --budgets entry {part!r}: want g=N")
+                budgets[g] = int(amount)
+            sized = docs.withColumn("__n_tok", text_mod.token_count("text"))
+            out = sampling_mod.mixture_sample(
+                sized, args.group_col, "doc_id", "__n_tok",
+                budgets=budgets, default_budget=args.default_budget,
+            ).drop("__n_tok")
+            out.write.mode("overwrite").parquet(args.mixture)
+            print(f"mixture: {out.count()} of {docs.count()} docs kept "
+                  f"-> {args.mixture}")
+        else:
+            out = text_mod.chunk_rows(
+                docs, "doc_id", "text",
+                chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+            )
+            out.write.mode("overwrite").parquet(args.chunk)
+            print(f"chunk: {out.count()} chunks -> {args.chunk}")
+        return 0
 
     if args.bootstrap or args.both:
         handler = _handler(args.bootstrap or args.both)
