@@ -18,6 +18,7 @@ from sqlite_cdc_spark import derive, log, model
 from sqlite_cdc_spark.pipeline import (
     decontam,
     dedup,
+    lm,
     multimodal,
     sampling,
     similarity,
@@ -1817,6 +1818,64 @@ def q_b14_date_funcs(spark, sf_dir):
     )
 
 
+def q_b21_tfidf(spark, sf_dir):
+    """TF-IDF keyword extraction (B21/B30 depth): top-3 terms per document
+    by smoothed TF-IDF (sklearn idf: ln((N+1)/(df+1))+1), rounded-score
+    ranking with a token tie-break so both engines rank identically. Two
+    word-count aggs + a vocab equi-join; N broadcasts as a 1-row agg
+    (lm.py: tf_idf / top_terms)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.top_terms(docs, "doc_id", k=3)
+
+
+def q_b21_bm25(spark, sf_dir):
+    """BM25 keyword search (B21/B30 depth): top-15 documents for a fixed
+    3-term query (k1=1.2, b=0.75, Robertson idf). The term filter pushes
+    into the token relation before any agg, so the scored side is
+    |matching docs × 3|, never the corpus (lm.py: bm25_search)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bm25_search(
+        docs, "doc_id", ["merge", "join", "batch"], top_k=15
+    )
+
+
+def q_b21_perplexity(spark, sf_dir):
+    """Unigram-LM cross-entropy per document (B21/B30 depth) — the
+    perplexity filter of corpus curation (CCNet-style): self-scored
+    add-1-smoothed unigram LM, H = ln(T+V) − (Σ c_t·ln(cnt_t+1))/n.
+    Integer counts aggregate first; ln runs over distinct (doc,token)
+    pairs only; model totals broadcast (lm.py: doc_cross_entropy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.doc_cross_entropy(docs, "doc_id")
+
+
+def q_b21_bpe_pairs(spark, sf_dir):
+    """BPE-trainer pair statistics (B21/B30 depth): top-50 adjacent
+    character pairs by frequency, counted over the word-frequency dict —
+    the corpus-side cost is ONE word count; char-level work is bounded by
+    |vocab|, not corpus bytes (lm.py: bpe_pair_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bpe_pair_counts(docs, top_n=50)
+
+
+def q_b28_temperature(spark, sf_dir):
+    """Temperature-reweighted mixture (B28 depth): α=0.5 sampling (the
+    mBERT/XLM-R α-sampling rule — share ∝ total^α, flattening toward
+    low-resource groups) against a 100k-char budget. sqrt is IEEE-exact
+    on both engines; keep rates are integer buckets with an epsilon'd
+    floor; the corpus is filtered narrowly, never shuffled
+    (sampling.py: temperature_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "doc_id",
+        "n_chars",
+        total_budget=100_000,
+        alpha=0.5,
+    ).select("doc_id", "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks the
     FIRST 50 entries per round. Round-3 layout (VERDICT r2 next-2):
@@ -1831,12 +1890,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       approximate queries.
     """
     return {
-        # --- r02 harness-fails, fixed this round -------------------------
+        # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
+        "b21_chunking": q_b21_chunking,
+        "b5_time_range": q_b5_time_range,
+        "b9_band_join": q_b9_band_join,
+        "b10_bool_agg": q_b10_bool_agg,
+        "b14_null_funcs": q_b14_null_funcs,
+        "b14_bitwise_funcs": q_b14_bitwise_funcs,
+        "b14_url_funcs": q_b14_url_funcs,
+        "b11_ntile": q_b11_ntile,
+        "b10_median_mode": q_b10_median_mode,
+        # --- new in round 5 (LM/retrieval + temperature mixing) ----------
+        "b21_tfidf": q_b21_tfidf,
+        "b21_bm25": q_b21_bm25,
+        "b21_perplexity": q_b21_perplexity,
+        "b21_bpe_pairs": q_b21_bpe_pairs,
+        "b28_temperature": q_b28_temperature,
+        # --- regression canaries: last green row is r02; bench-covered
+        # --- families deprioritized below the fold -----------------------
+        "b23_udf_features": q_b23_udf_features,
+        "b22_multimodal_meta": q_b22_multimodal_meta,
+        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
+        "b2_scd2": q_b2_scd2,
+        "b7_multi_join_revenue": q_b7_multi_join_revenue,
+        "b1_snapshot_diff": q_b1_snapshot_diff,
+        "b19_simhash": q_b19_simhash,
+        "b10_stats_agg": q_b10_stats_agg,
+        "b15_interval_join": q_b15_interval_join,
+        "b21_lang_quality": q_b21_lang_quality,
+        "b21_nchars_histogram": q_b21_nchars_histogram,
+        "b25_sql_exists": q_b25_sql_exists,
+        "b25_sql_correlated": q_b25_sql_correlated,
+        "b7_outer_join": q_b7_outer_join,
+        "b10_pivot": q_b10_pivot,
+        "b10_unpivot": q_b10_unpivot,
+        "b11_value_funcs": q_b11_value_funcs,
+        "b14_regex_funcs": q_b14_regex_funcs,
+        "b14_string_sim": q_b14_string_sim,
+        "b21_pii_scrub": q_b21_pii_scrub,
+        "b21_repetition": q_b21_repetition,
+        "b19_incremental_index": q_b19_incremental_index,
+        "b28_packing": q_b28_packing,
+        "b26_train_split": q_b26_train_split,
+        "b26_stratified_sample": q_b26_stratified_sample,
+        "a6_bootstrap": q_a6_bootstrap,
+        "a10_drain_batch": q_a10_drain_batch,
+        "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
+        "b1_apply_roundtrip": q_b1_apply_roundtrip,
+        "b4_event_source": q_b4_event_source,
+        "b5_filter_json": q_b5_filter_json,
+        "b6_projection": q_b6_projection,
+        "b8_semi_join": q_b8_semi_join,
+        "b8_anti_join": q_b8_anti_join,
+        "b9_asof": q_b9_asof,
+        "b9_asof_join": q_b9_asof_join,
+        # ---- position 51+: bench.py exercises these every round ---------
+        "b2_log_compaction": q_b2_log_compaction,
+        "b3_change_stats": q_b3_change_stats,
+        "b7_join_enrich": q_b7_join_enrich,
+        "b10_agg_pricing": q_b10_agg_pricing,
+        "b11_window_funcs": q_b11_window_funcs,
+        # ---- green in the r03/r04 windows, resting -----------------------
         "b21_token_stats": q_b21_token_stats,
         "b24_corpus_build": q_b24_corpus_build,
         "b28_training_manifest": q_b28_training_manifest,
         "b1_column_diff": q_b1_column_diff,
-        # --- new this round ----------------------------------------------
         "b21_token_per_doc": q_b21_token_per_doc,
         "b7_salted_join": q_b7_salted_join,
         "b19_dup_clusters": q_b19_dup_clusters,
@@ -1848,7 +1966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_incremental_clusters": q_b19_incremental_clusters,
         "b26_split_leakage": q_b26_split_leakage,
         "b24_corpus_v2": q_b24_corpus_v2,
-        # --- last green in r01: rotate back in as regression canaries ----
         "b12_topk": q_b12_topk,
         "b13_set_ops": q_b13_set_ops,
         "b18_dedup_exact": q_b18_dedup_exact,
@@ -1880,63 +1997,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_embedding_dups": q_b19_embedding_dups,
         "b20_ann_lsh": q_b20_ann_lsh,
         "b20_ann_ivf": q_b20_ann_ivf,
-        # --- r02-green anchors filling the window to 50 ------------------
         "b19_minhash_candidates": q_b19_minhash_candidates,
         "b20_ann_recall": q_b20_ann_recall,
         "b29_decontamination": q_b29_decontamination,
         "b26_hash_sample": q_b26_hash_sample,
-        # ---- position 51+: r02-green rows resting out of the window, plus
-        "b23_udf_features": q_b23_udf_features,
-        # ---- the r3 depth pool awaiting a future window rotation --------
-        "b21_chunking": q_b21_chunking,
-        "b5_time_range": q_b5_time_range,
-        "b9_band_join": q_b9_band_join,
-        "b10_bool_agg": q_b10_bool_agg,
-        "b14_null_funcs": q_b14_null_funcs,
-        "b14_bitwise_funcs": q_b14_bitwise_funcs,
-        "b14_url_funcs": q_b14_url_funcs,
-        "b11_ntile": q_b11_ntile,
-        "b10_median_mode": q_b10_median_mode,
-        "b22_multimodal_meta": q_b22_multimodal_meta,
-        "b25_sql_cte_top_supplier": q_b25_sql_cte_top_supplier,
-        "b2_scd2": q_b2_scd2,
-        "b7_multi_join_revenue": q_b7_multi_join_revenue,
-        "b1_snapshot_diff": q_b1_snapshot_diff,
-        "b19_simhash": q_b19_simhash,
-        "b10_stats_agg": q_b10_stats_agg,
-        "b15_interval_join": q_b15_interval_join,
-        "b3_change_stats": q_b3_change_stats,
-        "b21_lang_quality": q_b21_lang_quality,
-        "b21_nchars_histogram": q_b21_nchars_histogram,
-        "b25_sql_exists": q_b25_sql_exists,
-        "b25_sql_correlated": q_b25_sql_correlated,
-        "b7_outer_join": q_b7_outer_join,
-        "b10_pivot": q_b10_pivot,
-        "b10_unpivot": q_b10_unpivot,
-        "b11_value_funcs": q_b11_value_funcs,
-        "b14_regex_funcs": q_b14_regex_funcs,
-        "b14_string_sim": q_b14_string_sim,
-        "b21_pii_scrub": q_b21_pii_scrub,
-        "b21_repetition": q_b21_repetition,
-        "b19_incremental_index": q_b19_incremental_index,
-        "b28_packing": q_b28_packing,
-        "b26_train_split": q_b26_train_split,
-        "b26_stratified_sample": q_b26_stratified_sample,
-        "a6_bootstrap": q_a6_bootstrap,
-        "a10_drain_batch": q_a10_drain_batch,
-        "a16_bootstrap_union_log": q_a16_bootstrap_union_log,
-        "b1_apply_roundtrip": q_b1_apply_roundtrip,
-        "b2_log_compaction": q_b2_log_compaction,
-        "b4_event_source": q_b4_event_source,
-        "b5_filter_json": q_b5_filter_json,
-        "b6_projection": q_b6_projection,
-        "b7_join_enrich": q_b7_join_enrich,
-        "b8_semi_join": q_b8_semi_join,
-        "b8_anti_join": q_b8_anti_join,
-        "b9_asof": q_b9_asof,
-        "b9_asof_join": q_b9_asof_join,
-        "b10_agg_pricing": q_b10_agg_pricing,
-        "b11_window_funcs": q_b11_window_funcs,
         "b27_sketches": q_b27_sketches,
     }
 
@@ -3648,6 +3712,141 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
                    md5({_NORM_SQL}) AS fp
             FROM documents
+        """,
+        "b21_tfidf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok <> '' GROUP BY doc_id, tok
+            ),
+            dfx AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok,
+                     CAST(tf.tf AS BIGINT) AS tf,
+                     CAST(dfx.df_t AS BIGINT) AS df_t,
+                     round(tf.tf * (ln((n.n_docs + 1.0)
+                                       / (dfx.df_t + 1.0)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dfx USING (tok) CROSS JOIN n
+            )
+            SELECT doc_id, tok, tf, df_t, tfidf, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
+        "b21_bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
+              WHERE tok <> '' GROUP BY doc_id
+            ),
+            scalars AS (
+              SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs
+              FROM dl
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
+            ),
+            dfx AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+                   CROSS JOIN scalars s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 15
+        """,
+        "b21_perplexity": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            model AS (SELECT tok, count(*) AS cnt FROM nz GROUP BY tok),
+            scalars AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+                     CAST(count(*) AS DOUBLE) AS v_size
+              FROM model
+            ),
+            pdt AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM nz
+              GROUP BY doc_id, tok
+            ),
+            agg AS (
+              SELECT pdt.doc_id,
+                     CAST(sum(pdt.c) AS BIGINT) AS n_tok,
+                     sum(pdt.c * ln(m.cnt + 1.0)) AS num
+              FROM pdt JOIN model m USING (tok) GROUP BY pdt.doc_id
+            )
+            SELECT doc_id, n_tok,
+                   round(ln(s.t_total + 1.0 * s.v_size)
+                         - num / CAST(n_tok AS DOUBLE), 6) AS xent
+            FROM agg CROSS JOIN scalars s
+        """,
+        "b21_bpe_pairs": f"""
+            WITH toks AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            vocab AS (
+              SELECT tok, count(*) AS wcnt FROM toks
+              WHERE len(tok) >= 2 GROUP BY tok
+            ),
+            pairs AS (
+              SELECT substring(tok, i, 2) AS pair,
+                     CAST(sum(wcnt) AS BIGINT) AS pair_count
+              FROM vocab,
+                   unnest(generate_series(1, len(tok) - 1)) AS t(i)
+              GROUP BY pair
+            )
+            SELECT pair, pair_count, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY pair_count DESC, pair ASC) AS rank
+              FROM pairs
+            ) WHERE rank <= 50
+        """,
+        "b28_temperature": f"""
+            WITH totals AS (
+              SELECT lang, sum(n_chars) AS total FROM documents GROUP BY lang
+            ),
+            z AS (
+              SELECT sum(sqrt(CAST(total AS DOUBLE))) AS z FROM totals
+            ),
+            rates AS (
+              SELECT lang,
+                     least(100, CAST(floor(
+                       sqrt(CAST(total AS DOUBLE)) / z.z
+                       * 100000.0 * 100.0 / CAST(total AS DOUBLE)
+                       + 1e-9) AS BIGINT)) AS keep_b
+              FROM totals CROSS JOIN z
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE {sampling.bucket_sql('d.doc_id')} < r.keep_b
         """,
         "b7_salted_join": """
             SELECT o.o_custkey, count(*) AS n_items,

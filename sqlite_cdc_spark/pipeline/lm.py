@@ -1,0 +1,297 @@
+"""Corpus language-model & retrieval statistics (SURVEY.md §2 B21/B30).
+
+The scoring half of a training-data pipeline: TF-IDF term weighting, BM25
+keyword retrieval, unigram language-model training + per-document
+cross-entropy (the "perplexity filter" of web-corpus curation — CCNet,
+Gopher, and most LLM data pipelines gate documents on LM score), and
+BPE-style adjacent-pair counting (the inner statistic of tokenizer
+training).
+
+Scale shapes (all built-in expressions — whole-stage codegen, no Python
+UDFs):
+
+- Everything reduces to word-count-shaped aggregations: explode tokens →
+  partial+final agg keyed by (doc, token) or (token). Spark's map-side
+  combine keeps the shuffle proportional to DISTINCT keys per partition,
+  not corpus tokens.
+- Corpus-level scalars (doc count, total tokens, vocab size, avg doc len)
+  are 1-row aggregates crossJoin-broadcast back — no driver round-trip,
+  no collect.
+- BPE pair counting explodes CHARACTER pairs only over the DISTINCT
+  vocabulary weighted by word frequency (the classic word-frequency-dict
+  optimization every real BPE trainer uses): corpus-side cost is one word
+  count; the char-level work is bounded by |vocab|, not corpus size.
+
+Float policy (oracle-exactness): ``ln`` differs from DuckDB by ≤1 ulp
+(measured ~2e-15); every ln-derived output is rounded to 6 decimals and
+any RANKING happens on the rounded value with a deterministic id
+tie-break, so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def token_rows(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, tok) rows of the normalized whitespace tokens, empties
+    dropped — the base relation every statistic here aggregates."""
+    return df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(document, term) TF-IDF: ``tf * (ln((N+1)/(df+1)) + 1)``
+    (smoothed idf, sklearn's formulation — never negative, never /0).
+
+    Output: ``(id_col, tok, tf, df_t, tfidf)``. Two word-count aggs (one
+    keyed by (doc,tok), one by tok) plus an equi-join on tok; N arrives
+    as a broadcast 1-row aggregate. No collect, no global sort.
+    """
+    toks = token_rows(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
+    return (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df_t").cast("bigint").alias("df_t"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n_docs") + F.lit(1.0))
+                        / (F.col("df_t").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (rounded-score desc, token asc
+    tie-break) — the keyword-extraction read of TF-IDF. Per-group window
+    top-k over the aggregated (doc, term) relation: no global sort."""
+    scored = tf_idf(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 keyword search: score every document against ``query_terms``
+    and return the top-``top_k`` by rounded score (id asc tie-break).
+
+    score(D) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1−b+b·|D|/avgdl))
+    idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   (Robertson/Sparck-Jones)
+
+    Plan: doc lengths + avgdl + N are word-count-shaped aggregates (the
+    scalar ones broadcast); the per-term side filters the token relation
+    to the query's terms FIRST (a literal ``isin`` that pushes into the
+    scan), so the scored relation is |matching docs × query terms|, not
+    the corpus. Final top-k is a per-query ``row_number`` over the scored
+    docs — `TakeOrderedAndProject`-sized, never a global sort of the corpus.
+    """
+    toks = token_rows(df, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__dl")
+    )
+    scalars = dl.agg(
+        F.avg("__dl").alias("__avgdl"),
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+    )
+    qtoks = toks.filter(F.col("tok").isin([t.lower() for t in query_terms]))
+    tf = qtoks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__term_score",
+            F.col("__idf")
+            * F.col("__tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__term_score"), 6).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def unigram_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram counts ``(tok, cnt)`` — the trained "model" of the
+    add-k unigram LM. One word-count aggregation."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def doc_cross_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    add_k: float = 1.0,
+    lm: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-k-smoothed unigram LM —
+    the perplexity filter of corpus curation (documents the corpus LM
+    finds "surprising" are boilerplate, gibberish, or off-distribution;
+    gate on ``xent`` percentiles per language).
+
+    H(D) = −(1/|D|) Σ_{t∈D} ln p(t),  p(t) = (cnt_t + k) / (T + k·V)
+
+    ``lm`` defaults to the corpus itself (self-scoring); pass a held-out
+    :func:`unigram_counts` frame to score against an external model.
+    Unseen tokens under an external LM get the smoothing floor k/(T+kV).
+
+    Algebraic shape for float stability AND scale: aggregate per-(doc,tok)
+    INTEGER counts first, so the ln sum runs over distinct tokens per doc
+    (``Σ c_t·ln(cnt_t+k)``), then ``H = ln(T+kV) − that/|D|``. The model
+    join is an equi-join on tok; T and V broadcast as a 1-row aggregate.
+    Output: ``(id_col, n_tok, xent)``, xent rounded to ``round_to``.
+    """
+    model = lm if lm is not None else unigram_counts(df, text_col)
+    scalars = model.agg(
+        F.sum("cnt").cast("double").alias("__T"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    toks = token_rows(df, id_col, text_col)
+    per_doc_tok = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    joined = per_doc_tok.join(model, "tok", "left").withColumn(
+        "__cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tok"),
+            F.sum(
+                F.col("__c") * F.log(F.col("__cnt") + F.lit(float(add_k)))
+            ).alias("__num"),
+        )
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            "n_tok",
+            F.round(
+                F.log(F.col("__T") + F.lit(float(add_k)) * F.col("__V"))
+                - F.col("__num") / F.col("n_tok").cast("double"),
+                round_to,
+            ).alias("xent"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Adjacent character-pair frequencies — the statistic a BPE tokenizer
+    trainer maximizes at each merge step (count pairs over the word-
+    frequency dict, not the raw corpus).
+
+    Corpus-side cost: ONE word count. The char-pair explode runs only
+    over the distinct vocabulary (|vocab| rows, each ≤ word length
+    pairs), weighted by word frequency — at 100 TB the vocab is a few
+    hundred million rows regardless of corpus size, so the expensive part
+    never scales with data volume. Output ``(pair, pair_count)`` (+
+    ``rank`` when ``top_n``); ranking is over the aggregated pair table
+    (alphabet², tiny).
+    """
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    pairs = (
+        vocab.select(
+            "wcnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("tok") - F.lit(1))
+            ).alias("i"),
+            F.col("tok"),
+        )
+        .select(
+            F.substring(F.col("tok"), F.col("i"), F.lit(2)).alias("pair"),
+            "wcnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wcnt").cast("bigint").alias("pair_count"))
+    )
+    if top_n is None:
+        return pairs
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -255,3 +255,83 @@ def mixture_sample(
         .filter(hash_bucket(key_col, buckets) < F.col("__keep_b"))
         .drop("__keep_b")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-group keep rates for temperature-reweighted mixing — the
+    multilingual-training α-sampling rule (mBERT/XLM-R style): target
+    share q_g ∝ t_g^α, so α=1 keeps natural proportions and α→0
+    flattens toward uniform, up-weighting low-resource groups.
+
+    Math: t_g = Σ size per group; q_g = t_g^α / Σ_h t_h^α; the group's
+    token target is q_g·budget and its keep rate (in integer buckets)
+    ``keep_b = min(buckets, floor(q_g·budget·buckets / t_g + 1e-9))``.
+
+    Engine-portability: α=0.5 uses ``sqrt`` — IEEE-correctly-rounded, so
+    bit-identical on Spark and DuckDB (measured; ``pow`` is not) — and
+    the 1e-9 epsilon absorbs the ≤few-ulp drift of the cross-group
+    Σ t_h^α (whose accumulation order differs per engine) so the floor
+    never flips. Plan: one |groups|-row aggregate, the normalizer as a
+    broadcast 1-row crossJoin — the corpus is untouched.
+    """
+    w_col = (
+        F.sqrt(F.col("__total").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__total").cast("double"), F.lit(float(alpha)))
+    )
+    totals = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(size_col)).alias("__total"))
+        .withColumn("__w", w_col)
+    )
+    z = totals.agg(F.sum("__w").alias("__z"))
+    return (
+        totals.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.col("__total").cast("bigint").alias("group_total"),
+            F.least(
+                F.lit(buckets).cast("long"),
+                F.floor(
+                    (F.col("__w") / F.col("__z"))
+                    * F.lit(float(total_budget))
+                    * F.lit(float(buckets))
+                    / F.col("__total").cast("double")
+                    + F.lit(1e-9)
+                ),
+            )
+            .cast("bigint")
+            .alias("keep_b"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Apply :func:`temperature_rates`: broadcast the tiny rate table back
+    and keep rows whose key bucket falls under their group's rate — a
+    narrow filter, the corpus is never shuffled (same contract as
+    :func:`mixture_sample`, with budgets derived from the temperature
+    instead of given per group)."""
+    rates = temperature_rates(
+        df, group_col, size_col, total_budget, alpha, buckets
+    ).select(group_col, "keep_b")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_bucket(key_col, buckets) < F.col("keep_b"))
+        .drop("keep_b")
+    )

@@ -1,0 +1,151 @@
+"""Tests for LM/retrieval statistics (lm.py) and temperature sampling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark.pipeline import lm, sampling, text as textops
+from sqlite_cdc_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_tfidf_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.tok): r
+        for r in lm.tf_idf(df, "doc_id").collect()
+    }
+    r = rows[(1, "apple")]
+    assert r.tf == 2 and r.df_t == 1
+    # sklearn smoothing: ln((3+1)/(1+1)) + 1, times tf=2
+    assert r.tfidf == round(2 * (math.log(4 / 2) + 1), 6)
+    r = rows[(2, "banana")]
+    assert r.tf == 1 and r.df_t == 2
+    assert r.tfidf == round(math.log(4 / 3) + 1, 6)
+
+
+def test_top_terms_rank_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "x x y y z"), (2, "x y")], ["doc_id", "text"]
+    )
+    out = lm.top_terms(df, "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.tok))
+    # doc 1: x and y tie on tf=2/df=2 -> token asc breaks the tie
+    assert sorted(by_doc[1]) == [(1, "x"), (2, "y")]
+
+
+def test_bm25_prefers_rarer_term_and_bounds(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = lm.bm25_search(docs, "doc_id", ["merge", "join"], top_k=10)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    # scores are rounded, non-negative, and non-increasing in rank order
+    ordered = sorted(rows, key=lambda r: r.rank)
+    scores = [r.score for r in ordered]
+    assert all(s >= 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cross_entropy_uniform_corpus_is_flat(spark):
+    # every doc identical -> identical xent; value = ln(T+V) - ln(cnt+1)
+    df = spark.createDataFrame(
+        [(i, "a b") for i in range(4)], ["doc_id", "text"]
+    )
+    rows = lm.doc_cross_entropy(df, "doc_id").collect()
+    assert len(rows) == 4
+    vals = {r.xent for r in rows}
+    assert len(vals) == 1
+    # T=8 tokens, V=2, each cnt=4: H = ln(8+2) - ln(5)
+    assert vals.pop() == round(math.log(10) - math.log(5), 6)
+    assert all(r.n_tok == 2 for r in rows)
+
+
+def test_cross_entropy_flags_rare_docs(spark):
+    common = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    rare = [(99, "zxqv wkjy qqpl mmnb")]
+    df = spark.createDataFrame(common + rare, ["doc_id", "text"])
+    rows = {r.doc_id: r.xent for r in lm.doc_cross_entropy(df, "doc_id").collect()}
+    # the gibberish doc must be the most surprising one
+    assert rows[99] == max(rows.values())
+    assert rows[99] > rows[0]
+
+
+def test_cross_entropy_external_lm_unseen_floor(spark):
+    corpus = spark.createDataFrame([(1, "aa bb cc dd")], ["doc_id", "text"])
+    model = lm.unigram_counts(
+        spark.createDataFrame([(1, "aa aa bb bb")], ["doc_id", "text"])
+    )
+    rows = lm.doc_cross_entropy(
+        corpus, "doc_id", lm=model, add_k=1.0
+    ).collect()
+    # model: T=4, V=2 -> denom ln(6); seen cnt=2 -> ln(3); unseen -> ln(1)=0
+    expect = round(math.log(6) - (2 * math.log(3) + 2 * math.log(1)) / 4, 6)
+    assert rows[0].xent == expect
+
+
+def test_bpe_pairs_hand_check(spark):
+    df = spark.createDataFrame([(1, "abab cd cd cd")], ["doc_id", "text"])
+    # vocab: abab x1 -> pairs ab, ba, ab ; cd x3 -> pair cd
+    out = {r.pair: r.pair_count for r in lm.bpe_pair_counts(df).collect()}
+    assert out == {"ab": 2, "ba": 1, "cd": 3}
+
+
+def test_bpe_pairs_top_n_tie_break(spark):
+    df = spark.createDataFrame([(1, "ab ba ab ba")], ["doc_id", "text"])
+    out = lm.bpe_pair_counts(df, top_n=1).collect()
+    # ab and ba both count 2 -> pair asc tie-break picks "ab"
+    assert len(out) == 1 and out[0].pair == "ab" and out[0].rank == 1
+
+
+def test_temperature_flattens_toward_small_groups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    rates = {
+        r.lang: r
+        for r in sampling.temperature_rates(
+            docs, "lang", "n_chars", total_budget=50_000, alpha=0.5
+        ).collect()
+    }
+    biggest = max(rates.values(), key=lambda r: r.group_total)
+    smallest = min(rates.values(), key=lambda r: r.group_total)
+    # alpha<1 up-weights low-resource groups: their keep rate must be
+    # at least the dominant group's
+    assert smallest.keep_b >= biggest.keep_b
+    # alpha=1 reproduces natural proportions: keep_b ~= budget/total
+    # and therefore equal across groups (one shared scale factor)
+    nat = sampling.temperature_rates(
+        docs, "lang", "n_chars", total_budget=50_000, alpha=1.0
+    ).collect()
+    assert len({r.keep_b for r in nat}) == 1
+
+
+def test_temperature_sample_deterministic_and_filtered(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    kept1 = sampling.temperature_sample(
+        docs, "lang", "doc_id", "n_chars", total_budget=50_000
+    )
+    kept2 = sampling.temperature_sample(
+        docs, "lang", "doc_id", "n_chars", total_budget=50_000
+    )
+    ids1 = sorted(r.doc_id for r in kept1.collect())
+    ids2 = sorted(r.doc_id for r in kept2.collect())
+    assert ids1 == ids2 and 0 < len(ids1) < docs.count()
+
+
+def test_token_rows_drops_empties(spark):
+    df = spark.createDataFrame([(1, "  a  b  "), (2, "!!!")], ["doc_id", "text"])
+    rows = lm.token_rows(df, "doc_id").collect()
+    assert sorted((r.doc_id, r.tok) for r in rows) == [(1, "a"), (1, "b")]
+    # tokens() of pure punctuation normalizes to "" -> no rows
+    assert textops.token_count(F.lit("!!!")) is not None  # expression builds

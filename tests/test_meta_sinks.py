@@ -20,9 +20,13 @@ def test_discover_all_fixture_tables(spark, sf_dir):
     assert cols["l_orderkey"].pk == 1 and cols["l_linenumber"].pk == 2
     assert cols["l_quantity"].pk == 0
     assert cols["l_orderkey"].type == "bigint"
-    # events.ts must surface as a timestamp despite the nanos parquet type
+    # events.ts must surface as a (naive) timestamp regardless of how the
+    # fixture was written: nanos parquet arrives via the nanos-as-long
+    # repair as LTZ "timestamp"; a plain no-tz micros parquet reads as
+    # "timestamp_ntz" under Spark 4's NTZ inference. Both are correct —
+    # the oracle comparison canonicalizes away the tz flavor.
     ev = {c.name: c.type for c in m.tables["events"].columns}
-    assert ev["ts"] == "timestamp"
+    assert ev["ts"] in ("timestamp", "timestamp_ntz")
 
 
 def test_stdout_and_json_handlers(spark, sf_dir, capsys):
