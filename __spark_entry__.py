@@ -1876,6 +1876,45 @@ def q_b28_temperature(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_b30_inverted_index(spark, sf_dir):
+    """Inverted-index build (B30 depth): posting lists per term with df
+    bounds (min_df drops hapaxes; max_df is the stopword guard whose
+    posting list would be 'every doc' — the scale hazard; the fixture's
+    31-token vocab all sits near df≈0.8N, so the bounds here are wide).
+    Distinct (doc,tok) agg → per-term count + sort_array(collect_list)
+    (lm.py: inverted_index)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.inverted_index(docs, "doc_id", min_df=2, max_df=100_000)
+
+
+def q_b30_pmi(spark, sf_dir):
+    """PMI co-occurrence pairs (B30 depth): unordered token pairs within
+    2 forward positions, min_count=8, pmi = ln((c_ab/P)/((c_a/T)(c_b/T)))
+    — the word2vec/GloVe association statistic. posexplode + lead pair
+    emission (codegen), one keyed agg, two unigram equi-joins, P and T
+    broadcast (lm.py: pmi_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.pmi_pairs(docs, "doc_id", window=2, min_count=8)
+
+
+def q_b30_incremental_lm(spark, sf_dir):
+    """Incremental unigram-LM maintenance under CDC (B30 depth): docs with
+    doc_id%7==0 are UPDATEd (text + ' zzz'), doc_id%11==0 (and not %7)
+    DELETEd; the standing (tok,cnt) model is merged with batch deltas at
+    cost ∝ batch vocab — never re-counting the corpus. Oracle recomputes
+    from scratch over the effective corpus, so the driver row IS the
+    streaming-equals-batch invariant (lm.py: update_unigram_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    upd = docs.filter(F.col("doc_id") % 7 == 0)
+    dels = upd.select("text").unionByName(
+        docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("text")
+    )
+    ins = upd.select(F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+    model = lm.unigram_counts(docs)
+    return lm.update_unigram_counts(model, inserts=ins, deletes=dels)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks the
     FIRST 50 entries per round. Round-3 layout (VERDICT r2 next-2):
@@ -1906,6 +1945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_perplexity": q_b21_perplexity,
         "b21_bpe_pairs": q_b21_bpe_pairs,
         "b28_temperature": q_b28_temperature,
+        "b30_inverted_index": q_b30_inverted_index,
+        "b30_pmi": q_b30_pmi,
+        "b30_incremental_lm": q_b30_incremental_lm,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -1941,10 +1983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b5_filter_json": q_b5_filter_json,
         "b6_projection": q_b6_projection,
         "b8_semi_join": q_b8_semi_join,
+        # ---- position 51+: r02-green canaries that missed the cut -------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
         "b9_asof_join": q_b9_asof_join,
-        # ---- position 51+: bench.py exercises these every round ---------
+        # ---- bench.py exercises these every round -----------------------
         "b2_log_compaction": q_b2_log_compaction,
         "b3_change_stats": q_b3_change_stats,
         "b7_join_enrich": q_b7_join_enrich,
@@ -3847,6 +3890,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE {sampling.bucket_sql('d.doc_id')} < r.keep_b
+        """,
+        "b30_inverted_index": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> ''
+            ),
+            agg AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df_t,
+                     list_sort(list(doc_id)) AS postings
+              FROM dt GROUP BY tok
+            )
+            SELECT tok, df_t, postings FROM agg
+            WHERE df_t >= 2 AND df_t <= 100000
+        """,
+        "b30_pmi": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM tk
+            ),
+            raw AS (
+              SELECT least(toks[i], toks[i + d]) AS tok_a,
+                     greatest(toks[i], toks[i + d]) AS tok_b
+              FROM pos, unnest(generate_series(1, 2)) AS dd(d)
+              WHERE i + d <= len(toks)
+            ),
+            cnts AS (
+              SELECT tok_a, tok_b, count(*) AS n_pair FROM raw
+              GROUP BY tok_a, tok_b
+            ),
+            uni AS (
+              SELECT tok, count(*) AS cnt FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> '' GROUP BY tok
+            ),
+            scal AS (
+              SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM cnts) AS p_tot,
+                     (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS t_tot
+            )
+            SELECT c.tok_a, c.tok_b, CAST(c.n_pair AS BIGINT) AS n_pair,
+                   round(ln((c.n_pair / s.p_tot)
+                            / ((ua.cnt / s.t_tot) * (ub.cnt / s.t_tot))), 6)
+                     AS pmi
+            FROM cnts c
+            JOIN uni ua ON c.tok_a = ua.tok
+            JOIN uni ub ON c.tok_b = ub.tok
+            CROSS JOIN scal s
+            WHERE c.n_pair >= 8
+        """,
+        "b30_incremental_lm": f"""
+            WITH eff AS (
+              SELECT text FROM documents
+              WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+              UNION ALL
+              SELECT text || ' zzz' AS text FROM documents
+              WHERE doc_id % 7 = 0
+            ),
+            toks AS (
+              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM eff
+            )
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
+            WHERE tok <> '' GROUP BY tok
         """,
         "b7_salted_join": """
             SELECT o.o_custkey, count(*) AS n_items,

@@ -45,6 +45,13 @@ HEADLINE = [
     "b28_training_manifest",   # gate→dedup→sample→split manifest (B28)
     "b28_packing",             # two-phase prefix-sum sequence packing (B28)
     "b29_containment",         # fuzzy windowed-fingerprint decontam (B29 depth)
+    "b19_incremental_clusters",  # CDC-batch cluster merge (update_clusters)
+    "b28_mixture",             # budget mixture sampling (B28 depth)
+    "b28_temperature",         # alpha-sampling temperature mixture (B28 depth)
+    "b21_tfidf",               # TF-IDF keyword extraction (B21/B30)
+    "b21_bm25",                # BM25 top-k search (B21/B30)
+    "b21_perplexity",          # unigram-LM cross-entropy filter (B21/B30)
+    "b21_bpe_pairs",           # BPE pair counts over the word-freq dict
 ]
 
 
@@ -83,14 +90,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # Per-query MEDIAN of N runs (default 3): round-over-round deltas on a
+    # shared box were dominated by scheduling noise (a zero-shuffle query
+    # once swung +32% with an unchanged plan); the median pins the signal.
+    runs_n = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = entry.queries()
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = EXTRA.get(name) or queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        samples = []
+        for _ in range(runs_n):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        all_runs[name] = samples
+        timings[name] = sorted(samples)[len(samples) // 2]
+        print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -101,6 +117,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": runs_n,
+                "runs": all_runs,
             }
         )
     )

@@ -295,3 +295,167 @@ def bpe_pair_counts(
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Posting lists per term: ``(tok, df_t, postings)`` with ``postings``
+    the SORTED array of distinct doc ids containing the term — the
+    retrieval-index build step.
+
+    ``min_df``/``max_df`` bound the posting lists the way every real
+    indexer does (drop hapaxes below, stopword-level terms above): a
+    stopword's posting list is "every document" and collecting it as one
+    array row is the scale hazard — gate it with ``max_df``. Plan: one
+    distinct (doc,tok) agg, a count per tok, then ``sort_array
+    (collect_list())`` per surviving term; everything keyed by tok, no
+    global sort, no driver collection.
+    """
+    dt = (
+        token_rows(df, id_col, text_col)
+        .select(F.col(id_col).cast("bigint").alias("doc"), "tok")
+        .distinct()
+    )
+    agg = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_t"),
+        F.sort_array(F.collect_list("doc")).alias("postings"),
+    )
+    cond = F.col("df_t") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df_t") <= max_df)
+    return agg.filter(cond)
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of co-occurring token pairs — the
+    word2vec/GloVe-style association statistic (embedding prep, collocation
+    mining, phrase detection).
+
+    A co-occurrence is an UNORDERED pair within ``window`` forward
+    positions in the same document (alphabetical pair orientation, so each
+    skip-gram is counted once). With pair total P and unigram total T:
+
+        pmi(a,b) = ln( (c_ab / P) / ((c_a / T) · (c_b / T)) )
+
+    Plan: posexplode + ``lead`` columns (the fingerprint_rows codegen
+    shape) emit pair rows; one keyed agg counts pairs; two equi-joins pull
+    unigram counts; P and T broadcast as a 1-row aggregate. ``min_count``
+    keeps the tail bounded. Output ``(tok_a, tok_b, n_pair, pmi)``.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("__doc").orderBy("pos")
+    # window expressions can't sit inside a generator — materialize the
+    # lead columns in one projection, explode them in the next
+    with_leads = ex.select(
+        "tok",
+        *[F.lead("tok", d).over(w).alias(f"__y{d}") for d in range(1, window + 1)],
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.col("tok").alias("x"), F.col(f"__y{d}").alias("y")
+            )
+            for d in range(1, window + 1)
+        ]
+    )
+    pairs = (
+        with_leads.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.y").isNotNull() & (F.col("p.y") != ""))
+        .select(
+            F.least("p.x", "p.y").alias("tok_a"),
+            F.greatest("p.x", "p.y").alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    uni = unigram_counts(df, text_col)
+    scalars = pairs.agg(
+        F.sum("n_pair").cast("double").alias("__P")
+    ).crossJoin(uni.agg(F.sum("cnt").cast("double").alias("__T")))
+    return (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("__ca")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("__cb")), "tok_b")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("__P"))
+                    / (
+                        (F.col("__ca").cast("double") / F.col("__T"))
+                        * (F.col("__cb").cast("double") / F.col("__T"))
+                    )
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+
+
+def update_unigram_counts(
+    model: DataFrame,
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally maintain :func:`unigram_counts` under a CDC batch —
+    the LM-family member of the probe→merge→append loop (an UPDATE is its
+    before-image in ``deletes`` plus its after-image in ``inserts``).
+
+    Cost ∝ the BATCH's vocabulary, never the corpus: deltas are one
+    word-count over the batch texts; the merge is a full-outer equi-join
+    of the standing (tok, cnt) model against |batch vocab| delta rows.
+    Tokens whose count falls to ≤0 drop out, so
+    ``update_unigram_counts(unigram_counts(D), ins, del) ==
+    unigram_counts(D ∪ ins − del)`` exactly (tested invariant).
+    """
+    deltas = []
+    if inserts is not None:
+        deltas.append(
+            unigram_counts(inserts, text_col).select(
+                "tok", F.col("cnt").alias("__d")
+            )
+        )
+    if deletes is not None:
+        deltas.append(
+            unigram_counts(deletes, text_col).select(
+                "tok", (-F.col("cnt")).alias("__d")
+            )
+        )
+    if not deltas:
+        return model
+    delta = deltas[0]
+    for d in deltas[1:]:
+        delta = delta.unionByName(d)
+    delta = delta.groupBy("tok").agg(F.sum("__d").alias("__d"))
+    return (
+        model.join(delta, "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("__d"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )

@@ -143,6 +143,71 @@ def test_temperature_sample_deterministic_and_filtered(spark, sf_dir):
     assert ids1 == ids2 and 0 < len(ids1) < docs.count()
 
 
+def test_inverted_index_postings_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(3, "a b"), (1, "a c"), (2, "a")], ["doc_id", "text"]
+    )
+    out = {r.tok: r for r in lm.inverted_index(df, "doc_id").collect()}
+    assert out["a"].postings == [1, 2, 3] and out["a"].df_t == 3
+    assert out["b"].postings == [3]
+    # min_df drops hapaxes; max_df drops stopword-level terms
+    bounded = {r.tok for r in lm.inverted_index(df, "doc_id", min_df=2, max_df=2).collect()}
+    assert bounded == set()  # a has df 3 (> max), b/c have df 1 (< min)
+
+
+def test_pmi_hand_check(spark):
+    # "x y" repeated: pair (x,y) every doc; x never co-occurs with itself
+    df = spark.createDataFrame([(i, "x y") for i in range(6)], ["doc_id", "text"])
+    rows = lm.pmi_pairs(df, "doc_id", window=2, min_count=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.tok_a, r.tok_b, r.n_pair) == ("x", "y", 6)
+    # P=6 pairs, T=12 tokens, c_x=c_y=6: pmi = ln((6/6)/((6/12)^2)) = ln 4
+    import math
+
+    assert r.pmi == round(math.log(4), 6)
+
+
+def test_pmi_window_reaches_distance_two(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    pairs = {
+        (r.tok_a, r.tok_b): r.n_pair
+        for r in lm.pmi_pairs(df, "doc_id", window=2, min_count=1).collect()
+    }
+    # distance-1 pairs (a,b) (b,c) and the distance-2 pair (a,c)
+    assert set(pairs) == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_update_unigram_counts_equals_recount(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model = lm.unigram_counts(docs)
+    upd = docs.filter(F.col("doc_id") % 5 == 0)
+    ins = upd.select(F.concat(F.col("text"), F.lit(" qqnewtok")).alias("text"))
+    dels = upd.select("text").unionByName(
+        docs.filter((F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 5 != 0))
+        .select("text")
+    )
+    merged = {
+        r.tok: r.cnt
+        for r in lm.update_unigram_counts(model, ins, dels).collect()
+    }
+    effective = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 9 != 0)
+    ).select("text").unionByName(ins)
+    scratch = {r.tok: r.cnt for r in lm.unigram_counts(effective).collect()}
+    assert merged == scratch
+    assert "qqnewtok" in merged  # batch-new token entered the model
+
+
+def test_update_unigram_counts_drops_zeroed_tokens(spark):
+    corpus = spark.createDataFrame([(1, "aa bb")], ["doc_id", "text"])
+    model = lm.unigram_counts(corpus)
+    out = lm.update_unigram_counts(
+        model, deletes=spark.createDataFrame([(1, "aa")], ["doc_id", "text"])
+    )
+    assert {r.tok: r.cnt for r in out.collect()} == {"bb": 1}
+
+
 def test_token_rows_drops_empties(spark):
     df = spark.createDataFrame([(1, "  a  b  "), (2, "!!!")], ["doc_id", "text"])
     rows = lm.token_rows(df, "doc_id").collect()
