@@ -739,9 +739,14 @@ def dup_clusters(
     distributed iterative algorithm needs; the data itself never leaves
     the executors, and ``localCheckpoint`` keeps the per-round plan flat.
     """
+    # Materialize the raw pair list FIRST: both the vertex universe and the
+    # symmetric edge set hang off it, and the caller's pair plan is often
+    # expensive (a full MinHash-LSH pipeline) — without this checkpoint it
+    # recomputes once per derived relation (measured: b19_dup_clusters
+    # carried ~2.5s of redundant minhash recompute at sf0.1).
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).localCheckpoint()
     # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
     # deserves a singleton cluster; both backends skip it (no real edges),
     # so it is coalesced back in below
@@ -804,9 +809,14 @@ def update_clusters(
         F.col("doc_id").cast("long").alias("v"),
         F.col("cluster_id").cast("long").alias("label"),
     )
+    # The batch pair plan is typically a query_lsh_index probe (batch
+    # minhash ⋈ standing index) — referenced by the touched-cluster probe,
+    # the subgraph edges, and the subgraph's own vertex universe. One
+    # |batch|-row checkpoint beats recomputing the probe 3× (measured
+    # ~3× on the b19_incremental_clusters capstone at sf0.1).
     e = new_pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    ).localCheckpoint()
     touched = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
