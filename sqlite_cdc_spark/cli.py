@@ -66,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--group-col", default="lang")
     p.add_argument("--chunk-tokens", type=int, default=16)
     p.add_argument("--overlap", type=int, default=4)
+    p.add_argument("--top-k", type=int, default=10, help="--search result count")
+    p.add_argument("--budget", type=int, default=1_000_000,
+                   help="--temperature total size budget")
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="--temperature exponent (1=natural, 0=uniform)")
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--setup", action="store_true")
     mode.add_argument("--teardown", action="store_true")
@@ -81,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
                            "(doc_id, cluster_id, cluster_size)")
     mode.add_argument("--mixture", metavar="OUT",
                       help="budget mixture sampling of documents by --budgets")
+    mode.add_argument("--search", metavar="TERMS",
+                      help="BM25 top-k doc search over documents "
+                           "(comma-separated terms); prints ranked hits")
+    mode.add_argument("--score", metavar="OUT",
+                      help="write per-doc LM cross-entropy + token counts "
+                           "(the perplexity-filter signal) to OUT parquet")
+    mode.add_argument("--temperature", metavar="OUT",
+                      help="alpha-sampled mixture of documents under "
+                           "--budget/--alpha, written to OUT parquet")
     mode.add_argument("--chunk", metavar="OUT",
                       help="split documents into --chunk-tokens token chunks")
     args = p.parse_args(argv)
@@ -111,14 +125,39 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("sqlite-cdc-spark-cli", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.dedup_clusters or args.mixture or args.chunk:
+    if (args.dedup_clusters or args.mixture or args.chunk or args.search
+            or args.score or args.temperature):
         if not args.data_dir:
             raise SystemExit("--data-dir required for pipeline modes")
         from .pipeline import dedup as dedup_mod
+        from .pipeline import lm as lm_mod
         from .pipeline import sampling as sampling_mod
         from .pipeline import text as text_mod
 
         docs = load_table(spark, args.data_dir, "documents")
+        if args.search:
+            terms = [t for t in args.search.split(",") if t]
+            hits = lm_mod.bm25_search(
+                docs, "doc_id", terms, top_k=args.top_k
+            ).orderBy("rank")
+            for r in hits.collect():
+                print(f"{r.rank:3d}  doc {r.doc_id}  score {r.score}")
+            return 0
+        if args.score:
+            out = lm_mod.doc_cross_entropy(docs, "doc_id")
+            out.write.mode("overwrite").parquet(args.score)
+            print(f"score: {out.count()} docs -> {args.score}")
+            return 0
+        if args.temperature:
+            sized = docs.withColumn("__n_tok", text_mod.token_count("text"))
+            out = sampling_mod.temperature_sample(
+                sized, args.group_col, "doc_id", "__n_tok",
+                total_budget=args.budget, alpha=args.alpha,
+            ).drop("__n_tok")
+            out.write.mode("overwrite").parquet(args.temperature)
+            print(f"temperature: {out.count()} of {docs.count()} docs kept "
+                  f"-> {args.temperature}")
+            return 0
         if args.dedup_clusters:
             pairs = dedup_mod.near_dup_pairs(
                 docs.select("doc_id", "text"), "doc_id", "text",

@@ -229,3 +229,33 @@ def test_cli_pipeline_modes_roundtrip(tmp_path, sf_dir, spark, capsys):
     got_mixed = spark.read.parquet(mixed)
     assert 0 < got_mixed.count() <= docs.count()
     assert "text" in got_mixed.columns
+
+
+def test_cli_lm_modes(tmp_path, sf_dir, spark, capsys):
+    # round-5 pipeline modes: BM25 search, perplexity scoring, temperature
+    # sampling — drivable from the CLI, matching library defaults
+    from sqlite_cdc_spark.pipeline import lm
+    from sqlite_cdc_spark.sources import load_table
+
+    scored = str(tmp_path / "scored")
+    sampled = str(tmp_path / "sampled")
+    assert cli.main(
+        ["--data-dir", sf_dir, "--search", "merge,join", "--top-k", "3"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3 and out[0].lstrip().startswith("1  doc ")
+
+    assert cli.main(["--data-dir", sf_dir, "--score", scored]) == 0
+    docs = load_table(spark, sf_dir, "documents")
+    got = spark.read.parquet(scored)
+    assert got.count() == docs.count()
+    assert {"doc_id", "n_tok", "xent"} <= set(got.columns)
+    lib = {r.doc_id: r.xent for r in lm.doc_cross_entropy(docs, "doc_id").collect()}
+    assert {r.doc_id: r.xent for r in got.collect()} == lib
+
+    assert cli.main(
+        ["--data-dir", sf_dir, "--temperature", sampled,
+         "--budget", "20000", "--alpha", "0.5"]
+    ) == 0
+    got2 = spark.read.parquet(sampled)
+    assert 0 < got2.count() < docs.count()

@@ -178,3 +178,58 @@ def test_salted_join_no_shuffle_of_salt_range(spark, sf_dir):
     # the salt range replicates via broadcast nested loop (8 rows), the
     # data join itself is a hash join on (key, salt)
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_broadcasts_model_scalars_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b21_perplexity")
+    # model totals (T, V) arrive as a broadcast 1-row aggregate; the model
+    # join on tok is a hash join; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_terms_before_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b21_bm25")
+    # the literal term filter must reach below the aggregation: the scored
+    # relation is |matching docs x terms|, never the whole token relation
+    assert "tok#" in plan and " IN (merge,join,batch)" in plan.replace("'", "")
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pairs_counts_over_vocab_not_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b21_bpe_pairs")
+    # two agg passes (word count, then pair count over distinct vocab);
+    # the char-level Generate must sit ABOVE the first aggregate, i.e.
+    # chars explode from the vocab rows, not from the raw corpus
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 passes
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_rates_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b28_temperature")
+    # same contract as mixture: the rate table broadcast-joins back; the
+    # corpus filter is a narrow map over the integer hash bucket
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_no_cartesian_and_window_leads(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b30_pmi")
+    # pair emission is posexplode + window leads (codegen), unigram joins
+    # are hash joins, P/T broadcast — no cartesian, no HOF lambdas
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_inverted_index_single_distinct_agg_chain(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b30_inverted_index")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_incremental_lm_is_batch_bounded_outer_merge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b30_incremental_lm")
+    # the merge is a keyed outer join of (tok,cnt) against batch deltas —
+    # no cartesian, no global sort; delta side aggregates before joining
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
