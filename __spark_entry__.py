@@ -1915,6 +1915,44 @@ def q_b30_incremental_lm(spark, sf_dir):
     return lm.update_unigram_counts(model, inserts=ins, deletes=dels)
 
 
+def q_b21_quality_gate(spark, sf_dir):
+    """Per-language percentile quality gate (B21 depth): drop each
+    language's bottom quartile by composite quality score — percentile
+    thresholds transfer across languages where absolute ones don't.
+    percent_rank is exact integer arithmetic over a total (score, id)
+    order, so the kept set replays identically on any engine
+    (text.py: quality_gate over quality_features)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
+    return textops.quality_gate(feats).select(
+        "doc_id", "lang", "quality_score", "pctile"
+    )
+
+
+def q_b28_curriculum(spark, sf_dir):
+    """Curriculum packing (B28 depth): documents quantized into quality
+    deciles (phase 0 = worst … 9 = best), then token-budget packs
+    assigned in phase-major order via the two-phase distributed prefix
+    sum — a curriculum-ordered training manifest with NO global sort by
+    the continuous score (the decile quantization is exactly the price
+    of scalability; doc_id breaks ties inside a phase). Composition:
+    quality_features → phase arithmetic → pack_sequences
+    (sampling.py:92)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs.select("doc_id", "text"))
+    staged = feats.select(
+        "doc_id",
+        F.col("q_tokens").alias("n_tok"),
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+        ).alias("phase"),
+    ).withColumn("okey", F.col("phase") * F.lit(10_000_000) + F.col("doc_id"))
+    packed = sampling.pack_sequences(staged, "okey", "n_tok", budget=4000)
+    return packed.select(
+        "doc_id", "phase", F.col("pack_id").cast("bigint").alias("pack_id"), "n_tok"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks the
     FIRST 50 entries per round. Round-3 layout (VERDICT r2 next-2):
@@ -1948,6 +1986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_inverted_index": q_b30_inverted_index,
         "b30_pmi": q_b30_pmi,
         "b30_incremental_lm": q_b30_incremental_lm,
+        "b21_quality_gate": q_b21_quality_gate,
+        "b28_curriculum": q_b28_curriculum,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -3890,6 +3930,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN rates r ON d.lang = r.lang
             WHERE {sampling.bucket_sql('d.doc_id')} < r.keep_b
+        """,
+        "b21_quality_gate": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     {_sw_hits_sql('en')} AS s_en,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, lang, q_tokens,
+                round(CAST(alpha AS DOUBLE)
+                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                  AS q_alpha_ratio,
+                round(CAST(s_en AS DOUBLE)
+                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
+                  AS q_stopword_ratio
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id, lang,
+                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + q_alpha_ratio * 0.4
+                           + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
+                       AS quality_score
+              FROM feat
+            ),
+            ranked AS (
+              SELECT *, round(percent_rank() OVER (
+                PARTITION BY lang
+                ORDER BY quality_score ASC, doc_id ASC), 6) AS pctile
+              FROM scored
+            )
+            SELECT doc_id, lang, quality_score, pctile
+            FROM ranked WHERE pctile >= 0.25
+        """,
+        "b28_curriculum": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_sw_hits_sql('en')} AS s_en,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, q_tokens,
+                round(CAST(alpha AS DOUBLE)
+                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                  AS q_alpha_ratio,
+                round(CAST(s_en AS DOUBLE)
+                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
+                  AS q_stopword_ratio
+              FROM base
+            ),
+            staged AS (
+              SELECT doc_id, q_tokens AS n_tok,
+                     least(CAST(floor(
+                       round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                             + q_alpha_ratio * 0.4
+                             + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
+                       * 10) AS BIGINT), 9) AS phase
+              FROM feat
+            ),
+            keyed AS (
+              SELECT *, phase * 10000000 + doc_id AS okey FROM staged
+            ),
+            cum AS (
+              SELECT *, COALESCE(sum(n_tok) OVER (
+                ORDER BY okey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+              FROM keyed
+            )
+            SELECT doc_id, phase,
+                   CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
+                   CAST(n_tok AS BIGINT) AS n_tok
+            FROM cum
         """,
         "b30_inverted_index": f"""
             WITH dt AS (

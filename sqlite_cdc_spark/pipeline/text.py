@@ -112,6 +112,34 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_gate(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    drop_bottom: float = 0.25,
+) -> DataFrame:
+    """Per-group percentile gating: drop each group's bottom
+    ``drop_bottom`` quantile by ``score_col`` — the standard per-language
+    quality filter (absolute thresholds don't transfer across languages;
+    percentile ones do).
+
+    ``percent_rank`` is exact integer arithmetic ((rank−1)/(n−1)) over a
+    TOTAL order (score, then id tie-break), so the kept set is
+    deterministic and replays identically on any engine. One shuffle on
+    the group key; no global sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("pctile", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("pctile") >= drop_bottom)
+    )
+
+
 def zscore_by_group(
     df: DataFrame, group_cols: list[str], value_col: str, out_col: str = "zscore"
 ) -> DataFrame:

@@ -214,3 +214,40 @@ def test_token_rows_drops_empties(spark):
     assert sorted((r.doc_id, r.tok) for r in rows) == [(1, "a"), (1, "b")]
     # tokens() of pure punctuation normalizes to "" -> no rows
     assert textops.token_count(F.lit("!!!")) is not None  # expression builds
+
+
+def test_quality_gate_drops_bottom_quartile_per_group(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    feats = textops.quality_features(docs)
+    kept = textops.quality_gate(feats)
+    per_lang_in = {r.lang: r.cnt for r in feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    per_lang_out = {r.lang: r.cnt for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, n in per_lang_in.items():
+        # percent_rank >= 0.25 keeps ceil(0.75*(n-1))+... ~ 75%; bound it
+        assert n * 0.70 <= per_lang_out[lang] <= n * 0.80 + 1
+    # determinism: same gate twice -> same kept set
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in textops.quality_gate(feats).collect())
+    assert ids1 == ids2
+
+
+def test_curriculum_packs_are_phase_monotone(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b28_curriculum"](spark, sf_dir).collect()
+    # pack boundaries follow curriculum order: sort rows by (phase, doc_id)
+    # and pack_id must be non-decreasing; each pack holds <= budget tokens
+    # plus at most one straddling doc (the concat-then-chunk contract)
+    rows.sort(key=lambda r: (r.phase, r.doc_id))
+    packs = {}
+    last_pack = 0
+    for r in rows:
+        assert r.pack_id >= last_pack
+        last_pack = max(last_pack, r.pack_id)
+        packs.setdefault(r.pack_id, 0)
+        packs[r.pack_id] += r.n_tok
+    for pid, total in packs.items():
+        if pid != max(packs):
+            assert total >= 1  # non-empty
