@@ -251,3 +251,16 @@ def test_curriculum_packs_are_phase_monotone(spark, sf_dir):
     for pid, total in packs.items():
         if pid != max(packs):
             assert total >= 1  # non-empty
+
+
+def test_update_unigram_counts_multi_batch_stream_equals_batch(spark, sf_dir):
+    # the foreachBatch shape: a standing model folded over three CDC
+    # micro-batches must equal one from-scratch count of the whole corpus
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    model = lm.unigram_counts(batches[0])
+    for b in batches[1:]:
+        model = lm.update_unigram_counts(model, inserts=b)
+    got = {r.tok: r.cnt for r in model.collect()}
+    want = {r.tok: r.cnt for r in lm.unigram_counts(docs).collect()}
+    assert got == want

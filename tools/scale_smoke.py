@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from sqlite_cdc_spark import derive
 from sqlite_cdc_spark.bootstrap import snapshot_as_inserts
-from sqlite_cdc_spark.pipeline import decontam, dedup, sampling
+from sqlite_cdc_spark.pipeline import decontam, dedup, lm, sampling
 from sqlite_cdc_spark.pipeline import text as textops
 from sqlite_cdc_spark.session import get_spark
 
@@ -160,6 +160,24 @@ def text_ops(spark, path: str) -> dict[str, float]:
         )
     )
     run("dup_clusters", lambda: dedup.dup_clusters(pairs)
+        .write.format("noop").mode("overwrite").save())
+    # r5 LM/retrieval families: all word-count-shaped — shuffle volume is
+    # token rows (tfidf/perplexity), pair rows (pmi), or |vocab| (bpe)
+    run("tfidf_top_terms", lambda: lm.top_terms(docs, "doc_id", k=3)
+        .write.format("noop").mode("overwrite").save())
+    run("perplexity", lambda: lm.doc_cross_entropy(docs, "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    run("bpe_pairs", lambda: lm.bpe_pair_counts(docs)
+        .write.format("noop").mode("overwrite").save())
+    run("pmi_pairs", lambda: lm.pmi_pairs(docs, "doc_id", min_count=50)
+        .write.format("noop").mode("overwrite").save())
+    run("temperature_sample", lambda: sampling.temperature_sample(
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), 5).cast("string").alias("lang"),
+            F.lit(30).alias("n_tok"),
+        ),
+        "lang", "doc_id", "n_tok", total_budget=1_000_000)
         .write.format("noop").mode("overwrite").save())
     return out
 
