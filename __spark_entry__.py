@@ -1955,16 +1955,16 @@ def q_b28_curriculum(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks the
-    FIRST 50 entries per round. Round-3 layout (VERDICT r2 next-2):
+    FIRST 50 entries per round. Round-5 layout (VERDICT r3 item 1):
 
-    - first: the 4 rows that hash-failed in r02 on driver-canonicalization
-      artifacts (now fixed) plus this round's new queries — none has a
-      green row yet;
-    - then: the 31 entries whose last green row is r01 (rotated below the
-      window in r02) — the broadest regression canary;
-    - then: a spread of r02-green anchors filling the window to 50;
-    - past 50: remaining r02-green rows and the three declared-no-oracle
-      approximate queries.
+    - first: the 9 queries that had never been inside a driver window
+      (registered late in r3 at positions 52-60);
+    - then: the 10 new round-5 queries (LM/retrieval + temperature +
+      gate/curriculum) — no green row yet by definition;
+    - then: regression canaries whose last green row is r02, preferring
+      families NOT exercised by bench.py every round;
+    - past 50: the bench-covered families, everything green in the
+      r03/r04 windows, and the declared-no-oracle `b27_sketches`.
     """
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
