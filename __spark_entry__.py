@@ -1953,6 +1953,17 @@ def q_b28_curriculum(spark, sf_dir):
     )
 
 
+def q_b30_bigram_xent(spark, sf_dir):
+    """Interpolated bigram-LM cross-entropy per document (B30 depth) —
+    the KenLM-lite upgrade of the unigram perplexity filter: p(b|a) =
+    0.7·MLE-bigram + 0.3·add-1-unigram; bigram context catches scrambled
+    text a unigram model scores as normal. Integer doc-bigram counts
+    aggregate before the ln; model/context/unigram equi-joins; T,V
+    broadcast (lm.py: doc_cross_entropy_bigram)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.doc_cross_entropy_bigram(docs, "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks the
     FIRST 50 entries per round. Round-5 layout (VERDICT r3 item 1):
@@ -1988,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_incremental_lm": q_b30_incremental_lm,
         "b21_quality_gate": q_b21_quality_gate,
         "b28_curriculum": q_b28_curriculum,
+        "b30_bigram_xent": q_b30_bigram_xent,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4010,6 +4022,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b30_bigram_xent": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+            ),
+            per_doc AS (
+              SELECT doc_id, a, b, CAST(count(*) AS DOUBLE) AS c
+              FROM occ GROUP BY doc_id, a, b
+            ),
+            gb AS (
+              SELECT a, b, CAST(count(*) AS DOUBLE) AS cab
+              FROM occ GROUP BY a, b
+            ),
+            ctx AS (
+              SELECT a, CAST(count(*) AS DOUBLE) AS ca FROM occ GROUP BY a
+            ),
+            uni AS (
+              SELECT tok, count(*) AS cnt FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> '' GROUP BY tok
+            ),
+            scal AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS t_tot,
+                     CAST(count(*) AS DOUBLE) AS v_size
+              FROM uni
+            ),
+            agg AS (
+              SELECT d.doc_id,
+                     CAST(sum(d.c) AS BIGINT) AS n_pairs,
+                     -- (1.0 - 0.7), not 0.3: the Spark side computes the
+                     -- interpolation weight as 1-λ in IEEE doubles, and
+                     -- the literal 0.3 parses to a DIFFERENT double one
+                     -- ulp away; the subtraction folds identically
+                     sum(d.c * ln(0.7 * (g.cab / x.ca)
+                                  + (1.0 - 0.7) * ((u.cnt + 1.0)
+                                           / (s.t_tot + 1.0 * s.v_size))))
+                       AS num
+              FROM per_doc d
+              JOIN gb g ON d.a = g.a AND d.b = g.b
+              JOIN ctx x ON d.a = x.a
+              JOIN uni u ON d.b = u.tok
+              CROSS JOIN scal s
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, n_pairs,
+                   round(-num / CAST(n_pairs AS DOUBLE), 6) AS xent
+            FROM agg
         """,
         "b30_inverted_index": f"""
             WITH dt AS (

@@ -250,6 +250,99 @@ def doc_cross_entropy(
     )
 
 
+def bigram_counts(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram counts ``(a, b, cnt)`` over within-document adjacent
+    token pairs (no BOS/EOS markers) — the trained bigram table. Same
+    posexplode + window-lead codegen shape as :func:`fingerprint_rows`;
+    one keyed agg."""
+    ex = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("__doc").orderBy("pos")
+    return (
+        ex.select(
+            F.col("tok").alias("a"), F.lead("tok", 1).over(w).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def doc_cross_entropy_bigram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lam: float = 0.7,
+    add_k: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated bigram LM — the
+    KenLM-lite upgrade of :func:`doc_cross_entropy` (bigram context catches
+    scrambled/boilerplate text a unigram model scores as normal):
+
+        p(b|a) = λ · c(a,b)/c(a·)  +  (1−λ) · (c(b)+k)/(T+kV)
+        H(D)   = −(1/|pairs(D)|) Σ ln p(b|a)
+
+    with c(a·) the bigram-context total (so the MLE term sums to 1) and
+    the unigram term add-k smoothed. Self-scored: every doc bigram exists
+    in the model, so the MLE term is never 0/0. Docs with < 2 tokens have
+    no bigrams and are absent from the output.
+
+    Scale shape: per-(doc,a,b) INTEGER counts aggregate first (the ln
+    runs over distinct doc-bigrams); model/context/unigram sides join by
+    key; T and V broadcast. Output ``(id_col, n_pairs, xent)``.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    occ = ex.select(
+        F.col(id_col),
+        F.col("tok").alias("a"),
+        F.lead("tok", 1).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    per_doc = occ.groupBy(id_col, "a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    gb = occ.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("__cab")
+    )
+    ctx = occ.groupBy("a").agg(
+        F.count(F.lit(1)).cast("double").alias("__ca")
+    )
+    uni = unigram_counts(df, text_col)
+    scalars = uni.agg(
+        F.sum("cnt").cast("double").alias("__T"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    k = float(add_k)
+    p = F.lit(float(lam)) * (F.col("__cab") / F.col("__ca")) + F.lit(
+        1.0 - float(lam)
+    ) * ((F.col("cnt") + F.lit(k)) / (F.col("__T") + F.lit(k) * F.col("__V")))
+    return (
+        per_doc.join(gb, ["a", "b"])
+        .join(ctx, "a")
+        .join(uni.select(F.col("tok").alias("b"), "cnt"), "b")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("__c") * F.log(p)).alias("__num"),
+        )
+        .select(
+            F.col(id_col),
+            "n_pairs",
+            F.round(
+                -F.col("__num") / F.col("n_pairs").cast("double"), round_to
+            ).alias("xent"),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

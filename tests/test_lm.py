@@ -264,3 +264,30 @@ def test_update_unigram_counts_multi_batch_stream_equals_batch(spark, sf_dir):
     got = {r.tok: r.cnt for r in model.collect()}
     want = {r.tok: r.cnt for r in lm.unigram_counts(docs).collect()}
     assert got == want
+
+
+def test_bigram_xent_scrambled_doc_scores_worse(spark):
+    # bigram context: scrambled word order must look more surprising than
+    # the natural order even though unigram stats are identical
+    natural = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    scrambled = [(99, "dog the over quick lazy jumps fox brown the")]
+    df = spark.createDataFrame(natural + scrambled, ["doc_id", "text"])
+    rows = {
+        r.doc_id: r.xent
+        for r in lm.doc_cross_entropy_bigram(df, "doc_id").collect()
+    }
+    assert rows[99] > rows[0]
+    # unigram model cannot tell them apart (same bag of words)
+    uni = {
+        r.doc_id: r.xent for r in lm.doc_cross_entropy(df, "doc_id").collect()
+    }
+    assert uni[99] == uni[0]
+
+
+def test_bigram_xent_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "a b")], ["doc_id", "text"]
+    )
+    rows = lm.doc_cross_entropy_bigram(df, "doc_id").collect()
+    assert [r.doc_id for r in rows] == [2]
+    assert rows[0].n_pairs == 1
