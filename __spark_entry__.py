@@ -1953,6 +1953,31 @@ def q_b28_curriculum(spark, sf_dir):
     )
 
 
+def q_b20_mean_pool(spark, sf_dir):
+    """Distributed mean-pooling (B20 depth): per-label centroids over the
+    embeddings table as (group, dim, value) rows — one partial+final avg
+    keyed by (label, dim), array reassembled via array_sort(collect_list)
+    — the fully-distributed centroid path (the IVF trainer's bounded
+    numpy sample is the other half). Per-dim means rounded to 6
+    (similarity.py: group_centroids)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, "label").select(
+        F.col("label").cast("int").alias("label"), "n_vecs", "centroid"
+    )
+
+
+def q_b26_fixed_per_group(spark, sf_dir):
+    """Fixed-count-per-group sampling (B26 depth): exactly 20 docs per
+    language by deterministic hash priority (full 32-bit Knuth hash, not
+    a coarse bucket) — the "n docs per domain" eval-carving request.
+    Integer arithmetic end to end; one shuffle on the group key
+    (sampling.py: sample_fixed_per_group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_fixed_per_group(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "doc_id", k=20
+    )
+
+
 def q_b30_bigram_xent(spark, sf_dir):
     """Interpolated bigram-LM cross-entropy per document (B30 depth) —
     the KenLM-lite upgrade of the unigram perplexity filter: p(b|a) =
@@ -2000,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_quality_gate": q_b21_quality_gate,
         "b28_curriculum": q_b28_curriculum,
         "b30_bigram_xent": q_b30_bigram_xent,
+        "b26_fixed_per_group": q_b26_fixed_per_group,
+        "b20_mean_pool": q_b20_mean_pool,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4022,6 +4049,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b20_mean_pool": """
+            WITH ex AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            per_dim AS (
+              SELECT label, dim, round(avg(v), 6) AS val
+              FROM ex GROUP BY label, dim
+            ),
+            counts AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM embeddings GROUP BY label
+            )
+            SELECT c.label, c.n_vecs,
+                   (SELECT list(val ORDER BY dim) FROM per_dim p
+                    WHERE p.label = c.label) AS centroid
+            FROM counts c
+        """,
+        "b26_fixed_per_group": f"""
+            WITH pri AS (
+              SELECT doc_id, lang, n_chars,
+                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_chars, row_number() OVER (
+                PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS rn
+              FROM pri
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
         """,
         "b30_bigram_xent": f"""
             WITH tk AS (

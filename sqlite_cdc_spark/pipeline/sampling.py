@@ -257,6 +257,37 @@ def mixture_sample(
     )
 
 
+def sample_fixed_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    buckets: int = _M32,
+) -> DataFrame:
+    """Keep exactly ``min(k, |group|)`` rows per group, chosen by
+    deterministic hash PRIORITY — the fixed-count companion to the
+    rate-based samplers (eval-set carving, per-domain audit samples,
+    "give me 1000 docs per language" requests).
+
+    Priority = the full 32-bit Knuth hash of the key (not a coarse
+    bucket), totally ordered by (priority, key), so the kept set is
+    stable under any re-partitioning and replays identically on any
+    engine — integer arithmetic end to end. One shuffle on the group key
+    for the per-group ``row_number``; no global sort.
+    """
+    from pyspark.sql import Window as W
+
+    pr = hash_bucket(key_col, buckets)
+    w = W.partitionBy(group_col).orderBy(
+        pr.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str,

@@ -588,3 +588,42 @@ def ann_topk_lsh(
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group mean-pooled vectors — centroid construction as a fully
+    DISTRIBUTED plan (chunk→document pooling, per-label/cluster centroids
+    for IVF retraining or class prototypes).
+
+    Shape: posexplode the vector into (group, dim, value) ROWS, one
+    partial+final avg keyed by (group, dim), then reassemble the array
+    with ``array_sort(collect_list(struct(dim, val)))``. Unlike the
+    bounded-sample numpy path in :func:`ann_topk_ivf` (fine for training
+    centroids from a sample), this pools EVERY vector and scales with the
+    corpus: shuffle volume is |rows|×dim value rows, the reassembly side
+    is |groups|×dim. The final ``transform`` lambda is interpreted but
+    runs on |groups|×dim elements only — never corpus-sized. Per-dim
+    means round to ``round_to`` (float-sum order differs per engine).
+    Output: ``(group_col, n_vecs, centroid: array<double>)``.
+    """
+    ex = df.select(
+        F.col(group_col), F.posexplode(as_double(vec_col)).alias("dim", "v")
+    )
+    per_dim = ex.groupBy(group_col, "dim").agg(
+        F.round(F.avg("v"), round_to).alias("val")
+    )
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    pooled = per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))),
+            lambda s: s.val,
+        ).alias("centroid")
+    )
+    return counts.join(pooled, group_col)

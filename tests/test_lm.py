@@ -291,3 +291,35 @@ def test_bigram_xent_short_docs_absent(spark):
     rows = lm.doc_cross_entropy_bigram(df, "doc_id").collect()
     assert [r.doc_id for r in rows] == [2]
     assert rows[0].n_pairs == 1
+
+
+def test_sample_fixed_per_group_exact_counts_and_stability(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    out = sampling.sample_fixed_per_group(docs, "lang", "doc_id", k=7)
+    per = {r.lang: r.cnt for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    sizes = {r.lang: r.cnt for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, n in sizes.items():
+        assert per[lang] == min(7, n)
+    # stability under re-partitioning: same kept set at any parallelism
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in sampling.sample_fixed_per_group(
+            docs.repartition(13), "lang", "doc_id", k=7
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_group_centroids_hand_check(spark):
+    from sqlite_cdc_spark.pipeline import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        ["label", "embedding"],
+    )
+    rows = {r.label: r for r in similarity.group_centroids(df, "label").collect()}
+    assert rows[0].centroid == [2.0, 3.0] and rows[0].n_vecs == 2
+    assert rows[1].centroid == [10.0, 20.0] and rows[1].n_vecs == 1
