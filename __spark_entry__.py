@@ -1953,6 +1953,26 @@ def q_b28_curriculum(spark, sf_dir):
     )
 
 
+def q_b30_bool_search(spark, sf_dir):
+    """Conjunctive keyword retrieval (B30 depth): docs containing ALL of
+    three terms, join-shaped (distinct doc-term rows → having count =
+    |query|) — no posting arrays materialized (lm.py: boolean_search)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.boolean_search(docs, "doc_id", ["merge", "join", "batch"])
+
+
+def q_b21_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (B21 QA depth): labeled lang vs the
+    stopword-heuristic guess, with counts — the accuracy read of the
+    lang-ID operator over the corpus (text.py: lang_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textops.lang_id("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def q_b20_mean_pool(spark, sf_dir):
     """Distributed mean-pooling (B20 depth): per-label centroids over the
     embeddings table as (group, dim, value) rows — one partial+final avg
@@ -2027,6 +2047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_bigram_xent": q_b30_bigram_xent,
         "b26_fixed_per_group": q_b26_fixed_per_group,
         "b20_mean_pool": q_b20_mean_pool,
+        "b30_bool_search": q_b30_bool_search,
+        "b21_lang_confusion": q_b21_lang_confusion,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4049,6 +4071,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b30_bool_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM toks
+            WHERE tok IN ('batch', 'join', 'merge')
+            GROUP BY doc_id
+            HAVING count(DISTINCT tok) = 3
+        """,
+        "b21_lang_confusion": f"""
+            WITH base AS (
+              SELECT lang,
+                     {_sw_hits_sql('de')} AS s_de,
+                     {_sw_hits_sql('en')} AS s_en,
+                     {_sw_hits_sql('es')} AS s_es,
+                     {_sw_hits_sql('fr')} AS s_fr
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_guess,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY lang, lang_guess
         """,
         "b20_mean_pool": """
             WITH ex AS (

@@ -424,6 +424,33 @@ def inverted_index(
     return agg.filter(cond)
 
 
+def boolean_search(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) keyword retrieval: documents containing EVERY
+    query term, with per-doc total term frequency as a crude relevance
+    signal. The join-shaped boolean-retrieval plan — distinct (doc,term)
+    rows filtered to the query terms, grouped by doc, kept when the
+    distinct-term count equals |query| — never materializes posting
+    arrays, so it scales where an `array_intersect` of collected posting
+    lists would not. Output ``(id_col, n_hits)`` sorted by nothing
+    (order-insensitive consumers)."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = token_rows(df, id_col, text_col).filter(F.col("tok").isin(terms))
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.countDistinct("tok").alias("__nt"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("__nt") == len(terms))
+        .drop("__nt")
+    )
+
+
 def pmi_pairs(
     df: DataFrame,
     id_col: str,

@@ -323,3 +323,13 @@ def test_group_centroids_hand_check(spark):
     rows = {r.label: r for r in similarity.group_centroids(df, "label").collect()}
     assert rows[0].centroid == [2.0, 3.0] and rows[0].n_vecs == 2
     assert rows[1].centroid == [10.0, 20.0] and rows[1].n_vecs == 1
+
+
+def test_boolean_search_requires_all_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y"), (3, "x x y z z")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.n_hits for r in lm.boolean_search(
+        df, "doc_id", ["x", "z"]).collect()}
+    # doc 2 lacks z -> excluded; n_hits counts total occurrences
+    assert rows == {1: 2, 3: 4}
