@@ -1953,6 +1953,67 @@ def q_b28_curriculum(spark, sf_dir):
     )
 
 
+def q_b15_funnel(spark, sf_dir):
+    """Ordered funnel analysis (B15 depth): view → click → purchase per
+    user, each step's timestamp the MIN strictly after the previous
+    step's — the sequential-pattern read of the event stream. Three
+    keyed agg passes (one per step), each a partial+final hash agg on
+    user_id; no window over the whole stream, no cartesian."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after_click")))
+    )
+
+
+def q_b15_cohorts(spark, sf_dir):
+    """Cohort retention (B15 depth): users bucketed by first-seen week,
+    activity counted per (cohort week, week offset) — the standard
+    retention triangle. One min-agg for cohort assignment (broadcast
+    back), one distinct-count agg; weeks via date_trunc so both engines
+    bucket identically (Monday start)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
 def q_b30_bool_search(spark, sf_dir):
     """Conjunctive keyword retrieval (B30 depth): docs containing ALL of
     three terms, join-shaped (distinct doc-term rows → having count =
@@ -2049,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_mean_pool": q_b20_mean_pool,
         "b30_bool_search": q_b30_bool_search,
         "b21_lang_confusion": q_b21_lang_confusion,
+        "b15_funnel": q_b15_funnel,
+        "b15_cohorts": q_b15_cohorts,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4071,6 +4134,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b15_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+                     AS n_click_after_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
+                     AS n_purchase_after_click
+        """,
+        "b15_cohorts": """
+            WITH first AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id
+            )
+            SELECT f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                        AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM events e JOIN first f ON e.user_id = f.user_id
+            GROUP BY f.cohort_week, week_offset
         """,
         "b30_bool_search": f"""
             WITH toks AS (
