@@ -1953,6 +1953,79 @@ def q_b28_curriculum(spark, sf_dir):
     )
 
 
+def q_b7_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (B7/B12 depth): revenue per undelivered order for a
+    customer segment, top-10 by revenue — selective dimension filter
+    broadcast into the fact join, decimal-exact revenue agg, then
+    TakeOrderedAndProject-sized top-k (rounded revenue + key tie-breaks
+    so ranking is engine-identical)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-06-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1996-06-01"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(38,6)")
+                    * (F.lit(1).cast("decimal(38,6)") - F.col("l_discount").cast("decimal(38,6)"))
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+            "rank",
+        )
+    )
+
+
+def q_b10_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (B10/B25 depth): orders whose total quantity
+    exceeds a threshold — aggregate-HAVING pushed as a pre-join filter on
+    the fact side, then an equi-join back for order attributes. Decimal
+    sums for order-independent exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("__q")
+        )
+        .filter(F.col("__q") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+    )
+
+
 def q_b15_funnel(spark, sf_dir):
     """Ordered funnel analysis (B15 depth): view → click → purchase per
     user, each step's timestamp the MIN strictly after the previous
@@ -2112,6 +2185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_lang_confusion": q_b21_lang_confusion,
         "b15_funnel": q_b15_funnel,
         "b15_cohorts": q_b15_cohorts,
+        "b7_shipping_priority": q_b7_shipping_priority,
+        "b10_large_orders": q_b10_large_orders,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4134,6 +4209,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b7_shipping_priority": """
+            WITH agg AS (
+              SELECT l.l_orderkey,
+                     CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                     o.o_orderpriority,
+                     round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))
+                           * (CAST(1 AS DECIMAL(38,6))
+                              - CAST(l.l_discount AS DECIMAL(38,6))))
+                           AS DOUBLE), 2) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1996-06-01'
+                AND l.l_shipdate > TIMESTAMP '1996-06-01'
+              GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            SELECT l_orderkey, o_orderdate, o_orderpriority, revenue,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY revenue DESC, l_orderkey ASC) AS rank
+              FROM agg
+            ) WHERE rank <= 10
+        """,
+        "b10_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   CAST(b.q AS DOUBLE) AS total_qty
+            FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
         """,
         "b15_funnel": """
             WITH s1 AS (
