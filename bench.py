@@ -52,6 +52,10 @@ HEADLINE = [
     "b21_bm25",                # BM25 top-k search (B21/B30)
     "b21_perplexity",          # unigram-LM cross-entropy filter (B21/B30)
     "b21_bpe_pairs",           # BPE pair counts over the word-freq dict
+    "b30_bigram_xent",         # interpolated bigram-LM scoring (B30 depth)
+    "b30_pmi",                 # PMI co-occurrence pairs (B30 depth)
+    "b7_shipping_priority",    # TPC-H Q3 shape (B7/B12)
+    "b15_funnel",              # sequential funnel over the event stream
 ]
 
 
