@@ -178,3 +178,55 @@ def test_mixture_sample_subset_and_monotone(spark, keys, budget):
     }
     assert lo <= keys and hi <= keys
     assert lo <= hi
+
+
+texts_st = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=20),
+    values=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=8
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _docs_df(spark, d):
+    rows = [(k, " ".join(v)) for k, v in d.items()]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@given(corpus=texts_st, batch=texts_st)
+@settings(**SETTINGS)
+def test_lm_incremental_merge_equals_recount(spark, corpus, batch):
+    """update_unigram_counts(counts(C), inserts=B) == counts(C ∪ B) for
+    ARBITRARY corpora/batches — the streaming-equals-batch algebra of the
+    LM family, not just the fixture case."""
+    from sqlite_cdc_spark.pipeline import lm
+
+    c = _docs_df(spark, corpus)
+    b = _docs_df(spark, {k + 100: v for k, v in batch.items()})
+    merged = {
+        r.tok: r.cnt
+        for r in lm.update_unigram_counts(
+            lm.unigram_counts(c), inserts=b
+        ).collect()
+    }
+    scratch = {
+        r.tok: r.cnt for r in lm.unigram_counts(c.unionByName(b)).collect()
+    }
+    assert merged == scratch
+
+
+@given(corpus=texts_st)
+@settings(**SETTINGS)
+def test_lm_delete_insert_roundtrip_is_identity(spark, corpus):
+    """Deleting and re-inserting the same batch leaves the model exactly
+    unchanged (CDC UPDATE with identical before/after images)."""
+    from sqlite_cdc_spark.pipeline import lm
+
+    c = _docs_df(spark, corpus)
+    model = lm.unigram_counts(c)
+    roundtrip = lm.update_unigram_counts(model, inserts=c, deletes=c)
+    got = {r.tok: r.cnt for r in roundtrip.collect()}
+    want = {r.tok: r.cnt for r in model.collect()}
+    assert got == want
