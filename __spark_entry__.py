@@ -1175,6 +1175,36 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b27_sketch_bounds(spark, sf_dir):
+    """Oracle-able read of the sketch family (B27): the approx values
+    themselves are engine-specific (each engine runs its own HLL/quantile
+    sketch), but BOTH engines' sketches must sit within the declared
+    error bounds of the exact answers — so the deterministic output is
+    (exact values, within-bound booleans), and the driver row proves the
+    bound holds on both engines simultaneously. Bounds are generous
+    (15% distinct / 5% quantile vs ~1-3% typical error) so the booleans
+    are far from the flip threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("__acd"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__ap50"),
+        F.percentile("l_extendedprice", 0.5).alias("__p50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.round(F.col("__p50"), 6).alias("p50_exact"),
+        (
+            F.abs(F.col("__acd") - F.col("exact_orders"))
+            <= 0.15 * F.col("exact_orders")
+        ).alias("cd_within_bound"),
+        (
+            F.abs(F.col("__ap50") - F.col("__p50")) <= 0.05 * F.col("__p50")
+        ).alias("p50_within_bound"),
+    )
+
+
 def q_b11_value_funcs(spark, sf_dir):
     """Window value functions (B11 depth): first/last/nth price per order
     over an explicit frame (last_value needs the full-partition frame or
@@ -2187,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_cohorts": q_b15_cohorts,
         "b7_shipping_priority": q_b7_shipping_priority,
         "b10_large_orders": q_b10_large_orders,
+        "b27_sketch_bounds": q_b27_sketch_bounds,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4209,6 +4240,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b27_sketch_bounds": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+                   abs(approx_count_distinct(l_orderkey)
+                       - count(DISTINCT l_orderkey))
+                     <= 0.15 * count(DISTINCT l_orderkey) AS cd_within_bound,
+                   abs(approx_quantile(l_extendedprice, 0.5)
+                       - quantile_cont(l_extendedprice, 0.5))
+                     <= 0.05 * quantile_cont(l_extendedprice, 0.5)
+                     AS p50_within_bound
+            FROM lineitem GROUP BY l_returnflag
         """,
         "b7_shipping_priority": """
             WITH agg AS (
