@@ -1175,6 +1175,57 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b24_corpus_v3(spark, sf_dir):
+    """Corpus-build capstone v3 (B24, round 5): the build recomposed from
+    this round's operators, ONE lazy plan —
+
+    1. quality features + unigram-LM cross-entropy per doc;
+    2. per-lang percentile gates: drop the bottom quality quartile AND
+       the top 10% most-surprising (the CCNet-style two-sided filter);
+    3. temperature mixture (α=0.5, 20k-token budget) over survivors;
+    4. curriculum packing (quality deciles, 2k-token packs);
+    5. per-phase report: docs, tokens, packs.
+
+    Everything is keyed aggs + broadcast scalars + narrow filters; the
+    only ordered structure is the distributed prefix sum inside
+    pack_sequences. Oracle replays every stage in SQL."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
+    xent = lm.doc_cross_entropy(docs, "doc_id").select("doc_id", "xent")
+    joined = feats.join(xent, "doc_id")
+    g1 = textops.quality_gate(joined)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("xent").asc(), F.col("doc_id").asc()
+    )
+    g2 = (
+        g1.withColumn("__xpr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("__xpr") <= 0.9)
+    )
+    mixed = sampling.temperature_sample(
+        g2.select("doc_id", "lang", "q_tokens", "quality_score"),
+        "lang",
+        "doc_id",
+        "q_tokens",
+        total_budget=20_000,
+        alpha=0.5,
+    )
+    staged = mixed.select(
+        "doc_id",
+        F.col("q_tokens").alias("n_tok"),
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+        ).alias("phase"),
+    ).withColumn("okey", F.col("phase") * F.lit(10_000_000) + F.col("doc_id"))
+    packed = sampling.pack_sequences(staged, "okey", "n_tok", budget=2000)
+    return packed.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+    )
+
+
 def q_b27_sketch_bounds(spark, sf_dir):
     """Oracle-able read of the sketch family (B27): the approx values
     themselves are engine-specific (each engine runs its own HLL/quantile
@@ -2218,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7_shipping_priority": q_b7_shipping_priority,
         "b10_large_orders": q_b10_large_orders,
         "b27_sketch_bounds": q_b27_sketch_bounds,
+        "b24_corpus_v3": q_b24_corpus_v3,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4240,6 +4292,124 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b24_corpus_v3": f"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     {_sw_hits_sql('en')} AS s_en,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, lang, q_tokens,
+                round(CAST(alpha AS DOUBLE)
+                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                  AS q_alpha_ratio,
+                round(CAST(s_en AS DOUBLE)
+                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
+                  AS q_stopword_ratio
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id, lang, q_tokens,
+                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + q_alpha_ratio * 0.4
+                           + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
+                       AS quality_score
+              FROM feat
+            ),
+            toksx AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            nzx AS (SELECT doc_id, tok FROM toksx WHERE tok <> ''),
+            modelx AS (SELECT tok, count(*) AS cnt FROM nzx GROUP BY tok),
+            scalx AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+                     CAST(count(*) AS DOUBLE) AS v_size
+              FROM modelx
+            ),
+            pdtx AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM nzx
+              GROUP BY doc_id, tok
+            ),
+            xent AS (
+              SELECT a.doc_id,
+                     round(ln(s.t_total + 1.0 * s.v_size)
+                           - a.num / CAST(a.n_tok AS DOUBLE), 6) AS xent
+              FROM (
+                SELECT pdtx.doc_id,
+                       CAST(sum(pdtx.c) AS BIGINT) AS n_tok,
+                       sum(pdtx.c * ln(m.cnt + 1.0)) AS num
+                FROM pdtx JOIN modelx m USING (tok) GROUP BY pdtx.doc_id
+              ) a CROSS JOIN scalx s
+            ),
+            j AS (
+              SELECT sc.doc_id, sc.lang, sc.q_tokens, sc.quality_score,
+                     x.xent
+              FROM scored sc JOIN xent x ON sc.doc_id = x.doc_id
+            ),
+            g1 AS (
+              SELECT * FROM (
+                SELECT *, round(percent_rank() OVER (
+                  PARTITION BY lang
+                  ORDER BY quality_score ASC, doc_id ASC), 6) AS pctile
+                FROM j
+              ) WHERE pctile >= 0.25
+            ),
+            g2 AS (
+              SELECT * FROM (
+                SELECT *, round(percent_rank() OVER (
+                  PARTITION BY lang ORDER BY xent ASC, doc_id ASC), 6)
+                  AS xpr
+                FROM g1
+              ) WHERE xpr <= 0.9
+            ),
+            totals AS (
+              SELECT lang, sum(q_tokens) AS total FROM g2 GROUP BY lang
+            ),
+            z AS (
+              SELECT sum(sqrt(CAST(total AS DOUBLE))) AS z FROM totals
+            ),
+            rates AS (
+              SELECT lang,
+                     least(100, CAST(floor(
+                       sqrt(CAST(total AS DOUBLE)) / z.z
+                       * 20000.0 * 100.0 / CAST(total AS DOUBLE)
+                       + 1e-9) AS BIGINT)) AS keep_b
+              FROM totals CROSS JOIN z
+            ),
+            mixed AS (
+              SELECT g.doc_id, g.q_tokens AS n_tok, g.quality_score
+              FROM g2 g JOIN rates r ON g.lang = r.lang
+              WHERE {sampling.bucket_sql('g.doc_id')} < r.keep_b
+            ),
+            staged AS (
+              SELECT doc_id, n_tok,
+                     least(CAST(floor(quality_score * 10) AS BIGINT), 9)
+                       AS phase
+              FROM mixed
+            ),
+            keyed AS (
+              SELECT *, phase * 10000000 + doc_id AS okey FROM staged
+            ),
+            cum AS (
+              SELECT *, COALESCE(sum(n_tok) OVER (
+                ORDER BY okey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+              FROM keyed
+            ),
+            packed AS (
+              SELECT *, CAST(floor(c / 2000.0) AS BIGINT) AS pack_id
+              FROM cum
+            )
+            SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
+            FROM packed GROUP BY phase
         """,
         "b27_sketch_bounds": """
             SELECT l_returnflag,
