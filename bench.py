@@ -56,6 +56,7 @@ HEADLINE = [
     "b30_pmi",                 # PMI co-occurrence pairs (B30 depth)
     "b7_shipping_priority",    # TPC-H Q3 shape (B7/B12)
     "b15_funnel",              # sequential funnel over the event stream
+    "b24_corpus_v3",           # r5 capstone: gates -> mixture -> packs
 ]
 
 
