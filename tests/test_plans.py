@@ -233,3 +233,48 @@ def test_incremental_lm_is_batch_bounded_outer_merge(spark, sf_dir):
     # no cartesian, no global sort; delta side aggregates before joining
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_shipping_priority_broadcasts_dim_and_pushes_dates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b7_shipping_priority")
+    # customer segment filter broadcasts; both date predicates reach the
+    # scans as pushed filters
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_having_prejoin(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b10_large_orders")
+    # the HAVING filter applies to the aggregate BEFORE the join back
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final on the fact
+
+
+def test_funnel_is_keyed_aggs_no_stream_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b15_funnel")
+    # three sequential keyed aggs; no window over the whole event stream,
+    # no cartesian (the three 1-row counts cross-join via broadcast)
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cohorts_broadcast_assignment(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b15_cohorts")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_v3_no_cartesian_no_global_sort_of_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b24_corpus_v3")
+    assert "CartesianProduct" not in plan
+    # the only single-partition window allowed is the per-bucket totals
+    # prefix sum (one row per bucket); the corpus itself is never
+    # range-partitioned for a global sort
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mean_pool_partial_final_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b20_mean_pool")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
