@@ -312,7 +312,13 @@ def temperature_rates(
     never flips. Plan: one |groups|-row aggregate, the normalizer as a
     broadcast 1-row crossJoin — the corpus is untouched.
     """
-    w_col = (
+    # NULL/zero/negative totals (all-NULL sizes, empty groups) contribute
+    # no weight and keep everything — same contract as mixture_sample's
+    # guard: the division must never see a non-positive denominator
+    # (0/0 → NaN would silently poison every group's rate via Σw).
+    w_col = F.when(
+        F.col("__total").isNull() | (F.col("__total") <= 0), F.lit(0.0)
+    ).otherwise(
         F.sqrt(F.col("__total").cast("double"))
         if alpha == 0.5
         else F.pow(F.col("__total").cast("double"), F.lit(float(alpha)))
@@ -327,16 +333,27 @@ def temperature_rates(
         totals.crossJoin(F.broadcast(z))
         .select(
             group_col,
-            F.col("__total").cast("bigint").alias("group_total"),
-            F.least(
-                F.lit(buckets).cast("long"),
-                F.floor(
-                    (F.col("__w") / F.col("__z"))
-                    * F.lit(float(total_budget))
-                    * F.lit(float(buckets))
-                    / F.col("__total").cast("double")
-                    + F.lit(1e-9)
-                ),
+            F.coalesce(F.col("__total"), F.lit(0))
+            .cast("bigint")
+            .alias("group_total"),
+            F.when(
+                F.col("__total").isNull()
+                | (F.col("__total") <= 0)
+                | F.col("__z").isNull()
+                | (F.col("__z") <= 0),
+                F.lit(buckets),
+            )
+            .otherwise(
+                F.least(
+                    F.lit(buckets).cast("long"),
+                    F.floor(
+                        (F.col("__w") / F.col("__z"))
+                        * F.lit(float(total_budget))
+                        * F.lit(float(buckets))
+                        / F.col("__total").cast("double")
+                        + F.lit(1e-9)
+                    ),
+                )
             )
             .cast("bigint")
             .alias("keep_b"),

@@ -333,3 +333,20 @@ def test_boolean_search_requires_all_terms(spark):
         df, "doc_id", ["x", "z"]).collect()}
     # doc 2 lacks z -> excluded; n_hits counts total occurrences
     assert rows == {1: 2, 3: 4}
+
+
+def test_temperature_rates_zero_and_null_totals_keep_everything(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 100), ("b", 2, 0), ("c", 3, None)],
+        "lang string, doc_id long, n long",
+    )
+    rates = {
+        r.lang: r.keep_b
+        for r in sampling.temperature_rates(
+            df, "lang", "n", total_budget=50
+        ).collect()
+    }
+    # zero/NULL-total groups keep everything; the real group still gets a
+    # finite rate (no NaN poisoning through the shared normalizer)
+    assert rates["b"] == 100 and rates["c"] == 100
+    assert 0 <= rates["a"] <= 100
