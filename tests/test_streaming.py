@@ -640,3 +640,53 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     )
     assert len(got) >= 8  # the planted cross/within-wave dups collided
     assert got == want
+
+
+def test_streaming_lm_maintenance_matches_batch(spark, tmp_path):
+    # the LM leg of the corpus-hygiene loop: each micro-batch of new docs
+    # folds into the standing unigram model via update_unigram_counts;
+    # after the stream drains, the model must equal a from-scratch count
+    # of the full corpus regardless of how the file source sliced batches
+    import time
+
+    from sqlite_cdc_spark.pipeline import lm
+
+    waves = [
+        [(0, "aa bb cc"), (1, "bb cc dd")],
+        [(100, "cc dd ee"), (101, "aa aa")],
+        [(200, "ff"), (201, "aa ff ff")],
+    ]
+    src = str(tmp_path / "lmsrc")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, "doc_id long, text string").coalesce(1)\
+            .write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    state = {"model": None}
+
+    def handle(batch, bid):
+        batch = batch.localCheckpoint()
+        if state["model"] is None:
+            state["model"] = lm.unigram_counts(batch).localCheckpoint()
+        else:
+            state["model"] = lm.update_unigram_counts(
+                state["model"], inserts=batch
+            ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "lmckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [d for w in waves for d in w], "doc_id long, text string"
+    )
+    got = {r.tok: r.cnt for r in state["model"].collect()}
+    want = {r.tok: r.cnt for r in lm.unigram_counts(all_docs).collect()}
+    assert got == want
