@@ -1175,6 +1175,26 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b28_epochs(spark, sf_dir):
+    """Epoch-aware mixture manifest (B28 depth): per-doc repeat counts
+    hitting per-lang token budgets that may EXCEED the group size — the
+    up-sampling half of data mixing (low-resource languages get >1
+    epoch, the dominant language is downsampled). Integer-exact repeat
+    arithmetic; totals broadcast; corpus never shuffled
+    (sampling.py: epoch_mixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", textops.token_count("text").alias("n_tok")
+    )
+    return sampling.epoch_mixture(
+        sized,
+        "lang",
+        "doc_id",
+        "n_tok",
+        budgets={"en": 4000, "de": 20000, "zh": 15000},
+    )
+
+
 def q_b24_corpus_v3(spark, sf_dir):
     """Corpus-build capstone v3 (B24, round 5): the build recomposed from
     this round's operators, ONE lazy plan —
@@ -2270,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_large_orders": q_b10_large_orders,
         "b27_sketch_bounds": q_b27_sketch_bounds,
         "b24_corpus_v3": q_b24_corpus_v3,
+        "b28_epochs": q_b28_epochs,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4292,6 +4313,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b28_epochs": f"""
+            WITH sized AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            totals AS (
+              SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
+            ),
+            rates AS (
+              SELECT lang,
+                     CASE WHEN total IS NULL OR total <= 0 THEN NULL
+                          ELSE ((CASE lang WHEN 'en' THEN 4000
+                                           WHEN 'de' THEN 20000
+                                           WHEN 'zh' THEN 15000
+                                           ELSE NULL END) * 100) // total
+                     END AS r
+              FROM totals
+            )
+            SELECT s.doc_id, s.lang, s.n_tok,
+                   CAST(CASE WHEN r.r IS NULL THEN 1
+                        ELSE (r.r // 100)
+                             + (CASE WHEN {sampling.bucket_sql('s.doc_id')}
+                                     < (r.r % 100) THEN 1 ELSE 0 END)
+                        END AS BIGINT) AS n_copies
+            FROM sized s JOIN rates r ON s.lang = r.lang
         """,
         "b24_corpus_v3": f"""
             WITH base AS (

@@ -288,6 +288,67 @@ def sample_fixed_per_group(
     )
 
 
+def epoch_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    budgets: Mapping[str, int],
+    buckets: int = 100,
+) -> DataFrame:
+    """Epoch-aware mixture manifest: per-row REPEAT counts that hit each
+    group's budget even when it exceeds the group's size — the
+    up-sampling half of data mixing (``mixture_sample`` only drops; real
+    recipes repeat low-resource sources, e.g. "3.5 epochs of wiki").
+
+    Integer-exact: with ``r = (budget·buckets) div total``, every row
+    gets ``r div buckets`` full epochs, and rows whose hash bucket falls
+    below ``r mod buckets`` get one more — so Σ size·copies ≈ budget with
+    resolution total/buckets, deterministic per key on any engine.
+    Groups without a budget keep exactly 1 copy; ``n_copies`` may be 0
+    (pure downsampling). Output: input columns + ``n_copies`` (bigint);
+    feed ``explode(sequence(1, n_copies))`` (after filtering 0s) to
+    materialize the recycled corpus. Plan: |groups|-row totals agg
+    broadcast back; the corpus is never shuffled.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(F.col(size_col)).alias("__total"))
+    case = None
+    for g, amount in budgets.items():
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(int(amount))
+        case = F.when(cond, lit) if case is None else case.when(cond, lit)
+    budget = case if case is not None else F.lit(None).cast("long")
+    rates = totals.withColumn("__budget", budget).select(
+        group_col,
+        F.when(
+            F.col("__budget").isNull()
+            | F.col("__total").isNull()
+            | (F.col("__total") <= 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(f"(__budget * {int(buckets)}) div __total")
+        )
+        .alias("__r"),
+    )
+    b = hash_bucket(key_col, buckets)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn(
+            "n_copies",
+            F.when(F.col("__r").isNull(), F.lit(1))
+            .otherwise(
+                F.expr(f"__r div {int(buckets)}")
+                + F.when(b < F.col("__r") % buckets, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint"),
+        )
+        .drop("__r")
+    )
+
+
 def temperature_rates(
     df: DataFrame,
     group_col: str,

@@ -350,3 +350,34 @@ def test_temperature_rates_zero_and_null_totals_keep_everything(spark):
     # finite rate (no NaN poisoning through the shared normalizer)
     assert rates["b"] == 100 and rates["c"] == 100
     assert 0 <= rates["a"] <= 100
+
+
+def test_epoch_mixture_hits_budgets_within_resolution(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", "lang", textops.token_count("text").alias("n_tok")
+    )
+    budgets = {"en": 4000, "de": 20000}
+    out = sampling.epoch_mixture(sized, "lang", "doc_id", "n_tok", budgets)
+    realized = {
+        r.lang: r.tot
+        for r in out.groupBy("lang").agg(
+            F.sum(F.col("n_tok") * F.col("n_copies")).alias("tot")
+        ).collect()
+    }
+    totals = {
+        r.lang: r.tot
+        for r in sized.groupBy("lang").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    # de budget exceeds the group's size -> up-sampling (copies > 1 exist)
+    assert totals["de"] < 20000
+    assert realized["de"] > totals["de"]
+    # realized totals approximate the budget within bucket resolution
+    for lang, budget in budgets.items():
+        assert abs(realized[lang] - budget) <= totals[lang] / 100 + max(
+            r.n_tok for r in sized.filter(F.col("lang") == lang).collect()
+        )
+    # unbudgeted groups keep exactly one copy of everything
+    assert out.filter(
+        (~F.col("lang").isin(*budgets)) & (F.col("n_copies") != 1)
+    ).count() == 0
