@@ -1175,6 +1175,57 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b21_corpus_card(spark, sf_dir):
+    """Per-source corpus card (B21 QA depth): docs, tokens, mean quality,
+    and language entropy per source — the summary table a data card /
+    datasheet publishes. Language entropy −Σ p·ln p is computed from
+    exact per-(source,lang) counts (one keyed agg) so the only float work
+    is |sources|×|langs| rows; everything else is partial+final aggs."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(
+        docs.select("doc_id", "source", "lang", "text")
+    )
+    per_source = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("q_tokens").cast("bigint").alias("sum_tok"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+    from pyspark.sql import Window
+
+    lang_counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    ent = (
+        lang_counts.withColumn(
+            "__n", F.sum("__c").over(Window.partitionBy("source"))
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("__c") / F.col("__n"))
+                    * F.log(F.col("__c") / F.col("__n"))
+                ),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    return per_source.join(ent, "source")
+
+
+def q_b26_kfold(spark, sf_dir):
+    """K-fold split assignment (B26 depth): fold = deterministic hash
+    bucket in [0,5) — cross-validation splits that survive repartitioning
+    and replay identically on any engine; the narrow-map companion to
+    train/val/test assignment (sampling.py: hash_bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        sampling.hash_bucket("doc_id", 5).alias("fold"),
+    )
+
+
 def q_b28_epochs(spark, sf_dir):
     """Epoch-aware mixture manifest (B28 depth): per-doc repeat counts
     hitting per-lang token budgets that may EXCEED the group size — the
@@ -2291,6 +2342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b27_sketch_bounds": q_b27_sketch_bounds,
         "b24_corpus_v3": q_b24_corpus_v3,
         "b28_epochs": q_b28_epochs,
+        "b21_corpus_card": q_b21_corpus_card,
+        "b26_kfold": q_b26_kfold,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4313,6 +4366,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b21_corpus_card": f"""
+            WITH per_doc AS (
+              SELECT doc_id, source, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     round(least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 50.0,
+                                 1.0) * 0.4
+                           + round(CAST(length(regexp_replace(text,
+                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                               / CAST(greatest(length(text), 1) AS DOUBLE), 6)
+                             * 0.4
+                           + least(round(CAST({_sw_hits_sql('en')} AS DOUBLE)
+                               / CAST(greatest(len({_TOKS_SQL}), 1)
+                                      AS DOUBLE), 6) * 5.0, 1.0) * 0.2, 6)
+                       AS quality_score
+              FROM documents
+            ),
+            per_source AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(q_tokens) AS BIGINT) AS sum_tok,
+                     round(avg(quality_score), 6) AS mean_quality
+              FROM per_doc GROUP BY source
+            ),
+            lc AS (
+              SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+              FROM documents GROUP BY source, lang
+            ),
+            ent AS (
+              SELECT source,
+                     round(-sum((c / n) * ln(c / n)), 6) AS lang_entropy
+              FROM (
+                SELECT source, lang, c,
+                       sum(c) OVER (PARTITION BY source) AS n
+                FROM lc
+              ) GROUP BY source
+            )
+            SELECT p.source, p.n_docs, p.sum_tok, p.mean_quality,
+                   e.lang_entropy
+            FROM per_source p JOIN ent e ON p.source = e.source
+        """,
+        "b26_kfold": f"""
+            SELECT doc_id, lang,
+                   CAST({sampling.bucket_sql('doc_id', 5)} AS BIGINT) AS fold
+            FROM documents
         """,
         "b28_epochs": f"""
             WITH sized AS (
