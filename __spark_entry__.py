@@ -1175,6 +1175,103 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b7_skew_diagnosis(spark, sf_dir):
+    """Join-key skew diagnosis (B7 ops depth): per-key row counts on the
+    fact side with each key's share of the table and the top-key /
+    mean-key ratio — the measurement that decides whether `salted_join`
+    (derive.py) or AQE skew-split is needed BEFORE the join runs. One
+    partial+final agg; scalars broadcast; top-20 by count with key
+    tie-break."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    scalars = per_key.agg(
+        F.sum("n_rows").cast("double").alias("__total"),
+        F.avg(F.col("n_rows").cast("double")).alias("__mean"),
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
+    return (
+        per_key.crossJoin(F.broadcast(scalars))
+        .select(
+            "l_orderkey",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("__mean"), 6).alias(
+                "skew_ratio"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+def q_b19_pair_dataset(spark, sf_dir):
+    """Dedup-classifier dataset builder (B19 depth): labeled document
+    pairs — positives are the oracle-verified near-dup pairs, negatives
+    are deterministic hash-derangement pairs (doc i paired with the doc
+    whose hash bucket rank is offset by a fixed stride — reproducible
+    pseudo-random, no rand()). Output (id_a, id_b, label) balanced-ish;
+    the training set for a learned dedup filter. Pairs come from the
+    portable-md5 MinHash path so both engines derive identical
+    positives."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pos = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b", F.lit(1).cast("bigint").alias("label"))
+    # negatives: a deterministic bucket-derangement — docs ranked by hash
+    # priority WITHIN each of 64 hash buckets (partitioned window, no
+    # global sort), then (bucket k, rank r) pairs with (bucket (k+37) mod
+    # 64, rank r); unmatched ranks drop in the inner join, collisions
+    # with true near-dup pairs are removed by anti-join. Reproducible
+    # pseudo-random with no rand(), scales as one shuffle on the bucket.
+    B = 64
+    pri = docs.select(
+        "doc_id",
+        sampling.hash_bucket("doc_id", B).alias("__b"),
+        sampling.hash_bucket("doc_id", 1 << 32).alias("__p"),
+    )
+    w = Window.partitionBy("__b").orderBy(
+        F.col("__p").asc(), F.col("doc_id").asc()
+    )
+    ranked = pri.withColumn("__r", F.row_number().over(w))
+    shifted = (
+        ranked.select(
+            F.col("doc_id").alias("id_a"),
+            ((F.col("__b") + 37) % B).alias("__b2"),
+            "__r",
+        )
+        .join(
+            ranked.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("__b").alias("__b2"),
+                "__r",
+            ),
+            ["__b2", "__r"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    neg = shifted.join(
+        pos.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).select("id_a", "id_b", F.lit(0).cast("bigint").alias("label"))
+    return pos.unionByName(neg)
+
+
 def q_b21_corpus_card(spark, sf_dir):
     """Per-source corpus card (B21 QA depth): docs, tokens, mean quality,
     and language entropy per source — the summary table a data card /
@@ -2344,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b28_epochs": q_b28_epochs,
         "b21_corpus_card": q_b21_corpus_card,
         "b26_kfold": q_b26_kfold,
+        "b7_skew_diagnosis": q_b7_skew_diagnosis,
+        "b19_pair_dataset": q_b19_pair_dataset,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4366,6 +4465,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b7_skew_diagnosis": """
+            WITH per_key AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            scal AS (
+              SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+                     avg(CAST(n_rows AS DOUBLE)) AS mean
+              FROM per_key
+            )
+            SELECT l_orderkey, n_rows,
+                   round(n_rows / s.total, 6) AS share,
+                   round(n_rows / s.mean, 6) AS skew_ratio,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY n_rows DESC, l_orderkey ASC) AS rank
+              FROM per_key
+            ) p CROSS JOIN scal s
+            WHERE rank <= 20
+        """,
+        "b19_pair_dataset": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+            pos AS (
+              SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pairs
+            ),
+            pri AS (
+              SELECT doc_id,
+                     {sampling.bucket_sql('doc_id', 64)} AS b,
+                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
+              FROM documents
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY b ORDER BY p ASC, doc_id ASC) AS r
+              FROM pri
+            ),
+            shifted AS (
+              SELECT DISTINCT least(l.doc_id, rr.doc_id) AS id_a,
+                     greatest(l.doc_id, rr.doc_id) AS id_b
+              FROM ranked l JOIN ranked rr
+                ON ((l.b + 37) % 64) = rr.b AND l.r = rr.r
+              WHERE l.doc_id <> rr.doc_id
+            ),
+            neg AS (
+              SELECT s.id_a, s.id_b, CAST(0 AS BIGINT) AS label
+              FROM shifted s
+              ANTI JOIN pos p ON s.id_a = p.id_a AND s.id_b = p.id_b
+            )
+            SELECT * FROM pos UNION ALL SELECT * FROM neg
         """,
         "b21_corpus_card": f"""
             WITH per_doc AS (
