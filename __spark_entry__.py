@@ -1175,6 +1175,89 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b19_source_overlap(spark, sf_dir):
+    """Cross-source overlap matrix (B19 audit depth): for each source
+    pair, how many 16-token windowed fingerprints (stride 8, the fuzzy-
+    containment primitive) they share and the Jaccard of their
+    fingerprint sets — the dataset-overlap audit run before mixing two
+    crawls (whole-doc fingerprints under-report: partial shared passages
+    are what leaks). Distinct (source, fp) rows → self equi-join on fp
+    (source_a < source_b) → counts; per-source set sizes join back. No
+    text re-comparison, no cartesian: everything keyed by the md5
+    fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = (
+        textops.fingerprint_rows(
+            docs.select("doc_id", "text"), "doc_id",
+            window_tokens=16, stride=8,
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    common = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("source").alias("source_a"), F.col("__n").alias("__na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"), F.col("__n").alias("__nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_b11_range_frame(spark, sf_dir):
+    """Time-RANGE window frame (B11 depth): per event, the count and
+    value-sum of the same user's events in the PRECEDING 30 minutes —
+    a true range frame over event time (rows frames can't express it
+    when event spacing varies). Ordered by epoch seconds with
+    rangeBetween(-1800, 0); sums in decimal for order-independent
+    exactness; one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec")
+    base = ev.select("event_id", "user_id", "ts", "value", sec)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("__sec").asc())
+        .rangeBetween(-1800, 0)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30m"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"),
+            6,
+        ).alias("sum_30m"),
+    )
+
+
 def q_b7_skew_diagnosis(spark, sf_dir):
     """Join-key skew diagnosis (B7 ops depth): per-key row counts on the
     fact side with each key's share of the table and the top-key /
@@ -2443,6 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_kfold": q_b26_kfold,
         "b7_skew_diagnosis": q_b7_skew_diagnosis,
         "b19_pair_dataset": q_b19_pair_dataset,
+        "b19_source_overlap": q_b19_source_overlap,
+        "b11_range_frame": q_b11_range_frame,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4465,6 +4550,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b19_source_overlap": f"""
+            WITH tk AS (
+              SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents
+            ),
+            fps AS (
+              SELECT DISTINCT source,
+                     md5(array_to_string(
+                       list_slice(toks, i*8 + 1, i*8 + 16), ' ')) AS fp
+              FROM tk,
+                   unnest(generate_series(0,
+                     greatest((len(toks) - 16) // 8, 0))) AS t(i)
+            ),
+            sizes AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n FROM fps
+              GROUP BY source
+            ),
+            common AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+              GROUP BY a.source, b.source
+            )
+            SELECT c.source_a, c.source_b, c.n_common,
+                   round(CAST(c.n_common AS DOUBLE)
+                         / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6)
+                     AS jaccard
+            FROM common c
+            JOIN sizes sa ON c.source_a = sa.source
+            JOIN sizes sb ON c.source_b = sb.source
+        """,
+        "b11_range_frame": """
+            WITH base AS (
+              SELECT event_id, user_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_30m,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w
+                         AS DOUBLE), 6) AS sum_30m
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
         """,
         "b7_skew_diagnosis": """
             WITH per_key AS (
