@@ -1175,6 +1175,41 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b15_sessionize(spark, sf_dir):
+    """Session-ID assignment (B15 depth): each event tagged with its
+    user's session ordinal — a new session starts when the gap from the
+    previous event exceeds 30 minutes. The row-level companion to
+    `session_window` aggregation (which only emits per-session rollups):
+    lag-diff marks session starts, a running sum numbers them. One
+    shuffle on user_id; both window passes share the same sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("__sec").asc(), F.col("event_id").asc()
+    )
+    marked = base.withColumn(
+        "__new",
+        F.when(
+            F.col("__sec") - F.lag("__sec", 1).over(w) > 1800, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        (F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) + F.lit(1)).cast("bigint").alias("session_id"),
+    )
+
+
 def q_b19_source_overlap(spark, sf_dir):
     """Cross-source overlap matrix (B19 audit depth): for each source
     pair, how many 16-token windowed fingerprints (stride 8, the fuzzy-
@@ -2528,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_pair_dataset": q_b19_pair_dataset,
         "b19_source_overlap": q_b19_source_overlap,
         "b11_range_frame": q_b11_range_frame,
+        "b15_sessionize": q_b15_sessionize,
         # --- regression canaries: last green row is r02; bench-covered
         # --- families deprioritized below the fold -----------------------
         "b23_udf_features": q_b23_udf_features,
@@ -4550,6 +4586,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b15_sessionize": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT event_id, user_id, sec,
+                     CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(newf) OVER (
+                     PARTITION BY user_id
+                     ORDER BY sec ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     + 1 AS BIGINT) AS session_id
+            FROM marked
         """,
         "b19_source_overlap": f"""
             WITH tk AS (
