@@ -2516,12 +2516,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - first: the 9 queries that had never been inside a driver window
       (registered late in r3 at positions 52-60);
-    - then: the 10 new round-5 queries (LM/retrieval + temperature +
-      gate/curriculum) — no green row yet by definition;
+    - then: the round-5 additions (LM/retrieval, temperature/epoch
+      mixing, gate/curriculum/capstone-v3, event analytics, TPC-H
+      shapes, audit queries) — no green row yet by definition;
     - then: regression canaries whose last green row is r02, preferring
       families NOT exercised by bench.py every round;
     - past 50: the bench-covered families, everything green in the
       r03/r04 windows, and the declared-no-oracle `b27_sketches`.
+
+    Every registered query was verified bit-exact under the local gate
+    (tools/check_oracle.py, full registry, sf0.01) this round.
     """
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
