@@ -1175,6 +1175,104 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b10_price_histogram(spark, sf_dir):
+    """Equal-width numeric histogram (B10 depth): 20 bins over
+    l_extendedprice with exact integer bin assignment — min/max arrive as
+    a broadcast 1-row agg, the binning is a narrow map, one keyed count.
+    The numeric companion to the doc-length histogram."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").cast("double").alias("__lo"),
+        F.max("l_extendedprice").cast("double").alias("__hi"),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("l_extendedprice").cast("double") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / F.lit(20.0))
+                ),
+            )
+            .cast("bigint")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def q_b10_share_of_total(spark, sf_dir):
+    """Ratio-to-report (B10 depth): each nation's share of global revenue
+    — a grouped agg plus an unpartitioned window over the tiny aggregate
+    relation (|nations| rows), never over the fact table."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("__rev")
+        )
+    )
+    w = Window.partitionBy()
+    # divide as doubles, not decimals: decimal-division result scales
+    # differ between engines; the double quotient is IEEE-identical
+    return rev.select(
+        "n_name",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+def q_b10_max_by(spark, sf_dir):
+    """max_by/min_by parity (B10 depth): per return flag, the order key
+    holding the highest/lowest extended price — single-pass conditional
+    extrema, no self-join, no window (ties broken INSIDE the aggregate by
+    taking the max/min orderkey among tied prices via struct ordering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.max(F.struct(F.col("l_extendedprice"), F.col("l_orderkey")))[
+            "l_orderkey"
+        ].cast("bigint").alias("top_order"),
+        F.min(F.struct(F.col("l_extendedprice"), F.col("l_orderkey")))[
+            "l_orderkey"
+        ].cast("bigint").alias("bottom_order"),
+        F.max("l_extendedprice").alias("top_price"),
+        F.min("l_extendedprice").alias("bottom_price"),
+    )
+
+
+def q_b14_string_agg(spark, sf_dir):
+    """Ordered string aggregation (B14 depth): per-region comma-joined
+    nation list in name order — listagg/string_agg parity. Deterministic
+    via sort_array over collected structs; the aggregate relation is
+    |regions| rows."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("n_name"))
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )
+
+
 def q_b15_sessionize(spark, sf_dir):
     """Session-ID assignment (B15 depth): each event tagged with its
     user's session ordinal — a new session starts when the gap from the
@@ -2603,7 +2701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b5_filter_json": q_b5_filter_json,
         "b6_projection": q_b6_projection,
         "b8_semi_join": q_b8_semi_join,
-        # ---- position 51+: r02-green canaries that missed the cut -------
+        # ---- position 51+: late-r5 additions awaiting a future window ----
+        "b10_price_histogram": q_b10_price_histogram,
+        "b10_share_of_total": q_b10_share_of_total,
+        "b10_max_by": q_b10_max_by,
+        "b14_string_agg": q_b14_string_agg,
+        # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
         "b9_asof_join": q_b9_asof_join,
@@ -4590,6 +4693,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b10_price_histogram": """
+            WITH bounds AS (
+              SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem
+            )
+            SELECT CAST(least(19, floor(
+                     (CAST(l_extendedprice AS DOUBLE) - b.lo)
+                     / ((b.hi - b.lo) / 20.0))) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem CROSS JOIN bounds b
+            GROUP BY bin
+        """,
+        "b10_share_of_total": """
+            WITH rev AS (
+              SELECT n_name,
+                     sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS r
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n_name
+            )
+            SELECT n_name,
+                   round(CAST(r AS DOUBLE), 2) AS revenue,
+                   round(CAST(r AS DOUBLE)
+                         / CAST(sum(r) OVER () AS DOUBLE), 6) AS share
+            FROM rev
+        """,
+        "b10_max_by": """
+            WITH m AS (
+              SELECT l_returnflag, max(l_extendedprice) AS mx,
+                     min(l_extendedprice) AS mn
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT m.l_returnflag,
+                   (SELECT CAST(max(li.l_orderkey) AS BIGINT) FROM lineitem li
+                    WHERE li.l_returnflag = m.l_returnflag
+                      AND li.l_extendedprice = m.mx) AS top_order,
+                   (SELECT CAST(min(li.l_orderkey) AS BIGINT) FROM lineitem li
+                    WHERE li.l_returnflag = m.l_returnflag
+                      AND li.l_extendedprice = m.mn) AS bottom_order,
+                   m.mx AS top_price, m.mn AS bottom_price
+            FROM m
+        """,
+        "b14_string_agg": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(count(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "b15_sessionize": """
             WITH base AS (
