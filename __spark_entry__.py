@@ -2108,6 +2108,38 @@ def q_b22_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_b23_grouped_agg_udf(spark, sf_dir):
+    """Grouped-AGGREGATE pandas UDF (B23 surface completion): quantity-
+    weighted mean price per return flag computed by a numpy aggregate
+    over Arrow batches — the fourth UDF shape (scalar, grouped-map,
+    mapInPandas, and stateful are covered elsewhere). Arrow transfers
+    whole column batches; the UDF runs once per group. Output rounded to
+    6 (float-sum order differs per engine; errors sit ~1e-9 relative,
+    far below the rounding)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas_udf infers the GROUPED_AGG eval type from Series -> scalar
+    # hints; this module's `from __future__ import annotations` would
+    # stringify inline hints, so attach real objects explicitly
+    def _wmean(price, qty):
+        import numpy as np
+
+        return float(np.average(price.to_numpy(), weights=qty.to_numpy()))
+
+    _wmean.__annotations__ = {
+        "price": pd.Series, "qty": pd.Series, "return": float
+    }
+    wmean = pandas_udf(_wmean, "double")
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wmean(F.col("l_extendedprice"), F.col("l_quantity")).alias("__w"))
+        .select("l_returnflag", F.round(F.col("__w"), 6).alias("wmean_price"))
+    )
+
+
 def q_b23_udf_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction. The stub decode is
     imperative Python, but it's pure byte arithmetic — so the DuckDB
@@ -2706,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_share_of_total": q_b10_share_of_total,
         "b10_max_by": q_b10_max_by,
         "b14_string_agg": q_b14_string_agg,
+        "b23_grouped_agg_udf": q_b23_grouped_agg_udf,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4693,6 +4726,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b23_grouped_agg_udf": """
+            -- np.average = sum(p*q)/sum(q) over float64; identical
+            -- products, sum-order noise absorbed by round(6)
+            SELECT l_returnflag,
+                   round(sum(CAST(l_extendedprice AS DOUBLE)
+                             * CAST(l_quantity AS DOUBLE))
+                         / sum(CAST(l_quantity AS DOUBLE)), 6)
+                     AS wmean_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "b10_price_histogram": """
             WITH bounds AS (
