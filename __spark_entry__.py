@@ -1175,6 +1175,73 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b21_readability(spark, sf_dir):
+    """Readability scoring (B21 depth): Flesch-style reading ease with a
+    vowel-run syllable proxy — sentences ≈ docs here (fixture text has no
+    punctuation after normalization), so the formula reduces to the
+    words-per-doc and syllables-per-word terms. Pure regexp/length
+    arithmetic: narrow map + rounding, no shuffle beyond the final
+    projection."""
+    docs = _t(spark, sf_dir, "documents")
+    n_words = textops.token_count("text")
+    syllables = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[aeiouy]+"), 0
+        )
+    ).cast("double")
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * n_words.cast("double")
+        - F.lit(84.6) * (syllables / F.greatest(n_words, F.lit(1)).cast("double")),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        syllables.cast("bigint").alias("n_syllables"),
+        score.alias("flesch"),
+    )
+
+
+def q_b21_zipf_fit(spark, sf_dir):
+    """Zipf-law fit (B21 QA depth): the log-log slope of the top-100
+    token rank-frequency curve — natural text sits near slope −1;
+    corpora dominated by templates/boilerplate flatten or steepen. The
+    regression runs over the 100-row aggregate (closed-form OLS on
+    (ln rank, ln freq)); the corpus-side work is one word count."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(textops.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = counts.withColumn("r", F.row_number().over(w).cast("double")).filter(
+        F.col("r") <= 100
+    )
+    xy = top.select(
+        F.log("r").alias("x"), F.log("n").alias("y")
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
 def q_b10_price_histogram(spark, sf_dir):
     """Equal-width numeric histogram (B10 depth): 20 bins over
     l_extendedprice with exact integer bin assignment — min/max arrive as
@@ -2739,6 +2806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_max_by": q_b10_max_by,
         "b14_string_agg": q_b14_string_agg,
         "b23_grouped_agg_udf": q_b23_grouped_agg_udf,
+        "b21_readability": q_b21_readability,
+        "b21_zipf_fit": q_b21_zipf_fit,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4726,6 +4795,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b21_readability": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syllables,
+                   round(206.835
+                         - 1.015 * CAST(len({_TOKS_SQL}) AS DOUBLE)
+                         - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                               '[aeiouy]+')) AS DOUBLE)
+                             / CAST(greatest(len({_TOKS_SQL}), 1)
+                                    AS DOUBLE)), 6) AS flesch
+            FROM documents
+        """,
+        "b21_zipf_fit": f"""
+            WITH counts AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> '' GROUP BY tok
+            ),
+            top AS (
+              SELECT CAST(r AS DOUBLE) AS r, n FROM (
+                SELECT n, row_number() OVER (
+                  ORDER BY n DESC, tok ASC) AS r
+                FROM counts
+              ) WHERE r <= 100
+            ),
+            xy AS (SELECT ln(r) AS x, ln(n) AS y FROM top),
+            agg AS (
+              SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM xy
+            )
+            SELECT CAST(k AS BIGINT) AS n_points,
+                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                     AS zipf_slope
+            FROM agg
         """,
         "b23_grouped_agg_udf": """
             -- np.average = sum(p*q)/sum(q) over float64; identical
