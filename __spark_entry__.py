@@ -1175,6 +1175,20 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b15_funnel_steps(spark, sf_dir):
+    """Library-shaped funnel (B15 depth): one row per step with the
+    users-reached count under the strictly-after ordering rule — the
+    general N-step form of b15_funnel (derive.py: funnel)."""
+    ev = _t(spark, sf_dir, "events")
+    return derive.funnel(
+        ev.select("user_id", "event_type", "ts"),
+        "user_id",
+        "event_type",
+        "ts",
+        ["view", "click", "purchase"],
+    )
+
+
 def q_b21_readability(spark, sf_dir):
     """Readability scoring (B21 depth): Flesch-style reading ease with a
     vowel-run syllable proxy — sentences ≈ docs here (fixture text has no
@@ -1346,33 +1360,12 @@ def q_b15_sessionize(spark, sf_dir):
     previous event exceeds 30 minutes. The row-level companion to
     `session_window` aggregation (which only emits per-session rollups):
     lag-diff marks session starts, a running sum numbers them. One
-    shuffle on user_id; both window passes share the same sort."""
-    from pyspark.sql import Window
-
+    shuffle on user_id; both window passes share the same sort
+    (derive.py: sessionize)."""
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(
-        "event_id",
-        "user_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec"),
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("__sec").asc(), F.col("event_id").asc()
-    )
-    marked = base.withColumn(
-        "__new",
-        F.when(
-            F.col("__sec") - F.lag("__sec", 1).over(w) > 1800, F.lit(1)
-        )
-        .otherwise(F.lit(0))
-        .cast("bigint"),
-    )
-    return marked.select(
-        "event_id",
-        "user_id",
-        (F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ) + F.lit(1)).cast("bigint").alias("session_id"),
-    )
+    return derive.sessionize(
+        ev.select("event_id", "user_id", "ts"), "user_id", "ts", "event_id"
+    ).select("event_id", "user_id", "session_id")
 
 
 def q_b19_source_overlap(spark, sf_dir):
@@ -2808,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_grouped_agg_udf": q_b23_grouped_agg_udf,
         "b21_readability": q_b21_readability,
         "b21_zipf_fit": q_b21_zipf_fit,
+        "b15_funnel_steps": q_b15_funnel_steps,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4795,6 +4789,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b15_funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
         """,
         "b21_readability": f"""
             SELECT doc_id,

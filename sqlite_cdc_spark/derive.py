@@ -341,3 +341,72 @@ def snapshots_equal(a: DataFrame, b: DataFrame) -> bool:
     """Multiset equality of two snapshots via ``exceptAll`` both ways
     (SURVEY §2 B13) — the replication-correctness check."""
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Row-level session-ID assignment (SURVEY §2 B15 depth): each event
+    tagged with its user's session ordinal; a new session starts when the
+    gap from the previous event exceeds ``gap_seconds``. The row-level
+    companion to ``session_window`` aggregation (which only emits
+    per-session rollups). Lag-diff start markers + a running sum sharing
+    one sort; one shuffle on ``user_col``. Appends ``session_id``."""
+    from pyspark.sql import Window as W
+
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    w = W.partitionBy(user_col).orderBy(sec.asc(), F.col(id_col).asc())
+    new_flag = (
+        F.when(sec - F.lag(sec, 1).over(w) > gap_seconds, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return df.withColumn(
+        "session_id",
+        (
+            F.sum(new_flag).over(w.rowsBetween(W.unboundedPreceding, 0))
+            + F.lit(1)
+        ).cast("bigint"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel (SURVEY §2 B15 depth): per step, how many users
+    reached it with each step's event strictly AFTER their previous
+    step's — the sequential-pattern read of an event stream. One keyed
+    min-agg pass per step (partial+final hash agg on the user key), no
+    whole-stream window, no cartesian. Returns one row per step:
+    ``(step, step_name, n_users)``."""
+    spark = df.sparkSession
+    prev = None
+    rows = []
+    for i, step in enumerate(steps):
+        cur = df.filter(F.col(type_col) == step)
+        if prev is not None:
+            cur = cur.join(prev, user_col).filter(
+                F.col(ts_col) > F.col("__prev_ts")
+            )
+        cur = cur.groupBy(user_col).agg(F.min(ts_col).alias("__prev_ts"))
+        count_df = cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users")
+        ).select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(step).alias("step_name"),
+            "n_users",
+        )
+        rows.append(count_df)
+        prev = cur
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

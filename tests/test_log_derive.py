@@ -281,3 +281,50 @@ def test_salted_join_accepts_spark_aliases(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError):
             salted_join(left, right, "k", how=how)
+
+
+def test_sessionize_gap_rule(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark import derive
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 10, t0 + dt.timedelta(minutes=50)),   # gap 40m -> new session
+        (4, 20, t0),                               # other user: own numbering
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.session_id
+        for r in derive.sessionize(df, "user_id", "ts", "event_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_funnel_strictly_after_ordering(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark import derive
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", t0), (1, "click", t0 + m), (1, "purchase", t0 + 2 * m),
+        # user 2 clicks BEFORE viewing -> click doesn't count
+        (2, "click", t0), (2, "view", t0 + m),
+        # user 3 views only
+        (3, "view", t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.step_name: r.n_users
+        for r in derive.funnel(
+            df, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
