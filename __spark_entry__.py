@@ -1175,6 +1175,39 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b30_query_expansion(spark, sf_dir):
+    """PMI query expansion (B30 retrieval depth): the top-5 co-occurrence
+    partners per seed term by PMI (count ≥ 8) — the statistical
+    related-terms read used to widen keyword queries. One filter over
+    the PMI pair relation per seed orientation; per-seed window top-k
+    (lm.py: pmi_pairs)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = ["merge", "join", "batch"]
+    pairs = lm.pmi_pairs(docs, "doc_id", window=2, min_count=8)
+    partners = pairs.filter(F.col("tok_a").isin(seeds)).select(
+        F.col("tok_a").alias("seed"),
+        F.col("tok_b").alias("partner"),
+        "n_pair",
+        "pmi",
+    ).unionByName(
+        pairs.filter(F.col("tok_b").isin(seeds)).select(
+            F.col("tok_b").alias("seed"),
+            F.col("tok_a").alias("partner"),
+            "n_pair",
+            "pmi",
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.col("pmi").desc(), F.col("partner").asc()
+    )
+    return (
+        partners.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
 def q_b15_funnel_steps(spark, sf_dir):
     """Library-shaped funnel (B15 depth): one row per step with the
     users-reached count under the strictly-after ordering rule — the
@@ -2802,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_readability": q_b21_readability,
         "b21_zipf_fit": q_b21_zipf_fit,
         "b15_funnel_steps": q_b15_funnel_steps,
+        "b30_query_expansion": q_b30_query_expansion,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4789,6 +4823,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b30_query_expansion": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS i
+              FROM tk
+            ),
+            raw AS (
+              SELECT least(toks[i], toks[i + d]) AS tok_a,
+                     greatest(toks[i], toks[i + d]) AS tok_b
+              FROM pos, unnest(generate_series(1, 2)) AS dd(d)
+              WHERE i + d <= len(toks)
+            ),
+            cnts AS (
+              SELECT tok_a, tok_b, count(*) AS n_pair FROM raw
+              GROUP BY tok_a, tok_b
+            ),
+            uni AS (
+              SELECT tok, count(*) AS cnt FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents
+              ) WHERE tok <> '' GROUP BY tok
+            ),
+            scal AS (
+              SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM cnts) AS p_tot,
+                     (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS t_tot
+            ),
+            pmi AS (
+              SELECT c.tok_a, c.tok_b, CAST(c.n_pair AS BIGINT) AS n_pair,
+                     round(ln((c.n_pair / s.p_tot)
+                              / ((ua.cnt / s.t_tot) * (ub.cnt / s.t_tot))),
+                           6) AS pmi
+              FROM cnts c
+              JOIN uni ua ON c.tok_a = ua.tok
+              JOIN uni ub ON c.tok_b = ub.tok
+              CROSS JOIN scal s
+              WHERE c.n_pair >= 8
+            ),
+            partners AS (
+              SELECT tok_a AS seed, tok_b AS partner, n_pair, pmi FROM pmi
+              WHERE tok_a IN ('merge', 'join', 'batch')
+              UNION ALL
+              SELECT tok_b AS seed, tok_a AS partner, n_pair, pmi FROM pmi
+              WHERE tok_b IN ('merge', 'join', 'batch')
+            )
+            SELECT seed, partner, n_pair, pmi, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY seed ORDER BY pmi DESC, partner ASC) AS rank
+              FROM partners
+            ) WHERE rank <= 5
         """,
         "b15_funnel_steps": """
             WITH s1 AS (
