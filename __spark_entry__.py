@@ -1175,6 +1175,60 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b19_cluster_stats(spark, sf_dir):
+    """Dedup-cluster QA (B19 depth): the cluster-size histogram over the
+    standing near-dup clustering — how many singletons/pairs/triples the
+    corpus carries and the total removable-duplicate count. One agg over
+    the (already component-labeled) cluster assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    labels = dedup.dup_clusters(pairs)
+    return (
+        labels.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("cluster_id"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+    )
+
+
+def q_b20_vector_audit(spark, sf_dir):
+    """Vector-data audit (B20 QA depth): per-label embedding count, mean
+    L2 norm, and degenerate-vector counts (zero norm / NaN component) —
+    the sanity pass before any similarity work. Norms are row-local
+    `aggregate` arithmetic (codegen); one keyed agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = similarity.l2_norm(similarity.as_double(F.col("embedding")))
+    has_nan = F.exists("embedding", lambda x: F.isnan(x.cast("double")))
+    return (
+        emb.select(
+            F.col("label").cast("int").alias("label"),
+            norm.alias("__n"),
+            has_nan.cast("int").alias("__nan"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("__n"), 6).alias("mean_norm"),
+            F.sum(F.when(F.col("__n") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.sum("__nan").cast("bigint").alias("n_nan"),
+        )
+    )
+
+
 def q_b30_query_expansion(spark, sf_dir):
     """PMI query expansion (B30 retrieval depth): the top-5 co-occurrence
     partners per seed term by PMI (count ≥ 8) — the statistical
@@ -2836,6 +2890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_zipf_fit": q_b21_zipf_fit,
         "b15_funnel_steps": q_b15_funnel_steps,
         "b30_query_expansion": q_b30_query_expansion,
+        "b19_cluster_stats": q_b19_cluster_stats,
+        "b20_vector_audit": q_b20_vector_audit,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4823,6 +4879,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b19_cluster_stats": f"""
+            SELECT cluster_size,
+                   CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) - count(DISTINCT cluster_id) AS BIGINT)
+                     AS n_removable
+            FROM ({_dup_clusters_oracle_sql()}) labels
+            GROUP BY cluster_size
+        """,
+        "b20_vector_audit": """
+            WITH dv AS (
+              SELECT label,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            n AS (
+              SELECT label, sqrt(list_dot_product(v, v)) AS nrm,
+                     CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+                          THEN 1 ELSE 0 END AS has_nan
+              FROM dv
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(nrm), 6) AS mean_norm,
+                   CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_zero,
+                   CAST(sum(has_nan) AS BIGINT) AS n_nan
+            FROM n GROUP BY label
         """,
         "b30_query_expansion": f"""
             WITH tk AS (
