@@ -1175,6 +1175,29 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b10_filtered_agg(spark, sf_dir):
+    """FILTER-clause conditional aggregation parity (B10 depth): one
+    pass computing overall and predicate-scoped aggregates side by side
+    (counts, sums, averages of returned vs kept lines) — the idiom that
+    replaces N self-joins with conditional expressions inside a single
+    partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(returned, 1).otherwise(0)).cast("bigint").alias("n_returned"),
+        F.round(
+            F.sum(
+                F.when(returned, F.col("l_extendedprice").cast("decimal(38,6)"))
+            ).cast("double"),
+            2,
+        ).alias("returned_revenue"),
+        F.round(
+            F.avg(F.when(returned, F.col("l_quantity").cast("double"))), 6
+        ).alias("avg_returned_qty"),
+    )
+
+
 def q_b19_cluster_stats(spark, sf_dir):
     """Dedup-cluster QA (B19 depth): the cluster-size histogram over the
     standing near-dup clustering — how many singletons/pairs/triples the
@@ -2892,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_query_expansion": q_b30_query_expansion,
         "b19_cluster_stats": q_b19_cluster_stats,
         "b20_vector_audit": q_b20_vector_audit,
+        "b10_filtered_agg": q_b10_filtered_agg,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4879,6 +4903,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b10_filtered_agg": """
+            SELECT l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_returned,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                         FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 2)
+                     AS returned_revenue,
+                   round(avg(CAST(l_quantity AS DOUBLE))
+                         FILTER (WHERE l_returnflag = 'R'), 6)
+                     AS avg_returned_qty
+            FROM lineitem GROUP BY l_linestatus
         """,
         "b19_cluster_stats": f"""
             SELECT cluster_size,
