@@ -278,3 +278,33 @@ def test_mean_pool_partial_final_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b20_mean_pool")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b15_sessionize")
+    assert "CartesianProduct" not in plan
+    # both window passes (lag + running sum) share one user_id sort
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_range_frame_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b11_range_frame")
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_keyed_by_fingerprint(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b19_source_overlap")
+    assert "CartesianProduct" not in plan
+
+
+def test_pair_dataset_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b19_pair_dataset")
+    # negatives use bucket-PARTITIONED ranks; no range partitioning of
+    # the corpus for a global derangement
+    assert "CartesianProduct" not in plan
+
+
+def test_filtered_agg_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b10_filtered_agg")
+    assert "Join" not in plan  # one agg pass, no self-joins
+    assert plan.count("HashAggregate") >= 2  # partial+final
