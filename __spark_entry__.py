@@ -2729,28 +2729,10 @@ def q_b15_cohorts(spark, sf_dir):
     activity counted per (cohort week, week offset) — the standard
     retention triangle. One min-agg for cohort assignment (broadcast
     back), one distinct-count agg; weeks via date_trunc so both engines
-    bucket identically (Monday start)."""
+    bucket identically (Monday start) (derive.py: cohort_retention)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    return (
-        ev.join(F.broadcast(first), "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (
-                F.datediff(
-                    F.date_trunc("week", F.col("ts")).cast("date"),
-                    F.col("cohort_week"),
-                )
-                / 7
-            )
-            .cast("bigint")
-            .alias("week_offset"),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    return derive.cohort_retention(ev, "user_id", "ts").withColumnRenamed(
+        "period_offset", "week_offset"
     )
 
 

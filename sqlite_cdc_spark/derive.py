@@ -410,3 +410,40 @@ def funnel(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle (SURVEY §2 B15 depth): users bucketed by
+    first-seen period, distinct active users counted per (cohort period,
+    period offset). One min-agg for cohort assignment (broadcast back)
+    plus one distinct-count agg; `date_trunc` buckets are engine-portable
+    (Monday-start weeks). Returns ``(cohort_<period>, period_offset,
+    n_users)``."""
+    days = {"week": 7, "day": 1}[period]
+    first = df.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("__cohort")
+    )
+    return (
+        df.join(F.broadcast(first), user_col)
+        .select(
+            user_col,
+            "__cohort",
+            (
+                F.datediff(
+                    F.date_trunc(period, F.col(ts_col)).cast("date"),
+                    F.col("__cohort"),
+                )
+                / days
+            )
+            .cast("bigint")
+            .alias("period_offset"),
+        )
+        .groupBy("__cohort", "period_offset")
+        .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
+        .withColumnRenamed("__cohort", f"cohort_{period}")
+    )
