@@ -1175,6 +1175,43 @@ def q_b27_sketches(spark, sf_dir):
     )
 
 
+def q_b26_cluster_kfold(spark, sf_dir):
+    """Dedup-aware k-fold (B26 × B19): folds keyed by CLUSTER id (docs
+    outside any cluster key on their own id), so near-duplicate documents
+    can never straddle folds — the k-fold form of the split-leakage
+    lesson (`b26_split_leakage`). Output: per-fold doc and cluster
+    counts. Narrow fold arithmetic over the component labeling."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    labels = dedup.dup_clusters(pairs)
+    keyed = (
+        corpus.select("doc_id")
+        .join(labels.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("__key"),
+        )
+    )
+    return (
+        keyed.select(
+            "doc_id", sampling.hash_bucket("__key", 5).alias("fold"), "__key"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("__key").cast("bigint").alias("n_keys"),
+        )
+    )
+
+
 def q_b10_filtered_agg(spark, sf_dir):
     """FILTER-clause conditional aggregation parity (B10 depth): one
     pass computing overall and predicate-scoped aggregates side by side
@@ -2898,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_cluster_stats": q_b19_cluster_stats,
         "b20_vector_audit": q_b20_vector_audit,
         "b10_filtered_agg": q_b10_filtered_agg,
+        "b26_cluster_kfold": q_b26_cluster_kfold,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -4885,6 +4923,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
                    CAST(n_tok AS BIGINT) AS n_tok
             FROM cum
+        """,
+        "b26_cluster_kfold": f"""
+            WITH labels AS ({_dup_clusters_oracle_sql()}),
+            corpus AS ({_B19_CORPUS_SQL}),
+            keyed AS (
+              SELECT c.doc_id,
+                     COALESCE(l.cluster_id, c.doc_id) AS k
+              FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
+            )
+            SELECT CAST({sampling.bucket_sql('k', 5)} AS BIGINT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+            FROM keyed GROUP BY fold
         """,
         "b10_filtered_agg": """
             SELECT l_linestatus,
