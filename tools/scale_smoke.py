@@ -182,6 +182,38 @@ def text_ops(spark, path: str) -> dict[str, float]:
     return out
 
 
+def skew_ops(spark, rows: int) -> dict[str, float]:
+    """Adversarial skew: 60% of the fact rows share ONE join key. Times
+    the plain equi-join (AQE skew-split on) against `derive.salted_join`
+    (salt=32) on the same data — the measured basis for the 'skew has an
+    explicit tool' claim. Both plans produce identical aggregates
+    (asserted cheap via count)."""
+    fact = spark.range(rows).select(
+        F.when(F.col("id") % 10 < 6, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), 10000))
+        .alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("v"),
+    )
+    dim = spark.range(10000).select(
+        F.col("id").alias("k"), F.pmod(F.xxhash64("id"), 7).alias("grp")
+    )
+    out: dict[str, float] = {}
+
+    t0 = time.time()
+    plain = fact.join(dim, "k").groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"))
+    n1 = sum(r.n for r in plain.collect())
+    out["skew_plain_join"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    salted = derive.salted_join(fact, dim, "k", salt=32).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"))
+    n2 = sum(r.n for r in salted.collect())
+    out["skew_salted_join"] = round(time.time() - t0, 2)
+    assert n1 == n2, f"salted join changed results: {n1} != {n2}"
+    return out
+
+
 def main():
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -194,6 +226,7 @@ def main():
             dpath = f"{tmp}/docs_{label}"
             gen_documents(spark, rows // 10, dpath)
             results[label].update(text_ops(spark, dpath))
+            results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
     for op in results["sf1x"]:
