@@ -1336,6 +1336,49 @@ def q_b15_funnel_steps(spark, sf_dir):
     )
 
 
+def q_b21_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth (B21 QA depth): distinct-token count
+    after each decile of the corpus (doc_id order) — natural corpora
+    grow ~n^β (β≈0.5); a flattening curve means template text, a linear
+    one means noise. NO iteration: each token's FIRST-SEEN decile is one
+    min-agg, the cumulative count is a running sum over the 10-row
+    decile relation. The vocabulary unit is the character 4-gram of the
+    normalized text (the fixture's word vocab saturates in decile 0;
+    4-grams keep growing, which is the curve shape the operator
+    exists to measure)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    toks = (
+        docs.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    F.col("doc_id").cast("double") * 10.0 / F.col("__n")
+                ),
+            )
+            .cast("bigint")
+            .alias("decile"),
+            F.explode(dedup.char_shingles("text", k=4)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    first_seen = toks.groupBy("tok").agg(F.min("decile").alias("first_decile"))
+    per_decile = first_seen.groupBy("first_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_tokens")
+    )
+    w = Window.orderBy("first_decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_decile.select(
+        F.col("first_decile").alias("decile"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
 def q_b21_readability(spark, sf_dir):
     """Readability scoring (B21 depth): Flesch-style reading ease with a
     vowel-run syllable proxy — sentences ≈ docs here (fixture text has no
@@ -2936,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_vector_audit": q_b20_vector_audit,
         "b10_filtered_agg": q_b10_filtered_agg,
         "b26_cluster_kfold": q_b26_cluster_kfold,
+        "b21_heaps_curve": q_b21_heaps_curve,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -5061,6 +5105,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "b21_heaps_curve": f"""
+            WITH n AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+            ),
+            toks AS (
+              SELECT CAST(least(9, floor(
+                       CAST(doc_id AS DOUBLE) * 10.0 / n.nd))
+                     AS BIGINT) AS decile,
+                     unnest(list_distinct(list_transform(
+                       generate_series(1,
+                         greatest(length({_NORM_SQL}) - 3, 1)),
+                       i -> substring({_NORM_SQL}, i, 4)))) AS tok
+              FROM documents CROSS JOIN n
+            ),
+            first_seen AS (
+              SELECT tok, min(decile) AS first_decile FROM toks
+              WHERE tok <> '' GROUP BY tok
+            ),
+            per_decile AS (
+              SELECT first_decile, CAST(count(*) AS BIGINT) AS new_tokens
+              FROM first_seen GROUP BY first_decile
+            )
+            SELECT first_decile AS decile, new_tokens,
+                   CAST(sum(new_tokens) OVER (
+                     ORDER BY first_decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS vocab_size
+            FROM per_decile
         """,
         "b21_readability": f"""
             SELECT doc_id,
