@@ -88,30 +88,30 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
+
+    def check_one(name, fn):
+        """Returns (name, lines_to_print, failed). Spark actions are
+        thread-safe (scheduler-level concurrency); each worker cursors
+        its own DuckDB connection off the shared in-memory catalog."""
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
-            failures.append(name)
-            continue
+            return name, [f"FAIL {name}: spark error: {e}"], True
         if name not in oracles:
-            print(f"OK?  {name}: rows-only ({len(srows)} rows, no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
-            continue
+            return name, [
+                f"OK?  {name}: rows-only ({len(srows)} rows, no oracle) "
+                f"[{time.time()-t0:.1f}s]"
+            ], False
         try:
-            res = con.execute(oracles[name])
+            cur = con.cursor()
+            res = cur.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures.append(name)
-            continue
+            return name, [f"FAIL {name}: duckdb error: {e}"], True
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
@@ -127,12 +127,23 @@ def main() -> int:
                         problems.append(f"  first diff row {i}:\n   spark : {a!r}\n   duckdb: {b!r}")
                         break
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems[:1]))
-            for p in problems[1:]:
-                print(p)
+            return name, [f"FAIL {name}: " + "; ".join(problems[:1])] + problems[1:], True
+        return name, [f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]"], False
+
+    todo = [(n, f) for n, f in queries.items() if not only or n in only]
+    jobs = int(os.environ.get("SPARK_GRAFT_ORACLE_JOBS", "1"))
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            results = list(ex.map(lambda t: check_one(*t), todo))
+    else:
+        results = [check_one(n, f) for n, f in todo]
+    for name, lines, failed in results:
+        for line in lines:
+            print(line)
+        if failed:
             failures.append(name)
-        else:
-            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
