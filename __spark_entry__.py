@@ -1336,6 +1336,59 @@ def q_b15_funnel_steps(spark, sf_dir):
     )
 
 
+def q_b24_incremental_card(spark, sf_dir):
+    """Incremental reporting under CDC (B24 × B3): the per-(source,lang)
+    doc/token counters maintained by ADDITIVE merge with a CDC batch
+    (doc_id%7 UPDATEd with ' zzz' appended, doc_id%11 and-not-%7
+    DELETEd) — cost ∝ batch, the corpus is never recounted. The oracle
+    recomputes from scratch over the effective corpus, so the driver row
+    proves counter-maintenance-equals-recount, the same invariant the
+    LSH-index / cluster / LM incremental legs already carry."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def counters(df):
+        return df.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(textops.token_count("text")).cast("long").alias("sum_tok"),
+        )
+
+    standing = counters(docs)
+    upd = docs.filter(F.col("doc_id") % 7 == 0)
+    dels = upd.select("source", "lang", "text").unionByName(
+        docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("source", "lang", "text")
+    )
+    ins = upd.select(
+        "source", "lang", F.concat(F.col("text"), F.lit(" zzz")).alias("text")
+    )
+    delta = counters(ins).select(
+        "source", "lang", "n_docs", "sum_tok"
+    ).unionByName(
+        counters(dels).select(
+            "source", "lang", (-F.col("n_docs")).alias("n_docs"),
+            (-F.col("sum_tok")).alias("sum_tok"),
+        )
+    ).groupBy("source", "lang").agg(
+        F.sum("n_docs").alias("__dd"), F.sum("sum_tok").alias("__dt")
+    )
+    return (
+        standing.join(delta, ["source", "lang"], "full_outer")
+        .select(
+            "source",
+            "lang",
+            (F.coalesce(F.col("n_docs"), F.lit(0))
+             + F.coalesce(F.col("__dd"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.coalesce(F.col("sum_tok"), F.lit(0))
+             + F.coalesce(F.col("__dt"), F.lit(0)))
+            .cast("bigint")
+            .alias("sum_tok"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
 def q_b21_heaps_curve(spark, sf_dir):
     """Heaps'-law vocabulary growth (B21 QA depth): distinct-token count
     after each decile of the corpus (doc_id order) — natural corpora
@@ -2980,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_filtered_agg": q_b10_filtered_agg,
         "b26_cluster_kfold": q_b26_cluster_kfold,
         "b21_heaps_curve": q_b21_heaps_curve,
+        "b24_incremental_card": q_b24_incremental_card,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -5105,6 +5159,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "b24_incremental_card": f"""
+            WITH eff AS (
+              SELECT source, lang, text FROM documents
+              WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+              UNION ALL
+              SELECT source, lang, text || ' zzz' AS text FROM documents
+              WHERE doc_id % 7 = 0
+            )
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tok
+            FROM eff GROUP BY source, lang
         """,
         "b21_heaps_curve": f"""
             WITH n AS (
