@@ -1336,6 +1336,65 @@ def q_b15_funnel_steps(spark, sf_dir):
     )
 
 
+def q_b19_source_novelty(spark, sf_dir):
+    """Per-source novelty (B19 audit depth): the fraction of each
+    source's windowed fingerprints shared with NO other source — the
+    uniqueness score that complements the pairwise overlap matrix when
+    deciding what a new crawl actually adds. One distinct agg, one
+    per-fp source count, one keyed ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = (
+        textops.fingerprint_rows(
+            docs.select("doc_id", "text"), "doc_id",
+            window_tokens=16, stride=8,
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    spread = fps.groupBy("fp").agg(
+        F.countDistinct("source").alias("__n_src")
+    )
+    return (
+        fps.join(spread, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(F.when(F.col("__n_src") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__n_src") == 1, 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_b15_session_stats(spark, sf_dir):
+    """Session-level rollups (B15 depth): the downstream consumer of
+    row-level session IDs — per (user, session): event count, distinct
+    event types, and wall duration in seconds. sessionize's shuffle on
+    user_id is REUSED by the session agg (same key prefix), so the
+    composition adds no exchange (derive.py: sessionize)."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = derive.sessionize(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        (F.max(sec) - F.min(sec)).cast("bigint").alias("duration_sec"),
+    )
+
+
 def q_b24_incremental_card(spark, sf_dir):
     """Incremental reporting under CDC (B24 × B3): the per-(source,lang)
     doc/token counters maintained by ADDITIVE merge with a CDC batch
@@ -3034,6 +3093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_cluster_kfold": q_b26_cluster_kfold,
         "b21_heaps_curve": q_b21_heaps_curve,
         "b24_incremental_card": q_b24_incremental_card,
+        "b19_source_novelty": q_b19_source_novelty,
+        "b15_session_stats": q_b15_session_stats,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -5159,6 +5220,59 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "b19_source_novelty": f"""
+            WITH tk AS (
+              SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents
+            ),
+            fps AS (
+              SELECT DISTINCT source,
+                     md5(array_to_string(
+                       list_slice(toks, i*8 + 1, i*8 + 16), ' ')) AS fp
+              FROM tk,
+                   unnest(generate_series(0,
+                     greatest((len(toks) - 16) // 8, 0))) AS t(i)
+            ),
+            spread AS (
+              SELECT fp, count(DISTINCT source) AS n_src FROM fps GROUP BY fp
+            )
+            SELECT f.source,
+                   CAST(count(*) AS BIGINT) AS n_fps,
+                   CAST(sum(CASE WHEN s.n_src = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique,
+                   round(sum(CASE WHEN s.n_src = 1 THEN 1.0 ELSE 0.0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM fps f JOIN spread s ON f.fp = s.fp
+            GROUP BY f.source
+        """,
+        "b15_session_stats": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT *,
+                     CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            ),
+            tagged AS (
+              SELECT *, sum(newf) OVER (
+                PARTITION BY user_id
+                ORDER BY sec ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                AS session_id
+              FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+            FROM tagged GROUP BY user_id, session_id
         """,
         "b24_incremental_card": f"""
             WITH eff AS (
