@@ -1336,6 +1336,42 @@ def q_b15_funnel_steps(spark, sf_dir):
     )
 
 
+def q_b3_op_drift(spark, sf_dir):
+    """Feed-mix drift detection (B3 ops depth): each event type's share
+    of the stream in the first vs second half of the time range, with
+    the drift delta — the monitoring read that catches a producer
+    change or capture bug (one op type surging/vanishing). Two
+    conditional aggregates in one pass + a 1-row totals broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_type = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < mid, 1).otherwise(0))
+        .cast("double")
+        .alias("__early"),
+        F.sum(F.when(F.col("ts") >= mid, 1).otherwise(0))
+        .cast("double")
+        .alias("__late"),
+    )
+    totals = per_type.agg(
+        F.sum("__early").alias("__te"), F.sum("__late").alias("__tl")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.col("__early").cast("bigint").alias("n_early"),
+            F.col("__late").cast("bigint").alias("n_late"),
+            F.round(F.col("__early") / F.col("__te"), 6).alias("share_early"),
+            F.round(F.col("__late") / F.col("__tl"), 6).alias("share_late"),
+            F.round(
+                F.col("__late") / F.col("__tl")
+                - F.col("__early") / F.col("__te"),
+                6,
+            ).alias("drift"),
+        )
+    )
+
+
 def q_b19_source_novelty(spark, sf_dir):
     """Per-source novelty (B19 audit depth): the fraction of each
     source's windowed fingerprints shared with NO other source — the
@@ -3095,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_incremental_card": q_b24_incremental_card,
         "b19_source_novelty": q_b19_source_novelty,
         "b15_session_stats": q_b15_session_stats,
+        "b3_op_drift": q_b3_op_drift,
         # ---- r02-green canaries that missed the cut ---------------------
         "b8_anti_join": q_b8_anti_join,
         "b9_asof": q_b9_asof,
@@ -5220,6 +5257,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "b3_op_drift": """
+            WITH per_type AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS e,
+                     CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS l
+              FROM events GROUP BY event_type
+            ),
+            tot AS (SELECT sum(e) AS te, sum(l) AS tl FROM per_type)
+            SELECT event_type,
+                   CAST(e AS BIGINT) AS n_early,
+                   CAST(l AS BIGINT) AS n_late,
+                   round(e / t.te, 6) AS share_early,
+                   round(l / t.tl, 6) AS share_late,
+                   round(l / t.tl - e / t.te, 6) AS drift
+            FROM per_type CROSS JOIN tot t
         """,
         "b19_source_novelty": f"""
             WITH tk AS (
