@@ -828,7 +828,13 @@ def q_b19_incremental_clusters(spark, sf_dir):
     from docs that already have a planted twin exercise real cluster
     MERGES, not just appends. Oracle: from-scratch recursive-CTE closure
     over (standing pairs ∪ batch pairs) — the incremental path must equal
-    the full recompute."""
+    the full recompute.
+
+    The standing LSH index is built ONCE (localCheckpoint; parquet at
+    real scale) and feeds BOTH the standing pair set (self-join via
+    lsh_candidates_from_index) and the batch probe — eliminating a full
+    corpus shingle+minhash pass vs the naive near_dup_pairs +
+    build_lsh_index composition (VERDICT r5 item 7)."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text")
     planted = base.filter(F.col("doc_id") % 7 == 0).select(
@@ -836,17 +842,19 @@ def q_b19_incremental_clusters(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     corpus = base.unionByName(planted)
-    pairs1 = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    ).select("id_a", "id_b")
+    index = dedup.build_lsh_index(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    ).localCheckpoint()
+    cand = dedup.lsh_candidates_from_index(index)
+    pairs1 = (
+        dedup.jaccard_pairs(corpus, cand, "doc_id", "text")
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
     labels = dedup.dup_clusters(pairs1)
     batch = base.filter(F.col("doc_id") < 40).select(
         (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
-    )
-    index = dedup.build_lsh_index(
-        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
     )
     hits = dedup.query_lsh_index(
         index, batch, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
@@ -2777,9 +2785,19 @@ def q_b30_inverted_index(spark, sf_dir):
     posting list would be 'every doc' — the scale hazard; the fixture's
     31-token vocab all sits near df≈0.8N, so the bounds here are wide).
     Distinct (doc,tok) agg → per-term count + sort_array(collect_list)
-    (lm.py: inverted_index)."""
+    (lm.py: inverted_index). The library API returns the posting list as
+    array<bigint>; the DRIVER row serializes it to a csv string — the
+    r5 driver canonicalizer cannot factorize list dtypes (VERDICT r5
+    item 1), and integer→string formatting is engine-identical."""
     docs = _t(spark, sf_dir, "documents")
-    return lm.inverted_index(docs, "doc_id", min_df=2, max_df=100_000)
+    idx = lm.inverted_index(docs, "doc_id", min_df=2, max_df=100_000)
+    return idx.select(
+        "tok",
+        "df_t",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
+            "postings_csv"
+        ),
+    )
 
 
 def q_b30_pmi(spark, sf_dir):
@@ -2990,10 +3008,19 @@ def q_b20_mean_pool(spark, sf_dir):
     keyed by (label, dim), array reassembled via array_sort(collect_list)
     — the fully-distributed centroid path (the IVF trainer's bounded
     numpy sample is the other half). Per-dim means rounded to 6
-    (similarity.py: group_centroids)."""
+    (similarity.py: group_centroids). The library API returns the
+    centroid as array<double>; the DRIVER row serializes it with a fixed
+    %.6f per element (values pre-rounded to 6, so the format is lossless
+    and engine-identical) — the r5 driver canonicalizer cannot factorize
+    list dtypes (VERDICT r5 item 1)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.group_centroids(emb, "label").select(
-        F.col("label").cast("int").alias("label"), "n_vecs", "centroid"
+    cent = similarity.group_centroids(emb, "label")
+    return cent.select(
+        F.col("label").cast("int").alias("label"),
+        "n_vecs",
+        F.concat_ws(
+            ",", F.transform("centroid", lambda v: F.format_string("%.6f", v))
+        ).alias("centroid_csv"),
     )
 
 
@@ -3020,23 +3047,10 @@ def q_b30_bigram_xent(spark, sf_dir):
     return lm.doc_cross_entropy_bigram(docs, "doc_id")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict order is load-bearing: the driver's correctness gate checks the
-    FIRST 50 entries per round. Round-5 layout (VERDICT r3 item 1):
-
-    - first: the 9 queries that had never been inside a driver window
-      (registered late in r3 at positions 52-60);
-    - then: the round-5 additions (LM/retrieval, temperature/epoch
-      mixing, gate/curriculum/capstone-v3, event analytics, TPC-H
-      shapes, audit queries) — no green row yet by definition;
-    - then: regression canaries whose last green row is r02, preferring
-      families NOT exercised by bench.py every round;
-    - past 50: the bench-covered families, everything green in the
-      r03/r04 windows, and the declared-no-oracle `b27_sketches`.
-
-    Every registered query was verified bit-exact under the local gate
-    (tools/check_oracle.py, full registry, sf0.01) this round.
-    """
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full registry in family order. Driver-window ordering is
+    applied on top by :func:`queries` via ``_R6_WINDOW`` — keep THIS
+    dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
         "b21_chunking": q_b21_chunking,
@@ -3195,6 +3209,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_hash_sample": q_b26_hash_sample,
         "b27_sketches": q_b27_sketches,
     }
+
+
+#: Round-6 driver window (first 50 of queries(); the driver's correctness
+#: gate checks exactly these). Composition per VERDICT r5 items 1/3/4:
+#: - 2 r5 driver-err rows, now serialized scalar-only (arrays → csv);
+#: - the 18 r5 additions that have never been inside a driver window;
+#: - all 29 regression canaries whose last green driver row is r01/r02;
+#: - b13_set_ops (VERDICT-named stale family) for slot 50.
+_R6_WINDOW = [
+    # fixed this round (driver-canonicalizer list-dtype crash in r5)
+    "b30_inverted_index",
+    "b20_mean_pool",
+    # never driver-windowed (registered late in r5, positions >50)
+    "b3_op_drift",
+    "b19_source_novelty",
+    "b15_session_stats",
+    "b24_incremental_card",
+    "b21_heaps_curve",
+    "b26_cluster_kfold",
+    "b10_filtered_agg",
+    "b19_cluster_stats",
+    "b20_vector_audit",
+    "b30_query_expansion",
+    "b15_funnel_steps",
+    "b21_readability",
+    "b21_zipf_fit",
+    "b23_grouped_agg_udf",
+    "b10_price_histogram",
+    "b10_share_of_total",
+    "b10_max_by",
+    "b14_string_agg",
+    # regression canaries: last driver-green row is r01/r02
+    "b25_sql_correlated",
+    "b7_outer_join",
+    "b10_pivot",
+    "b10_unpivot",
+    "b11_value_funcs",
+    "b14_regex_funcs",
+    "b14_string_sim",
+    "b21_pii_scrub",
+    "b21_repetition",
+    "b19_incremental_index",
+    "b28_packing",
+    "b26_train_split",
+    "b26_stratified_sample",
+    "a6_bootstrap",
+    "a10_drain_batch",
+    "a16_bootstrap_union_log",
+    "b1_apply_roundtrip",
+    "b4_event_source",
+    "b5_filter_json",
+    "b6_projection",
+    "b8_semi_join",
+    "b8_anti_join",
+    "b9_asof",
+    "b9_asof_join",
+    "b2_log_compaction",
+    "b3_change_stats",
+    "b7_join_enrich",
+    "b10_agg_pricing",
+    "b11_window_funcs",
+    # slot 50: VERDICT-named stale family (last green r04)
+    "b13_set_ops",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is load-bearing: the driver's correctness gate checks
+    the FIRST 50 entries per round. ``_R6_WINDOW`` pins this round's
+    window; everything else follows in family order. Every registered
+    query is verified bit-exact under the local gate
+    (tools/check_oracle.py, full registry, sf0.01) before rotation.
+    """
+    q = _all_queries()
+    ordered = {k: q[k] for k in _R6_WINDOW}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 #: DuckDB rendering of pipeline.text normalization/tokens (keep in lockstep
@@ -4942,8 +5033,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE tok <> '' GROUP BY doc_id
             ),
             scalars AS (
-              SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs
-              FROM dl
+              -- N = |documents| (all rows, matching tf_idf), avgdl over
+              -- non-empty docs only — mirrors lm.bm25_search
+              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+                     CAST(count(*) AS DOUBLE) AS n_docs
+              FROM documents
             ),
             tf AS (
               SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
@@ -5069,13 +5163,16 @@ def oracle_sql() -> dict[str, str]:
               FROM feat
             ),
             ranked AS (
-              SELECT *, round(percent_rank() OVER (
-                PARTITION BY lang
-                ORDER BY quality_score ASC, doc_id ASC), 6) AS pctile
+              SELECT *,
+                     round(percent_rank() OVER w, 6) AS pctile,
+                     row_number() OVER w AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
               FROM scored
+              WINDOW w AS (PARTITION BY lang
+                           ORDER BY quality_score ASC, doc_id ASC)
             )
             SELECT doc_id, lang, quality_score, pctile
-            FROM ranked WHERE pctile >= 0.25
+            FROM ranked WHERE rn > floor(n * 0.25)
         """,
         "b28_curriculum": f"""
             WITH base AS (
@@ -5721,11 +5818,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             g1 AS (
               SELECT * FROM (
-                SELECT *, round(percent_rank() OVER (
-                  PARTITION BY lang
-                  ORDER BY quality_score ASC, doc_id ASC), 6) AS pctile
+                SELECT *,
+                       round(percent_rank() OVER w, 6) AS pctile,
+                       row_number() OVER w AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
                 FROM j
-              ) WHERE pctile >= 0.25
+                WINDOW w AS (PARTITION BY lang
+                             ORDER BY quality_score ASC, doc_id ASC)
+              ) WHERE rn > floor(n * 0.25)
             ),
             g2 AS (
               SELECT * FROM (
@@ -5910,8 +6010,9 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings GROUP BY label
             )
             SELECT c.label, c.n_vecs,
-                   (SELECT list(val ORDER BY dim) FROM per_dim p
-                    WHERE p.label = c.label) AS centroid
+                   (SELECT string_agg(printf('%.6f', val), ',' ORDER BY dim)
+                    FROM per_dim p
+                    WHERE p.label = c.label) AS centroid_csv
             FROM counts c
         """,
         "b26_fixed_per_group": f"""
@@ -5991,10 +6092,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (
               SELECT tok, CAST(count(*) AS BIGINT) AS df_t,
-                     list_sort(list(doc_id)) AS postings
+                     array_to_string(list_sort(list(doc_id)), ',')
+                       AS postings_csv
               FROM dt GROUP BY tok
             )
-            SELECT tok, df_t, postings FROM agg
+            SELECT tok, df_t, postings_csv FROM agg
             WHERE df_t >= 2 AND df_t <= 100000
         """,
         "b30_pmi": f"""

@@ -114,6 +114,17 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # The stdout contract is ONE COMPACT line — the driver tail-captures
+    # stdout, and embedding the full per-run samples overflowed its buffer
+    # in r5 (BENCH_r05 "parsed": null). Raw samples go to stderr + a side
+    # file instead.
+    print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_RUNS.json"), "w") as f:
+            json.dump({"sf": sf, "runs_per_query": runs_n, "runs": all_runs}, f)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -123,7 +134,6 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": runs_n,
-                "runs": all_runs,
             }
         )
     )

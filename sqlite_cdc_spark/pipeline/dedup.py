@@ -237,8 +237,21 @@ def minhash_candidates(
         df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit,
         base_hash=base_hash,
     )
-    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return lsh_candidates_from_index(banded)
+
+
+def lsh_candidates_from_index(index: DataFrame) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b)``, ``id_a < id_b``, from a prebuilt
+    ``(doc, band, bucket)`` index — the self-join half of
+    :func:`minhash_candidates`, split out so a pipeline that ALSO keeps a
+    standing index (the CDC × dedup composition) hashes the corpus ONCE:
+    ``index = build_lsh_index(...).localCheckpoint()`` (or a parquet
+    materialization at scale), then BOTH the standing pair set (this
+    self-join) and every incremental :func:`query_lsh_index` probe read
+    it. Measured on the b19_incremental_clusters capstone: one full
+    corpus shingle+minhash pass eliminated."""
+    a = index.select(F.col("doc").alias("id_a"), "band", "bucket")
+    b = index.select(F.col("doc").alias("id_b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -256,6 +269,7 @@ def build_lsh_index(
     bands: int = 16,
     shingle_unit: str = "word",
     base_hash: str = "xxhash64",
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Materializable LSH index: ``(doc, band, bucket)`` rows for the
     corpus. Persist this once (parquet, partitioned/bucketed by
@@ -267,9 +281,14 @@ def build_lsh_index(
     band slice) or ``'md5'`` — the engine-portable oracle mode where the
     base hash is :func:`portable_hash60` and the band bucket is an exact
     polynomial fold ``((h0·B + h1)·B + ...) mod P`` that DuckDB replays.
+
+    ``rows``: a precomputed ``(doc, sh)`` shingle relation (e.g. a
+    checkpointed :func:`shingle_rows` shared with :func:`jaccard_pairs`)
+    — duplicates or distinct both fine, a min-signature can't tell. When
+    omitted the non-distinct form is built inline (skips a shuffle).
     """
     rows_per_band = num_hashes // bands
-    exploded = shingle_rows(
+    exploded = rows if rows is not None else shingle_rows(
         df, id_col, text_col, k=shingle_k, unit=shingle_unit, distinct=False
     )
     if base_hash == "md5":
@@ -344,6 +363,7 @@ def jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     shingle_unit: str = "word",
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs (the verify step after
     LSH): |A∩B| / |A∪B| over distinct shingle sets.
@@ -358,8 +378,16 @@ def jaccard_pairs(
     in this DAG would recompute it. Consequence: candidate pairs with an
     EMPTY shingle intersection are absent from the output (they have
     jaccard 0, so any ``>= threshold`` consumer is unaffected).
+
+    ``rows``: a precomputed DISTINCT ``(doc, sh)`` relation (set
+    semantics are load-bearing for Jaccard — pass ``shingle_rows(...,
+    distinct=True)``, ideally checkpointed and shared with
+    :func:`build_lsh_index`). The relation is referenced three times
+    (sizes, a-side, b-side); Spark's ReusedExchange usually dedups the
+    identical subplans, a checkpoint makes it certain.
     """
-    rows = shingle_rows(df, id_col, text_col, k=shingle_k, unit=shingle_unit)
+    if rows is None:
+        rows = shingle_rows(df, id_col, text_col, k=shingle_k, unit=shingle_unit)
     sizes = rows.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = rows.select(F.col("doc").alias("id_a"), "sh")
     b = rows.select(F.col("doc").alias("id_b"), "sh")
@@ -561,19 +589,29 @@ def simhash_candidates(
 LAST_CC_ROUNDS: int = 0
 
 
-def _cc_propagate(edges: DataFrame, max_iter: int) -> DataFrame:
+def _cc_propagate(
+    edges: DataFrame, max_iter: int, raise_on_exhaust: bool = True
+) -> DataFrame | None:
     """Min-label propagation CC over symmetric ``(src, dst)`` edges.
 
     Labels start as self; each round every vertex takes the min of its own
     and its neighbors' labels; stop when no label moved. O(component
     diameter) rounds — near-dup clusters are short chains, so 2-4 rounds
     in practice. Per round: one equi-join (edges ⋈ labels) + one min-agg —
-    both shuffle on the vertex id, no cartesian. ``localCheckpoint``
-    truncates the lineage so the plan stays flat across rounds. Raises
+    both shuffle on the vertex id, no cartesian.
+
+    Each round ``localCheckpoint``s its labels: Spark SQL re-plans every
+    ACTION from the logical plan, so without the checkpoint each
+    convergence probe and the next round would re-execute all prior
+    rounds' shuffles (measured: a lazy-rounds variant was ~15% SLOWER
+    end-to-end on the b19 capstones — cross-action shuffle reuse does
+    not exist at the SQL layer; only a materialization truncates the
+    replay). Raises
     ``RuntimeError`` if ``max_iter`` rounds were not enough — returning
     non-converged labels silently would yield cluster_ids that are not the
     component min, breaking the invariant :func:`update_clusters` depends
-    on. Returns ``(v, label)``.
+    on; with ``raise_on_exhaust=False`` exhaustion returns ``None``
+    instead (the ``algorithm="auto"`` probe path). Returns ``(v, label)``.
     """
     def step(cur: DataFrame) -> DataFrame:
         nbr = edges.join(
@@ -615,6 +653,8 @@ def _cc_propagate(edges: DataFrame, max_iter: int) -> DataFrame:
         # adversarial diameters, so the extra join is cheap insurance
         # against a false alarm)
         converged = moved(step(labels), labels) == 0
+    if not converged and not raise_on_exhaust:
+        return None
     if not converged:
         raise RuntimeError(
             f"dup_clusters(algorithm='propagate') did not converge within "
@@ -714,7 +754,8 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    algorithm: str = "propagate",
+    algorithm: str = "auto",
+    propagate_rounds: int = 4,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc appearing in a
     pair gets a ``cluster_id`` = the smallest doc id in its component.
@@ -722,19 +763,30 @@ def dup_clusters(
     the keep/drop decision needs the transitive closure (keep cluster min,
     drop the rest); this is that closure.
 
-    Two interchangeable backends (property-tested label-identical):
+    Two interchangeable backends (property-tested label-identical), plus
+    an auto-selector:
 
-    - ``algorithm="propagate"`` (default): min-label propagation —
+    - ``algorithm="auto"`` (default): run min-label propagation for up to
+      ``propagate_rounds`` rounds (near-dup graphs have diameter 2-4, so
+      real corpora converge here at propagate cost); if it has NOT
+      converged by then the component diameter is pathological — restart
+      on the large-star/small-star backend, whose round count is
+      O(log n) regardless of diameter. The caller never has to know
+      which shape their dup graph has. (The ≤``propagate_rounds``
+      discarded rounds are bounded, cheap joins; the PERF.md round-count
+      table motivates k≈4.)
+    - ``algorithm="propagate"``: min-label propagation —
       O(component diameter) rounds, one equi-join + one min-agg per
       round. Near-dup clusters are short chains (a doc and its close
       variants), so 2-4 rounds in practice; cheapest for real corpora.
     - ``algorithm="star"``: large-star/small-star (Kiveris et al. 2014) —
-      O(log n) rounds regardless of diameter; the 100-TB fallback for
+      O(log n) rounds regardless of diameter; the 100-TB path for
       adversarially long chains (see :func:`_cc_star`).
 
-    Both raise ``RuntimeError`` instead of silently returning
-    non-converged labels when ``max_iter`` is exhausted — a non-min
-    cluster_id would corrupt any later :func:`update_clusters` merge.
+    The explicit backends raise ``RuntimeError`` instead of silently
+    returning non-converged labels when ``max_iter`` is exhausted — a
+    non-min cluster_id would corrupt any later :func:`update_clusters`
+    merge.
     The per-round convergence probe is the one driver-side action every
     distributed iterative algorithm needs; the data itself never leaves
     the executors, and ``localCheckpoint`` keeps the per-round plan flat.
@@ -747,6 +799,17 @@ def dup_clusters(
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     ).localCheckpoint()
+    return _clusters_from_pairs(e, max_iter, algorithm, propagate_rounds)
+
+
+def _clusters_from_pairs(
+    e: DataFrame, max_iter: int, algorithm: str, propagate_rounds: int = 4
+) -> DataFrame:
+    """CC + labeling over an already-CHEAP ``(src, dst)`` pair frame (a
+    checkpoint, or cheap joins of checkpointed frames — it is re-read
+    once for the vertex universe and once for the edge materialization).
+    The shared tail of :func:`dup_clusters` and :func:`update_clusters`.
+    """
     # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
     # deserves a singleton cluster; both backends skip it (no real edges),
     # so it is coalesced back in below
@@ -761,13 +824,20 @@ def dup_clusters(
         .distinct()
         .localCheckpoint()  # reused every round: compute the pair plan once
     )
-    if algorithm == "propagate":
+    if algorithm == "auto":
+        labels = _cc_propagate(
+            edges, min(propagate_rounds, max_iter), raise_on_exhaust=False
+        )
+        if labels is None:  # pathological diameter: restart on the
+            labels = _cc_star(edges, max_iter)  # O(log n) backend
+    elif algorithm == "propagate":
         labels = _cc_propagate(edges, max_iter)
     elif algorithm == "star":
         labels = _cc_star(edges, max_iter)
     else:
         raise ValueError(
-            f"unknown algorithm {algorithm!r}: expected 'propagate' or 'star'"
+            f"unknown algorithm {algorithm!r}: expected 'auto', "
+            f"'propagate' or 'star'"
         )
     labels = verts.join(labels, "v", "left").select(
         "v", F.coalesce("label", F.col("v")).alias("label")
@@ -786,7 +856,8 @@ def update_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    algorithm: str = "propagate",
+    algorithm: str = "auto",
+    materialize_labels: bool = True,
 ) -> DataFrame:
     """Incremental dup-cluster maintenance under CDC: merge a batch of NEW
     near-dup pairs into an existing assignment without re-running
@@ -804,7 +875,18 @@ def update_clusters(
     :func:`query_lsh_index`, so the full CDC loop (probe candidates →
     merge clusters) stays batch-bounded. Invariant (tested):
     ``update_clusters(dup_clusters(P1), P2) == dup_clusters(P1 ∪ P2)``.
+
+    The label table is referenced THREE times (touched-cluster probe,
+    virtual-edge build, untouched pass-through) — when ``labels`` is a
+    live plan (a fresh :func:`dup_clusters` output) each reference would
+    replay its window-count + join tail, so it is ``localCheckpoint``-ed
+    once here. Pass ``materialize_labels=False`` when ``labels`` is
+    already a materialized table (parquet/checkpoint) to skip the copy.
     """
+    if materialize_labels:
+        labels = labels.select(
+            "doc_id", "cluster_id", "cluster_size"
+        ).localCheckpoint()
     lab = labels.select(
         F.col("doc_id").cast("long").alias("v"),
         F.col("cluster_id").cast("long").alias("label"),
@@ -828,13 +910,17 @@ def update_clusters(
         .filter(F.col("v") != F.col("label"))
         .select(F.col("v").alias(id_a), F.col("label").alias(id_b))
     )
-    sub = dup_clusters(
-        e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b)).unionByName(virt),
-        id_a,
-        id_b,
-        max_iter,
-        algorithm,
+    # subgraph pairs = checkpointed batch pairs ∪ virtual star edges
+    # (cheap joins of checkpointed frames) — skip dup_clusters' input
+    # checkpoint and go straight to the shared CC tail: one fewer
+    # materialization job on the per-CDC-batch hot path
+    subpairs = e.unionByName(
+        virt.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
     )
+    sub = _clusters_from_pairs(subpairs, max_iter, algorithm)
     untouched = labels.select("doc_id", "cluster_id", "cluster_size").join(
         sub.select("doc_id"), "doc_id", "left_anti"
     )

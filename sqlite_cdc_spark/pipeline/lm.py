@@ -131,9 +131,11 @@ def bm25_search(
     dl = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("double").alias("__dl")
     )
-    scalars = dl.agg(
-        F.avg("__dl").alias("__avgdl"),
-        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+    # N counts ALL input rows (consistent with tf_idf), not just docs
+    # with >=1 token — an empty/punctuation-only doc is still a document
+    # for idf purposes; avgdl stays the mean length of non-empty docs.
+    scalars = dl.agg(F.avg("__dl").alias("__avgdl")).crossJoin(
+        df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     )
     qtoks = toks.filter(F.col("tok").isin([t.lower() for t in query_terms]))
     tf = qtoks.groupBy(id_col, "tok").agg(
@@ -217,6 +219,14 @@ def doc_cross_entropy(
     join is an equi-join on tok; T and V broadcast as a 1-row aggregate.
     Output: ``(id_col, n_tok, xent)``, xent rounded to ``round_to``.
     """
+    if lm is not None and add_k <= 0:
+        # self-scoring guarantees cnt >= 1 for every token, but an
+        # external model can miss tokens: with add_k=0 those hit ln(0)
+        # and the xent silently goes NULL/-inf — make it an error.
+        raise ValueError(
+            "add_k must be > 0 when scoring against an external lm "
+            "(unseen tokens need a smoothing floor)"
+        )
     model = lm if lm is not None else unigram_counts(df, text_col)
     scalars = model.agg(
         F.sum("cnt").cast("double").alias("__T"),

@@ -124,19 +124,34 @@ def quality_gate(
     quality filter (absolute thresholds don't transfer across languages;
     percentile ones do).
 
-    ``percent_rank`` is exact integer arithmetic ((rank−1)/(n−1)) over a
+    The drop is COUNT-based, not rank-threshold-based: each group loses
+    exactly ``floor(n * drop_bottom)`` rows (its lowest-scored ones), so
+    small groups are never over-punished — a 1-row group keeps its row
+    (``floor(0.25) == 0``) and a 2-row group keeps both, where a
+    ``percent_rank >= drop_bottom`` gate would wrongly drop every
+    singleton (percent_rank 0) and half of every pair. That matters for
+    exactly the low-resource languages this per-group gate exists to
+    protect. ``row_number``/``count`` are integer arithmetic over a
     TOTAL order (score, then id tie-break), so the kept set is
     deterministic and replays identically on any engine. One shuffle on
-    the group key; no global sort.
+    the group key; no global sort — both window frames share one
+    ordered Window exec. ``pctile`` (exact percent_rank) is still
+    emitted for reporting.
     """
     from pyspark.sql import Window as W
 
     w = W.partitionBy(group_col).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
+    wn = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         df.withColumn("pctile", F.round(F.percent_rank().over(w), 6))
-        .filter(F.col("pctile") >= drop_bottom)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("__rn") > F.floor(F.col("__n") * F.lit(float(drop_bottom)))
+        )
+        .drop("__rn", "__n")
     )
 
 

@@ -31,6 +31,57 @@ from pyspark.sql import functions as F
 
 from .model import LOG_SCHEMA
 
+#: Spark's on-executor-disk state backend — the 100 TB story for stateful
+#: streaming (PERF.md "state scale"): the HDFSBackedStateStoreProvider
+#: keeps every key's state on the JVM HEAP (state ∝ live keys → OOM at
+#: billions of keys); RocksDB spills to local disk with a bounded block
+#: cache, and changelog checkpointing ships per-batch deltas instead of
+#: re-uploading full SST files.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def configure_state_store(
+    spark: SparkSession,
+    backend: str = "rocksdb",
+    changelog_checkpointing: bool = True,
+) -> dict[str, str | None]:
+    """Select the state-store backend for subsequent streaming queries.
+
+    The provider is a SESSION conf read at query START (each query pins
+    the provider for its checkpoint lifetime — never flip it on an
+    existing checkpoint). Returns the previous values so callers/tests
+    can restore: ``{conf_key: old_value_or_None}``.
+
+    ``backend``: ``"rocksdb"`` (disk-backed, bounded heap — the at-scale
+    default) or ``"hdfs"`` (Spark's heap-backed default, fine for small
+    key cardinalities).
+    """
+    confs: dict[str, str] = {}
+    if backend == "rocksdb":
+        confs["spark.sql.streaming.stateStore.providerClass"] = (
+            ROCKSDB_STATE_STORE
+        )
+        confs[
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        ] = "true" if changelog_checkpointing else "false"
+    elif backend == "hdfs":
+        confs["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming."
+            "state.HDFSBackedStateStoreProvider"
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown state backend: {backend!r}")
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    return prev
+
 
 class StreamEngine:
     """Lifecycle owner for a streaming CDC pipeline over an append-only
@@ -43,10 +94,21 @@ class StreamEngine:
     (A13).
     """
 
-    def __init__(self, spark: SparkSession, log_dir: str, checkpoint_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        checkpoint_dir: str,
+        state_backend: str | None = None,
+    ):
         self.spark = spark
         self.log_dir = log_dir
         self.checkpoint_dir = checkpoint_dir
+        if state_backend is not None:
+            # applied session-wide; each query pins the provider at start
+            # (see configure_state_store) — pass "rocksdb" for stateful
+            # pipelines whose live-key count outgrows executor heap
+            configure_state_store(spark, state_backend)
 
     # --- A17: setup / teardown ------------------------------------------
 

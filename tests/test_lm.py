@@ -381,3 +381,57 @@ def test_epoch_mixture_hits_budgets_within_resolution(spark, sf_dir):
     assert out.filter(
         (~F.col("lang").isin(*budgets)) & (F.col("n_copies") != 1)
     ).count() == 0
+
+
+def test_quality_gate_never_drops_singleton_or_pair_groups(spark):
+    """ADVICE r5: a percent_rank>=q gate drops EVERY 1-row group
+    (percent_rank 0) and half of every 2-row group. The count-based gate
+    drops exactly floor(n*q) rows per group, so tiny (low-resource-
+    language) groups survive intact."""
+    rows = (
+        [(i, "en", float(i)) for i in range(1, 9)]       # n=8 -> drop 2
+        + [(100, "rare", 0.99)]                           # n=1 -> keep
+        + [(200, "pair", 0.1), (201, "pair", 0.9)]        # n=2 -> keep both
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "quality_score"])
+    kept = textops.quality_gate(df).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert sorted(by_lang["rare"]) == [100]
+    assert sorted(by_lang["pair"]) == [200, 201]
+    # n=8: exactly floor(8*0.25)=2 lowest-scored dropped
+    assert sorted(by_lang["en"]) == [3, 4, 5, 6, 7, 8]
+    # pctile column still reports exact percent_rank
+    assert all(hasattr(r, "pctile") for r in kept)
+
+
+def test_bm25_n_docs_counts_empty_docs_like_tfidf(spark):
+    """ADVICE r5: N must mean the same thing in bm25_search and tf_idf —
+    all input rows, including empty/punctuation-only docs."""
+    df = spark.createDataFrame(
+        [(1, "merge batch merge"), (2, "merge other"), (3, "!!!")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in lm.bm25_search(df, "doc_id", ["merge"]).collect()}
+    # N=3 (doc 3 counted though empty after normalization), df_merge=2:
+    # idf = ln(1 + (3-2+0.5)/(2+0.5))
+    idf = math.log(1 + 1.5 / 2.5)
+    dl1, dl2, avgdl = 3.0, 2.0, 2.5
+    exp1 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * dl1 / avgdl))
+    exp2 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * dl2 / avgdl))
+    assert out[1].score == round(exp1, 6)
+    assert out[2].score == round(exp2, 6)
+
+
+def test_doc_cross_entropy_rejects_unsmoothed_external_lm(spark):
+    """ADVICE r5: external lm + add_k=0 would silently produce ln(0) for
+    unseen tokens; it must raise instead."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    model = lm.unigram_counts(spark.createDataFrame([(1, "a")], ["doc_id", "text"]))
+    with pytest.raises(ValueError, match="add_k"):
+        lm.doc_cross_entropy(df, "doc_id", add_k=0, lm=model)
+    # self-scoring with add_k=0 stays legal (cnt >= 1 for every token)
+    assert lm.doc_cross_entropy(df, "doc_id", add_k=0).count() == 1

@@ -513,11 +513,47 @@ def test_dup_clusters_long_chain_star_converges_propagate_raises(spark):
         [(i, i + 1) for i in range(24)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(pairs, max_iter=8)
+        dedup.dup_clusters(pairs, max_iter=8, algorithm="propagate")
     rows = dedup.dup_clusters(pairs, max_iter=8, algorithm="star").collect()
     assert dedup.LAST_CC_ROUNDS <= 8
     assert {r.cluster_id for r in rows} == {0}
     assert all(r.cluster_size == 25 for r in rows)
+
+
+def test_dup_clusters_auto_backend_handles_any_diameter(spark):
+    """VERDICT r5 item 6: algorithm='auto' (the new default) must converge
+    WITHOUT the caller choosing a backend — propagate for shallow dup
+    graphs, automatic restart on large-star/small-star when the diameter
+    exceeds the propagate round budget — and the labels must be identical
+    to both explicit backends."""
+    from sqlite_cdc_spark.pipeline import dedup
+
+    # pathological: a 40-hop path (diameter 40 >> propagate_rounds=4)
+    # plus a disjoint triangle and a self-loop singleton
+    chain = [(i, i + 1) for i in range(100, 140)]
+    extra = [(7, 8), (8, 9), (7, 9), (55, 55)]
+    pairs = spark.createDataFrame(chain + extra, "id_a long, id_b long")
+
+    def labelmap(rows):
+        return {r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
+
+    auto = labelmap(dedup.dup_clusters(pairs).collect())
+    star = labelmap(dedup.dup_clusters(pairs, algorithm="star").collect())
+    prop = labelmap(
+        dedup.dup_clusters(pairs, max_iter=60, algorithm="propagate").collect()
+    )
+    assert auto == star == prop
+    assert auto[139] == (100, 41)
+    assert auto[7] == (7, 3) and auto[9] == (7, 3)
+    assert auto[55] == (55, 1)
+    # shallow graph: auto converges inside the propagate budget (no star
+    # restart needed — LAST_CC_ROUNDS stays at the propagate count)
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = labelmap(dedup.dup_clusters(shallow).collect())
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+    assert dedup.LAST_CC_ROUNDS <= 4
 
 
 def test_mixture_sample_quota_and_determinism(spark):

@@ -34,3 +34,25 @@ def test_registry_is_callable_and_distinct():
     q = entry.queries()
     assert len(q) == len(set(q))
     assert all(callable(f) for f in q.values())
+
+
+def test_no_oracled_query_returns_array_or_map_columns(spark, sf_dir):
+    """The driver's pandas canonicalizer cannot factorize list dtypes
+    (``TypeError: unhashable type: 'list'`` — r5's only two non-green
+    rows, b30_inverted_index and b20_mean_pool). Any oracled query is a
+    rotation candidate for the 50-slot driver window, so NONE of them
+    may expose an ArrayType/MapType column: serialize (concat_ws /
+    to_json / %.6f-format) at the registry boundary; the library APIs
+    keep returning real arrays."""
+    from pyspark.sql import types as T
+
+    q, o = entry.queries(), entry.oracle_sql()
+    offenders = []
+    for name, fn in q.items():
+        if name not in o:
+            continue  # rows-only queries never reach the canonicalizer
+        schema = fn(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
+    assert offenders == []

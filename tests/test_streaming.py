@@ -690,3 +690,73 @@ def test_streaming_lm_maintenance_matches_batch(spark, tmp_path):
     got = {r.tok: r.cnt for r in state["model"].collect()}
     want = {r.tok: r.cnt for r in lm.unigram_counts(all_docs).collect()}
     assert got == want
+
+
+def test_streaming_compaction_rocksdb_state_backend(spark, sf_dir, log_dir, tmp_path):
+    """The 100 TB state story (PERF.md): compaction state must run on the
+    DISK-BACKED RocksDB provider, not the heap-backed default — heap
+    state is ∝ live keys and OOMs at billions of keys. Proves (a) the
+    provider actually engaged (rocksdb custom metrics in the query
+    progress), (b) results are identical to the heap-backed run (same
+    final state as batch compaction), (c) the session conf is restored."""
+    from sqlite_cdc_spark import derive
+    from sqlite_cdc_spark.log import events_as_changes
+    from sqlite_cdc_spark.sources import load_table
+
+    prev = streaming.configure_state_store(spark, "rocksdb")
+    try:
+        eng = streaming.StreamEngine(spark, log_dir, str(tmp_path / "ckpt"))
+        compacted = streaming.streaming_compaction(
+            eng.read_log_stream(max_files_per_trigger=2)
+        )
+        emitted: list = []
+
+        def collect(batch, batch_id):
+            emitted.extend(batch.collect())
+
+        q = (
+            compacted.writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        progress = q.recentProgress
+        state_ops = [
+            so for p in progress for so in (p.get("stateOperators") or [])
+        ]
+        assert state_ops, "no stateful operator progress recorded"
+        rocks_metrics = [
+            so for so in state_ops
+            if any(k.startswith("rocksdb") for k in (so.get("customMetrics") or {}))
+        ]
+        assert rocks_metrics, (
+            "RocksDB custom metrics absent — provider did not engage: "
+            f"{state_ops[-1].get('customMetrics')}"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    final: dict = {}
+    for r in emitted:
+        if r.last_id >= final.get(r.key, (None, -1))[1]:
+            final[r.key] = (r, r.last_id)
+    stream_state = {
+        k: (v[0].last_id, v[0].operation)
+        for k, v in final.items()
+        if not v[0].is_delete
+    }
+    batch_changes = events_as_changes(load_table(spark, sf_dir, "events"))
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+    batch_state = {
+        r.k: (r.id, r.operation)
+        for r in derive.compact_log(batch_changes, key, order_cols=["id"])
+        .withColumn("k", key)
+        .collect()
+    }
+    assert stream_state == batch_state
