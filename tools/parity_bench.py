@@ -101,7 +101,10 @@ def bench_blob(spark, sizes=(16, 4096, 65536, 1048576), rows=200):
 
 
 def main():
-    spark = get_spark("parity-bench", cpus=8, shuffle_partitions=8)
+    # default to the driver's CPU budget ($SPARK_GRAFT_CPUS, 32) so the
+    # recorded grids are comparable round over round; override with
+    # SPARK_GRAFT_CPUS=8 for a quick local snapshot
+    spark = get_spark("parity-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     result = {
