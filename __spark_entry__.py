@@ -3047,6 +3047,29 @@ def q_b30_bigram_xent(spark, sf_dir):
     return lm.doc_cross_entropy_bigram(docs, "doc_id")
 
 
+def q_b21_dup_ngram_coverage(spark, sf_dir):
+    """Per-document duplicated-5-gram ratio (B19/B21 depth): fraction of
+    each doc's DISTINCT word 5-grams that occur in ≥2 documents — the
+    memorization-risk gate from the dedup literature (a doc of mostly
+    corpus-repeated boilerplate trains memorization). Integer counts +
+    one rounded ratio; shingle pass + gram-df agg + one join, no pairs
+    (dedup.py: dup_ngram_coverage)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dup_ngram_coverage(docs, "doc_id", k=5)
+
+
+def q_b20_covariance(spark, sf_dir):
+    """Embedding covariance matrix (B20 depth) in the engine-portable
+    quantized mode: floor(v·1e6) integer power sums keyed by (i, j) —
+    order-independent exact arithmetic, so the (i ≤ j) upper triangle
+    replays bit-identically on any engine at any parallelism. The float
+    production twin is covariance_matrix_fast (per-partition numpy outer
+    products, |partitions|·d² transfer), property-tested ≈ this one
+    (similarity.py: covariance_matrix)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.covariance_matrix(emb, quantize=1_000_000)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R6_WINDOW`` — keep THIS
@@ -3208,6 +3231,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_decontamination": q_b29_decontamination,
         "b26_hash_sample": q_b26_hash_sample,
         "b27_sketches": q_b27_sketches,
+        # --- new in round 6 (dedup-risk + embedding-stats depth) ---------
+        "b21_dup_ngram_coverage": q_b21_dup_ngram_coverage,
+        "b20_covariance": q_b20_covariance,
     }
 
 
@@ -6261,5 +6287,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS rt_hex_bytes,
                    CAST(octet_length(encode(text)) AS BIGINT) AS rt_b64_bytes
             FROM documents
+        """,
+        "b21_dup_ngram_coverage": f"""
+            WITH tk AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+              FROM tk, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+            ),
+            gf AS (SELECT sh, count(*) AS dfv FROM sh GROUP BY sh)
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN g.dfv >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_grams,
+                   round(CAST(sum(CASE WHEN g.dfv >= 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+            FROM sh s JOIN gf g USING (sh)
+            GROUP BY s.doc_id
+        """,
+        "b20_covariance": """
+            WITH ex AS (
+              SELECT vec_id AS rid,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                          AS BIGINT) AS q
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.rid, a.dim AS i, b.dim AS j, a.q AS qi, b.q AS qj
+              FROM ex a JOIN ex b ON a.rid = b.rid AND a.dim <= b.dim
+            ),
+            sums AS (
+              SELECT i, j, CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(qi) AS DOUBLE) AS sx,
+                     CAST(sum(qj) AS DOUBLE) AS sy,
+                     CAST(sum(qi * qj) AS DOUBLE) AS sxy
+              FROM pairs GROUP BY i, j
+            )
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                   round((sxy - sx * sy / n) / (n - 0.0)
+                         / 1000000000000.0, 8) AS cov
+            FROM sums
         """,
     }

@@ -440,6 +440,53 @@ def near_dup_pairs(
 # --- SimHash (B19 variant) ---------------------------------------------------
 
 
+def dup_ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-n-gram ratio: the fraction of a document's
+    DISTINCT word k-grams that also occur in at least one other document
+    — the corpus-level memorization-risk metric popularized by the
+    "Deduplicating Training Data Makes Language Models Better" line of
+    work (public paper; a doc whose text is mostly corpus-repeated
+    boilerplate trains memorization, not generalization — gate on
+    ``dup_ratio``).
+
+    Plan: one shingle pass (explode + window ``lead``, codegen), a gram
+    document-frequency agg keyed by the gram, one equi-join back, one
+    per-doc agg — all map-side-combined shuffles on bounded keys, no
+    pairs, no cartesian. Integer counts; the only float is the final
+    rounded ratio, so the output replays bit-exactly on any engine.
+    Documents with fewer than ``k`` tokens have no k-grams and are
+    absent from the output (callers treat absent as ratio-0 clean).
+    Output: ``(id_col, n_grams, n_dup_grams, dup_ratio)``.
+    """
+    rows = shingle_rows(df, id_col, text_col, k=k, unit="word", distinct=True)
+    gf = rows.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        rows.join(gf, "sh")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def simhash64(col: Column | str, base_hash: str = "xxhash64") -> Column:
     """64-bit SimHash of the normalized token stream.
 

@@ -627,3 +627,234 @@ def group_centroids(
         ).alias("centroid")
     )
     return counts.join(pooled, group_col)
+
+
+# --- B20 depth: covariance / PCA over the embedding column ------------------
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ddof: int = 0,
+    quantize: int | None = None,
+    round_to: int = 8,
+) -> DataFrame:
+    """Distributed covariance of an embedding column as ``(i, j, cov)``
+    rows (upper triangle, ``i <= j``) — the statistic behind embedding
+    whitening / PCA normalization of a vector corpus.
+
+    Plan: posexplode to (row, dim, value), per-row self equi-join on the
+    row id restricted to ``i <= j`` (d·(d+1)/2 pair rows per vector, NO
+    cross-row pairs — never a cartesian), then one map-side-combinable
+    power-sum agg keyed by (i, j): cov = (Σxy − ΣxΣy/n)/(n − ddof). The
+    shuffle volume is |rows|·d²/2 narrow rows; for large d prefer
+    :func:`covariance_matrix_fast` (per-partition numpy outer products —
+    same result, |partitions|·d² transfer).
+
+    ``quantize`` = the engine-portable oracle mode: values quantize to
+    ``floor(v·quantize)`` integers first, making every sum exact integer
+    arithmetic, so the result replays bit-identically on any engine at
+    any parallelism (the float path's Σ order varies). The covariance
+    returned is of the QUANTIZED variable rescaled back (documented
+    deterministic approximation, error ~1/quantize).
+    """
+    # the row id must be minted BEFORE the explode (a separate Project):
+    # monotonically_increasing_id is nondeterministic, and minting it in
+    # the same projection as a generator would not guarantee one id per
+    # input row
+    ex = df.withColumn("__rid", F.monotonically_increasing_id()).select(
+        "__rid", F.posexplode(as_double(vec_col)).alias("dim", "v")
+    )
+    if quantize:
+        ex = ex.select(
+            "__rid",
+            "dim",
+            F.floor(F.col("v") * F.lit(float(quantize)))
+            .cast("bigint")
+            .alias("q"),
+        )
+        a = ex.select("__rid", F.col("dim").alias("i"), F.col("q").alias("qi"))
+        b = ex.select("__rid", F.col("dim").alias("j"), F.col("q").alias("qj"))
+        pairs = a.join(b, "__rid").filter(F.col("i") <= F.col("j"))
+        sums = pairs.groupBy("i", "j").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("qi").cast("double").alias("sx"),
+            F.sum("qj").cast("double").alias("sy"),
+            F.sum(F.col("qi") * F.col("qj")).cast("double").alias("sxy"),
+        )
+        scale = float(quantize) * float(quantize)
+        return sums.select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / (F.col("n") - F.lit(float(ddof)))
+                / F.lit(scale),
+                round_to,
+            ).alias("cov"),
+        )
+    a = ex.select("__rid", F.col("dim").alias("i"), F.col("v").alias("vi"))
+    b = ex.select("__rid", F.col("dim").alias("j"), F.col("v").alias("vj"))
+    pairs = a.join(b, "__rid").filter(F.col("i") <= F.col("j"))
+    sums = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("vi").alias("sx"),
+        F.sum("vj").alias("sy"),
+        F.sum(F.col("vi") * F.col("vj")).alias("sxy"),
+    )
+    return sums.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("n") - F.lit(float(ddof))),
+            round_to,
+        ).alias("cov"),
+    )
+
+
+def covariance_matrix_fast(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ddof: int = 0,
+) -> DataFrame:
+    """Production twin of :func:`covariance_matrix`: per-partition numpy
+    outer-product partials via ``mapInPandas`` (Arrow batches), then one
+    final d²-row agg — the scale path when d is large (shuffle volume is
+    |partitions|·d² instead of |rows|·d²/2; the per-row work is BLAS).
+    Float sums are partition-order-dependent in the last ulp, so this is
+    the pipeline mode; use ``covariance_matrix(quantize=...)`` when an
+    engine-exact replay is required. Output: ``(i, j, cov)``, i <= j,
+    unrounded doubles.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("sx", T.DoubleType()),
+            T.StructField("sxy", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partials(it):
+        import numpy as np
+
+        s = None
+        ssum = None
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            if s is None:
+                d = m.shape[1]
+                s = np.zeros((d, d))
+                ssum = np.zeros(d)
+            s += m.T @ m
+            ssum += m.sum(axis=0)
+            n += m.shape[0]
+        if s is None:
+            return
+        d = s.shape[0]
+        iu = [(i, j) for i in range(d) for j in range(i, d)]
+        yield pd.DataFrame(
+            {
+                "i": [i for i, _ in iu],
+                "j": [j for _, j in iu],
+                "sx": [ssum[i] for i, _ in iu],
+                "sxy": [s[i, j] for i, j in iu],
+                "n": [n] * len(iu),
+            }
+        )
+
+    agg = (
+        df.select(vec_col)
+        .mapInPandas(partials, out)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sx").alias("sx"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("n").cast("double").alias("n"),
+        )
+    )
+    # sx is Σ of dim i; Σ of dim j comes from the (j, j) row — join the
+    # diagonal partials back rather than shipping a second vector
+    sj = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("j").alias("__j"), F.col("sx").alias("sy")
+    )
+    return (
+        agg.join(sj, agg["j"] == sj["__j"])
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            (
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / (F.col("n") - F.lit(float(ddof)))
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+) -> DataFrame:
+    """Project every embedding onto its corpus' top principal components
+    — dimensionality reduction / whitening ahead of ANN or clustering.
+
+    Scale shape: the ONLY driver-side data is the d×d covariance matrix
+    and d-vector mean (bounded by the embedding width, never by the
+    corpus — the same boundedness argument as the IVF trainer's sample).
+    ``eigh`` runs on the driver; components broadcast back as literal
+    arrays; the projection itself is a codegen ``zip_with``/``aggregate``
+    dot product per component — no Python in the per-row path. Component
+    signs are fixed deterministically (largest-|loading| element made
+    positive) so reruns and engines agree. Output: ``(id_col,
+    proj: array<double>)`` with ``n_components`` entries, variance-sorted
+    descending.
+    """
+    import numpy as np
+
+    rows = covariance_matrix_fast(df, vec_col).collect()
+    d = max(r.j for r in rows) + 1
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r.i, r.j] = r.cov
+        C[r.j, r.i] = r.cov
+    mean_row = df.select(
+        F.posexplode(as_double(vec_col)).alias("dim", "v")
+    ).groupBy("dim").agg(F.avg("v").alias("m")).collect()
+    mu = np.zeros(d)
+    for r in mean_row:
+        mu[r.dim] = r.m
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = []
+    for k in order:
+        c = v[:, k]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append(c)
+    mean_lit = F.array(*[F.lit(float(x)) for x in mu])
+    centered = F.zip_with(as_double(vec_col), mean_lit, lambda x, m: x - m)
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in comps
+    ]
+    return df.select(F.col(id_col), F.array(*projs).alias("proj"))

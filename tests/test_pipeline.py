@@ -747,3 +747,85 @@ def test_update_lsh_index_equals_rebuild(spark):
     assert sorted(map(tuple, appended.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_dup_ngram_coverage_hand_check(spark):
+    from sqlite_cdc_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # grams: abcde, bcdef
+            (2, "a b c d e x"),      # grams: abcde, bcdex
+            (3, "z z z y w v u"),    # grams: zzzyw, zzywv, zywvu — unique
+            (4, "a b"),              # <5 tokens: no grams, absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.dup_ngram_coverage(df, "doc_id", k=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_grams, out[1].n_dup_grams) == (2, 1)  # "a b c d e" shared
+    assert out[1].dup_ratio == 0.5
+    assert (out[2].n_grams, out[2].n_dup_grams) == (2, 1)
+    assert (out[3].n_grams, out[3].n_dup_grams) == (3, 0)
+    assert out[3].dup_ratio == 0.0
+
+
+def test_covariance_matrix_matches_numpy_both_paths(spark, sf_dir):
+    import numpy as np
+
+    from sqlite_cdc_spark.pipeline import similarity
+    from sqlite_cdc_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = np.asarray(
+        [np.asarray(r.embedding, dtype="float64") for r in emb.collect()]
+    )
+    ref = np.cov(m, rowvar=False, ddof=0)
+    exact = {
+        (r.i, r.j): r.cov
+        for r in similarity.covariance_matrix(emb, quantize=10**6).collect()
+    }
+    fast = {
+        (r.i, r.j): r.cov
+        for r in similarity.covariance_matrix_fast(emb).collect()
+    }
+    d = m.shape[1]
+    assert len(exact) == d * (d + 1) // 2 == len(fast)
+    for i in range(d):
+        for j in range(i, d):
+            # quantized mode: deterministic approximation, error ~1e-6
+            assert abs(exact[(i, j)] - ref[i, j]) < 2e-6
+            # float twin: numerically equal to numpy
+            assert abs(fast[(i, j)] - ref[i, j]) < 1e-9
+
+
+def test_pca_project_matches_numpy_pca(spark, sf_dir):
+    import numpy as np
+
+    from sqlite_cdc_spark.pipeline import similarity
+    from sqlite_cdc_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.asarray([np.asarray(r.embedding, dtype="float64") for r in rows])
+    out = {
+        r.vec_id: np.asarray(r.proj)
+        for r in similarity.pca_project(emb, "vec_id", n_components=4).collect()
+    }
+    # reference PCA: eigh of covariance, same deterministic sign fix
+    C = np.cov(m, rowvar=False, ddof=0)
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:4]
+    comps = []
+    for k in order:
+        c = v[:, k]
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append(c)
+    ref = (m - m.mean(axis=0)) @ np.asarray(comps).T
+    got = np.asarray([out[i] for i in ids])
+    assert np.abs(got - ref).max() < 1e-6
+    # projected variance is sorted descending (top components first)
+    var = got.var(axis=0)
+    assert all(var[k] >= var[k + 1] - 1e-12 for k in range(3))
