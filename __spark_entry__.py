@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqlite_cdc_spark import bootstrap as bs
-from sqlite_cdc_spark import derive, log, model
+from sqlite_cdc_spark import derive, log, meta, model
 from sqlite_cdc_spark.pipeline import (
     decontam,
     dedup,
@@ -1099,6 +1099,56 @@ _SQL_CTE_TOP_SUPPLIER = """
 """
 
 
+#: TPC-H Q21 shape (suppliers who kept orders waiting): the hardest join
+#: topology in the TPC-H suite — a fact self-referenced THREE times, one
+#: positive correlated EXISTS and one negative NOT EXISTS, both correlated
+#: on two outer tables at once. Catalyst plans the EXISTS as a semi join
+#: and the NOT EXISTS as an anti join on l_orderkey — no per-row
+#: re-execution. Lateness adapts to this fixture's columns (no
+#: commitdate): shipped > 60 days after the order date.
+_SQL_WAITING_SUPPLIERS = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+#: TPC-H Q22 shape (global-market-analysis): a scalar aggregate threshold
+#: + NOT EXISTS anti join (here: high-balance customers with no urgent
+#: orders — this fixture's every customer has ~10 orders, so bare
+#: "no orders" selects nothing). The avg threshold is multiplied through
+#: (bal·N > Σbal) so the comparison is exact decimal on both engines —
+#: DuckDB's avg() over decimal returns DOUBLE, which would tie-break
+#: boundary rows differently.
+_SQL_IDLE_CUSTOMERS = """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE), 2)
+             AS totacctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(28,4))
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,4)))
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+"""
+
+
 def _sql_query(sql: str, *tables: str):
     def run(spark, sf_dir):
         for t in tables:
@@ -1111,6 +1161,10 @@ def _sql_query(sql: str, *tables: str):
 q_b25_sql_exists = _sql_query(_SQL_EXISTS, "orders", "lineitem")
 q_b25_sql_correlated = _sql_query(_SQL_CORRELATED_COUNT, "customer", "orders")
 q_b25_sql_cte_top_supplier = _sql_query(_SQL_CTE_TOP_SUPPLIER, "lineitem", "supplier")
+q_b8_waiting_suppliers = _sql_query(
+    _SQL_WAITING_SUPPLIERS, "supplier", "lineitem", "orders"
+)
+q_b8_idle_customers = _sql_query(_SQL_IDLE_CUSTOMERS, "customer", "orders")
 
 
 def q_b15_interval_join(spark, sf_dir):
@@ -3070,6 +3124,86 @@ def q_b20_covariance(spark, sf_dir):
     return similarity.covariance_matrix(emb, quantize=1_000_000)
 
 
+def q_b1_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance (B1/B2 depth): a
+    count+sum MV over orders, grouped by (status, priority), is
+    maintained from a CDC batch — deletes (%13), price updates (%7) —
+    via the delta rule (after images +1, before images −1) at cost ∝
+    batch + touched groups, never re-aggregating the base. The oracle
+    recomputes from scratch over the effective table, so the driver row
+    IS the incremental-equals-batch invariant (derive.py:
+    incremental_agg). Money sums in exact decimal, rounded after the
+    double cast."""
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    old = _t(spark, sf_dir, "orders").withColumn("o_totalprice", dec)
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_totalprice") + F.lit(10).cast("decimal(38,6)"),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    groups = ["o_orderstatus", "o_orderpriority"]
+    state = derive.aggregate_base(old, groups, ["o_totalprice"])
+    batch = derive.snapshot_diff(old, new, ["o_orderkey"])
+    schema = (
+        "o_orderstatus string, o_orderpriority string,"
+        " o_totalprice decimal(38,6)"
+    )
+    mv = derive.incremental_agg(state, batch, groups, ["o_totalprice"], schema)
+    return mv.select(
+        *groups,
+        "cnt",
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
+    )
+
+
+def q_b10_column_profile(spark, sf_dir):
+    """One-pass column profiler (A1/B10 depth): per-column rows, nulls,
+    exact distinct, typed min/max over orders — the audit run before
+    trusting a new data drop. Single global agg (multi-distinct expand =
+    #columns amplification, the exactness price; approx HLL mode is the
+    100 TB default) pivoted to rows driver-free (meta.py:
+    profile_table)."""
+    return meta.profile_table(_t(spark, sf_dir, "orders"))
+
+
+def q_b26_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (B26 depth), exact and
+    rand()-free: inclusion ∝ doc length via integer A-ES — classic
+    Efraimidis–Spirakis orders by u^(1/w) (unreplayable float pow); this
+    uses the identity u^(1/w) ~ max of w iid uniforms with md5-derived
+    integer uniforms, so the 200-doc sample replays bit-for-bit on any
+    engine. Ticket explode bounded by max_weight=32, per-item max agg,
+    distributed take-ordered — no global sort (sampling.py:
+    weighted_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "doc_id",
+        (F.lit(1) + F.floor(F.length("text") / 500)).cast("bigint").alias("weight"),
+    )
+    return sampling.weighted_sample(wdf, "doc_id", "weight", k=200, max_weight=32).select(
+        "doc_id",
+        "weight",
+        F.col("__priority").alias("priority"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+def q_b21_lexical_diversity(spark, sf_dir):
+    """Per-document lexical diversity (B21 depth): type-token ratio +
+    Shannon entropy of each doc's token distribution — the
+    distributional boilerplate/SEO-spam signal complementing the
+    surface repetition rules. Integer counts to the final ln, rounded
+    at 6 (cross-engine ln ulp rule); empty docs kept with NULL scores
+    (text.py: lexical_diversity)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.lexical_diversity(docs, "doc_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R6_WINDOW`` — keep THIS
@@ -3234,6 +3368,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6 (dedup-risk + embedding-stats depth) ---------
         "b21_dup_ngram_coverage": q_b21_dup_ngram_coverage,
         "b20_covariance": q_b20_covariance,
+        "b1_incremental_agg": q_b1_incremental_agg,
+        "b10_column_profile": q_b10_column_profile,
+        "b8_waiting_suppliers": q_b8_waiting_suppliers,
+        "b26_weighted_sample": q_b26_weighted_sample,
+        "b21_lexical_diversity": q_b21_lexical_diversity,
+        "b8_idle_customers": q_b8_idle_customers,
     }
 
 
@@ -4574,6 +4714,8 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'fr' THEN 100 ELSE 50 END
         """,
         "b25_sql_exists": _SQL_EXISTS,
+        "b8_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
+        "b8_idle_customers": _SQL_IDLE_CUSTOMERS,
         "b25_sql_correlated": _SQL_CORRELATED_COUNT,
         "b25_sql_cte_top_supplier": _SQL_CTE_TOP_SUPPLIER,
         "b11_reconstruct_befores": f"""
@@ -6333,5 +6475,96 @@ def oracle_sql() -> dict[str, str]:
                    round((sxy - sx * sy / n) / (n - 0.0)
                          / 1000000000000.0, 8) AS cov
             FROM sums
+        """,
+        "b10_column_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {"round(CAST(min(" + c + ") AS DOUBLE), 6)" if num
+                    else "CAST(NULL AS DOUBLE)"} AS min_num,
+                   {"round(CAST(max(" + c + ") AS DOUBLE), 6)" if num
+                    else "CAST(NULL AS DOUBLE)"} AS max_num,
+                   {"CAST(NULL AS VARCHAR)" if num
+                    else "CAST(min(" + c + ") AS VARCHAR)"} AS min_str,
+                   {"CAST(NULL AS VARCHAR)" if num
+                    else "CAST(max(" + c + ") AS VARCHAR)"} AS max_str
+            FROM orders
+            """
+            for c, num in [
+                ("o_orderkey", True), ("o_custkey", True),
+                ("o_orderstatus", False), ("o_totalprice", True),
+                ("o_orderdate", False), ("o_orderpriority", False),
+            ]
+        ),
+        "b21_lexical_diversity": f"""
+            WITH toks AS (
+              SELECT doc_id AS doc,
+                     unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS tok
+              FROM documents
+            ),
+            pt AS (
+              SELECT doc, tok, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY doc, tok
+            ),
+            prof AS (
+              SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     round(ln(CAST(sum(c) AS DOUBLE))
+                           - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                             / CAST(sum(c) AS DOUBLE), 6) AS token_entropy,
+                     round(CAST(count(*) AS DOUBLE)
+                           / CAST(sum(c) AS DOUBLE), 6) AS ttr
+              FROM pt GROUP BY doc
+            )
+            SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+                   COALESCE(n_types, 0) AS n_types, ttr, token_entropy
+            FROM documents d LEFT JOIN prof ON prof.doc = d.doc_id
+        """,
+        "b26_weighted_sample": """
+            WITH wt AS (
+              SELECT doc_id,
+                     1 + CAST(floor(length(text) / 500.0) AS BIGINT) AS weight
+              FROM documents
+            ),
+            cl AS (
+              SELECT doc_id, weight,
+                     least(greatest(weight, 1), 32) AS w
+              FROM wt
+            ),
+            tick AS (
+              SELECT doc_id, weight, unnest(generate_series(1, w)) AS t
+              FROM cl
+            ),
+            drawn AS (
+              SELECT doc_id, weight,
+                     CAST('0x' || substr(md5(doc_id || ':' || t), 1, 15)
+                          AS BIGINT) AS u
+              FROM tick
+            ),
+            prio AS (
+              SELECT doc_id, weight, max(u) AS priority
+              FROM drawn GROUP BY doc_id, weight
+            )
+            SELECT doc_id, weight, priority,
+                   CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+                        AS BIGINT) AS rk
+            FROM prio ORDER BY priority DESC, doc_id LIMIT 200
+        """,
+        "b1_incremental_agg": """
+            WITH eff AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN CAST(o_totalprice AS DECIMAL(38,6))
+                               + CAST(10 AS DECIMAL(38,6))
+                          ELSE CAST(o_totalprice AS DECIMAL(38,6))
+                     END AS p
+              FROM orders WHERE o_orderkey % 13 <> 0
+            )
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(p) AS DOUBLE), 2) AS sum_price
+            FROM eff GROUP BY o_orderstatus, o_orderpriority
         """,
     }

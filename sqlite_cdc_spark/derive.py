@@ -447,3 +447,94 @@ def cohort_retention(
         .agg(F.countDistinct(user_col).cast("bigint").alias("n_users"))
         .withColumnRenamed("__cohort", f"cohort_{period}")
     )
+
+
+def aggregate_base(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Build the materialized aggregate state :func:`incremental_agg`
+    maintains: per group, ``cnt`` plus ``sum_<c>`` for each measure.
+    Run once at bootstrap (A6); afterwards the MV is maintained purely
+    from the change log."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("cnt")] + [
+        F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_agg(
+    state: DataFrame,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    row_schema,
+) -> DataFrame:
+    """Incremental materialized-view maintenance for keyed count/sum
+    aggregates — the classic delta rule (ΔV = V(ΔD)) applied to the
+    reference's change-stream output (``/root/reference/README.md:26-30``:
+    the CDC log exists to keep downstream warehouses current without
+    rescans). INSERTs contribute the after image with weight +1, DELETEs
+    the before image with −1, UPDATEs both — so per-group deltas of
+    ``cnt`` and each ``sum_<c>`` merge into the standing state with cost
+    ∝ batch + touched groups, never re-aggregating the base table.
+    Groups whose ``cnt`` reaches 0 are dropped (exact support semantics;
+    avg/ratio views derive from cnt+sum at read time).
+
+    Invariant (tested): ``incremental_agg(aggregate_base(old),
+    snapshot_diff(old, new)) ≡ aggregate_base(new)``.
+
+    Scale: the batch side collapses to one row per TOUCHED group before
+    the merge join, so the full-outer join's streamed side is tiny; with
+    the state bucketed on ``group_cols`` (bootstrap.write_bucketed) the
+    state side needs no shuffle at all. This is the foreachBatch body of
+    a streaming MV (B17): idempotent per micro-batch when keyed by a
+    drained, compacted log batch.
+
+    ``row_schema``: StructType or DDL string of the base-table row images
+    in ``before``/``after``.
+    """
+    before = F.from_json(F.col("before"), row_schema).alias("__img")
+    after = F.from_json(F.col("after"), row_schema).alias("__img")
+    minus = changes.filter(F.col("operation").isin(OP_UPDATE, OP_DELETE)).select(
+        before, F.lit(-1).alias("__w")
+    )
+    plus = changes.filter(F.col("operation").isin(OP_INSERT, OP_UPDATE)).select(
+        after, F.lit(1).alias("__w")
+    )
+    deltas = (
+        minus.unionByName(plus)
+        .select(
+            *[F.col(f"__img.{g}").alias(g) for g in group_cols],
+            "__w",
+            *[F.col(f"__img.{c}").alias(c) for c in sum_cols],
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__w").cast("bigint").alias("__d_cnt"),
+            *[
+                F.sum(F.col(c) * F.col("__w")).alias(f"__d_sum_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    merged = state.join(deltas, list(group_cols), "full_outer")
+    zero = F.lit(0)
+    out_cols = [
+        (
+            F.coalesce(F.col("cnt"), zero.cast("bigint"))
+            + F.coalesce(F.col("__d_cnt"), zero.cast("bigint"))
+        ).alias("cnt")
+    ]
+    for c in sum_cols:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"sum_{c}"), zero)
+                + F.coalesce(F.col(f"__d_sum_{c}"), zero)
+            ).alias(f"sum_{c}")
+        )
+    return (
+        merged.select(*group_cols, *out_cols)
+        .filter(F.col("cnt") > 0)
+    )

@@ -444,3 +444,57 @@ def temperature_sample(
         .filter(hash_bucket(key_col, buckets) < F.col("keep_b"))
         .drop("keep_b")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly and deterministically
+    (Efraimidis–Spirakis A-ES): inclusion probability proportional to an
+    integer weight, no ``rand()`` anywhere. Classic A-ES orders items by
+    ``u^(1/w)`` — float pow that never replays identically across
+    engines. This uses the equivalent identity ``u^(1/w) ~ max of w iid
+    uniforms``: each item spawns ``w`` tickets (``sequence`` + explode),
+    each ticket draws a 60-bit integer "uniform" from the portable md5
+    hash of ``key:ticket``, and the item's priority is the ticket MAX —
+    the same distribution, in exact integer arithmetic any engine
+    replays bit-for-bit.
+
+    Returns the top-``k`` rows by (priority desc, key) with their
+    ``__priority`` and 1-based ``rk``. Weights clamp to
+    [1, ``max_weight``] — ticket amplification is bounded by
+    ``max_weight``, so cost is ≤ ``max_weight``× one narrow pass + a
+    per-item max agg + a distributed take-ordered (never a full global
+    sort). Production swap: xxhash64(key, ticket) for the md5 — same
+    plan, cheaper hash; md5 is the oracle-portable mode.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import portable_hash60
+
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
+        F.lit(max_weight),
+    )
+    tickets = df.withColumn("__w", w).withColumn(
+        "__t", F.explode(F.sequence(F.lit(1), F.col("__w")))
+    )
+    drawn = tickets.withColumn(
+        "__u",
+        portable_hash60(
+            F.concat(F.col(key_col).cast("string"), F.lit(":"), F.col("__t"))
+        ),
+    )
+    group_cols = [c for c in df.columns] + ["__w"]
+    prio = drawn.groupBy(*group_cols).agg(F.max("__u").alias("__priority"))
+    # TakeOrderedAndProject first (per-partition partial top-k, driver
+    # merges k rows) — THEN rank the k survivors; a bare global
+    # row_number window would serialize the whole relation through one
+    # partition (see prefix_sum's note above).
+    top = prio.orderBy(F.col("__priority").desc(), F.col(key_col).asc()).limit(k)
+    ww = W.orderBy(F.col("__priority").desc(), F.col(key_col).asc())
+    return top.withColumn("rk", F.row_number().over(ww)).drop("__w")

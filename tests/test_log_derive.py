@@ -328,3 +328,49 @@ def test_funnel_strictly_after_ordering(spark):
         ).collect()
     }
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_incremental_agg_equals_recompute(spark):
+    from sqlite_cdc_spark import derive
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "c", 1.0),
+        ],
+        "id long, grp string, val double",
+    )
+    # group 'c' empties (delete 4); group 'd' appears (insert 5);
+    # an update moves row 3 from 'b' to 'a' (cross-group delta)
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0), (2, "a", 6.0), (3, "a", 7.0), (5, "d", 2.0),
+        ],
+        "id long, grp string, val double",
+    )
+    state = derive.aggregate_base(old, ["grp"], ["val"])
+    batch = derive.snapshot_diff(old, new, ["id"])
+    got = derive.incremental_agg(
+        state, batch, ["grp"], ["val"], "grp string, val double"
+    )
+    want = derive.aggregate_base(new, ["grp"], ["val"])
+    assert derive.snapshots_equal(got, want)
+    # emptied group is dropped, not left at cnt=0
+    assert got.filter(F.col("grp") == "c").count() == 0
+
+
+def test_incremental_agg_insert_only_batch(spark):
+    from sqlite_cdc_spark import derive
+    from sqlite_cdc_spark.model import OP_INSERT
+
+    state = spark.createDataFrame(
+        [("a", 2, 15.0)], "grp string, cnt long, sum_val double"
+    )
+    batch = spark.createDataFrame(
+        [(OP_INSERT, None, '{"grp": "a", "val": 5.0}')],
+        "operation string, before string, after string",
+    )
+    got = derive.incremental_agg(
+        state, batch, ["grp"], ["val"], "grp string, val double"
+    ).collect()
+    assert len(got) == 1
+    assert got[0].cnt == 3 and got[0].sum_val == 20.0

@@ -76,3 +76,29 @@ def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     batch = events_as_changes(load_table(spark, sf_dir, "events")).limit(100)
     sinks.parquet_sink_handler(out)(batch, 0)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_profile_table_stats(spark):
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark import meta
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, None, 2.5), (2, "y", None)],
+        "k long, s string, v double",
+    )
+    prof = {r.col_name: r for r in meta.profile_table(df).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 2
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 2.0
+    assert prof["k"].min_str is None
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "x" and prof["s"].max_str == "y"
+    assert prof["s"].min_num is None
+    assert prof["v"].n_nulls == 1 and prof["v"].max_num == 2.5
+    # approx mode: same shape, distinct within HLL tolerance on tiny input
+    aprof = {
+        r.col_name: r
+        for r in meta.profile_table(df, exact_distinct=False).collect()
+    }
+    assert aprof["k"].n_distinct == 2

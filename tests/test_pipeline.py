@@ -829,3 +829,24 @@ def test_pca_project_matches_numpy_pca(spark, sf_dir):
     # projected variance is sorted descending (top components first)
     var = got.var(axis=0)
     assert all(var[k] >= var[k + 1] - 1e-12 for k in range(3))
+
+
+def test_lexical_diversity_values(spark):
+    import math
+
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one type, zero entropy
+            (2, "a b c d"),          # uniform: entropy = ln(4), ttr = 1
+            (3, ""),                 # empty: kept with NULLs
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textops.lexical_diversity(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_types == 1
+    assert got[1].token_entropy == 0.0
+    assert got[2].ttr == 1.0
+    assert got[2].token_entropy == round(math.log(4), 6)
+    assert got[3].n_tokens == 0 and got[3].token_entropy is None

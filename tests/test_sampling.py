@@ -168,3 +168,31 @@ def test_prefix_sum_exact_above_2_53(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import sampling
+
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        # half the items get 16x the weight of the other half
+        F.when(F.col("id") % 2 == 0, 16).otherwise(1).alias("wt"),
+    )
+    a = sampling.weighted_sample(df, "k", "wt", k=100)
+    b = sampling.weighted_sample(df, "k", "wt", k=100)
+    rows = a.collect()
+    assert len(rows) == 100
+    assert sorted(r.rk for r in rows) == list(range(1, 101))
+    # bit-for-bit deterministic across runs
+    assert {(r.k, r.rk) for r in rows} == {(r.k, r.rk) for r in b.collect()}
+    # heavy items should dominate the sample (16:1 weights -> expect ~94
+    # heavy; require a clear majority to stay noise-proof)
+    heavy = sum(1 for r in rows if r.k % 2 == 0)
+    assert heavy > 75
+    # clamping: weight > max_weight behaves like max_weight
+    c = sampling.weighted_sample(
+        df.withColumn("wt", F.col("wt") * 1000), "k", "wt", k=50, max_weight=8
+    )
+    assert c.count() == 50
