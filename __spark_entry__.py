@@ -3204,6 +3204,35 @@ def q_b21_lexical_diversity(spark, sf_dir):
     return textops.lexical_diversity(docs, "doc_id")
 
 
+def q_b19_fuzzy_join(spark, sf_dir):
+    """Edit-distance similarity self-join (B19 depth): all part-name
+    pairs within levenshtein 1, over a corpus with planted one-char
+    typos — q-gram count-filter blocking (provably complete on
+    distinct-gram sets: |G∩| ≥ |G|−q·d) + exact levenshtein verify,
+    never the O(n²) cross join. The oracle IS the brute-force
+    definition, so the driver row proves blocking completeness on real
+    data (dedup.py: fuzzy_self_join)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    typos = part.filter(F.col("p_partkey") % 9 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(F.lit("x"), F.substr(F.col("p_name"), F.lit(2), F.length("p_name"))).alias("p_name"),
+    )
+    corpus = part.unionByName(typos)
+    return dedup.fuzzy_self_join(corpus, "p_partkey", "p_name", max_dist=1, q=3)
+
+
+def q_b10_groupwise_ols(spark, sf_dir):
+    """Per-group OLS regression (B10 depth): price-vs-quantity slope,
+    intercept and r² per returnflag — thousands of independent fits in
+    one aggregation pass from quantized-integer power sums (exact,
+    order-independent on any engine); only the final closed-form ratio
+    is IEEE double, rounded at 6 (derive.py: groupwise_ols)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return derive.groupwise_ols(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", quantize=100
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R6_WINDOW`` — keep THIS
@@ -3374,6 +3403,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_weighted_sample": q_b26_weighted_sample,
         "b21_lexical_diversity": q_b21_lexical_diversity,
         "b8_idle_customers": q_b8_idle_customers,
+        "b19_fuzzy_join": q_b19_fuzzy_join,
+        "b10_groupwise_ols": q_b10_groupwise_ols,
     }
 
 
@@ -6498,6 +6529,53 @@ def oracle_sql() -> dict[str, str]:
                 ("o_orderdate", False), ("o_orderpriority", False),
             ]
         ),
+        "b10_groupwise_ols": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100) AS BIGINT) AS qx,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS qy
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qx) AS DOUBLE) AS sx,
+                     CAST(sum(qy) AS DOUBLE) AS sy,
+                     CAST(sum(qx * qy) AS DOUBLE) AS sxy,
+                     CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+                     CAST(sum(qy * qy) AS DOUBLE) AS syy
+              FROM q GROUP BY l_returnflag
+            ),
+            fit AS (
+              SELECT l_returnflag, n, sx, sy,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
+                       AS slope_raw,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy), 0)
+                       AS r2_raw
+              FROM s
+            )
+            SELECT l_returnflag, n, round(slope_raw, 6) AS slope,
+                   round((sy - slope_raw * sx) / CAST(n AS DOUBLE) / 100, 6)
+                     AS intercept,
+                   round(r2_raw, 6) AS r2
+            FROM fit
+        """,
+        "b19_fuzzy_join": """
+            WITH corpus AS (
+              SELECT p_partkey, p_name FROM part
+              UNION ALL
+              SELECT p_partkey + 1000000 AS p_partkey,
+                     'x' || substr(p_name, 2) AS p_name
+              FROM part WHERE p_partkey % 9 = 0
+            )
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM corpus a JOIN corpus b ON a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
         "b21_lexical_diversity": f"""
             WITH toks AS (
               SELECT doc_id AS doc,

@@ -538,3 +538,62 @@ def incremental_agg(
         merged.select(*group_cols, *out_cols)
         .filter(F.col("cnt") > 0)
     )
+
+
+def groupwise_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    quantize: int = 100,
+) -> DataFrame:
+    """Per-group simple linear regression (y = a·x + b) from exact power
+    sums — thousands of independent OLS fits in ONE aggregation pass
+    (per-segment price curves, per-source quality-vs-length trends),
+    no per-group iteration, no driver loop.
+
+    x and y are quantized to integers (``floor(v·quantize)``) so Σx, Σy,
+    Σxy, Σx², Σy² aggregate in DECIMAL(38,0)/HUGEINT — exact and
+    order-independent on any engine at any parallelism. The closed-form
+    slope/intercept/r² then convert the exact sums to double ONCE
+    (deterministic round-to-nearest) and finish in IEEE arithmetic,
+    rounded at 6. r² is computed in doubles precisely because squaring
+    the exact integer numerator would overflow 38 digits — the sums stay
+    exact, only the final ratio is float.
+
+    Returns ``(group_cols…, n, slope, intercept, r2)``; groups with zero
+    x-variance get NULL slope (division by zero propagates NULL).
+    Scale: one shuffle on the group key, map-side partial aggregation;
+    the quantized unscale folds into the closed form (slope is
+    scale-free, intercept divides by ``quantize`` once).
+    """
+    dec = "decimal(38,0)"
+    qx = F.floor(F.col(x_col) * quantize).cast("long").cast(dec)
+    qy = F.floor(F.col(y_col) * quantize).cast("long").cast(dec)
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(qx).alias("__sx"),
+        F.sum(qy).alias("__sy"),
+        F.sum(qx * qy).alias("__sxy"),
+        F.sum(qx * qx).alias("__sxx"),
+        F.sum(qy * qy).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = nd * sxy - sx * sy
+    denx = nd * sxx - sx * sx
+    deny = nd * syy - sy * sy
+    slope = num / F.when(denx != 0, denx)
+    intercept = (sy - slope * sx) / nd / quantize
+    r2 = (num * num) / F.when(denx * deny != 0, denx * deny)
+    return sums.select(
+        *group_cols,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -374,3 +374,21 @@ def test_incremental_agg_insert_only_batch(spark):
     ).collect()
     assert len(got) == 1
     assert got[0].cnt == 3 and got[0].sum_val == 20.0
+
+
+def test_groupwise_ols_known_line(spark):
+    from sqlite_cdc_spark import derive
+
+    rows = [
+        # group g1: exactly y = 2x + 1
+        ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+        # group g2: zero x-variance -> NULL fit
+        ("g2", 4.0, 1.0), ("g2", 4.0, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in derive.groupwise_ols(df, ["g"], "x", "y").collect()}
+    assert got["g1"].n == 3
+    assert got["g1"].slope == 2.0
+    assert got["g1"].intercept == 1.0
+    assert got["g1"].r2 == 1.0
+    assert got["g2"].slope is None and got["g2"].r2 is None

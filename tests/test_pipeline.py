@@ -850,3 +850,43 @@ def test_lexical_diversity_values(spark):
     assert got[2].ttr == 1.0
     assert got[2].token_entropy == round(math.log(4), 6)
     assert got[3].n_tokens == 0 and got[3].token_entropy is None
+
+
+def test_fuzzy_self_join_adversarial_completeness(spark):
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import dedup
+
+    rows = [
+        # repeated-gram pair: 'aaaaaaaa' has ONE distinct 3-gram, so the
+        # naive length-based count bound (L-q+1-qd = 3) would demand 3
+        # shared grams and silently drop this true pair
+        (1, "aaaaaaaa"), (2, "aaaaaaab"),
+        # short-block pairs (len < q*(d+1) = 6)
+        (3, "ab"), (4, "ac"), (5, "abcd"), (6, "abxd"),
+        # short x long boundary: 5 chars vs 6 chars, one edit apart
+        (7, "abcde"), (8, "abcdef"),
+        # a pair that should NOT match
+        (9, "zzzzzz"), (10, "qqqqqq"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.fuzzy_self_join(df, "id", "s", max_dist=1, q=3).collect()
+    }
+    # brute-force truth
+    want = {}
+    data = dict(rows)
+    for a in sorted(data):
+        for b in sorted(data):
+            if a < b:
+                d = (
+                    spark.createDataFrame([(data[a], data[b])], "x string, y string")
+                    .select(F.levenshtein("x", "y").alias("d"))
+                    .collect()[0].d
+                )
+                if d <= 1:
+                    want[(a, b)] = d
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got and (7, 8) in got
+    assert (9, 10) not in got

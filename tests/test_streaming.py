@@ -760,3 +760,72 @@ def test_streaming_compaction_rocksdb_state_backend(spark, sf_dir, log_dir, tmp_
         .collect()
     }
     assert stream_state == batch_state
+
+
+def test_streaming_mv_maintenance_matches_batch(spark, tmp_path):
+    # the materialized-view leg (B1/B17): each micro-batch of CDC changes
+    # folds into a standing count/sum aggregate via incremental_agg; after
+    # the stream drains, the MV must equal a from-scratch aggregation of
+    # the final table state, however the file source sliced the batches
+    import json
+    import time
+
+    from sqlite_cdc_spark import derive
+
+    def chg(op, before, after):
+        return (
+            op,
+            json.dumps(before) if before else None,
+            json.dumps(after) if after else None,
+        )
+
+    waves = [
+        [
+            chg("INSERT", None, {"id": 1, "grp": "a", "val": 10.0}),
+            chg("INSERT", None, {"id": 2, "grp": "a", "val": 5.0}),
+            chg("INSERT", None, {"id": 3, "grp": "b", "val": 7.0}),
+        ],
+        [
+            chg(
+                "UPDATE",
+                {"id": 2, "grp": "a", "val": 5.0},
+                {"id": 2, "grp": "b", "val": 6.0},
+            ),
+            chg("DELETE", {"id": 3, "grp": "b", "val": 7.0}, None),
+        ],
+        [
+            chg("INSERT", None, {"id": 4, "grp": "c", "val": 1.5}),
+        ],
+    ]
+    schema = "operation string, before string, after string"
+    src = str(tmp_path / "mvsrc")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    empty = spark.createDataFrame([], "grp string, cnt long, sum_val double")
+    state = {"mv": empty}
+
+    def handle(batch, bid):
+        batch = batch.localCheckpoint()
+        state["mv"] = derive.incremental_agg(
+            state["mv"], batch, ["grp"], ["val"], "grp string, val double"
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "mvckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final_table = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 6.0), (4, "c", 1.5)],
+        "id long, grp string, val double",
+    )
+    want = derive.aggregate_base(final_table, ["grp"], ["val"])
+    assert derive.snapshots_equal(state["mv"], want)
