@@ -3233,6 +3233,163 @@ def q_b10_groupwise_ols(spark, sf_dir):
     )
 
 
+def q_b20_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus (B20
+    depth): k=4, 3 update rounds, bit-exact replay — floor-quantized
+    int64 components, integer squared-L2 assignment (ties to lowest
+    cid), exact-floor-division centroid updates, deterministic
+    smallest-id seeding. Per round the only driver-side data is the
+    k·d centroid table (re-broadcast as literals); assignment is a
+    narrow codegen map and the update shuffle is |tasks|·k·d rows via
+    map-side partial agg — corpus size never hits the driver
+    (similarity.py: kmeans_exact). The oracle replays all rounds as
+    chained CTEs, so the driver row proves every intermediate centroid
+    matched."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_exact(emb, k=4, iters=3)
+
+
+def q_b3_psi(spark, sf_dir):
+    """Population Stability Index over the event-value distribution,
+    first half vs second half of the stream (B3 monitoring depth) —
+    the numeric-distribution companion to b3_op_drift's categorical
+    share check. Bucket edges are the baseline's exact element-rank
+    deciles (no interpolation → pure comparison logic, engine-exact);
+    shares Laplace-smoothed; terms floor-quantized to 1e-8 so the
+    cross-bucket total is an integer sum. No global sort: edges come
+    from a distinct-value count + one window over that bounded
+    relation (derive.py: psi_drift)."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return derive.psi_drift(
+        ev.filter(F.col("ts") < mid).select("value"),
+        ev.filter(F.col("ts") >= mid).select("value"),
+        "value",
+    )
+
+
+def _psi_oracle_sql(n_buckets: int = 10) -> str:
+    """DuckDB replay of q_b3_psi: identical rank-edge, smoothing and
+    1e-8 floor-quantization rules."""
+    B = n_buckets
+    edge_cols = ", ".join(
+        f"min(CASE WHEN cum >= floor((n - 1) * {k} / {B}) + 1 THEN v END)"
+        f" AS e{k}"
+        for k in range(1, B)
+    )
+    bucket_expr = " + ".join(
+        f"CAST(v > e{k} AS INTEGER)" for k in range(1, B)
+    )
+    return f"""
+        WITH b AS (SELECT value AS v FROM events
+                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        c AS (SELECT value AS v FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        vh AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY v),
+        cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum FROM vh),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vh),
+        edges AS (SELECT {edge_cols} FROM cum CROSS JOIN tot),
+        nb AS (SELECT {bucket_expr} AS bucket, CAST(count(*) AS BIGINT) AS n_base
+               FROM b CROSS JOIN edges GROUP BY 1),
+        nc AS (SELECT {bucket_expr} AS bucket, CAST(count(*) AS BIGINT) AS n_cur
+               FROM c CROSS JOIN edges GROUP BY 1),
+        grid AS (SELECT unnest(generate_series(0, {B - 1})) AS bucket),
+        j AS (
+          SELECT CAST(grid.bucket AS INTEGER) AS bucket,
+                 COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+          FROM grid LEFT JOIN nb ON nb.bucket = grid.bucket
+                    LEFT JOIN nc ON nc.bucket = grid.bucket
+        ),
+        t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                     CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
+        terms AS (
+          SELECT bucket, n_base, n_cur,
+                 (n_base + 1) / CAST(tb + {B} AS DOUBLE) AS p,
+                 (n_cur + 1) / CAST(tc + {B} AS DOUBLE) AS q
+          FROM j CROSS JOIN t
+        ),
+        scored AS (
+          SELECT bucket, n_base, n_cur,
+                 round(p, 6) AS share_base, round(q, 6) AS share_cur,
+                 round((p - q) * ln(p / q), 6) AS psi_term,
+                 CAST(floor((p - q) * ln(p / q) * 1e8) AS BIGINT) AS t8
+          FROM terms
+        )
+        SELECT bucket, n_base, n_cur, share_base, share_cur, psi_term,
+               round(sum(t8) OVER () / 1e8, 6) AS psi_total
+        FROM scored
+    """
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64, quant: int = 10**6) -> str:
+    """DuckDB replay of q_b20_kmeans: the same quantize → (assign →
+    update → coalesce-empty)×iters → final-assign chain, all integer
+    (explicit floor-division form — DuckDB's // truncates toward 0)."""
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        " i -> (qe[i]-ce[i])*(qe[i]-ce[i])))"
+    )
+    parts = [
+        f"""q AS (
+          SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)}) AS BIGINT)) AS qe
+          FROM embeddings
+        ),
+        dims AS (SELECT unnest(generate_series(1, {d})) AS dim),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 qe AS ce
+          FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k})
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT q.vec_id, c.cid, {dist} AS dist
+              FROM q CROSS JOIN c{t - 1} c
+            )
+          ) WHERE rn = 1
+        ),
+        u{t} AS (
+          SELECT a{t}.cid, dims.dim, CAST(sum(q.qe[dims.dim]) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a{t} JOIN q USING (vec_id) CROSS JOIN dims
+          GROUP BY a{t}.cid, dims.dim
+        ),
+        n{t} AS (
+          SELECT cid,
+                 list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
+                      ORDER BY dim) AS ce
+          FROM u{t} GROUP BY cid
+        ),
+        c{t} AS (
+          SELECT c{t - 1}.cid, coalesce(n{t}.ce, c{t - 1}.ce) AS ce
+          FROM c{t - 1} LEFT JOIN n{t} USING (cid)
+        )""")
+    parts.append(f"""fin AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM (
+              SELECT q.vec_id, c.cid, {dist} AS dist
+              FROM q CROSS JOIN c{iters} c
+            )
+          ) WHERE rn = 1
+        )""")
+    return (
+        "WITH " + ",\n        ".join(parts) + """
+        SELECT vec_id, cid AS cluster_id,
+               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+        FROM fin
+    """
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R6_WINDOW`` — keep THIS
@@ -3405,6 +3562,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_idle_customers": q_b8_idle_customers,
         "b19_fuzzy_join": q_b19_fuzzy_join,
         "b10_groupwise_ols": q_b10_groupwise_ols,
+        "b20_kmeans": q_b20_kmeans,
+        "b3_psi": q_b3_psi,
     }
 
 
@@ -6563,6 +6722,8 @@ def oracle_sql() -> dict[str, str]:
                    round(r2_raw, 6) AS r2
             FROM fit
         """,
+        "b20_kmeans": _kmeans_oracle_sql(),
+        "b3_psi": _psi_oracle_sql(),
         "b19_fuzzy_join": """
             WITH corpus AS (
               SELECT p_partkey, p_name FROM part

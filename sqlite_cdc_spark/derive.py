@@ -597,3 +597,102 @@ def groupwise_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    numeric distribution — the standard drift monitor run on every
+    feature/score column before trusting a new data drop.
+
+    Buckets are the baseline's exact element-rank quantiles (the value
+    at sorted position ``floor((n-1)·k/B)`` — no interpolation, so edge
+    selection is exact comparison logic, never float arithmetic, and
+    replays bit-identically on any engine). Shares are Laplace-smoothed
+    ``(n_b + 1)/(N + B)`` so empty buckets stay finite; each PSI term
+    ``(p−q)·ln(p/q)`` is ≥ 0 and floor-quantized to 1e-8 before the
+    total sum, making the cross-bucket sum integer (order-independent).
+
+    Scale shape: NO global sort of either side — the rank edges come
+    from a per-distinct-value count (bounded by value cardinality) +
+    one cumulative window over that bounded relation; the 1-row edge
+    table broadcasts back and bucketing is a narrow codegen sum of
+    comparisons. At 100 TB swap the edge subquery for
+    ``approx_percentile`` (documented approximation) if value
+    cardinality itself is unbounded.
+
+    Output: one row per bucket ``(bucket, n_base, n_cur, share_base,
+    share_cur, psi_term, psi_total)`` — ``psi_total`` repeated on every
+    row (> 0.2 = major shift by the usual rule of thumb).
+    """
+    B = n_buckets
+    v = F.col(value_col)
+
+    vh = base.groupBy(v.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vh.withColumn("__cum", F.sum("__c").over(wcum))
+    totals = vh.agg(F.sum("__c").alias("__n"))
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.floor((F.col("__n") - 1) * F.lit(k) / F.lit(B)) + 1,
+                F.col("__v"),
+            )
+        ).alias(f"__e{k}")
+        for k in range(1, B)
+    ]
+    edges = cum.crossJoin(F.broadcast(totals)).agg(*edge_aggs)
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        b = df.crossJoin(F.broadcast(edges)).select(
+            sum(
+                [(v > F.col(f"__e{k}")).cast("int") for k in range(1, B)],
+                F.lit(0),
+            ).alias("bucket")
+        )
+        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
+
+    grid = F.broadcast(
+        base.sparkSession.range(B).select(F.col("id").cast("int").alias("bucket"))
+    )
+    nb = bucketed(base, "n_base")
+    nc = bucketed(cur, "n_cur")
+    joined = (
+        grid.join(nb, "bucket", "left")
+        .join(nc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_base") + 1) / (F.col("__tb") + B)
+    q = (F.col("n_cur") + 1) / (F.col("__tc") + B)
+    term = (p - q) * F.log(p / q)
+    out = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round(p, 6).alias("share_base"),
+        F.round(q, 6).alias("share_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.floor(term * 1e8).cast("long").alias("__t8"),
+    )
+    wall = Window.partitionBy()
+    return out.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        "share_base",
+        "share_cur",
+        "psi_term",
+        F.round(F.sum("__t8").over(wall) / 1e8, 6).alias("psi_total"),
+    )

@@ -858,3 +858,89 @@ def pca_project(
         for c in comps
     ]
     return df.select(F.col(id_col), F.array(*projs).alias("proj"))
+
+
+def kmeans_exact(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means with bit-exact cross-engine replay
+    (the clustering behind corpus bucketing / coreset selection).
+
+    Every arithmetic step is integer: components floor-quantize to
+    ``floor(v·quant)`` int64, distances are integer sums of squared
+    diffs, and centroid updates use exact floor division
+    ``(s - pmod(s, c)) div c`` so the centroid table stays integer at
+    the same fixed-point scale. Initial centroids are the ``k``
+    smallest-id rows (deterministic); assignment ties break to the
+    lowest cluster id; a cluster that empties keeps its previous
+    centroid. The result therefore replays bit-for-bit on any engine
+    at any parallelism — no RNG, no float accumulation order.
+
+    Scale shape (per iteration): the k·d centroid table (a few KB) is
+    collected and re-broadcast as literals — the ONLY driver-side data,
+    bounded by k·d, never by |rows|; assignment is a narrow codegen map
+    (``zip_with``+``aggregate`` per centroid, argmin via ``array_min``
+    over (dist, cid) structs); the update is posexplode → hash agg on
+    (cid, dim) with map-side partial aggregation, so the shuffle is
+    |tasks|·k·d rows, independent of corpus size. The quantized base
+    relation is computed once and reused across iterations (no lineage
+    growth: each iteration re-derives from the same base with new
+    literals).
+
+    Output: ``(id_col, cluster_id int, cluster_size bigint)``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            as_double(vec_col),
+            lambda x: F.floor(x * F.lit(float(quant))).cast("long"),
+        ).alias("__qe"),
+    )
+
+    seed_rows = base.orderBy(F.col(id_col).asc()).limit(k).collect()
+    cents = {i: list(r["__qe"]) for i, r in enumerate(seed_rows)}
+    d = len(seed_rows[0]["__qe"])
+
+    def assign(b: DataFrame) -> DataFrame:
+        scored = []
+        for cid in range(k):
+            lit = F.array(*[F.lit(int(x)) for x in cents[cid]])
+            dist = F.aggregate(
+                F.zip_with(F.col("__qe"), lit, lambda x, m: (x - m) * (x - m)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            scored.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
+        return b.withColumn(
+            "cluster_id", F.array_min(F.array(*scored)).getField("c")
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(base)
+            .select("cluster_id", F.posexplode("__qe").alias("dim", "q"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            # Python // is true floor division — the SQL oracle must use
+            # the explicit (s - ((s % n + n) % n)) / n form (DuckDB's //
+            # truncates toward zero)
+            new.setdefault(r.cluster_id, [0] * d)[r.dim] = r.s // r.n
+        for cid in range(k):  # empty cluster keeps its previous centroid
+            if cid in new:
+                cents[cid] = new[cid]
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        assign(base)
+        .select(id_col, "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )

@@ -890,3 +890,40 @@ def test_fuzzy_self_join_adversarial_completeness(spark):
     assert got == want
     assert (1, 2) in got and (3, 4) in got and (7, 8) in got
     assert (9, 10) not in got
+
+
+def test_kmeans_exact_separable_clusters(spark):
+    # two tight groups far apart → k=2 must split them exactly
+    rows = [(i, [0.0 + i * 0.001, 0.0]) for i in range(5)]
+    rows += [(10 + i, [10.0 + i * 0.001, 10.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = similarity.kmeans_exact(df, k=2, iters=3).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.vec_id)
+        assert r.cluster_size == 5
+    assert sorted(len(v) for v in by_cluster.values()) == [5, 5]
+    # groups are not mixed
+    for members in by_cluster.values():
+        assert members <= set(range(5)) or members <= set(range(10, 15))
+
+
+def test_kmeans_exact_deterministic_across_partitioning(spark):
+    rows = [(i, [float((i * 37) % 11), float((i * 53) % 7)]) for i in range(40)]
+    df1 = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+    df8 = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    a = sorted((r.vec_id, r.cluster_id) for r in similarity.kmeans_exact(df1, k=3, iters=2).collect())
+    b = sorted((r.vec_id, r.cluster_id) for r in similarity.kmeans_exact(df8, k=3, iters=2).collect())
+    assert a == b
+
+
+def test_kmeans_exact_empty_cluster_keeps_centroid(spark):
+    # all points identical → after round 1 only cluster 0 is nonempty;
+    # clusters 1..2 must keep their (stale) centroids without crashing
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    got = similarity.kmeans_exact(df, k=3, iters=2).collect()
+    assert len(got) == 6
+    assert {r.cluster_id for r in got} == {0}
+    assert all(r.cluster_size == 6 for r in got)
