@@ -3249,6 +3249,77 @@ def q_b20_kmeans(spark, sf_dir):
     return similarity.kmeans_exact(emb, k=4, iters=3)
 
 
+def q_b19_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup blocking (B19 depth) — the classic SNM
+    complement to LSH/q-gram blocking: per-prefix-block sorted windows
+    (w=5) emit O(n·w) candidates, exact-levenshtein-verified at ≤ 1,
+    over the same planted-typo part-name corpus as b19_fuzzy_join. The
+    sort is per-block (hash-partitioned, never a global window), so it
+    scales out; cross-prefix misses are the documented SNM recall
+    trade-off (dedup.py: sorted_neighborhood_pairs)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    typos = part.filter(F.col("p_partkey") % 9 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(
+            F.substr(F.col("p_name"), F.lit(1), F.lit(4)),
+            F.lit("x"),
+            F.substr(F.col("p_name"), F.lit(6), F.length("p_name")),
+        ).alias("p_name"),
+    )
+    corpus = part.unionByName(typos)
+    return dedup.sorted_neighborhood_pairs(
+        corpus, "p_partkey", "p_name", window=5, block_chars=2, max_dist=1
+    )
+
+
+def q_b20_pq(spark, sf_dir):
+    """Product-quantization ANN (B20 depth) — the memory-compression
+    scale path no other b20 row covers: vectors stored as m=8 subspace
+    codes (32× smaller than 64 floats), queries scored via an
+    asymmetric-distance table joined to codes on (subspace, code).
+    Codebooks are fixed seed-row subvectors (deterministic stand-in
+    for per-subspace kmeans_exact training); every distance is an
+    integer sum over floor-quantized components, so encode, table and
+    ranking replay bit-for-bit and the oracle checks the FULL pipeline
+    (similarity.py: ann_topk_pq)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_pq(emb, emb.filter(F.col("vec_id") < 4), k=10)
+
+
+def q_b30_pagerank(spark, sf_dir):
+    """PageRank over the customer↔supplier purchase graph (B30 graph
+    depth, joining dup_clusters as the second iterative graph
+    algorithm): 3 exact integer iterations — rational damping 17/20,
+    floor-division shares, integer teleport base — so every
+    intermediate rank vector replays bit-for-bit in the oracle's
+    chained CTEs. Per iteration: one src-keyed equi-join + one
+    dst-keyed sum with map-side combine; edges/outdegs checkpointed
+    once (derive.py: pagerank). Top 30 nodes by rank (supplier ids
+    offset by 1e6)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    from pyspark.sql import Window
+
+    pr = derive.pagerank(edges, iters=3)
+    w = Window.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
+    return (
+        pr.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
+        .limit(30)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -3265,6 +3336,53 @@ def q_b3_psi(spark, sf_dir):
         ev.filter(F.col("ts") < mid).select("value"),
         ev.filter(F.col("ts") >= mid).select("value"),
         "value",
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of q_b30_pagerank: identical integer floor-division
+    rank updates, iteration by iteration."""
+    share = (
+        "CAST(((rr.r * 17) - (((rr.r * 17) % (20 * od.od) + (20 * od.od))"
+        " % (20 * od.od))) / (20 * od.od) AS BIGINT)"
+    )
+    parts = [
+        """ed AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        e AS (
+          SELECT c AS src, s AS dst FROM ed
+          UNION ALL
+          SELECT s AS src, c AS dst FROM ed
+        ),
+        nodes AS (
+          SELECT src AS node_id FROM e UNION SELECT dst FROM e
+        ),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+        r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+          SELECT e.dst AS node_id, {share} AS share
+          FROM r{t - 1} rr
+          JOIN od ON od.src = rr.node_id
+          JOIN e ON e.src = rr.node_id
+        ),
+        r{t} AS (
+          SELECT n.node_id,
+                 CAST(150000 + COALESCE(sum(share), 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN s{t} ON s{t}.node_id = n.node_id
+          GROUP BY n.node_id
+        )""")
+    return (
+        "WITH " + ",\n        ".join(parts) + f"""
+        SELECT node_id, rank_units, rnk FROM (
+          SELECT node_id, r AS rank_units,
+                 row_number() OVER (ORDER BY r DESC, node_id) AS rnk
+          FROM r{iters}
+        ) WHERE rnk <= 30
+    """
     )
 
 
@@ -3564,6 +3682,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_groupwise_ols": q_b10_groupwise_ols,
         "b20_kmeans": q_b20_kmeans,
         "b3_psi": q_b3_psi,
+        "b19_sorted_neighborhood": q_b19_sorted_neighborhood,
+        "b20_pq": q_b20_pq,
+        "b30_pagerank": q_b30_pagerank,
     }
 
 
@@ -6724,6 +6845,91 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b20_kmeans": _kmeans_oracle_sql(),
         "b3_psi": _psi_oracle_sql(),
+        "b30_pagerank": _pagerank_oracle_sql(),
+        "b20_pq": """
+            WITH comps AS (
+              SELECT vec_id AS id,
+                     CAST(floor((d - 1) / 8) AS INTEGER) AS s,
+                     (d - 1) % 8 AS dd,
+                     CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT) AS q
+              FROM (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+                       unnest(embedding) AS e
+                FROM embeddings
+              )
+            ),
+            seeds AS (
+              SELECT s, dd, q AS cq,
+                     dense_rank() OVER (PARTITION BY s ORDER BY id) - 1 AS code
+              FROM comps WHERE id IN (3, 47, 91, 135, 179, 223, 267, 311)
+            ),
+            edist AS (
+              SELECT c.id, c.s, sd.code,
+                     sum((c.q - sd.cq) * (c.q - sd.cq)) AS dist
+              FROM comps c JOIN seeds sd ON sd.s = c.s AND sd.dd = c.dd
+              GROUP BY c.id, c.s, sd.code
+            ),
+            enc AS (
+              SELECT id, s, code FROM (
+                SELECT id, s, code,
+                       row_number() OVER (PARTITION BY id, s
+                                          ORDER BY dist, code) AS rn
+                FROM edist
+              ) WHERE rn = 1
+            ),
+            qtable AS (
+              SELECT id AS query_id, s, code, dist AS td
+              FROM edist WHERE id < 4
+            ),
+            scored AS (
+              SELECT qt.query_id, e.id AS neighbor_id,
+                     CAST(sum(qt.td) AS BIGINT) AS approx_dist
+              FROM enc e JOIN qtable qt ON qt.s = e.s AND qt.code = e.code
+              WHERE qt.query_id <> e.id
+              GROUP BY qt.query_id, e.id
+            )
+            SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+              SELECT query_id, neighbor_id, approx_dist,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY approx_dist, neighbor_id)
+                       AS rnk
+              FROM scored
+            ) WHERE rnk <= 10
+        """,
+        "b19_sorted_neighborhood": """
+            WITH corpus AS (
+              SELECT p_partkey, p_name FROM part
+              UNION ALL
+              SELECT p_partkey + 1000000 AS p_partkey,
+                     substr(p_name, 1, 4) || 'x' || substr(p_name, 6) AS p_name
+              FROM part WHERE p_partkey % 9 = 0
+            ),
+            b AS (
+              SELECT p_partkey AS id, p_name AS k,
+                     substr(p_name, 1, 2) AS blk
+              FROM corpus
+            ),
+            leads AS (
+              SELECT id, k,
+                     lead(id, 1) OVER w AS nid1, lead(k, 1) OVER w AS nk1,
+                     lead(id, 2) OVER w AS nid2, lead(k, 2) OVER w AS nk2,
+                     lead(id, 3) OVER w AS nid3, lead(k, 3) OVER w AS nk3,
+                     lead(id, 4) OVER w AS nid4, lead(k, 4) OVER w AS nk4
+              FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+            ),
+            cand AS (
+              SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
+                     k AS ka, nk AS kb
+              FROM (
+                SELECT id, k,
+                       unnest([nid1, nid2, nid3, nid4]) AS nid,
+                       unnest([nk1, nk2, nk3, nk4]) AS nk
+                FROM leads
+              ) WHERE nid IS NOT NULL
+            )
+            SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(ka, kb) <= 1
+        """,
         "b19_fuzzy_join": """
             WITH corpus AS (
               SELECT p_partkey, p_name FROM part

@@ -696,3 +696,73 @@ def psi_drift(
         "psi_term",
         F.round(F.sum("__t8").over(wall) / 1e8, 6).alias("psi_total"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: tuple[int, int] = (17, 20),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-iteration PageRank with bit-exact cross-engine replay —
+    link-style authority scoring over any directed edge relation
+    (``src``, ``dst`` columns).
+
+    The classic float recurrence is unreplayable (sum order); this
+    variant keeps every rank an integer number of ``1/scale`` units:
+    damping is the rational ``num/den`` (default 17/20 = 0.85), each
+    node's per-edge share is the exact floor division
+    ``(r·num) div (den·outdeg)``, and the teleport base is
+    ``(scale·(den−num)) div den``. Floor losses mean total mass is not
+    exactly conserved (deterministically sub-conserved) and dangling
+    nodes leak their mass — both documented properties of this
+    deterministic variant, shared by the SQL oracle.
+
+    Scale shape: per iteration one equi-join of ranks onto edges (both
+    keyed by ``src`` — co-partitioned after the first shuffle) + one
+    keyed sum on ``dst`` with map-side combine. The edge relation and
+    out-degrees are localCheckpoint'd once (multi-referenced bounded
+    inputs — the repo's iterative-consumer rule). Quotients stay exact
+    in the double division as long as rank units < 2^53 (≈9e15 — holds
+    to ~10^9 nodes at the default scale).
+
+    Output: ``(node_id, rank_units bigint)`` — one row per node that
+    appears in any edge.
+    """
+    num, den = damping
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    base = (scale * (den - num)) // den
+
+    def fdiv(a, b):
+        return ((a - ((a % b + b) % b)) / b).cast("long")
+
+    ranks = nodes.withColumn("__r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        shares = (
+            ranks.join(outdeg, ranks["node_id"] == outdeg["src"])
+            .select(
+                F.col("src"),
+                fdiv(F.col("__r") * num, F.lit(den) * F.col("__od")).alias("__share"),
+            )
+        )
+        inflow = (
+            e.join(shares, "src")
+            .groupBy("dst")
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = nodes.join(
+            inflow, nodes["node_id"] == inflow["dst"], "left"
+        ).select(
+            "node_id",
+            (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long")
+            .alias("__r"),
+        )
+    return ranks.select("node_id", F.col("__r").alias("rank_units"))

@@ -1114,3 +1114,76 @@ def fuzzy_self_join(
         .filter(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 5,
+    block_chars: int = 2,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (the classic SNM alternative
+    to LSH/q-gram blocking): sort records by a blocking key, slide a
+    fixed window, and emit only window-mate pairs — O(n·w) candidates
+    instead of O(n²).
+
+    Distributed shape: records first split into prefix blocks
+    (``block_chars`` leading chars of the key), the window slides
+    WITHIN each block — so the sort is per-block (hash-partitioned by
+    block, never a global single-partition window) and scales out with
+    executors. The price is the documented SNM recall characteristic:
+    a true pair whose keys diverge inside the block prefix is missed
+    (exactly the multi-pass/varied-key trade-off from the record-
+    linkage literature — run a second pass with a different key to
+    recover). Ties sort by id for full determinism.
+
+    ``max_dist`` adds the exact ``levenshtein`` verify on the key, so
+    the output is verified matches ``(id_a < id_b, dist)``; without it
+    the raw candidate pairs come back unverified (``dist`` NULL).
+
+    Output: ``(id_a, id_b, dist bigint)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__k"),
+        F.substring(F.col(key_col), 1, block_chars).alias("__blk"),
+    )
+    w = Window.partitionBy("__blk").orderBy(F.col("__k").asc(), F.col("__id").asc())
+    leads = base.select(
+        "__id",
+        "__k",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("__id", j).over(w).alias("nid"),
+                    F.lead("__k", j).over(w).alias("nk"),
+                )
+                for j in range(1, window)
+            ]
+        ).alias("__mates"),
+    )
+    pairs = (
+        leads.select("__id", "__k", F.explode("__mates").alias("m"))
+        .filter(F.col("m.nid").isNotNull())
+        .select(
+            F.least(F.col("__id"), F.col("m.nid")).alias("id_a"),
+            F.greatest(F.col("__id"), F.col("m.nid")).alias("id_b"),
+            F.col("__k").alias("__ka"),
+            F.col("m.nk").alias("__kb"),
+        )
+    )
+    if max_dist is None:
+        return pairs.select(
+            "id_a", "id_b", F.lit(None).cast("bigint").alias("dist")
+        )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein(F.col("__ka"), F.col("__kb")).cast("bigint")
+        )
+        .filter(F.col("dist") <= max_dist)
+        # no distinct needed: the forward-only window emits each
+        # unordered pair at most once (ids are unique per block)
+        .select("id_a", "id_b", "dist")
+    )

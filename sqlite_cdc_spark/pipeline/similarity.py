@@ -944,3 +944,112 @@ def kmeans_exact(
         .select(id_col, "cluster_id")
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
     )
+
+
+#: fixed corpus rows whose subvectors seed the PQ codebooks (the
+#: deterministic stand-in for trained codebooks — same policy as
+#: IVF_SEED_CENTROIDS)
+PQ_SEED_IDS = (3, 47, 91, 135, 179, 223, 267, 311)
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+    seed_ids=PQ_SEED_IDS,
+    quant: int = 1000,
+) -> DataFrame:
+    """Product-quantization ANN top-k — the memory-compression scale
+    path: each vector is stored as ``m`` small codes (one per
+    d/m-dim subspace) instead of ``d`` floats, and queries score
+    against codes via an asymmetric-distance table (ADC). At 100 TB
+    this is what makes the index FIT: 64 floats → 8 codes is a 32×
+    shrink, codes live co-partitioned with the corpus, and the scan
+    cost per point is m table lookups + an integer sum.
+
+    Deterministic / oracle-able: codebooks are the subvectors of
+    ``seed_ids`` corpus rows (fixed rows, the stand-in for trained
+    codebooks — swap in :func:`kmeans_exact` per subspace to train for
+    real); all distances are integer sums over floor-quantized
+    components; encode ties break to the lowest code id, ranking ties
+    to the lowest neighbor id. The approximation is WHERE it looks
+    (quantized cells), never any float nondeterminism.
+
+    Plan: encode = posexplode → broadcast-join the m·|codebook| seed
+    component table → per-(row, subspace) argmin (window over
+    |codebook| rows); query ADC table is |queries|·m·|codebook| rows,
+    broadcast; scoring joins codes to the table on (subspace, code) —
+    an equi-join, map-side only — then sums the m partial distances
+    per (query, point) and takes top-k per query.
+
+    Output: ``(query_id, neighbor_id, approx_dist bigint, rnk)``.
+    """
+    sub = dim // m
+
+    def comps(df: DataFrame, out_id: str) -> DataFrame:
+        """(id, s, d, q): floor-quantized component per subspace."""
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.posexplode(as_double(vec_col)).alias("__d", "__v"),
+            )
+            .select(
+                out_id,
+                (F.col("__d") / sub).cast("int").alias("s"),
+                (F.col("__d") % sub).alias("d"),
+                F.floor(F.col("__v") * quant).cast("long").alias("q"),
+            )
+        )
+
+    seeds = (
+        comps(corpus.filter(F.col(id_col).isin(list(seed_ids))), "sid")
+        .withColumn(
+            "code",
+            F.dense_rank().over(Window.partitionBy("s").orderBy("sid")) - 1,
+        )
+        .select("s", "d", "code", F.col("q").alias("cq"))
+    )
+
+    def encode(df: DataFrame, out_id: str) -> DataFrame:
+        dists = (
+            comps(df, out_id)
+            .join(F.broadcast(seeds), ["s", "d"])
+            .groupBy(out_id, "s", "code")
+            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
+        )
+        w = Window.partitionBy(out_id, "s").orderBy(
+            F.col("dist").asc(), F.col("code").asc()
+        )
+        return (
+            dists.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select(out_id, "s", "code")
+        )
+
+    codes = encode(corpus, "neighbor_id")
+    # ADC table: exact integer distance from each query subvector to
+    # every codebook centroid — |queries|·m·|codebook| rows, broadcast
+    qtable = (
+        comps(queries, "query_id")
+        .join(F.broadcast(seeds), ["s", "d"])
+        .groupBy("query_id", "s", "code")
+        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("td"))
+    )
+    scored = (
+        codes.join(F.broadcast(qtable), ["s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("td").alias("approx_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    )

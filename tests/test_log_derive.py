@@ -392,3 +392,28 @@ def test_groupwise_ols_known_line(spark):
     assert got["g1"].intercept == 1.0
     assert got["g1"].r2 == 1.0
     assert got["g2"].slope is None and got["g2"].r2 is None
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from sqlite_cdc_spark.derive import pagerank
+
+    # undirected star: hub 0 ↔ leaves 1..5 — hub must outrank all leaves,
+    # leaves tie exactly (identical integer updates)
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node_id: r.rank_units for r in pagerank(df, iters=3).collect()}
+    assert len(got) == 6
+    leaf_ranks = {got[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1
+    assert got[0] > leaf_ranks.pop()
+
+
+def test_pagerank_dangling_node_keeps_teleport_base(spark):
+    from sqlite_cdc_spark.derive import pagerank
+
+    # 1 → 2 only: node 2 has no out-edges (dangling) — its mass leaks by
+    # design; node 2 still accumulates node 1's share, node 1 ends at base
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {r.node_id: r.rank_units for r in pagerank(df, iters=2).collect()}
+    assert got[1] == 150000  # teleport base only
+    assert got[2] > got[1]

@@ -927,3 +927,70 @@ def test_kmeans_exact_empty_cluster_keeps_centroid(spark):
     assert len(got) == 6
     assert {r.cluster_id for r in got} == {0}
     assert all(r.cluster_size == 6 for r in got)
+
+
+def test_sorted_neighborhood_finds_prefix_stable_typos(spark):
+    rows = [
+        (1, "apple pie crust"),
+        (2, "apple pie crusx"),   # typo past the block prefix → found
+        (3, "banana bread mix"),
+        (4, "xanana bread mix"),  # typo IN the block prefix → missed (SNM trade-off)
+        (5, "cherry cake base"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.sorted_neighborhood_pairs(
+            df, "id", "name", window=3, block_chars=2, max_dist=1
+        ).collect()
+    }
+    assert (1, 2) in got
+    assert (3, 4) not in got
+
+
+def test_sorted_neighborhood_candidates_bounded_by_window(spark):
+    # identical keys: n rows in one block → each row pairs with the
+    # next w-1 only, so candidates = sum over i of min(w-1, n-1-i)
+    df = spark.createDataFrame([(i, "same key") for i in range(10)], ["id", "name"])
+    cand = dedup.sorted_neighborhood_pairs(df, "id", "name", window=4).collect()
+    assert len(cand) == 9 + 9 + 9 - 1 - 2  # 3*(10-1) - (2+1) = 24
+    assert all(r.dist is None for r in cand)
+
+
+def test_pq_ann_recall_against_exact(spark, sf_dir):
+    from sqlite_cdc_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qs, k=10).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_topk_pq(emb, qs, k=10).collect()
+    }
+    # PQ with 8 seed codebooks is coarse; demand it still recovers a
+    # reasonable share of the true neighbors (and is non-degenerate)
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.2, f"PQ recall collapsed: {recall}"
+    assert len(pq) == 40
+
+
+def test_pq_codes_compress_and_rank_deterministically(spark):
+    rows = [(i, [float((i * 31 + j * 7) % 13) for j in range(16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter(F.col("vec_id") < 2)
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.approx_dist, r.rnk)
+        for r in similarity.ann_topk_pq(
+            df.repartition(1), qs, k=5, m=4, dim=16, seed_ids=(0, 5, 11)
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.approx_dist, r.rnk)
+        for r in similarity.ann_topk_pq(
+            df.repartition(7), qs, k=5, m=4, dim=16, seed_ids=(0, 5, 11)
+        ).collect()
+    )
+    assert a == b and len(a) == 10
