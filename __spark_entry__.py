@@ -3320,6 +3320,48 @@ def q_b30_pagerank(spark, sf_dir):
     )
 
 
+def q_b30_triangles(spark, sf_dir):
+    """Triangle counting + local clustering coefficient (B30 graph
+    depth) over the user co-activity graph: users who share ≥ 5
+    distinct (event_type, hour) activity buckets are linked; the
+    ordered-wedge join counts each triangle a<b<c exactly once
+    (forward-degree bound = the classic hub-skew guard), then each
+    corner is credited via one explode + keyed sum. cc from exact
+    integers, rounded at 6 (derive.py: triangle_stats). Edge build is
+    an equi-join on the bucket — hot buckets are the C(n,2) cost, AQE
+    splits them."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    co = (
+        ev.alias("a")
+        .join(
+            ev.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+    )
+    return derive.triangle_stats(co)
+
+
+def q_b30_kneser_ney(spark, sf_dir):
+    """Kneser–Ney smoothed bigram LM (B30 LM depth) — absolute
+    discounting + continuation-count backoff, the smoothing the
+    interpolated add-k bigram scorer (b30_bigram_xent) approximates.
+    D = 0.75 is exactly representable, every count is integer, and the
+    ratio tree is mirrored verbatim in the oracle, so all probability
+    columns replay bit-for-bit (lm.py: kneser_ney_bigrams)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.kneser_ney_bigrams(docs, "doc_id")
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -3685,6 +3727,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_sorted_neighborhood": q_b19_sorted_neighborhood,
         "b20_pq": q_b20_pq,
         "b30_pagerank": q_b30_pagerank,
+        "b30_triangles": q_b30_triangles,
+        "b30_kneser_ney": q_b30_kneser_ney,
     }
 
 
@@ -6507,6 +6551,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
         """,
+        "b30_kneser_ney": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            occ AS (
+              SELECT toks[i] AS a, toks[i + 1] AS b
+              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+            ),
+            bg AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+              FROM occ GROUP BY a, b
+            ),
+            ctx AS (
+              SELECT a, CAST(sum(cnt) AS BIGINT) AS ca,
+                     CAST(count(*) AS BIGINT) AS n1f
+              FROM bg GROUP BY a
+            ),
+            bwd AS (
+              SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY b
+            ),
+            nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bg)
+            SELECT bg.a, bg.b, cnt,
+                   round(greatest(cnt - 0.75, 0.0) / CAST(ca AS DOUBLE)
+                         + ((0.75 * n1f) / CAST(ca AS DOUBLE))
+                           * (n1b / CAST(nbt AS DOUBLE)), 6) AS p_kn,
+                   round((0.75 * n1f) / CAST(ca AS DOUBLE), 6) AS lam,
+                   round(n1b / CAST(nbt AS DOUBLE), 6) AS p_cont
+            FROM bg JOIN ctx ON ctx.a = bg.a
+                    JOIN bwd ON bwd.b = bg.b
+                    CROSS JOIN nbt
+        """,
         "b30_bigram_xent": f"""
             WITH tk AS (
               SELECT doc_id,
@@ -6846,6 +6924,45 @@ def oracle_sql() -> dict[str, str]:
         "b20_kmeans": _kmeans_oracle_sql(),
         "b3_psi": _psi_oracle_sql(),
         "b30_pagerank": _pagerank_oracle_sql(),
+        "b30_triangles": """
+            WITH ev AS (
+              SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS h
+              FROM events
+            ),
+            e AS (
+              SELECT a.user_id AS src, b.user_id AS dst
+              FROM ev a JOIN ev b
+                ON a.event_type = b.event_type AND a.h = b.h
+                   AND a.user_id < b.user_id
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            deg AS (
+              SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT src AS node_id FROM e
+                UNION ALL SELECT dst FROM e
+              ) GROUP BY node_id
+            ),
+            tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM e e1
+              JOIN e e2 ON e2.src = e1.dst
+              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            ),
+            corner AS (
+              SELECT node_id, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT unnest([a, b, c]) AS node_id FROM tri
+              ) GROUP BY node_id
+            )
+            SELECT deg.node_id, degree,
+                   COALESCE(triangles, 0) AS triangles,
+                   CASE WHEN degree >= 2 THEN
+                     round(2.0 * COALESCE(triangles, 0)
+                           / (CAST(degree AS DOUBLE)
+                              * (CAST(degree AS DOUBLE) - 1.0)), 6)
+                   ELSE 0.0 END AS cc
+            FROM deg LEFT JOIN corner ON corner.node_id = deg.node_id
+        """,
         "b20_pq": """
             WITH comps AS (
               SELECT vec_id AS id,

@@ -766,3 +766,55 @@ def pagerank(
             .alias("__r"),
         )
     return ranks.select("node_id", F.col("__r").alias("rank_units"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected graph given as canonical edges (``src < dst``, distinct)
+    — the graph-structure audit (community density, abnormal cliques)
+    companion to :func:`pagerank`.
+
+    Algorithm: the standard ordered-wedge join — because every edge is
+    stored once with ``src < dst``, each triangle ``a<b<c`` is produced
+    exactly once by e₁(a,b) ⋈ e₂(b,c) ⋈ e₃(a,c), so no /6 correction
+    and no double counting. Cost is Σ_b deg⁺(b)² wedge rows (the
+    ordering bounds it by the FORWARD degree, the classic skew guard:
+    a hub's wedges are counted at its low-degree neighbors). Each
+    found triangle then credits all three corners via one explode +
+    keyed sum; cc(v) = 2·t(v)/(deg(v)·(deg(v)−1)) from exact integers.
+
+    Scale shape: two equi-joins (shuffle on the join key each — AQE
+    splits hot vertices) + one keyed count; the edge relation is
+    multi-referenced so it is localCheckpoint'd once. Output:
+    ``(node_id, degree bigint, triangles bigint, cc double)`` for
+    every node with ≥ 1 edge.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    deg = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    corner = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node_id")
+    ).groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(corner, "node_id", "left")
+        .select(
+            "node_id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("triangles", F.lit(0)) / (d * (d - 1.0)), 6
+                ),
+            ).otherwise(F.lit(0.0)).alias("cc"),
+        )
+    )

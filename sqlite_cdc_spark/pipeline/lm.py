@@ -589,3 +589,56 @@ def update_unigram_counts(
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Kneser–Ney smoothed bigram probabilities — the standard n-gram
+    smoothing (continuation counts instead of raw frequency for the
+    backoff, absolute discounting for the MLE mass) behind every
+    KenLM-style corpus LM:
+
+        p_kn(b|a) = max(c(a,b) − D, 0)/c(a·)
+                    + [D·N1+(a·)/c(a·)] · [N1+(·b)/N1+(··)]
+
+    with D the absolute discount (default 0.75 — exactly representable
+    in binary, so the arithmetic replays cross-engine), c(a·) the
+    context total, N1+(a·)/N1+(·b) the distinct forward/backward
+    continuation type counts, N1+(··) total bigram types. Everything up
+    to the final ratios is integer; the ratio tree is written the same
+    way in the SQL oracle, so values are bit-identical without any ln.
+
+    Scale: one bigram-count agg (map-side combinable) + two keyed type
+    counts + a 1-row type-total broadcast; the bigram table is
+    multi-referenced so it is localCheckpoint'd once.
+
+    Output: ``(a, b, cnt, p_kn, lam, p_cont)`` for every bigram type.
+    """
+    D = discount
+    bg = bigram_counts(df, id_col, text_col).localCheckpoint()
+    ctx = bg.groupBy("a").agg(
+        F.sum("cnt").alias("__ca"), F.count(F.lit(1)).alias("__n1f")
+    )
+    bwd = bg.groupBy("b").agg(F.count(F.lit(1)).alias("__n1b"))
+    nbt = bg.agg(F.count(F.lit(1)).alias("__nbt"))
+    ca = F.col("__ca").cast("double")
+    mle = F.greatest(F.col("cnt") - F.lit(D), F.lit(0.0)) / ca
+    lam = (F.lit(D) * F.col("__n1f")) / ca
+    p_cont = F.col("__n1b") / F.col("__nbt").cast("double")
+    return (
+        bg.join(ctx, "a")
+        .join(bwd, "b")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "a",
+            "b",
+            "cnt",
+            F.round(mle + lam * p_cont, 6).alias("p_kn"),
+            F.round(lam, 6).alias("lam"),
+            F.round(p_cont, 6).alias("p_cont"),
+        )
+    )

@@ -435,3 +435,43 @@ def test_doc_cross_entropy_rejects_unsmoothed_external_lm(spark):
         lm.doc_cross_entropy(df, "doc_id", add_k=0, lm=model)
     # self-scoring with add_k=0 stays legal (cnt >= 1 for every token)
     assert lm.doc_cross_entropy(df, "doc_id", add_k=0).count() == 1
+
+
+def test_kneser_ney_probabilities_sum_to_one_per_context(spark):
+    from sqlite_cdc_spark.pipeline import lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "b a b c a b")], ["doc_id", "text"]
+    )
+    rows = lm.kneser_ney_bigrams(df, "doc_id").collect()
+    # KN is a proper distribution: for every context a, sum over OBSERVED
+    # b of the discounted MLE mass + lambda spread over ALL continuations
+    # means observed-b p_kn sums to <= 1 and > the pure MLE-discount sum
+    import collections
+
+    by_ctx = collections.defaultdict(list)
+    for r in rows:
+        by_ctx[r.a].append(r)
+    for a, rs in by_ctx.items():
+        s = sum(r.p_kn for r in rs)
+        assert s <= 1.0 + 1e-6, f"context {a} oversums: {s}"
+        assert all(r.p_kn > 0 for r in rs)
+    # continuation prob must be shared per b across contexts
+    by_b = collections.defaultdict(set)
+    for r in rows:
+        by_b[r.b].add(r.p_cont)
+    assert all(len(v) == 1 for v in by_b.values())
+
+
+def test_kneser_ney_continuation_beats_frequency_for_bursty_token(spark):
+    from sqlite_cdc_spark.pipeline import lm
+
+    # "francisco" is frequent but only ever follows "san" (1 continuation
+    # context); "common" follows many contexts — classic KN motivation:
+    # p_cont(common) > p_cont(francisco) despite lower raw frequency
+    text1 = "san francisco " * 6
+    text2 = "a common b common c common d common"
+    df = spark.createDataFrame([(1, text1), (2, text2)], ["doc_id", "text"])
+    rows = lm.kneser_ney_bigrams(df, "doc_id").collect()
+    pc = {r.b: r.p_cont for r in rows}
+    assert pc["common"] > pc["francisco"]

@@ -417,3 +417,26 @@ def test_pagerank_dangling_node_keeps_teleport_base(spark):
     got = {r.node_id: r.rank_units for r in pagerank(df, iters=2).collect()}
     assert got[1] == 150000  # teleport base only
     assert got[2] > got[1]
+
+
+def test_triangle_stats_known_graph(spark):
+    from sqlite_cdc_spark.derive import triangle_stats
+
+    # triangle 1-2-3, plus pendant edge 3-4
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    got = {r.node_id: (r.degree, r.triangles, r.cc) for r in triangle_stats(df).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_triangle_stats_two_shared_edge_triangles(spark):
+    from sqlite_cdc_spark.derive import triangle_stats
+
+    # K4 minus one edge (1-4): triangles 123 and 234... build 1-2,1-3,2-3,2-4,3-4
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    got = {r.node_id: r.triangles for r in triangle_stats(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
