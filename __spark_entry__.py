@@ -3362,6 +3362,66 @@ def q_b30_kneser_ney(spark, sf_dir):
     return lm.kneser_ney_bigrams(docs, "doc_id")
 
 
+def q_b11_ewma(spark, sf_dir):
+    """Trailing EWMA per user over the event stream (B11 window
+    depth): the α=1/2 recurrence in its bounded-memory 8-term form —
+    power-of-two weights make the statistic a ratio of two integer
+    window sums, one pure-codegen window pass, engine-exact (derive.py:
+    trailing_ewma)."""
+    ev = _t(spark, sf_dir, "events")
+    return derive.trailing_ewma(
+        ev, "user_id", ["ts", "event_id"], "value"
+    ).select("user_id", "event_id", "ewma")
+
+
+def q_b15_rfm(spark, sf_dir):
+    """RFM user segmentation (B15 behavioral depth): recency /
+    frequency / monetary quintiles with id tie-breaks over the
+    per-user relation (bounded — never a window over the raw stream);
+    monetary in exact integer cents (derive.py: rfm_segments)."""
+    ev = _t(spark, sf_dir, "events")
+    return derive.rfm_segments(ev)
+
+
+def q_b30_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (B30 depth — b21_bpe_pairs is the
+    training-statistics half): per-doc symbol counts after applying an
+    ordered merge list, entirely in JVM codegen — wrapped-symbol
+    strings + one literal replace per merge reproduce greedy BPE pass
+    semantics exactly, so the oracle unrolls the same replace chain.
+    Fixed demo merges (trained-table stand-in, same policy as the PQ
+    seed codebooks); bpe_train_merges supplies real ones (lm.py:
+    bpe_encode_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bpe_encode_stats(docs, "doc_id")
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB replay of q_b30_bpe_encode: identical wrapped-symbol
+    replace chain per merge, in order."""
+    s = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
+    for x, y in lm.BPE_DEMO_MERGES:
+        s = f"replace({s}, ' {x}  {y} ', ' {x}{y} ')"
+    return f"""
+        WITH words AS (
+          SELECT doc_id, unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS w
+          FROM documents
+        ),
+        enc AS (
+          SELECT doc_id, length(w) AS n_chars,
+                 len(string_split(trim({s}), '  ')) AS n_toks
+          FROM words
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               round(sum(n_chars) / CAST(sum(n_toks) AS DOUBLE), 6)
+                 AS compression
+        FROM enc GROUP BY doc_id
+    """
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -3379,6 +3439,30 @@ def q_b3_psi(spark, sf_dir):
         ev.filter(F.col("ts") >= mid).select("value"),
         "value",
     )
+
+
+def _ewma_oracle_sql(n_terms: int = 8, quant: int = 100) -> str:
+    """DuckDB replay of q_b11_ewma: identical integer lag-sum ratio."""
+    num = " + ".join(
+        f"COALESCE(lag(qv, {j}) OVER w * {2 ** (n_terms - 1 - j)}, 0)"
+        for j in range(n_terms)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(qv, {j}) OVER w IS NOT NULL"
+        f" THEN {2 ** (n_terms - 1 - j)} ELSE 0 END"
+        for j in range(n_terms)
+    )
+    return f"""
+        WITH q AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(value * {quant}) AS BIGINT) AS qv
+          FROM events
+        )
+        SELECT user_id, event_id,
+               round(({num}) / (({den}) * {float(quant)}), 6) AS ewma
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
 
 
 def _pagerank_oracle_sql(iters: int = 3) -> str:
@@ -3729,6 +3813,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_pagerank": q_b30_pagerank,
         "b30_triangles": q_b30_triangles,
         "b30_kneser_ney": q_b30_kneser_ney,
+        "b11_ewma": q_b11_ewma,
+        "b15_rfm": q_b15_rfm,
+        "b30_bpe_encode": q_b30_bpe_encode,
     }
 
 
@@ -6924,6 +7011,30 @@ def oracle_sql() -> dict[str, str]:
         "b20_kmeans": _kmeans_oracle_sql(),
         "b3_psi": _psi_oracle_sql(),
         "b30_pagerank": _pagerank_oracle_sql(),
+        "b11_ewma": _ewma_oracle_sql(),
+        "b30_bpe_encode": _bpe_oracle_sql(),
+        "b15_rfm": """
+            WITH ref AS (SELECT max(ts) AS r FROM events),
+            per AS (
+              SELECT user_id,
+                     date_diff('day', CAST(max(ts) AS DATE),
+                               CAST((SELECT r FROM ref) AS DATE)) AS rec_days,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS m_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, rec_days, n_events, m_cents, r, f, m,
+                   CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+                     || CAST(m AS VARCHAR) AS segment
+            FROM (
+              SELECT user_id, rec_days, n_events, m_cents,
+                     ntile(5) OVER (ORDER BY rec_days, user_id) AS r,
+                     ntile(5) OVER (ORDER BY n_events DESC, user_id) AS f,
+                     ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS m
+              FROM per
+            )
+        """,
         "b30_triangles": """
             WITH ev AS (
               SELECT DISTINCT user_id, event_type,

@@ -818,3 +818,106 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("cc"),
         )
     )
+
+
+def trailing_ewma(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    n_terms: int = 8,
+    quant: int = 100,
+) -> DataFrame:
+    """Exponentially-weighted trailing average per key — the smoothed
+    per-entity signal (rate limiting, anomaly baselines) usually
+    written as the EWMA recurrence ``s_t = α·v_t + (1−α)·s_{t−1}``,
+    which is unreplayable in floats and unwindowable in SQL. This is
+    the bounded-memory form: α = 1/2 over the last ``n_terms``
+    observations, so the weights are exact powers of two and the whole
+    statistic is a ratio of two INTEGER window sums:
+
+        ewma_t = Σ_j q(v_{t−j})·2^(n−1−j) / (quant · Σ_j 2^(n−1−j))
+
+    (terms missing at a partition head simply drop out of both sums).
+    One window pass, pure codegen — ``n_terms`` lag() calls over the
+    same (key, order) window frame, no shuffle beyond the partitioning
+    one, replays bit-for-bit on any engine.
+
+    Output: input key/order columns + ``ewma`` (double, rounded 6).
+    """
+    from pyspark.sql import Window as _W
+
+    qv = F.floor(F.col(value_col) * quant).cast("long")
+    w = _W.partitionBy(part_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(n_terms):
+        lagged = F.lag(qv, j).over(w)
+        wt = 2 ** (n_terms - 1 - j)
+        num = num + F.when(lagged.isNotNull(), lagged * wt).otherwise(0)
+        den = den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(0)
+    return df.select(
+        part_col,
+        *order_cols,
+        F.round(num / (den * F.lit(float(quant))), 6).alias("ewma"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic behavioral scoring read off an event stream.
+
+    Per user: days since last activity (calendar datediff against the
+    stream's max timestamp — a 1-row broadcast), event count, and
+    monetary total in exact integer cents (per-event floor
+    quantization, then an integer sum — never a float sum). Scores are
+    ``ntile(n_tiles)`` over the per-user relation with id tie-breaks
+    (deterministic; both engines share the equal-buckets/remainder-to-
+    front ntile definition), r=1 meaning most recent, f=1/m=1 meaning
+    most active/valuable. The global ntile windows run over the
+    PER-USER relation — |users| rows, orders of magnitude smaller than
+    the stream — the same bounded-relation rule as the quantile edges
+    in :func:`psi_drift`.
+
+    Output: ``(user_id, rec_days, n_events, m_cents, r, f, m,
+    segment)`` with segment the concatenated "rfm" digit string.
+    """
+    from pyspark.sql import Window as _W
+
+    ref = events.agg(F.max(F.col(ts_col)).alias("__ref"))
+    per = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(F.col(ts_col)).alias("__last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col(value_col) * 100).cast("long")).alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("__ref"), F.to_date("__last")).alias("rec_days"),
+            "n_events",
+            "m_cents",
+        )
+    )
+    r_w = _W.orderBy(F.col("rec_days").asc(), F.col("user_id").asc())
+    f_w = _W.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    m_w = _W.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
+    return per.select(
+        "user_id",
+        "rec_days",
+        "n_events",
+        "m_cents",
+        F.ntile(n_tiles).over(r_w).alias("r"),
+        F.ntile(n_tiles).over(f_w).alias("f"),
+        F.ntile(n_tiles).over(m_w).alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
+    )

@@ -642,3 +642,103 @@ def kneser_ney_bigrams(
             F.round(p_cont, 6).alias("p_cont"),
         )
     )
+
+
+#: fixed demonstration merge list for the registered BPE query — the
+#: deterministic stand-in for a trained merge table (same policy as the
+#: PQ/IVF seed codebooks); includes multi-level merges (ta+b, tab+le)
+#: so the ordered application path is genuinely exercised
+BPE_DEMO_MERGES = (
+    ("t", "a"), ("b", "l"), ("l", "e"), ("ta", "b"), ("tab", "le"),
+    ("v", "a"), ("va", "l"), ("r", "o"), ("ro", "w"), ("f", "a"),
+    ("fa", "s"), ("fas", "t"),
+)
+
+
+def bpe_train_merges(texts, n_merges: int = 32):
+    """Train a BPE merge list from an in-memory text sample (pure
+    Python, driver-side — the bounded-sample policy used for IVF
+    centroid training; at scale feed it ``df.limit(n).collect()``).
+    Deterministic: ties in pair frequency break lexicographically.
+    Returns the ordered merge list consumed by :func:`bpe_encode_stats`.
+    """
+    import collections
+    import re
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).split():
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in vocab.items():
+            c = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(best)
+        x, y = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    merges=BPE_DEMO_MERGES,
+) -> DataFrame:
+    """Apply a BPE merge list to every document and report per-doc
+    tokenization stats — the tokenizer-application half of the BPE
+    story (:func:`bpe_pair_counts` is the training-statistics half).
+
+    Entirely JVM-side codegen, no Python in the hot path: each word
+    becomes a wrapped symbol string (``regexp_replace(w, '(.)',
+    ' $1 ')`` → every symbol wrapped in its own spaces, adjacent
+    symbols separated by exactly two spaces), and each merge (x, y) is
+    ONE literal ``replace(s, ' x  y ', ' xy ')`` — left-to-right,
+    non-overlapping, continuing after the replacement, which is
+    exactly greedy BPE pass semantics (the wrapped form makes the
+    shared-boundary case merge correctly: ' a  a  a  a ' → two 'aa'
+    symbols, not one). Merges apply in training order as in any BPE
+    encoder. The symbol count is then ``size(split(trim(s), '  '))``.
+
+    Scale shape: one word explode + a narrow map of |merges| chained
+    literal replaces + one keyed agg back to docs. A trained merge
+    table from :func:`bpe_train_merges` drops straight in.
+
+    Output: ``(id_col, n_words, n_chars, n_tokens, compression)`` —
+    compression = chars per emitted token, rounded 6.
+    """
+    words = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(text_col)).alias("__w"),
+    ).filter(F.col("__w") != "")
+    s = F.regexp_replace(F.col("__w"), "(.)", " $1 ")
+    for x, y in merges:
+        s = F.replace(s, F.lit(f" {x}  {y} "), F.lit(f" {x}{y} "))
+    toks = F.size(F.split(F.trim(s), "  "))
+    per_word = words.select(
+        "__doc", F.length("__w").alias("__chars"), toks.alias("__toks")
+    )
+    return per_word.groupBy(F.col("__doc").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__chars").cast("bigint").alias("n_chars"),
+        F.sum("__toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("__chars") / F.sum("__toks").cast("double"), 6
+        ).alias("compression"),
+    )

@@ -475,3 +475,58 @@ def test_kneser_ney_continuation_beats_frequency_for_bursty_token(spark):
     rows = lm.kneser_ney_bigrams(df, "doc_id").collect()
     pc = {r.b: r.p_cont for r in rows}
     assert pc["common"] > pc["francisco"]
+
+
+def test_bpe_train_merges_learns_frequent_pair_first(spark):
+    from sqlite_cdc_spark.pipeline import lm
+
+    merges = lm.bpe_train_merges(["aaab aaab aaab cd"], n_merges=3)
+    # (a,a) dominates; after merge1 words are [aa,a,b]: pairs
+    # (aa,a)=3 and (a,b)=3 tie → deterministic break to the
+    # lexicographically largest pair → ('aa','a')
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("aa", "a")
+    assert merges[2] == ("aaa", "b")
+
+
+def test_bpe_encode_stats_matches_reference_scan(spark):
+    from sqlite_cdc_spark.pipeline import lm
+
+    def ref_encode(word, merges):
+        syms = list(word)
+        for x, y in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = [
+        (1, "table value row fast stable tablet"),
+        (2, "aaaa tataa blele fastfast"),
+        (3, "x tab le ta b"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: r for r in lm.bpe_encode_stats(df, "doc_id").collect()}
+    for doc_id, text in texts:
+        want_tokens = sum(len(ref_encode(w, lm.BPE_DEMO_MERGES)) for w in text.split())
+        assert got[doc_id].n_tokens == want_tokens, (doc_id, got[doc_id].n_tokens, want_tokens)
+        assert got[doc_id].n_chars == sum(len(w) for w in text.split())
+
+
+def test_bpe_trained_merges_compress_better_than_none(spark):
+    from sqlite_cdc_spark.pipeline import lm
+
+    texts = ["table table stable tablet value fast row"] * 3
+    merges = lm.bpe_train_merges(texts, n_merges=8)
+    df = spark.createDataFrame([(1, texts[0])], ["doc_id", "text"])
+    with_m = lm.bpe_encode_stats(df, "doc_id", merges=merges).first()
+    without = lm.bpe_encode_stats(df, "doc_id", merges=()).first()
+    assert without.n_tokens == without.n_chars  # no merges = chars
+    assert with_m.n_tokens < without.n_tokens
+    assert with_m.compression > 1.0

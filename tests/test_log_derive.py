@@ -440,3 +440,40 @@ def test_triangle_stats_two_shared_edge_triangles(spark):
     )
     got = {r.node_id: r.triangles for r in triangle_stats(df).collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_trailing_ewma_weights_recent_heavier(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.derive import trailing_ewma
+
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1, 0, i), float(v))
+        for i, v in enumerate([0.0, 0.0, 0.0, 10.0])
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    got = {r.event_id: r.ewma for r in trailing_ewma(df, "user_id", ["ts", "event_id"], "value").collect()}
+    assert got[0] == 0.0 and got[1] == 0.0 and got[2] == 0.0
+    # last: weights 8,4,2,1 over values 10,0,0,0 → 80/15 ≈ 5.333333
+    assert got[3] == round(80 / 15 / 1, 6)
+
+
+def test_rfm_segments_orders_scores_correctly(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.derive import rfm_segments
+
+    rows = []
+    # user 1: recent, frequent, high value; user 2: stale, rare, low value
+    for i in range(10):
+        rows.append((100 + i, dt.datetime(2024, 1, 20, i), 1, "x", 50.0, "{}"))
+    rows.append((200, dt.datetime(2024, 1, 2, 0), 2, "x", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {r.user_id: r for r in rfm_segments(df, n_tiles=2).collect()}
+    assert got[1].r == 1 and got[2].r == 2
+    assert got[1].f == 1 and got[2].f == 2
+    assert got[1].m == 1 and got[2].m == 2
+    assert got[1].segment == "111" and got[2].segment == "222"
+    assert got[1].m_cents == 10 * 5000 and got[2].m_cents == 100
