@@ -912,23 +912,24 @@ def update_clusters(
 
     ``labels`` is a prior :func:`dup_clusters` output (``doc_id,
     cluster_id, cluster_size`` — ``cluster_id`` is the component min, so
-    it is itself a member vertex). The merge builds a SUBGRAPH: the batch
-    pairs plus one virtual ``member → cluster_id`` edge for every member
-    of a cluster the batch touches — that pulls exactly the affected
-    components in, nothing else — and runs :func:`dup_clusters` on it.
-    Untouched clusters pass through unchanged. Cost ∝ |batch| + |members
-    of affected clusters| (two semi-join-shaped probes of the label
-    table), NOT ∝ |corpus pairs|: the same asymptotics as
-    :func:`query_lsh_index`, so the full CDC loop (probe candidates →
-    merge clusters) stays batch-bounded. Invariant (tested):
-    ``update_clusters(dup_clusters(P1), P2) == dup_clusters(P1 ∪ P2)``.
+    it is itself a member vertex). The merge CONTRACTS each batch
+    endpoint to its existing cluster root (left join through the label
+    table), runs connected components on the contracted graph — |batch|
+    edges over {touched roots} ∪ {brand-new ids}, NEVER ∝ cluster
+    membership — and re-expands with one equi-join (members of touched
+    clusters take their root's new label). Untouched clusters pass
+    through unchanged. Contraction preserves the canonical min label:
+    the old root IS the min member id, so the min over contracted
+    vertices is the min over all underlying members. Invariant
+    (tested): ``update_clusters(dup_clusters(P1), P2) ==
+    dup_clusters(P1 ∪ P2)``.
 
-    The label table is referenced THREE times (touched-cluster probe,
-    virtual-edge build, untouched pass-through) — when ``labels`` is a
-    live plan (a fresh :func:`dup_clusters` output) each reference would
-    replay its window-count + join tail, so it is ``localCheckpoint``-ed
-    once here. Pass ``materialize_labels=False`` when ``labels`` is
-    already a materialized table (parquet/checkpoint) to skip the copy.
+    The label table is referenced three times (two contraction sides,
+    expansion) — when ``labels`` is a live plan (a fresh
+    :func:`dup_clusters` output) each reference would replay its
+    window-count + join tail, so it is ``localCheckpoint``-ed once
+    here. Pass ``materialize_labels=False`` when ``labels`` is already
+    a materialized table (parquet/checkpoint) to skip the copy.
     """
     if materialize_labels:
         labels = labels.select(
@@ -939,39 +940,55 @@ def update_clusters(
         F.col("cluster_id").cast("long").alias("label"),
     )
     # The batch pair plan is typically a query_lsh_index probe (batch
-    # minhash ⋈ standing index) — referenced by the touched-cluster probe,
-    # the subgraph edges, and the subgraph's own vertex universe. One
-    # |batch|-row checkpoint beats recomputing the probe 3× (measured
-    # ~3× on the b19_incremental_clusters capstone at sf0.1).
+    # minhash ⋈ standing index) — referenced by the contraction join and
+    # the subgraph's own vertex universe. One |batch|-row checkpoint
+    # beats recomputing the probe per reference (measured ~3× on the
+    # b19_incremental_clusters capstone at sf0.1).
     e = new_pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     ).localCheckpoint()
-    touched = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    affected = lab.join(touched, "v").select("label").distinct()
-    virt = (
-        lab.join(affected, "label")
-        .filter(F.col("v") != F.col("label"))
-        .select(F.col("v").alias(id_a), F.col("label").alias(id_b))
-    )
-    # subgraph pairs = checkpointed batch pairs ∪ virtual star edges
-    # (cheap joins of checkpointed frames) — skip dup_clusters' input
-    # checkpoint and go straight to the shared CC tail: one fewer
-    # materialization job on the per-CDC-batch hot path
-    subpairs = e.unionByName(
-        virt.select(
-            F.col(id_a).cast("long").alias("src"),
-            F.col(id_b).cast("long").alias("dst"),
+    # CLUSTER CONTRACTION: map each batch endpoint through its existing
+    # label (cluster_id = the component-min member, itself a vertex), so
+    # connected components runs on the CONTRACTED graph — |batch| edges
+    # over {touched cluster roots} ∪ {brand-new ids} — instead of the
+    # earlier virtual-star subgraph whose size was ∝ touched-cluster
+    # MEMBERSHIP. At 100 TB a hot cluster can hold millions of members;
+    # contraction keeps the iterative CC strictly batch-bounded and
+    # re-expands membership with ONE equi-join afterwards.
+    sl = lab.select(F.col("v").alias("src"), F.col("label").alias("__sl"))
+    dl = lab.select(F.col("v").alias("dst"), F.col("label").alias("__dl"))
+    m = (
+        e.join(sl, "src", "left")
+        .join(dl, "dst", "left")
+        .select(
+            F.coalesce("__sl", F.col("src")).alias("src"),
+            F.coalesce("__dl", F.col("dst")).alias("dst"),
         )
     )
-    sub = _clusters_from_pairs(subpairs, max_iter, algorithm)
-    untouched = labels.select("doc_id", "cluster_id", "cluster_size").join(
-        sub.select("doc_id"), "doc_id", "left_anti"
+    sub = _clusters_from_pairs(m, max_iter, algorithm)
+    roots = sub.select(
+        F.col("doc_id").alias("__cv"), F.col("cluster_id").alias("__nl")
+    ).localCheckpoint()
+    # re-expansion: members of touched clusters take their root's new
+    # label; contracted vertices that were never an existing label are
+    # brand-new docs and label as themselves
+    expanded = lab.join(roots, lab["label"] == roots["__cv"]).select(
+        "v", F.col("__nl").alias("label")
     )
-    return untouched.unionByName(sub)
+    fresh = roots.join(
+        lab.select(F.col("label").alias("__cv")).distinct(), "__cv", "left_anti"
+    ).select(F.col("__cv").alias("v"), F.col("__nl").alias("label"))
+    merged = expanded.unionByName(fresh)
+    sizes = Window.partitionBy("label")
+    renewed = merged.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.count(F.lit(1)).over(sizes).cast("bigint").alias("cluster_size"),
+    )
+    untouched = labels.select("doc_id", "cluster_id", "cluster_size").join(
+        renewed.select("doc_id"), "doc_id", "left_anti"
+    )
+    return untouched.unionByName(renewed)
 
 
 def update_lsh_index(
