@@ -3422,6 +3422,169 @@ def _bpe_oracle_sql() -> str:
     """
 
 
+def q_b7_bloom_join(spark, sf_dir):
+    """Portable Bloom-filter semi-join reduction (B7 join depth) — the
+    explicit version of the runtime row-group pruning a 100 TB join
+    relies on: a 512-byte bitmap over BUILDING-segment customers
+    broadcasts and prunes orders BEFORE any shuffle; the audit compares
+    bloom-kept vs exact-semi-join-kept rows per order status, so the
+    driver row certifies both the bitmap math AND the false-positive
+    count. All bit positions from the universal family over the
+    portable md5 hash — engine-exact (derive.py: bloom_build /
+    bloom_probe)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = derive.bloom_build(dim, "c_custkey")
+    kept = derive.bloom_probe(orders, bloom, "o_custkey")
+    exact = orders.join(
+        dim, orders["o_custkey"] == dim["c_custkey"], "left_semi"
+    )
+    b = kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_bloom")
+    )
+    x = exact.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        b.join(x, "o_orderstatus", "full")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_bloom", F.lit(0)).alias("n_bloom"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            (F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_exact", F.lit(0))).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """DuckDB replay of q_b12_zorder: identical min-max scaling and
+    bit-interleave tree."""
+    top = float(2**bits - 1)
+    inter = " | ".join(
+        f"(((qx >> {i}) & 1) << {2 * i}) | (((qy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+        WITH o AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS px,
+                 date_diff('day', DATE '1992-01-01', o_orderdate) AS dyi
+          FROM orders
+        ),
+        mm AS (
+          SELECT min(px) AS nx, max(px) AS xx,
+                 min(CAST(dyi AS DOUBLE)) AS ny,
+                 max(CAST(dyi AS DOUBLE)) AS xy
+          FROM o
+        ),
+        sc AS (
+          SELECT o_orderkey, px, dyi,
+                 CASE WHEN xx > nx THEN
+                   CAST(floor((px - nx) / (xx - nx) * {top}) AS BIGINT)
+                 ELSE 0 END AS qx,
+                 CASE WHEN xy > ny THEN
+                   CAST(floor((CAST(dyi AS DOUBLE) - ny) / (xy - ny) * {top})
+                        AS BIGINT)
+                 ELSE 0 END AS qy
+          FROM o CROSS JOIN mm
+        ),
+        z AS (SELECT o_orderkey, px, dyi, ({inter}) AS zorder FROM sc)
+        SELECT zorder >> 24 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+               round(min(px), 2) AS min_price, round(max(px), 2) AS max_price,
+               min(dyi) AS min_days, max(dyi) AS max_days
+        FROM z GROUP BY 1
+    """
+
+
+def _bloom_oracle_sql(m_bits: int = 4096, k_hashes: int = 4) -> str:
+    """DuckDB replay of q_b7_bloom_join: identical universal-family bit
+    positions over the portable md5 hash, bit_or bitmap, all-k probe."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60_sql,
+    )
+
+    fam = _hash_family(k_hashes, seed=0xB100)
+
+    def pos_list(key_expr: str) -> str:
+        base = f"({portable_hash60_sql(f'CAST({key_expr} AS VARCHAR)')}) % {MINHASH_P}"
+        return ", ".join(
+            f"((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits}" for a, b in fam
+        )
+
+    return f"""
+        WITH dpos AS (
+          SELECT unnest([{pos_list('c_custkey')}]) AS pos
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        bitmap AS (
+          SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM dpos GROUP BY 1
+        ),
+        opos AS (
+          SELECT o_orderkey, unnest([{pos_list('o_custkey')}]) AS pos
+          FROM orders
+        ),
+        pass AS (
+          SELECT o_orderkey FROM (
+            SELECT o_orderkey,
+                   CAST(floor(pos / 63) AS INTEGER) AS word,
+                   CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER) AS bit
+            FROM opos
+          ) p JOIN bitmap USING (word)
+          WHERE (bits & bit) <> 0
+          GROUP BY o_orderkey HAVING count(*) = {k_hashes}
+        ),
+        b AS (
+          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_bloom
+          FROM orders JOIN pass USING (o_orderkey) GROUP BY 1
+        ),
+        x AS (
+          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_exact
+          FROM orders WHERE o_custkey IN
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          GROUP BY 1
+        )
+        SELECT COALESCE(b.o_orderstatus, x.o_orderstatus) AS o_orderstatus,
+               COALESCE(n_bloom, 0) AS n_bloom,
+               COALESCE(n_exact, 0) AS n_exact,
+               COALESCE(n_bloom, 0) - COALESCE(n_exact, 0) AS n_false_pos
+        FROM b FULL OUTER JOIN x ON b.o_orderstatus = x.o_orderstatus
+    """
+
+
+def q_b12_zorder(spark, sf_dir):
+    """Z-order layout audit (B12 sort/layout depth): Morton-interleave
+    (o_totalprice, o_orderdate-as-days), bucket by the top 8 z-bits,
+    and report each bucket's row count + price/date envelopes — the
+    read that demonstrates multidimensional locality (every bucket
+    covers a tight rectangle in BOTH columns, which is what makes
+    min/max file stats prunable after a ZORDER rewrite). Interleave is
+    pure integer codegen; envelopes exact (derive.py: zorder_key)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "o_days"
+        ),
+    )
+    zed = derive.zorder_key(orders, "o_totalprice", "o_days")
+    return (
+        zed.groupBy(F.expr("shiftright(zorder, 24)").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(F.col("o_totalprice").cast("double")), 2).alias("min_price"),
+            F.round(F.max(F.col("o_totalprice").cast("double")), 2).alias("max_price"),
+            F.min("o_days").alias("min_days"),
+            F.max("o_days").alias("max_days"),
+        )
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -3816,6 +3979,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_ewma": q_b11_ewma,
         "b15_rfm": q_b15_rfm,
         "b30_bpe_encode": q_b30_bpe_encode,
+        "b7_bloom_join": q_b7_bloom_join,
+        "b12_zorder": q_b12_zorder,
     }
 
 
@@ -7013,6 +7178,8 @@ def oracle_sql() -> dict[str, str]:
         "b30_pagerank": _pagerank_oracle_sql(),
         "b11_ewma": _ewma_oracle_sql(),
         "b30_bpe_encode": _bpe_oracle_sql(),
+        "b7_bloom_join": _bloom_oracle_sql(),
+        "b12_zorder": _zorder_oracle_sql(),
         "b15_rfm": """
             WITH ref AS (SELECT max(ts) AS r FROM events),
             per AS (

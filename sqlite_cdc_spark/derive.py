@@ -921,3 +921,146 @@ def rfm_segments(
         "segment",
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build an engine-portable Bloom filter over a key column — the
+    semi-join reduction that makes selective joins cheap at 100 TB: the
+    filter (m_bits/8 bytes, here 512 B) broadcasts to every executor
+    and prunes the fact side BEFORE its shuffle, so only probable
+    matches move. Spark's built-in runtime filters do this opaquely;
+    this one is explicit AND deterministic — bit positions come from
+    the universal family ``(a_i·h + b_i) mod P mod m`` over the
+    portable md5-based 60-bit key hash, so the bitmap (and therefore
+    exactly WHICH rows pass) replays bit-for-bit on any engine.
+
+    The bitmap is a relation ``(word, bits)``: 63-bit words (bit 63
+    stays clear — DuckDB rejects a shift into the int64 sign bit)
+    built with one ``bit_or`` aggregation (map-side combinable).
+    Output: ``(word int, bits long)``.
+    """
+    from .pipeline.dedup import MINHASH_P, _hash_family, portable_hash60
+
+    fam = _hash_family(k_hashes, seed=0xB100)
+    base = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
+    rows = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(base * a + b, F.lit(MINHASH_P)) % m_bits
+                    for a, b in fam
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        rows.select(
+            (F.col("pos") / 63).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(__bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    facts: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` filter: keep fact rows whose key has
+    ALL ``k_hashes`` bits set. The bitmap relation broadcasts; each row
+    explodes to its k positions, equi-joins the bitmap on ``word``
+    (map-side, no shuffle of the facts), and survives iff k bits hit —
+    false positives possible (the point: they are bounded and cheap to
+    re-verify downstream), false negatives impossible. Returns the
+    input rows that pass."""
+    from .pipeline.dedup import MINHASH_P, _hash_family, portable_hash60
+
+    fam = _hash_family(k_hashes, seed=0xB100)
+    base = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
+    with_id = facts.withColumn("__rid", F.monotonically_increasing_id())
+    pos = with_id.select(
+        "__rid",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(base * a + b, F.lit(MINHASH_P)) % m_bits
+                    for a, b in fam
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "__rid",
+        (F.col("pos") / 63).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("__bit"),
+    )
+    hits = (
+        pos.join(F.broadcast(bloom), "word")
+        .filter((F.col("bits").bitwiseAND(F.col("__bit"))) != 0)
+        .groupBy("__rid")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") == k_hashes)
+        .select("__rid")
+    )
+    return with_id.join(hits, "__rid").drop("__rid")
+
+
+def zorder_key(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Attach a Z-order (Morton) key interleaving two numeric columns —
+    the data-LAYOUT operator behind multi-dimensional clustering: write
+    a 100 TB table ``repartitionByRange("zorder")`` + sorted-within-
+    partitions and every file covers a tight rectangle in BOTH
+    dimensions, so min/max file statistics prune scans filtered on
+    either column (the optimization Delta/Iceberg expose as
+    ``OPTIMIZE ... ZORDER BY``).
+
+    Each column min-max-scales to ``bits``-bit integers (the 1-row
+    min/max agg broadcasts; the scale division is the same IEEE
+    expression on both engines, then floor → exact), and the key is a
+    pure-codegen bit interleave ``Σ_i x_i·4^i + 2·y_i·4^i`` — integer
+    shifts/masks only, bit-exact everywhere. Degenerate columns
+    (min = max) map to 0.
+
+    Output: the input plus ``zorder`` (long).
+    """
+    mm = df.agg(
+        F.min(F.col(col_x).cast("double")).alias("__nx"),
+        F.max(F.col(col_x).cast("double")).alias("__xx"),
+        F.min(F.col(col_y).cast("double")).alias("__ny"),
+        F.max(F.col(col_y).cast("double")).alias("__xy"),
+    )
+    top = float(2**bits - 1)
+
+    def q(col, lo, hi):
+        c = F.col(col).cast("double")
+        return F.when(
+            F.col(hi) > F.col(lo),
+            F.floor((c - F.col(lo)) / (F.col(hi) - F.col(lo)) * top),
+        ).otherwise(F.lit(0)).cast("long")
+
+    scaled = df.crossJoin(F.broadcast(mm)).withColumns(
+        {"__qx": q(col_x, "__nx", "__xx"), "__qy": q(col_y, "__ny", "__xy")}
+    )
+    # bits are disjoint, so arithmetic + == bitwise or (Column `|` is
+    # logical OR in Spark)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.expr(f"shiftleft(shiftright(__qx, {i}) & 1, {2 * i})")
+            + F.expr(f"shiftleft(shiftright(__qy, {i}) & 1, {2 * i + 1})")
+        )
+    return scaled.withColumn("zorder", z).drop("__nx", "__xx", "__ny", "__xy", "__qx", "__qy")

@@ -477,3 +477,57 @@ def test_rfm_segments_orders_scores_correctly(spark):
     assert got[1].m == 1 and got[2].m == 2
     assert got[1].segment == "111" and got[2].segment == "222"
     assert got[1].m_cents == 10 * 5000 and got[2].m_cents == 100
+
+
+def test_bloom_probe_no_false_negatives_bounded_false_positives(spark):
+    from sqlite_cdc_spark.derive import bloom_build, bloom_probe
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    facts = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=4096, k_hashes=4)
+    kept = {r.k for r in bloom_probe(facts, bloom, "k", m_bits=4096, k_hashes=4).collect()}
+    members = set(range(200))
+    assert members <= kept  # no false negatives, ever
+    fp = len(kept - members)
+    # 200 keys in 4096 bits with k=4 → theoretical fp ≈ (1-e^(-800/4096))^4 ≈ 0.1%
+    assert fp <= 1800 * 0.05, f"false-positive rate too high: {fp}/1800"
+
+
+def test_bloom_bitmap_is_deterministic(spark):
+    from sqlite_cdc_spark.derive import bloom_build
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    a = sorted((r.word, r.bits) for r in bloom_build(keys.repartition(1), "k").collect())
+    b = sorted((r.word, r.bits) for r in bloom_build(keys.repartition(9), "k").collect())
+    assert a == b
+
+
+def test_zorder_key_interleaves_known_values(spark):
+    from sqlite_cdc_spark.derive import zorder_key
+
+    # x,y in 0..3 with bits=2: z = interleave bits → known Morton codes
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r.x, r.y): r.zorder for r in zorder_key(df, "x", "y", bits=2).collect()}
+    # min-max scales 0..3 → 0..3 exactly (top=3)
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+    # locality: the 4 cells of each 2x2 quadrant share a z-prefix
+    assert {got[(0, 0)], got[(1, 0)], got[(0, 1)], got[(1, 1)]} == {0, 1, 2, 3}
+
+
+def test_zorder_degenerate_column_maps_to_zero(spark):
+    from sqlite_cdc_spark.derive import zorder_key
+
+    df = spark.createDataFrame([(5.0, 1), (5.0, 2)], ["x", "y"])
+    got = zorder_key(df, "x", "y", bits=4).collect()
+    assert all(r.zorder >= 0 for r in got)
+    # x contributes nothing (min==max) → z is y-bits only (even bit 0 clear)
+    assert all((r.zorder & 0b01010101) == 0 for r in got)
