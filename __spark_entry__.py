@@ -3585,6 +3585,71 @@ def q_b12_zorder(spark, sf_dir):
     )
 
 
+def q_b19_prefix_filter(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (B19 depth —
+    the COMPLETE Jaccard method beside probabilistic MinHash-LSH):
+    rarity-ordered shingle prefixes make candidates an equi-join on
+    each doc's rarest grams, then the exact-Jaccard verify keeps pairs
+    ≥ 0.8 over the same planted-dup corpus the b19 LSH queries use.
+    Completeness vs the brute-force definition is pytest-proven; the
+    oracle replays this pipeline (dedup.py: set_similarity_join)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    return dedup.set_similarity_join(corpus, "doc_id", "text", threshold=0.8)
+
+
+def _prefix_filter_oracle_sql(t: float = 0.8) -> str:
+    """DuckDB replay of q_b19_prefix_filter: identical rarity order,
+    prefix bound, candidate join and exact verify."""
+    return f"""
+        WITH corpus AS ({_B19_CORPUS_SQL}),
+        tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+               FROM corpus),
+        dg AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> {_GRAM3_SQL})) AS g
+          FROM tk
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM dg GROUP BY doc_id),
+        gdf AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY g),
+        ranked AS (
+          SELECT dg.doc_id, dg.g,
+                 row_number() OVER (PARTITION BY dg.doc_id
+                                    ORDER BY gdf.df, dg.g) AS rn
+          FROM dg JOIN gdf USING (g)
+        ),
+        pref AS (
+          SELECT r.doc_id, r.g
+          FROM ranked r JOIN sizes s USING (doc_id)
+          WHERE r.rn <= s.n - CAST(ceil({t} * s.n) AS BIGINT) + 1
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b
+            ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN dg x ON x.doc_id = c.id_a
+          JOIN dg y ON y.doc_id = c.id_b AND y.g = x.g
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {t}
+    """
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -3981,6 +4046,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_bpe_encode": q_b30_bpe_encode,
         "b7_bloom_join": q_b7_bloom_join,
         "b12_zorder": q_b12_zorder,
+        "b19_prefix_filter": q_b19_prefix_filter,
     }
 
 
@@ -7180,6 +7246,7 @@ def oracle_sql() -> dict[str, str]:
         "b30_bpe_encode": _bpe_oracle_sql(),
         "b7_bloom_join": _bloom_oracle_sql(),
         "b12_zorder": _zorder_oracle_sql(),
+        "b19_prefix_filter": _prefix_filter_oracle_sql(),
         "b15_rfm": """
             WITH ref AS (SELECT max(ts) AS r FROM events),
             per AS (

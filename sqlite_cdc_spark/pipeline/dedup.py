@@ -1204,3 +1204,86 @@ def sorted_neighborhood_pairs(
         # unordered pair at most once (ids are unique per block)
         .select("id_a", "id_b", "dist")
     )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin-lite)
+    — every pair with shingle-set Jaccard ≥ ``threshold``, guaranteed
+    complete, without the O(n²) cross join. The fourth blocking
+    strategy in the family (MinHash-LSH is probabilistic, SNM is
+    recall-bounded, q-gram count filtering is edit-distance-specific;
+    prefix filtering is the COMPLETE one for Jaccard):
+
+    order every doc's shingles by global rarity (document frequency,
+    gram tie-break — a total, deterministic order); a pair with
+    ``J ≥ t`` must overlap in ≥ ``ceil(t·|a|)`` shingles, so the first
+    ``|a| − ceil(t·|a|) + 1`` rarest shingles of each doc (its PREFIX)
+    must share at least one element with any qualifying partner's
+    prefix — candidates come from an equi-join on prefix shingles
+    only. Rarity ordering makes prefixes maximally selective (the
+    rarest shingles have the shortest posting lists).
+
+    Scale shape: shingle rows (codegen) + one bounded-vocab df agg
+    (broadcast back) + a per-doc rank window + the prefix equi-join
+    (skew = hot shingles, pruned by rarity ordering, AQE-split) + one
+    count-style intersection join for the exact verify. The pytest
+    suite proves completeness against the brute-force definition;
+    the SQL oracle replays this pipeline (the brute force is O(n²)
+    list intersections — minutes at sf0.1).
+
+    Output: ``(id_a, id_b, jaccard)`` — jaccard rounded 6.
+    """
+    t = threshold
+    dg = shingle_rows(df, id_col, text_col, k=shingle_k).select(
+        F.col("doc").alias("__d"), F.col("sh").alias("__g")
+    )
+    sizes = dg.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
+    gdf = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__d").orderBy(F.col("__df").asc(), F.col("__g").asc())
+    ranked = (
+        dg.join(gdf, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "__d")
+    )
+    pref = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1
+    ).select("__d", "__g")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__d") < F.col("b.__d")),
+        )
+        .select(F.col("a.__d").alias("id_a"), F.col("b.__d").alias("id_b"))
+        .distinct()
+    )
+    ga = dg.select(F.col("__d").alias("id_a"), F.col("__g").alias("__ga"))
+    gb = dg.select(F.col("__d").alias("__db"), F.col("__g").alias("__gb"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(
+            gb,
+            (F.col("id_b") == F.col("__db")) & (F.col("__ga") == F.col("__gb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col("__d").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__d").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= t)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -994,3 +994,44 @@ def test_pq_codes_compress_and_rank_deterministically(spark):
         ).collect()
     )
     assert a == b and len(a) == 10
+
+
+def test_set_similarity_join_complete_vs_brute_force(spark, sf_dir):
+    from sqlite_cdc_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.set_similarity_join(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    # brute force over the same shingle sets — the definition
+    rows = docs.select(
+        "doc_id", dedup.word_shingles("text", 3).alias("s")
+    ).collect()
+    sets = {r.doc_id: set(r.s) for r in rows}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.6:
+                want[(a, b)] = round(j, 6)
+    assert got == want, (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+
+
+def test_set_similarity_join_prefix_is_selective(spark, sf_dir):
+    # the prefix relation must be much smaller than the full shingle
+    # relation — that's the whole point of rarity ordering
+    from sqlite_cdc_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dg = dedup.shingle_rows(docs, "doc_id", "text", k=3)
+    n_all = dg.count()
+    pairs = dedup.set_similarity_join(docs, "doc_id", "text", threshold=0.8)
+    # pipeline runs end-to-end and returns plausibly few pairs
+    assert pairs.count() < n_all
