@@ -3650,6 +3650,58 @@ def _prefix_filter_oracle_sql(t: float = 0.8) -> str:
     """
 
 
+def q_b15_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (B15 sequence depth): what follows what, as counts +
+    probabilities — one lead() window keyed by user, integer counts,
+    one rounded division; output bounded by |event types|²
+    (derive.py: markov_transitions)."""
+    ev = _t(spark, sf_dir, "events")
+    return derive.markov_transitions(ev)
+
+
+def q_b7_bloom_incremental(spark, sf_dir):
+    """CDC-incremental Bloom maintenance (B7 + B1 depth): the standing
+    filter over pre-cutoff order keys absorbs the post-cutoff batch
+    with one constant-cost bitmap merge; the oracle REBUILDS the
+    filter over the union from scratch, so the driver row IS the
+    merge-equals-rebuild invariant — same shape as the
+    b1_incremental_agg MV row (derive.py: bloom_merge)."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0).select("o_orderkey")
+    batch = orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    merged = derive.bloom_merge(
+        derive.bloom_build(base, "o_orderkey"),
+        derive.bloom_build(batch, "o_orderkey"),
+    )
+    return merged
+
+
+def _bloom_incremental_oracle_sql(m_bits: int = 4096, k_hashes: int = 4) -> str:
+    """Rebuild-from-scratch oracle for q_b7_bloom_incremental."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60_sql,
+    )
+
+    fam = _hash_family(k_hashes, seed=0xB100)
+    base = (
+        f"({portable_hash60_sql('CAST(o_orderkey AS VARCHAR)')}) % {MINHASH_P}"
+    )
+    pos = ", ".join(
+        f"((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits}" for a, b in fam
+    )
+    return f"""
+        WITH pos AS (
+          SELECT unnest([{pos}]) AS pos FROM orders
+        )
+        SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        FROM pos GROUP BY 1
+    """
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4047,6 +4099,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7_bloom_join": q_b7_bloom_join,
         "b12_zorder": q_b12_zorder,
         "b19_prefix_filter": q_b19_prefix_filter,
+        "b15_markov": q_b15_markov,
+        "b7_bloom_incremental": q_b7_bloom_incremental,
     }
 
 
@@ -7247,6 +7301,28 @@ def oracle_sql() -> dict[str, str]:
         "b7_bloom_join": _bloom_oracle_sql(),
         "b12_zorder": _zorder_oracle_sql(),
         "b19_prefix_filter": _prefix_filter_oracle_sql(),
+        "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
+        "b15_markov": """
+            WITH seq AS (
+              SELECT event_type AS from_state,
+                     lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_state
+              FROM events
+            ),
+            pairs AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE to_state IS NOT NULL
+              GROUP BY from_state, to_state
+            ),
+            tot AS (
+              SELECT from_state, CAST(sum(n) AS BIGINT) AS t
+              FROM pairs GROUP BY from_state
+            )
+            SELECT p.from_state, p.to_state, p.n,
+                   round(p.n / CAST(t AS DOUBLE), 6) AS p
+            FROM pairs p JOIN tot USING (from_state)
+        """,
         "b15_rfm": """
             WITH ref AS (SELECT max(ts) AS r FROM events),
             per AS (

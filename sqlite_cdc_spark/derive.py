@@ -1064,3 +1064,63 @@ def zorder_key(
             + F.expr(f"shiftleft(shiftright(__qy, {i}) & 1, {2 * i + 1})")
         )
     return scaled.withColumn("zorder", z).drop("__nx", "__xx", "__ny", "__xy", "__qx", "__qy")
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences — the behavioral sequence model (what follows what)
+    behind next-action prediction and anomaly scoring on a stream.
+
+    One lead() window per key (codegen, shuffle only on the key) emits
+    (state, next_state) rows; a keyed count + a from-state total gives
+    the transition probability. Integer counts; the probability is one
+    division, rounded 6. |states|² output rows — bounded by the state
+    vocabulary, never the stream.
+
+    Output: ``(from_state, to_state, n, p)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    pairs = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col, 1).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return pairs.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("__t").cast("double"), 6).alias("p"),
+    )
+
+
+def bloom_merge(bloom_a: DataFrame, bloom_b: DataFrame) -> DataFrame:
+    """Merge two :func:`bloom_build` bitmaps — the CDC-incremental
+    write path: a standing filter absorbs a batch's bitmap with one
+    full-outer join + bit_or, cost ∝ bitmap words (constant), never
+    re-hashing the base keys. Invariant (oracled):
+    ``bloom_merge(bloom_build(A), bloom_build(B)) ==
+    bloom_build(A ∪ B)`` — bit_or is associative/commutative, so the
+    merged filter is indistinguishable from a rebuild."""
+    a = bloom_a.select("word", F.col("bits").alias("__ba"))
+    b = bloom_b.select("word", F.col("bits").alias("__bb"))
+    return (
+        a.join(b, "word", "full")
+        .select(
+            "word",
+            (
+                F.coalesce(F.col("__ba"), F.lit(0)).bitwiseOR(
+                    F.coalesce(F.col("__bb"), F.lit(0))
+                )
+            ).alias("bits"),
+        )
+    )

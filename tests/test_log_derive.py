@@ -531,3 +531,41 @@ def test_zorder_degenerate_column_maps_to_zero(spark):
     assert all(r.zorder >= 0 for r in got)
     # x contributes nothing (min==max) → z is y-bits only (even bit 0 clear)
     assert all((r.zorder & 0b01010101) == 0 for r in got)
+
+
+def test_markov_transitions_probabilities_sum_to_one(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.derive import markov_transitions
+
+    rows = []
+    seq = ["a", "b", "a", "c", "a", "b"]
+    for i, s in enumerate(seq):
+        rows.append((i, dt.datetime(2024, 1, 1, 0, i), 1, s, 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = markov_transitions(df).collect()
+    by_from = {}
+    for r in got:
+        by_from.setdefault(r.from_state, []).append(r)
+    # a→b twice, a→c once; b→a once (last b has no successor)
+    a_rows = {r.to_state: (r.n, r.p) for r in by_from["a"]}
+    assert a_rows["b"] == (2, round(2 / 3, 6))
+    assert a_rows["c"] == (1, round(1 / 3, 6))
+    for rows_ in by_from.values():
+        assert abs(sum(r.p for r in rows_) - 1.0) < 1e-5
+
+
+def test_bloom_merge_equals_rebuild(spark):
+    from sqlite_cdc_spark.derive import bloom_build, bloom_merge
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 400).select(F.col("id").alias("k"))
+    both = spark.range(0, 400).select(F.col("id").alias("k"))
+    merged = sorted(
+        (r.word, r.bits)
+        for r in bloom_merge(bloom_build(a, "k"), bloom_build(b, "k")).collect()
+    )
+    rebuilt = sorted((r.word, r.bits) for r in bloom_build(both, "k").collect())
+    assert merged == rebuilt
