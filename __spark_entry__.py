@@ -3702,6 +3702,30 @@ def _bloom_incremental_oracle_sql(m_bits: int = 4096, k_hashes: int = 4) -> str:
     """
 
 
+def q_b3_changepoint(spark, sf_dir):
+    """Change-point scan over daily event counts (B3 monitoring depth
+    — b3_psi says THAT the distribution moved, this localizes WHEN):
+    every interior day boundary scored |mean_left − mean_right| from
+    one cumulative window over the bounded daily relation; exact
+    integer sums, deterministic best-split tie-break (derive.py:
+    changepoint_splits)."""
+    ev = _t(spark, sf_dir, "events")
+    return derive.changepoint_splits(ev)
+
+
+def q_b10_woe_iv(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value feature screening (B10
+    feature-engineering depth): how well o_totalprice separates
+    fulfilled orders, by exact rank-edge deciles — Laplace-smoothed
+    shares, ln rounded 6, IV total as an order-independent 1e-8
+    integer sum (same engine-exactness rules as b3_psi) (derive.py:
+    woe_iv)."""
+    orders = _t(spark, sf_dir, "orders")
+    return derive.woe_iv(
+        orders, "o_totalprice", F.col("o_orderstatus") == "F"
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4101,6 +4125,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_prefix_filter": q_b19_prefix_filter,
         "b15_markov": q_b15_markov,
         "b7_bloom_incremental": q_b7_bloom_incremental,
+        "b3_changepoint": q_b3_changepoint,
+        "b10_woe_iv": q_b10_woe_iv,
     }
 
 
@@ -7302,6 +7328,82 @@ def oracle_sql() -> dict[str, str]:
         "b12_zorder": _zorder_oracle_sql(),
         "b19_prefix_filter": _prefix_filter_oracle_sql(),
         "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
+        "b3_changepoint": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc,
+                           CAST(count(*) AS BIGINT) AS tn FROM daily),
+            cum AS (
+              SELECT b,
+                     CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+                     CAST(count(*) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+              FROM daily
+            ),
+            sc AS (
+              SELECT b AS split_bucket, cn AS n_left, tn - cn AS n_right,
+                     cs / CAST(cn AS DOUBLE) AS ml,
+                     (tc - cs) / CAST(tn - cn AS DOUBLE) AS mr
+              FROM cum CROSS JOIN tot WHERE cn < tn
+            )
+            SELECT split_bucket, n_left, n_right,
+                   round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+                   round(abs(ml - mr), 6) AS delta,
+                   row_number() OVER (ORDER BY abs(ml - mr) DESC,
+                                      split_bucket) = 1 AS is_best
+            FROM sc
+        """,
+        "b10_woe_iv": """
+            WITH base AS (
+              SELECT o_totalprice AS v,
+                     CAST(o_orderstatus = 'F' AS INTEGER) AS y
+              FROM orders
+            ),
+            vh AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY v),
+            cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM vh),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vh),
+            edges AS (SELECT """ + ", ".join(
+            f"min(CASE WHEN cum >= floor((n - 1) * {k} / 10) + 1"
+            f" THEN v END) AS e{k}"
+            for k in range(1, 10)
+        ) + """ FROM cum CROSS JOIN tot),
+            bucketed AS (
+              SELECT """ + " + ".join(
+            f"CAST(v > e{k} AS INTEGER)" for k in range(1, 10)
+        ) + """ AS bucket, y
+              FROM base CROSS JOIN edges
+            ),
+            per AS (
+              SELECT bucket, CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(1 - y) AS BIGINT) AS n_neg
+              FROM bucketed GROUP BY bucket
+            ),
+            t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                         CAST(sum(n_neg) AS BIGINT) AS tn FROM per),
+            terms AS (
+              SELECT bucket, n_pos, n_neg,
+                     (n_pos + 1) / CAST(tp + 10 AS DOUBLE) AS p,
+                     (n_neg + 1) / CAST(tn + 10 AS DOUBLE) AS q
+              FROM per CROSS JOIN t
+            ),
+            scored AS (
+              SELECT bucket, n_pos, n_neg,
+                     round(ln(p / q), 6) AS woe,
+                     round((p - q) * ln(p / q), 6) AS iv_term,
+                     CAST(floor((p - q) * ln(p / q) * 1e8) AS BIGINT) AS t8
+              FROM terms
+            )
+            SELECT bucket, n_pos, n_neg, woe, iv_term,
+                   round(sum(t8) OVER () / 1e8, 6) AS iv_total
+            FROM scored
+        """,
         "b15_markov": """
             WITH seq AS (
               SELECT event_type AS from_state,

@@ -1124,3 +1124,147 @@ def bloom_merge(bloom_a: DataFrame, bloom_b: DataFrame) -> DataFrame:
             ).alias("bits"),
         )
     )
+
+
+def changepoint_splits(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Level-shift change-point scan over a bucketed event-count series
+    — the monitoring read that localizes WHEN a feed broke (b3_psi says
+    THAT the distribution moved; this says where in time).
+
+    The series is bucketed counts (bounded: one row per bucket). Every
+    interior bucket boundary is a candidate split; its score is
+    |mean_left − mean_right| with both means exact integer-sum /
+    integer-count divisions (identical IEEE doubles on any engine —
+    same rule as :func:`groupwise_ols`). The best split is the max
+    score with bucket tie-break. All pairwise prefix stats come from
+    ONE cumulative window over the bounded bucket relation — O(buckets)
+    rows, never a scan of the raw stream per candidate.
+
+    Output: one row per candidate split ``(split_bucket, n_left,
+    n_right, mean_left, mean_right, delta, is_best)``.
+    """
+    daily = (
+        events.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("c").alias("__tc"), F.count(F.lit(1)).alias("__tn")
+    )
+    cum = (
+        daily.withColumn("__cs", F.sum("c").over(wcum))
+        .withColumn("__cn", F.count(F.lit(1)).over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("__cn") < F.col("__tn"))  # interior splits only
+    )
+    ml = F.col("__cs").cast("double") / F.col("__cn").cast("double")
+    mr = (F.col("__tc") - F.col("__cs")).cast("double") / (
+        F.col("__tn") - F.col("__cn")
+    ).cast("double")
+    delta = F.abs(ml - mr)
+    scored = cum.select(
+        F.col("b").alias("split_bucket"),
+        F.col("__cn").alias("n_left"),
+        (F.col("__tn") - F.col("__cn")).alias("n_right"),
+        F.round(ml, 6).alias("mean_left"),
+        F.round(mr, 6).alias("mean_right"),
+        F.round(delta, 6).alias("delta"),
+        delta.alias("__raw"),
+    )
+    wbest = Window.orderBy(F.col("__raw").desc(), F.col("split_bucket").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(wbest))
+        .select(
+            "split_bucket",
+            "n_left",
+            "n_right",
+            "mean_left",
+            "mean_right",
+            "delta",
+            (F.col("__rk") == 1).alias("is_best"),
+        )
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screening — the
+    standard credit-scoring-style measure of how well a numeric
+    feature separates a binary label, run before training to rank
+    candidate features.
+
+    Buckets are the feature's exact element-rank quantiles (same
+    engine-exact rule as :func:`psi_drift`); per bucket the
+    positive/negative shares are Laplace-smoothed, WoE = ln(p_pos /
+    p_neg) rounded 6, and the IV contribution (p_pos − p_neg)·WoE is
+    floor-quantized to 1e-8 so ``iv_total`` is an order-independent
+    integer sum. Same bounded-relation scale shape as psi_drift.
+
+    ``label_col``: a boolean Column (or column name).
+
+    Output: ``(bucket, n_pos, n_neg, woe, iv_term, iv_total)``.
+    """
+    B = n_buckets
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    v = F.col(value_col)
+    base = df.select(v.alias("__v"), lab.cast("int").alias("__y"))
+
+    vh = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vh.withColumn("__cum", F.sum("__c").over(wcum))
+    totals = vh.agg(F.sum("__c").alias("__n"))
+    edges = cum.crossJoin(F.broadcast(totals)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.floor((F.col("__n") - 1) * F.lit(k) / F.lit(B)) + 1,
+                    F.col("__v"),
+                )
+            ).alias(f"__e{k}")
+            for k in range(1, B)
+        ]
+    )
+    bucketed = base.crossJoin(F.broadcast(edges)).select(
+        sum(
+            [(F.col("__v") > F.col(f"__e{k}")).cast("int") for k in range(1, B)],
+            F.lit(0),
+        ).alias("bucket"),
+        "__y",
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("__y")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("__tp"), F.sum("n_neg").alias("__tn")
+    )
+    p = (F.col("n_pos") + 1) / (F.col("__tp") + B)
+    q = (F.col("n_neg") + 1) / (F.col("__tn") + B)
+    woe = F.log(p / q)
+    term = (p - q) * woe
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round(term, 6).alias("iv_term"),
+        F.floor(term * 1e8).cast("long").alias("__t8"),
+    )
+    wall = Window.partitionBy()
+    return out.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        "woe",
+        "iv_term",
+        F.round(F.sum("__t8").over(wall) / 1e8, 6).alias("iv_total"),
+    )

@@ -569,3 +569,38 @@ def test_bloom_merge_equals_rebuild(spark):
     )
     rebuilt = sorted((r.word, r.bits) for r in bloom_build(both, "k").collect())
     assert merged == rebuilt
+
+
+def test_changepoint_finds_planted_level_shift(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.derive import changepoint_splits
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        n = 5 if day <= 10 else 50  # shift after day 10
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, day, i % 24), 1, "x", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = changepoint_splits(df).collect()
+    best = [r for r in got if r.is_best]
+    assert len(best) == 1
+    assert best[0].split_bucket == dt.datetime(2024, 1, 10)
+    assert best[0].mean_left == 5.0 and best[0].mean_right == 50.0
+
+
+def test_woe_iv_separating_feature_scores_higher(spark):
+    from sqlite_cdc_spark.derive import woe_iv
+
+    # feature perfectly separates the label vs a useless feature
+    rows = [(float(i), i >= 50, float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["good_f", "y", "bad_f"])
+    iv_good = woe_iv(df, "good_f", "y").first().iv_total
+    iv_bad = woe_iv(df, "bad_f", "y").first().iv_total
+    assert iv_good > 1.0          # "strong" by the usual IV rule of thumb
+    assert iv_bad < 0.3
+    assert iv_good > iv_bad * 3
