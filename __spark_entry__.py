@@ -3726,6 +3726,90 @@ def q_b10_woe_iv(spark, sf_dir):
     )
 
 
+def q_b19_golden_records(spark, sf_dir):
+    """Survivorship / golden records (B19 depth — the step AFTER
+    clustering that entity resolution exists for): each dup cluster
+    collapses to one merged record under deterministic per-column
+    rules — longest text (id tie-break), min doc_id as canonical id,
+    max length, keeper's text. Oracle: the recursive-CTE closure
+    labels + the same rules in SQL (dedup.py: golden_records)."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    )
+    labels = dedup.dup_clusters(pairs)
+    return dedup.golden_records(
+        corpus.withColumn("n_len", F.length("text").cast("bigint")),
+        labels,
+        "doc_id",
+        {
+            "best_text": ("longest", "text"),
+            "min_id": ("min", "doc_id"),
+            "max_len": ("max", "n_len"),
+            "keeper_text": ("keeper", "text"),
+        },
+    )
+
+
+def q_b10_bootstrap(spark, sf_dir):
+    """One-pass Poisson bootstrap CI for the mean order price (B10
+    statistical depth): every order draws a deterministic Poisson(1)
+    weight per replicate (portable md5 uniform → integer inverse-CDF
+    thresholds), 32 replicate means from integer weighted sums, CI =
+    rank-based 2nd-smallest/2nd-largest. The only bootstrap that works
+    at 100 TB — one scan, no resampling passes (sampling.py:
+    poisson_bootstrap)."""
+    orders = _t(spark, sf_dir, "orders")
+    return sampling.poisson_bootstrap(orders, "o_orderkey", "o_totalprice")
+
+
+def _bootstrap_oracle_sql(n_replicates: int = 32, quant: int = 100) -> str:
+    """DuckDB replay of q_b10_bootstrap."""
+    from sqlite_cdc_spark.pipeline.dedup import MINHASH_P, portable_hash60_sql
+    from sqlite_cdc_spark.pipeline.sampling import _poisson1_cutoffs
+
+    cuts = _poisson1_cutoffs(MINHASH_P)
+    key_expr = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
+    u = f"({portable_hash60_sql(key_expr)}) % {MINHASH_P}"
+    w = str(len(cuts))
+    for k in range(len(cuts) - 1, -1, -1):
+        w = f"CASE WHEN u < {cuts[k]} THEN {k} ELSE {w} END"
+    return f"""
+        WITH reps AS (SELECT unnest(generate_series(0, {n_replicates - 1})) AS r),
+        pairs AS (
+          SELECT r, CAST(floor(o_totalprice * {quant}) AS BIGINT) AS q,
+                 CAST({w} AS BIGINT) AS w
+          FROM (
+            SELECT o_orderkey, o_totalprice, r, {u} AS u
+            FROM orders CROSS JOIN reps
+          )
+        ),
+        per AS (
+          SELECT CAST(r AS INTEGER) AS replicate,
+                 CAST(sum(w) AS BIGINT) AS n_eff,
+                 round(CAST(sum(w * q) AS DOUBLE)
+                       / (CAST(sum(w) AS DOUBLE) * {float(quant)}), 6)
+                   AS mean_r
+          FROM pairs GROUP BY r
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY mean_r, replicate) AS rk
+          FROM per
+        )
+        SELECT replicate, n_eff, mean_r,
+               (SELECT mean_r FROM ranked WHERE rk = 2) AS ci_lo,
+               (SELECT mean_r FROM ranked WHERE rk = {n_replicates - 1})
+                 AS ci_hi
+        FROM per
+    """
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4127,6 +4211,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7_bloom_incremental": q_b7_bloom_incremental,
         "b3_changepoint": q_b3_changepoint,
         "b10_woe_iv": q_b10_woe_iv,
+        "b19_golden_records": q_b19_golden_records,
+        "b10_bootstrap": q_b10_bootstrap,
     }
 
 
@@ -7328,6 +7414,25 @@ def oracle_sql() -> dict[str, str]:
         "b12_zorder": _zorder_oracle_sql(),
         "b19_prefix_filter": _prefix_filter_oracle_sql(),
         "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
+        "b10_bootstrap": _bootstrap_oracle_sql(),
+        "b19_golden_records": f"""
+            WITH labels AS ({_dup_clusters_oracle_sql()}),
+            corpus AS ({_B19_CORPUS_SQL}),
+            j AS (
+              SELECT c.doc_id, c.text, CAST(length(c.text) AS BIGINT) AS n_len,
+                     l.cluster_id
+              FROM corpus c JOIN labels l USING (doc_id)
+            )
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   max_by(text, CAST(length(text) AS BIGINT) * 4294967296
+                                + (4294967295 - doc_id)) AS best_text,
+                   min(doc_id) AS min_id,
+                   max(n_len) AS max_len,
+                   max(CASE WHEN doc_id = cluster_id THEN text END)
+                     AS keeper_text
+            FROM j GROUP BY cluster_id
+        """,
         "b3_changepoint": """
             WITH daily AS (
               SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,

@@ -1287,3 +1287,80 @@ def set_similarity_join(
         .filter(jac >= t)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def golden_records(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    rules: dict,
+) -> DataFrame:
+    """Survivorship: collapse each dup cluster to ONE merged record —
+    the final step of entity resolution (pairs → clusters → golden
+    record). ``labels`` is a :func:`dup_clusters`-shaped assignment
+    (``doc_id, cluster_id``); ``rules`` maps output column → (rule,
+    source_col) with rule ∈ {'min', 'max', 'longest', 'mode',
+    'keeper'}:
+
+    - ``min``/``max``: extreme value across the cluster.
+    - ``longest``: value with the greatest length, ties to the MIN id
+      (``max_by`` over one encoded int64 key — deterministic and
+      engine-portable).
+    - ``mode``: most frequent value, value tie-break.
+    - ``keeper``: the value from the cluster's keeper row (the
+      ``cluster_id`` member itself — dup_clusters labels are min ids).
+
+    One join (records ⋈ labels) + one keyed agg; ``mode`` adds a
+    per-(cluster, value) pre-count. All rules are deterministic, so
+    the merged table replays bit-for-bit.
+
+    Output: ``cluster_id, n_members`` + one column per rule key.
+    """
+    j = df.join(
+        labels.select(
+            F.col("doc_id").alias(id_col), "cluster_id"
+        ),
+        id_col,
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_members")]
+    mode_cols = []
+    for out, (rule, src) in rules.items():
+        c = F.col(src)
+        if rule == "min":
+            aggs.append(F.min(c).alias(out))
+        elif rule == "max":
+            aggs.append(F.max(c).alias(out))
+        elif rule == "longest":
+            # (length, -id) encoded as one int64 — engine-portable
+            # (DuckDB's max_by only takes scalar keys): length·2^32 +
+            # (2^32-1-id): max length wins, ties break to the MIN id
+            combo = F.length(c).cast("long") * F.lit(2**32) + (
+                F.lit(2**32 - 1) - F.col(id_col)
+            )
+            aggs.append(F.max_by(c, combo).alias(out))
+        elif rule == "keeper":
+            aggs.append(
+                F.max(
+                    F.when(F.col(id_col) == F.col("cluster_id"), c)
+                ).alias(out)
+            )
+        elif rule == "mode":
+            mode_cols.append((out, src))
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    base = j.groupBy("cluster_id").agg(*aggs)
+    for out, src in mode_cols:
+        counted = (
+            j.groupBy("cluster_id", F.col(src).alias("__val"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__c").desc(), F.col("__val").asc()
+        )
+        top = (
+            counted.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("cluster_id", F.col("__val").alias(out))
+        )
+        base = base.join(top, "cluster_id")
+    return base

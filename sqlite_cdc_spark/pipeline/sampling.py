@@ -498,3 +498,97 @@ def weighted_sample(
     top = prio.orderBy(F.col("__priority").desc(), F.col(key_col).asc()).limit(k)
     ww = W.orderBy(F.col("__priority").desc(), F.col(key_col).asc())
     return top.withColumn("rk", F.row_number().over(ww)).drop("__w")
+
+
+#: Poisson(1) CDF cutoffs scaled to integer thresholds on [0, P) — the
+#: inverse-CDF lookup used by poisson_bootstrap; computed once from
+#: closed-form doubles, embedded as exact integer literals on both
+#: engines (weights ≥ 8 have probability < 1e-8 and round to 7)
+def _poisson1_cutoffs(p_mod: int) -> list[int]:
+    import math
+
+    e = math.exp(-1.0)
+    cdf, term, out = 0.0, e, []
+    for k in range(8):
+        cdf += term
+        out.append(int(cdf * p_mod))
+        term = term / (k + 1)
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_replicates: int = 32,
+    quant: int = 100,
+) -> DataFrame:
+    """Distributed bootstrap confidence interval for a mean in ONE pass
+    — the Poisson-bootstrap trick: instead of resampling the corpus B
+    times (B full passes), every row draws an independent Poisson(1)
+    weight PER replicate, and replicate b's mean is the w-weighted
+    mean. At 100 TB this is the only bootstrap that works: one scan,
+    B·2 map-side-combinable partial sums, no resampling shuffle.
+
+    Deterministic / engine-exact: the per-(row, replicate) uniform is
+    the portable md5 hash of ``key:replicate`` reduced mod P, the
+    Poisson inverse-CDF is an integer threshold table (identical
+    literals both engines), values floor-quantize to ``1/quant`` units
+    so every weighted sum is an integer; only the final mean division
+    is a double, rounded 6.
+
+    Output: one row per replicate ``(replicate, n_eff, mean_r)`` plus
+    ``ci_lo``/``ci_hi`` (the 2nd-smallest / 2nd-largest replicate
+    means — the rank-based ~94% interval for B=32) repeated per row.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import MINHASH_P, portable_hash60
+
+    cuts = _poisson1_cutoffs(MINHASH_P)
+    qv = F.floor(F.col(value_col) * quant).cast("long")
+
+    def weight(r: int):
+        u = F.pmod(
+            portable_hash60(
+                F.concat(F.col(key_col).cast("string"), F.lit(f":{r}"))
+            ),
+            F.lit(MINHASH_P),
+        )
+        w = F.lit(len(cuts))
+        for k in range(len(cuts) - 1, -1, -1):
+            w = F.when(u < cuts[k], F.lit(k)).otherwise(w)
+        return w.cast("long")
+
+    pairs = df.select(
+        qv.alias("__q"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("replicate"), weight(r).alias("w"))
+                    for r in range(n_replicates)
+                ]
+            )
+        ).alias("__rw"),
+    ).select("__q", F.col("__rw.replicate").alias("replicate"), F.col("__rw.w").alias("__w"))
+    per = pairs.groupBy("replicate").agg(
+        F.sum("__w").cast("long").alias("n_eff"),
+        F.round(
+            F.sum(F.col("__w") * F.col("__q"))
+            / (F.sum("__w") * F.lit(float(quant))),
+            6,
+        ).alias("mean_r"),
+    )
+    asc = Window.orderBy(F.col("mean_r").asc(), F.col("replicate").asc())
+    ranked = per.withColumn("__rk", F.row_number().over(asc))
+    lo = ranked.filter(F.col("__rk") == 2).select(
+        F.col("mean_r").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("__rk") == n_replicates - 1).select(
+        F.col("mean_r").alias("ci_hi")
+    )
+    return (
+        per.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("replicate", "n_eff", "mean_r", "ci_lo", "ci_hi")
+    )

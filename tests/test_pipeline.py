@@ -1035,3 +1035,53 @@ def test_set_similarity_join_prefix_is_selective(spark, sf_dir):
     pairs = dedup.set_similarity_join(docs, "doc_id", "text", threshold=0.8)
     # pipeline runs end-to-end and returns plausibly few pairs
     assert pairs.count() < n_all
+
+
+def test_golden_records_survivorship_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the longest text here", 21),
+            (3, "medium txt", 10),
+            (9, "lonely", 6),
+        ],
+        ["doc_id", "text", "n_len"],
+    )
+    labels = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (9, 9, 1)],
+        ["doc_id", "cluster_id", "cluster_size"],
+    )
+    got = {
+        r.cluster_id: r
+        for r in dedup.golden_records(
+            docs,
+            labels,
+            "doc_id",
+            {
+                "best_text": ("longest", "text"),
+                "min_id": ("min", "doc_id"),
+                "max_len": ("max", "n_len"),
+                "keeper_text": ("keeper", "text"),
+                "mode_text": ("mode", "text"),
+            },
+        ).collect()
+    }
+    g = got[1]
+    assert g.n_members == 3
+    assert g.best_text == "the longest text here"
+    assert g.min_id == 1 and g.max_len == 21
+    assert g.keeper_text == "short"  # keeper = cluster_id member (doc 1)
+    assert got[9].keeper_text == "lonely"
+
+
+def test_golden_records_longest_ties_to_min_id(spark):
+    docs = spark.createDataFrame(
+        [(5, "aaaa"), (2, "bbbb"), (7, "cc")], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(
+        [(5, 2, 3), (2, 2, 3), (7, 2, 3)], ["doc_id", "cluster_id", "cluster_size"]
+    )
+    got = dedup.golden_records(
+        docs, labels, "doc_id", {"best_text": ("longest", "text")}
+    ).first()
+    assert got.best_text == "bbbb"  # len tie between ids 2 and 5 → min id 2

@@ -196,3 +196,39 @@ def test_weighted_sample_determinism_and_bias(spark):
         df.withColumn("wt", F.col("wt") * 1000), "k", "wt", k=50, max_weight=8
     )
     assert c.count() == 50
+
+
+def test_poisson_bootstrap_ci_brackets_true_mean(spark):
+    from sqlite_cdc_spark.pipeline import sampling
+
+    rows = [(i, 100.0 + (i % 21) - 10) for i in range(2000)]  # mean 100
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = sampling.poisson_bootstrap(df, "k", "v").collect()
+    assert len(got) == 32
+    lo, hi = got[0].ci_lo, got[0].ci_hi
+    assert all(r.ci_lo == lo and r.ci_hi == hi for r in got)
+    assert lo < 100.0 < hi
+    assert hi - lo < 2.0  # n=2000 → tight interval
+    # weights average ~1 → n_eff near n
+    import statistics
+
+    assert 1800 < statistics.mean(r.n_eff for r in got) < 2200
+
+
+def test_poisson_bootstrap_deterministic_across_partitioning(spark):
+    from sqlite_cdc_spark.pipeline import sampling
+
+    rows = [(i, float(i % 37)) for i in range(500)]
+    a = sorted(
+        tuple(r) for r in sampling.poisson_bootstrap(
+            spark.createDataFrame(rows, ["k", "v"]).repartition(1), "k", "v",
+            n_replicates=8,
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in sampling.poisson_bootstrap(
+            spark.createDataFrame(rows, ["k", "v"]).repartition(7), "k", "v",
+            n_replicates=8,
+        ).collect()
+    )
+    assert a == b
