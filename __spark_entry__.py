@@ -3810,6 +3810,43 @@ def _bootstrap_oracle_sql(n_replicates: int = 32, quant: int = 100) -> str:
     """
 
 
+#: hierarchical rollup via WITH RECURSIVE — the same SQL text runs on
+#: Spark 4 (UNION ALL recursion, new in 4.0) and DuckDB: customers form
+#: a digit-shift tree (parent = custkey div 10, keys 1-9 are roots),
+#: the recursion carries root/depth/balance down the tree, then rolls
+#: up per depth. Acyclic by construction, so UNION ALL terminates —
+#: Spark does not yet support dedup-UNION recursion (cyclic closure
+#: stays with dup_clusters/pagerank).
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS node, c_custkey AS root, 1 AS depth,
+             c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 9
+      UNION ALL
+      SELECT c.c_custkey AS node, chain.root, chain.depth + 1 AS depth,
+             c.c_acctbal AS bal
+      FROM customer c
+      JOIN chain ON CAST(floor(c.c_custkey / 10) AS BIGINT) = chain.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT CAST(depth AS INTEGER) AS depth,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+           round(CAST(sum(bal) AS DOUBLE), 2) AS total_bal
+    FROM chain GROUP BY depth
+"""
+
+
+def q_b25_sql_recursive(spark, sf_dir):
+    """Recursive CTE on the Spark SQL surface (B25 depth — new in
+    Spark 4): an org-chart-style hierarchy walk carrying root/depth
+    down a digit-shift customer tree, rolled up per level. The SAME
+    SQL text runs on both engines; sums in exact-int-free doubles are
+    per-depth partial sums of identical values, rounded 2."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_SQL)
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4213,6 +4250,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_woe_iv": q_b10_woe_iv,
         "b19_golden_records": q_b19_golden_records,
         "b10_bootstrap": q_b10_bootstrap,
+        "b25_sql_recursive": q_b25_sql_recursive,
     }
 
 
@@ -7415,6 +7453,7 @@ def oracle_sql() -> dict[str, str]:
         "b19_prefix_filter": _prefix_filter_oracle_sql(),
         "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
         "b10_bootstrap": _bootstrap_oracle_sql(),
+        "b25_sql_recursive": _RECURSIVE_SQL,
         "b19_golden_records": f"""
             WITH labels AS ({_dup_clusters_oracle_sql()}),
             corpus AS ({_B19_CORPUS_SQL}),

@@ -83,3 +83,17 @@ def test_compact_log_single_key_all_deletes(spark):
     df = spark.createDataFrame(rows, LOG_SCHEMA)
     key = F.get_json_object(F.coalesce("after", "before"), "$.k")
     assert derive.compact_log(df, key, order_cols=["id"]).isEmpty()
+
+
+def test_recursive_cte_hierarchy_depths(spark):
+    # the b25_sql_recursive shape on a tiny in-memory tree: keys 0-99,
+    # parent = key div 10, roots 0-9 — every key lands at depth 1 or 2
+    import __spark_entry__ as entry
+
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["c_custkey", "c_acctbal"]
+    ).createOrReplaceTempView("customer")
+    got = {r.depth: (r.n, r.n_roots) for r in spark.sql(entry._RECURSIVE_SQL).collect()}
+    assert got[1] == (10, 10)   # keys 0..9
+    assert got[2] == (90, 9)    # keys 10..99 under roots 1..9 (0 has no children >= 10)
+    assert set(got) == {1, 2}
