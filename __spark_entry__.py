@@ -3774,20 +3774,28 @@ def _bootstrap_oracle_sql(n_replicates: int = 32, quant: int = 100) -> str:
     from sqlite_cdc_spark.pipeline.dedup import MINHASH_P, portable_hash60_sql
     from sqlite_cdc_spark.pipeline.sampling import _poisson1_cutoffs
 
+    from sqlite_cdc_spark.pipeline.dedup import _hash_family
+
     cuts = _poisson1_cutoffs(MINHASH_P)
-    key_expr = "CAST(o_orderkey AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
-    u = f"({portable_hash60_sql(key_expr)}) % {MINHASH_P}"
+    fam = _hash_family(n_replicates, seed=0xB005)
+    h = f"({portable_hash60_sql('CAST(o_orderkey AS VARCHAR)')}) % {MINHASH_P}"
+    u = "u"
     w = str(len(cuts))
     for k in range(len(cuts) - 1, -1, -1):
         w = f"CASE WHEN u < {cuts[k]} THEN {k} ELSE {w} END"
+    a_cases = " ".join(f"WHEN {r} THEN {fam[r][0]}" for r in range(n_replicates))
+    b_cases = " ".join(f"WHEN {r} THEN {fam[r][1]}" for r in range(n_replicates))
     return f"""
         WITH reps AS (SELECT unnest(generate_series(0, {n_replicates - 1})) AS r),
         pairs AS (
           SELECT r, CAST(floor(o_totalprice * {quant}) AS BIGINT) AS q,
                  CAST({w} AS BIGINT) AS w
           FROM (
-            SELECT o_orderkey, o_totalprice, r, {u} AS u
-            FROM orders CROSS JOIN reps
+            SELECT o_totalprice, r,
+                   (h * (CASE r {a_cases} END)
+                    + (CASE r {b_cases} END)) % {MINHASH_P} AS u
+            FROM (SELECT o_orderkey, o_totalprice, {h} AS h FROM orders)
+            CROSS JOIN reps
           )
         ),
         per AS (
@@ -4297,8 +4305,6 @@ _R6_WINDOW = [
     "b28_packing",
     "b26_train_split",
     "b26_stratified_sample",
-    "a6_bootstrap",
-    "a10_drain_batch",
     "a16_bootstrap_union_log",
     "b1_apply_roundtrip",
     "b4_event_source",
@@ -4308,11 +4314,18 @@ _R6_WINDOW = [
     "b8_anti_join",
     "b9_asof",
     "b9_asof_join",
-    "b2_log_compaction",
-    "b3_change_stats",
-    "b7_join_enrich",
-    "b10_agg_pricing",
-    "b11_window_funcs",
+    # 7 slots freed from canaries that bench.py exercises every round
+    # (a6_bootstrap, a10_drain_batch, b2_log_compaction, b3_change_stats,
+    # b7_join_enrich, b10_agg_pricing, b11_window_funcs — a bench
+    # regression would surface there) → first driver rows for this
+    # round's flagship additions:
+    "b20_kmeans",
+    "b20_pq",
+    "b30_pagerank",
+    "b19_prefix_filter",
+    "b7_bloom_join",
+    "b10_bootstrap",
+    "b25_sql_recursive",
     # slot 50: VERDICT-named stale family (last green r04)
     "b13_set_ops",
 ]

@@ -57,6 +57,14 @@ HEADLINE = [
     "b7_shipping_priority",    # TPC-H Q3 shape (B7/B12)
     "b15_funnel",              # sequential funnel over the event stream
     "b24_corpus_v3",           # r5 capstone: gates -> mixture -> packs
+    # r6 additions — one line per new heavy family
+    "b20_kmeans",              # iterative exact k-means (B20 depth)
+    "b20_pq",                  # product-quantization ANN (B20 scale path)
+    "b19_prefix_filter",       # exact set-similarity join (B19 depth)
+    "b30_pagerank",            # integer PageRank, 3 rounds (B30 graph)
+    "b7_bloom_join",           # Bloom semi-join reduction (B7 depth)
+    "b30_bpe_encode",          # codegen BPE tokenizer application (B30)
+    "b10_bootstrap",           # one-pass Poisson bootstrap CI (B10 depth)
 ]
 
 

@@ -182,6 +182,80 @@ def text_ops(spark, path: str) -> dict[str, float]:
     return out
 
 
+def r6_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-6 families at scale: exact k-means + PQ ANN over synthetic
+    embeddings, prefix-filter similarity join + codegen BPE over the
+    synthetic docs, integer PageRank + triangles over a bounded-degree
+    synthetic graph, Bloom build/probe, Poisson bootstrap, trailing
+    EWMA. Inputs derive from `range()` so both scales share the same
+    generators."""
+    from sqlite_cdc_spark.pipeline import similarity
+
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    n_emb = rows // 10
+    emb = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64("id", i), 2000) / 1000.0 - 1.0),
+        ).alias("embedding"),
+    )
+    run("kmeans_exact", lambda: similarity.kmeans_exact(emb, k=4, iters=3)
+        .write.format("noop").mode("overwrite").save())
+    run("pq_ann", lambda: similarity.ann_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 4), k=10, m=4, dim=16,
+        seed_ids=(3, 47, 91, 135))
+        .write.format("noop").mode("overwrite").save())
+    run("prefix_filter_join", lambda: dedup.set_similarity_join(
+        docs, "doc_id", "text", threshold=0.8)
+        .write.format("noop").mode("overwrite").save())
+    run("bpe_encode", lambda: lm.bpe_encode_stats(docs, "doc_id")
+        .write.format("noop").mode("overwrite").save())
+    # bounded-degree graph: each node links to 3 hash-derived neighbors
+    n_nodes = rows // 10
+    edges = spark.range(rows // 3).select(
+        F.pmod(F.xxhash64("id"), n_nodes).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), n_nodes).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    run("pagerank", lambda: derive.pagerank(
+        edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"))), iters=3)
+        .write.format("noop").mode("overwrite").save())
+    canon = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    run("triangles", lambda: derive.triangle_stats(canon)
+        .write.format("noop").mode("overwrite").save())
+    dim_keys = spark.range(10_000).select(F.col("id").alias("k"))
+    fact = spark.range(rows).select(
+        F.pmod(F.xxhash64("id"), 1_000_000).alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 10000) / 100.0).alias("v"),
+    )
+    run("bloom_semi_join", lambda: derive.bloom_probe(
+        fact, derive.bloom_build(dim_keys, "k"), "k")
+        .write.format("noop").mode("overwrite").save())
+    run("poisson_bootstrap", lambda: sampling.poisson_bootstrap(
+        fact.select(F.col("k").alias("key"), "v"), "key", "v",
+        n_replicates=16)
+        .write.format("noop").mode("overwrite").save())
+    seq = spark.range(rows).select(
+        F.pmod(F.col("id"), n_nodes).alias("user_id"),
+        F.col("id").alias("seq"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), 10000) / 100.0).alias("value"),
+    )
+    run("trailing_ewma", lambda: derive.trailing_ewma(
+        seq, "user_id", ["seq"], "value")
+        .write.format("noop").mode("overwrite").save())
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -226,6 +300,7 @@ def main():
             dpath = f"{tmp}/docs_{label}"
             gen_documents(spark, rows // 10, dpath)
             results[label].update(text_ops(spark, dpath))
+            results[label].update(r6_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
