@@ -1246,10 +1246,15 @@ def set_similarity_join(
     sizes = dg.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
     gdf = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__d").orderBy(F.col("__df").asc(), F.col("__g").asc())
+    # gdf/sizes are VOCABULARY-sized (unbounded at corpus scale) but
+    # Catalyst's static post-agg estimate can undershoot the broadcast
+    # threshold and OOM the driver — force shuffle joins (measured: the
+    # auto-broadcast plan died at 60k synthetic docs with ~1.6M distinct
+    # grams; the shuffle plan scales linearly)
     ranked = (
-        dg.join(gdf, "__g")
+        dg.join(gdf.hint("shuffle_hash"), "__g")
         .withColumn("__rn", F.row_number().over(w))
-        .join(sizes, "__d")
+        .join(sizes.hint("shuffle_hash"), "__d")
     )
     pref = ranked.filter(
         F.col("__rn")
@@ -1258,7 +1263,7 @@ def set_similarity_join(
     cand = (
         pref.alias("a")
         .join(
-            pref.alias("b"),
+            pref.alias("b").hint("shuffle_hash"),
             (F.col("a.__g") == F.col("b.__g"))
             & (F.col("a.__d") < F.col("b.__d")),
         )
@@ -1268,9 +1273,9 @@ def set_similarity_join(
     ga = dg.select(F.col("__d").alias("id_a"), F.col("__g").alias("__ga"))
     gb = dg.select(F.col("__d").alias("__db"), F.col("__g").alias("__gb"))
     inter = (
-        cand.join(ga, "id_a")
+        cand.join(ga.hint("shuffle_hash"), "id_a")
         .join(
-            gb,
+            gb.hint("shuffle_hash"),
             (F.col("id_b") == F.col("__db")) & (F.col("__ga") == F.col("__gb")),
         )
         .groupBy("id_a", "id_b")
@@ -1282,8 +1287,8 @@ def set_similarity_join(
         F.col("__na") + F.col("__nb") - F.col("__i")
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .filter(jac >= t)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
