@@ -3855,6 +3855,69 @@ def q_b25_sql_recursive(spark, sf_dir):
     return spark.sql(_RECURSIVE_SQL)
 
 
+def q_b26_temporal_split(spark, sf_dir):
+    """Leakage-aware temporal split (B26 depth): train < Jan 28,
+    embargo to Jan 30 noon, test = the last half-day, and every user
+    active in test is PURGED from train (per-entity leakage, the failure random splits
+    can't see). Output: per (split, event_type) counts + distinct
+    users — auditing both the calendar boundary and the purge
+    (sampling.py: temporal_split)."""
+    ev = _t(spark, sf_dir, "events")
+    split = sampling.temporal_split(
+        ev, "ts", "user_id", "2024-01-28 00:00:00", "2024-01-30 12:00:00"
+    )
+    return split.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def q_b24_corpus_v4(spark, sf_dir):
+    """Corpus capstone v4 (B24) — the EXACT-dedup build composing this
+    round's operators end to end: prefix-filter set-similarity join
+    (complete, no LSH recall question) → transitive closure → golden-
+    record survivorship (longest text per cluster, keeper id = cluster
+    min) → token-count gate — reported as a one-row build card. Every
+    stage is the already-oracled component; the oracle is their SQL
+    composition, so the driver row certifies the WHOLE pipeline
+    (dedup.py: set_similarity_join + dup_clusters + golden_records)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    # the pair relation is referenced twice (closure input + the build
+    # card's n_pairs) — checkpoint once per the iterative-consumer rule
+    pairs = dedup.set_similarity_join(
+        corpus, "doc_id", "text", threshold=0.8
+    ).localCheckpoint()
+    labels = dedup.dup_clusters(pairs).localCheckpoint()
+    golden = dedup.golden_records(
+        corpus, labels, "doc_id", {"text": ("longest", "text")}
+    ).select(F.col("cluster_id").alias("doc_id"), "text")
+    singles = corpus.join(labels.select("doc_id"), "doc_id", "left_anti")
+    kept = golden.unionByName(singles)
+    n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
+    gated = kept.withColumn("__nt", n_tok).filter(F.col("__nt") >= 10)
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .crossJoin(
+            labels.agg(
+                F.count_distinct("cluster_id").cast("bigint").alias("n_clusters")
+            )
+        )
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        .crossJoin(
+            gated.agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum("__nt").cast("bigint").alias("total_tokens"),
+            )
+        )
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4259,6 +4322,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_golden_records": q_b19_golden_records,
         "b10_bootstrap": q_b10_bootstrap,
         "b25_sql_recursive": q_b25_sql_recursive,
+        "b26_temporal_split": q_b26_temporal_split,
+        "b24_corpus_v4": q_b24_corpus_v4,
     }
 
 
@@ -7467,6 +7532,66 @@ def oracle_sql() -> dict[str, str]:
         "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
         "b10_bootstrap": _bootstrap_oracle_sql(),
         "b25_sql_recursive": _RECURSIVE_SQL,
+        "b24_corpus_v4": f"""
+            WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pf
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pf
+            ),
+            reach AS (
+              SELECT DISTINCT src AS v, src AS r FROM edges
+              UNION
+              SELECT e.dst AS v, reach.r AS r
+              FROM reach JOIN edges e ON e.src = reach.v
+            ),
+            lab AS (SELECT v AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY v),
+            corpus AS ({_B19_CORPUS_SQL}),
+            golden AS (
+              SELECT lab.cluster_id AS doc_id,
+                     max_by(c.text, CAST(length(c.text) AS BIGINT)
+                            * 4294967296 + (4294967295 - c.doc_id)) AS text
+              FROM corpus c JOIN lab ON lab.doc_id = c.doc_id
+              GROUP BY lab.cluster_id
+            ),
+            singles AS (
+              SELECT doc_id, text FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+            ),
+            kept AS (SELECT * FROM golden UNION ALL SELECT * FROM singles),
+            gated AS (
+              SELECT doc_id,
+                     len(string_split({_NORM_SQL}, ' ')) AS nt
+              FROM kept
+            )
+            SELECT
+              (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_input,
+              (SELECT CAST(count(*) AS BIGINT) FROM pf) AS n_pairs,
+              (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM lab)
+                AS n_clusters,
+              (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+              (SELECT CAST(count(*) AS BIGINT) FROM gated WHERE nt >= 10)
+                AS n_final,
+              (SELECT CAST(sum(nt) AS BIGINT) FROM gated WHERE nt >= 10)
+                AS total_tokens
+        """,
+        "b26_temporal_split": """
+            WITH test AS (
+              SELECT *, 'test' AS split FROM events
+              WHERE ts >= TIMESTAMP '2024-01-30 12:00:00'
+            ),
+            tk AS (SELECT DISTINCT user_id FROM test),
+            train AS (
+              SELECT e.*, 'train' AS split FROM events e
+              WHERE e.ts < TIMESTAMP '2024-01-28 00:00:00'
+                AND e.user_id NOT IN (SELECT user_id FROM tk)
+            ),
+            un AS (SELECT * FROM train UNION ALL SELECT * FROM test)
+            SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM un GROUP BY split, event_type
+        """,
         "b19_golden_records": f"""
             WITH labels AS ({_dup_clusters_oracle_sql()}),
             corpus AS ({_B19_CORPUS_SQL}),

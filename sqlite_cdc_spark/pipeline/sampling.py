@@ -592,3 +592,39 @@ def poisson_bootstrap(
         .crossJoin(F.broadcast(hi))
         .select("replicate", "n_eff", "mean_r", "ci_lo", "ci_hi")
     )
+
+
+def temporal_split(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    train_end: str,
+    test_start: str,
+) -> DataFrame:
+    """Leakage-aware temporal split — the time-series answer to random
+    train/test splits (which leak future information backwards): train
+    is strictly before ``train_end``, test strictly from
+    ``test_start``, the gap between them is the embargo (rows there
+    are dropped), AND any key (user/entity) active in the test window
+    is PURGED from train — otherwise per-key state (habits, templates)
+    leaks across the boundary.
+
+    Pure filters + one broadcast-able semi/anti join pair on the
+    test-key relation (bounded by |active keys in test|, far smaller
+    than the stream). Deterministic; no hashing, no sampling.
+
+    Output: the input rows + ``split`` ('train' | 'test') — embargoed
+    and purged rows are absent; use counts vs the input to audit the
+    cost of the embargo.
+    """
+    t1 = F.lit(train_end).cast("timestamp")
+    t2 = F.lit(test_start).cast("timestamp")
+    ts = F.col(ts_col)
+    test = events.filter(ts >= t2).withColumn("split", F.lit("test"))
+    test_keys = test.select(key_col).distinct()
+    train = (
+        events.filter(ts < t1)
+        .join(F.broadcast(test_keys), key_col, "left_anti")
+        .withColumn("split", F.lit("train"))
+    )
+    return train.unionByName(test)

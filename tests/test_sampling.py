@@ -232,3 +232,29 @@ def test_poisson_bootstrap_deterministic_across_partitioning(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_temporal_split_embargo_and_purge(spark):
+    import datetime as dt
+
+    from sqlite_cdc_spark.pipeline import sampling
+
+    rows = [
+        # user 1 active only early; user 2 spans the boundary; user 3 only late
+        (1, dt.datetime(2024, 1, 1), 1),
+        (2, dt.datetime(2024, 1, 2), 2),
+        (3, dt.datetime(2024, 1, 12), 2),   # embargo zone
+        (4, dt.datetime(2024, 1, 20), 2),
+        (5, dt.datetime(2024, 1, 21), 3),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    got = {
+        r.event_id: r.split
+        for r in sampling.temporal_split(
+            df, "ts", "user_id", "2024-01-10 00:00:00", "2024-01-15 00:00:00"
+        ).collect()
+    }
+    assert got[1] == "train"          # early-only user stays
+    assert 2 not in got               # user 2 purged from train (active in test)
+    assert 3 not in got               # embargo row dropped
+    assert got[4] == "test" and got[5] == "test"
