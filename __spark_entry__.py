@@ -3498,6 +3498,40 @@ def _zorder_oracle_sql(bits: int = 16) -> str:
     """
 
 
+def _linear_counting_oracle_sql(m_bits: int = 4096) -> str:
+    """DuckDB replay of q_b27_linear_counting: same k=1 bitmap build,
+    popcount, and −m·ln(z/m) estimator expression tree."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60_sql,
+    )
+
+    a, b = _hash_family(1, seed=0xB100)[0]
+    base = f"({portable_hash60_sql('CAST(c_custkey AS VARCHAR)')}) % {MINHASH_P}"
+    est = (
+        f"round(-{float(m_bits)} * ln(CAST({m_bits} - s AS DOUBLE)"
+        f" / {float(m_bits)}), 6)"
+    )
+    return f"""
+        WITH pos AS (
+          SELECT ((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits} AS pos
+          FROM customer
+        ),
+        bitmap AS (
+          SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM pos GROUP BY 1
+        ),
+        used AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS s FROM bitmap),
+        ex AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact
+               FROM customer)
+        SELECT n_exact, s AS bits_set, {est} AS estimate,
+               round(abs({est} - n_exact) / n_exact, 6) AS rel_err
+        FROM ex CROSS JOIN used
+    """
+
+
 def _bloom_oracle_sql(m_bits: int = 4096, k_hashes: int = 4) -> str:
     """DuckDB replay of q_b7_bloom_join: identical universal-family bit
     positions over the portable md5 hash, bit_or bitmap, all-k probe."""
@@ -3918,6 +3952,43 @@ def q_b24_corpus_v4(spark, sf_dir):
     )
 
 
+def q_b27_linear_counting(spark, sf_dir):
+    """Linear-counting distinct estimate (B27 sketch depth — the one
+    sketch whose every bit replays cross-engine, giving the sketch
+    family an ORACLED row beside the rows-only HLL/CMS): customer keys
+    hash into an m-bit bitmap (same portable build as b7_bloom_join
+    with k=1), estimate = −m·ln(z/m) with z the zero-bit count from
+    integer popcounts. The row carries exact vs estimate vs relative
+    error, so the driver check certifies the estimator's math AND its
+    accuracy claim (derive.py: bloom_build)."""
+    m_bits = 4096
+    cust = _t(spark, sf_dir, "customer")
+    bitmap = derive.bloom_build(
+        cust.select("c_custkey"), "c_custkey", m_bits=m_bits, k_hashes=1
+    )
+    used = bitmap.agg(F.sum(F.bit_count("bits")).cast("long").alias("__set"))
+    exact = cust.agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("n_exact")
+    )
+    z = F.lit(m_bits) - F.col("__set")
+    est = F.round(
+        -F.lit(float(m_bits))
+        * F.log(z.cast("double") / F.lit(float(m_bits))),
+        6,
+    )
+    return (
+        exact.crossJoin(F.broadcast(used))
+        .select(
+            "n_exact",
+            F.col("__set").alias("bits_set"),
+            est.alias("estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4324,6 +4395,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_recursive": q_b25_sql_recursive,
         "b26_temporal_split": q_b26_temporal_split,
         "b24_corpus_v4": q_b24_corpus_v4,
+        "b27_linear_counting": q_b27_linear_counting,
     }
 
 
@@ -7532,6 +7604,7 @@ def oracle_sql() -> dict[str, str]:
         "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
         "b10_bootstrap": _bootstrap_oracle_sql(),
         "b25_sql_recursive": _RECURSIVE_SQL,
+        "b27_linear_counting": _linear_counting_oracle_sql(),
         "b24_corpus_v4": f"""
             WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql()}),
             edges AS (

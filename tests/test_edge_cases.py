@@ -97,3 +97,21 @@ def test_recursive_cte_hierarchy_depths(spark):
     assert got[1] == (10, 10)   # keys 0..9
     assert got[2] == (90, 9)    # keys 10..99 under roots 1..9 (0 has no children >= 10)
     assert set(got) == {1, 2}
+
+
+def test_linear_counting_estimate_tracks_exact(spark):
+    import __spark_entry__ as entry
+
+    spark.createDataFrame(
+        [(i,) for i in range(800)], ["c_custkey"]
+    ).createOrReplaceTempView("__lc")
+    from sqlite_cdc_spark import derive
+    from pyspark.sql import functions as F
+
+    df = spark.table("__lc")
+    bitmap = derive.bloom_build(df, "c_custkey", m_bits=4096, k_hashes=1)
+    s = bitmap.agg(F.sum(F.bit_count("bits"))).first()[0]
+    import math
+
+    est = -4096 * math.log((4096 - s) / 4096)
+    assert abs(est - 800) / 800 < 0.05  # load 0.2 → well under 5% error
