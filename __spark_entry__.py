@@ -3989,6 +3989,57 @@ def q_b27_linear_counting(spark, sf_dir):
     )
 
 
+def q_b13_schema_union(spark, sf_dir):
+    """Schema-evolution-tolerant union (B13 depth): two generations of
+    a feed with added/dropped columns union BY NAME with missing
+    columns null-filled — `unionByName(allowMissingColumns=True)`,
+    DuckDB's `UNION ALL BY NAME`. The everyday operation when a
+    producer adds a field mid-stream."""
+    o = _t(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    both = gen1.unionByName(gen2, allowMissingColumns=True)
+    return both.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.count("priority").alias("n_with_priority"),
+    )
+
+
+def q_b2_collapse_repeats(spark, sf_dir):
+    """Consecutive-duplicate collapse (B2 depth): drop events repeating
+    the previous event_type for the same user — the feed-compaction
+    read that removes redundant heartbeats/idempotent writes while
+    keeping every state TRANSITION. One lag() window per user, narrow
+    filter; the kept-row relation then summarizes per type."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    kept = ev.withColumn("__prev", F.lag("event_type", 1).over(w)).filter(
+        (F.col("__prev").isNull()) | (F.col("__prev") != F.col("event_type"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    ).join(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw")),
+        "event_type",
+    ).select(
+        "event_type",
+        "n_raw",
+        "n_kept",
+        (F.col("n_raw") - F.col("n_kept")).alias("n_collapsed"),
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4396,6 +4447,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_temporal_split": q_b26_temporal_split,
         "b24_corpus_v4": q_b24_corpus_v4,
         "b27_linear_counting": q_b27_linear_counting,
+        "b13_schema_union": q_b13_schema_union,
+        "b2_collapse_repeats": q_b2_collapse_repeats,
     }
 
 
@@ -7605,6 +7658,44 @@ def oracle_sql() -> dict[str, str]:
         "b10_bootstrap": _bootstrap_oracle_sql(),
         "b25_sql_recursive": _RECURSIVE_SQL,
         "b27_linear_counting": _linear_counting_oracle_sql(),
+        "b13_schema_union": """
+            WITH gen1 AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            gen2 AS (
+              SELECT o_orderkey, o_orderstatus,
+                     o_orderpriority AS priority
+              FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            merged AS (
+              SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+                   CAST(count(priority) AS BIGINT) AS n_with_priority
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "b2_collapse_repeats": """
+            WITH marked AS (
+              SELECT event_type,
+                     lag(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ),
+            kept AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+              FROM marked WHERE prev IS NULL OR prev <> event_type
+              GROUP BY event_type
+            ),
+            raw AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw
+              FROM events GROUP BY event_type
+            )
+            SELECT raw.event_type, n_raw, n_kept, n_raw - n_kept AS n_collapsed
+            FROM raw JOIN kept ON kept.event_type = raw.event_type
+        """,
         "b24_corpus_v4": f"""
             WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql()}),
             edges AS (
