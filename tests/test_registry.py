@@ -56,3 +56,14 @@ def test_no_oracled_query_returns_array_or_map_columns(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 offenders.append(f"{name}.{f.name}:{f.dataType.simpleString()}")
     assert offenders == []
+
+
+def test_driver_window_is_exactly_50_known_names():
+    q = entry.queries()
+    window = entry._R6_WINDOW
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    unknown = [k for k in window if k not in q]
+    assert unknown == []
+    # the rotation must actually control the gate: queries() leads with it
+    assert list(q)[:50] == window
