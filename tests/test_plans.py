@@ -308,3 +308,47 @@ def test_filtered_agg_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b10_filtered_agg")
     assert "Join" not in plan  # one agg pass, no self-joins
     assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_prefix_filter_never_broadcasts_vocab_relations(spark, sf_dir):
+    """The r6 OOM lesson frozen: Catalyst's static post-agg estimate
+    must NOT be allowed to broadcast the gram-frequency / doc-size
+    relations (vocabulary-sized, unbounded at corpus scale)."""
+    plan = _plan(spark, sf_dir, "b19_prefix_filter")
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_only_the_bitmap(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b7_bloom_join")
+    # the 66-row bitmap broadcasts; the fact side must never sort-merge
+    # against it
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_assignment_is_narrow(spark, sf_dir):
+    # final assignment = codegen map over the quantized base + one
+    # window for cluster sizes; no join anywhere in the returned plan
+    plan = _plan(spark, sf_dir, "b20_kmeans")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_scoring_joins_on_subspace_code(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b20_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_is_single_window_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b11_ewma")
+    # one shuffle (the user_id window partitioning), no joins
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE shuffle read)
+    assert "Join" not in plan
+
+
+def test_bpe_encode_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "b30_bpe_encode")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan  # merges are literal replaces — codegen
