@@ -4040,6 +4040,102 @@ def q_b2_collapse_repeats(spark, sf_dir):
     )
 
 
+def q_b26_rendezvous(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing (B26 placement
+    depth): every order key routes to the shard maximizing
+    h(key, shard) — the consistent-placement rule behind shard
+    routing, cache assignment and co-partitioned layouts. The query
+    assigns keys under 5 shards AND under 6, then reports per-shard
+    counts plus how many keys MOVED — certifying HRW's minimal-
+    disruption property (≈ n/(N+1) keys move when a shard joins,
+    vs ~all under mod-N). Portable md5 base hash + universal family,
+    ties to the lowest shard id; pure narrow maps, one keyed agg."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60,
+    )
+
+    fam = _hash_family(6, seed=0x44C)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    h = F.pmod(
+        portable_hash60(F.col("o_orderkey").cast("string")), F.lit(MINHASH_P)
+    )
+
+    def assign(n_shards: int):
+        scored = [
+            F.struct(
+                (-F.pmod(h * fam[s][0] + fam[s][1], F.lit(MINHASH_P))).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+        return F.array_min(F.array(*scored)).getField("s")
+
+    routed = orders.select(
+        "o_orderkey",
+        assign(5).alias("shard5"),
+        assign(6).alias("shard6"),
+    )
+    per = routed.groupBy(F.col("shard6").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    moved = routed.agg(
+        F.sum((F.col("shard5") != F.col("shard6")).cast("long")).alias("n_moved"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return per.crossJoin(F.broadcast(moved)).select(
+        "shard",
+        "n_keys",
+        "n_moved",
+        "n_total",
+        F.round(F.col("n_moved") / F.col("n_total").cast("double"), 6).alias(
+            "moved_frac"
+        ),
+    )
+
+
+def _rendezvous_oracle_sql() -> str:
+    """DuckDB replay of q_b26_rendezvous: same weights, same
+    negated-weight argmin (ties to the lowest shard id)."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60_sql,
+    )
+
+    fam = _hash_family(6, seed=0x44C)
+    base = f"({portable_hash60_sql('CAST(o_orderkey AS VARCHAR)')}) % {MINHASH_P}"
+
+    def assign(n: int) -> str:
+        lst = ", ".join(
+            f"{{'w': -((h * {fam[s][0]} + {fam[s][1]}) % {MINHASH_P}),"
+            f" 's': {s}}}"
+            for s in range(n)
+        )
+        return f"list_min([{lst}])['s']"
+
+    return f"""
+        WITH routed AS (
+          SELECT {assign(5)} AS shard5, {assign(6)} AS shard6
+          FROM (SELECT {base} AS h FROM orders)
+        ),
+        per AS (
+          SELECT shard6 AS shard, CAST(count(*) AS BIGINT) AS n_keys
+          FROM routed GROUP BY shard6
+        ),
+        mv AS (
+          SELECT CAST(sum(CASE WHEN shard5 <> shard6 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_moved,
+                 CAST(count(*) AS BIGINT) AS n_total
+          FROM routed
+        )
+        SELECT shard, n_keys, n_moved, n_total,
+               round(n_moved / CAST(n_total AS DOUBLE), 6) AS moved_frac
+        FROM per CROSS JOIN mv
+    """
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4449,6 +4545,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b27_linear_counting": q_b27_linear_counting,
         "b13_schema_union": q_b13_schema_union,
         "b2_collapse_repeats": q_b2_collapse_repeats,
+        "b26_rendezvous": q_b26_rendezvous,
     }
 
 
@@ -7658,6 +7755,7 @@ def oracle_sql() -> dict[str, str]:
         "b10_bootstrap": _bootstrap_oracle_sql(),
         "b25_sql_recursive": _RECURSIVE_SQL,
         "b27_linear_counting": _linear_counting_oracle_sql(),
+        "b26_rendezvous": _rendezvous_oracle_sql(),
         "b13_schema_union": """
             WITH gen1 AS (
               SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -258,3 +258,16 @@ def test_temporal_split_embargo_and_purge(spark):
     assert 2 not in got               # user 2 purged from train (active in test)
     assert 3 not in got               # embargo row dropped
     assert got[4] == "test" and got[5] == "test"
+
+
+def test_rendezvous_movement_is_minimal(spark):
+    # the registered query's property on fixture data: growing 5 -> 6
+    # shards moves ~1/6 of keys (mod-N hashing would move ~5/6)
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b26_rendezvous"](spark, "/root/testdata/sf0.001").collect()
+    frac = rows[0].moved_frac
+    assert 0.10 < frac < 0.25, frac
+    # and shards stay balanced within 3x of each other
+    counts = [r.n_keys for r in rows]
+    assert max(counts) < 3 * min(counts)
