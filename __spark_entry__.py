@@ -4136,6 +4136,77 @@ def _rendezvous_oracle_sql() -> str:
     """
 
 
+def q_b18_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup audit (B18 storage depth): the
+    Rabin/Gear-style boundary rule over the planted-dup corpus — the
+    chunk store's view of redundancy, position-independent where fixed
+    blocks are not (the ' zzz' suffix shifts no earlier boundary, so
+    original and mutant share every chunk before the tail). One row:
+    total vs distinct chunks/chars + dedup ratio (dedup.py:
+    cdc_chunk_stats)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    return dedup.cdc_chunk_stats(corpus, "doc_id", "text")
+
+
+def _cdc_chunks_oracle_sql(window: int = 8, mask: int = 63) -> str:
+    """DuckDB replay of q_b18_cdc_chunks: identical rolling-hash
+    boundary rule, sentinel union, lag segmentation and md5 chunk ids."""
+    from sqlite_cdc_spark.pipeline.dedup import MINHASH_P, portable_hash60_sql
+
+    h = portable_hash60_sql(f"substr(t, CAST(p AS INTEGER), {window})")
+    return f"""
+        WITH corpus AS ({_B19_CORPUS_SQL}),
+        base AS (SELECT doc_id AS d, text AS t FROM corpus),
+        pos AS (
+          SELECT d, t, unnest(generate_series(1,
+                 greatest(length(t) - {window - 1}, 0))) AS p
+          FROM base
+        ),
+        bounds AS (
+          SELECT d, p + {window - 1} AS e FROM pos
+          WHERE (({h}) % {mask + 1} + {mask + 1}) % {mask + 1} = 0
+        ),
+        ends AS (
+          SELECT DISTINCT d, e FROM (
+            SELECT d, e FROM bounds
+            UNION ALL
+            SELECT d, length(t) AS e FROM base
+          )
+        ),
+        segs AS (
+          SELECT ends.d,
+                 substr(base.t,
+                        CAST(COALESCE(lag(e) OVER (PARTITION BY ends.d
+                             ORDER BY e), 0) + 1 AS INTEGER),
+                        CAST(e - COALESCE(lag(e) OVER (PARTITION BY ends.d
+                             ORDER BY e), 0) AS INTEGER)) AS chunk,
+                 e - COALESCE(lag(e) OVER (PARTITION BY ends.d
+                     ORDER BY e), 0) AS ln
+          FROM ends JOIN base ON base.d = ends.d
+          QUALIFY ln >= 1
+        ),
+        per AS (SELECT md5(chunk) AS h, CAST(ln AS BIGINT) AS ln FROM segs),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(ln) AS BIGINT) AS total_chars FROM per),
+        dis AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(sum(l) AS BIGINT) AS distinct_chars
+          FROM (SELECT h, min(ln) AS l FROM per GROUP BY h)
+        )
+        SELECT n_chunks, n_distinct, total_chars, distinct_chars,
+               round(1.0 - distinct_chars / CAST(total_chars AS DOUBLE), 6)
+                 AS dedup_ratio,
+               round(total_chars / CAST(n_chunks AS DOUBLE), 6)
+                 AS avg_chunk_len
+        FROM tot CROSS JOIN dis
+    """
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4546,6 +4617,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b13_schema_union": q_b13_schema_union,
         "b2_collapse_repeats": q_b2_collapse_repeats,
         "b26_rendezvous": q_b26_rendezvous,
+        "b18_cdc_chunks": q_b18_cdc_chunks,
     }
 
 
@@ -7756,6 +7828,7 @@ def oracle_sql() -> dict[str, str]:
         "b25_sql_recursive": _RECURSIVE_SQL,
         "b27_linear_counting": _linear_counting_oracle_sql(),
         "b26_rendezvous": _rendezvous_oracle_sql(),
+        "b18_cdc_chunks": _cdc_chunks_oracle_sql(),
         "b13_schema_union": """
             WITH gen1 AS (
               SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -1369,3 +1369,88 @@ def golden_records(
         )
         base = base.join(top, "cluster_id")
     return base
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking dedup audit — the STORAGE-level dedup
+    technique (Rabin/Gear-style) complementing the document-level
+    family: chunk boundaries fall where a rolling window hash satisfies
+    ``h % (mask+1) == 0``, so insertions shift boundaries only locally
+    and identical passages produce identical chunks REGARDLESS of
+    position — the property fixed-size blocks lack. The audit reports
+    corpus-wide chunk dedup: total vs distinct chunks/chars and the
+    dedup ratio (what a chunk store would save).
+
+    Plan: positions explode (≤ |chars| rows, same scale as token
+    rows) → narrow window-hash + boundary filter → per-doc sentinel
+    union → lag() segmentation → substring chunks → one keyed distinct
+    agg on the chunk hash. Expected chunk length = mask+1 chars.
+
+    Output: one row ``(n_chunks, n_distinct, total_chars,
+    distinct_chars, dedup_ratio, avg_chunk_len)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("__d"), F.col(text_col).alias("__t")
+    )
+    pos = base.select(
+        "__d",
+        "__t",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("__t") - F.lit(window - 1), F.lit(0)),
+            )
+        ).alias("p"),
+    )
+    h = portable_hash60(F.substring(F.col("__t"), F.col("p"), window))
+    bounds = pos.filter(F.pmod(h, F.lit(mask + 1)) == 0).select(
+        "__d", (F.col("p") + F.lit(window - 1)).alias("__end")
+    )
+    sentinel = base.select("__d", F.length("__t").alias("__end"))
+    ends = bounds.unionByName(sentinel).distinct()
+    w = Window.partitionBy("__d").orderBy(F.col("__end").asc())
+    segs = (
+        ends.withColumn("__start", F.coalesce(F.lag("__end", 1).over(w), F.lit(0)) + 1)
+        .filter(F.col("__end") >= F.col("__start"))
+        .join(base, "__d")
+        .select(
+            "__d",
+            F.substring(
+                F.col("__t"), F.col("__start"), F.col("__end") - F.col("__start") + 1
+            ).alias("__chunk"),
+        )
+    )
+    per_chunk = segs.select(
+        F.md5(F.col("__chunk")).alias("__h"), F.length("__chunk").alias("__len")
+    )
+    tot = per_chunk.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("__len").cast("long").alias("total_chars"),
+    )
+    dis = (
+        per_chunk.groupBy("__h")
+        .agg(F.min("__len").alias("__l"))  # lengths equal per hash; min is engine-neutral
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("__l").cast("long").alias("distinct_chars"),
+        )
+    )
+    return tot.crossJoin(F.broadcast(dis)).select(
+        "n_chunks",
+        "n_distinct",
+        "total_chars",
+        "distinct_chars",
+        F.round(
+            F.lit(1.0) - F.col("distinct_chars") / F.col("total_chars").cast("double"),
+            6,
+        ).alias("dedup_ratio"),
+        F.round(
+            F.col("total_chars") / F.col("n_chunks").cast("double"), 6
+        ).alias("avg_chunk_len"),
+    )

@@ -1085,3 +1085,24 @@ def test_golden_records_longest_ties_to_min_id(spark):
         docs, labels, "doc_id", {"best_text": ("longest", "text")}
     ).first()
     assert got.best_text == "bbbb"  # len tie between ids 2 and 5 → min id 2
+
+
+def test_cdc_chunks_position_independent(spark):
+    # the CDC property fixed blocks lack: a PREFIX insertion shifts all
+    # byte offsets, but chunks after the first boundary are identical
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        [(1, text), (2, "PREFIX-" + text)], ["doc_id", "text"]
+    )
+    got = dedup.cdc_chunk_stats(df, "doc_id", "text").first()
+    # near-total sharing: distinct chars well under total
+    assert got.n_chunks > got.n_distinct
+    assert got.dedup_ratio > 0.4, got
+
+
+def test_cdc_chunks_cover_every_char(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 30), (2, "xy")], ["doc_id", "text"]
+    )
+    got = dedup.cdc_chunk_stats(df, "doc_id", "text").first()
+    assert got.total_chars == 300 + 2  # exact coverage, no gaps/overlaps
