@@ -4207,6 +4207,92 @@ def _cdc_chunks_oracle_sql(window: int = 8, mask: int = 63) -> str:
     """
 
 
+def q_b8_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (B8 outer-join depth): the customer order-count
+    distribution — LEFT OUTER join (customers with zero orders must
+    appear as count 0) under an anti-LIKE priority filter (the fixture has no o_comment), then a
+    second aggregation over the first. The double-agg + outer-join
+    topology is the classic optimizer stress Q13 exists for."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("1-%")
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select("c_count", "custdist")
+    )
+
+
+def q_b10_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (B10 correlated-aggregate depth): revenue lost
+    to small orders — lineitems under 20% of their part's average
+    quantity, for one brand/type slice (fixture part has p_type, not p_container). The per-part avg is a
+    keyed agg joined back (Catalyst's decorrelation of the textbook
+    correlated subquery); sums in exact decimal, final /7 in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    avgq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("__avgq")
+    )
+    sel = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avgq, li["l_partkey"] == F.col("__pk"))
+        .filter(
+            F.col("l_quantity").cast("double") < F.lit(0.2) * F.col("__avgq")
+        )
+    )
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.round(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ),
+            2,
+        ).alias("avg_yearly"),
+    )
+
+
+def q_b5_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape (B5 predicate depth): disjunction of
+    conjunctions across the join (brand × type × quantity × size
+    bands) — the OR-of-ANDs pattern that tests predicate normalization
+    and join-condition pushdown. Decimal-exact revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity").cast("double")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL") & (q <= 15) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "MEDIUM") & (q <= 25) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "LARGE") & (q <= 35) & (F.col("p_size") <= 30))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,6)")
+        * (F.lit(1).cast("decimal(38,6)") - F.col("l_discount").cast("decimal(38,6)"))
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4618,6 +4704,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_collapse_repeats": q_b2_collapse_repeats,
         "b26_rendezvous": q_b26_rendezvous,
         "b18_cdc_chunks": q_b18_cdc_chunks,
+        "b8_order_distribution": q_b8_order_distribution,
+        "b10_small_quantity_revenue": q_b10_small_quantity_revenue,
+        "b5_disjunctive_pushdown": q_b5_disjunctive_pushdown,
     }
 
 
@@ -7829,6 +7918,52 @@ def oracle_sql() -> dict[str, str]:
         "b27_linear_counting": _linear_counting_oracle_sql(),
         "b26_rendezvous": _rendezvous_oracle_sql(),
         "b18_cdc_chunks": _cdc_chunks_oracle_sql(),
+        "b8_order_distribution": """
+            WITH per AS (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority NOT LIKE '1-%'
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per GROUP BY c_count
+        """,
+        "b10_small_quantity_revenue": """
+            WITH pq AS (
+              SELECT l_partkey AS pk,
+                     avg(CAST(l_quantity AS DOUBLE)) AS avgq
+              FROM lineitem GROUP BY l_partkey
+            ),
+            sel AS (
+              SELECT l.l_extendedprice FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              JOIN pq ON pq.pk = l.l_partkey
+              WHERE p.p_brand = 'Brand#3' AND p.p_type = 'MEDIUM'
+                AND CAST(l.l_quantity AS DOUBLE) < 0.2 * pq.avgq
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM sel
+        """,
+        "b5_disjunctive_pushdown": """
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+                              * (CAST(1 AS DECIMAL(28,4))
+                                 - CAST(l_discount AS DECIMAL(28,4))))
+                              AS DOUBLE), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_type = 'SMALL'
+                   AND CAST(l_quantity AS DOUBLE) <= 15 AND p_size <= 10)
+               OR (p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+                   AND CAST(l_quantity AS DOUBLE) <= 25 AND p_size <= 20)
+               OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
+                   AND CAST(l_quantity AS DOUBLE) <= 35 AND p_size <= 30)
+            GROUP BY p_brand
+        """,
         "b13_schema_union": """
             WITH gen1 AS (
               SELECT o_orderkey, o_orderstatus, o_totalprice
