@@ -4293,6 +4293,31 @@ def q_b5_disjunctive_pushdown(spark, sf_dir):
     )
 
 
+def q_b22_byte_histogram(spark, sf_dir):
+    """Binary-column byte statistics (B22 depth beside the metadata
+    row): documents re-encoded as a BINARY payload column, audited
+    byte-level — per leading-byte bucket: blob count, total bytes,
+    and a digest-prefix distinct count (the corrupt-upload/wrong-
+    codec screen run on opaque media columns before any decode).
+    Pure binary functions (encode/length/substring/md5), engine-exact."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        docs.select(
+            F.upper(F.hex(F.substring(F.col("payload"), 1, 1))).alias("lead_byte"),
+            F.length("payload").alias("__n"),
+            F.substring(F.md5("payload"), 1, 8).alias("__d8"),
+        )
+        .groupBy("lead_byte")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("__n").cast("long").alias("total_bytes"),
+            F.count_distinct("__d8").cast("bigint").alias("n_distinct_digests"),
+        )
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4707,6 +4732,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_order_distribution": q_b8_order_distribution,
         "b10_small_quantity_revenue": q_b10_small_quantity_revenue,
         "b5_disjunctive_pushdown": q_b5_disjunctive_pushdown,
+        "b22_byte_histogram": q_b22_byte_histogram,
     }
 
 
@@ -7918,6 +7944,20 @@ def oracle_sql() -> dict[str, str]:
         "b27_linear_counting": _linear_counting_oracle_sql(),
         "b26_rendezvous": _rendezvous_oracle_sql(),
         "b18_cdc_chunks": _cdc_chunks_oracle_sql(),
+        "b22_byte_histogram": """
+            -- DuckDB can neither slice nor substring a BLOB, so the
+            -- leading BYTE comes from ascii() (corpus verified pure
+            -- ASCII: octet_length(encode(text)) == length(text) for
+            -- every row) and md5(VARCHAR) hashes the same UTF-8 bytes
+            -- Spark's md5(encode(text)) does
+            SELECT upper(to_hex(ascii(text))) AS lead_byte,
+                   CAST(count(*) AS BIGINT) AS n_blobs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                     AS total_bytes,
+                   CAST(count(DISTINCT substr(md5(text), 1, 8)) AS BIGINT)
+                     AS n_distinct_digests
+            FROM documents GROUP BY lead_byte
+        """,
         "b8_order_distribution": """
             WITH per AS (
               SELECT c.c_custkey,
