@@ -4318,6 +4318,74 @@ def q_b22_byte_histogram(spark, sf_dir):
     )
 
 
+def q_b30_index_compression(spark, sf_dir):
+    """Posting-list compression audit (B30 index depth): the
+    delta+varint arithmetic every search index lives on — per term,
+    doc-id gaps via lag() (postings are sorted by construction),
+    varint size = 7-bit-group count by integer thresholds, reported as
+    raw-vs-encoded bytes per df-decile bucket. Pure integer logic, one
+    window + two keyed aggs; certifies the size model an index
+    capacity plan would use."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(textops.tokens("text")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("doc_id").asc())
+    gaps = dt.select(
+        "tok",
+        (
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id", 1).over(w), F.lit(0))
+        ).alias("__gap"),
+    )
+    vbytes = (
+        F.when(F.col("__gap") < 128, 1)
+        .when(F.col("__gap") < 16384, 2)
+        .when(F.col("__gap") < 2097152, 3)
+        .otherwise(4)
+    )
+    per_term = gaps.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.sum(vbytes).cast("long").alias("__vb"),
+    )
+    # integer thresholds, not floor(log10(df)): log10 of an exact power
+    # of ten is not guaranteed exactly representable, and a 1-ulp
+    # undershoot would flip the floor cross-engine
+    bucket = (
+        F.when(F.col("__df") < 10, 0)
+        .when(F.col("__df") < 100, 1)
+        .when(F.col("__df") < 1000, 2)
+        .when(F.col("__df") < 10000, 3)
+        .otherwise(4)
+    )
+    return (
+        per_term.groupBy(bucket.alias("df_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__df").cast("long").alias("n_postings"),
+            (F.sum("__df") * 8).cast("long").alias("raw_bytes"),
+            F.sum("__vb").cast("long").alias("varint_bytes"),
+        )
+        .select(
+            "df_decade",
+            "n_terms",
+            "n_postings",
+            "raw_bytes",
+            "varint_bytes",
+            F.round(
+                F.col("raw_bytes") / F.col("varint_bytes").cast("double"), 6
+            ).alias("compression_x"),
+        )
+    )
+
+
 def q_b3_psi(spark, sf_dir):
     """Population Stability Index over the event-value distribution,
     first half vs second half of the stream (B3 monitoring depth) —
@@ -4733,6 +4801,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_small_quantity_revenue": q_b10_small_quantity_revenue,
         "b5_disjunctive_pushdown": q_b5_disjunctive_pushdown,
         "b22_byte_histogram": q_b22_byte_histogram,
+        "b30_index_compression": q_b30_index_compression,
     }
 
 
@@ -7944,6 +8013,37 @@ def oracle_sql() -> dict[str, str]:
         "b27_linear_counting": _linear_counting_oracle_sql(),
         "b26_rendezvous": _rendezvous_oracle_sql(),
         "b18_cdc_chunks": _cdc_chunks_oracle_sql(),
+        "b30_index_compression": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS tok
+              FROM documents
+            ),
+            gaps AS (
+              SELECT tok,
+                     doc_id - COALESCE(lag(doc_id) OVER (
+                       PARTITION BY tok ORDER BY doc_id), 0) AS gap
+              FROM dt
+            ),
+            per AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(CASE WHEN gap < 128 THEN 1
+                                   WHEN gap < 16384 THEN 2
+                                   WHEN gap < 2097152 THEN 3
+                                   ELSE 4 END) AS BIGINT) AS vb
+              FROM gaps GROUP BY tok
+            )
+            SELECT CAST(CASE WHEN df < 10 THEN 0 WHEN df < 100 THEN 1
+                             WHEN df < 1000 THEN 2 WHEN df < 10000 THEN 3
+                             ELSE 4 END AS INTEGER) AS df_decade,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(df) AS BIGINT) AS n_postings,
+                   CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+                   CAST(sum(vb) AS BIGINT) AS varint_bytes,
+                   round(CAST(sum(df) * 8 AS BIGINT)
+                         / CAST(sum(vb) AS DOUBLE), 6) AS compression_x
+            FROM per GROUP BY 1
+        """,
         "b22_byte_histogram": """
             -- DuckDB can neither slice nor substring a BLOB, so the
             -- leading BYTE comes from ascii() (corpus verified pure
