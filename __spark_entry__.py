@@ -4299,13 +4299,19 @@ def q_b22_byte_histogram(spark, sf_dir):
     byte-level — per leading-byte bucket: blob count, total bytes,
     and a digest-prefix distinct count (the corrupt-upload/wrong-
     codec screen run on opaque media columns before any decode).
-    Pure binary functions (encode/length/substring/md5), engine-exact."""
+    Pure binary functions (encode/length/substring/md5), engine-exact.
+    Explicit convention: zero-length payloads bucket under NULL on both
+    engines (Spark hex('') would be '' while DuckDB to_hex(ascii('')) is
+    '0' — neither is a byte, so neither is used)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return (
         docs.select(
-            F.upper(F.hex(F.substring(F.col("payload"), 1, 1))).alias("lead_byte"),
+            F.when(
+                F.length("payload") > 0,
+                F.upper(F.hex(F.substring(F.col("payload"), 1, 1))),
+            ).alias("lead_byte"),
             F.length("payload").alias("__n"),
             F.substring(F.md5("payload"), 1, 8).alias("__d8"),
         )
@@ -8049,8 +8055,13 @@ def oracle_sql() -> dict[str, str]:
             -- leading BYTE comes from ascii() (corpus verified pure
             -- ASCII: octet_length(encode(text)) == length(text) for
             -- every row) and md5(VARCHAR) hashes the same UTF-8 bytes
-            -- Spark's md5(encode(text)) does
-            SELECT upper(to_hex(ascii(text))) AS lead_byte,
+            -- Spark's md5(encode(text)) does. lpad matches Spark hex()'s
+            -- zero-padded 2-digit output for lead bytes < 0x10, and empty
+            -- text (ascii='' -> 0 -> '00') is mapped to NULL on both
+            -- engines (Spark: substring of empty payload -> '' -> hex '').
+            SELECT CASE WHEN text = '' THEN NULL
+                        ELSE lpad(upper(to_hex(ascii(text))), 2, '0')
+                   END AS lead_byte,
                    CAST(count(*) AS BIGINT) AS n_blobs,
                    CAST(sum(octet_length(encode(text))) AS BIGINT)
                      AS total_bytes,

@@ -976,41 +976,70 @@ def bloom_probe(
     k_hashes: int = 4,
 ) -> DataFrame:
     """Probe a :func:`bloom_build` filter: keep fact rows whose key has
-    ALL ``k_hashes`` bits set. The bitmap relation broadcasts; each row
-    explodes to its k positions, equi-joins the bitmap on ``word``
-    (map-side, no shuffle of the facts), and survives iff k bits hit —
-    false positives possible (the point: they are bounded and cheap to
-    re-verify downstream), false negatives impossible. Returns the
-    input rows that pass."""
+    ALL ``k_hashes`` bits set — false positives possible (the point:
+    they are bounded and cheap to re-verify downstream), false
+    negatives impossible. Returns the input rows that pass.
+
+    A Bloom filter is by definition driver-sized (that is WHY it beats
+    a semi-join: m_bits/8 bytes total, 512 B at the default), so the
+    normal path collects the bitmap once — bounded by contract, like
+    the ANN query sets — and inlines it as a literal word array: the
+    probe is then a PURE-CODEGEN narrow filter (element_at + bitwise
+    AND per hash), zero joins, zero shuffles, applied before the fact
+    table ever moves. For oversized bitmaps (> 2^16 bits, where a plan
+    literal would strain codegen) it falls back to probing the DISTINCT
+    keys against the broadcast bitmap relation and semi-joining facts
+    back BY KEY — never by a synthetic row id, whose per-branch
+    recomputation under nondeterministic task order could mis-join
+    (round-6 advice)."""
     from .pipeline.dedup import MINHASH_P, _hash_family, portable_hash60
 
     fam = _hash_family(k_hashes, seed=0xB100)
     base = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
-    with_id = facts.withColumn("__rid", F.monotonically_increasing_id())
-    pos = with_id.select(
-        "__rid",
+    pos_exprs = [
+        F.pmod(base * a + b, F.lit(MINHASH_P)) % m_bits for a, b in fam
+    ]
+    n_words = (m_bits + 62) // 63
+    if m_bits <= (1 << 16):
+        words = [0] * n_words
+        for r in bloom.collect():  # bounded: <= n_words rows (~1 KB)
+            if 0 <= r["word"] < n_words:
+                words[r["word"]] = r["bits"] or 0
+        bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+        # F.shiftleft needs a literal shift amount, so single bits come
+        # from a 63-entry literal lookup instead (element_at is 1-based)
+        bitvals = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+        cond = F.lit(True)
+        for p in pos_exprs:
+            word_ix = (p / 63).cast("int") + F.lit(1)
+            bit = F.element_at(bitvals, (p % 63).cast("int") + F.lit(1))
+            cond = cond & (
+                F.element_at(bitmap, word_ix).bitwiseAND(bit) != 0
+            )
+        return facts.filter(cond)
+    keys = facts.select(F.col(key_col).alias("__k")).distinct()
+    kbase = F.pmod(portable_hash60(F.col("__k").cast("string")), F.lit(MINHASH_P))
+    pos = keys.select(
+        "__k",
         F.explode(
             F.array(
-                *[
-                    F.pmod(base * a + b, F.lit(MINHASH_P)) % m_bits
-                    for a, b in fam
-                ]
+                *[F.pmod(kbase * a + b, F.lit(MINHASH_P)) % m_bits for a, b in fam]
             )
         ).alias("pos"),
     ).select(
-        "__rid",
+        "__k",
         (F.col("pos") / 63).cast("int").alias("word"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("__bit"),
     )
     hits = (
         pos.join(F.broadcast(bloom), "word")
         .filter((F.col("bits").bitwiseAND(F.col("__bit"))) != 0)
-        .groupBy("__rid")
+        .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__hits"))
         .filter(F.col("__hits") == k_hashes)
-        .select("__rid")
+        .select("__k")
     )
-    return with_id.join(hits, "__rid").drop("__rid")
+    return facts.join(hits, facts[key_col] == hits["__k"], "left_semi")
 
 
 def zorder_key(

@@ -1398,14 +1398,21 @@ def cdc_chunk_stats(
     base = df.select(
         F.col(id_col).alias("__d"), F.col(text_col).alias("__t")
     )
+    # Docs shorter than the window have no full window positions; guard
+    # with when() because sequence(1, 0) in Spark is the DESCENDING array
+    # [1, 0] (step defaults to -1 when start > stop), which would emit two
+    # spurious hash positions per short doc. The sentinel path below
+    # already covers short docs as a single chunk.
     pos = base.select(
         "__d",
         "__t",
         F.explode(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.length("__t") - F.lit(window - 1), F.lit(0)),
-            )
+            F.when(
+                F.length("__t") >= F.lit(window),
+                F.sequence(
+                    F.lit(1), F.length("__t") - F.lit(window - 1)
+                ),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("p"),
     )
     h = portable_hash60(F.substring(F.col("__t"), F.col("p"), window))

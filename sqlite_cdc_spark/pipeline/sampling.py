@@ -503,7 +503,9 @@ def weighted_sample(
 #: Poisson(1) CDF cutoffs scaled to integer thresholds on [0, P) — the
 #: inverse-CDF lookup used by poisson_bootstrap; computed once from
 #: closed-form doubles, embedded as exact integer literals on both
-#: engines (weights ≥ 8 have probability < 1e-8 and round to 7)
+#: engines (draws beyond the last cutoff — probability < 1e-8 — get
+#: weight 8 = len(cuts): the weight expression starts at 8 and each
+#: matched cutoff decrements it; both engines share the same tail)
 def _poisson1_cutoffs(p_mod: int) -> list[int]:
     import math
 

@@ -1106,3 +1106,16 @@ def test_cdc_chunks_cover_every_char(spark):
     )
     got = dedup.cdc_chunk_stats(df, "doc_id", "text").first()
     assert got.total_chars == 300 + 2  # exact coverage, no gaps/overlaps
+
+
+def test_cdc_chunks_short_doc_is_single_chunk(spark):
+    # r6 advice (medium): docs shorter than the window used to emit the
+    # DESCENDING sequence [1, 0] (Spark's step defaults to -1 when
+    # start > stop), producing spurious zero-length boundary chunks — a
+    # 2-char doc reported n_chunks=3 with avg_chunk_len 0.67. Short docs
+    # must be exactly one sentinel chunk of their full length.
+    df = spark.createDataFrame([(1, "xy")], ["doc_id", "text"])
+    got = dedup.cdc_chunk_stats(df, "doc_id", "text", window=8).first()
+    assert got.n_chunks == 1, got
+    assert got.total_chars == 2
+    assert got.avg_chunk_len == 2.0

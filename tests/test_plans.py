@@ -320,11 +320,25 @@ def test_prefix_filter_never_broadcasts_vocab_relations(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_bloom_probe_broadcasts_only_the_bitmap(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "b7_bloom_join")
-    # the 66-row bitmap broadcasts; the fact side must never sort-merge
-    # against it
-    assert "BroadcastHashJoin" in plan
+def test_bloom_probe_is_pure_narrow_filter(spark, sf_dir):
+    # r7: the probe inlines the collected <=1 KB bitmap as a literal word
+    # array, so the kept-side plan is a codegen Filter over the scan —
+    # NO join, NO shuffle, NO synthetic row id (r6 advice: the old
+    # monotonically_increasing_id two-branch join could mis-join under
+    # nondeterministic task order)
+    from sqlite_cdc_spark import derive
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = derive.bloom_build(dim, "c_custkey")
+    kept = derive.bloom_probe(orders, bloom, "o_custkey")
+    plan = kept._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_kmeans_assignment_is_narrow(spark, sf_dir):
