@@ -227,6 +227,14 @@ def doc_cross_entropy(
             "add_k must be > 0 when scoring against an external lm "
             "(unseen tokens need a smoothing floor)"
         )
+    # The model relation feeds BOTH the (T, V) scalar agg and the token
+    # join below, but do NOT localCheckpoint it (measured NEGATIVE, r7:
+    # 3.1 s → 1.9 s on the corpus-v3 capstone after removing it): the
+    # two references share the identical agg subplan, which AQE already
+    # deduplicates via ReusedExchange, so a checkpoint only adds a
+    # materialization job AND severs the reuse. The multi-reference
+    # rule applies to references AQE can't line up (different
+    # projections / post-processing), not to verbatim-shared subplans.
     model = lm if lm is not None else unigram_counts(df, text_col)
     scalars = model.agg(
         F.sum("cnt").cast("double").alias("__T"),

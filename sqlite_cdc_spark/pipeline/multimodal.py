@@ -6,11 +6,15 @@ first-class: opaque ``binary`` columns with a typed metadata struct, plus
 the Spark-side plumbing a multimodal pipeline needs — schema, partition
 shape, Arrow-batched UDF signatures — all real and tested.
 
-Actual media decoding (image/audio/video) is STUBBED deterministically:
-the container ships no codec libraries, so ``decode_stub`` derives fake
-"features" from the payload bytes alone. Swap `_fake_decode` for a real
-PIL/ffmpeg call and nothing else changes — batch shapes, schemas and
-partitioning are production-real.
+Image decoding is REAL with zero codec dependencies: binary PPM (P6)
+and uncompressed 24-bit BMP are parsed byte-for-byte in pure
+Python+numpy (:func:`_parse_ppm` / :func:`_parse_bmp`), and
+:func:`image_resize` runs a genuine nearest-neighbor resample over the
+decoded raster. Pillow, when installed, widens :func:`decode_image` to
+every format it knows. Only exotic codecs (JPEG/video/audio) remain
+byte-plumbing-only: ``_fake_decode`` derives deterministic features
+from payload bytes, with batch shapes/schemas/partitioning
+production-real.
 """
 
 from __future__ import annotations
@@ -140,19 +144,93 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+def _parse_ppm(buf: bytes):
+    """Decode a binary PPM (P6) image with the stdlib alone: parse the
+    whitespace/comment-tolerant header, then view the raster as an
+    (h, w, 3) uint8 numpy array. Raises ValueError on malformed input.
+    """
+    import numpy as np
+
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 whitespace-separated ints (w, h, maxval), with
+    # optional '#' comment lines; one whitespace byte ends the header
+    toks, i, n = [], 2, len(buf)
+    while len(toks) < 3:
+        while i < n and buf[i : i + 1].isspace():
+            i += 1
+        if i < n and buf[i : i + 1] == b"#":
+            while i < n and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(buf[i:j]))
+        i = j
+    i += 1  # single whitespace byte after maxval, then the raster
+    w, h, maxval = toks
+    if not (0 < w and 0 < h and 0 < maxval < 256):
+        raise ValueError("unsupported PPM geometry")
+    raster = buf[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _parse_bmp(buf: bytes):
+    """Decode an uncompressed 24-bit BI_RGB Windows BMP: file header,
+    BITMAPINFOHEADER, then bottom-up BGR rows padded to 4 bytes. Returns
+    the same (w, h, HxWx3 RGB uint8) shape as :func:`_parse_ppm`.
+    """
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM" or len(buf) < 54:
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant (need 24bpp BI_RGB)")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    raster = buf[data_off : data_off + stride * h]
+    if len(raster) != stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]  # bottom-up storage -> top-down array
+    return w, h, px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_any(buf: bytes):
+    """Dispatch on magic bytes to the pure-Python decoders."""
+    if buf[:2] == b"P6":
+        return _parse_ppm(buf)
+    if buf[:2] == b"BM":
+        return _parse_bmp(buf)
+    raise ValueError("unrecognized image container")
+
+
 def decode_image(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """Real image decode (VERDICT r3 item 6: probe-time codec fallback).
-
-    Probes for Pillow AT CALL TIME: when present, runs the real decode —
-    Arrow-batched ``mapInPandas``, one ``PIL.Image.open`` per payload,
-    emitting (width, height, mode) with per-row error capture
-    (``decode_ok=false`` for corrupt payloads rather than a task
-    failure). When absent (this container), raises the same explicit
-    ``NotImplementedError`` as before — the operator surface exists and
-    fails loudly, and the plumbing (:func:`extract_features`, identical
-    batch shape) stays fully tested either way.
+    """Real image decode. Probes for Pillow AT CALL TIME: when present,
+    ``PIL.Image.open`` handles every format Pillow knows; when absent
+    (this container), the pure-dependency decoders take over — full
+    binary PPM (P6) and uncompressed 24-bit BMP parsing via
+    :func:`_parse_ppm` / :func:`_parse_bmp` (stdlib + numpy only), so
+    the decode path is REAL either way, not a stub. Both paths are
+    Arrow-batched ``mapInPandas`` with per-row error capture
+    (``decode_ok=false`` for corrupt/unsupported payloads rather than a
+    task failure).
 
     The probe runs on the driver; executors re-import inside the closure,
     so a PIL present on the driver but missing on executors fails loudly
@@ -160,27 +238,36 @@ def decode_image(
     """
     try:
         import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding needs Pillow, which is not installed in this "
-            "environment; use extract_features (stubbed decode) instead"
-        ) from e
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
 
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
+        if have_pil:
+            import io
 
-        from PIL import Image
+            from PIL import Image
+
+            def one(buf: bytes):
+                img = Image.open(io.BytesIO(buf))
+                return img.width, img.height, img.mode
+        else:
+
+            def one(buf: bytes):
+                w, h, _ = _decode_any(buf)
+                return w, h, "RGB"
 
         for pdf in batches:
             w, h, mode, ok = [], [], [], []
             for buf in pdf[payload_col]:
                 try:
-                    img = Image.open(io.BytesIO(bytes(buf)))
-                    w.append(img.width)
-                    h.append(img.height)
-                    mode.append(img.mode)
+                    ww, hh, mm = one(bytes(buf))
+                    w.append(ww)
+                    h.append(hh)
+                    mode.append(mm)
                     ok.append(True)
                 except Exception:  # corrupt payload -> row-level miss
                     w.append(None)
@@ -262,6 +349,139 @@ def resize_stub(
             )
 
     return df.select("doc_id", payload_col).mapInPandas(batches, out_schema)
+
+
+def synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic tiny RGB image per row as REAL binary
+    PPM (P6) bytes — the fixture generator for the genuine decode+resize
+    path (the corpus ships no media files). Geometry and pixels are pure
+    integer functions of the id so an independent engine can replay the
+    downstream arithmetic without parsing bytes:
+
+    - ``w = 4 + id % 5``, ``h = 4 + (id // 5) % 5``
+    - raster byte ``i`` (row-major RGB) = ``(id*31 + i) % 256``
+
+    Output: the input plus ``payload`` (binary PPM) — which downstream
+    operators treat as opaque bytes.
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType(), False)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                w = 4 + did % 5
+                h = 4 + (did // 5) % 5
+                raster = (
+                    (did * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256
+                ).astype(np.uint8)
+                out.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+#: output of image_resize: resized payload + decode-derived audit stats
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), True),
+        T.StructField("src_h", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def image_resize(
+    df: DataFrame,
+    target_w: int = 8,
+    target_h: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """GENUINE image decode + nearest-neighbor resize — no codec
+    libraries, no stub: payload bytes are parsed as PPM/BMP by magic
+    (:func:`_decode_any`), resized with numpy integer index maps
+    (``src = floor(dst * src_dim / dst_dim)``, the classic NN formula,
+    vectorized — no Python per-pixel loop), and re-encoded as P6 PPM.
+    Per-channel integer sums of the resized raster ride along so the
+    whole byte path is auditable by an engine that can only replay the
+    arithmetic. Corrupt payloads become ``decode_ok=false`` rows (null
+    image columns), never task failures.
+
+    Arrow-batched ``mapInPandas``: partition-parallel, narrow (no
+    shuffle), scales with executor count like any scan-shaped stage.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for did, buf in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                rows["doc_id"].append(int(did))
+                rows["width"].append(target_w)
+                rows["height"].append(target_h)
+                try:
+                    w, h, px = _decode_any(bytes(buf))
+                    sy = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                    sx = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                    out = px[sy][:, sx]  # (target_h, target_w, 3)
+                    sums = out.sum(axis=(0, 1), dtype=np.int64)
+                    rows["src_w"].append(w)
+                    rows["src_h"].append(h)
+                    rows["payload"].append(
+                        b"P6\n%d %d\n255\n" % (target_w, target_h)
+                        + out.tobytes()
+                    )
+                    rows["sum_r"].append(int(sums[0]))
+                    rows["sum_g"].append(int(sums[1]))
+                    rows["sum_b"].append(int(sums[2]))
+                    rows["decode_ok"].append(True)
+                except Exception:
+                    rows["src_w"].append(None)
+                    rows["src_h"].append(None)
+                    rows["payload"].append(None)
+                    rows["sum_r"].append(None)
+                    rows["sum_g"].append(None)
+                    rows["sum_b"].append(None)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "src_w": pd.array(rows["src_w"], dtype="Int32"),
+                    "src_h": pd.array(rows["src_h"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "payload": rows["payload"],
+                    "sum_r": pd.array(rows["sum_r"], dtype="Int64"),
+                    "sum_g": pd.array(rows["sum_g"], dtype="Int64"),
+                    "sum_b": pd.array(rows["sum_b"], dtype="Int64"),
+                    "decode_ok": rows["decode_ok"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
 def audio_chunk_plan(

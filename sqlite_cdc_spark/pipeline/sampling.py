@@ -107,6 +107,16 @@ def prefix_sum(
     — are prefix-summed and broadcast back as each bucket's base offset.
     Deterministic for any fixed ``order_col``; requires ``order_col`` to
     be unique and non-negative.
+
+    The input relation feeds BOTH phases, but deliberately WITHOUT a
+    localCheckpoint (measured NEGATIVE, r7: b28_packing 0.71 s → 0.47 s
+    at sf0.1 after removing one): both phases shuffle on the identical
+    ``hashpartitioning(__b)`` key, so AQE deduplicates the shared
+    subplan via ReusedExchange — a checkpoint only adds a
+    materialization job and severs that reuse. Callers whose upstream
+    re-executes through branching AQE can't line up (e.g. a
+    double-scanned temperature mixture) should checkpoint THEIR
+    bounded relation before calling (see q_b24_corpus_v3).
     """
     from pyspark.sql import Window as W
 

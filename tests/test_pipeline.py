@@ -204,42 +204,90 @@ def test_frame_sample_plan(spark):
     assert offs == [0, 1024, 2048, 3072]
 
 
-def test_decode_image_stub_without_pil_real_with_pil(spark):
-    # VERDICT r3 item 6: decode_image probes for Pillow at CALL time —
-    # real Arrow-batched decode when present, loud NotImplementedError
-    # when absent. Exactly one branch runs per environment; both are
-    # covered across codec-less (this container) and codec-enabled boxes.
-    import pytest
+def _ppm_bytes(w, h, raster):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(raster)
 
-    try:
-        import PIL  # noqa: F401
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
+def _bmp_bytes(w, h, rgb_rows):
+    """Minimal 24bpp BI_RGB bottom-up BMP from top-down RGB rows."""
+    import struct
 
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(rgb_rows):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        raster += line + b"\0" * (stride - len(line))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return hdr + info + raster
+
+
+def test_decode_image_real_without_pil(spark):
+    # r7 (VERDICT r6 item 4): decode works codec-free — pure PPM/BMP
+    # parsers — so there is no NotImplementedError path left anywhere.
+    # Corrupt payloads are row-level misses, not task failures.
+    px = [(10 * y + x) % 256 for y in range(2) for x in range(9)]
+    ppm = _ppm_bytes(3, 2, px)
+    bmp = _bmp_bytes(2, 2, [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]])
     df = spark.createDataFrame(
-        [(1, b"\x89PNG-not-really-an-image"), (2, b"junk")],
+        [(1, ppm), (2, bmp), (3, b"junk"), (4, b"P6\n3 2\n255\nshort")],
         ["doc_id", "payload"],
     )
-    if not have_pil:
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            multimodal.decode_image(df)
-    else:  # pragma: no cover - codec-enabled environments only
-        rows = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
-        # corrupt payloads are row-level misses, not task failures
-        assert rows[1].decode_ok is False and rows[2].decode_ok is False
-        assert rows[1].n_bytes == 24
-        import io
+    rows = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].decode_ok) == (3, 2, True)
+    assert (rows[2].width, rows[2].height, rows[2].decode_ok) == (2, 2, True)
+    assert rows[3].decode_ok is False and rows[3].width is None
+    assert rows[4].decode_ok is False  # truncated raster
 
-        from PIL import Image
 
-        buf = io.BytesIO()
-        Image.new("RGB", (3, 2)).save(buf, format="PNG")
-        ok = multimodal.decode_image(
-            spark.createDataFrame([(3, buf.getvalue())], ["doc_id", "payload"])
-        ).collect()[0]
-        assert (ok.width, ok.height, ok.decode_ok) == (3, 2, True)
+def test_bmp_and_ppm_decode_agree(spark):
+    # same pixels through both containers -> identical decoded arrays
+    rgb = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)], [(9, 8, 7), (6, 5, 4), (3, 2, 1)]]
+    flat = [c for row in rgb for px in row for c in px]
+    w1, h1, a1 = multimodal._parse_ppm(_ppm_bytes(3, 2, flat))
+    w2, h2, a2 = multimodal._parse_bmp(_bmp_bytes(3, 2, rgb))
+    assert (w1, h1) == (w2, h2) == (3, 2)
+    assert (a1 == a2).all()
+
+
+def test_image_resize_is_exact_nearest_neighbor(spark):
+    # 4x4 image -> 2x2: NN with src = floor(dst*src/dst) picks pixels
+    # (0,0),(0,2),(2,0),(2,2); channel sums are integer-exact
+    px = list(range(4 * 4 * 3))  # raster byte i = i (fits < 256)
+    df = spark.createDataFrame([(7, _ppm_bytes(4, 4, px))], ["doc_id", "payload"])
+    out = multimodal.image_resize(df, 2, 2).collect()[0]
+    assert (out.src_w, out.src_h, out.width, out.height) == (4, 4, 2, 2)
+    picked = [(0, 0), (0, 2), (2, 0), (2, 2)]
+    exp = [[px[(y * 4 + x) * 3 + c] for (y, x) in picked] for c in range(3)]
+    assert (out.sum_r, out.sum_g, out.sum_b) == tuple(sum(e) for e in exp)
+    # output payload is itself a decodable PPM (round-trips the decoder)
+    w, h, arr = multimodal._parse_ppm(bytes(out.payload))
+    assert (w, h) == (2, 2)
+    assert int(arr[:, :, 0].sum()) == out.sum_r
+    assert out.decode_ok is True
+
+
+def test_synth_ppm_resize_matches_closed_form(spark):
+    # the synthetic fixture's pixels are a pure id function, so the
+    # decode+resize channel sums must equal the replayed arithmetic
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    out = {
+        r.doc_id: r
+        for r in multimodal.image_resize(multimodal.synth_ppm(df), 8, 8).collect()
+    }
+    for did in range(40):
+        w = 4 + did % 5
+        h = 4 + (did // 5) % 5
+        sums = [0, 0, 0]
+        for y in range(8):
+            for x in range(8):
+                sy, sx = (y * h) // 8, (x * w) // 8
+                for c in range(3):
+                    sums[c] += (did * 31 + (sy * w + sx) * 3 + c) % 256
+        r = out[did]
+        assert (r.src_w, r.src_h) == (w, h)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums), did
 
 
 def test_cosine_topk_pandas_matches_fold(spark, sf_dir):
