@@ -830,11 +830,13 @@ def q_b19_incremental_clusters(spark, sf_dir):
     over (standing pairs ∪ batch pairs) — the incremental path must equal
     the full recompute.
 
-    The standing LSH index is built ONCE (localCheckpoint; parquet at
-    real scale) and feeds BOTH the standing pair set (self-join via
-    lsh_candidates_from_index) and the batch probe — eliminating a full
-    corpus shingle+minhash pass vs the naive near_dup_pairs +
-    build_lsh_index composition (VERDICT r5 item 7)."""
+    The corpus is SHINGLED ONCE (r7, VERDICT r6 item 3): one
+    checkpointed distinct (doc, sh) relation feeds the index build, the
+    exact-Jaccard verify (both pair sides and set sizes), and — via the
+    index checkpoint — the standing pair set and the batch probe. The
+    naive composition tokenized the corpus three times; at 100 TB the
+    shingle relation is THE shared intermediate a dedup loop persists
+    (parquet, bucketed by doc)."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text")
     planted = base.filter(F.col("doc_id") % 7 == 0).select(
@@ -842,12 +844,16 @@ def q_b19_incremental_clusters(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     corpus = base.unionByName(planted)
+    srows = dedup.shingle_rows(
+        corpus, "doc_id", "text", k=3, unit="word", distinct=True
+    ).localCheckpoint(eager=False)
     index = dedup.build_lsh_index(
-        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
-    ).localCheckpoint()
+        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5",
+        rows=srows,
+    ).localCheckpoint(eager=False)
     cand = dedup.lsh_candidates_from_index(index)
     pairs1 = (
-        dedup.jaccard_pairs(corpus, cand, "doc_id", "text")
+        dedup.jaccard_pairs(corpus, cand, "doc_id", "text", rows=srows)
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b")
     )

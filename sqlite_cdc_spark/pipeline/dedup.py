@@ -637,7 +637,10 @@ LAST_CC_ROUNDS: int = 0
 
 
 def _cc_propagate(
-    edges: DataFrame, max_iter: int, raise_on_exhaust: bool = True
+    edges: DataFrame,
+    max_iter: int,
+    raise_on_exhaust: bool = True,
+    verts: DataFrame | None = None,
 ) -> DataFrame | None:
     """Min-label propagation CC over symmetric ``(src, dst)`` edges.
 
@@ -647,59 +650,66 @@ def _cc_propagate(
     in practice. Per round: one equi-join (edges ⋈ labels) + one min-agg —
     both shuffle on the vertex id, no cartesian.
 
+    The convergence probe is FUSED into the step aggregate (r7): the
+    round's min-agg also carries each vertex's previous label (min over
+    the tagged ``cur`` rows — exactly one per vertex), so "did any label
+    move" is a filter+limit over the round's own checkpointed output
+    instead of a separate labels⋈labels join. One action per round (the
+    probe count materializes the lazy checkpoint), no probe exchanges —
+    at small scale per-job scheduler overhead dominates this algorithm,
+    and the fuse cut the b19_incremental_clusters capstone's job count
+    by ~a third.
+
     Each round ``localCheckpoint``s its labels: Spark SQL re-plans every
-    ACTION from the logical plan, so without the checkpoint each
-    convergence probe and the next round would re-execute all prior
-    rounds' shuffles (measured: a lazy-rounds variant was ~15% SLOWER
-    end-to-end on the b19 capstones — cross-action shuffle reuse does
-    not exist at the SQL layer; only a materialization truncates the
-    replay). Raises
+    ACTION from the logical plan, so without the checkpoint each probe
+    and the next round would re-execute all prior rounds' shuffles
+    (measured: a lazy-rounds variant was ~15% SLOWER end-to-end on the
+    b19 capstones — cross-action shuffle reuse does not exist at the SQL
+    layer; only a materialization truncates the replay). Raises
     ``RuntimeError`` if ``max_iter`` rounds were not enough — returning
     non-converged labels silently would yield cluster_ids that are not the
     component min, breaking the invariant :func:`update_clusters` depends
     on; with ``raise_on_exhaust=False`` exhaustion returns ``None``
-    instead (the ``algorithm="auto"`` probe path). Returns ``(v, label)``.
+    instead (the ``algorithm="auto"`` probe path).
+
+    ``verts`` (optional) seeds the label table with the full vertex
+    universe — isolated vertices then label themselves through the same
+    rounds and the caller skips its coalesce-join entirely. Returns
+    ``(v, label)``.
     """
-    def step(cur: DataFrame) -> DataFrame:
+    global LAST_CC_ROUNDS
+
+    def step(cur: DataFrame) -> tuple[DataFrame, int]:
         nbr = edges.join(
             cur.withColumnRenamed("v", "src"), "src"
-        ).select(F.col("dst").alias("v"), "label")
-        return (
-            cur.unionByName(nbr).groupBy("v").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-
-    def moved(new: DataFrame, old: DataFrame) -> int:
-        return (
-            new.alias("n")
-            .join(old.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        ).select(F.col("dst").alias("v"), "label", F.lit(False).alias("__own"))
+        new = (
+            cur.select("v", "label", F.lit(True).alias("__own"))
+            .unionByName(nbr)
+            .groupBy("v")
+            .agg(
+                F.min("label").alias("label"),
+                # each vertex has exactly one __own row -> its old label
+                F.min(F.when(F.col("__own"), F.col("label"))).alias("__old"),
+            )
+            .localCheckpoint(eager=False)
         )
+        n_moved = new.filter(F.col("label") != F.col("__old")).limit(1).count()
+        return new.select("v", "label"), n_moved
 
-    global LAST_CC_ROUNDS
-    labels = edges.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    )
+    if verts is not None:
+        labels = verts.select("v", F.col("v").alias("label"))
+    else:
+        labels = edges.select(F.col("src").alias("v")).distinct().select(
+            "v", F.col("v").alias("label")
+        )
     converged = False
     for it in range(max_iter):
-        new = step(labels)
+        labels, n_moved = step(labels)
         LAST_CC_ROUNDS = it + 1
-        # round 1 always moves labels when any edge exists — skip its
-        # convergence job (each driver-side action costs a full job of
-        # scheduling overhead, which dominates at small scale)
-        if it > 0 and moved(new, labels) == 0:
-            labels = new
+        if n_moved == 0:
             converged = True
             break
-        labels = new
-    if not converged:
-        # the loop's probe compares round N-1 vs N; round N itself may
-        # already be the fixpoint — one extra probe settles it before
-        # declaring exhaustion (this path only runs on tiny max_iter or
-        # adversarial diameters, so the extra join is cheap insurance
-        # against a false alarm)
-        converged = moved(step(labels), labels) == 0
     if not converged and not raise_on_exhaust:
         return None
     if not converged:
@@ -747,7 +757,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     """
     global LAST_CC_ROUNDS
     # orient big→small: every symmetric pair (a,b)/(b,a) becomes (max,min)
-    e = edges.filter(F.col("src") > F.col("dst")).localCheckpoint()
+    e = edges.filter(F.col("src") > F.col("dst")).localCheckpoint(eager=False)
     converged = False
     for it in range(max_iter):
         # large-star over the symmetric view of e
@@ -773,7 +783,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .unionByName(joined.select("src", F.col("__m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         LAST_CC_ROUNDS = it + 1
         if _star_edges_converged(new, e):
@@ -845,7 +855,7 @@ def dup_clusters(
     # carried ~2.5s of redundant minhash recompute at sf0.1).
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return _clusters_from_pairs(e, max_iter, algorithm, propagate_rounds)
 
 
@@ -858,8 +868,10 @@ def _clusters_from_pairs(
     The shared tail of :func:`dup_clusters` and :func:`update_clusters`.
     """
     # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
-    # deserves a singleton cluster; both backends skip it (no real edges),
-    # so it is coalesced back in below
+    # deserves a singleton cluster. The propagate backend is SEEDED with
+    # it (isolated vertices ride the rounds labeling themselves — no
+    # coalesce-join afterwards); the star backend only sees real edges,
+    # so its output is coalesce-joined back over the universe below.
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -869,26 +881,31 @@ def _clusters_from_pairs(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()  # reused every round: compute the pair plan once
+        .localCheckpoint(eager=False)  # reused every round: compute the pair plan once
     )
+    need_vert_join = False
     if algorithm == "auto":
         labels = _cc_propagate(
-            edges, min(propagate_rounds, max_iter), raise_on_exhaust=False
+            edges, min(propagate_rounds, max_iter), raise_on_exhaust=False,
+            verts=verts,
         )
         if labels is None:  # pathological diameter: restart on the
             labels = _cc_star(edges, max_iter)  # O(log n) backend
+            need_vert_join = True
     elif algorithm == "propagate":
-        labels = _cc_propagate(edges, max_iter)
+        labels = _cc_propagate(edges, max_iter, verts=verts)
     elif algorithm == "star":
         labels = _cc_star(edges, max_iter)
+        need_vert_join = True
     else:
         raise ValueError(
             f"unknown algorithm {algorithm!r}: expected 'auto', "
             f"'propagate' or 'star'"
         )
-    labels = verts.join(labels, "v", "left").select(
-        "v", F.coalesce("label", F.col("v")).alias("label")
-    )
+    if need_vert_join:
+        labels = verts.join(labels, "v", "left").select(
+            "v", F.coalesce("label", F.col("v")).alias("label")
+        )
     sizes = Window.partitionBy("label")
     return labels.select(
         F.col("v").alias("doc_id"),
@@ -934,7 +951,7 @@ def update_clusters(
     if materialize_labels:
         labels = labels.select(
             "doc_id", "cluster_id", "cluster_size"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     lab = labels.select(
         F.col("doc_id").cast("long").alias("v"),
         F.col("cluster_id").cast("long").alias("label"),
@@ -946,7 +963,7 @@ def update_clusters(
     # b19_incremental_clusters capstone at sf0.1).
     e = new_pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # CLUSTER CONTRACTION: map each batch endpoint through its existing
     # label (cluster_id = the component-min member, itself a vertex), so
     # connected components runs on the CONTRACTED graph — |batch| edges
@@ -964,19 +981,25 @@ def update_clusters(
             F.coalesce("__sl", F.col("src")).alias("src"),
             F.coalesce("__dl", F.col("dst")).alias("dst"),
         )
+        # _clusters_from_pairs references its pair frame four times
+        # (vertex universe ×2, symmetric edges ×2); the contraction is
+        # two joins, so materialize the |batch|-bounded result once
+        .localCheckpoint(eager=False)
     )
     sub = _clusters_from_pairs(m, max_iter, algorithm)
     roots = sub.select(
         F.col("doc_id").alias("__cv"), F.col("cluster_id").alias("__nl")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # re-expansion: members of touched clusters take their root's new
     # label; contracted vertices that were never an existing label are
     # brand-new docs and label as themselves
     expanded = lab.join(roots, lab["label"] == roots["__cv"]).select(
         "v", F.col("__nl").alias("label")
     )
+    # left_anti only probes existence — no distinct on the right side
+    # (it would add a corpus-wide exchange+agg for nothing)
     fresh = roots.join(
-        lab.select(F.col("label").alias("__cv")).distinct(), "__cv", "left_anti"
+        lab.select(F.col("label").alias("__cv")), "__cv", "left_anti"
     ).select(F.col("__cv").alias("v"), F.col("__nl").alias("label"))
     merged = expanded.unionByName(fresh)
     sizes = Window.partitionBy("label")

