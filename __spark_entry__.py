@@ -2610,6 +2610,28 @@ def q_b22_image_resize(spark, sf_dir):
     )
 
 
+def q_b22_image_stats(spark, sf_dir):
+    """Image screening statistics (B22 depth beside the resize row): the
+    pass a multimodal corpus runs before any model step — per decoded
+    image, full-raster channel sums, integer Rec.601 luma (299R + 587G
+    + 114B), and the center-crop sum a border-artifact check compares
+    against the full frame. Same genuine PPM decode as
+    q_b22_image_resize (multimodal.image_stats); pure integers, so the
+    oracle replays the synthesis+crop arithmetic in closed form."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.image_stats(multimodal.synth_ppm(docs))
+    return out.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "luma_sum",
+        "crop_sum",
+    )
+
+
 def q_b23_grouped_agg_udf(spark, sf_dir):
     """Grouped-AGGREGATE pandas UDF (B23 surface completion): quantity-
     weighted mean price per return flag computed by a numpy aggregate
@@ -3035,6 +3057,151 @@ def q_b10_large_orders(spark, sf_dir):
     )
 
 
+def q_b7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (B7 depth, r7): bilateral trade volume between two
+    nations by ship year — the two-sided dimension-filter join no other
+    b7 row exercises (the OR spans BOTH dim legs, so neither filter can
+    prune alone; Catalyst keeps it as a post-join residual over
+    broadcast dims). lineitem⋈orders is the only big-big join; customer/
+    supplier/nation broadcast; decimal revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
+    )
+    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__snk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__cnk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    dec4("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec4("l_discount"))
+                ).cast("double"),
+                2,
+            ).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_b10_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (B10 depth, r7): part-filtered profit rollup by
+    supplier nation × order year — the deepest star join in the b10
+    family (lineitem⋈orders big-big; part/supplier/nation broadcast;
+    the part filter prunes BEFORE the join via the broadcast side).
+    Decimal sums; year from o_orderdate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").startswith("ECONOMY"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    dec4("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec4("l_discount"))
+                ).cast("double"),
+                2,
+            ).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_b10_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (B10 depth, r7): promo revenue share — a single-
+    row conditional-aggregate ratio over a broadcast part join; the
+    numerator is a CASE inside the same sum pass (one scan, map-side
+    combinable), never a second join or scan. Decimal sums; the final
+    ratio is the only double, rounded 6."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
+    rev = dec4("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - dec4("l_discount")
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            (
+                F.lit(100).cast("decimal(18,4)")
+                * F.sum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), rev
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_share"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def q_b8_supplier_part_types(spark, sf_dir):
+    """TPC-H Q16 shape (B8/B10 depth, r7): distinct-supplier counts per
+    part attribute bucket, EXCLUDING a supplier blacklist via anti-join
+    (the NOT IN subquery shape; here 'suppliers with complaints' =
+    negative account balance). lineitem stands in for partsupp as the
+    part↔supplier relation (the fixture ships none): distinct
+    (partkey, suppkey) first — one keyed dedup — then the anti-join
+    and the broadcast part join, then count_distinct per bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 30)
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    kept = ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.split(F.col("p_type"), " ")[0].alias("p_family"), "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
 def q_b15_funnel(spark, sf_dir):
     """Ordered funnel analysis (B15 depth): view → click → purchase per
     user, each step's timestamp the MIN strictly after the previous
@@ -3311,6 +3478,67 @@ def q_b19_sorted_neighborhood(spark, sf_dir):
     corpus = part.unionByName(typos)
     return dedup.sorted_neighborhood_pairs(
         corpus, "p_partkey", "p_name", window=5, block_chars=2, max_dist=1
+    )
+
+
+def q_b19_blocking_quality(spark, sf_dir):
+    """Blocking-quality audit (B19 depth, r7) — the record-linkage
+    literature's two standard metrics for ANY blocking scheme, measured
+    on the sorted-neighborhood candidates over the planted-typo corpus:
+
+    - reduction ratio = 1 − |candidates| / C(n,2) — how much of the
+      O(n²) comparison space the blocking avoids;
+    - pairs completeness = |truth ∩ candidates| / |truth| — how much
+      recall the avoidance cost, with truth = the planted (original,
+      typo) pairs.
+
+    This is the row that makes the SNM recall trade-off (documented in
+    sorted_neighborhood_pairs) a MEASURED number instead of prose, the
+    audit a 100 TB dedup run uses to choose window/blocking-key before
+    committing to a full pass. All counts integer; two ratios rounded.
+    """
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    typos = part.filter(F.col("p_partkey") % 9 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+        F.concat(
+            F.substr(F.col("p_name"), F.lit(1), F.lit(4)),
+            F.lit("x"),
+            F.substr(F.col("p_name"), F.lit(6), F.length("p_name")),
+        ).alias("p_name"),
+    )
+    corpus = part.unionByName(typos)
+    cand = dedup.sorted_neighborhood_pairs(
+        corpus, "p_partkey", "p_name", window=5, block_chars=2
+    ).select("id_a", "id_b")
+    truth = typos.select(
+        (F.col("p_partkey") - 1000000).alias("id_a"),
+        F.col("p_partkey").alias("id_b"),
+    )
+    n_rec = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_found")
+    )
+    return (
+        n_rec.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(found))
+        .select(
+            "n_records",
+            "n_candidates",
+            "n_true",
+            "n_true_found",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("n_records") * (F.col("n_records") - 1) / F.lit(2.0)),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_true_found") / F.col("n_true").cast("double"), 6
+            ).alias("pairs_completeness"),
+        )
     )
 
 
@@ -4852,6 +5080,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_index_compression": q_b30_index_compression,
         # --- new in round 7 (B22 fully real: decode+resize) --------------
         "b22_image_resize": q_b22_image_resize,
+        "b22_image_stats": q_b22_image_stats,
+        "b19_blocking_quality": q_b19_blocking_quality,
+        "b7_nation_volume": q_b7_nation_volume,
+        "b10_profit_by_nation_year": q_b10_profit_by_nation_year,
+        "b10_promo_share": q_b10_promo_share,
+        "b8_supplier_part_types": q_b8_supplier_part_types,
     }
 
 
@@ -5965,6 +6199,71 @@ def oracle_sql() -> dict[str, str]:
               ON s.user_id = p.user_id
              AND p.ts >= s.ts
              AND p.ts <= s.ts + INTERVAL 7 DAY
+        """,
+        "b7_nation_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DOUBLE), 2) AS volume,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+               OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "b10_profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DOUBLE), 2) AS profit,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type LIKE 'ECONOMY%'
+            GROUP BY 1, 2
+        """,
+        "b10_promo_share": """
+            SELECT round(CAST(CAST(100 AS DECIMAL(18,4))
+                     * sum(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * (CAST(1 AS DECIMAL(18,4))
+                                   - CAST(l_discount AS DECIMAL(18,4)))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+                     AS promo_share,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "b8_supplier_part_types": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            kept AS (
+              SELECT * FROM ps
+              WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            )
+            SELECT p_brand,
+                   split_part(p_type, ' ', 1) AS p_family,
+                   p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM kept JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 30
+            GROUP BY 1, 2, 3
         """,
         "b2_scd2": f"""
             WITH changes AS ({_EVENTS_CHANGES_SQL}),
@@ -8141,6 +8440,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
             FROM o GROUP BY doc_id, src_w, src_h
         """,
+        "b22_image_stats": """
+            -- closed-form replay of synth_ppm + image_stats: raster byte
+            -- (y*w + x)*3 + c has value (id*31 + i) % 256; luma is the
+            -- integer Rec.601 fold; the crop window is rows h//4 ..
+            -- h//4+h//2, cols w//4 .. w//4+w//2 (all nonneg -> DuckDB //
+            -- equals floor)
+            WITH px AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
+                     CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS src_h
+              FROM documents
+            ),
+            v AS (
+              -- DuckDB generate_series takes no correlated bounds; use
+              -- the fixed 0..7 grid (max dims are 8x8) and filter
+              SELECT doc_id, src_w, src_h, y, x, c,
+                     (doc_id * 31 + (y * src_w + x) * 3 + c) % 256 AS val
+              FROM px,
+                   generate_series(0, 7) gy(y),
+                   generate_series(0, 7) gx(x),
+                   generate_series(0, 2) gc(c)
+              WHERE y < src_h AND x < src_w
+            )
+            SELECT doc_id, src_w, src_h,
+                   CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+                   CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b,
+                   CAST(299 * sum(CASE WHEN c = 0 THEN val END)
+                        + 587 * sum(CASE WHEN c = 1 THEN val END)
+                        + 114 * sum(CASE WHEN c = 2 THEN val END) AS BIGINT)
+                     AS luma_sum,
+                   CAST(sum(CASE WHEN y >= src_h // 4
+                                 AND y < src_h // 4 + src_h // 2
+                                 AND x >= src_w // 4
+                                 AND x < src_w // 4 + src_w // 2
+                            THEN val END) AS BIGINT) AS crop_sum
+            FROM v GROUP BY doc_id, src_w, src_h
+        """,
         "b8_order_distribution": """
             WITH per AS (
               SELECT c.c_custkey,
@@ -8544,6 +8881,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
             FROM cand WHERE levenshtein(ka, kb) <= 1
+        """,
+        "b19_blocking_quality": """
+            WITH corpus AS (
+              SELECT p_partkey, p_name FROM part
+              UNION ALL
+              SELECT p_partkey + 1000000 AS p_partkey,
+                     substr(p_name, 1, 4) || 'x' || substr(p_name, 6) AS p_name
+              FROM part WHERE p_partkey % 9 = 0
+            ),
+            b AS (
+              SELECT p_partkey AS id, p_name AS k,
+                     substr(p_name, 1, 2) AS blk
+              FROM corpus
+            ),
+            leads AS (
+              SELECT id,
+                     lead(id, 1) OVER w AS nid1,
+                     lead(id, 2) OVER w AS nid2,
+                     lead(id, 3) OVER w AS nid3,
+                     lead(id, 4) OVER w AS nid4
+              FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)
+            ),
+            cand AS (
+              SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b
+              FROM (
+                SELECT id, unnest([nid1, nid2, nid3, nid4]) AS nid
+                FROM leads
+              ) WHERE nid IS NOT NULL
+            ),
+            truth AS (
+              SELECT p_partkey AS id_a, p_partkey + 1000000 AS id_b
+              FROM part WHERE p_partkey % 9 = 0
+            ),
+            s AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_records,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+                     (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+                     (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                      WHERE EXISTS (SELECT 1 FROM cand c
+                                    WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+                       AS n_true_found
+            )
+            SELECT n_records, n_candidates, n_true, n_true_found,
+                   round(1.0 - n_candidates
+                         / (n_records * (n_records - 1) / 2.0), 6)
+                     AS reduction_ratio,
+                   round(n_true_found / CAST(n_true AS DOUBLE), 6)
+                     AS pairs_completeness
+            FROM s
         """,
         "b19_fuzzy_join": """
             WITH corpus AS (

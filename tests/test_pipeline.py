@@ -268,6 +268,23 @@ def test_image_resize_is_exact_nearest_neighbor(spark):
     assert out.decode_ok is True
 
 
+def test_image_stats_integer_exact(spark):
+    # 4x4 image, raster byte i = i: channel sums, Rec.601 luma and the
+    # center crop (rows 1..2, cols 1..2) replay in closed form
+    px = list(range(4 * 4 * 3))
+    df = spark.createDataFrame([(3, _ppm_bytes(4, 4, px))], ["doc_id", "payload"])
+    r = multimodal.image_stats(df).collect()[0]
+    sums = [sum(px[(y * 4 + x) * 3 + c] for y in range(4) for x in range(4)) for c in range(3)]
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(sums)
+    assert r.luma_sum == 299 * sums[0] + 587 * sums[1] + 114 * sums[2]
+    crop = sum(
+        px[(y * 4 + x) * 3 + c]
+        for y in (1, 2) for x in (1, 2) for c in range(3)
+    )
+    assert r.crop_sum == crop
+    assert r.decode_ok is True
+
+
 def test_synth_ppm_resize_matches_closed_form(spark):
     # the synthetic fixture's pixels are a pure id function, so the
     # decode+resize channel sums must equal the replayed arithmetic

@@ -256,6 +256,129 @@ def r6_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r7_ops(spark, li_path: str, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-6/7 families not yet in the smoke (VERDICT r6 item 7):
+    content-defined chunking, the Q13/Q17/Q19 query shapes, binary
+    byte-histogram, posting-list delta+varint audit, linear counting,
+    and the r7 genuine image decode+resize. Inputs derive from range()/
+    the shared generators so both scales are comparable."""
+    from sqlite_cdc_spark.pipeline import multimodal
+
+    li = spark.read.parquet(li_path)
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    run("cdc_chunk_stats", lambda: dedup.cdc_chunk_stats(
+        docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+    # Q13 shape: customer left-join orders with an order-level predicate,
+    # count per customer, histogram of counts
+    n_cust = max(rows // 40, 1000)
+    cust = spark.range(n_cust).select(F.col("id").alias("c_custkey"))
+    orders = spark.range(rows // 4).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64("id"), n_cust).alias("o_custkey"),
+        F.pmod(F.xxhash64("id", F.lit(1)), 5).alias("o_prio"),
+    )
+
+    def q13():
+        per = (
+            cust.join(
+                orders.filter(F.col("o_prio") != 0),
+                cust["c_custkey"] == orders["o_custkey"],
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist")) \
+            .write.format("noop").mode("overwrite").save()
+
+    run("q13_order_distribution", q13)
+    # Q17 shape: per-part avg-quantity threshold (windowed broadcast of
+    # the per-key aggregate) gating a revenue sum
+    def q17():
+        avgq = li.groupBy("l_partkey").agg(
+            (F.avg("l_quantity") * 0.2).alias("__thr"))
+        (li.join(avgq, "l_partkey")
+           .filter(F.col("l_quantity") < F.col("__thr"))
+           .agg(F.sum("l_extendedprice").alias("rev"))
+           .write.format("noop").mode("overwrite").save())
+
+    run("q17_small_quantity", q17)
+    # Q19 shape: disjunctive multi-clause predicate pushed to the scan
+    def q19():
+        (li.filter(
+            ((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+             & (F.col("l_partkey") % 3 == 0))
+            | ((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+               & (F.col("l_partkey") % 3 == 1))
+            | ((F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+               & (F.col("l_partkey") % 3 == 2)))
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .write.format("noop").mode("overwrite").save())
+
+    run("q19_disjunctive", q19)
+    run("byte_histogram", lambda: (
+        docs.select(F.encode("text", "UTF-8").alias("p"))
+        .select(
+            F.upper(F.hex(F.substring(F.col("p"), 1, 1))).alias("lead"),
+            F.length("p").alias("n"),
+        )
+        .groupBy("lead").agg(F.count(F.lit(1)).alias("c"), F.sum("n").alias("b"))
+        .write.format("noop").mode("overwrite").save()))
+    run("index_compression", lambda: _index_compression(spark, docs))
+    run("linear_counting", lambda: _linear_counting(spark, li))
+    run("image_resize", lambda: multimodal.image_resize(
+        multimodal.synth_ppm(spark.range(rows // 20)
+                             .select(F.col("id").alias("doc_id"))), 8, 8)
+        .write.format("noop").mode("overwrite").save())
+    return out
+
+
+def _index_compression(spark, docs):
+    """Posting-list gap+varint audit shape (b30_index_compression)."""
+    dt = (
+        docs.select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("tok").orderBy(F.col("doc_id").asc())
+    gaps = dt.select(
+        "tok",
+        (F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0))).alias("gap"),
+    )
+    per = gaps.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(
+            F.when(F.col("gap") < 128, 1)
+            .when(F.col("gap") < 16384, 2)
+            .when(F.col("gap") < 2097152, 3)
+            .otherwise(4)
+        ).alias("vb"),
+    )
+    per.groupBy((F.col("df") >= 100).alias("big")).agg(
+        F.sum("df").alias("n_post"), F.sum("vb").alias("bytes")
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _linear_counting(spark, li):
+    """Linear-counting distinct estimate shape (b27_linear_counting):
+    one bit_or-folded bitmap over hashed keys."""
+    m = 1 << 14
+    h = F.pmod(F.xxhash64("l_partkey"), m)
+    (li.select((h / 63).cast("int").alias("w"),
+               F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(l_partkey), 16384) % 63 AS INT))").alias("b"))
+       .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+       .write.format("noop").mode("overwrite").save())
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -301,6 +424,7 @@ def main():
             gen_documents(spark, rows // 10, dpath)
             results[label].update(text_ops(spark, dpath))
             results[label].update(r6_ops(spark, dpath, rows))
+            results[label].update(r7_ops(spark, path, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
