@@ -3542,6 +3542,92 @@ def q_b19_blocking_quality(spark, sf_dir):
     )
 
 
+def q_b29_incremental_decontam(spark, sf_dir):
+    """Incremental benchmark decontamination (r7, the CDC × B29
+    composition): the benchmark 5-gram set is built ONCE as a standing
+    index (checkpoint here; parquet at real scale), and a CDC batch of
+    NEW documents — half planted-contaminated with bench doc 0's text,
+    half clean suffix-mutations — is screened against it at cost ∝
+    batch: the batch shingles (narrow), the standing gram set
+    broadcasts, one keyed agg. The full-corpus b29_decontamination row
+    proves the definition; THIS row proves the incremental path a
+    streaming ingest pipeline actually runs (decontam.py:
+    ngram_contamination(grams=...))."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    standing = (
+        dedup.shingle_rows(bench, "doc_id", "text", k=5, unit="word")
+        .select("sh")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bench0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
+    dirty = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .crossJoin(F.broadcast(bench0))
+        .select(
+            (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("bt")).alias("text"),
+        )
+    )
+    clean = docs.filter(F.col("doc_id") % 10 == 6).select(
+        (F.col("doc_id") + F.lit(600000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    batch = dirty.unionByName(clean)
+    return decontam.ngram_contamination(batch, None, grams=standing)
+
+
+def q_b19_lsh_quality(spark, sf_dir):
+    """Blocking-quality audit for the MinHash-LSH family (r7, the twin
+    of q_b19_blocking_quality's SNM audit): reduction ratio and pairs
+    completeness of the 32-hash/8-band md5-mode candidate set against
+    the planted near-dup truth (every 7th doc's one-token-suffix twin).
+    Together the two audits make the blocking-strategy choice (SNM vs
+    LSH, window vs bands) a measured trade-off on the same corpus —
+    what a 100 TB dedup run decides BEFORE committing to a full pass."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    index = dedup.build_lsh_index(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    )
+    cand = dedup.lsh_candidates_from_index(index)
+    truth = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(200000)).alias("id_b"),
+    )
+    n_rec = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_found")
+    )
+    return (
+        n_rec.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(found))
+        .select(
+            "n_records",
+            "n_candidates",
+            "n_true",
+            "n_true_found",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("n_records") * (F.col("n_records") - 1) / F.lit(2.0)),
+                6,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_true_found") / F.col("n_true").cast("double"), 6
+            ).alias("pairs_completeness"),
+        )
+    )
+
+
 def q_b20_pq(spark, sf_dir):
     """Product-quantization ANN (B20 depth) — the memory-compression
     scale path no other b20 row covers: vectors stored as m=8 subspace
@@ -5086,6 +5172,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_profit_by_nation_year": q_b10_profit_by_nation_year,
         "b10_promo_share": q_b10_promo_share,
         "b8_supplier_part_types": q_b8_supplier_part_types,
+        "b19_lsh_quality": q_b19_lsh_quality,
+        "b29_incremental_decontam": q_b29_incremental_decontam,
     }
 
 
@@ -5195,10 +5283,12 @@ _B19_CORPUS_SQL = """
 _GRAM3_SQL = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
 
 
-def _minhash_oracle_sql() -> str:
-    """Full DuckDB replay of near_dup_pairs(base_hash='md5', 32 hashes,
-    8 bands): portable md5 base hash → universal-hash mins → polynomial
-    band buckets → candidate equi-join → exact-Jaccard ≥ 0.8."""
+def _minhash_cand_ctes() -> str:
+    """The shared CTE chain of the md5-mode MinHash-LSH replay, up to
+    the DISTINCT candidate pairs (``cand``). Composed by
+    :func:`_minhash_oracle_sql` (adds the exact-Jaccard verify tail)
+    and the b19_lsh_quality oracle (counts candidates vs planted
+    truth)."""
     P = dedup.MINHASH_P
     fam = dedup._hash_family(32)
     mins = ",\n                 ".join(
@@ -5213,8 +5303,7 @@ def _minhash_oracle_sql() -> str:
 
     buckets = ", ".join(fold(b) for b in range(8))
     bands = ", ".join(str(b) for b in range(8))
-    return f"""
-        WITH corpus AS ({_B19_CORPUS_SQL}),
+    return f"""corpus AS ({_B19_CORPUS_SQL}),
         tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
         sh AS (
           SELECT doc_id,
@@ -5235,7 +5324,15 @@ def _minhash_oracle_sql() -> str:
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bucket = b.bucket
           WHERE a.doc_id < b.doc_id
-        ),
+        )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Full DuckDB replay of near_dup_pairs(base_hash='md5', 32 hashes,
+    8 bands): portable md5 base hash → universal-hash mins → polynomial
+    band buckets → candidate equi-join → exact-Jaccard ≥ 0.8."""
+    return f"""
+        WITH {_minhash_cand_ctes()},
         tsets AS (
           SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -5611,6 +5708,51 @@ def _decontam_oracle_sql() -> str:
           UNION ALL
           SELECT doc_id + 300000 AS doc_id, text || ' ' || bt AS text
           FROM documents, b0 WHERE doc_id % 10 = 5
+        ),
+        btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
+        bg AS (
+          SELECT DISTINCT sh FROM (
+            SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+                          i -> {gram5})) AS sh
+            FROM btk)
+        ),
+        ctk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
+        cg AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 4),
+                          i -> {gram5})) AS sh
+            FROM ctk)
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (sh)
+          GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_ngrams,
+               COALESCE(n, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """
+
+
+def _incr_decontam_oracle_sql() -> str:
+    """DuckDB replay of q_b29_incremental_decontam: the standing bench
+    5-gram set vs a CDC batch (planted-contaminated + clean suffix
+    mutations). Same gram SQL as the full-corpus oracle; only the
+    corpus relation differs (the batch)."""
+    gram5 = (
+        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+        "toks[i+3] || ' ' || toks[i+4]"
+    )
+    return f"""
+        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        b0 AS (SELECT text AS bt FROM documents WHERE doc_id = 0),
+        corpus AS (
+          SELECT doc_id + 500000 AS doc_id, text || ' ' || bt AS text
+          FROM documents, b0 WHERE doc_id % 10 = 5
+          UNION ALL
+          SELECT doc_id + 600000 AS doc_id, text || ' qq' AS text
+          FROM documents WHERE doc_id % 10 = 6
         ),
         btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
         bg AS (
@@ -6720,6 +6862,29 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
         """,
         "b19_minhash_candidates": _minhash_oracle_sql(),
+        "b19_lsh_quality": f"""
+            WITH {_minhash_cand_ctes()},
+            truth AS (
+              SELECT doc_id AS id_a, doc_id + 200000 AS id_b
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            s AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_records,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+                     (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+                     (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                      WHERE EXISTS (SELECT 1 FROM cand c
+                                    WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+                       AS n_true_found
+            )
+            SELECT n_records, n_candidates, n_true, n_true_found,
+                   round(1.0 - n_candidates
+                         / (n_records * (n_records - 1) / 2.0), 6)
+                     AS reduction_ratio,
+                   round(n_true_found / CAST(n_true AS DOUBLE), 6)
+                     AS pairs_completeness
+            FROM s
+        """,
         "b19_simhash": _simhash_oracle_sql(),
         "b20_ann_recall": _ann_recall_oracle_sql(),
         "b20_ann_lsh": _ann_lsh_topk_oracle_sql(),
@@ -6739,6 +6904,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "b29_decontamination": _decontam_oracle_sql(),
+        "b29_incremental_decontam": _incr_decontam_oracle_sql(),
         "b29_containment": _containment_oracle_sql(),
         "b21_pii_scrub": _pii_oracle_sql(),
         "b21_repetition": _repetition_oracle_sql(),

@@ -26,12 +26,13 @@ from .dedup import shingle_rows
 
 def ngram_contamination(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     n: int = 5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-corpus-document benchmark overlap: ``(id_col, n_shared_ngrams,
     contaminated)`` — one row per corpus doc, ``contaminated`` iff it
@@ -41,9 +42,18 @@ def ngram_contamination(
     occur anywhere in the benchmark (set semantics on both sides, the
     GPT-3-style definition). Clean docs are kept with 0/false via the
     left join, so the output is a complete keep/drop manifest.
+
+    ``grams``: a precomputed DISTINCT benchmark-gram relation (one
+    ``sh`` column) — the STANDING decontamination index of the CDC
+    composition: build it once from the eval set (parquet at real
+    scale), then screen every incremental batch against it at cost ∝
+    batch, never re-shingling the benchmark. When given, ``benchmark``
+    is ignored.
     """
     bench_grams = (
-        shingle_rows(
+        grams
+        if grams is not None
+        else shingle_rows(
             benchmark,
             bench_id_col or id_col,
             bench_text_col or text_col,

@@ -493,6 +493,36 @@ def test_bloom_probe_no_false_negatives_bounded_false_positives(spark):
     assert fp <= 1800 * 0.05, f"false-positive rate too high: {fp}/1800"
 
 
+def test_bloom_probe_fallback_matches_narrow_path(spark):
+    # r7: above 2^16 bits the probe switches from the inlined-literal
+    # codegen filter to the distinct-key broadcast-bitmap semi-join —
+    # both paths must keep exactly the same rows for the same filter
+    # semantics (positions are pure key functions, so the kept set is a
+    # deterministic function of (keys, m_bits, k_hashes))
+    from sqlite_cdc_spark.derive import bloom_build, bloom_probe
+
+    keys = spark.range(0, 150).select(F.col("id").alias("k"))
+    facts = spark.range(0, 1500).select(F.col("id").alias("k"))
+    big_m = 1 << 17  # forces the fallback branch
+    bloom = bloom_build(keys, "k", m_bits=big_m, k_hashes=4)
+    kept = {
+        r.k
+        for r in bloom_probe(
+            facts, bloom, "k", m_bits=big_m, k_hashes=4
+        ).collect()
+    }
+    assert set(range(150)) <= kept  # no false negatives on the fallback
+    # at 150 keys in 131072 bits false positives are ~0; allow a handful
+    assert len(kept - set(range(150))) <= 5
+    # the fallback plan must not have collapsed into a plain filter (it
+    # should semi-join) — sanity-check the branch actually ran
+    plan = bloom_probe(facts, bloom, "k", m_bits=big_m, k_hashes=4) \
+        ._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    assert "LeftSemi" in plan
+
+
 def test_bloom_bitmap_is_deterministic(spark):
     from sqlite_cdc_spark.derive import bloom_build
 

@@ -268,6 +268,34 @@ def test_image_resize_is_exact_nearest_neighbor(spark):
     assert out.decode_ok is True
 
 
+def test_binaryfile_ingest_decode_resize_end_to_end(spark, tmp_path):
+    # the full real-media path: PPM files on disk -> binaryFile source ->
+    # pure-Python decode -> numpy NN resize; ids recovered from filenames
+    import re
+
+    for did in (3, 8):
+        w, h = 4 + did % 5, 4 + (did // 5) % 5
+        raster = bytes((did * 31 + i) % 256 for i in range(w * h * 3))
+        (tmp_path / f"img_{did}.ppm").write_bytes(
+            b"P6\n%d %d\n255\n" % (w, h) + raster
+        )
+    raw = multimodal.read_binary_dir(spark, str(tmp_path), glob="*.ppm")
+    docs = raw.select(
+        F.regexp_extract("path", r"img_(\d+)\.ppm$", 1).cast("long").alias("doc_id"),
+        "payload",
+    )
+    out = {r.doc_id: r for r in multimodal.image_resize(docs, 8, 8).collect()}
+    for did in (3, 8):
+        w, h = 4 + did % 5, 4 + (did // 5) % 5
+        assert (out[did].src_w, out[did].src_h, out[did].decode_ok) == (w, h, True)
+        exp = [0, 0, 0]
+        for y in range(8):
+            for x in range(8):
+                for c in range(3):
+                    exp[c] += (did * 31 + (((y * h) // 8) * w + (x * w) // 8) * 3 + c) % 256
+        assert (out[did].sum_r, out[did].sum_g, out[did].sum_b) == tuple(exp)
+
+
 def test_image_stats_integer_exact(spark):
     # 4x4 image, raster byte i = i: channel sums, Rec.601 luma and the
     # center crop (rows 1..2, cols 1..2) replay in closed form
