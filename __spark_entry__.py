@@ -3578,6 +3578,64 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b24_dedup_manifest(spark, sf_dir):
+    """Per-document dedup DECISION manifest (r7) — the artifact a corpus
+    build actually ships: for every input doc, keep/drop plus a reason
+    code (``cluster_keeper`` — the cluster's canonical survivor whose
+    golden text passes the token gate; ``dup`` — a non-keeper cluster
+    member; ``unique`` — a singleton passing the gate; ``short`` — gate
+    failure). b24_corpus_v4 certifies the same pipeline as a one-row
+    build card; THIS row certifies the row-level decisions (auditable,
+    joinable back to storage for deletion), over the identical
+    prefix-filter → closure → survivorship → gate composition."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = dedup.set_similarity_join(corpus, "doc_id", "text", threshold=0.8)
+    # labels feed the member manifest, the golden join AND the singleton
+    # anti-join — three references, one checkpoint
+    labels = dedup.dup_clusters(pairs).localCheckpoint(eager=False)
+    golden = dedup.golden_records(
+        corpus, labels, "doc_id", {"text": ("longest", "text")}
+    )
+    n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
+    gtok = golden.select(
+        F.col("cluster_id").alias("__cid"), n_tok.alias("__nt")
+    )
+    members = (
+        labels.select("doc_id", "cluster_id")
+        .join(F.broadcast(gtok), F.col("cluster_id") == F.col("__cid"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("drop"))
+            .when(F.col("__nt") >= 10, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup"))
+            .when(F.col("__nt") >= 10, F.lit("cluster_keeper"))
+            .otherwise(F.lit("short"))
+            .alias("reason"),
+        )
+    )
+    singles = (
+        corpus.join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("__nt", n_tok)
+        .select(
+            "doc_id",
+            F.when(F.col("__nt") >= 10, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.when(F.col("__nt") >= 10, F.lit("unique"))
+            .otherwise(F.lit("short"))
+            .alias("reason"),
+        )
+    )
+    return members.unionByName(singles)
+
+
 def q_b19_lsh_quality(spark, sf_dir):
     """Blocking-quality audit for the MinHash-LSH family (r7, the twin
     of q_b19_blocking_quality's SNM audit): reduction ratio and pairs
@@ -5174,6 +5232,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_supplier_part_types": q_b8_supplier_part_types,
         "b19_lsh_quality": q_b19_lsh_quality,
         "b29_incremental_decontam": q_b29_incremental_decontam,
+        "b24_dedup_manifest": q_b24_dedup_manifest,
     }
 
 
@@ -8771,6 +8830,56 @@ def oracle_sql() -> dict[str, str]:
                 AS n_final,
               (SELECT CAST(sum(nt) AS BIGINT) FROM gated WHERE nt >= 10)
                 AS total_tokens
+        """,
+        "b24_dedup_manifest": f"""
+            WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql()}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pf
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM pf
+            ),
+            reach AS (
+              SELECT DISTINCT src AS v, src AS r FROM edges
+              UNION
+              SELECT e.dst AS v, reach.r AS r
+              FROM reach JOIN edges e ON e.src = reach.v
+            ),
+            lab AS (SELECT v AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY v),
+            corpus AS ({_B19_CORPUS_SQL}),
+            golden AS (
+              SELECT lab.cluster_id AS cid,
+                     max_by(c.text, CAST(length(c.text) AS BIGINT)
+                            * 4294967296 + (4294967295 - c.doc_id)) AS text
+              FROM corpus c JOIN lab ON lab.doc_id = c.doc_id
+              GROUP BY lab.cluster_id
+            ),
+            gtok AS (
+              SELECT cid, len(string_split({_NORM_SQL}, ' ')) AS nt
+              FROM golden
+            ),
+            members AS (
+              SELECT l.doc_id,
+                     CASE WHEN l.doc_id <> l.cluster_id THEN 'drop'
+                          WHEN g.nt >= 10 THEN 'keep' ELSE 'drop'
+                     END AS decision,
+                     CASE WHEN l.doc_id <> l.cluster_id THEN 'dup'
+                          WHEN g.nt >= 10 THEN 'cluster_keeper' ELSE 'short'
+                     END AS reason
+              FROM lab l JOIN gtok g ON g.cid = l.cluster_id
+            ),
+            singles AS (
+              SELECT doc_id,
+                     len(string_split({_NORM_SQL}, ' ')) AS nt
+              FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+            )
+            SELECT doc_id, decision, reason FROM members
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN nt >= 10 THEN 'keep' ELSE 'drop' END AS decision,
+                   CASE WHEN nt >= 10 THEN 'unique' ELSE 'short' END AS reason
+            FROM singles
         """,
         "b26_temporal_split": """
             WITH test AS (

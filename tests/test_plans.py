@@ -272,6 +272,12 @@ def test_corpus_v3_no_cartesian_no_global_sort_of_corpus(spark, sf_dir):
     # prefix sum (one row per bucket); the corpus itself is never
     # range-partitioned for a global sort
     assert "Exchange rangepartitioning" not in plan
+    # r7 regression pin: the survivor manifest is localCheckpoint-ed
+    # before the double-scanning temperature mixture (the r6 bench
+    # regression was this checkpoint missing — the whole curation
+    # pipeline re-executed per mixture scan). The checkpoint surfaces
+    # as an ExistingRDD scan boundary in the plan.
+    assert "ExistingRDD" in plan
 
 
 def test_mean_pool_partial_final_agg(spark, sf_dir):
