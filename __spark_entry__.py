@@ -3578,6 +3578,82 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b20_centroid_drift(spark, sf_dir):
+    """Embedding centroid-drift monitor (B20 × B3, r7): per-label
+    centroid distance from the global centroid — the embedding-space
+    health check a retrieval/dedup pipeline runs per ingest batch (a
+    label whose centroid wanders is a source whose upstream encoder or
+    content changed; b3_psi watches scalar features, THIS watches the
+    vector space). Shape: (label, dim) partial+final avg — never a
+    per-vector shuffle — then a 16-row-per-label broadcast join and one
+    keyed fold. Per-dim means rounded to 6 before differencing (float
+    sum order differs per engine); sqrt is IEEE-exact; final round 6."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "__v")
+    ).select("label", "dim", F.col("__v").cast("double").alias("v"))
+    per = ex.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("lv"))
+    glob = ex.groupBy("dim").agg(F.round(F.avg("v"), 6).alias("gv"))
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    d = F.col("lv") - F.col("gv")
+    drift = (
+        per.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("drift"))
+    )
+    return (
+        counts.join(drift, "label")
+        .select(F.col("label").cast("int").alias("label"), "n_vecs", "drift")
+    )
+
+
+def q_b3_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit (B3 monitoring depth, r7): orphan
+    counts and rates for every FK relation in the star schema — the
+    data-quality gate a warehouse runs after every CDC load (an orphan
+    spike means the change feed dropped parent rows or applied children
+    first). One anti-join count per relation; dims broadcast, facts
+    never move twice; four scalar rows unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def audit(name, child, key, parent, pkey):
+        n = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orph = (
+            child.join(
+                parent.select(F.col(pkey).alias("__p")),
+                child[key] == F.col("__p"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        return n.crossJoin(F.broadcast(orph)).select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans") / F.col("n_child").cast("double"), 6
+            ).alias("orphan_rate"),
+        )
+
+    return (
+        audit("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(
+            audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionByName(
+            audit("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            audit("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey")
+        )
+    )
+
+
 def q_b24_dedup_manifest(spark, sf_dir):
     """Per-document dedup DECISION manifest (r7) — the artifact a corpus
     build actually ships: for every input doc, keep/drop plus a reason
@@ -5233,6 +5309,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_lsh_quality": q_b19_lsh_quality,
         "b29_incremental_decontam": q_b29_incremental_decontam,
         "b24_dedup_manifest": q_b24_dedup_manifest,
+        "b3_fk_integrity": q_b3_fk_integrity,
+        "b20_centroid_drift": q_b20_centroid_drift,
     }
 
 
@@ -8189,6 +8267,71 @@ def oracle_sql() -> dict[str, str]:
                     FROM per_dim p
                     WHERE p.label = c.label) AS centroid_csv
             FROM counts c
+        """,
+        "b20_centroid_drift": """
+            WITH ex AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            per AS (
+              SELECT label, dim, round(avg(v), 6) AS lv
+              FROM ex GROUP BY label, dim
+            ),
+            gm AS (
+              SELECT dim, round(avg(v), 6) AS gv
+              FROM ex GROUP BY dim
+            ),
+            counts AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM embeddings GROUP BY label
+            ),
+            drift AS (
+              SELECT label,
+                     round(sqrt(sum((lv - gv) * (lv - gv))), 6) AS drift
+              FROM per JOIN gm USING (dim) GROUP BY label
+            )
+            SELECT CAST(c.label AS INTEGER) AS label, c.n_vecs, d.drift
+            FROM counts c JOIN drift d ON c.label = d.label
+        """,
+        "b3_fk_integrity": """
+            WITH r1 AS (
+              SELECT 'orders.o_custkey->customer' AS relation,
+                     CAST(count(*) AS BIGINT) AS n_child,
+                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_orphans
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ),
+            r2 AS (
+              SELECT 'lineitem.l_orderkey->orders',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            ),
+            r3 AS (
+              SELECT 'lineitem.l_partkey->part',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            ),
+            r4 AS (
+              SELECT 'lineitem.l_suppkey->supplier',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+            ),
+            un AS (
+              SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+            )
+            SELECT relation, n_child, n_orphans,
+                   round(n_orphans / CAST(n_child AS DOUBLE), 6)
+                     AS orphan_rate
+            FROM un
         """,
         "b26_fixed_per_group": f"""
             WITH pri AS (

@@ -829,3 +829,69 @@ def test_streaming_mv_maintenance_matches_batch(spark, tmp_path):
     )
     want = derive.aggregate_base(final_table, ["grp"], ["val"])
     assert derive.snapshots_equal(state["mv"], want)
+
+
+def test_streaming_incremental_decontam_equals_batch(spark, tmp_path):
+    # r7: the CDC x B29 composition as a STREAM — documents arrive in
+    # micro-batches, each screened against the STANDING benchmark-gram
+    # index built once up front; the union of per-batch manifests must
+    # equal the one-shot batch screening of all docs.
+    from sqlite_cdc_spark.pipeline import decontam, dedup
+
+    bench_rows = [
+        (100, "the quick brown fox jumps over the lazy dog every day"),
+        (101, "pack my box with five dozen liquor jugs tonight ok"),
+    ]
+    waves = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "the quick brown fox jumps over the lazy dog every day extra")],
+        [(3, "pack my box with five dozen liquor jugs tonight ok trailing"),
+         (4, "unrelated words entirely clean text with no benchmark overlap")],
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    standing = (
+        dedup.shingle_rows(bench, "doc_id", "text", k=5, unit="word")
+        .select("sh")
+        .distinct()
+        .localCheckpoint()
+    )
+    src = str(tmp_path / "docs")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/w{i}")
+
+    results = []
+
+    def handle(batch, _bid):
+        if batch.isEmpty():
+            return
+        results.extend(
+            decontam.ngram_contamination(batch, None, grams=standing).collect()
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame(
+        [d for w in waves for d in w], "doc_id long, text string"
+    )
+    want = sorted(
+        (r.doc_id, r.n_shared_ngrams, r.contaminated)
+        for r in decontam.ngram_contamination(
+            all_docs, None, grams=standing
+        ).collect()
+    )
+    got = sorted((r.doc_id, r.n_shared_ngrams, r.contaminated) for r in results)
+    assert got == want
+    by_id = dict((d, (n, c)) for d, n, c in got)
+    assert by_id[2][1] is True and by_id[3][1] is True  # planted overlaps
+    assert by_id[1][1] is False and by_id[4][1] is False
