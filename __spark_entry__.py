@@ -3578,6 +3578,103 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b10_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier detection (B10 depth, r7): median +
+    median-absolute-deviation per return flag, then the count of prices
+    outside ``median ± 3 · 1.4826 · MAD`` — the screen that survives
+    the heavy tails that break z-scores (the mean/stddev version flags
+    nothing OR everything on skewed price data). Two keyed exact-median
+    aggs (partial+final, never a global sort) with the |groups|-row
+    median table broadcast back between them; medians/MAD rounded 6
+    (both engines average the two middle doubles identically)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("__med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "__med",
+        F.abs(F.col("l_extendedprice") - F.col("__med")).alias("__ad"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.median("__ad").alias("__mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("__med"), 6).alias("med_price"),
+            F.round(F.min("__mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__ad") > F.lit(3 * 1.4826) * F.col("__mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+def q_b9_scd2_pit(spark, sf_dir):
+    """SCD2 point-in-time join (B2 × B9, r7): every purchase event joined
+    to the dimension VERSION that was valid at the event's own
+    timestamp — the "what did we know then" read that makes a type-2
+    history table useful (joining the CURRENT version back-dates
+    attributes and corrupts any training label built from it). Status
+    classifies the temporal edge cases: ``live`` (version open at ts),
+    ``closed`` (the key was DELETEd before ts — the change feed closed
+    its last version), ``none`` (no version existed yet). Range
+    condition in the JOIN (left rows survive), latest-version pick via
+    one per-event window with (valid_from, version_id) DESC total
+    order — deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id").cast(
+        "bigint"
+    )
+    versions = derive.scd2(ch.withColumn("user_id", key), "user_id").select(
+        F.col("user_id").alias("__vu"),
+        F.col("id").alias("version_id"),
+        "valid_from",
+        "valid_to",
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    j = ev.join(
+        versions,
+        (ev["user_id"] == versions["__vu"])
+        & (versions["valid_from"] <= ev["ts"]),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("valid_from").desc(), F.col("version_id").desc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "version_id",
+            F.when(F.col("version_id").isNull(), F.lit("none"))
+            .when(
+                F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")),
+                F.lit("live"),
+            )
+            .otherwise(F.lit("closed"))
+            .alias("status"),
+        )
+    )
+
+
 def q_b20_centroid_drift(spark, sf_dir):
     """Embedding centroid-drift monitor (B20 × B3, r7): per-label
     centroid distance from the global centroid — the embedding-space
@@ -5311,6 +5408,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_dedup_manifest": q_b24_dedup_manifest,
         "b3_fk_integrity": q_b3_fk_integrity,
         "b20_centroid_drift": q_b20_centroid_drift,
+        "b9_scd2_pit": q_b9_scd2_pit,
+        "b10_mad_outliers": q_b10_mad_outliers,
     }
 
 
@@ -6563,6 +6662,69 @@ def oracle_sql() -> dict[str, str]:
                    (valid_to IS NULL) AS is_current
             FROM v
             WHERE operation <> 'DELETE'
+        """,
+        "b10_mad_outliers": """
+            WITH med AS (
+              SELECT l_returnflag, median(l_extendedprice) AS m
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            dev AS (
+              SELECT l.l_returnflag, l.l_extendedprice, med.m,
+                     abs(l.l_extendedprice - med.m) AS ad
+              FROM lineitem l JOIN med USING (l_returnflag)
+            ),
+            mad AS (
+              SELECT l_returnflag, median(ad) AS md
+              FROM dev GROUP BY l_returnflag
+            )
+            SELECT d.l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(min(d.m), 6) AS med_price,
+                   round(min(mad.md), 6) AS mad,
+                   CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * mad.md
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad USING (l_returnflag)
+            GROUP BY d.l_returnflag
+        """,
+        "b9_scd2_pit": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT id, timestamp, operation,
+                     CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT) AS user_id
+              FROM changes
+            ),
+            v AS (
+              SELECT *,
+                     lead(timestamp) OVER (PARTITION BY user_id ORDER BY id)
+                       AS valid_to
+              FROM keyed
+            ),
+            versions AS (
+              SELECT user_id AS vu, id AS version_id,
+                     timestamp AS valid_from, valid_to
+              FROM v WHERE operation <> 'DELETE'
+            ),
+            ev AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ),
+            j AS (
+              SELECT e.event_id, e.user_id, e.ts,
+                     s.version_id, s.valid_from, s.valid_to,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY s.valid_from DESC, s.version_id DESC
+                     ) AS rn
+              FROM ev e LEFT JOIN versions s
+                ON e.user_id = s.vu AND s.valid_from <= e.ts
+            )
+            SELECT event_id, user_id, ts, version_id,
+                   CASE WHEN version_id IS NULL THEN 'none'
+                        WHEN valid_to IS NULL OR ts < valid_to THEN 'live'
+                        ELSE 'closed'
+                   END AS status
+            FROM j WHERE rn = 1
         """,
         "b1_column_diff": f"""
             WITH {_ORDERS_OLD_NEW_SQL},
