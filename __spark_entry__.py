@@ -3578,6 +3578,19 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b29_semantic_decontam(spark, sf_dir):
+    """Semantic decontamination (B29 × B20, r7): every 50th vector acts
+    as the benchmark/eval set; each remaining corpus vector reports its
+    nearest benchmark item, max cosine, and the contamination flag —
+    the paraphrase-level screen n-gram overlap can't express
+    (similarity.py: semantic_contamination; exact fold arithmetic, the
+    flag compares the ROUNDED score so it replays cross-engine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return similarity.semantic_contamination(corpus, bench, threshold=0.35)
+
+
 def q_b10_mad_outliers(spark, sf_dir):
     """Robust per-group outlier detection (B10 depth, r7): median +
     median-absolute-deviation per return flag, then the count of prices
@@ -5410,6 +5423,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_centroid_drift": q_b20_centroid_drift,
         "b9_scd2_pit": q_b9_scd2_pit,
         "b10_mad_outliers": q_b10_mad_outliers,
+        "b29_semantic_decontam": q_b29_semantic_decontam,
     }
 
 
@@ -6662,6 +6676,32 @@ def oracle_sql() -> dict[str, str]:
                    (valid_to IS NULL) AS is_current
             FROM v
             WHERE operation <> 'DELETE'
+        """,
+        "b29_semantic_decontam": """
+            WITH b AS (
+              SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 50 <> 0
+            ),
+            scored AS (
+              SELECT c.vec_id, b.bench_id,
+                     list_dot_product(cv, bv)
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product(bv, bv))) AS s
+              FROM c, b
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
+              FROM scored
+            )
+            SELECT vec_id, bench_id AS nearest_bench,
+                   round(s, 6) AS max_cos,
+                   round(s, 6) >= 0.35 AS contaminated
+            FROM ranked WHERE rn = 1
         """,
         "b10_mad_outliers": """
             WITH med AS (

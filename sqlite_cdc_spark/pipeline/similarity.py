@@ -82,6 +82,60 @@ def cosine_topk(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC complement to the
+    n-gram screens (decontam.py): a corpus item whose embedding sits too
+    close to any benchmark item is a paraphrase/translation the exact
+    n-gram join can never catch. Per corpus vector: the nearest
+    benchmark item, the max cosine (rounded 6), and the contamination
+    flag (compared on the ROUNDED score so the decision replays
+    identically cross-engine).
+
+    Plan: benchmark (eval sets are thousands of rows, ≪ RAM by
+    construction) broadcasts with precomputed norms; the corpus is
+    scored in ONE narrow pass (|corpus|·|bench| dot folds) + one
+    per-vector window. At billions × thousands scale, bucket both sides
+    through :func:`ann_topk_lsh`/:func:`ann_topk_ivf` first and run
+    this exact scorer only on candidate pairs — same contract, the
+    bucketed join replaces the broadcast product.
+
+    Output: ``(vec_id, nearest_bench, max_cos, contaminated)``.
+    """
+    v = as_double(vec_col)
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), v.alias("bv"), l2_norm(v).alias("bn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("cv"), l2_norm(v).alias("cn")
+    )
+    scored = c.join(F.broadcast(b)).select(
+        "vec_id",
+        "bench_id",
+        (dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn"))).alias(
+            "__s"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__s").desc(), F.col("bench_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("nearest_bench"),
+            F.round("__s", 6).alias("max_cos"),
+            (F.round("__s", 6) >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Attach the L2 norm — precompute once when the corpus is reused."""
     return df.withColumn("__norm", l2_norm(as_double(vec_col)))
