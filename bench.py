@@ -65,6 +65,10 @@ HEADLINE = [
     "b7_bloom_join",           # Bloom semi-join reduction (B7 depth)
     "b30_bpe_encode",          # codegen BPE tokenizer application (B30)
     "b10_bootstrap",           # one-pass Poisson bootstrap CI (B10 depth)
+    # r7 additions — one line per new heavy family
+    "b22_image_resize",        # genuine PPM decode + numpy NN resize (B22)
+    "b29_semantic_decontam",   # embedding-space benchmark screen (B29/B20)
+    "b24_dedup_manifest",      # row-level keep/drop dedup decisions (B24)
 ]
 
 
