@@ -372,3 +372,49 @@ def test_bpe_encode_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b30_bpe_encode")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan  # merges are literal replaces — codegen
+
+
+def test_r7_additions_no_cartesian(spark, sf_dir):
+    # round-7 rows: nothing may plan a cartesian product; the only
+    # nested-loop join allowed is a BROADCAST one (scalar plumbing or
+    # the deliberately-broadcast benchmark product in semantic decontam)
+    for name in (
+        "b9_scd2_pit",
+        "b24_dedup_manifest",
+        "b29_semantic_decontam",
+        "b3_fk_integrity",
+        "b20_centroid_drift",
+        "b10_mad_outliers",
+        "b7_nation_volume",
+        "b10_profit_by_nation_year",
+        "b10_promo_share",
+        "b8_supplier_part_types",
+        "b19_blocking_quality",
+        "b19_lsh_quality",
+        "b29_incremental_decontam",
+        "b22_image_resize",
+        "b22_image_stats",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scd2_pit_range_join_is_keyed_not_nested_loop(spark, sf_dir):
+    # the PIT join carries a range condition, but the user_id equality
+    # must anchor it as a hash/sort-merge join — a nested-loop over the
+    # event stream would be corpus x versions at scale
+    plan = _plan(spark, sf_dir, "b9_scd2_pit")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontam_broadcasts_only_benchmark(spark, sf_dir):
+    # the corpus side must never shuffle for the scoring product — the
+    # benchmark relation broadcasts; the only exchange is the per-vector
+    # top-1 window
+    plan = _plan(spark, sf_dir, "b29_semantic_decontam")
+    # formatted plans mention the node in the tree AND the details
+    # section — assert presence + absence of any shuffled join
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
