@@ -3578,6 +3578,42 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b15_gap_fill(spark, sf_dir):
+    """Calendar gap-filling / densification (B15 depth, r7): per-cohort
+    daily event counts with MISSING DAYS EXPLICIT as zero rows — the
+    densify step every time-series consumer needs before windows,
+    EWMA, or change-point scans (a missing day silently skews any
+    frame-based statistic; the b11/b3 rows all assume dense input).
+    Shape: one keyed agg for the sparse counts; the calendar comes from
+    ONE 1-row min/max agg exploded through sequence() (never a
+    driver-side date loop); the (cohort × day) grid is |cohorts|·|days|
+    — dimension-sized, built by broadcast — and the sparse counts LEFT
+    join onto it. Integers end-to-end."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("cohort"),
+        F.to_date("ts").alias("day"),
+    )
+    sparse = ev.groupBy("cohort", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("day")
+    )
+    cohorts = ev.select("cohort").distinct()
+    grid = cohorts.crossJoin(F.broadcast(calendar))
+    return (
+        grid.join(sparse, ["cohort", "day"], "left")
+        .select(
+            "cohort",
+            "day",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
 def q_b29_semantic_decontam(spark, sf_dir):
     """Semantic decontamination (B29 × B20, r7): every 50th vector acts
     as the benchmark/eval set; each remaining corpus vector reports its
@@ -5424,6 +5460,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_scd2_pit": q_b9_scd2_pit,
         "b10_mad_outliers": q_b10_mad_outliers,
         "b29_semantic_decontam": q_b29_semantic_decontam,
+        "b15_gap_fill": q_b15_gap_fill,
     }
 
 
@@ -6676,6 +6713,29 @@ def oracle_sql() -> dict[str, str]:
                    (valid_to IS NULL) AS is_current
             FROM v
             WHERE operation <> 'DELETE'
+        """,
+        "b15_gap_fill": """
+            WITH ev AS (
+              SELECT user_id % 20 AS cohort, CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            sparse AS (
+              SELECT cohort, day, CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY cohort, day
+            ),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+            calendar AS (
+              SELECT CAST(unnest(generate_series(lo, hi,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS day
+              FROM bounds
+            ),
+            cohorts AS (SELECT DISTINCT cohort FROM ev)
+            SELECT c.cohort, cal.day,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_events
+            FROM cohorts c
+            CROSS JOIN calendar cal
+            LEFT JOIN sparse s ON s.cohort = c.cohort AND s.day = cal.day
         """,
         "b29_semantic_decontam": """
             WITH b AS (
