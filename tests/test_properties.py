@@ -230,3 +230,87 @@ def test_lm_delete_insert_roundtrip_is_identity(spark, corpus):
     got = {r.tok: r.cnt for r in roundtrip.collect()}
     want = {r.tok: r.cnt for r in model.collect()}
     assert got == want
+
+
+# --- r7: pure-Python image decoders (no Spark needed — pure functions) ----
+
+_img_st = st.tuples(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.randoms(use_true_random=False),
+)
+
+
+@given(img=_img_st)
+@settings(**SETTINGS)
+def test_ppm_bmp_decode_agree_on_random_images(img):
+    """The same random pixels pushed through BOTH containers decode to
+    identical arrays — the two parsers cross-validate each other."""
+    import numpy as np
+
+    from sqlite_cdc_spark.pipeline import multimodal as mm
+
+    w, h, rng = img
+    px = [[tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+          for _ in range(h)]
+    flat = bytes(c for row in px for p in row for c in p)
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + flat
+    # minimal BMP writer (bottom-up, padded) — independent of the parser
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(px):
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        raster += line + b"\0" * (stride - len(line))
+    off = 54
+    bmp = (
+        b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    w1, h1, a1 = mm._parse_ppm(ppm)
+    w2, h2, a2 = mm._parse_bmp(bmp)
+    assert (w1, h1) == (w2, h2) == (w, h)
+    assert (a1 == a2).all()
+    assert a1.shape == (h, w, 3)
+    assert bytes(a1.tobytes()) == flat  # PPM raster is row-major RGB
+
+
+@given(img=_img_st, cut=st.integers(min_value=0, max_value=200))
+@settings(**SETTINGS)
+def test_truncated_images_raise_never_crash(img, cut):
+    """Any prefix of a valid image either parses (only when complete) or
+    raises ValueError — never an index error or a silent wrong shape."""
+    import pytest as _pytest
+
+    from sqlite_cdc_spark.pipeline import multimodal as mm
+
+    w, h, rng = img
+    flat = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + flat
+    trunc = ppm[: max(0, len(ppm) - cut)]
+    if trunc == ppm:
+        mm._parse_ppm(trunc)  # complete → must parse
+    else:
+        with _pytest.raises(ValueError):
+            mm._parse_ppm(trunc)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_nn_resize_identity_when_dims_match(spark, w, h):
+    """Resizing to the source dimensions is the identity — the NN index
+    map floor(i*n/n) == i."""
+    from sqlite_cdc_spark.pipeline import multimodal as mm
+
+    flat = bytes((i * 37) % 256 for i in range(w * h * 3))
+    df = spark.createDataFrame(
+        [(1, b"P6\n%d %d\n255\n" % (w, h) + flat)], ["doc_id", "payload"]
+    )
+    out = mm.image_resize(df, w, h).collect()[0]
+    _, _, arr = mm._parse_ppm(bytes(out.payload))
+    assert arr.tobytes() == flat
