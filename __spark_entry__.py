@@ -3578,6 +3578,19 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b30_ql_search(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (B30 depth, r7): the
+    language-modeling ranking baseline beside BM25, same fixed 3-term
+    query — rankers ensemble both because they disagree on short vs
+    long documents. Sparse rank-equivalent form: only matching
+    (doc, term) rows are scored; collection stats broadcast (lm.py:
+    ql_search)."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.ql_search(
+        docs, "doc_id", ["merge", "join", "batch"], mu=2000.0, top_k=15
+    )
+
+
 def q_b15_gap_fill(spark, sf_dir):
     """Calendar gap-filling / densification (B15 depth, r7): per-cohort
     daily event counts with MISSING DAYS EXPLICIT as zero rows — the
@@ -5461,6 +5474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_mad_outliers": q_b10_mad_outliers,
         "b29_semantic_decontam": q_b29_semantic_decontam,
         "b15_gap_fill": q_b15_gap_fill,
+        "b30_ql_search": q_b30_ql_search,
     }
 
 
@@ -7572,6 +7586,47 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
                    CROSS JOIN scalars s
               GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 15
+        """,
+        "b30_ql_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+              FROM nz GROUP BY doc_id
+            ),
+            bigt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM nz),
+            cf AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM nz
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY tok
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM nz
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
+            ),
+            matched AS (
+              SELECT tf.doc_id,
+                     sum(ln(1.0 + tf.tf * bigt.t / (2000.0 * cf.cf)))
+                       AS m,
+                     CAST(count(*) AS BIGINT) AS n_terms_hit
+              FROM tf JOIN cf USING (tok) CROSS JOIN bigt
+              GROUP BY tf.doc_id
+            ),
+            scored AS (
+              SELECT matched.doc_id,
+                     round(m + 3.0 * ln(2000.0 / (dl.dl + 2000.0)), 6)
+                       AS score,
+                     n_terms_hit
+              FROM matched JOIN dl USING (doc_id)
             )
             SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank
             FROM (

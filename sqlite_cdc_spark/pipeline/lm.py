@@ -181,6 +181,82 @@ def bm25_search(
     )
 
 
+def ql_search(
+    df: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    text_col: str = "text",
+    mu: float = 2000.0,
+    top_k: int = 10,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty) — the language-modeling IR baseline beside
+    :func:`bm25_search` (BM25 weights term rarity, QL asks "how likely
+    would this document generate the query"; they disagree usefully on
+    short vs long documents, which is why rankers ensemble both).
+
+    score(q, D) = Σ_{t∈q} ln( (tf_{t,D} + μ·cf_t/T) / (|D| + μ) )
+
+    Computed in the rank-equivalent sparse form so only MATCHING
+    (doc, term) rows are scored: ``Σ_matched ln(1 + tf·T/(μ·cf)) +
+    |q|·ln(μ/(|D|+μ))`` — the first sum runs over |matching docs ×
+    query terms| rows (the term filter pushes into the token relation
+    before any agg, same plan discipline as BM25), the second is a
+    per-doc constant from the doc-length table. Docs matching no term
+    rank below every match by construction and are omitted (same
+    contract as bm25_search). Collection stats (cf_t, T) broadcast; ln
+    rounded to 6 with id tie-break.
+    """
+    toks = token_rows(df, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__dl")
+    )
+    terms = [t.lower() for t in query_terms]
+    cf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cf"))
+    )
+    big_t = toks.agg(F.count(F.lit(1)).cast("double").alias("__T"))
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(cf), "tok")
+        .crossJoin(F.broadcast(big_t))
+        .withColumn(
+            "__term",
+            F.log(
+                F.lit(1.0)
+                + F.col("__tf") * F.col("__T") / (F.lit(mu) * F.col("__cf"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__term").alias("__match"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .join(dl, id_col)
+        .select(
+            id_col,
+            F.round(
+                F.col("__match")
+                + F.lit(float(len(terms)))
+                * F.log(F.lit(mu) / (F.col("__dl") + F.lit(mu))),
+                6,
+            ).alias("score"),
+            "n_terms_hit",
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def unigram_counts(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
