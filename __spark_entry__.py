@@ -3578,6 +3578,77 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b15_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (B15 depth, r7) — the classic
+    sweep-line / interval-stabbing aggregate (capacity planning, rate
+    limiting, connection-pool sizing): sessions become ±1 boundary
+    events, concurrency is the running sum over the boundary order, the
+    answer is the per-day max. The running sum is the TWO-PHASE scan
+    (the prefix_sum pattern with natural day buckets): within-day
+    running totals partition by day and parallelize; each day's BASE
+    (sessions already open at midnight) is a cumulative sum over the
+    |days|-row per-day delta relation — the only single-partition
+    window, bounded — broadcast back. All integers; boundary ties order
+    (sec, delta DESC, user, session): a session starting the same
+    second another ends counts as overlapping on both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    s = derive.sessionize(ev, "user_id", "ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    sess = (
+        s.withColumn("__sec", sec)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("__sec").alias("__start"), F.max("__sec").alias("__end"))
+    )
+    starts = sess.select(
+        "user_id", "session_id", F.col("__start").alias("sec"), F.lit(1).alias("delta")
+    )
+    ends = sess.select(
+        "user_id",
+        "session_id",
+        (F.col("__end") + F.lit(1)).alias("sec"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "day", F.expr("sec div 86400").cast("long")
+    )
+    w_in = Window.partitionBy("day").orderBy(
+        F.col("sec").asc(),
+        F.col("delta").desc(),
+        F.col("user_id").asc(),
+        F.col("session_id").asc(),
+    )
+    running = deltas.withColumn(
+        "__run",
+        F.sum("delta").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("__t"))
+    base = day_tot.select(
+        "day",
+        F.coalesce(
+            F.sum("__t").over(
+                Window.orderBy(F.col("day").asc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__base"),
+    )
+    return (
+        running.join(F.broadcast(base), "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("__base") + F.col("__run"))
+            .cast("long")
+            .alias("max_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+    )
+
+
 def q_b30_ql_search(spark, sf_dir):
     """Dirichlet query-likelihood retrieval (B30 depth, r7): the
     language-modeling ranking baseline beside BM25, same fixed 3-term
@@ -5475,6 +5546,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_semantic_decontam": q_b29_semantic_decontam,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
+        "b15_concurrency": q_b15_concurrency,
     }
 
 
@@ -8137,6 +8209,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b15_concurrency": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT event_id, user_id, sec,
+                     CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            ),
+            sessioned AS (
+              SELECT user_id, sec,
+                     sum(newf) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       + 1 AS session_id
+              FROM marked
+            ),
+            sess AS (
+              SELECT user_id, session_id,
+                     min(sec) AS s, max(sec) AS e
+              FROM sessioned GROUP BY user_id, session_id
+            ),
+            deltas AS (
+              SELECT user_id, session_id, s AS sec, 1 AS delta FROM sess
+              UNION ALL
+              SELECT user_id, session_id, e + 1 AS sec, -1 AS delta FROM sess
+            ),
+            dayd AS (
+              SELECT *, CAST(sec // 86400 AS BIGINT) AS day FROM deltas
+            ),
+            run AS (
+              SELECT *, sum(delta) OVER (
+                PARTITION BY day
+                ORDER BY sec ASC, delta DESC, user_id ASC, session_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+              FROM dayd
+            ),
+            daytot AS (
+              SELECT day, sum(delta) AS t FROM dayd GROUP BY day
+            ),
+            basea AS (
+              SELECT day, COALESCE(sum(t) OVER (
+                ORDER BY day ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS b
+              FROM daytot
+            )
+            SELECT run.day,
+                   CAST(max(basea.b + run.r) AS BIGINT) AS max_concurrency,
+                   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sessions_started
+            FROM run JOIN basea ON run.day = basea.day
+            GROUP BY run.day
         """,
         "b15_sessionize": """
             WITH base AS (
