@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's default 1 MB coalesce floor squeezes hash-heavy but
+        # byte-small stages (minhash/md5 pipelines) to a handful of
+        # tasks on a 32-core box — CPU-bound rows deserve parallelism
+        # even when bytes are tiny. 128k keeps such stages at full
+        # width; partition count still never exceeds the parallelism
+        # target, so big shuffles are unaffected (measured r7:
+        # b10_bootstrap -28%, b19_minhash_candidates -20%).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
