@@ -3578,6 +3578,106 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b30_assoc_rules(spark, sf_dir):
+    """Session-basket association rules (B30 depth, r7): support,
+    confidence (both directions) and lift for every unordered pair of
+    event types co-occurring in a session — the market-basket statistic
+    behind recommendation and next-action heuristics (PMI's b30 row is
+    token-window co-occurrence; THIS is basket-level with the
+    confidence/lift decision numbers attached). Baskets = sessionized
+    (user, session) with DISTINCT items; pairs via one equi-join on the
+    basket key (items/basket is small and bounded, never a cartesian of
+    sessions); all counts integer, ratios rounded 6."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    s = derive.sessionize(ev, "user_id", "ts", "event_id")
+    items = s.select(
+        F.col("user_id"), F.col("session_id"), F.col("event_type").alias("item")
+    ).distinct()
+    n_baskets = items.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__N")
+    )
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("__s"))
+    a = items.select("user_id", "session_id", F.col("item").alias("item_a"))
+    b = items.select("user_id", "session_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("__s").alias("n_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("__s").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("__N") * F.col("n_ab")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def q_b15_forward_fill(spark, sf_dir):
+    """Forward-fill / LOCF imputation (B15 depth, r7): per-cohort daily
+    mean purchase value on the dense calendar with missing days carrying
+    the LAST OBSERVED value forward (and staying NULL before the first
+    observation) — the imputation rule feature pipelines apply after
+    densification (b15_gap_fill zeros COUNTS; values need carry-forward,
+    not zeros). One window with ``last(ignorenulls=True)`` over the
+    dense grid; value quantized to cents before the mean so the carried
+    number is engine-exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(10)).alias("cohort"),
+        F.to_date("ts").alias("day"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+    sparse = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("cohort", "day")
+        .agg(
+            # quantize each value to integer cents BEFORE summing (a
+            # float sum's order differs per engine and one ulp would
+            # flip a floor on the total)
+            (
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                / (F.count(F.lit(1)) * F.lit(100.0))
+            ).alias("__raw")
+        )
+        .select("cohort", "day", F.round("__raw", 6).alias("__obs"))
+    )
+    bounds = ev.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
+    calendar = bounds.select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
+    grid = ev.select("cohort").distinct().crossJoin(F.broadcast(calendar))
+    dense = grid.join(sparse, ["cohort", "day"], "left")
+    w = Window.partitionBy("cohort").orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dense.select(
+        "cohort",
+        "day",
+        (F.col("__obs").isNotNull()).alias("observed"),
+        F.last("__obs", ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
 def q_b15_concurrency(spark, sf_dir):
     """Peak concurrent sessions per day (B15 depth, r7) — the classic
     sweep-line / interval-stabbing aggregate (capacity planning, rate
@@ -5547,6 +5647,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
+        "b15_forward_fill": q_b15_forward_fill,
+        "b30_assoc_rules": q_b30_assoc_rules,
     }
 
 
@@ -8209,6 +8311,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b30_assoc_rules": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT *, CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            ),
+            sessioned AS (
+              SELECT user_id, event_type,
+                     sum(newf) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       + 1 AS session_id
+              FROM marked
+            ),
+            items AS (
+              SELECT DISTINCT user_id, session_id, event_type AS item
+              FROM sessioned
+            ),
+            nb AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT DISTINCT user_id, session_id FROM items)
+            ),
+            supp AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS s
+              FROM items GROUP BY item
+            ),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM items a JOIN items b
+                ON a.user_id = b.user_id AND a.session_id = b.session_id
+              WHERE a.item < b.item
+              GROUP BY a.item, b.item
+            )
+            SELECT item_a, item_b, n_ab,
+                   sa.s AS n_a, sb.s AS n_b,
+                   round(n_ab / CAST(sa.s AS DOUBLE), 6) AS conf_a_to_b,
+                   round(n_ab / CAST(sb.s AS DOUBLE), 6) AS conf_b_to_a,
+                   round(nb.n * n_ab / CAST(sa.s * sb.s AS DOUBLE), 6)
+                     AS lift
+            FROM pairs
+            JOIN supp sa ON sa.item = pairs.item_a
+            JOIN supp sb ON sb.item = pairs.item_b
+            CROSS JOIN nb
+        """,
+        "b15_forward_fill": """
+            WITH ev AS (
+              SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+                     value, event_type
+              FROM events
+            ),
+            sparse AS (
+              SELECT cohort, day,
+                     round(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                                AS DOUBLE)
+                           / (count(*) * 100.0), 6) AS obs
+              FROM ev WHERE event_type = 'purchase'
+              GROUP BY cohort, day
+            ),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+            calendar AS (
+              SELECT CAST(unnest(generate_series(lo, hi,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS day
+              FROM bounds
+            ),
+            grid AS (
+              SELECT c.cohort, cal.day
+              FROM (SELECT DISTINCT cohort FROM ev) c
+              CROSS JOIN calendar cal
+            ),
+            dense AS (
+              SELECT g.cohort, g.day, s.obs
+              FROM grid g LEFT JOIN sparse s
+                ON s.cohort = g.cohort AND s.day = g.day
+            )
+            SELECT cohort, day,
+                   obs IS NOT NULL AS observed,
+                   last_value(obs IGNORE NULLS) OVER (
+                     PARTITION BY cohort ORDER BY day ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value_filled
+            FROM dense
         """,
         "b15_concurrency": """
             WITH base AS (
