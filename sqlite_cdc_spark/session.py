@@ -36,11 +36,14 @@ def get_spark(
         # AQE's default 1 MB coalesce floor squeezes hash-heavy but
         # byte-small stages (minhash/md5 pipelines) to a handful of
         # tasks on a 32-core box — CPU-bound rows deserve parallelism
-        # even when bytes are tiny. 128k keeps such stages at full
-        # width; partition count still never exceeds the parallelism
-        # target, so big shuffles are unaffected (measured r7:
-        # b10_bootstrap -28%, b19_minhash_candidates -20%).
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
+        # even when bytes are tiny. Swept 1m/512k/256k/128k on the
+        # seven most shuffle-sensitive headline queries (r7): 512k is
+        # the optimum — hash-heavy lines speed up (bootstrap, minhash,
+        # pmi) without the iterative-join task-overhead regression the
+        # 128k floor caused on pagerank. Partition count still never
+        # exceeds the parallelism target, so big shuffles are
+        # unaffected.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "512k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
