@@ -65,10 +65,14 @@ HEADLINE = [
     "b7_bloom_join",           # Bloom semi-join reduction (B7 depth)
     "b30_bpe_encode",          # codegen BPE tokenizer application (B30)
     "b10_bootstrap",           # one-pass Poisson bootstrap CI (B10 depth)
-    # r7 additions — one line per new heavy family
+    # r7 additions — one line per new family. b24_dedup_manifest is NOT
+    # here: its cost is ~entirely the prefix-filter join the
+    # b19_prefix_filter line already measures (a second line would
+    # double-count the same kernel in the total).
     "b22_image_resize",        # genuine PPM decode + numpy NN resize (B22)
     "b29_semantic_decontam",   # embedding-space benchmark screen (B29/B20)
-    "b24_dedup_manifest",      # row-level keep/drop dedup decisions (B24)
+    "b15_concurrency",         # sweep-line peak concurrency (B15)
+    "b30_assoc_rules",         # session-basket support/confidence/lift (B30)
 ]
 
 
