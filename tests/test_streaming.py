@@ -895,3 +895,52 @@ def test_streaming_incremental_decontam_equals_batch(spark, tmp_path):
     by_id = dict((d, (n, c)) for d, n, c in got)
     assert by_id[2][1] is True and by_id[3][1] is True  # planted overlaps
     assert by_id[1][1] is False and by_id[4][1] is False
+
+
+def test_incremental_clusters_from_parquet_state(spark, tmp_path):
+    # the REAL-SCALE incremental flow: standing labels + LSH index live
+    # as parquet between batches (not as live plans); update_clusters is
+    # told so (materialize_labels=False — no redundant checkpoint copy)
+    # and the merged result must still equal the from-scratch recompute
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import dedup
+
+    K = dict(num_hashes=32, bands=8)
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+        for i in range(30)
+    ]
+    twins = [
+        (100 + i, f"alpha beta gamma delta epsilon zeta eta theta doc {i} x")
+        for i in range(0, 30, 5)
+    ]
+    docs = spark.createDataFrame(base + twins, "doc_id long, text string")
+    pairs1 = dedup.minhash_candidates(docs, "doc_id", "text", **K)
+    labels_path = str(tmp_path / "labels")
+    index_path = str(tmp_path / "index")
+    dedup.dup_clusters(pairs1).write.parquet(labels_path)
+    dedup.build_lsh_index(docs, "doc_id", "text", **K).write.parquet(index_path)
+
+    batch = spark.createDataFrame(
+        [(200 + i, f"alpha beta gamma delta epsilon zeta eta theta doc {i} y")
+         for i in range(0, 30, 10)],
+        "doc_id long, text string",
+    )
+    standing_index = spark.read.parquet(index_path)
+    standing_labels = spark.read.parquet(labels_path)
+    hits = dedup.query_lsh_index(standing_index, batch, "doc_id", "text", **K)
+    merged = dedup.update_clusters(
+        standing_labels, hits, "new_id", "corpus_id",
+        materialize_labels=False,
+    )
+    scratch = dedup.dup_clusters(
+        dedup.minhash_candidates(
+            docs.unionByName(batch), "doc_id", "text", **K
+        )
+    )
+    got = sorted((r.doc_id, r.cluster_id, r.cluster_size) for r in merged.collect())
+    want = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size) for r in scratch.collect()
+    )
+    assert got == want
