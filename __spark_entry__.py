@@ -3578,6 +3578,60 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b21_quantile_norm(spark, sf_dir):
+    """Cross-source quantile normalization (B21/B28 depth, r7): map each
+    document's length onto the GLOBAL length distribution via its
+    within-source percentile — the calibration step that makes
+    heterogeneous sources comparable before any shared threshold (a
+    "long" doc from a short-form source and a "long" doc from a
+    long-form source land on the same normalized scale). Bucket index
+    is PURE INTEGER arithmetic ``((rank−1)·100) div (n−1)`` — a float
+    percent_rank times 100 can floor-flip at exact hundredths — and
+    the 101 global quantile edges come from one exact-percentile
+    aggregate, broadcast. Per-source window is the only corpus
+    shuffle."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("__n") > 1,
+            F.expr("CAST(((__r - 1) * 100) DIV (__n - 1) AS INT)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("pct_idx"),
+    )
+    ps = ", ".join(f"{i / 100.0!r}D" for i in range(101))
+    edges = docs.agg(
+        F.expr(f"percentile(n_chars, array({ps}))").alias("__edges")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(edges))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "pct_idx",
+            F.round(
+                F.element_at(F.col("__edges"), F.col("pct_idx") + 1), 6
+            ).alias("normalized"),
+        )
+    )
+
+
 def q_b30_assoc_rules(spark, sf_dir):
     """Session-basket association rules (B30 depth, r7): support,
     confidence (both directions) and lift for every unordered pair of
@@ -5649,6 +5703,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_concurrency": q_b15_concurrency,
         "b15_forward_fill": q_b15_forward_fill,
         "b30_assoc_rules": q_b30_assoc_rules,
+        "b21_quantile_norm": q_b21_quantile_norm,
     }
 
 
@@ -8311,6 +8366,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b21_quantile_norm": f"""
+            WITH ranked AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars ASC, doc_id ASC) AS r,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, source, n_chars,
+                     CASE WHEN n > 1
+                          THEN CAST(((r - 1) * 100) // (n - 1) AS INTEGER)
+                          ELSE 0 END AS pct_idx
+              FROM ranked
+            ),
+            edges AS (
+              SELECT quantile_cont(n_chars,
+                [{', '.join(repr(i / 100.0) for i in range(101))}]) AS e
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars, pct_idx,
+                   round(e[pct_idx + 1], 6) AS normalized
+            FROM idx CROSS JOIN edges
         """,
         "b30_assoc_rules": """
             WITH base AS (
