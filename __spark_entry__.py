@@ -3578,6 +3578,64 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b11_lag_features(spark, sf_dir):
+    """Windowed feature engineering (B11 depth, r7): the lag/rolling
+    block every per-entity training table starts with — previous two
+    purchase values and the trailing 3-event mean per user, in one
+    window pass (all four features share a single (user, time) sort).
+    Values quantized to integer cents BEFORE any arithmetic; the
+    rolling mean divides two integers, rounded 6."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("__cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    roll = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "__cents",
+        F.lag("__cents", 1).over(w).alias("lag1_cents"),
+        F.lag("__cents", 2).over(w).alias("lag2_cents"),
+        F.round(
+            F.sum("__cents").over(roll)
+            / (F.count(F.lit(1)).over(roll) * F.lit(100.0)),
+            6,
+        ).alias("rolling3_mean"),
+    ).withColumnRenamed("__cents", "cents")
+
+
+def q_b3_freshness(spark, sf_dir):
+    """Feed-freshness audit (B3 monitoring depth, r7): per event type,
+    how far its newest event lags the newest event overall — the
+    staleness alarm a CDC consumer fires when one producer stops
+    (b3_op_drift catches SHARE shifts; this catches SILENCE). The
+    global high-water mark is a 1-row broadcast; integer seconds."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.max("__sec").alias("__latest"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    hw = ev.agg(F.max("__sec").alias("__hw"))
+    return per.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "n_events",
+        (F.col("__hw") - F.col("__latest")).cast("long").alias("lag_seconds"),
+    )
+
+
 def q_b21_quantile_norm(spark, sf_dir):
     """Cross-source quantile normalization (B21/B28 depth, r7): map each
     document's length onto the GLOBAL length distribution via its
@@ -5704,6 +5762,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_forward_fill": q_b15_forward_fill,
         "b30_assoc_rules": q_b30_assoc_rules,
         "b21_quantile_norm": q_b21_quantile_norm,
+        "b11_lag_features": q_b11_lag_features,
+        "b3_freshness": q_b3_freshness,
     }
 
 
@@ -8366,6 +8426,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b11_lag_features": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT event_id, user_id, cents,
+                   lag(cents, 1) OVER w AS lag1_cents,
+                   lag(cents, 2) OVER w AS lag2_cents,
+                   round(CAST(sum(cents) OVER r AS DOUBLE)
+                         / (count(*) OVER r * 100.0), 6) AS rolling3_mean
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   r AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "b3_freshness": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            per AS (
+              SELECT event_type, max(sec) AS latest,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM ev GROUP BY event_type
+            ),
+            hw AS (SELECT max(sec) AS h FROM ev)
+            SELECT event_type, n_events,
+                   CAST(h - latest AS BIGINT) AS lag_seconds
+            FROM per CROSS JOIN hw
         """,
         "b21_quantile_norm": f"""
             WITH ranked AS (
