@@ -3578,6 +3578,23 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b22_audio_stats(spark, sf_dir):
+    """GENUINE audio decode + waveform screening (B22 audio depth, r7 —
+    the audio twin of the image rows): each doc synthesizes a
+    deterministic s16le PCM waveform as REAL bytes (multimodal.
+    synth_pcm), then the payload is parsed back sample-by-sample and
+    screened — sample count, Σ|x|, max|x|, zero-crossing count (the
+    voiced/unvoiced proxy), integer energy Σx² (multimodal.
+    audio_stats). Pure integers; the oracle replays the synthesis and
+    every statistic in closed form, so the driver row certifies the
+    byte-level decode path."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.audio_stats(multimodal.synth_pcm(docs))
+    return out.select(
+        "doc_id", "n_samples", "sum_abs", "max_abs", "zero_crossings", "energy"
+    )
+
+
 def q_b11_lag_features(spark, sf_dir):
     """Windowed feature engineering (B11 depth, r7): the lag/rolling
     block every per-entity training table starts with — previous two
@@ -5764,6 +5781,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_quantile_norm": q_b21_quantile_norm,
         "b11_lag_features": q_b11_lag_features,
         "b3_freshness": q_b3_freshness,
+        "b22_audio_stats": q_b22_audio_stats,
     }
 
 
@@ -8426,6 +8444,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b22_audio_stats": """
+            -- closed-form replay of synth_pcm + audio_stats: sample i is
+            -- (id*7 + i*13) % 4096 - 2048 over n = 800 + (id%5)*160
+            -- samples; a zero crossing is a sign-bit flip (x<0 vs x>=0)
+            WITH px AS (
+              SELECT doc_id,
+                     800 + (doc_id % 5) * 160 AS n
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n, i,
+                     (doc_id * 7 + i * 13) % 4096 - 2048 AS val,
+                     CASE WHEN i >= 1
+                          THEN (doc_id * 7 + (i - 1) * 13) % 4096 - 2048
+                     END AS prev
+              FROM px, generate_series(0, 1439) g(i)
+              WHERE i < n
+            )
+            SELECT doc_id,
+                   CAST(min(n) AS BIGINT) AS n_samples,
+                   CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(val)) AS BIGINT) AS max_abs,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                 AND ((val < 0) <> (prev < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings,
+                   CAST(sum(val * val) AS BIGINT) AS energy
+            FROM v GROUP BY doc_id
         """,
         "b11_lag_features": """
             WITH ev AS (

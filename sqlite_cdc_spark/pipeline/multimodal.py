@@ -566,6 +566,116 @@ def image_stats(
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
+def synth_pcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic 16-bit little-endian PCM waveform per
+    row as REAL audio bytes — the audio twin of :func:`synth_ppm`.
+    Sample count and values are pure integer functions of the id so an
+    independent engine can replay downstream statistics:
+
+    - ``n_samples = 800 + (id % 5) * 160``  (50–90 ms at 16 kHz)
+    - sample ``i`` = ``((id*7 + i*13) % 4096) - 2048``  (int16 range)
+
+    Output: the input plus ``payload`` (binary PCM, s16le).
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType(), False)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                n = 800 + (did % 5) * 160
+                samples = (
+                    (did * 7 + np.arange(n, dtype=np.int64) * 13) % 4096 - 2048
+                ).astype("<i2")
+                out.append(samples.tobytes())
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+#: output of audio_stats: decode-derived integer waveform statistics
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("max_abs", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """GENUINE audio decode + waveform statistics: payload bytes parsed
+    as 16-bit little-endian PCM (numpy frombuffer — no codec library,
+    no stub), then the screening stats an audio corpus runs before any
+    model step: sample count, mean-amplitude ingredients (sum/max of
+    |x|), zero-crossing count (the classic voiced/unvoiced proxy — a
+    crossing is a sign-bit flip, x<0 vs x≥0), and integer energy
+    Σx². Pure integers end-to-end — bit-exact on any engine. Odd-length
+    payloads are corrupt (s16le frames are 2 bytes) → ``decode_ok
+    false``, never a task failure. Arrow-batched ``mapInPandas``,
+    narrow, scan-shaped."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
+            for did, buf in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                rows["doc_id"].append(int(did))
+                b = bytes(buf)
+                if len(b) % 2 != 0 or len(b) == 0:
+                    for k in ("n_samples", "sum_abs", "max_abs",
+                              "zero_crossings", "energy"):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+                    continue
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                neg = x < 0
+                rows["n_samples"].append(int(x.size))
+                rows["sum_abs"].append(int(np.abs(x).sum()))
+                rows["max_abs"].append(int(np.abs(x).max()))
+                rows["zero_crossings"].append(
+                    int((neg[1:] != neg[:-1]).sum())
+                )
+                rows["energy"].append(int((x * x).sum()))
+                rows["decode_ok"].append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
+                    "sum_abs": pd.array(rows["sum_abs"], dtype="Int64"),
+                    "max_abs": pd.array(rows["max_abs"], dtype="Int64"),
+                    "zero_crossings": pd.array(
+                        rows["zero_crossings"], dtype="Int64"
+                    ),
+                    "energy": pd.array(rows["energy"], dtype="Int64"),
+                    "decode_ok": rows["decode_ok"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def audio_chunk_plan(
     df: DataFrame,
     chunk_seconds: float = 5.0,

@@ -313,6 +313,26 @@ def test_image_stats_integer_exact(spark):
     assert r.decode_ok is True
 
 
+def test_audio_stats_exact_and_corrupt_safe(spark):
+    # r7: genuine s16le decode — known 4-sample waveform replays exactly;
+    # an odd-length payload is corrupt (torn 2-byte frame) -> row-level
+    # miss, never a task failure
+    import struct
+
+    wave = [100, -50, 0, -1]  # crossings: 100->-50, -50->0, 0->-1 = 3
+    pcm = struct.pack("<4h", *wave)
+    df = spark.createDataFrame(
+        [(1, pcm), (2, pcm + b"\x00")], ["doc_id", "payload"]
+    )
+    rows = {r.doc_id: r for r in multimodal.audio_stats(df).collect()}
+    r = rows[1]
+    assert (r.n_samples, r.sum_abs, r.max_abs) == (4, 151, 100)
+    assert r.zero_crossings == 3
+    assert r.energy == 100**2 + 50**2 + 0 + 1
+    assert r.decode_ok is True
+    assert rows[2].decode_ok is False and rows[2].energy is None
+
+
 def test_synth_ppm_resize_matches_closed_form(spark):
     # the synthetic fixture's pixels are a pure id function, so the
     # decode+resize channel sums must equal the replayed arithmetic
