@@ -3578,6 +3578,20 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b22_frame_extract(spark, sf_dir):
+    """GENUINE video-style frame extraction (B22 depth, r7 — completes
+    the multimodal triad beside the image and audio rows): each doc
+    synthesizes a multi-frame container (2 + id%3 concatenated binary
+    PPM frames, multimodal.synth_ppm_stream), and the REAL sequential
+    demux walk (header parse + length accounting per frame,
+    multimodal.extract_frames) emits one row per frame with dims and
+    integer pixel sum. Closed-form oracle replays container layout and
+    every frame statistic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.extract_frames(multimodal.synth_ppm_stream(docs))
+    return out.select("doc_id", "frame_idx", "width", "height", "frame_sum")
+
+
 def q_b22_audio_stats(spark, sf_dir):
     """GENUINE audio decode + waveform screening (B22 audio depth, r7 —
     the audio twin of the image rows): each doc synthesizes a
@@ -5782,6 +5796,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_lag_features": q_b11_lag_features,
         "b3_freshness": q_b3_freshness,
         "b22_audio_stats": q_b22_audio_stats,
+        "b22_frame_extract": q_b22_frame_extract,
     }
 
 
@@ -8444,6 +8459,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b22_frame_extract": """
+            -- closed-form replay of synth_ppm_stream + extract_frames:
+            -- doc id has 2 + id%3 frames; frame f is (3+f) x 2 with
+            -- raster byte i = (id*31 + f*97 + i) % 256
+            WITH fr AS (
+              SELECT doc_id, f,
+                     CAST(3 + f AS INTEGER) AS width,
+                     CAST(2 AS INTEGER) AS height
+              FROM documents, generate_series(0, 4) g(f)
+              WHERE f < 2 + doc_id % 3
+            ),
+            px AS (
+              SELECT doc_id, f, width, height,
+                     (doc_id * 31 + f * 97 + i) % 256 AS val
+              FROM fr, generate_series(0, 41) gi(i)
+              WHERE i < width * height * 3
+            )
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   width, height,
+                   CAST(sum(val) AS BIGINT) AS frame_sum
+            FROM px GROUP BY doc_id, f, width, height
         """,
         "b22_audio_stats": """
             -- closed-form replay of synth_pcm + audio_stats: sample i is

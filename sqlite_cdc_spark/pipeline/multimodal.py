@@ -676,6 +676,131 @@ def audio_stats(
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
+def synth_ppm_stream(
+    df: DataFrame, id_col: str = "doc_id", n_frames_mod: int = 3
+) -> DataFrame:
+    """Synthesize a deterministic MULTI-FRAME image stream per row —
+    ``2 + id % n_frames_mod`` concatenated binary PPM frames (the
+    MJPEG-style container shape: frames back-to-back, each
+    self-describing). Frame ``f`` of doc ``id`` is a ``(3+f) × 2``
+    image whose raster byte ``i`` is ``(id*31 + f*97 + i) % 256`` —
+    closed-form replayable. Output: input + ``payload`` binary."""
+    import pandas as pd
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType(), False)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col].astype("int64"):
+                did = int(did)
+                buf = b""
+                for f in range(2 + did % n_frames_mod):
+                    w, h = 3 + f, 2
+                    raster = (
+                        (did * 31 + f * 97 + np.arange(w * h * 3, dtype=np.int64))
+                        % 256
+                    ).astype(np.uint8)
+                    buf += b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+                out.append(buf)
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+#: output of extract_frames: one row per decoded frame
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_sum", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def extract_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """GENUINE video-style frame extraction: walk a multi-frame payload
+    (concatenated self-describing PPM frames), decode each header +
+    raster in sequence, emit one row per ``every_n``-th frame with its
+    dimensions and integer pixel sum — the fan-out shape a
+    frame-sampling pipeline runs before any per-frame model, with the
+    container parse REAL (sequential header-length accounting, the same
+    loop an MJPEG/IVF demuxer runs). A corrupt tail stops the walk with
+    the frames already decoded kept, plus one ``decode_ok=false``
+    marker row. Arrow-batched ``mapInPandas``; output rows ∝ frames."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+
+            def emit(did, fi, w, h, s, ok):
+                rows["doc_id"].append(did)
+                rows["frame_idx"].append(fi)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["frame_sum"].append(s)
+                rows["decode_ok"].append(ok)
+
+            for did, buf in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                did = int(did)
+                b = bytes(buf)
+                pos, fi = 0, 0
+                while pos < len(b):
+                    try:
+                        w, h, px = _parse_ppm(b[pos:])
+                    except ValueError:
+                        emit(did, None, None, None, None, False)
+                        break
+                    if fi % every_n == 0:
+                        emit(
+                            did, fi, w, h,
+                            int(px.sum(dtype=np.int64)), True,
+                        )
+                    # advance past this frame: header re-measured the
+                    # same way the parser consumed it
+                    hdr_end = pos + 2
+                    seen = 0
+                    while seen < 3:
+                        while b[hdr_end : hdr_end + 1].isspace():
+                            hdr_end += 1
+                        while not b[hdr_end : hdr_end + 1].isspace():
+                            hdr_end += 1
+                        seen += 1
+                    pos = hdr_end + 1 + w * h * 3
+                    fi += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.array(rows["frame_idx"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "frame_sum": pd.array(rows["frame_sum"], dtype="Int64"),
+                    "decode_ok": rows["decode_ok"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
 def audio_chunk_plan(
     df: DataFrame,
     chunk_seconds: float = 5.0,

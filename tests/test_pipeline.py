@@ -313,6 +313,32 @@ def test_image_stats_integer_exact(spark):
     assert r.decode_ok is True
 
 
+def test_extract_frames_demux_walk_and_corrupt_tail(spark):
+    # two valid frames then garbage: both frames decode, the walk stops
+    # with one decode_ok=false marker; every_n=2 keeps frames 0, 2, ...
+    f0 = _ppm_bytes(2, 2, range(12))
+    f1 = _ppm_bytes(3, 2, range(18))
+    df = spark.createDataFrame(
+        [(1, f0 + f1), (2, f0 + f1 + b"JUNK")], ["doc_id", "payload"]
+    )
+    rows = sorted(
+        multimodal.extract_frames(df).collect(),
+        key=lambda r: (r.doc_id, r.frame_idx if r.frame_idx is not None else 99),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [(r.frame_idx, r.width, r.height) for r in d1] == [(0, 2, 2), (1, 3, 2)]
+    assert d1[0].frame_sum == sum(range(12))
+    assert d1[1].frame_sum == sum(range(18))
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.frame_idx, r.decode_ok) for r in d2] == [
+        (0, True), (1, True), (None, False)
+    ]
+    sampled = multimodal.extract_frames(
+        df.filter("doc_id = 1"), every_n=2
+    ).collect()
+    assert [r.frame_idx for r in sampled] == [0]
+
+
 def test_audio_stats_exact_and_corrupt_safe(spark):
     # r7: genuine s16le decode — known 4-sample waveform replays exactly;
     # an odd-length payload is corrupt (torn 2-byte frame) -> row-level
