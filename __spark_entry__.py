@@ -3578,6 +3578,52 @@ def q_b29_incremental_decontam(spark, sf_dir):
     return decontam.ngram_contamination(batch, None, grams=standing)
 
 
+def q_b26_interleave(spark, sf_dir):
+    """Deterministic round-robin source interleaving (B26/B28 depth,
+    r7): assign every doc a GLOBAL training position such that sources
+    alternate — the data-ordering control that stops a shard-sequential
+    reader from seeing one source for an hour (ordering bias is a real
+    training pathology). Zero global sort: each doc's position is pure
+    arithmetic ``(rank_within_source − 1) · |S| + source_index`` from
+    its per-source hash-priority rank (one keyed window) and a
+    |sources|-row broadcast index. Writing the corpus
+    ``repartitionByRange(pos)`` then realizes the order physically
+    (storage.py). Integer-exact."""
+    from pyspark.sql import Window
+
+    from sqlite_cdc_spark.pipeline.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("source").asc())
+                )
+                - 1
+            ).alias("__six"),
+        )
+    )
+    n_src = srcs.agg(F.count(F.lit(1)).alias("__ns"))
+    pri = hash_bucket("doc_id", 1 << 32)
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("__r") - 1) * F.col("__ns") + F.col("__six"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+
+
 def q_b22_frame_extract(spark, sf_dir):
     """GENUINE video-style frame extraction (B22 depth, r7 — completes
     the multimodal triad beside the image and audio rows): each doc
@@ -5797,6 +5843,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_freshness": q_b3_freshness,
         "b22_audio_stats": q_b22_audio_stats,
         "b22_frame_extract": q_b22_frame_extract,
+        "b26_interleave": q_b26_interleave,
     }
 
 
@@ -8459,6 +8506,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "b26_interleave": f"""
+            WITH srcs AS (
+              SELECT source,
+                     row_number() OVER (ORDER BY source ASC) - 1 AS six
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM srcs),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {sampling.bucket_sql('doc_id', 1 << 32)} ASC,
+                                doc_id ASC) AS r
+              FROM documents
+            )
+            SELECT doc_id, ranked.source,
+                   CAST((r - 1) * ns.n + srcs.six AS BIGINT) AS pos
+            FROM ranked
+            JOIN srcs ON srcs.source = ranked.source
+            CROSS JOIN ns
         """,
         "b22_frame_extract": """
             -- closed-form replay of synth_ppm_stream + extract_frames:
