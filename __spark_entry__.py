@@ -1862,8 +1862,12 @@ def q_b7_skew_diagnosis(spark, sf_dir):
     fact side with each key's share of the table and the top-key /
     mean-key ratio — the measurement that decides whether `salted_join`
     (derive.py) or AQE skew-split is needed BEFORE the join runs. One
-    partial+final agg; scalars broadcast; top-20 by count with key
-    tie-break."""
+    partial+final agg; scalars broadcast; top-20 via distributed
+    ``orderBy().limit(20)`` (TakeOrderedAndProject — each task keeps a
+    20-row heap, the driver merges), THEN ``row_number`` over only the
+    20 survivors. Never a global WindowExec over the full key space —
+    that would sort every distinct join key on one task, precisely in
+    the query whose job is to diagnose skew (VERDICT r7 item 2)."""
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1885,8 +1889,9 @@ def q_b7_skew_diagnosis(spark, sf_dir):
                 "skew_ratio"
             ),
         )
+        .orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
+        .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
     )
 
 
@@ -3016,12 +3021,17 @@ def q_b7_shipping_priority(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # top-10 via distributed orderBy().limit(10) (TakeOrderedAndProject),
+    # then rank only the 10 survivors — the per-order revenue relation is
+    # |qualifying orders|, far too large for a global WindowExec sort on
+    # one task (VERDICT r7 item 2).
     w = Window.orderBy(
         F.col("revenue").desc(), F.col("l_orderkey").asc()
     )
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),

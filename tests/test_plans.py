@@ -418,3 +418,56 @@ def test_semantic_decontam_broadcasts_only_benchmark(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+#: Queries whose unpartitioned (global) windows are audited as running
+#: over deliberately CONTRACTED relations — bounded not by a limit node
+#: but by the algebra upstream. Every entry must name its bound:
+_GLOBAL_WINDOW_BOUNDED_OK = {
+    # cumulative rank-edge window over the distinct-value histogram
+    # (bounded by value cardinality; derive.psi_drift documents the
+    # approx_percentile swap when cardinality itself is unbounded) +
+    # the B-row bucket relation
+    "b3_psi",
+    "b10_woe_iv",
+    # ntile over the per-user aggregate — |users|, contracted from the
+    # raw stream (derive.rfm_segments)
+    "b15_rfm",
+    # cumulative windows over the |days|-row daily relation
+    "b3_changepoint",
+    "b15_concurrency",
+    # prefix_sum phase 2: the per-bucket offsets relation (n/4096
+    # rows; sampling.prefix_sum documents the contraction)
+    "b28_packing",
+    "b28_curriculum",
+    "b24_corpus_v3",
+    # share-of-total over the |nations|-row aggregate
+    "b10_share_of_total",
+    # running sum over the 10-row decile relation
+    "b21_heaps_curve",
+    # row_number over the |sources|-row distinct relation
+    "b26_interleave",
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """VERDICT r7 item 2 — pin the CLASS, not just the two instances
+    (b7_skew_diagnosis / b7_shipping_priority): an unpartitioned
+    WindowExec serializes its whole input through ONE task, so every
+    such node in every registered query must sit above a limit
+    (TakeOrderedAndProject / GlobalLimit / CollectLimit bounds its
+    input to k rows) or belong to a query on the audited
+    _GLOBAL_WINDOW_BOUNDED_OK list, where the bound is algebraic and
+    documented."""
+    import __spark_entry__ as se
+    from tools.scan_windows import unpartitioned_windows
+
+    bad = []
+    for name, fn in se.queries().items():
+        if name in _GLOBAL_WINDOW_BOUNDED_OK:
+            continue
+        df = fn(spark, sf_dir)
+        for _node, bounded in unpartitioned_windows(df):
+            if not bounded:
+                bad.append(name)
+    assert not bad, f"unpartitioned WindowExec over unbounded input: {sorted(set(bad))}"
