@@ -2670,10 +2670,12 @@ def q_b23_grouped_agg_udf(spark, sf_dir):
 
 
 def q_b23_udf_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction. The stub decode is
-    imperative Python, but it's pure byte arithmetic — so the DuckDB
-    oracle replays it from hex(encode(text)) and the mapInPandas plumbing
-    itself gets a bit-exact correctness row."""
+    """Arrow-batched mapInPandas feature extraction. The byte-fold
+    feature is imperative Python but pure byte arithmetic — so the
+    DuckDB oracle replays it from hex(encode(text)) and the mapInPandas
+    plumbing itself gets a bit-exact correctness row (genuine codecs
+    are exercised by b22_image_resize / b22_audio_stats /
+    b22_frame_extract)."""
     docs = _t(spark, sf_dir, "documents")
     packed = multimodal.pack_binary(
         docs.select("doc_id", "text"), multimodal.text_as_payload("text"), "text/plain"

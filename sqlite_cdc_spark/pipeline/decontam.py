@@ -50,6 +50,8 @@ def ngram_contamination(
     batch, never re-shingling the benchmark. When given, ``benchmark``
     is ignored.
     """
+    if grams is None and benchmark is None:
+        raise ValueError("provide either benchmark or grams")
     bench_grams = (
         grams
         if grams is not None

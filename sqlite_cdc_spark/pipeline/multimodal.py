@@ -10,11 +10,13 @@ Image decoding is REAL with zero codec dependencies: binary PPM (P6)
 and uncompressed 24-bit BMP are parsed byte-for-byte in pure
 Python+numpy (:func:`_parse_ppm` / :func:`_parse_bmp`), and
 :func:`image_resize` runs a genuine nearest-neighbor resample over the
-decoded raster. Pillow, when installed, widens :func:`decode_image` to
-every format it knows. Only exotic codecs (JPEG/video/audio) remain
-byte-plumbing-only: ``_fake_decode`` derives deterministic features
-from payload bytes, with batch shapes/schemas/partitioning
-production-real.
+decoded raster; :func:`decode_audio` parses PCM s16le waveforms;
+:func:`extract_frames` demuxes multi-frame containers. Pillow, when
+installed, widens :func:`decode_image` to every format it knows.
+:func:`extract_features` is codec-free by design: its ``_byte_fold``
+feature is pure byte arithmetic, so an independent SQL engine can
+replay it bit-exactly — it is the oracled correctness row for the
+Arrow-batched ``mapInPandas`` plumbing itself.
 """
 
 from __future__ import annotations
@@ -100,9 +102,10 @@ def base64_roundtrip(payload: Column | str) -> Column:
     return F.unbase64(F.base64(c))
 
 
-def _fake_decode(buf: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a media decoder: fold payload bytes into
-    ``dim`` byte-histogram-ish floats. Replace with a real codec call."""
+def _byte_fold(buf: bytes, dim: int = 8) -> list[float]:
+    """Fold payload bytes into ``dim`` byte-histogram floats — pure
+    byte arithmetic so a SQL oracle can replay it bit-exactly (the
+    point: it makes the mapInPandas plumbing itself oracleable)."""
     acc = [0] * dim
     for i, b in enumerate(buf):
         acc[i % dim] = (acc[i % dim] + b) % 997
@@ -113,8 +116,12 @@ def extract_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", dim: int = 8
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    ``mapInPandas`` — the real multimodal plumbing (partition-parallel,
-    batched, schema-checked); only the per-payload decode is a stub.
+    ``mapInPandas`` (partition-parallel, batched, schema-checked). The
+    per-payload feature is :func:`_byte_fold` — deliberately codec-free
+    byte arithmetic so the whole path is bit-exact replayable by an
+    independent engine (see ``q_b23_udf_features``); genuine decoders
+    live in :func:`image_resize` / :func:`decode_audio` /
+    :func:`extract_frames`.
     """
     import pandas as pd
 
@@ -124,7 +131,7 @@ def extract_features(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                    "feature": pdf[payload_col].map(lambda b: _fake_decode(bytes(b), dim)),
+                    "feature": pdf[payload_col].map(lambda b: _byte_fold(bytes(b), dim)),
                 }
             )
 
@@ -144,11 +151,11 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
-def _parse_ppm(buf: bytes):
-    """Decode a binary PPM (P6) image with the stdlib alone: parse the
-    whitespace/comment-tolerant header, then view the raster as an
-    (h, w, 3) uint8 numpy array. Raises ValueError on malformed input.
-    """
+def _parse_ppm_sized(buf: bytes):
+    """:func:`_parse_ppm` plus the number of bytes consumed (header +
+    raster) — the advance a container walk must use so that a legal
+    '#'-comment-bearing header can never desync the frame cursor (the
+    parser itself is the only authority on header length)."""
     import numpy as np
 
     if buf[:2] != b"P6":
@@ -177,7 +184,17 @@ def _parse_ppm(buf: bytes):
     raster = buf[i : i + w * h * 3]
     if len(raster) != w * h * 3:
         raise ValueError("truncated PPM raster")
-    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return w, h, arr, i + w * h * 3
+
+
+def _parse_ppm(buf: bytes):
+    """Decode a binary PPM (P6) image with the stdlib alone: parse the
+    whitespace/comment-tolerant header, then view the raster as an
+    (h, w, 3) uint8 numpy array. Raises ValueError on malformed input.
+    """
+    w, h, arr, _ = _parse_ppm_sized(buf)
+    return w, h, arr
 
 
 def _parse_bmp(buf: bytes):
@@ -286,69 +303,6 @@ def decode_image(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_META_SCHEMA)
-
-
-def frame_sample_plan(
-    df: DataFrame, every_n_bytes: int = 1024, payload_col: str = "payload"
-) -> DataFrame:
-    """'Frame sampling' over an opaque payload: byte offsets every
-    ``every_n_bytes`` — the partition/explode shape of video frame
-    sampling with the codec stubbed to byte slices."""
-    n = F.octet_length(F.col(payload_col))
-    offsets = F.sequence(
-        F.lit(0), F.greatest((n / every_n_bytes).cast("int") - 1, F.lit(0))
-    )
-    return df.select(
-        "*",
-        F.explode(
-            F.transform(offsets, lambda i: i * every_n_bytes)
-        ).alias("frame_offset"),
-    )
-
-
-def resize_stub(
-    df: DataFrame,
-    target_w: int = 64,
-    target_h: int = 64,
-    payload_col: str = "payload",
-) -> DataFrame:
-    """'Resize' images to target_w×target_h — codec STUBBED (deterministic
-    byte subsample sized w·h); the Spark-side contract is real: Arrow-
-    batched mapInPandas, output schema carries the new dims in metadata,
-    payload stays ``binary``. Swap the body for PIL's ``Image.resize`` and
-    nothing outside the closure changes.
-    """
-    import pandas as pd
-
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("payload", T.BinaryType()),
-            T.StructField("width", T.IntegerType()),
-            T.StructField("height", T.IntegerType()),
-        ]
-    )
-    n_out = target_w * target_h
-
-    def batches(it):
-        for pdf in it:
-            resized = []
-            for buf in pdf["payload"]:
-                b = bytes(buf)
-                # deterministic fake: evenly-strided byte subsample, padded
-                stride = max(1, len(b) // n_out)
-                rb = b[::stride][:n_out].ljust(n_out, b"\0")
-                resized.append(rb)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": resized,
-                    "width": target_w,
-                    "height": target_h,
-                }
-            )
-
-    return df.select("doc_id", payload_col).mapInPandas(batches, out_schema)
 
 
 def synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -766,7 +720,7 @@ def extract_frames(
                 pos, fi = 0, 0
                 while pos < len(b):
                     try:
-                        w, h, px = _parse_ppm(b[pos:])
+                        w, h, px, consumed = _parse_ppm_sized(b[pos:])
                     except ValueError:
                         emit(did, None, None, None, None, False)
                         break
@@ -775,17 +729,10 @@ def extract_frames(
                             did, fi, w, h,
                             int(px.sum(dtype=np.int64)), True,
                         )
-                    # advance past this frame: header re-measured the
-                    # same way the parser consumed it
-                    hdr_end = pos + 2
-                    seen = 0
-                    while seen < 3:
-                        while b[hdr_end : hdr_end + 1].isspace():
-                            hdr_end += 1
-                        while not b[hdr_end : hdr_end + 1].isspace():
-                            hdr_end += 1
-                        seen += 1
-                    pos = hdr_end + 1 + w * h * 3
+                    # advance by exactly what the parser consumed — a
+                    # re-measuring walk with different comment rules
+                    # would desync on legal '#' headers
+                    pos += consumed
                     fi += 1
             yield pd.DataFrame(
                 {
@@ -808,10 +755,11 @@ def audio_chunk_plan(
     bytes_per_sample: int = 2,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Audio chunking: split an opaque PCM-shaped payload into fixed-length
+    """Audio chunking: split a PCM-shaped payload into fixed-length
     time windows — one row per (doc, chunk) with byte offset/length, the
     partition/explode shape ASR or audio-embedding pipelines fan out over.
-    Pure narrow map; the decode itself stays stubbed (no codec libs).
+    Pure narrow map over offsets; per-chunk sample decoding is
+    :func:`decode_audio`'s job.
     """
     chunk_bytes = int(chunk_seconds * sample_rate * bytes_per_sample)
     n = F.octet_length(F.col(payload_col))

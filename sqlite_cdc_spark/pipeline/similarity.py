@@ -114,12 +114,19 @@ def semantic_contamination(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), v.alias("cv"), l2_norm(v).alias("cn")
     )
+    # zero-norm convention: a degenerate (all-zero) vector on either
+    # side scores 0.0 — never NULL — so `contaminated` is always a
+    # non-null boolean and degenerate rows surface as clean, not as
+    # silently-dropped or NULL-flagged rows
     scored = c.join(F.broadcast(b)).select(
         "vec_id",
         "bench_id",
-        (dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn"))).alias(
-            "__s"
-        ),
+        F.when(
+            F.col("cn") * F.col("bn") > 0,
+            dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__s"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__s").desc(), F.col("bench_id").asc()

@@ -121,7 +121,15 @@ def ensure_wal(
     (SQLite rejects journal-mode changes mid-transaction).
     """
     conn.execute(f"PRAGMA busy_timeout={int(busy_timeout_ms)}")
-    conn.execute("PRAGMA journal_mode=WAL")
+    # inside an open transaction SQLite REFUSES the mode change but
+    # reports it silently (the PRAGMA returns the old mode, no error) —
+    # so check the returned mode instead of trusting the call
+    mode = conn.execute("PRAGMA journal_mode=WAL").fetchone()[0]
+    if str(mode).lower() != "wal":
+        raise RuntimeError(
+            "could not enable WAL journal mode (PRAGMA returned "
+            f"{mode!r}); is the connection inside an open transaction?"
+        )
 
 
 def setup(

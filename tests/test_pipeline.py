@@ -197,11 +197,17 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert all(len(v) == 8 for v in f1.values())
 
 
-def test_frame_sample_plan(spark):
-    df = spark.createDataFrame([(1, b"x" * 5000)], ["doc_id", "payload"])
-    frames = multimodal.frame_sample_plan(df, every_n_bytes=1024)
-    offs = [r.frame_offset for r in frames.collect()]
-    assert offs == [0, 1024, 2048, 3072]
+def test_extract_frames_covers_container(spark):
+    # frame extraction is the GENUINE demux path (multimodal.extract_frames,
+    # r7); the byte-offset frame_sample_plan stub it superseded is deleted
+    frames = multimodal.extract_frames(
+        multimodal.synth_ppm_stream(
+            spark.createDataFrame([(7,)], ["doc_id"])
+        )
+    )
+    rows = frames.collect()
+    assert rows and all(r.decode_ok for r in rows)
+    assert [r.frame_idx for r in rows] == list(range(len(rows)))
 
 
 def _ppm_bytes(w, h, raster):
@@ -481,18 +487,6 @@ def test_sketches_error_bounds(spark, sf_dir):
         # percentile_approx at accuracy=1000: within 1% rank error ≈ small
         # value error on this smooth distribution
         assert abs(r.p50_approx - r.p50_exact) <= 0.05 * abs(r.p50_exact)
-
-
-def test_resize_stub_shapes(spark):
-    df = spark.createDataFrame(
-        [(1, b"a" * 10000), (2, b"b" * 100)], ["doc_id", "payload"]
-    )
-    out = {r.doc_id: r for r in multimodal.resize_stub(df, 8, 8).collect()}
-    assert all(len(r.payload) == 64 for r in out.values())  # w*h bytes
-    assert out[1].width == 8 and out[1].height == 8
-    # deterministic across runs
-    again = {r.doc_id: r.payload for r in multimodal.resize_stub(df, 8, 8).collect()}
-    assert {k: v.payload for k, v in out.items()} == again
 
 
 def test_audio_chunk_plan_covers_payload(spark):
@@ -1258,3 +1252,55 @@ def test_cdc_chunks_short_doc_is_single_chunk(spark):
     assert got.n_chunks == 1, got
     assert got.total_chars == 2
     assert got.avg_chunk_len == 2.0
+
+
+def test_ngram_contamination_requires_benchmark_or_grams(spark):
+    import pytest
+
+    from sqlite_cdc_spark.pipeline import decontam
+
+    with pytest.raises(ValueError, match="benchmark or grams"):
+        decontam.ngram_contamination(
+            spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"]),
+            benchmark=None,
+            grams=None,
+        )
+
+
+def test_semantic_contamination_zero_norm_scores_zero(spark):
+    # degenerate all-zero vectors must score 0.0 (clean), never NULL
+    from sqlite_cdc_spark.pipeline import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {
+        r.vec_id: r
+        for r in similarity.semantic_contamination(
+            corpus, bench, threshold=0.5
+        ).collect()
+    }
+    assert rows[1].max_cos == 0.0 and rows[1].contaminated is False
+    assert rows[2].max_cos == 1.0 and rows[2].contaminated is True
+    assert all(r.contaminated is not None for r in rows.values())
+
+
+def test_extract_frames_survives_comment_headers(spark):
+    # a legal '#'-comment-bearing PPM header desynced the old
+    # re-measuring advance; the walk now advances by exactly what the
+    # parser consumed (ADVICE r7)
+    f1 = b"P6\n# a comment line\n2 2\n255\n" + bytes(range(12))
+    f2 = b"P6\n2 1\n255\n" + bytes(range(6))
+    df = spark.createDataFrame([(5, f1 + f2)], ["doc_id", "payload"])
+    rows = sorted(
+        multimodal.extract_frames(df).collect(), key=lambda r: r.frame_idx
+    )
+    assert [(r.frame_idx, r.width, r.height, r.decode_ok) for r in rows] == [
+        (0, 2, 2, True),
+        (1, 2, 1, True),
+    ]
+    assert rows[0].frame_sum == sum(range(12))
+    assert rows[1].frame_sum == sum(range(6))

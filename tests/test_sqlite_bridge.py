@@ -476,3 +476,30 @@ def test_poll_log_drains_while_writer_holds_transactions(db, tmp_path):
     assert db.execute(
         f"SELECT count(*) FROM {sqlite_bridge.DEFAULT_LOG_TABLE}"
     ).fetchone()[0] == 0
+
+
+def test_ensure_wal_raises_inside_open_transaction(tmp_path):
+    # inside an open transaction SQLite refuses the journal-mode change
+    # but reports it SILENTLY (the PRAGMA returns the old mode with no
+    # error) — ensure_wal must check the returned mode and raise rather
+    # than let the WAL guarantee silently not hold (ADVICE r7)
+    import sqlite3
+
+    from sqlite_cdc_spark import sqlite_bridge as sb
+
+    path = str(tmp_path / "wal_guard.db")
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    conn.commit()
+    conn.execute("BEGIN")
+    conn.execute("INSERT INTO t VALUES (1)")  # open write transaction
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="WAL"):
+        sb.ensure_wal(conn)
+    conn.rollback()
+    sb.ensure_wal(conn)  # outside a transaction it succeeds
+    assert (
+        conn.execute("PRAGMA journal_mode").fetchone()[0].lower() == "wal"
+    )
+    conn.close()
