@@ -4012,6 +4012,25 @@ def q_b29_semantic_decontam(spark, sf_dir):
     return similarity.semantic_contamination(corpus, bench, threshold=0.35)
 
 
+def q_b29_semantic_decontam_ann(spark, sf_dir):
+    """Semantic decontamination at corpus scale (B29 × B20, r8 —
+    VERDICT r7 item 6): same benchmark/corpus split as
+    b29_semantic_decontam, but candidates come from the portable
+    integer-LSH bucket equi-join (12 tables × 4 planes — the measured
+    recall-1.0 config on the fixture — with benchmark-side multiprobe) and the exact cosine scorer runs on candidate pairs
+    only — never a corpus×benchmark product (similarity.py:
+    semantic_contamination_bucketed). Every step is integer-exact or
+    rounded-fold arithmetic, so the oracle replays candidates AND
+    scores bit-for-bit; no-collision vectors surface as clean
+    (max_cos 0.0) in the complete manifest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return similarity.semantic_contamination_bucketed(
+        corpus, bench, threshold=0.35, dim=64, n_planes=4, n_tables=12
+    )
+
+
 def q_b10_mad_outliers(spark, sf_dir):
     """Robust per-group outlier detection (B10 depth, r7): median +
     median-absolute-deviation per return flag, then the count of prices
@@ -5845,6 +5864,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b9_scd2_pit": q_b9_scd2_pit,
         "b10_mad_outliers": q_b10_mad_outliers,
         "b29_semantic_decontam": q_b29_semantic_decontam,
+        "b29_semantic_decontam_ann": q_b29_semantic_decontam_ann,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -7157,6 +7177,71 @@ def oracle_sql() -> dict[str, str]:
                    round(s, 6) AS max_cos,
                    round(s, 6) >= 0.35 AS contaminated
             FROM ranked WHERE rn = 1
+        """,
+        "b29_semantic_decontam_ann": f"""
+            WITH planes AS (
+              SELECT p // 4 AS t, p % 4 AS pb, d,
+                     CASE WHEN ((p * {similarity.PLANE_MIX} + d)
+                                * {similarity.PLANE_KNUTH}) % 4294967296
+                               < 2147483648 THEN 1 ELSE -1 END AS s
+              FROM (SELECT unnest(generate_series(0, 47)) AS p),
+                   (SELECT unnest(generate_series(0, 63)) AS d)
+            ),
+            comp AS (
+              SELECT vec_id AS id, ds.d - 1 AS d,
+                     CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
+                          AS BIGINT) AS q
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+            ),
+            dots AS (
+              SELECT id, t, pb, sum(s * q) AS dp
+              FROM comp JOIN planes USING (d) GROUP BY id, t, pb
+            ),
+            buckets AS (
+              SELECT id, t,
+                     CAST(sum(CASE WHEN dp >= 0
+                                   THEN (CAST(1 AS BIGINT) << pb)
+                                   ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY id, t
+            ),
+            bb AS (
+              SELECT id AS bench_id, t,
+                     unnest([bucket,
+                             {", ".join(f"xor(bucket, {1 << i})" for i in range(4))}
+                            ]) AS bucket
+              FROM buckets WHERE id % 50 = 0
+            ),
+            cand AS (
+              SELECT DISTINCT c.id AS vec_id, bb.bench_id
+              FROM buckets c JOIN bb ON c.t = bb.t AND c.bucket = bb.bucket
+              WHERE c.id % 50 <> 0
+            ),
+            scored AS (
+              SELECT cand.vec_id, cand.bench_id,
+                     CASE WHEN sqrt(list_dot_product(cv.e, cv.e))
+                               * sqrt(list_dot_product(bv.e, bv.e)) > 0
+                          THEN list_dot_product(cv.e, bv.e)
+                               / (sqrt(list_dot_product(cv.e, cv.e))
+                                  * sqrt(list_dot_product(bv.e, bv.e)))
+                          ELSE 0.0 END AS s
+              FROM cand
+              JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings) cv ON cv.vec_id = cand.vec_id
+              JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings) bv ON bv.vec_id = cand.bench_id
+            ),
+            best AS (
+              SELECT * FROM (
+                SELECT vec_id, bench_id, s, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT e.vec_id, best.bench_id AS nearest_bench,
+                   round(coalesce(best.s, 0.0), 6) AS max_cos,
+                   round(coalesce(best.s, 0.0), 6) >= 0.35 AS contaminated
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) e
+            LEFT JOIN best USING (vec_id)
         """,
         "b10_mad_outliers": """
             WITH med AS (

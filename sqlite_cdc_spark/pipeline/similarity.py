@@ -100,10 +100,11 @@ def semantic_contamination(
     Plan: benchmark (eval sets are thousands of rows, ≪ RAM by
     construction) broadcasts with precomputed norms; the corpus is
     scored in ONE narrow pass (|corpus|·|bench| dot folds) + one
-    per-vector window. At billions × thousands scale, bucket both sides
-    through :func:`ann_topk_lsh`/:func:`ann_topk_ivf` first and run
-    this exact scorer only on candidate pairs — same contract, the
-    bucketed join replaces the broadcast product.
+    per-vector window. At billions × thousands scale use
+    :func:`semantic_contamination_bucketed`: both sides route through
+    the portable LSH buckets and this exact scorer runs on candidate
+    pairs only — same contract, the bucketed equi-join replaces the
+    broadcast product.
 
     Output: ``(vec_id, nearest_bench, max_cos, contaminated)``.
     """
@@ -341,6 +342,151 @@ def plane_sign(p: int, d: int) -> int:
     return 1 if ((p * PLANE_MIX + d) * PLANE_KNUTH) % (1 << 32) < (1 << 31) else -1
 
 
+def _plane_table(spark, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+    """The tiny (n_tables·n_planes·dim)-row Rademacher sign relation all
+    portable-LSH paths broadcast: entries from :func:`plane_sign`."""
+    return spark.createDataFrame(
+        [
+            (p // n_planes, p % n_planes, d, plane_sign(p, d))
+            for p in range(n_tables * n_planes)
+            for d in range(dim)
+        ],
+        "t int, p int, d int, s long",
+    )
+
+
+def portable_lsh_buckets(
+    df: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Engine-portable hyperplane bucket assignment ``(id, t, bucket)``
+    — the integer-exact LSH core shared by :func:`ann_lsh_portable` and
+    :func:`semantic_contamination_bucketed`: components floor-quantized
+    to int64, sign bits from exact integer dots against the broadcast
+    plane relation, bucket = the n_planes-bit code per table."""
+    comp = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double(vec_col)).alias("d", "v"),
+    ).select(
+        "id", "d", F.floor(F.col("v") * quant).cast("long").alias("q")
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy("id", "t", "p")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("dp"))
+    )
+    return dots.groupBy("id", "t").agg(
+        F.sum(
+            F.when(
+                F.col("dp") >= 0,
+                # column shift amount needs the SQL form (the Python
+                # F.shiftleft only takes an int literal)
+                F.expr("shiftleft(cast(1 as bigint), p)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("bucket")
+    )
+
+
+def semantic_contamination_bucketed(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    quant: int = 1000,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """:func:`semantic_contamination` at corpus scale — the ANN-bucketed
+    variant its docstring prescribes for large×large (VERDICT r7 item
+    6): both sides route through the portable integer LSH
+    (:func:`portable_lsh_buckets`), candidate pairs come from an
+    EQUI-JOIN on ``(table, bucket)`` — never a corpus×benchmark product
+    — and the exact cosine scorer runs on candidates only. The
+    benchmark side carries the multiprobe explode (it is the small
+    side: eval sets are thousands of rows) and ``n_tables``
+    independent tables are the recall dial.
+
+    Same output contract as the broadcast variant: one row per corpus
+    vector. A vector with NO bucket collision reports ``max_cos 0.0,
+    contaminated false, nearest_bench NULL`` — a complete keep/drop
+    manifest, with the usual LSH caveat that a sub-threshold bucket
+    assignment can miss a paraphrase the exhaustive scorer would flag
+    (raise ``n_tables`` to trade compute for recall). Every step is
+    integer-exact or rounded-fold arithmetic, so an independent SQL
+    engine replays candidates AND scores bit-for-bit.
+
+    Output: ``(vec_id, nearest_bench, max_cos, contaminated)``.
+    """
+    planes = _plane_table(
+        corpus.sparkSession, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+    cb = portable_lsh_buckets(
+        corpus, planes, id_col=id_col, vec_col=vec_col, quant=quant
+    ).select(F.col("id").alias("__cid"), "t", "bucket")
+    bb = portable_lsh_buckets(
+        benchmark, planes, id_col=id_col, vec_col=vec_col, quant=quant
+    ).select(F.col("id").alias("__bid"), "t", "bucket")
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        bb = bb.select("__bid", "t", F.explode(flips).alias("bucket"))
+    cand = cb.join(bb, ["t", "bucket"]).select("__cid", "__bid").distinct()
+
+    v = as_double(vec_col)
+    b = benchmark.select(
+        F.col(id_col).alias("__bid"), v.alias("bv"), l2_norm(v).alias("bn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), v.alias("cv"), l2_norm(v).alias("cn")
+    )
+    scored = (
+        cand.join(c, "__cid")
+        .join(b, "__bid")
+        .select(
+            "__cid",
+            "__bid",
+            F.when(
+                F.col("cn") * F.col("bn") > 0,
+                dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__s").desc(), F.col("__bid").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__cid", "__bid", "__s")
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(best, F.col("vec_id") == F.col("__cid"), "left")
+        .select(
+            "vec_id",
+            F.col("__bid").alias("nearest_bench"),
+            F.round(F.coalesce("__s", F.lit(0.0)), 6).alias("max_cos"),
+            (
+                F.round(F.coalesce("__s", F.lit(0.0)), 6)
+                >= F.lit(threshold)
+            ).alias("contaminated"),
+        )
+    )
+
+
 def ann_lsh_portable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -370,37 +516,13 @@ def ann_lsh_portable(
     planes; use this variant when cross-engine reproducibility of the
     index matters).
     """
-    spark = corpus.sparkSession
-    planes = spark.createDataFrame(
-        [
-            (p // n_planes, p % n_planes, d, plane_sign(p, d))
-            for p in range(n_tables * n_planes)
-            for d in range(dim)
-        ],
-        "t int, p int, d int, s long",
+    planes = _plane_table(
+        corpus.sparkSession, dim=dim, n_planes=n_planes, n_tables=n_tables
     )
 
     def buckets(df: DataFrame) -> DataFrame:
-        comp = df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(as_double(vec_col)).alias("d", "v"),
-        ).select(
-            "id", "d", F.floor(F.col("v") * quant).cast("long").alias("q")
-        )
-        dots = (
-            comp.join(F.broadcast(planes), "d")
-            .groupBy("id", "t", "p")
-            .agg(F.sum(F.col("s") * F.col("q")).alias("dp"))
-        )
-        return dots.groupBy("id", "t").agg(
-            F.sum(
-                F.when(
-                    F.col("dp") >= 0,
-                    # column shift amount needs the SQL form (the Python
-                    # F.shiftleft only takes an int literal)
-                    F.expr("shiftleft(cast(1 as bigint), p)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("bucket")
+        return portable_lsh_buckets(
+            df, planes, id_col=id_col, vec_col=vec_col, quant=quant
         )
 
     cb = buckets(corpus).select(F.col("id").alias("neighbor_id"), "t", "bucket")

@@ -1304,3 +1304,35 @@ def test_extract_frames_survives_comment_headers(spark):
     ]
     assert rows[0].frame_sum == sum(range(12))
     assert rows[1].frame_sum == sum(range(6))
+
+
+def test_semantic_contamination_bucketed_recall(spark, sf_dir):
+    # the ANN-bucketed screen must agree with the exhaustive scorer on
+    # the fixture: at 4 tables + multiprobe it should recover
+    # essentially every contaminated flag, and every (vec, bench, score)
+    # it does report must match the exhaustive score exactly
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = {
+        r.vec_id: r
+        for r in similarity.semantic_contamination(
+            corpus, bench, threshold=0.35
+        ).collect()
+    }
+    approx = {
+        r.vec_id: r
+        for r in similarity.semantic_contamination_bucketed(
+            corpus, bench, threshold=0.35, n_planes=4, n_tables=12
+        ).collect()
+    }
+    assert set(approx) == set(exact)  # complete manifest either way
+    flagged_exact = {v for v, r in exact.items() if r.contaminated}
+    flagged_approx = {v for v, r in approx.items() if r.contaminated}
+    assert flagged_approx <= flagged_exact  # no false positives ever
+    if flagged_exact:
+        recall = len(flagged_approx) / len(flagged_exact)
+        assert recall >= 0.8, f"bucketed decontam recall too low: {recall}"
+    # agreement on the nearest item implies identical exact scores
+    for v in flagged_approx:
+        assert approx[v].max_cos <= exact[v].max_cos + 1e-12

@@ -471,3 +471,12 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
             if not bounded:
                 bad.append(name)
     assert not bad, f"unpartitioned WindowExec over unbounded input: {sorted(set(bad))}"
+
+
+def test_semantic_decontam_ann_no_corpus_benchmark_product(spark, sf_dir):
+    # VERDICT r7 item 6: the bucketed variant's candidates must come
+    # from the (table, bucket) equi-join — never a corpus x benchmark
+    # product (no nested-loop, no cartesian anywhere in the plan)
+    plan = _plan(spark, sf_dir, "b29_semantic_decontam_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
