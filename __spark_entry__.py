@@ -1508,14 +1508,7 @@ def q_b24_incremental_card(spark, sf_dir):
     proves counter-maintenance-equals-recount, the same invariant the
     LSH-index / cluster / LM incremental legs already carry."""
     docs = _t(spark, sf_dir, "documents")
-
-    def counters(df):
-        return df.groupBy("source", "lang").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(textops.token_count("text")).cast("long").alias("sum_tok"),
-        )
-
-    standing = counters(docs)
+    standing = textops.corpus_counters(docs)
     upd = docs.filter(F.col("doc_id") % 7 == 0)
     dels = upd.select("source", "lang", "text").unionByName(
         docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
@@ -1524,32 +1517,7 @@ def q_b24_incremental_card(spark, sf_dir):
     ins = upd.select(
         "source", "lang", F.concat(F.col("text"), F.lit(" zzz")).alias("text")
     )
-    delta = counters(ins).select(
-        "source", "lang", "n_docs", "sum_tok"
-    ).unionByName(
-        counters(dels).select(
-            "source", "lang", (-F.col("n_docs")).alias("n_docs"),
-            (-F.col("sum_tok")).alias("sum_tok"),
-        )
-    ).groupBy("source", "lang").agg(
-        F.sum("n_docs").alias("__dd"), F.sum("sum_tok").alias("__dt")
-    )
-    return (
-        standing.join(delta, ["source", "lang"], "full_outer")
-        .select(
-            "source",
-            "lang",
-            (F.coalesce(F.col("n_docs"), F.lit(0))
-             + F.coalesce(F.col("__dd"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_docs"),
-            (F.coalesce(F.col("sum_tok"), F.lit(0))
-             + F.coalesce(F.col("__dt"), F.lit(0)))
-            .cast("bigint")
-            .alias("sum_tok"),
-        )
-        .filter(F.col("n_docs") > 0)
-    )
+    return textops.update_corpus_counters(standing, inserts=ins, deletes=dels)
 
 
 def q_b21_heaps_curve(spark, sf_dir):

@@ -11,6 +11,8 @@ which are Spark-specific).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -460,4 +462,72 @@ def lexical_diversity(
             "ttr",
             "token_entropy",
         )
+    )
+
+
+def corpus_counters(
+    df: DataFrame, group_cols: Sequence[str] = ("source", "lang")
+) -> DataFrame:
+    """Per-group corpus accounting — doc and token counts keyed by
+    ``group_cols`` (the B24 reporting row every curation build ships).
+    One partial+final keyed agg; ``sum_tok`` uses :func:`token_count`.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("sum_tok"),
+    )
+
+
+def update_corpus_counters(
+    state: DataFrame,
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    group_cols: Sequence[str] = ("source", "lang"),
+) -> DataFrame:
+    """Incrementally maintain :func:`corpus_counters` under a CDC batch
+    (an UPDATE is its before-image in ``deletes`` plus its after-image
+    in ``inserts``) — the counter leg of the probe→merge→append loop,
+    cost ∝ batch + touched groups, never a corpus recount. Groups whose
+    ``n_docs`` falls to 0 drop out, so
+    ``update_corpus_counters(corpus_counters(D), ins, del) ==
+    corpus_counters(D ∪ ins − del)`` exactly (tested invariant —
+    streaming foreachBatch parity in test_streaming)."""
+    gc = list(group_cols)
+    parts = []
+    if inserts is not None:
+        parts.append(corpus_counters(inserts, gc))
+    if deletes is not None:
+        parts.append(
+            corpus_counters(deletes, gc).select(
+                *gc,
+                (-F.col("n_docs")).alias("n_docs"),
+                (-F.col("sum_tok")).alias("sum_tok"),
+            )
+        )
+    if not parts:
+        return state
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+    delta = delta.groupBy(*gc).agg(
+        F.sum("n_docs").alias("__dd"), F.sum("sum_tok").alias("__dt")
+    )
+    return (
+        state.join(delta, gc, "full_outer")
+        .select(
+            *gc,
+            (
+                F.coalesce(F.col("n_docs"), F.lit(0))
+                + F.coalesce(F.col("__dd"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_docs"),
+            (
+                F.coalesce(F.col("sum_tok"), F.lit(0))
+                + F.coalesce(F.col("__dt"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_tok"),
+        )
+        .filter(F.col("n_docs") > 0)
     )
