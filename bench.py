@@ -73,6 +73,12 @@ HEADLINE = [
     "b29_semantic_decontam",   # embedding-space benchmark screen (B29/B20)
     "b15_concurrency",         # sweep-line peak concurrency (B15)
     "b30_assoc_rules",         # session-basket support/confidence/lift (B30)
+    # r8 additions — one line per new/newly-benched kernel (VERDICT r7
+    # item 8). b24_dedup_manifest stays out: its cost is the
+    # prefix-filter join the b19_prefix_filter line already measures.
+    "b22_audio_stats",         # genuine PCM s16le decode + screening (B22)
+    "b9_scd2_pit",             # SCD2 point-in-time keyed range join (B9)
+    "b29_semantic_decontam_ann",  # LSH-bucketed decontam (B29 scale path)
 ]
 
 

@@ -379,6 +379,168 @@ def _linear_counting(spark, li):
        .write.format("noop").mode("overwrite").save())
 
 
+def r8_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-7-wave families (VERDICT r7 item 4): genuine image/audio/
+    frame decode, SCD2 point-in-time join, semantic decontamination
+    (broadcast AND ANN-bucketed), incremental n-gram decontam,
+    session-basket association rules, and the dedup decision manifest —
+    the composite most likely to go superlinear (its prefix-filter
+    input is the board's heaviest join). All inputs derive from
+    range()/the shared generators so both scales are comparable."""
+    from sqlite_cdc_spark.pipeline import multimodal, similarity
+
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 2)
+
+    ids = spark.range(rows // 20).select(F.col("id").alias("doc_id"))
+    run("image_stats", lambda: multimodal.image_stats(
+        multimodal.synth_ppm(ids))
+        .write.format("noop").mode("overwrite").save())
+    run("audio_stats", lambda: multimodal.audio_stats(
+        multimodal.synth_pcm(ids))
+        .write.format("noop").mode("overwrite").save())
+    run("frame_extract", lambda: multimodal.extract_frames(
+        multimodal.synth_ppm_stream(
+            spark.range(rows // 40).select(F.col("id").alias("doc_id"))))
+        .write.format("noop").mode("overwrite").save())
+
+    # SCD2 point-in-time: synthetic version intervals (4 per user) probed
+    # by an event stream — the keyed range join of q_b9_scd2_pit
+    n_users = max(rows // 100, 100)
+    versions = spark.range(n_users * 4).select(
+        F.pmod(F.col("id"), n_users).alias("__vu"),
+        F.col("id").alias("version_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("id") / n_users).cast("long") * 86400
+        ).alias("valid_from"),
+        F.when(
+            (F.col("id") / n_users).cast("long") < 3,
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + ((F.col("id") / n_users).cast("long") + 1) * 86400
+            ),
+        ).alias("valid_to"),
+    )
+    ev = spark.range(rows // 4).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), n_users).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(1)), 5 * 86400)
+        ).alias("ts"),
+    )
+
+    def scd2_pit():
+        j = ev.join(
+            versions,
+            (ev["user_id"] == versions["__vu"])
+            & (versions["valid_from"] <= ev["ts"]),
+            "left",
+        )
+        w = Window.partitionBy("event_id").orderBy(
+            F.col("valid_from").desc(), F.col("version_id").desc()
+        )
+        (j.withColumn("__rn", F.row_number().over(w))
+         .filter(F.col("__rn") == 1)
+         .select("event_id", "version_id")
+         .write.format("noop").mode("overwrite").save())
+
+    run("scd2_pit", scd2_pit)
+
+    # semantic decontam: synthetic 64-dim embeddings, 200-vector bench
+    emb = spark.range(rows // 40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (F.pmod(F.xxhash64("id", d), 2000) - 1000) / 1000.0,
+        ).alias("embedding"),
+    )
+    bench_e = emb.filter(F.col("vec_id") % (rows // 40 // 200 + 1) == 0)
+    corpus_e = emb.filter(F.col("vec_id") % (rows // 40 // 200 + 1) != 0)
+    run("semantic_decontam", lambda: similarity.semantic_contamination(
+        corpus_e, bench_e, threshold=0.35)
+        .write.format("noop").mode("overwrite").save())
+    run("semantic_decontam_ann", lambda: (
+        similarity.semantic_contamination_bucketed(
+            corpus_e, bench_e, threshold=0.35, n_planes=4, n_tables=12)
+        .write.format("noop").mode("overwrite").save()))
+
+    # incremental decontam: standing gram index from a fixed bench slice,
+    # batch = a sliced shifted id range (cost must track the BATCH)
+    bench_d = docs.filter(F.col("doc_id") < 50)
+    standing = (
+        dedup.shingle_rows(bench_d, "doc_id", "text", k=5, unit="word")
+        .select("sh").distinct().localCheckpoint(eager=False)
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    run("incremental_decontam", lambda: decontam.ngram_contamination(
+        batch, None, grams=standing)
+        .write.format("noop").mode("overwrite").save())
+
+    # association rules over synthetic (basket, item) rows
+    n_baskets = max(rows // 50, 100)
+    items = spark.range(rows // 5).select(
+        F.pmod(F.xxhash64("id"), n_baskets).alias("basket"),
+        F.concat(F.lit("i"), F.pmod(F.xxhash64("id", F.lit(1)), 12)).alias("item"),
+    ).distinct()
+
+    def assoc():
+        supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("__s"))
+        a = items.select("basket", F.col("item").alias("item_a"))
+        b = items.select("basket", F.col("item").alias("item_b"))
+        pairs = (
+            a.join(b, "basket")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+        )
+        (pairs
+         .join(F.broadcast(supp.withColumnRenamed("item", "item_a")), "item_a")
+         .write.format("noop").mode("overwrite").save())
+
+    run("assoc_rules", assoc)
+
+    # dedup decision manifest: exact-Jaccard prefix-filter join -> CC ->
+    # golden records -> per-doc keep/drop (the full b24 composite)
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus_d = docs.unionByName(mutated)
+
+    def manifest():
+        pairs = dedup.set_similarity_join(
+            corpus_d, "doc_id", "text", threshold=0.8
+        )
+        labels = dedup.dup_clusters(pairs).localCheckpoint(eager=False)
+        golden = dedup.golden_records(
+            corpus_d, labels, "doc_id", {"text": ("longest", "text")}
+        )
+        n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
+        gtok = golden.select(
+            F.col("cluster_id").alias("__cid"), n_tok.alias("__nt")
+        )
+        (labels.select("doc_id", "cluster_id")
+         .join(F.broadcast(gtok), F.col("cluster_id") == F.col("__cid"))
+         .select(
+             "doc_id",
+             F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("drop"))
+             .when(F.col("__nt") >= 10, F.lit("keep"))
+             .otherwise(F.lit("drop"))
+             .alias("decision"),
+         )
+         .write.format("noop").mode("overwrite").save())
+
+    run("dedup_manifest", manifest)
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -425,6 +587,7 @@ def main():
             results[label].update(text_ops(spark, dpath))
             results[label].update(r6_ops(spark, dpath, rows))
             results[label].update(r7_ops(spark, path, dpath, rows))
+            results[label].update(r8_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
