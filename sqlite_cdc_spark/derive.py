@@ -863,6 +863,85 @@ def trailing_ewma(
     )
 
 
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    n: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact global ``ntile(n)`` WITHOUT a single-partition window — the
+    scale path for quantile scoring over an unbounded relation (an
+    unpartitioned ``ntile`` serializes every row through one task).
+
+    Two-phase scan, the :func:`pipeline.sampling.prefix_sum` pattern
+    with RANGE buckets: (1) ``repartitionByRange`` on the ordering, then
+    a row_number window partitioned by the physical partition id — all
+    partitions rank in parallel; (2) per-partition counts (one row per
+    partition, tiny) prefix-summed into base offsets and broadcast
+    back, so ``global rank = offset + local rank`` exactly. The tile is
+    then CLOSED-FORM from the rank: with ``N`` rows, the first
+    ``N mod n`` buckets take ``N div n + 1`` rows and the rest
+    ``N div n`` — the equal-buckets / remainder-to-front definition
+    Spark and DuckDB share, so results are bit-identical to the
+    built-in ``ntile`` (parity-tested). Partition boundaries don't
+    affect the result: any range split yields the same global ranks.
+
+    ``order_cols`` must be a total order (include an id tie-break).
+    """
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    # materialize ONCE: the counts/offsets branch below must see the
+    # exact same range boundaries (and therefore __pid values) as the
+    # ranked rows — a re-executed range exchange may re-sample different
+    # boundaries, so both branches read this checkpoint instead
+    ranked = d.withColumn("__lr", F.row_number().over(w_local)).localCheckpoint(
+        eager=False
+    )
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # one row per partition — the only unpartitioned window runs over
+    # this |partitions|-row relation, then broadcasts back
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__c").over(
+                Window.orderBy(F.col("__pid").asc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    totals = counts.agg(F.sum("__c").alias("__N"))
+    g = (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__gr", F.col("__off") + F.col("__lr"))
+    )
+    nn = int(n)
+    g = g.withColumn("__base", F.expr(f"__N div {nn}")).withColumn(
+        "__head", (F.col("__N") % nn) * (F.col("__base") + 1)
+    )
+    # pure integer arithmetic end-to-end (div, never a float path) so
+    # the tile replays bit-identically on any engine
+    tile = (
+        F.when(
+            F.col("__gr") <= F.col("__head"),
+            F.expr("(__gr - 1) div (__base + 1)") + 1,
+        )
+        .otherwise(
+            F.col("__N") % nn
+            + F.expr("(__gr - 1 - __head) div greatest(__base, 1)")
+            + 1
+        )
+        .cast("int")
+    )
+    return g.withColumn(out_col, tile).drop(
+        "__pid", "__lr", "__c", "__off", "__N", "__gr", "__base", "__head"
+    )
+
+
 def rfm_segments(
     events: DataFrame,
     user_col: str = "user_id",
@@ -877,19 +956,18 @@ def rfm_segments(
     stream's max timestamp — a 1-row broadcast), event count, and
     monetary total in exact integer cents (per-event floor
     quantization, then an integer sum — never a float sum). Scores are
-    ``ntile(n_tiles)`` over the per-user relation with id tie-breaks
-    (deterministic; both engines share the equal-buckets/remainder-to-
-    front ntile definition), r=1 meaning most recent, f=1/m=1 meaning
-    most active/valuable. The global ntile windows run over the
-    PER-USER relation — |users| rows, orders of magnitude smaller than
-    the stream — the same bounded-relation rule as the quantile edges
-    in :func:`psi_drift`.
+    exact global ``ntile(n_tiles)`` with id tie-breaks via
+    :func:`distributed_ntile` (r8: two-phase range-partitioned rank +
+    closed-form tile — the per-user relation is contracted from the
+    stream but still unbounded, so a single-partition ntile window
+    would be the one non-scaling step in the pipeline; both engines
+    share the equal-buckets/remainder-to-front definition, so results
+    are bit-identical to the built-in). r=1 meaning most recent,
+    f=1/m=1 meaning most active/valuable.
 
     Output: ``(user_id, rec_days, n_events, m_cents, r, f, m,
     segment)`` with segment the concatenated "rfm" digit string.
     """
-    from pyspark.sql import Window as _W
-
     ref = events.agg(F.max(F.col(ts_col)).alias("__ref"))
     per = (
         events.groupBy(F.col(user_col).alias("user_id"))
@@ -905,21 +983,30 @@ def rfm_segments(
             "n_events",
             "m_cents",
         )
+        # three tile orderings read the same relation — one materialization
+        .localCheckpoint(eager=False)
     )
-    r_w = _W.orderBy(F.col("rec_days").asc(), F.col("user_id").asc())
-    f_w = _W.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    m_w = _W.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
-    return per.select(
-        "user_id",
-        "rec_days",
-        "n_events",
-        "m_cents",
-        F.ntile(n_tiles).over(r_w).alias("r"),
-        F.ntile(n_tiles).over(f_w).alias("f"),
-        F.ntile(n_tiles).over(m_w).alias("m"),
-    ).withColumn(
-        "segment",
-        F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
+    r_t = distributed_ntile(
+        per, [F.col("rec_days").asc(), F.col("user_id").asc()], n_tiles, "r"
+    ).select("user_id", "r")
+    f_t = distributed_ntile(
+        per, [F.col("n_events").desc(), F.col("user_id").asc()], n_tiles, "f"
+    ).select("user_id", "f")
+    m_t = distributed_ntile(
+        per, [F.col("m_cents").desc(), F.col("user_id").asc()], n_tiles, "m"
+    ).select("user_id", "m")
+    return (
+        per.join(r_t, "user_id")
+        .join(f_t, "user_id")
+        .join(m_t, "user_id")
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ),
+        )
     )
 
 

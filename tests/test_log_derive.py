@@ -634,3 +634,28 @@ def test_woe_iv_separating_feature_scores_higher(spark):
     assert iv_good > 1.0          # "strong" by the usual IV rule of thumb
     assert iv_bad < 0.3
     assert iv_good > iv_bad * 3
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    # two-phase range-partitioned ntile must be bit-identical to the
+    # single-partition built-in across remainder shapes (r8 scale path)
+    from pyspark.sql import Window
+
+    from sqlite_cdc_spark import derive
+
+    for n_rows, n in [(1, 5), (23, 5), (101, 7)]:
+        df = spark.range(n_rows).select(
+            (F.xxhash64("id") % 100000).alias("k"), F.col("id").alias("id")
+        )
+        w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+        want = {
+            (r.k, r.id): r.t
+            for r in df.select("k", "id", F.ntile(n).over(w).alias("t")).collect()
+        }
+        got = {
+            (r.k, r.id): r.tile
+            for r in derive.distributed_ntile(
+                df, [F.col("k").asc(), F.col("id").asc()], n
+            ).collect()
+        }
+        assert got == want

@@ -430,8 +430,8 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     # the B-row bucket relation
     "b3_psi",
     "b10_woe_iv",
-    # ntile over the per-user aggregate — |users|, contracted from the
-    # raw stream (derive.rfm_segments)
+    # distributed_ntile phase 2 (r8): the |partitions|-row offsets
+    # relation — the per-user ntile itself is range-partitioned now
     "b15_rfm",
     # cumulative windows over the |days|-row daily relation
     "b3_changepoint",
