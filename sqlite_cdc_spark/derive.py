@@ -604,6 +604,7 @@ def psi_drift(
     cur: DataFrame,
     value_col: str,
     n_buckets: int = 10,
+    exact_edges: bool = True,
 ) -> DataFrame:
     """Population Stability Index between a baseline and a current
     numeric distribution — the standard drift monitor run on every
@@ -621,9 +622,13 @@ def psi_drift(
     from a per-distinct-value count (bounded by value cardinality) +
     one cumulative window over that bounded relation; the 1-row edge
     table broadcasts back and bucketing is a narrow codegen sum of
-    comparisons. At 100 TB swap the edge subquery for
-    ``approx_percentile`` (documented approximation) if value
-    cardinality itself is unbounded.
+    comparisons. When value cardinality itself is unbounded pass
+    ``exact_edges=False``: edges come from one ``percentile_approx``
+    sketch aggregation (no distinct-value relation, no window at all)
+    — same output shape, deterministic within Spark, but the edge
+    placement is approximate so it is not oracle-replayable
+    (the registered queries keep exact mode; a pytest bounds the
+    approx-vs-exact share drift).
 
     Output: one row per bucket ``(bucket, n_base, n_cur, share_base,
     share_cur, psi_term, psi_total)`` — ``psi_total`` repeated on every
@@ -632,21 +637,31 @@ def psi_drift(
     B = n_buckets
     v = F.col(value_col)
 
-    vh = base.groupBy(v.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
-    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vh.withColumn("__cum", F.sum("__c").over(wcum))
-    totals = vh.agg(F.sum("__c").alias("__n"))
-    edge_aggs = [
-        F.min(
-            F.when(
-                F.col("__cum")
-                >= F.floor((F.col("__n") - 1) * F.lit(k) / F.lit(B)) + 1,
-                F.col("__v"),
-            )
-        ).alias(f"__e{k}")
-        for k in range(1, B)
-    ]
-    edges = cum.crossJoin(F.broadcast(totals)).agg(*edge_aggs)
+    if exact_edges:
+        vh = base.groupBy(v.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+        wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vh.withColumn("__cum", F.sum("__c").over(wcum))
+        totals = vh.agg(F.sum("__c").alias("__n"))
+        edge_aggs = [
+            F.min(
+                F.when(
+                    F.col("__cum")
+                    >= F.floor((F.col("__n") - 1) * F.lit(k) / F.lit(B)) + 1,
+                    F.col("__v"),
+                )
+            ).alias(f"__e{k}")
+            for k in range(1, B)
+        ]
+        edges = cum.crossJoin(F.broadcast(totals)).agg(*edge_aggs)
+    else:
+        # unbounded-cardinality path: one sketch aggregation, no
+        # distinct-value relation, no window — the 100 TB default
+        edges = base.agg(
+            *[
+                F.percentile_approx(v, k / B, 10_000).alias(f"__e{k}")
+                for k in range(1, B)
+            ]
+        )
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:
         b = df.crossJoin(F.broadcast(edges)).select(
@@ -1311,6 +1326,7 @@ def woe_iv(
     value_col: str,
     label_col,
     n_buckets: int = 10,
+    exact_edges: bool = True,
 ) -> DataFrame:
     """Weight-of-Evidence / Information-Value feature screening — the
     standard credit-scoring-style measure of how well a numeric
@@ -1322,7 +1338,9 @@ def woe_iv(
     positive/negative shares are Laplace-smoothed, WoE = ln(p_pos /
     p_neg) rounded 6, and the IV contribution (p_pos − p_neg)·WoE is
     floor-quantized to 1e-8 so ``iv_total`` is an order-independent
-    integer sum. Same bounded-relation scale shape as psi_drift.
+    integer sum. Same bounded-relation scale shape as psi_drift,
+    including the ``exact_edges=False`` sketch path for unbounded
+    value cardinality.
 
     ``label_col``: a boolean Column (or column name).
 
@@ -1333,22 +1351,32 @@ def woe_iv(
     v = F.col(value_col)
     base = df.select(v.alias("__v"), lab.cast("int").alias("__y"))
 
-    vh = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
-    wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = vh.withColumn("__cum", F.sum("__c").over(wcum))
-    totals = vh.agg(F.sum("__c").alias("__n"))
-    edges = cum.crossJoin(F.broadcast(totals)).agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("__cum")
-                    >= F.floor((F.col("__n") - 1) * F.lit(k) / F.lit(B)) + 1,
-                    F.col("__v"),
-                )
-            ).alias(f"__e{k}")
-            for k in range(1, B)
-        ]
-    )
+    if exact_edges:
+        vh = base.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+        wcum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vh.withColumn("__cum", F.sum("__c").over(wcum))
+        totals = vh.agg(F.sum("__c").alias("__n"))
+        edges = cum.crossJoin(F.broadcast(totals)).agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("__cum")
+                        >= F.floor((F.col("__n") - 1) * F.lit(k) / F.lit(B)) + 1,
+                        F.col("__v"),
+                    )
+                ).alias(f"__e{k}")
+                for k in range(1, B)
+            ]
+        )
+    else:
+        # unbounded-cardinality path (see psi_drift): one sketch agg,
+        # no distinct-value relation, no window
+        edges = base.agg(
+            *[
+                F.percentile_approx("__v", k / B, 10_000).alias(f"__e{k}")
+                for k in range(1, B)
+            ]
+        )
     bucketed = base.crossJoin(F.broadcast(edges)).select(
         sum(
             [(F.col("__v") > F.col(f"__e{k}")).cast("int") for k in range(1, B)],

@@ -659,3 +659,27 @@ def test_distributed_ntile_matches_builtin(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_psi_drift_approx_edges_close_to_exact(spark, sf_dir):
+    # exact_edges=False swaps the rank-edge subquery for one
+    # percentile_approx sketch — bucket shares must track the exact
+    # mode closely on a smooth distribution, and psi_total must agree
+    # to the monitoring tolerance (the decision is >0.2 vs <0.2)
+    from sqlite_cdc_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    b = ev.filter(F.col("ts") < mid).select("value")
+    c = ev.filter(F.col("ts") >= mid).select("value")
+    exact = {r.bucket: r for r in derive.psi_drift(b, c, "value").collect()}
+    approx = {
+        r.bucket: r
+        for r in derive.psi_drift(b, c, "value", exact_edges=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(exact[k].share_base - approx[k].share_base) < 0.03
+    pe = next(iter(exact.values())).psi_total
+    pa = next(iter(approx.values())).psi_total
+    assert abs(pe - pa) < 0.05
