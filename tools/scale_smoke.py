@@ -538,6 +538,20 @@ def r8_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
          .write.format("noop").mode("overwrite").save())
 
     run("dedup_manifest", manifest)
+
+    # RFM quintiles via the r8 two-phase distributed ntile (3 range
+    # shuffles of the per-user relation — the step that was a
+    # single-partition window before)
+    ev2 = spark.range(rows).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), max(rows // 100, 100)).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.xxhash64("id", F.lit(1)), 30 * 86400)
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), 10000) / 100.0).alias("value"),
+    )
+    run("rfm_ntile", lambda: derive.rfm_segments(ev2)
+        .write.format("noop").mode("overwrite").save())
     return out
 
 
