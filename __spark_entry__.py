@@ -5612,6 +5612,165 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64, quant: int = 10*
     )
 
 
+def q_b19_cluster_stability(spark, sf_dir):
+    """Cluster-stability audit (B19 depth, r8): adjusted Rand index
+    between the EXACT-duplicate clustering (groups keyed by normalized
+    text, label = min member id) and the NEAR-dup clustering (MinHash
+    pairs transitively closed) over the same planted-dup corpus — the
+    measured answer to "how much extra does near-dedup merge beyond
+    exact, and how coherently". All pair counts are integer
+    (n·(n−1)/2 over contingency cells — two keyed aggs + one
+    |clusters|-sized contingency agg, no pair materialization); only
+    the final indices divide as doubles, rounded 6. Scale: cost ∝
+    clusters, never ∝ pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    )
+    near = dedup.dup_clusters(pairs).select(
+        "doc_id", F.col("cluster_id").alias("__a")
+    )
+    from pyspark.sql import Window as _W
+
+    exact = corpus.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(_W.partitionBy(dedup.normalize_text("text")))
+        .alias("__b"),
+    )
+    both = (
+        corpus.select("doc_id")
+        .join(near, "doc_id", "left")
+        .join(exact, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("__a", F.col("doc_id")).alias("__a"),
+            "__b",
+        )
+    )
+    cont = both.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__n"))
+    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
+    s_both = cont.agg(
+        F.sum(c2("__n")).alias("pairs_both"),
+        F.sum("__n").cast("long").alias("n_docs"),
+    )
+    s_a = (
+        cont.groupBy("__a")
+        .agg(F.sum("__n").alias("__na"))
+        .agg(F.sum(c2("__na")).alias("pairs_a"))
+    )
+    s_b = (
+        cont.groupBy("__b")
+        .agg(F.sum("__n").alias("__nb"))
+        .agg(F.sum(c2("__nb")).alias("pairs_b"))
+    )
+    out = s_both.crossJoin(F.broadcast(s_a)).crossJoin(F.broadcast(s_b))
+    total = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    e = F.col("pairs_a") * F.col("pairs_b") / total.cast("double")
+    m = (F.col("pairs_a") + F.col("pairs_b")) / F.lit(2.0)
+    return out.select(
+        "n_docs",
+        "pairs_both",
+        "pairs_a",
+        "pairs_b",
+        total.alias("pairs_total"),
+        F.round(
+            (
+                total.cast("double")
+                + 2 * F.col("pairs_both")
+                - F.col("pairs_a")
+                - F.col("pairs_b")
+            )
+            / total.cast("double"),
+            6,
+        ).alias("rand_index"),
+        F.round(
+            F.when(m - e != 0, (F.col("pairs_both") - e) / (m - e))
+            .otherwise(F.lit(1.0)),
+            6,
+        ).alias("ari"),
+    )
+
+
+def q_b20_dim_truncation(spark, sf_dir):
+    """Embedding dim-truncation audit (B20 depth, r8): for each
+    truncation budget d ∈ {16, 32, 48}, the retained-norm fraction
+    ``‖v[:d]‖ / ‖v‖`` per vector — the Matryoshka-style measurement
+    that decides how small stored embeddings can go before retrieval
+    quality collapses. Per-row fold arithmetic (identical fold order
+    both engines), per-row values floor-quantized to 1e-6 so the
+    per-budget mean is an integer sum; one narrow pass + one tiny
+    grouped agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    full = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    rows = []
+    for d in (16, 32, 48):
+        part = F.aggregate(
+            F.slice(v, 1, d), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        r = F.sqrt(part / full)
+        rows.append(
+            F.struct(
+                F.lit(d).cast("int").alias("dim"),
+                F.floor(r * 1e6).cast("long").alias("__r6"),
+            )
+        )
+    exploded = emb.select(
+        F.explode(F.array(*rows)).alias("s")
+    ).select(F.col("s.dim").alias("dim"), F.col("s.__r6").alias("__r6"))
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("__r6") / (F.count(F.lit(1)) * 1e6), 6).alias(
+            "avg_retained"
+        ),
+        F.round(F.min("__r6") / 1e6, 6).alias("min_retained"),
+    )
+
+
+def q_b11_twap(spark, sf_dir):
+    """Time-weighted average value per user (B11/B15 depth, r8) — the
+    TWAP every ops/finance pipeline needs where plain averages
+    overweight bursts: each event's value (exact integer cents) holds
+    until the next event, weights are integer second gaps from one
+    keyed lead window, and the division to a double happens once at
+    the end (round 6). Users whose events all share one second report
+    NULL (no holding interval). One shuffle on user_id."""
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = _W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    staged = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("__cents"),
+        sec.alias("__sec"),
+        F.lead(sec).over(w).alias("__next"),
+    ).withColumn("__w", F.col("__next") - F.col("__sec"))
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__w").cast("long").alias("held_seconds"),
+        F.round(
+            F.when(
+                F.sum("__w") > 0,
+                F.sum(F.col("__cents") * F.col("__w"))
+                / (F.sum("__w") * F.lit(100.0)),
+            ),
+            6,
+        ).alias("twap"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -5833,6 +5992,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b10_mad_outliers": q_b10_mad_outliers,
         "b29_semantic_decontam": q_b29_semantic_decontam,
         "b29_semantic_decontam_ann": q_b29_semantic_decontam_ann,
+        # --- new in round 8 (stability/embedding/temporal depth) ---------
+        "b19_cluster_stability": q_b19_cluster_stability,
+        "b20_dim_truncation": q_b20_dim_truncation,
+        "b11_twap": q_b11_twap,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -6758,6 +6921,79 @@ def _ann_ivf_topk_oracle_sql() -> str:
           WHERE neighbor_id != query_id
         ),
         {_ANN_RESCORE_SQL}
+    """
+
+
+def _cluster_stability_oracle_sql() -> str:
+    """DuckDB replay of q_b19_cluster_stability: the near-dup closure
+    (same recursive CTE as _dup_clusters_oracle_sql), the exact-dup
+    min-id grouping, then integer pair-count contingency and the
+    Rand/ARI ratios."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach AS (
+          SELECT DISTINCT src AS v, src AS r FROM edges
+          UNION
+          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
+        ),
+        lab AS (SELECT v AS doc_id, min(r) AS a FROM reach GROUP BY v),
+        ex AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (
+                   PARTITION BY {_NORM_SQL}
+                 ) AS b
+          FROM corpus
+        ),
+        assign AS (
+          SELECT c.doc_id, coalesce(lab.a, c.doc_id) AS a, ex.b
+          FROM corpus c LEFT JOIN lab ON lab.doc_id = c.doc_id
+          JOIN ex ON ex.doc_id = c.doc_id
+        ),
+        cont AS (
+          SELECT a, b, count(*) AS n FROM assign GROUP BY a, b
+        ),
+        sums AS (
+          SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_both,
+                 CAST(sum(n) AS BIGINT) AS n_docs
+          FROM cont
+        ),
+        sa AS (
+          SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS pairs_a
+          FROM (SELECT a, sum(n) AS na FROM cont GROUP BY a)
+        ),
+        sb AS (
+          SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS pairs_b
+          FROM (SELECT b, sum(n) AS nb FROM cont GROUP BY b)
+        )
+        SELECT n_docs, pairs_both, pairs_a, pairs_b,
+               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS pairs_total,
+               round((CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
+                      + 2 * pairs_both - pairs_a - pairs_b)
+                     / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+                 AS rand_index,
+               round(CASE WHEN (pairs_a + pairs_b) / 2.0
+                               - pairs_a * pairs_b
+                                 / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
+                               <> 0
+                          THEN (pairs_both
+                                - pairs_a * pairs_b
+                                  / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE))
+                               / ((pairs_a + pairs_b) / 2.0
+                                  - pairs_a * pairs_b
+                                    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE))
+                          ELSE 1.0 END, 6) AS ari
+        FROM sums, sa, sb
     """
 
 
@@ -7884,6 +8120,47 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY lang
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
+        "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b20_dim_truncation": """
+            WITH per AS (
+              SELECT vec_id, d.dim,
+                     CAST(floor(sqrt(
+                       list_dot_product(
+                         list_slice(CAST(embedding AS DOUBLE[]), 1, d.dim),
+                         list_slice(CAST(embedding AS DOUBLE[]), 1, d.dim))
+                       / list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))
+                     ) * 1e6) AS BIGINT) AS r6
+              FROM embeddings,
+                   (SELECT unnest([16, 32, 48]) AS dim) d
+            )
+            SELECT CAST(dim AS INTEGER) AS dim,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(sum(r6) / (count(*) * 1e6), 6) AS avg_retained,
+                   round(min(r6) / 1e6, 6) AS min_retained
+            FROM per GROUP BY dim
+        """,
+        "b11_twap": """
+            WITH staged AS (
+              SELECT user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS nxt
+              FROM events
+            ),
+            weighted AS (
+              SELECT user_id, cents, nxt - sec AS w FROM staged
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(w) AS BIGINT) AS held_seconds,
+                   round(CASE WHEN sum(w) > 0
+                              THEN sum(cents * w) / (sum(w) * 100.0)
+                              END, 6) AS twap
+            FROM weighted GROUP BY user_id
+        """,
         "b19_incremental_clusters": _incremental_clusters_oracle_sql(),
         "b26_split_leakage": _split_leakage_oracle_sql(),
         "b24_corpus_v2": _corpus_v2_oracle_sql(),
