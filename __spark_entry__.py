@@ -3588,10 +3588,18 @@ def q_b26_interleave(spark, sf_dir):
         )
     )
     n_src = srcs.agg(F.count(F.lit(1)).alias("__ns"))
-    pri = hash_bucket("doc_id", 1 << 32)
-    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    # per-source hash-priority rank via the two-phase distributed
+    # row_number (r8): a keyed window would put a dominant source's
+    # whole order on ONE task — the straggler this operator exists to
+    # prevent in the first place
+    staged = docs.withColumn("__pri", hash_bucket("doc_id", 1 << 32))
     return (
-        docs.withColumn("__r", F.row_number().over(w))
+        derive.distributed_row_number(
+            staged,
+            ["source"],
+            [F.col("__pri").asc(), F.col("doc_id").asc()],
+            out_col="__r",
+        )
         .join(F.broadcast(srcs), "source")
         .crossJoin(F.broadcast(n_src))
         .select(

@@ -878,6 +878,58 @@ def trailing_ewma(
     )
 
 
+def distributed_row_number(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    out_col: str = "rn",
+) -> DataFrame:
+    """Per-group ``row_number`` WITHOUT one-task-per-group: a keyed
+    window puts each group's whole order on a single task, so a
+    dominant group (one source holding 90% of a corpus, one hot
+    entity) becomes the straggler. Here ranks come from the two-phase
+    scan instead: ``repartitionByRange`` on (group, order) spreads
+    every group across range partitions; ranks are local within
+    (partition, group) — parallel across a group's partitions — and
+    each (group, partition)'s base offset is an exclusive prefix over
+    the tiny |groups × partitions| count relation (keyed window,
+    broadcast back). Bit-identical to
+    ``row_number().over(partitionBy(group).orderBy(order))`` for any
+    total order (parity-tested).
+
+    The ranked relation is checkpointed once — range-boundary
+    re-sampling across plan branches would desync
+    ``spark_partition_id`` between the ranks and the offsets (same
+    rule as :func:`distributed_ntile`).
+    """
+    pc = [F.col(c) for c in part_cols]
+    d = df.repartitionByRange(*pc, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid", *pc).orderBy(*order_cols)
+    ranked = d.withColumn("__lr", F.row_number().over(w_local)).localCheckpoint(
+        eager=False
+    )
+    counts = ranked.groupBy("__pid", *pc).agg(F.count(F.lit(1)).alias("__c"))
+    offsets = counts.select(
+        "__pid",
+        *pc,
+        F.coalesce(
+            F.sum("__c").over(
+                Window.partitionBy(*pc)
+                .orderBy(F.col("__pid").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["__pid", *part_cols])
+        .withColumn(out_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__pid", "__lr", "__off")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_cols: Sequence[Column],

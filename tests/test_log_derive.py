@@ -683,3 +683,30 @@ def test_psi_drift_approx_edges_close_to_exact(spark, sf_dir):
     pe = next(iter(exact.values())).psi_total
     pa = next(iter(approx.values())).psi_total
     assert abs(pe - pa) < 0.05
+
+
+def test_distributed_row_number_matches_builtin_on_skewed_groups(spark):
+    # two-phase grouped rank must be bit-identical to the keyed-window
+    # built-in even when one group dominates (the straggler case it
+    # exists to fix)
+    from pyspark.sql import Window
+
+    from sqlite_cdc_spark import derive
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        (F.xxhash64("id") % 100000).alias("k"),
+        F.col("id").alias("id"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {
+        (r.g, r.id): r.rn
+        for r in df.select("g", "id", F.row_number().over(w).alias("rn")).collect()
+    }
+    got = {
+        (r.g, r.id): r.rn
+        for r in derive.distributed_row_number(
+            df, ["g"], [F.col("k").asc(), F.col("id").asc()]
+        ).collect()
+    }
+    assert got == want
