@@ -83,22 +83,42 @@ def compact_log(
     key: Column | str,
     order_cols: Sequence[str] = ("id",),
     drop_deletes: bool = True,
+    use_max_by: bool = False,
 ) -> DataFrame:
     """Collapse a change log to current state: last image per key wins; keys
     whose final operation is DELETE are dropped — the "read replica" use
     case (``/root/reference/README.md:26-30``).
 
     Scale: one shuffle on the key; the rank is a per-key top-1, which AQE
-    handles under skew. For truly hot keys, pre-aggregate with
-    ``max_by``-style reduction instead of a window (same shuffle count).
+    handles under skew. For truly HOT keys pass ``use_max_by=True``:
+    the top-1 becomes a ``max(struct(order, row))`` aggregate — partial
+    (map-side) combine reduces every partition's contribution to one
+    row per key BEFORE the shuffle, so a key with a million log entries
+    ships ~|partitions| rows instead of a million into one window task.
+    Identical output whenever ``order_cols`` is a total order per key
+    (the log id is; equivalence is tested). The window form keeps the
+    original column order/types exactly, so it stays the default.
     """
     k = F.col(key) if isinstance(key, str) else key
-    w = Window.partitionBy(k).orderBy(*[F.col(c).desc() for c in order_cols])
-    latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    if use_max_by:
+        ordered = F.struct(
+            *[F.col(c) for c in order_cols],
+            F.struct(*[F.col(c) for c in changes.columns]).alias("__row"),
+        )
+        latest = (
+            changes.groupBy(k.alias("__k"))
+            .agg(F.max(ordered).alias("__m"))
+            .select("__m.__row.*")
+        )
+    else:
+        w = Window.partitionBy(k).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if drop_deletes:
         latest = latest.filter(F.col("operation") != OP_DELETE)
     return latest
