@@ -5779,6 +5779,66 @@ def q_b11_twap(spark, sf_dir):
     )
 
 
+def q_b21_source_kl(spark, sf_dir):
+    """Per-source distribution divergence (B21/B28 depth, r8): KL of
+    each source's Laplace-smoothed unigram distribution against the
+    corpus-wide distribution, summed over the FULL shared vocabulary
+    (absent tokens contribute their smoothed mass — the exact
+    definition, not an observed-support shortcut). The data-mixing
+    diagnostic that ranks sources by how far they sit from the blend:
+    a near-zero source is redundant, an extreme one is templated or
+    off-domain. Shape: token counts are keyed aggs; the |V|·|S| grid
+    is vocab ⋈ broadcast(sources) ⋈ per-source counts (left) — keyed,
+    never a pair blowup; each term floor-quantized to 1e-8 so the
+    per-source total is an order-independent integer sum (the b3_psi
+    engine-exactness recipe)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(textops.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__nst")
+    )
+    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("__nt"))
+    stot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__ns")
+    )
+    gtot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct("tok").cast("long").alias("__v"),
+    )
+    grid = ct.crossJoin(F.broadcast(stot.select("source", "__ns")))
+    cells = (
+        grid.join(st, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "__ns",
+            "__v",
+            (
+                (F.coalesce(F.col("__nst"), F.lit(0)) + 1)
+                / (F.col("__ns") + F.col("__v")).cast("double")
+            ).alias("__p"),
+            (
+                (F.col("__nt") + 1)
+                / (F.col("__n") + F.col("__v")).cast("double")
+            ).alias("__q"),
+        )
+    )
+    term = F.col("__p") * F.log(F.col("__p") / F.col("__q"))
+    return (
+        cells.select(
+            "source", "__ns", "__v", F.floor(term * 1e8).cast("long").alias("__t8")
+        )
+        .groupBy("source")
+        .agg(
+            F.min("__ns").alias("n_tokens"),
+            F.min("__v").alias("vocab_size"),
+            F.round(F.sum("__t8") / 1e8, 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6004,6 +6064,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_cluster_stability": q_b19_cluster_stability,
         "b20_dim_truncation": q_b20_dim_truncation,
         "b11_twap": q_b11_twap,
+        "b21_source_kl": q_b21_source_kl,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -8129,6 +8190,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b21_source_kl": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
+            st AS (
+              SELECT source, tok, count(*) AS nst FROM tk GROUP BY source, tok
+            ),
+            ct AS (SELECT tok, count(*) AS nt FROM tk GROUP BY tok),
+            stot AS (SELECT source, count(*) AS ns FROM tk GROUP BY source),
+            gtot AS (
+              SELECT count(*) AS n, count(DISTINCT tok) AS v FROM tk
+            ),
+            cells AS (
+              SELECT stot.source, stot.ns, gtot.v,
+                     (coalesce(st.nst, 0) + 1)
+                       / CAST(stot.ns + gtot.v AS DOUBLE) AS p,
+                     (ct.nt + 1) / CAST(gtot.n + gtot.v AS DOUBLE) AS q
+              FROM ct CROSS JOIN stot CROSS JOIN gtot
+              LEFT JOIN st ON st.source = stot.source AND st.tok = ct.tok
+            )
+            SELECT source,
+                   CAST(min(ns) AS BIGINT) AS n_tokens,
+                   CAST(min(v) AS BIGINT) AS vocab_size,
+                   round(sum(CAST(floor(p * ln(p / q) * 1e8) AS BIGINT)) / 1e8, 6)
+                     AS kl_vs_corpus
+            FROM cells GROUP BY source
+        """,
         "b20_dim_truncation": """
             WITH per AS (
               SELECT vec_id, d.dim,
