@@ -5839,6 +5839,40 @@ def q_b21_source_kl(spark, sf_dir):
     )
 
 
+def q_b22_phash_dups(spark, sf_dir):
+    """Perceptual-hash image dedup (B19 × B22, r8): every doc gets a
+    synthesized RGB image (genuine binary PPM bytes); docs with
+    doc_id%9==0 are planted as EXACT visual duplicates under new ids
+    (+300000, same source raster). The aHash fingerprint
+    (multimodal.ahash64: real decode → 8×8 integer NN downsample →
+    integer grayscale → mean-threshold bits) groups visually identical
+    images with ONE keyed agg — the image-side twin of exact text
+    dedup, and the screen a multimodal corpus runs before any
+    embedding model sees a frame. Output: one row per duplicate group
+    (hash halves, copy count, keeper = min doc_id)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.select(
+        "doc_id", F.col("doc_id").alias("img_id")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+            F.col("doc_id").alias("img_id"),
+        )
+    )
+    hashed = multimodal.ahash64(
+        multimodal.synth_ppm(staged, id_col="img_id"), id_col="doc_id"
+    )
+    return (
+        hashed.filter(F.col("decode_ok"))
+        .groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6065,6 +6099,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_dim_truncation": q_b20_dim_truncation,
         "b11_twap": q_b11_twap,
         "b21_source_kl": q_b21_source_kl,
+        "b22_phash_dups": q_b22_phash_dups,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -8190,6 +8225,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b22_phash_dups": """
+            -- closed-form replay of synth_ppm + ahash64: source raster
+            -- byte (y*w+x)*3+c of image img_id is (img_id*31+i)%256 with
+            -- w=4+img_id%5, h=4+(img_id//5)%5; 8x8 NN sample at
+            -- (ny,nx)=((y*h)//8,(x*w)//8); grayscale (r+g+b)//3; bit
+            -- j=y*8+x set iff 64*g >= sum(g); halves pack bits 0..31 /
+            -- 32..63 (all values nonneg -> // is floor)
+            WITH staged AS (
+              SELECT doc_id, doc_id AS img_id FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id, doc_id AS img_id
+              FROM documents WHERE doc_id % 9 = 0
+            ),
+            geom AS (
+              SELECT doc_id, img_id,
+                     4 + img_id % 5 AS w, 4 + (img_id // 5) % 5 AS h
+              FROM staged
+            ),
+            g AS (
+              SELECT doc_id, y * 8 + x AS j,
+                     ((img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 0) % 256
+                      + (img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 1) % 256
+                      + (img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 2) % 256
+                     ) // 3 AS gray
+              FROM geom,
+                   generate_series(0, 7) gy(y),
+                   generate_series(0, 7) gx(x)
+            ),
+            tot AS (SELECT doc_id, sum(gray) AS s FROM g GROUP BY doc_id),
+            bits AS (
+              SELECT g.doc_id, g.j,
+                     CASE WHEN 64 * g.gray >= tot.s THEN 1 ELSE 0 END AS b
+              FROM g JOIN tot ON tot.doc_id = g.doc_id
+            ),
+            hashes AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN j >= 32
+                                   THEN b * (CAST(1 AS BIGINT) << (j - 32))
+                                   ELSE 0 END) AS BIGINT) AS hash_hi,
+                     CAST(sum(CASE WHEN j < 32
+                                   THEN b * (CAST(1 AS BIGINT) << j)
+                                   ELSE 0 END) AS BIGINT) AS hash_lo
+              FROM bits GROUP BY doc_id
+            )
+            SELECT hash_hi, hash_lo,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id
+            FROM hashes GROUP BY hash_hi, hash_lo
+            HAVING count(*) > 1
+        """,
         "b21_source_kl": f"""
             WITH toks AS (
               SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents

@@ -305,6 +305,81 @@ def decode_image(
     return df.select(id_col, payload_col).mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+#: output of ahash64: 64-bit perceptual hash as two 32-bit halves
+#: (BIGINT-safe — bit 63 in one int64 would collide with the sign bit
+#: on engines that reject unsigned shifts)
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("hash_hi", T.LongType(), True),
+        T.StructField("hash_lo", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def ahash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over GENUINE decoded
+    rasters — the B19×B22 bridge: near-duplicate IMAGE detection with
+    the same group-by-fingerprint shape as text dedup. Pipeline per
+    payload (all integer arithmetic, engine-replayable): decode
+    (:func:`_decode_any`), 8×8 nearest-neighbor downsample (the
+    :func:`image_resize` index map), integer grayscale
+    ``(r+g+b) div 3``, then bit ``j = y·8+x`` set iff
+    ``64·g[j] >= Σg`` (the mean threshold cleared of division). The 64
+    bits pack into two int64-safe 32-bit halves. Corrupt payloads
+    yield ``decode_ok=false`` with NULL hash. Arrow-batched
+    ``mapInPandas``; grouping by (hash_hi, hash_lo) then gives
+    duplicate clusters at any scale with one keyed agg.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, his, los, oks = [], [], [], []
+            for did, buf in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                ids.append(int(did))
+                try:
+                    w, h, px = _decode_any(bytes(buf))
+                except ValueError:
+                    his.append(None)
+                    los.append(None)
+                    oks.append(False)
+                    continue
+                sy = (np.arange(8, dtype=np.int64) * h) // 8
+                sx = (np.arange(8, dtype=np.int64) * w) // 8
+                small = px[sy][:, sx].astype(np.int64)  # (8, 8, 3)
+                gray = small.sum(axis=2) // 3  # integer grayscale
+                s = int(gray.sum())
+                bits = (gray.reshape(-1) * 64 >= s).astype(np.int64)
+                hi = lo = 0
+                for j in range(32):
+                    lo |= int(bits[j]) << j
+                for j in range(32, 64):
+                    hi |= int(bits[j]) << (j - 32)
+                his.append(hi)
+                los.append(lo)
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "hash_hi": pd.array(his, dtype="Int64"),
+                    "hash_lo": pd.array(los, dtype="Int64"),
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AHASH_SCHEMA)
+
+
 def synth_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a deterministic tiny RGB image per row as REAL binary
     PPM (P6) bytes — the fixture generator for the genuine decode+resize

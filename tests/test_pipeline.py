@@ -1379,3 +1379,24 @@ def test_cc_local_labels_match_distributed_backends(spark):
     )
     assert local == star == prop
     assert local[22] == (20, 3) and local[55] == (55, 1)
+
+
+def test_ahash64_groups_visual_duplicates(spark):
+    # identical rasters hash identically; corrupt payloads surface as
+    # decode_ok=false with NULL hash halves
+    ids = spark.createDataFrame([(1, 10), (2, 10), (3, 77)], ["doc_id", "img_id"])
+    hashed = {
+        r.doc_id: r
+        for r in multimodal.ahash64(
+            multimodal.synth_ppm(ids, id_col="img_id")
+        ).collect()
+    }
+    assert hashed[1].decode_ok and hashed[2].decode_ok
+    assert (hashed[1].hash_hi, hashed[1].hash_lo) == (
+        hashed[2].hash_hi,
+        hashed[2].hash_lo,
+    )
+    bad = multimodal.ahash64(
+        spark.createDataFrame([(9, b"not an image")], ["doc_id", "payload"])
+    ).collect()[0]
+    assert bad.decode_ok is False and bad.hash_hi is None
