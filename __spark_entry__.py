@@ -5873,6 +5873,43 @@ def q_b22_phash_dups(spark, sf_dir):
     )
 
 
+def q_b15_retention(spark, sf_dir):
+    """Cohort retention curves (B15 depth, r8) — the product-analytics
+    staple b15_cohorts stops short of: users cohorted by first-active
+    epoch week (integer ``sec div 604800``), then for every
+    (cohort, week-offset) cell the share of the cohort still active —
+    the decay curve per acquisition wave. Three keyed aggs (first
+    week per user, distinct user-weeks, cell counts) + one broadcast
+    join of the |cohorts|-row size table; retention divides once at
+    the end (round 6). No window over the stream anywhere."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.expr(
+        "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint) div 604800"
+    )
+    uw = ev.select("user_id", week.alias("__wk")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("__wk").alias("__cw"))
+    cells = (
+        uw.join(first, "user_id")
+        .groupBy("__cw", (F.col("__wk") - F.col("__cw")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+    sizes = first.groupBy("__cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "__cw")
+        .select(
+            F.col("__cw").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6100,6 +6137,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_twap": q_b11_twap,
         "b21_source_kl": q_b21_source_kl,
         "b22_phash_dups": q_b22_phash_dups,
+        "b15_retention": q_b15_retention,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -8225,6 +8263,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b15_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
+            ),
+            cells AS (
+              SELECT first.cw, uw.wk - first.cw AS week_offset,
+                     count(DISTINCT uw.user_id) AS n_active
+              FROM uw JOIN first USING (user_id)
+              GROUP BY first.cw, uw.wk - first.cw
+            ),
+            sizes AS (
+              SELECT cw, count(*) AS cohort_size FROM first GROUP BY cw
+            )
+            SELECT CAST(cells.cw AS BIGINT) AS cohort_week,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   round(n_active / CAST(cohort_size AS DOUBLE), 6)
+                     AS retention
+            FROM cells JOIN sizes ON sizes.cw = cells.cw
+        """,
         "b22_phash_dups": """
             -- closed-form replay of synth_ppm + ahash64: source raster
             -- byte (y*w+x)*3+c of image img_id is (img_id*31+i)%256 with
