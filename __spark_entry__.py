@@ -5910,6 +5910,16 @@ def q_b15_retention(spark, sf_dir):
     )
 
 
+def q_b30_phrase_search(spark, sf_dir):
+    """Positional phrase retrieval (B30 depth, r8): docs where "merge
+    join" occurs as an ADJACENT ordered pair — the query shape boolean
+    AND cannot express. Postings filtered to the phrase vocabulary
+    before the (id, pos+offset) equi-join chain (lm.py:
+    phrase_search); output is per-doc occurrence counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return lm.phrase_search(docs, "doc_id", ["merge", "join"])
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6138,6 +6148,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_source_kl": q_b21_source_kl,
         "b22_phash_dups": q_b22_phash_dups,
         "b15_retention": q_b15_retention,
+        "b30_phrase_search": q_b30_phrase_search,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -8263,6 +8274,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b30_phrase_search": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+              FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
+            )
+            SELECT a.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM pos a JOIN pos b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'merge' AND b.tok = 'join'
+            GROUP BY a.doc_id
+        """,
         "b15_retention": """
             WITH uw AS (
               SELECT DISTINCT user_id,

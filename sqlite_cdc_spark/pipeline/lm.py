@@ -826,3 +826,41 @@ def bpe_encode_stats(
             F.sum("__chars") / F.sum("__toks").cast("double"), 6
         ).alias("compression"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    phrase: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase retrieval: documents where the phrase tokens
+    occur ADJACENTLY in order — the operator boolean AND cannot express
+    ("merge join" ≠ a doc with "merge" and "join" a paragraph apart).
+
+    Plan: positional rows ``(id, pos, tok)`` filtered to the phrase
+    vocabulary BEFORE any join (the posting-list discipline of
+    :func:`boolean_search`), then the k-token phrase is k−1 equi-joins
+    on ``(id, pos + offset)`` — each join's build side is |postings of
+    one term|, never the corpus. Output ``(id_col, n_occurrences)``
+    with one row per matching document."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs at least 2 tokens")
+    terms = [t.lower() for t in phrase]
+    pos = (
+        df.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+        )
+        .filter(F.col("tok").isin(sorted(set(terms))))
+    )
+    cur = pos.filter(F.col("tok") == terms[0]).select(
+        id_col, F.col("pos").alias("__p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("tok") == t).select(
+            id_col, (F.col("pos") - i).alias("__p0")
+        )
+        cur = cur.join(nxt, [id_col, "__p0"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
