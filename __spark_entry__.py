@@ -5920,6 +5920,82 @@ def q_b30_phrase_search(spark, sf_dir):
     return lm.phrase_search(docs, "doc_id", ["merge", "join"])
 
 
+def q_b24_effective_tokens(spark, sf_dir):
+    """Dedup-weighted corpus accounting (B24 depth, r8): every doc
+    weighted ``1 / |its exact-dup group|`` (the C4/RefinedWeb-style
+    effective-size correction), reported per source as raw vs
+    effective token counts and the inflation ratio — the number that
+    says how much of a source's apparent volume is copies. Group
+    sizes come from one keyed agg on the normalized-text key; weights
+    stay exact as integer token-count / group-size rationals summed
+    at 1e-6 quantization (order-independent integer sum)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        textops.token_count("text").alias("__nt"),
+        dedup.normalize_text("text").alias("__k"),
+    )
+    sizes = keyed.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__g")
+    )
+    per = keyed.join(sizes, "__k").select(
+        "source",
+        "__nt",
+        # floor((nt * 1e6) / g): integer rational at 1e-6 grain
+        F.expr("(__nt * 1000000) div __g").alias("__eff6"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("raw_tokens"),
+        F.round(F.sum("__eff6") / 1e6, 6).alias("effective_tokens"),
+        F.round(
+            F.sum("__nt") / (F.sum("__eff6") / 1e6), 6
+        ).alias("inflation"),
+    )
+
+
+def q_b7_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape (B7 depth, r8): revenue lost to returned items
+    per customer — lineitem filtered to returnflag 'R' joins orders
+    (date-windowed, predicate pushed to the scan) and the broadcast
+    customer/nation dims; decimal-exact revenue; top-20 via
+    distributed ``orderBy().limit`` then rank (the r8 top-k rule)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(38,6)")
+                    * (
+                        F.lit(1).cast("decimal(38,6)")
+                        - F.col("l_discount").cast("decimal(38,6)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6149,6 +6225,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_phash_dups": q_b22_phash_dups,
         "b15_retention": q_b15_retention,
         "b30_phrase_search": q_b30_phrase_search,
+        "b24_effective_tokens": q_b24_effective_tokens,
+        "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
         "b15_concurrency": q_b15_concurrency,
@@ -8274,6 +8352,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b24_effective_tokens": f"""
+            WITH keyed AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS nt,
+                     {_NORM_SQL} AS k
+              FROM documents
+            ),
+            sizes AS (SELECT k, count(*) AS g FROM keyed GROUP BY k),
+            per AS (
+              SELECT source, nt, (nt * 1000000) // g AS eff6
+              FROM keyed JOIN sizes USING (k)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS raw_tokens,
+                   round(sum(eff6) / 1e6, 6) AS effective_tokens,
+                   round(sum(nt) / (sum(eff6) / 1e6), 6) AS inflation
+            FROM per GROUP BY source
+        """,
+        "b7_returned_revenue": """
+            WITH agg AS (
+              SELECT c.c_custkey, c.c_name, n.n_name,
+                     round(CAST(sum(
+                       CAST(l.l_extendedprice AS DECIMAL(38,6))
+                       * (CAST(1 AS DECIMAL(38,6))
+                          - CAST(l.l_discount AS DECIMAL(38,6)))
+                     ) AS DOUBLE), 2) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= '1995-01-01'
+                AND o.o_orderdate < '1996-01-01'
+              GROUP BY c.c_custkey, c.c_name, n.n_name
+            )
+            SELECT *, CAST(row_number() OVER (
+              ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rank
+            FROM agg
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
         "b30_phrase_search": f"""
             WITH tk AS (
               SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
