@@ -5996,6 +5996,67 @@ def q_b7_returned_revenue(spark, sf_dir):
     )
 
 
+def q_b28_pack_efficiency(spark, sf_dir):
+    """Sequence-packing efficiency report (B28 depth, r8): per 512-token
+    pack of b28_packing's manifest — doc count, token sum, fill ratio
+    and the overflow flag (exclusive-cumsum packing lets a boundary doc
+    spill past the budget; the report quantifies how much budget is
+    actually used vs wasted, the number that prices a packing policy).
+    One keyed agg over the distributed prefix-sum output."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    packed = sampling.pack_sequences(
+        sized, "doc_id", "n_tok", budget=512, bucket_size=64
+    )
+    return packed.groupBy(F.col("pack_id").cast("bigint").alias("pack_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.round(F.sum("n_tok") / F.lit(512.0), 6).alias("fill"),
+        (F.sum("n_tok") > 512).alias("overflow"),
+    )
+
+
+def q_b3_anomaly(spark, sf_dir):
+    """Seasonal-naive anomaly screen (B3 monitoring depth, r8 —
+    b3_changepoint localizes a LEVEL shift; this flags individual
+    outlier days): daily event counts vs the same weekday one week
+    earlier; a day is anomalous when its residual exceeds 3× the MAD
+    of all residuals. Day counts contract the stream to a |days|-row
+    relation; the lag-7 window and the 1-row MAD broadcast run over
+    that bounded relation only (the psi/changepoint rule)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 86400"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("day").asc())
+    with_prev = daily.withColumn("__prev", F.lag("n", 7).over(w)).withColumn(
+        "resid", (F.col("n") - F.col("__prev")).cast("long")
+    )
+    mad = with_prev.filter(F.col("resid").isNotNull()).agg(
+        F.median(F.abs("resid")).alias("__mad")
+    )
+    return (
+        with_prev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            F.col("__prev").cast("long").alias("expected"),
+            "resid",
+            F.when(
+                F.col("resid").isNotNull(),
+                F.abs("resid") > 3 * F.greatest(F.col("__mad"), F.lit(1.0)),
+            ).alias("anomalous"),
+        )
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6226,6 +6287,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_retention": q_b15_retention,
         "b30_phrase_search": q_b30_phrase_search,
         "b24_effective_tokens": q_b24_effective_tokens,
+        "b28_pack_efficiency": q_b28_pack_efficiency,
+        "b3_anomaly": q_b3_anomaly,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8352,6 +8415,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b28_pack_efficiency": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+            ),
+            packed AS (
+              SELECT doc_id, n_tok,
+                     CAST(floor(
+                       CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS DOUBLE) / 512)
+                       AS BIGINT) AS pack_id
+              FROM t
+            )
+            SELECT pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   round(sum(n_tok) / 512.0, 6) AS fill,
+                   sum(n_tok) > 512 AS overflow
+            FROM packed GROUP BY pack_id
+        """,
+        "b3_anomaly": """
+            WITH daily AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1
+            ),
+            wp AS (
+              SELECT day, n,
+                     lag(n, 7) OVER (ORDER BY day ASC) AS prev,
+                     n - lag(n, 7) OVER (ORDER BY day ASC) AS resid
+              FROM daily
+            ),
+            mad AS (
+              SELECT median(abs(resid)) AS m FROM wp WHERE resid IS NOT NULL
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(prev AS BIGINT) AS expected,
+                   CAST(resid AS BIGINT) AS resid,
+                   CASE WHEN resid IS NOT NULL
+                        THEN abs(resid) > 3 * greatest(mad.m, 1.0)
+                        END AS anomalous
+            FROM wp, mad
+        """,
         "b24_effective_tokens": f"""
             WITH keyed AS (
               SELECT doc_id, source,

@@ -433,14 +433,16 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     # distributed_ntile phase 2 (r8): the |partitions|-row offsets
     # relation — the per-user ntile itself is range-partitioned now
     "b15_rfm",
-    # cumulative windows over the |days|-row daily relation
+    # cumulative/lag windows over the |days|-row daily relation
     "b3_changepoint",
     "b15_concurrency",
+    "b3_anomaly",
     # prefix_sum phase 2: the per-bucket offsets relation (n/4096
     # rows; sampling.prefix_sum documents the contraction)
     "b28_packing",
     "b28_curriculum",
     "b24_corpus_v3",
+    "b28_pack_efficiency",
     # share-of-total over the |nations|-row aggregate
     "b10_share_of_total",
     # running sum over the 10-row decile relation
