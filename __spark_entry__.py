@@ -6057,6 +6057,37 @@ def q_b3_anomaly(spark, sf_dir):
     )
 
 
+def q_b17_join_view(spark, sf_dir):
+    """Incremental JOIN-view maintenance (B17 depth, r8): the standing
+    orders⋈customer view folds a CDC batch touching BOTH sides —
+    orders %13 re-priced (+1), customers %17 re-balanced (+5) — via
+    the delta rule Δ(A⋈B) = ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB with
+    multiplying tuple weights (derive.incremental_join_view). Cost ∝
+    batch ⋈ snapshots; the base join is NEVER recomputed. The oracle
+    recomputes the join over the post-batch tables, so the driver row
+    IS the increment-equals-recompute invariant."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    view = orders.join(cust, "o_custkey")
+    a_del = orders.filter(F.col("o_orderkey") % 13 == 0)
+    a_ins = a_del.withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2)
+    )
+    b_del = cust.filter(F.col("o_custkey") % 17 == 0)
+    b_ins = b_del.withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 5.0, 2)
+    )
+    return derive.incremental_join_view(
+        view, orders, cust, "o_custkey",
+        a_inserts=a_ins, a_deletes=a_del,
+        b_inserts=b_ins, b_deletes=b_del,
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6289,6 +6320,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b24_effective_tokens": q_b24_effective_tokens,
         "b28_pack_efficiency": q_b28_pack_efficiency,
         "b3_anomaly": q_b3_anomaly,
+        "b17_join_view": q_b17_join_view,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8415,6 +8447,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b19_dup_clusters": _dup_clusters_oracle_sql(),
         "b19_cluster_stability": _cluster_stability_oracle_sql(),
+        "b17_join_view": """
+            -- from-scratch recompute over the POST-batch tables: the
+            -- oracle row is the increment-equals-recompute invariant
+            WITH a_new AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN round(o_totalprice + 1.0, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders
+            ),
+            b_new AS (
+              SELECT c_custkey AS o_custkey, c_name,
+                     CASE WHEN c_custkey % 17 = 0
+                          THEN round(c_acctbal + 5.0, 2)
+                          ELSE c_acctbal END AS c_acctbal
+              FROM customer
+            )
+            SELECT a_new.o_custkey, o_orderkey, o_totalprice,
+                   c_name, c_acctbal
+            FROM a_new JOIN b_new USING (o_custkey)
+        """,
         "b28_pack_efficiency": f"""
             WITH t AS (
               SELECT doc_id,

@@ -733,3 +733,42 @@ def test_compact_log_max_by_equals_window(spark, sf_dir):
     )
     assert "WindowExec" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_incremental_join_view_both_sides_same_key(spark):
+    # the hard case of the delta rule: A and B both mutate rows sharing
+    # ONE join key in the same batch — the ΔA⋈ΔB cross term must cancel
+    # exactly (old×new ghosts) so the increment equals a recompute
+    a_old = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "a2"), (3, 20, "a3")], "apk long, k long, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(100, 10, "b1"), (200, 20, "b2")], "bpk long, k long, bv string"
+    )
+    view = a_old.join(b_old, "k")
+    # batch: update a1 (same key), update b1 (same key 10), delete a3,
+    # insert a brand-new a4 under key 20
+    a_del = spark.createDataFrame(
+        [(1, 10, "a1"), (3, 20, "a3")], "apk long, k long, av string"
+    )
+    a_ins = spark.createDataFrame(
+        [(1, 10, "a1x"), (4, 20, "a4")], "apk long, k long, av string"
+    )
+    b_del = spark.createDataFrame([(100, 10, "b1")], "bpk long, k long, bv string")
+    b_ins = spark.createDataFrame([(100, 10, "b1x")], "bpk long, k long, bv string")
+    got = derive.incremental_join_view(
+        view, a_old, b_old, "k",
+        a_inserts=a_ins, a_deletes=a_del,
+        b_inserts=b_ins, b_deletes=b_del,
+    )
+    a_new = spark.createDataFrame(
+        [(1, 10, "a1x"), (2, 10, "a2"), (4, 20, "a4")],
+        "apk long, k long, av string",
+    )
+    b_new = spark.createDataFrame(
+        [(100, 10, "b1x"), (200, 20, "b2")], "bpk long, k long, bv string"
+    )
+    want = a_new.join(b_new, "k")
+    gs = sorted(tuple(r) for r in got.select(sorted(got.columns)).collect())
+    ws = sorted(tuple(r) for r in want.select(sorted(want.columns)).collect())
+    assert gs == ws
