@@ -1099,3 +1099,102 @@ def test_streaming_corpus_counters_match_batch(spark, tmp_path):
     }
     assert got == want
     assert ("web", "de") not in got  # zero-count group fully evicted
+
+
+def test_streaming_join_view_maintenance_matches_batch(spark, tmp_path):
+    # the JOIN-view leg of the MV family: micro-batches carrying CDC
+    # deltas for BOTH sides of a standing A(k) x B(k) join view fold in
+    # via incremental_join_view; after the stream drains the view must
+    # equal a from-scratch join of the final table states
+    import time
+
+    from sqlite_cdc_spark import derive
+
+    # waves: (side, op, pk, k, v)
+    waves = [
+        [
+            ("a", "INSERT", 1, 10, "a1"), ("a", "INSERT", 2, 20, "a2"),
+            ("b", "INSERT", 100, 10, "b1"), ("b", "INSERT", 200, 20, "b2"),
+        ],
+        [
+            ("a", "UPDATE", 1, 10, "a1x"),  # payload change, same key
+            ("b", "DELETE", 200, 20, "b2"),
+        ],
+        [
+            ("a", "INSERT", 3, 10, "a3"),
+            ("b", "INSERT", 300, 10, "b3"),
+        ],
+    ]
+    schema = "side string, operation string, pk long, k long, v string"
+    src = str(tmp_path / "jvsrc")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    a_schema = "apk long, k long, av string"
+    b_schema = "bpk long, k long, bv string"
+    empty_view = spark.createDataFrame([], "k long, apk long, av string, bpk long, bv string")
+    state = {
+        "a": spark.createDataFrame([], a_schema),
+        "b": spark.createDataFrame([], b_schema),
+        "v": empty_view,
+    }
+
+    def handle(batch, bid):
+        batch = batch.localCheckpoint()
+
+        def side(s, pk_name, v_name):
+            rows = batch.filter(F.col("side") == s)
+            ins = rows.filter(F.col("operation").isin("INSERT", "UPDATE")).select(
+                F.col("pk").alias(pk_name), "k", F.col("v").alias(v_name)
+            )
+            # UPDATE deletes its before-image: reconstruct from the
+            # standing snapshot by pk (the CDC before image at scale)
+            upd_del = rows.filter(F.col("operation") == "UPDATE").select(
+                F.col("pk").alias(pk_name)
+            )
+            del_keys = rows.filter(F.col("operation") == "DELETE").select(
+                F.col("pk").alias(pk_name)
+            )
+            old = state[s[0]]
+            dels = old.join(
+                upd_del.unionByName(del_keys).distinct(), pk_name
+            ).select(*old.columns)
+            return ins, dels
+
+        a_ins, a_del = side("a", "apk", "av")
+        b_ins, b_del = side("b", "bpk", "bv")
+        state["v"] = derive.incremental_join_view(
+            state["v"], state["a"], state["b"], "k",
+            a_inserts=a_ins, a_deletes=a_del,
+            b_inserts=b_ins, b_deletes=b_del,
+        ).localCheckpoint()
+        # roll the base snapshots forward (apply the same deltas)
+        for s, ins, dels, pk in (
+            ("a", a_ins, a_del, "apk"), ("b", b_ins, b_del, "bpk"),
+        ):
+            kept = state[s].join(
+                dels.select(pk).unionByName(ins.select(pk)).distinct(),
+                pk,
+                "left_anti",
+            )
+            state[s] = kept.unionByName(ins).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "jvckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = state["a"].join(state["b"], "k")
+    got, exp = state["v"], want
+    gs = sorted(tuple(r) for r in got.select(sorted(got.columns)).collect())
+    ws = sorted(tuple(r) for r in exp.select(sorted(exp.columns)).collect())
+    assert gs == ws
+    # and the final tables are what the waves imply
+    assert sorted(r.av for r in state["a"].collect()) == ["a1x", "a2", "a3"]
