@@ -79,6 +79,9 @@ HEADLINE = [
     "b22_audio_stats",         # genuine PCM s16le decode + screening (B22)
     "b9_scd2_pit",             # SCD2 point-in-time keyed range join (B9)
     "b29_semantic_decontam_ann",  # LSH-bucketed decontam (B29 scale path)
+    "b21_source_kl",           # full-vocab smoothed KL grid (B21/B28)
+    "b30_phrase_search",       # positional adjacency join (B30)
+    "b17_join_view",           # delta-rule join-view maintenance (B17)
 ]
 
 
