@@ -5641,7 +5641,7 @@ def q_b19_cluster_stability(spark, sf_dir):
         corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
         base_hash="md5",
     )
-    near = dedup.dup_clusters(pairs, with_sizes=False).select(
+    near = dedup.dup_clusters(pairs).select(
         "doc_id", F.col("cluster_id").alias("__a")
     )
     from pyspark.sql import Window as _W

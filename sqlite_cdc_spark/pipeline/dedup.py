@@ -879,7 +879,6 @@ def dup_clusters(
     max_iter: int = 25,
     algorithm: str = "auto",
     propagate_rounds: int = 4,
-    with_sizes: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every doc appearing in a
     pair gets a ``cluster_id`` = the smallest doc id in its component.
@@ -923,17 +922,11 @@ def dup_clusters(
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     ).localCheckpoint(eager=False)
-    return _clusters_from_pairs(
-        e, max_iter, algorithm, propagate_rounds, with_sizes=with_sizes
-    )
+    return _clusters_from_pairs(e, max_iter, algorithm, propagate_rounds)
 
 
 def _clusters_from_pairs(
-    e: DataFrame,
-    max_iter: int,
-    algorithm: str,
-    propagate_rounds: int = 4,
-    with_sizes: bool = True,
+    e: DataFrame, max_iter: int, algorithm: str, propagate_rounds: int = 4
 ) -> DataFrame:
     """CC + labeling over an already-CHEAP ``(src, dst)`` pair frame (a
     checkpoint, or cheap joins of checkpointed frames — it is re-read
@@ -954,7 +947,14 @@ def _clusters_from_pairs(
             global LAST_CC_ROUNDS
             LAST_CC_ROUNDS = 1  # single union-find pass
             labels = _cc_local(e)
-            return _label_out(labels, with_sizes)
+            sizes = Window.partitionBy("label")
+            return labels.select(
+                F.col("v").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                F.count(F.lit(1)).over(sizes).cast("bigint").alias(
+                    "cluster_size"
+                ),
+            )
     # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
     # deserves a singleton cluster. The propagate backend is SEEDED with
     # it (isolated vertices ride the rounds labeling themselves — no
@@ -994,24 +994,10 @@ def _clusters_from_pairs(
         labels = verts.join(labels, "v", "left").select(
             "v", F.coalesce("label", F.col("v")).alias("label")
         )
-    return _label_out(labels, with_sizes)
-
-
-def _label_out(labels: DataFrame, with_sizes: bool) -> DataFrame:
-    """(v, label) -> the public (doc_id, cluster_id[, cluster_size])
-    shape. ``with_sizes=False`` skips the size window entirely — the
-    incremental composition (dup_clusters feeding update_clusters)
-    recomputes sizes once at the very end, so intermediate size
-    windows are one shuffle each of pure waste (r8)."""
-    out = labels.select(
-        F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
-    if not with_sizes:
-        return out
-    sizes = Window.partitionBy("cluster_id")
-    return out.select(
-        "doc_id",
-        "cluster_id",
+    sizes = Window.partitionBy("label")
+    return labels.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
         F.count(F.lit(1)).over(sizes).cast("bigint").alias("cluster_size"),
     )
 
@@ -1090,7 +1076,7 @@ def update_clusters(
         # two joins, so materialize the |batch|-bounded result once
         .localCheckpoint(eager=False)
     )
-    sub = _clusters_from_pairs(m, max_iter, algorithm, with_sizes=False)
+    sub = _clusters_from_pairs(m, max_iter, algorithm)
     roots = sub.select(
         F.col("doc_id").alias("__cv"), F.col("cluster_id").alias("__nl")
     ).localCheckpoint(eager=False)
