@@ -6088,6 +6088,23 @@ def q_b17_join_view(spark, sf_dir):
     )
 
 
+def q_b30_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval rank fusion (B30 depth, r8): the BM25 and
+    Dirichlet-QL top-15 lists for the same query fuse by reciprocal
+    rank (Σ 1/(60+rank) — the standard ensemble for scorers whose raw
+    scales don't compare); full-outer join of two BOUNDED lists, fused
+    top-10 via distributed limit-then-rank (lm.rrf_fuse)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["merge", "join", "batch"]
+    return lm.rrf_fuse(
+        lm.bm25_search(docs, "doc_id", terms, top_k=15),
+        lm.ql_search(docs, "doc_id", terms, mu=2000.0, top_k=15),
+        "doc_id",
+        k=60,
+        top_k=10,
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6321,6 +6338,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b28_pack_efficiency": q_b28_pack_efficiency,
         "b3_anomaly": q_b3_anomaly,
         "b17_join_view": q_b17_join_view,
+        "b30_rrf_fusion": q_b30_rrf_fusion,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8821,6 +8839,87 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
               FROM scored
             ) WHERE rank <= 3
+        """,
+        "b30_rrf_fusion": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+              FROM nz GROUP BY doc_id
+            ),
+            scalars AS (
+              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+                     CAST(count(*) AS DOUBLE) AS n_docs
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM nz
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
+            ),
+            dfx AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
+            ),
+            bm25 AS (
+              SELECT doc_id, round(sum(
+                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+                   CROSS JOIN scalars s
+              GROUP BY doc_id
+            ),
+            bm25_ranked AS (
+              SELECT doc_id, rank_a FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS rank_a
+                FROM bm25
+              ) WHERE rank_a <= 15
+            ),
+            bigt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM nz),
+            cf AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM nz
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY tok
+            ),
+            qlm AS (
+              SELECT tf.doc_id,
+                     sum(ln(1.0 + tf.tf * bigt.t / (2000.0 * cf.cf))) AS m
+              FROM tf JOIN cf USING (tok) CROSS JOIN bigt
+              GROUP BY tf.doc_id
+            ),
+            ql AS (
+              SELECT qlm.doc_id,
+                     round(m + 3.0 * ln(2000.0 / (dl.dl + 2000.0)), 6)
+                       AS score
+              FROM qlm JOIN dl USING (doc_id)
+            ),
+            ql_ranked AS (
+              SELECT doc_id, rank_b FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS rank_b
+                FROM ql
+              ) WHERE rank_b <= 15
+            ),
+            fused AS (
+              SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     a.rank_a, b.rank_b,
+                     round(coalesce(1.0 / (60 + a.rank_a), 0.0)
+                           + coalesce(1.0 / (60 + b.rank_b), 0.0), 6)
+                       AS rrf_score
+              FROM bm25_ranked a FULL OUTER JOIN ql_ranked b
+                ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+                   CAST(rank_b AS BIGINT) AS rank_b, rrf_score,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY rrf_score DESC, doc_id ASC) AS rank
+              FROM fused
+            ) WHERE rank <= 10
         """,
         "b21_bm25": f"""
             WITH toks AS (

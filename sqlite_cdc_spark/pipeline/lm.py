@@ -864,3 +864,39 @@ def phrase_search(
     return cur.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists (Cormack et
+    al.'s public RRF: ``score = Σ 1/(k + rank)``) — the standard way to
+    ensemble scorers whose raw scores aren't comparable (BM25's
+    rarity-weighted sums vs QL's log-likelihoods). Inputs are top-k
+    lists carrying a ``rank`` column, so the fusion is a full-outer
+    join of two BOUNDED relations: absent ranks contribute 0, the
+    fused top-``top_k`` re-ranks ≤ |a|+|b| rows (distributed
+    limit-then-rank). Output ``(id, rrf_score, rank_a, rank_b,
+    rank)``."""
+    ra = ranked_a.select(id_col, F.col("rank").alias("rank_a"))
+    rb = ranked_b.select(id_col, F.col("rank").alias("rank_b"))
+    fused = ra.join(rb, id_col, "full_outer").select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
