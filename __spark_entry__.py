@@ -6105,6 +6105,37 @@ def q_b30_rrf_fusion(spark, sf_dir):
     )
 
 
+def q_b9_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join (B9 depth, r8) — the feature-store
+    max-staleness rule: each order takes the user's latest event at or
+    before the order date ONLY if it is at most 7 days old; staler
+    matches enrich as NULL rather than silently serving ancient
+    features (derive.asof_join(tolerance_seconds=604800)). The bound
+    lives IN the join condition, which also caps the range-join
+    fan-out to the tolerance window at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts", "event_id", "value"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100).alias("k"),
+            F.col("o_orderdate").cast("timestamp").alias("odate"),
+        )
+        .filter(F.col("o_orderkey") % 29 == 0)
+    )
+    out = derive.asof_join(
+        o, ev, ["k"], "odate", "ts", tolerance_seconds=7 * 86400
+    )
+    return out.select(
+        F.col("l_o_orderkey").alias("o_orderkey"),
+        F.col("l_k").alias("k"),
+        F.col("r_event_id").cast("bigint").alias("event_id"),
+        F.col("r_value").alias("value"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6339,6 +6370,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_anomaly": q_b3_anomaly,
         "b17_join_view": q_b17_join_view,
         "b30_rrf_fusion": q_b30_rrf_fusion,
+        "b9_asof_tolerance": q_b9_asof_tolerance,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8920,6 +8952,27 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY rrf_score DESC, doc_id ASC) AS rank
               FROM fused
             ) WHERE rank <= 10
+        """,
+        "b9_asof_tolerance": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey % 100 AS k,
+                     CAST(o_orderdate AS TIMESTAMP) AS odate
+              FROM orders WHERE o_orderkey % 29 = 0
+            ),
+            j AS (
+              SELECT o.o_orderkey, o.k, e.event_id, e.value, e.ts,
+                     row_number() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC NULLS LAST,
+                                e.event_id DESC NULLS LAST) AS rn
+              FROM o LEFT JOIN events e
+                ON e.user_id = o.k AND e.ts <= o.odate
+               AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                   >= CAST(floor(epoch(o.odate)) AS BIGINT) - 604800
+            )
+            SELECT o_orderkey, k,
+                   CAST(event_id AS BIGINT) AS event_id, value
+            FROM j WHERE rn = 1
         """,
         "b21_bm25": f"""
             WITH toks AS (

@@ -154,6 +154,7 @@ def asof_join(
     keys: Sequence[str],
     left_ts: str,
     right_ts: str,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with the same key
     and ``right_ts <= left_ts``.
@@ -162,6 +163,11 @@ def asof_join(
     strategy), range filter, then per-(left row) top-1 by right timestamp.
     For dense right sides, a bucketed/interval-partitioned variant bounds
     the join fan-out; at fixture scales the fan-out is modest.
+
+    ``tolerance_seconds`` adds the feature-store max-staleness bound:
+    only right rows within ``[left_ts - tolerance, left_ts]`` qualify;
+    left rows whose only matches are too stale keep a NULL enrichment
+    (they are not dropped).
     """
     # a synthetic unique row id keys the per-left-row top-1: partitioning
     # the dedup window by the left *columns* would collapse duplicate left
@@ -172,6 +178,17 @@ def asof_join(
     rpref = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
     cond = [F.col(f"l_{k}") == F.col(f"r_{k}") for k in keys]
     cond.append(F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}"))
+    if tolerance_seconds is not None:
+        # feature-store max-staleness semantics: a match older than the
+        # tolerance is as good as no match (NULL enrichment) — the bound
+        # must live IN the join condition so too-stale-only rows still
+        # emit their left row, and at scale it also caps the range-join
+        # fan-out to the tolerance window
+        cond.append(
+            F.unix_timestamp(F.col(f"r_{right_ts}").cast("timestamp"))
+            >= F.unix_timestamp(F.col(f"l_{left_ts}").cast("timestamp"))
+            - F.lit(int(tolerance_seconds))
+        )
     joined = lpref.join(rpref, cond, "left")
     w = Window.partitionBy("__lid").orderBy(
         F.col(f"r_{right_ts}").desc_nulls_last()
