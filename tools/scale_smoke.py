@@ -552,6 +552,72 @@ def r8_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     )
     run("rfm_ntile", lambda: derive.rfm_segments(ev2)
         .write.format("noop").mode("overwrite").save())
+
+    # per-source KL over the full vocab x sources grid
+    docs_src = docs.withColumn(
+        "source", F.concat(F.lit("s"), F.pmod(F.xxhash64("doc_id"), 20))
+    )
+
+    def source_kl():
+        toks = docs_src.select(
+            "source", F.explode(textops.tokens("text")).alias("tok")
+        ).filter(F.col("tok") != "")
+        st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("nst"))
+        ct = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nt"))
+        stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+        gtot = toks.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("tok").alias("v")
+        )
+        grid = ct.crossJoin(F.broadcast(stot))
+        cells = grid.join(st, ["source", "tok"], "left").crossJoin(
+            F.broadcast(gtot)
+        )
+        p = (F.coalesce(F.col("nst"), F.lit(0)) + 1) / (
+            F.col("ns") + F.col("v")
+        )
+        q = (F.col("nt") + 1) / (F.col("n") + F.col("v"))
+        (cells.select(
+            "source", F.floor(p * F.log(p / q) * 1e8).cast("long").alias("t8"))
+         .groupBy("source").agg(F.sum("t8").alias("kl8"))
+         .write.format("noop").mode("overwrite").save())
+
+    run("source_kl", source_kl)
+
+    # positional phrase retrieval: adjacency join over filtered postings
+    def phrase():
+        pos = docs.select(
+            "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "tok")
+        ).filter(F.col("tok").isin("w001", "w002"))
+        a = pos.filter(F.col("tok") == "w001").select("doc_id", F.col("pos").alias("p"))
+        b = pos.filter(F.col("tok") == "w002").select(
+            "doc_id", (F.col("pos") - 1).alias("p")
+        )
+        (a.join(b, ["doc_id", "p"]).groupBy("doc_id")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
+    run("phrase_search", phrase)
+
+    # delta-rule join-view maintenance: |batch| deltas vs full snapshots
+    a_tab = spark.range(rows // 4).select(
+        F.col("id").alias("apk"),
+        F.pmod(F.xxhash64("id"), rows // 40).alias("jk"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("av"),
+    )
+    b_tab = spark.range(rows // 40).select(
+        F.col("id").alias("jk"),
+        F.pmod(F.xxhash64("id", F.lit(2)), 7).alias("bv"),
+    )
+
+    def join_view():
+        view = a_tab.join(b_tab, "jk")
+        a_del = a_tab.filter(F.col("apk") % 50 == 0)
+        a_ins = a_del.withColumn("av", F.col("av") + 1.0)
+        (derive.incremental_join_view(
+            view, a_tab, b_tab, "jk", a_inserts=a_ins, a_deletes=a_del)
+         .write.format("noop").mode("overwrite").save())
+
+    run("join_view", join_view)
     return out
 
 
