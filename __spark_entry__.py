@@ -6136,6 +6136,93 @@ def q_b9_asof_tolerance(spark, sf_dir):
     )
 
 
+#: B25 SQL-surface window functions — ONE literal SQL string run
+#: verbatim on both engines (the same-text parity discipline as the
+#: other b25 rows): ranking, dense ranking, a running decimal frame
+#: sum, and lag, all inside inline OVER clauses.
+_SQL_WINDOW_FUNCS = """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             l_extendedprice
+      FROM lineitem WHERE l_orderkey % 37 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(row_number() OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                      l_quantity
+           ) AS BIGINT) AS rn,
+           CAST(dense_rank() OVER (
+             PARTITION BY l_returnflag ORDER BY l_quantity
+           ) AS BIGINT) AS dr,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS run_sum,
+           CAST(lag(l_linenumber) OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_extendedprice
+           ) AS BIGINT) AS prev_ln
+    FROM base
+"""
+
+q_b25_sql_window = _sql_query(_SQL_WINDOW_FUNCS, "lineitem")
+
+
+def q_b14_trig_funcs(spark, sf_dir):
+    """Math/trig function-surface parity (B14 depth, r8): sin/cos/tan,
+    atan2, sqrt (IEEE-exact), exp, pow, degrees/radians, sign — all
+    rounded 6 so libm last-ulp differences between the JVM and C
+    implementations can never surface. Pure narrow map."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_size").cast("double") / 10.0
+    y = (F.col("p_partkey") % 13).cast("double") / 7.0
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(x), 6).alias("sin_x"),
+        F.round(F.cos(x), 6).alias("cos_x"),
+        F.round(F.tan(y), 6).alias("tan_y"),
+        F.round(F.atan2(y, x + F.lit(0.1)), 6).alias("atan2_yx"),
+        F.round(F.sqrt(F.col("p_retailprice").cast("double")), 6).alias("sqrt_p"),
+        F.round(F.exp(-x), 6).alias("exp_nx"),
+        F.round(F.pow(x + F.lit(1.0), 3), 6).alias("pow3"),
+        F.round(F.degrees(y), 6).alias("deg_y"),
+        F.round(F.radians(F.col("p_size").cast("double")), 6).alias("rad_s"),
+        F.signum(F.col("p_size").cast("double") - 25.0).cast("int").alias("sgn"),
+    )
+
+
+def q_b2_vacuum_stats(spark, sf_dir):
+    """Log-retention accounting (B2 ops depth, r8): per table-key, how
+    many superseded change rows a compaction could reclaim and how many
+    image bytes they hold — the sizing number a log-vacuum policy needs
+    BEFORE it runs (streaming.prune_log is the executor; this is its
+    planner). One keyed agg over the change log; reclaimable = all but
+    the key's latest row."""
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(
+        F.coalesce("after", "before"), "$.user_id"
+    ).cast("bigint")
+    sized = ch.select(
+        key.alias("user_id"),
+        "id",
+        (
+            F.coalesce(F.octet_length("before"), F.lit(0))
+            + F.coalesce(F.octet_length("after"), F.lit(0))
+        ).cast("long").alias("__bytes"),
+    )
+    return sized.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("reclaimable_rows"),
+        (F.sum("__bytes") - F.max_by("__bytes", "id")).cast("long").alias(
+            "reclaimable_bytes"
+        ),
+        F.sum("__bytes").cast("long").alias("total_bytes"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6371,6 +6458,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_join_view": q_b17_join_view,
         "b30_rrf_fusion": q_b30_rrf_fusion,
         "b9_asof_tolerance": q_b9_asof_tolerance,
+        "b25_sql_window": q_b25_sql_window,
+        "b14_trig_funcs": q_b14_trig_funcs,
+        "b2_vacuum_stats": q_b2_vacuum_stats,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8102,6 +8192,42 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'fr' THEN 100 ELSE 50 END
         """,
         "b25_sql_exists": _SQL_EXISTS,
+        "b25_sql_window": _SQL_WINDOW_FUNCS,
+        "b14_trig_funcs": """
+            SELECT p_partkey,
+                   round(sin(p_size / 10.0), 6) AS sin_x,
+                   round(cos(p_size / 10.0), 6) AS cos_x,
+                   round(tan((p_partkey % 13) / 7.0), 6) AS tan_y,
+                   round(atan2((p_partkey % 13) / 7.0,
+                               p_size / 10.0 + 0.1), 6) AS atan2_yx,
+                   round(sqrt(CAST(p_retailprice AS DOUBLE)), 6) AS sqrt_p,
+                   round(exp(-(p_size / 10.0)), 6) AS exp_nx,
+                   round(pow(p_size / 10.0 + 1.0, 3), 6) AS pow3,
+                   round(degrees((p_partkey % 13) / 7.0), 6) AS deg_y,
+                   round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_s,
+                   CAST(sign(CAST(p_size AS DOUBLE) - 25.0) AS INTEGER)
+                     AS sgn
+            FROM part
+        """,
+        "b2_vacuum_stats": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            sized AS (
+              SELECT CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT)
+                       AS user_id,
+                     id,
+                     coalesce(strlen(before), 0)
+                       + coalesce(strlen(after), 0) AS b
+              FROM changes
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - 1 AS BIGINT) AS reclaimable_rows,
+                   CAST(sum(b) - max_by(b, id) AS BIGINT)
+                     AS reclaimable_bytes,
+                   CAST(sum(b) AS BIGINT) AS total_bytes
+            FROM sized GROUP BY user_id
+        """,
         "b8_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
         "b8_idle_customers": _SQL_IDLE_CUSTOMERS,
         "b25_sql_correlated": _SQL_CORRELATED_COUNT,
