@@ -6223,6 +6223,68 @@ def q_b2_vacuum_stats(spark, sf_dir):
     )
 
 
+def q_b11_cumulative_distinct(spark, sf_dir):
+    """Running distinct-user curve (B11/B15 depth, r8): distinct users
+    ever seen, after each day — the growth curve behind DAU/MAU and
+    vocabulary-style saturation questions. NO iteration and NO
+    distinct-per-prefix blowup: each user's FIRST-seen day is one
+    min-agg, new-user counts per day one more, and the cumulative sum
+    runs over the bounded |days| relation (the heaps-curve shape)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(
+        "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+        " div 86400"
+    )
+    first = ev.select("user_id", day.alias("__d")).groupBy("user_id").agg(
+        F.min("__d").alias("first_day")
+    )
+    per_day = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+def q_b26_exact_quota(spark, sf_dir):
+    """Exact per-stratum quota sampling (B26 depth, r8): exactly
+    ``min(|stratum|, quota)`` docs per language by deterministic hash
+    rank — the exact-count companion to the rate-based stratified
+    sampler (rates give expected counts; audits and eval sets need
+    exact ones). The per-stratum rank uses the two-phase
+    ``distributed_row_number``, so a dominant stratum never serializes
+    through one task; output is the per-stratum audit (taken vs
+    available)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", sampling.hash_bucket("doc_id", 1 << 32).alias("__pri")
+    )
+    ranked = derive.distributed_row_number(
+        staged, ["lang"], [F.col("__pri").asc(), F.col("doc_id").asc()],
+        out_col="__r",
+    )
+    taken = ranked.filter(F.col("__r") <= 40)
+    avail = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_available")
+    )
+    return (
+        taken.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_taken"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .join(F.broadcast(avail), "lang")
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6461,6 +6523,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_window": q_b25_sql_window,
         "b14_trig_funcs": q_b14_trig_funcs,
         "b2_vacuum_stats": q_b2_vacuum_stats,
+        "b11_cumulative_distinct": q_b11_cumulative_distinct,
+        "b26_exact_quota": q_b26_exact_quota,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8193,6 +8257,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b25_sql_exists": _SQL_EXISTS,
         "b25_sql_window": _SQL_WINDOW_FUNCS,
+        "b26_exact_quota": f"""
+            WITH pri AS (
+              SELECT doc_id, lang,
+                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS r
+              FROM pri
+            ),
+            avail AS (
+              SELECT lang, count(*) AS n_available FROM pri GROUP BY lang
+            )
+            SELECT t.lang,
+                   CAST(count(*) AS BIGINT) AS n_taken,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc,
+                   CAST(max(doc_id) AS BIGINT) AS last_doc,
+                   CAST(min(avail.n_available) AS BIGINT) AS n_available
+            FROM ranked t JOIN avail ON avail.lang = t.lang
+            WHERE t.r <= 40
+            GROUP BY t.lang
+        """,
+        "b11_cumulative_distinct": """
+            WITH first AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                       AS first_day
+              FROM events GROUP BY user_id
+            ),
+            per_day AS (
+              SELECT first_day, count(*) AS new_users
+              FROM first GROUP BY first_day
+            )
+            SELECT CAST(first_day AS BIGINT) AS day,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(sum(new_users) OVER (ORDER BY first_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_users
+            FROM per_day
+        """,
         "b14_trig_funcs": """
             SELECT p_partkey,
                    round(sin(p_size / 10.0), 6) AS sin_x,
