@@ -437,6 +437,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "b3_changepoint",
     "b15_concurrency",
     "b3_anomaly",
+    "b11_cumulative_distinct",
     # prefix_sum phase 2: the per-bucket offsets relation (n/4096
     # rows; sampling.prefix_sum documents the contraction)
     "b28_packing",
