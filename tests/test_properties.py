@@ -314,3 +314,121 @@ def test_nn_resize_identity_when_dims_match(spark, w, h):
     out = mm.image_resize(df, w, h).collect()[0]
     _, _, arr = mm._parse_ppm(bytes(out.payload))
     assert arr.tobytes() == flat
+
+
+# --- r8: two-phase rank/ntile and the join-view delta rule ---------------
+
+ranked_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # group
+        st.integers(min_value=-50, max_value=50),   # order key (ties ok)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=ranked_rows_st, n=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_distributed_ntile_property(spark, rows, n):
+    """distributed_ntile == built-in ntile for ANY size/bucket count,
+    including N < n, heavy ties (id tie-break restores totality), and
+    single-row inputs."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "id long, k long"
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order)
+    want = {
+        r.id: r.t
+        for r in df.select("id", F.ntile(n).over(w).alias("t")).collect()
+    }
+    got = {
+        r.id: r.tile
+        for r in derive.distributed_ntile(df, order, n).collect()
+    }
+    assert got == want
+
+
+@given(rows=ranked_rows_st)
+@settings(**SETTINGS)
+def test_distributed_row_number_property(spark, rows):
+    """distributed_row_number == keyed-window row_number for ANY group
+    shape (all rows one group, all singletons, ties on the order key)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, g, k) for i, (g, k) in enumerate(rows)],
+        "id long, g long, k long",
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    got = {
+        r.id: r.rn
+        for r in derive.distributed_row_number(df, ["g"], order).collect()
+    }
+    assert got == want
+
+
+ab_tables_st = st.tuples(
+    # A rows: (apk unique via enumeration, join key, payload)
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), max_size=12
+    ),
+    # B rows
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), max_size=8
+    ),
+    # batch mutations: subsets of A/B pks to update, delete
+    st.sets(st.integers(0, 11), max_size=4),
+    st.sets(st.integers(0, 11), max_size=4),
+    st.sets(st.integers(0, 7), max_size=3),
+)
+
+
+@given(t=ab_tables_st)
+@settings(**SETTINGS)
+def test_incremental_join_view_property(spark, t):
+    """increment == recompute for ANY batch: payload updates, deletes,
+    and simultaneous same-key mutations on both sides (the cross-term
+    case), with empty tables and no-op batches included."""
+    a_rows, b_rows, upd_a, del_a, del_b = t
+    a_old = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(a_rows)],
+        "apk long, k long, av long",
+    )
+    b_old = spark.createDataFrame(
+        [(100 + i, k, v) for i, (k, v) in enumerate(b_rows)],
+        "bpk long, k long, bv long",
+    )
+    view = a_old.join(b_old, "k")
+    upd_a = upd_a - del_a  # an update of a deleted pk is meaningless
+    a_del = a_old.filter(
+        F.col("apk").isin(list(upd_a | del_a)) if (upd_a | del_a) else F.lit(False)
+    )
+    a_ins = a_old.filter(
+        F.col("apk").isin(list(upd_a)) if upd_a else F.lit(False)
+    ).withColumn("av", F.col("av") + 1000)
+    b_del = b_old.filter(
+        F.col("bpk").isin([100 + i for i in del_b]) if del_b else F.lit(False)
+    )
+    got = derive.incremental_join_view(
+        view, a_old, b_old, "k",
+        a_inserts=a_ins, a_deletes=a_del, b_inserts=None, b_deletes=b_del,
+    )
+    a_new = a_old.join(a_del.select("apk"), "apk", "left_anti").unionByName(
+        a_ins
+    )
+    b_new = b_old.join(b_del.select("bpk"), "bpk", "left_anti")
+    want = a_new.join(b_new, "k")
+    gs = sorted(tuple(r) for r in got.select(sorted(got.columns)).collect())
+    ws = sorted(tuple(r) for r in want.select(sorted(want.columns)).collect())
+    assert gs == ws
