@@ -6285,6 +6285,47 @@ def q_b26_exact_quota(spark, sf_dir):
     )
 
 
+def q_b24_corpus_v5(spark, sf_dir):
+    """Corpus-build capstone v5 (B24, r8) — the build recomposed from
+    THIS round's operators, one lazy plan:
+
+    1. exact dedup: keep each normalized-text group's min-id doc;
+    2. exact per-lang quota (60) by deterministic hash rank via the
+       two-phase ``distributed_row_number`` — no hot-lang straggler;
+    3. 1024-token packs over survivors (distributed prefix sum);
+    4. per-lang report: docs, tokens, packs, and the mean pack fill.
+
+    Keyed aggs + two-phase ranks + the prefix sum — no global sort of
+    the corpus anywhere; the oracle replays every stage."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        textops.token_count("text").alias("n_tok"),
+        dedup.normalize_text("text").alias("__k"),
+    )
+    keeper = keyed.groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keeper, ["__k", "doc_id"]).select(
+        "doc_id", "lang", "n_tok",
+        sampling.hash_bucket("doc_id", 1 << 32).alias("__pri"),
+    )
+    ranked = derive.distributed_row_number(
+        kept, ["lang"], [F.col("__pri").asc(), F.col("doc_id").asc()],
+        out_col="__r",
+    )
+    quota = ranked.filter(F.col("__r") <= 60).select(
+        "doc_id", "lang", "n_tok"
+    )
+    packed = sampling.pack_sequences(
+        quota.localCheckpoint(eager=False), "doc_id", "n_tok", budget=1024
+    )
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
@@ -6525,6 +6566,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_vacuum_stats": q_b2_vacuum_stats,
         "b11_cumulative_distinct": q_b11_cumulative_distinct,
         "b26_exact_quota": q_b26_exact_quota,
+        "b24_corpus_v5": q_b24_corpus_v5,
         "b7_returned_revenue": q_b7_returned_revenue,
         "b15_gap_fill": q_b15_gap_fill,
         "b30_ql_search": q_b30_ql_search,
@@ -8257,6 +8299,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "b25_sql_exists": _SQL_EXISTS,
         "b25_sql_window": _SQL_WINDOW_FUNCS,
+        "b24_corpus_v5": f"""
+            WITH keyed AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+                     {_NORM_SQL} AS k
+              FROM documents
+            ),
+            keeper AS (
+              SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k
+            ),
+            kept AS (
+              SELECT keyed.doc_id, lang, n_tok,
+                     {sampling.bucket_sql('keyed.doc_id', 1 << 32)} AS p
+              FROM keyed JOIN keeper
+                ON keeper.k = keyed.k AND keeper.doc_id = keyed.doc_id
+            ),
+            quota AS (
+              SELECT doc_id, lang, n_tok FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS r
+                FROM kept
+              ) WHERE r <= 60
+            ),
+            packed AS (
+              SELECT lang, n_tok,
+                     CAST(floor(
+                       CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS DOUBLE) / 1024)
+                       AS BIGINT) AS pack_id
+              FROM quota
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
+            FROM packed GROUP BY lang
+        """,
         "b26_exact_quota": f"""
             WITH pri AS (
               SELECT doc_id, lang,
