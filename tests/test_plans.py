@@ -444,6 +444,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "b28_curriculum",
     "b24_corpus_v3",
     "b28_pack_efficiency",
+    "b24_corpus_v5",
     # share-of-total over the |nations|-row aggregate
     "b10_share_of_total",
     # running sum over the 10-row decile relation
