@@ -6328,7 +6328,7 @@ def q_b24_corpus_v5(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R8_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -6582,89 +6582,82 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-8 driver window (first 50 of queries(); the driver's correctness
-#: gate checks exactly these). Composition per VERDICT r7 item 1:
-#: - the 25 registered r7-wave queries the driver has NEVER windowed
-#:   (all judge-verified locally in r7; earning first driver rows here
-#:   completes cumulative driver-green 216/217 — b27_sketches stays
-#:   rows-only outside the window by declared design);
-#: - b29_semantic_decontam_ann, this round's new ANN-bucketed
-#:   decontamination row (VERDICT r7 item 6);
-#: - every query whose code changed this round (limit-then-rank top-k
-#:   rewrites, the union-find CC fast path and its consumers, the
-#:   corpus-counter extraction, the byte-fold rename) — a driver hash
-#:   on changed code beats a stale green row;
-#: - 13 stalest green canaries (last driver-green r04).
-_R8_WINDOW = [
-    # never driver-windowed, r7-registered (judge local-verified, now
-    # earning real CORRECTNESS rows)
-    "b9_scd2_pit",
-    "b10_mad_outliers",
-    "b10_profit_by_nation_year",
-    "b10_promo_share",
-    "b7_nation_volume",
-    "b8_supplier_part_types",
-    "b11_lag_features",
-    "b15_concurrency",
-    "b15_forward_fill",
-    "b15_gap_fill",
-    "b19_blocking_quality",
-    "b19_lsh_quality",
-    "b20_centroid_drift",
-    "b21_quantile_norm",
-    "b22_audio_stats",
-    "b22_frame_extract",
-    "b22_image_stats",
-    "b24_dedup_manifest",
-    "b26_interleave",
-    "b29_incremental_decontam",
-    "b29_semantic_decontam",
-    "b30_assoc_rules",
-    "b30_ql_search",
-    "b3_fk_integrity",
-    "b3_freshness",
-    # new this round (VERDICT r7 item 6)
-    "b29_semantic_decontam_ann",
-    # code changed this round: top-k plan rewrites (item 2)
-    "b7_skew_diagnosis",
-    "b7_shipping_priority",
-    # code changed: union-find CC fast path (item 3) + every consumer
-    "b19_dup_clusters",
-    "b19_incremental_clusters",
-    "b19_embedding_clusters",
-    "b26_split_leakage",
-    "b19_cluster_stats",
-    "b26_cluster_kfold",
-    "b19_golden_records",
-    # code changed: corpus-counter extraction (item 7), byte-fold rename
-    "b24_incremental_card",
-    "b23_udf_features",
-    # stalest green canaries (last driver-green r04)
-    "b10_rollup",
-    "b10_cube",
-    "b10_percentiles",
-    "b10_grouping_sets",
-    "b11_ranks",
-    "b11_reconstruct_befores",
-    "b14_scalar_funcs",
-    "b14_date_funcs",
-    "b14_json_funcs",
-    "b14_array_funcs",
-    "b14_map_funcs",
-    "b15_session_windows",
-    "b15_sliding_windows",
+#: Round-9 driver window (first 50 of queries(); the driver's correctness
+#: gate checks exactly these). The pick is now COMPUTED, not hand-curated
+#: (VERDICT r8 item 8): ``python tools/staleness.py --window 50`` scans
+#: every CORRECTNESS_r*.json and ranks never-attested queries first, then
+#: stalest-green. This round that yields:
+#: - the 20 r8-wave queries the driver has NEVER windowed (all
+#:   judge-verified bit-exact locally in r8; first driver rows here take
+#:   cumulative driver-green to 236/237 — b27_sketches stays rows-only
+#:   outside the window by declared design);
+#: - the 30 stalest green canaries (last driver-green r04).
+_R9_WINDOW = [
+    # never driver-windowed, r8-registered (judge local-verified, now
+    # earning real CORRECTNESS rows) — VERDICT r8 item 1
+    "b19_cluster_stability",
+    "b20_dim_truncation",
+    "b11_twap",
+    "b21_source_kl",
+    "b22_phash_dups",
+    "b15_retention",
+    "b30_phrase_search",
+    "b24_effective_tokens",
+    "b28_pack_efficiency",
+    "b3_anomaly",
+    "b17_join_view",
+    "b30_rrf_fusion",
+    "b9_asof_tolerance",
+    "b25_sql_window",
+    "b14_trig_funcs",
+    "b2_vacuum_stats",
+    "b11_cumulative_distinct",
+    "b26_exact_quota",
+    "b24_corpus_v5",
+    "b7_returned_revenue",
+    # stalest green canaries (last driver-green r04), computed order
+    "b21_token_stats",
+    "b24_corpus_build",
+    "b28_training_manifest",
+    "b1_column_diff",
+    "b21_token_per_doc",
+    "b7_salted_join",
+    "b21_fingerprints",
+    "b28_mixture",
+    "b29_containment",
+    "b21_top_tokens",
+    "b24_corpus_v2",
+    "b12_topk",
+    "b18_dedup_exact",
+    "b19_word_jaccard",
+    "b20_cosine_topk",
+    "a18_stdout_lines",
+    "a19_json_lines",
+    "b18_dup_groups",
+    "b19_embedding_dups",
+    "b20_ann_lsh",
+    "b20_ann_ivf",
+    "b19_minhash_candidates",
+    "b20_ann_recall",
+    "b29_decontamination",
+    "b26_hash_sample",
+    "b21_chunking",
+    "b5_time_range",
+    "b9_band_join",
+    "b10_bool_agg",
+    "b14_null_funcs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R8_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R9_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R8_WINDOW}
+    ordered = {k: q[k] for k in _R9_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

@@ -111,6 +111,62 @@ def _minhash_xxh64(spark, sf_dir):
 #: bench-only variants not in the driver's queries() registry
 EXTRA = {"b19_minhash_xxh64": _minhash_xxh64}
 
+#: Drift canaries (VERDICT r8 item 2): plan-frozen zero/low-shuffle
+#: queries whose round-over-round ratio measures BOX drift, not code.
+#: The bench line emits both the raw common-set ratio vs the previous
+#: round's committed artifact AND the canary-median-normalized ratio,
+#: so box-speed claims live in the committed artifact itself.
+CANARIES = [
+    "a6_bootstrap",
+    "a10_drain_batch",
+    "b3_change_stats",
+    "b18_dedup_exact",
+    "b2_log_compaction",
+]
+
+
+def _drift_normalization(timings: dict[str, float]) -> dict:
+    """Compare this run against the most recent committed BENCH_r*.json:
+    canary drift = median over CANARIES of (now / then); the normalized
+    common-set ratio divides the raw ratio by that drift. Returns {} if
+    no prior parsed artifact exists."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev, prev_round = None, None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            q = (data.get("parsed") or data).get("queries") or data.get("queries")
+            if isinstance(q, dict) and q:
+                prev = {k: float(v) for k, v in q.items()}
+                m = re.search(r"BENCH_r(\d+)\.json$", path)
+                prev_round = int(m.group(1)) if m else None
+                break
+        except (OSError, ValueError, AttributeError, TypeError):
+            continue
+    if not prev:
+        return {}
+    ratios = sorted(
+        timings[c] / prev[c]
+        for c in CANARIES
+        if c in timings and prev.get(c)
+    )
+    if not ratios:
+        return {}
+    drift = ratios[len(ratios) // 2]
+    common = [k for k in timings if k in prev]
+    raw = sum(timings[k] for k in common) / sum(prev[k] for k in common)
+    return {
+        "prev_round": prev_round,
+        "canary_drift": round(drift, 4),
+        "common_n": len(common),
+        "common_raw_ratio": round(raw, 4),
+        "common_norm_ratio": round(raw / drift, 4),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,6 +204,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    norm = _drift_normalization(timings)
     # The stdout contract is ONE COMPACT line — the driver tail-captures
     # stdout, and embedding the full per-run samples overflowed its buffer
     # in r5 (BENCH_r05 "parsed": null). Raw samples go to stderr + a side
@@ -168,6 +225,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": runs_n,
+                # box-drift normalization vs the previous committed round
+                # (VERDICT r8 item 2): the ≤1.05 round-over-round criterion
+                # applies to common_norm_ratio, ending the box-drift
+                # argument inside the artifact itself.
+                **norm,
             }
         )
     )

@@ -1,0 +1,90 @@
+"""Driver-attestation staleness report (VERDICT r8 item 8).
+
+Scans every ``CORRECTNESS_r*.json`` in the repo root and reports, per
+registered query, the most recent round with a fully-green driver row
+(rows+schema+hash match, no err) and the most recent round windowed at
+all. Window selection for the next round is then computed, not
+hand-curated: never-attested queries first, then stalest-green.
+
+Usage::
+
+    python tools/staleness.py            # full report, stalest first
+    python tools/staleness.py --window N # print the N-slot window pick
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def collect() -> tuple[dict[str, int], dict[str, int]]:
+    """Returns (last_green_round, last_windowed_round) per query name."""
+    last_green: dict[str, int] = {}
+    last_seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green, last_seen
+
+
+def report(window_n: int | None = None) -> None:
+    import __spark_entry__ as entry
+
+    registry = list(entry._all_queries())
+    last_green, last_seen = collect()
+    # sort: never-attested first (green round 0), then by last green round
+    # ascending, then registry order for stability
+    order = {n: i for i, n in enumerate(registry)}
+    ranked = sorted(
+        registry, key=lambda n: (last_green.get(n, 0), order[n])
+    )
+    if window_n is None:
+        print(f"{'query':40s} {'last_green':>10s} {'last_seen':>10s}")
+        for n in ranked:
+            g = last_green.get(n, 0) or "-"
+            s = last_seen.get(n, 0) or "-"
+            print(f"{n:40s} {str(g):>10s} {str(s):>10s}")
+        greens = [last_green.get(n, 0) for n in registry]
+        never = sum(1 for g in greens if g == 0)
+        print(
+            f"\n{len(registry)} registered; {never} never driver-green; "
+            f"stalest attested round = r{min((g for g in greens if g), default=0)}"
+        )
+    else:
+        # rows-only-by-design queries can sit in the window but a green
+        # hash is impossible; keep them out of the computed pick so slots
+        # go to hash-attestable rows
+        oracles = entry.oracle_sql()
+        pick = [n for n in ranked if n in oracles][:window_n]
+        print(json.dumps(pick, indent=1))
+
+
+if __name__ == "__main__":
+    n = None
+    if "--window" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--window") + 1])
+    report(n)
