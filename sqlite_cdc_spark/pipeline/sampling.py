@@ -555,8 +555,6 @@ def poisson_bootstrap(
     ``ci_lo``/``ci_hi`` (the 2nd-smallest / 2nd-largest replicate
     means — the rank-based ~94% interval for B=32) repeated per row.
     """
-    from pyspark.sql import Window
-
     from .dedup import MINHASH_P, _hash_family, portable_hash60
 
     cuts = _poisson1_cutoffs(MINHASH_P)
@@ -565,44 +563,64 @@ def poisson_bootstrap(
     h = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
 
     def weight(r: int):
+        # weight = |{k : cuts[k] <= u}| — a FLAT sum of 8 boolean
+        # comparisons instead of an 8-deep nested CASE chain (identical
+        # values; the nested form made the 2B-expression agg plan cost
+        # ~2.3 s in analysis+codegen alone at B=32)
         a, b = fam[r]
         u = F.pmod(F.col("__h") * a + b, F.lit(MINHASH_P))
-        w = F.lit(len(cuts))
-        for k in range(len(cuts) - 1, -1, -1):
-            w = F.when(u < cuts[k], F.lit(k)).otherwise(w)
+        w = F.lit(0)
+        for k in range(len(cuts)):
+            w = w + (u >= cuts[k]).cast("int")
         return w.cast("long")
 
-    pairs = df.select(qv.alias("__q"), h.alias("__h")).select(
-        "__q",
+    # ONE aggregation pass over the N input rows: all 2B partial sums
+    # (Σw_r, Σw_r·q for each replicate r) as conditional expressions in a
+    # single agg — no B× exploded intermediate (the r8 plan materialized
+    # 32×N (replicate, weight) structs into the groupBy; at 100 TB that
+    # explode IS the job). The 1-row result then unpivots into the
+    # B-replicate relation driver-side — a bounded posexplode.
+    base = df.select(qv.alias("__q"), h.alias("__h"))
+    aggs = []
+    for r in range(n_replicates):
+        w = weight(r)
+        aggs.append(F.sum(w).cast("long").alias(f"__n{r}"))
+        aggs.append(F.sum(w * F.col("__q")).cast("long").alias(f"__s{r}"))
+    one = base.agg(*aggs)
+    per = one.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(r).alias("replicate"), weight(r).alias("w"))
+                    F.struct(
+                        F.lit(r).alias("replicate"),
+                        F.col(f"__n{r}").alias("n_eff"),
+                        F.col(f"__s{r}").alias("__s"),
+                    )
                     for r in range(n_replicates)
                 ]
             )
-        ).alias("__rw"),
-    ).select("__q", F.col("__rw.replicate").alias("replicate"), F.col("__rw.w").alias("__w"))
-    per = pairs.groupBy("replicate").agg(
-        F.sum("__w").cast("long").alias("n_eff"),
+        ).alias("__rw")
+    ).select(
+        F.col("__rw.replicate").alias("replicate"),
+        F.col("__rw.n_eff").alias("n_eff"),
         F.round(
-            F.sum(F.col("__w") * F.col("__q"))
-            / (F.sum("__w") * F.lit(float(quant))),
-            6,
+            F.col("__rw.__s") / (F.col("__rw.n_eff") * F.lit(float(quant))), 6
         ).alias("mean_r"),
     )
-    asc = Window.orderBy(F.col("mean_r").asc(), F.col("replicate").asc())
-    ranked = per.withColumn("__rk", F.row_number().over(asc))
-    lo = ranked.filter(F.col("__rk") == 2).select(
-        F.col("mean_r").alias("ci_lo")
+    # `per` (B rows, bounded) is referenced twice through different
+    # shapes (plain + ci agg) — without a checkpoint each branch
+    # re-executes the full-scan 2B-sum agg (the r8 physical plan showed
+    # the parquet scan THREE times under the old window/filter tail)
+    per = per.localCheckpoint(eager=True)
+    # 2nd-smallest / 2nd-largest of B bounded values: one sort_array agg
+    # + a single 1-row broadcast beats the old rank-window + two filter
+    # branches + two BroadcastNestedLoopJoins (fewer jobs, same values)
+    ci = per.agg(F.sort_array(F.collect_list("mean_r")).alias("__ms")).select(
+        F.element_at("__ms", 2).alias("ci_lo"),
+        F.element_at("__ms", n_replicates - 1).alias("ci_hi"),
     )
-    hi = ranked.filter(F.col("__rk") == n_replicates - 1).select(
-        F.col("mean_r").alias("ci_hi")
-    )
-    return (
-        per.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select("replicate", "n_eff", "mean_r", "ci_lo", "ci_hi")
+    return per.crossJoin(F.broadcast(ci)).select(
+        "replicate", "n_eff", "mean_r", "ci_lo", "ci_hi"
     )
 
 
