@@ -1198,3 +1198,138 @@ def test_streaming_join_view_maintenance_matches_batch(spark, tmp_path):
     assert gs == ws
     # and the final tables are what the waves imply
     assert sorted(r.av for r in state["a"].collect()) == ["a1x", "a2", "a3"]
+
+
+def test_streaming_corpus_capstone_composes_legs(spark, tmp_path):
+    """VERDICT r8 item 7 — the reference's end-to-end story (ordered log
+    → handler → derived state, README.md:26-30) at the engine's full
+    depth: ONE CDC ingest stream feeds ONE foreachBatch handler that
+    maintains FOUR standing states together from the SAME batch —
+    (1) the LSH signature index, (2) the dup-cluster assignment fed by
+    batch-internal + index-cross candidate pairs, (3) the unigram LM,
+    (4) the per-(source, lang) corpus counters. After the stream drains,
+    EVERY leg must equal its from-scratch batch rebuild over the union
+    of all waves (the b24_corpus_v2-style recompute). Insert-only
+    stream: dedup clusters are monotone under CDC merge by design;
+    the update/delete semantics of the LM and counter legs each have
+    their own dedicated parity test above."""
+    import random
+    import time
+
+    from sqlite_cdc_spark.pipeline import dedup, lm
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    def text(seed):
+        r = random.Random(seed)
+        return " ".join(f"t{r.randint(0, 400)}" for _ in range(25))
+
+    base = {i: text(i) for i in range(3)}
+    waves = [
+        [(0, "web", "en", base[0]), (1, "web", "de", base[1]),
+         (2, "books", "en", base[2]), (3, "web", "en", text(50))],
+        [(100, "books", "en", base[0] + " x"), (101, "web", "fr", text(51)),
+         (102, "web", "de", base[1] + " y")],
+        [(200, "web", "en", base[0] + " z"), (201, "books", "en", base[2] + " w"),
+         (202, "web", "fr", text(52)), (203, "web", "fr", text(52) + " q")],
+    ]
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "capstone")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    K = dict(num_hashes=32, bands=8)
+    state = {
+        "index": None,
+        "labels": spark.createDataFrame(
+            [], "doc_id long, cluster_id long, cluster_size bigint"
+        ),
+        "model": None,
+        "counters": spark.createDataFrame(
+            [], "source string, lang string, n_docs long, sum_tok long"
+        ),
+    }
+
+    def handle(batch, bid):
+        # one checkpoint per batch: all four legs consume the SAME
+        # materialized batch relation (the iterative-consumer rule)
+        batch = batch.localCheckpoint()
+        # dedup leg: batch-internal pairs + cross pairs vs the standing
+        # index, folded into the cluster assignment at cost ∝ batch
+        pairs = dedup.minhash_candidates(batch, "doc_id", "text", **K)
+        if state["index"] is not None:
+            cross = dedup.query_lsh_index(
+                state["index"], batch, "doc_id", "text", **K
+            ).select(
+                F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            pairs = pairs.select("id_a", "id_b").unionByName(cross)
+        else:
+            pairs = pairs.select("id_a", "id_b")
+        state["labels"] = dedup.update_clusters(
+            state["labels"], pairs
+        ).localCheckpoint()
+        if state["index"] is None:
+            state["index"] = dedup.build_lsh_index(
+                batch, "doc_id", "text", **K
+            ).localCheckpoint()
+        else:
+            state["index"] = dedup.update_lsh_index(
+                state["index"], batch, "doc_id", "text", **K
+            ).localCheckpoint()
+        # LM leg
+        if state["model"] is None:
+            state["model"] = lm.unigram_counts(batch).localCheckpoint()
+        else:
+            state["model"] = lm.update_unigram_counts(
+                state["model"], inserts=batch
+            ).localCheckpoint()
+        # counter leg
+        state["counters"] = textops.update_corpus_counters(
+            state["counters"], inserts=batch
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "capstoneckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    all_docs = spark.createDataFrame(
+        [d for w in waves for d in w], schema
+    )
+    # leg 2: clusters ≡ from-scratch clustering of the full corpus
+    want_labels = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(
+            dedup.minhash_candidates(all_docs, "doc_id", "text", **K)
+        ).collect()
+    )
+    got_labels = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in state["labels"].collect()
+    )
+    assert len(got_labels) >= 8  # the planted dups actually collided
+    assert got_labels == want_labels
+    # leg 1: the standing index holds every doc's signatures exactly once
+    n_sig_docs = state["index"].select("doc").distinct().count()
+    assert n_sig_docs == sum(len(w) for w in waves)
+    # leg 3: LM ≡ from-scratch unigram counts
+    got_lm = {r.tok: r.cnt for r in state["model"].collect()}
+    want_lm = {r.tok: r.cnt for r in lm.unigram_counts(all_docs).collect()}
+    assert got_lm == want_lm
+    # leg 4: counters ≡ from-scratch corpus counters
+    got_c = {
+        (r.source, r.lang): (r.n_docs, r.sum_tok)
+        for r in state["counters"].collect()
+    }
+    want_c = {
+        (r.source, r.lang): (r.n_docs, r.sum_tok)
+        for r in textops.corpus_counters(all_docs).collect()
+    }
+    assert got_c == want_c
