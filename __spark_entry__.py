@@ -6326,6 +6326,584 @@ def q_b24_corpus_v5(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round 9 — evaluation / concentration / distribution-shape depth
+# --------------------------------------------------------------------------
+
+#: nDCG discount weights round(1e6 / log2(rank+1)) for ranks 1..10 —
+#: precomputed ONCE in Python and embedded as identical integer literals
+#: on both engines, so the classic float-log discount can never diverge
+import math as _math
+
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, 11)]
+
+
+def q_b20_hubness(spark, sf_dir):
+    """Hubness audit (B20 depth, r9): the k-occurrence distribution of
+    exact cosine top-10 results for a 64-probe sample — how often each
+    corpus vector appears in other vectors' neighbor lists. A heavy
+    right tail ("hub" vectors in everyone's top-k) is the classic
+    high-dim pathology that silently skews ANN dedup and retrieval.
+    Reuses the oracled ``cosine_topk`` kernel; the histogram is two
+    keyed aggs + one broadcast join (zero-occurrence vectors counted
+    via left join). Scale: cost ∝ probes × corpus like any probe-based
+    audit, never corpus²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 64)
+    topk = similarity.cosine_topk(emb, probes, k=10)
+    occ = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    allv = emb.select(F.col("vec_id").alias("neighbor_id"))
+    per_vec = allv.join(F.broadcast(occ), "neighbor_id", "left").select(
+        F.coalesce(F.col("occ"), F.lit(0)).alias("occ")
+    )
+    return per_vec.groupBy("occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+def q_b10_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration (B10 depth,
+    r9): Σ(2r−n−1)·x_r / (n·Σx) with r the ascending revenue rank.
+    Integer cents end-to-end; ranks come from the two-phase
+    ``distributed_row_number`` (no single-task global sort); the
+    weighted sum accumulates in DECIMAL(38,0) so the n·Σ term can't
+    overflow int64 at corpus scale. One row out."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = derive.distributed_row_number(
+        per, [], [F.col("cents").asc(), F.col("o_custkey").asc()], out_col="rn"
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    num = (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            "n_customers",
+            "total_cents",
+            (
+                (2 * F.col("rn") - F.col("n_customers") - 1).cast(
+                    "decimal(19,0)"
+                )
+                * F.col("cents").cast("decimal(19,0)")
+            ).alias("__w"),
+        )
+        .groupBy("n_customers", "total_cents")
+        .agg(F.sum("__w").alias("__num"))
+    )
+    return num.select(
+        "n_customers",
+        "total_cents",
+        F.round(
+            F.col("__num").cast("double")
+            / (
+                F.col("n_customers").cast("double")
+                * F.col("total_cents").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+def q_b7_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape (B7 depth, r9): distribution of per-customer
+    order counts INCLUDING zero-order customers — the left outer join
+    whose null-side counts are the point of the query. Two keyed aggs;
+    the distribution relation is bounded by max orders/customer."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q_b8_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape adapted to the fixture schema (B8 depth, r9 —
+    no partsupp table ships, so unit cost derives from lineitem):
+    per part, the supplier with the minimum observed unit price
+    (extendedprice/quantity). ONE struct-min agg — min(struct(unit,
+    suppkey)) is lexicographic, so the tie-break to the smallest
+    suppkey is inside the same pass (no rank window, no self-join);
+    the supplier dim broadcasts. IEEE division of identical doubles is
+    bit-identical cross-engine, but round-6 of the quotient is NOT
+    (prices over power-of-two quantities land exactly on the .5
+    boundary, where Spark's decimal HALF_UP and DuckDB's binary round
+    disagree — observed at sf0.1) — so the unit price is emitted
+    floor-quantized to integer micros, the repo's standard recipe.
+    The oracle replays the same two-phase min (min unit, then min
+    suppkey at that unit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    best = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("__unit", "l_suppkey")).alias("__b"))
+        .select(
+            "l_partkey",
+            F.col("__b.l_suppkey").alias("s_suppkey"),
+            F.floor(F.col("__b.__unit") * 1000000)
+            .cast("long")
+            .alias("unit_micros"),
+        )
+    )
+    return best.join(F.broadcast(sup), "s_suppkey").select(
+        "l_partkey", "s_suppkey", "s_name", "unit_micros"
+    )
+
+
+def q_b8_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape adapted to the fixture schema (B8 depth, r9):
+    parts whose discounted revenue exceeds 1.5× the MEAN per-part share
+    — the HAVING-over-global-scalar pattern, with a scale-free
+    threshold (a fixed fraction-of-total empties out as |parts| grows).
+    Revenue sums in exact decimal, quantizes to integer cents, and the
+    threshold compares cross-multiplied integers in DECIMAL(38,0)
+    (2·cents·n_parts > 3·total — ulp-proof AND int64-overflow-proof at
+    corpus scale); the 1-row total broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.floor(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(38,6)")
+                * (
+                    F.lit(1).cast("decimal(38,6)")
+                    - F.col("l_discount").cast("decimal(38,6)")
+                )
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    total = rev.agg(
+        F.sum("revenue_cents").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__n_parts"),
+    )
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("revenue_cents").cast("decimal(19,0)")
+            * F.col("__n_parts").cast("decimal(19,0)")
+            * 2
+            > F.col("__total").cast("decimal(19,0)") * 3
+        )
+        .select(
+            "l_partkey",
+            "revenue_cents",
+            F.round(
+                F.col("revenue_cents").cast("double")
+                / F.col("__total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def q_b10_chi2(spark, sf_dir):
+    """Chi-square independence screen (B10 stats depth, r9): the
+    orderpriority × orderstatus contingency table with expected counts
+    and per-cell chi² contributions. Row/column/grand totals are
+    integer counts joined back by broadcast (the margins are bounded by
+    the category cardinalities); expected = r·c/g runs in IEEE doubles
+    from exact integers (identical on both engines), contributions
+    round 6. Per-cell rows — the global statistic is the reader's
+    Σ over the bounded cell relation, so no float-sum-order hazard
+    enters the hash."""
+    orders = _t(spark, sf_dir, "orders")
+    obs = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rows = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("__r")
+    )
+    cols = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    grand = orders.agg(F.count(F.lit(1)).cast("long").alias("__g"))
+    exp = (
+        F.col("__r").cast("double")
+        * F.col("__c").cast("double")
+        / F.col("__g").cast("double")
+    )
+    return (
+        obs.join(F.broadcast(rows), "o_orderpriority")
+        .join(F.broadcast(cols), "o_orderstatus")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "obs",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                (F.col("obs").cast("double") - exp)
+                * (F.col("obs").cast("double") - exp)
+                / exp,
+                6,
+            ).alias("contrib"),
+        )
+    )
+
+
+def q_b10_benford(spark, sf_dir):
+    """Benford first-digit screen (B10 quality depth, r9): the leading
+    significant digit of order totals vs the Benford expectation
+    log10(1 + 1/d) — the classic fabricated-data / corruption smell
+    test. The digit comes from the INTEGER cents' decimal rendering
+    (never float formatting); shares are exact-integer divisions;
+    the ln-family expectation rounds 6 per the ulp rule. 9 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    per = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = digits.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round(expected, 6).alias("expected"),
+            F.round(F.abs(F.round(share, 6) - F.round(expected, 6)), 6).alias(
+                "deviation"
+            ),
+        )
+    )
+
+
+def q_b15_acf(spark, sf_dir):
+    """Daily-count autocorrelation, lags 1–7 (B15 time-series depth,
+    r9): the seasonality detector behind b3_anomaly's lag-7 choice.
+    Exact integer algebra: with n days, S = Σx, the centered value is
+    c_t = n·x_t − S (integer), and acf_ℓ = Σ c_t·c_{t−ℓ} / Σ c_t² —
+    both int64 sums — so the only float is the final division. The
+    stream contracts to the |days| relation before any window (the
+    psi/changepoint rule); the 7 lags unpivot from ONE agg row."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 86400"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("x").cast("long").alias("__s"),
+    )
+    c = daily.crossJoin(F.broadcast(totals)).select(
+        "day", (F.col("__n") * F.col("x") - F.col("__s")).alias("c")
+    )
+    w = Window.orderBy(F.col("day").asc())
+    lagged = c.select(
+        "c",
+        *[F.lag("c", l).over(w).alias(f"c{l}") for l in range(1, 8)],
+    )
+    aggs = [F.sum(F.col("c") * F.col("c")).cast("long").alias("den")]
+    for l in range(1, 8):
+        aggs.append(
+            F.sum(F.col("c") * F.col(f"c{l}")).cast("long").alias(f"num{l}")
+        )
+        aggs.append(
+            F.count(F.col(f"c{l}")).cast("long").alias(f"np{l}")
+        )
+    one = lagged.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).cast("int").alias("lag"),
+                        F.col(f"np{l}").alias("n_pairs"),
+                        F.round(
+                            F.col(f"num{l}").cast("double")
+                            / F.col("den").cast("double"),
+                            6,
+                        ).alias("acf"),
+                    )
+                    for l in range(1, 8)
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.lag", "__s.n_pairs", "__s.acf")
+
+
+def q_b11_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown (B11 depth, r9): running cumulative
+    value, its running peak, and the deepest peak-to-trough gap — the
+    classic risk statistic, here over the event stream's value column.
+    Integer cents end-to-end; both windows share ONE (user, ts,
+    event_id) sort (total order via the event_id tie-break); keyed by
+    user so every window is partitioned."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curved = base.withColumn("cum", F.sum("cents").over(w)).withColumn(
+        "peak", F.max(F.col("cum")).over(w)
+    )
+    return curved.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+        F.sum("cents").cast("long").alias("final_cents"),
+    )
+
+
+def q_b21_oov_rate(spark, sf_dir):
+    """Per-source out-of-vocabulary rate (B21 depth, r9): token share
+    not covered by the corpus top-200 vocabulary — the tokenizer-fit /
+    domain-shift metric a mixture owner reads per source. The vocab is
+    a distributed ``orderBy().limit`` top-k (count desc, token asc —
+    deterministic), broadcast to a left join over the token relation;
+    two keyed aggs. Shuffle ∝ token rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(textops.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok", F.lit(1).alias("__inv"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def q_b10_ks_screen(spark, sf_dir):
+    """Bucketed two-sample Kolmogorov–Smirnov screen (B10 stats depth,
+    r9): sup |CDF₁ − CDF₂| between URGENT and LOW order-price
+    distributions on $1000 buckets. The stream contracts to the
+    bounded bucket relation before the cumulative windows; the supremum
+    compares CROSS-MULTIPLIED integers (|c₁·n₂ − c₂·n₁|), so no float
+    enters until the final division. One row out."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    b = orders.select(
+        (F.floor(F.col("o_totalprice") * 100).cast("long") / F.lit(100000))
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("__g1"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum("__g1").cast("long").alias("n1"),
+        F.sum(1 - F.col("__g1")).cast("long").alias("n2"),
+    )
+    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+    )
+    totals = per.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "t1",
+            "t2",
+            F.abs(
+                F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")
+            ).alias("__d"),
+        )
+        .groupBy("t1", "t2")
+        .agg(F.max("__d").alias("__dm"))
+        .select(
+            F.col("t1").alias("n_urgent"),
+            F.col("t2").alias("n_low"),
+            F.round(
+                F.col("__dm").cast("double")
+                / (F.col("t1").cast("double") * F.col("t2").cast("double")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def q_b22_scene_cuts(spark, sf_dir):
+    """Frame-delta scene-cut screen (B22 depth, r9): consecutive-frame
+    mean-intensity deltas over the GENUINE multi-frame demux
+    (extract_frames), flagged as cuts above an 8/255 threshold. The
+    comparison cross-multiplies integer frame sums by the neighbor's
+    raster area, so the cut decision is integer-exact; only the
+    reported delta divides. Per-doc lead window — fully keyed."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = multimodal.extract_frames(
+        multimodal.synth_ppm_stream(docs)
+    ).filter(F.col("decode_ok"))
+    base = frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_sum",
+        (F.col("width") * F.col("height") * 3).cast("long").alias("area"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("frame_idx").asc())
+    lead = base.select(
+        "doc_id",
+        "frame_idx",
+        "frame_sum",
+        "area",
+        F.lead("frame_sum").over(w).alias("__ns"),
+        F.lead("area").over(w).alias("__na"),
+    ).filter(F.col("__ns").isNotNull())
+    dnum = F.abs(
+        F.col("frame_sum") * F.col("__na") - F.col("__ns") * F.col("area")
+    )
+    dden = F.col("area") * F.col("__na")
+    return lead.select(
+        "doc_id",
+        "frame_idx",
+        F.round(dnum.cast("double") / dden.cast("double"), 6).alias(
+            "mean_delta"
+        ),
+        (dnum > 8 * dden).alias("is_cut"),
+    )
+
+
+def q_b28_length_buckets(spark, sf_dir):
+    """Length-bucketed batching report (B28 depth, r9): docs split into
+    8 equal-count token-length tiles via the two-phase
+    ``distributed_ntile`` (no single-task global window), then per
+    bucket the padding waste a max-length batcher would pay
+    (n·max − Σ). The report that justifies length bucketing in a
+    training data loader. Integer exact."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    tiled = derive.distributed_ntile(
+        sized, [F.col("n_tok").asc(), F.col("doc_id").asc()], 8,
+        out_col="bucket",
+    )
+    return tiled.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+def q_b30_ndcg(spark, sf_dir):
+    """Ranking-quality evaluation (B30 depth, r9): nDCG@10 of the BM25
+    ranking against a deterministic graded relevance (occurrences of
+    'merge', capped at 3). The log2 discount is pre-scaled to the
+    shared integer weight table ``_NDCG_W`` — embedded as the SAME
+    literals on both engines — so DCG and ideal-DCG are pure integer
+    dot products; the only float is the final ratio. One row out."""
+    docs = _t(spark, sf_dir, "documents")
+    rel = docs.select(
+        "doc_id",
+        F.least(
+            F.size(
+                F.filter(
+                    textops.tokens(F.col("text")), lambda t: t == "merge"
+                )
+            ).cast("long"),
+            F.lit(3),
+        ).alias("rel"),
+    )
+    wmap = F.array(*[F.lit(w) for w in _NDCG_W])
+    retrieved = lm.bm25_search(
+        docs, "doc_id", ["merge", "join", "batch"], top_k=10
+    ).select("doc_id", F.col("rank").cast("int").alias("rank"))
+    dcg = (
+        retrieved.join(rel, "doc_id", "left")
+        .select(
+            (
+                F.coalesce(F.col("rel"), F.lit(0))
+                * F.element_at(wmap, F.col("rank"))
+            ).alias("__w")
+        )
+        .agg(F.sum("__w").cast("long").alias("dcg_scaled"))
+    )
+    from pyspark.sql import Window
+
+    ideal_top = rel.orderBy(F.col("rel").desc(), F.col("doc_id").asc()).limit(
+        10
+    )
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    idcg = (
+        ideal_top.withColumn("rank", F.row_number().over(wi))
+        .select(
+            (F.col("rel") * F.element_at(wmap, F.col("rank"))).alias("__w")
+        )
+        .agg(F.sum("__w").cast("long").alias("idcg_scaled"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "dcg_scaled",
+            "idcg_scaled",
+            F.round(
+                F.col("dcg_scaled").cast("double")
+                / F.col("idcg_scaled").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -6579,6 +7157,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_audio_stats": q_b22_audio_stats,
         "b22_frame_extract": q_b22_frame_extract,
         "b26_interleave": q_b26_interleave,
+        # --- new in round 9 (evaluation / concentration / shape depth) ----
+        "b20_hubness": q_b20_hubness,
+        "b10_gini": q_b10_gini,
+        "b7_cust_order_dist": q_b7_cust_order_dist,
+        "b8_min_cost_supplier": q_b8_min_cost_supplier,
+        "b8_important_parts": q_b8_important_parts,
+        "b10_chi2": q_b10_chi2,
+        "b10_benford": q_b10_benford,
+        "b15_acf": q_b15_acf,
+        "b11_drawdown": q_b11_drawdown,
+        "b21_oov_rate": q_b21_oov_rate,
+        "b10_ks_screen": q_b10_ks_screen,
+        "b22_scene_cuts": q_b22_scene_cuts,
+        "b28_length_buckets": q_b28_length_buckets,
+        "b30_ndcg": q_b30_ndcg,
     }
 
 
@@ -7559,6 +8152,46 @@ def _cluster_stability_oracle_sql() -> str:
                                     / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE))
                           ELSE 1.0 END, 6) AS ari
         FROM sums, sa, sb
+    """
+
+
+def _acf_oracle_sql() -> str:
+    """DuckDB replay of q_b15_acf: 7 lag columns, one agg row, unpivoted
+    to the 7-lag relation via UNION ALL (all-integer until the final
+    division, mirroring the Spark plan)."""
+    lags = range(1, 8)
+    lag_cols = ",\n                     ".join(
+        f"lag(c, {l}) OVER w AS c{l}" for l in lags
+    )
+    agg_cols = ",\n                     ".join(
+        f"CAST(sum(c * c{l}) AS BIGINT) AS num{l},"
+        f" CAST(count(c{l}) AS BIGINT) AS np{l}"
+        for l in lags
+    )
+    union = "\n            UNION ALL ".join(
+        f"SELECT {l} AS lag, np{l} AS n_pairs,"
+        f" round(CAST(num{l} AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf"
+        f" FROM a"
+        for l in lags
+    )
+    return f"""
+        WITH daily AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1
+        ),
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s
+          FROM daily
+        ),
+        cvals AS (SELECT day, n * x - s AS c FROM daily, t),
+        l AS (SELECT c, {lag_cols}
+              FROM cvals WINDOW w AS (ORDER BY day ASC)),
+        a AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+                     {agg_cols}
+              FROM l)
+        {union}
     """
 
 
@@ -11754,5 +12387,365 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt,
                    round(CAST(sum(p) AS DOUBLE), 2) AS sum_price
             FROM eff GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # ---- round 9: evaluation / concentration / shape depth ----------
+        "b20_hubness": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 64
+            ),
+            c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))) AS score
+              FROM q, c WHERE neighbor_id != query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              FROM scored
+            ),
+            occ AS (
+              SELECT neighbor_id, CAST(count(*) AS BIGINT) AS occ
+              FROM ranked WHERE rnk <= 10 GROUP BY neighbor_id
+            )
+            SELECT COALESCE(o.occ, 0) AS occ,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM (SELECT vec_id AS neighbor_id FROM embeddings) v
+            LEFT JOIN occ o ON v.neighbor_id = o.neighbor_id
+            GROUP BY 1
+        """,
+        "b10_gini": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT cents, CAST(row_number() OVER (
+                ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS rn
+              FROM per
+            ),
+            t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(cents) AS BIGINT) AS total_cents
+              FROM ranked
+            ),
+            num AS (
+              SELECT n_customers, total_cents,
+                     sum(CAST(2 * rn - n_customers - 1 AS HUGEINT)
+                         * CAST(cents AS HUGEINT)) AS w
+              FROM ranked, t GROUP BY n_customers, total_cents
+            )
+            SELECT n_customers, total_cents,
+                   round(CAST(w AS DOUBLE)
+                         / (CAST(n_customers AS DOUBLE)
+                            * CAST(total_cents AS DOUBLE)), 6) AS gini
+            FROM num
+        """,
+        "b7_cust_order_dist": """
+            WITH per AS (
+              SELECT c.c_custkey,
+                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM per GROUP BY c_count
+        """,
+        "b8_min_cost_supplier": """
+            WITH u AS (
+              SELECT l_partkey, l_suppkey,
+                     l_extendedprice / l_quantity AS unit
+              FROM lineitem
+            ),
+            m AS (SELECT l_partkey, min(unit) AS mu FROM u GROUP BY l_partkey),
+            b AS (
+              SELECT u.l_partkey,
+                     CAST(min(u.l_suppkey) AS BIGINT) AS s_suppkey,
+                     min(u.unit) AS unit
+              FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.unit = m.mu
+              GROUP BY u.l_partkey
+            )
+            SELECT b.l_partkey, b.s_suppkey, s.s_name,
+                   CAST(floor(b.unit * 1000000) AS BIGINT) AS unit_micros
+            FROM b JOIN supplier s ON b.s_suppkey = s.s_suppkey
+        """,
+        "b8_important_parts": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(38,6))
+                                    * (CAST(1 AS DECIMAL(38,6))
+                                       - CAST(l_discount AS DECIMAL(38,6))))
+                                * 100) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_partkey
+            ),
+            t AS (
+              SELECT CAST(sum(revenue_cents) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS n_parts
+              FROM rev
+            )
+            SELECT l_partkey, revenue_cents,
+                   round(CAST(revenue_cents AS DOUBLE)
+                         / CAST(total AS DOUBLE), 6) AS share
+            FROM rev, t
+            WHERE CAST(revenue_cents AS HUGEINT) * n_parts * 2 > CAST(total AS HUGEINT) * 3
+        """,
+        "b10_chi2": """
+            WITH obs AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     CAST(count(*) AS BIGINT) AS obs
+              FROM orders GROUP BY o_orderpriority, o_orderstatus
+            ),
+            r AS (
+              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS r
+              FROM orders GROUP BY o_orderpriority
+            ),
+            c AS (
+              SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS c
+              FROM orders GROUP BY o_orderstatus
+            ),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS g FROM orders)
+            SELECT obs.o_orderpriority, obs.o_orderstatus, obs.obs,
+                   round(CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                         / CAST(g.g AS DOUBLE), 6) AS expected,
+                   round((CAST(obs.obs AS DOUBLE)
+                          - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                            / CAST(g.g AS DOUBLE))
+                         * (CAST(obs.obs AS DOUBLE)
+                            - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                              / CAST(g.g AS DOUBLE))
+                         / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                            / CAST(g.g AS DOUBLE)), 6) AS contrib
+            FROM obs
+            JOIN r USING (o_orderpriority)
+            JOIN c USING (o_orderstatus), g
+        """,
+        "b10_benford": """
+            WITH d AS (
+              SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                          AS INTEGER) AS digit
+              FROM orders
+            ),
+            per AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY digit
+            ),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM d)
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                     AS expected,
+                   round(abs(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                             - round(log10(1.0 + 1.0
+                                           / CAST(digit AS DOUBLE)), 6)), 6)
+                     AS deviation
+            FROM per, t
+        """,
+        "b15_acf": _acf_oracle_sql(),
+        "b11_drawdown": """
+            WITH curved AS (
+              SELECT user_id, cents, cum,
+                     max(cum) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS peak
+              FROM (
+                SELECT user_id, ts, event_id, cents,
+                       sum(cents) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+                FROM (
+                  SELECT user_id, ts, event_id,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events
+                )
+              )
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+                   CAST(sum(cents) AS BIGINT) AS final_cents
+            FROM curved GROUP BY user_id
+        """,
+        "b21_oov_rate": f"""
+            WITH toks AS (
+              SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM nz GROUP BY tok
+                ORDER BY c DESC, tok ASC LIMIT 200
+              )
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                     AS oov_rate
+            FROM nz LEFT JOIN vocab v ON nz.tok = v.tok
+            GROUP BY source
+        """,
+        "b10_ks_screen": """
+            WITH o AS (
+              SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 100000
+                       AS bucket,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS g1
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ),
+            per AS (
+              SELECT bucket, CAST(sum(g1) AS BIGINT) AS n1,
+                     CAST(sum(1 - g1) AS BIGINT) AS n2
+              FROM o GROUP BY bucket
+            ),
+            cum AS (
+              SELECT bucket,
+                     sum(n1) OVER w AS c1, sum(n2) OVER w AS c2
+              FROM per WINDOW w AS (ORDER BY bucket ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            ),
+            t AS (
+              SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                     CAST(sum(n2) AS BIGINT) AS t2
+              FROM per
+            )
+            SELECT t1 AS n_urgent, t2 AS n_low,
+                   round(CAST(max(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
+                         / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)), 6)
+                     AS ks_stat
+            FROM cum, t GROUP BY t1, t2
+        """,
+        "b22_scene_cuts": """
+            -- closed-form replay of synth_ppm_stream + extract_frames
+            -- (same grid as b22_frame_extract), then the lead-delta
+            WITH fr AS (
+              SELECT doc_id, f,
+                     CAST(3 + f AS INTEGER) AS width,
+                     CAST(2 AS INTEGER) AS height
+              FROM documents, generate_series(0, 4) g(f)
+              WHERE f < 2 + doc_id % 3
+            ),
+            px AS (
+              SELECT doc_id, f, width, height,
+                     (doc_id * 31 + f * 97 + i) % 256 AS val
+              FROM fr, generate_series(0, 41) gi(i)
+              WHERE i < width * height * 3
+            ),
+            fs AS (
+              SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                     CAST(sum(val) AS BIGINT) AS frame_sum,
+                     CAST(width * height * 3 AS BIGINT) AS area
+              FROM px GROUP BY doc_id, f, width, height
+            ),
+            l AS (
+              SELECT doc_id, frame_idx, frame_sum, area,
+                     lead(frame_sum) OVER w AS ns, lead(area) OVER w AS na
+              FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx ASC)
+            )
+            SELECT doc_id, frame_idx,
+                   round(CAST(abs(frame_sum * na - ns * area) AS DOUBLE)
+                         / CAST(area * na AS DOUBLE), 6) AS mean_delta,
+                   abs(frame_sum * na - ns * area) > 8 * area * na AS is_cut
+            FROM l WHERE ns IS NOT NULL
+        """,
+        "b28_length_buckets": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+            ),
+            tiled AS (
+              SELECT doc_id, n_tok,
+                     ntile(8) OVER (ORDER BY n_tok ASC, doc_id ASC) AS bucket
+              FROM t
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_tok) AS BIGINT) AS min_tok,
+                   CAST(max(n_tok) AS BIGINT) AS max_tok,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+                     AS padding_waste
+            FROM tiled GROUP BY 1
+        """,
+        "b30_ndcg": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
+              WHERE tok <> '' GROUP BY doc_id
+            ),
+            scalars AS (
+              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+                     CAST(count(*) AS DOUBLE) AS n_docs
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
+            ),
+            dfx AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+                   CROSS JOIN scalars s
+              GROUP BY tf.doc_id
+            ),
+            retrieved AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            rel AS (
+              SELECT doc_id,
+                     least(CAST(len(list_filter({_TOKS_SQL},
+                                                t -> t = 'merge'))
+                                AS BIGINT), 3) AS rel
+              FROM documents
+            ),
+            wt AS (SELECT [{", ".join(str(w) for w in _NDCG_W)}] AS w),
+            dcg AS (
+              SELECT CAST(sum(COALESCE(rel.rel, 0) * w[rank]) AS BIGINT)
+                       AS dcg_scaled
+              FROM retrieved LEFT JOIN rel USING (doc_id), wt
+            ),
+            ideal AS (
+              SELECT rel, row_number() OVER (
+                ORDER BY rel DESC, doc_id ASC) AS rank
+              FROM rel
+            ),
+            idcg AS (
+              SELECT CAST(sum(rel * w[rank]) AS BIGINT) AS idcg_scaled
+              FROM ideal, wt WHERE rank <= 10
+            )
+            SELECT dcg_scaled, idcg_scaled,
+                   round(CAST(dcg_scaled AS DOUBLE)
+                         / CAST(idcg_scaled AS DOUBLE), 6) AS ndcg
+            FROM dcg, idcg
         """,
     }

@@ -616,16 +616,25 @@ def synth_pcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = []
-            for did in pdf[id_col].astype("int64"):
-                did = int(did)
-                n = 800 + (did % 5) * 160
-                samples = (
-                    (did * 7 + np.arange(n, dtype=np.int64) * 13) % 4096 - 2048
-                ).astype("<i2")
-                out.append(samples.tobytes())
+            # one vectorized pass per Arrow batch: synthesize every
+            # sample of every row into a single int16 array, then slice
+            # per-row payloads out of the one rendered buffer (memcpy
+            # slices — no per-row arithmetic loops)
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            n = 800 + (ids % 5) * 160
+            ends = np.cumsum(n)
+            starts = ends - n
+            total = int(ends[-1]) if len(ids) else 0
+            row = np.repeat(np.arange(len(ids), dtype=np.int64), n)
+            i_within = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+            samples = ((ids[row] * 7 + i_within * 13) % 4096 - 2048).astype(
+                "<i2"
+            )
+            buf = samples.tobytes()
             pdf = pdf.copy()
-            pdf["payload"] = out
+            pdf["payload"] = [
+                buf[2 * int(s) : 2 * int(e)] for s, e in zip(starts, ends)
+            ]
             yield pdf
 
     return df.mapInPandas(run, schema)
@@ -666,39 +675,59 @@ def audio_stats(
         import numpy as np
 
         for pdf in batches:
-            rows = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
-            for did, buf in zip(
-                pdf[id_col].astype("int64"), pdf[payload_col]
-            ):
-                rows["doc_id"].append(int(did))
-                b = bytes(buf)
-                if len(b) % 2 != 0 or len(b) == 0:
-                    for k in ("n_samples", "sum_abs", "max_abs",
-                              "zero_crossings", "energy"):
-                        rows[k].append(None)
-                    rows["decode_ok"].append(False)
-                    continue
-                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+            # one vectorized pass per Arrow batch: concatenate the valid
+            # payloads, frombuffer ONCE, then all five statistics come
+            # from segment algebra on the concatenated waveform —
+            # exclusive-prefix-sum differences for the sums (sum_abs,
+            # energy, zero crossings, with boundary-spanning flips
+            # excluded by ending each row's crossing window one sample
+            # early) and maximum.reduceat for max_abs
+            bufs = [bytes(b) for b in pdf[payload_col]]
+            lens = np.fromiter(
+                (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+            )
+            ok = (lens > 0) & (lens % 2 == 0)
+            n_rows = len(bufs)
+            n_samples = np.zeros(n_rows, dtype=np.int64)
+            sum_abs = np.zeros(n_rows, dtype=np.int64)
+            max_abs = np.zeros(n_rows, dtype=np.int64)
+            crossings = np.zeros(n_rows, dtype=np.int64)
+            energy = np.zeros(n_rows, dtype=np.int64)
+            if ok.any():
+                joined = b"".join(b for b, o in zip(bufs, ok) if o)
+                x = np.frombuffer(joined, dtype="<i2").astype(np.int64)
+                n = lens[ok] // 2
+                ends = np.cumsum(n)
+                starts = ends - n
+                ax = np.abs(x)
+                cs_abs = np.concatenate(([0], np.cumsum(ax)))
+                cs_sq = np.concatenate(([0], np.cumsum(x * x)))
                 neg = x < 0
-                rows["n_samples"].append(int(x.size))
-                rows["sum_abs"].append(int(np.abs(x).sum()))
-                rows["max_abs"].append(int(np.abs(x).max()))
-                rows["zero_crossings"].append(
-                    int((neg[1:] != neg[:-1]).sum())
-                )
-                rows["energy"].append(int((x * x).sum()))
-                rows["decode_ok"].append(True)
+                flips = (neg[1:] != neg[:-1]).astype(np.int64)
+                cs_fl = np.concatenate(([0], np.cumsum(flips)))
+                n_samples[ok] = n
+                sum_abs[ok] = cs_abs[ends] - cs_abs[starts]
+                energy[ok] = cs_sq[ends] - cs_sq[starts]
+                # row i's crossings live in flips[start : end-1): the
+                # flip at end-1 spans into the next row's first sample
+                crossings[ok] = cs_fl[ends - 1] - cs_fl[starts]
+                max_abs[ok] = np.maximum.reduceat(ax, starts)
+            miss = ~ok
+
+            def _col(v):
+                a = pd.array(v, dtype="Int64")
+                a[miss] = pd.NA
+                return a
+
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
-                    "n_samples": pd.array(rows["n_samples"], dtype="Int64"),
-                    "sum_abs": pd.array(rows["sum_abs"], dtype="Int64"),
-                    "max_abs": pd.array(rows["max_abs"], dtype="Int64"),
-                    "zero_crossings": pd.array(
-                        rows["zero_crossings"], dtype="Int64"
-                    ),
-                    "energy": pd.array(rows["energy"], dtype="Int64"),
-                    "decode_ok": rows["decode_ok"],
+                    "doc_id": pdf[id_col].to_numpy(dtype="int64"),
+                    "n_samples": _col(n_samples),
+                    "sum_abs": _col(sum_abs),
+                    "max_abs": _col(max_abs),
+                    "zero_crossings": _col(crossings),
+                    "energy": _col(energy),
+                    "decode_ok": ok,
                 }
             )
 

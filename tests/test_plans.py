@@ -451,6 +451,14 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "b21_heaps_curve",
     # row_number over the |sources|-row distinct relation
     "b26_interleave",
+    # r9: distributed_row_number/ntile phase 2 with no partition cols —
+    # the offsets window runs over the |partitions|-row count relation
+    "b10_gini",
+    "b28_length_buckets",
+    # r9: lag/cumulative windows over the |days|-row daily relation and
+    # the |$1000-buckets|-row price-bucket relation
+    "b15_acf",
+    "b10_ks_screen",
 }
 
 
