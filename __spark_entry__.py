@@ -6904,6 +6904,503 @@ def q_b30_ndcg(spark, sf_dir):
     )
 
 
+def q_b20_cos_histogram(spark, sf_dir):
+    """Pairwise-cosine distribution probe (B20 depth, r9 wave 2): the
+    histogram of probe×corpus cosine scores on 0.1-wide buckets — the
+    embedding-collapse screen (a healthy space is spread; mass piling
+    into one high bucket means the encoder collapsed and every
+    similarity threshold downstream is lying). Probes broadcast; one
+    narrow scoring pass; bucket = floor(score·10) so the bin decision
+    is a floor of identical doubles on both engines. Cost ∝ probes ×
+    corpus, never corpus²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.as_double("embedding")
+    q = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        qv.alias("qv"),
+        similarity.l2_norm(qv).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        qv.alias("cv"),
+        similarity.l2_norm(qv).alias("cn"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        (
+            similarity.dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn"))
+        ).alias("score")
+    )
+    per = scored.select(
+        F.floor(F.col("score") * 10).cast("int").alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    total = per.agg(F.sum("n_pairs").cast("long").alias("__t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def q_b10_welch_t(spark, sf_dir):
+    """Welch two-sample t screen (B10 stats depth, r9 wave 2): URGENT
+    vs LOW order totals — unequal-variance t statistic and
+    Welch–Satterthwaite df. Means/variances derive from EXACT decimal
+    power sums (n, Σx, Σx²) — the b10_stats_agg rule: built-in
+    stddev streams doubles in shuffle order (engine-varying last ulp);
+    power sums are order-independent, so the doubles that reach the
+    t formula are identical cross-engine. One row out; complements
+    b10_ks_screen (location-scale vs whole-distribution)."""
+    dec4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    sums = orders.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").alias("__g1")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec4("o_totalprice")).cast("double").alias("sx"),
+        F.sum(dec4("o_totalprice") * dec4("o_totalprice"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    one = sums.groupBy().agg(
+        F.max(F.when(F.col("__g1"), F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("__g1"), F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("__g1"), F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(~F.col("__g1"), F.col("n"))).alias("n2"),
+        F.max(F.when(~F.col("__g1"), F.col("sx"))).alias("sx2"),
+        F.max(F.when(~F.col("__g1"), F.col("sxx"))).alias("sxx2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("sx1") / n1
+    m2 = F.col("sx2") / n2
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1)
+    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    df_w = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    return one.select(
+        n1.cast("long").alias("n_urgent"),
+        n2.cast("long").alias("n_low"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_w, 6).alias("df"),
+    )
+
+
+def q_b11_streaks(spark, sf_dir):
+    """Longest activity streak per user (B11 depth, r9 wave 2): the
+    gaps-and-islands pattern — consecutive active DAYS collapse to one
+    island via the classic ``day − row_number()`` constant, then one
+    keyed agg per island and one per user. The stream contracts to the
+    distinct (user, day) relation first, so the windows rank |active
+    days| rows, all keyed by user. Integer exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 86400"
+        ).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    islands = days.select(
+        "user_id",
+        (F.col("day") - F.row_number().over(w)).alias("__isl"),
+    ).groupBy("user_id", "__isl").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("__len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("__len").cast("long").alias("longest_streak"),
+    )
+
+
+def q_b30_kwic(spark, sf_dir):
+    """Keyword-in-context snippets (B30 retrieval depth, r9 wave 2):
+    for every 'merge join' phrase hit (the b30_phrase_search adjacency
+    join), the ±3-token context window sliced out of the token array —
+    the retrieval-UX op behind search-result highlighting. Match
+    positions are bounded by phrase frequency and broadcast back into
+    the token relation; the slice bounds are computed as identical
+    integer expressions on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", textops.tokens(F.col("text")).alias("toks"))
+    pos = tk.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    a = pos.filter(F.col("tok") == "merge").select("doc_id", "pos")
+    b = pos.filter(F.col("tok") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    matches = a.join(b, ["doc_id", "pos"]).distinct()
+    j = tk.join(F.broadcast(matches), "doc_id")
+    begin = F.greatest(F.col("pos") - 3, F.lit(0)) + 1
+    end = F.least(F.col("pos") + 5, F.size("toks"))
+    return j.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice(F.col("toks"), begin, end - begin + 1), " "
+        ).alias("snippet"),
+    )
+
+
+def q_b24_source_scorecard(spark, sf_dir):
+    """Per-source corpus quality scorecard (B24 capstone depth, r9
+    wave 2): the one-page artifact a mixture owner reads per ingest
+    source — doc/token volume, exact-dup rate (fingerprint distinct),
+    OOV rate vs the corpus top-200 vocabulary (b21_oov_rate's kernel),
+    and the share of docs passing an integer lexical-diversity gate
+    (distinct·1000 div tokens ≥ 300). One composed lazy plan: two
+    keyed doc-level aggs + the token-level OOV leg joined on source.
+    All decisions integer; only the reported rates divide."""
+    docs = _t(spark, sf_dir, "documents")
+    nz = F.filter(textops.tokens(F.col("text")), lambda t: t != "")
+    per_doc = docs.select(
+        "source",
+        textops.token_count("text").alias("n_tok"),
+        textops.fingerprint("text").alias("fp"),
+        F.size(nz).cast("long").alias("n_nz"),
+        F.size(F.array_distinct(nz)).cast("long").alias("n_dist"),
+    )
+    doc_agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.countDistinct("fp").cast("long").alias("n_uniq"),
+        F.sum(
+            F.when(
+                F.expr("(n_dist * 1000) div greatest(n_nz, 1)") >= 300, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_diverse"),
+    )
+    toks = docs.select(
+        "source", F.explode(textops.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok", F.lit(1).alias("__inv"))
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_tokens"),
+            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("__n_oov"),
+        )
+    )
+    return doc_agg.join(oov, "source").select(
+        "source",
+        "n_docs",
+        "sum_tok",
+        "n_uniq",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_uniq").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("__n_oov").cast("double") / F.col("__n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.round(
+            F.col("n_diverse").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("diverse_share"),
+    )
+
+
+def q_b2_write_amplification(spark, sf_dir):
+    """CDC capture-overhead report (B2 depth, r9 wave 2): per
+    operation, the JSON image bytes the capture triggers write beside
+    every base-table change — the cost the reference's design pays for
+    before/after images (full-row ``json_object`` per trigger fire,
+    /root/reference/triggers.go:457-518) surfaced as an analytics
+    read. Byte counts are lengths of the SAME deterministic image
+    strings both engines render (the a4/a10 parity), so the report is
+    integer-exact; only the per-change average divides."""
+    ch = _events_changes(spark, sf_dir)
+    agg = ch.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sum(F.coalesce(F.length("before"), F.lit(0)))
+        .cast("long")
+        .alias("before_bytes"),
+        F.sum(F.coalesce(F.length("after"), F.lit(0)))
+        .cast("long")
+        .alias("after_bytes"),
+    )
+    return agg.select(
+        "operation",
+        "n_changes",
+        "before_bytes",
+        "after_bytes",
+        F.round(
+            (F.col("before_bytes") + F.col("after_bytes")).cast("double")
+            / F.col("n_changes").cast("double"),
+            6,
+        ).alias("avg_image_bytes"),
+    )
+
+
+def q_b13_block_digests(spark, sf_dir):
+    """Hierarchical replica reconciliation (B13 depth, r9 wave 3): the
+    SCALABLE way to verify a 100 TB replica — exchange |blocks|
+    (count, xor-of-row-hashes) digests instead of rows (b1_snapshot_diff
+    is the row-level tool; this is what you run FIRST to find which
+    key ranges diverged). Blocks are o_orderkey div 512; the row hash
+    is the portable md5-60 over a canonical rendering, folded with
+    bit_xor (order-independent, overflow-free, map-side combinable).
+    The replica here injects a one-cent drift on keys ≡ 0 mod 997;
+    output = diverged blocks only. Reference anchor: the change
+    stream exists to feed replicas (README.md:26-30) — this is the
+    audit that closes that loop."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    replica = base.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("cents") + 1
+        ).otherwise(F.col("cents")),
+    )
+
+    def digests(df, n_col, d_col):
+        h = portable_hash60(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("cents").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+        return (
+            df.select(
+                F.expr("o_orderkey div 512").alias("block"), h.alias("__h")
+            )
+            .groupBy("block")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(n_col),
+                F.expr("bit_xor(__h)").alias(d_col),
+            )
+        )
+
+    b = digests(base, "base_n", "base_digest")
+    r = digests(replica, "repl_n", "repl_digest")
+    return b.join(r, "block", "full").filter(
+        (F.col("base_n") != F.col("repl_n"))
+        | (F.col("base_digest") != F.col("repl_digest"))
+        | F.col("base_n").isNull()
+        | F.col("repl_n").isNull()
+    )
+
+
+def q_b27_lc_union(spark, sf_dir):
+    """Mergeable-sketch union invariant (B27 depth, r9 wave 3): per
+    event-type linear-counting bitmaps over user ids, then the MERGED
+    (bit_or across types) bitmap — the property that makes sketches a
+    100 TB tool (per-partition/per-day sketches combine without
+    rescanning). Every scope row carries exact vs estimate; the
+    '(all)' row's bitmap is provably the OR of the per-type bitmaps
+    because OR is associative — the driver hash certifies the whole
+    merge algebra since every bit replays cross-engine (the
+    b27_linear_counting build, k=1, m=4096)."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60,
+    )
+
+    m_bits = 4096
+    a, b = _hash_family(1, seed=0xB100)[0]
+    ev = _t(spark, sf_dir, "events")
+    pos = ev.select(
+        "event_type",
+        (
+            F.pmod(
+                F.pmod(
+                    portable_hash60(F.col("user_id").cast("string")),
+                    F.lit(MINHASH_P),
+                )
+                * a
+                + b,
+                F.lit(MINHASH_P),
+            )
+            % m_bits
+        ).alias("pos"),
+    )
+    words = pos.select(
+        "event_type",
+        (F.col("pos") / 63).cast("int").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+        ).alias("__bit"),
+    ).groupBy("event_type", "word").agg(F.expr("bit_or(__bit)").alias("bits"))
+    merged = words.groupBy("word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    ).select(F.lit("(all)").alias("scope"), "word", "bits")
+    scoped = words.select(
+        F.col("event_type").alias("scope"), "word", "bits"
+    ).unionByName(merged)
+    used = scoped.groupBy("scope").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bits_set")
+    )
+    ex = (
+        ev.select(F.col("event_type").alias("scope"), "user_id")
+        .unionByName(ev.select(F.lit("(all)").alias("scope"), "user_id"))
+        .groupBy("scope")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    est = F.round(
+        -F.lit(float(m_bits))
+        * F.log(
+            (F.lit(m_bits) - F.col("bits_set")).cast("double")
+            / F.lit(float(m_bits))
+        ),
+        6,
+    )
+    return used.join(ex, "scope").select(
+        "scope",
+        "bits_set",
+        "n_exact",
+        est.alias("estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def q_b20_recall_curve(spark, sf_dir):
+    """Recall@k curve (B20 eval depth, r9 wave 3): recall@{1,5,10} of
+    the portable-LSH candidate set against exact cosine ranks — the
+    curve (not one point, b20_ann_recall's shape) an ANN config review
+    reads. ONE exact top-10 relation serves all three k's (the k-grid
+    explodes per rank row, never re-scoring); candidates come from the
+    integer-exact LSH so the whole curve is oracle-replayable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4)
+    cand = similarity.ann_lsh_portable(
+        emb, queries_df, dim=64, n_planes=8, quant=1000, multiprobe=True
+    )
+    topk = similarity.cosine_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    hits = topk.join(
+        cand.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    grid = hits.select(
+        "query_id",
+        "rnk",
+        "__hit",
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k"),
+    ).filter(F.col("rnk") <= F.col("k"))
+    return grid.groupBy("query_id", "k").agg(
+        F.count("__hit").cast("long").alias("n_hits"),
+        F.round(
+            F.count("__hit").cast("double") / F.col("k").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
+def q_b11_rolling_median(spark, sf_dir):
+    """Trailing-7-day rolling MEDIAN of daily event counts (B11 frame
+    depth, r9 wave 3): the order-statistic frame the ranking/analytic
+    rows don't cover — robust smoothing for the b3 anomaly family.
+    The stream contracts to the |days| relation before the frame (the
+    b15_acf rule), and the frame is a DAY-VALUE range ([d−6, d], not
+    7 physical rows — a missing day must shrink the frame, not stretch
+    it), expressed as a bounded self-join + plain median agg because
+    Spark's exact median doesn't take a window frame. Even-count
+    medians average two int64 middles — exact in doubles on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 86400"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = daily.select(F.col("day").alias("day"), F.col("n").alias("n"))
+    b = daily.select(F.col("day").alias("__bd"), F.col("n").alias("__bn"))
+    j = a.join(
+        F.broadcast(b),
+        (F.col("__bd") >= F.col("day") - 6) & (F.col("__bd") <= F.col("day")),
+    )
+    return j.groupBy("day", "n").agg(
+        F.median("__bn").alias("med7"),
+        F.count(F.lit(1)).cast("long").alias("n_days_in_frame"),
+    )
+
+
+def q_b28_budget_allocation(spark, sf_dir):
+    """Token-budget apportionment (B28 mixture depth, r9 wave 3):
+    allocate a 1M-token budget across sources proportionally to their
+    token mass with LARGEST-REMAINDER rounding — the integer-exact
+    apportionment (Hamilton method) whose allocations sum EXACTLY to
+    the budget, unlike naive floor/round shares. base = (B·w) div W,
+    remainder rank breaks ties by source; the only windows run over
+    the |sources|-row aggregate."""
+    from pyspark.sql import Window
+
+    budget = 1_000_000
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(textops.token_count("text")).cast("long").alias("w")
+    )
+    tot = per.agg(F.sum("w").cast("long").alias("__W"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"(w * {budget}) div __W").alias("base"),
+        F.expr(f"(w * {budget}) % __W").alias("rem"),
+        "__W",
+    )
+    sums = q.agg(
+        F.sum("base").cast("long").alias("__base_sum")
+    )
+    wrank = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = q.crossJoin(F.broadcast(sums)).select(
+        "source",
+        "w",
+        "base",
+        "rem",
+        F.row_number().over(wrank).alias("__rk"),
+        (F.lit(budget) - F.col("__base_sum")).alias("__leftover"),
+    )
+    alloc = F.col("base") + F.when(
+        F.col("__rk") <= F.col("__leftover"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        "w",
+        alloc.cast("long").alias("alloc"),
+        F.round(alloc.cast("double") / F.lit(float(budget)), 6).alias(
+            "alloc_share"
+        ),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -7172,6 +7669,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_scene_cuts": q_b22_scene_cuts,
         "b28_length_buckets": q_b28_length_buckets,
         "b30_ndcg": q_b30_ndcg,
+        # --- round 9 wave 2 (eval/profiling/retrieval-UX/CDC-cost) -------
+        "b20_cos_histogram": q_b20_cos_histogram,
+        "b10_welch_t": q_b10_welch_t,
+        "b11_streaks": q_b11_streaks,
+        "b30_kwic": q_b30_kwic,
+        "b24_source_scorecard": q_b24_source_scorecard,
+        "b2_write_amplification": q_b2_write_amplification,
+        # --- round 9 wave 3 (reconciliation/sketch-merge/eval/frames) ----
+        "b13_block_digests": q_b13_block_digests,
+        "b27_lc_union": q_b27_lc_union,
+        "b20_recall_curve": q_b20_recall_curve,
+        "b11_rolling_median": q_b11_rolling_median,
+        "b28_budget_allocation": q_b28_budget_allocation,
     }
 
 
@@ -8192,6 +8702,175 @@ def _acf_oracle_sql() -> str:
                      {agg_cols}
               FROM l)
         {union}
+    """
+
+
+def _block_digests_oracle_sql() -> str:
+    """DuckDB replay of q_b13_block_digests: same canonical rendering,
+    portable md5-60 row hash, bit_xor fold per 512-key block, full
+    outer compare, diverged blocks only."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql(
+        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(cents AS VARCHAR)"
+        " || '|' || o_orderstatus"
+    )
+    return f"""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderstatus
+          FROM orders
+        ),
+        repl AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 997 = 0 THEN cents + 1
+                      ELSE cents END AS cents,
+                 o_orderstatus
+          FROM base
+        ),
+        bd AS (
+          SELECT o_orderkey // 512 AS block,
+                 CAST(count(*) AS BIGINT) AS base_n,
+                 bit_xor({h}) AS base_digest
+          FROM base GROUP BY 1
+        ),
+        rd AS (
+          SELECT o_orderkey // 512 AS block,
+                 CAST(count(*) AS BIGINT) AS repl_n,
+                 bit_xor({h}) AS repl_digest
+          FROM repl GROUP BY 1
+        )
+        SELECT COALESCE(bd.block, rd.block) AS block,
+               base_n, base_digest, repl_n, repl_digest
+        FROM bd FULL OUTER JOIN rd ON bd.block = rd.block
+        WHERE base_n IS DISTINCT FROM repl_n
+           OR base_digest IS DISTINCT FROM repl_digest
+    """
+
+
+def _lc_union_oracle_sql(m_bits: int = 4096) -> str:
+    """DuckDB replay of q_b27_lc_union: per-event-type k=1 bitmaps,
+    bit_or merge into the '(all)' scope, shared estimator tree."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60_sql,
+    )
+
+    a, b = _hash_family(1, seed=0xB100)[0]
+    base = (
+        f"({portable_hash60_sql('CAST(user_id AS VARCHAR)')}) % {MINHASH_P}"
+    )
+    est = (
+        f"round(-{float(m_bits)} * ln(CAST({m_bits} - bits_set AS DOUBLE)"
+        f" / {float(m_bits)}), 6)"
+    )
+    return f"""
+        WITH pos AS (
+          SELECT event_type,
+                 ((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits} AS pos
+          FROM events
+        ),
+        words AS (
+          SELECT event_type, CAST(floor(pos / 63) AS INTEGER) AS word,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))
+                   AS bits
+          FROM pos GROUP BY 1, 2
+        ),
+        scoped AS (
+          SELECT event_type AS scope, word, bits FROM words
+          UNION ALL
+          SELECT '(all)' AS scope, word, bit_or(bits) AS bits
+          FROM words GROUP BY word
+        ),
+        used AS (
+          SELECT scope, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+          FROM scoped GROUP BY scope
+        ),
+        ex AS (
+          SELECT scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM (
+            SELECT event_type AS scope, user_id FROM events
+            UNION ALL
+            SELECT '(all)' AS scope, user_id FROM events
+          ) GROUP BY scope
+        )
+        SELECT used.scope, bits_set, n_exact, {est} AS estimate,
+               round(abs({est} - n_exact) / n_exact, 6) AS rel_err
+        FROM used JOIN ex ON used.scope = ex.scope
+    """
+
+
+def _recall_curve_oracle_sql() -> str:
+    """DuckDB replay of q_b20_recall_curve: the b20_ann_recall LSH
+    candidate replay, exact top-10 ranks, k-grid unpivot."""
+    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(8)]
+    )
+    return f"""
+        WITH planes AS (
+          SELECT p, d,
+                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
+                           < 2147483648 THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, 7)) AS p),
+               (SELECT unnest(generate_series(0, 63)) AS d)
+        ),
+        comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
+                      AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        dots AS (
+          SELECT id, p, sum(s * q) AS dp
+          FROM comp JOIN planes USING (d) GROUP BY id, p
+        ),
+        buckets AS (
+          SELECT id,
+                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id
+        ),
+        qb AS (
+          SELECT id AS query_id, unnest([{probes}]) AS bucket
+          FROM buckets WHERE id < 4
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, c.id AS neighbor_id
+          FROM qb JOIN buckets c ON qb.bucket = c.bucket
+          WHERE c.id != query_id
+        ),
+        topk AS (
+          SELECT query_id, neighbor_id, rnk FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_dot_product(qv, cv)
+                              / (sqrt(list_dot_product(qv, qv))
+                                 * sqrt(list_dot_product(cv, cv))) DESC,
+                              c.neighbor_id ASC) AS rnk
+            FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 4) q
+            JOIN (SELECT vec_id AS neighbor_id,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings) c
+              ON q.query_id != c.neighbor_id
+          ) WHERE rnk <= 10
+        ),
+        grid AS (
+          SELECT t.query_id, t.rnk, c.neighbor_id AS hit, k
+          FROM topk t
+          LEFT JOIN cand c ON t.query_id = c.query_id
+                          AND t.neighbor_id = c.neighbor_id,
+               unnest([1, 5, 10]) AS ks(k)
+          WHERE t.rnk <= k
+        )
+        SELECT query_id, k, CAST(count(hit) AS BIGINT) AS n_hits,
+               round(CAST(count(hit) AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                 AS recall
+        FROM grid GROUP BY query_id, k
     """
 
 
@@ -12747,5 +13426,223 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(dcg_scaled AS DOUBLE)
                          / CAST(idcg_scaled AS DOUBLE), 6) AS ndcg
             FROM dcg, idcg
+        """,
+        # ---- round 9 wave 2 ---------------------------------------------
+        "b20_cos_histogram": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 32
+            ),
+            c AS (
+              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))) AS score
+              FROM q, c WHERE neighbor_id != query_id
+            ),
+            per AS (
+              SELECT CAST(floor(score * 10) AS INTEGER) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_pairs
+              FROM scored GROUP BY 1
+            ),
+            t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM per)
+            SELECT bucket, n_pairs,
+                   round(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                     AS share
+            FROM per, t
+        """,
+        "b10_welch_t": """
+            WITH sums AS (
+              SELECT o_orderpriority = '1-URGENT' AS g1,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                          AS DOUBLE) AS sx,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))
+                              * CAST(o_totalprice AS DECIMAL(28,4)))
+                          AS DOUBLE) AS sxx
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              GROUP BY 1
+            ),
+            one AS (
+              SELECT max(CASE WHEN g1 THEN n END) AS n1,
+                     max(CASE WHEN g1 THEN sx END) AS sx1,
+                     max(CASE WHEN g1 THEN sxx END) AS sxx1,
+                     max(CASE WHEN NOT g1 THEN n END) AS n2,
+                     max(CASE WHEN NOT g1 THEN sx END) AS sx2,
+                     max(CASE WHEN NOT g1 THEN sxx END) AS sxx2
+              FROM sums
+            ),
+            two AS (
+              SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+                     (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+                     (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+              FROM one
+            ),
+            three AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM two)
+            SELECT CAST(n1 AS BIGINT) AS n_urgent,
+                   CAST(n2 AS BIGINT) AS n_low,
+                   round(m1 - m2, 6) AS mean_diff,
+                   round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+                   round((se2 * se2)
+                         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                            + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+            FROM three
+        """,
+        "b11_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events
+            ),
+            isl AS (
+              SELECT user_id,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day ASC) AS g
+              FROM days
+            ),
+            islands AS (
+              SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+              FROM isl GROUP BY user_id, g
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS BIGINT) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM islands GROUP BY user_id
+        """,
+        "b30_kwic": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+              FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
+            ),
+            m AS (
+              SELECT DISTINCT a.doc_id, a.pos
+              FROM pos a JOIN pos b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              WHERE a.tok = 'merge' AND b.tok = 'join'
+            )
+            SELECT m.doc_id, CAST(m.pos AS INTEGER) AS pos,
+                   array_to_string(
+                     list_slice(tk.toks, greatest(m.pos - 3, 0) + 1,
+                                least(m.pos + 5, len(tk.toks))), ' ')
+                     AS snippet
+            FROM m JOIN tk ON m.doc_id = tk.doc_id
+        """,
+        "b24_source_scorecard": f"""
+            WITH per_doc AS (
+              SELECT source,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+                     md5({_NORM_SQL}) AS fp,
+                     CAST(len(list_filter({_TOKS_SQL}, t -> t <> ''))
+                          AS BIGINT) AS n_nz,
+                     CAST(len(list_distinct(
+                            list_filter({_TOKS_SQL}, t -> t <> '')))
+                          AS BIGINT) AS n_dist
+              FROM documents
+            ),
+            doc_agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                     CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq,
+                     CAST(sum(CASE WHEN (n_dist * 1000)
+                                        // greatest(n_nz, 1) >= 300
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse
+              FROM per_doc GROUP BY source
+            ),
+            toks AS (
+              SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+            vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM nz GROUP BY tok
+                ORDER BY c DESC, tok ASC LIMIT 200
+              )
+            ),
+            oov AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM nz LEFT JOIN vocab v ON nz.tok = v.tok
+              GROUP BY source
+            )
+            SELECT d.source, n_docs, sum_tok, n_uniq,
+                   round(1.0 - CAST(n_uniq AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+                   round(CAST(n_oov AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 6) AS oov_rate,
+                   round(CAST(n_diverse AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE), 6) AS diverse_share
+            FROM doc_agg d JOIN oov USING (source)
+        """,
+        "b2_write_amplification": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            agg AS (
+              SELECT operation, CAST(count(*) AS BIGINT) AS n_changes,
+                     CAST(sum(coalesce(length(before), 0)) AS BIGINT)
+                       AS before_bytes,
+                     CAST(sum(coalesce(length(after), 0)) AS BIGINT)
+                       AS after_bytes
+              FROM changes GROUP BY operation
+            )
+            SELECT operation, n_changes, before_bytes, after_bytes,
+                   round(CAST(before_bytes + after_bytes AS DOUBLE)
+                         / CAST(n_changes AS DOUBLE), 6) AS avg_image_bytes
+            FROM agg
+        """,
+        # ---- round 9 wave 3 ---------------------------------------------
+        "b13_block_digests": _block_digests_oracle_sql(),
+        "b27_lc_union": _lc_union_oracle_sql(),
+        "b20_recall_curve": _recall_curve_oracle_sql(),
+        "b11_rolling_median": """
+            WITH daily AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT day, n,
+                   CAST(median(n) OVER w AS DOUBLE) AS med7,
+                   CAST(count(*) OVER w AS BIGINT) AS n_days_in_frame
+            FROM daily WINDOW w AS (ORDER BY day ASC
+                                    RANGE BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW)
+        """,
+        "b28_budget_allocation": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(sum(CAST(len({_TOKS_SQL}) AS BIGINT)) AS BIGINT)
+                       AS w
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM per),
+            q AS (
+              SELECT source, w,
+                     (w * 1000000) // wt AS base,
+                     (w * 1000000) % wt AS rem
+              FROM per, tot
+            ),
+            s AS (SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM q),
+            r AS (
+              SELECT q.source, q.w, q.base,
+                     row_number() OVER (
+                       ORDER BY q.rem DESC, q.source ASC) AS rk,
+                     1000000 - s.base_sum AS leftover
+              FROM q, s
+            )
+            SELECT source, w,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc,
+                   round(CAST(base + CASE WHEN rk <= leftover
+                                          THEN 1 ELSE 0 END AS DOUBLE)
+                         / 1000000.0, 6) AS alloc_share
+            FROM r
         """,
     }

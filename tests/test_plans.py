@@ -459,6 +459,8 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     # the |$1000-buckets|-row price-bucket relation
     "b15_acf",
     "b10_ks_screen",
+    # r9 wave 3: remainder-rank window over the |sources|-row aggregate
+    "b28_budget_allocation",
 }
 
 

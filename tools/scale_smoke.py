@@ -27,6 +27,24 @@ from sqlite_cdc_spark.pipeline import text as textops
 from sqlite_cdc_spark.session import get_spark
 
 
+#: reps per family; the recorded time is the MIN — this box's sf1x wall
+#: times swing 2-4x run-to-run for memory-heavy families (kernel page-
+#: zeroing contention under 32 concurrent workers), so a single reading
+#: measures transient box state, not the operator. Min-of-k isolates the
+#: plan cost; the JSON records the policy.
+SMOKE_REPS = int(os.environ.get("SPARK_GRAFT_SMOKE_REPS", "3"))
+
+
+def _best_of(fn, reps: int | None = None) -> float:
+    best = None
+    for _ in range(reps or SMOKE_REPS):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
 def gen_lineitem(spark, rows: int, path: str):
     df = (
         spark.range(rows)
@@ -53,9 +71,7 @@ def ops(spark, path: str) -> dict[str, float]:
     out: dict[str, float] = {"rows": n}
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 2)
+        out[name] = _best_of(fn)
 
     run("bootstrap_images", lambda: snapshot_as_inserts(li, "lineitem")
         .write.format("noop").mode("overwrite").save())
@@ -125,9 +141,7 @@ def text_ops(spark, path: str) -> dict[str, float]:
     out: dict[str, float] = {"doc_rows": docs.count()}
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 2)
+        out[name] = _best_of(fn)
 
     run("minhash_candidates", lambda: dedup.minhash_candidates(
         docs, "doc_id", "text", num_hashes=32, bands=8)
@@ -195,9 +209,7 @@ def r6_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 2)
+        out[name] = _best_of(fn)
 
     n_emb = rows // 10
     emb = spark.range(n_emb).select(
@@ -269,9 +281,7 @@ def r7_ops(spark, li_path: str, docs_path: str, rows: int) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 2)
+        out[name] = _best_of(fn)
 
     run("cdc_chunk_stats", lambda: dedup.cdc_chunk_stats(
         docs, "doc_id", "text")
@@ -393,9 +403,7 @@ def r8_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     out: dict[str, float] = {}
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 2)
+        out[name] = _best_of(fn)
 
     ids = spark.range(rows // 20).select(F.col("id").alias("doc_id"))
     run("image_stats", lambda: multimodal.image_stats(
@@ -638,18 +646,18 @@ def skew_ops(spark, rows: int) -> dict[str, float]:
     )
     out: dict[str, float] = {}
 
-    t0 = time.time()
     plain = fact.join(dim, "k").groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"))
-    n1 = sum(r.n for r in plain.collect())
-    out["skew_plain_join"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
+    counts = []
+    out["skew_plain_join"] = _best_of(
+        lambda: counts.append(sum(r.n for r in plain.collect()))
+    )
     salted = derive.salted_join(fact, dim, "k", salt=32).groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"))
-    n2 = sum(r.n for r in salted.collect())
-    out["skew_salted_join"] = round(time.time() - t0, 2)
-    assert n1 == n2, f"salted join changed results: {n1} != {n2}"
+    out["skew_salted_join"] = _best_of(
+        lambda: counts.append(sum(r.n for r in salted.collect()))
+    )
+    assert len(set(counts)) == 1, f"salted join changed results: {counts}"
     return out
 
 
@@ -677,7 +685,12 @@ def main():
         ratios[op] = round(
             (results["sf1x"][op] / max(results["sf0.1x"][op], 1e-6)) / 10.0, 2
         )
-    out = {"runs": results, "time_ratio_over_data_ratio": ratios}
+    out = {
+        "reps_per_family": SMOKE_REPS,
+        "stat": "min",
+        "runs": results,
+        "time_ratio_over_data_ratio": ratios,
+    }
     with open("SCALE_SMOKE.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
