@@ -615,25 +615,46 @@ def synth_pcm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
+        # per-WORKER reusable buffers (workers are reused across batches;
+        # numpy frees >128 KiB allocations straight back to the OS, so a
+        # fresh alloc per batch means kernel page-zeroing on every batch —
+        # the dominant cost at 32 concurrent workers on this box)
+        tmpl13 = (np.arange(1440, dtype=np.int32) * 13) % 4096
+        pool: dict[str, "np.ndarray"] = {}
+
+        def buf(name, size, dtype):
+            a = pool.get(name)
+            if a is None or a.size < size:
+                a = np.empty(max(size, 1 << 20), dtype=dtype)
+                pool[name] = a
+            return a[:size]
+
         for pdf in batches:
-            # one vectorized pass per Arrow batch: synthesize every
-            # sample of every row into a single int16 array, then slice
-            # per-row payloads out of the one rendered buffer (memcpy
-            # slices — no per-row arithmetic loops)
+            # synthesize every sample of every row into ONE pooled int16
+            # array: per-row slice assignment from a precomputed (i*13)
+            # template — ~3 tiny vector ops per row, zero large allocs
             ids = pdf[id_col].to_numpy(dtype="int64")
             n = 800 + (ids % 5) * 160
             ends = np.cumsum(n)
             starts = ends - n
             total = int(ends[-1]) if len(ids) else 0
-            row = np.repeat(np.arange(len(ids), dtype=np.int64), n)
-            i_within = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
-            samples = ((ids[row] * 7 + i_within * 13) % 4096 - 2048).astype(
-                "<i2"
-            )
-            buf = samples.tobytes()
+            id7 = ((ids % 4096) * 7 % 4096).astype(np.int32)
+            samples = buf("samples", total, np.int16)
+            scratch = pool.get("scratch")
+            if scratch is None:
+                scratch = np.empty(1440, dtype=np.int32)
+                pool["scratch"] = scratch
+            for i in range(len(ids)):
+                ni = int(n[i])
+                seg32 = scratch[:ni]
+                np.add(tmpl13[:ni], id7[i], out=seg32)
+                np.remainder(seg32, 4096, out=seg32)
+                np.subtract(seg32, 2048, out=seg32)
+                samples[int(starts[i]) : int(ends[i])] = seg32
+            mv = samples.tobytes()
             pdf = pdf.copy()
             pdf["payload"] = [
-                buf[2 * int(s) : 2 * int(e)] for s, e in zip(starts, ends)
+                mv[2 * int(s) : 2 * int(e)] for s, e in zip(starts, ends)
             ]
             yield pdf
 
@@ -674,15 +695,28 @@ def audio_stats(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
 
+        # per-WORKER reusable buffers: numpy hands >128 KiB frees back to
+        # the OS immediately, so per-batch temporaries are re-zeroed by
+        # the kernel on EVERY batch — with 32 concurrent workers that
+        # page-fault contention dominated this operator 25x (measured;
+        # PERF.md round 9). Pooling + in-place ufuncs leaves only the
+        # unavoidable Arrow I/O allocations.
+        pool: dict[str, "np.ndarray"] = {}
+
+        def buf(name, size, dtype):
+            a = pool.get(name)
+            if a is None or a.size < size:
+                a = np.empty(max(size, 1 << 20), dtype=dtype)
+                pool[name] = a
+            return a[:size]
+
         for pdf in batches:
-            # one vectorized pass per Arrow batch: concatenate the valid
-            # payloads, frombuffer ONCE, then all five statistics come
-            # from segment algebra on the concatenated waveform —
-            # exclusive-prefix-sum differences for the sums (sum_abs,
-            # energy, zero crossings, with boundary-spanning flips
-            # excluded by ending each row's crossing window one sample
-            # early) and maximum.reduceat for max_abs
-            bufs = [bytes(b) for b in pdf[payload_col]]
+            # concatenate valid payloads into a POOLED int16 array (per-
+            # row memcpy fills), then all five statistics come from
+            # ufunc.reduceat segment reductions with int64 ACCUMULATION
+            # over narrow int32/bool views — no cumsum, no full-width
+            # int64 temporaries
+            bufs = list(pdf[payload_col])
             lens = np.fromiter(
                 (len(b) for b in bufs), dtype=np.int64, count=len(bufs)
             )
@@ -694,24 +728,43 @@ def audio_stats(
             crossings = np.zeros(n_rows, dtype=np.int64)
             energy = np.zeros(n_rows, dtype=np.int64)
             if ok.any():
-                joined = b"".join(b for b, o in zip(bufs, ok) if o)
-                x = np.frombuffer(joined, dtype="<i2").astype(np.int64)
                 n = lens[ok] // 2
                 ends = np.cumsum(n)
                 starts = ends - n
-                ax = np.abs(x)
-                cs_abs = np.concatenate(([0], np.cumsum(ax)))
-                cs_sq = np.concatenate(([0], np.cumsum(x * x)))
-                neg = x < 0
-                flips = (neg[1:] != neg[:-1]).astype(np.int64)
-                cs_fl = np.concatenate(([0], np.cumsum(flips)))
+                total = int(ends[-1])
+                x = buf("x", total, np.int16)
+                off = 0
+                for b, o, ln in zip(bufs, ok, lens):
+                    if not o:
+                        continue
+                    m = int(ln) // 2
+                    x[off : off + m] = np.frombuffer(b, dtype="<i2", count=m)
+                    off += m
+                # int32 so abs(-32768) can't wrap and ax*ax can't overflow
+                # (32768^2 < 2^31); reductions accumulate in int64
+                ax = buf("ax", total, np.int32)
+                # dtype pins the int32 ufunc loop: the int16 loop would
+                # wrap abs(-32768) BEFORE the cast to the out array
+                np.abs(x, out=ax, dtype=np.int32, casting="unsafe")
                 n_samples[ok] = n
-                sum_abs[ok] = cs_abs[ends] - cs_abs[starts]
-                energy[ok] = cs_sq[ends] - cs_sq[starts]
-                # row i's crossings live in flips[start : end-1): the
-                # flip at end-1 spans into the next row's first sample
-                crossings[ok] = cs_fl[ends - 1] - cs_fl[starts]
+                sum_abs[ok] = np.add.reduceat(ax, starts, dtype=np.int64)
                 max_abs[ok] = np.maximum.reduceat(ax, starts)
+                sq = buf("sq", total, np.int32)
+                np.multiply(ax, ax, out=sq)
+                energy[ok] = np.add.reduceat(sq, starts, dtype=np.int64)
+                # a crossing is a sign flip between CONSECUTIVE samples of
+                # the same row: pad the flip vector to row-aligned length,
+                # segment-sum it, then subtract the boundary-spanning flip
+                # at each row's last sample (the pad keeps the final
+                # row's subtraction a zero)
+                neg = buf("neg", total, bool)
+                np.less(x, 0, out=neg)
+                fl = buf("fl", total, bool)
+                np.not_equal(neg[1:], neg[:-1], out=fl[: total - 1])
+                fl[total - 1] = False
+                crossings[ok] = np.add.reduceat(
+                    fl, starts, dtype=np.int64
+                ) - fl[ends - 1]
             miss = ~ok
 
             def _col(v):
