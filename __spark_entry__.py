@@ -7401,6 +7401,209 @@ def q_b28_budget_allocation(spark, sf_dir):
     )
 
 
+#: HLL numerator alpha_m * m^2 * 2^53 for m=256 registers, computed ONCE
+#: in Python and embedded as the identical double literal in BOTH engines
+#: (multiplication/division of identical doubles is IEEE-exact, unlike
+#: re-deriving alpha from decimal literals DuckDB would parse as DECIMAL).
+_HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+
+
+def q_b27_hll_registers(spark, sf_dir):
+    """True HyperLogLog distinct sketch (B27 depth, r9 wave 4 — the
+    register-based estimator beside the bitmap-based b27_linear_counting):
+    the portable 60-bit hash splits into an 8-bit register index and a
+    52-bit suffix whose leading-zero rank (rho, via length(bin(w)) —
+    pure integer/string ops, no float log2 at the bit boundary) feeds
+    register-wise MAX. The '(all)' scope is the register-wise max-merge
+    of the per-event-type sketches — max is associative, so this row IS
+    the HLL mergeability invariant (per-partition sketches combine
+    without rescans, the property that makes HLL the 100 TB distinct
+    counter). The harmonic estimate keeps the sum EXACT: Sum 2^-r is
+    computed as integer numerators 2^(53-r) (max 256*2^53 < 2^62), and
+    the only float ops are one division + one multiply of identical
+    doubles, floor-quantized to micros; the small-range linear-counting
+    correction branch (est <= 2.5m, the Flajolet et al. rule) uses the
+    established round-6 ln rule. Every register replays cross-engine,
+    so the driver hash certifies the sketch construction, the merge
+    algebra AND the accuracy claim."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        portable_hash60(F.col("user_id").cast("string")).alias("__h"),
+    ).select(
+        "event_type",
+        F.expr("__h % 256").alias("reg"),
+        F.expr("__h div 256").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("w"))
+    )
+    regs = (
+        hashed.select("event_type", "reg", rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("(all)").alias("scope"), "reg", "r")
+    )
+    scoped = regs.select(
+        F.col("event_type").alias("scope"), "reg", "r"
+    ).unionByName(merged)
+    per = scoped.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("regs_used"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+        ).cast("long").alias("__s_present"),
+    )
+    ex = (
+        ev.select(F.col("event_type").alias("scope"), "user_id")
+        .unionByName(ev.select(F.lit("(all)").alias("scope"), "user_id"))
+        .groupBy("scope")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(256) - F.col("regs_used")) * F.lit(9007199254740992)
+    )
+    est_raw = F.lit(_HLL_ALPHA_NUM) / s_total.cast("double")
+    v = F.lit(256) - F.col("regs_used")
+    est_micros = F.floor(est_raw * F.lit(1e6)).cast("long")
+    est_sel = F.when(
+        (est_raw <= F.lit(640.0)) & (v > 0),
+        F.round(
+            F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")), 6
+        ),
+    ).otherwise(est_micros.cast("double") / F.lit(1000000.0))
+    return per.join(ex, "scope").select(
+        "scope",
+        "n_exact",
+        "regs_used",
+        est_micros.alias("est_micros"),
+        F.floor(
+            F.abs(est_sel - F.col("n_exact"))
+            / F.col("n_exact")
+            * F.lit(1e6)
+        ).cast("long").alias("rel_err_micros"),
+    )
+
+
+def q_b30_bfs_hops(spark, sf_dir):
+    """Multi-round BFS frontier expansion (B30 graph depth, r9 wave 4 —
+    the frontier-join iterative shape beside pagerank's fixpoint and
+    triangles' enumeration): 3 hops from the minimum supplier key over
+    the part<->supplier bipartite graph induced by lineitem. Each round
+    is one equi-join of the (checkpointed) frontier against the
+    (checkpointed) edge relation plus an anti-join against the visited
+    set — the 100 TB reachability pattern where per-round cost tracks
+    the FRONTIER, never the closure. Integer node counts per hop; the
+    seed comes from a 1-row broadcast aggregate, not a collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = edges.agg(F.min("l_suppkey").alias("__seed")).localCheckpoint(
+        eager=False
+    )
+    d1 = (
+        edges.crossJoin(F.broadcast(seed))
+        .filter(F.col("l_suppkey") == F.col("__seed"))
+        .select("l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    d2 = (
+        edges.join(d1, "l_partkey")
+        .select("l_suppkey")
+        .distinct()
+        .crossJoin(F.broadcast(seed))
+        .filter(F.col("l_suppkey") != F.col("__seed"))
+        .select("l_suppkey")
+        .localCheckpoint(eager=False)
+    )
+    d3 = (
+        edges.join(d2, "l_suppkey")
+        .select("l_partkey")
+        .distinct()
+        .join(d1, "l_partkey", "left_anti")
+    )
+    r0 = seed.select(
+        F.lit(0).alias("dist"),
+        F.lit("supplier").alias("node_type"),
+        F.lit(1).cast("long").alias("n_nodes"),
+    )
+    r1 = d1.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
+        F.lit(1).alias("dist"), F.lit("part").alias("node_type"), "n_nodes"
+    )
+    r2 = d2.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
+        F.lit(2).alias("dist"),
+        F.lit("supplier").alias("node_type"),
+        "n_nodes",
+    )
+    r3 = d3.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
+        F.lit(3).alias("dist"), F.lit("part").alias("node_type"), "n_nodes"
+    )
+    return r0.unionByName(r1).unionByName(r2).unionByName(r3)
+
+
+def _zorder_expr_sql() -> str:
+    """16-bit Morton (Z-order) interleave of two 8-bit key buckets,
+    rendered ONCE and executed verbatim by BOTH engines (Spark SQL and
+    DuckDB share `&`, `<<`, `>>` semantics on integers): bit i of
+    (l_partkey % 256) lands at position 2i, bit i of (l_suppkey % 256)
+    at 2i+1. Pure integer algebra — no UDF, no float."""
+    terms = []
+    for i in range(8):
+        terms.append(f"((((l_partkey % 256) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((l_suppkey % 256) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_b13_zorder_layout(spark, sf_dir):
+    """Z-order layout audit (B13 storage depth, r9 wave 4): the
+    multi-dimensional clustering math behind 100 TB data-skipping
+    layouts. Rows map to a 16-bit Morton code over (partkey, suppkey)
+    buckets; 64-cell Z-blocks then report per-block min/max spans of
+    BOTH dimensions — the zone-map width a reader would prune against.
+    A Z-ordered file layout keeps both spans small simultaneously
+    (which neither single-key sort achieves); the block relation is
+    <=1024 rows, so every zone map replays in the driver hash. The
+    interleave expression is generated once and executed verbatim by
+    both engines (`_zorder_expr_sql`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    blocks = (
+        li.select(
+            F.expr(f"CAST(({_zorder_expr_sql()}) AS BIGINT) >> 6")
+            .alias("zblock"),
+            (F.col("l_partkey") % 256).alias("pb"),
+            (F.col("l_suppkey") % 256).alias("sb"),
+        )
+        .groupBy("zblock")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("pb").cast("long").alias("pk_lo"),
+            F.max("pb").cast("long").alias("pk_hi"),
+            F.min("sb").cast("long").alias("sk_lo"),
+            F.max("sb").cast("long").alias("sk_hi"),
+        )
+    )
+    return blocks.select(
+        "zblock",
+        "n_rows",
+        "pk_lo",
+        "pk_hi",
+        "sk_lo",
+        "sk_hi",
+        (F.col("pk_hi") - F.col("pk_lo") + 1).alias("pk_span"),
+        (F.col("sk_hi") - F.col("sk_lo") + 1).alias("sk_span"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -7682,6 +7885,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_recall_curve": q_b20_recall_curve,
         "b11_rolling_median": q_b11_rolling_median,
         "b28_budget_allocation": q_b28_budget_allocation,
+        # --- round 9 wave 4 (sketch registers / graph frontier / layout)
+        "b27_hll_registers": q_b27_hll_registers,
+        "b30_bfs_hops": q_b30_bfs_hops,
+        "b13_zorder_layout": q_b13_zorder_layout,
     }
 
 
@@ -8799,6 +9006,69 @@ def _lc_union_oracle_sql(m_bits: int = 4096) -> str:
         SELECT used.scope, bits_set, n_exact, {est} AS estimate,
                round(abs({est} - n_exact) / n_exact, 6) AS rel_err
         FROM used JOIN ex ON used.scope = ex.scope
+    """
+
+
+def _hll_registers_oracle_sql() -> str:
+    """DuckDB replay of q_b27_hll_registers: identical register build
+    (8-bit index / 52-bit suffix of the portable md5-60 hash, rho via
+    length(bin(w))), identical max-merge, identical exact-integer
+    harmonic sum, and the SAME embedded alpha*m^2*2^53 double literal —
+    the only float ops are IEEE-exact mul/div/floor plus the round-6 ln
+    in the small-range branch."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60_sql
+
+    h = portable_hash60_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+        WITH rw AS (
+          SELECT event_type, h % 256 AS reg, h // 256 AS w
+          FROM (SELECT event_type, ({h}) AS h FROM events)
+        ),
+        rh AS (
+          SELECT event_type, reg,
+                 max(CASE WHEN w = 0 THEN 53
+                          ELSE 53 - length(bin(w)) END) AS r
+          FROM rw GROUP BY 1, 2
+        ),
+        scoped AS (
+          SELECT event_type AS scope, reg, r FROM rh
+          UNION ALL
+          SELECT '(all)' AS scope, reg, max(r) AS r FROM rh GROUP BY reg
+        ),
+        per AS (
+          SELECT scope,
+                 CAST(count(*) AS BIGINT) AS regs_used,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER))
+                      AS BIGINT) AS s_present
+          FROM scoped GROUP BY scope
+        ),
+        ex AS (
+          SELECT scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM (
+            SELECT event_type AS scope, user_id FROM events
+            UNION ALL
+            SELECT '(all)' AS scope, user_id FROM events
+          ) GROUP BY scope
+        ),
+        est AS (
+          SELECT per.scope, regs_used, n_exact,
+                 {_HLL_ALPHA_NUM!r} / CAST(
+                   s_present + (256 - regs_used)
+                   * CAST(9007199254740992 AS BIGINT) AS DOUBLE) AS est_raw,
+                 256 - regs_used AS v
+          FROM per JOIN ex ON per.scope = ex.scope
+        )
+        SELECT scope, n_exact, regs_used,
+               CAST(floor(est_raw * 1e6) AS BIGINT) AS est_micros,
+               CAST(floor(abs(
+                 CASE WHEN est_raw <= 640.0 AND v > 0
+                      THEN round(CAST(256 AS DOUBLE)
+                                 * ln(CAST(256 AS DOUBLE)
+                                      / CAST(v AS DOUBLE)), 6)
+                      ELSE CAST(CAST(floor(est_raw * 1e6) AS BIGINT)
+                                AS DOUBLE) / 1000000.0 END
+                 - n_exact) / n_exact * 1e6) AS BIGINT) AS rel_err_micros
+        FROM est
     """
 
 
@@ -13644,5 +13914,52 @@ def oracle_sql() -> dict[str, str]:
                                           THEN 1 ELSE 0 END AS DOUBLE)
                          / 1000000.0, 6) AS alloc_share
             FROM r
+        """,
+        # ---- round 9 wave 4 ---------------------------------------------
+        "b27_hll_registers": _hll_registers_oracle_sql(),
+        "b30_bfs_hops": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+            ),
+            seed AS (SELECT min(s) AS sk FROM e),
+            d1 AS (
+              SELECT DISTINCT p FROM e CROSS JOIN seed WHERE e.s = seed.sk
+            ),
+            d2 AS (
+              SELECT DISTINCT e.s FROM e JOIN d1 USING (p)
+              CROSS JOIN seed WHERE e.s <> seed.sk
+            ),
+            d3 AS (
+              SELECT DISTINCT e.p FROM e JOIN d2 ON e.s = d2.s
+              WHERE e.p NOT IN (SELECT p FROM d1)
+            )
+            SELECT 0 AS dist, 'supplier' AS node_type,
+                   CAST(1 AS BIGINT) AS n_nodes
+            UNION ALL
+            SELECT 1, 'part', CAST(count(*) AS BIGINT) FROM d1
+            UNION ALL
+            SELECT 2, 'supplier', CAST(count(*) AS BIGINT) FROM d2
+            UNION ALL
+            SELECT 3, 'part', CAST(count(*) AS BIGINT) FROM d3
+        """,
+        "b13_zorder_layout": f"""
+            WITH b AS (
+              SELECT CAST(({_zorder_expr_sql()}) AS BIGINT) >> 6 AS zblock,
+                     l_partkey % 256 AS pb, l_suppkey % 256 AS sb
+              FROM lineitem
+            ),
+            per AS (
+              SELECT zblock,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(min(pb) AS BIGINT) AS pk_lo,
+                     CAST(max(pb) AS BIGINT) AS pk_hi,
+                     CAST(min(sb) AS BIGINT) AS sk_lo,
+                     CAST(max(sb) AS BIGINT) AS sk_hi
+              FROM b GROUP BY zblock
+            )
+            SELECT zblock, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
+                   pk_hi - pk_lo + 1 AS pk_span,
+                   sk_hi - sk_lo + 1 AS sk_span
+            FROM per
         """,
     }

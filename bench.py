@@ -82,6 +82,11 @@ HEADLINE = [
     "b21_source_kl",           # full-vocab smoothed KL grid (B21/B28)
     "b30_phrase_search",       # positional adjacency join (B30)
     "b17_join_view",           # delta-rule join-view maintenance (B17)
+    # r9 additions — one line per genuinely new kernel. The statistical
+    # screens (gini/chi2/benford/ks/welch/acf) are keyed-agg shapes the
+    # b10/b3 lines already measure; the scorecard composes the OOV and
+    # fingerprint kernels; kwic rides the phrase-search join.
+    "b13_block_digests",       # replica reconciliation: xor block digests
 ]
 
 

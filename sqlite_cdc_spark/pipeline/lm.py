@@ -56,6 +56,14 @@ def tf_idf(
     Output: ``(id_col, tok, tf, df_t, tfidf)``. Two word-count aggs (one
     keyed by (doc,tok), one by tok) plus an equi-join on tok; N arrives
     as a broadcast 1-row aggregate. No collect, no global sort.
+
+    ``df_t`` is broadcast EXPLICITLY: it is |vocab|-sized (Heaps-law
+    sublinear — tens of MB at corpus scale), while the unhinted plan
+    sort-merge-joins the full (doc, term) relation on the few-thousand-
+    key ``tok`` column — a giant skewed sort whose fresh spill pages
+    made this the board's one super-linear 10x-smoke family (min-of-3
+    49 s -> 6 s at sf1x when hinted; AQE did NOT rescue the unhinted
+    plan because the build side derives from the probe's own child).
     """
     toks = token_rows(df, id_col, text_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -64,7 +72,7 @@ def tf_idf(
         F.count(F.lit(1)).cast("double").alias("__n_docs")
     )
     return (
-        tf.join(df_t, "tok")
+        tf.join(F.broadcast(df_t), "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

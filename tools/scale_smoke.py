@@ -173,7 +173,12 @@ def text_ops(spark, path: str) -> dict[str, float]:
             (F.col("doc_id") + 2 * n).alias("id_b"),
         )
     )
-    run("dup_clusters", lambda: dedup.dup_clusters(pairs)
+    # algorithm pinned: the auto-selector's <=100k-edge local union-find
+    # fires at sf0.1x (80k edges) but not sf1x (800k), so "auto" would
+    # make this ratio measure the backend CUTOVER, not scaling — the
+    # smoke's job is the distributed path both scales run at 100 TB
+    run("dup_clusters", lambda: dedup.dup_clusters(
+        pairs, algorithm="propagate")
         .write.format("noop").mode("overwrite").save())
     # r5 LM/retrieval families: all word-count-shaped — shuffle volume is
     # token rows (tfidf/perplexity), pair rows (pmi), or |vocab| (bpe)
