@@ -7604,6 +7604,499 @@ def q_b13_zorder_layout(spark, sf_dir):
     )
 
 
+def q_b7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (B7 depth, r9 wave 5): bilateral trade volume —
+    revenue shipped between two specific nations per direction per
+    year. The fact-fact join (lineitem x orders on orderkey) is the
+    only shuffle; supplier/customer/nation dims broadcast, and the
+    two-nation filter applies AFTER the dim joins resolve both
+    nationalities (the selective pair predicate can't reach the scan,
+    but the date window does). Decimal-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("__sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__ck"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(38,6)")
+                * (
+                    F.lit(1).cast("decimal(38,6)")
+                    - F.col("l_discount").cast("decimal(38,6)")
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+
+
+def q_b7_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (B7 depth, r9 wave 5): NATION_3's share of PROMO
+    part revenue sold to EUROPE customers, per order year. Numerator
+    (CASE-summed) and denominator accumulate in the SAME decimal agg
+    pass — exact integers until the one double division, whose result
+    ships floor-quantized micros (floor of identical doubles is
+    bit-identical; round-6 of a quotient is engine-divergent at the .5
+    boundary — the b8_min_cost_supplier lesson)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    cnat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3).select(
+        F.col("n_nationkey").alias("__ck")
+    )
+    snat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,6)")
+        * (
+            F.lit(1).cast("decimal(38,6)")
+            - F.col("l_discount").cast("decimal(38,6)")
+        )
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("__ck"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), supp.s_nationkey == F.col("__sk"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        ).alias("__nat"),
+        F.sum(rev).alias("__tot"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("__nat").cast("double"), 2).alias("nation_revenue"),
+        F.round(F.col("__tot").cast("double"), 2).alias("total_revenue"),
+        F.floor(
+            F.col("__nat").cast("double") / F.col("__tot").cast("double")
+            * F.lit(1e6)
+        ).cast("long").alias("share_micros"),
+    )
+
+
+def q_b8_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (B8 depth, r9 wave 5): the supplier(s) with
+    maximum revenue over 1996Q1, ties INCLUDED (the view-vs-max
+    semantics Q15 is famous for). Revenue stays DECIMAL end-to-end so
+    the max-equality join is exact — no float epsilon, no rank window;
+    the 1-row max broadcasts back over the keyed agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(38,6)")
+            * (
+                F.lit(1).cast("decimal(38,6)")
+                - F.col("l_discount").cast("decimal(38,6)")
+            )
+        ).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_b7_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (B7 depth, r9 wave 5; l_linestatus stands in for
+    the shipmode column this schema lacks): per line status, how many
+    1996-shipped lines belong to critical-priority orders vs not — the
+    late-shipment priority audit. One fact-fact join (the date filter
+    pushes to the lineitem scan), two conditional counts in one keyed
+    agg pass, integer exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def q_b8_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape (B8 depth, r9 wave 5; shipped share stands in for
+    the partsupp availability this schema lacks): suppliers who shipped
+    MORE THAN 2× THEIR FAIR SHARE of a 'small…' part's total volume —
+    the single-source-risk screen, thresholded RELATIVE to the part's
+    supplier count so the predicate stays meaningful as supplier fan-out
+    grows with scale (an absolute 50% cut fires on no row past tiny
+    SFs). Two keyed aggs over the SAME (partkey) shuffle key (the
+    per-part total reuses the per-(part,supp) relation's partitioning),
+    dominance decided on cross-multiplied integers
+    (supp_qty·n_supp > 2·total_qty — no division), supplier dim
+    broadcasts at the end."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("total_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+    )
+    dom = ps.join(pt, "l_partkey").filter(
+        F.col("supp_qty") * F.col("n_supp")
+        > F.lit(2) * F.col("total_qty")
+    )
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominated_parts"),
+            F.sum("supp_qty").cast("long").alias("dominated_qty"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
+    )
+
+
+def q_b27_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters (B27 sketch depth, r9 wave 5 —
+    the frequency estimator beside HLL's distinct counter and linear
+    counting's bitmap): a 4x64 CMS over per-user event counts, then the
+    exact top-10 users read back THROUGH the sketch. Counters are plain
+    sums → map-side combinable and mergeable across partitions without
+    rescans (the 100 TB sketch property); the stream contracts to the
+    |users| relation BEFORE the 4-row explode. The d hash rows come
+    from the portable md5-60 family, so every counter replays
+    cross-engine, and the row set certifies construction, the exact
+    counts, AND the CMS one-sided-error invariant (est >= exact,
+    overcount = est - exact >= 0)."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bcols = [
+        (
+            portable_hash60(
+                F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))
+            )
+            % 64
+        ).alias(f"b{i}")
+        for i in range(4)
+    ]
+    hashed = per_user.select("user_id", "n", *bcols)
+    counters = (
+        hashed.selectExpr(
+            "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        )
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    cand = hashed.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    est = (
+        cand.selectExpr(
+            "user_id", "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        )
+        .join(F.broadcast(counters), ["r", "b"])
+        .groupBy("user_id", "n")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").alias("n_exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n")).cast("long").alias("overcount"),
+    )
+
+
+def q_b30_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (B30 graph depth, r9 wave 5 — the
+    mutual-reinforcement ranking beside pagerank's fixpoint, BFS's
+    reachability and triangles' enumeration): two exact power rounds
+    over the part<->supplier bipartite graph. Integer-exact throughout
+    (auth1 = part degree; hub1 = sum of adjacent auth1; auth2 = sum of
+    adjacent hub1 — no normalization until the reader divides), so the
+    iterative algebra replays bit-for-bit. Edges are checkpointed once
+    and reused by all three rounds (the iterative-consumer rule); each
+    round is one equi-join + keyed agg, cost ∝ |edges|. Top-10 by
+    final authority via distributed orderBy().limit then rank."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    auth1 = edges.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("auth1")
+    )
+    hub1 = (
+        edges.join(auth1, "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum("auth1").cast("long").alias("hub1"))
+    )
+    auth2 = (
+        edges.join(hub1, "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.sum("hub1").cast("long").alias("auth2"))
+    )
+    w = Window.orderBy(F.col("auth2").desc(), F.col("l_partkey").asc())
+    return (
+        auth2.join(auth1, "l_partkey")
+        .orderBy(F.col("auth2").desc(), F.col("l_partkey").asc())
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            F.col("l_partkey").alias("partkey"), "auth1", "auth2", "rank"
+        )
+    )
+
+
+def q_b19_prefix_dups(spark, sf_dir):
+    """Truncation-duplicate screen (B19 dedup depth, r9 wave 5): find
+    documents that are exact PREFIXES of longer documents — the
+    re-crawl/truncation dup class MinHash under-weights (a 60% prefix
+    shares only ~60% of shingles but is 100% redundant). Planted
+    fixture: every doc_id%9==3 doc of >=120 chars contributes a 60%
+    truncation. Candidates come from an equi-join on the first-24-char
+    block key (never a cross product — bucket sizes track genuine
+    prefix collisions), then the exact substring check confirms.
+    Output is the (short, long) pair manifest a keep-longest pass would
+    consume."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(
+        (F.col("doc_id") % 9 == 3) & (F.length("text") >= 120)
+    ).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(length(text) * 3 AS INT) div 5)").alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    keyed = corpus.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.substring("text", 1, 24).alias("__k"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("__st"),
+        F.col("len").alias("short_len"),
+        "__k",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("long_id"),
+        F.col("text").alias("__lt"),
+        F.col("len").alias("long_len"),
+        "__k",
+    )
+    return (
+        a.join(b, "__k")
+        .filter(
+            (F.col("short_len") < F.col("long_len"))
+            & (
+                F.expr("substring(__lt, 1, CAST(short_len AS INT))")
+                == F.col("__st")
+            )
+        )
+        .select("short_id", "long_id", "short_len", "long_len")
+    )
+
+
+def _jl_signs() -> list[tuple[int, int, int]]:
+    """The shared ±1 Johnson–Lindenstrauss sign matrix (64 in-dims × 16
+    out-dims), derived from md5 parity so BOTH engines materialize the
+    IDENTICAL table (Spark gets createDataFrame, DuckDB a VALUES list —
+    the b30_ndcg shared-literal rule)."""
+    import hashlib
+
+    out = []
+    for j in range(64):
+        for k in range(16):
+            h = int(hashlib.md5(f"jl{j}:{k}".encode()).hexdigest()[:15], 16)
+            out.append((j, k, 1 if h % 2 == 0 else -1))
+    return out
+
+
+def _jl_projection_oracle_sql() -> str:
+    """DuckDB rendering of :func:`q_b20_jl_projection` — the sign matrix
+    is embedded as a VALUES list generated from the SAME ``_jl_signs()``
+    call the Spark side materializes."""
+    values = ", ".join(f"({j},{k},{s})" for j, k, s in _jl_signs())
+    return f"""
+        WITH signs(j, k, s) AS (VALUES {values}),
+        quant AS (
+          SELECT vec_id, i - 1 AS j,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                   AS q
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS t(i)
+        ),
+        proj AS (
+          SELECT vec_id, k, CAST(sum(s * q) AS BIGINT) AS p
+          FROM quant JOIN signs USING (j)
+          GROUP BY vec_id, k
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, k, p AS qp FROM proj WHERE vec_id < 4
+        ),
+        scored AS (
+          SELECT pr.query_id, c.vec_id AS neighbor_id,
+                 CAST(sum(pr.qp * c.p) AS BIGINT) AS pdot
+          FROM proj c JOIN probes pr USING (k)
+          WHERE c.vec_id <> pr.query_id
+          GROUP BY pr.query_id, c.vec_id
+        ),
+        proj_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY pdot DESC, neighbor_id ASC) AS rnk
+            FROM scored
+          ) WHERE rnk <= 10
+        ),
+        q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings
+        ),
+        exact_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv))
+                          * sqrt(list_dot_product(cv, cv))) DESC,
+                       neighbor_id ASC) AS rnk
+            FROM q, c WHERE neighbor_id != query_id
+          ) WHERE rnk <= 10
+        )
+        SELECT e.query_id,
+               CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+               count(p.neighbor_id) / 10.0 AS recall
+        FROM exact_top e
+        LEFT JOIN proj_top p
+          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+def q_b20_jl_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign-projection audit (B20 depth, r9 wave
+    5 — the dimensionality-REDUCTION cost/recall trade beside
+    b20_dim_truncation's prefix trade): embeddings are floor-quantized
+    to int (the portable-LSH rule), projected 64→16 dims through a ±1
+    sign matrix (one equi-join on the in-dim + keyed agg — integer
+    exact, no float accumulates), then recall@10 of projected-dot
+    ranking vs exact cosine top-10 per probe. The projection is the
+    100 TB screen: 4× fewer dims per candidate pass, and the recall
+    row prices exactly what that compression costs."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = spark.createDataFrame(_jl_signs(), "j int, k int, s int")
+    quant = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "v")
+    ).select(
+        "vec_id", "j", F.floor(F.col("v").cast("double") * 1000).alias("q")
+    )
+    proj = (
+        quant.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("p"))
+    )
+    probes = proj.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "k", F.col("p").alias("qp")
+    )
+    scored = (
+        proj.join(F.broadcast(probes), "k")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qp") * F.col("p")).cast("long").alias("pdot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pdot").desc(), F.col("neighbor_id").asc()
+    )
+    proj_top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    exact_top = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 4), k=10
+    ).select("query_id", "neighbor_id")
+    joined = exact_top.join(
+        proj_top.withColumn("__hit", F.lit(1)).select(
+            "query_id", "neighbor_id", "__hit"
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("__hit").cast("long").alias("n_hits"),
+        (F.count("__hit") / F.lit(10.0)).alias("recall"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -7889,6 +8382,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b27_hll_registers": q_b27_hll_registers,
         "b30_bfs_hops": q_b30_bfs_hops,
         "b13_zorder_layout": q_b13_zorder_layout,
+        # --- round 9 wave 5 ----------------------------------------------
+        "b7_volume_shipping": q_b7_volume_shipping,
+        "b7_market_share": q_b7_market_share,
+        "b8_top_supplier": q_b8_top_supplier,
+        "b7_priority_lines": q_b7_priority_lines,
+        "b8_dominant_supplier": q_b8_dominant_supplier,
+        "b27_cms_heavy_hitters": q_b27_cms_heavy_hitters,
+        "b30_hits": q_b30_hits,
+        "b19_prefix_dups": q_b19_prefix_dups,
+        "b20_jl_projection": q_b20_jl_projection,
     }
 
 
@@ -13962,4 +14465,200 @@ def oracle_sql() -> dict[str, str]:
                    sk_hi - sk_lo + 1 AS sk_span
             FROM per
         """,
+        # ---- round 9 wave 5 ---------------------------------------------
+        "b7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   round(CAST(sum(
+                     CAST(l.l_extendedprice AS DECIMAL(38,6))
+                     * (CAST(1 AS DECIMAL(38,6))
+                        - CAST(l.l_discount AS DECIMAL(38,6)))
+                   ) AS DOUBLE), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= '1995-01-01'
+              AND l.l_shipdate < '1997-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        """,
+        "b7_market_share": """
+            WITH agg AS (
+              SELECT year(o.o_orderdate) AS o_year,
+                     sum(CASE WHEN sn.n_name = 'NATION_3' THEN
+                       CAST(l.l_extendedprice AS DECIMAL(38,6))
+                       * (CAST(1 AS DECIMAL(38,6))
+                          - CAST(l.l_discount AS DECIMAL(38,6)))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS nat,
+                     sum(
+                       CAST(l.l_extendedprice AS DECIMAL(38,6))
+                       * (CAST(1 AS DECIMAL(38,6))
+                          - CAST(l.l_discount AS DECIMAL(38,6)))
+                     ) AS tot
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              WHERE p.p_type = 'PROMO'
+                AND cn.n_regionkey = 3
+                AND o.o_orderdate >= '1995-01-01'
+                AND o.o_orderdate < '1997-01-01'
+              GROUP BY year(o.o_orderdate)
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(CAST(nat AS DOUBLE), 2) AS nation_revenue,
+                   round(CAST(tot AS DOUBLE), 2) AS total_revenue,
+                   CAST(floor(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE)
+                              * 1e6) AS BIGINT) AS share_micros
+            FROM agg
+        """,
+        "b8_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(
+                       CAST(l_extendedprice AS DECIMAL(38,6))
+                       * (CAST(1 AS DECIMAL(38,6))
+                          - CAST(l_discount AS DECIMAL(38,6)))
+                     ) AS r
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   round(CAST(rev.r AS DOUBLE), 2) AS total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.r = (SELECT max(r) FROM rev)
+        """,
+        "b7_priority_lines": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                     ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+            GROUP BY l.l_linestatus
+        """,
+        "b8_dominant_supplier": """
+            WITH ps AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     sum(CAST(l.l_quantity AS BIGINT)) AS supp_qty
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'small%'
+              GROUP BY l.l_partkey, l.l_suppkey
+            ),
+            pt AS (
+              SELECT l_partkey, sum(supp_qty) AS total_qty,
+                     CAST(count(*) AS BIGINT) AS n_supp
+              FROM ps GROUP BY l_partkey
+            ),
+            dom AS (
+              SELECT ps.l_suppkey,
+                     CAST(count(*) AS BIGINT) AS n_dominated_parts,
+                     CAST(sum(ps.supp_qty) AS BIGINT) AS dominated_qty
+              FROM ps JOIN pt USING (l_partkey)
+              WHERE ps.supp_qty * pt.n_supp > 2 * pt.total_qty
+              GROUP BY ps.l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, d.n_dominated_parts,
+                   d.dominated_qty
+            FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+        """,
+        "b27_cms_heavy_hitters": """
+            WITH per_user AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            ),
+            hashed AS (
+              SELECT user_id, n,
+                     CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b0,
+                     CAST('0x' || substr(md5('1:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b1,
+                     CAST('0x' || substr(md5('2:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b2,
+                     CAST('0x' || substr(md5('3:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b3
+              FROM per_user
+            ),
+            cells AS (
+              SELECT 0 AS r, b0 AS b, n FROM hashed
+              UNION ALL SELECT 1, b1, n FROM hashed
+              UNION ALL SELECT 2, b2, n FROM hashed
+              UNION ALL SELECT 3, b3, n FROM hashed
+            ),
+            counters AS (
+              SELECT r, b, sum(n) AS cnt FROM cells GROUP BY r, b
+            ),
+            cand AS (
+              SELECT * FROM hashed ORDER BY n DESC, user_id ASC LIMIT 10
+            ),
+            cand_cells AS (
+              SELECT user_id, n, 0 AS r, b0 AS b FROM cand
+              UNION ALL SELECT user_id, n, 1, b1 FROM cand
+              UNION ALL SELECT user_id, n, 2, b2 FROM cand
+              UNION ALL SELECT user_id, n, 3, b3 FROM cand
+            )
+            SELECT cc.user_id, cc.n AS n_exact,
+                   CAST(min(ct.cnt) AS BIGINT) AS cms_estimate,
+                   CAST(min(ct.cnt) - cc.n AS BIGINT) AS overcount
+            FROM cand_cells cc JOIN counters ct ON cc.r = ct.r AND cc.b = ct.b
+            GROUP BY cc.user_id, cc.n
+        """,
+        "b30_hits": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            a1 AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS auth1
+              FROM e GROUP BY l_partkey
+            ),
+            h1 AS (
+              SELECT e.l_suppkey, CAST(sum(a1.auth1) AS BIGINT) AS hub1
+              FROM e JOIN a1 USING (l_partkey) GROUP BY e.l_suppkey
+            ),
+            a2 AS (
+              SELECT e.l_partkey, CAST(sum(h1.hub1) AS BIGINT) AS auth2
+              FROM e JOIN h1 USING (l_suppkey) GROUP BY e.l_partkey
+            )
+            SELECT a2.l_partkey AS partkey, a1.auth1, a2.auth2,
+                   CAST(row_number() OVER (
+                     ORDER BY a2.auth2 DESC, a2.l_partkey ASC) AS BIGINT)
+                     AS rank
+            FROM a2 JOIN a1 USING (l_partkey)
+            ORDER BY a2.auth2 DESC, a2.l_partkey ASC LIMIT 10
+        """,
+        "b19_prefix_dups": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 400000,
+                     substr(text, 1, (length(text) * 3) // 5)
+              FROM documents
+              WHERE doc_id % 9 = 3 AND length(text) >= 120
+            ),
+            keyed AS (
+              SELECT doc_id, text, length(text) AS len,
+                     substr(text, 1, 24) AS k
+              FROM corpus
+            )
+            SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+                   CAST(a.len AS INT) AS short_len,
+                   CAST(b.len AS INT) AS long_len
+            FROM keyed a JOIN keyed b ON a.k = b.k
+            WHERE a.len < b.len
+              AND substr(b.text, 1, a.len) = a.text
+        """,
+        "b20_jl_projection": _jl_projection_oracle_sql(),
     }

@@ -494,3 +494,44 @@ def test_semantic_decontam_ann_no_corpus_benchmark_product(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b29_semantic_decontam_ann")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_dups_candidates_from_equi_join(spark, sf_dir):
+    # r9 wave 5: truncation-dup candidates must come from the 24-char
+    # block-key equi-join — never an all-pairs product over documents
+    plan = _plan(spark, sf_dir, "b19_prefix_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jl_projection_stays_keyed(spark, sf_dir):
+    # r9 wave 5: the 64->16 JL projection is an equi-join on the in-dim
+    # plus keyed aggs, and the projected-dot scoring is a broadcast
+    # HASH join on the out-dim. The ONLY nested-loop is the exact
+    # cosine side's deliberate 4-probe broadcast (cosine_topk's
+    # documented plan) — the projected side must never add another.
+    import re
+
+    plan = _plan(spark, sf_dir, "b20_jl_projection")
+    assert "CartesianProduct" not in plan
+    # formatted plans name each node in the tree AND a "(n) Node"
+    # details header — count the headers to count the NODES
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_cms_counters_contract_before_explode(spark, sf_dir):
+    # r9 wave 5: the CMS query must aggregate the event stream to the
+    # |users| relation BEFORE the 4-row stack explode — the generator
+    # may never sit directly on the events scan
+    import __spark_entry__ as se
+
+    df = se.queries()["b27_cms_heavy_hitters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the plan has exactly two Generate(stack) nodes (counters + the
+    # 10-row candidate read-back); each must consume an aggregate, not
+    # the raw scan — assert by checking a HashAggregate appears below
+    # every Generate in the tree string
+    segments = plan.split("Generate ")
+    assert len(segments) >= 3
+    for seg in segments[1:]:
+        assert "HashAggregate" in seg, "stack explode sits on a raw scan"
