@@ -8097,6 +8097,183 @@ def q_b20_jl_projection(spark, sf_dir):
     )
 
 
+def q_b21_calibration(spark, sf_dir):
+    """Quality-classifier calibration audit (B21 depth, r9 wave 6): the
+    reliability-diagram table for the composite quality score against a
+    deterministic reference label (lang == 'en', the score's stopword
+    leg is English — so the row also documents the score's language
+    bias). Ten score deciles; per bin the mean predicted score and the
+    observed positive rate, both as INTEGER micros (sum of per-row
+    floor-micros, integer division — no float accumulation touches the
+    hash), and the |calibration gap| a weighted ECE would integrate.
+    One keyed agg over the per-doc feature pass."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
+    binned = feats.select(
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        F.floor(F.col("quality_score") * 1e6).cast("long").alias("__sm"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias(
+            "__pos"
+        ),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__sm").alias("__ssm"),
+    )
+    return per.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("__ssm div n").cast("long").alias("mean_score_micros"),
+        F.expr("(n_pos * 1000000) div n").cast("long").alias(
+            "pos_rate_micros"
+        ),
+        F.abs(
+            F.expr("__ssm div n") - F.expr("(n_pos * 1000000) div n")
+        ).cast("long").alias("gap_micros"),
+    )
+
+
+def q_b26_ht_estimate(spark, sf_dir):
+    """Horvitz–Thompson sample estimation audit (B26 depth, r9 wave 6):
+    per event type, corpus totals estimated from the deterministic
+    1/16 user-hash sample with inverse-propensity weight 16, beside the
+    exact totals and the integer relative error. This is the audit that
+    prices cheap-sample corpus statistics at 100 TB (profile the 1/16
+    slice, multiply, know the error you paid); the user-keyed sample
+    reuses the b26_hash_sample predicate so sampled USERS keep all
+    their events (cluster sampling, the realistic shape). Values stay
+    integer micros throughout."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("__vm"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("__vm").cast("long").alias("sum_micros_exact"),
+    )
+    samp = ev.filter(
+        portable_hash60(F.col("user_id").cast("string")) % 16 == 0
+    )
+    est = samp.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * 16).cast("long").alias("n_est"),
+        (F.sum("__vm") * 16).cast("long").alias("sum_micros_est"),
+    )
+    return ex.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_est",
+        "sum_micros_exact",
+        "sum_micros_est",
+        F.expr("(abs(n_est - n_exact) * 1000000) div n_exact")
+        .cast("long")
+        .alias("n_err_micros"),
+        F.expr(
+            "(abs(sum_micros_est - sum_micros_exact) * 1000000)"
+            " div sum_micros_exact"
+        )
+        .cast("long")
+        .alias("sum_err_micros"),
+    )
+
+
+def q_b27_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile-histogram sketch (B27 sketch depth, r9 wave 6
+    — the quantile member beside HLL's distinct, CMS's frequency and
+    linear counting's bitmap): a 128-bucket equi-width histogram over
+    integer-micro values, per event type, with the '(all)' scope
+    MERGED from the per-scope sketches by bucket-count addition (sums
+    merge — the property that lets per-partition histograms combine
+    without rescans). For p50/p95/p99 the row carries the sketch
+    bucket's exact integer value range AND the true k-th smallest
+    value (k = ceil(q·n), via cross-multiplied 100·cum ≥ q·n — no
+    division), so `in_bucket` certifies construction, merge algebra
+    and the accuracy bound in one driver hash. Everything is integer
+    arithmetic — bucketing uses `div`, never float multiply. The
+    exact leg (distinct-value cumulative per scope) is the audit
+    baseline; the sketch is the 100 TB path."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1e6).cast("long").alias("vm")
+    )
+    bounds = ev.agg(
+        F.min("vm").alias("lo"), (F.max("vm") - F.min("vm") + 1).alias("r")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "vm",
+        F.least(F.expr("((vm - lo) * 128) div r"), F.lit(127))
+        .cast("int")
+        .alias("bkt"),
+    )
+    scope_sk = bucketed.groupBy(
+        F.col("event_type").alias("scope"), "bkt"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    all_sk = (
+        scope_sk.groupBy("bkt")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit("(all)").alias("scope"), "bkt", "cnt")
+    )
+    sk = scope_sk.unionByName(all_sk)
+    ns = sk.groupBy("scope").agg(F.sum("cnt").cast("long").alias("n"))
+    wcum = (
+        Window.partitionBy("scope")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("cum", F.sum("cnt").over(wcum)).join(ns, "scope")
+    est = cum.groupBy("scope", "n").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("bkt"))
+            ).alias(f"b{q}")
+            for q in (50, 95, 99)
+        ]
+    )
+    # exact k-th smallest per scope over the distinct-value cumulative
+    scoped_vals = ev.select(
+        F.col("event_type").alias("scope"), "vm"
+    ).unionByName(ev.select(F.lit("(all)").alias("scope"), "vm"))
+    dv = scoped_vals.groupBy("scope", "vm").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = (
+        Window.partitionBy("scope")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dvc = dv.withColumn("cum", F.sum("c").over(wv)).join(ns, "scope")
+    exact = dvc.groupBy("scope").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("vm"))
+            ).alias(f"x{q}")
+            for q in (50, 95, 99)
+        ]
+    )
+    out = est.join(exact, "scope").crossJoin(F.broadcast(bounds))
+    cols = [F.col("scope"), F.col("n")]
+    for q in (50, 95, 99):
+        blo = F.expr(f"lo + ((b{q} * r) + 127) div 128")
+        bhi = F.expr(f"lo + (((b{q} + 1) * r) + 127) div 128 - 1")
+        cols += [
+            F.col(f"x{q}").alias(f"exact_p{q}"),
+            blo.cast("long").alias(f"est_lo_p{q}"),
+            bhi.cast("long").alias(f"est_hi_p{q}"),
+            ((F.col(f"x{q}") >= blo) & (F.col(f"x{q}") <= bhi)).alias(
+                f"in_bucket_p{q}"
+            ),
+        ]
+    return out.select(*cols)
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -8392,6 +8569,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_hits": q_b30_hits,
         "b19_prefix_dups": q_b19_prefix_dups,
         "b20_jl_projection": q_b20_jl_projection,
+        # --- round 9 wave 6 ----------------------------------------------
+        "b21_calibration": q_b21_calibration,
+        "b26_ht_estimate": q_b26_ht_estimate,
+        "b27_quantile_sketch": q_b27_quantile_sketch,
     }
 
 
@@ -14661,4 +14842,165 @@ def oracle_sql() -> dict[str, str]:
               AND substr(b.text, 1, a.len) = a.text
         """,
         "b20_jl_projection": _jl_projection_oracle_sql(),
+        # ---- round 9 wave 6 ---------------------------------------------
+        "b21_calibration": f"""
+            WITH base AS (
+              SELECT lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     {_sw_hits_sql('en')} AS s_en
+              FROM documents
+            ),
+            scored AS (
+              SELECT lang,
+                round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                      + round(CAST(alpha AS DOUBLE)
+                              / CAST(greatest(q_chars, 1) AS DOUBLE), 6) * 0.4
+                      + least(round(CAST(s_en AS DOUBLE)
+                              / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
+                              * 5.0, 1.0) * 0.2, 6) AS score
+              FROM base
+            ),
+            binned AS (
+              SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+                     CAST(floor(score * 1e6) AS BIGINT) AS sm,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM scored
+            ),
+            per AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(pos) AS BIGINT) AS n_pos,
+                     CAST(sum(sm) AS BIGINT) AS ssm
+              FROM binned GROUP BY bin
+            )
+            SELECT bin, n, n_pos,
+                   CAST(ssm // n AS BIGINT) AS mean_score_micros,
+                   CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_micros,
+                   CAST(abs(ssm // n - (n_pos * 1000000) // n) AS BIGINT)
+                     AS gap_micros
+            FROM per
+        """,
+        "b26_ht_estimate": """
+            WITH ev AS (
+              SELECT event_type, user_id,
+                     CAST(floor(value * 1e6) AS BIGINT) AS vm
+              FROM events
+            ),
+            ex AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+                     CAST(sum(vm) AS BIGINT) AS sum_micros_exact
+              FROM ev GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS n_est,
+                     CAST(sum(vm) * 16 AS BIGINT) AS sum_micros_est
+              FROM ev
+              WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 16 = 0
+              GROUP BY event_type
+            )
+            SELECT ex.event_type, ex.n_exact, est.n_est,
+                   ex.sum_micros_exact, est.sum_micros_est,
+                   CAST((abs(est.n_est - ex.n_exact) * 1000000) // ex.n_exact
+                        AS BIGINT) AS n_err_micros,
+                   CAST((abs(est.sum_micros_est - ex.sum_micros_exact)
+                         * 1000000) // ex.sum_micros_exact AS BIGINT)
+                     AS sum_err_micros
+            FROM ex JOIN est USING (event_type)
+        """,
+        "b27_quantile_sketch": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(value * 1e6) AS BIGINT) AS vm
+              FROM events
+            ),
+            bounds AS (
+              SELECT min(vm) AS lo, max(vm) - min(vm) + 1 AS r FROM ev
+            ),
+            bucketed AS (
+              SELECT event_type, vm,
+                     CAST(least(((vm - lo) * 128) // r, 127) AS INT) AS bkt
+              FROM ev CROSS JOIN bounds
+            ),
+            scope_sk AS (
+              SELECT event_type AS scope, bkt,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM bucketed GROUP BY event_type, bkt
+            ),
+            sk AS (
+              SELECT scope, bkt, cnt FROM scope_sk
+              UNION ALL
+              SELECT '(all)', bkt, CAST(sum(cnt) AS BIGINT)
+              FROM scope_sk GROUP BY bkt
+            ),
+            ns AS (
+              SELECT scope, CAST(sum(cnt) AS BIGINT) AS n
+              FROM sk GROUP BY scope
+            ),
+            cum AS (
+              SELECT sk.scope, bkt, cnt, ns.n,
+                     CAST(sum(cnt) OVER (
+                       PARTITION BY sk.scope ORDER BY bkt
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM sk JOIN ns USING (scope)
+            ),
+            est AS (
+              SELECT scope, n,
+                     min(CASE WHEN c * 100 >= 50 * n THEN bkt END) AS b50,
+                     min(CASE WHEN c * 100 >= 95 * n THEN bkt END) AS b95,
+                     min(CASE WHEN c * 100 >= 99 * n THEN bkt END) AS b99
+              FROM cum GROUP BY scope, n
+            ),
+            sv AS (
+              SELECT event_type AS scope, vm FROM ev
+              UNION ALL
+              SELECT '(all)', vm FROM ev
+            ),
+            dv AS (
+              SELECT scope, vm, CAST(count(*) AS BIGINT) AS cc
+              FROM sv GROUP BY scope, vm
+            ),
+            dvc AS (
+              SELECT dv.scope, vm, ns.n,
+                     CAST(sum(cc) OVER (
+                       PARTITION BY dv.scope ORDER BY vm
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM dv JOIN ns USING (scope)
+            ),
+            exact AS (
+              SELECT scope,
+                     min(CASE WHEN c * 100 >= 50 * n THEN vm END) AS x50,
+                     min(CASE WHEN c * 100 >= 95 * n THEN vm END) AS x95,
+                     min(CASE WHEN c * 100 >= 99 * n THEN vm END) AS x99
+              FROM dvc GROUP BY scope
+            )
+            SELECT e.scope, e.n,
+                   x.x50 AS exact_p50,
+                   CAST(lo + ((b50 * r) + 127) // 128 AS BIGINT)
+                     AS est_lo_p50,
+                   CAST(lo + (((b50 + 1) * r) + 127) // 128 - 1 AS BIGINT)
+                     AS est_hi_p50,
+                   x.x50 >= lo + ((b50 * r) + 127) // 128
+                     AND x.x50 <= lo + (((b50 + 1) * r) + 127) // 128 - 1
+                     AS in_bucket_p50,
+                   x.x95 AS exact_p95,
+                   CAST(lo + ((b95 * r) + 127) // 128 AS BIGINT)
+                     AS est_lo_p95,
+                   CAST(lo + (((b95 + 1) * r) + 127) // 128 - 1 AS BIGINT)
+                     AS est_hi_p95,
+                   x.x95 >= lo + ((b95 * r) + 127) // 128
+                     AND x.x95 <= lo + (((b95 + 1) * r) + 127) // 128 - 1
+                     AS in_bucket_p95,
+                   x.x99 AS exact_p99,
+                   CAST(lo + ((b99 * r) + 127) // 128 AS BIGINT)
+                     AS est_lo_p99,
+                   CAST(lo + (((b99 + 1) * r) + 127) // 128 - 1 AS BIGINT)
+                     AS est_hi_p99,
+                   x.x99 >= lo + ((b99 * r) + 127) // 128
+                     AND x.x99 <= lo + (((b99 + 1) * r) + 127) // 128 - 1
+                     AS in_bucket_p99
+            FROM est e JOIN exact x USING (scope) CROSS JOIN bounds
+        """,
     }
