@@ -8274,6 +8274,191 @@ def q_b27_quantile_sketch(spark, sf_dir):
     return out.select(*cols)
 
 
+def q_b30_rank_eval(spark, sf_dir):
+    """Binary-relevance ranking evaluation (B30 depth, r9 wave 7 — the
+    MRR/MAP/P@k panel beside b30_ndcg's graded metric): the BM25
+    top-10 for ('merge','join','batch') scored against binary
+    relevance (≥2 'merge' occurrences). Every metric ships as INTEGER
+    micros built from integer divisions over the 10-row retrieved
+    relation (reciprocal rank = 1e6 div first_rel_rank; AP@10 =
+    Σ (relcum·1e6 div rank) div min(R,10)) — no float touches the
+    hash. The cumulative window runs over the rank≤10 relation
+    (bounded by the retrieval's top-k, allowlisted)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    retrieved = lm.bm25_search(
+        docs, "doc_id", ["merge", "join", "batch"], top_k=10
+    ).select("doc_id", F.col("rank").cast("int").alias("rank"))
+    rel = docs.select(
+        "doc_id",
+        (
+            F.size(
+                F.filter(textops.tokens(F.col("text")), lambda t: t == "merge")
+            )
+            >= 2
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+    r10 = retrieved.join(rel, "doc_id", "left").select(
+        "rank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    w = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = r10.withColumn("relcum", F.sum("rel").over(w))
+    nrel = rel.agg(F.sum("rel").cast("long").alias("R"))
+    metrics = cum.agg(
+        F.sum("rel").cast("long").alias("hits10"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("__fr"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1, F.expr("(relcum * 1000000) div rank")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("__apnum"),
+    )
+    return metrics.crossJoin(F.broadcast(nrel)).select(
+        F.col("R").alias("n_rel_corpus"),
+        "hits10",
+        F.coalesce(F.col("__fr"), F.lit(0)).cast("int").alias(
+            "first_rel_rank"
+        ),
+        F.coalesce(F.expr("1000000 div __fr"), F.lit(0))
+        .cast("long")
+        .alias("rr_micros"),
+        F.expr("__apnum div greatest(least(R, 10), 1)")
+        .cast("long")
+        .alias("ap10_micros"),
+        F.expr("(hits10 * 1000000) div 10").cast("long").alias("p10_micros"),
+        F.expr("(hits10 * 1000000) div greatest(R, 1)")
+        .cast("long")
+        .alias("recall10_micros"),
+    )
+
+
+def q_b15_hazard(spark, sf_dir):
+    """Discrete survival hazard curve (B15 depth, r9 wave 7 — the
+    churn-analysis shape beside retention/cohorts): per lifetime-day t,
+    the risk set (users surviving ≥ t), observed churn events, and
+    right-censored users (last activity inside the final 24 observed
+    hours — their true lifetime is unknown). hazard(t) = d_t/n_t ships
+    as integer micros; the Kaplan–Meier survival curve is one product
+    away for the reader, and every input to it is exact here. Lifetimes
+    are HOURS (the fixture's 30-day span makes day buckets degenerate —
+    3 distinct lifetimes; hours give ~46). The stream contracts to one
+    row per user, then to the |lifetimes|-hour relation BEFORE the
+    descending cumulative (the b15_acf rule)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 3600"
+        ).alias("hr"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("hr").alias("first_hr"), F.max("hr").alias("last_hr")
+    )
+    end = ev.agg(F.max("hr").alias("__end"))
+    lived = per_user.crossJoin(F.broadcast(end)).select(
+        (F.col("last_hr") - F.col("first_hr")).alias("t"),
+        F.when(F.col("last_hr") <= F.col("__end") - 24, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per_t = lived.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("churned")).cast("long").alias("c_censored"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_t.withColumn(
+            "n_risk", F.sum(F.col("d_events") + F.col("c_censored")).over(w)
+        )
+        .select(
+            F.col("t").alias("lifetime_hours"),
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.expr("(d_events * 1000000) div n_risk")
+            .cast("long")
+            .alias("hazard_micros"),
+        )
+    )
+
+
+def q_b30_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction (B30 graph depth, r9 wave 7 —
+    candidate SCORING beside triangles' enumeration and HITS'
+    ranking): supplier pairs scored by shared parts and Jaccard over
+    part neighborhoods, top-20. The wedge join (edges ⋈ edges on the
+    shared part, s1 < s2) is the quadratic risk at 100 TB, so parts
+    with more than 64 suppliers are EXCLUDED first — the standard
+    frequent-item degree cap that bounds wedge count at Σ min(deg,64)²
+    (the cap relation is one keyed agg; excluded hubs are exactly the
+    pairs common-neighbor evidence is weakest for). Jaccard ships as
+    integer micros; top-20 via distributed orderBy().limit then rank."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pdeg = edges.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__pd")
+    )
+    capped = edges.join(
+        pdeg.filter(F.col("__pd") <= 64).select("l_partkey"), "l_partkey"
+    )
+    sdeg = edges.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    a = capped.select("l_partkey", F.col("l_suppkey").alias("s1"))
+    b = capped.select("l_partkey", F.col("l_suppkey").alias("s2"))
+    shared = (
+        a.join(b, "l_partkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    scored = (
+        shared.join(
+            F.broadcast(sdeg.select(F.col("l_suppkey").alias("s1"),
+                                    F.col("deg").alias("d1"))), "s1"
+        )
+        .join(
+            F.broadcast(sdeg.select(F.col("l_suppkey").alias("s2"),
+                                    F.col("deg").alias("d2"))), "s2"
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div (d1 + d2 - n_shared)")
+            .cast("long")
+            .alias("jaccard_micros"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("jaccard_micros").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard_micros").desc(), F.col("s1").asc(), F.col("s2").asc()
+        )
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -8573,6 +8758,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_calibration": q_b21_calibration,
         "b26_ht_estimate": q_b26_ht_estimate,
         "b27_quantile_sketch": q_b27_quantile_sketch,
+        # --- round 9 wave 7 ----------------------------------------------
+        "b30_rank_eval": q_b30_rank_eval,
+        "b15_hazard": q_b15_hazard,
+        "b30_link_prediction": q_b30_link_prediction,
     }
 
 
@@ -15002,5 +15191,150 @@ def oracle_sql() -> dict[str, str]:
                      AND x.x99 <= lo + (((b99 + 1) * r) + 127) // 128 - 1
                      AS in_bucket_p99
             FROM est e JOIN exact x USING (scope) CROSS JOIN bounds
+        """,
+        # ---- round 9 wave 7 ---------------------------------------------
+        "b30_rank_eval": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+              FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
+              WHERE tok <> '' GROUP BY doc_id
+            ),
+            scalars AS (
+              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+                     CAST(count(*) AS DOUBLE) AS n_docs
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
+            ),
+            dfx AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+                   CROSS JOIN scalars s
+              GROUP BY tf.doc_id
+            ),
+            retrieved AS (
+              SELECT doc_id, rank FROM (
+                SELECT doc_id, row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 10
+            ),
+            rel AS (
+              SELECT doc_id,
+                     CASE WHEN len(list_filter({_TOKS_SQL},
+                                               t -> t = 'merge')) >= 2
+                          THEN 1 ELSE 0 END AS rel
+              FROM documents
+            ),
+            r10 AS (
+              SELECT rank, COALESCE(rel.rel, 0) AS rel
+              FROM retrieved LEFT JOIN rel USING (doc_id)
+            ),
+            cum AS (
+              SELECT rank, rel,
+                     CAST(sum(rel) OVER (
+                       ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS relcum
+              FROM r10
+            ),
+            nrel AS (SELECT CAST(sum(rel) AS BIGINT) AS r FROM rel),
+            m AS (
+              SELECT CAST(sum(rel) AS BIGINT) AS hits10,
+                     min(CASE WHEN rel = 1 THEN rank END) AS fr,
+                     CAST(sum(CASE WHEN rel = 1
+                                   THEN (relcum * 1000000) // rank
+                                   ELSE 0 END) AS BIGINT) AS apnum
+              FROM cum
+            )
+            SELECT r AS n_rel_corpus, hits10,
+                   CAST(COALESCE(fr, 0) AS INT) AS first_rel_rank,
+                   CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_micros,
+                   CAST(apnum // greatest(least(r, 10), 1) AS BIGINT)
+                     AS ap10_micros,
+                   CAST((hits10 * 1000000) // 10 AS BIGINT) AS p10_micros,
+                   CAST((hits10 * 1000000) // greatest(r, 1) AS BIGINT)
+                     AS recall10_micros
+            FROM m, nrel
+        """,
+        "b15_hazard": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+              FROM events
+            ),
+            pu AS (
+              SELECT user_id, min(hr) AS fd, max(hr) AS ld
+              FROM ev GROUP BY user_id
+            ),
+            e AS (SELECT max(hr) AS endd FROM ev),
+            lived AS (
+              SELECT ld - fd AS t,
+                     CASE WHEN ld <= endd - 24 THEN 1 ELSE 0 END AS churned
+              FROM pu CROSS JOIN e
+            ),
+            pt AS (
+              SELECT t, CAST(sum(churned) AS BIGINT) AS d_events,
+                     CAST(sum(1 - churned) AS BIGINT) AS c_censored
+              FROM lived GROUP BY t
+            ),
+            n AS (
+              SELECT *, CAST(sum(d_events + c_censored) OVER (
+                       ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS n_risk
+              FROM pt
+            )
+            SELECT t AS lifetime_hours, n_risk, d_events, c_censored,
+                   CAST((d_events * 1000000) // n_risk AS BIGINT)
+                     AS hazard_micros
+            FROM n
+        """,
+        "b30_link_prediction": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            pd AS (
+              SELECT l_partkey FROM e GROUP BY l_partkey
+              HAVING count(*) <= 64
+            ),
+            c AS (
+              SELECT e.l_partkey, e.l_suppkey FROM e JOIN pd USING (l_partkey)
+            ),
+            sd AS (
+              SELECT l_suppkey, CAST(count(*) AS BIGINT) AS deg
+              FROM e GROUP BY l_suppkey
+            ),
+            sh AS (
+              SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM c a JOIN c b
+                ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+              GROUP BY a.l_suppkey, b.l_suppkey
+            ),
+            sc AS (
+              SELECT s1, s2, n_shared,
+                     CAST((n_shared * 1000000)
+                          // (d1.deg + d2.deg - n_shared) AS BIGINT)
+                       AS jaccard_micros
+              FROM sh JOIN sd d1 ON sh.s1 = d1.l_suppkey
+                      JOIN sd d2 ON sh.s2 = d2.l_suppkey
+            )
+            SELECT s1, s2, n_shared, jaccard_micros,
+                   CAST(row_number() OVER (
+                     ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC) AS BIGINT)
+                     AS rank
+            FROM sc ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC LIMIT 20
         """,
     }

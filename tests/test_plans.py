@@ -461,6 +461,12 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "b10_ks_screen",
     # r9 wave 3: remainder-rank window over the |sources|-row aggregate
     "b28_budget_allocation",
+    # r9 wave 7: cumulative window over the rank<=10 retrieved relation
+    # (bounded by bm25_search's top-k filter, not a limit node)
+    "b30_rank_eval",
+    # r9 wave 7: descending risk-set cumulative over the per-user stream
+    # contracted to the |lifetime-days| relation (the b15_acf rule)
+    "b15_hazard",
 }
 
 
