@@ -8459,6 +8459,128 @@ def q_b30_link_prediction(spark, sf_dir):
     )
 
 
+def q_b24_corpus_v6(spark, sf_dir):
+    """Corpus-build capstone v6 (B24 depth, r9 wave 7 closer):
+    composes this round's operators into ONE lazy plan — the planted
+    truncation corpus is screened by the prefix-dup equi-join (drop
+    every doc that is a strict prefix of a longer one, the
+    keep-longest decision), survivors pass the composite quality gate
+    (score ≥ 0.5, the b21_calibration score), and the per-source
+    report carries kept/dropped accounting plus the p50 token-count
+    bucket from `derive.histogram_sketch` under FIXED bounds (the
+    streaming-contract form — the same sketch the foreachBatch leg
+    maintains incrementally). Per-source telemetry a mixture owner
+    reads before committing a training run."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(
+        (F.col("doc_id") % 9 == 3) & (F.length("text") >= 120)
+    ).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        "source",
+        "lang",
+        F.expr("substring(text, 1, CAST(length(text) * 3 AS INT) div 5)").alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "source", "lang", "text").unionByName(
+        planted
+    )
+    keyed = corpus.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("len"),
+        F.substring("text", 1, 24).alias("__k"),
+        "text",
+    ).localCheckpoint(eager=False)
+    a = keyed.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("__st"),
+        F.col("len").alias("short_len"),
+        "__k",
+    )
+    b = keyed.select(
+        F.col("text").alias("__lt"), F.col("len").alias("long_len"), "__k"
+    )
+    short_ids = (
+        a.join(b, "__k")
+        .filter(
+            (F.col("short_len") < F.col("long_len"))
+            & (
+                F.expr("substring(__lt, 1, CAST(short_len AS INT))")
+                == F.col("__st")
+            )
+        )
+        .select(F.col("short_id").alias("doc_id"))
+        .distinct()
+    )
+    dup_drops = corpus.join(short_ids, "doc_id", "semi").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped_dup")
+    )
+    deduped = corpus.join(short_ids, "doc_id", "anti")
+    feats = textops.quality_features(
+        deduped.select("doc_id", "source", "text")
+    ).select("doc_id", "source", "q_tokens", "quality_score")
+    kept = feats.filter(F.col("quality_score") >= 0.5).localCheckpoint(
+        eager=False
+    )
+    q_drops = (
+        feats.filter(F.col("quality_score") < 0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_quality"))
+    )
+    base = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("q_tokens").cast("long").alias("tokens_kept"),
+    )
+    LO, R, BK = 0, 256, 128
+    sk = derive.histogram_sketch(kept, "source", "q_tokens", LO, R, BK)
+    wcum = (
+        Window.partitionBy("scope")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ns = sk.groupBy("scope").agg(F.sum("cnt").cast("long").alias("__n"))
+    p50 = (
+        sk.withColumn("cum", F.sum("cnt").over(wcum))
+        .join(ns, "scope")
+        .groupBy("scope")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= 50 * F.col("__n"), F.col("bkt"))
+            ).alias("__b50")
+        )
+        .select(
+            F.col("scope").alias("source"),
+            F.expr(f"{LO} + ((__b50 * {R}) + {BK - 1}) div {BK}")
+            .cast("long")
+            .alias("p50_tok_lo"),
+            F.expr(f"{LO} + (((__b50 + 1) * {R}) + {BK - 1}) div {BK} - 1")
+            .cast("long")
+            .alias("p50_tok_hi"),
+        )
+    )
+    return (
+        base.join(p50, "source")
+        .join(dup_drops, "source", "left")
+        .join(q_drops, "source", "left")
+        .select(
+            "source",
+            "n_kept",
+            F.coalesce("n_dropped_dup", F.lit(0)).cast("long").alias(
+                "n_dropped_dup"
+            ),
+            F.coalesce("n_dropped_quality", F.lit(0)).cast("long").alias(
+                "n_dropped_quality"
+            ),
+            "tokens_kept",
+            "p50_tok_lo",
+            "p50_tok_hi",
+        )
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -8762,6 +8884,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_rank_eval": q_b30_rank_eval,
         "b15_hazard": q_b15_hazard,
         "b30_link_prediction": q_b30_link_prediction,
+        "b24_corpus_v6": q_b24_corpus_v6,
     }
 
 
@@ -15336,5 +15459,97 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC) AS BIGINT)
                      AS rank
             FROM sc ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC LIMIT 20
+        """,
+        "b24_corpus_v6": f"""
+            WITH corpus AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 400000, source,
+                     substr(text, 1, (length(text) * 3) // 5)
+              FROM documents
+              WHERE doc_id % 9 = 3 AND length(text) >= 120
+            ),
+            keyed AS (
+              SELECT doc_id, source, text, length(text) AS len,
+                     substr(text, 1, 24) AS k
+              FROM corpus
+            ),
+            short_ids AS (
+              SELECT DISTINCT a.doc_id
+              FROM keyed a JOIN keyed b ON a.k = b.k
+              WHERE a.len < b.len AND substr(b.text, 1, a.len) = a.text
+            ),
+            dup_drops AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_dropped_dup
+              FROM corpus WHERE doc_id IN (SELECT doc_id FROM short_ids)
+              GROUP BY source
+            ),
+            deduped AS (
+              SELECT * FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM short_ids)
+            ),
+            feats AS (
+              SELECT doc_id, source,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     round(least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 50.0,
+                                 1.0) * 0.4
+                           + round(CAST(length(regexp_replace(text,
+                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                               / CAST(greatest(length(text), 1) AS DOUBLE),
+                               6) * 0.4
+                           + least(round(CAST({_sw_hits_sql('en')} AS DOUBLE)
+                               / CAST(greatest(len({_TOKS_SQL}), 1)
+                                      AS DOUBLE), 6) * 5.0, 1.0) * 0.2,
+                           6) AS quality_score
+              FROM deduped
+            ),
+            kept AS (SELECT * FROM feats WHERE quality_score >= 0.5),
+            q_drops AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_dropped_quality
+              FROM feats WHERE quality_score < 0.5 GROUP BY source
+            ),
+            base AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                     CAST(sum(q_tokens) AS BIGINT) AS tokens_kept
+              FROM kept GROUP BY source
+            ),
+            sk AS (
+              SELECT source AS scope,
+                     CAST(least(greatest((q_tokens * 128) // 256, 0), 127)
+                          AS INT) AS bkt,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM kept GROUP BY source, bkt
+            ),
+            ns AS (
+              SELECT scope, CAST(sum(cnt) AS BIGINT) AS n
+              FROM sk GROUP BY scope
+            ),
+            cum AS (
+              SELECT sk.scope, bkt, ns.n,
+                     CAST(sum(cnt) OVER (
+                       PARTITION BY sk.scope ORDER BY bkt
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM sk JOIN ns USING (scope)
+            ),
+            p50 AS (
+              SELECT scope AS source,
+                     CAST(0 + ((min(CASE WHEN c * 100 >= 50 * n THEN bkt END)
+                                * 256) + 127) // 128 AS BIGINT)
+                       AS p50_tok_lo,
+                     CAST(0 + (((min(CASE WHEN c * 100 >= 50 * n THEN bkt END)
+                                 + 1) * 256) + 127) // 128 - 1 AS BIGINT)
+                       AS p50_tok_hi
+              FROM cum GROUP BY scope
+            )
+            SELECT base.source, base.n_kept,
+                   CAST(COALESCE(dup_drops.n_dropped_dup, 0) AS BIGINT)
+                     AS n_dropped_dup,
+                   CAST(COALESCE(q_drops.n_dropped_quality, 0) AS BIGINT)
+                     AS n_dropped_quality,
+                   base.tokens_kept, p50.p50_tok_lo, p50.p50_tok_hi
+            FROM base
+            JOIN p50 USING (source)
+            LEFT JOIN dup_drops USING (source)
+            LEFT JOIN q_drops USING (source)
         """,
     }

@@ -1424,6 +1424,64 @@ def bloom_merge(bloom_a: DataFrame, bloom_b: DataFrame) -> DataFrame:
     )
 
 
+def histogram_sketch(
+    df: DataFrame,
+    scope_col: str,
+    value_col: str,
+    lo: int,
+    r: int,
+    buckets: int = 128,
+) -> DataFrame:
+    """Per-scope equi-width histogram sketch over an INTEGER value
+    domain ``[lo, lo + r)`` — the mergeable quantile summary behind
+    ``b27_quantile_sketch`` (there the bounds come from a data scan;
+    here they are a fixed contract, the production/streaming form —
+    a standing sketch can't re-bucket when a new batch widens the
+    domain). Output ``(scope, bkt, cnt)``; bucketing is pure integer
+    ``div`` arithmetic, values outside the domain clamp into the edge
+    buckets. Counts are plain sums → map-side combinable and
+    :func:`merge_histogram_sketches`-mergeable."""
+    raw = (
+        (F.col(value_col).cast("long") - F.lit(lo)) * F.lit(buckets)
+    ).alias("__num")
+    return (
+        df.select(F.col(scope_col).alias("scope"), raw)
+        .select(
+            "scope",
+            F.least(
+                F.greatest(F.expr(f"__num div {int(r)}"), F.lit(0)),
+                F.lit(buckets - 1),
+            )
+            .cast("int")
+            .alias("bkt"),
+        )
+        .groupBy("scope", "bkt")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def merge_histogram_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two :func:`histogram_sketch` relations — the
+    CDC-incremental write path for quantile telemetry: a standing
+    sketch absorbs a batch's sketch with one full-outer join + add,
+    cost ∝ occupied buckets (≤ scopes × buckets, constant), never
+    re-scanning base values. Invariant (stream-parity tested):
+    ``merge(sketch(A), sketch(B)) == sketch(A ∪ B)`` — counts are
+    sums, so the merged sketch is indistinguishable from a rebuild."""
+    left = a.select("scope", "bkt", F.col("cnt").alias("__ca"))
+    right = b.select("scope", "bkt", F.col("cnt").alias("__cb"))
+    return left.join(right, ["scope", "bkt"], "full").select(
+        "scope",
+        "bkt",
+        (
+            F.coalesce(F.col("__ca"), F.lit(0))
+            + F.coalesce(F.col("__cb"), F.lit(0))
+        )
+        .cast("long")
+        .alias("cnt"),
+    )
+
+
 def changepoint_splits(
     events: DataFrame,
     ts_col: str = "ts",

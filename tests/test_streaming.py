@@ -1333,3 +1333,68 @@ def test_streaming_corpus_capstone_composes_legs(spark, tmp_path):
         for r in textops.corpus_counters(all_docs).collect()
     }
     assert got_c == want_c
+
+
+def test_streaming_quantile_sketch_maintenance_matches_batch(spark, tmp_path):
+    """The quantile-telemetry leg of the corpus-hygiene loop (r9): each
+    micro-batch's histogram sketch folds into the standing sketch via
+    merge_histogram_sketches (one full-outer join + add over occupied
+    buckets — never re-scanning base values); after the stream drains
+    the state must equal the from-scratch sketch of the full stream,
+    however the file source sliced batches. Bounds are a FIXED contract
+    (the production form — a standing sketch can't re-bucket when a new
+    batch widens the domain)."""
+    import time
+
+    from sqlite_cdc_spark import derive
+
+    LO, R = 0, 1000
+    waves = [
+        [("a", 10), ("a", 995), ("b", 500)],
+        [("a", 10), ("b", 0), ("b", 999)],
+        [("c", 123), ("a", 456), ("b", 789), ("c", 1)],
+    ]
+    src = str(tmp_path / "qsrc")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, "event_type string, vm long").coalesce(1)\
+            .write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    state = {"sk": None}
+
+    def handle(batch, bid):
+        batch = batch.localCheckpoint()
+        sk = derive.histogram_sketch(batch, "event_type", "vm", LO, R)
+        if state["sk"] is None:
+            state["sk"] = sk.localCheckpoint()
+        else:
+            state["sk"] = derive.merge_histogram_sketches(
+                state["sk"], sk
+            ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("event_type string, vm long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [r for w in waves for r in w], "event_type string, vm long"
+    )
+    got = sorted(
+        (r.scope, r.bkt, r.cnt) for r in state["sk"].collect()
+    )
+    want = sorted(
+        (r.scope, r.bkt, r.cnt)
+        for r in derive.histogram_sketch(
+            all_rows, "event_type", "vm", LO, R
+        ).collect()
+    )
+    assert got == want
+    # merged counts must cover every input row exactly once
+    assert sum(c for _, _, c in got) == sum(len(w) for w in waves)
