@@ -8581,6 +8581,127 @@ def q_b24_corpus_v6(spark, sf_dir):
     )
 
 
+def q_b2_idempotency(spark, sf_dir):
+    """At-least-once redelivery screen (B2 depth, r9 wave 8): the
+    reference's delivery contract is at-least-once (README.md:26-30 —
+    a consumer restart between acks replays a slice), so the
+    downstream exactly-once consumer needs an idempotency key. This
+    screen simulates a replayed slice (id % 13 == 5 redelivered),
+    keys every delivery by md5(table|id|op|payload), and reports per
+    operation how many logical changes arrived more than once and the
+    redundant-delivery volume a dedup sink would absorb. Two keyed
+    aggs, integer exact."""
+    ch = _events_changes(spark, sf_dir)
+    replay = ch.filter(F.col("id") % 13 == 5)
+    delivered = ch.unionByName(replay)
+    keyed = delivered.select(
+        "operation",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("tablename"),
+                F.col("id").cast("string"),
+                F.col("operation"),
+                F.coalesce(F.col("before"), F.lit("")),
+                F.coalesce(F.col("after"), F.lit("")),
+            )
+        ).alias("__k"),
+    )
+    per = keyed.groupBy("operation", "__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return per.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_logical_changes"),
+        F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicated"),
+        F.sum(F.col("__n") - 1).cast("long").alias("n_redundant_deliveries"),
+    ).select(
+        "operation",
+        "n_logical_changes",
+        "n_duplicated",
+        "n_redundant_deliveries",
+        F.expr("(n_duplicated * 1000000) div n_logical_changes")
+        .cast("long")
+        .alias("dup_rate_micros"),
+    )
+
+
+def q_b10_winsorized(spark, sf_dir):
+    """Winsorized & trimmed means (B10 robust-stats depth, r9 wave 8 —
+    the outlier-resistant location estimators beside b10_mad_outliers'
+    spread): per return flag, the mean after clamping (winsorizing)
+    and after dropping (trimming) prices outside the floor-quantized
+    [p05, p95]. Prices quantize to integer cents FIRST; the percentile
+    thresholds floor to integers, so both estimators are integer sums
+    with one integer division — no float accumulation. Two keyed aggs
+    over the same group key (the threshold relation is 3 rows and
+    broadcasts back)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    th = li.groupBy("l_returnflag").agg(
+        F.floor(F.percentile("cents", 0.05)).cast("long").alias("p05c"),
+        F.floor(F.percentile("cents", 0.95)).cast("long").alias("p95c"),
+    )
+    clamped = li.join(F.broadcast(th), "l_returnflag").select(
+        "l_returnflag",
+        "cents",
+        "p05c",
+        "p95c",
+        F.greatest(F.least(F.col("cents"), F.col("p95c")), F.col("p05c")).alias(
+            "__w"
+        ),
+        F.col("cents").between(F.col("p05c"), F.col("p95c")).alias("__in"),
+    )
+    return clamped.groupBy("l_returnflag", "p05c", "p95c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("(sum(cents) * 10000) div count(1)")
+        .cast("long")
+        .alias("raw_mean_micros"),
+        F.expr("(sum(__w) * 10000) div count(1)")
+        .cast("long")
+        .alias("winsor_mean_micros"),
+        F.expr(
+            "(sum(CASE WHEN __in THEN cents ELSE 0 END) * 10000)"
+            " div sum(CASE WHEN __in THEN 1 ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("trimmed_mean_micros"),
+        F.sum(F.when(F.col("__in"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_clamped"),
+    )
+
+
+def q_b14_format_funcs(spark, sf_dir):
+    """String formatting/padding function surface (B14 breadth, r9
+    wave 8): lpad/rpad, repeat, reverse, translate, ascii/chr,
+    left/right, split_part/instr — the remaining shared-dialect string
+    tools beside the regex/scalar/url rows. Pure per-row codegen; the
+    sample is keyset-paged for a deterministic LIMIT."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.orderBy("n_nationkey")
+        .limit(10)
+        .select(
+            "n_nationkey",
+            F.expr("lpad(n_name, 12, '.')").alias("padded_l"),
+            F.expr("rpad(n_name, 12, '.')").alias("padded_r"),
+            F.expr("repeat(substring(n_name, 1, 2), 3)").alias("repeated"),
+            F.reverse("n_name").alias("reversed"),
+            F.expr("translate(n_name, 'NAT', 'nat')").alias("translated"),
+            F.ascii("n_name").cast("int").alias("first_byte"),
+            F.expr("chr(65 + n_nationkey % 26)").alias("letter"),
+            F.expr("left(n_name, 6)").alias("left6"),
+            F.expr("right(n_name, 2)").alias("right2"),
+            F.expr("split_part(n_name, '_', 2)").alias("num_part"),
+            F.expr("instr(n_name, '_')").cast("long").alias("underscore_at"),
+        )
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -8885,6 +9006,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b15_hazard": q_b15_hazard,
         "b30_link_prediction": q_b30_link_prediction,
         "b24_corpus_v6": q_b24_corpus_v6,
+        # --- round 9 wave 8 ----------------------------------------------
+        "b2_idempotency": q_b2_idempotency,
+        "b10_winsorized": q_b10_winsorized,
+        "b14_format_funcs": q_b14_format_funcs,
     }
 
 
@@ -15551,5 +15676,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN p50 USING (source)
             LEFT JOIN dup_drops USING (source)
             LEFT JOIN q_drops USING (source)
+        """,
+        # ---- round 9 wave 8 ---------------------------------------------
+        "b2_idempotency": f"""
+            WITH ch AS ({_EVENTS_CHANGES_SQL}),
+            delivered AS (
+              SELECT * FROM ch
+              UNION ALL
+              SELECT * FROM ch WHERE id % 13 = 5
+            ),
+            keyed AS (
+              SELECT operation,
+                     md5(concat_ws('|', tablename, CAST(id AS VARCHAR),
+                                   operation, COALESCE(before, ''),
+                                   COALESCE(after, ''))) AS k
+              FROM delivered
+            ),
+            per AS (
+              SELECT operation, k, CAST(count(*) AS BIGINT) AS n
+              FROM keyed GROUP BY operation, k
+            )
+            SELECT operation,
+                   CAST(count(*) AS BIGINT) AS n_logical_changes,
+                   CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_duplicated,
+                   CAST(sum(n - 1) AS BIGINT) AS n_redundant_deliveries,
+                   CAST((sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000)
+                        // count(*) AS BIGINT) AS dup_rate_micros
+            FROM per GROUP BY operation
+        """,
+        "b10_winsorized": """
+            WITH li AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+            ),
+            th AS (
+              SELECT l_returnflag,
+                     CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT)
+                       AS p05c,
+                     CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT)
+                       AS p95c
+              FROM li GROUP BY l_returnflag
+            ),
+            clamped AS (
+              SELECT li.l_returnflag, th.p05c, th.p95c, cents,
+                     greatest(least(cents, th.p95c), th.p05c) AS w,
+                     cents BETWEEN th.p05c AND th.p95c AS inr
+              FROM li JOIN th USING (l_returnflag)
+            )
+            SELECT l_returnflag, p05c, p95c,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST((sum(cents) * 10000) // count(*) AS BIGINT)
+                     AS raw_mean_micros,
+                   CAST((sum(w) * 10000) // count(*) AS BIGINT)
+                     AS winsor_mean_micros,
+                   CAST((sum(CASE WHEN inr THEN cents ELSE 0 END) * 10000)
+                        // sum(CASE WHEN inr THEN 1 ELSE 0 END) AS BIGINT)
+                     AS trimmed_mean_micros,
+                   CAST(sum(CASE WHEN inr THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_clamped
+            FROM clamped GROUP BY l_returnflag, p05c, p95c
+        """,
+        "b14_format_funcs": """
+            SELECT n_nationkey,
+                   lpad(n_name, 12, '.') AS padded_l,
+                   rpad(n_name, 12, '.') AS padded_r,
+                   repeat(substr(n_name, 1, 2), 3) AS repeated,
+                   reverse(n_name) AS reversed,
+                   translate(n_name, 'NAT', 'nat') AS translated,
+                   CAST(ascii(n_name) AS INT) AS first_byte,
+                   chr(65 + n_nationkey % 26) AS letter,
+                   left(n_name, 6) AS left6,
+                   right(n_name, 2) AS right2,
+                   split_part(n_name, '_', 2) AS num_part,
+                   CAST(instr(n_name, '_') AS BIGINT) AS underscore_at
+            FROM nation ORDER BY n_nationkey LIMIT 10
         """,
     }
