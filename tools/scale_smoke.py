@@ -634,6 +634,165 @@ def r8_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r9_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-9-wave families with genuinely NEW scale shapes: the
+    prefix-dup block-key equi-join, the CMS build (stream contracts to
+    |users| before the 4-row explode), the degree-capped wedge join
+    behind link prediction (wedges = parts × C(min(deg,64),2) — linear
+    in parts once the cap binds), the JL 64→16 projection + probe
+    scoring, and the histogram-sketch build+merge. Hashes here are the
+    production xxhash64 forms (same plan shapes as the oracled md5
+    queries)."""
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    # prefix-dup screen: planted truncations, 24-char block-key equi-join
+    planted = docs.filter(
+        (F.col("doc_id") % 9 == 3) & (F.length("text") >= 120)
+    ).select(
+        (F.col("doc_id") + F.lit(40_000_000)).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(length(text) * 3 AS INT) div 5)"
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    keyed = corpus.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("len"),
+        F.substring("text", 1, 24).alias("k"),
+    )
+
+    def prefix_dups():
+        a = keyed.select(
+            F.col("doc_id").alias("sid"),
+            F.col("text").alias("st"),
+            F.col("len").alias("sl"),
+            "k",
+        )
+        b = keyed.select(
+            F.col("doc_id").alias("lid"),
+            F.col("text").alias("lt"),
+            F.col("len").alias("ll"),
+            "k",
+        )
+        a.join(b, "k").filter(
+            (F.col("sl") < F.col("ll"))
+            & (F.expr("substring(lt, 1, CAST(sl AS INT))") == F.col("st"))
+        ).select("sid", "lid").write.format("noop").mode("overwrite").save()
+
+    run("prefix_dup_join", prefix_dups)
+
+    # CMS: per-user contraction FIRST, then 4x64 counters + top-10 readback
+    n_users = max(rows // 50, 100)
+    ev = spark.range(rows).select(
+        F.pmod(F.xxhash64("id"), n_users).alias("user_id")
+    )
+
+    def cms_build():
+        per_user = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        hashed = per_user.select(
+            "user_id",
+            "n",
+            *[
+                F.pmod(F.xxhash64("user_id", F.lit(i)), 64).alias(f"b{i}")
+                for i in range(4)
+            ],
+        )
+        counters = (
+            hashed.selectExpr(
+                "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+            )
+            .groupBy("r", "b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        cand = hashed.orderBy(F.col("n").desc(), F.col("user_id")).limit(10)
+        cand.selectExpr(
+            "user_id", "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        ).join(F.broadcast(counters), ["r", "b"]).groupBy("user_id", "n").agg(
+            F.min("cnt").alias("est")
+        ).write.format("noop").mode("overwrite").save()
+
+    run("cms_build", cms_build)
+
+    # degree-capped wedge join (link prediction): ~50 suppliers/part,
+    # cap 64 — wedge count tracks parts, i.e. stays linear in rows
+    n_parts = max(rows // 200, 100)
+    edges = (
+        spark.range(rows // 4)
+        .select(
+            F.pmod(F.xxhash64("id"), n_parts).alias("p"),
+            F.pmod(F.xxhash64("id", F.lit(7)), 400).alias("s"),
+        )
+        .distinct()
+    )
+
+    def wedge_lp():
+        pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("pd"))
+        capped = edges.join(
+            pdeg.filter(F.col("pd") <= 64).select("p"), "p"
+        )
+        a = capped.select("p", F.col("s").alias("s1"))
+        b = capped.select("p", F.col("s").alias("s2"))
+        a.join(b, "p").filter(F.col("s1") < F.col("s2")).groupBy(
+            "s1", "s2"
+        ).agg(F.count(F.lit(1)).alias("n_shared")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run("wedge_link_prediction", wedge_lp)
+
+    # JL 64->16 sign projection + 4-probe scoring, integer plan shape
+    n_vecs = max(rows // 20, 1000)
+    quant = spark.range(n_vecs * 64).select(
+        (F.col("id") / 64).cast("long").alias("vid"),
+        F.pmod(F.col("id"), 64).cast("int").alias("j"),
+        F.pmod(F.xxhash64("id"), 2000).alias("q"),
+    )
+    signs = spark.range(64 * 16).select(
+        (F.col("id") / 16).cast("int").alias("j"),
+        F.pmod(F.col("id"), 16).cast("int").alias("kk"),
+        (F.pmod(F.xxhash64("id"), 2) * 2 - 1).alias("s"),
+    )
+
+    def jl_project():
+        proj = (
+            quant.join(F.broadcast(signs), "j")
+            .groupBy("vid", "kk")
+            .agg(F.sum(F.col("s") * F.col("q")).alias("p"))
+        )
+        probes = proj.filter(F.col("vid") < 4).select(
+            F.col("vid").alias("qid"), "kk", F.col("p").alias("qp")
+        )
+        proj.join(F.broadcast(probes), "kk").filter(
+            F.col("vid") != F.col("qid")
+        ).groupBy("qid", "vid").agg(
+            F.sum(F.col("qp") * F.col("p")).alias("dot")
+        ).write.format("noop").mode("overwrite").save()
+
+    run("jl_projection", jl_project)
+
+    # histogram sketch build + standing-sketch merge (the incremental leg)
+    vals = spark.range(rows).select(
+        F.pmod(F.col("id"), 5).cast("string").alias("scope"),
+        F.pmod(F.xxhash64("id"), 1_000_000).alias("vm"),
+    )
+
+    def sketch_merge():
+        sk = derive.histogram_sketch(vals, "scope", "vm", 0, 1_000_000)
+        derive.merge_histogram_sketches(sk, sk).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("histogram_sketch", sketch_merge)
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -681,6 +840,7 @@ def main():
             results[label].update(r6_ops(spark, dpath, rows))
             results[label].update(r7_ops(spark, path, dpath, rows))
             results[label].update(r8_ops(spark, dpath, rows))
+            results[label].update(r9_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
