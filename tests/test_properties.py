@@ -432,3 +432,117 @@ def test_incremental_join_view_property(spark, t):
     gs = sorted(tuple(r) for r in got.select(sorted(got.columns)).collect())
     ws = sorted(tuple(r) for r in want.select(sorted(want.columns)).collect())
     assert gs == ws
+
+
+# ---- round-9 sketch invariants ------------------------------------------
+
+stream_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),      # user/key
+        st.integers(min_value=0, max_value=999),     # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(stream=stream_st)
+@settings(**SETTINGS)
+def test_cms_estimate_is_one_sided(spark, stream):
+    """Count-Min one-sided error: for EVERY key, the CMS estimate
+    (min over d rows of counter[h_r(key)]) is >= the exact count —
+    collisions can only ADD. Mirrors q_b27_cms_heavy_hitters's
+    construction with the portable hash family."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    df = spark.createDataFrame(
+        [(k,) for k, _ in stream], "user_id bigint"
+    )
+    per = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    hashed = per.select(
+        "user_id",
+        "n",
+        *[
+            (
+                portable_hash60(
+                    F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))
+                )
+                % 8
+            ).alias(f"b{i}")
+            for i in range(4)
+        ],
+    )
+    counters = (
+        hashed.selectExpr(
+            "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        )
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    est = (
+        hashed.selectExpr(
+            "user_id", "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        )
+        .join(counters, ["r", "b"])
+        .groupBy("user_id", "n")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    )
+    assert est and all(r.est >= r.n for r in est)
+
+
+@given(stream=stream_st)
+@settings(**SETTINGS)
+def test_histogram_sketch_merge_equals_rebuild(spark, stream):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) for ANY split of
+    ANY stream — counts are sums, so a standing sketch absorbing
+    batches is indistinguishable from a rebuild. Also: total counts
+    conserve (no row lost to clamping)."""
+    mid = len(stream) // 2
+    mk = lambda rows: spark.createDataFrame(
+        [(str(k % 3), v) for k, v in rows], "scope string, vm bigint"
+    )
+    a, b = stream[:mid], stream[mid:]
+    full = derive.histogram_sketch(mk(stream), "scope", "vm", 0, 1000, 16)
+    if a and b:
+        merged = derive.merge_histogram_sketches(
+            derive.histogram_sketch(mk(a), "scope", "vm", 0, 1000, 16),
+            derive.histogram_sketch(mk(b), "scope", "vm", 0, 1000, 16),
+        )
+        got = sorted((r.scope, r.bkt, r.cnt) for r in merged.collect())
+        want = sorted((r.scope, r.bkt, r.cnt) for r in full.collect())
+        assert got == want
+    total = sum(r.cnt for r in full.collect())
+    assert total == len(stream)
+
+
+@given(stream=stream_st)
+@settings(**SETTINGS)
+def test_histogram_sketch_quantile_bucket_contains_kth(spark, stream):
+    """The sketch's quantile read-back invariant: for q in {50, 95},
+    the first bucket whose cumulative count reaches ceil(q·n/100)
+    really CONTAINS the exact k-th smallest value — for any stream,
+    any occupancy."""
+    LO, R, BK = 0, 1000, 16
+    vals = sorted(v for _, v in stream)
+    n = len(vals)
+    df = spark.createDataFrame(
+        [("x", v) for _, v in stream], "scope string, vm bigint"
+    )
+    sk = {
+        r.bkt: r.cnt
+        for r in derive.histogram_sketch(df, "scope", "vm", LO, R, BK).collect()
+    }
+    for q in (50, 95):
+        k = -(-q * n // 100)  # ceil
+        exact = vals[k - 1]
+        cum = 0
+        for bkt in range(BK):
+            cum += sk.get(bkt, 0)
+            if cum * 100 >= q * n:
+                lo = LO + -(-bkt * R // BK)
+                hi = LO + -(-(bkt + 1) * R // BK) - 1
+                assert lo <= exact <= hi
+                break
+        else:
+            raise AssertionError("no bucket reached the quantile")
