@@ -8702,6 +8702,121 @@ def q_b14_format_funcs(spark, sf_dir):
     )
 
 
+def q_b11_ohlc(spark, sf_dir):
+    """OHLC resampling bars (B11 time-series depth, r9 wave 9): per
+    hour, open/high/low/close of the event value plus volume — the
+    financial candle aggregation. Open/close are first/last by the
+    TOTAL (second, event_id) order inside the hour (keyed row_number
+    both directions folded into ONE keyed agg via conditional max —
+    no self-join), values integer cents."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+        ).alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("hr", F.expr("sec div 3600"))
+    wa = Window.partitionBy("hr").orderBy(
+        F.col("sec").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("hr").orderBy(
+        F.col("sec").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "hr",
+        "cents",
+        F.row_number().over(wa).alias("__ra"),
+        F.row_number().over(wd).alias("__rd"),
+    )
+    return ranked.groupBy("hr").agg(
+        F.max(F.when(F.col("__ra") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("__rd") == 1, F.col("cents"))).alias(
+            "close_cents"
+        ),
+        F.count(F.lit(1)).cast("long").alias("volume"),
+    )
+
+
+def q_b3_slo_burn(spark, sf_dir):
+    """SLO burn-rate monitor (B3 monitoring depth, r9 wave 9): per
+    6-hour window, the error-event share against a 1% error budget,
+    with the 2×-budget page condition decided on CROSS-MULTIPLIED
+    integers (errors·50 > total ⟺ rate > 2%) — the multiwindow
+    burn-rate alert shape. One keyed agg over the bucketed stream."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.select(
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 21600"
+        ).alias("win6h"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("__e"),
+    )
+    return win.groupBy("win6h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__e").cast("long").alias("n_errors"),
+        F.expr("(sum(__e) * 1000000) div count(1)")
+        .cast("long")
+        .alias("err_rate_micros"),
+        (F.sum("__e") * 50 > F.count(F.lit(1))).alias("page_alert"),
+    )
+
+
+def q_b13_file_skipping(spark, sf_dir):
+    """Data-skipping effectiveness audit (B13 storage depth, r9 wave 9
+    — the zone-map CONSUMER beside b13_zorder_layout's producer): model
+    files as 2000-order blocks of the orderkey-clustered layout, keep
+    per-file min/max ship-date stats (what parquet footers carry), and
+    measure how many files a ship-date range predicate can prune. The
+    answer quantifies the clustering-correlation problem: orderkey
+    clustering barely prunes date predicates — the number that
+    motivates date partitioning or Z-order. Integer day arithmetic."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey div 2000").alias("file_id"),
+        F.expr(
+            "cast(floor(unix_timestamp(l_shipdate)) as bigint) div 86400"
+        ).alias("day"),
+    )
+    stats = li.groupBy("file_id").agg(
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    # predicate: 1996 H1 (epoch days, computed identically both engines)
+    lo = F.expr(
+        "cast(floor(unix_timestamp(cast('1996-01-01' as timestamp)))"
+        " as bigint) div 86400"
+    )
+    hi = F.expr(
+        "cast(floor(unix_timestamp(cast('1996-07-01' as timestamp)))"
+        " as bigint) div 86400"
+    )
+    flagged = stats.select(
+        "n_rows",
+        ((F.col("max_day") < lo) | (F.col("min_day") >= hi)).alias(
+            "__skippable"
+        ),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(F.col("__skippable"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_skipped"),
+        F.sum(F.when(F.col("__skippable"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        F.expr(
+            "(sum(CASE WHEN __skippable THEN 1 ELSE 0 END) * 1000000)"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("skip_rate_micros"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -9010,6 +9125,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_idempotency": q_b2_idempotency,
         "b10_winsorized": q_b10_winsorized,
         "b14_format_funcs": q_b14_format_funcs,
+        # --- round 9 wave 9 ----------------------------------------------
+        "b11_ohlc": q_b11_ohlc,
+        "b3_slo_burn": q_b3_slo_burn,
+        "b13_file_skipping": q_b13_file_skipping,
     }
 
 
@@ -15752,5 +15871,79 @@ def oracle_sql() -> dict[str, str]:
                    split_part(n_name, '_', 2) AS num_part,
                    CAST(instr(n_name, '_') AS BIGINT) AS underscore_at
             FROM nation ORDER BY n_nationkey LIMIT 10
+        """,
+        # ---- round 9 wave 9 ---------------------------------------------
+        "b11_ohlc": """
+            WITH ev AS (
+              SELECT event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            hr AS (SELECT *, sec // 3600 AS hr FROM ev),
+            ranked AS (
+              SELECT hr, cents,
+                     row_number() OVER (
+                       PARTITION BY hr ORDER BY sec ASC, event_id ASC)
+                       AS ra,
+                     row_number() OVER (
+                       PARTITION BY hr ORDER BY sec DESC, event_id DESC)
+                       AS rd
+              FROM hr
+            )
+            SELECT hr,
+                   max(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+                   max(cents) AS high_cents,
+                   min(cents) AS low_cents,
+                   max(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+                   CAST(count(*) AS BIGINT) AS volume
+            FROM ranked GROUP BY hr
+        """,
+        "b3_slo_burn": """
+            WITH w AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS win6h,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+              FROM events
+            )
+            SELECT win6h,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_errors,
+                   CAST((sum(e) * 1000000) // count(*) AS BIGINT)
+                     AS err_rate_micros,
+                   sum(e) * 50 > count(*) AS page_alert
+            FROM w GROUP BY win6h
+        """,
+        "b13_file_skipping": """
+            WITH li AS (
+              SELECT l_orderkey // 2000 AS file_id,
+                     CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+                       AS day
+              FROM lineitem
+            ),
+            stats AS (
+              SELECT file_id, min(day) AS min_day, max(day) AS max_day,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM li GROUP BY file_id
+            ),
+            bounds AS (
+              SELECT CAST(floor(epoch(CAST('1996-01-01' AS TIMESTAMP)))
+                          AS BIGINT) // 86400 AS lo,
+                     CAST(floor(epoch(CAST('1996-07-01' AS TIMESTAMP)))
+                          AS BIGINT) // 86400 AS hi
+            ),
+            flagged AS (
+              SELECT n_rows,
+                     (max_day < lo OR min_day >= hi) AS skippable
+              FROM stats CROSS JOIN bounds
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_skipped,
+                   CAST(sum(CASE WHEN skippable THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS rows_skipped,
+                   CAST((sum(CASE WHEN skippable THEN 1 ELSE 0 END)
+                         * 1000000) // count(*) AS BIGINT)
+                     AS skip_rate_micros
+            FROM flagged
         """,
     }
