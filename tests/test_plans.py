@@ -541,3 +541,21 @@ def test_cms_counters_contract_before_explode(spark, sf_dir):
     assert len(segments) >= 3
     for seg in segments[1:]:
         assert "HashAggregate" in seg, "stack explode sits on a raw scan"
+
+
+def test_link_prediction_wedge_is_equi_join(spark, sf_dir):
+    # r9 wave 9: the wedge join must be keyed on the shared part (hash
+    # or broadcast-hash — AQE's call), never an all-pairs product; the
+    # only unpartitioned window sits above the top-20 limit
+    plan = _plan(spark, sf_dir, "b30_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_v6_composes_without_products(spark, sf_dir):
+    # r9 capstone: prefix-dup candidates from the block-key equi-join,
+    # sketch/percentile legs keyed — no cartesian or nested-loop
+    # anywhere in the composed plan
+    plan = _plan(spark, sf_dir, "b24_corpus_v6")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
