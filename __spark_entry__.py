@@ -8817,6 +8817,103 @@ def q_b13_file_skipping(spark, sf_dir):
     )
 
 
+def q_b21_rake_keywords(spark, sf_dir):
+    """RAKE-style keyword extraction (B21 depth, r9 wave 10): candidate
+    phrases are maximal stopword-free token runs (phrase id = running
+    stopword count per doc — one keyed window over the token relation,
+    bounded by doc length); each word scores degree (Σ lengths of the
+    phrases containing it, self included — the RAKE co-occurrence
+    proxy) over frequency, as integer micros. Top-20 keywords by that
+    ratio — the unsupervised keyword surface beside TF-IDF's
+    corpus-weighted one."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    sw = [w for w in textops.STOPWORDS["en"]]
+    toks = docs.select(
+        "doc_id", F.posexplode(textops.tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn("is_sw", F.col("tok").isin(sw).cast("int"))
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phrased = toks.withColumn("phrase_id", F.sum("is_sw").over(wp)).filter(
+        F.col("is_sw") == 0
+    )
+    plen = phrased.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("plen")
+    )
+    scored = (
+        phrased.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+        .select(
+            "tok",
+            "freq",
+            "degree",
+            F.expr("(degree * 1000000) div freq").cast("long").alias(
+                "rake_micros"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("rake_micros").desc(), F.col("freq").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.orderBy(
+            F.col("rake_micros").desc(), F.col("freq").desc(), F.col("tok").asc()
+        )
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+
+
+def q_b18_chunk_dedup(spark, sf_dir):
+    """Fixed-block storage dedup audit (B18 depth, r9 wave 10 — the
+    ZFS/backup-style BLOCK dedup beside the document-level families):
+    texts split into 64-char blocks on a generate_series offset grid
+    (never a per-row Python loop), blocks keyed by md5, per-source
+    dedup ratio = unique/total block bytes. Planted verbatim re-crawls
+    (doc_id%11==7 duplicated) provide the redundancy a chunk store
+    would reclaim; cross-doc block sharing is what DOCUMENT-level
+    dedup can't see. One explode + two keyed aggs."""
+    docs = _t(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 11 == 7).select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "source", "text"
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(dup)
+    chunks = corpus.select(
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, (length(text) - 1) div 64),"
+                " i -> substring(text, i * 64 + 1, 64))"
+            )
+        ).alias("__i", "chunk"),
+    ).select(
+        "source",
+        F.md5("chunk").alias("h"),
+        F.length("chunk").cast("long").alias("blen"),
+    )
+    per_chunk = chunks.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("blen").alias("blen"),
+    )
+    return per_chunk.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_blocks"),
+        F.sum(F.col("n") * F.col("blen")).cast("long").alias("bytes_total"),
+        F.sum("blen").cast("long").alias("bytes_unique"),
+        F.expr("(sum(blen) * 1000000) div sum(n * blen)")
+        .cast("long")
+        .alias("unique_share_micros"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -9129,6 +9226,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b11_ohlc": q_b11_ohlc,
         "b3_slo_burn": q_b3_slo_burn,
         "b13_file_skipping": q_b13_file_skipping,
+        # --- round 9 wave 10 ---------------------------------------------
+        "b21_rake_keywords": q_b21_rake_keywords,
+        "b18_chunk_dedup": q_b18_chunk_dedup,
     }
 
 
@@ -15945,5 +16045,76 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000) // count(*) AS BIGINT)
                      AS skip_rate_micros
             FROM flagged
+        """,
+        # ---- round 9 wave 10 --------------------------------------------
+        "b21_rake_keywords": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            ),
+            marked AS (
+              SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+                     CASE WHEN toks[i] IN ({", ".join(
+                         f"'{w}'" for w in textops.STOPWORDS['en']
+                     )}) THEN 1 ELSE 0 END AS is_sw
+              FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
+            ),
+            phrased AS (
+              SELECT doc_id, tok, phrase_id FROM (
+                SELECT doc_id, tok, is_sw,
+                       CAST(sum(is_sw) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+                FROM marked
+              ) WHERE is_sw = 0
+            ),
+            plen AS (
+              SELECT doc_id, phrase_id,
+                     CAST(count(*) AS BIGINT) AS plen
+              FROM phrased GROUP BY doc_id, phrase_id
+            ),
+            scored AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(plen) AS BIGINT) AS degree
+              FROM phrased JOIN plen USING (doc_id, phrase_id)
+              GROUP BY tok
+            )
+            SELECT tok, freq, degree,
+                   CAST((degree * 1000000) // freq AS BIGINT)
+                     AS rake_micros,
+                   CAST(row_number() OVER (
+                     ORDER BY (degree * 1000000) // freq DESC, freq DESC,
+                              tok ASC) AS BIGINT) AS rank
+            FROM scored
+            ORDER BY rake_micros DESC, freq DESC, tok ASC LIMIT 20
+        """,
+        "b18_chunk_dedup": """
+            WITH corpus AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 500000, source, text FROM documents
+              WHERE doc_id % 11 = 7
+            ),
+            chunks AS (
+              SELECT source,
+                     md5(substr(text, i * 64 + 1, 64)) AS h,
+                     CAST(length(substr(text, i * 64 + 1, 64)) AS BIGINT)
+                       AS blen
+              FROM corpus,
+                   unnest(generate_series(0, (length(text) - 1) // 64))
+                     AS t(i)
+            ),
+            per_chunk AS (
+              SELECT source, h, CAST(count(*) AS BIGINT) AS n,
+                     max(blen) AS blen
+              FROM chunks GROUP BY source, h
+            )
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_blocks,
+                   CAST(count(*) AS BIGINT) AS n_unique_blocks,
+                   CAST(sum(n * blen) AS BIGINT) AS bytes_total,
+                   CAST(sum(blen) AS BIGINT) AS bytes_unique,
+                   CAST((sum(blen) * 1000000) // sum(n * blen) AS BIGINT)
+                     AS unique_share_micros
+            FROM per_chunk GROUP BY source
         """,
     }
