@@ -1372,13 +1372,31 @@ def set_similarity_join(
     pref = ranked.filter(
         F.col("__rn")
         <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1
-    ).select("__d", "__g")
+    ).select("__d", "__g", "__rn", "__n")
+    # PPJoin positional filter: for a pair matching on a prefix element
+    # at rarity ranks (ra, rb), at most min(na−ra, nb−rb)+1 elements can
+    # still overlap; J ≥ t needs overlap ≥ ceil(t·(na+nb)/(1+t)), so
+    # pairs whose bound can't reach it are pruned BEFORE the distinct +
+    # verify joins. Complete: a true pair's FIRST shared prefix element
+    # has all α shared elements at ranks ≥ (ra, rb), so its bound
+    # passes, and any-match-passes keeps the pair.
+    alpha = F.ceil(
+        F.lit(t) * (F.col("a.__n") + F.col("b.__n")) / F.lit(1.0 + t)
+    )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b").hint("shuffle_hash"),
             (F.col("a.__g") == F.col("b.__g"))
-            & (F.col("a.__d") < F.col("b.__d")),
+            & (F.col("a.__d") < F.col("b.__d"))
+            & (
+                F.least(
+                    F.col("a.__n") - F.col("a.__rn"),
+                    F.col("b.__n") - F.col("b.__rn"),
+                )
+                + 1
+                >= alpha
+            ),
         )
         .select(F.col("a.__d").alias("id_a"), F.col("b.__d").alias("id_b"))
         .distinct()
