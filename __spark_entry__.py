@@ -8914,6 +8914,82 @@ def q_b18_chunk_dedup(spark, sf_dir):
     )
 
 
+def q_b20_triplet_mining(spark, sf_dir):
+    """Hard-negative triplet mining (B20 depth, r9 wave 11 — the
+    contrastive-training data-prep read, and the only B20 operator
+    that exploits the fixture's `label` column): per anchor, the
+    nearest SAME-label vector (the positive) and the nearest
+    OTHER-label vector (the hardest negative) by exact cosine, plus
+    the triplet margin and the violation flag (negative closer than
+    positive — the triplets a trainer actually wants). One broadcast
+    of the 8 anchors, one narrow scoring pass, two keyed top-1
+    windows over the same scored relation. Scores/margins are round-6
+    of identical doubles (sqrt is correctly-rounded; the subtraction
+    happens on RAW scores before rounding, both engines)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = similarity.as_double("embedding")
+    anchors = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        qv.alias("av"),
+        similarity.l2_norm(qv).alias("an"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        qv.alias("cv"),
+        similarity.l2_norm(qv).alias("cn"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("anchor_id") != F.col("neighbor_id")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "neighbor_id",
+        (F.col("anchor_label") == F.col("neighbor_label")).alias("__same"),
+        (
+            similarity.dot(F.col("av"), F.col("cv"))
+            / (F.col("an") * F.col("cn"))
+        ).alias("__s"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("__s").desc(), F.col("neighbor_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("__same"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("__s").alias("__ps"),
+        )
+    )
+    neg = (
+        scored.filter(~F.col("__same"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("__s").alias("__ns"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        F.round("__ps", 6).alias("pos_score"),
+        "negative_id",
+        F.round("__ns", 6).alias("neg_score"),
+        F.round(F.col("__ps") - F.col("__ns"), 6).alias("margin"),
+        (F.col("__ns") > F.col("__ps")).alias("violation"),
+    )
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
@@ -9229,6 +9305,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 9 wave 10 ---------------------------------------------
         "b21_rake_keywords": q_b21_rake_keywords,
         "b18_chunk_dedup": q_b18_chunk_dedup,
+        # --- round 9 wave 11 ---------------------------------------------
+        "b20_triplet_mining": q_b20_triplet_mining,
     }
 
 
@@ -16116,5 +16194,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(blen) * 1000000) // sum(n * blen) AS BIGINT)
                      AS unique_share_micros
             FROM per_chunk GROUP BY source
+        """,
+        # ---- round 9 wave 11 --------------------------------------------
+        "b20_triplet_mining": """
+            WITH a AS (
+              SELECT vec_id AS anchor_id, label AS anchor_label,
+                     CAST(embedding AS DOUBLE[]) AS av
+              FROM embeddings WHERE vec_id < 8
+            ),
+            c AS (
+              SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT anchor_id, anchor_label, neighbor_id,
+                     anchor_label = neighbor_label AS same,
+                     list_dot_product(av, cv)
+                     / (sqrt(list_dot_product(av, av))
+                        * sqrt(list_dot_product(cv, cv))) AS s
+              FROM a, c WHERE neighbor_id != anchor_id
+            ),
+            pos AS (
+              SELECT anchor_id, anchor_label,
+                     neighbor_id AS positive_id, s AS ps
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id
+                  ORDER BY s DESC, neighbor_id ASC) AS rn
+                FROM scored WHERE same
+              ) WHERE rn = 1
+            ),
+            neg AS (
+              SELECT anchor_id, neighbor_id AS negative_id, s AS ns
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY anchor_id
+                  ORDER BY s DESC, neighbor_id ASC) AS rn
+                FROM scored WHERE NOT same
+              ) WHERE rn = 1
+            )
+            SELECT pos.anchor_id, pos.anchor_label, pos.positive_id,
+                   round(ps, 6) AS pos_score,
+                   neg.negative_id,
+                   round(ns, 6) AS neg_score,
+                   round(ps - ns, 6) AS margin,
+                   ns > ps AS violation
+            FROM pos JOIN neg USING (anchor_id)
         """,
     }
