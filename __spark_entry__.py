@@ -8992,7 +8992,7 @@ def q_b20_triplet_mining(spark, sf_dir):
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R9_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R10_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -9310,82 +9310,78 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-9 driver window (first 50 of queries(); the driver's correctness
-#: gate checks exactly these). The pick is now COMPUTED, not hand-curated
-#: (VERDICT r8 item 8): ``python tools/staleness.py --window 50`` scans
-#: every CORRECTNESS_r*.json and ranks never-attested queries first, then
-#: stalest-green. This round that yields:
-#: - the 20 r8-wave queries the driver has NEVER windowed (all
-#:   judge-verified bit-exact locally in r8; first driver rows here take
-#:   cumulative driver-green to 236/237 — b27_sketches stays rows-only
-#:   outside the window by declared design);
-#: - the 30 stalest green canaries (last driver-green r04).
-_R9_WINDOW = [
-    # never driver-windowed, r8-registered (judge local-verified, now
-    # earning real CORRECTNESS rows) — VERDICT r8 item 1
-    "b19_cluster_stability",
-    "b20_dim_truncation",
-    "b11_twap",
-    "b21_source_kl",
-    "b22_phash_dups",
-    "b15_retention",
-    "b30_phrase_search",
-    "b24_effective_tokens",
-    "b28_pack_efficiency",
-    "b3_anomaly",
-    "b17_join_view",
-    "b30_rrf_fusion",
-    "b9_asof_tolerance",
-    "b25_sql_window",
-    "b14_trig_funcs",
-    "b2_vacuum_stats",
-    "b11_cumulative_distinct",
-    "b26_exact_quota",
-    "b24_corpus_v5",
-    "b7_returned_revenue",
-    # stalest green canaries (last driver-green r04), computed order
-    "b21_token_stats",
-    "b24_corpus_build",
-    "b28_training_manifest",
-    "b1_column_diff",
-    "b21_token_per_doc",
-    "b7_salted_join",
-    "b21_fingerprints",
-    "b28_mixture",
-    "b29_containment",
-    "b21_top_tokens",
-    "b24_corpus_v2",
-    "b12_topk",
-    "b18_dedup_exact",
-    "b19_word_jaccard",
-    "b20_cosine_topk",
-    "a18_stdout_lines",
-    "a19_json_lines",
-    "b18_dup_groups",
-    "b19_embedding_dups",
-    "b20_ann_lsh",
-    "b20_ann_ivf",
-    "b19_minhash_candidates",
-    "b20_ann_recall",
-    "b29_decontamination",
-    "b26_hash_sample",
-    "b21_chunking",
-    "b5_time_range",
-    "b9_band_join",
-    "b10_bool_agg",
-    "b14_null_funcs",
+#: Round-10 driver window (first 50 of queries(); the driver's correctness
+#: gate checks exactly these). Computed, not hand-curated (VERDICT r8
+#: item 8 / r9 item 1): ``python tools/staleness.py --window 50`` ranks
+#: never-attested queries first, then stalest-green. This round that
+#: yields exactly 50 of the 53 r9-registered queries the driver has
+#: never windowed (all judge-verified bit-exact locally in r9; first
+#: driver rows here take cumulative driver-green to 286/290). The 3
+#: overflow latecomers (b18_chunk_dedup, b20_triplet_mining,
+#: b21_rake_keywords) lead the r11 window.
+_R10_WINDOW = [
+    "b20_hubness",
+    "b10_gini",
+    "b7_cust_order_dist",
+    "b8_min_cost_supplier",
+    "b8_important_parts",
+    "b10_chi2",
+    "b10_benford",
+    "b15_acf",
+    "b11_drawdown",
+    "b21_oov_rate",
+    "b10_ks_screen",
+    "b22_scene_cuts",
+    "b28_length_buckets",
+    "b30_ndcg",
+    "b20_cos_histogram",
+    "b10_welch_t",
+    "b11_streaks",
+    "b30_kwic",
+    "b24_source_scorecard",
+    "b2_write_amplification",
+    "b13_block_digests",
+    "b27_lc_union",
+    "b20_recall_curve",
+    "b11_rolling_median",
+    "b28_budget_allocation",
+    "b27_hll_registers",
+    "b30_bfs_hops",
+    "b13_zorder_layout",
+    "b7_volume_shipping",
+    "b7_market_share",
+    "b8_top_supplier",
+    "b7_priority_lines",
+    "b8_dominant_supplier",
+    "b27_cms_heavy_hitters",
+    "b30_hits",
+    "b19_prefix_dups",
+    "b20_jl_projection",
+    "b21_calibration",
+    "b26_ht_estimate",
+    "b27_quantile_sketch",
+    "b30_rank_eval",
+    "b15_hazard",
+    "b30_link_prediction",
+    "b24_corpus_v6",
+    "b2_idempotency",
+    "b10_winsorized",
+    "b14_format_funcs",
+    "b11_ohlc",
+    "b3_slo_burn",
+    "b13_file_skipping",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R9_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R10_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R9_WINDOW}
+    ordered = {k: q[k] for k in _R10_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

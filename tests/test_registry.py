@@ -60,7 +60,7 @@ def test_no_oracled_query_returns_array_or_map_columns(spark, sf_dir):
 
 def test_driver_window_is_exactly_50_known_names():
     q = entry.queries()
-    window = entry._R9_WINDOW
+    window = entry._R10_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     unknown = [k for k in window if k not in q]
