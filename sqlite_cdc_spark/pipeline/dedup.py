@@ -1383,12 +1383,26 @@ def set_similarity_join(
     alpha = F.ceil(
         F.lit(t) * (F.col("a.__n") + F.col("b.__n")) / F.lit(1.0 + t)
     )
+    # PPJoin length filter: J ≥ t forces i ≥ t(na+nb)/(1+t) and i ≤
+    # min(na,nb), so min(na,nb) ≥ t·max(na,nb). Measured at sf0.1/t=0.8:
+    # candidate count is UNCHANGED by this bound (16,035 → 16,035) —
+    # the positional filter below strictly subsumes it (ra,rb ≥ 1 give
+    # min(na−ra,nb−rb)+1 ≤ min(na,nb), so any positional pass already
+    # satisfies min ≥ α ≥ t·max). Kept only as the cheap first conjunct:
+    # an integer compare that short-circuits size-skewed pairs before
+    # the division/ceil in the positional bound is evaluated. The 1e-9
+    # slack keeps it conservative against float-product ulp drift.
+    length_ok = (
+        F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+        >= F.lit(t) * F.greatest(F.col("a.__n"), F.col("b.__n")) - F.lit(1e-9)
+    )
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b").hint("shuffle_hash"),
             (F.col("a.__g") == F.col("b.__g"))
             & (F.col("a.__d") < F.col("b.__d"))
+            & length_ok
             & (
                 F.least(
                     F.col("a.__n") - F.col("a.__rn"),
