@@ -207,6 +207,112 @@ class StreamEngine:
         return self.deliver(stream, handler)
 
 
+class StandingState:
+    """Durable, replay-idempotent standing state for ``foreachBatch``
+    handlers — the piece that makes checkpoint offsets a FULL replacement
+    for the reference's ack-by-delete (``triggers.go:209-221``) across
+    process death.
+
+    Structured Streaming re-delivers a failed batch with the SAME batch id
+    on restart (at-least-once). A handler that maintains several standing
+    states ("legs") can crash after folding a batch into some legs but not
+    others; on replay every leg sees the batch again. ``fold`` turns that
+    into exactly-once PER LEG: each leg durably records the last batch id
+    it committed, a replayed batch is skipped by legs that already hold it
+    and applied by legs that do not.
+
+    Layout under ``root`` (driver-visible shared storage)::
+
+        <leg>/v<bid>/     parquet snapshot of the leg after batch <bid>
+        <leg>/_COMMITTED  text file holding the last committed batch id
+
+    Commit protocol per (leg, bid): write the new snapshot to its own
+    versioned directory, then atomically repoint ``_COMMITTED`` (tmp file
+    + ``os.replace`` — atomic on POSIX). A crash between the two leaves
+    the marker on the prior version; the replay overwrites ``v<bid>`` and
+    re-commits. Versions older than the previous commit are pruned (the
+    prior version is kept so DataFrames handed out pre-fold stay
+    readable). On an object store without atomic rename, point ``root``
+    at a posix-rename filesystem (or a table format with transactional
+    commit) — same requirement Spark's own checkpoint dir carries.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _leg_dir(self, leg: str) -> str:
+        import os
+
+        return os.path.join(self.root, leg)
+
+    def committed(self, leg: str) -> int | None:
+        """Last batch id durably folded into ``leg`` (None if never)."""
+        import os
+
+        try:
+            with open(os.path.join(self._leg_dir(leg), "_COMMITTED")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def get(self, leg: str) -> DataFrame | None:
+        """The committed state of ``leg`` (lazy parquet read), or None."""
+        import os
+
+        b = self.committed(leg)
+        if b is None:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self._leg_dir(leg), f"v{b}")
+        )
+
+    def fold(
+        self,
+        leg: str,
+        batch_id: int,
+        fn: Callable[[DataFrame | None], DataFrame],
+    ) -> DataFrame:
+        """Fold one micro-batch into ``leg`` exactly once.
+
+        ``fn(prev)`` receives the durably committed previous state (None
+        on the first batch) and returns the new state. If ``batch_id`` is
+        already committed for this leg (a crash-replay), ``fn`` is NOT
+        invoked and the committed state is returned unchanged — the
+        skip happens before ``fn`` evaluates, so replay-unsafe inputs
+        (e.g. candidate pairs computed against an index that already
+        absorbed this batch) are never touched.
+        """
+        import os
+
+        last = self.committed(leg)
+        if last is not None and batch_id <= last:
+            return self.get(leg)
+        new = fn(self.get(leg))
+        ldir = self._leg_dir(leg)
+        vdir = os.path.join(ldir, f"v{batch_id}")
+        # overwrite: a crash mid-write leaves a partial dir the replay
+        # replaces wholesale before the marker ever points at it
+        new.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(ldir, "_COMMITTED.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(ldir, "_COMMITTED"))
+        for name in os.listdir(ldir):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v != batch_id and (last is None or v != last):
+                shutil.rmtree(os.path.join(ldir, name), ignore_errors=True)
+        return self.spark.read.parquet(vdir)
+
+
 def prune_log(
     spark: SparkSession, log_dir: str, up_to_id: int, dry_run: bool = False
 ) -> list[str]:

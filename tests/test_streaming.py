@@ -1398,3 +1398,200 @@ def test_streaming_quantile_sketch_maintenance_matches_batch(spark, tmp_path):
     assert got == want
     # merged counts must cover every input row exactly once
     assert sum(c for _, _, c in got) == sum(len(w) for w in waves)
+
+
+def test_standing_state_fold_is_exactly_once_per_leg(spark, tmp_path):
+    """StandingState unit semantics: a replayed batch id is skipped
+    WITHOUT evaluating the fold function; distinct legs gate
+    independently; state survives a fresh StandingState over the same
+    root (process-restart shape)."""
+    st = streaming.StandingState(spark, str(tmp_path / "st"))
+    calls = []
+
+    def inc(prev):
+        calls.append(1)
+        base = prev if prev is not None else spark.createDataFrame(
+            [], "k string, n long"
+        )
+        batch = spark.createDataFrame([("a", 1)], "k string, n long")
+        return (
+            base.unionByName(batch)
+            .groupBy("k")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    st.fold("c", 0, inc)
+    assert st.committed("c") == 0 and len(calls) == 1
+    # replay of batch 0: fn NOT invoked, state unchanged
+    st.fold("c", 0, inc)
+    assert len(calls) == 1
+    assert [(r.k, r.n) for r in st.get("c").collect()] == [("a", 1)]
+    st.fold("c", 1, inc)
+    assert st.committed("c") == 1 and len(calls) == 2
+    # a second leg gates independently
+    assert st.committed("other") is None
+    # restart shape: a NEW StandingState over the same root sees the
+    # committed state and still skips the replay
+    st2 = streaming.StandingState(spark, str(tmp_path / "st"))
+    assert st2.committed("c") == 1
+    st2.fold("c", 1, inc)
+    assert len(calls) == 2
+    assert [(r.k, r.n) for r in st2.get("c").collect()] == [("a", 2)]
+
+
+def test_streaming_capstone_recovers_across_kill_restart(spark, tmp_path):
+    """VERDICT r9 item 2 — checkpoint recovery proof for the four-leg
+    composite. The reference survives process death trivially (unacked
+    log rows are simply re-read, ack-by-delete triggers.go:209-221);
+    the engine's claim is that checkpoint offsets + StandingState give
+    the same guarantee. This test KILLS the query mid-batch — after
+    batch 1 folded into two of the four legs but before the other two —
+    then restarts a fresh query from the same checkpoint and asserts
+    every leg equals its from-scratch batch rebuild: nothing lost
+    (model/counters must still absorb batch 1 on replay) and nothing
+    double-applied (labels/index must skip it)."""
+    import os
+    import random
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sqlite_cdc_spark.pipeline import dedup, lm
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    def text(seed):
+        r = random.Random(seed)
+        return " ".join(f"t{r.randint(0, 400)}" for _ in range(25))
+
+    base = {i: text(i) for i in range(3)}
+    waves = [
+        [(0, "web", "en", base[0]), (1, "web", "de", base[1]),
+         (2, "books", "en", base[2]), (3, "web", "en", text(50))],
+        [(100, "books", "en", base[0] + " x"), (101, "web", "fr", text(51)),
+         (102, "web", "de", base[1] + " y")],
+        [(200, "web", "en", base[0] + " z"), (201, "books", "en", base[2] + " w"),
+         (202, "web", "fr", text(52)), (203, "web", "fr", text(52) + " q")],
+    ]
+    schema = "doc_id long, source string, lang string, text string"
+    src = str(tmp_path / "recsrc")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(f"{src}/w{i}")
+        time.sleep(1.2)
+
+    K = dict(num_hashes=32, bands=8)
+    st = streaming.StandingState(spark, str(tmp_path / "standing"))
+    crash_flag = tmp_path / "crash_once"
+    crash_flag.touch()
+
+    def handle(batch, bid):
+        batch = batch.localCheckpoint()
+        # cross-pairs against the COMMITTED (pre-batch) index; lazily
+        # built, never evaluated when the labels fold replay-skips
+        pairs = dedup.minhash_candidates(
+            batch, "doc_id", "text", **K
+        ).select("id_a", "id_b")
+        idx = st.get("index")
+        if idx is not None:
+            cross = dedup.query_lsh_index(
+                idx, batch, "doc_id", "text", **K
+            ).select(
+                F.col("new_id").alias("id_a"),
+                F.col("corpus_id").alias("id_b"),
+            )
+            pairs = pairs.unionByName(cross)
+        st.fold(
+            "labels", bid,
+            lambda prev: dedup.update_clusters(
+                prev if prev is not None else spark.createDataFrame(
+                    [], "doc_id long, cluster_id long, cluster_size bigint"
+                ),
+                pairs,
+            ),
+        )
+        st.fold(
+            "index", bid,
+            lambda prev: dedup.build_lsh_index(batch, "doc_id", "text", **K)
+            if prev is None
+            else dedup.update_lsh_index(prev, batch, "doc_id", "text", **K),
+        )
+        # crash point: two legs hold batch 1, two do not
+        if bid == 1 and crash_flag.exists():
+            os.remove(crash_flag)
+            raise RuntimeError("injected crash: 2 of 4 legs folded batch 1")
+        st.fold(
+            "model", bid,
+            lambda prev: lm.unigram_counts(batch)
+            if prev is None
+            else lm.update_unigram_counts(prev, inserts=batch),
+        )
+        st.fold(
+            "counters", bid,
+            lambda prev: textops.update_corpus_counters(
+                prev if prev is not None else spark.createDataFrame(
+                    [], "source string, lang string, n_docs long, sum_tok long"
+                ),
+                inserts=batch,
+            ),
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/w*")
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "recckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
+    # mid-crash invariant: the partial application the replay must heal
+    assert st.committed("labels") == 1 and st.committed("index") == 1
+    assert st.committed("model") == 0 and st.committed("counters") == 0
+
+    # restart from the SAME checkpoint: batch 1 is re-delivered (its
+    # offsets never committed), then batch 2 streams normally
+    q2 = start()
+    q2.awaitTermination(180)
+    assert all(
+        st.committed(leg) == 2
+        for leg in ("labels", "index", "model", "counters")
+    )
+
+    all_docs = spark.createDataFrame([d for w in waves for d in w], schema)
+    # labels ≡ from-scratch clustering (loss OR double-apply of the
+    # cross-pairs would shift cluster ids/sizes)
+    want_labels = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup.dup_clusters(
+            dedup.minhash_candidates(all_docs, "doc_id", "text", **K)
+        ).collect()
+    )
+    got_labels = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in st.get("labels").collect()
+    )
+    assert len(got_labels) >= 8
+    assert got_labels == want_labels
+    # index: every doc's signatures exactly once (a double-applied
+    # update_lsh_index would duplicate batch 1's signature rows)
+    idx = st.get("index")
+    assert idx.count() == idx.distinct().count()
+    assert idx.select("doc").distinct().count() == sum(len(w) for w in waves)
+    # model / counters: additive legs — replay loss undercounts,
+    # double-apply overcounts; bit-equality catches both
+    got_lm = {r.tok: r.cnt for r in st.get("model").collect()}
+    want_lm = {r.tok: r.cnt for r in lm.unigram_counts(all_docs).collect()}
+    assert got_lm == want_lm
+    got_c = {
+        (r.source, r.lang): (r.n_docs, r.sum_tok)
+        for r in st.get("counters").collect()
+    }
+    want_c = {
+        (r.source, r.lang): (r.n_docs, r.sum_tok)
+        for r in textops.corpus_counters(all_docs).collect()
+    }
+    assert got_c == want_c
