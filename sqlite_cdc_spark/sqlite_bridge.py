@@ -164,28 +164,82 @@ def setup(
         )
         now = _now_expr(conn, subsec)
         for t in tables:
-            info = _table_info(conn, t)
-            if not info.columns:
-                raise ValueError(
-                    f"table {t!r} does not exist (or has no columns); "
-                    "create it before --setup"
-                )
-            new_img = _json_object_sql(info, "NEW", blob_support)
-            old_img = _json_object_sql(info, "OLD", blob_support)
-            specs = [
-                ("insert", "INSERT", "NULL", new_img),
-                ("update", "UPDATE", old_img, new_img),
-                ("delete", "DELETE", old_img, "NULL"),
-            ]
-            for suffix, op, before, after in specs:
-                cur.execute(
-                    f"""CREATE TRIGGER IF NOT EXISTS {_q(f"{t}__cdc_{suffix}")}
-                        AFTER {op} ON {_q(t)} BEGIN
-                          INSERT INTO {_q(log_table)}
-                            (timestamp, tablename, operation, before, after)
-                          VALUES ({now}, {_lit(t)}, '{op}', {before}, {after});
-                        END"""
-                )
+            _install_triggers(cur, conn, t, log_table, now, blob_support)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+
+
+def _install_triggers(
+    cur: sqlite3.Cursor,
+    conn: sqlite3.Connection,
+    table: str,
+    log_table: str,
+    now: str,
+    blob_support: bool,
+    replace: bool = False,
+) -> None:
+    """Create the 3 capture triggers for ``table`` from its CURRENT
+    column metadata. ``replace=True`` drops any existing triggers first
+    (the :func:`resync` path); the default ``IF NOT EXISTS`` keeps
+    :func:`setup` idempotent without rewriting live triggers."""
+    info = _table_info(conn, table)
+    if not info.columns:
+        raise ValueError(
+            f"table {table!r} does not exist (or has no columns); "
+            "create it before --setup"
+        )
+    new_img = _json_object_sql(info, "NEW", blob_support)
+    old_img = _json_object_sql(info, "OLD", blob_support)
+    specs = [
+        ("insert", "INSERT", "NULL", new_img),
+        ("update", "UPDATE", old_img, new_img),
+        ("delete", "DELETE", old_img, "NULL"),
+    ]
+    for suffix, op, before, after in specs:
+        name = _q(f"{table}__cdc_{suffix}")
+        if replace:
+            cur.execute(f"DROP TRIGGER IF EXISTS {name}")
+        cur.execute(
+            f"""CREATE TRIGGER IF NOT EXISTS {name}
+                AFTER {op} ON {_q(table)} BEGIN
+                  INSERT INTO {_q(log_table)}
+                    (timestamp, tablename, operation, before, after)
+                  VALUES ({now}, {_lit(table)}, '{op}', {before}, {after});
+                END"""
+        )
+
+
+def resync(
+    conn: sqlite3.Connection,
+    tables: list[str],
+    log_table: str = DEFAULT_LOG_TABLE,
+    blob_support: bool = False,
+    subsec: bool = True,
+) -> None:
+    """Re-install capture triggers from CURRENT table metadata.
+
+    Both this bridge and the reference read column metadata ONCE at
+    setup (``triggers.go:69`` → ``dbmeta.go:18``): the trigger bodies
+    bake in a ``json_object`` column list, so a later ``ALTER TABLE ..
+    ADD COLUMN`` fires the stale trigger and the new column is SILENTLY
+    absent from before/after images (no error — documented limitation,
+    pinned by ``tests/test_sqlite_bridge.py``). After a schema change,
+    call ``resync`` to atomically drop + recreate the triggers with the
+    fresh column list. Idempotent; the log table and its backlog are
+    untouched, so rows logged before the resync simply lack the new
+    column — consumers treat absent JSON keys as NULL, same as the
+    reference's consumers must.
+    """
+    cur = conn.cursor()
+    cur.execute("BEGIN")
+    try:
+        now = _now_expr(conn, subsec)
+        for t in tables:
+            _install_triggers(
+                cur, conn, t, log_table, now, blob_support, replace=True
+            )
         conn.commit()
     except Exception:
         conn.rollback()

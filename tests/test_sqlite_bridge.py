@@ -503,3 +503,65 @@ def test_ensure_wal_raises_inside_open_transaction(tmp_path):
         conn.execute("PRAGMA journal_mode").fetchone()[0].lower() == "wal"
     )
     conn.close()
+
+
+def test_alter_table_capture_blindness_and_resync(tmp_path):
+    """VERDICT r9 item 7 — schema-evolution parity. The reference reads
+    column metadata ONCE (triggers.go:69 -> dbmeta.go:18) and its
+    trigger bodies bake in the json_object column list, so a column
+    added AFTER setup is silently absent from captured images. The
+    bridge has the same documented behavior; resync() re-installs the
+    triggers from fresh metadata and is idempotent."""
+    import json
+
+    path = str(tmp_path / "evolve.db")
+    conn = sqlite3.connect(path)
+    conn.execute("PRAGMA journal_mode=WAL")
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+    sqlite_bridge.setup(conn, ["t"])
+
+    conn.execute("INSERT INTO t (id, v) VALUES (1, 'a')")
+    conn.commit()
+    # schema evolves after setup: stale trigger keeps firing
+    conn.execute("ALTER TABLE t ADD COLUMN extra TEXT DEFAULT 'x'")
+    conn.execute("INSERT INTO t (id, v, extra) VALUES (2, 'b', 'y')")
+    conn.commit()
+    rows = conn.execute(
+        "SELECT after FROM __cdc_log ORDER BY id"
+    ).fetchall()
+    assert len(rows) == 2
+    # documented limitation: the new column is SILENTLY missing (no
+    # error, no null key — the key just isn't there)
+    img2 = json.loads(rows[1][0])
+    assert img2["id"] == 2 and img2["v"] == "b"
+    assert "extra" not in img2
+
+    # resync: fresh metadata, new column captured from here on
+    sqlite_bridge.resync(conn, ["t"])
+    sqlite_bridge.resync(conn, ["t"])  # idempotent
+    conn.execute("INSERT INTO t (id, v, extra) VALUES (3, 'c', 'z')")
+    conn.execute("UPDATE t SET extra = 'w' WHERE id = 1")
+    conn.commit()
+    rows = conn.execute(
+        "SELECT operation, before, after FROM __cdc_log ORDER BY id"
+    ).fetchall()
+    assert len(rows) == 4  # backlog untouched, new ops appended
+    ins3 = json.loads(rows[2][2])
+    assert ins3 == {"id": 3, "v": "c", "extra": "z"}
+    upd = rows[3]
+    assert upd[0] == "UPDATE"
+    # the pre-resync row's image now includes the column (OLD is read
+    # live at fire time; the DEFAULT backfilled it)
+    assert json.loads(upd[1])["extra"] == "x"
+    assert json.loads(upd[2])["extra"] == "w"
+    # setup stays idempotent AFTER a resync (IF NOT EXISTS: does not
+    # clobber the freshly-synced triggers back to a stale list)
+    sqlite_bridge.setup(conn, ["t"])
+    conn.execute("INSERT INTO t (id, v, extra) VALUES (4, 'd', 'q')")
+    conn.commit()
+    last = conn.execute(
+        "SELECT after FROM __cdc_log ORDER BY id DESC LIMIT 1"
+    ).fetchone()[0]
+    assert json.loads(last)["extra"] == "q"
+    conn.close()
