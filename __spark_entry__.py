@@ -8990,6 +8990,25 @@ def q_b20_triplet_mining(spark, sf_dir):
     )
 
 
+def q_b20_triplet_mining_ann(spark, sf_dir):
+    """Hard-negative triplet mining at corpus scale (B20 depth, r10 —
+    VERDICT r9 item 6): the anchors (every 25th vector — unbounded in
+    production, so NOT broadcast) route through the standing portable
+    integer-LSH buckets alongside the corpus; candidates are the
+    (table, bucket) equi-join (12 tables × 4 planes, anchor-side
+    multiprobe — the measured recall-1.0 config on this fixture), and
+    the exact cosine rescore + per-anchor positive/negative top-1 run
+    over candidates only (similarity.py: triplet_mining_ann). Bucket
+    decisions are integer-exact, so the oracle replays candidates AND
+    scores bit-for-bit; scores/margins are round-6 of identical
+    doubles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 25 == 0)
+    return similarity.triplet_mining_ann(
+        emb, anchors, dim=64, n_planes=4, n_tables=12
+    ).orderBy("anchor_id")
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
     applied on top by :func:`queries` via ``_R10_WINDOW`` — keep THIS
@@ -9307,6 +9326,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b18_chunk_dedup": q_b18_chunk_dedup,
         # --- round 9 wave 11 ---------------------------------------------
         "b20_triplet_mining": q_b20_triplet_mining,
+        # --- round 10 wave 1 ---------------------------------------------
+        "b20_triplet_mining_ann": q_b20_triplet_mining_ann,
     }
 
 
@@ -11012,6 +11033,85 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(best.s, 0.0), 6) >= 0.35 AS contaminated
             FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) e
             LEFT JOIN best USING (vec_id)
+        """,
+        "b20_triplet_mining_ann": f"""
+            WITH planes AS (
+              SELECT p // 4 AS t, p % 4 AS pb, d,
+                     CASE WHEN ((p * {similarity.PLANE_MIX} + d)
+                                * {similarity.PLANE_KNUTH}) % 4294967296
+                               < 2147483648 THEN 1 ELSE -1 END AS s
+              FROM (SELECT unnest(generate_series(0, 47)) AS p),
+                   (SELECT unnest(generate_series(0, 63)) AS d)
+            ),
+            comp AS (
+              SELECT vec_id AS id, ds.d - 1 AS d,
+                     CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
+                          AS BIGINT) AS q
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+            ),
+            dots AS (
+              SELECT id, t, pb, sum(s * q) AS dp
+              FROM comp JOIN planes USING (d) GROUP BY id, t, pb
+            ),
+            buckets AS (
+              SELECT id, t,
+                     CAST(sum(CASE WHEN dp >= 0
+                                   THEN (CAST(1 AS BIGINT) << pb)
+                                   ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY id, t
+            ),
+            ab AS (
+              SELECT id AS aid, t,
+                     unnest([bucket,
+                             {", ".join(f"xor(bucket, {1 << i})" for i in range(4))}
+                            ]) AS bucket
+              FROM buckets WHERE id % 25 = 0
+            ),
+            cand AS (
+              SELECT DISTINCT ab.aid, c.id AS cid
+              FROM buckets c JOIN ab ON c.t = ab.t AND c.bucket = ab.bucket
+              WHERE c.id <> ab.aid
+            ),
+            vecs AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT cand.aid, av.label AS anchor_label, cand.cid,
+                     (cv.label = av.label) AS same,
+                     CASE WHEN sqrt(list_dot_product(av.e, av.e))
+                               * sqrt(list_dot_product(cv.e, cv.e)) > 0
+                          THEN list_dot_product(av.e, cv.e)
+                               / (sqrt(list_dot_product(av.e, av.e))
+                                  * sqrt(list_dot_product(cv.e, cv.e)))
+                          ELSE 0.0 END AS s
+              FROM cand
+              JOIN vecs av ON av.vec_id = cand.aid
+              JOIN vecs cv ON cv.vec_id = cand.cid
+            ),
+            pos AS (
+              SELECT * FROM (
+                SELECT aid, anchor_label, cid AS positive_id, s AS ps,
+                       row_number() OVER (
+                         PARTITION BY aid ORDER BY s DESC, cid) AS rn
+                FROM scored WHERE same
+              ) WHERE rn = 1
+            ),
+            neg AS (
+              SELECT * FROM (
+                SELECT aid, cid AS negative_id, s AS ns,
+                       row_number() OVER (
+                         PARTITION BY aid ORDER BY s DESC, cid) AS rn
+                FROM scored WHERE NOT same
+              ) WHERE rn = 1
+            )
+            SELECT pos.aid AS anchor_id, pos.anchor_label, pos.positive_id,
+                   round(pos.ps, 6) AS pos_score, neg.negative_id,
+                   round(neg.ns, 6) AS neg_score,
+                   round(pos.ps - neg.ns, 6) AS margin,
+                   neg.ns > pos.ps AS violation
+            FROM pos JOIN neg ON pos.aid = neg.aid
+            ORDER BY anchor_id
         """,
         "b10_mad_outliers": """
             WITH med AS (

@@ -559,3 +559,14 @@ def test_corpus_v6_composes_without_products(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b24_corpus_v6")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triplet_mining_ann_no_anchor_broadcast_product(spark, sf_dir):
+    # VERDICT r9 item 6: the scaled triplet miner's candidates must come
+    # from the (table, bucket) equi-join — anchors are unbounded in
+    # production, so no anchors x corpus nested-loop/cartesian anywhere
+    # (the broadcast variant b20_triplet_mining keeps its deliberate
+    # 8-anchor nested loop; this one must have NONE)
+    plan = _plan(spark, sf_dir, "b20_triplet_mining_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
