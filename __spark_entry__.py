@@ -7,12 +7,9 @@ name before hashing values).
 """
 
 from __future__ import annotations
-
 from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
 from sqlite_cdc_spark import bootstrap as bs
 from sqlite_cdc_spark import derive, log, meta, model
 from sqlite_cdc_spark.pipeline import (
@@ -25,12 +22,23 @@ from sqlite_cdc_spark.pipeline import (
     text as textops,
 )
 from sqlite_cdc_spark.sources import load_table
+import math as _math
 
-BOOTSTRAP_TS = "2024-06-01 00:00:00"
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+from entryimpl.common import *  # noqa: F401,F403
+from entryimpl.q_parta import *  # noqa: F401,F403
+from entryimpl.q_cdc import *  # noqa: F401,F403
+from entryimpl.q_joins import *  # noqa: F401,F403
+from entryimpl.q_stats import *  # noqa: F401,F403
+from entryimpl.q_storage import *  # noqa: F401,F403
+from entryimpl.q_dedup import *  # noqa: F401,F403
+from entryimpl.q_vector import *  # noqa: F401,F403
+from entryimpl.q_text import *  # noqa: F401,F403
+from entryimpl.q_multimodal import *  # noqa: F401,F403
+from entryimpl.q_capstone import *  # noqa: F401,F403
+from entryimpl.q_sql import *  # noqa: F401,F403
+from entryimpl.q_sampling import *  # noqa: F401,F403
+from entryimpl.q_decontam import *  # noqa: F401,F403
+from entryimpl.q_retrieval import *  # noqa: F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,8972 +49,6 @@ def entry(spark: SparkSession) -> DataFrame:
     return bs.snapshot_as_inserts(
         lineitem, "lineitem", timestamp=F.lit(BOOTSTRAP_TS).cast("timestamp")
     )
-
-
-# --------------------------------------------------------------------------
-# helpers shared by query/oracle pairs
-# --------------------------------------------------------------------------
-
-#: lineitem columns with the timestamp pre-formatted to text so JSON images
-#: are engine-portable (Spark to_json renders timestamps ISO-8601 with 'T',
-#: DuckDB json_object uses its own format — strings sidestep both).
-_LI_IMG_COLS = [
-    "l_orderkey",
-    "l_partkey",
-    "l_suppkey",
-    "l_linenumber",
-    "l_returnflag",
-    "l_linestatus",
-]
-
-_ORDERS_IMG_SQL = (
-    "json_object('o_orderkey', o_orderkey, 'o_custkey', o_custkey, "
-    "'o_orderstatus', o_orderstatus, 'o_orderpriority', o_orderpriority)"
-)
-
-
-def _orders_img(prefix_df, cols=("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")):
-    return F.to_json(F.struct(*[F.col(c) for c in cols]))
-
-
-def _events_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return log.events_as_changes(_t(spark, sf_dir, "events"))
-
-
-#: DuckDB rendering of ``log.events_as_changes`` — the same deterministic
-#: normalization expressed in SQL for the oracle side.
-_EVENTS_CHANGES_SQL = """
-SELECT
-  event_id AS id,
-  'events' AS tablename,
-  ts AS timestamp,
-  CASE event_type WHEN 'signup' THEN 'INSERT'
-                  WHEN 'error' THEN 'DELETE'
-                  ELSE 'UPDATE' END AS operation,
-  CASE WHEN event_type = 'signup' THEN NULL
-       ELSE CAST(json_object('user_id', user_id) AS VARCHAR) END AS before,
-  CASE WHEN event_type = 'error' THEN NULL
-       ELSE CAST(json_object('user_id', user_id, 'event_type', event_type,
-                             'value', value, 'props', props) AS VARCHAR)
-       END AS after
-FROM events
-"""
-
-
-# --------------------------------------------------------------------------
-# queries
-# --------------------------------------------------------------------------
-
-
-#: (l_orderkey, l_linenumber) is NOT unique in the fixture; order/page on the
-#: full selected tuple so LIMIT boundaries are deterministic in both engines.
-_LI_PAGE_KEYS = [*_LI_IMG_COLS, "l_quantity"]
-
-
-def q_a2_snapshot_first_page(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(*_LI_PAGE_KEYS)
-    return bs.snapshot_first_page(li, _LI_PAGE_KEYS, 50)
-
-
-def q_a3_keyset_page(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(*_LI_PAGE_KEYS)
-    last = [1000, 900, 50, 3, "A", "F", 0.0]
-    return bs.snapshot_next_page(li, _LI_PAGE_KEYS, last, 100)
-
-
-def q_a4_row_json(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(*_LI_IMG_COLS)
-    img = model.row_image(li).alias("img")
-    out = li.select(F.col("l_orderkey"), F.col("l_linenumber"), img)
-    # roundtrip: parse the image back and surface one typed field
-    return out.withColumn(
-        "rt_partkey", model.image_field("img", "l_partkey").cast("bigint")
-    )
-
-
-def q_a5_hex(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        F.col("p_partkey"),
-        model.blob_to_hex(F.encode(F.col("p_name"), "UTF-8")).alias("name_hex"),
-    )
-
-
-def q_a6_bootstrap(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
-    )
-    return bs.snapshot_as_inserts(
-        orders, "orders", timestamp=F.lit(BOOTSTRAP_TS).cast("timestamp")
-    )
-
-
-def q_a10_drain_batch(spark, sf_dir):
-    return log.drain_batch(_events_changes(spark, sf_dir), 256)
-
-
-def q_a10_drain_after(spark, sf_dir):
-    return log.drain_batch(_events_changes(spark, sf_dir), 256, after_id=500)
-
-
-def q_a11_ts_codec(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    txt = model.format_log_timestamp("ts")
-    return ev.select(
-        F.col("event_id"),
-        txt.alias("ts_text"),
-        model.parse_log_timestamp(txt).alias("ts_rt"),
-    )
-
-
-def q_a12_op_decode(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    raw = (
-        F.when(F.col("event_type") == "signup", F.lit("insert"))
-        .when(F.col("event_type") == "purchase", F.lit("Update"))
-        .when(F.col("event_type") == "error", F.lit("DELETE"))
-        .otherwise(F.col("event_type"))
-    )
-    return (
-        ev.select(model.decode_operation(raw).alias("operation"))
-        .groupBy("operation")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def q_a16_bootstrap_union_log(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
-    )
-    boot = bs.snapshot_as_inserts(
-        orders, "orders", timestamp=F.lit(BOOTSTRAP_TS).cast("timestamp")
-    ).select("tablename", "operation")
-    live = _events_changes(spark, sf_dir).select("tablename", "operation")
-    return (
-        boot.unionByName(live)
-        .groupBy("tablename", "operation")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def q_a18_stdout_lines(spark, sf_dir):
-    ch = _events_changes(spark, sf_dir)
-    return ch.select(
-        F.col("id"), model.simple_change_line().alias("line")
-    )
-
-
-def q_b3_change_stats(spark, sf_dir):
-    return log.change_stats(_events_changes(spark, sf_dir), "hour").drop("approx_ids")
-
-
-# --- B1: snapshot-diff CDC ---------------------------------------------------
-
-_ORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-
-
-def _orders_old_new(spark, sf_dir):
-    """Deterministic snapshot mutation (FIXTURES.md §2): keys ≡0 mod 97
-    deleted, ≡1 mod 97 price-bumped, ≡2 mod 97 re-keyed as fresh inserts."""
-    old = _t(spark, sf_dir, "orders").select(*_ORD_COLS)
-    k = F.col("o_orderkey")
-    surviving = old.filter(k % 97 != 0).withColumn(
-        "o_totalprice",
-        F.when(k % 97 == 1, F.col("o_totalprice") + F.lit(1.0)).otherwise(
-            F.col("o_totalprice")
-        ),
-    )
-    inserts = old.filter(k % 97 == 2).select(
-        (k + F.lit(100000000)).alias("o_orderkey"),
-        F.col("o_custkey"),
-        F.lit("N").alias("o_orderstatus"),
-        F.col("o_totalprice"),
-        F.col("o_orderpriority"),
-    )
-    return old, surviving.unionByName(inserts)
-
-
-_ORDERS_OLD_NEW_SQL = """
-old AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
-  FROM orders
-),
-new AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus,
-         CASE WHEN o_orderkey % 97 = 1 THEN o_totalprice + 1.0
-              ELSE o_totalprice END AS o_totalprice,
-         o_orderpriority
-  FROM old WHERE o_orderkey % 97 != 0
-  UNION ALL
-  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, o_orderpriority
-  FROM old WHERE o_orderkey % 97 = 2
-)
-"""
-
-
-def q_b1_snapshot_diff(spark, sf_dir):
-    old, new = _orders_old_new(spark, sf_dir)
-    return derive.snapshot_diff(old, new, ["o_orderkey"])
-
-
-def q_b1_apply_roundtrip(spark, sf_dir):
-    """Replication roundtrip (B1+B2): apply the snapshot diff to the old
-    snapshot; the oracle is the mutated snapshot itself — value-hash
-    equality IS the replication-correctness proof."""
-    old, new = _orders_old_new(spark, sf_dir)
-    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
-    return derive.apply_changes(old, diff, ["o_orderkey"])
-
-
-def q_b11_reconstruct_befores(spark, sf_dir):
-    """Before-image reconstruction via lag (B11's CDC use-case): the
-    events log only carries key-only befores; rebuild full ones from the
-    predecessor's after-image per user."""
-    ch = _events_changes(spark, sf_dir)
-    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
-    rebuilt = derive.reconstruct_befores(
-        ch.withColumn("__k", key).drop("before").withColumn(
-            "before", F.lit(None).cast("string")
-        ),
-        "__k",
-    )
-    return rebuilt.select(
-        "id",
-        F.col("__k").cast("bigint").alias("user_id"),
-        "operation",
-        "before",
-        "after",
-    )
-
-
-def q_b2_log_compaction(spark, sf_dir):
-    ch = _events_changes(spark, sf_dir)
-    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
-    state = derive.compact_log(ch, key, order_cols=["id"])
-    return state.select(
-        F.get_json_object(F.coalesce("after", "before"), "$.user_id")
-        .cast("bigint")
-        .alias("user_id"),
-        F.col("id").alias("last_id"),
-        F.col("operation").alias("last_op"),
-        F.get_json_object("after", "$.value").cast("double").alias("last_value"),
-    )
-
-
-def q_b5_filter_json(spark, sf_dir):
-    ch = _events_changes(spark, sf_dir)
-    return ch.filter(
-        (F.col("operation") == "UPDATE")
-        & (model.image_field("after", "event_type") == "purchase")
-        & (model.image_field("after", "value").cast("double") > 150.0)
-    ).select("id", "timestamp", model.image_field("after", "value").cast("double").alias("value"))
-
-
-def q_b6_projection(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        F.col("p_partkey"),
-        F.upper(F.col("p_brand")).alias("brand_uc"),
-        (F.col("p_retailprice") * F.lit(0.9)).alias("discounted"),
-        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
-        F.length(F.col("p_name")).cast("bigint").alias("name_len"),
-    )
-
-
-def q_b7_join_enrich(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    # dims are broadcast: no shuffle of the fact side
-    enriched = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    )
-    return enriched.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
-        ).alias("revenue"),
-    )
-
-
-def q_b7_salted_join(spark, sf_dir):
-    """Skew-resistant salted equi-join (B7 depth, derive.salted_join):
-    lineitem⋈orders on the hot order key with an 8-way salt, aggregated
-    per customer. The oracle is the PLAIN SQL join — salting must be
-    invisible in the result, which is exactly the property worth a green
-    driver row (salt column dropped, no dup/lost rows)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    joined = derive.salted_join(li, orders, "o_orderkey", salt=8)
-    return joined.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
-    )
-
-
-def q_b8_anti_join(spark, sf_dir):
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    no_orders = customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    )
-    return no_orders.select("c_custkey", "c_mktsegment")
-
-
-def q_b8_semi_join(spark, sf_dir):
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    with_orders = customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_semi"
-    )
-    return with_orders.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
-
-
-def q_b9_asof(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    latest = derive.asof_latest(
-        ev, ["user_id"], "ts", "2024-02-01 00:00:00", order_cols=["event_id"]
-    )
-    return latest.select("user_id", "event_id", "ts", "event_type", "value")
-
-
-def q_b10_agg_pricing(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            # money sums: exact decimal aggregation, then round AFTER the
-            # double cast — at 17 significant digits the decimal→double
-            # conversion can differ by 1 ulp between engines
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
-            # DECIMAL(18,4) products stay exact decimal in BOTH engines
-            # ((18,4)×(18,4)→(37,8) fits width 38; (38,6)×(38,6) would
-            # overflow DuckDB's decimal and silently fall back to double)
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-                ).cast("double"),
-                2,
-            ).alias("sum_disc_price"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-def q_b10_rollup(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
-            ).alias("total"),
-            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
-            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
-        )
-    )
-
-
-def q_b11_window_funcs(spark, sf_dir):
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    # full rows are unique; order on every remaining column so the window
-    # order is total (the "PK" (l_orderkey, l_linenumber) has duplicates)
-    order_cols = [
-        F.col(c)
-        for c in li.columns
-        if c != "l_orderkey"
-    ]
-    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.lag("l_extendedprice").over(w).alias("prev_price"),
-        F.lead("l_extendedprice").over(w).alias("next_price"),
-        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(wsum).cast("double").alias("run_qty"),
-    )
-
-
-def q_b12_topk(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    top = derive.topk_per_group(
-        li,
-        ["l_returnflag"],
-        [
-            F.col("l_extendedprice").desc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_partkey").asc(),
-            F.col("l_suppkey").asc(),
-            F.col("l_linenumber").asc(),
-            F.col("l_quantity").asc(),
-        ],
-        5,
-    )
-    return top.select(
-        "l_returnflag",
-        F.col("rnk").cast("bigint").alias("rnk"),
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-    )
-
-
-def q_b13_set_ops(spark, sf_dir):
-    customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    inactive = customer.subtract(orders)  # EXCEPT DISTINCT
-    active = customer.intersect(orders)
-    return inactive.withColumn("status", F.lit("inactive")).unionByName(
-        active.withColumn("status", F.lit("active"))
-    )
-
-
-def q_b14_scalar_funcs(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.substring("p_name", 1, 8).alias("name8"),
-        F.upper("p_brand").alias("brand_uc"),
-        F.lower("p_type").alias("type_lc"),
-        F.length("p_name").cast("bigint").alias("name_len"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
-        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
-        (F.col("p_partkey") % 7).alias("k_mod"),
-        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("OTHER")).alias("brand_o"),
-    )
-
-
-def q_b4_event_source(spark, sf_dir):
-    """Event-stream CDC source, batch parity (B4): the full append-only
-    events table projected to the canonical change schema."""
-    return _events_changes(spark, sf_dir)
-
-
-def q_a19_json_lines(spark, sf_dir):
-    """Full JSON serialization of each change (A19, debug sink projection)
-    — timestamps pre-formatted so the JSON text is engine-portable."""
-    ch = _events_changes(spark, sf_dir)
-    return ch.select(
-        "id",
-        F.to_json(
-            F.struct(
-                F.col("tablename"),
-                model.format_log_timestamp("timestamp").alias("timestamp"),
-                F.col("operation"),
-                F.col("before"),
-                F.col("after"),
-            ),
-            {"ignoreNullFields": "false"},  # keep null images, like json_object
-        ).alias("j"),
-    )
-
-
-def q_b15_session_windows(spark, sf_dir):
-    """Session windows per user (B15): 30-minute inactivity gap, batch
-    form of session_window."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.col("user_id"), F.session_window("ts", "30 minutes").alias("sess")
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.col("sess.start").alias("sess_start"),
-            F.col("sess.end").alias("sess_end"),
-            "n_events",
-        )
-    )
-
-
-def q_b10_percentiles(spark, sf_dir):
-    """Exact continuous percentiles per group (B10 depth) — bit-identical
-    interpolation in Spark `percentile` and DuckDB `quantile_cont`."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.9).alias("p90"),
-        F.min("l_extendedprice").alias("pmin"),
-        F.max("l_extendedprice").alias("pmax"),
-    )
-
-
-def q_b10_cube(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
-        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
-    )
-
-
-def q_b11_ranks(spark, sf_dir):
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    wr = Window.partitionBy("o_orderstatus").orderBy(
-        F.floor(F.col("o_totalprice") / 100000).desc()
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.rank().over(wr).cast("bigint").alias("rnk_bucket"),
-        F.dense_rank().over(wr).cast("bigint").alias("drnk_bucket"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-    ).filter(F.col("rn") <= 200)
-
-
-def q_b9_asof_join(spark, sf_dir):
-    """As-of join: each order enriched with the user's latest event at or
-    before the order date (key: o_custkey % 100 == events.user_id)."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), F.col("ts"), F.col("event_id"), F.col("value")
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            (F.col("o_custkey") % 100).alias("k"),
-            F.col("o_orderdate"),
-        )
-        .filter(F.col("o_orderkey") % 29 == 0)
-    )
-    # the time bound must live IN the join condition: filtering after a
-    # plain left join would drop orders whose events are all later
-    joined = o.join(
-        ev, (o["k"] == ev["k"]) & (ev["ts"] <= o["o_orderdate"]), "left"
-    ).drop(ev["k"])
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_orderkey").orderBy(
-        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
-    )
-    latest = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    return latest.select("o_orderkey", "k", "event_id", "value")
-
-
-def q_b14_json_funcs(spark, sf_dir):
-    """JSON function battery over the events props payload (B14):
-    get_json_object, from_json typed extraction, json length/keys."""
-    ev = _t(spark, sf_dir, "events")
-    from pyspark.sql import types as T
-
-    schema = T.StructType([T.StructField("k", T.LongType())])
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_dyn"),
-        F.from_json("props", schema).getField("k").alias("k_typed"),
-        F.json_array_length(F.concat(F.lit("["), F.col("props"), F.lit("]"))).cast("bigint").alias("arr_len"),
-        F.to_json(F.struct(F.col("event_type"), F.col("user_id"))).alias("packed"),
-    )
-
-
-def q_b15_sliding_windows(spark, sf_dir):
-    """Sliding event-time windows, batch form (B15): 2-hour window sliding
-    1 hour — each event lands in 2 windows."""
-    ch = _events_changes(spark, sf_dir)
-    return (
-        ch.groupBy(
-            F.window("timestamp", "2 hours", "1 hour").alias("win"),
-            F.col("operation"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "operation",
-            "n",
-        )
-    )
-
-
-def q_b10_grouping_sets(spark, sf_dir):
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupingSets(
-        [["o_orderstatus"], ["o_orderpriority"], []],
-        "o_orderstatus",
-        "o_orderpriority",
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
-        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
-    )
-
-
-def q_b14_array_funcs(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    words = F.split(F.col("p_type"), " ")
-    return p.select(
-        "p_partkey",
-        F.explode(words).alias("word"),
-        F.size(words).cast("bigint").alias("n_words"),
-        F.element_at(words, 1).alias("first_word"),
-        F.array_join(F.sort_array(words), ",").alias("sorted_words"),
-    )
-
-
-def q_b14_map_funcs(spark, sf_dir):
-    """Map-type functions (B14): construct, extract, cardinality — output
-    scalars so the comparison is engine-portable."""
-    p = _t(spark, sf_dir, "part")
-    m = F.create_map(
-        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
-    )
-    return p.select(
-        "p_partkey",
-        F.element_at(m, "brand").alias("m_brand"),
-        F.element_at(m, "type").alias("m_type"),
-        F.size(m).cast("bigint").alias("m_size"),
-        F.array_join(F.map_keys(m), ",").alias("m_keys"),
-    )
-
-
-# --- north-star pipeline operators (B18-B22) --------------------------------
-
-
-def _docs_with_dups(spark, sf_dir):
-    """documents ∪ re-keyed copies of every 10th doc — the fixture has no
-    exact duplicates, so synthesize a deterministic dup population."""
-    docs = _t(spark, sf_dir, "documents")
-    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(100000)
-    )
-    return docs.unionByName(copies)
-
-
-_DOCS_DUPS_SQL = """
-docs AS (
-  SELECT * FROM documents
-  UNION ALL
-  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-  FROM documents WHERE doc_id % 10 = 0
-)
-"""
-
-
-def q_b18_dup_groups(spark, sf_dir):
-    d = _docs_with_dups(spark, sf_dir)
-    g = dedup.duplicate_groups(d, ["text"], "doc_id")
-    return g.select(
-        F.md5("text").alias("text_fp"), "n_copies", "keeper_id"
-    )
-
-
-def q_b18_dedup_exact(spark, sf_dir):
-    d = _docs_with_dups(spark, sf_dir)
-    kept = dedup.exact_dedup(d, ["text"], "doc_id")
-    return kept.select("doc_id", "lang", "source", "n_chars")
-
-
-def q_b19_word_jaccard(spark, sf_dir):
-    """Exact word-set Jaccard for adjacent-doc pairs (the SQL-expressible
-    core of near-dedup; the MinHash candidate generator is rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(dedup.normalize_text("text"), " "))
-    a = docs.select(F.col("doc_id").alias("id_a"), toks.alias("ta"))
-    b = docs.select(F.col("doc_id").alias("id_b"), toks.alias("tb"))
-    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
-    inter = F.array_size(F.array_intersect("ta", "tb")).cast("double")
-    union = F.array_size(F.array_union("ta", "tb")).cast("double")
-    return pairs.select(
-        "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
-    )
-
-
-def q_b19_minhash_candidates(spark, sf_dir):
-    """MinHash-LSH near-dup discovery in the engine-portable hash mode
-    (``base_hash='md5'``): the WHOLE pipeline — shingles → universal-hash
-    signatures → band buckets → candidate join → exact-Jaccard verify —
-    is replayed bit-for-bit by the DuckDB oracle. Planted near-dups:
-    every 7th doc gets a copy with a one-token suffix edit; candidates
-    must surface them."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    # 32 hashes / 8 bands keeps rows-per-band=4 (same per-band match
-    # curve; P(candidate) at jaccard 0.8 is still 0.985) at half the
-    # signature cost — the bench-scale configuration
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def q_b19_dup_clusters(spark, sf_dir):
-    """Dup-cluster formation (B19 depth): near-dup PAIRS are not
-    actionable for a corpus build until transitively closed into
-    components — keep each cluster's min id, drop the rest. Spark side:
-    iterative min-label propagation (dedup.dup_clusters); oracle side:
-    the same closure as a DuckDB recursive CTE over the identical
-    portable-md5 pair set."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    )
-    return dedup.dup_clusters(pairs)
-
-
-def q_b19_simhash(spark, sf_dir):
-    """SimHash near-dup candidates in portable-hash mode (60-bit md5-based
-    fingerprints — DuckDB replays votes, fingerprint, banding and the
-    Hamming verify exactly)."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.simhash_candidates(
-        corpus, "doc_id", "text", max_hamming=3, bands=4, base_hash="md5"
-    )
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
-
-
-def q_b19_incremental_index(spark, sf_dir):
-    """The CDC × dedup composition (the reference's change feed meeting the
-    corpus index): an LSH index built ONCE over the standing corpus
-    (doc_id >= 20), probed by a small 'new documents' batch (mutated
-    copies of docs 0-19 — the shape of a CDC insert batch). Only the batch
-    is hashed; the join is an equi-join on (band, bucket). Portable hash
-    mode, so DuckDB replays index, probe and join bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text")
-    # the batch = near-copies of docs that ARE in the corpus (one-token
-    # suffix edit) — the incremental probe must find their originals
-    batch = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).select(
-        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
-    )
-    index = dedup.build_lsh_index(
-        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
-    )
-    hits = dedup.query_lsh_index(
-        index, batch, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
-    )
-    return hits.select("new_id", "corpus_id")
-
-
-def q_b19_incremental_clusters(spark, sf_dir):
-    """The full CDC × dedup loop (B19 capstone): a standing corpus with
-    planted near-dups is clustered ONCE (minhash pairs → dup_clusters);
-    then a CDC batch of new documents probes the standing LSH index
-    (cost ∝ batch) and its candidate pairs merge into the assignment via
-    update_clusters (cost ∝ batch + affected clusters). Batch docs derived
-    from docs that already have a planted twin exercise real cluster
-    MERGES, not just appends. Oracle: from-scratch recursive-CTE closure
-    over (standing pairs ∪ batch pairs) — the incremental path must equal
-    the full recompute.
-
-    The corpus is SHINGLED ONCE (r7, VERDICT r6 item 3): one
-    checkpointed distinct (doc, sh) relation feeds the index build, the
-    exact-Jaccard verify (both pair sides and set sizes), and — via the
-    index checkpoint — the standing pair set and the batch probe. The
-    naive composition tokenized the corpus three times; at 100 TB the
-    shingle relation is THE shared intermediate a dedup loop persists
-    (parquet, bucketed by doc)."""
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text")
-    planted = base.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = base.unionByName(planted)
-    srows = dedup.shingle_rows(
-        corpus, "doc_id", "text", k=3, unit="word", distinct=True
-    ).localCheckpoint(eager=False)
-    index = dedup.build_lsh_index(
-        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5",
-        rows=srows,
-    ).localCheckpoint(eager=False)
-    cand = dedup.lsh_candidates_from_index(index)
-    pairs1 = (
-        dedup.jaccard_pairs(corpus, cand, "doc_id", "text", rows=srows)
-        .filter(F.col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
-    )
-    labels = dedup.dup_clusters(pairs1)
-    batch = base.filter(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
-    )
-    hits = dedup.query_lsh_index(
-        index, batch, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
-    )
-    return dedup.update_clusters(labels, hits, "new_id", "corpus_id")
-
-
-def q_b26_split_leakage(spark, sf_dir):
-    """Dedup-aware splitting (B26 × B19): a near-dup pair straddling
-    train/test is leakage — eval measures memorization. Doc-keyed split
-    assignment leaks (pair endpoints hash independently); keying the
-    split by CLUSTER id puts every member of a dup cluster in the same
-    split, so cross-split pairs are impossible by construction. One-row
-    report: leak counts under both keyings + total pairs — the
-    cluster_keyed_leaks == 0 column is the design property, oracle-checked."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    ).select("id_a", "id_b")
-    clusters = dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
-    keyed = clusters.select(
-        "doc_id",
-        sampling.split_assign("doc_id").alias("dsp"),
-        sampling.split_assign("cluster_id").alias("csp"),
-    )
-    a = keyed.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("dsp").alias("da"), F.col("csp").alias("ca"),
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("dsp").alias("db"), F.col("csp").alias("cb"),
-    )
-    return pairs.join(a, "id_a").join(b, "id_b").select(
-        F.sum((F.col("da") != F.col("db")).cast("bigint")).alias("doc_keyed_leaks"),
-        F.sum((F.col("ca") != F.col("cb")).cast("bigint")).alias(
-            "cluster_keyed_leaks"
-        ),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-
-
-def q_b19_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact mode; the LSH mode is the
-    scale path, exercised in unit tests)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_dups(emb, threshold=0.4, exact=True)
-    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
-
-
-def q_b19_embedding_clusters(spark, sf_dir):
-    """Cross-modality composition (B19 depth): dup-cluster formation over
-    EMBEDDING-space near-dup pairs — the same dup_clusters operator that
-    closes MinHash pairs closes cosine pairs (threshold 0.4, exact mode;
-    pair membership is the already-oracled b19_embedding_dups decision)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_dups(emb, threshold=0.4, exact=True)
-    return dedup.dup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id", "cluster_size"
-    )
-
-
-def q_b20_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 4)
-    return similarity.cosine_topk(emb, queries_df, k=5).select(
-        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
-    )
-
-
-def q_b20_ann_lsh(spark, sf_dir):
-    """LSH ANN top-k, now a full correctness row (VERDICT r3 next-2):
-    engine-portable integer-exact bucket assignment → exact-cosine
-    re-rank, so the DuckDB oracle replays candidates AND ranking
-    bit-for-bit. Approximate in which neighbors it CONSIDERS (bucket
-    mates only), deterministic in what it RETURNS. The float-plane
-    production path (ann_topk_lsh, multi-table recall tuning) keeps its
-    pytest recall gate."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 4)
-    return similarity.ann_topk_lsh_portable(emb, queries_df, k=5, dim=64).select(
-        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
-    )
-
-
-def q_b20_ann_ivf(spark, sf_dir):
-    """IVF ANN top-k, now a full correctness row (VERDICT r3 next-2):
-    seed-centroid inverted file with integer-exact cell assignment →
-    exact-cosine re-rank — same cells/probe structure as IVF, replayable
-    in any engine. The learned-kmeans production path (ann_topk_ivf)
-    keeps its pytest recall gate."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 4)
-    return similarity.ann_topk_ivf_portable(emb, queries_df, k=5, n_probe=3).select(
-        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rnk"
-    )
-
-
-def q_b20_ann_recall(spark, sf_dir):
-    """Deterministic ANN quality gate (VERDICT r1 next-7): recall@5 of the
-    engine-portable LSH candidates against the exact cosine top-5. Both
-    sides — integer-exact bucket assignment AND the exact top-k — are
-    replayed by the DuckDB oracle, so the recall number itself is a fully
-    green correctness row (unlike the float-plane production ANN, which is
-    approximate by design)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 4)
-    cand = similarity.ann_lsh_portable(
-        emb, queries_df, dim=64, n_planes=8, quant=1000, multiprobe=True
-    )
-    topk = similarity.cosine_topk(emb, queries_df, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    joined = topk.join(
-        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
-    )
-    return joined.groupBy("query_id").agg(
-        F.count("__hit").alias("n_hits"),
-        (F.count("__hit") / F.lit(5.0)).alias("recall"),
-    )
-
-
-def q_b10_pivot(spark, sf_dir):
-    """Pivot (B10 depth): order counts + revenue per priority × status.
-    Pivot values are EXPLICIT — at scale the values-less form runs an extra
-    distinct job over the fact table just to learn the column set."""
-    o = _t(spark, sf_dir, "orders")
-    piv = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
-            ).alias("total"),
-        )
-    )
-    out = piv.select(
-        "o_orderpriority",
-        *[
-            F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
-            for s in ("F", "O", "P")
-        ],
-        *[
-            F.coalesce(F.col(f"{s}_total"), F.lit(0.0)).alias(f"total_{s.lower()}")
-            for s in ("F", "O", "P")
-        ],
-    )
-    return out
-
-
-def q_b10_unpivot(spark, sf_dir):
-    """Unpivot/melt (B10 depth): wide part measures to long (measure, value)
-    rows — `df.unpivot`, the inverse of pivot, a pure narrow map (no
-    shuffle; each input row yields one output row per measure)."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.col("p_size").cast("double").alias("p_size"),
-        F.col("p_retailprice").cast("double").alias("p_retailprice"),
-    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
-
-
-def q_b7_multi_join_revenue(spark, sf_dir):
-    """TPC-H Q5-shaped star join (B7 depth): local-supplier revenue per
-    nation for one region-year. Plan shape at scale: lineitem⋈orders
-    shuffles on orderkey (the only big-big join); customer/supplier/nation/
-    region broadcast; aggregation is partial+final hash agg."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    return (
-        joined.groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                F.sum(
-                    dec4("l_extendedprice")
-                    * (F.lit(1).cast("decimal(18,4)") - dec4("l_discount"))
-                ).cast("double"),
-                2,
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-#: SQL-surface family (B25): the same engine driven through ``spark.sql``
-#: over temp views — subqueries/CTEs come free from Catalyst (SURVEY §2
-#: "explicit non-goals" … because Spark SQL gives them; these queries prove
-#: it). Oracle strings are the IDENTICAL SQL run on DuckDB.
-_SQL_EXISTS = """
-    SELECT o_orderkey, o_orderpriority
-    FROM orders
-    WHERE EXISTS (SELECT 1 FROM lineitem
-                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
-"""
-
-_SQL_CORRELATED_COUNT = """
-    SELECT c_custkey, c_mktsegment
-    FROM customer c
-    WHERE (SELECT count(*) FROM orders o
-           WHERE o.o_custkey = c.c_custkey) >= 15
-"""
-
-#: TPC-H Q15 shape: CTE + scalar subquery over an exact-decimal revenue so
-#: the max-equality filter is engine-portable (doubles would tie-break on
-#: summation order).
-_SQL_CTE_TOP_SUPPLIER = """
-    WITH rev AS (
-      SELECT l_suppkey AS supplier_no,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-               AS total
-      FROM lineitem
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name,
-           round(CAST(total AS DOUBLE), 2) AS total_rev
-    FROM supplier JOIN rev ON s_suppkey = supplier_no
-    WHERE total = (SELECT max(total) FROM rev)
-"""
-
-
-#: TPC-H Q21 shape (suppliers who kept orders waiting): the hardest join
-#: topology in the TPC-H suite — a fact self-referenced THREE times, one
-#: positive correlated EXISTS and one negative NOT EXISTS, both correlated
-#: on two outer tables at once. Catalyst plans the EXISTS as a semi join
-#: and the NOT EXISTS as an anti join on l_orderkey — no per-row
-#: re-execution. Lateness adapts to this fixture's columns (no
-#: commitdate): shipped > 60 days after the order date.
-_SQL_WAITING_SUPPLIERS = """
-    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM supplier, lineitem l1, orders
-    WHERE s_suppkey = l1.l_suppkey
-      AND o_orderkey = l1.l_orderkey
-      AND o_orderstatus = 'F'
-      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name
-    LIMIT 20
-"""
-
-
-#: TPC-H Q22 shape (global-market-analysis): a scalar aggregate threshold
-#: + NOT EXISTS anti join (here: high-balance customers with no urgent
-#: orders — this fixture's every customer has ~10 orders, so bare
-#: "no orders" selects nothing). The avg threshold is multiplied through
-#: (bal·N > Σbal) so the comparison is exact decimal on both engines —
-#: DuckDB's avg() over decimal returns DOUBLE, which would tie-break
-#: boundary rows differently.
-_SQL_IDLE_CUSTOMERS = """
-    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE), 2)
-             AS totacctbal
-    FROM customer c
-    WHERE CAST(c_acctbal AS DECIMAL(28,4))
-            * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
-          > (SELECT sum(CAST(c_acctbal AS DECIMAL(28,4)))
-             FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderpriority = '1-URGENT')
-    GROUP BY c_nationkey
-"""
-
-
-def _sql_query(sql: str, *tables: str):
-    def run(spark, sf_dir):
-        for t in tables:
-            _t(spark, sf_dir, t).createOrReplaceTempView(t)
-        return spark.sql(sql)
-
-    return run
-
-
-q_b25_sql_exists = _sql_query(_SQL_EXISTS, "orders", "lineitem")
-q_b25_sql_correlated = _sql_query(_SQL_CORRELATED_COUNT, "customer", "orders")
-q_b25_sql_cte_top_supplier = _sql_query(_SQL_CTE_TOP_SUPPLIER, "lineitem", "supplier")
-q_b8_waiting_suppliers = _sql_query(
-    _SQL_WAITING_SUPPLIERS, "supplier", "lineitem", "orders"
-)
-q_b8_idle_customers = _sql_query(_SQL_IDLE_CUSTOMERS, "customer", "orders")
-
-
-def q_b15_interval_join(spark, sf_dir):
-    """Batch form of the stream-stream interval join (B15/B16): purchases
-    within 7 days after the same user's signup. Identical expression runs
-    on watermarked streams (tested in tests/test_streaming.py)."""
-    from sqlite_cdc_spark import streaming as st
-
-    ev = _t(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"),
-        F.col("event_id").alias("s_event"),
-        F.col("ts").alias("s_ts"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("p_event"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    )
-    joined = st.interval_join_streams(
-        signups, purchases, "s_user", "p_user", "s_ts", "p_ts", within="7 days"
-    )
-    return joined.select("s_user", "s_event", "p_event", "p_value")
-
-
-def q_b2_scd2(spark, sf_dir):
-    """SCD type-2 history table from the change feed (B2 depth): one
-    version row per non-DELETE change, valid until the key's next change;
-    DELETEs close versions without emitting rows."""
-    ch = _events_changes(spark, sf_dir)
-    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id").cast("bigint")
-    versions = derive.scd2(ch.withColumn("user_id", key), "user_id")
-    return versions.select(
-        "user_id", "id", "after", "valid_from", "valid_to", "is_current"
-    )
-
-
-def q_b1_column_diff(spark, sf_dir):
-    """Column-level change tracking (B1 depth): per UPDATE, which fields
-    actually differ between before/after images — audit-trail flattening."""
-    old, new = _orders_old_new(spark, sf_dir)
-    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
-    out = derive.column_diff(
-        diff, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    )
-    # Stringify the array column: the driver's pandas-based canonicalizer
-    # cannot sort/hash list cells (r02 `unhashable type: 'list'`), and a
-    # csv rendering is just as checkable. Oracle mirrors via array_to_string.
-    return out.select(
-        "o_orderkey",
-        F.concat_ws(",", "changed_cols").alias("changed_cols"),
-        "n_changed",
-    )
-
-
-def q_b27_sketches(spark, sf_dir):
-    """Approximate sketches (rows-only: approx values are engine-specific
-    by design; error bounds vs exact are asserted in unit tests). At 100 TB
-    these are THE distinct/quantile operators — HLL++ and KLL-style
-    sketches merge associatively so the agg stays one partial+final pass
-    with tiny shuffle payloads, where exact distinct counts would shuffle
-    every key."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
-    )
-
-
-def q_b26_cluster_kfold(spark, sf_dir):
-    """Dedup-aware k-fold (B26 × B19): folds keyed by CLUSTER id (docs
-    outside any cluster key on their own id), so near-duplicate documents
-    can never straddle folds — the k-fold form of the split-leakage
-    lesson (`b26_split_leakage`). Output: per-fold doc and cluster
-    counts. Narrow fold arithmetic over the component labeling."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    ).select("id_a", "id_b")
-    labels = dedup.dup_clusters(pairs)
-    keyed = (
-        corpus.select("doc_id")
-        .join(labels.select("doc_id", "cluster_id"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("__key"),
-        )
-    )
-    return (
-        keyed.select(
-            "doc_id", sampling.hash_bucket("__key", 5).alias("fold"), "__key"
-        )
-        .groupBy("fold")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.countDistinct("__key").cast("bigint").alias("n_keys"),
-        )
-    )
-
-
-def q_b10_filtered_agg(spark, sf_dir):
-    """FILTER-clause conditional aggregation parity (B10 depth): one
-    pass computing overall and predicate-scoped aggregates side by side
-    (counts, sums, averages of returned vs kept lines) — the idiom that
-    replaces N self-joins with conditional expressions inside a single
-    partial+final hash agg."""
-    li = _t(spark, sf_dir, "lineitem")
-    returned = F.col("l_returnflag") == "R"
-    return li.groupBy("l_linestatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_all"),
-        F.sum(F.when(returned, 1).otherwise(0)).cast("bigint").alias("n_returned"),
-        F.round(
-            F.sum(
-                F.when(returned, F.col("l_extendedprice").cast("decimal(38,6)"))
-            ).cast("double"),
-            2,
-        ).alias("returned_revenue"),
-        F.round(
-            F.avg(F.when(returned, F.col("l_quantity").cast("double"))), 6
-        ).alias("avg_returned_qty"),
-    )
-
-
-def q_b19_cluster_stats(spark, sf_dir):
-    """Dedup-cluster QA (B19 depth): the cluster-size histogram over the
-    standing near-dup clustering — how many singletons/pairs/triples the
-    corpus carries and the total removable-duplicate count. One agg over
-    the (already component-labeled) cluster assignment."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    ).select("id_a", "id_b")
-    labels = dedup.dup_clusters(pairs)
-    return (
-        labels.groupBy("cluster_size")
-        .agg(
-            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            (F.count(F.lit(1)) - F.countDistinct("cluster_id"))
-            .cast("bigint")
-            .alias("n_removable"),
-        )
-    )
-
-
-def q_b20_vector_audit(spark, sf_dir):
-    """Vector-data audit (B20 QA depth): per-label embedding count, mean
-    L2 norm, and degenerate-vector counts (zero norm / NaN component) —
-    the sanity pass before any similarity work. Norms are row-local
-    `aggregate` arithmetic (codegen); one keyed agg."""
-    emb = _t(spark, sf_dir, "embeddings")
-    norm = similarity.l2_norm(similarity.as_double(F.col("embedding")))
-    has_nan = F.exists("embedding", lambda x: F.isnan(x.cast("double")))
-    return (
-        emb.select(
-            F.col("label").cast("int").alias("label"),
-            norm.alias("__n"),
-            has_nan.cast("int").alias("__nan"),
-        )
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(F.avg("__n"), 6).alias("mean_norm"),
-            F.sum(F.when(F.col("__n") == 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_zero"),
-            F.sum("__nan").cast("bigint").alias("n_nan"),
-        )
-    )
-
-
-def q_b30_query_expansion(spark, sf_dir):
-    """PMI query expansion (B30 retrieval depth): the top-5 co-occurrence
-    partners per seed term by PMI (count ≥ 8) — the statistical
-    related-terms read used to widen keyword queries. One filter over
-    the PMI pair relation per seed orientation; per-seed window top-k
-    (lm.py: pmi_pairs)."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    seeds = ["merge", "join", "batch"]
-    pairs = lm.pmi_pairs(docs, "doc_id", window=2, min_count=8)
-    partners = pairs.filter(F.col("tok_a").isin(seeds)).select(
-        F.col("tok_a").alias("seed"),
-        F.col("tok_b").alias("partner"),
-        "n_pair",
-        "pmi",
-    ).unionByName(
-        pairs.filter(F.col("tok_b").isin(seeds)).select(
-            F.col("tok_b").alias("seed"),
-            F.col("tok_a").alias("partner"),
-            "n_pair",
-            "pmi",
-        )
-    )
-    w = Window.partitionBy("seed").orderBy(
-        F.col("pmi").desc(), F.col("partner").asc()
-    )
-    return (
-        partners.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-    )
-
-
-def q_b15_funnel_steps(spark, sf_dir):
-    """Library-shaped funnel (B15 depth): one row per step with the
-    users-reached count under the strictly-after ordering rule — the
-    general N-step form of b15_funnel (derive.py: funnel)."""
-    ev = _t(spark, sf_dir, "events")
-    return derive.funnel(
-        ev.select("user_id", "event_type", "ts"),
-        "user_id",
-        "event_type",
-        "ts",
-        ["view", "click", "purchase"],
-    )
-
-
-def q_b3_op_drift(spark, sf_dir):
-    """Feed-mix drift detection (B3 ops depth): each event type's share
-    of the stream in the first vs second half of the time range, with
-    the drift delta — the monitoring read that catches a producer
-    change or capture bug (one op type surging/vanishing). Two
-    conditional aggregates in one pass + a 1-row totals broadcast."""
-    ev = _t(spark, sf_dir, "events")
-    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    per_type = ev.groupBy("event_type").agg(
-        F.sum(F.when(F.col("ts") < mid, 1).otherwise(0))
-        .cast("double")
-        .alias("__early"),
-        F.sum(F.when(F.col("ts") >= mid, 1).otherwise(0))
-        .cast("double")
-        .alias("__late"),
-    )
-    totals = per_type.agg(
-        F.sum("__early").alias("__te"), F.sum("__late").alias("__tl")
-    )
-    return (
-        per_type.crossJoin(F.broadcast(totals))
-        .select(
-            "event_type",
-            F.col("__early").cast("bigint").alias("n_early"),
-            F.col("__late").cast("bigint").alias("n_late"),
-            F.round(F.col("__early") / F.col("__te"), 6).alias("share_early"),
-            F.round(F.col("__late") / F.col("__tl"), 6).alias("share_late"),
-            F.round(
-                F.col("__late") / F.col("__tl")
-                - F.col("__early") / F.col("__te"),
-                6,
-            ).alias("drift"),
-        )
-    )
-
-
-def q_b19_source_novelty(spark, sf_dir):
-    """Per-source novelty (B19 audit depth): the fraction of each
-    source's windowed fingerprints shared with NO other source — the
-    uniqueness score that complements the pairwise overlap matrix when
-    deciding what a new crawl actually adds. One distinct agg, one
-    per-fp source count, one keyed ratio."""
-    docs = _t(spark, sf_dir, "documents")
-    fps = (
-        textops.fingerprint_rows(
-            docs.select("doc_id", "text"), "doc_id",
-            window_tokens=16, stride=8,
-        )
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "fp")
-        .distinct()
-    )
-    spread = fps.groupBy("fp").agg(
-        F.countDistinct("source").alias("__n_src")
-    )
-    return (
-        fps.join(spread, "fp")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
-            F.sum(F.when(F.col("__n_src") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_unique"),
-            F.round(
-                F.sum(
-                    F.when(F.col("__n_src") == 1, 1.0).otherwise(0.0)
-                )
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("novelty"),
-        )
-    )
-
-
-def q_b15_session_stats(spark, sf_dir):
-    """Session-level rollups (B15 depth): the downstream consumer of
-    row-level session IDs — per (user, session): event count, distinct
-    event types, and wall duration in seconds. sessionize's shuffle on
-    user_id is REUSED by the session agg (same key prefix), so the
-    composition adds no exchange (derive.py: sessionize)."""
-    ev = _t(spark, sf_dir, "events")
-    tagged = derive.sessionize(
-        ev.select("event_id", "user_id", "event_type", "ts"),
-        "user_id",
-        "ts",
-        "event_id",
-    )
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    return tagged.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.countDistinct("event_type").cast("bigint").alias("n_types"),
-        (F.max(sec) - F.min(sec)).cast("bigint").alias("duration_sec"),
-    )
-
-
-def q_b24_incremental_card(spark, sf_dir):
-    """Incremental reporting under CDC (B24 × B3): the per-(source,lang)
-    doc/token counters maintained by ADDITIVE merge with a CDC batch
-    (doc_id%7 UPDATEd with ' zzz' appended, doc_id%11 and-not-%7
-    DELETEd) — cost ∝ batch, the corpus is never recounted. The oracle
-    recomputes from scratch over the effective corpus, so the driver row
-    proves counter-maintenance-equals-recount, the same invariant the
-    LSH-index / cluster / LM incremental legs already carry."""
-    docs = _t(spark, sf_dir, "documents")
-    standing = textops.corpus_counters(docs)
-    upd = docs.filter(F.col("doc_id") % 7 == 0)
-    dels = upd.select("source", "lang", "text").unionByName(
-        docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
-        .select("source", "lang", "text")
-    )
-    ins = upd.select(
-        "source", "lang", F.concat(F.col("text"), F.lit(" zzz")).alias("text")
-    )
-    return textops.update_corpus_counters(standing, inserts=ins, deletes=dels)
-
-
-def q_b21_heaps_curve(spark, sf_dir):
-    """Heaps'-law vocabulary growth (B21 QA depth): distinct-token count
-    after each decile of the corpus (doc_id order) — natural corpora
-    grow ~n^β (β≈0.5); a flattening curve means template text, a linear
-    one means noise. NO iteration: each token's FIRST-SEEN decile is one
-    min-agg, the cumulative count is a running sum over the 10-row
-    decile relation. The vocabulary unit is the character 4-gram of the
-    normalized text (the fixture's word vocab saturates in decile 0;
-    4-grams keep growing, which is the curve shape the operator
-    exists to measure)."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    toks = (
-        docs.crossJoin(F.broadcast(n_docs))
-        .select(
-            F.least(
-                F.lit(9),
-                F.floor(
-                    F.col("doc_id").cast("double") * 10.0 / F.col("__n")
-                ),
-            )
-            .cast("bigint")
-            .alias("decile"),
-            F.explode(dedup.char_shingles("text", k=4)).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
-    first_seen = toks.groupBy("tok").agg(F.min("decile").alias("first_decile"))
-    per_decile = first_seen.groupBy("first_decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("new_tokens")
-    )
-    w = Window.orderBy("first_decile").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return per_decile.select(
-        F.col("first_decile").alias("decile"),
-        "new_tokens",
-        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
-    )
-
-
-def q_b21_readability(spark, sf_dir):
-    """Readability scoring (B21 depth): Flesch-style reading ease with a
-    vowel-run syllable proxy — sentences ≈ docs here (fixture text has no
-    punctuation after normalization), so the formula reduces to the
-    words-per-doc and syllables-per-word terms. Pure regexp/length
-    arithmetic: narrow map + rounding, no shuffle beyond the final
-    projection."""
-    docs = _t(spark, sf_dir, "documents")
-    n_words = textops.token_count("text")
-    syllables = F.size(
-        F.regexp_extract_all(
-            F.lower(F.col("text")), F.lit("[aeiouy]+"), 0
-        )
-    ).cast("double")
-    score = F.round(
-        F.lit(206.835)
-        - F.lit(1.015) * n_words.cast("double")
-        - F.lit(84.6) * (syllables / F.greatest(n_words, F.lit(1)).cast("double")),
-        6,
-    )
-    return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        syllables.cast("bigint").alias("n_syllables"),
-        score.alias("flesch"),
-    )
-
-
-def q_b21_zipf_fit(spark, sf_dir):
-    """Zipf-law fit (B21 QA depth): the log-log slope of the top-100
-    token rank-frequency curve — natural text sits near slope −1;
-    corpora dominated by templates/boilerplate flatten or steepen. The
-    regression runs over the 100-row aggregate (closed-form OLS on
-    (ln rank, ln freq)); the corpus-side work is one word count."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(textops.tokens("text")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-    )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    top = counts.withColumn("r", F.row_number().over(w).cast("double")).filter(
-        F.col("r") <= 100
-    )
-    xy = top.select(
-        F.log("r").alias("x"), F.log("n").alias("y")
-    )
-    agg = xy.agg(
-        F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    return agg.select(
-        F.col("k").cast("bigint").alias("n_points"),
-        F.round(
-            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
-            6,
-        ).alias("zipf_slope"),
-    )
-
-
-def q_b10_price_histogram(spark, sf_dir):
-    """Equal-width numeric histogram (B10 depth): 20 bins over
-    l_extendedprice with exact integer bin assignment — min/max arrive as
-    a broadcast 1-row agg, the binning is a narrow map, one keyed count.
-    The numeric companion to the doc-length histogram."""
-    li = _t(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.min("l_extendedprice").cast("double").alias("__lo"),
-        F.max("l_extendedprice").cast("double").alias("__hi"),
-    )
-    return (
-        li.crossJoin(F.broadcast(bounds))
-        .select(
-            F.least(
-                F.lit(19),
-                F.floor(
-                    (F.col("l_extendedprice").cast("double") - F.col("__lo"))
-                    / ((F.col("__hi") - F.col("__lo")) / F.lit(20.0))
-                ),
-            )
-            .cast("bigint")
-            .alias("bin"),
-        )
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-
-
-def q_b10_share_of_total(spark, sf_dir):
-    """Ratio-to-report (B10 depth): each nation's share of global revenue
-    — a grouped agg plus an unpartitioned window over the tiny aggregate
-    relation (|nations| rows), never over the fact table."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("__rev")
-        )
-    )
-    w = Window.partitionBy()
-    # divide as doubles, not decimals: decimal-division result scales
-    # differ between engines; the double quotient is IEEE-identical
-    return rev.select(
-        "n_name",
-        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
-        F.round(
-            F.col("__rev").cast("double")
-            / F.sum("__rev").over(w).cast("double"),
-            6,
-        ).alias("share"),
-    )
-
-
-def q_b10_max_by(spark, sf_dir):
-    """max_by/min_by parity (B10 depth): per return flag, the order key
-    holding the highest/lowest extended price — single-pass conditional
-    extrema, no self-join, no window (ties broken INSIDE the aggregate by
-    taking the max/min orderkey among tied prices via struct ordering)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.max(F.struct(F.col("l_extendedprice"), F.col("l_orderkey")))[
-            "l_orderkey"
-        ].cast("bigint").alias("top_order"),
-        F.min(F.struct(F.col("l_extendedprice"), F.col("l_orderkey")))[
-            "l_orderkey"
-        ].cast("bigint").alias("bottom_order"),
-        F.max("l_extendedprice").alias("top_price"),
-        F.min("l_extendedprice").alias("bottom_price"),
-    )
-
-
-def q_b14_string_agg(spark, sf_dir):
-    """Ordered string aggregation (B14 depth): per-region comma-joined
-    nation list in name order — listagg/string_agg parity. Deterministic
-    via sort_array over collected structs; the aggregate relation is
-    |regions| rows."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.concat_ws(
-                ",", F.array_sort(F.collect_list("n_name"))
-            ).alias("nations"),
-            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
-        )
-    )
-
-
-def q_b15_sessionize(spark, sf_dir):
-    """Session-ID assignment (B15 depth): each event tagged with its
-    user's session ordinal — a new session starts when the gap from the
-    previous event exceeds 30 minutes. The row-level companion to
-    `session_window` aggregation (which only emits per-session rollups):
-    lag-diff marks session starts, a running sum numbers them. One
-    shuffle on user_id; both window passes share the same sort
-    (derive.py: sessionize)."""
-    ev = _t(spark, sf_dir, "events")
-    return derive.sessionize(
-        ev.select("event_id", "user_id", "ts"), "user_id", "ts", "event_id"
-    ).select("event_id", "user_id", "session_id")
-
-
-def q_b19_source_overlap(spark, sf_dir):
-    """Cross-source overlap matrix (B19 audit depth): for each source
-    pair, how many 16-token windowed fingerprints (stride 8, the fuzzy-
-    containment primitive) they share and the Jaccard of their
-    fingerprint sets — the dataset-overlap audit run before mixing two
-    crawls (whole-doc fingerprints under-report: partial shared passages
-    are what leaks). Distinct (source, fp) rows → self equi-join on fp
-    (source_a < source_b) → counts; per-source set sizes join back. No
-    text re-comparison, no cartesian: everything keyed by the md5
-    fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
-    fps = (
-        textops.fingerprint_rows(
-            docs.select("doc_id", "text"), "doc_id",
-            window_tokens=16, stride=8,
-        )
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "fp")
-        .distinct()
-    )
-    sizes = fps.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    a = fps.select(F.col("source").alias("source_a"), "fp")
-    b = fps.select(F.col("source").alias("source_b"), "fp")
-    common = (
-        a.join(b, "fp")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
-    )
-    return (
-        common.join(
-            sizes.select(F.col("source").alias("source_a"), F.col("__n").alias("__na")),
-            "source_a",
-        )
-        .join(
-            sizes.select(F.col("source").alias("source_b"), F.col("__n").alias("__nb")),
-            "source_b",
-        )
-        .select(
-            "source_a",
-            "source_b",
-            "n_common",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("__na") + F.col("__nb") - F.col("n_common")).cast(
-                    "double"
-                ),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-def q_b11_range_frame(spark, sf_dir):
-    """Time-RANGE window frame (B11 depth): per event, the count and
-    value-sum of the same user's events in the PRECEDING 30 minutes —
-    a true range frame over event time (rows frames can't express it
-    when event spacing varies). Ordered by epoch seconds with
-    rangeBetween(-1800, 0); sums in decimal for order-independent
-    exactness; one shuffle on user_id."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec")
-    base = ev.select("event_id", "user_id", "ts", "value", sec)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("__sec").asc())
-        .rangeBetween(-1800, 0)
-    )
-    return base.select(
-        "event_id",
-        "user_id",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30m"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"),
-            6,
-        ).alias("sum_30m"),
-    )
-
-
-def q_b7_skew_diagnosis(spark, sf_dir):
-    """Join-key skew diagnosis (B7 ops depth): per-key row counts on the
-    fact side with each key's share of the table and the top-key /
-    mean-key ratio — the measurement that decides whether `salted_join`
-    (derive.py) or AQE skew-split is needed BEFORE the join runs. One
-    partial+final agg; scalars broadcast; top-20 via distributed
-    ``orderBy().limit(20)`` (TakeOrderedAndProject — each task keeps a
-    20-row heap, the driver merges), THEN ``row_number`` over only the
-    20 survivors. Never a global WindowExec over the full key space —
-    that would sort every distinct join key on one task, precisely in
-    the query whose job is to diagnose skew (VERDICT r7 item 2)."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    per_key = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows")
-    )
-    scalars = per_key.agg(
-        F.sum("n_rows").cast("double").alias("__total"),
-        F.avg(F.col("n_rows").cast("double")).alias("__mean"),
-    )
-    w = Window.orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
-    return (
-        per_key.crossJoin(F.broadcast(scalars))
-        .select(
-            "l_orderkey",
-            "n_rows",
-            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
-            F.round(F.col("n_rows") / F.col("__mean"), 6).alias(
-                "skew_ratio"
-            ),
-        )
-        .orderBy(F.col("n_rows").desc(), F.col("l_orderkey").asc())
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-    )
-
-
-def q_b19_pair_dataset(spark, sf_dir):
-    """Dedup-classifier dataset builder (B19 depth): labeled document
-    pairs — positives are the oracle-verified near-dup pairs, negatives
-    are deterministic hash-derangement pairs (doc i paired with the doc
-    whose hash bucket rank is offset by a fixed stride — reproducible
-    pseudo-random, no rand()). Output (id_a, id_b, label) balanced-ish;
-    the training set for a learned dedup filter. Pairs come from the
-    portable-md5 MinHash path so both engines derive identical
-    positives."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pos = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    ).select("id_a", "id_b", F.lit(1).cast("bigint").alias("label"))
-    # negatives: a deterministic bucket-derangement — docs ranked by hash
-    # priority WITHIN each of 64 hash buckets (partitioned window, no
-    # global sort), then (bucket k, rank r) pairs with (bucket (k+37) mod
-    # 64, rank r); unmatched ranks drop in the inner join, collisions
-    # with true near-dup pairs are removed by anti-join. Reproducible
-    # pseudo-random with no rand(), scales as one shuffle on the bucket.
-    B = 64
-    pri = docs.select(
-        "doc_id",
-        sampling.hash_bucket("doc_id", B).alias("__b"),
-        sampling.hash_bucket("doc_id", 1 << 32).alias("__p"),
-    )
-    w = Window.partitionBy("__b").orderBy(
-        F.col("__p").asc(), F.col("doc_id").asc()
-    )
-    ranked = pri.withColumn("__r", F.row_number().over(w))
-    shifted = (
-        ranked.select(
-            F.col("doc_id").alias("id_a"),
-            ((F.col("__b") + 37) % B).alias("__b2"),
-            "__r",
-        )
-        .join(
-            ranked.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("__b").alias("__b2"),
-                "__r",
-            ),
-            ["__b2", "__r"],
-        )
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-        .distinct()
-    )
-    neg = shifted.join(
-        pos.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).select("id_a", "id_b", F.lit(0).cast("bigint").alias("label"))
-    return pos.unionByName(neg)
-
-
-def q_b21_corpus_card(spark, sf_dir):
-    """Per-source corpus card (B21 QA depth): docs, tokens, mean quality,
-    and language entropy per source — the summary table a data card /
-    datasheet publishes. Language entropy −Σ p·ln p is computed from
-    exact per-(source,lang) counts (one keyed agg) so the only float work
-    is |sources|×|langs| rows; everything else is partial+final aggs."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(
-        docs.select("doc_id", "source", "lang", "text")
-    )
-    per_source = feats.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("q_tokens").cast("bigint").alias("sum_tok"),
-        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
-    )
-    from pyspark.sql import Window
-
-    lang_counts = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).cast("double").alias("__c")
-    )
-    ent = (
-        lang_counts.withColumn(
-            "__n", F.sum("__c").over(Window.partitionBy("source"))
-        )
-        .groupBy("source")
-        .agg(
-            F.round(
-                -F.sum(
-                    (F.col("__c") / F.col("__n"))
-                    * F.log(F.col("__c") / F.col("__n"))
-                ),
-                6,
-            ).alias("lang_entropy")
-        )
-    )
-    return per_source.join(ent, "source")
-
-
-def q_b26_kfold(spark, sf_dir):
-    """K-fold split assignment (B26 depth): fold = deterministic hash
-    bucket in [0,5) — cross-validation splits that survive repartitioning
-    and replay identically on any engine; the narrow-map companion to
-    train/val/test assignment (sampling.py: hash_bucket)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        "lang",
-        sampling.hash_bucket("doc_id", 5).alias("fold"),
-    )
-
-
-def q_b28_epochs(spark, sf_dir):
-    """Epoch-aware mixture manifest (B28 depth): per-doc repeat counts
-    hitting per-lang token budgets that may EXCEED the group size — the
-    up-sampling half of data mixing (low-resource languages get >1
-    epoch, the dominant language is downsampled). Integer-exact repeat
-    arithmetic; totals broadcast; corpus never shuffled
-    (sampling.py: epoch_mixture)."""
-    docs = _t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", "lang", textops.token_count("text").alias("n_tok")
-    )
-    return sampling.epoch_mixture(
-        sized,
-        "lang",
-        "doc_id",
-        "n_tok",
-        budgets={"en": 4000, "de": 20000, "zh": 15000},
-    )
-
-
-def q_b24_corpus_v3(spark, sf_dir):
-    """Corpus-build capstone v3 (B24, round 5): the build recomposed from
-    this round's operators, ONE lazy plan —
-
-    1. quality features + unigram-LM cross-entropy per doc;
-    2. per-lang percentile gates: drop the bottom quality quartile AND
-       the top 10% most-surprising (the CCNet-style two-sided filter);
-    3. temperature mixture (α=0.5, 20k-token budget) over survivors;
-    4. curriculum packing (quality deciles, 2k-token packs);
-    5. per-phase report: docs, tokens, packs.
-
-    Everything is keyed aggs + broadcast scalars + narrow filters; the
-    only ordered structure is the distributed prefix sum inside
-    pack_sequences. Oracle replays every stage in SQL.
-
-    The 4-column survivor manifest is localCheckpoint-ed before the
-    mixture (r7, the multi-reference rule): temperature_sample scans
-    its input twice (group totals, then the keep filter), and without
-    the checkpoint each scan re-executes the whole curation pipeline —
-    the r6 bench regression. At 100 TB the manifest is doc-id metadata
-    (4 narrow columns), executor-disk-resident, far cheaper than two
-    passes of tokenize+join+window."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
-    xent = lm.doc_cross_entropy(docs, "doc_id").select("doc_id", "xent")
-    joined = feats.join(xent, "doc_id")
-    g1 = textops.quality_gate(joined)
-    w = Window.partitionBy("lang").orderBy(
-        F.col("xent").asc(), F.col("doc_id").asc()
-    )
-    g2 = (
-        g1.withColumn("__xpr", F.round(F.percent_rank().over(w), 6))
-        .filter(F.col("__xpr") <= 0.9)
-    )
-    mixed = sampling.temperature_sample(
-        g2.select("doc_id", "lang", "q_tokens", "quality_score").localCheckpoint(
-            eager=False
-        ),
-        "lang",
-        "doc_id",
-        "q_tokens",
-        total_budget=20_000,
-        alpha=0.5,
-    )
-    staged = mixed.select(
-        "doc_id",
-        F.col("q_tokens").alias("n_tok"),
-        F.least(
-            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
-        ).alias("phase"),
-    ).withColumn("okey", F.col("phase") * F.lit(10_000_000) + F.col("doc_id"))
-    packed = sampling.pack_sequences(staged, "okey", "n_tok", budget=2000)
-    return packed.groupBy("phase").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tok").cast("bigint").alias("sum_tok"),
-        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
-    )
-
-
-def q_b27_sketch_bounds(spark, sf_dir):
-    """Oracle-able read of the sketch family (B27): the approx values
-    themselves are engine-specific (each engine runs its own HLL/quantile
-    sketch), but BOTH engines' sketches must sit within the declared
-    error bounds of the exact answers — so the deterministic output is
-    (exact values, within-bound booleans), and the driver row proves the
-    bound holds on both engines simultaneously. Bounds are generous
-    (15% distinct / 5% quantile vs ~1-3% typical error) so the booleans
-    are far from the flip threshold."""
-    li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("__acd"),
-        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__ap50"),
-        F.percentile("l_extendedprice", 0.5).alias("__p50"),
-    )
-    return agg.select(
-        "l_returnflag",
-        "exact_orders",
-        F.round(F.col("__p50"), 6).alias("p50_exact"),
-        (
-            F.abs(F.col("__acd") - F.col("exact_orders"))
-            <= 0.15 * F.col("exact_orders")
-        ).alias("cd_within_bound"),
-        (
-            F.abs(F.col("__ap50") - F.col("__p50")) <= 0.05 * F.col("__p50")
-        ).alias("p50_within_bound"),
-    )
-
-
-def q_b11_value_funcs(spark, sf_dir):
-    """Window value functions (B11 depth): first/last/nth price per order
-    over an explicit frame (last_value needs the full-partition frame or
-    it degenerates to the running last)."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    order_cols = [F.col(c) for c in li.columns if c != "l_orderkey"]
-    w = Window.partitionBy("l_orderkey").orderBy(*order_cols)
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        "l_quantity",
-        F.first("l_extendedprice").over(wfull).alias("first_price"),
-        F.last("l_extendedprice").over(wfull).alias("last_price"),
-        F.nth_value("l_extendedprice", 2).over(wfull).alias("second_price"),
-    )
-
-
-def q_b14_string_sim(spark, sf_dir):
-    """Edit-distance string similarity (B14/B19 depth): levenshtein over
-    adjacent part names — the classic fuzzy-matching scalar, useful as a
-    dedup verify stage for short fields."""
-    p = _t(spark, sf_dir, "part")
-    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
-    pairs = a.join(b, F.col("id_a") + 1 == F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
-        (
-            F.lit(1.0)
-            - F.levenshtein("name_a", "name_b")
-            / F.greatest(F.length("name_a"), F.length("name_b")).cast("double")
-        ).alias("sim"),
-    )
-
-
-def q_b7_outer_join(spark, sf_dir):
-    """Outer-join family (B7 depth): customers LEFT JOIN their orders —
-    null-extended rows for order-less customers kept and flagged."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    j = c.join(o, c.c_custkey == o.o_custkey, "left_outer")
-    return j.groupBy("c_custkey", "c_mktsegment").agg(
-        F.count("o_orderkey").alias("n_orders"),  # count() skips nulls
-        (F.count("o_orderkey") == 0).alias("is_inactive"),
-    )
-
-
-def q_b10_stats_agg(spark, sf_dir):
-    """Statistical aggregates (B10 depth) computed from EXACT decimal power
-    sums (n, Σx, Σx², Σy, Σy², Σxy) — the map-side-combinable form — then
-    derived in double with expressions mirrored verbatim in the oracle.
-    Built-in stddev/corr stream doubles in shuffle order (run- and
-    engine-varying last ulp); power sums are order-independent, so this is
-    bit-exact at any parallelism."""
-    li = _t(spark, sf_dir, "lineitem")
-    dec4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    sums = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec4("l_quantity")).cast("double").alias("sx"),
-        F.sum(dec4("l_quantity") * dec4("l_quantity")).cast("double").alias("sxx"),
-        F.sum(dec4("l_extendedprice")).cast("double").alias("sy"),
-        F.sum(dec4("l_extendedprice") * dec4("l_extendedprice")).cast("double").alias("syy"),
-        F.sum(dec4("l_quantity") * dec4("l_extendedprice")).cast("double").alias("sxy"),
-    )
-    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
-    return sums.select(
-        "l_returnflag",
-        F.col("n").cast("bigint").alias("n_rows"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("sd_qty"),
-        F.round(F.sqrt((syy - sy * sy / n) / (n - 1)), 6).alias("sd_price"),
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("corr_qty_price"),
-    )
-
-
-def q_b14_regex_funcs(spark, sf_dir):
-    """Regex battery (B14 depth): extract / replace / match over part
-    names. DuckDB regexp_replace is single-match unless the 'g' flag is
-    passed — the oracle says so explicitly."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
-        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
-        F.col("p_name").rlike(r"^[a-m]").cast("boolean").alias("first_half"),
-        F.regexp_extract("p_type", r"(\w+)", 1).alias("type_head"),
-    )
-
-
-def q_b5_time_range(spark, sf_dir):
-    """Time-range + JSON predicate scan (B5 depth): changes inside a
-    one-week window whose after-image value exceeds a threshold — the
-    canonical 'what changed last week for big accounts' slice over the
-    change feed."""
-    ch = _events_changes(spark, sf_dir)
-    v = F.get_json_object("after", "$.value").cast("double")
-    return ch.filter(
-        (F.col("timestamp") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
-        & (F.col("timestamp") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
-        & (v > 50.0)
-    ).select("id", "operation", "timestamp", F.round(v, 6).alias("value"))
-
-
-def q_b9_band_join(spark, sf_dir):
-    """Numeric band join (B9 depth): price rows joined to a small band
-    table on a range condition (lo <= price < hi) — the binning-by-join
-    shape. The band table is literal/broadcast, so Catalyst plans a
-    broadcast nested-loop with the range predicate — no cartesian of two
-    big sides, the only sane plan for range joins at scale."""
-    bands = [(0, 50000, "low"), (50000, 150000, "mid"), (150000, 10**9, "high")]
-    o = _t(spark, sf_dir, "orders")
-    b = spark.createDataFrame(bands, "lo long, hi long, band string")
-    j = o.join(
-        F.broadcast(b),
-        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
-    )
-    return j.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
-        ).alias("revenue"),
-    )
-
-
-def q_b10_bool_agg(spark, sf_dir):
-    """Boolean aggregate battery (B10 depth): any/every/count_if per
-    group — the data-quality assertion shapes (`every(price > 0)`)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
-        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
-        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-def q_b14_null_funcs(spark, sf_dir):
-    """Null-handling scalar battery (B14 depth): coalesce / nullif /
-    nvl2-shape / null-safe equality over a column made sparse on a
-    deterministic key."""
-    c = _t(spark, sf_dir, "customer")
-    sparse = F.when(F.col("c_custkey") % 3 == 0, F.col("c_name"))
-    return c.select(
-        "c_custkey",
-        F.coalesce(sparse, F.lit("<missing>")).alias("comment_or_default"),
-        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
-        F.when(sparse.isNotNull(), F.lit("has")).otherwise(F.lit("none")).alias(
-            "nvl2_shape"
-        ),
-        sparse.eqNullSafe(F.col("c_name")).alias("nullsafe_eq"),
-        F.isnull(sparse).alias("is_missing"),
-    )
-
-
-def q_b14_bitwise_funcs(spark, sf_dir):
-    """Bitwise scalar battery (B14 depth): shifts, masks, xor, popcount —
-    the ops flag-packing/bloom-ish code paths need. All integer-exact on
-    any engine."""
-    o = _t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.shiftleft(k, 3).alias("shl3"),
-        F.shiftright(k, 2).alias("shr2"),
-        k.bitwiseAND(F.lit(0xFF)).alias("low_byte"),
-        k.bitwiseOR(F.lit(0x10)).alias("with_flag"),
-        k.bitwiseXOR(F.col("o_custkey")).alias("xor_cust"),
-        F.bit_count(k).cast("bigint").alias("popcount"),
-    )
-
-
-def q_b14_url_funcs(spark, sf_dir):
-    """URL-ish parsing (B14 depth) via engine-equal regexes over synthetic
-    URLs built from order columns (no parse_url dependency — DuckDB lacks
-    it, and regex keeps both engines on identical semantics)."""
-    o = _t(spark, sf_dir, "orders")
-    url = F.concat(
-        F.lit("https://shard"),
-        (F.col("o_orderkey") % 8).cast("string"),
-        F.lit(".example.com/orders/"),
-        F.col("o_orderkey").cast("string"),
-        F.lit("?prio="),
-        F.regexp_replace("o_orderpriority", r"\s+", "+"),
-    )
-    return o.select(
-        "o_orderkey",
-        url.alias("url"),
-        F.regexp_extract(url, r"^https://([^/]+)/", 1).alias("host"),
-        F.regexp_extract(url, r"^https://[^/]+(/[^?]*)", 1).alias("path"),
-        F.regexp_extract(url, r"prio=([^&]+)", 1).alias("prio_param"),
-    )
-
-
-def q_b11_ntile(spark, sf_dir):
-    """ntile quartiles per status (B11 depth): equi-depth bucketing over a
-    total order — the percentile-bin assignment a feature pipeline uses."""
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
-    )
-
-
-def q_b10_median_mode(spark, sf_dir):
-    """Median + deterministic mode per group (B10 depth). Spark's mode()
-    breaks ties arbitrarily, so the mode is DERIVED (max count, then min
-    value) — identical tie-breaking on both engines; median over decimal
-    cast to double after the exact midpoint average."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("n").desc(), F.col("l_quantity").asc()
-    )
-    mode = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("n").alias("mode_n")
-        )
-    )
-    med = li.groupBy("l_returnflag").agg(
-        F.median(F.col("l_quantity").cast("double")).alias("median_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    return med.join(mode, "l_returnflag").select(
-        "l_returnflag", "median_qty", "mode_qty", "mode_n", "n_rows"
-    )
-
-
-def q_b26_hash_sample(spark, sf_dir):
-    """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
-    group-coherent (whole orders in or out), shuffle-free, replayable."""
-    li = _t(spark, sf_dir, "lineitem")
-    return sampling.sample_by_key(li, "l_orderkey", 10).select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
-    )
-
-
-def q_b26_train_split(spark, sf_dir):
-    """Deterministic 80/10/10 train/val/test assignment per document —
-    disjoint + exhaustive by construction, stable across runs/partitions."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", sampling.split_assign("doc_id").alias("split")
-    )
-
-
-def q_b26_stratified_sample(spark, sf_dir):
-    """Per-language stratified sampling: downsample dominant English to
-    25%, keep low-resource languages whole — corpus rebalancing as one
-    narrow filter."""
-    docs = _t(spark, sf_dir, "documents")
-    return sampling.stratified_sample(
-        docs, "doc_id", "lang", {"en": 25, "de": 100, "fr": 100}, default_rate=50
-    ).select("doc_id", "lang", "source")
-
-
-def q_b21_lang_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(docs)
-    return feats.select(
-        "doc_id",
-        textops.lang_id("text").alias("lang_guess"),
-        "q_chars",
-        "q_tokens",
-        "q_mean_tok_len",
-        "q_alpha_ratio",
-        "q_stopword_ratio",
-        "quality_score",
-    )
-
-
-def q_b21_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            "lang",
-            "source",
-            textops.token_count("text").alias("n_tok"),
-            textops.bpe_ish_token_count("text").alias("n_bpe"),
-            textops.fingerprint("text").alias("fp"),
-        )
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("sum_tok"),
-            F.sum("n_bpe").alias("sum_bpe"),
-            F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
-        )
-    )
-
-
-def q_b21_token_per_doc(spark, sf_dir):
-    """Per-document token canary (B21 depth): doc-level token counts +
-    fingerprint, un-aggregated — localizes any future tokenization
-    divergence to the exact doc_id in one driver run instead of a
-    lang-level hash mismatch."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        textops.token_count("text").alias("n_tok"),
-        textops.bpe_ish_token_count("text").alias("n_bpe"),
-        textops.fingerprint("text").alias("fp"),
-    )
-
-
-def q_b21_top_tokens(spark, sf_dir):
-    """Corpus vocabulary stats (B21 depth): top-10 tokens per language by
-    raw count with a total tie-break (count desc, token asc) — the vocab
-    coverage / tokenizer-fit check of corpus QA. One explode pass into a
-    partial+final agg, then a per-group window top-k: no global sort, no
-    driver collection."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", F.explode(textops.tokens("text")).alias("tok")
-    ).filter(F.col("tok") != "")
-    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 10)
-    )
-
-
-def q_b21_fingerprints(spark, sf_dir):
-    """Rolling windowed fingerprints (B21 depth): stride-8 md5 over
-    16-token windows, exploded to (doc_id, win_idx, fp) — the building
-    block for fuzzy containment / plagiarism-style matching. Uses the
-    codegen row form (textops.fingerprint_rows: posexplode + window
-    leads), output-identical to exploding the array-form
-    rolling_fingerprints but free of interpreted HOF lambdas."""
-    docs = _t(spark, sf_dir, "documents")
-    return textops.fingerprint_rows(docs, "doc_id", "text")
-
-
-def q_b28_mixture(spark, sf_dir):
-    """Budget-aware mixture sampling (B28 depth): downsample each language
-    to a token budget with integer-exact deterministic keep rates
-    (sampling.mixture_sample) — the data-mixing step of a corpus build."""
-    docs = _t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", "lang", textops.token_count("text").alias("n_tok")
-    )
-    mixed = sampling.mixture_sample(
-        sized, "lang", "doc_id", "n_tok",
-        budgets={"en": 4000, "de": 1500}, default_budget=2000,
-    )
-    return mixed.select("doc_id", "lang", "n_tok")
-
-
-def q_b21_chunking(spark, sf_dir):
-    """Document chunking (B21/B24 depth): 16-token chunks every 12 tokens
-    (4-token overlap) — the training/RAG prep step, emitted as rows with
-    per-chunk token counts (textops.chunk_rows, codegen path)."""
-    docs = _t(spark, sf_dir, "documents")
-    return textops.chunk_rows(docs, "doc_id", "text", chunk_tokens=16, overlap=4)
-
-
-def q_b21_nchars_histogram(spark, sf_dir):
-    """n-chars distribution over documents (B21): 50-char buckets with
-    count + share, per language."""
-    docs = _t(spark, sf_dir, "documents")
-    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("bigint")
-    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
-    hist = (
-        docs.groupBy("lang", bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .join(per_lang, "lang")
-        .select(
-            "lang",
-            "bucket",
-            "n_docs",
-            F.round(
-                F.col("n_docs").cast("double") / F.col("lang_total").cast("double"), 6
-            ).alias("share"),
-        )
-    )
-    return hist
-
-
-def q_b24_corpus_build(spark, sf_dir):
-    """Capstone composition (B18+B21): training-corpus build — quality
-    scoring → language/quality gates → exact dedup on normalized text →
-    per-language corpus stats."""
-    docs = _docs_with_dups(spark, sf_dir)
-    feats = textops.quality_features(docs)
-    gated = feats.filter(
-        (F.col("quality_score") >= 0.5) & (F.col("q_tokens") >= 20)
-    )
-    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
-    return (
-        deduped.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("q_tokens").alias("total_tokens"),
-            # avg as exact-decimal sum ÷ count in double (engine avg()
-            # return types differ on decimals)
-            F.round(
-                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("avg_quality"),
-        )
-    )
-
-
-def q_b28_training_manifest(spark, sf_dir):
-    """Full training-data pipeline composed end to end (B18+B21+B26):
-    quality gate → exact dedup → per-language stratified downsampling →
-    deterministic train/val/test split → the manifest a trainer consumes
-    (doc/token counts per split × language). Every stage is a narrow map
-    or keyed shuffle; the whole plan is one job."""
-    docs = _docs_with_dups(spark, sf_dir)
-    feats = textops.quality_features(docs)
-    gated = feats.filter(
-        (F.col("quality_score") >= 0.5) & (F.col("q_tokens") >= 20)
-    )
-    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
-    sampled = sampling.stratified_sample(
-        deduped, "doc_id", "lang", {"en": 50}, default_rate=100
-    )
-    manifest = sampled.select(
-        "*", sampling.split_assign("doc_id").alias("split")
-    )
-    return manifest.groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("q_tokens").alias("total_tokens"),
-    )
-
-
-def q_b22_multimodal_meta(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    packed = multimodal.pack_binary(
-        docs.select("doc_id", "text"), multimodal.text_as_payload("text"), "text/plain"
-    )
-    return packed.select(
-        "doc_id",
-        F.col("media_meta.media_type").alias("media_type"),
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.col("media_meta.checksum").alias("checksum"),
-        F.octet_length(multimodal.hex_roundtrip("payload")).cast("long").alias("rt_hex_bytes"),
-        F.octet_length(multimodal.base64_roundtrip("payload")).cast("long").alias("rt_b64_bytes"),
-    )
-
-
-def q_b22_image_resize(spark, sf_dir):
-    """GENUINE image decode + resize (B22 made fully real, VERDICT r6
-    item 4 — no stub anywhere on this path): each doc synthesizes a
-    deterministic tiny RGB image as REAL binary PPM bytes
-    (multimodal.synth_ppm — geometry/pixels are pure integer functions
-    of doc_id), the payload is then treated as opaque bytes and run
-    through the pure-Python P6 parser + numpy nearest-neighbor resize
-    to 8×8 (multimodal.image_resize). Output: per-doc source dims and
-    integer per-channel sums of the RESIZED raster — bit-exact, so the
-    oracle replays the synthesis+NN arithmetic in closed form and the
-    driver row certifies the whole byte path (header parse, raster
-    reshape, index-map resample). mapInPandas, narrow, partition-
-    parallel — the scan-shaped scale profile of a media preprocessing
-    stage."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = multimodal.image_resize(multimodal.synth_ppm(docs), 8, 8)
-    return out.select(
-        "doc_id",
-        "src_w",
-        "src_h",
-        "sum_r",
-        "sum_g",
-        "sum_b",
-    )
-
-
-def q_b22_image_stats(spark, sf_dir):
-    """Image screening statistics (B22 depth beside the resize row): the
-    pass a multimodal corpus runs before any model step — per decoded
-    image, full-raster channel sums, integer Rec.601 luma (299R + 587G
-    + 114B), and the center-crop sum a border-artifact check compares
-    against the full frame. Same genuine PPM decode as
-    q_b22_image_resize (multimodal.image_stats); pure integers, so the
-    oracle replays the synthesis+crop arithmetic in closed form."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = multimodal.image_stats(multimodal.synth_ppm(docs))
-    return out.select(
-        "doc_id",
-        "src_w",
-        "src_h",
-        "sum_r",
-        "sum_g",
-        "sum_b",
-        "luma_sum",
-        "crop_sum",
-    )
-
-
-def q_b23_grouped_agg_udf(spark, sf_dir):
-    """Grouped-AGGREGATE pandas UDF (B23 surface completion): quantity-
-    weighted mean price per return flag computed by a numpy aggregate
-    over Arrow batches — the fourth UDF shape (scalar, grouped-map,
-    mapInPandas, and stateful are covered elsewhere). Arrow transfers
-    whole column batches; the UDF runs once per group. Output rounded to
-    6 (float-sum order differs per engine; errors sit ~1e-9 relative,
-    far below the rounding)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    # pandas_udf infers the GROUPED_AGG eval type from Series -> scalar
-    # hints; this module's `from __future__ import annotations` would
-    # stringify inline hints, so attach real objects explicitly
-    def _wmean(price, qty):
-        import numpy as np
-
-        return float(np.average(price.to_numpy(), weights=qty.to_numpy()))
-
-    _wmean.__annotations__ = {
-        "price": pd.Series, "qty": pd.Series, "return": float
-    }
-    wmean = pandas_udf(_wmean, "double")
-
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(wmean(F.col("l_extendedprice"), F.col("l_quantity")).alias("__w"))
-        .select("l_returnflag", F.round(F.col("__w"), 6).alias("wmean_price"))
-    )
-
-
-def q_b23_udf_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction. The byte-fold
-    feature is imperative Python but pure byte arithmetic — so the
-    DuckDB oracle replays it from hex(encode(text)) and the mapInPandas
-    plumbing itself gets a bit-exact correctness row (genuine codecs
-    are exercised by b22_image_resize / b22_audio_stats /
-    b22_frame_extract)."""
-    docs = _t(spark, sf_dir, "documents")
-    packed = multimodal.pack_binary(
-        docs.select("doc_id", "text"), multimodal.text_as_payload("text"), "text/plain"
-    )
-    feats = multimodal.extract_features(packed)
-    return feats.select(
-        "doc_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
-    )
-
-
-def q_b29_decontamination(spark, sf_dir):
-    """Benchmark decontamination (GPT-3-style exact 5-gram overlap): docs
-    0-19 act as the eval set; the corpus is every other doc plus planted
-    contaminated copies (each doc_id%10==5 doc gets bench doc 0's text
-    appended). Complete keep/drop manifest, fully DuckDB-replayable (the
-    join key is the raw n-gram string — no hashing)."""
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
-    bench0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
-    planted = (
-        docs.filter(F.col("doc_id") % 10 == 5)
-        .crossJoin(F.broadcast(bench0))
-        .select(
-            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" "), F.col("bt")).alias("text"),
-        )
-    )
-    corpus = (
-        docs.filter(F.col("doc_id") >= 20)
-        .select("doc_id", "text")
-        .unionByName(planted)
-    )
-    return decontam.ngram_contamination(corpus, bench, "doc_id", "text", n=5)
-
-
-def q_b29_containment(spark, sf_dir):
-    """Fuzzy containment decontamination (B29 depth): windowed-fingerprint
-    match — dense benchmark windows (stride 1) vs stride-8 corpus samples,
-    guaranteeing detection of any shared run ≥ 23 tokens at 1/8 the
-    corpus row volume of exact n-grams. Same planted fixture as
-    b29_decontamination; the planted docs append a full benchmark text,
-    so they must be flagged here too."""
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
-    bench0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
-    planted = (
-        docs.filter(F.col("doc_id") % 10 == 5)
-        .crossJoin(F.broadcast(bench0))
-        .select(
-            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" "), F.col("bt")).alias("text"),
-        )
-    )
-    corpus = (
-        docs.filter(F.col("doc_id") >= 20)
-        .select("doc_id", "text")
-        .unionByName(planted)
-    )
-    return decontam.fingerprint_containment(corpus, bench, "doc_id", "text")
-
-
-def q_b24_corpus_v2(spark, sf_dir):
-    """Round-3 capstone (B24 depth): the corpus build recomposed from this
-    round's operators — near-dup CLUSTER dedup (transitive closure, keep
-    each cluster's min id), token gate, budget-aware mixture sampling,
-    then document chunking — ending in per-lang chunk statistics. Every
-    stage is the library operator, and the whole chain is one lazy plan
-    replayed bit-exact by the DuckDB oracle (closure via recursive CTE)."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.col("lang"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "lang", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    ).select("id_a", "id_b")
-    clusters = dedup.dup_clusters(pairs)
-    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
-    surv = corpus.join(dropped, "doc_id", "left_anti")
-    gated = surv.select(
-        "doc_id", "lang", "text", textops.token_count("text").alias("n_tok")
-    ).filter(F.col("n_tok") >= 20)
-    mixed = sampling.mixture_sample(
-        gated, "lang", "doc_id", "n_tok",
-        budgets={"en": 4000, "de": 1500}, default_budget=2000,
-    )
-    chunks = textops.chunk_rows(mixed, "doc_id", "text", 16, 4)
-    return (
-        chunks.join(mixed.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count_distinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum("n_tok").cast("long").alias("sum_chunk_tokens"),
-        )
-    )
-
-
-def q_b21_pii_scrub(spark, sf_dir):
-    """PII audit + redaction over planted emails/phones/IPs (engine-equal
-    character-class regexes: no lookarounds, no backrefs)."""
-    docs = _t(spark, sf_dir, "documents")
-    injected = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 13 == 0,
-                F.lit(" reach me at first.last+spam@example.co.uk ok"),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 17 == 0, F.lit(" call +1 (555) 123-4567 now")
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 19 == 0, F.lit(" server at 10.0.42.7 down")
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    counts = textops.pii_counts("text")
-    return injected.select(
-        "doc_id",
-        counts["email"].alias("n_email"),
-        counts["phone"].alias("n_phone"),
-        counts["ipv4"].alias("n_ip"),
-        textops.redact_pii("text").alias("redacted"),
-    )
-
-
-def q_b21_repetition(spark, sf_dir):
-    """Gopher-style repetition filters: distinct-token ratio, top-token
-    ratio, duplicate-2-gram ratio per document."""
-    docs = _t(spark, sf_dir, "documents")
-    return textops.repetition_features(docs, "doc_id", "text")
-
-
-def q_b28_packing(spark, sf_dir):
-    """Sequence packing for training (the op after the manifest): docs in
-    doc_id order packed into 512-token budgets via a DISTRIBUTED exclusive
-    prefix sum (two-phase bucket cumsum + broadcast offsets — no
-    single-partition global window). Oracle: plain window cumsum."""
-    docs = _t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", textops.token_count("text").alias("n_tok")
-    )
-    packed = sampling.pack_sequences(
-        sized, "doc_id", "n_tok", budget=512, bucket_size=64
-    )
-    return packed.select("doc_id", "n_tok", "pack_id")
-
-
-def q_b14_date_funcs(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").cast("bigint").alias("yr"),
-        F.month("o_orderdate").cast("bigint").alias("mo"),
-        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.unix_timestamp("o_orderdate").alias("epoch_s"),
-        F.datediff(
-            F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")
-        ).cast("bigint").alias("days_to_eoy"),
-    )
-
-
-def q_b21_tfidf(spark, sf_dir):
-    """TF-IDF keyword extraction (B21/B30 depth): top-3 terms per document
-    by smoothed TF-IDF (sklearn idf: ln((N+1)/(df+1))+1), rounded-score
-    ranking with a token tie-break so both engines rank identically. Two
-    word-count aggs + a vocab equi-join; N broadcasts as a 1-row agg
-    (lm.py: tf_idf / top_terms)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.top_terms(docs, "doc_id", k=3)
-
-
-def q_b21_bm25(spark, sf_dir):
-    """BM25 keyword search (B21/B30 depth): top-15 documents for a fixed
-    3-term query (k1=1.2, b=0.75, Robertson idf). The term filter pushes
-    into the token relation before any agg, so the scored side is
-    |matching docs × 3|, never the corpus (lm.py: bm25_search)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.bm25_search(
-        docs, "doc_id", ["merge", "join", "batch"], top_k=15
-    )
-
-
-def q_b21_perplexity(spark, sf_dir):
-    """Unigram-LM cross-entropy per document (B21/B30 depth) — the
-    perplexity filter of corpus curation (CCNet-style): self-scored
-    add-1-smoothed unigram LM, H = ln(T+V) − (Σ c_t·ln(cnt_t+1))/n.
-    Integer counts aggregate first; ln runs over distinct (doc,token)
-    pairs only; model totals broadcast (lm.py: doc_cross_entropy)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.doc_cross_entropy(docs, "doc_id")
-
-
-def q_b21_bpe_pairs(spark, sf_dir):
-    """BPE-trainer pair statistics (B21/B30 depth): top-50 adjacent
-    character pairs by frequency, counted over the word-frequency dict —
-    the corpus-side cost is ONE word count; char-level work is bounded by
-    |vocab|, not corpus bytes (lm.py: bpe_pair_counts)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.bpe_pair_counts(docs, top_n=50)
-
-
-def q_b28_temperature(spark, sf_dir):
-    """Temperature-reweighted mixture (B28 depth): α=0.5 sampling (the
-    mBERT/XLM-R α-sampling rule — share ∝ total^α, flattening toward
-    low-resource groups) against a 100k-char budget. sqrt is IEEE-exact
-    on both engines; keep rates are integer buckets with an epsilon'd
-    floor; the corpus is filtered narrowly, never shuffled
-    (sampling.py: temperature_sample)."""
-    docs = _t(spark, sf_dir, "documents")
-    return sampling.temperature_sample(
-        docs.select("doc_id", "lang", "n_chars"),
-        "lang",
-        "doc_id",
-        "n_chars",
-        total_budget=100_000,
-        alpha=0.5,
-    ).select("doc_id", "lang", "n_chars")
-
-
-def q_b30_inverted_index(spark, sf_dir):
-    """Inverted-index build (B30 depth): posting lists per term with df
-    bounds (min_df drops hapaxes; max_df is the stopword guard whose
-    posting list would be 'every doc' — the scale hazard; the fixture's
-    31-token vocab all sits near df≈0.8N, so the bounds here are wide).
-    Distinct (doc,tok) agg → per-term count + sort_array(collect_list)
-    (lm.py: inverted_index). The library API returns the posting list as
-    array<bigint>; the DRIVER row serializes it to a csv string — the
-    r5 driver canonicalizer cannot factorize list dtypes (VERDICT r5
-    item 1), and integer→string formatting is engine-identical."""
-    docs = _t(spark, sf_dir, "documents")
-    idx = lm.inverted_index(docs, "doc_id", min_df=2, max_df=100_000)
-    return idx.select(
-        "tok",
-        "df_t",
-        F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
-            "postings_csv"
-        ),
-    )
-
-
-def q_b30_pmi(spark, sf_dir):
-    """PMI co-occurrence pairs (B30 depth): unordered token pairs within
-    2 forward positions, min_count=8, pmi = ln((c_ab/P)/((c_a/T)(c_b/T)))
-    — the word2vec/GloVe association statistic. posexplode + lead pair
-    emission (codegen), one keyed agg, two unigram equi-joins, P and T
-    broadcast (lm.py: pmi_pairs)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.pmi_pairs(docs, "doc_id", window=2, min_count=8)
-
-
-def q_b30_incremental_lm(spark, sf_dir):
-    """Incremental unigram-LM maintenance under CDC (B30 depth): docs with
-    doc_id%7==0 are UPDATEd (text + ' zzz'), doc_id%11==0 (and not %7)
-    DELETEd; the standing (tok,cnt) model is merged with batch deltas at
-    cost ∝ batch vocab — never re-counting the corpus. Oracle recomputes
-    from scratch over the effective corpus, so the driver row IS the
-    streaming-equals-batch invariant (lm.py: update_unigram_counts)."""
-    docs = _t(spark, sf_dir, "documents")
-    upd = docs.filter(F.col("doc_id") % 7 == 0)
-    dels = upd.select("text").unionByName(
-        docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
-        .select("text")
-    )
-    ins = upd.select(F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
-    model = lm.unigram_counts(docs)
-    return lm.update_unigram_counts(model, inserts=ins, deletes=dels)
-
-
-def q_b21_quality_gate(spark, sf_dir):
-    """Per-language percentile quality gate (B21 depth): drop each
-    language's bottom quartile by composite quality score — percentile
-    thresholds transfer across languages where absolute ones don't.
-    percent_rank is exact integer arithmetic over a total (score, id)
-    order, so the kept set replays identically on any engine
-    (text.py: quality_gate over quality_features)."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
-    return textops.quality_gate(feats).select(
-        "doc_id", "lang", "quality_score", "pctile"
-    )
-
-
-def q_b28_curriculum(spark, sf_dir):
-    """Curriculum packing (B28 depth): documents quantized into quality
-    deciles (phase 0 = worst … 9 = best), then token-budget packs
-    assigned in phase-major order via the two-phase distributed prefix
-    sum — a curriculum-ordered training manifest with NO global sort by
-    the continuous score (the decile quantization is exactly the price
-    of scalability; doc_id breaks ties inside a phase). Composition:
-    quality_features → phase arithmetic → pack_sequences
-    (sampling.py:92)."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(docs.select("doc_id", "text"))
-    staged = feats.select(
-        "doc_id",
-        F.col("q_tokens").alias("n_tok"),
-        F.least(
-            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
-        ).alias("phase"),
-    ).withColumn("okey", F.col("phase") * F.lit(10_000_000) + F.col("doc_id"))
-    packed = sampling.pack_sequences(staged, "okey", "n_tok", budget=4000)
-    return packed.select(
-        "doc_id", "phase", F.col("pack_id").cast("bigint").alias("pack_id"), "n_tok"
-    )
-
-
-def q_b7_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape (B7/B12 depth): revenue per undelivered order for a
-    customer segment, top-10 by revenue — selective dimension filter
-    broadcast into the fact join, decimal-exact revenue agg, then
-    TakeOrderedAndProject-sized top-k (rounded revenue + key tie-breaks
-    so ranking is engine-identical)."""
-    cust = _t(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "1996-06-01"
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "1996-06-01"
-    )
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    )
-    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(38,6)")
-                    * (F.lit(1).cast("decimal(38,6)") - F.col("l_discount").cast("decimal(38,6)"))
-                )
-            ).cast("double"),
-            2,
-        ).alias("revenue")
-    )
-    from pyspark.sql import Window
-
-    # top-10 via distributed orderBy().limit(10) (TakeOrderedAndProject),
-    # then rank only the 10 survivors — the per-order revenue relation is
-    # |qualifying orders|, far too large for a global WindowExec sort on
-    # one task (VERDICT r7 item 2).
-    w = Window.orderBy(
-        F.col("revenue").desc(), F.col("l_orderkey").asc()
-    )
-    return (
-        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .select(
-            "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            "o_orderpriority",
-            "revenue",
-            "rank",
-        )
-    )
-
-
-def q_b10_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape (B10/B25 depth): orders whose total quantity
-    exceeds a threshold — aggregate-HAVING pushed as a pre-join filter on
-    the fact side, then an equi-join back for order attributes. Decimal
-    sums for order-independent exactness."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("__q")
-        )
-        .filter(F.col("__q") > 300)
-    )
-    return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            F.col("__q").cast("double").alias("total_qty"),
-        )
-    )
-
-
-def q_b7_nation_volume(spark, sf_dir):
-    """TPC-H Q7 shape (B7 depth, r7): bilateral trade volume between two
-    nations by ship year — the two-sided dimension-filter join no other
-    b7 row exercises (the OR spans BOTH dim legs, so neither filter can
-    prune alone; Catalyst keeps it as a post-join residual over
-    broadcast dims). lineitem⋈orders is the only big-big join; customer/
-    supplier/nation broadcast; decimal revenue."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    ns = n.select(
-        F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation")
-    )
-    nc = n.select(
-        F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation")
-    )
-    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__snk"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__cnk"))
-        .filter(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
-        )
-    )
-    return (
-        joined.groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("int").alias("l_year"),
-        )
-        .agg(
-            F.round(
-                F.sum(
-                    dec4("l_extendedprice")
-                    * (F.lit(1).cast("decimal(18,4)") - dec4("l_discount"))
-                ).cast("double"),
-                2,
-            ).alias("volume"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-        )
-    )
-
-
-def q_b10_profit_by_nation_year(spark, sf_dir):
-    """TPC-H Q9 shape (B10 depth, r7): part-filtered profit rollup by
-    supplier nation × order year — the deepest star join in the b10
-    family (lineitem⋈orders big-big; part/supplier/nation broadcast;
-    the part filter prunes BEFORE the join via the broadcast side).
-    Decimal sums; year from o_orderdate."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_type").startswith("ECONOMY"))
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
-    joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-    )
-    return (
-        joined.groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
-        )
-        .agg(
-            F.round(
-                F.sum(
-                    dec4("l_extendedprice")
-                    * (F.lit(1).cast("decimal(18,4)") - dec4("l_discount"))
-                ).cast("double"),
-                2,
-            ).alias("profit"),
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-        )
-    )
-
-
-def q_b10_promo_share(spark, sf_dir):
-    """TPC-H Q14 shape (B10 depth, r7): promo revenue share — a single-
-    row conditional-aggregate ratio over a broadcast part join; the
-    numerator is a CASE inside the same sum pass (one scan, map-side
-    combinable), never a second join or scan. Decimal sums; the final
-    ratio is the only double, rounded 6."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
-    dec4 = lambda col: F.col(col).cast("decimal(18,4)")  # noqa: E731
-    rev = dec4("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,4)") - dec4("l_discount")
-    )
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    return joined.agg(
-        F.round(
-            (
-                F.lit(100).cast("decimal(18,4)")
-                * F.sum(
-                    F.when(
-                        F.col("p_type").startswith("PROMO"), rev
-                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
-                )
-            ).cast("double")
-            / F.sum(rev).cast("double"),
-            6,
-        ).alias("promo_share"),
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-    )
-
-
-def q_b8_supplier_part_types(spark, sf_dir):
-    """TPC-H Q16 shape (B8/B10 depth, r7): distinct-supplier counts per
-    part attribute bucket, EXCLUDING a supplier blacklist via anti-join
-    (the NOT IN subquery shape; here 'suppliers with complaints' =
-    negative account balance). lineitem stands in for partsupp as the
-    part↔supplier relation (the fixture ships none): distinct
-    (partkey, suppkey) first — one keyed dedup — then the anti-join
-    and the broadcast part join, then count_distinct per bucket."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 30)
-    bad = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    kept = ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
-    return (
-        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
-        .groupBy("p_brand", F.split(F.col("p_type"), " ")[0].alias("p_family"), "p_size")
-        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
-    )
-
-
-def q_b15_funnel(spark, sf_dir):
-    """Ordered funnel analysis (B15 depth): view → click → purchase per
-    user, each step's timestamp the MIN strictly after the previous
-    step's — the sequential-pattern read of the event stream. Three
-    keyed agg passes (one per step), each a partial+final hash agg on
-    user_id; no window over the whole stream, no cartesian."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_after_view")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_after_click")))
-    )
-
-
-def q_b15_cohorts(spark, sf_dir):
-    """Cohort retention (B15 depth): users bucketed by first-seen week,
-    activity counted per (cohort week, week offset) — the standard
-    retention triangle. One min-agg for cohort assignment (broadcast
-    back), one distinct-count agg; weeks via date_trunc so both engines
-    bucket identically (Monday start) (derive.py: cohort_retention)."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    return derive.cohort_retention(ev, "user_id", "ts").withColumnRenamed(
-        "period_offset", "week_offset"
-    )
-
-
-def q_b30_bool_search(spark, sf_dir):
-    """Conjunctive keyword retrieval (B30 depth): docs containing ALL of
-    three terms, join-shaped (distinct doc-term rows → having count =
-    |query|) — no posting arrays materialized (lm.py: boolean_search)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.boolean_search(docs, "doc_id", ["merge", "join", "batch"])
-
-
-def q_b21_lang_confusion(spark, sf_dir):
-    """Language-ID confusion matrix (B21 QA depth): labeled lang vs the
-    stopword-heuristic guess, with counts — the accuracy read of the
-    lang-ID operator over the corpus (text.py: lang_id)."""
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", textops.lang_id("text").alias("lang_guess"))
-        .groupBy("lang", "lang_guess")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-
-
-def q_b20_mean_pool(spark, sf_dir):
-    """Distributed mean-pooling (B20 depth): per-label centroids over the
-    embeddings table as (group, dim, value) rows — one partial+final avg
-    keyed by (label, dim), array reassembled via array_sort(collect_list)
-    — the fully-distributed centroid path (the IVF trainer's bounded
-    numpy sample is the other half). Per-dim means rounded to 6
-    (similarity.py: group_centroids). The library API returns the
-    centroid as array<double>; the DRIVER row serializes it with a fixed
-    %.6f per element (values pre-rounded to 6, so the format is lossless
-    and engine-identical) — the r5 driver canonicalizer cannot factorize
-    list dtypes (VERDICT r5 item 1)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cent = similarity.group_centroids(emb, "label")
-    return cent.select(
-        F.col("label").cast("int").alias("label"),
-        "n_vecs",
-        F.concat_ws(
-            ",", F.transform("centroid", lambda v: F.format_string("%.6f", v))
-        ).alias("centroid_csv"),
-    )
-
-
-def q_b26_fixed_per_group(spark, sf_dir):
-    """Fixed-count-per-group sampling (B26 depth): exactly 20 docs per
-    language by deterministic hash priority (full 32-bit Knuth hash, not
-    a coarse bucket) — the "n docs per domain" eval-carving request.
-    Integer arithmetic end to end; one shuffle on the group key
-    (sampling.py: sample_fixed_per_group)."""
-    docs = _t(spark, sf_dir, "documents")
-    return sampling.sample_fixed_per_group(
-        docs.select("doc_id", "lang", "n_chars"), "lang", "doc_id", k=20
-    )
-
-
-def q_b30_bigram_xent(spark, sf_dir):
-    """Interpolated bigram-LM cross-entropy per document (B30 depth) —
-    the KenLM-lite upgrade of the unigram perplexity filter: p(b|a) =
-    0.7·MLE-bigram + 0.3·add-1-unigram; bigram context catches scrambled
-    text a unigram model scores as normal. Integer doc-bigram counts
-    aggregate before the ln; model/context/unigram equi-joins; T,V
-    broadcast (lm.py: doc_cross_entropy_bigram)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.doc_cross_entropy_bigram(docs, "doc_id")
-
-
-def q_b21_dup_ngram_coverage(spark, sf_dir):
-    """Per-document duplicated-5-gram ratio (B19/B21 depth): fraction of
-    each doc's DISTINCT word 5-grams that occur in ≥2 documents — the
-    memorization-risk gate from the dedup literature (a doc of mostly
-    corpus-repeated boilerplate trains memorization). Integer counts +
-    one rounded ratio; shingle pass + gram-df agg + one join, no pairs
-    (dedup.py: dup_ngram_coverage)."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.dup_ngram_coverage(docs, "doc_id", k=5)
-
-
-def q_b20_covariance(spark, sf_dir):
-    """Embedding covariance matrix (B20 depth) in the engine-portable
-    quantized mode: floor(v·1e6) integer power sums keyed by (i, j) —
-    order-independent exact arithmetic, so the (i ≤ j) upper triangle
-    replays bit-identically on any engine at any parallelism. The float
-    production twin is covariance_matrix_fast (per-partition numpy outer
-    products, |partitions|·d² transfer), property-tested ≈ this one
-    (similarity.py: covariance_matrix)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.covariance_matrix(emb, quantize=1_000_000)
-
-
-def q_b1_incremental_agg(spark, sf_dir):
-    """Incremental materialized-view maintenance (B1/B2 depth): a
-    count+sum MV over orders, grouped by (status, priority), is
-    maintained from a CDC batch — deletes (%13), price updates (%7) —
-    via the delta rule (after images +1, before images −1) at cost ∝
-    batch + touched groups, never re-aggregating the base. The oracle
-    recomputes from scratch over the effective table, so the driver row
-    IS the incremental-equals-batch invariant (derive.py:
-    incremental_agg). Money sums in exact decimal, rounded after the
-    double cast."""
-    dec = F.col("o_totalprice").cast("decimal(38,6)")
-    old = _t(spark, sf_dir, "orders").withColumn("o_totalprice", dec)
-    new = (
-        old.filter(F.col("o_orderkey") % 13 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("o_orderkey") % 7 == 0,
-                F.col("o_totalprice") + F.lit(10).cast("decimal(38,6)"),
-            ).otherwise(F.col("o_totalprice")),
-        )
-    )
-    groups = ["o_orderstatus", "o_orderpriority"]
-    state = derive.aggregate_base(old, groups, ["o_totalprice"])
-    batch = derive.snapshot_diff(old, new, ["o_orderkey"])
-    schema = (
-        "o_orderstatus string, o_orderpriority string,"
-        " o_totalprice decimal(38,6)"
-    )
-    mv = derive.incremental_agg(state, batch, groups, ["o_totalprice"], schema)
-    return mv.select(
-        *groups,
-        "cnt",
-        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
-    )
-
-
-def q_b10_column_profile(spark, sf_dir):
-    """One-pass column profiler (A1/B10 depth): per-column rows, nulls,
-    exact distinct, typed min/max over orders — the audit run before
-    trusting a new data drop. Single global agg (multi-distinct expand =
-    #columns amplification, the exactness price; approx HLL mode is the
-    100 TB default) pivoted to rows driver-free (meta.py:
-    profile_table)."""
-    return meta.profile_table(_t(spark, sf_dir, "orders"))
-
-
-def q_b26_weighted_sample(spark, sf_dir):
-    """Weighted sampling WITHOUT replacement (B26 depth), exact and
-    rand()-free: inclusion ∝ doc length via integer A-ES — classic
-    Efraimidis–Spirakis orders by u^(1/w) (unreplayable float pow); this
-    uses the identity u^(1/w) ~ max of w iid uniforms with md5-derived
-    integer uniforms, so the 200-doc sample replays bit-for-bit on any
-    engine. Ticket explode bounded by max_weight=32, per-item max agg,
-    distributed take-ordered — no global sort (sampling.py:
-    weighted_sample)."""
-    docs = _t(spark, sf_dir, "documents")
-    wdf = docs.select(
-        "doc_id",
-        (F.lit(1) + F.floor(F.length("text") / 500)).cast("bigint").alias("weight"),
-    )
-    return sampling.weighted_sample(wdf, "doc_id", "weight", k=200, max_weight=32).select(
-        "doc_id",
-        "weight",
-        F.col("__priority").alias("priority"),
-        F.col("rk").cast("bigint").alias("rk"),
-    )
-
-
-def q_b21_lexical_diversity(spark, sf_dir):
-    """Per-document lexical diversity (B21 depth): type-token ratio +
-    Shannon entropy of each doc's token distribution — the
-    distributional boilerplate/SEO-spam signal complementing the
-    surface repetition rules. Integer counts to the final ln, rounded
-    at 6 (cross-engine ln ulp rule); empty docs kept with NULL scores
-    (text.py: lexical_diversity)."""
-    docs = _t(spark, sf_dir, "documents")
-    return textops.lexical_diversity(docs, "doc_id")
-
-
-def q_b19_fuzzy_join(spark, sf_dir):
-    """Edit-distance similarity self-join (B19 depth): all part-name
-    pairs within levenshtein 1, over a corpus with planted one-char
-    typos — q-gram count-filter blocking (provably complete on
-    distinct-gram sets: |G∩| ≥ |G|−q·d) + exact levenshtein verify,
-    never the O(n²) cross join. The oracle IS the brute-force
-    definition, so the driver row proves blocking completeness on real
-    data (dedup.py: fuzzy_self_join)."""
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    typos = part.filter(F.col("p_partkey") % 9 == 0).select(
-        (F.col("p_partkey") + 1000000).alias("p_partkey"),
-        F.concat(F.lit("x"), F.substr(F.col("p_name"), F.lit(2), F.length("p_name"))).alias("p_name"),
-    )
-    corpus = part.unionByName(typos)
-    return dedup.fuzzy_self_join(corpus, "p_partkey", "p_name", max_dist=1, q=3)
-
-
-def q_b10_groupwise_ols(spark, sf_dir):
-    """Per-group OLS regression (B10 depth): price-vs-quantity slope,
-    intercept and r² per returnflag — thousands of independent fits in
-    one aggregation pass from quantized-integer power sums (exact,
-    order-independent on any engine); only the final closed-form ratio
-    is IEEE double, rounded at 6 (derive.py: groupwise_ols)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return derive.groupwise_ols(
-        li, ["l_returnflag"], "l_quantity", "l_extendedprice", quantize=100
-    )
-
-
-def q_b20_kmeans(spark, sf_dir):
-    """Distributed Lloyd's k-means over the embedding corpus (B20
-    depth): k=4, 3 update rounds, bit-exact replay — floor-quantized
-    int64 components, integer squared-L2 assignment (ties to lowest
-    cid), exact-floor-division centroid updates, deterministic
-    smallest-id seeding. Per round the only driver-side data is the
-    k·d centroid table (re-broadcast as literals); assignment is a
-    narrow codegen map and the update shuffle is |tasks|·k·d rows via
-    map-side partial agg — corpus size never hits the driver
-    (similarity.py: kmeans_exact). The oracle replays all rounds as
-    chained CTEs, so the driver row proves every intermediate centroid
-    matched."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.kmeans_exact(emb, k=4, iters=3)
-
-
-def q_b19_sorted_neighborhood(spark, sf_dir):
-    """Sorted-neighborhood dedup blocking (B19 depth) — the classic SNM
-    complement to LSH/q-gram blocking: per-prefix-block sorted windows
-    (w=5) emit O(n·w) candidates, exact-levenshtein-verified at ≤ 1,
-    over the same planted-typo part-name corpus as b19_fuzzy_join. The
-    sort is per-block (hash-partitioned, never a global window), so it
-    scales out; cross-prefix misses are the documented SNM recall
-    trade-off (dedup.py: sorted_neighborhood_pairs)."""
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    typos = part.filter(F.col("p_partkey") % 9 == 0).select(
-        (F.col("p_partkey") + 1000000).alias("p_partkey"),
-        F.concat(
-            F.substr(F.col("p_name"), F.lit(1), F.lit(4)),
-            F.lit("x"),
-            F.substr(F.col("p_name"), F.lit(6), F.length("p_name")),
-        ).alias("p_name"),
-    )
-    corpus = part.unionByName(typos)
-    return dedup.sorted_neighborhood_pairs(
-        corpus, "p_partkey", "p_name", window=5, block_chars=2, max_dist=1
-    )
-
-
-def q_b19_blocking_quality(spark, sf_dir):
-    """Blocking-quality audit (B19 depth, r7) — the record-linkage
-    literature's two standard metrics for ANY blocking scheme, measured
-    on the sorted-neighborhood candidates over the planted-typo corpus:
-
-    - reduction ratio = 1 − |candidates| / C(n,2) — how much of the
-      O(n²) comparison space the blocking avoids;
-    - pairs completeness = |truth ∩ candidates| / |truth| — how much
-      recall the avoidance cost, with truth = the planted (original,
-      typo) pairs.
-
-    This is the row that makes the SNM recall trade-off (documented in
-    sorted_neighborhood_pairs) a MEASURED number instead of prose, the
-    audit a 100 TB dedup run uses to choose window/blocking-key before
-    committing to a full pass. All counts integer; two ratios rounded.
-    """
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    typos = part.filter(F.col("p_partkey") % 9 == 0).select(
-        (F.col("p_partkey") + 1000000).alias("p_partkey"),
-        F.concat(
-            F.substr(F.col("p_name"), F.lit(1), F.lit(4)),
-            F.lit("x"),
-            F.substr(F.col("p_name"), F.lit(6), F.length("p_name")),
-        ).alias("p_name"),
-    )
-    corpus = part.unionByName(typos)
-    cand = dedup.sorted_neighborhood_pairs(
-        corpus, "p_partkey", "p_name", window=5, block_chars=2
-    ).select("id_a", "id_b")
-    truth = typos.select(
-        (F.col("p_partkey") - 1000000).alias("id_a"),
-        F.col("p_partkey").alias("id_b"),
-    )
-    n_rec = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    found = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_true_found")
-    )
-    return (
-        n_rec.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(found))
-        .select(
-            "n_records",
-            "n_candidates",
-            "n_true",
-            "n_true_found",
-            F.round(
-                F.lit(1.0)
-                - F.col("n_candidates")
-                / (F.col("n_records") * (F.col("n_records") - 1) / F.lit(2.0)),
-                6,
-            ).alias("reduction_ratio"),
-            F.round(
-                F.col("n_true_found") / F.col("n_true").cast("double"), 6
-            ).alias("pairs_completeness"),
-        )
-    )
-
-
-def q_b29_incremental_decontam(spark, sf_dir):
-    """Incremental benchmark decontamination (r7, the CDC × B29
-    composition): the benchmark 5-gram set is built ONCE as a standing
-    index (checkpoint here; parquet at real scale), and a CDC batch of
-    NEW documents — half planted-contaminated with bench doc 0's text,
-    half clean suffix-mutations — is screened against it at cost ∝
-    batch: the batch shingles (narrow), the standing gram set
-    broadcasts, one keyed agg. The full-corpus b29_decontamination row
-    proves the definition; THIS row proves the incremental path a
-    streaming ingest pipeline actually runs (decontam.py:
-    ngram_contamination(grams=...))."""
-    docs = _t(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
-    standing = (
-        dedup.shingle_rows(bench, "doc_id", "text", k=5, unit="word")
-        .select("sh")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    bench0 = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("bt"))
-    dirty = (
-        docs.filter(F.col("doc_id") % 10 == 5)
-        .crossJoin(F.broadcast(bench0))
-        .select(
-            (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" "), F.col("bt")).alias("text"),
-        )
-    )
-    clean = docs.filter(F.col("doc_id") % 10 == 6).select(
-        (F.col("doc_id") + F.lit(600000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
-    )
-    batch = dirty.unionByName(clean)
-    return decontam.ngram_contamination(batch, None, grams=standing)
-
-
-def q_b26_interleave(spark, sf_dir):
-    """Deterministic round-robin source interleaving (B26/B28 depth,
-    r7): assign every doc a GLOBAL training position such that sources
-    alternate — the data-ordering control that stops a shard-sequential
-    reader from seeing one source for an hour (ordering bias is a real
-    training pathology). Zero global sort: each doc's position is pure
-    arithmetic ``(rank_within_source − 1) · |S| + source_index`` from
-    its per-source hash-priority rank (one keyed window) and a
-    |sources|-row broadcast index. Writing the corpus
-    ``repartitionByRange(pos)`` then realizes the order physically
-    (storage.py). Integer-exact."""
-    from pyspark.sql import Window
-
-    from sqlite_cdc_spark.pipeline.sampling import hash_bucket
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    srcs = (
-        docs.select("source")
-        .distinct()
-        .select(
-            "source",
-            (
-                F.row_number().over(
-                    Window.orderBy(F.col("source").asc())
-                )
-                - 1
-            ).alias("__six"),
-        )
-    )
-    n_src = srcs.agg(F.count(F.lit(1)).alias("__ns"))
-    # per-source hash-priority rank via the two-phase distributed
-    # row_number (r8): a keyed window would put a dominant source's
-    # whole order on ONE task — the straggler this operator exists to
-    # prevent in the first place
-    staged = docs.withColumn("__pri", hash_bucket("doc_id", 1 << 32))
-    return (
-        derive.distributed_row_number(
-            staged,
-            ["source"],
-            [F.col("__pri").asc(), F.col("doc_id").asc()],
-            out_col="__r",
-        )
-        .join(F.broadcast(srcs), "source")
-        .crossJoin(F.broadcast(n_src))
-        .select(
-            "doc_id",
-            "source",
-            ((F.col("__r") - 1) * F.col("__ns") + F.col("__six"))
-            .cast("long")
-            .alias("pos"),
-        )
-    )
-
-
-def q_b22_frame_extract(spark, sf_dir):
-    """GENUINE video-style frame extraction (B22 depth, r7 — completes
-    the multimodal triad beside the image and audio rows): each doc
-    synthesizes a multi-frame container (2 + id%3 concatenated binary
-    PPM frames, multimodal.synth_ppm_stream), and the REAL sequential
-    demux walk (header parse + length accounting per frame,
-    multimodal.extract_frames) emits one row per frame with dims and
-    integer pixel sum. Closed-form oracle replays container layout and
-    every frame statistic."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = multimodal.extract_frames(multimodal.synth_ppm_stream(docs))
-    return out.select("doc_id", "frame_idx", "width", "height", "frame_sum")
-
-
-def q_b22_audio_stats(spark, sf_dir):
-    """GENUINE audio decode + waveform screening (B22 audio depth, r7 —
-    the audio twin of the image rows): each doc synthesizes a
-    deterministic s16le PCM waveform as REAL bytes (multimodal.
-    synth_pcm), then the payload is parsed back sample-by-sample and
-    screened — sample count, Σ|x|, max|x|, zero-crossing count (the
-    voiced/unvoiced proxy), integer energy Σx² (multimodal.
-    audio_stats). Pure integers; the oracle replays the synthesis and
-    every statistic in closed form, so the driver row certifies the
-    byte-level decode path."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    out = multimodal.audio_stats(multimodal.synth_pcm(docs))
-    return out.select(
-        "doc_id", "n_samples", "sum_abs", "max_abs", "zero_crossings", "energy"
-    )
-
-
-def q_b11_lag_features(spark, sf_dir):
-    """Windowed feature engineering (B11 depth, r7): the lag/rolling
-    block every per-entity training table starts with — previous two
-    purchase values and the trailing 3-event mean per user, in one
-    window pass (all four features share a single (user, time) sort).
-    Values quantized to integer cents BEFORE any arithmetic; the
-    rolling mean divides two integers, rounded 6."""
-    from pyspark.sql import Window
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.floor(F.col("value") * 100).cast("long").alias("__cents"),
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    roll = w.rowsBetween(-2, 0)
-    return ev.select(
-        "event_id",
-        "user_id",
-        "__cents",
-        F.lag("__cents", 1).over(w).alias("lag1_cents"),
-        F.lag("__cents", 2).over(w).alias("lag2_cents"),
-        F.round(
-            F.sum("__cents").over(roll)
-            / (F.count(F.lit(1)).over(roll) * F.lit(100.0)),
-            6,
-        ).alias("rolling3_mean"),
-    ).withColumnRenamed("__cents", "cents")
-
-
-def q_b3_freshness(spark, sf_dir):
-    """Feed-freshness audit (B3 monitoring depth, r7): per event type,
-    how far its newest event lags the newest event overall — the
-    staleness alarm a CDC consumer fires when one producer stops
-    (b3_op_drift catches SHARE shifts; this catches SILENCE). The
-    global high-water mark is a 1-row broadcast; integer seconds."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec")
-    )
-    per = ev.groupBy("event_type").agg(
-        F.max("__sec").alias("__latest"),
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-    )
-    hw = ev.agg(F.max("__sec").alias("__hw"))
-    return per.crossJoin(F.broadcast(hw)).select(
-        "event_type",
-        "n_events",
-        (F.col("__hw") - F.col("__latest")).cast("long").alias("lag_seconds"),
-    )
-
-
-def q_b21_quantile_norm(spark, sf_dir):
-    """Cross-source quantile normalization (B21/B28 depth, r7): map each
-    document's length onto the GLOBAL length distribution via its
-    within-source percentile — the calibration step that makes
-    heterogeneous sources comparable before any shared threshold (a
-    "long" doc from a short-form source and a "long" doc from a
-    long-form source land on the same normalized scale). Bucket index
-    is PURE INTEGER arithmetic ``((rank−1)·100) div (n−1)`` — a float
-    percent_rank times 100 can floor-flip at exact hundredths — and
-    the 101 global quantile edges come from one exact-percentile
-    aggregate, broadcast. Per-source window is the only corpus
-    shuffle."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").asc(), F.col("doc_id").asc()
-    )
-    wn = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.row_number().over(w).alias("__r"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
-    ).select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.when(
-            F.col("__n") > 1,
-            F.expr("CAST(((__r - 1) * 100) DIV (__n - 1) AS INT)"),
-        )
-        .otherwise(F.lit(0))
-        .alias("pct_idx"),
-    )
-    ps = ", ".join(f"{i / 100.0!r}D" for i in range(101))
-    edges = docs.agg(
-        F.expr(f"percentile(n_chars, array({ps}))").alias("__edges")
-    )
-    return (
-        ranked.crossJoin(F.broadcast(edges))
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            "pct_idx",
-            F.round(
-                F.element_at(F.col("__edges"), F.col("pct_idx") + 1), 6
-            ).alias("normalized"),
-        )
-    )
-
-
-def q_b30_assoc_rules(spark, sf_dir):
-    """Session-basket association rules (B30 depth, r7): support,
-    confidence (both directions) and lift for every unordered pair of
-    event types co-occurring in a session — the market-basket statistic
-    behind recommendation and next-action heuristics (PMI's b30 row is
-    token-window co-occurrence; THIS is basket-level with the
-    confidence/lift decision numbers attached). Baskets = sessionized
-    (user, session) with DISTINCT items; pairs via one equi-join on the
-    basket key (items/basket is small and bounded, never a cartesian of
-    sessions); all counts integer, ratios rounded 6."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    s = derive.sessionize(ev, "user_id", "ts", "event_id")
-    items = s.select(
-        F.col("user_id"), F.col("session_id"), F.col("event_type").alias("item")
-    ).distinct()
-    n_baskets = items.select("user_id", "session_id").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("__N")
-    )
-    supp = items.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("__s"))
-    a = items.select("user_id", "session_id", F.col("item").alias("item_a"))
-    b = items.select("user_id", "session_id", F.col("item").alias("item_b"))
-    pairs = (
-        a.join(b, ["user_id", "session_id"])
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-    )
-    sa = supp.select(F.col("item").alias("item_a"), F.col("__s").alias("n_a"))
-    sb = supp.select(F.col("item").alias("item_b"), F.col("__s").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(sa), "item_a")
-        .join(F.broadcast(sb), "item_b")
-        .crossJoin(F.broadcast(n_baskets))
-        .select(
-            "item_a",
-            "item_b",
-            "n_ab",
-            "n_a",
-            "n_b",
-            F.round(F.col("n_ab") / F.col("n_a").cast("double"), 6).alias(
-                "conf_a_to_b"
-            ),
-            F.round(F.col("n_ab") / F.col("n_b").cast("double"), 6).alias(
-                "conf_b_to_a"
-            ),
-            F.round(
-                F.col("__N") * F.col("n_ab")
-                / (F.col("n_a") * F.col("n_b")).cast("double"),
-                6,
-            ).alias("lift"),
-        )
-    )
-
-
-def q_b15_forward_fill(spark, sf_dir):
-    """Forward-fill / LOCF imputation (B15 depth, r7): per-cohort daily
-    mean purchase value on the dense calendar with missing days carrying
-    the LAST OBSERVED value forward (and staying NULL before the first
-    observation) — the imputation rule feature pipelines apply after
-    densification (b15_gap_fill zeros COUNTS; values need carry-forward,
-    not zeros). One window with ``last(ignorenulls=True)`` over the
-    dense grid; value quantized to cents before the mean so the carried
-    number is engine-exact."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.pmod(F.col("user_id"), F.lit(10)).alias("cohort"),
-        F.to_date("ts").alias("day"),
-        F.col("value"),
-        F.col("event_type"),
-    )
-    sparse = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("cohort", "day")
-        .agg(
-            # quantize each value to integer cents BEFORE summing (a
-            # float sum's order differs per engine and one ulp would
-            # flip a floor on the total)
-            (
-                F.sum(F.floor(F.col("value") * 100).cast("long"))
-                / (F.count(F.lit(1)) * F.lit(100.0))
-            ).alias("__raw")
-        )
-        .select("cohort", "day", F.round("__raw", 6).alias("__obs"))
-    )
-    bounds = ev.agg(F.min("day").alias("__lo"), F.max("day").alias("__hi"))
-    calendar = bounds.select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
-    grid = ev.select("cohort").distinct().crossJoin(F.broadcast(calendar))
-    dense = grid.join(sparse, ["cohort", "day"], "left")
-    w = Window.partitionBy("cohort").orderBy(F.col("day").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return dense.select(
-        "cohort",
-        "day",
-        (F.col("__obs").isNotNull()).alias("observed"),
-        F.last("__obs", ignorenulls=True).over(w).alias("value_filled"),
-    )
-
-
-def q_b15_concurrency(spark, sf_dir):
-    """Peak concurrent sessions per day (B15 depth, r7) — the classic
-    sweep-line / interval-stabbing aggregate (capacity planning, rate
-    limiting, connection-pool sizing): sessions become ±1 boundary
-    events, concurrency is the running sum over the boundary order, the
-    answer is the per-day max. The running sum is the TWO-PHASE scan
-    (the prefix_sum pattern with natural day buckets): within-day
-    running totals partition by day and parallelize; each day's BASE
-    (sessions already open at midnight) is a cumulative sum over the
-    |days|-row per-day delta relation — the only single-partition
-    window, bounded — broadcast back. All integers; boundary ties order
-    (sec, delta DESC, user, session): a session starting the same
-    second another ends counts as overlapping on both engines."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    s = derive.sessionize(ev, "user_id", "ts", "event_id")
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    sess = (
-        s.withColumn("__sec", sec)
-        .groupBy("user_id", "session_id")
-        .agg(F.min("__sec").alias("__start"), F.max("__sec").alias("__end"))
-    )
-    starts = sess.select(
-        "user_id", "session_id", F.col("__start").alias("sec"), F.lit(1).alias("delta")
-    )
-    ends = sess.select(
-        "user_id",
-        "session_id",
-        (F.col("__end") + F.lit(1)).alias("sec"),
-        F.lit(-1).alias("delta"),
-    )
-    deltas = starts.unionByName(ends).withColumn(
-        "day", F.expr("sec div 86400").cast("long")
-    )
-    w_in = Window.partitionBy("day").orderBy(
-        F.col("sec").asc(),
-        F.col("delta").desc(),
-        F.col("user_id").asc(),
-        F.col("session_id").asc(),
-    )
-    running = deltas.withColumn(
-        "__run",
-        F.sum("delta").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("__t"))
-    base = day_tot.select(
-        "day",
-        F.coalesce(
-            F.sum("__t").over(
-                Window.orderBy(F.col("day").asc()).rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("__base"),
-    )
-    return (
-        running.join(F.broadcast(base), "day")
-        .groupBy("day")
-        .agg(
-            F.max(F.col("__base") + F.col("__run"))
-            .cast("long")
-            .alias("max_concurrency"),
-            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_sessions_started"),
-        )
-    )
-
-
-def q_b30_ql_search(spark, sf_dir):
-    """Dirichlet query-likelihood retrieval (B30 depth, r7): the
-    language-modeling ranking baseline beside BM25, same fixed 3-term
-    query — rankers ensemble both because they disagree on short vs
-    long documents. Sparse rank-equivalent form: only matching
-    (doc, term) rows are scored; collection stats broadcast (lm.py:
-    ql_search)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.ql_search(
-        docs, "doc_id", ["merge", "join", "batch"], mu=2000.0, top_k=15
-    )
-
-
-def q_b15_gap_fill(spark, sf_dir):
-    """Calendar gap-filling / densification (B15 depth, r7): per-cohort
-    daily event counts with MISSING DAYS EXPLICIT as zero rows — the
-    densify step every time-series consumer needs before windows,
-    EWMA, or change-point scans (a missing day silently skews any
-    frame-based statistic; the b11/b3 rows all assume dense input).
-    Shape: one keyed agg for the sparse counts; the calendar comes from
-    ONE 1-row min/max agg exploded through sequence() (never a
-    driver-side date loop); the (cohort × day) grid is |cohorts|·|days|
-    — dimension-sized, built by broadcast — and the sparse counts LEFT
-    join onto it. Integers end-to-end."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.pmod(F.col("user_id"), F.lit(20)).alias("cohort"),
-        F.to_date("ts").alias("day"),
-    )
-    sparse = ev.groupBy("cohort", "day").agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
-    bounds = ev.agg(
-        F.min("day").alias("__lo"), F.max("day").alias("__hi")
-    )
-    calendar = bounds.select(
-        F.explode(F.sequence("__lo", "__hi")).alias("day")
-    )
-    cohorts = ev.select("cohort").distinct()
-    grid = cohorts.crossJoin(F.broadcast(calendar))
-    return (
-        grid.join(sparse, ["cohort", "day"], "left")
-        .select(
-            "cohort",
-            "day",
-            F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
-        )
-    )
-
-
-def q_b29_semantic_decontam(spark, sf_dir):
-    """Semantic decontamination (B29 × B20, r7): every 50th vector acts
-    as the benchmark/eval set; each remaining corpus vector reports its
-    nearest benchmark item, max cosine, and the contamination flag —
-    the paraphrase-level screen n-gram overlap can't express
-    (similarity.py: semantic_contamination; exact fold arithmetic, the
-    flag compares the ROUNDED score so it replays cross-engine)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") % 50 == 0)
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    return similarity.semantic_contamination(corpus, bench, threshold=0.35)
-
-
-def q_b29_semantic_decontam_ann(spark, sf_dir):
-    """Semantic decontamination at corpus scale (B29 × B20, r8 —
-    VERDICT r7 item 6): same benchmark/corpus split as
-    b29_semantic_decontam, but candidates come from the portable
-    integer-LSH bucket equi-join (12 tables × 4 planes — the measured
-    recall-1.0 config on the fixture — with benchmark-side multiprobe) and the exact cosine scorer runs on candidate pairs
-    only — never a corpus×benchmark product (similarity.py:
-    semantic_contamination_bucketed). Every step is integer-exact or
-    rounded-fold arithmetic, so the oracle replays candidates AND
-    scores bit-for-bit; no-collision vectors surface as clean
-    (max_cos 0.0) in the complete manifest."""
-    emb = _t(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.col("vec_id") % 50 == 0)
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    return similarity.semantic_contamination_bucketed(
-        corpus, bench, threshold=0.35, dim=64, n_planes=4, n_tables=12
-    )
-
-
-def q_b10_mad_outliers(spark, sf_dir):
-    """Robust per-group outlier detection (B10 depth, r7): median +
-    median-absolute-deviation per return flag, then the count of prices
-    outside ``median ± 3 · 1.4826 · MAD`` — the screen that survives
-    the heavy tails that break z-scores (the mean/stddev version flags
-    nothing OR everything on skewed price data). Two keyed exact-median
-    aggs (partial+final, never a global sort) with the |groups|-row
-    median table broadcast back between them; medians/MAD rounded 6
-    (both engines average the two middle doubles identically)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    med = li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("__med")
-    )
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag",
-        "l_extendedprice",
-        "__med",
-        F.abs(F.col("l_extendedprice") - F.col("__med")).alias("__ad"),
-    )
-    mad = dev.groupBy("l_returnflag").agg(
-        F.median("__ad").alias("__mad"),
-    )
-    return (
-        dev.join(F.broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.min("__med"), 6).alias("med_price"),
-            F.round(F.min("__mad"), 6).alias("mad"),
-            F.sum(
-                F.when(
-                    F.col("__ad") > F.lit(3 * 1.4826) * F.col("__mad"), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_outliers"),
-        )
-    )
-
-
-def q_b9_scd2_pit(spark, sf_dir):
-    """SCD2 point-in-time join (B2 × B9, r7): every purchase event joined
-    to the dimension VERSION that was valid at the event's own
-    timestamp — the "what did we know then" read that makes a type-2
-    history table useful (joining the CURRENT version back-dates
-    attributes and corrupts any training label built from it). Status
-    classifies the temporal edge cases: ``live`` (version open at ts),
-    ``closed`` (the key was DELETEd before ts — the change feed closed
-    its last version), ``none`` (no version existed yet). Range
-    condition in the JOIN (left rows survive), latest-version pick via
-    one per-event window with (valid_from, version_id) DESC total
-    order — deterministic on both engines."""
-    from pyspark.sql import Window
-
-    ch = _events_changes(spark, sf_dir)
-    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id").cast(
-        "bigint"
-    )
-    versions = derive.scd2(ch.withColumn("user_id", key), "user_id").select(
-        F.col("user_id").alias("__vu"),
-        F.col("id").alias("version_id"),
-        "valid_from",
-        "valid_to",
-    )
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts")
-    )
-    j = ev.join(
-        versions,
-        (ev["user_id"] == versions["__vu"])
-        & (versions["valid_from"] <= ev["ts"]),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("valid_from").desc(), F.col("version_id").desc()
-    )
-    return (
-        j.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "version_id",
-            F.when(F.col("version_id").isNull(), F.lit("none"))
-            .when(
-                F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")),
-                F.lit("live"),
-            )
-            .otherwise(F.lit("closed"))
-            .alias("status"),
-        )
-    )
-
-
-def q_b20_centroid_drift(spark, sf_dir):
-    """Embedding centroid-drift monitor (B20 × B3, r7): per-label
-    centroid distance from the global centroid — the embedding-space
-    health check a retrieval/dedup pipeline runs per ingest batch (a
-    label whose centroid wanders is a source whose upstream encoder or
-    content changed; b3_psi watches scalar features, THIS watches the
-    vector space). Shape: (label, dim) partial+final avg — never a
-    per-vector shuffle — then a 16-row-per-label broadcast join and one
-    keyed fold. Per-dim means rounded to 6 before differencing (float
-    sum order differs per engine); sqrt is IEEE-exact; final round 6."""
-    emb = _t(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label", F.posexplode("embedding").alias("dim", "__v")
-    ).select("label", "dim", F.col("__v").cast("double").alias("v"))
-    per = ex.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("lv"))
-    glob = ex.groupBy("dim").agg(F.round(F.avg("v"), 6).alias("gv"))
-    counts = emb.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs")
-    )
-    d = F.col("lv") - F.col("gv")
-    drift = (
-        per.join(F.broadcast(glob), "dim")
-        .groupBy("label")
-        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("drift"))
-    )
-    return (
-        counts.join(drift, "label")
-        .select(F.col("label").cast("int").alias("label"), "n_vecs", "drift")
-    )
-
-
-def q_b3_fk_integrity(spark, sf_dir):
-    """Referential-integrity audit (B3 monitoring depth, r7): orphan
-    counts and rates for every FK relation in the star schema — the
-    data-quality gate a warehouse runs after every CDC load (an orphan
-    spike means the change feed dropped parent rows or applied children
-    first). One anti-join count per relation; dims broadcast, facts
-    never move twice; four scalar rows unioned."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    part = _t(spark, sf_dir, "part")
-    supp = _t(spark, sf_dir, "supplier")
-
-    def audit(name, child, key, parent, pkey):
-        n = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
-        orph = (
-            child.join(
-                parent.select(F.col(pkey).alias("__p")),
-                child[key] == F.col("__p"),
-                "left_anti",
-            ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-        )
-        return n.crossJoin(F.broadcast(orph)).select(
-            F.lit(name).alias("relation"),
-            "n_child",
-            "n_orphans",
-            F.round(
-                F.col("n_orphans") / F.col("n_child").cast("double"), 6
-            ).alias("orphan_rate"),
-        )
-
-    return (
-        audit("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
-        .unionByName(
-            audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
-        )
-        .unionByName(
-            audit("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey")
-        )
-        .unionByName(
-            audit("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey")
-        )
-    )
-
-
-def q_b24_dedup_manifest(spark, sf_dir):
-    """Per-document dedup DECISION manifest (r7) — the artifact a corpus
-    build actually ships: for every input doc, keep/drop plus a reason
-    code (``cluster_keeper`` — the cluster's canonical survivor whose
-    golden text passes the token gate; ``dup`` — a non-keeper cluster
-    member; ``unique`` — a singleton passing the gate; ``short`` — gate
-    failure). b24_corpus_v4 certifies the same pipeline as a one-row
-    build card; THIS row certifies the row-level decisions (auditable,
-    joinable back to storage for deletion), over the identical
-    prefix-filter → closure → survivorship → gate composition."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat("text", F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.unionByName(mutated)
-    pairs = dedup.set_similarity_join(corpus, "doc_id", "text", threshold=0.8)
-    # labels feed the member manifest, the golden join AND the singleton
-    # anti-join — three references, one checkpoint
-    labels = dedup.dup_clusters(pairs).localCheckpoint(eager=False)
-    golden = dedup.golden_records(
-        corpus, labels, "doc_id", {"text": ("longest", "text")}
-    )
-    n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
-    gtok = golden.select(
-        F.col("cluster_id").alias("__cid"), n_tok.alias("__nt")
-    )
-    members = (
-        labels.select("doc_id", "cluster_id")
-        .join(F.broadcast(gtok), F.col("cluster_id") == F.col("__cid"))
-        .select(
-            "doc_id",
-            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("drop"))
-            .when(F.col("__nt") >= 10, F.lit("keep"))
-            .otherwise(F.lit("drop"))
-            .alias("decision"),
-            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup"))
-            .when(F.col("__nt") >= 10, F.lit("cluster_keeper"))
-            .otherwise(F.lit("short"))
-            .alias("reason"),
-        )
-    )
-    singles = (
-        corpus.join(labels.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("__nt", n_tok)
-        .select(
-            "doc_id",
-            F.when(F.col("__nt") >= 10, F.lit("keep"))
-            .otherwise(F.lit("drop"))
-            .alias("decision"),
-            F.when(F.col("__nt") >= 10, F.lit("unique"))
-            .otherwise(F.lit("short"))
-            .alias("reason"),
-        )
-    )
-    return members.unionByName(singles)
-
-
-def q_b19_lsh_quality(spark, sf_dir):
-    """Blocking-quality audit for the MinHash-LSH family (r7, the twin
-    of q_b19_blocking_quality's SNM audit): reduction ratio and pairs
-    completeness of the 32-hash/8-band md5-mode candidate set against
-    the planted near-dup truth (every 7th doc's one-token-suffix twin).
-    Together the two audits make the blocking-strategy choice (SNM vs
-    LSH, window vs bands) a measured trade-off on the same corpus —
-    what a 100 TB dedup run decides BEFORE committing to a full pass."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    index = dedup.build_lsh_index(
-        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
-    )
-    cand = dedup.lsh_candidates_from_index(index)
-    truth = docs.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + F.lit(200000)).alias("id_b"),
-    )
-    n_rec = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    found = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_true_found")
-    )
-    return (
-        n_rec.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(found))
-        .select(
-            "n_records",
-            "n_candidates",
-            "n_true",
-            "n_true_found",
-            F.round(
-                F.lit(1.0)
-                - F.col("n_candidates")
-                / (F.col("n_records") * (F.col("n_records") - 1) / F.lit(2.0)),
-                6,
-            ).alias("reduction_ratio"),
-            F.round(
-                F.col("n_true_found") / F.col("n_true").cast("double"), 6
-            ).alias("pairs_completeness"),
-        )
-    )
-
-
-def q_b20_pq(spark, sf_dir):
-    """Product-quantization ANN (B20 depth) — the memory-compression
-    scale path no other b20 row covers: vectors stored as m=8 subspace
-    codes (32× smaller than 64 floats), queries scored via an
-    asymmetric-distance table joined to codes on (subspace, code).
-    Codebooks are fixed seed-row subvectors (deterministic stand-in
-    for per-subspace kmeans_exact training); every distance is an
-    integer sum over floor-quantized components, so encode, table and
-    ranking replay bit-for-bit and the oracle checks the FULL pipeline
-    (similarity.py: ann_topk_pq)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_pq(emb, emb.filter(F.col("vec_id") < 4), k=10)
-
-
-def q_b30_pagerank(spark, sf_dir):
-    """PageRank over the customer↔supplier purchase graph (B30 graph
-    depth, joining dup_clusters as the second iterative graph
-    algorithm): 3 exact integer iterations — rational damping 17/20,
-    floor-division shares, integer teleport base — so every
-    intermediate rank vector replays bit-for-bit in the oracle's
-    chained CTEs. Per iteration: one src-keyed equi-join + one
-    dst-keyed sum with map-side combine; edges/outdegs checkpointed
-    once (derive.py: pagerank). Top 30 nodes by rank (supplier ids
-    offset by 1e6)."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    ed = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1000000).alias("s"),
-        )
-        .distinct()
-    )
-    edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
-        ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    from pyspark.sql import Window
-
-    pr = derive.pagerank(edges, iters=3)
-    w = Window.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
-    return (
-        pr.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
-        .limit(30)
-        .withColumn("rnk", F.row_number().over(w))
-    )
-
-
-def q_b30_triangles(spark, sf_dir):
-    """Triangle counting + local clustering coefficient (B30 graph
-    depth) over the user co-activity graph: users who share ≥ 5
-    distinct (event_type, hour) activity buckets are linked; the
-    ordered-wedge join counts each triangle a<b<c exactly once
-    (forward-degree bound = the classic hub-skew guard), then each
-    corner is credited via one explode + keyed sum. cc from exact
-    integers, rounded at 6 (derive.py: triangle_stats). Edge build is
-    an equi-join on the bucket — hot buckets are the C(n,2) cost, AQE
-    splits them."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).distinct()
-    co = (
-        ev.alias("a")
-        .join(
-            ev.alias("b"),
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 5)
-        .select("src", "dst")
-    )
-    return derive.triangle_stats(co)
-
-
-def q_b30_kneser_ney(spark, sf_dir):
-    """Kneser–Ney smoothed bigram LM (B30 LM depth) — absolute
-    discounting + continuation-count backoff, the smoothing the
-    interpolated add-k bigram scorer (b30_bigram_xent) approximates.
-    D = 0.75 is exactly representable, every count is integer, and the
-    ratio tree is mirrored verbatim in the oracle, so all probability
-    columns replay bit-for-bit (lm.py: kneser_ney_bigrams)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.kneser_ney_bigrams(docs, "doc_id")
-
-
-def q_b11_ewma(spark, sf_dir):
-    """Trailing EWMA per user over the event stream (B11 window
-    depth): the α=1/2 recurrence in its bounded-memory 8-term form —
-    power-of-two weights make the statistic a ratio of two integer
-    window sums, one pure-codegen window pass, engine-exact (derive.py:
-    trailing_ewma)."""
-    ev = _t(spark, sf_dir, "events")
-    return derive.trailing_ewma(
-        ev, "user_id", ["ts", "event_id"], "value"
-    ).select("user_id", "event_id", "ewma")
-
-
-def q_b15_rfm(spark, sf_dir):
-    """RFM user segmentation (B15 behavioral depth): recency /
-    frequency / monetary quintiles with id tie-breaks over the
-    per-user relation (bounded — never a window over the raw stream);
-    monetary in exact integer cents (derive.py: rfm_segments)."""
-    ev = _t(spark, sf_dir, "events")
-    return derive.rfm_segments(ev)
-
-
-def q_b30_bpe_encode(spark, sf_dir):
-    """BPE tokenizer APPLICATION (B30 depth — b21_bpe_pairs is the
-    training-statistics half): per-doc symbol counts after applying an
-    ordered merge list, entirely in JVM codegen — wrapped-symbol
-    strings + one literal replace per merge reproduce greedy BPE pass
-    semantics exactly, so the oracle unrolls the same replace chain.
-    Fixed demo merges (trained-table stand-in, same policy as the PQ
-    seed codebooks); bpe_train_merges supplies real ones (lm.py:
-    bpe_encode_stats)."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.bpe_encode_stats(docs, "doc_id")
-
-
-def _bpe_oracle_sql() -> str:
-    """DuckDB replay of q_b30_bpe_encode: identical wrapped-symbol
-    replace chain per merge, in order."""
-    s = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
-    for x, y in lm.BPE_DEMO_MERGES:
-        s = f"replace({s}, ' {x}  {y} ', ' {x}{y} ')"
-    return f"""
-        WITH words AS (
-          SELECT doc_id, unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS w
-          FROM documents
-        ),
-        enc AS (
-          SELECT doc_id, length(w) AS n_chars,
-                 len(string_split(trim({s}), '  ')) AS n_toks
-          FROM words
-        )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(n_chars) AS BIGINT) AS n_chars,
-               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-               round(sum(n_chars) / CAST(sum(n_toks) AS DOUBLE), 6)
-                 AS compression
-        FROM enc GROUP BY doc_id
-    """
-
-
-def q_b7_bloom_join(spark, sf_dir):
-    """Portable Bloom-filter semi-join reduction (B7 join depth) — the
-    explicit version of the runtime row-group pruning a 100 TB join
-    relies on: a 512-byte bitmap over BUILDING-segment customers
-    broadcasts and prunes orders BEFORE any shuffle; the audit compares
-    bloom-kept vs exact-semi-join-kept rows per order status, so the
-    driver row certifies both the bitmap math AND the false-positive
-    count. All bit positions from the universal family over the
-    portable md5 hash — engine-exact (derive.py: bloom_build /
-    bloom_probe)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bloom = derive.bloom_build(dim, "c_custkey")
-    kept = derive.bloom_probe(orders, bloom, "o_custkey")
-    exact = orders.join(
-        dim, orders["o_custkey"] == dim["c_custkey"], "left_semi"
-    )
-    b = kept.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_bloom")
-    )
-    x = exact.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    return (
-        b.join(x, "o_orderstatus", "full")
-        .select(
-            "o_orderstatus",
-            F.coalesce("n_bloom", F.lit(0)).alias("n_bloom"),
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            (F.coalesce("n_bloom", F.lit(0)) - F.coalesce("n_exact", F.lit(0))).alias(
-                "n_false_pos"
-            ),
-        )
-    )
-
-
-def _zorder_oracle_sql(bits: int = 16) -> str:
-    """DuckDB replay of q_b12_zorder: identical min-max scaling and
-    bit-interleave tree."""
-    top = float(2**bits - 1)
-    inter = " | ".join(
-        f"(((qx >> {i}) & 1) << {2 * i}) | (((qy >> {i}) & 1) << {2 * i + 1})"
-        for i in range(bits)
-    )
-    return f"""
-        WITH o AS (
-          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS px,
-                 date_diff('day', DATE '1992-01-01', o_orderdate) AS dyi
-          FROM orders
-        ),
-        mm AS (
-          SELECT min(px) AS nx, max(px) AS xx,
-                 min(CAST(dyi AS DOUBLE)) AS ny,
-                 max(CAST(dyi AS DOUBLE)) AS xy
-          FROM o
-        ),
-        sc AS (
-          SELECT o_orderkey, px, dyi,
-                 CASE WHEN xx > nx THEN
-                   CAST(floor((px - nx) / (xx - nx) * {top}) AS BIGINT)
-                 ELSE 0 END AS qx,
-                 CASE WHEN xy > ny THEN
-                   CAST(floor((CAST(dyi AS DOUBLE) - ny) / (xy - ny) * {top})
-                        AS BIGINT)
-                 ELSE 0 END AS qy
-          FROM o CROSS JOIN mm
-        ),
-        z AS (SELECT o_orderkey, px, dyi, ({inter}) AS zorder FROM sc)
-        SELECT zorder >> 24 AS zbucket, CAST(count(*) AS BIGINT) AS n,
-               round(min(px), 2) AS min_price, round(max(px), 2) AS max_price,
-               min(dyi) AS min_days, max(dyi) AS max_days
-        FROM z GROUP BY 1
-    """
-
-
-def _linear_counting_oracle_sql(m_bits: int = 4096) -> str:
-    """DuckDB replay of q_b27_linear_counting: same k=1 bitmap build,
-    popcount, and −m·ln(z/m) estimator expression tree."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60_sql,
-    )
-
-    a, b = _hash_family(1, seed=0xB100)[0]
-    base = f"({portable_hash60_sql('CAST(c_custkey AS VARCHAR)')}) % {MINHASH_P}"
-    est = (
-        f"round(-{float(m_bits)} * ln(CAST({m_bits} - s AS DOUBLE)"
-        f" / {float(m_bits)}), 6)"
-    )
-    return f"""
-        WITH pos AS (
-          SELECT ((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits} AS pos
-          FROM customer
-        ),
-        bitmap AS (
-          SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
-                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
-          FROM pos GROUP BY 1
-        ),
-        used AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS s FROM bitmap),
-        ex AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact
-               FROM customer)
-        SELECT n_exact, s AS bits_set, {est} AS estimate,
-               round(abs({est} - n_exact) / n_exact, 6) AS rel_err
-        FROM ex CROSS JOIN used
-    """
-
-
-def _bloom_oracle_sql(m_bits: int = 4096, k_hashes: int = 4) -> str:
-    """DuckDB replay of q_b7_bloom_join: identical universal-family bit
-    positions over the portable md5 hash, bit_or bitmap, all-k probe."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60_sql,
-    )
-
-    fam = _hash_family(k_hashes, seed=0xB100)
-
-    def pos_list(key_expr: str) -> str:
-        base = f"({portable_hash60_sql(f'CAST({key_expr} AS VARCHAR)')}) % {MINHASH_P}"
-        return ", ".join(
-            f"((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits}" for a, b in fam
-        )
-
-    return f"""
-        WITH dpos AS (
-          SELECT unnest([{pos_list('c_custkey')}]) AS pos
-          FROM customer WHERE c_mktsegment = 'BUILDING'
-        ),
-        bitmap AS (
-          SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
-                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
-          FROM dpos GROUP BY 1
-        ),
-        opos AS (
-          SELECT o_orderkey, unnest([{pos_list('o_custkey')}]) AS pos
-          FROM orders
-        ),
-        pass AS (
-          SELECT o_orderkey FROM (
-            SELECT o_orderkey,
-                   CAST(floor(pos / 63) AS INTEGER) AS word,
-                   CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER) AS bit
-            FROM opos
-          ) p JOIN bitmap USING (word)
-          WHERE (bits & bit) <> 0
-          GROUP BY o_orderkey HAVING count(*) = {k_hashes}
-        ),
-        b AS (
-          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_bloom
-          FROM orders JOIN pass USING (o_orderkey) GROUP BY 1
-        ),
-        x AS (
-          SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_exact
-          FROM orders WHERE o_custkey IN
-            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-          GROUP BY 1
-        )
-        SELECT COALESCE(b.o_orderstatus, x.o_orderstatus) AS o_orderstatus,
-               COALESCE(n_bloom, 0) AS n_bloom,
-               COALESCE(n_exact, 0) AS n_exact,
-               COALESCE(n_bloom, 0) - COALESCE(n_exact, 0) AS n_false_pos
-        FROM b FULL OUTER JOIN x ON b.o_orderstatus = x.o_orderstatus
-    """
-
-
-def q_b12_zorder(spark, sf_dir):
-    """Z-order layout audit (B12 sort/layout depth): Morton-interleave
-    (o_totalprice, o_orderdate-as-days), bucket by the top 8 z-bits,
-    and report each bucket's row count + price/date envelopes — the
-    read that demonstrates multidimensional locality (every bucket
-    covers a tight rectangle in BOTH columns, which is what makes
-    min/max file stats prunable after a ZORDER rewrite). Interleave is
-    pure integer codegen; envelopes exact (derive.py: zorder_key)."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
-            "o_days"
-        ),
-    )
-    zed = derive.zorder_key(orders, "o_totalprice", "o_days")
-    return (
-        zed.groupBy(F.expr("shiftright(zorder, 24)").alias("zbucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min(F.col("o_totalprice").cast("double")), 2).alias("min_price"),
-            F.round(F.max(F.col("o_totalprice").cast("double")), 2).alias("max_price"),
-            F.min("o_days").alias("min_days"),
-            F.max("o_days").alias("max_days"),
-        )
-    )
-
-
-def q_b19_prefix_filter(spark, sf_dir):
-    """EXACT set-similarity self-join via prefix filtering (B19 depth —
-    the COMPLETE Jaccard method beside probabilistic MinHash-LSH):
-    rarity-ordered shingle prefixes make candidates an equi-join on
-    each doc's rarest grams, then the exact-Jaccard verify keeps pairs
-    ≥ 0.8 over the same planted-dup corpus the b19 LSH queries use.
-    Completeness vs the brute-force definition is pytest-proven; the
-    oracle replays this pipeline (dedup.py: set_similarity_join)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat("text", F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.unionByName(mutated)
-    return dedup.set_similarity_join(corpus, "doc_id", "text", threshold=0.8)
-
-
-def _prefix_filter_oracle_sql(t: float = 0.8) -> str:
-    """DuckDB replay of q_b19_prefix_filter: identical rarity order,
-    prefix bound, candidate join and exact verify."""
-    return f"""
-        WITH corpus AS ({_B19_CORPUS_SQL}),
-        tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-               FROM corpus),
-        dg AS (
-          SELECT DISTINCT doc_id,
-                 unnest(list_transform(generate_series(1, len(toks) - 2),
-                        i -> {_GRAM3_SQL})) AS g
-          FROM tk
-        ),
-        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-                  FROM dg GROUP BY doc_id),
-        gdf AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY g),
-        ranked AS (
-          SELECT dg.doc_id, dg.g,
-                 row_number() OVER (PARTITION BY dg.doc_id
-                                    ORDER BY gdf.df, dg.g) AS rn
-          FROM dg JOIN gdf USING (g)
-        ),
-        pref AS (
-          SELECT r.doc_id, r.g
-          FROM ranked r JOIN sizes s USING (doc_id)
-          WHERE r.rn <= s.n - CAST(ceil({t} * s.n) AS BIGINT) + 1
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM pref a JOIN pref b
-            ON a.g = b.g AND a.doc_id < b.doc_id
-        ),
-        inter AS (
-          SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
-          FROM cand c
-          JOIN dg x ON x.doc_id = c.id_a
-          JOIN dg y ON y.doc_id = c.id_b AND y.g = x.g
-          GROUP BY c.id_a, c.id_b
-        )
-        SELECT id_a, id_b,
-               round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {t}
-    """
-
-
-def q_b15_markov(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    sequences (B15 sequence depth): what follows what, as counts +
-    probabilities — one lead() window keyed by user, integer counts,
-    one rounded division; output bounded by |event types|²
-    (derive.py: markov_transitions)."""
-    ev = _t(spark, sf_dir, "events")
-    return derive.markov_transitions(ev)
-
-
-def q_b7_bloom_incremental(spark, sf_dir):
-    """CDC-incremental Bloom maintenance (B7 + B1 depth): the standing
-    filter over pre-cutoff order keys absorbs the post-cutoff batch
-    with one constant-cost bitmap merge; the oracle REBUILDS the
-    filter over the union from scratch, so the driver row IS the
-    merge-equals-rebuild invariant — same shape as the
-    b1_incremental_agg MV row (derive.py: bloom_merge)."""
-    orders = _t(spark, sf_dir, "orders")
-    base = orders.filter(F.col("o_orderkey") % 10 != 0).select("o_orderkey")
-    batch = orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
-    merged = derive.bloom_merge(
-        derive.bloom_build(base, "o_orderkey"),
-        derive.bloom_build(batch, "o_orderkey"),
-    )
-    return merged
-
-
-def _bloom_incremental_oracle_sql(m_bits: int = 4096, k_hashes: int = 4) -> str:
-    """Rebuild-from-scratch oracle for q_b7_bloom_incremental."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60_sql,
-    )
-
-    fam = _hash_family(k_hashes, seed=0xB100)
-    base = (
-        f"({portable_hash60_sql('CAST(o_orderkey AS VARCHAR)')}) % {MINHASH_P}"
-    )
-    pos = ", ".join(
-        f"((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits}" for a, b in fam
-    )
-    return f"""
-        WITH pos AS (
-          SELECT unnest([{pos}]) AS pos FROM orders
-        )
-        SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
-               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
-        FROM pos GROUP BY 1
-    """
-
-
-def q_b3_changepoint(spark, sf_dir):
-    """Change-point scan over daily event counts (B3 monitoring depth
-    — b3_psi says THAT the distribution moved, this localizes WHEN):
-    every interior day boundary scored |mean_left − mean_right| from
-    one cumulative window over the bounded daily relation; exact
-    integer sums, deterministic best-split tie-break (derive.py:
-    changepoint_splits)."""
-    ev = _t(spark, sf_dir, "events")
-    return derive.changepoint_splits(ev)
-
-
-def q_b10_woe_iv(spark, sf_dir):
-    """Weight-of-Evidence / Information-Value feature screening (B10
-    feature-engineering depth): how well o_totalprice separates
-    fulfilled orders, by exact rank-edge deciles — Laplace-smoothed
-    shares, ln rounded 6, IV total as an order-independent 1e-8
-    integer sum (same engine-exactness rules as b3_psi) (derive.py:
-    woe_iv)."""
-    orders = _t(spark, sf_dir, "orders")
-    return derive.woe_iv(
-        orders, "o_totalprice", F.col("o_orderstatus") == "F"
-    )
-
-
-def q_b19_golden_records(spark, sf_dir):
-    """Survivorship / golden records (B19 depth — the step AFTER
-    clustering that entity resolution exists for): each dup cluster
-    collapses to one merged record under deterministic per-column
-    rules — longest text (id tie-break), min doc_id as canonical id,
-    max length, keeper's text. Oracle: the recursive-CTE closure
-    labels + the same rules in SQL (dedup.py: golden_records)."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    )
-    labels = dedup.dup_clusters(pairs)
-    return dedup.golden_records(
-        corpus.withColumn("n_len", F.length("text").cast("bigint")),
-        labels,
-        "doc_id",
-        {
-            "best_text": ("longest", "text"),
-            "min_id": ("min", "doc_id"),
-            "max_len": ("max", "n_len"),
-            "keeper_text": ("keeper", "text"),
-        },
-    )
-
-
-def q_b10_bootstrap(spark, sf_dir):
-    """One-pass Poisson bootstrap CI for the mean order price (B10
-    statistical depth): every order draws a deterministic Poisson(1)
-    weight per replicate (portable md5 uniform → integer inverse-CDF
-    thresholds), 32 replicate means from integer weighted sums, CI =
-    rank-based 2nd-smallest/2nd-largest. The only bootstrap that works
-    at 100 TB — one scan, no resampling passes (sampling.py:
-    poisson_bootstrap)."""
-    orders = _t(spark, sf_dir, "orders")
-    return sampling.poisson_bootstrap(orders, "o_orderkey", "o_totalprice")
-
-
-def _bootstrap_oracle_sql(n_replicates: int = 32, quant: int = 100) -> str:
-    """DuckDB replay of q_b10_bootstrap."""
-    from sqlite_cdc_spark.pipeline.dedup import MINHASH_P, portable_hash60_sql
-    from sqlite_cdc_spark.pipeline.sampling import _poisson1_cutoffs
-
-    from sqlite_cdc_spark.pipeline.dedup import _hash_family
-
-    cuts = _poisson1_cutoffs(MINHASH_P)
-    fam = _hash_family(n_replicates, seed=0xB005)
-    h = f"({portable_hash60_sql('CAST(o_orderkey AS VARCHAR)')}) % {MINHASH_P}"
-    u = "u"
-    w = str(len(cuts))
-    for k in range(len(cuts) - 1, -1, -1):
-        w = f"CASE WHEN u < {cuts[k]} THEN {k} ELSE {w} END"
-    a_cases = " ".join(f"WHEN {r} THEN {fam[r][0]}" for r in range(n_replicates))
-    b_cases = " ".join(f"WHEN {r} THEN {fam[r][1]}" for r in range(n_replicates))
-    return f"""
-        WITH reps AS (SELECT unnest(generate_series(0, {n_replicates - 1})) AS r),
-        pairs AS (
-          SELECT r, CAST(floor(o_totalprice * {quant}) AS BIGINT) AS q,
-                 CAST({w} AS BIGINT) AS w
-          FROM (
-            SELECT o_totalprice, r,
-                   (h * (CASE r {a_cases} END)
-                    + (CASE r {b_cases} END)) % {MINHASH_P} AS u
-            FROM (SELECT o_orderkey, o_totalprice, {h} AS h FROM orders)
-            CROSS JOIN reps
-          )
-        ),
-        per AS (
-          SELECT CAST(r AS INTEGER) AS replicate,
-                 CAST(sum(w) AS BIGINT) AS n_eff,
-                 round(CAST(sum(w * q) AS DOUBLE)
-                       / (CAST(sum(w) AS DOUBLE) * {float(quant)}), 6)
-                   AS mean_r
-          FROM pairs GROUP BY r
-        ),
-        ranked AS (
-          SELECT *, row_number() OVER (ORDER BY mean_r, replicate) AS rk
-          FROM per
-        )
-        SELECT replicate, n_eff, mean_r,
-               (SELECT mean_r FROM ranked WHERE rk = 2) AS ci_lo,
-               (SELECT mean_r FROM ranked WHERE rk = {n_replicates - 1})
-                 AS ci_hi
-        FROM per
-    """
-
-
-#: hierarchical rollup via WITH RECURSIVE — the same SQL text runs on
-#: Spark 4 (UNION ALL recursion, new in 4.0) and DuckDB: customers form
-#: a digit-shift tree (parent = custkey div 10, keys 1-9 are roots),
-#: the recursion carries root/depth/balance down the tree, then rolls
-#: up per depth. Acyclic by construction, so UNION ALL terminates —
-#: Spark does not yet support dedup-UNION recursion (cyclic closure
-#: stays with dup_clusters/pagerank).
-_RECURSIVE_SQL = """
-    WITH RECURSIVE chain AS (
-      SELECT c_custkey AS node, c_custkey AS root, 1 AS depth,
-             c_acctbal AS bal
-      FROM customer WHERE c_custkey <= 9
-      UNION ALL
-      SELECT c.c_custkey AS node, chain.root, chain.depth + 1 AS depth,
-             c.c_acctbal AS bal
-      FROM customer c
-      JOIN chain ON CAST(floor(c.c_custkey / 10) AS BIGINT) = chain.node
-      WHERE c.c_custkey >= 10
-    )
-    SELECT CAST(depth AS INTEGER) AS depth,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
-           round(CAST(sum(bal) AS DOUBLE), 2) AS total_bal
-    FROM chain GROUP BY depth
-"""
-
-
-def q_b25_sql_recursive(spark, sf_dir):
-    """Recursive CTE on the Spark SQL surface (B25 depth — new in
-    Spark 4): an org-chart-style hierarchy walk carrying root/depth
-    down a digit-shift customer tree, rolled up per level. The SAME
-    SQL text runs on both engines; sums in exact-int-free doubles are
-    per-depth partial sums of identical values, rounded 2."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_RECURSIVE_SQL)
-
-
-def q_b26_temporal_split(spark, sf_dir):
-    """Leakage-aware temporal split (B26 depth): train < Jan 28,
-    embargo to Jan 30 noon, test = the last half-day, and every user
-    active in test is PURGED from train (per-entity leakage, the failure random splits
-    can't see). Output: per (split, event_type) counts + distinct
-    users — auditing both the calendar boundary and the purge
-    (sampling.py: temporal_split)."""
-    ev = _t(spark, sf_dir, "events")
-    split = sampling.temporal_split(
-        ev, "ts", "user_id", "2024-01-28 00:00:00", "2024-01-30 12:00:00"
-    )
-    return split.groupBy("split", "event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct("user_id").cast("bigint").alias("n_users"),
-    )
-
-
-def q_b24_corpus_v4(spark, sf_dir):
-    """Corpus capstone v4 (B24) — the EXACT-dedup build composing this
-    round's operators end to end: prefix-filter set-similarity join
-    (complete, no LSH recall question) → transitive closure → golden-
-    record survivorship (longest text per cluster, keeper id = cluster
-    min) → token-count gate — reported as a one-row build card. Every
-    stage is the already-oracled component; the oracle is their SQL
-    composition, so the driver row certifies the WHOLE pipeline
-    (dedup.py: set_similarity_join + dup_clusters + golden_records)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat("text", F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.unionByName(mutated)
-    # the pair relation is referenced twice (closure input + the build
-    # card's n_pairs) — checkpoint once per the iterative-consumer rule
-    pairs = dedup.set_similarity_join(
-        corpus, "doc_id", "text", threshold=0.8
-    ).localCheckpoint()
-    labels = dedup.dup_clusters(pairs).localCheckpoint()
-    golden = dedup.golden_records(
-        corpus, labels, "doc_id", {"text": ("longest", "text")}
-    ).select(F.col("cluster_id").alias("doc_id"), "text")
-    singles = corpus.join(labels.select("doc_id"), "doc_id", "left_anti")
-    kept = golden.unionByName(singles)
-    n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
-    gated = kept.withColumn("__nt", n_tok).filter(F.col("__nt") >= 10)
-    return (
-        corpus.agg(F.count(F.lit(1)).alias("n_input"))
-        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
-        .crossJoin(
-            labels.agg(
-                F.count_distinct("cluster_id").cast("bigint").alias("n_clusters")
-            )
-        )
-        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
-        .crossJoin(
-            gated.agg(
-                F.count(F.lit(1)).alias("n_final"),
-                F.sum("__nt").cast("bigint").alias("total_tokens"),
-            )
-        )
-    )
-
-
-def q_b27_linear_counting(spark, sf_dir):
-    """Linear-counting distinct estimate (B27 sketch depth — the one
-    sketch whose every bit replays cross-engine, giving the sketch
-    family an ORACLED row beside the rows-only HLL/CMS): customer keys
-    hash into an m-bit bitmap (same portable build as b7_bloom_join
-    with k=1), estimate = −m·ln(z/m) with z the zero-bit count from
-    integer popcounts. The row carries exact vs estimate vs relative
-    error, so the driver check certifies the estimator's math AND its
-    accuracy claim (derive.py: bloom_build)."""
-    m_bits = 4096
-    cust = _t(spark, sf_dir, "customer")
-    bitmap = derive.bloom_build(
-        cust.select("c_custkey"), "c_custkey", m_bits=m_bits, k_hashes=1
-    )
-    used = bitmap.agg(F.sum(F.bit_count("bits")).cast("long").alias("__set"))
-    exact = cust.agg(
-        F.count_distinct("c_custkey").cast("bigint").alias("n_exact")
-    )
-    z = F.lit(m_bits) - F.col("__set")
-    est = F.round(
-        -F.lit(float(m_bits))
-        * F.log(z.cast("double") / F.lit(float(m_bits))),
-        6,
-    )
-    return (
-        exact.crossJoin(F.broadcast(used))
-        .select(
-            "n_exact",
-            F.col("__set").alias("bits_set"),
-            est.alias("estimate"),
-            F.round(
-                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
-            ).alias("rel_err"),
-        )
-    )
-
-
-def q_b13_schema_union(spark, sf_dir):
-    """Schema-evolution-tolerant union (B13 depth): two generations of
-    a feed with added/dropped columns union BY NAME with missing
-    columns null-filled — `unionByName(allowMissingColumns=True)`,
-    DuckDB's `UNION ALL BY NAME`. The everyday operation when a
-    producer adds a field mid-stream."""
-    o = _t(spark, sf_dir, "orders")
-    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_orderpriority").alias("priority"),
-    )
-    both = gen1.unionByName(gen2, allowMissingColumns=True)
-    return both.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("o_totalprice").alias("n_with_price"),
-        F.count("priority").alias("n_with_priority"),
-    )
-
-
-def q_b2_collapse_repeats(spark, sf_dir):
-    """Consecutive-duplicate collapse (B2 depth): drop events repeating
-    the previous event_type for the same user — the feed-compaction
-    read that removes redundant heartbeats/idempotent writes while
-    keeping every state TRANSITION. One lag() window per user, narrow
-    filter; the kept-row relation then summarizes per type."""
-    ev = _t(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    kept = ev.withColumn("__prev", F.lag("event_type", 1).over(w)).filter(
-        (F.col("__prev").isNull()) | (F.col("__prev") != F.col("event_type"))
-    )
-    return kept.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_kept")
-    ).join(
-        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw")),
-        "event_type",
-    ).select(
-        "event_type",
-        "n_raw",
-        "n_kept",
-        (F.col("n_raw") - F.col("n_kept")).alias("n_collapsed"),
-    )
-
-
-def q_b26_rendezvous(spark, sf_dir):
-    """Rendezvous (highest-random-weight) hashing (B26 placement
-    depth): every order key routes to the shard maximizing
-    h(key, shard) — the consistent-placement rule behind shard
-    routing, cache assignment and co-partitioned layouts. The query
-    assigns keys under 5 shards AND under 6, then reports per-shard
-    counts plus how many keys MOVED — certifying HRW's minimal-
-    disruption property (≈ n/(N+1) keys move when a shard joins,
-    vs ~all under mod-N). Portable md5 base hash + universal family,
-    ties to the lowest shard id; pure narrow maps, one keyed agg."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60,
-    )
-
-    fam = _hash_family(6, seed=0x44C)
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
-    h = F.pmod(
-        portable_hash60(F.col("o_orderkey").cast("string")), F.lit(MINHASH_P)
-    )
-
-    def assign(n_shards: int):
-        scored = [
-            F.struct(
-                (-F.pmod(h * fam[s][0] + fam[s][1], F.lit(MINHASH_P))).alias("w"),
-                F.lit(s).alias("s"),
-            )
-            for s in range(n_shards)
-        ]
-        return F.array_min(F.array(*scored)).getField("s")
-
-    routed = orders.select(
-        "o_orderkey",
-        assign(5).alias("shard5"),
-        assign(6).alias("shard6"),
-    )
-    per = routed.groupBy(F.col("shard6").alias("shard")).agg(
-        F.count(F.lit(1)).alias("n_keys")
-    )
-    moved = routed.agg(
-        F.sum((F.col("shard5") != F.col("shard6")).cast("long")).alias("n_moved"),
-        F.count(F.lit(1)).alias("n_total"),
-    )
-    return per.crossJoin(F.broadcast(moved)).select(
-        "shard",
-        "n_keys",
-        "n_moved",
-        "n_total",
-        F.round(F.col("n_moved") / F.col("n_total").cast("double"), 6).alias(
-            "moved_frac"
-        ),
-    )
-
-
-def _rendezvous_oracle_sql() -> str:
-    """DuckDB replay of q_b26_rendezvous: same weights, same
-    negated-weight argmin (ties to the lowest shard id)."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60_sql,
-    )
-
-    fam = _hash_family(6, seed=0x44C)
-    base = f"({portable_hash60_sql('CAST(o_orderkey AS VARCHAR)')}) % {MINHASH_P}"
-
-    def assign(n: int) -> str:
-        lst = ", ".join(
-            f"{{'w': -((h * {fam[s][0]} + {fam[s][1]}) % {MINHASH_P}),"
-            f" 's': {s}}}"
-            for s in range(n)
-        )
-        return f"list_min([{lst}])['s']"
-
-    return f"""
-        WITH routed AS (
-          SELECT {assign(5)} AS shard5, {assign(6)} AS shard6
-          FROM (SELECT {base} AS h FROM orders)
-        ),
-        per AS (
-          SELECT shard6 AS shard, CAST(count(*) AS BIGINT) AS n_keys
-          FROM routed GROUP BY shard6
-        ),
-        mv AS (
-          SELECT CAST(sum(CASE WHEN shard5 <> shard6 THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_moved,
-                 CAST(count(*) AS BIGINT) AS n_total
-          FROM routed
-        )
-        SELECT shard, n_keys, n_moved, n_total,
-               round(n_moved / CAST(n_total AS DOUBLE), 6) AS moved_frac
-        FROM per CROSS JOIN mv
-    """
-
-
-def q_b18_cdc_chunks(spark, sf_dir):
-    """Content-defined chunking dedup audit (B18 storage depth): the
-    Rabin/Gear-style boundary rule over the planted-dup corpus — the
-    chunk store's view of redundancy, position-independent where fixed
-    blocks are not (the ' zzz' suffix shifts no earlier boundary, so
-    original and mutant share every chunk before the tail). One row:
-    total vs distinct chunks/chars + dedup ratio (dedup.py:
-    cdc_chunk_stats)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat("text", F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.unionByName(mutated)
-    return dedup.cdc_chunk_stats(corpus, "doc_id", "text")
-
-
-def _cdc_chunks_oracle_sql(window: int = 8, mask: int = 63) -> str:
-    """DuckDB replay of q_b18_cdc_chunks: identical rolling-hash
-    boundary rule, sentinel union, lag segmentation and md5 chunk ids."""
-    from sqlite_cdc_spark.pipeline.dedup import MINHASH_P, portable_hash60_sql
-
-    h = portable_hash60_sql(f"substr(t, CAST(p AS INTEGER), {window})")
-    return f"""
-        WITH corpus AS ({_B19_CORPUS_SQL}),
-        base AS (SELECT doc_id AS d, text AS t FROM corpus),
-        pos AS (
-          SELECT d, t, unnest(generate_series(1,
-                 greatest(length(t) - {window - 1}, 0))) AS p
-          FROM base
-        ),
-        bounds AS (
-          SELECT d, p + {window - 1} AS e FROM pos
-          WHERE (({h}) % {mask + 1} + {mask + 1}) % {mask + 1} = 0
-        ),
-        ends AS (
-          SELECT DISTINCT d, e FROM (
-            SELECT d, e FROM bounds
-            UNION ALL
-            SELECT d, length(t) AS e FROM base
-          )
-        ),
-        segs AS (
-          SELECT ends.d,
-                 substr(base.t,
-                        CAST(COALESCE(lag(e) OVER (PARTITION BY ends.d
-                             ORDER BY e), 0) + 1 AS INTEGER),
-                        CAST(e - COALESCE(lag(e) OVER (PARTITION BY ends.d
-                             ORDER BY e), 0) AS INTEGER)) AS chunk,
-                 e - COALESCE(lag(e) OVER (PARTITION BY ends.d
-                     ORDER BY e), 0) AS ln
-          FROM ends JOIN base ON base.d = ends.d
-          QUALIFY ln >= 1
-        ),
-        per AS (SELECT md5(chunk) AS h, CAST(ln AS BIGINT) AS ln FROM segs),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
-                       CAST(sum(ln) AS BIGINT) AS total_chars FROM per),
-        dis AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_distinct,
-                 CAST(sum(l) AS BIGINT) AS distinct_chars
-          FROM (SELECT h, min(ln) AS l FROM per GROUP BY h)
-        )
-        SELECT n_chunks, n_distinct, total_chars, distinct_chars,
-               round(1.0 - distinct_chars / CAST(total_chars AS DOUBLE), 6)
-                 AS dedup_ratio,
-               round(total_chars / CAST(n_chunks AS DOUBLE), 6)
-                 AS avg_chunk_len
-        FROM tot CROSS JOIN dis
-    """
-
-
-def q_b8_order_distribution(spark, sf_dir):
-    """TPC-H Q13 shape (B8 outer-join depth): the customer order-count
-    distribution — LEFT OUTER join (customers with zero orders must
-    appear as count 0) under an anti-LIKE priority filter (the fixture has no o_comment), then a
-    second aggregation over the first. The double-agg + outer-join
-    topology is the classic optimizer stress Q13 exists for."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").filter(
-        ~F.col("o_orderpriority").like("1-%")
-    ).select("o_custkey", "o_orderkey")
-    per = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        per.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .select("c_count", "custdist")
-    )
-
-
-def q_b10_small_quantity_revenue(spark, sf_dir):
-    """TPC-H Q17 shape (B10 correlated-aggregate depth): revenue lost
-    to small orders — lineitems under 20% of their part's average
-    quantity, for one brand/type slice (fixture part has p_type, not p_container). The per-part avg is a
-    keyed agg joined back (Catalyst's decorrelation of the textbook
-    correlated subquery); sums in exact decimal, final /7 in double."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
-    ).select("p_partkey")
-    avgq = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.avg(F.col("l_quantity").cast("double")).alias("__avgq")
-    )
-    sel = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(avgq, li["l_partkey"] == F.col("__pk"))
-        .filter(
-            F.col("l_quantity").cast("double") < F.lit(0.2) * F.col("__avgq")
-        )
-    )
-    return sel.agg(
-        F.count(F.lit(1)).alias("n_lineitems"),
-        F.round(
-            (
-                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast(
-                    "double"
-                )
-                / F.lit(7.0)
-            ),
-            2,
-        ).alias("avg_yearly"),
-    )
-
-
-def q_b5_disjunctive_pushdown(spark, sf_dir):
-    """TPC-H Q19 shape (B5 predicate depth): disjunction of
-    conjunctions across the join (brand × type × quantity × size
-    bands) — the OR-of-ANDs pattern that tests predicate normalization
-    and join-condition pushdown. Decimal-exact revenue per brand."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-    q = F.col("l_quantity").cast("double")
-    cond = (
-        ((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL") & (q <= 15) & (F.col("p_size") <= 10))
-        | ((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "MEDIUM") & (q <= 25) & (F.col("p_size") <= 20))
-        | ((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "LARGE") & (q <= 35) & (F.col("p_size") <= 30))
-    )
-    rev = (
-        F.col("l_extendedprice").cast("decimal(38,6)")
-        * (F.lit(1).cast("decimal(38,6)") - F.col("l_discount").cast("decimal(38,6)"))
-    )
-    return (
-        j.filter(cond)
-        .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
-        )
-    )
-
-
-def q_b22_byte_histogram(spark, sf_dir):
-    """Binary-column byte statistics (B22 depth beside the metadata
-    row): documents re-encoded as a BINARY payload column, audited
-    byte-level — per leading-byte bucket: blob count, total bytes,
-    and a digest-prefix distinct count (the corrupt-upload/wrong-
-    codec screen run on opaque media columns before any decode).
-    Pure binary functions (encode/length/substring/md5), engine-exact.
-    Explicit convention: zero-length payloads bucket under NULL on both
-    engines (Spark hex('') would be '' while DuckDB to_hex(ascii('')) is
-    '0' — neither is a byte, so neither is used)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-    return (
-        docs.select(
-            F.when(
-                F.length("payload") > 0,
-                F.upper(F.hex(F.substring(F.col("payload"), 1, 1))),
-            ).alias("lead_byte"),
-            F.length("payload").alias("__n"),
-            F.substring(F.md5("payload"), 1, 8).alias("__d8"),
-        )
-        .groupBy("lead_byte")
-        .agg(
-            F.count(F.lit(1)).alias("n_blobs"),
-            F.sum("__n").cast("long").alias("total_bytes"),
-            F.count_distinct("__d8").cast("bigint").alias("n_distinct_digests"),
-        )
-    )
-
-
-def q_b30_index_compression(spark, sf_dir):
-    """Posting-list compression audit (B30 index depth): the
-    delta+varint arithmetic every search index lives on — per term,
-    doc-id gaps via lag() (postings are sorted by construction),
-    varint size = 7-bit-group count by integer thresholds, reported as
-    raw-vs-encoded bytes per df-decile bucket. Pure integer logic, one
-    window + two keyed aggs; certifies the size model an index
-    capacity plan would use."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    dt = (
-        docs.select(
-            F.col("doc_id"),
-            F.explode(textops.tokens("text")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
-    )
-    w = Window.partitionBy("tok").orderBy(F.col("doc_id").asc())
-    gaps = dt.select(
-        "tok",
-        (
-            F.col("doc_id")
-            - F.coalesce(F.lag("doc_id", 1).over(w), F.lit(0))
-        ).alias("__gap"),
-    )
-    vbytes = (
-        F.when(F.col("__gap") < 128, 1)
-        .when(F.col("__gap") < 16384, 2)
-        .when(F.col("__gap") < 2097152, 3)
-        .otherwise(4)
-    )
-    per_term = gaps.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("__df"),
-        F.sum(vbytes).cast("long").alias("__vb"),
-    )
-    # integer thresholds, not floor(log10(df)): log10 of an exact power
-    # of ten is not guaranteed exactly representable, and a 1-ulp
-    # undershoot would flip the floor cross-engine
-    bucket = (
-        F.when(F.col("__df") < 10, 0)
-        .when(F.col("__df") < 100, 1)
-        .when(F.col("__df") < 1000, 2)
-        .when(F.col("__df") < 10000, 3)
-        .otherwise(4)
-    )
-    return (
-        per_term.groupBy(bucket.alias("df_decade"))
-        .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("__df").cast("long").alias("n_postings"),
-            (F.sum("__df") * 8).cast("long").alias("raw_bytes"),
-            F.sum("__vb").cast("long").alias("varint_bytes"),
-        )
-        .select(
-            "df_decade",
-            "n_terms",
-            "n_postings",
-            "raw_bytes",
-            "varint_bytes",
-            F.round(
-                F.col("raw_bytes") / F.col("varint_bytes").cast("double"), 6
-            ).alias("compression_x"),
-        )
-    )
-
-
-def q_b3_psi(spark, sf_dir):
-    """Population Stability Index over the event-value distribution,
-    first half vs second half of the stream (B3 monitoring depth) —
-    the numeric-distribution companion to b3_op_drift's categorical
-    share check. Bucket edges are the baseline's exact element-rank
-    deciles (no interpolation → pure comparison logic, engine-exact);
-    shares Laplace-smoothed; terms floor-quantized to 1e-8 so the
-    cross-bucket total is an integer sum. No global sort: edges come
-    from a distinct-value count + one window over that bounded
-    relation (derive.py: psi_drift)."""
-    ev = _t(spark, sf_dir, "events")
-    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
-    return derive.psi_drift(
-        ev.filter(F.col("ts") < mid).select("value"),
-        ev.filter(F.col("ts") >= mid).select("value"),
-        "value",
-    )
-
-
-def _ewma_oracle_sql(n_terms: int = 8, quant: int = 100) -> str:
-    """DuckDB replay of q_b11_ewma: identical integer lag-sum ratio."""
-    num = " + ".join(
-        f"COALESCE(lag(qv, {j}) OVER w * {2 ** (n_terms - 1 - j)}, 0)"
-        for j in range(n_terms)
-    )
-    den = " + ".join(
-        f"CASE WHEN lag(qv, {j}) OVER w IS NOT NULL"
-        f" THEN {2 ** (n_terms - 1 - j)} ELSE 0 END"
-        for j in range(n_terms)
-    )
-    return f"""
-        WITH q AS (
-          SELECT user_id, event_id, ts,
-                 CAST(floor(value * {quant}) AS BIGINT) AS qv
-          FROM events
-        )
-        SELECT user_id, event_id,
-               round(({num}) / (({den}) * {float(quant)}), 6) AS ewma
-        FROM q
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """
-
-
-def _pagerank_oracle_sql(iters: int = 3) -> str:
-    """DuckDB replay of q_b30_pagerank: identical integer floor-division
-    rank updates, iteration by iteration."""
-    share = (
-        "CAST(((rr.r * 17) - (((rr.r * 17) % (20 * od.od) + (20 * od.od))"
-        " % (20 * od.od))) / (20 * od.od) AS BIGINT)"
-    )
-    parts = [
-        """ed AS (
-          SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        ),
-        e AS (
-          SELECT c AS src, s AS dst FROM ed
-          UNION ALL
-          SELECT s AS src, c AS dst FROM ed
-        ),
-        nodes AS (
-          SELECT src AS node_id FROM e UNION SELECT dst FROM e
-        ),
-        od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
-        r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
-    ]
-    for t in range(1, iters + 1):
-        parts.append(f"""s{t} AS (
-          SELECT e.dst AS node_id, {share} AS share
-          FROM r{t - 1} rr
-          JOIN od ON od.src = rr.node_id
-          JOIN e ON e.src = rr.node_id
-        ),
-        r{t} AS (
-          SELECT n.node_id,
-                 CAST(150000 + COALESCE(sum(share), 0) AS BIGINT) AS r
-          FROM nodes n LEFT JOIN s{t} ON s{t}.node_id = n.node_id
-          GROUP BY n.node_id
-        )""")
-    return (
-        "WITH " + ",\n        ".join(parts) + f"""
-        SELECT node_id, rank_units, rnk FROM (
-          SELECT node_id, r AS rank_units,
-                 row_number() OVER (ORDER BY r DESC, node_id) AS rnk
-          FROM r{iters}
-        ) WHERE rnk <= 30
-    """
-    )
-
-
-def _psi_oracle_sql(n_buckets: int = 10) -> str:
-    """DuckDB replay of q_b3_psi: identical rank-edge, smoothing and
-    1e-8 floor-quantization rules."""
-    B = n_buckets
-    edge_cols = ", ".join(
-        f"min(CASE WHEN cum >= floor((n - 1) * {k} / {B}) + 1 THEN v END)"
-        f" AS e{k}"
-        for k in range(1, B)
-    )
-    bucket_expr = " + ".join(
-        f"CAST(v > e{k} AS INTEGER)" for k in range(1, B)
-    )
-    return f"""
-        WITH b AS (SELECT value AS v FROM events
-                   WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
-        c AS (SELECT value AS v FROM events
-              WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
-        vh AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY v),
-        cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) AS cum FROM vh),
-        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vh),
-        edges AS (SELECT {edge_cols} FROM cum CROSS JOIN tot),
-        nb AS (SELECT {bucket_expr} AS bucket, CAST(count(*) AS BIGINT) AS n_base
-               FROM b CROSS JOIN edges GROUP BY 1),
-        nc AS (SELECT {bucket_expr} AS bucket, CAST(count(*) AS BIGINT) AS n_cur
-               FROM c CROSS JOIN edges GROUP BY 1),
-        grid AS (SELECT unnest(generate_series(0, {B - 1})) AS bucket),
-        j AS (
-          SELECT CAST(grid.bucket AS INTEGER) AS bucket,
-                 COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
-          FROM grid LEFT JOIN nb ON nb.bucket = grid.bucket
-                    LEFT JOIN nc ON nc.bucket = grid.bucket
-        ),
-        t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
-                     CAST(sum(n_cur) AS BIGINT) AS tc FROM j),
-        terms AS (
-          SELECT bucket, n_base, n_cur,
-                 (n_base + 1) / CAST(tb + {B} AS DOUBLE) AS p,
-                 (n_cur + 1) / CAST(tc + {B} AS DOUBLE) AS q
-          FROM j CROSS JOIN t
-        ),
-        scored AS (
-          SELECT bucket, n_base, n_cur,
-                 round(p, 6) AS share_base, round(q, 6) AS share_cur,
-                 round((p - q) * ln(p / q), 6) AS psi_term,
-                 CAST(floor((p - q) * ln(p / q) * 1e8) AS BIGINT) AS t8
-          FROM terms
-        )
-        SELECT bucket, n_base, n_cur, share_base, share_cur, psi_term,
-               round(sum(t8) OVER () / 1e8, 6) AS psi_total
-        FROM scored
-    """
-
-
-def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64, quant: int = 10**6) -> str:
-    """DuckDB replay of q_b20_kmeans: the same quantize → (assign →
-    update → coalesce-empty)×iters → final-assign chain, all integer
-    (explicit floor-division form — DuckDB's // truncates toward 0)."""
-    dist = (
-        f"list_sum(list_transform(generate_series(1, {d}),"
-        " i -> (qe[i]-ce[i])*(qe[i]-ce[i])))"
-    )
-    parts = [
-        f"""q AS (
-          SELECT vec_id, list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)}) AS BIGINT)) AS qe
-          FROM embeddings
-        ),
-        dims AS (SELECT unnest(generate_series(1, {d})) AS dim),
-        c0 AS (
-          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-                 qe AS ce
-          FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k})
-        )"""
-    ]
-    for t in range(1, iters + 1):
-        parts.append(f"""a{t} AS (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-            FROM (
-              SELECT q.vec_id, c.cid, {dist} AS dist
-              FROM q CROSS JOIN c{t - 1} c
-            )
-          ) WHERE rn = 1
-        ),
-        u{t} AS (
-          SELECT a{t}.cid, dims.dim, CAST(sum(q.qe[dims.dim]) AS BIGINT) AS s,
-                 CAST(count(*) AS BIGINT) AS n
-          FROM a{t} JOIN q USING (vec_id) CROSS JOIN dims
-          GROUP BY a{t}.cid, dims.dim
-        ),
-        n{t} AS (
-          SELECT cid,
-                 list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
-                      ORDER BY dim) AS ce
-          FROM u{t} GROUP BY cid
-        ),
-        c{t} AS (
-          SELECT c{t - 1}.cid, coalesce(n{t}.ce, c{t - 1}.ce) AS ce
-          FROM c{t - 1} LEFT JOIN n{t} USING (cid)
-        )""")
-    parts.append(f"""fin AS (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-            FROM (
-              SELECT q.vec_id, c.cid, {dist} AS dist
-              FROM q CROSS JOIN c{iters} c
-            )
-          ) WHERE rn = 1
-        )""")
-    return (
-        "WITH " + ",\n        ".join(parts) + """
-        SELECT vec_id, cid AS cluster_id,
-               CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
-        FROM fin
-    """
-    )
-
-
-def q_b19_cluster_stability(spark, sf_dir):
-    """Cluster-stability audit (B19 depth, r8): adjusted Rand index
-    between the EXACT-duplicate clustering (groups keyed by normalized
-    text, label = min member id) and the NEAR-dup clustering (MinHash
-    pairs transitively closed) over the same planted-dup corpus — the
-    measured answer to "how much extra does near-dedup merge beyond
-    exact, and how coherently". All pair counts are integer
-    (n·(n−1)/2 over contingency cells — two keyed aggs + one
-    |clusters|-sized contingency agg, no pair materialization); only
-    the final indices divide as doubles, rounded 6. Scale: cost ∝
-    clusters, never ∝ pairs."""
-    docs = _t(spark, sf_dir, "documents")
-    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(mutated)
-    pairs = dedup.near_dup_pairs(
-        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
-        base_hash="md5",
-    )
-    near = dedup.dup_clusters(pairs).select(
-        "doc_id", F.col("cluster_id").alias("__a")
-    )
-    from pyspark.sql import Window as _W
-
-    exact = corpus.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(_W.partitionBy(dedup.normalize_text("text")))
-        .alias("__b"),
-    )
-    both = (
-        corpus.select("doc_id")
-        .join(near, "doc_id", "left")
-        .join(exact, "doc_id")
-        .select(
-            "doc_id",
-            F.coalesce("__a", F.col("doc_id")).alias("__a"),
-            "__b",
-        )
-    )
-    cont = both.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__n"))
-    c2 = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("long")  # noqa: E731
-    s_both = cont.agg(
-        F.sum(c2("__n")).alias("pairs_both"),
-        F.sum("__n").cast("long").alias("n_docs"),
-    )
-    s_a = (
-        cont.groupBy("__a")
-        .agg(F.sum("__n").alias("__na"))
-        .agg(F.sum(c2("__na")).alias("pairs_a"))
-    )
-    s_b = (
-        cont.groupBy("__b")
-        .agg(F.sum("__n").alias("__nb"))
-        .agg(F.sum(c2("__nb")).alias("pairs_b"))
-    )
-    out = s_both.crossJoin(F.broadcast(s_a)).crossJoin(F.broadcast(s_b))
-    total = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
-    e = F.col("pairs_a") * F.col("pairs_b") / total.cast("double")
-    m = (F.col("pairs_a") + F.col("pairs_b")) / F.lit(2.0)
-    return out.select(
-        "n_docs",
-        "pairs_both",
-        "pairs_a",
-        "pairs_b",
-        total.alias("pairs_total"),
-        F.round(
-            (
-                total.cast("double")
-                + 2 * F.col("pairs_both")
-                - F.col("pairs_a")
-                - F.col("pairs_b")
-            )
-            / total.cast("double"),
-            6,
-        ).alias("rand_index"),
-        F.round(
-            F.when(m - e != 0, (F.col("pairs_both") - e) / (m - e))
-            .otherwise(F.lit(1.0)),
-            6,
-        ).alias("ari"),
-    )
-
-
-def q_b20_dim_truncation(spark, sf_dir):
-    """Embedding dim-truncation audit (B20 depth, r8): for each
-    truncation budget d ∈ {16, 32, 48}, the retained-norm fraction
-    ``‖v[:d]‖ / ‖v‖`` per vector — the Matryoshka-style measurement
-    that decides how small stored embeddings can go before retrieval
-    quality collapses. Per-row fold arithmetic (identical fold order
-    both engines), per-row values floor-quantized to 1e-6 so the
-    per-budget mean is an integer sum; one narrow pass + one tiny
-    grouped agg."""
-    emb = _t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    full = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    rows = []
-    for d in (16, 32, 48):
-        part = F.aggregate(
-            F.slice(v, 1, d), F.lit(0.0), lambda acc, x: acc + x * x
-        )
-        r = F.sqrt(part / full)
-        rows.append(
-            F.struct(
-                F.lit(d).cast("int").alias("dim"),
-                F.floor(r * 1e6).cast("long").alias("__r6"),
-            )
-        )
-    exploded = emb.select(
-        F.explode(F.array(*rows)).alias("s")
-    ).select(F.col("s.dim").alias("dim"), F.col("s.__r6").alias("__r6"))
-    return exploded.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(F.sum("__r6") / (F.count(F.lit(1)) * 1e6), 6).alias(
-            "avg_retained"
-        ),
-        F.round(F.min("__r6") / 1e6, 6).alias("min_retained"),
-    )
-
-
-def q_b11_twap(spark, sf_dir):
-    """Time-weighted average value per user (B11/B15 depth, r8) — the
-    TWAP every ops/finance pipeline needs where plain averages
-    overweight bursts: each event's value (exact integer cents) holds
-    until the next event, weights are integer second gaps from one
-    keyed lead window, and the division to a double happens once at
-    the end (round 6). Users whose events all share one second report
-    NULL (no holding interval). One shuffle on user_id."""
-    from pyspark.sql import Window as _W
-
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
-    w = _W.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    staged = ev.select(
-        "user_id",
-        F.floor(F.col("value") * 100).cast("long").alias("__cents"),
-        sec.alias("__sec"),
-        F.lead(sec).over(w).alias("__next"),
-    ).withColumn("__w", F.col("__next") - F.col("__sec"))
-    return staged.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("__w").cast("long").alias("held_seconds"),
-        F.round(
-            F.when(
-                F.sum("__w") > 0,
-                F.sum(F.col("__cents") * F.col("__w"))
-                / (F.sum("__w") * F.lit(100.0)),
-            ),
-            6,
-        ).alias("twap"),
-    )
-
-
-def q_b21_source_kl(spark, sf_dir):
-    """Per-source distribution divergence (B21/B28 depth, r8): KL of
-    each source's Laplace-smoothed unigram distribution against the
-    corpus-wide distribution, summed over the FULL shared vocabulary
-    (absent tokens contribute their smoothed mass — the exact
-    definition, not an observed-support shortcut). The data-mixing
-    diagnostic that ranks sources by how far they sit from the blend:
-    a near-zero source is redundant, an extreme one is templated or
-    off-domain. Shape: token counts are keyed aggs; the |V|·|S| grid
-    is vocab ⋈ broadcast(sources) ⋈ per-source counts (left) — keyed,
-    never a pair blowup; each term floor-quantized to 1e-8 so the
-    per-source total is an order-independent integer sum (the b3_psi
-    engine-exactness recipe)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(textops.tokens("text")).alias("tok")
-    ).filter(F.col("tok") != "")
-    st = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("__nst")
-    )
-    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("__nt"))
-    stot = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("__ns")
-    )
-    gtot = toks.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.countDistinct("tok").cast("long").alias("__v"),
-    )
-    grid = ct.crossJoin(F.broadcast(stot.select("source", "__ns")))
-    cells = (
-        grid.join(st, ["source", "tok"], "left")
-        .crossJoin(F.broadcast(gtot))
-        .select(
-            "source",
-            "__ns",
-            "__v",
-            (
-                (F.coalesce(F.col("__nst"), F.lit(0)) + 1)
-                / (F.col("__ns") + F.col("__v")).cast("double")
-            ).alias("__p"),
-            (
-                (F.col("__nt") + 1)
-                / (F.col("__n") + F.col("__v")).cast("double")
-            ).alias("__q"),
-        )
-    )
-    term = F.col("__p") * F.log(F.col("__p") / F.col("__q"))
-    return (
-        cells.select(
-            "source", "__ns", "__v", F.floor(term * 1e8).cast("long").alias("__t8")
-        )
-        .groupBy("source")
-        .agg(
-            F.min("__ns").alias("n_tokens"),
-            F.min("__v").alias("vocab_size"),
-            F.round(F.sum("__t8") / 1e8, 6).alias("kl_vs_corpus"),
-        )
-    )
-
-
-def q_b22_phash_dups(spark, sf_dir):
-    """Perceptual-hash image dedup (B19 × B22, r8): every doc gets a
-    synthesized RGB image (genuine binary PPM bytes); docs with
-    doc_id%9==0 are planted as EXACT visual duplicates under new ids
-    (+300000, same source raster). The aHash fingerprint
-    (multimodal.ahash64: real decode → 8×8 integer NN downsample →
-    integer grayscale → mean-threshold bits) groups visually identical
-    images with ONE keyed agg — the image-side twin of exact text
-    dedup, and the screen a multimodal corpus runs before any
-    embedding model sees a frame. Output: one row per duplicate group
-    (hash halves, copy count, keeper = min doc_id)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    staged = docs.select(
-        "doc_id", F.col("doc_id").alias("img_id")
-    ).unionByName(
-        docs.filter(F.col("doc_id") % 9 == 0).select(
-            (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
-            F.col("doc_id").alias("img_id"),
-        )
-    )
-    hashed = multimodal.ahash64(
-        multimodal.synth_ppm(staged, id_col="img_id"), id_col="doc_id"
-    )
-    return (
-        hashed.filter(F.col("decode_ok"))
-        .groupBy("hash_hi", "hash_lo")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_copies"),
-            F.min("doc_id").cast("long").alias("keeper_id"),
-        )
-        .filter(F.col("n_copies") > 1)
-    )
-
-
-def q_b15_retention(spark, sf_dir):
-    """Cohort retention curves (B15 depth, r8) — the product-analytics
-    staple b15_cohorts stops short of: users cohorted by first-active
-    epoch week (integer ``sec div 604800``), then for every
-    (cohort, week-offset) cell the share of the cohort still active —
-    the decay curve per acquisition wave. Three keyed aggs (first
-    week per user, distinct user-weeks, cell counts) + one broadcast
-    join of the |cohorts|-row size table; retention divides once at
-    the end (round 6). No window over the stream anywhere."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    week = F.expr(
-        "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint) div 604800"
-    )
-    uw = ev.select("user_id", week.alias("__wk")).distinct()
-    first = uw.groupBy("user_id").agg(F.min("__wk").alias("__cw"))
-    cells = (
-        uw.join(first, "user_id")
-        .groupBy("__cw", (F.col("__wk") - F.col("__cw")).alias("week_offset"))
-        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
-    )
-    sizes = first.groupBy("__cw").agg(
-        F.count(F.lit(1)).cast("long").alias("cohort_size")
-    )
-    return (
-        cells.join(F.broadcast(sizes), "__cw")
-        .select(
-            F.col("__cw").cast("long").alias("cohort_week"),
-            F.col("week_offset").cast("long").alias("week_offset"),
-            "n_active",
-            "cohort_size",
-            F.round(
-                F.col("n_active") / F.col("cohort_size").cast("double"), 6
-            ).alias("retention"),
-        )
-    )
-
-
-def q_b30_phrase_search(spark, sf_dir):
-    """Positional phrase retrieval (B30 depth, r8): docs where "merge
-    join" occurs as an ADJACENT ordered pair — the query shape boolean
-    AND cannot express. Postings filtered to the phrase vocabulary
-    before the (id, pos+offset) equi-join chain (lm.py:
-    phrase_search); output is per-doc occurrence counts."""
-    docs = _t(spark, sf_dir, "documents")
-    return lm.phrase_search(docs, "doc_id", ["merge", "join"])
-
-
-def q_b24_effective_tokens(spark, sf_dir):
-    """Dedup-weighted corpus accounting (B24 depth, r8): every doc
-    weighted ``1 / |its exact-dup group|`` (the C4/RefinedWeb-style
-    effective-size correction), reported per source as raw vs
-    effective token counts and the inflation ratio — the number that
-    says how much of a source's apparent volume is copies. Group
-    sizes come from one keyed agg on the normalized-text key; weights
-    stay exact as integer token-count / group-size rationals summed
-    at 1e-6 quantization (order-independent integer sum)."""
-    docs = _t(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        "source",
-        textops.token_count("text").alias("__nt"),
-        dedup.normalize_text("text").alias("__k"),
-    )
-    sizes = keyed.groupBy("__k").agg(
-        F.count(F.lit(1)).cast("long").alias("__g")
-    )
-    per = keyed.join(sizes, "__k").select(
-        "source",
-        "__nt",
-        # floor((nt * 1e6) / g): integer rational at 1e-6 grain
-        F.expr("(__nt * 1000000) div __g").alias("__eff6"),
-    )
-    return per.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("__nt").cast("long").alias("raw_tokens"),
-        F.round(F.sum("__eff6") / 1e6, 6).alias("effective_tokens"),
-        F.round(
-            F.sum("__nt") / (F.sum("__eff6") / 1e6), 6
-        ).alias("inflation"),
-    )
-
-
-def q_b7_returned_revenue(spark, sf_dir):
-    """TPC-H Q10 shape (B7 depth, r8): revenue lost to returned items
-    per customer — lineitem filtered to returnflag 'R' joins orders
-    (date-windowed, predicate pushed to the scan) and the broadcast
-    customer/nation dims; decimal-exact revenue; top-20 via
-    distributed ``orderBy().limit`` then rank (the r8 top-k rule)."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1995-01-01")
-        & (F.col("o_orderdate") < "1996-01-01")
-    )
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    agg = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(38,6)")
-                    * (
-                        F.lit(1).cast("decimal(38,6)")
-                        - F.col("l_discount").cast("decimal(38,6)")
-                    )
-                ).cast("double"),
-                2,
-            ).alias("revenue")
-        )
-    )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-    )
-
-
-def q_b28_pack_efficiency(spark, sf_dir):
-    """Sequence-packing efficiency report (B28 depth, r8): per 512-token
-    pack of b28_packing's manifest — doc count, token sum, fill ratio
-    and the overflow flag (exclusive-cumsum packing lets a boundary doc
-    spill past the budget; the report quantifies how much budget is
-    actually used vs wasted, the number that prices a packing policy).
-    One keyed agg over the distributed prefix-sum output."""
-    docs = _t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", textops.token_count("text").alias("n_tok")
-    )
-    packed = sampling.pack_sequences(
-        sized, "doc_id", "n_tok", budget=512, bucket_size=64
-    )
-    return packed.groupBy(F.col("pack_id").cast("bigint").alias("pack_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("sum_tok"),
-        F.round(F.sum("n_tok") / F.lit(512.0), 6).alias("fill"),
-        (F.sum("n_tok") > 512).alias("overflow"),
-    )
-
-
-def q_b3_anomaly(spark, sf_dir):
-    """Seasonal-naive anomaly screen (B3 monitoring depth, r8 —
-    b3_changepoint localizes a LEVEL shift; this flags individual
-    outlier days): daily event counts vs the same weekday one week
-    earlier; a day is anomalous when its residual exceeds 3× the MAD
-    of all residuals. Day counts contract the stream to a |days|-row
-    relation; the lag-7 window and the 1-row MAD broadcast run over
-    that bounded relation only (the psi/changepoint rule)."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-            " div 86400"
-        ).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w = Window.orderBy(F.col("day").asc())
-    with_prev = daily.withColumn("__prev", F.lag("n", 7).over(w)).withColumn(
-        "resid", (F.col("n") - F.col("__prev")).cast("long")
-    )
-    mad = with_prev.filter(F.col("resid").isNotNull()).agg(
-        F.median(F.abs("resid")).alias("__mad")
-    )
-    return (
-        with_prev.crossJoin(F.broadcast(mad))
-        .select(
-            "day",
-            "n",
-            F.col("__prev").cast("long").alias("expected"),
-            "resid",
-            F.when(
-                F.col("resid").isNotNull(),
-                F.abs("resid") > 3 * F.greatest(F.col("__mad"), F.lit(1.0)),
-            ).alias("anomalous"),
-        )
-    )
-
-
-def q_b17_join_view(spark, sf_dir):
-    """Incremental JOIN-view maintenance (B17 depth, r8): the standing
-    orders⋈customer view folds a CDC batch touching BOTH sides —
-    orders %13 re-priced (+1), customers %17 re-balanced (+5) — via
-    the delta rule Δ(A⋈B) = ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB with
-    multiplying tuple weights (derive.incremental_join_view). Cost ∝
-    batch ⋈ snapshots; the base join is NEVER recomputed. The oracle
-    recomputes the join over the post-batch tables, so the driver row
-    IS the increment-equals-recompute invariant."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
-    )
-    view = orders.join(cust, "o_custkey")
-    a_del = orders.filter(F.col("o_orderkey") % 13 == 0)
-    a_ins = a_del.withColumn(
-        "o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2)
-    )
-    b_del = cust.filter(F.col("o_custkey") % 17 == 0)
-    b_ins = b_del.withColumn(
-        "c_acctbal", F.round(F.col("c_acctbal") + 5.0, 2)
-    )
-    return derive.incremental_join_view(
-        view, orders, cust, "o_custkey",
-        a_inserts=a_ins, a_deletes=a_del,
-        b_inserts=b_ins, b_deletes=b_del,
-    )
-
-
-def q_b30_rrf_fusion(spark, sf_dir):
-    """Hybrid-retrieval rank fusion (B30 depth, r8): the BM25 and
-    Dirichlet-QL top-15 lists for the same query fuse by reciprocal
-    rank (Σ 1/(60+rank) — the standard ensemble for scorers whose raw
-    scales don't compare); full-outer join of two BOUNDED lists, fused
-    top-10 via distributed limit-then-rank (lm.rrf_fuse)."""
-    docs = _t(spark, sf_dir, "documents")
-    terms = ["merge", "join", "batch"]
-    return lm.rrf_fuse(
-        lm.bm25_search(docs, "doc_id", terms, top_k=15),
-        lm.ql_search(docs, "doc_id", terms, mu=2000.0, top_k=15),
-        "doc_id",
-        k=60,
-        top_k=10,
-    )
-
-
-def q_b9_asof_tolerance(spark, sf_dir):
-    """Tolerance-bounded as-of join (B9 depth, r8) — the feature-store
-    max-staleness rule: each order takes the user's latest event at or
-    before the order date ONLY if it is at most 7 days old; staler
-    matches enrich as NULL rather than silently serving ancient
-    features (derive.asof_join(tolerance_seconds=604800)). The bound
-    lives IN the join condition, which also caps the range-join
-    fan-out to the tolerance window at scale."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("k"), "ts", "event_id", "value"
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            (F.col("o_custkey") % 100).alias("k"),
-            F.col("o_orderdate").cast("timestamp").alias("odate"),
-        )
-        .filter(F.col("o_orderkey") % 29 == 0)
-    )
-    out = derive.asof_join(
-        o, ev, ["k"], "odate", "ts", tolerance_seconds=7 * 86400
-    )
-    return out.select(
-        F.col("l_o_orderkey").alias("o_orderkey"),
-        F.col("l_k").alias("k"),
-        F.col("r_event_id").cast("bigint").alias("event_id"),
-        F.col("r_value").alias("value"),
-    )
-
-
-#: B25 SQL-surface window functions — ONE literal SQL string run
-#: verbatim on both engines (the same-text parity discipline as the
-#: other b25 rows): ranking, dense ranking, a running decimal frame
-#: sum, and lag, all inside inline OVER clauses.
-_SQL_WINDOW_FUNCS = """
-    WITH base AS (
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-             l_extendedprice
-      FROM lineitem WHERE l_orderkey % 37 = 0
-    )
-    SELECT l_orderkey, l_linenumber,
-           CAST(row_number() OVER (
-             PARTITION BY l_returnflag
-             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
-                      l_quantity
-           ) AS BIGINT) AS rn,
-           CAST(dense_rank() OVER (
-             PARTITION BY l_returnflag ORDER BY l_quantity
-           ) AS BIGINT) AS dr,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) OVER (
-             PARTITION BY l_returnflag
-             ORDER BY l_orderkey, l_linenumber, l_quantity,
-                      l_extendedprice
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE), 2) AS run_sum,
-           CAST(lag(l_linenumber) OVER (
-             PARTITION BY l_orderkey
-             ORDER BY l_linenumber, l_quantity, l_extendedprice
-           ) AS BIGINT) AS prev_ln
-    FROM base
-"""
-
-q_b25_sql_window = _sql_query(_SQL_WINDOW_FUNCS, "lineitem")
-
-
-def q_b14_trig_funcs(spark, sf_dir):
-    """Math/trig function-surface parity (B14 depth, r8): sin/cos/tan,
-    atan2, sqrt (IEEE-exact), exp, pow, degrees/radians, sign — all
-    rounded 6 so libm last-ulp differences between the JVM and C
-    implementations can never surface. Pure narrow map."""
-    p = _t(spark, sf_dir, "part")
-    x = F.col("p_size").cast("double") / 10.0
-    y = (F.col("p_partkey") % 13).cast("double") / 7.0
-    return p.select(
-        "p_partkey",
-        F.round(F.sin(x), 6).alias("sin_x"),
-        F.round(F.cos(x), 6).alias("cos_x"),
-        F.round(F.tan(y), 6).alias("tan_y"),
-        F.round(F.atan2(y, x + F.lit(0.1)), 6).alias("atan2_yx"),
-        F.round(F.sqrt(F.col("p_retailprice").cast("double")), 6).alias("sqrt_p"),
-        F.round(F.exp(-x), 6).alias("exp_nx"),
-        F.round(F.pow(x + F.lit(1.0), 3), 6).alias("pow3"),
-        F.round(F.degrees(y), 6).alias("deg_y"),
-        F.round(F.radians(F.col("p_size").cast("double")), 6).alias("rad_s"),
-        F.signum(F.col("p_size").cast("double") - 25.0).cast("int").alias("sgn"),
-    )
-
-
-def q_b2_vacuum_stats(spark, sf_dir):
-    """Log-retention accounting (B2 ops depth, r8): per table-key, how
-    many superseded change rows a compaction could reclaim and how many
-    image bytes they hold — the sizing number a log-vacuum policy needs
-    BEFORE it runs (streaming.prune_log is the executor; this is its
-    planner). One keyed agg over the change log; reclaimable = all but
-    the key's latest row."""
-    ch = _events_changes(spark, sf_dir)
-    key = F.get_json_object(
-        F.coalesce("after", "before"), "$.user_id"
-    ).cast("bigint")
-    sized = ch.select(
-        key.alias("user_id"),
-        "id",
-        (
-            F.coalesce(F.octet_length("before"), F.lit(0))
-            + F.coalesce(F.octet_length("after"), F.lit(0))
-        ).cast("long").alias("__bytes"),
-    )
-    return sized.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        (F.count(F.lit(1)) - 1).cast("long").alias("reclaimable_rows"),
-        (F.sum("__bytes") - F.max_by("__bytes", "id")).cast("long").alias(
-            "reclaimable_bytes"
-        ),
-        F.sum("__bytes").cast("long").alias("total_bytes"),
-    )
-
-
-def q_b11_cumulative_distinct(spark, sf_dir):
-    """Running distinct-user curve (B11/B15 depth, r8): distinct users
-    ever seen, after each day — the growth curve behind DAU/MAU and
-    vocabulary-style saturation questions. NO iteration and NO
-    distinct-per-prefix blowup: each user's FIRST-seen day is one
-    min-agg, new-user counts per day one more, and the cumulative sum
-    runs over the bounded |days| relation (the heaps-curve shape)."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    day = F.expr(
-        "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-        " div 86400"
-    )
-    first = ev.select("user_id", day.alias("__d")).groupBy("user_id").agg(
-        F.min("__d").alias("first_day")
-    )
-    per_day = first.groupBy("first_day").agg(
-        F.count(F.lit(1)).cast("long").alias("new_users")
-    )
-    w = Window.orderBy("first_day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return per_day.select(
-        F.col("first_day").alias("day"),
-        "new_users",
-        F.sum("new_users").over(w).cast("long").alias("cum_users"),
-    )
-
-
-def q_b26_exact_quota(spark, sf_dir):
-    """Exact per-stratum quota sampling (B26 depth, r8): exactly
-    ``min(|stratum|, quota)`` docs per language by deterministic hash
-    rank — the exact-count companion to the rate-based stratified
-    sampler (rates give expected counts; audits and eval sets need
-    exact ones). The per-stratum rank uses the two-phase
-    ``distributed_row_number``, so a dominant stratum never serializes
-    through one task; output is the per-stratum audit (taken vs
-    available)."""
-    docs = _t(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", "lang", sampling.hash_bucket("doc_id", 1 << 32).alias("__pri")
-    )
-    ranked = derive.distributed_row_number(
-        staged, ["lang"], [F.col("__pri").asc(), F.col("doc_id").asc()],
-        out_col="__r",
-    )
-    taken = ranked.filter(F.col("__r") <= 40)
-    avail = staged.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_available")
-    )
-    return (
-        taken.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_taken"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-            F.max("doc_id").cast("long").alias("last_doc"),
-        )
-        .join(F.broadcast(avail), "lang")
-    )
-
-
-def q_b24_corpus_v5(spark, sf_dir):
-    """Corpus-build capstone v5 (B24, r8) — the build recomposed from
-    THIS round's operators, one lazy plan:
-
-    1. exact dedup: keep each normalized-text group's min-id doc;
-    2. exact per-lang quota (60) by deterministic hash rank via the
-       two-phase ``distributed_row_number`` — no hot-lang straggler;
-    3. 1024-token packs over survivors (distributed prefix sum);
-    4. per-lang report: docs, tokens, packs, and the mean pack fill.
-
-    Keyed aggs + two-phase ranks + the prefix sum — no global sort of
-    the corpus anywhere; the oracle replays every stage."""
-    docs = _t(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        "lang",
-        textops.token_count("text").alias("n_tok"),
-        dedup.normalize_text("text").alias("__k"),
-    )
-    keeper = keyed.groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
-    kept = keyed.join(keeper, ["__k", "doc_id"]).select(
-        "doc_id", "lang", "n_tok",
-        sampling.hash_bucket("doc_id", 1 << 32).alias("__pri"),
-    )
-    ranked = derive.distributed_row_number(
-        kept, ["lang"], [F.col("__pri").asc(), F.col("doc_id").asc()],
-        out_col="__r",
-    )
-    quota = ranked.filter(F.col("__r") <= 60).select(
-        "doc_id", "lang", "n_tok"
-    )
-    packed = sampling.pack_sequences(
-        quota.localCheckpoint(eager=False), "doc_id", "n_tok", budget=1024
-    )
-    return packed.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("sum_tok"),
-        F.countDistinct("pack_id").cast("long").alias("n_packs"),
-    )
-
-
-# --------------------------------------------------------------------------
-# round 9 — evaluation / concentration / distribution-shape depth
-# --------------------------------------------------------------------------
-
-#: nDCG discount weights round(1e6 / log2(rank+1)) for ranks 1..10 —
-#: precomputed ONCE in Python and embedded as identical integer literals
-#: on both engines, so the classic float-log discount can never diverge
-import math as _math
-
-_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, 11)]
-
-
-def q_b20_hubness(spark, sf_dir):
-    """Hubness audit (B20 depth, r9): the k-occurrence distribution of
-    exact cosine top-10 results for a 64-probe sample — how often each
-    corpus vector appears in other vectors' neighbor lists. A heavy
-    right tail ("hub" vectors in everyone's top-k) is the classic
-    high-dim pathology that silently skews ANN dedup and retrieval.
-    Reuses the oracled ``cosine_topk`` kernel; the histogram is two
-    keyed aggs + one broadcast join (zero-occurrence vectors counted
-    via left join). Scale: cost ∝ probes × corpus like any probe-based
-    audit, never corpus²."""
-    emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 64)
-    topk = similarity.cosine_topk(emb, probes, k=10)
-    occ = topk.groupBy("neighbor_id").agg(
-        F.count(F.lit(1)).cast("long").alias("occ")
-    )
-    allv = emb.select(F.col("vec_id").alias("neighbor_id"))
-    per_vec = allv.join(F.broadcast(occ), "neighbor_id", "left").select(
-        F.coalesce(F.col("occ"), F.lit(0)).alias("occ")
-    )
-    return per_vec.groupBy("occ").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs")
-    )
-
-
-def q_b10_gini(spark, sf_dir):
-    """Gini coefficient of customer revenue concentration (B10 depth,
-    r9): Σ(2r−n−1)·x_r / (n·Σx) with r the ascending revenue rank.
-    Integer cents end-to-end; ranks come from the two-phase
-    ``distributed_row_number`` (no single-task global sort); the
-    weighted sum accumulates in DECIMAL(38,0) so the n·Σ term can't
-    overflow int64 at corpus scale. One row out."""
-    orders = _t(spark, sf_dir, "orders")
-    per = orders.groupBy(F.col("o_custkey")).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
-    )
-    ranked = derive.distributed_row_number(
-        per, [], [F.col("cents").asc(), F.col("o_custkey").asc()], out_col="rn"
-    )
-    totals = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("cents").cast("long").alias("total_cents"),
-    )
-    num = (
-        ranked.crossJoin(F.broadcast(totals))
-        .select(
-            "n_customers",
-            "total_cents",
-            (
-                (2 * F.col("rn") - F.col("n_customers") - 1).cast(
-                    "decimal(19,0)"
-                )
-                * F.col("cents").cast("decimal(19,0)")
-            ).alias("__w"),
-        )
-        .groupBy("n_customers", "total_cents")
-        .agg(F.sum("__w").alias("__num"))
-    )
-    return num.select(
-        "n_customers",
-        "total_cents",
-        F.round(
-            F.col("__num").cast("double")
-            / (
-                F.col("n_customers").cast("double")
-                * F.col("total_cents").cast("double")
-            ),
-            6,
-        ).alias("gini"),
-    )
-
-
-def q_b7_cust_order_dist(spark, sf_dir):
-    """TPC-H Q13 shape (B7 depth, r9): distribution of per-customer
-    order counts INCLUDING zero-order customers — the left outer join
-    whose null-side counts are the point of the query. Two keyed aggs;
-    the distribution relation is bounded by max orders/customer."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    per = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
-    )
-    return per.groupBy("c_count").agg(
-        F.count(F.lit(1)).cast("long").alias("custdist")
-    )
-
-
-def q_b8_min_cost_supplier(spark, sf_dir):
-    """TPC-H Q2 shape adapted to the fixture schema (B8 depth, r9 —
-    no partsupp table ships, so unit cost derives from lineitem):
-    per part, the supplier with the minimum observed unit price
-    (extendedprice/quantity). ONE struct-min agg — min(struct(unit,
-    suppkey)) is lexicographic, so the tie-break to the smallest
-    suppkey is inside the same pass (no rank window, no self-join);
-    the supplier dim broadcasts. IEEE division of identical doubles is
-    bit-identical cross-engine, but round-6 of the quotient is NOT
-    (prices over power-of-two quantities land exactly on the .5
-    boundary, where Spark's decimal HALF_UP and DuckDB's binary round
-    disagree — observed at sf0.1) — so the unit price is emitted
-    floor-quantized to integer micros, the repo's standard recipe.
-    The oracle replays the same two-phase min (min unit, then min
-    suppkey at that unit)."""
-    li = _t(spark, sf_dir, "lineitem")
-    sup = _t(spark, sf_dir, "supplier")
-    best = (
-        li.select(
-            "l_partkey",
-            "l_suppkey",
-            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
-        )
-        .groupBy("l_partkey")
-        .agg(F.min(F.struct("__unit", "l_suppkey")).alias("__b"))
-        .select(
-            "l_partkey",
-            F.col("__b.l_suppkey").alias("s_suppkey"),
-            F.floor(F.col("__b.__unit") * 1000000)
-            .cast("long")
-            .alias("unit_micros"),
-        )
-    )
-    return best.join(F.broadcast(sup), "s_suppkey").select(
-        "l_partkey", "s_suppkey", "s_name", "unit_micros"
-    )
-
-
-def q_b8_important_parts(spark, sf_dir):
-    """TPC-H Q11 shape adapted to the fixture schema (B8 depth, r9):
-    parts whose discounted revenue exceeds 1.5× the MEAN per-part share
-    — the HAVING-over-global-scalar pattern, with a scale-free
-    threshold (a fixed fraction-of-total empties out as |parts| grows).
-    Revenue sums in exact decimal, quantizes to integer cents, and the
-    threshold compares cross-multiplied integers in DECIMAL(38,0)
-    (2·cents·n_parts > 3·total — ulp-proof AND int64-overflow-proof at
-    corpus scale); the 1-row total broadcasts."""
-    li = _t(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.floor(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(38,6)")
-                * (
-                    F.lit(1).cast("decimal(38,6)")
-                    - F.col("l_discount").cast("decimal(38,6)")
-                )
-            )
-            * 100
-        )
-        .cast("long")
-        .alias("revenue_cents")
-    )
-    total = rev.agg(
-        F.sum("revenue_cents").cast("long").alias("__total"),
-        F.count(F.lit(1)).cast("long").alias("__n_parts"),
-    )
-    return (
-        rev.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("revenue_cents").cast("decimal(19,0)")
-            * F.col("__n_parts").cast("decimal(19,0)")
-            * 2
-            > F.col("__total").cast("decimal(19,0)") * 3
-        )
-        .select(
-            "l_partkey",
-            "revenue_cents",
-            F.round(
-                F.col("revenue_cents").cast("double")
-                / F.col("__total").cast("double"),
-                6,
-            ).alias("share"),
-        )
-    )
-
-
-def q_b10_chi2(spark, sf_dir):
-    """Chi-square independence screen (B10 stats depth, r9): the
-    orderpriority × orderstatus contingency table with expected counts
-    and per-cell chi² contributions. Row/column/grand totals are
-    integer counts joined back by broadcast (the margins are bounded by
-    the category cardinalities); expected = r·c/g runs in IEEE doubles
-    from exact integers (identical on both engines), contributions
-    round 6. Per-cell rows — the global statistic is the reader's
-    Σ over the bounded cell relation, so no float-sum-order hazard
-    enters the hash."""
-    orders = _t(spark, sf_dir, "orders")
-    obs = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("obs")
-    )
-    rows = orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("__r")
-    )
-    cols = orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
-    )
-    grand = orders.agg(F.count(F.lit(1)).cast("long").alias("__g"))
-    exp = (
-        F.col("__r").cast("double")
-        * F.col("__c").cast("double")
-        / F.col("__g").cast("double")
-    )
-    return (
-        obs.join(F.broadcast(rows), "o_orderpriority")
-        .join(F.broadcast(cols), "o_orderstatus")
-        .crossJoin(F.broadcast(grand))
-        .select(
-            "o_orderpriority",
-            "o_orderstatus",
-            "obs",
-            F.round(exp, 6).alias("expected"),
-            F.round(
-                (F.col("obs").cast("double") - exp)
-                * (F.col("obs").cast("double") - exp)
-                / exp,
-                6,
-            ).alias("contrib"),
-        )
-    )
-
-
-def q_b10_benford(spark, sf_dir):
-    """Benford first-digit screen (B10 quality depth, r9): the leading
-    significant digit of order totals vs the Benford expectation
-    log10(1 + 1/d) — the classic fabricated-data / corruption smell
-    test. The digit comes from the INTEGER cents' decimal rendering
-    (never float formatting); shares are exact-integer divisions;
-    the ln-family expectation rounds 6 per the ulp rule. 9 rows."""
-    orders = _t(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
-    digits = orders.select(
-        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
-    )
-    per = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    total = digits.agg(F.count(F.lit(1)).cast("long").alias("__t"))
-    share = F.col("n").cast("double") / F.col("__t").cast("double")
-    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "digit",
-            "n",
-            F.round(share, 6).alias("share"),
-            F.round(expected, 6).alias("expected"),
-            F.round(F.abs(F.round(share, 6) - F.round(expected, 6)), 6).alias(
-                "deviation"
-            ),
-        )
-    )
-
-
-def q_b15_acf(spark, sf_dir):
-    """Daily-count autocorrelation, lags 1–7 (B15 time-series depth,
-    r9): the seasonality detector behind b3_anomaly's lag-7 choice.
-    Exact integer algebra: with n days, S = Σx, the centered value is
-    c_t = n·x_t − S (integer), and acf_ℓ = Σ c_t·c_{t−ℓ} / Σ c_t² —
-    both int64 sums — so the only float is the final division. The
-    stream contracts to the |days| relation before any window (the
-    psi/changepoint rule); the 7 lags unpivot from ONE agg row."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-            " div 86400"
-        ).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
-    totals = daily.agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum("x").cast("long").alias("__s"),
-    )
-    c = daily.crossJoin(F.broadcast(totals)).select(
-        "day", (F.col("__n") * F.col("x") - F.col("__s")).alias("c")
-    )
-    w = Window.orderBy(F.col("day").asc())
-    lagged = c.select(
-        "c",
-        *[F.lag("c", l).over(w).alias(f"c{l}") for l in range(1, 8)],
-    )
-    aggs = [F.sum(F.col("c") * F.col("c")).cast("long").alias("den")]
-    for l in range(1, 8):
-        aggs.append(
-            F.sum(F.col("c") * F.col(f"c{l}")).cast("long").alias(f"num{l}")
-        )
-        aggs.append(
-            F.count(F.col(f"c{l}")).cast("long").alias(f"np{l}")
-        )
-    one = lagged.agg(*aggs)
-    return one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(l).cast("int").alias("lag"),
-                        F.col(f"np{l}").alias("n_pairs"),
-                        F.round(
-                            F.col(f"num{l}").cast("double")
-                            / F.col("den").cast("double"),
-                            6,
-                        ).alias("acf"),
-                    )
-                    for l in range(1, 8)
-                ]
-            )
-        ).alias("__s")
-    ).select("__s.lag", "__s.n_pairs", "__s.acf")
-
-
-def q_b11_drawdown(spark, sf_dir):
-    """Per-user maximum drawdown (B11 depth, r9): running cumulative
-    value, its running peak, and the deepest peak-to-trough gap — the
-    classic risk statistic, here over the event stream's value column.
-    Integer cents end-to-end; both windows share ONE (user, ts,
-    event_id) sort (total order via the event_id tie-break); keyed by
-    user so every window is partitioned."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    curved = base.withColumn("cum", F.sum("cents").over(w)).withColumn(
-        "peak", F.max(F.col("cum")).over(w)
-    )
-    return curved.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
-            "max_drawdown_cents"
-        ),
-        F.sum("cents").cast("long").alias("final_cents"),
-    )
-
-
-def q_b21_oov_rate(spark, sf_dir):
-    """Per-source out-of-vocabulary rate (B21 depth, r9): token share
-    not covered by the corpus top-200 vocabulary — the tokenizer-fit /
-    domain-shift metric a mixture owner reads per source. The vocab is
-    a distributed ``orderBy().limit`` top-k (count desc, token asc —
-    deterministic), broadcast to a left join over the token relation;
-    two keyed aggs. Shuffle ∝ token rows."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(textops.tokens(F.col("text"))).alias("tok")
-    ).filter(F.col("tok") != "")
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
-        .limit(200)
-        .select("tok", F.lit(1).alias("__inv"))
-    )
-    joined = toks.join(F.broadcast(vocab), "tok", "left")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0)).cast(
-                "double"
-            )
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("oov_rate"),
-    )
-
-
-def q_b10_ks_screen(spark, sf_dir):
-    """Bucketed two-sample Kolmogorov–Smirnov screen (B10 stats depth,
-    r9): sup |CDF₁ − CDF₂| between URGENT and LOW order-price
-    distributions on $1000 buckets. The stream contracts to the
-    bounded bucket relation before the cumulative windows; the supremum
-    compares CROSS-MULTIPLIED integers (|c₁·n₂ − c₂·n₁|), so no float
-    enters until the final division. One row out."""
-    from pyspark.sql import Window
-
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
-    )
-    b = orders.select(
-        (F.floor(F.col("o_totalprice") * 100).cast("long") / F.lit(100000))
-        .cast("long")
-        .alias("bucket"),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
-        .otherwise(0)
-        .alias("__g1"),
-    )
-    per = b.groupBy("bucket").agg(
-        F.sum("__g1").cast("long").alias("n1"),
-        F.sum(1 - F.col("__g1")).cast("long").alias("n2"),
-    )
-    w = Window.orderBy(F.col("bucket").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = per.select(
-        "bucket",
-        F.sum("n1").over(w).alias("c1"),
-        F.sum("n2").over(w).alias("c2"),
-    )
-    totals = per.agg(
-        F.sum("n1").cast("long").alias("t1"),
-        F.sum("n2").cast("long").alias("t2"),
-    )
-    return (
-        cum.crossJoin(F.broadcast(totals))
-        .select(
-            "t1",
-            "t2",
-            F.abs(
-                F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")
-            ).alias("__d"),
-        )
-        .groupBy("t1", "t2")
-        .agg(F.max("__d").alias("__dm"))
-        .select(
-            F.col("t1").alias("n_urgent"),
-            F.col("t2").alias("n_low"),
-            F.round(
-                F.col("__dm").cast("double")
-                / (F.col("t1").cast("double") * F.col("t2").cast("double")),
-                6,
-            ).alias("ks_stat"),
-        )
-    )
-
-
-def q_b22_scene_cuts(spark, sf_dir):
-    """Frame-delta scene-cut screen (B22 depth, r9): consecutive-frame
-    mean-intensity deltas over the GENUINE multi-frame demux
-    (extract_frames), flagged as cuts above an 8/255 threshold. The
-    comparison cross-multiplies integer frame sums by the neighbor's
-    raster area, so the cut decision is integer-exact; only the
-    reported delta divides. Per-doc lead window — fully keyed."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    frames = multimodal.extract_frames(
-        multimodal.synth_ppm_stream(docs)
-    ).filter(F.col("decode_ok"))
-    base = frames.select(
-        "doc_id",
-        "frame_idx",
-        "frame_sum",
-        (F.col("width") * F.col("height") * 3).cast("long").alias("area"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("frame_idx").asc())
-    lead = base.select(
-        "doc_id",
-        "frame_idx",
-        "frame_sum",
-        "area",
-        F.lead("frame_sum").over(w).alias("__ns"),
-        F.lead("area").over(w).alias("__na"),
-    ).filter(F.col("__ns").isNotNull())
-    dnum = F.abs(
-        F.col("frame_sum") * F.col("__na") - F.col("__ns") * F.col("area")
-    )
-    dden = F.col("area") * F.col("__na")
-    return lead.select(
-        "doc_id",
-        "frame_idx",
-        F.round(dnum.cast("double") / dden.cast("double"), 6).alias(
-            "mean_delta"
-        ),
-        (dnum > 8 * dden).alias("is_cut"),
-    )
-
-
-def q_b28_length_buckets(spark, sf_dir):
-    """Length-bucketed batching report (B28 depth, r9): docs split into
-    8 equal-count token-length tiles via the two-phase
-    ``distributed_ntile`` (no single-task global window), then per
-    bucket the padding waste a max-length batcher would pay
-    (n·max − Σ). The report that justifies length bucketing in a
-    training data loader. Integer exact."""
-    docs = _t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", textops.token_count("text").alias("n_tok")
-    )
-    tiled = derive.distributed_ntile(
-        sized, [F.col("n_tok").asc(), F.col("doc_id").asc()], 8,
-        out_col="bucket",
-    )
-    return tiled.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.min("n_tok").cast("long").alias("min_tok"),
-        F.max("n_tok").cast("long").alias("max_tok"),
-        F.sum("n_tok").cast("long").alias("sum_tok"),
-        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
-        .cast("long")
-        .alias("padding_waste"),
-    )
-
-
-def q_b30_ndcg(spark, sf_dir):
-    """Ranking-quality evaluation (B30 depth, r9): nDCG@10 of the BM25
-    ranking against a deterministic graded relevance (occurrences of
-    'merge', capped at 3). The log2 discount is pre-scaled to the
-    shared integer weight table ``_NDCG_W`` — embedded as the SAME
-    literals on both engines — so DCG and ideal-DCG are pure integer
-    dot products; the only float is the final ratio. One row out."""
-    docs = _t(spark, sf_dir, "documents")
-    rel = docs.select(
-        "doc_id",
-        F.least(
-            F.size(
-                F.filter(
-                    textops.tokens(F.col("text")), lambda t: t == "merge"
-                )
-            ).cast("long"),
-            F.lit(3),
-        ).alias("rel"),
-    )
-    wmap = F.array(*[F.lit(w) for w in _NDCG_W])
-    retrieved = lm.bm25_search(
-        docs, "doc_id", ["merge", "join", "batch"], top_k=10
-    ).select("doc_id", F.col("rank").cast("int").alias("rank"))
-    dcg = (
-        retrieved.join(rel, "doc_id", "left")
-        .select(
-            (
-                F.coalesce(F.col("rel"), F.lit(0))
-                * F.element_at(wmap, F.col("rank"))
-            ).alias("__w")
-        )
-        .agg(F.sum("__w").cast("long").alias("dcg_scaled"))
-    )
-    from pyspark.sql import Window
-
-    ideal_top = rel.orderBy(F.col("rel").desc(), F.col("doc_id").asc()).limit(
-        10
-    )
-    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
-    idcg = (
-        ideal_top.withColumn("rank", F.row_number().over(wi))
-        .select(
-            (F.col("rel") * F.element_at(wmap, F.col("rank"))).alias("__w")
-        )
-        .agg(F.sum("__w").cast("long").alias("idcg_scaled"))
-    )
-    return (
-        dcg.crossJoin(F.broadcast(idcg))
-        .select(
-            "dcg_scaled",
-            "idcg_scaled",
-            F.round(
-                F.col("dcg_scaled").cast("double")
-                / F.col("idcg_scaled").cast("double"),
-                6,
-            ).alias("ndcg"),
-        )
-    )
-
-
-def q_b20_cos_histogram(spark, sf_dir):
-    """Pairwise-cosine distribution probe (B20 depth, r9 wave 2): the
-    histogram of probe×corpus cosine scores on 0.1-wide buckets — the
-    embedding-collapse screen (a healthy space is spread; mass piling
-    into one high bucket means the encoder collapsed and every
-    similarity threshold downstream is lying). Probes broadcast; one
-    narrow scoring pass; bucket = floor(score·10) so the bin decision
-    is a floor of identical doubles on both engines. Cost ∝ probes ×
-    corpus, never corpus²."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = similarity.as_double("embedding")
-    q = emb.filter(F.col("vec_id") < 32).select(
-        F.col("vec_id").alias("query_id"),
-        qv.alias("qv"),
-        similarity.l2_norm(qv).alias("qn"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        qv.alias("cv"),
-        similarity.l2_norm(qv).alias("cn"),
-    )
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).select(
-        (
-            similarity.dot(F.col("qv"), F.col("cv"))
-            / (F.col("qn") * F.col("cn"))
-        ).alias("score")
-    )
-    per = scored.select(
-        F.floor(F.col("score") * 10).cast("int").alias("bucket")
-    ).groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    total = per.agg(F.sum("n_pairs").cast("long").alias("__t"))
-    return per.crossJoin(F.broadcast(total)).select(
-        "bucket",
-        "n_pairs",
-        F.round(
-            F.col("n_pairs").cast("double") / F.col("__t").cast("double"), 6
-        ).alias("share"),
-    )
-
-
-def q_b10_welch_t(spark, sf_dir):
-    """Welch two-sample t screen (B10 stats depth, r9 wave 2): URGENT
-    vs LOW order totals — unequal-variance t statistic and
-    Welch–Satterthwaite df. Means/variances derive from EXACT decimal
-    power sums (n, Σx, Σx²) — the b10_stats_agg rule: built-in
-    stddev streams doubles in shuffle order (engine-varying last ulp);
-    power sums are order-independent, so the doubles that reach the
-    t formula are identical cross-engine. One row out; complements
-    b10_ks_screen (location-scale vs whole-distribution)."""
-    dec4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
-    )
-    sums = orders.groupBy(
-        (F.col("o_orderpriority") == "1-URGENT").alias("__g1")
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec4("o_totalprice")).cast("double").alias("sx"),
-        F.sum(dec4("o_totalprice") * dec4("o_totalprice"))
-        .cast("double")
-        .alias("sxx"),
-    )
-    one = sums.groupBy().agg(
-        F.max(F.when(F.col("__g1"), F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("__g1"), F.col("sx"))).alias("sx1"),
-        F.max(F.when(F.col("__g1"), F.col("sxx"))).alias("sxx1"),
-        F.max(F.when(~F.col("__g1"), F.col("n"))).alias("n2"),
-        F.max(F.when(~F.col("__g1"), F.col("sx"))).alias("sx2"),
-        F.max(F.when(~F.col("__g1"), F.col("sxx"))).alias("sxx2"),
-    )
-    n1, n2 = F.col("n1"), F.col("n2")
-    m1 = F.col("sx1") / n1
-    m2 = F.col("sx2") / n2
-    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1)
-    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1)
-    se2 = v1 / n1 + v2 / n2
-    df_w = (se2 * se2) / (
-        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
-    )
-    return one.select(
-        n1.cast("long").alias("n_urgent"),
-        n2.cast("long").alias("n_low"),
-        F.round(m1 - m2, 6).alias("mean_diff"),
-        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
-        F.round(df_w, 6).alias("df"),
-    )
-
-
-def q_b11_streaks(spark, sf_dir):
-    """Longest activity streak per user (B11 depth, r9 wave 2): the
-    gaps-and-islands pattern — consecutive active DAYS collapse to one
-    island via the classic ``day − row_number()`` constant, then one
-    keyed agg per island and one per user. The stream contracts to the
-    distinct (user, day) relation first, so the windows rank |active
-    days| rows, all keyed by user. Integer exact."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id",
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-            " div 86400"
-        ).alias("day"),
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
-    islands = days.select(
-        "user_id",
-        (F.col("day") - F.row_number().over(w)).alias("__isl"),
-    ).groupBy("user_id", "__isl").agg(
-        F.count(F.lit(1)).cast("long").alias("__len")
-    )
-    return islands.groupBy("user_id").agg(
-        F.sum("__len").cast("long").alias("n_active_days"),
-        F.count(F.lit(1)).cast("long").alias("n_streaks"),
-        F.max("__len").cast("long").alias("longest_streak"),
-    )
-
-
-def q_b30_kwic(spark, sf_dir):
-    """Keyword-in-context snippets (B30 retrieval depth, r9 wave 2):
-    for every 'merge join' phrase hit (the b30_phrase_search adjacency
-    join), the ±3-token context window sliced out of the token array —
-    the retrieval-UX op behind search-result highlighting. Match
-    positions are bounded by phrase frequency and broadcast back into
-    the token relation; the slice bounds are computed as identical
-    integer expressions on both engines."""
-    docs = _t(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", textops.tokens(F.col("text")).alias("toks"))
-    pos = tk.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    )
-    a = pos.filter(F.col("tok") == "merge").select("doc_id", "pos")
-    b = pos.filter(F.col("tok") == "join").select(
-        "doc_id", (F.col("pos") - 1).alias("pos")
-    )
-    matches = a.join(b, ["doc_id", "pos"]).distinct()
-    j = tk.join(F.broadcast(matches), "doc_id")
-    begin = F.greatest(F.col("pos") - 3, F.lit(0)) + 1
-    end = F.least(F.col("pos") + 5, F.size("toks"))
-    return j.select(
-        "doc_id",
-        F.col("pos").cast("int").alias("pos"),
-        F.array_join(
-            F.slice(F.col("toks"), begin, end - begin + 1), " "
-        ).alias("snippet"),
-    )
-
-
-def q_b24_source_scorecard(spark, sf_dir):
-    """Per-source corpus quality scorecard (B24 capstone depth, r9
-    wave 2): the one-page artifact a mixture owner reads per ingest
-    source — doc/token volume, exact-dup rate (fingerprint distinct),
-    OOV rate vs the corpus top-200 vocabulary (b21_oov_rate's kernel),
-    and the share of docs passing an integer lexical-diversity gate
-    (distinct·1000 div tokens ≥ 300). One composed lazy plan: two
-    keyed doc-level aggs + the token-level OOV leg joined on source.
-    All decisions integer; only the reported rates divide."""
-    docs = _t(spark, sf_dir, "documents")
-    nz = F.filter(textops.tokens(F.col("text")), lambda t: t != "")
-    per_doc = docs.select(
-        "source",
-        textops.token_count("text").alias("n_tok"),
-        textops.fingerprint("text").alias("fp"),
-        F.size(nz).cast("long").alias("n_nz"),
-        F.size(F.array_distinct(nz)).cast("long").alias("n_dist"),
-    )
-    doc_agg = per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("sum_tok"),
-        F.countDistinct("fp").cast("long").alias("n_uniq"),
-        F.sum(
-            F.when(
-                F.expr("(n_dist * 1000) div greatest(n_nz, 1)") >= 300, 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_diverse"),
-    )
-    toks = docs.select(
-        "source", F.explode(textops.tokens(F.col("text"))).alias("tok")
-    ).filter(F.col("tok") != "")
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
-        .limit(200)
-        .select("tok", F.lit(1).alias("__inv"))
-    )
-    oov = (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("__n_tokens"),
-            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("__n_oov"),
-        )
-    )
-    return doc_agg.join(oov, "source").select(
-        "source",
-        "n_docs",
-        "sum_tok",
-        "n_uniq",
-        F.round(
-            F.lit(1.0)
-            - F.col("n_uniq").cast("double") / F.col("n_docs").cast("double"),
-            6,
-        ).alias("dup_rate"),
-        F.round(
-            F.col("__n_oov").cast("double") / F.col("__n_tokens").cast("double"),
-            6,
-        ).alias("oov_rate"),
-        F.round(
-            F.col("n_diverse").cast("double") / F.col("n_docs").cast("double"),
-            6,
-        ).alias("diverse_share"),
-    )
-
-
-def q_b2_write_amplification(spark, sf_dir):
-    """CDC capture-overhead report (B2 depth, r9 wave 2): per
-    operation, the JSON image bytes the capture triggers write beside
-    every base-table change — the cost the reference's design pays for
-    before/after images (full-row ``json_object`` per trigger fire,
-    /root/reference/triggers.go:457-518) surfaced as an analytics
-    read. Byte counts are lengths of the SAME deterministic image
-    strings both engines render (the a4/a10 parity), so the report is
-    integer-exact; only the per-change average divides."""
-    ch = _events_changes(spark, sf_dir)
-    agg = ch.groupBy("operation").agg(
-        F.count(F.lit(1)).cast("long").alias("n_changes"),
-        F.sum(F.coalesce(F.length("before"), F.lit(0)))
-        .cast("long")
-        .alias("before_bytes"),
-        F.sum(F.coalesce(F.length("after"), F.lit(0)))
-        .cast("long")
-        .alias("after_bytes"),
-    )
-    return agg.select(
-        "operation",
-        "n_changes",
-        "before_bytes",
-        "after_bytes",
-        F.round(
-            (F.col("before_bytes") + F.col("after_bytes")).cast("double")
-            / F.col("n_changes").cast("double"),
-            6,
-        ).alias("avg_image_bytes"),
-    )
-
-
-def q_b13_block_digests(spark, sf_dir):
-    """Hierarchical replica reconciliation (B13 depth, r9 wave 3): the
-    SCALABLE way to verify a 100 TB replica — exchange |blocks|
-    (count, xor-of-row-hashes) digests instead of rows (b1_snapshot_diff
-    is the row-level tool; this is what you run FIRST to find which
-    key ranges diverged). Blocks are o_orderkey div 512; the row hash
-    is the portable md5-60 over a canonical rendering, folded with
-    bit_xor (order-independent, overflow-free, map-side combinable).
-    The replica here injects a one-cent drift on keys ≡ 0 mod 997;
-    output = diverged blocks only. Reference anchor: the change
-    stream exists to feed replicas (README.md:26-30) — this is the
-    audit that closes that loop."""
-    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
-
-    base = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        "o_orderstatus",
-    )
-    replica = base.withColumn(
-        "cents",
-        F.when(
-            F.col("o_orderkey") % 997 == 0, F.col("cents") + 1
-        ).otherwise(F.col("cents")),
-    )
-
-    def digests(df, n_col, d_col):
-        h = portable_hash60(
-            F.concat_ws(
-                "|",
-                F.col("o_orderkey").cast("string"),
-                F.col("cents").cast("string"),
-                F.col("o_orderstatus"),
-            )
-        )
-        return (
-            df.select(
-                F.expr("o_orderkey div 512").alias("block"), h.alias("__h")
-            )
-            .groupBy("block")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias(n_col),
-                F.expr("bit_xor(__h)").alias(d_col),
-            )
-        )
-
-    b = digests(base, "base_n", "base_digest")
-    r = digests(replica, "repl_n", "repl_digest")
-    return b.join(r, "block", "full").filter(
-        (F.col("base_n") != F.col("repl_n"))
-        | (F.col("base_digest") != F.col("repl_digest"))
-        | F.col("base_n").isNull()
-        | F.col("repl_n").isNull()
-    )
-
-
-def q_b27_lc_union(spark, sf_dir):
-    """Mergeable-sketch union invariant (B27 depth, r9 wave 3): per
-    event-type linear-counting bitmaps over user ids, then the MERGED
-    (bit_or across types) bitmap — the property that makes sketches a
-    100 TB tool (per-partition/per-day sketches combine without
-    rescanning). Every scope row carries exact vs estimate; the
-    '(all)' row's bitmap is provably the OR of the per-type bitmaps
-    because OR is associative — the driver hash certifies the whole
-    merge algebra since every bit replays cross-engine (the
-    b27_linear_counting build, k=1, m=4096)."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60,
-    )
-
-    m_bits = 4096
-    a, b = _hash_family(1, seed=0xB100)[0]
-    ev = _t(spark, sf_dir, "events")
-    pos = ev.select(
-        "event_type",
-        (
-            F.pmod(
-                F.pmod(
-                    portable_hash60(F.col("user_id").cast("string")),
-                    F.lit(MINHASH_P),
-                )
-                * a
-                + b,
-                F.lit(MINHASH_P),
-            )
-            % m_bits
-        ).alias("pos"),
-    )
-    words = pos.select(
-        "event_type",
-        (F.col("pos") / 63).cast("int").alias("word"),
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
-        ).alias("__bit"),
-    ).groupBy("event_type", "word").agg(F.expr("bit_or(__bit)").alias("bits"))
-    merged = words.groupBy("word").agg(
-        F.expr("bit_or(bits)").alias("bits")
-    ).select(F.lit("(all)").alias("scope"), "word", "bits")
-    scoped = words.select(
-        F.col("event_type").alias("scope"), "word", "bits"
-    ).unionByName(merged)
-    used = scoped.groupBy("scope").agg(
-        F.sum(F.bit_count("bits")).cast("long").alias("bits_set")
-    )
-    ex = (
-        ev.select(F.col("event_type").alias("scope"), "user_id")
-        .unionByName(ev.select(F.lit("(all)").alias("scope"), "user_id"))
-        .groupBy("scope")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
-    )
-    est = F.round(
-        -F.lit(float(m_bits))
-        * F.log(
-            (F.lit(m_bits) - F.col("bits_set")).cast("double")
-            / F.lit(float(m_bits))
-        ),
-        6,
-    )
-    return used.join(ex, "scope").select(
-        "scope",
-        "bits_set",
-        "n_exact",
-        est.alias("estimate"),
-        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
-            "rel_err"
-        ),
-    )
-
-
-def q_b20_recall_curve(spark, sf_dir):
-    """Recall@k curve (B20 eval depth, r9 wave 3): recall@{1,5,10} of
-    the portable-LSH candidate set against exact cosine ranks — the
-    curve (not one point, b20_ann_recall's shape) an ANN config review
-    reads. ONE exact top-10 relation serves all three k's (the k-grid
-    explodes per rank row, never re-scoring); candidates come from the
-    integer-exact LSH so the whole curve is oracle-replayable."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 4)
-    cand = similarity.ann_lsh_portable(
-        emb, queries_df, dim=64, n_planes=8, quant=1000, multiprobe=True
-    )
-    topk = similarity.cosine_topk(emb, queries_df, k=10).select(
-        "query_id", "neighbor_id", "rnk"
-    )
-    hits = topk.join(
-        cand.withColumn("__hit", F.lit(1)),
-        ["query_id", "neighbor_id"],
-        "left",
-    )
-    grid = hits.select(
-        "query_id",
-        "rnk",
-        "__hit",
-        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k"),
-    ).filter(F.col("rnk") <= F.col("k"))
-    return grid.groupBy("query_id", "k").agg(
-        F.count("__hit").cast("long").alias("n_hits"),
-        F.round(
-            F.count("__hit").cast("double") / F.col("k").cast("double"), 6
-        ).alias("recall"),
-    )
-
-
-def q_b11_rolling_median(spark, sf_dir):
-    """Trailing-7-day rolling MEDIAN of daily event counts (B11 frame
-    depth, r9 wave 3): the order-statistic frame the ranking/analytic
-    rows don't cover — robust smoothing for the b3 anomaly family.
-    The stream contracts to the |days| relation before the frame (the
-    b15_acf rule), and the frame is a DAY-VALUE range ([d−6, d], not
-    7 physical rows — a missing day must shrink the frame, not stretch
-    it), expressed as a bounded self-join + plain median agg because
-    Spark's exact median doesn't take a window frame. Even-count
-    medians average two int64 middles — exact in doubles on both
-    engines."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-            " div 86400"
-        ).alias("day")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = daily.select(F.col("day").alias("day"), F.col("n").alias("n"))
-    b = daily.select(F.col("day").alias("__bd"), F.col("n").alias("__bn"))
-    j = a.join(
-        F.broadcast(b),
-        (F.col("__bd") >= F.col("day") - 6) & (F.col("__bd") <= F.col("day")),
-    )
-    return j.groupBy("day", "n").agg(
-        F.median("__bn").alias("med7"),
-        F.count(F.lit(1)).cast("long").alias("n_days_in_frame"),
-    )
-
-
-def q_b28_budget_allocation(spark, sf_dir):
-    """Token-budget apportionment (B28 mixture depth, r9 wave 3):
-    allocate a 1M-token budget across sources proportionally to their
-    token mass with LARGEST-REMAINDER rounding — the integer-exact
-    apportionment (Hamilton method) whose allocations sum EXACTLY to
-    the budget, unlike naive floor/round shares. base = (B·w) div W,
-    remainder rank breaks ties by source; the only windows run over
-    the |sources|-row aggregate."""
-    from pyspark.sql import Window
-
-    budget = 1_000_000
-    docs = _t(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.sum(textops.token_count("text")).cast("long").alias("w")
-    )
-    tot = per.agg(F.sum("w").cast("long").alias("__W"))
-    q = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "w",
-        F.expr(f"(w * {budget}) div __W").alias("base"),
-        F.expr(f"(w * {budget}) % __W").alias("rem"),
-        "__W",
-    )
-    sums = q.agg(
-        F.sum("base").cast("long").alias("__base_sum")
-    )
-    wrank = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
-    ranked = q.crossJoin(F.broadcast(sums)).select(
-        "source",
-        "w",
-        "base",
-        "rem",
-        F.row_number().over(wrank).alias("__rk"),
-        (F.lit(budget) - F.col("__base_sum")).alias("__leftover"),
-    )
-    alloc = F.col("base") + F.when(
-        F.col("__rk") <= F.col("__leftover"), 1
-    ).otherwise(0)
-    return ranked.select(
-        "source",
-        "w",
-        alloc.cast("long").alias("alloc"),
-        F.round(alloc.cast("double") / F.lit(float(budget)), 6).alias(
-            "alloc_share"
-        ),
-    )
-
-
-#: HLL numerator alpha_m * m^2 * 2^53 for m=256 registers, computed ONCE
-#: in Python and embedded as the identical double literal in BOTH engines
-#: (multiplication/division of identical doubles is IEEE-exact, unlike
-#: re-deriving alpha from decimal literals DuckDB would parse as DECIMAL).
-_HLL_ALPHA_NUM = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
-
-
-def q_b27_hll_registers(spark, sf_dir):
-    """True HyperLogLog distinct sketch (B27 depth, r9 wave 4 — the
-    register-based estimator beside the bitmap-based b27_linear_counting):
-    the portable 60-bit hash splits into an 8-bit register index and a
-    52-bit suffix whose leading-zero rank (rho, via length(bin(w)) —
-    pure integer/string ops, no float log2 at the bit boundary) feeds
-    register-wise MAX. The '(all)' scope is the register-wise max-merge
-    of the per-event-type sketches — max is associative, so this row IS
-    the HLL mergeability invariant (per-partition sketches combine
-    without rescans, the property that makes HLL the 100 TB distinct
-    counter). The harmonic estimate keeps the sum EXACT: Sum 2^-r is
-    computed as integer numerators 2^(53-r) (max 256*2^53 < 2^62), and
-    the only float ops are one division + one multiply of identical
-    doubles, floor-quantized to micros; the small-range linear-counting
-    correction branch (est <= 2.5m, the Flajolet et al. rule) uses the
-    established round-6 ln rule. Every register replays cross-engine,
-    so the driver hash certifies the sketch construction, the merge
-    algebra AND the accuracy claim."""
-    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
-
-    ev = _t(spark, sf_dir, "events")
-    hashed = ev.select(
-        "event_type",
-        portable_hash60(F.col("user_id").cast("string")).alias("__h"),
-    ).select(
-        "event_type",
-        F.expr("__h % 256").alias("reg"),
-        F.expr("__h div 256").alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin("w"))
-    )
-    regs = (
-        hashed.select("event_type", "reg", rho.alias("rho"))
-        .groupBy("event_type", "reg")
-        .agg(F.max("rho").alias("r"))
-    )
-    merged = (
-        regs.groupBy("reg")
-        .agg(F.max("r").alias("r"))
-        .select(F.lit("(all)").alias("scope"), "reg", "r")
-    )
-    scoped = regs.select(
-        F.col("event_type").alias("scope"), "reg", "r"
-    ).unionByName(merged)
-    per = scoped.groupBy("scope").agg(
-        F.count(F.lit(1)).cast("long").alias("regs_used"),
-        F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
-        ).cast("long").alias("__s_present"),
-    )
-    ex = (
-        ev.select(F.col("event_type").alias("scope"), "user_id")
-        .unionByName(ev.select(F.lit("(all)").alias("scope"), "user_id"))
-        .groupBy("scope")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
-    )
-    s_total = (
-        F.col("__s_present")
-        + (F.lit(256) - F.col("regs_used")) * F.lit(9007199254740992)
-    )
-    est_raw = F.lit(_HLL_ALPHA_NUM) / s_total.cast("double")
-    v = F.lit(256) - F.col("regs_used")
-    est_micros = F.floor(est_raw * F.lit(1e6)).cast("long")
-    est_sel = F.when(
-        (est_raw <= F.lit(640.0)) & (v > 0),
-        F.round(
-            F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")), 6
-        ),
-    ).otherwise(est_micros.cast("double") / F.lit(1000000.0))
-    return per.join(ex, "scope").select(
-        "scope",
-        "n_exact",
-        "regs_used",
-        est_micros.alias("est_micros"),
-        F.floor(
-            F.abs(est_sel - F.col("n_exact"))
-            / F.col("n_exact")
-            * F.lit(1e6)
-        ).cast("long").alias("rel_err_micros"),
-    )
-
-
-def q_b30_bfs_hops(spark, sf_dir):
-    """Multi-round BFS frontier expansion (B30 graph depth, r9 wave 4 —
-    the frontier-join iterative shape beside pagerank's fixpoint and
-    triangles' enumeration): 3 hops from the minimum supplier key over
-    the part<->supplier bipartite graph induced by lineitem. Each round
-    is one equi-join of the (checkpointed) frontier against the
-    (checkpointed) edge relation plus an anti-join against the visited
-    set — the 100 TB reachability pattern where per-round cost tracks
-    the FRONTIER, never the closure. Integer node counts per hop; the
-    seed comes from a 1-row broadcast aggregate, not a collect."""
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        li.select("l_partkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    seed = edges.agg(F.min("l_suppkey").alias("__seed")).localCheckpoint(
-        eager=False
-    )
-    d1 = (
-        edges.crossJoin(F.broadcast(seed))
-        .filter(F.col("l_suppkey") == F.col("__seed"))
-        .select("l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    d2 = (
-        edges.join(d1, "l_partkey")
-        .select("l_suppkey")
-        .distinct()
-        .crossJoin(F.broadcast(seed))
-        .filter(F.col("l_suppkey") != F.col("__seed"))
-        .select("l_suppkey")
-        .localCheckpoint(eager=False)
-    )
-    d3 = (
-        edges.join(d2, "l_suppkey")
-        .select("l_partkey")
-        .distinct()
-        .join(d1, "l_partkey", "left_anti")
-    )
-    r0 = seed.select(
-        F.lit(0).alias("dist"),
-        F.lit("supplier").alias("node_type"),
-        F.lit(1).cast("long").alias("n_nodes"),
-    )
-    r1 = d1.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
-        F.lit(1).alias("dist"), F.lit("part").alias("node_type"), "n_nodes"
-    )
-    r2 = d2.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
-        F.lit(2).alias("dist"),
-        F.lit("supplier").alias("node_type"),
-        "n_nodes",
-    )
-    r3 = d3.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
-        F.lit(3).alias("dist"), F.lit("part").alias("node_type"), "n_nodes"
-    )
-    return r0.unionByName(r1).unionByName(r2).unionByName(r3)
-
-
-def _zorder_expr_sql() -> str:
-    """16-bit Morton (Z-order) interleave of two 8-bit key buckets,
-    rendered ONCE and executed verbatim by BOTH engines (Spark SQL and
-    DuckDB share `&`, `<<`, `>>` semantics on integers): bit i of
-    (l_partkey % 256) lands at position 2i, bit i of (l_suppkey % 256)
-    at 2i+1. Pure integer algebra — no UDF, no float."""
-    terms = []
-    for i in range(8):
-        terms.append(f"((((l_partkey % 256) >> {i}) & 1) << {2 * i})")
-        terms.append(f"((((l_suppkey % 256) >> {i}) & 1) << {2 * i + 1})")
-    return " + ".join(terms)
-
-
-def q_b13_zorder_layout(spark, sf_dir):
-    """Z-order layout audit (B13 storage depth, r9 wave 4): the
-    multi-dimensional clustering math behind 100 TB data-skipping
-    layouts. Rows map to a 16-bit Morton code over (partkey, suppkey)
-    buckets; 64-cell Z-blocks then report per-block min/max spans of
-    BOTH dimensions — the zone-map width a reader would prune against.
-    A Z-ordered file layout keeps both spans small simultaneously
-    (which neither single-key sort achieves); the block relation is
-    <=1024 rows, so every zone map replays in the driver hash. The
-    interleave expression is generated once and executed verbatim by
-    both engines (`_zorder_expr_sql`)."""
-    li = _t(spark, sf_dir, "lineitem")
-    blocks = (
-        li.select(
-            F.expr(f"CAST(({_zorder_expr_sql()}) AS BIGINT) >> 6")
-            .alias("zblock"),
-            (F.col("l_partkey") % 256).alias("pb"),
-            (F.col("l_suppkey") % 256).alias("sb"),
-        )
-        .groupBy("zblock")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("pb").cast("long").alias("pk_lo"),
-            F.max("pb").cast("long").alias("pk_hi"),
-            F.min("sb").cast("long").alias("sk_lo"),
-            F.max("sb").cast("long").alias("sk_hi"),
-        )
-    )
-    return blocks.select(
-        "zblock",
-        "n_rows",
-        "pk_lo",
-        "pk_hi",
-        "sk_lo",
-        "sk_hi",
-        (F.col("pk_hi") - F.col("pk_lo") + 1).alias("pk_span"),
-        (F.col("sk_hi") - F.col("sk_lo") + 1).alias("sk_span"),
-    )
-
-
-def q_b7_volume_shipping(spark, sf_dir):
-    """TPC-H Q7 shape (B7 depth, r9 wave 5): bilateral trade volume —
-    revenue shipped between two specific nations per direction per
-    year. The fact-fact join (lineitem x orders on orderkey) is the
-    only shuffle; supplier/customer/nation dims broadcast, and the
-    two-nation filter applies AFTER the dim joins resolve both
-    nationalities (the selective pair predicate can't reach the scan,
-    but the date window does). Decimal-exact revenue."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1995-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-    )
-    orders = _t(spark, sf_dir, "orders")
-    supp = _t(spark, sf_dir, "supplier")
-    cust = _t(spark, sf_dir, "customer")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")
-    )
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("__sk"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("__ck"))
-        .filter(
-            (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
-            )
-            | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
-            )
-        )
-    )
-    return joined.groupBy(
-        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
-    ).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(38,6)")
-                * (
-                    F.lit(1).cast("decimal(38,6)")
-                    - F.col("l_discount").cast("decimal(38,6)")
-                )
-            ).cast("double"),
-            2,
-        ).alias("revenue")
-    )
-
-
-def q_b7_market_share(spark, sf_dir):
-    """TPC-H Q8 shape (B7 depth, r9 wave 5): NATION_3's share of PROMO
-    part revenue sold to EUROPE customers, per order year. Numerator
-    (CASE-summed) and denominator accumulate in the SAME decimal agg
-    pass — exact integers until the one double division, whose result
-    ships floor-quantized micros (floor of identical doubles is
-    bit-identical; round-6 of a quotient is engine-divergent at the .5
-    boundary — the b8_min_cost_supplier lesson)."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1995-01-01")
-        & (F.col("o_orderdate") < "1997-01-01")
-    )
-    cust = _t(spark, sf_dir, "customer")
-    cnat = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3).select(
-        F.col("n_nationkey").alias("__ck")
-    )
-    snat = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(38,6)")
-        * (
-            F.lit(1).cast("decimal(38,6)")
-            - F.col("l_discount").cast("decimal(38,6)")
-        )
-    )
-    joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(cnat), cust.c_nationkey == F.col("__ck"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(snat), supp.s_nationkey == F.col("__sk"))
-    )
-    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.sum(
-            F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
-                F.lit(0).cast("decimal(38,6)")
-            )
-        ).alias("__nat"),
-        F.sum(rev).alias("__tot"),
-    )
-    return agg.select(
-        "o_year",
-        F.round(F.col("__nat").cast("double"), 2).alias("nation_revenue"),
-        F.round(F.col("__tot").cast("double"), 2).alias("total_revenue"),
-        F.floor(
-            F.col("__nat").cast("double") / F.col("__tot").cast("double")
-            * F.lit(1e6)
-        ).cast("long").alias("share_micros"),
-    )
-
-
-def q_b8_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape (B8 depth, r9 wave 5): the supplier(s) with
-    maximum revenue over 1996Q1, ties INCLUDED (the view-vs-max
-    semantics Q15 is famous for). Revenue stays DECIMAL end-to-end so
-    the max-equality join is exact — no float epsilon, no rank window;
-    the 1-row max broadcasts back over the keyed agg."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1996-04-01")
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(38,6)")
-            * (
-                F.lit(1).cast("decimal(38,6)")
-                - F.col("l_discount").cast("decimal(38,6)")
-            )
-        ).alias("__rev")
-    )
-    mx = rev.agg(F.max("__rev").alias("__mx"))
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .filter(F.col("__rev") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.round(F.col("__rev").cast("double"), 2).alias("total_revenue"),
-        )
-    )
-
-
-def q_b7_priority_lines(spark, sf_dir):
-    """TPC-H Q12 shape (B7 depth, r9 wave 5; l_linestatus stands in for
-    the shipmode column this schema lacks): per line status, how many
-    1996-shipped lines belong to critical-priority orders vs not — the
-    late-shipment priority audit. One fact-fact join (the date filter
-    pushes to the lineitem scan), two conditional counts in one keyed
-    agg pass, integer exact."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-    )
-    orders = _t(spark, sf_dir, "orders")
-    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias(
-                "high_line_count"
-            ),
-            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias(
-                "low_line_count"
-            ),
-        )
-    )
-
-
-def q_b8_dominant_supplier(spark, sf_dir):
-    """TPC-H Q20 shape (B8 depth, r9 wave 5; shipped share stands in for
-    the partsupp availability this schema lacks): suppliers who shipped
-    MORE THAN 2× THEIR FAIR SHARE of a 'small…' part's total volume —
-    the single-source-risk screen, thresholded RELATIVE to the part's
-    supplier count so the predicate stays meaningful as supplier fan-out
-    grows with scale (an absolute 50% cut fires on no row past tiny
-    SFs). Two keyed aggs over the SAME (partkey) shuffle key (the
-    per-part total reuses the per-(part,supp) relation's partitioning),
-    dominance decided on cross-multiplied integers
-    (supp_qty·n_supp > 2·total_qty — no division), supplier dim
-    broadcasts at the end."""
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
-    )
-    pt = ps.groupBy("l_partkey").agg(
-        F.sum("supp_qty").alias("total_qty"),
-        F.count(F.lit(1)).cast("long").alias("n_supp"),
-    )
-    dom = ps.join(pt, "l_partkey").filter(
-        F.col("supp_qty") * F.col("n_supp")
-        > F.lit(2) * F.col("total_qty")
-    )
-    return (
-        dom.groupBy("l_suppkey")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_dominated_parts"),
-            F.sum("supp_qty").cast("long").alias("dominated_qty"),
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
-    )
-
-
-def q_b27_cms_heavy_hitters(spark, sf_dir):
-    """Count-Min sketch heavy hitters (B27 sketch depth, r9 wave 5 —
-    the frequency estimator beside HLL's distinct counter and linear
-    counting's bitmap): a 4x64 CMS over per-user event counts, then the
-    exact top-10 users read back THROUGH the sketch. Counters are plain
-    sums → map-side combinable and mergeable across partitions without
-    rescans (the 100 TB sketch property); the stream contracts to the
-    |users| relation BEFORE the 4-row explode. The d hash rows come
-    from the portable md5-60 family, so every counter replays
-    cross-engine, and the row set certifies construction, the exact
-    counts, AND the CMS one-sided-error invariant (est >= exact,
-    overcount = est - exact >= 0)."""
-    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
-
-    ev = _t(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    bcols = [
-        (
-            portable_hash60(
-                F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))
-            )
-            % 64
-        ).alias(f"b{i}")
-        for i in range(4)
-    ]
-    hashed = per_user.select("user_id", "n", *bcols)
-    counters = (
-        hashed.selectExpr(
-            "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
-        )
-        .groupBy("r", "b")
-        .agg(F.sum("n").alias("cnt"))
-    )
-    cand = hashed.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
-    est = (
-        cand.selectExpr(
-            "user_id", "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
-        )
-        .join(F.broadcast(counters), ["r", "b"])
-        .groupBy("user_id", "n")
-        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
-    )
-    return est.select(
-        "user_id",
-        F.col("n").alias("n_exact"),
-        "cms_estimate",
-        (F.col("cms_estimate") - F.col("n")).cast("long").alias("overcount"),
-    )
-
-
-def q_b30_hits(spark, sf_dir):
-    """HITS hubs-and-authorities (B30 graph depth, r9 wave 5 — the
-    mutual-reinforcement ranking beside pagerank's fixpoint, BFS's
-    reachability and triangles' enumeration): two exact power rounds
-    over the part<->supplier bipartite graph. Integer-exact throughout
-    (auth1 = part degree; hub1 = sum of adjacent auth1; auth2 = sum of
-    adjacent hub1 — no normalization until the reader divides), so the
-    iterative algebra replays bit-for-bit. Edges are checkpointed once
-    and reused by all three rounds (the iterative-consumer rule); each
-    round is one equi-join + keyed agg, cost ∝ |edges|. Top-10 by
-    final authority via distributed orderBy().limit then rank."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        li.select("l_partkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    auth1 = edges.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("auth1")
-    )
-    hub1 = (
-        edges.join(auth1, "l_partkey")
-        .groupBy("l_suppkey")
-        .agg(F.sum("auth1").cast("long").alias("hub1"))
-    )
-    auth2 = (
-        edges.join(hub1, "l_suppkey")
-        .groupBy("l_partkey")
-        .agg(F.sum("hub1").cast("long").alias("auth2"))
-    )
-    w = Window.orderBy(F.col("auth2").desc(), F.col("l_partkey").asc())
-    return (
-        auth2.join(auth1, "l_partkey")
-        .orderBy(F.col("auth2").desc(), F.col("l_partkey").asc())
-        .limit(10)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .select(
-            F.col("l_partkey").alias("partkey"), "auth1", "auth2", "rank"
-        )
-    )
-
-
-def q_b19_prefix_dups(spark, sf_dir):
-    """Truncation-duplicate screen (B19 dedup depth, r9 wave 5): find
-    documents that are exact PREFIXES of longer documents — the
-    re-crawl/truncation dup class MinHash under-weights (a 60% prefix
-    shares only ~60% of shingles but is 100% redundant). Planted
-    fixture: every doc_id%9==3 doc of >=120 chars contributes a 60%
-    truncation. Candidates come from an equi-join on the first-24-char
-    block key (never a cross product — bucket sizes track genuine
-    prefix collisions), then the exact substring check confirms.
-    Output is the (short, long) pair manifest a keep-longest pass would
-    consume."""
-    docs = _t(spark, sf_dir, "documents")
-    planted = docs.filter(
-        (F.col("doc_id") % 9 == 3) & (F.length("text") >= 120)
-    ).select(
-        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
-        F.expr("substring(text, 1, CAST(length(text) * 3 AS INT) div 5)").alias(
-            "text"
-        ),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(planted)
-    keyed = corpus.select(
-        "doc_id",
-        "text",
-        F.length("text").alias("len"),
-        F.substring("text", 1, 24).alias("__k"),
-    )
-    a = keyed.select(
-        F.col("doc_id").alias("short_id"),
-        F.col("text").alias("__st"),
-        F.col("len").alias("short_len"),
-        "__k",
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("long_id"),
-        F.col("text").alias("__lt"),
-        F.col("len").alias("long_len"),
-        "__k",
-    )
-    return (
-        a.join(b, "__k")
-        .filter(
-            (F.col("short_len") < F.col("long_len"))
-            & (
-                F.expr("substring(__lt, 1, CAST(short_len AS INT))")
-                == F.col("__st")
-            )
-        )
-        .select("short_id", "long_id", "short_len", "long_len")
-    )
-
-
-def _jl_signs() -> list[tuple[int, int, int]]:
-    """The shared ±1 Johnson–Lindenstrauss sign matrix (64 in-dims × 16
-    out-dims), derived from md5 parity so BOTH engines materialize the
-    IDENTICAL table (Spark gets createDataFrame, DuckDB a VALUES list —
-    the b30_ndcg shared-literal rule)."""
-    import hashlib
-
-    out = []
-    for j in range(64):
-        for k in range(16):
-            h = int(hashlib.md5(f"jl{j}:{k}".encode()).hexdigest()[:15], 16)
-            out.append((j, k, 1 if h % 2 == 0 else -1))
-    return out
-
-
-def _jl_projection_oracle_sql() -> str:
-    """DuckDB rendering of :func:`q_b20_jl_projection` — the sign matrix
-    is embedded as a VALUES list generated from the SAME ``_jl_signs()``
-    call the Spark side materializes."""
-    values = ", ".join(f"({j},{k},{s})" for j, k, s in _jl_signs())
-    return f"""
-        WITH signs(j, k, s) AS (VALUES {values}),
-        quant AS (
-          SELECT vec_id, i - 1 AS j,
-                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                   AS q
-          FROM embeddings,
-               unnest(generate_series(1, len(embedding))) AS t(i)
-        ),
-        proj AS (
-          SELECT vec_id, k, CAST(sum(s * q) AS BIGINT) AS p
-          FROM quant JOIN signs USING (j)
-          GROUP BY vec_id, k
-        ),
-        probes AS (
-          SELECT vec_id AS query_id, k, p AS qp FROM proj WHERE vec_id < 4
-        ),
-        scored AS (
-          SELECT pr.query_id, c.vec_id AS neighbor_id,
-                 CAST(sum(pr.qp * c.p) AS BIGINT) AS pdot
-          FROM proj c JOIN probes pr USING (k)
-          WHERE c.vec_id <> pr.query_id
-          GROUP BY pr.query_id, c.vec_id
-        ),
-        proj_top AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY query_id
-              ORDER BY pdot DESC, neighbor_id ASC) AS rnk
-            FROM scored
-          ) WHERE rnk <= 10
-        ),
-        q AS (
-          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id < 4
-        ),
-        c AS (
-          SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings
-        ),
-        exact_top AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id, row_number() OVER (
-              PARTITION BY query_id
-              ORDER BY list_dot_product(qv, cv)
-                       / (sqrt(list_dot_product(qv, qv))
-                          * sqrt(list_dot_product(cv, cv))) DESC,
-                       neighbor_id ASC) AS rnk
-            FROM q, c WHERE neighbor_id != query_id
-          ) WHERE rnk <= 10
-        )
-        SELECT e.query_id,
-               CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
-               count(p.neighbor_id) / 10.0 AS recall
-        FROM exact_top e
-        LEFT JOIN proj_top p
-          ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
-        GROUP BY e.query_id
-    """
-
-
-def q_b20_jl_projection(spark, sf_dir):
-    """Johnson–Lindenstrauss sign-projection audit (B20 depth, r9 wave
-    5 — the dimensionality-REDUCTION cost/recall trade beside
-    b20_dim_truncation's prefix trade): embeddings are floor-quantized
-    to int (the portable-LSH rule), projected 64→16 dims through a ±1
-    sign matrix (one equi-join on the in-dim + keyed agg — integer
-    exact, no float accumulates), then recall@10 of projected-dot
-    ranking vs exact cosine top-10 per probe. The projection is the
-    100 TB screen: 4× fewer dims per candidate pass, and the recall
-    row prices exactly what that compression costs."""
-    from pyspark.sql import Window
-
-    emb = _t(spark, sf_dir, "embeddings")
-    signs = spark.createDataFrame(_jl_signs(), "j int, k int, s int")
-    quant = emb.select(
-        "vec_id", F.posexplode("embedding").alias("j", "v")
-    ).select(
-        "vec_id", "j", F.floor(F.col("v").cast("double") * 1000).alias("q")
-    )
-    proj = (
-        quant.join(F.broadcast(signs), "j")
-        .groupBy("vec_id", "k")
-        .agg(F.sum(F.col("s") * F.col("q")).cast("long").alias("p"))
-    )
-    probes = proj.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "k", F.col("p").alias("qp")
-    )
-    scored = (
-        proj.join(F.broadcast(probes), "k")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("qp") * F.col("p")).cast("long").alias("pdot"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pdot").desc(), F.col("neighbor_id").asc()
-    )
-    proj_top = scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= 10
-    )
-    exact_top = similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 4), k=10
-    ).select("query_id", "neighbor_id")
-    joined = exact_top.join(
-        proj_top.withColumn("__hit", F.lit(1)).select(
-            "query_id", "neighbor_id", "__hit"
-        ),
-        ["query_id", "neighbor_id"],
-        "left",
-    )
-    return joined.groupBy("query_id").agg(
-        F.count("__hit").cast("long").alias("n_hits"),
-        (F.count("__hit") / F.lit(10.0)).alias("recall"),
-    )
-
-
-def q_b21_calibration(spark, sf_dir):
-    """Quality-classifier calibration audit (B21 depth, r9 wave 6): the
-    reliability-diagram table for the composite quality score against a
-    deterministic reference label (lang == 'en', the score's stopword
-    leg is English — so the row also documents the score's language
-    bias). Ten score deciles; per bin the mean predicted score and the
-    observed positive rate, both as INTEGER micros (sum of per-row
-    floor-micros, integer division — no float accumulation touches the
-    hash), and the |calibration gap| a weighted ECE would integrate.
-    One keyed agg over the per-doc feature pass."""
-    docs = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
-    binned = feats.select(
-        F.least(F.floor(F.col("quality_score") * 10), F.lit(9))
-        .cast("int")
-        .alias("bin"),
-        F.floor(F.col("quality_score") * 1e6).cast("long").alias("__sm"),
-        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias(
-            "__pos"
-        ),
-    )
-    per = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__pos").cast("long").alias("n_pos"),
-        F.sum("__sm").alias("__ssm"),
-    )
-    return per.select(
-        "bin",
-        "n",
-        "n_pos",
-        F.expr("__ssm div n").cast("long").alias("mean_score_micros"),
-        F.expr("(n_pos * 1000000) div n").cast("long").alias(
-            "pos_rate_micros"
-        ),
-        F.abs(
-            F.expr("__ssm div n") - F.expr("(n_pos * 1000000) div n")
-        ).cast("long").alias("gap_micros"),
-    )
-
-
-def q_b26_ht_estimate(spark, sf_dir):
-    """Horvitz–Thompson sample estimation audit (B26 depth, r9 wave 6):
-    per event type, corpus totals estimated from the deterministic
-    1/16 user-hash sample with inverse-propensity weight 16, beside the
-    exact totals and the integer relative error. This is the audit that
-    prices cheap-sample corpus statistics at 100 TB (profile the 1/16
-    slice, multiply, know the error you paid); the user-keyed sample
-    reuses the b26_hash_sample predicate so sampled USERS keep all
-    their events (cluster sampling, the realistic shape). Values stay
-    integer micros throughout."""
-    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        "user_id",
-        F.floor(F.col("value") * 1e6).cast("long").alias("__vm"),
-    )
-    ex = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact"),
-        F.sum("__vm").cast("long").alias("sum_micros_exact"),
-    )
-    samp = ev.filter(
-        portable_hash60(F.col("user_id").cast("string")) % 16 == 0
-    )
-    est = samp.groupBy("event_type").agg(
-        (F.count(F.lit(1)) * 16).cast("long").alias("n_est"),
-        (F.sum("__vm") * 16).cast("long").alias("sum_micros_est"),
-    )
-    return ex.join(est, "event_type").select(
-        "event_type",
-        "n_exact",
-        "n_est",
-        "sum_micros_exact",
-        "sum_micros_est",
-        F.expr("(abs(n_est - n_exact) * 1000000) div n_exact")
-        .cast("long")
-        .alias("n_err_micros"),
-        F.expr(
-            "(abs(sum_micros_est - sum_micros_exact) * 1000000)"
-            " div sum_micros_exact"
-        )
-        .cast("long")
-        .alias("sum_err_micros"),
-    )
-
-
-def q_b27_quantile_sketch(spark, sf_dir):
-    """Mergeable quantile-histogram sketch (B27 sketch depth, r9 wave 6
-    — the quantile member beside HLL's distinct, CMS's frequency and
-    linear counting's bitmap): a 128-bucket equi-width histogram over
-    integer-micro values, per event type, with the '(all)' scope
-    MERGED from the per-scope sketches by bucket-count addition (sums
-    merge — the property that lets per-partition histograms combine
-    without rescans). For p50/p95/p99 the row carries the sketch
-    bucket's exact integer value range AND the true k-th smallest
-    value (k = ceil(q·n), via cross-multiplied 100·cum ≥ q·n — no
-    division), so `in_bucket` certifies construction, merge algebra
-    and the accuracy bound in one driver hash. Everything is integer
-    arithmetic — bucketing uses `div`, never float multiply. The
-    exact leg (distinct-value cumulative per scope) is the audit
-    baseline; the sketch is the 100 TB path."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.floor(F.col("value") * 1e6).cast("long").alias("vm")
-    )
-    bounds = ev.agg(
-        F.min("vm").alias("lo"), (F.max("vm") - F.min("vm") + 1).alias("r")
-    )
-    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        "vm",
-        F.least(F.expr("((vm - lo) * 128) div r"), F.lit(127))
-        .cast("int")
-        .alias("bkt"),
-    )
-    scope_sk = bucketed.groupBy(
-        F.col("event_type").alias("scope"), "bkt"
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    all_sk = (
-        scope_sk.groupBy("bkt")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .select(F.lit("(all)").alias("scope"), "bkt", "cnt")
-    )
-    sk = scope_sk.unionByName(all_sk)
-    ns = sk.groupBy("scope").agg(F.sum("cnt").cast("long").alias("n"))
-    wcum = (
-        Window.partitionBy("scope")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = sk.withColumn("cum", F.sum("cnt").over(wcum)).join(ns, "scope")
-    est = cum.groupBy("scope", "n").agg(
-        *[
-            F.min(
-                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("bkt"))
-            ).alias(f"b{q}")
-            for q in (50, 95, 99)
-        ]
-    )
-    # exact k-th smallest per scope over the distinct-value cumulative
-    scoped_vals = ev.select(
-        F.col("event_type").alias("scope"), "vm"
-    ).unionByName(ev.select(F.lit("(all)").alias("scope"), "vm"))
-    dv = scoped_vals.groupBy("scope", "vm").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    wv = (
-        Window.partitionBy("scope")
-        .orderBy("vm")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dvc = dv.withColumn("cum", F.sum("c").over(wv)).join(ns, "scope")
-    exact = dvc.groupBy("scope").agg(
-        *[
-            F.min(
-                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("vm"))
-            ).alias(f"x{q}")
-            for q in (50, 95, 99)
-        ]
-    )
-    out = est.join(exact, "scope").crossJoin(F.broadcast(bounds))
-    cols = [F.col("scope"), F.col("n")]
-    for q in (50, 95, 99):
-        blo = F.expr(f"lo + ((b{q} * r) + 127) div 128")
-        bhi = F.expr(f"lo + (((b{q} + 1) * r) + 127) div 128 - 1")
-        cols += [
-            F.col(f"x{q}").alias(f"exact_p{q}"),
-            blo.cast("long").alias(f"est_lo_p{q}"),
-            bhi.cast("long").alias(f"est_hi_p{q}"),
-            ((F.col(f"x{q}") >= blo) & (F.col(f"x{q}") <= bhi)).alias(
-                f"in_bucket_p{q}"
-            ),
-        ]
-    return out.select(*cols)
-
-
-def q_b30_rank_eval(spark, sf_dir):
-    """Binary-relevance ranking evaluation (B30 depth, r9 wave 7 — the
-    MRR/MAP/P@k panel beside b30_ndcg's graded metric): the BM25
-    top-10 for ('merge','join','batch') scored against binary
-    relevance (≥2 'merge' occurrences). Every metric ships as INTEGER
-    micros built from integer divisions over the 10-row retrieved
-    relation (reciprocal rank = 1e6 div first_rel_rank; AP@10 =
-    Σ (relcum·1e6 div rank) div min(R,10)) — no float touches the
-    hash. The cumulative window runs over the rank≤10 relation
-    (bounded by the retrieval's top-k, allowlisted)."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    retrieved = lm.bm25_search(
-        docs, "doc_id", ["merge", "join", "batch"], top_k=10
-    ).select("doc_id", F.col("rank").cast("int").alias("rank"))
-    rel = docs.select(
-        "doc_id",
-        (
-            F.size(
-                F.filter(textops.tokens(F.col("text")), lambda t: t == "merge")
-            )
-            >= 2
-        )
-        .cast("long")
-        .alias("rel"),
-    )
-    r10 = retrieved.join(rel, "doc_id", "left").select(
-        "rank", F.coalesce("rel", F.lit(0)).alias("rel")
-    )
-    w = Window.orderBy("rank").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = r10.withColumn("relcum", F.sum("rel").over(w))
-    nrel = rel.agg(F.sum("rel").cast("long").alias("R"))
-    metrics = cum.agg(
-        F.sum("rel").cast("long").alias("hits10"),
-        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("__fr"),
-        F.sum(
-            F.when(
-                F.col("rel") == 1, F.expr("(relcum * 1000000) div rank")
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("__apnum"),
-    )
-    return metrics.crossJoin(F.broadcast(nrel)).select(
-        F.col("R").alias("n_rel_corpus"),
-        "hits10",
-        F.coalesce(F.col("__fr"), F.lit(0)).cast("int").alias(
-            "first_rel_rank"
-        ),
-        F.coalesce(F.expr("1000000 div __fr"), F.lit(0))
-        .cast("long")
-        .alias("rr_micros"),
-        F.expr("__apnum div greatest(least(R, 10), 1)")
-        .cast("long")
-        .alias("ap10_micros"),
-        F.expr("(hits10 * 1000000) div 10").cast("long").alias("p10_micros"),
-        F.expr("(hits10 * 1000000) div greatest(R, 1)")
-        .cast("long")
-        .alias("recall10_micros"),
-    )
-
-
-def q_b15_hazard(spark, sf_dir):
-    """Discrete survival hazard curve (B15 depth, r9 wave 7 — the
-    churn-analysis shape beside retention/cohorts): per lifetime-day t,
-    the risk set (users surviving ≥ t), observed churn events, and
-    right-censored users (last activity inside the final 24 observed
-    hours — their true lifetime is unknown). hazard(t) = d_t/n_t ships
-    as integer micros; the Kaplan–Meier survival curve is one product
-    away for the reader, and every input to it is exact here. Lifetimes
-    are HOURS (the fixture's 30-day span makes day buckets degenerate —
-    3 distinct lifetimes; hours give ~46). The stream contracts to one
-    row per user, then to the |lifetimes|-hour relation BEFORE the
-    descending cumulative (the b15_acf rule)."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-            " div 3600"
-        ).alias("hr"),
-    )
-    per_user = ev.groupBy("user_id").agg(
-        F.min("hr").alias("first_hr"), F.max("hr").alias("last_hr")
-    )
-    end = ev.agg(F.max("hr").alias("__end"))
-    lived = per_user.crossJoin(F.broadcast(end)).select(
-        (F.col("last_hr") - F.col("first_hr")).alias("t"),
-        F.when(F.col("last_hr") <= F.col("__end") - 24, 1)
-        .otherwise(0)
-        .alias("churned"),
-    )
-    per_t = lived.groupBy("t").agg(
-        F.sum("churned").cast("long").alias("d_events"),
-        F.sum(F.lit(1) - F.col("churned")).cast("long").alias("c_censored"),
-    )
-    w = Window.orderBy(F.col("t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        per_t.withColumn(
-            "n_risk", F.sum(F.col("d_events") + F.col("c_censored")).over(w)
-        )
-        .select(
-            F.col("t").alias("lifetime_hours"),
-            "n_risk",
-            "d_events",
-            "c_censored",
-            F.expr("(d_events * 1000000) div n_risk")
-            .cast("long")
-            .alias("hazard_micros"),
-        )
-    )
-
-
-def q_b30_link_prediction(spark, sf_dir):
-    """Common-neighbor link prediction (B30 graph depth, r9 wave 7 —
-    candidate SCORING beside triangles' enumeration and HITS'
-    ranking): supplier pairs scored by shared parts and Jaccard over
-    part neighborhoods, top-20. The wedge join (edges ⋈ edges on the
-    shared part, s1 < s2) is the quadratic risk at 100 TB, so parts
-    with more than 64 suppliers are EXCLUDED first — the standard
-    frequent-item degree cap that bounds wedge count at Σ min(deg,64)²
-    (the cap relation is one keyed agg; excluded hubs are exactly the
-    pairs common-neighbor evidence is weakest for). Jaccard ships as
-    integer micros; top-20 via distributed orderBy().limit then rank."""
-    from pyspark.sql import Window
-
-    li = _t(spark, sf_dir, "lineitem")
-    edges = (
-        li.select("l_partkey", "l_suppkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    pdeg = edges.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("__pd")
-    )
-    capped = edges.join(
-        pdeg.filter(F.col("__pd") <= 64).select("l_partkey"), "l_partkey"
-    )
-    sdeg = edges.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    )
-    a = capped.select("l_partkey", F.col("l_suppkey").alias("s1"))
-    b = capped.select("l_partkey", F.col("l_suppkey").alias("s2"))
-    shared = (
-        a.join(b, "l_partkey")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    scored = (
-        shared.join(
-            F.broadcast(sdeg.select(F.col("l_suppkey").alias("s1"),
-                                    F.col("deg").alias("d1"))), "s1"
-        )
-        .join(
-            F.broadcast(sdeg.select(F.col("l_suppkey").alias("s2"),
-                                    F.col("deg").alias("d2"))), "s2"
-        )
-        .select(
-            "s1",
-            "s2",
-            "n_shared",
-            F.expr("(n_shared * 1000000) div (d1 + d2 - n_shared)")
-            .cast("long")
-            .alias("jaccard_micros"),
-        )
-    )
-    w = Window.orderBy(
-        F.col("jaccard_micros").desc(), F.col("s1").asc(), F.col("s2").asc()
-    )
-    return (
-        scored.orderBy(
-            F.col("jaccard_micros").desc(), F.col("s1").asc(), F.col("s2").asc()
-        )
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-    )
-
-
-def q_b24_corpus_v6(spark, sf_dir):
-    """Corpus-build capstone v6 (B24 depth, r9 wave 7 closer):
-    composes this round's operators into ONE lazy plan — the planted
-    truncation corpus is screened by the prefix-dup equi-join (drop
-    every doc that is a strict prefix of a longer one, the
-    keep-longest decision), survivors pass the composite quality gate
-    (score ≥ 0.5, the b21_calibration score), and the per-source
-    report carries kept/dropped accounting plus the p50 token-count
-    bucket from `derive.histogram_sketch` under FIXED bounds (the
-    streaming-contract form — the same sketch the foreachBatch leg
-    maintains incrementally). Per-source telemetry a mixture owner
-    reads before committing a training run."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    planted = docs.filter(
-        (F.col("doc_id") % 9 == 3) & (F.length("text") >= 120)
-    ).select(
-        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
-        "source",
-        "lang",
-        F.expr("substring(text, 1, CAST(length(text) * 3 AS INT) div 5)").alias(
-            "text"
-        ),
-    )
-    corpus = docs.select("doc_id", "source", "lang", "text").unionByName(
-        planted
-    )
-    keyed = corpus.select(
-        "doc_id",
-        "source",
-        F.length("text").alias("len"),
-        F.substring("text", 1, 24).alias("__k"),
-        "text",
-    ).localCheckpoint(eager=False)
-    a = keyed.select(
-        F.col("doc_id").alias("short_id"),
-        F.col("text").alias("__st"),
-        F.col("len").alias("short_len"),
-        "__k",
-    )
-    b = keyed.select(
-        F.col("text").alias("__lt"), F.col("len").alias("long_len"), "__k"
-    )
-    short_ids = (
-        a.join(b, "__k")
-        .filter(
-            (F.col("short_len") < F.col("long_len"))
-            & (
-                F.expr("substring(__lt, 1, CAST(short_len AS INT))")
-                == F.col("__st")
-            )
-        )
-        .select(F.col("short_id").alias("doc_id"))
-        .distinct()
-    )
-    dup_drops = corpus.join(short_ids, "doc_id", "semi").groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dropped_dup")
-    )
-    deduped = corpus.join(short_ids, "doc_id", "anti")
-    feats = textops.quality_features(
-        deduped.select("doc_id", "source", "text")
-    ).select("doc_id", "source", "q_tokens", "quality_score")
-    kept = feats.filter(F.col("quality_score") >= 0.5).localCheckpoint(
-        eager=False
-    )
-    q_drops = (
-        feats.filter(F.col("quality_score") < 0.5)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_quality"))
-    )
-    base = kept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("q_tokens").cast("long").alias("tokens_kept"),
-    )
-    LO, R, BK = 0, 256, 128
-    sk = derive.histogram_sketch(kept, "source", "q_tokens", LO, R, BK)
-    wcum = (
-        Window.partitionBy("scope")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ns = sk.groupBy("scope").agg(F.sum("cnt").cast("long").alias("__n"))
-    p50 = (
-        sk.withColumn("cum", F.sum("cnt").over(wcum))
-        .join(ns, "scope")
-        .groupBy("scope")
-        .agg(
-            F.min(
-                F.when(F.col("cum") * 100 >= 50 * F.col("__n"), F.col("bkt"))
-            ).alias("__b50")
-        )
-        .select(
-            F.col("scope").alias("source"),
-            F.expr(f"{LO} + ((__b50 * {R}) + {BK - 1}) div {BK}")
-            .cast("long")
-            .alias("p50_tok_lo"),
-            F.expr(f"{LO} + (((__b50 + 1) * {R}) + {BK - 1}) div {BK} - 1")
-            .cast("long")
-            .alias("p50_tok_hi"),
-        )
-    )
-    return (
-        base.join(p50, "source")
-        .join(dup_drops, "source", "left")
-        .join(q_drops, "source", "left")
-        .select(
-            "source",
-            "n_kept",
-            F.coalesce("n_dropped_dup", F.lit(0)).cast("long").alias(
-                "n_dropped_dup"
-            ),
-            F.coalesce("n_dropped_quality", F.lit(0)).cast("long").alias(
-                "n_dropped_quality"
-            ),
-            "tokens_kept",
-            "p50_tok_lo",
-            "p50_tok_hi",
-        )
-    )
-
-
-def q_b2_idempotency(spark, sf_dir):
-    """At-least-once redelivery screen (B2 depth, r9 wave 8): the
-    reference's delivery contract is at-least-once (README.md:26-30 —
-    a consumer restart between acks replays a slice), so the
-    downstream exactly-once consumer needs an idempotency key. This
-    screen simulates a replayed slice (id % 13 == 5 redelivered),
-    keys every delivery by md5(table|id|op|payload), and reports per
-    operation how many logical changes arrived more than once and the
-    redundant-delivery volume a dedup sink would absorb. Two keyed
-    aggs, integer exact."""
-    ch = _events_changes(spark, sf_dir)
-    replay = ch.filter(F.col("id") % 13 == 5)
-    delivered = ch.unionByName(replay)
-    keyed = delivered.select(
-        "operation",
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("tablename"),
-                F.col("id").cast("string"),
-                F.col("operation"),
-                F.coalesce(F.col("before"), F.lit("")),
-                F.coalesce(F.col("after"), F.lit("")),
-            )
-        ).alias("__k"),
-    )
-    per = keyed.groupBy("operation", "__k").agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
-    return per.groupBy("operation").agg(
-        F.count(F.lit(1)).cast("long").alias("n_logical_changes"),
-        F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
-        .cast("long")
-        .alias("n_duplicated"),
-        F.sum(F.col("__n") - 1).cast("long").alias("n_redundant_deliveries"),
-    ).select(
-        "operation",
-        "n_logical_changes",
-        "n_duplicated",
-        "n_redundant_deliveries",
-        F.expr("(n_duplicated * 1000000) div n_logical_changes")
-        .cast("long")
-        .alias("dup_rate_micros"),
-    )
-
-
-def q_b10_winsorized(spark, sf_dir):
-    """Winsorized & trimmed means (B10 robust-stats depth, r9 wave 8 —
-    the outlier-resistant location estimators beside b10_mad_outliers'
-    spread): per return flag, the mean after clamping (winsorizing)
-    and after dropping (trimming) prices outside the floor-quantized
-    [p05, p95]. Prices quantize to integer cents FIRST; the percentile
-    thresholds floor to integers, so both estimators are integer sums
-    with one integer division — no float accumulation. Two keyed aggs
-    over the same group key (the threshold relation is 3 rows and
-    broadcasts back)."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
-    th = li.groupBy("l_returnflag").agg(
-        F.floor(F.percentile("cents", 0.05)).cast("long").alias("p05c"),
-        F.floor(F.percentile("cents", 0.95)).cast("long").alias("p95c"),
-    )
-    clamped = li.join(F.broadcast(th), "l_returnflag").select(
-        "l_returnflag",
-        "cents",
-        "p05c",
-        "p95c",
-        F.greatest(F.least(F.col("cents"), F.col("p95c")), F.col("p05c")).alias(
-            "__w"
-        ),
-        F.col("cents").between(F.col("p05c"), F.col("p95c")).alias("__in"),
-    )
-    return clamped.groupBy("l_returnflag", "p05c", "p95c").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("(sum(cents) * 10000) div count(1)")
-        .cast("long")
-        .alias("raw_mean_micros"),
-        F.expr("(sum(__w) * 10000) div count(1)")
-        .cast("long")
-        .alias("winsor_mean_micros"),
-        F.expr(
-            "(sum(CASE WHEN __in THEN cents ELSE 0 END) * 10000)"
-            " div sum(CASE WHEN __in THEN 1 ELSE 0 END)"
-        )
-        .cast("long")
-        .alias("trimmed_mean_micros"),
-        F.sum(F.when(F.col("__in"), 0).otherwise(1))
-        .cast("long")
-        .alias("n_clamped"),
-    )
-
-
-def q_b14_format_funcs(spark, sf_dir):
-    """String formatting/padding function surface (B14 breadth, r9
-    wave 8): lpad/rpad, repeat, reverse, translate, ascii/chr,
-    left/right, split_part/instr — the remaining shared-dialect string
-    tools beside the regex/scalar/url rows. Pure per-row codegen; the
-    sample is keyset-paged for a deterministic LIMIT."""
-    n = _t(spark, sf_dir, "nation")
-    return (
-        n.orderBy("n_nationkey")
-        .limit(10)
-        .select(
-            "n_nationkey",
-            F.expr("lpad(n_name, 12, '.')").alias("padded_l"),
-            F.expr("rpad(n_name, 12, '.')").alias("padded_r"),
-            F.expr("repeat(substring(n_name, 1, 2), 3)").alias("repeated"),
-            F.reverse("n_name").alias("reversed"),
-            F.expr("translate(n_name, 'NAT', 'nat')").alias("translated"),
-            F.ascii("n_name").cast("int").alias("first_byte"),
-            F.expr("chr(65 + n_nationkey % 26)").alias("letter"),
-            F.expr("left(n_name, 6)").alias("left6"),
-            F.expr("right(n_name, 2)").alias("right2"),
-            F.expr("split_part(n_name, '_', 2)").alias("num_part"),
-            F.expr("instr(n_name, '_')").cast("long").alias("underscore_at"),
-        )
-    )
-
-
-def q_b11_ohlc(spark, sf_dir):
-    """OHLC resampling bars (B11 time-series depth, r9 wave 9): per
-    hour, open/high/low/close of the event value plus volume — the
-    financial candle aggregation. Open/close are first/last by the
-    TOTAL (second, event_id) order inside the hour (keyed row_number
-    both directions folded into ONE keyed agg via conditional max —
-    no self-join), values integer cents."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-        ).alias("sec"),
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
-    ).withColumn("hr", F.expr("sec div 3600"))
-    wa = Window.partitionBy("hr").orderBy(
-        F.col("sec").asc(), F.col("event_id").asc()
-    )
-    wd = Window.partitionBy("hr").orderBy(
-        F.col("sec").desc(), F.col("event_id").desc()
-    )
-    ranked = ev.select(
-        "hr",
-        "cents",
-        F.row_number().over(wa).alias("__ra"),
-        F.row_number().over(wd).alias("__rd"),
-    )
-    return ranked.groupBy("hr").agg(
-        F.max(F.when(F.col("__ra") == 1, F.col("cents"))).alias("open_cents"),
-        F.max("cents").alias("high_cents"),
-        F.min("cents").alias("low_cents"),
-        F.max(F.when(F.col("__rd") == 1, F.col("cents"))).alias(
-            "close_cents"
-        ),
-        F.count(F.lit(1)).cast("long").alias("volume"),
-    )
-
-
-def q_b3_slo_burn(spark, sf_dir):
-    """SLO burn-rate monitor (B3 monitoring depth, r9 wave 9): per
-    6-hour window, the error-event share against a 1% error budget,
-    with the 2×-budget page condition decided on CROSS-MULTIPLIED
-    integers (errors·50 > total ⟺ rate > 2%) — the multiwindow
-    burn-rate alert shape. One keyed agg over the bucketed stream."""
-    ev = _t(spark, sf_dir, "events")
-    win = ev.select(
-        F.expr(
-            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
-            " div 21600"
-        ).alias("win6h"),
-        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("__e"),
-    )
-    return win.groupBy("win6h").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__e").cast("long").alias("n_errors"),
-        F.expr("(sum(__e) * 1000000) div count(1)")
-        .cast("long")
-        .alias("err_rate_micros"),
-        (F.sum("__e") * 50 > F.count(F.lit(1))).alias("page_alert"),
-    )
-
-
-def q_b13_file_skipping(spark, sf_dir):
-    """Data-skipping effectiveness audit (B13 storage depth, r9 wave 9
-    — the zone-map CONSUMER beside b13_zorder_layout's producer): model
-    files as 2000-order blocks of the orderkey-clustered layout, keep
-    per-file min/max ship-date stats (what parquet footers carry), and
-    measure how many files a ship-date range predicate can prune. The
-    answer quantifies the clustering-correlation problem: orderkey
-    clustering barely prunes date predicates — the number that
-    motivates date partitioning or Z-order. Integer day arithmetic."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.expr("l_orderkey div 2000").alias("file_id"),
-        F.expr(
-            "cast(floor(unix_timestamp(l_shipdate)) as bigint) div 86400"
-        ).alias("day"),
-    )
-    stats = li.groupBy("file_id").agg(
-        F.min("day").alias("min_day"),
-        F.max("day").alias("max_day"),
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-    )
-    # predicate: 1996 H1 (epoch days, computed identically both engines)
-    lo = F.expr(
-        "cast(floor(unix_timestamp(cast('1996-01-01' as timestamp)))"
-        " as bigint) div 86400"
-    )
-    hi = F.expr(
-        "cast(floor(unix_timestamp(cast('1996-07-01' as timestamp)))"
-        " as bigint) div 86400"
-    )
-    flagged = stats.select(
-        "n_rows",
-        ((F.col("max_day") < lo) | (F.col("min_day") >= hi)).alias(
-            "__skippable"
-        ),
-    )
-    return flagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n_files"),
-        F.sum(F.when(F.col("__skippable"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_skipped"),
-        F.sum(F.when(F.col("__skippable"), F.col("n_rows")).otherwise(0))
-        .cast("long")
-        .alias("rows_skipped"),
-        F.expr(
-            "(sum(CASE WHEN __skippable THEN 1 ELSE 0 END) * 1000000)"
-            " div count(1)"
-        )
-        .cast("long")
-        .alias("skip_rate_micros"),
-    )
-
-
-def q_b21_rake_keywords(spark, sf_dir):
-    """RAKE-style keyword extraction (B21 depth, r9 wave 10): candidate
-    phrases are maximal stopword-free token runs (phrase id = running
-    stopword count per doc — one keyed window over the token relation,
-    bounded by doc length); each word scores degree (Σ lengths of the
-    phrases containing it, self included — the RAKE co-occurrence
-    proxy) over frequency, as integer micros. Top-20 keywords by that
-    ratio — the unsupervised keyword surface beside TF-IDF's
-    corpus-weighted one."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    sw = [w for w in textops.STOPWORDS["en"]]
-    toks = docs.select(
-        "doc_id", F.posexplode(textops.tokens(F.col("text"))).alias("pos", "tok")
-    ).withColumn("is_sw", F.col("tok").isin(sw).cast("int"))
-    wp = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    phrased = toks.withColumn("phrase_id", F.sum("is_sw").over(wp)).filter(
-        F.col("is_sw") == 0
-    )
-    plen = phrased.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).cast("long").alias("plen")
-    )
-    scored = (
-        phrased.join(plen, ["doc_id", "phrase_id"])
-        .groupBy("tok")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum("plen").cast("long").alias("degree"),
-        )
-        .select(
-            "tok",
-            "freq",
-            "degree",
-            F.expr("(degree * 1000000) div freq").cast("long").alias(
-                "rake_micros"
-            ),
-        )
-    )
-    w = Window.orderBy(
-        F.col("rake_micros").desc(), F.col("freq").desc(), F.col("tok").asc()
-    )
-    return (
-        scored.orderBy(
-            F.col("rake_micros").desc(), F.col("freq").desc(), F.col("tok").asc()
-        )
-        .limit(20)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-    )
-
-
-def q_b18_chunk_dedup(spark, sf_dir):
-    """Fixed-block storage dedup audit (B18 depth, r9 wave 10 — the
-    ZFS/backup-style BLOCK dedup beside the document-level families):
-    texts split into 64-char blocks on a generate_series offset grid
-    (never a per-row Python loop), blocks keyed by md5, per-source
-    dedup ratio = unique/total block bytes. Planted verbatim re-crawls
-    (doc_id%11==7 duplicated) provide the redundancy a chunk store
-    would reclaim; cross-doc block sharing is what DOCUMENT-level
-    dedup can't see. One explode + two keyed aggs."""
-    docs = _t(spark, sf_dir, "documents")
-    dup = docs.filter(F.col("doc_id") % 11 == 7).select(
-        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "source", "text"
-    )
-    corpus = docs.select("doc_id", "source", "text").unionByName(dup)
-    chunks = corpus.select(
-        "source",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, (length(text) - 1) div 64),"
-                " i -> substring(text, i * 64 + 1, 64))"
-            )
-        ).alias("__i", "chunk"),
-    ).select(
-        "source",
-        F.md5("chunk").alias("h"),
-        F.length("chunk").cast("long").alias("blen"),
-    )
-    per_chunk = chunks.groupBy("source", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.max("blen").alias("blen"),
-    )
-    return per_chunk.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_blocks"),
-        F.count(F.lit(1)).cast("long").alias("n_unique_blocks"),
-        F.sum(F.col("n") * F.col("blen")).cast("long").alias("bytes_total"),
-        F.sum("blen").cast("long").alias("bytes_unique"),
-        F.expr("(sum(blen) * 1000000) div sum(n * blen)")
-        .cast("long")
-        .alias("unique_share_micros"),
-    )
-
-
-def q_b20_triplet_mining(spark, sf_dir):
-    """Hard-negative triplet mining (B20 depth, r9 wave 11 — the
-    contrastive-training data-prep read, and the only B20 operator
-    that exploits the fixture's `label` column): per anchor, the
-    nearest SAME-label vector (the positive) and the nearest
-    OTHER-label vector (the hardest negative) by exact cosine, plus
-    the triplet margin and the violation flag (negative closer than
-    positive — the triplets a trainer actually wants). One broadcast
-    of the 8 anchors, one narrow scoring pass, two keyed top-1
-    windows over the same scored relation. Scores/margins are round-6
-    of identical doubles (sqrt is correctly-rounded; the subtraction
-    happens on RAW scores before rounding, both engines)."""
-    from pyspark.sql import Window
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = similarity.as_double("embedding")
-    anchors = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        qv.alias("av"),
-        similarity.l2_norm(qv).alias("an"),
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        qv.alias("cv"),
-        similarity.l2_norm(qv).alias("cn"),
-    )
-    scored = corpus.join(
-        F.broadcast(anchors), F.col("anchor_id") != F.col("neighbor_id")
-    ).select(
-        "anchor_id",
-        "anchor_label",
-        "neighbor_id",
-        (F.col("anchor_label") == F.col("neighbor_label")).alias("__same"),
-        (
-            similarity.dot(F.col("av"), F.col("cv"))
-            / (F.col("an") * F.col("cn"))
-        ).alias("__s"),
-    )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("__s").desc(), F.col("neighbor_id").asc()
-    )
-    pos = (
-        scored.filter(F.col("__same"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "anchor_id",
-            "anchor_label",
-            F.col("neighbor_id").alias("positive_id"),
-            F.col("__s").alias("__ps"),
-        )
-    )
-    neg = (
-        scored.filter(~F.col("__same"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "anchor_id",
-            F.col("neighbor_id").alias("negative_id"),
-            F.col("__s").alias("__ns"),
-        )
-    )
-    return pos.join(neg, "anchor_id").select(
-        "anchor_id",
-        "anchor_label",
-        "positive_id",
-        F.round("__ps", 6).alias("pos_score"),
-        "negative_id",
-        F.round("__ns", 6).alias("neg_score"),
-        F.round(F.col("__ps") - F.col("__ns"), 6).alias("margin"),
-        (F.col("__ns") > F.col("__ps")).alias("violation"),
-    )
-
-
-def q_b20_triplet_mining_ann(spark, sf_dir):
-    """Hard-negative triplet mining at corpus scale (B20 depth, r10 —
-    VERDICT r9 item 6): the anchors (every 25th vector — unbounded in
-    production, so NOT broadcast) route through the standing portable
-    integer-LSH buckets alongside the corpus; candidates are the
-    (table, bucket) equi-join (12 tables × 4 planes, anchor-side
-    multiprobe — the measured recall-1.0 config on this fixture), and
-    the exact cosine rescore + per-anchor positive/negative top-1 run
-    over candidates only (similarity.py: triplet_mining_ann). Bucket
-    decisions are integer-exact, so the oracle replays candidates AND
-    scores bit-for-bit; scores/margins are round-6 of identical
-    doubles."""
-    emb = _t(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 25 == 0)
-    return similarity.triplet_mining_ann(
-        emb, anchors, dim=64, n_planes=4, n_tables=12
-    ).orderBy("anchor_id")
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9407,6935 +449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-#: DuckDB rendering of pipeline.text normalization/tokens (keep in lockstep
-#: with dedup.normalize_text / text.tokens)
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
-
-
-def _sw_hits_sql(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang])
-    return f"len(list_filter({_TOKS_SQL}, t -> list_contains([{words}], t)))"
-
-
-#: the planted-near-dup corpus both b19 oracle queries run on (mirror of the
-#: Spark-side mutation in q_b19_minhash_candidates / q_b19_simhash)
-_B19_CORPUS_SQL = """
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
-  FROM documents WHERE doc_id % 7 = 0
-"""
-
-#: word 3-gram expression over a `toks` list column (DuckDB 1-based)
-_GRAM3_SQL = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
-
-
-def _minhash_cand_ctes() -> str:
-    """The shared CTE chain of the md5-mode MinHash-LSH replay, up to
-    the DISTINCT candidate pairs (``cand``). Composed by
-    :func:`_minhash_oracle_sql` (adds the exact-Jaccard verify tail)
-    and the b19_lsh_quality oracle (counts candidates vs planted
-    truth)."""
-    P = dedup.MINHASH_P
-    fam = dedup._hash_family(32)
-    mins = ",\n                 ".join(
-        f"min((h * {a} + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(fam)
-    )
-
-    def fold(b: int) -> str:
-        expr = f"h{b * 4}"
-        for j in range(1, 4):
-            expr = f"(({expr}) * {dedup.BAND_B} + h{b * 4 + j}) % {P}"
-        return expr
-
-    buckets = ", ".join(fold(b) for b in range(8))
-    bands = ", ".join(str(b) for b in range(8))
-    return f"""corpus AS ({_B19_CORPUS_SQL}),
-        tk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
-        sh AS (
-          SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(toks) - 2),
-                        i -> {_GRAM3_SQL})) AS sh
-          FROM tk
-        ),
-        hashed AS (
-          SELECT doc_id, ({dedup.portable_hash60_sql('sh')}) % {P} AS h FROM sh
-        ),
-        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, unnest([{bands}]) AS band, unnest([{buckets}]) AS bucket
-          FROM sig
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket
-          WHERE a.doc_id < b.doc_id
-        )"""
-
-
-def _minhash_oracle_sql() -> str:
-    """Full DuckDB replay of near_dup_pairs(base_hash='md5', 32 hashes,
-    8 bands): portable md5 base hash → universal-hash mins → polynomial
-    band buckets → candidate equi-join → exact-Jaccard ≥ 0.8."""
-    return f"""
-        WITH {_minhash_cand_ctes()},
-        tsets AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                               i -> {_GRAM3_SQL})) AS shs
-          FROM tk
-        ),
-        scored AS (
-          SELECT id_a, id_b,
-                 CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                 / CAST(len(sa.shs) + len(sb.shs)
-                        - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS j
-          FROM cand
-          JOIN tsets sa ON sa.doc_id = cand.id_a
-          JOIN tsets sb ON sb.doc_id = cand.id_b
-        )
-        SELECT id_a, id_b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.8
-    """
-
-
-def _dup_clusters_oracle_sql() -> str:
-    """DuckDB replay of q_b19_dup_clusters: the portable-md5 pair set
-    (same SQL as the b19_minhash_candidates oracle, nested as a CTE)
-    transitively closed by a recursive CTE — label = min reachable id,
-    the same canonical labeling dedup.dup_clusters converges to."""
-    return f"""
-        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-          SELECT DISTINCT src AS v, src AS r FROM edges
-          UNION
-          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
-        ),
-        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
-        SELECT doc_id, cluster_id,
-               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-                 AS cluster_size
-        FROM lab
-    """
-
-
-def _incremental_index_oracle_sql() -> str:
-    """DuckDB replay of q_b19_incremental_index: portable-hash LSH index
-    over the standing corpus, probed by the mutated batch."""
-    P = dedup.MINHASH_P
-    fam = dedup._hash_family(32)
-    mins = ",\n                 ".join(
-        f"min((h * {a} + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(fam)
-    )
-
-    def fold(b: int) -> str:
-        expr = f"h{b * 4}"
-        for j in range(1, 4):
-            expr = f"(({expr}) * {dedup.BAND_B} + h{b * 4 + j}) % {P}"
-        return expr
-
-    buckets = ", ".join(fold(b) for b in range(8))
-    bands = ", ".join(str(b) for b in range(8))
-
-    def banded(src: str, alias: str) -> str:
-        return f"""
-        {alias}_tk AS (
-          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}
-        ),
-        {alias}_sh AS (
-          SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(toks) - 2),
-                        i -> {_GRAM3_SQL})) AS sh
-          FROM {alias}_tk
-        ),
-        {alias}_hashed AS (
-          SELECT doc_id, ({dedup.portable_hash60_sql('sh')}) % {P} AS h
-          FROM {alias}_sh
-        ),
-        {alias}_sig AS (
-          SELECT doc_id, {mins} FROM {alias}_hashed GROUP BY doc_id
-        ),
-        {alias}_banded AS (
-          SELECT doc_id, unnest([{bands}]) AS band,
-                 unnest([{buckets}]) AS bucket
-          FROM {alias}_sig
-        )"""
-
-    return f"""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id >= 20
-        ),
-        batch AS (
-          SELECT doc_id + 400000 AS doc_id, text || ' qqq' AS text
-          FROM documents WHERE doc_id >= 20 AND doc_id < 40
-        ),{banded('corpus', 'c')},{banded('batch', 'q')}
-        SELECT DISTINCT q.doc_id AS new_id, c.doc_id AS corpus_id
-        FROM q_banded q JOIN c_banded c
-          ON q.band = c.band AND q.bucket = c.bucket
-        WHERE q.doc_id != c.doc_id
-    """
-
-
-def _incremental_clusters_oracle_sql() -> str:
-    """DuckDB replay of q_b19_incremental_clusters: from-scratch closure
-    over (standing minhash-verified pairs ∪ batch index-probe pairs) —
-    the oracle for the incremental update path being exact."""
-    P = dedup.MINHASH_P
-    fam = dedup._hash_family(32)
-    mins = ",\n                 ".join(
-        f"min((h * {a} + {b}) % {P}) AS h{i}" for i, (a, b) in enumerate(fam)
-    )
-
-    def fold(b: int) -> str:
-        expr = f"h{b * 4}"
-        for j in range(1, 4):
-            expr = f"(({expr}) * {dedup.BAND_B} + h{b * 4 + j}) % {P}"
-        return expr
-
-    buckets = ", ".join(fold(b) for b in range(8))
-    bands = ", ".join(str(b) for b in range(8))
-
-    def banded(src: str, alias: str) -> str:
-        return f"""
-        {alias}_tk AS (
-          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM {src}
-        ),
-        {alias}_sh AS (
-          SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(toks) - 2),
-                        i -> {_GRAM3_SQL})) AS sh
-          FROM {alias}_tk
-        ),
-        {alias}_hashed AS (
-          SELECT doc_id, ({dedup.portable_hash60_sql('sh')}) % {P} AS h
-          FROM {alias}_sh
-        ),
-        {alias}_sig AS (
-          SELECT doc_id, {mins} FROM {alias}_hashed GROUP BY doc_id
-        ),
-        {alias}_banded AS (
-          SELECT doc_id, unnest([{bands}]) AS band,
-                 unnest([{buckets}]) AS bucket
-          FROM {alias}_sig
-        )"""
-
-    return f"""
-        WITH RECURSIVE corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id >= 20
-          UNION ALL
-          SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
-          FROM documents WHERE doc_id % 7 = 0 AND doc_id >= 20
-        ),
-        batch AS (
-          SELECT doc_id + 400000 AS doc_id, text || ' qqq' AS text
-          FROM documents WHERE doc_id >= 20 AND doc_id < 40
-        ),{banded('corpus', 'c')},{banded('batch', 'q')},
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM c_banded a JOIN c_banded b
-            ON a.band = b.band AND a.bucket = b.bucket
-          WHERE a.doc_id < b.doc_id
-        ),
-        tsets AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                               i -> {_GRAM3_SQL})) AS shs
-          FROM c_tk
-        ),
-        p1 AS (
-          SELECT id_a, id_b FROM (
-            SELECT id_a, id_b,
-                   CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
-                   / CAST(len(sa.shs) + len(sb.shs)
-                          - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS j
-            FROM cand
-            JOIN tsets sa ON sa.doc_id = cand.id_a
-            JOIN tsets sb ON sb.doc_id = cand.id_b
-          ) WHERE j >= 0.8
-        ),
-        p2 AS (
-          SELECT DISTINCT q.doc_id AS id_a, c.doc_id AS id_b
-          FROM q_banded q JOIN c_banded c
-            ON q.band = c.band AND q.bucket = c.bucket
-          WHERE q.doc_id != c.doc_id
-        ),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM p1
-          UNION SELECT id_b, id_a FROM p1
-          UNION SELECT id_a, id_b FROM p2
-          UNION SELECT id_b, id_a FROM p2
-        ),
-        reach AS (
-          SELECT DISTINCT src AS v, src AS r FROM edges
-          UNION
-          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
-        ),
-        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
-        SELECT doc_id, cluster_id,
-               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-                 AS cluster_size
-        FROM lab
-    """
-
-
-def _corpus_v2_oracle_sql() -> str:
-    """DuckDB replay of q_b24_corpus_v2: minhash pairs → recursive-CTE
-    cluster closure → drop non-minima → token gate → integer-exact
-    mixture rates → chunk windows → per-lang stats."""
-    return f"""
-        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-          SELECT DISTINCT src AS v, src AS r FROM edges
-          UNION
-          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
-        ),
-        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
-        corpus_l AS (
-          SELECT doc_id, lang, text FROM documents
-          UNION ALL
-          SELECT doc_id + 200000 AS doc_id, lang, text || ' zzz' AS text
-          FROM documents WHERE doc_id % 7 = 0
-        ),
-        surv AS (
-          SELECT * FROM corpus_l
-          WHERE doc_id NOT IN (
-            SELECT doc_id FROM lab WHERE doc_id != cluster_id
-          )
-        ),
-        gated AS (
-          SELECT doc_id, lang, text,
-                 CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
-          FROM surv
-          WHERE CAST(len({_TOKS_SQL}) AS BIGINT) >= 20
-        ),
-        totals AS (
-          SELECT lang, sum(n_tok) AS total FROM gated GROUP BY lang
-        ),
-        rates AS (
-          -- total IS NULL / <= 0 => keep everything (mirrors the ANSI
-          -- divide-by-zero guard in sampling.mixture_sample)
-          SELECT lang,
-                 CASE WHEN total IS NULL OR total <= 0 THEN 100
-                      ELSE least(100,
-                        ((CASE lang WHEN 'en' THEN 4000
-                                    WHEN 'de' THEN 1500
-                                    ELSE 2000 END) * 100) // total)
-                 END AS keep_b
-          FROM totals
-        ),
-        mixed AS (
-          SELECT g.* FROM gated g JOIN rates r ON g.lang = r.lang
-          WHERE {sampling.bucket_sql('g.doc_id')} < r.keep_b
-        ),
-        tk2 AS (
-          SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
-          FROM mixed
-        ),
-        chunks AS (
-          SELECT doc_id, lang,
-                 CAST(least(16, len(toks) - i*12) AS BIGINT) AS ct
-          FROM tk2,
-               unnest(generate_series(0, greatest((len(toks) - 1) // 12, 0)))
-                 AS t(i)
-          WHERE i = 0 OR i*12 + 4 < len(toks)
-        )
-        SELECT lang,
-               count(DISTINCT doc_id) AS n_docs,
-               count(*) AS n_chunks,
-               CAST(sum(ct) AS BIGINT) AS sum_chunk_tokens
-        FROM chunks GROUP BY lang
-    """
-
-
-def _split_leakage_oracle_sql() -> str:
-    """DuckDB replay of q_b26_split_leakage: minhash pairs → recursive-CTE
-    closure → split both ways (doc bucket vs cluster bucket) → leak
-    counts."""
-
-    def split(key: str) -> str:
-        return (
-            f"CASE WHEN {sampling.bucket_sql(key)} < 80 THEN 'train' "
-            f"WHEN {sampling.bucket_sql(key)} < 90 THEN 'val' "
-            f"ELSE 'test' END"
-        )
-
-    return f"""
-        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-          SELECT DISTINCT src AS v, src AS r FROM edges
-          UNION
-          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
-        ),
-        lab AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
-        keyed AS (
-          SELECT doc_id,
-                 {split('doc_id')} AS dsp,
-                 {split('cluster_id')} AS csp
-          FROM lab
-        )
-        SELECT
-          CAST(sum(CASE WHEN a.dsp != b.dsp THEN 1 ELSE 0 END) AS BIGINT)
-            AS doc_keyed_leaks,
-          CAST(sum(CASE WHEN a.csp != b.csp THEN 1 ELSE 0 END) AS BIGINT)
-            AS cluster_keyed_leaks,
-          count(*) AS n_pairs
-        FROM pairs p
-        JOIN keyed a ON a.doc_id = p.id_a
-        JOIN keyed b ON b.doc_id = p.id_b
-    """
-
-
-def _simhash_oracle_sql() -> str:
-    """Full DuckDB replay of simhash_candidates(base_hash='md5'): 60-bit
-    portable fingerprints (per-bit ±1 token votes), 4×15-bit pigeonhole
-    bands, exact Hamming ≤ 3 verify."""
-    shifts = ", ".join(f"(fp >> {b * 15}) & 32767" for b in range(4))
-    return f"""
-        WITH corpus AS ({_B19_CORPUS_SQL}),
-        tok AS (
-          SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS t FROM corpus
-        ),
-        th AS (SELECT doc_id, {dedup.portable_hash60_sql('t')} AS h FROM tok),
-        votes AS (
-          SELECT doc_id, bit,
-                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM th
-          CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
-          GROUP BY doc_id, bit
-        ),
-        fp AS (
-          SELECT doc_id,
-                 CAST(sum(CASE WHEN vote > 0
-                               THEN (CAST(1 AS BIGINT) << bit)
-                               ELSE 0 END) AS BIGINT) AS fp
-          FROM votes GROUP BY doc_id
-        ),
-        ch AS (
-          SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS chunk,
-                 unnest([{shifts}]) AS val
-          FROM fp
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-          FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.val = b.val
-          WHERE a.doc_id < b.doc_id
-        )
-        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
-    """
-
-
-def _decontam_oracle_sql() -> str:
-    """DuckDB replay of q_b29_decontamination: raw-string 5-gram overlap
-    between the planted corpus and the doc_id<20 benchmark."""
-    gram5 = (
-        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
-        "toks[i+3] || ' ' || toks[i+4]"
-    )
-    return f"""
-        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
-        b0 AS (SELECT text AS bt FROM documents WHERE doc_id = 0),
-        corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id >= 20
-          UNION ALL
-          SELECT doc_id + 300000 AS doc_id, text || ' ' || bt AS text
-          FROM documents, b0 WHERE doc_id % 10 = 5
-        ),
-        btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
-        bg AS (
-          SELECT DISTINCT sh FROM (
-            SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
-                          i -> {gram5})) AS sh
-            FROM btk)
-        ),
-        ctk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
-        cg AS (
-          SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(generate_series(1, len(toks) - 4),
-                          i -> {gram5})) AS sh
-            FROM ctk)
-        ),
-        hits AS (
-          SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (sh)
-          GROUP BY doc_id
-        )
-        SELECT c.doc_id,
-               CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_ngrams,
-               COALESCE(n, 0) > 0 AS contaminated
-        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
-    """
-
-
-def _incr_decontam_oracle_sql() -> str:
-    """DuckDB replay of q_b29_incremental_decontam: the standing bench
-    5-gram set vs a CDC batch (planted-contaminated + clean suffix
-    mutations). Same gram SQL as the full-corpus oracle; only the
-    corpus relation differs (the batch)."""
-    gram5 = (
-        "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
-        "toks[i+3] || ' ' || toks[i+4]"
-    )
-    return f"""
-        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
-        b0 AS (SELECT text AS bt FROM documents WHERE doc_id = 0),
-        corpus AS (
-          SELECT doc_id + 500000 AS doc_id, text || ' ' || bt AS text
-          FROM documents, b0 WHERE doc_id % 10 = 5
-          UNION ALL
-          SELECT doc_id + 600000 AS doc_id, text || ' qq' AS text
-          FROM documents WHERE doc_id % 10 = 6
-        ),
-        btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
-        bg AS (
-          SELECT DISTINCT sh FROM (
-            SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
-                          i -> {gram5})) AS sh
-            FROM btk)
-        ),
-        ctk AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus),
-        cg AS (
-          SELECT DISTINCT doc_id, sh FROM (
-            SELECT doc_id,
-                   unnest(list_transform(generate_series(1, len(toks) - 4),
-                          i -> {gram5})) AS sh
-            FROM ctk)
-        ),
-        hits AS (
-          SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (sh)
-          GROUP BY doc_id
-        )
-        SELECT c.doc_id,
-               CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_ngrams,
-               COALESCE(n, 0) > 0 AS contaminated
-        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
-    """
-
-
-def _containment_oracle_sql() -> str:
-    """DuckDB replay of q_b29_containment: dense benchmark window
-    fingerprints vs stride-8 corpus window fingerprints over the same
-    planted fixture as the exact-n-gram oracle."""
-    return f"""
-        WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
-        b0 AS (SELECT text AS bt FROM documents WHERE doc_id = 0),
-        corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id >= 20
-          UNION ALL
-          SELECT doc_id + 300000 AS doc_id, text || ' ' || bt AS text
-          FROM documents, b0 WHERE doc_id % 10 = 5
-        ),
-        btk AS (SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench),
-        bfp AS (
-          SELECT DISTINCT
-                 md5(array_to_string(list_slice(toks, i + 1, i + 16), ' ')) AS fp
-          FROM btk,
-               unnest(generate_series(0, greatest(len(toks) - 16, 0))) AS t(i)
-        ),
-        ctk AS (
-          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM corpus
-        ),
-        cfp AS (
-          SELECT DISTINCT doc_id,
-                 md5(array_to_string(list_slice(toks, i*8 + 1, i*8 + 16),
-                     ' ')) AS fp
-          FROM ctk,
-               unnest(generate_series(0,
-                 greatest((len(toks) - 16) // 8, 0))) AS t(i)
-        ),
-        hits AS (
-          SELECT doc_id, count(*) AS n FROM cfp JOIN bfp USING (fp)
-          GROUP BY doc_id
-        )
-        SELECT c.doc_id,
-               CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_windows,
-               COALESCE(n, 0) > 0 AS contained
-        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
-    """
-
-
-def _pii_oracle_sql() -> str:
-    """DuckDB replay of q_b21_pii_scrub (same regexes, 'g' flag for the
-    global replace)."""
-    e, i4, ph = (
-        textops.PII_PATTERNS["email"],
-        textops.PII_PATTERNS["ipv4"],
-        textops.PII_PATTERNS["phone"],
-    )
-    return f"""
-        WITH injected AS (
-          SELECT doc_id,
-                 text ||
-                 CASE WHEN doc_id % 13 = 0
-                      THEN ' reach me at first.last+spam@example.co.uk ok'
-                      ELSE '' END ||
-                 CASE WHEN doc_id % 17 = 0
-                      THEN ' call +1 (555) 123-4567 now' ELSE '' END ||
-                 CASE WHEN doc_id % 19 = 0
-                      THEN ' server at 10.0.42.7 down' ELSE '' END AS text
-          FROM documents
-        )
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
-               CAST(len(regexp_extract_all(text, '{i4}')) AS BIGINT) AS n_ip,
-               regexp_replace(regexp_replace(regexp_replace(
-                   text, '{e}', '[EMAIL]', 'g'),
-                   '{i4}', '[IP]', 'g'),
-                   '{ph}', '[PHONE]', 'g') AS redacted
-        FROM injected
-    """
-
-
-def _repetition_oracle_sql() -> str:
-    """DuckDB replay of text.repetition_features."""
-    return f"""
-        WITH tk AS (
-          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
-        ),
-        tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
-        pt AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
-        ts AS (
-          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-                 count(*) AS n_distinct, max(cnt) AS top_cnt
-          FROM pt GROUP BY doc_id
-        ),
-        gr AS (
-          SELECT doc_id,
-                 unnest(list_transform(generate_series(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1])) AS g
-          FROM tk
-        ),
-        pg AS (SELECT doc_id, g, count(*) AS cnt FROM gr GROUP BY doc_id, g),
-        gs AS (
-          SELECT doc_id, sum(cnt) AS n_2grams,
-                 sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_2grams
-          FROM pg GROUP BY doc_id
-        )
-        SELECT ts.doc_id, n_tokens,
-               round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-                 AS distinct_ratio,
-               round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-                 AS top_token_ratio,
-               round(CAST(COALESCE(dup_2grams, 0) AS DOUBLE)
-                     / CAST(greatest(COALESCE(n_2grams, 1), 1) AS DOUBLE), 6)
-                 AS dup_2gram_ratio
-        FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
-    """
-
-
-def _udf_features_oracle_sql() -> str:
-    """DuckDB replay of q_b23_udf_features: the mapInPandas fake-decode is
-    pure arithmetic — f0 = (Σ bytes at positions ≡0 mod 8, mod 997)/997 —
-    so the Arrow plumbing itself gets a bit-exact oracle row (bytes read
-    back via hex(encode(text)))."""
-    return """
-        WITH p AS (
-          SELECT doc_id, hex(encode(text)) AS h,
-                 octet_length(encode(text)) AS n
-          FROM documents
-        ),
-        s AS (
-          SELECT doc_id, n,
-                 COALESCE(list_sum(list_transform(
-                     generate_series(0, CAST(floor((n - 1) / 8.0) AS INT)),
-                     j -> CAST('0x' || substr(h, j * 16 + 1, 2) AS BIGINT))), 0)
-                   AS tot
-          FROM p
-        )
-        SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-               round((tot % 997) / 997.0, 6) AS f0
-        FROM s
-    """
-
-
-def _ann_recall_oracle_sql() -> str:
-    """DuckDB replay of q_b20_ann_recall: portable integer LSH buckets
-    (Rademacher signs from the plane_sign LCG, floor-quantized components)
-    + exact cosine top-5 + per-query recall."""
-    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
-    probes = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(8)]
-    )
-    return f"""
-        WITH planes AS (
-          SELECT p, d,
-                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
-                           < 2147483648 THEN 1 ELSE -1 END AS s
-          FROM (SELECT unnest(generate_series(0, 7)) AS p),
-               (SELECT unnest(generate_series(0, 63)) AS d)
-        ),
-        comp AS (
-          SELECT vec_id AS id, ds.d - 1 AS d,
-                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
-          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
-        ),
-        dots AS (
-          SELECT id, p, sum(s * q) AS dp
-          FROM comp JOIN planes USING (d) GROUP BY id, p
-        ),
-        buckets AS (
-          SELECT id,
-                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p)
-                               ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY id
-        ),
-        qb AS (
-          SELECT id AS query_id, unnest([{probes}]) AS bucket
-          FROM buckets WHERE id < 4
-        ),
-        cand AS (
-          SELECT DISTINCT query_id, c.id AS neighbor_id
-          FROM qb JOIN buckets c ON qb.bucket = c.bucket
-          WHERE c.id != query_id
-        ),
-        topk AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT q.query_id, c.neighbor_id,
-                   row_number() OVER (
-                     PARTITION BY q.query_id
-                     ORDER BY list_dot_product(qv, cv)
-                              / (sqrt(list_dot_product(qv, qv))
-                                 * sqrt(list_dot_product(cv, cv))) DESC,
-                              c.neighbor_id ASC) AS rnk
-            FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                  FROM embeddings WHERE vec_id < 4) q
-            JOIN (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-                  FROM embeddings) c
-              ON q.query_id != c.neighbor_id
-          ) WHERE rnk <= 5
-        )
-        SELECT t.query_id, count(c.neighbor_id) AS n_hits,
-               count(c.neighbor_id) / 5.0 AS recall
-        FROM topk t LEFT JOIN cand c
-          ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
-        GROUP BY t.query_id
-    """
-
-
-_ANN_RESCORE_SQL = """
-        vecs AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ),
-        scored AS (
-          SELECT cand.query_id, cand.neighbor_id,
-                 list_dot_product(q.v, c.v)
-                 / (sqrt(list_dot_product(q.v, q.v))
-                    * sqrt(list_dot_product(c.v, c.v))) AS score
-          FROM cand JOIN vecs q ON q.vec_id = cand.query_id
-                    JOIN vecs c ON c.vec_id = cand.neighbor_id
-        ),
-        ranked AS (
-          SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-          FROM scored
-        )
-        SELECT query_id, neighbor_id, round(score, 6) AS score,
-               CAST(rnk AS BIGINT) AS rnk
-        FROM ranked WHERE rnk <= 5
-"""
-
-
-def _ann_lsh_topk_oracle_sql(n_planes: int = 8, n_tables: int = 4) -> str:
-    """DuckDB replay of q_b20_ann_lsh: multi-table portable integer LSH
-    buckets (table t = plane rows t·n_planes…, same plane_sign LCG as
-    _ann_recall_oracle_sql) + exact-cosine re-rank of the candidate
-    union."""
-    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
-    probes = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
-    )
-    return f"""
-        WITH planes AS (
-          SELECT p // {n_planes} AS t, p % {n_planes} AS pb, d,
-                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
-                           < 2147483648 THEN 1 ELSE -1 END AS s
-          FROM (SELECT unnest(generate_series(0, {n_tables * n_planes - 1})) AS p),
-               (SELECT unnest(generate_series(0, 63)) AS d)
-        ),
-        comp AS (
-          SELECT vec_id AS id, ds.d - 1 AS d,
-                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
-          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
-        ),
-        dots AS (
-          SELECT id, t, pb, sum(s * q) AS dp
-          FROM comp JOIN planes USING (d) GROUP BY id, t, pb
-        ),
-        buckets AS (
-          SELECT id, t,
-                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << pb)
-                               ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY id, t
-        ),
-        qb AS (
-          SELECT id AS query_id, t, unnest([{probes}]) AS bucket
-          FROM buckets WHERE id < 4
-        ),
-        cand AS (
-          SELECT DISTINCT query_id, c.id AS neighbor_id
-          FROM qb JOIN buckets c ON qb.t = c.t AND qb.bucket = c.bucket
-          WHERE c.id != query_id
-        ),
-        {_ANN_RESCORE_SQL}
-    """
-
-
-def _ann_ivf_topk_oracle_sql() -> str:
-    """DuckDB replay of q_b20_ann_ivf: seed-centroid IVF — integer-exact
-    cell assignment (argmax quantized dot, ties to lowest centroid id),
-    n_probe=3 query probing, exact-cosine re-rank."""
-    cids = ", ".join(str(c) for c in similarity.IVF_SEED_CENTROIDS)
-    return f"""
-        WITH comp AS (
-          SELECT vec_id AS id, ds.d - 1 AS d,
-                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
-          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
-        ),
-        cents AS (
-          SELECT id AS cid, d, q AS cq FROM comp WHERE id IN ({cids})
-        ),
-        dots AS (
-          SELECT comp.id, cid, sum(comp.q * cq) AS dp
-          FROM comp JOIN cents USING (d) GROUP BY comp.id, cid
-        ),
-        ranked_cells AS (
-          SELECT id, cid,
-                 row_number() OVER (PARTITION BY id ORDER BY dp DESC, cid ASC) AS r
-          FROM dots
-        ),
-        ccell AS (SELECT id AS neighbor_id, cid AS cell FROM ranked_cells WHERE r = 1),
-        qcell AS (
-          SELECT id AS query_id, cid AS cell
-          FROM ranked_cells WHERE r <= 3 AND id < 4
-        ),
-        cand AS (
-          SELECT DISTINCT query_id, neighbor_id
-          FROM qcell JOIN ccell USING (cell)
-          WHERE neighbor_id != query_id
-        ),
-        {_ANN_RESCORE_SQL}
-    """
-
-
-def _cluster_stability_oracle_sql() -> str:
-    """DuckDB replay of q_b19_cluster_stability: the near-dup closure
-    (same recursive CTE as _dup_clusters_oracle_sql), the exact-dup
-    min-id grouping, then integer pair-count contingency and the
-    Rand/ARI ratios."""
-    return f"""
-        WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
-        corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
-          FROM documents WHERE doc_id % 7 = 0
-        ),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION
-          SELECT id_b AS src, id_a AS dst FROM pairs
-        ),
-        reach AS (
-          SELECT DISTINCT src AS v, src AS r FROM edges
-          UNION
-          SELECT e.dst AS v, reach.r AS r FROM reach JOIN edges e ON e.src = reach.v
-        ),
-        lab AS (SELECT v AS doc_id, min(r) AS a FROM reach GROUP BY v),
-        ex AS (
-          SELECT doc_id,
-                 min(doc_id) OVER (
-                   PARTITION BY {_NORM_SQL}
-                 ) AS b
-          FROM corpus
-        ),
-        assign AS (
-          SELECT c.doc_id, coalesce(lab.a, c.doc_id) AS a, ex.b
-          FROM corpus c LEFT JOIN lab ON lab.doc_id = c.doc_id
-          JOIN ex ON ex.doc_id = c.doc_id
-        ),
-        cont AS (
-          SELECT a, b, count(*) AS n FROM assign GROUP BY a, b
-        ),
-        sums AS (
-          SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_both,
-                 CAST(sum(n) AS BIGINT) AS n_docs
-          FROM cont
-        ),
-        sa AS (
-          SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS pairs_a
-          FROM (SELECT a, sum(n) AS na FROM cont GROUP BY a)
-        ),
-        sb AS (
-          SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS pairs_b
-          FROM (SELECT b, sum(n) AS nb FROM cont GROUP BY b)
-        )
-        SELECT n_docs, pairs_both, pairs_a, pairs_b,
-               CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS pairs_total,
-               round((CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
-                      + 2 * pairs_both - pairs_a - pairs_b)
-                     / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
-                 AS rand_index,
-               round(CASE WHEN (pairs_a + pairs_b) / 2.0
-                               - pairs_a * pairs_b
-                                 / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
-                               <> 0
-                          THEN (pairs_both
-                                - pairs_a * pairs_b
-                                  / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE))
-                               / ((pairs_a + pairs_b) / 2.0
-                                  - pairs_a * pairs_b
-                                    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE))
-                          ELSE 1.0 END, 6) AS ari
-        FROM sums, sa, sb
-    """
-
-
-def _acf_oracle_sql() -> str:
-    """DuckDB replay of q_b15_acf: 7 lag columns, one agg row, unpivoted
-    to the 7-lag relation via UNION ALL (all-integer until the final
-    division, mirroring the Spark plan)."""
-    lags = range(1, 8)
-    lag_cols = ",\n                     ".join(
-        f"lag(c, {l}) OVER w AS c{l}" for l in lags
-    )
-    agg_cols = ",\n                     ".join(
-        f"CAST(sum(c * c{l}) AS BIGINT) AS num{l},"
-        f" CAST(count(c{l}) AS BIGINT) AS np{l}"
-        for l in lags
-    )
-    union = "\n            UNION ALL ".join(
-        f"SELECT {l} AS lag, np{l} AS n_pairs,"
-        f" round(CAST(num{l} AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf"
-        f" FROM a"
-        for l in lags
-    )
-    return f"""
-        WITH daily AS (
-          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-                 CAST(count(*) AS BIGINT) AS x
-          FROM events GROUP BY 1
-        ),
-        t AS (
-          SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS BIGINT) AS s
-          FROM daily
-        ),
-        cvals AS (SELECT day, n * x - s AS c FROM daily, t),
-        l AS (SELECT c, {lag_cols}
-              FROM cvals WINDOW w AS (ORDER BY day ASC)),
-        a AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
-                     {agg_cols}
-              FROM l)
-        {union}
-    """
-
-
-def _block_digests_oracle_sql() -> str:
-    """DuckDB replay of q_b13_block_digests: same canonical rendering,
-    portable md5-60 row hash, bit_xor fold per 512-key block, full
-    outer compare, diverged blocks only."""
-    from sqlite_cdc_spark.pipeline.dedup import portable_hash60_sql
-
-    h = portable_hash60_sql(
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(cents AS VARCHAR)"
-        " || '|' || o_orderstatus"
-    )
-    return f"""
-        WITH base AS (
-          SELECT o_orderkey,
-                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
-                 o_orderstatus
-          FROM orders
-        ),
-        repl AS (
-          SELECT o_orderkey,
-                 CASE WHEN o_orderkey % 997 = 0 THEN cents + 1
-                      ELSE cents END AS cents,
-                 o_orderstatus
-          FROM base
-        ),
-        bd AS (
-          SELECT o_orderkey // 512 AS block,
-                 CAST(count(*) AS BIGINT) AS base_n,
-                 bit_xor({h}) AS base_digest
-          FROM base GROUP BY 1
-        ),
-        rd AS (
-          SELECT o_orderkey // 512 AS block,
-                 CAST(count(*) AS BIGINT) AS repl_n,
-                 bit_xor({h}) AS repl_digest
-          FROM repl GROUP BY 1
-        )
-        SELECT COALESCE(bd.block, rd.block) AS block,
-               base_n, base_digest, repl_n, repl_digest
-        FROM bd FULL OUTER JOIN rd ON bd.block = rd.block
-        WHERE base_n IS DISTINCT FROM repl_n
-           OR base_digest IS DISTINCT FROM repl_digest
-    """
-
-
-def _lc_union_oracle_sql(m_bits: int = 4096) -> str:
-    """DuckDB replay of q_b27_lc_union: per-event-type k=1 bitmaps,
-    bit_or merge into the '(all)' scope, shared estimator tree."""
-    from sqlite_cdc_spark.pipeline.dedup import (
-        MINHASH_P,
-        _hash_family,
-        portable_hash60_sql,
-    )
-
-    a, b = _hash_family(1, seed=0xB100)[0]
-    base = (
-        f"({portable_hash60_sql('CAST(user_id AS VARCHAR)')}) % {MINHASH_P}"
-    )
-    est = (
-        f"round(-{float(m_bits)} * ln(CAST({m_bits} - bits_set AS DOUBLE)"
-        f" / {float(m_bits)}), 6)"
-    )
-    return f"""
-        WITH pos AS (
-          SELECT event_type,
-                 ((({base}) * {a} + {b}) % {MINHASH_P}) % {m_bits} AS pos
-          FROM events
-        ),
-        words AS (
-          SELECT event_type, CAST(floor(pos / 63) AS INTEGER) AS word,
-                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))
-                   AS bits
-          FROM pos GROUP BY 1, 2
-        ),
-        scoped AS (
-          SELECT event_type AS scope, word, bits FROM words
-          UNION ALL
-          SELECT '(all)' AS scope, word, bit_or(bits) AS bits
-          FROM words GROUP BY word
-        ),
-        used AS (
-          SELECT scope, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
-          FROM scoped GROUP BY scope
-        ),
-        ex AS (
-          SELECT scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-          FROM (
-            SELECT event_type AS scope, user_id FROM events
-            UNION ALL
-            SELECT '(all)' AS scope, user_id FROM events
-          ) GROUP BY scope
-        )
-        SELECT used.scope, bits_set, n_exact, {est} AS estimate,
-               round(abs({est} - n_exact) / n_exact, 6) AS rel_err
-        FROM used JOIN ex ON used.scope = ex.scope
-    """
-
-
-def _hll_registers_oracle_sql() -> str:
-    """DuckDB replay of q_b27_hll_registers: identical register build
-    (8-bit index / 52-bit suffix of the portable md5-60 hash, rho via
-    length(bin(w))), identical max-merge, identical exact-integer
-    harmonic sum, and the SAME embedded alpha*m^2*2^53 double literal —
-    the only float ops are IEEE-exact mul/div/floor plus the round-6 ln
-    in the small-range branch."""
-    from sqlite_cdc_spark.pipeline.dedup import portable_hash60_sql
-
-    h = portable_hash60_sql("CAST(user_id AS VARCHAR)")
-    return f"""
-        WITH rw AS (
-          SELECT event_type, h % 256 AS reg, h // 256 AS w
-          FROM (SELECT event_type, ({h}) AS h FROM events)
-        ),
-        rh AS (
-          SELECT event_type, reg,
-                 max(CASE WHEN w = 0 THEN 53
-                          ELSE 53 - length(bin(w)) END) AS r
-          FROM rw GROUP BY 1, 2
-        ),
-        scoped AS (
-          SELECT event_type AS scope, reg, r FROM rh
-          UNION ALL
-          SELECT '(all)' AS scope, reg, max(r) AS r FROM rh GROUP BY reg
-        ),
-        per AS (
-          SELECT scope,
-                 CAST(count(*) AS BIGINT) AS regs_used,
-                 CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER))
-                      AS BIGINT) AS s_present
-          FROM scoped GROUP BY scope
-        ),
-        ex AS (
-          SELECT scope, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-          FROM (
-            SELECT event_type AS scope, user_id FROM events
-            UNION ALL
-            SELECT '(all)' AS scope, user_id FROM events
-          ) GROUP BY scope
-        ),
-        est AS (
-          SELECT per.scope, regs_used, n_exact,
-                 {_HLL_ALPHA_NUM!r} / CAST(
-                   s_present + (256 - regs_used)
-                   * CAST(9007199254740992 AS BIGINT) AS DOUBLE) AS est_raw,
-                 256 - regs_used AS v
-          FROM per JOIN ex ON per.scope = ex.scope
-        )
-        SELECT scope, n_exact, regs_used,
-               CAST(floor(est_raw * 1e6) AS BIGINT) AS est_micros,
-               CAST(floor(abs(
-                 CASE WHEN est_raw <= 640.0 AND v > 0
-                      THEN round(CAST(256 AS DOUBLE)
-                                 * ln(CAST(256 AS DOUBLE)
-                                      / CAST(v AS DOUBLE)), 6)
-                      ELSE CAST(CAST(floor(est_raw * 1e6) AS BIGINT)
-                                AS DOUBLE) / 1000000.0 END
-                 - n_exact) / n_exact * 1e6) AS BIGINT) AS rel_err_micros
-        FROM est
-    """
-
-
-def _recall_curve_oracle_sql() -> str:
-    """DuckDB replay of q_b20_recall_curve: the b20_ann_recall LSH
-    candidate replay, exact top-10 ranks, k-grid unpivot."""
-    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
-    probes = ", ".join(
-        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(8)]
-    )
-    return f"""
-        WITH planes AS (
-          SELECT p, d,
-                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
-                           < 2147483648 THEN 1 ELSE -1 END AS s
-          FROM (SELECT unnest(generate_series(0, 7)) AS p),
-               (SELECT unnest(generate_series(0, 63)) AS d)
-        ),
-        comp AS (
-          SELECT vec_id AS id, ds.d - 1 AS d,
-                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
-                      AS BIGINT) AS q
-          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
-        ),
-        dots AS (
-          SELECT id, p, sum(s * q) AS dp
-          FROM comp JOIN planes USING (d) GROUP BY id, p
-        ),
-        buckets AS (
-          SELECT id,
-                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << p)
-                               ELSE 0 END) AS BIGINT) AS bucket
-          FROM dots GROUP BY id
-        ),
-        qb AS (
-          SELECT id AS query_id, unnest([{probes}]) AS bucket
-          FROM buckets WHERE id < 4
-        ),
-        cand AS (
-          SELECT DISTINCT query_id, c.id AS neighbor_id
-          FROM qb JOIN buckets c ON qb.bucket = c.bucket
-          WHERE c.id != query_id
-        ),
-        topk AS (
-          SELECT query_id, neighbor_id, rnk FROM (
-            SELECT q.query_id, c.neighbor_id,
-                   row_number() OVER (
-                     PARTITION BY q.query_id
-                     ORDER BY list_dot_product(qv, cv)
-                              / (sqrt(list_dot_product(qv, qv))
-                                 * sqrt(list_dot_product(cv, cv))) DESC,
-                              c.neighbor_id ASC) AS rnk
-            FROM (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                  FROM embeddings WHERE vec_id < 4) q
-            JOIN (SELECT vec_id AS neighbor_id,
-                         CAST(embedding AS DOUBLE[]) AS cv
-                  FROM embeddings) c
-              ON q.query_id != c.neighbor_id
-          ) WHERE rnk <= 10
-        ),
-        grid AS (
-          SELECT t.query_id, t.rnk, c.neighbor_id AS hit, k
-          FROM topk t
-          LEFT JOIN cand c ON t.query_id = c.query_id
-                          AND t.neighbor_id = c.neighbor_id,
-               unnest([1, 5, 10]) AS ks(k)
-          WHERE t.rnk <= k
-        )
-        SELECT query_id, k, CAST(count(hit) AS BIGINT) AS n_hits,
-               round(CAST(count(hit) AS DOUBLE) / CAST(k AS DOUBLE), 6)
-                 AS recall
-        FROM grid GROUP BY query_id, k
-    """
-
-
 def oracle_sql() -> dict[str, str]:
-    li_img_json = (
-        "json_object('l_orderkey', l_orderkey, 'l_partkey', l_partkey, "
-        "'l_suppkey', l_suppkey, 'l_linenumber', l_linenumber, "
-        "'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus)"
-    )
-    return {
-        "a2_snapshot_first_page": """
-            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-                   l_returnflag, l_linestatus, l_quantity
-            FROM lineitem
-            ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
-                     l_returnflag, l_linestatus, l_quantity
-            LIMIT 50
-        """,
-        "a3_keyset_page": """
-            SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-                   l_returnflag, l_linestatus, l_quantity
-            FROM lineitem
-            WHERE (l_orderkey, l_partkey, l_suppkey, l_linenumber,
-                   l_returnflag, l_linestatus, l_quantity)
-                  > (1000, 900, 50, 3, 'A', 'F', 0.0)
-            ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber,
-                     l_returnflag, l_linestatus, l_quantity
-            LIMIT 100
-        """,
-        "a4_row_json": f"""
-            SELECT l_orderkey, l_linenumber,
-                   CAST({li_img_json} AS VARCHAR) AS img,
-                   l_partkey AS rt_partkey
-            FROM lineitem
-        """,
-        "a5_hex": """
-            SELECT p_partkey, upper(hex(encode(p_name))) AS name_hex FROM part
-        """,
-        "a6_bootstrap": f"""
-            SELECT 'orders' AS tablename,
-                   TIMESTAMP '{BOOTSTRAP_TS}' AS timestamp,
-                   'INSERT' AS operation,
-                   CAST(NULL AS VARCHAR) AS before,
-                   CAST({_ORDERS_IMG_SQL} AS VARCHAR) AS after
-            FROM orders
-        """,
-        "a10_drain_batch": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT * FROM changes ORDER BY id ASC LIMIT 256
-        """,
-        "a10_drain_after": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT * FROM changes WHERE id > 500 ORDER BY id ASC LIMIT 256
-        """,
-        "a11_ts_codec": """
-            SELECT event_id,
-                   strftime(ts, '%Y-%m-%d %H:%M:%S.%g') AS ts_text,
-                   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S.%g'),
-                            '%Y-%m-%d %H:%M:%S.%g') AS ts_rt
-            FROM events
-        """,
-        "a12_op_decode": """
-            WITH raw AS (
-              SELECT CASE event_type WHEN 'signup' THEN 'insert'
-                                     WHEN 'purchase' THEN 'Update'
-                                     WHEN 'error' THEN 'DELETE'
-                                     ELSE event_type END AS r
-              FROM events
-            )
-            SELECT CASE WHEN upper(r) IN ('INSERT','UPDATE','DELETE')
-                        THEN upper(r) ELSE 'UNKNOWN' END AS operation,
-                   count(*) AS n
-            FROM raw GROUP BY 1
-        """,
-        "a16_bootstrap_union_log": f"""
-            WITH boot AS (
-              SELECT 'orders' AS tablename, 'INSERT' AS operation FROM orders
-            ), live AS (
-              SELECT tablename, operation FROM ({_EVENTS_CHANGES_SQL})
-            )
-            SELECT tablename, operation, count(*) AS n
-            FROM (SELECT * FROM boot UNION ALL SELECT * FROM live)
-            GROUP BY tablename, operation
-        """,
-        "a18_stdout_lines": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT id,
-                   strftime(timestamp, '%Y-%m-%dT%H:%M:%S.%gZ') || ': ' ||
-                   tablename || ' ' || operation AS line
-            FROM changes
-        """,
-        "b3_change_stats": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT tablename, operation,
-                   date_trunc('hour', timestamp) AS bucket,
-                   count(*) AS n_changes
-            FROM changes GROUP BY 1, 2, 3
-        """,
-        "b1_snapshot_diff": f"""
-            WITH {_ORDERS_OLD_NEW_SQL},
-            j AS (
-              SELECT o.o_orderkey AS ok, o.o_custkey AS ock, o.o_orderstatus AS ost,
-                     o.o_totalprice AS otp, o.o_orderpriority AS opr,
-                     n.o_orderkey AS nk, n.o_custkey AS nck, n.o_orderstatus AS nst,
-                     n.o_totalprice AS ntp, n.o_orderpriority AS npr
-              FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-            ),
-            cl AS (
-              SELECT *,
-                     CASE WHEN ok IS NULL THEN 'INSERT'
-                          WHEN nk IS NULL THEN 'DELETE'
-                          WHEN ock IS DISTINCT FROM nck
-                            OR ost IS DISTINCT FROM nst
-                            OR otp IS DISTINCT FROM ntp
-                            OR opr IS DISTINCT FROM npr THEN 'UPDATE'
-                     END AS operation
-              FROM j
-            )
-            SELECT coalesce(nk, ok) AS o_orderkey, operation,
-                   CASE WHEN operation != 'INSERT' THEN CAST(json_object(
-                     'o_orderkey', ok, 'o_custkey', ock, 'o_orderstatus', ost,
-                     'o_totalprice', otp, 'o_orderpriority', opr) AS VARCHAR)
-                   END AS before,
-                   CASE WHEN operation != 'DELETE' THEN CAST(json_object(
-                     'o_orderkey', nk, 'o_custkey', nck, 'o_orderstatus', nst,
-                     'o_totalprice', ntp, 'o_orderpriority', npr) AS VARCHAR)
-                   END AS after
-            FROM cl WHERE operation IS NOT NULL
-        """,
-        "b1_apply_roundtrip": f"""
-            WITH {_ORDERS_OLD_NEW_SQL}
-            SELECT * FROM new
-        """,
-        "b2_log_compaction": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            keyed AS (
-              SELECT *,
-                     json_extract_string(coalesce(after, before), '$.user_id') AS uk
-              FROM changes
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (PARTITION BY uk ORDER BY id DESC) AS rn
-              FROM keyed
-            )
-            SELECT CAST(uk AS BIGINT) AS user_id, id AS last_id,
-                   operation AS last_op,
-                   CAST(json_extract_string(after, '$.value') AS DOUBLE) AS last_value
-            FROM ranked WHERE rn = 1 AND operation != 'DELETE'
-        """,
-        "b5_filter_json": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT id, timestamp,
-                   CAST(json_extract_string(after, '$.value') AS DOUBLE) AS value
-            FROM changes
-            WHERE operation = 'UPDATE'
-              AND json_extract_string(after, '$.event_type') = 'purchase'
-              AND CAST(json_extract_string(after, '$.value') AS DOUBLE) > 150.0
-        """,
-        "b6_projection": """
-            SELECT p_partkey, upper(p_brand) AS brand_uc,
-                   p_retailprice * 0.9 AS discounted,
-                   p_brand || '/' || p_type AS brand_type,
-                   length(p_name) AS name_len
-            FROM part
-        """,
-        "b7_join_enrich": """
-            SELECT r_name AS region, n_name AS nation,
-                   count(*) AS n_orders,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
-            FROM orders
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY 1, 2
-        """,
-        "b8_anti_join": """
-            SELECT c_custkey, c_mktsegment FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "b8_semi_join": """
-            SELECT c_mktsegment, count(*) AS n_customers FROM customer
-            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-            GROUP BY 1
-        """,
-        "b9_asof": """
-            SELECT user_id, event_id, ts, event_type, value FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-              FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
-            ) WHERE rn = 1
-        """,
-        "b10_agg_pricing": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                        AS DOUBLE), 2) AS sum_disc_price,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY 1, 2
-        """,
-        "b10_rollup": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total,
-                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
-            FROM orders
-            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        """,
-        "b10_pivot": """
-            SELECT o_orderpriority,
-                   CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
-                   CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
-                   CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
-                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                     FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2), 0.0) AS total_f,
-                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                     FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 2), 0.0) AS total_o,
-                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                     FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 2), 0.0) AS total_p
-            FROM orders
-            GROUP BY o_orderpriority
-        """,
-        "b10_unpivot": """
-            SELECT p_partkey, 'p_size' AS measure,
-                   CAST(p_size AS DOUBLE) AS value FROM part
-            UNION ALL
-            SELECT p_partkey, 'p_retailprice' AS measure,
-                   p_retailprice AS value FROM part
-        """,
-        "b7_multi_join_revenue": """
-            SELECT n_name AS nation,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-                     AS DOUBLE), 2) AS revenue,
-                   count(*) AS n_items
-            FROM lineitem
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation   ON s_nationkey = n_nationkey
-            JOIN region   ON n_regionkey = r_regionkey
-            WHERE c_nationkey = s_nationkey
-              AND r_name = 'ASIA'
-              AND o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate <  TIMESTAMP '1997-01-01'
-            GROUP BY n_name
-        """,
-        "b15_interval_join": """
-            SELECT s.user_id AS s_user, s.event_id AS s_event,
-                   p.event_id AS p_event, p.value AS p_value
-            FROM (SELECT * FROM events WHERE event_type = 'signup') s
-            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-              ON s.user_id = p.user_id
-             AND p.ts >= s.ts
-             AND p.ts <= s.ts + INTERVAL 7 DAY
-        """,
-        "b7_nation_volume": """
-            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (CAST(1 AS DECIMAL(18,4))
-                        - CAST(l_discount AS DECIMAL(18,4))))
-                     AS DOUBLE), 2) AS volume,
-                   CAST(count(*) AS BIGINT) AS n_items
-            FROM lineitem
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation ns ON s_nationkey = ns.n_nationkey
-            JOIN nation nc ON c_nationkey = nc.n_nationkey
-            WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-               OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
-            GROUP BY 1, 2, 3
-        """,
-        "b10_profit_by_nation_year": """
-            SELECT n_name AS nation,
-                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (CAST(1 AS DECIMAL(18,4))
-                        - CAST(l_discount AS DECIMAL(18,4))))
-                     AS DOUBLE), 2) AS profit,
-                   CAST(count(*) AS BIGINT) AS n_items
-            FROM lineitem
-            JOIN part     ON l_partkey = p_partkey
-            JOIN orders   ON l_orderkey = o_orderkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation   ON s_nationkey = n_nationkey
-            WHERE p_type LIKE 'ECONOMY%'
-            GROUP BY 1, 2
-        """,
-        "b10_promo_share": """
-            SELECT round(CAST(CAST(100 AS DECIMAL(18,4))
-                     * sum(CASE WHEN p_type LIKE 'PROMO%'
-                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
-                                * (CAST(1 AS DECIMAL(18,4))
-                                   - CAST(l_discount AS DECIMAL(18,4)))
-                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (CAST(1 AS DECIMAL(18,4))
-                        - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
-                     AS promo_share,
-                   CAST(count(*) AS BIGINT) AS n_items
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-        """,
-        "b8_supplier_part_types": """
-            WITH ps AS (
-              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-            ),
-            kept AS (
-              SELECT * FROM ps
-              WHERE l_suppkey NOT IN (
-                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-            )
-            SELECT p_brand,
-                   split_part(p_type, ' ', 1) AS p_family,
-                   p_size,
-                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-            FROM kept JOIN part ON l_partkey = p_partkey
-            WHERE p_size <= 30
-            GROUP BY 1, 2, 3
-        """,
-        "b2_scd2": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            keyed AS (
-              SELECT id, timestamp, operation, after,
-                     CAST(json_extract_string(coalesce(after, before),
-                                              '$.user_id') AS BIGINT) AS user_id
-              FROM changes
-            ),
-            v AS (
-              SELECT *,
-                     lead(timestamp) OVER (PARTITION BY user_id ORDER BY id)
-                       AS valid_to
-              FROM keyed
-            )
-            SELECT user_id, id, after,
-                   timestamp AS valid_from, valid_to,
-                   (valid_to IS NULL) AS is_current
-            FROM v
-            WHERE operation <> 'DELETE'
-        """,
-        "b15_gap_fill": """
-            WITH ev AS (
-              SELECT user_id % 20 AS cohort, CAST(ts AS DATE) AS day
-              FROM events
-            ),
-            sparse AS (
-              SELECT cohort, day, CAST(count(*) AS BIGINT) AS n
-              FROM ev GROUP BY cohort, day
-            ),
-            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
-            calendar AS (
-              SELECT CAST(unnest(generate_series(lo, hi,
-                                                 INTERVAL 1 DAY)) AS DATE)
-                       AS day
-              FROM bounds
-            ),
-            cohorts AS (SELECT DISTINCT cohort FROM ev)
-            SELECT c.cohort, cal.day,
-                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_events
-            FROM cohorts c
-            CROSS JOIN calendar cal
-            LEFT JOIN sparse s ON s.cohort = c.cohort AND s.day = cal.day
-        """,
-        "b29_semantic_decontam": """
-            WITH b AS (
-              SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
-              FROM embeddings WHERE vec_id % 50 = 0
-            ),
-            c AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings WHERE vec_id % 50 <> 0
-            ),
-            scored AS (
-              SELECT c.vec_id, b.bench_id,
-                     list_dot_product(cv, bv)
-                     / (sqrt(list_dot_product(cv, cv))
-                        * sqrt(list_dot_product(bv, bv))) AS s
-              FROM c, b
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
-              FROM scored
-            )
-            SELECT vec_id, bench_id AS nearest_bench,
-                   round(s, 6) AS max_cos,
-                   round(s, 6) >= 0.35 AS contaminated
-            FROM ranked WHERE rn = 1
-        """,
-        "b29_semantic_decontam_ann": f"""
-            WITH planes AS (
-              SELECT p // 4 AS t, p % 4 AS pb, d,
-                     CASE WHEN ((p * {similarity.PLANE_MIX} + d)
-                                * {similarity.PLANE_KNUTH}) % 4294967296
-                               < 2147483648 THEN 1 ELSE -1 END AS s
-              FROM (SELECT unnest(generate_series(0, 47)) AS p),
-                   (SELECT unnest(generate_series(0, 63)) AS d)
-            ),
-            comp AS (
-              SELECT vec_id AS id, ds.d - 1 AS d,
-                     CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
-                          AS BIGINT) AS q
-              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
-            ),
-            dots AS (
-              SELECT id, t, pb, sum(s * q) AS dp
-              FROM comp JOIN planes USING (d) GROUP BY id, t, pb
-            ),
-            buckets AS (
-              SELECT id, t,
-                     CAST(sum(CASE WHEN dp >= 0
-                                   THEN (CAST(1 AS BIGINT) << pb)
-                                   ELSE 0 END) AS BIGINT) AS bucket
-              FROM dots GROUP BY id, t
-            ),
-            bb AS (
-              SELECT id AS bench_id, t,
-                     unnest([bucket,
-                             {", ".join(f"xor(bucket, {1 << i})" for i in range(4))}
-                            ]) AS bucket
-              FROM buckets WHERE id % 50 = 0
-            ),
-            cand AS (
-              SELECT DISTINCT c.id AS vec_id, bb.bench_id
-              FROM buckets c JOIN bb ON c.t = bb.t AND c.bucket = bb.bucket
-              WHERE c.id % 50 <> 0
-            ),
-            scored AS (
-              SELECT cand.vec_id, cand.bench_id,
-                     CASE WHEN sqrt(list_dot_product(cv.e, cv.e))
-                               * sqrt(list_dot_product(bv.e, bv.e)) > 0
-                          THEN list_dot_product(cv.e, bv.e)
-                               / (sqrt(list_dot_product(cv.e, cv.e))
-                                  * sqrt(list_dot_product(bv.e, bv.e)))
-                          ELSE 0.0 END AS s
-              FROM cand
-              JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                    FROM embeddings) cv ON cv.vec_id = cand.vec_id
-              JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                    FROM embeddings) bv ON bv.vec_id = cand.bench_id
-            ),
-            best AS (
-              SELECT * FROM (
-                SELECT vec_id, bench_id, s, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
-                FROM scored
-              ) WHERE rn = 1
-            )
-            SELECT e.vec_id, best.bench_id AS nearest_bench,
-                   round(coalesce(best.s, 0.0), 6) AS max_cos,
-                   round(coalesce(best.s, 0.0), 6) >= 0.35 AS contaminated
-            FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 <> 0) e
-            LEFT JOIN best USING (vec_id)
-        """,
-        "b20_triplet_mining_ann": f"""
-            WITH planes AS (
-              SELECT p // 4 AS t, p % 4 AS pb, d,
-                     CASE WHEN ((p * {similarity.PLANE_MIX} + d)
-                                * {similarity.PLANE_KNUTH}) % 4294967296
-                               < 2147483648 THEN 1 ELSE -1 END AS s
-              FROM (SELECT unnest(generate_series(0, 47)) AS p),
-                   (SELECT unnest(generate_series(0, 63)) AS d)
-            ),
-            comp AS (
-              SELECT vec_id AS id, ds.d - 1 AS d,
-                     CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
-                          AS BIGINT) AS q
-              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
-            ),
-            dots AS (
-              SELECT id, t, pb, sum(s * q) AS dp
-              FROM comp JOIN planes USING (d) GROUP BY id, t, pb
-            ),
-            buckets AS (
-              SELECT id, t,
-                     CAST(sum(CASE WHEN dp >= 0
-                                   THEN (CAST(1 AS BIGINT) << pb)
-                                   ELSE 0 END) AS BIGINT) AS bucket
-              FROM dots GROUP BY id, t
-            ),
-            ab AS (
-              SELECT id AS aid, t,
-                     unnest([bucket,
-                             {", ".join(f"xor(bucket, {1 << i})" for i in range(4))}
-                            ]) AS bucket
-              FROM buckets WHERE id % 25 = 0
-            ),
-            cand AS (
-              SELECT DISTINCT ab.aid, c.id AS cid
-              FROM buckets c JOIN ab ON c.t = ab.t AND c.bucket = ab.bucket
-              WHERE c.id <> ab.aid
-            ),
-            vecs AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
-              FROM embeddings
-            ),
-            scored AS (
-              SELECT cand.aid, av.label AS anchor_label, cand.cid,
-                     (cv.label = av.label) AS same,
-                     CASE WHEN sqrt(list_dot_product(av.e, av.e))
-                               * sqrt(list_dot_product(cv.e, cv.e)) > 0
-                          THEN list_dot_product(av.e, cv.e)
-                               / (sqrt(list_dot_product(av.e, av.e))
-                                  * sqrt(list_dot_product(cv.e, cv.e)))
-                          ELSE 0.0 END AS s
-              FROM cand
-              JOIN vecs av ON av.vec_id = cand.aid
-              JOIN vecs cv ON cv.vec_id = cand.cid
-            ),
-            pos AS (
-              SELECT * FROM (
-                SELECT aid, anchor_label, cid AS positive_id, s AS ps,
-                       row_number() OVER (
-                         PARTITION BY aid ORDER BY s DESC, cid) AS rn
-                FROM scored WHERE same
-              ) WHERE rn = 1
-            ),
-            neg AS (
-              SELECT * FROM (
-                SELECT aid, cid AS negative_id, s AS ns,
-                       row_number() OVER (
-                         PARTITION BY aid ORDER BY s DESC, cid) AS rn
-                FROM scored WHERE NOT same
-              ) WHERE rn = 1
-            )
-            SELECT pos.aid AS anchor_id, pos.anchor_label, pos.positive_id,
-                   round(pos.ps, 6) AS pos_score, neg.negative_id,
-                   round(neg.ns, 6) AS neg_score,
-                   round(pos.ps - neg.ns, 6) AS margin,
-                   neg.ns > pos.ps AS violation
-            FROM pos JOIN neg ON pos.aid = neg.aid
-            ORDER BY anchor_id
-        """,
-        "b10_mad_outliers": """
-            WITH med AS (
-              SELECT l_returnflag, median(l_extendedprice) AS m
-              FROM lineitem GROUP BY l_returnflag
-            ),
-            dev AS (
-              SELECT l.l_returnflag, l.l_extendedprice, med.m,
-                     abs(l.l_extendedprice - med.m) AS ad
-              FROM lineitem l JOIN med USING (l_returnflag)
-            ),
-            mad AS (
-              SELECT l_returnflag, median(ad) AS md
-              FROM dev GROUP BY l_returnflag
-            )
-            SELECT d.l_returnflag,
-                   CAST(count(*) AS BIGINT) AS n_rows,
-                   round(min(d.m), 6) AS med_price,
-                   round(min(mad.md), 6) AS mad,
-                   CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * mad.md
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-            FROM dev d JOIN mad USING (l_returnflag)
-            GROUP BY d.l_returnflag
-        """,
-        "b9_scd2_pit": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            keyed AS (
-              SELECT id, timestamp, operation,
-                     CAST(json_extract_string(coalesce(after, before),
-                                              '$.user_id') AS BIGINT) AS user_id
-              FROM changes
-            ),
-            v AS (
-              SELECT *,
-                     lead(timestamp) OVER (PARTITION BY user_id ORDER BY id)
-                       AS valid_to
-              FROM keyed
-            ),
-            versions AS (
-              SELECT user_id AS vu, id AS version_id,
-                     timestamp AS valid_from, valid_to
-              FROM v WHERE operation <> 'DELETE'
-            ),
-            ev AS (
-              SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'purchase'
-            ),
-            j AS (
-              SELECT e.event_id, e.user_id, e.ts,
-                     s.version_id, s.valid_from, s.valid_to,
-                     row_number() OVER (
-                       PARTITION BY e.event_id
-                       ORDER BY s.valid_from DESC, s.version_id DESC
-                     ) AS rn
-              FROM ev e LEFT JOIN versions s
-                ON e.user_id = s.vu AND s.valid_from <= e.ts
-            )
-            SELECT event_id, user_id, ts, version_id,
-                   CASE WHEN version_id IS NULL THEN 'none'
-                        WHEN valid_to IS NULL OR ts < valid_to THEN 'live'
-                        ELSE 'closed'
-                   END AS status
-            FROM j WHERE rn = 1
-        """,
-        "b1_column_diff": f"""
-            WITH {_ORDERS_OLD_NEW_SQL},
-            j AS (
-              SELECT o.o_orderkey AS ok,
-                     o.o_custkey AS ock, o.o_orderstatus AS ost,
-                     o.o_totalprice AS otp, o.o_orderpriority AS opr,
-                     n.o_custkey AS nck, n.o_orderstatus AS nst,
-                     n.o_totalprice AS ntp, n.o_orderpriority AS npr
-              FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
-            )
-            SELECT ok AS o_orderkey,
-                   array_to_string(list_filter([
-                     CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
-                     CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
-                     CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
-                     CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
-                   ], x -> x IS NOT NULL), ',') AS changed_cols,
-                   CAST(len(list_filter([
-                     CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
-                     CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
-                     CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
-                     CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
-                   ], x -> x IS NOT NULL)) AS BIGINT) AS n_changed
-            FROM j
-            WHERE (ock IS DISTINCT FROM nck) OR (ost IS DISTINCT FROM nst)
-               OR (otp IS DISTINCT FROM ntp) OR (opr IS DISTINCT FROM npr)
-        """,
-        "b7_outer_join": """
-            SELECT c.c_custkey, c.c_mktsegment,
-                   count(o.o_orderkey) AS n_orders,
-                   count(o.o_orderkey) = 0 AS is_inactive
-            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-            GROUP BY c.c_custkey, c.c_mktsegment
-        """,
-        "b10_stats_agg": """
-            WITH sums AS (
-              SELECT l_returnflag,
-                     CAST(count(*) AS DOUBLE) AS n,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
-                              * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
-                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
-                              * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
-                              * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
-              FROM lineitem GROUP BY l_returnflag
-            )
-            SELECT l_returnflag,
-                   CAST(n AS BIGINT) AS n_rows,
-                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
-                   round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_price,
-                   round((n * sxy - sx * sy)
-                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
-                         6) AS corr_qty_price
-            FROM sums
-        """,
-        "b14_regex_funcs": """
-            SELECT p_partkey,
-                   coalesce(regexp_extract(p_name, '(\\w+)$', 1), '') AS last_word,
-                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-                   regexp_matches(p_name, '^[a-m]') AS first_half,
-                   coalesce(regexp_extract(p_type, '(\\w+)', 1), '') AS type_head
-            FROM part
-        """,
-        "b11_value_funcs": """
-            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
-                   first_value(l_extendedprice) OVER wf AS first_price,
-                   last_value(l_extendedprice) OVER wf AS last_price,
-                   nth_value(l_extendedprice, 2) OVER wf AS second_price
-            FROM lineitem
-            WINDOW wf AS (PARTITION BY l_orderkey
-                          ORDER BY l_partkey, l_suppkey, l_linenumber,
-                                   l_quantity, l_extendedprice, l_discount,
-                                   l_tax, l_returnflag, l_linestatus, l_shipdate
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND UNBOUNDED FOLLOWING)
-        """,
-        "b14_string_sim": """
-            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
-                   1.0 - levenshtein(a.p_name, b.p_name)
-                       / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)
-                     AS sim
-            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
-        """,
-        "b26_hash_sample": f"""
-            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-            FROM lineitem
-            WHERE {sampling.bucket_sql('l_orderkey')} < 10
-        """,
-        "b5_time_range": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT id, operation, timestamp,
-                   round(CAST(json_extract_string(after, '$.value') AS DOUBLE),
-                         6) AS value
-            FROM changes
-            WHERE timestamp >= TIMESTAMP '2024-01-08 00:00:00'
-              AND timestamp < TIMESTAMP '2024-01-15 00:00:00'
-              AND CAST(json_extract_string(after, '$.value') AS DOUBLE) > 50.0
-        """,
-        "b9_band_join": """
-            WITH bands AS (
-              SELECT * FROM (VALUES
-                (0, 50000, 'low'),
-                (50000, 150000, 'mid'),
-                (150000, 1000000000, 'high')) t(lo, hi, band)
-            )
-            SELECT band, count(*) AS n_orders,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
-                              AS DOUBLE), 2) AS revenue
-            FROM orders o JOIN bands b
-              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-            GROUP BY band
-        """,
-        "b10_bool_agg": """
-            SELECT o_orderstatus,
-                   count(*) FILTER (o_totalprice > 200000) AS n_big,
-                   bool_and(o_totalprice > 0) AS all_positive,
-                   bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-                   count(*) AS n
-            FROM orders GROUP BY o_orderstatus
-        """,
-        "b14_null_funcs": """
-            WITH s AS (
-              SELECT *,
-                     CASE WHEN c_custkey % 3 = 0 THEN c_name END AS sp
-              FROM customer
-            )
-            SELECT c_custkey,
-                   coalesce(sp, '<missing>') AS comment_or_default,
-                   nullif(c_mktsegment, 'BUILDING') AS seg_nb,
-                   CASE WHEN sp IS NOT NULL THEN 'has' ELSE 'none' END
-                     AS nvl2_shape,
-                   sp IS NOT DISTINCT FROM c_name AS nullsafe_eq,
-                   sp IS NULL AS is_missing
-            FROM s
-        """,
-        "b14_bitwise_funcs": """
-            SELECT o_orderkey,
-                   o_orderkey << 3 AS shl3,
-                   o_orderkey >> 2 AS shr2,
-                   o_orderkey & 255 AS low_byte,
-                   o_orderkey | 16 AS with_flag,
-                   xor(o_orderkey, o_custkey) AS xor_cust,
-                   CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT)
-                     AS popcount
-            FROM orders
-        """,
-        "b14_url_funcs": """
-            WITH u AS (
-              SELECT o_orderkey,
-                     'https://shard' || CAST(o_orderkey % 8 AS VARCHAR)
-                     || '.example.com/orders/' || CAST(o_orderkey AS VARCHAR)
-                     || '?prio=' || regexp_replace(o_orderpriority, '\\s+', '+', 'g')
-                       AS url
-              FROM orders
-            )
-            SELECT o_orderkey, url,
-                   regexp_extract(url, '^https://([^/]+)/', 1) AS host,
-                   regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
-                   regexp_extract(url, 'prio=([^&]+)', 1) AS prio_param
-            FROM u
-        """,
-        "b11_ntile": """
-            SELECT o_orderkey, o_orderstatus,
-                   CAST(ntile(4) OVER (
-                     PARTITION BY o_orderstatus
-                     ORDER BY o_totalprice ASC, o_orderkey ASC
-                   ) AS BIGINT) AS price_quartile
-            FROM orders
-        """,
-        "b10_median_mode": """
-            WITH counts AS (
-              SELECT l_returnflag, l_quantity, count(*) AS n
-              FROM lineitem GROUP BY l_returnflag, l_quantity
-            ),
-            mode AS (
-              SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
-              FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC
-                ) AS rn FROM counts
-              ) WHERE rn = 1
-            ),
-            med AS (
-              SELECT l_returnflag,
-                     median(CAST(l_quantity AS DOUBLE)) AS median_qty,
-                     count(*) AS n_rows
-              FROM lineitem GROUP BY l_returnflag
-            )
-            SELECT m.l_returnflag, m.median_qty, mo.mode_qty, mo.mode_n,
-                   m.n_rows
-            FROM med m JOIN mode mo ON m.l_returnflag = mo.l_returnflag
-        """,
-        "b26_train_split": f"""
-            SELECT doc_id, lang,
-                   CASE WHEN {sampling.bucket_sql('doc_id')} < 80 THEN 'train'
-                        WHEN {sampling.bucket_sql('doc_id')} < 90 THEN 'val'
-                        WHEN {sampling.bucket_sql('doc_id')} < 100 THEN 'test'
-                   END AS split
-            FROM documents
-        """,
-        "b26_stratified_sample": f"""
-            SELECT doc_id, lang, source
-            FROM documents
-            WHERE {sampling.bucket_sql('doc_id')} <
-                  CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 25
-                            WHEN 'fr' THEN 100 ELSE 50 END
-        """,
-        "b25_sql_exists": _SQL_EXISTS,
-        "b25_sql_window": _SQL_WINDOW_FUNCS,
-        "b24_corpus_v5": f"""
-            WITH keyed AS (
-              SELECT doc_id, lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
-                     {_NORM_SQL} AS k
-              FROM documents
-            ),
-            keeper AS (
-              SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k
-            ),
-            kept AS (
-              SELECT keyed.doc_id, lang, n_tok,
-                     {sampling.bucket_sql('keyed.doc_id', 1 << 32)} AS p
-              FROM keyed JOIN keeper
-                ON keeper.k = keyed.k AND keeper.doc_id = keyed.doc_id
-            ),
-            quota AS (
-              SELECT doc_id, lang, n_tok FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS r
-                FROM kept
-              ) WHERE r <= 60
-            ),
-            packed AS (
-              SELECT lang, n_tok,
-                     CAST(floor(
-                       CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), 0) AS DOUBLE) / 1024)
-                       AS BIGINT) AS pack_id
-              FROM quota
-            )
-            SELECT lang,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-                   CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
-            FROM packed GROUP BY lang
-        """,
-        "b26_exact_quota": f"""
-            WITH pri AS (
-              SELECT doc_id, lang,
-                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
-              FROM documents
-            ),
-            ranked AS (
-              SELECT doc_id, lang, row_number() OVER (
-                PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS r
-              FROM pri
-            ),
-            avail AS (
-              SELECT lang, count(*) AS n_available FROM pri GROUP BY lang
-            )
-            SELECT t.lang,
-                   CAST(count(*) AS BIGINT) AS n_taken,
-                   CAST(min(doc_id) AS BIGINT) AS first_doc,
-                   CAST(max(doc_id) AS BIGINT) AS last_doc,
-                   CAST(min(avail.n_available) AS BIGINT) AS n_available
-            FROM ranked t JOIN avail ON avail.lang = t.lang
-            WHERE t.r <= 40
-            GROUP BY t.lang
-        """,
-        "b11_cumulative_distinct": """
-            WITH first AS (
-              SELECT user_id,
-                     min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
-                       AS first_day
-              FROM events GROUP BY user_id
-            ),
-            per_day AS (
-              SELECT first_day, count(*) AS new_users
-              FROM first GROUP BY first_day
-            )
-            SELECT CAST(first_day AS BIGINT) AS day,
-                   CAST(new_users AS BIGINT) AS new_users,
-                   CAST(sum(new_users) OVER (ORDER BY first_day
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS cum_users
-            FROM per_day
-        """,
-        "b14_trig_funcs": """
-            SELECT p_partkey,
-                   round(sin(p_size / 10.0), 6) AS sin_x,
-                   round(cos(p_size / 10.0), 6) AS cos_x,
-                   round(tan((p_partkey % 13) / 7.0), 6) AS tan_y,
-                   round(atan2((p_partkey % 13) / 7.0,
-                               p_size / 10.0 + 0.1), 6) AS atan2_yx,
-                   round(sqrt(CAST(p_retailprice AS DOUBLE)), 6) AS sqrt_p,
-                   round(exp(-(p_size / 10.0)), 6) AS exp_nx,
-                   round(pow(p_size / 10.0 + 1.0, 3), 6) AS pow3,
-                   round(degrees((p_partkey % 13) / 7.0), 6) AS deg_y,
-                   round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_s,
-                   CAST(sign(CAST(p_size AS DOUBLE) - 25.0) AS INTEGER)
-                     AS sgn
-            FROM part
-        """,
-        "b2_vacuum_stats": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            sized AS (
-              SELECT CAST(json_extract_string(coalesce(after, before),
-                                              '$.user_id') AS BIGINT)
-                       AS user_id,
-                     id,
-                     coalesce(strlen(before), 0)
-                       + coalesce(strlen(after), 0) AS b
-              FROM changes
-            )
-            SELECT user_id,
-                   CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(count(*) - 1 AS BIGINT) AS reclaimable_rows,
-                   CAST(sum(b) - max_by(b, id) AS BIGINT)
-                     AS reclaimable_bytes,
-                   CAST(sum(b) AS BIGINT) AS total_bytes
-            FROM sized GROUP BY user_id
-        """,
-        "b8_waiting_suppliers": _SQL_WAITING_SUPPLIERS,
-        "b8_idle_customers": _SQL_IDLE_CUSTOMERS,
-        "b25_sql_correlated": _SQL_CORRELATED_COUNT,
-        "b25_sql_cte_top_supplier": _SQL_CTE_TOP_SUPPLIER,
-        "b11_reconstruct_befores": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            keyed AS (
-              SELECT id,
-                     CAST(json_extract_string(coalesce(after, before),
-                                              '$.user_id') AS BIGINT) AS user_id,
-                     operation, after
-              FROM changes
-            )
-            SELECT id, user_id, operation,
-                   lag(after) OVER (PARTITION BY user_id ORDER BY id) AS before,
-                   after
-            FROM keyed
-        """,
-        "b11_window_funcs": """
-            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                   CAST(row_number() OVER w AS BIGINT) AS rn,
-                   lag(l_extendedprice) OVER w AS prev_price,
-                   lead(l_extendedprice) OVER w AS next_price,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
-                     w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS DOUBLE) AS run_qty
-            FROM lineitem
-            WINDOW w AS (PARTITION BY l_orderkey
-                         ORDER BY l_partkey, l_suppkey, l_linenumber, l_quantity,
-                                  l_extendedprice, l_discount, l_tax,
-                                  l_returnflag, l_linestatus, l_shipdate)
-        """,
-        "b12_topk": """
-            SELECT l_returnflag, CAST(rnk AS BIGINT) AS rnk,
-                   l_orderkey, l_linenumber, l_extendedprice
-            FROM (
-              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-                     row_number() OVER (PARTITION BY l_returnflag
-                       ORDER BY l_extendedprice DESC, l_orderkey, l_partkey,
-                                l_suppkey, l_linenumber, l_quantity) AS rnk
-              FROM lineitem
-            ) WHERE rnk <= 5
-        """,
-        "b13_set_ops": """
-            SELECT k, 'inactive' AS status FROM (
-              SELECT c_custkey AS k FROM customer
-              EXCEPT SELECT o_custkey FROM orders)
-            UNION ALL
-            SELECT k, 'active' AS status FROM (
-              SELECT c_custkey AS k FROM customer
-              INTERSECT SELECT o_custkey FROM orders)
-        """,
-        "b14_scalar_funcs": """
-            SELECT p_partkey,
-                   substr(p_name, 1, 8) AS name8,
-                   upper(p_brand) AS brand_uc,
-                   lower(p_type) AS type_lc,
-                   length(p_name) AS name_len,
-                   round(p_retailprice * 1.1, 2) AS price_up,
-                   CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
-                   p_partkey % 7 AS k_mod,
-                   coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_o
-            FROM part
-        """,
-        "b14_date_funcs": """
-            SELECT o_orderkey,
-                   CAST(year(o_orderdate) AS BIGINT) AS yr,
-                   CAST(month(o_orderdate) AS BIGINT) AS mo,
-                   CAST(day(o_orderdate) AS BIGINT) AS dom,
-                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-                   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
-                                  DATE '1998-12-31') AS BIGINT) AS days_to_eoy
-            FROM orders
-        """,
-        "a19_json_lines": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL})
-            SELECT id,
-                   CAST(json_object(
-                     'tablename', tablename,
-                     'timestamp', strftime(timestamp, '%Y-%m-%d %H:%M:%S.%g'),
-                     'operation', operation,
-                     'before', before,
-                     'after', after) AS VARCHAR) AS j
-            FROM changes
-        """,
-        "b4_event_source": _EVENTS_CHANGES_SQL,
-        "b15_session_windows": """
-            WITH marked AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                          THEN 1 ELSE 0 END AS new_sess
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            grp AS (
-              SELECT *, sum(new_sess) OVER (
-                PARTITION BY user_id ORDER BY ts
-                ROWS UNBOUNDED PRECEDING) AS sid
-              FROM marked
-            )
-            SELECT user_id, min(ts) AS sess_start,
-                   max(ts) + INTERVAL 30 MINUTE AS sess_end,
-                   count(*) AS n_events
-            FROM grp GROUP BY user_id, sid
-        """,
-        "b9_asof_join": """
-            WITH o AS (
-              SELECT o_orderkey, o_custkey % 100 AS k, o_orderdate
-              FROM orders WHERE o_orderkey % 29 = 0
-            ),
-            j AS (
-              SELECT o.o_orderkey, o.k, e.ts, e.event_id, e.value
-              FROM o LEFT JOIN events e
-                ON o.k = e.user_id AND e.ts <= o.o_orderdate
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY o_orderkey
-                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
-              FROM j
-            )
-            SELECT o_orderkey, k, event_id, value FROM ranked WHERE rn = 1
-        """,
-        "b10_percentiles": """
-            SELECT l_returnflag,
-                   quantile_cont(l_extendedprice, 0.5) AS p50,
-                   quantile_cont(l_extendedprice, 0.9) AS p90,
-                   min(l_extendedprice) AS pmin,
-                   max(l_extendedprice) AS pmax
-            FROM lineitem GROUP BY 1
-        """,
-        "b10_cube": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
-            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        """,
-        "b11_ranks": """
-            SELECT o_orderkey, o_orderstatus,
-                   CAST(row_number() OVER w AS BIGINT) AS rn,
-                   CAST(rank() OVER wr AS BIGINT) AS rnk_bucket,
-                   CAST(dense_rank() OVER wr AS BIGINT) AS drnk_bucket,
-                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
-            FROM orders
-            WINDOW w AS (PARTITION BY o_orderstatus
-                         ORDER BY o_totalprice DESC, o_orderkey ASC),
-                   wr AS (PARTITION BY o_orderstatus
-                          ORDER BY floor(o_totalprice / 100000) DESC)
-            QUALIFY rn <= 200
-        """,
-        "b10_grouping_sets": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
-                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
-            FROM orders
-            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """,
-        "b14_array_funcs": """
-            SELECT p_partkey,
-                   unnest(string_split(p_type, ' ')) AS word,
-                   CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
-                   string_split(p_type, ' ')[1] AS first_word,
-                   array_to_string(list_sort(string_split(p_type, ' ')), ',')
-                     AS sorted_words
-            FROM part
-        """,
-        "b14_map_funcs": """
-            SELECT p_partkey,
-                   map(['brand','type'], [p_brand, p_type])['brand'][1] AS m_brand,
-                   map(['brand','type'], [p_brand, p_type])['type'][1] AS m_type,
-                   CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_size,
-                   array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS m_keys
-            FROM part
-        """,
-        "b14_json_funcs": """
-            SELECT event_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_dyn,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
-                   CAST(json_array_length('[' || props || ']') AS BIGINT) AS arr_len,
-                   CAST(json_object('event_type', event_type,
-                                    'user_id', user_id) AS VARCHAR) AS packed
-            FROM events
-        """,
-        "b15_sliding_windows": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            landed AS (
-              SELECT date_trunc('hour', timestamp) AS win_start, operation
-              FROM changes
-              UNION ALL
-              SELECT date_trunc('hour', timestamp) - INTERVAL 1 HOUR, operation
-              FROM changes
-            )
-            SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
-                   operation, count(*) AS n
-            FROM landed GROUP BY 1, 3
-        """,
-        "b18_dup_groups": f"""
-            WITH {_DOCS_DUPS_SQL}
-            SELECT md5(text) AS text_fp, count(*) AS n_copies,
-                   min(doc_id) AS keeper_id
-            FROM docs GROUP BY text HAVING count(*) > 1
-        """,
-        "b18_dedup_exact": f"""
-            WITH {_DOCS_DUPS_SQL},
-            ranked AS (
-              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-              FROM docs
-            )
-            SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1
-        """,
-        "b19_word_jaccard": f"""
-            WITH t AS (
-              SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                         / CAST(len(a.toks) + len(b.toks)
-                                - len(list_intersect(a.toks, b.toks)) AS DOUBLE),
-                         6) AS jaccard
-            FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
-        """,
-        "b19_minhash_candidates": _minhash_oracle_sql(),
-        "b19_lsh_quality": f"""
-            WITH {_minhash_cand_ctes()},
-            truth AS (
-              SELECT doc_id AS id_a, doc_id + 200000 AS id_b
-              FROM documents WHERE doc_id % 7 = 0
-            ),
-            s AS (
-              SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_records,
-                     (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
-                     (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-                     (SELECT CAST(count(*) AS BIGINT) FROM truth t
-                      WHERE EXISTS (SELECT 1 FROM cand c
-                                    WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
-                       AS n_true_found
-            )
-            SELECT n_records, n_candidates, n_true, n_true_found,
-                   round(1.0 - n_candidates
-                         / (n_records * (n_records - 1) / 2.0), 6)
-                     AS reduction_ratio,
-                   round(n_true_found / CAST(n_true AS DOUBLE), 6)
-                     AS pairs_completeness
-            FROM s
-        """,
-        "b19_simhash": _simhash_oracle_sql(),
-        "b20_ann_recall": _ann_recall_oracle_sql(),
-        "b20_ann_lsh": _ann_lsh_topk_oracle_sql(),
-        "b20_ann_ivf": _ann_ivf_topk_oracle_sql(),
-        "b19_incremental_index": _incremental_index_oracle_sql(),
-        "b28_packing": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
-              FROM documents
-            )
-            SELECT doc_id, n_tok,
-                   CAST(floor(
-                     CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                          0) AS DOUBLE) / 512) AS BIGINT) AS pack_id
-            FROM t
-        """,
-        "b29_decontamination": _decontam_oracle_sql(),
-        "b29_incremental_decontam": _incr_decontam_oracle_sql(),
-        "b29_containment": _containment_oracle_sql(),
-        "b21_pii_scrub": _pii_oracle_sql(),
-        "b21_repetition": _repetition_oracle_sql(),
-        "b23_udf_features": _udf_features_oracle_sql(),
-        "b19_embedding_clusters": """
-            WITH RECURSIVE pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM embeddings a, embeddings b
-              WHERE a.vec_id < b.vec_id
-                AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[]))
-                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(a.embedding AS DOUBLE[])))
-                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[]))))
-                    >= 0.4
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION
-              SELECT id_b AS src, id_a AS dst FROM pairs
-            ),
-            reach AS (
-              SELECT DISTINCT src AS v, src AS r FROM edges
-              UNION
-              SELECT e.dst AS v, reach.r AS r
-              FROM reach JOIN edges e ON e.src = reach.v
-            ),
-            lab AS (SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v)
-            SELECT vec_id, cluster_id,
-                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
-                     AS cluster_size
-            FROM lab
-        """,
-        "b19_embedding_dups": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[]))
-                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                                  CAST(a.embedding AS DOUBLE[])))
-                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                                    CAST(b.embedding AS DOUBLE[])))),
-                         6) AS score
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[]))
-                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(a.embedding AS DOUBLE[])))
-                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[]))))
-                  >= 0.4
-        """,
-        "b20_cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 4
-            ),
-            c AS (
-              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ),
-            scored AS (
-              SELECT query_id, neighbor_id,
-                     list_dot_product(qv, cv)
-                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-                     AS score
-              FROM q, c WHERE neighbor_id != query_id
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-              FROM scored
-            )
-            SELECT query_id, neighbor_id, round(score, 6) AS score,
-                   CAST(rnk AS BIGINT) AS rnk
-            FROM ranked WHERE rnk <= 5
-        """,
-        "b21_lang_quality": f"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     {_sw_hits_sql('de')} AS s_de,
-                     {_sw_hits_sql('en')} AS s_en,
-                     {_sw_hits_sql('es')} AS s_es,
-                     {_sw_hits_sql('fr')} AS s_fr,
-                     CAST(length(text) AS BIGINT) AS q_chars,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
-                     CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS spaces
-              FROM documents
-            ),
-            feat AS (
-              SELECT *,
-                round(CAST(q_chars - spaces AS DOUBLE) / CAST(greatest(q_tokens, 1) AS DOUBLE), 6) AS q_mean_tok_len,
-                round(CAST(alpha AS DOUBLE) / CAST(greatest(q_chars, 1) AS DOUBLE), 6) AS q_alpha_ratio,
-                round(CAST(s_en AS DOUBLE) / CAST(greatest(q_tokens, 1) AS DOUBLE), 6) AS q_stopword_ratio
-              FROM base
-            )
-            SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                        ELSE 'fr' END AS lang_guess,
-                   q_chars, q_tokens, q_mean_tok_len, q_alpha_ratio,
-                   q_stopword_ratio,
-                   round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                         + q_alpha_ratio * 0.4
-                         + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
-            FROM feat
-        """,
-        "b21_token_stats": f"""
-            WITH per_doc AS (
-              SELECT lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
-                     CAST(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
-                     md5({_NORM_SQL}) AS fp
-              FROM documents
-            )
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-                   CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
-                   count(DISTINCT fp) AS n_distinct_fp
-            FROM per_doc GROUP BY lang
-        """,
-        "b19_dup_clusters": _dup_clusters_oracle_sql(),
-        "b19_cluster_stability": _cluster_stability_oracle_sql(),
-        "b17_join_view": """
-            -- from-scratch recompute over the POST-batch tables: the
-            -- oracle row is the increment-equals-recompute invariant
-            WITH a_new AS (
-              SELECT o_orderkey, o_custkey,
-                     CASE WHEN o_orderkey % 13 = 0
-                          THEN round(o_totalprice + 1.0, 2)
-                          ELSE o_totalprice END AS o_totalprice
-              FROM orders
-            ),
-            b_new AS (
-              SELECT c_custkey AS o_custkey, c_name,
-                     CASE WHEN c_custkey % 17 = 0
-                          THEN round(c_acctbal + 5.0, 2)
-                          ELSE c_acctbal END AS c_acctbal
-              FROM customer
-            )
-            SELECT a_new.o_custkey, o_orderkey, o_totalprice,
-                   c_name, c_acctbal
-            FROM a_new JOIN b_new USING (o_custkey)
-        """,
-        "b28_pack_efficiency": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
-                       AS n_tok
-              FROM documents
-            ),
-            packed AS (
-              SELECT doc_id, n_tok,
-                     CAST(floor(
-                       CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), 0) AS DOUBLE) / 512)
-                       AS BIGINT) AS pack_id
-              FROM t
-            )
-            SELECT pack_id,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-                   round(sum(n_tok) / 512.0, 6) AS fill,
-                   sum(n_tok) > 512 AS overflow
-            FROM packed GROUP BY pack_id
-        """,
-        "b3_anomaly": """
-            WITH daily AS (
-              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-                     count(*) AS n
-              FROM events GROUP BY 1
-            ),
-            wp AS (
-              SELECT day, n,
-                     lag(n, 7) OVER (ORDER BY day ASC) AS prev,
-                     n - lag(n, 7) OVER (ORDER BY day ASC) AS resid
-              FROM daily
-            ),
-            mad AS (
-              SELECT median(abs(resid)) AS m FROM wp WHERE resid IS NOT NULL
-            )
-            SELECT CAST(day AS BIGINT) AS day,
-                   CAST(n AS BIGINT) AS n,
-                   CAST(prev AS BIGINT) AS expected,
-                   CAST(resid AS BIGINT) AS resid,
-                   CASE WHEN resid IS NOT NULL
-                        THEN abs(resid) > 3 * greatest(mad.m, 1.0)
-                        END AS anomalous
-            FROM wp, mad
-        """,
-        "b24_effective_tokens": f"""
-            WITH keyed AS (
-              SELECT doc_id, source,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS nt,
-                     {_NORM_SQL} AS k
-              FROM documents
-            ),
-            sizes AS (SELECT k, count(*) AS g FROM keyed GROUP BY k),
-            per AS (
-              SELECT source, nt, (nt * 1000000) // g AS eff6
-              FROM keyed JOIN sizes USING (k)
-            )
-            SELECT source,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(nt) AS BIGINT) AS raw_tokens,
-                   round(sum(eff6) / 1e6, 6) AS effective_tokens,
-                   round(sum(nt) / (sum(eff6) / 1e6), 6) AS inflation
-            FROM per GROUP BY source
-        """,
-        "b7_returned_revenue": """
-            WITH agg AS (
-              SELECT c.c_custkey, c.c_name, n.n_name,
-                     round(CAST(sum(
-                       CAST(l.l_extendedprice AS DECIMAL(38,6))
-                       * (CAST(1 AS DECIMAL(38,6))
-                          - CAST(l.l_discount AS DECIMAL(38,6)))
-                     ) AS DOUBLE), 2) AS revenue
-              FROM lineitem l
-              JOIN orders o ON l.l_orderkey = o.o_orderkey
-              JOIN customer c ON o.o_custkey = c.c_custkey
-              JOIN nation n ON c.c_nationkey = n.n_nationkey
-              WHERE l.l_returnflag = 'R'
-                AND o.o_orderdate >= '1995-01-01'
-                AND o.o_orderdate < '1996-01-01'
-              GROUP BY c.c_custkey, c.c_name, n.n_name
-            )
-            SELECT *, CAST(row_number() OVER (
-              ORDER BY revenue DESC, c_custkey ASC) AS BIGINT) AS rank
-            FROM agg
-            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
-        """,
-        "b30_phrase_search": f"""
-            WITH tk AS (
-              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-              FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
-            )
-            SELECT a.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM pos a JOIN pos b
-              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-            WHERE a.tok = 'merge' AND b.tok = 'join'
-            GROUP BY a.doc_id
-        """,
-        "b15_retention": """
-            WITH uw AS (
-              SELECT DISTINCT user_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
-              FROM events
-            ),
-            first AS (
-              SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
-            ),
-            cells AS (
-              SELECT first.cw, uw.wk - first.cw AS week_offset,
-                     count(DISTINCT uw.user_id) AS n_active
-              FROM uw JOIN first USING (user_id)
-              GROUP BY first.cw, uw.wk - first.cw
-            ),
-            sizes AS (
-              SELECT cw, count(*) AS cohort_size FROM first GROUP BY cw
-            )
-            SELECT CAST(cells.cw AS BIGINT) AS cohort_week,
-                   CAST(week_offset AS BIGINT) AS week_offset,
-                   CAST(n_active AS BIGINT) AS n_active,
-                   CAST(cohort_size AS BIGINT) AS cohort_size,
-                   round(n_active / CAST(cohort_size AS DOUBLE), 6)
-                     AS retention
-            FROM cells JOIN sizes ON sizes.cw = cells.cw
-        """,
-        "b22_phash_dups": """
-            -- closed-form replay of synth_ppm + ahash64: source raster
-            -- byte (y*w+x)*3+c of image img_id is (img_id*31+i)%256 with
-            -- w=4+img_id%5, h=4+(img_id//5)%5; 8x8 NN sample at
-            -- (ny,nx)=((y*h)//8,(x*w)//8); grayscale (r+g+b)//3; bit
-            -- j=y*8+x set iff 64*g >= sum(g); halves pack bits 0..31 /
-            -- 32..63 (all values nonneg -> // is floor)
-            WITH staged AS (
-              SELECT doc_id, doc_id AS img_id FROM documents
-              UNION ALL
-              SELECT doc_id + 300000 AS doc_id, doc_id AS img_id
-              FROM documents WHERE doc_id % 9 = 0
-            ),
-            geom AS (
-              SELECT doc_id, img_id,
-                     4 + img_id % 5 AS w, 4 + (img_id // 5) % 5 AS h
-              FROM staged
-            ),
-            g AS (
-              SELECT doc_id, y * 8 + x AS j,
-                     ((img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 0) % 256
-                      + (img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 1) % 256
-                      + (img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 2) % 256
-                     ) // 3 AS gray
-              FROM geom,
-                   generate_series(0, 7) gy(y),
-                   generate_series(0, 7) gx(x)
-            ),
-            tot AS (SELECT doc_id, sum(gray) AS s FROM g GROUP BY doc_id),
-            bits AS (
-              SELECT g.doc_id, g.j,
-                     CASE WHEN 64 * g.gray >= tot.s THEN 1 ELSE 0 END AS b
-              FROM g JOIN tot ON tot.doc_id = g.doc_id
-            ),
-            hashes AS (
-              SELECT doc_id,
-                     CAST(sum(CASE WHEN j >= 32
-                                   THEN b * (CAST(1 AS BIGINT) << (j - 32))
-                                   ELSE 0 END) AS BIGINT) AS hash_hi,
-                     CAST(sum(CASE WHEN j < 32
-                                   THEN b * (CAST(1 AS BIGINT) << j)
-                                   ELSE 0 END) AS BIGINT) AS hash_lo
-              FROM bits GROUP BY doc_id
-            )
-            SELECT hash_hi, hash_lo,
-                   CAST(count(*) AS BIGINT) AS n_copies,
-                   CAST(min(doc_id) AS BIGINT) AS keeper_id
-            FROM hashes GROUP BY hash_hi, hash_lo
-            HAVING count(*) > 1
-        """,
-        "b21_source_kl": f"""
-            WITH toks AS (
-              SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
-            ),
-            tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
-            st AS (
-              SELECT source, tok, count(*) AS nst FROM tk GROUP BY source, tok
-            ),
-            ct AS (SELECT tok, count(*) AS nt FROM tk GROUP BY tok),
-            stot AS (SELECT source, count(*) AS ns FROM tk GROUP BY source),
-            gtot AS (
-              SELECT count(*) AS n, count(DISTINCT tok) AS v FROM tk
-            ),
-            cells AS (
-              SELECT stot.source, stot.ns, gtot.v,
-                     (coalesce(st.nst, 0) + 1)
-                       / CAST(stot.ns + gtot.v AS DOUBLE) AS p,
-                     (ct.nt + 1) / CAST(gtot.n + gtot.v AS DOUBLE) AS q
-              FROM ct CROSS JOIN stot CROSS JOIN gtot
-              LEFT JOIN st ON st.source = stot.source AND st.tok = ct.tok
-            )
-            SELECT source,
-                   CAST(min(ns) AS BIGINT) AS n_tokens,
-                   CAST(min(v) AS BIGINT) AS vocab_size,
-                   round(sum(CAST(floor(p * ln(p / q) * 1e8) AS BIGINT)) / 1e8, 6)
-                     AS kl_vs_corpus
-            FROM cells GROUP BY source
-        """,
-        "b20_dim_truncation": """
-            WITH per AS (
-              SELECT vec_id, d.dim,
-                     CAST(floor(sqrt(
-                       list_dot_product(
-                         list_slice(CAST(embedding AS DOUBLE[]), 1, d.dim),
-                         list_slice(CAST(embedding AS DOUBLE[]), 1, d.dim))
-                       / list_dot_product(CAST(embedding AS DOUBLE[]),
-                                          CAST(embedding AS DOUBLE[]))
-                     ) * 1e6) AS BIGINT) AS r6
-              FROM embeddings,
-                   (SELECT unnest([16, 32, 48]) AS dim) d
-            )
-            SELECT CAST(dim AS INTEGER) AS dim,
-                   CAST(count(*) AS BIGINT) AS n_vecs,
-                   round(sum(r6) / (count(*) * 1e6), 6) AS avg_retained,
-                   round(min(r6) / 1e6, 6) AS min_retained
-            FROM per GROUP BY dim
-        """,
-        "b11_twap": """
-            WITH staged AS (
-              SELECT user_id,
-                     CAST(floor(value * 100) AS BIGINT) AS cents,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
-                       PARTITION BY user_id
-                       ORDER BY ts ASC, event_id ASC) AS nxt
-              FROM events
-            ),
-            weighted AS (
-              SELECT user_id, cents, nxt - sec AS w FROM staged
-            )
-            SELECT user_id,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(w) AS BIGINT) AS held_seconds,
-                   round(CASE WHEN sum(w) > 0
-                              THEN sum(cents * w) / (sum(w) * 100.0)
-                              END, 6) AS twap
-            FROM weighted GROUP BY user_id
-        """,
-        "b19_incremental_clusters": _incremental_clusters_oracle_sql(),
-        "b26_split_leakage": _split_leakage_oracle_sql(),
-        "b24_corpus_v2": _corpus_v2_oracle_sql(),
-        "b21_top_tokens": f"""
-            WITH toks AS (
-              SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            counts AS (
-              SELECT lang, tok, count(*) AS n FROM toks
-              WHERE tok <> '' GROUP BY lang, tok
-            )
-            SELECT lang, tok, n,
-                   CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank
-              FROM counts
-            ) WHERE rank <= 10
-        """,
-        "b21_fingerprints": f"""
-            WITH tk AS (
-              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-              FROM documents
-            )
-            SELECT doc_id, CAST(i AS BIGINT) AS win_idx,
-                   md5(array_to_string(list_slice(toks, i*8 + 1, i*8 + 16),
-                       ' ')) AS fp
-            FROM tk,
-                 unnest(generate_series(0,
-                   greatest((len(toks) - 16) // 8, 0))) AS t(i)
-        """,
-        "b28_mixture": f"""
-            WITH sized AS (
-              SELECT doc_id, lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
-              FROM documents
-            ),
-            totals AS (
-              SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
-            ),
-            rates AS (
-              -- total IS NULL / <= 0 => keep everything (mirrors the ANSI
-              -- divide-by-zero guard in sampling.mixture_sample)
-              SELECT lang,
-                     CASE WHEN total IS NULL OR total <= 0 THEN 100
-                          ELSE least(100,
-                            ((CASE lang WHEN 'en' THEN 4000
-                                        WHEN 'de' THEN 1500
-                                        ELSE 2000 END) * 100) // total)
-                     END AS keep_b
-              FROM totals
-            )
-            SELECT s.doc_id, s.lang, s.n_tok
-            FROM sized s JOIN rates r ON s.lang = r.lang
-            WHERE {sampling.bucket_sql('s.doc_id')} < r.keep_b
-        """,
-        "b21_chunking": f"""
-            WITH tk AS (
-              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-              FROM documents
-            )
-            SELECT doc_id,
-                   CAST(i AS BIGINT) AS chunk_idx,
-                   array_to_string(list_slice(toks, i*12 + 1, i*12 + 16), ' ')
-                     AS chunk_text,
-                   CAST(least(16, len(toks) - i*12) AS BIGINT) AS n_tok
-            FROM tk,
-                 unnest(generate_series(0, greatest((len(toks) - 1) // 12, 0)))
-                   AS t(i)
-            WHERE i = 0 OR i*12 + 4 < len(toks)
-        """,
-        "b21_token_per_doc": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
-                   CAST(len(regexp_extract_all(text,
-                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
-                   md5({_NORM_SQL}) AS fp
-            FROM documents
-        """,
-        "b21_tfidf": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            tf AS (
-              SELECT doc_id, tok, count(*) AS tf FROM toks
-              WHERE tok <> '' GROUP BY doc_id, tok
-            ),
-            dfx AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok),
-            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-            scored AS (
-              SELECT tf.doc_id, tf.tok,
-                     CAST(tf.tf AS BIGINT) AS tf,
-                     CAST(dfx.df_t AS BIGINT) AS df_t,
-                     round(tf.tf * (ln((n.n_docs + 1.0)
-                                       / (dfx.df_t + 1.0)) + 1.0), 6)
-                       AS tfidf
-              FROM tf JOIN dfx USING (tok) CROSS JOIN n
-            )
-            SELECT doc_id, tok, tf, df_t, tfidf, CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 3
-        """,
-        "b30_rrf_fusion": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-            dl AS (
-              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
-              FROM nz GROUP BY doc_id
-            ),
-            scalars AS (
-              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
-                     CAST(count(*) AS DOUBLE) AS n_docs
-              FROM documents
-            ),
-            tf AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM nz
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
-            ),
-            dfx AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
-            ),
-            bm25 AS (
-              SELECT doc_id, round(sum(
-                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
-                       * tf.tf * 2.2
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-                     ), 6) AS score
-              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
-                   CROSS JOIN scalars s
-              GROUP BY doc_id
-            ),
-            bm25_ranked AS (
-              SELECT doc_id, rank_a FROM (
-                SELECT doc_id, row_number() OVER (
-                  ORDER BY score DESC, doc_id ASC) AS rank_a
-                FROM bm25
-              ) WHERE rank_a <= 15
-            ),
-            bigt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM nz),
-            cf AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM nz
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY tok
-            ),
-            qlm AS (
-              SELECT tf.doc_id,
-                     sum(ln(1.0 + tf.tf * bigt.t / (2000.0 * cf.cf))) AS m
-              FROM tf JOIN cf USING (tok) CROSS JOIN bigt
-              GROUP BY tf.doc_id
-            ),
-            ql AS (
-              SELECT qlm.doc_id,
-                     round(m + 3.0 * ln(2000.0 / (dl.dl + 2000.0)), 6)
-                       AS score
-              FROM qlm JOIN dl USING (doc_id)
-            ),
-            ql_ranked AS (
-              SELECT doc_id, rank_b FROM (
-                SELECT doc_id, row_number() OVER (
-                  ORDER BY score DESC, doc_id ASC) AS rank_b
-                FROM ql
-              ) WHERE rank_b <= 15
-            ),
-            fused AS (
-              SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-                     a.rank_a, b.rank_b,
-                     round(coalesce(1.0 / (60 + a.rank_a), 0.0)
-                           + coalesce(1.0 / (60 + b.rank_b), 0.0), 6)
-                       AS rrf_score
-              FROM bm25_ranked a FULL OUTER JOIN ql_ranked b
-                ON a.doc_id = b.doc_id
-            )
-            SELECT doc_id, CAST(rank_a AS BIGINT) AS rank_a,
-                   CAST(rank_b AS BIGINT) AS rank_b, rrf_score,
-                   CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                ORDER BY rrf_score DESC, doc_id ASC) AS rank
-              FROM fused
-            ) WHERE rank <= 10
-        """,
-        "b9_asof_tolerance": """
-            WITH o AS (
-              SELECT o_orderkey, o_custkey % 100 AS k,
-                     CAST(o_orderdate AS TIMESTAMP) AS odate
-              FROM orders WHERE o_orderkey % 29 = 0
-            ),
-            j AS (
-              SELECT o.o_orderkey, o.k, e.event_id, e.value, e.ts,
-                     row_number() OVER (
-                       PARTITION BY o.o_orderkey
-                       ORDER BY e.ts DESC NULLS LAST,
-                                e.event_id DESC NULLS LAST) AS rn
-              FROM o LEFT JOIN events e
-                ON e.user_id = o.k AND e.ts <= o.odate
-               AND CAST(floor(epoch(e.ts)) AS BIGINT)
-                   >= CAST(floor(epoch(o.odate)) AS BIGINT) - 604800
-            )
-            SELECT o_orderkey, k,
-                   CAST(event_id AS BIGINT) AS event_id, value
-            FROM j WHERE rn = 1
-        """,
-        "b21_bm25": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            dl AS (
-              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
-              WHERE tok <> '' GROUP BY doc_id
-            ),
-            scalars AS (
-              -- N = |documents| (all rows, matching tf_idf), avgdl over
-              -- non-empty docs only — mirrors lm.bm25_search
-              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
-                     CAST(count(*) AS DOUBLE) AS n_docs
-              FROM documents
-            ),
-            tf AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
-            ),
-            dfx AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
-            ),
-            scored AS (
-              SELECT tf.doc_id,
-                     round(sum(
-                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
-                       * tf.tf * 2.2
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-                     ), 6) AS score,
-                     CAST(count(*) AS BIGINT) AS n_terms_hit
-              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
-                   CROSS JOIN scalars s
-              GROUP BY tf.doc_id
-            )
-            SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                ORDER BY score DESC, doc_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 15
-        """,
-        "b30_ql_search": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-            dl AS (
-              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
-              FROM nz GROUP BY doc_id
-            ),
-            bigt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM nz),
-            cf AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS cf FROM nz
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY tok
-            ),
-            tf AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM nz
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
-            ),
-            matched AS (
-              SELECT tf.doc_id,
-                     sum(ln(1.0 + tf.tf * bigt.t / (2000.0 * cf.cf)))
-                       AS m,
-                     CAST(count(*) AS BIGINT) AS n_terms_hit
-              FROM tf JOIN cf USING (tok) CROSS JOIN bigt
-              GROUP BY tf.doc_id
-            ),
-            scored AS (
-              SELECT matched.doc_id,
-                     round(m + 3.0 * ln(2000.0 / (dl.dl + 2000.0)), 6)
-                       AS score,
-                     n_terms_hit
-              FROM matched JOIN dl USING (doc_id)
-            )
-            SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                ORDER BY score DESC, doc_id ASC) AS rank
-              FROM scored
-            ) WHERE rank <= 15
-        """,
-        "b21_perplexity": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-            model AS (SELECT tok, count(*) AS cnt FROM nz GROUP BY tok),
-            scalars AS (
-              SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
-                     CAST(count(*) AS DOUBLE) AS v_size
-              FROM model
-            ),
-            pdt AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM nz
-              GROUP BY doc_id, tok
-            ),
-            agg AS (
-              SELECT pdt.doc_id,
-                     CAST(sum(pdt.c) AS BIGINT) AS n_tok,
-                     sum(pdt.c * ln(m.cnt + 1.0)) AS num
-              FROM pdt JOIN model m USING (tok) GROUP BY pdt.doc_id
-            )
-            SELECT doc_id, n_tok,
-                   round(ln(s.t_total + 1.0 * s.v_size)
-                         - num / CAST(n_tok AS DOUBLE), 6) AS xent
-            FROM agg CROSS JOIN scalars s
-        """,
-        "b21_bpe_pairs": f"""
-            WITH toks AS (
-              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            vocab AS (
-              SELECT tok, count(*) AS wcnt FROM toks
-              WHERE len(tok) >= 2 GROUP BY tok
-            ),
-            pairs AS (
-              SELECT substring(tok, i, 2) AS pair,
-                     CAST(sum(wcnt) AS BIGINT) AS pair_count
-              FROM vocab,
-                   unnest(generate_series(1, len(tok) - 1)) AS t(i)
-              GROUP BY pair
-            )
-            SELECT pair, pair_count, CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                ORDER BY pair_count DESC, pair ASC) AS rank
-              FROM pairs
-            ) WHERE rank <= 50
-        """,
-        "b28_temperature": f"""
-            WITH totals AS (
-              SELECT lang, sum(n_chars) AS total FROM documents GROUP BY lang
-            ),
-            z AS (
-              SELECT sum(sqrt(CAST(total AS DOUBLE))) AS z FROM totals
-            ),
-            rates AS (
-              SELECT lang,
-                     least(100, CAST(floor(
-                       sqrt(CAST(total AS DOUBLE)) / z.z
-                       * 100000.0 * 100.0 / CAST(total AS DOUBLE)
-                       + 1e-9) AS BIGINT)) AS keep_b
-              FROM totals CROSS JOIN z
-            )
-            SELECT d.doc_id, d.lang, d.n_chars
-            FROM documents d JOIN rates r ON d.lang = r.lang
-            WHERE {sampling.bucket_sql('d.doc_id')} < r.keep_b
-        """,
-        "b21_quality_gate": f"""
-            WITH base AS (
-              SELECT doc_id, lang,
-                     {_sw_hits_sql('en')} AS s_en,
-                     CAST(length(text) AS BIGINT) AS q_chars,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          AS BIGINT) AS alpha
-              FROM documents
-            ),
-            feat AS (
-              SELECT doc_id, lang, q_tokens,
-                round(CAST(alpha AS DOUBLE)
-                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
-                  AS q_alpha_ratio,
-                round(CAST(s_en AS DOUBLE)
-                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
-                  AS q_stopword_ratio
-              FROM base
-            ),
-            scored AS (
-              SELECT doc_id, lang,
-                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                           + q_alpha_ratio * 0.4
-                           + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
-                       AS quality_score
-              FROM feat
-            ),
-            ranked AS (
-              SELECT *,
-                     round(percent_rank() OVER w, 6) AS pctile,
-                     row_number() OVER w AS rn,
-                     count(*) OVER (PARTITION BY lang) AS n
-              FROM scored
-              WINDOW w AS (PARTITION BY lang
-                           ORDER BY quality_score ASC, doc_id ASC)
-            )
-            SELECT doc_id, lang, quality_score, pctile
-            FROM ranked WHERE rn > floor(n * 0.25)
-        """,
-        "b28_curriculum": f"""
-            WITH base AS (
-              SELECT doc_id,
-                     {_sw_hits_sql('en')} AS s_en,
-                     CAST(length(text) AS BIGINT) AS q_chars,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          AS BIGINT) AS alpha
-              FROM documents
-            ),
-            feat AS (
-              SELECT doc_id, q_tokens,
-                round(CAST(alpha AS DOUBLE)
-                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
-                  AS q_alpha_ratio,
-                round(CAST(s_en AS DOUBLE)
-                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
-                  AS q_stopword_ratio
-              FROM base
-            ),
-            staged AS (
-              SELECT doc_id, q_tokens AS n_tok,
-                     least(CAST(floor(
-                       round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                             + q_alpha_ratio * 0.4
-                             + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
-                       * 10) AS BIGINT), 9) AS phase
-              FROM feat
-            ),
-            keyed AS (
-              SELECT *, phase * 10000000 + doc_id AS okey FROM staged
-            ),
-            cum AS (
-              SELECT *, COALESCE(sum(n_tok) OVER (
-                ORDER BY okey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
-              FROM keyed
-            )
-            SELECT doc_id, phase,
-                   CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
-                   CAST(n_tok AS BIGINT) AS n_tok
-            FROM cum
-        """,
-        "b26_cluster_kfold": f"""
-            WITH labels AS ({_dup_clusters_oracle_sql()}),
-            corpus AS ({_B19_CORPUS_SQL}),
-            keyed AS (
-              SELECT c.doc_id,
-                     COALESCE(l.cluster_id, c.doc_id) AS k
-              FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
-            )
-            SELECT CAST({sampling.bucket_sql('k', 5)} AS BIGINT) AS fold,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(count(DISTINCT k) AS BIGINT) AS n_keys
-            FROM keyed GROUP BY fold
-        """,
-        "b10_filtered_agg": """
-            SELECT l_linestatus,
-                   CAST(count(*) AS BIGINT) AS n_all,
-                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
-                        AS BIGINT) AS n_returned,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
-                         FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 2)
-                     AS returned_revenue,
-                   round(avg(CAST(l_quantity AS DOUBLE))
-                         FILTER (WHERE l_returnflag = 'R'), 6)
-                     AS avg_returned_qty
-            FROM lineitem GROUP BY l_linestatus
-        """,
-        "b19_cluster_stats": f"""
-            SELECT cluster_size,
-                   CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(count(*) - count(DISTINCT cluster_id) AS BIGINT)
-                     AS n_removable
-            FROM ({_dup_clusters_oracle_sql()}) labels
-            GROUP BY cluster_size
-        """,
-        "b20_vector_audit": """
-            WITH dv AS (
-              SELECT label,
-                     list_transform(embedding,
-                                    x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings
-            ),
-            n AS (
-              SELECT label, sqrt(list_dot_product(v, v)) AS nrm,
-                     CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
-                          THEN 1 ELSE 0 END AS has_nan
-              FROM dv
-            )
-            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-                   round(avg(nrm), 6) AS mean_norm,
-                   CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_zero,
-                   CAST(sum(has_nan) AS BIGINT) AS n_nan
-            FROM n GROUP BY label
-        """,
-        "b30_query_expansion": f"""
-            WITH tk AS (
-              SELECT doc_id,
-                     list_filter(string_split({_NORM_SQL}, ' '),
-                                 t -> t <> '') AS toks
-              FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, toks,
-                     unnest(generate_series(1, len(toks))) AS i
-              FROM tk
-            ),
-            raw AS (
-              SELECT least(toks[i], toks[i + d]) AS tok_a,
-                     greatest(toks[i], toks[i + d]) AS tok_b
-              FROM pos, unnest(generate_series(1, 2)) AS dd(d)
-              WHERE i + d <= len(toks)
-            ),
-            cnts AS (
-              SELECT tok_a, tok_b, count(*) AS n_pair FROM raw
-              GROUP BY tok_a, tok_b
-            ),
-            uni AS (
-              SELECT tok, count(*) AS cnt FROM (
-                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
-                FROM documents
-              ) WHERE tok <> '' GROUP BY tok
-            ),
-            scal AS (
-              SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM cnts) AS p_tot,
-                     (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS t_tot
-            ),
-            pmi AS (
-              SELECT c.tok_a, c.tok_b, CAST(c.n_pair AS BIGINT) AS n_pair,
-                     round(ln((c.n_pair / s.p_tot)
-                              / ((ua.cnt / s.t_tot) * (ub.cnt / s.t_tot))),
-                           6) AS pmi
-              FROM cnts c
-              JOIN uni ua ON c.tok_a = ua.tok
-              JOIN uni ub ON c.tok_b = ub.tok
-              CROSS JOIN scal s
-              WHERE c.n_pair >= 8
-            ),
-            partners AS (
-              SELECT tok_a AS seed, tok_b AS partner, n_pair, pmi FROM pmi
-              WHERE tok_a IN ('merge', 'join', 'batch')
-              UNION ALL
-              SELECT tok_b AS seed, tok_a AS partner, n_pair, pmi FROM pmi
-              WHERE tok_b IN ('merge', 'join', 'batch')
-            )
-            SELECT seed, partner, n_pair, pmi, CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY seed ORDER BY pmi DESC, partner ASC) AS rank
-              FROM partners
-            ) WHERE rank <= 5
-        """,
-        "b15_funnel_steps": """
-            WITH s1 AS (
-              SELECT user_id, min(ts) AS t FROM events
-              WHERE event_type = 'view' GROUP BY user_id
-            ),
-            s2 AS (
-              SELECT e.user_id, min(e.ts) AS t
-              FROM events e JOIN s1 ON e.user_id = s1.user_id
-              WHERE e.event_type = 'click' AND e.ts > s1.t
-              GROUP BY e.user_id
-            ),
-            s3 AS (
-              SELECT e.user_id, min(e.ts) AS t
-              FROM events e JOIN s2 ON e.user_id = s2.user_id
-              WHERE e.event_type = 'purchase' AND e.ts > s2.t
-              GROUP BY e.user_id
-            )
-            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
-            UNION ALL
-            SELECT CAST(2 AS BIGINT), 'click',
-                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
-            UNION ALL
-            SELECT CAST(3 AS BIGINT), 'purchase',
-                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
-        """,
-        "b3_op_drift": """
-            WITH per_type AS (
-              SELECT event_type,
-                     CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
-                              THEN 1 ELSE 0 END) AS DOUBLE) AS e,
-                     CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                              THEN 1 ELSE 0 END) AS DOUBLE) AS l
-              FROM events GROUP BY event_type
-            ),
-            tot AS (SELECT sum(e) AS te, sum(l) AS tl FROM per_type)
-            SELECT event_type,
-                   CAST(e AS BIGINT) AS n_early,
-                   CAST(l AS BIGINT) AS n_late,
-                   round(e / t.te, 6) AS share_early,
-                   round(l / t.tl, 6) AS share_late,
-                   round(l / t.tl - e / t.te, 6) AS drift
-            FROM per_type CROSS JOIN tot t
-        """,
-        "b19_source_novelty": f"""
-            WITH tk AS (
-              SELECT source, string_split({_NORM_SQL}, ' ') AS toks
-              FROM documents
-            ),
-            fps AS (
-              SELECT DISTINCT source,
-                     md5(array_to_string(
-                       list_slice(toks, i*8 + 1, i*8 + 16), ' ')) AS fp
-              FROM tk,
-                   unnest(generate_series(0,
-                     greatest((len(toks) - 16) // 8, 0))) AS t(i)
-            ),
-            spread AS (
-              SELECT fp, count(DISTINCT source) AS n_src FROM fps GROUP BY fp
-            )
-            SELECT f.source,
-                   CAST(count(*) AS BIGINT) AS n_fps,
-                   CAST(sum(CASE WHEN s.n_src = 1 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_unique,
-                   round(sum(CASE WHEN s.n_src = 1 THEN 1.0 ELSE 0.0 END)
-                         / CAST(count(*) AS DOUBLE), 6) AS novelty
-            FROM fps f JOIN spread s ON f.fp = s.fp
-            GROUP BY f.source
-        """,
-        "b15_session_stats": """
-            WITH base AS (
-              SELECT event_id, user_id, event_type,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
-              FROM events
-            ),
-            marked AS (
-              SELECT *,
-                     CASE WHEN sec - lag(sec, 1) OVER (
-                       PARTITION BY user_id
-                       ORDER BY sec ASC, event_id ASC) > 1800
-                     THEN 1 ELSE 0 END AS newf
-              FROM base
-            ),
-            tagged AS (
-              SELECT *, sum(newf) OVER (
-                PARTITION BY user_id
-                ORDER BY sec ASC, event_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
-                AS session_id
-              FROM marked
-            )
-            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-                   CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-                   CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
-            FROM tagged GROUP BY user_id, session_id
-        """,
-        "b24_incremental_card": f"""
-            WITH eff AS (
-              SELECT source, lang, text FROM documents
-              WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
-              UNION ALL
-              SELECT source, lang, text || ' zzz' AS text FROM documents
-              WHERE doc_id % 7 = 0
-            )
-            SELECT source, lang,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS sum_tok
-            FROM eff GROUP BY source, lang
-        """,
-        "b21_heaps_curve": f"""
-            WITH n AS (
-              SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
-            ),
-            toks AS (
-              SELECT CAST(least(9, floor(
-                       CAST(doc_id AS DOUBLE) * 10.0 / n.nd))
-                     AS BIGINT) AS decile,
-                     unnest(list_distinct(list_transform(
-                       generate_series(1,
-                         greatest(length({_NORM_SQL}) - 3, 1)),
-                       i -> substring({_NORM_SQL}, i, 4)))) AS tok
-              FROM documents CROSS JOIN n
-            ),
-            first_seen AS (
-              SELECT tok, min(decile) AS first_decile FROM toks
-              WHERE tok <> '' GROUP BY tok
-            ),
-            per_decile AS (
-              SELECT first_decile, CAST(count(*) AS BIGINT) AS new_tokens
-              FROM first_seen GROUP BY first_decile
-            )
-            SELECT first_decile AS decile, new_tokens,
-                   CAST(sum(new_tokens) OVER (
-                     ORDER BY first_decile
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS BIGINT) AS vocab_size
-            FROM per_decile
-        """,
-        "b21_readability": f"""
-            SELECT doc_id,
-                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
-                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
-                        AS BIGINT) AS n_syllables,
-                   round(206.835
-                         - 1.015 * CAST(len({_TOKS_SQL}) AS DOUBLE)
-                         - 84.6 * (CAST(len(regexp_extract_all(lower(text),
-                               '[aeiouy]+')) AS DOUBLE)
-                             / CAST(greatest(len({_TOKS_SQL}), 1)
-                                    AS DOUBLE)), 6) AS flesch
-            FROM documents
-        """,
-        "b21_zipf_fit": f"""
-            WITH counts AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM (
-                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
-                FROM documents
-              ) WHERE tok <> '' GROUP BY tok
-            ),
-            top AS (
-              SELECT CAST(r AS DOUBLE) AS r, n FROM (
-                SELECT n, row_number() OVER (
-                  ORDER BY n DESC, tok ASC) AS r
-                FROM counts
-              ) WHERE r <= 100
-            ),
-            xy AS (SELECT ln(r) AS x, ln(n) AS y FROM top),
-            agg AS (
-              SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx,
-                     sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
-              FROM xy
-            )
-            SELECT CAST(k AS BIGINT) AS n_points,
-                   round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
-                     AS zipf_slope
-            FROM agg
-        """,
-        "b23_grouped_agg_udf": """
-            -- np.average = sum(p*q)/sum(q) over float64; identical
-            -- products, sum-order noise absorbed by round(6)
-            SELECT l_returnflag,
-                   round(sum(CAST(l_extendedprice AS DOUBLE)
-                             * CAST(l_quantity AS DOUBLE))
-                         / sum(CAST(l_quantity AS DOUBLE)), 6)
-                     AS wmean_price
-            FROM lineitem GROUP BY l_returnflag
-        """,
-        "b10_price_histogram": """
-            WITH bounds AS (
-              SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
-                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
-              FROM lineitem
-            )
-            SELECT CAST(least(19, floor(
-                     (CAST(l_extendedprice AS DOUBLE) - b.lo)
-                     / ((b.hi - b.lo) / 20.0))) AS BIGINT) AS bin,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM lineitem CROSS JOIN bounds b
-            GROUP BY bin
-        """,
-        "b10_share_of_total": """
-            WITH rev AS (
-              SELECT n_name,
-                     sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS r
-              FROM lineitem l
-              JOIN orders o ON l.l_orderkey = o.o_orderkey
-              JOIN customer c ON o.o_custkey = c.c_custkey
-              JOIN nation n ON c.c_nationkey = n.n_nationkey
-              GROUP BY n_name
-            )
-            SELECT n_name,
-                   round(CAST(r AS DOUBLE), 2) AS revenue,
-                   round(CAST(r AS DOUBLE)
-                         / CAST(sum(r) OVER () AS DOUBLE), 6) AS share
-            FROM rev
-        """,
-        "b10_max_by": """
-            WITH m AS (
-              SELECT l_returnflag, max(l_extendedprice) AS mx,
-                     min(l_extendedprice) AS mn
-              FROM lineitem GROUP BY l_returnflag
-            )
-            SELECT m.l_returnflag,
-                   (SELECT CAST(max(li.l_orderkey) AS BIGINT) FROM lineitem li
-                    WHERE li.l_returnflag = m.l_returnflag
-                      AND li.l_extendedprice = m.mx) AS top_order,
-                   (SELECT CAST(min(li.l_orderkey) AS BIGINT) FROM lineitem li
-                    WHERE li.l_returnflag = m.l_returnflag
-                      AND li.l_extendedprice = m.mn) AS bottom_order,
-                   m.mx AS top_price, m.mn AS bottom_price
-            FROM m
-        """,
-        "b14_string_agg": """
-            SELECT r_name,
-                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
-                   CAST(count(*) AS BIGINT) AS n_nations
-            FROM nation JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name
-        """,
-        "b26_interleave": f"""
-            WITH srcs AS (
-              SELECT source,
-                     row_number() OVER (ORDER BY source ASC) - 1 AS six
-              FROM (SELECT DISTINCT source FROM documents)
-            ),
-            ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM srcs),
-            ranked AS (
-              SELECT doc_id, source,
-                     row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY {sampling.bucket_sql('doc_id', 1 << 32)} ASC,
-                                doc_id ASC) AS r
-              FROM documents
-            )
-            SELECT doc_id, ranked.source,
-                   CAST((r - 1) * ns.n + srcs.six AS BIGINT) AS pos
-            FROM ranked
-            JOIN srcs ON srcs.source = ranked.source
-            CROSS JOIN ns
-        """,
-        "b22_frame_extract": """
-            -- closed-form replay of synth_ppm_stream + extract_frames:
-            -- doc id has 2 + id%3 frames; frame f is (3+f) x 2 with
-            -- raster byte i = (id*31 + f*97 + i) % 256
-            WITH fr AS (
-              SELECT doc_id, f,
-                     CAST(3 + f AS INTEGER) AS width,
-                     CAST(2 AS INTEGER) AS height
-              FROM documents, generate_series(0, 4) g(f)
-              WHERE f < 2 + doc_id % 3
-            ),
-            px AS (
-              SELECT doc_id, f, width, height,
-                     (doc_id * 31 + f * 97 + i) % 256 AS val
-              FROM fr, generate_series(0, 41) gi(i)
-              WHERE i < width * height * 3
-            )
-            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-                   width, height,
-                   CAST(sum(val) AS BIGINT) AS frame_sum
-            FROM px GROUP BY doc_id, f, width, height
-        """,
-        "b22_audio_stats": """
-            -- closed-form replay of synth_pcm + audio_stats: sample i is
-            -- (id*7 + i*13) % 4096 - 2048 over n = 800 + (id%5)*160
-            -- samples; a zero crossing is a sign-bit flip (x<0 vs x>=0)
-            WITH px AS (
-              SELECT doc_id,
-                     800 + (doc_id % 5) * 160 AS n
-              FROM documents
-            ),
-            v AS (
-              SELECT doc_id, n, i,
-                     (doc_id * 7 + i * 13) % 4096 - 2048 AS val,
-                     CASE WHEN i >= 1
-                          THEN (doc_id * 7 + (i - 1) * 13) % 4096 - 2048
-                     END AS prev
-              FROM px, generate_series(0, 1439) g(i)
-              WHERE i < n
-            )
-            SELECT doc_id,
-                   CAST(min(n) AS BIGINT) AS n_samples,
-                   CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
-                   CAST(max(abs(val)) AS BIGINT) AS max_abs,
-                   CAST(sum(CASE WHEN prev IS NOT NULL
-                                 AND ((val < 0) <> (prev < 0))
-                            THEN 1 ELSE 0 END) AS BIGINT)
-                     AS zero_crossings,
-                   CAST(sum(val * val) AS BIGINT) AS energy
-            FROM v GROUP BY doc_id
-        """,
-        "b11_lag_features": """
-            WITH ev AS (
-              SELECT event_id, user_id, ts,
-                     CAST(floor(value * 100) AS BIGINT) AS cents
-              FROM events WHERE event_type = 'purchase'
-            )
-            SELECT event_id, user_id, cents,
-                   lag(cents, 1) OVER w AS lag1_cents,
-                   lag(cents, 2) OVER w AS lag2_cents,
-                   round(CAST(sum(cents) OVER r AS DOUBLE)
-                         / (count(*) OVER r * 100.0), 6) AS rolling3_mean
-            FROM ev
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-                   r AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        """,
-        "b3_freshness": """
-            WITH ev AS (
-              SELECT event_type,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
-              FROM events
-            ),
-            per AS (
-              SELECT event_type, max(sec) AS latest,
-                     CAST(count(*) AS BIGINT) AS n_events
-              FROM ev GROUP BY event_type
-            ),
-            hw AS (SELECT max(sec) AS h FROM ev)
-            SELECT event_type, n_events,
-                   CAST(h - latest AS BIGINT) AS lag_seconds
-            FROM per CROSS JOIN hw
-        """,
-        "b21_quantile_norm": f"""
-            WITH ranked AS (
-              SELECT doc_id, source, n_chars,
-                     row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY n_chars ASC, doc_id ASC) AS r,
-                     count(*) OVER (PARTITION BY source) AS n
-              FROM documents
-            ),
-            idx AS (
-              SELECT doc_id, source, n_chars,
-                     CASE WHEN n > 1
-                          THEN CAST(((r - 1) * 100) // (n - 1) AS INTEGER)
-                          ELSE 0 END AS pct_idx
-              FROM ranked
-            ),
-            edges AS (
-              SELECT quantile_cont(n_chars,
-                [{', '.join(repr(i / 100.0) for i in range(101))}]) AS e
-              FROM documents
-            )
-            SELECT doc_id, source, n_chars, pct_idx,
-                   round(e[pct_idx + 1], 6) AS normalized
-            FROM idx CROSS JOIN edges
-        """,
-        "b30_assoc_rules": """
-            WITH base AS (
-              SELECT event_id, user_id, event_type,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
-              FROM events
-            ),
-            marked AS (
-              SELECT *, CASE WHEN sec - lag(sec, 1) OVER (
-                       PARTITION BY user_id
-                       ORDER BY sec ASC, event_id ASC) > 1800
-                     THEN 1 ELSE 0 END AS newf
-              FROM base
-            ),
-            sessioned AS (
-              SELECT user_id, event_type,
-                     sum(newf) OVER (
-                       PARTITION BY user_id
-                       ORDER BY sec ASC, event_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       + 1 AS session_id
-              FROM marked
-            ),
-            items AS (
-              SELECT DISTINCT user_id, session_id, event_type AS item
-              FROM sessioned
-            ),
-            nb AS (
-              SELECT CAST(count(*) AS BIGINT) AS n FROM (
-                SELECT DISTINCT user_id, session_id FROM items)
-            ),
-            supp AS (
-              SELECT item, CAST(count(*) AS BIGINT) AS s
-              FROM items GROUP BY item
-            ),
-            pairs AS (
-              SELECT a.item AS item_a, b.item AS item_b,
-                     CAST(count(*) AS BIGINT) AS n_ab
-              FROM items a JOIN items b
-                ON a.user_id = b.user_id AND a.session_id = b.session_id
-              WHERE a.item < b.item
-              GROUP BY a.item, b.item
-            )
-            SELECT item_a, item_b, n_ab,
-                   sa.s AS n_a, sb.s AS n_b,
-                   round(n_ab / CAST(sa.s AS DOUBLE), 6) AS conf_a_to_b,
-                   round(n_ab / CAST(sb.s AS DOUBLE), 6) AS conf_b_to_a,
-                   round(nb.n * n_ab / CAST(sa.s * sb.s AS DOUBLE), 6)
-                     AS lift
-            FROM pairs
-            JOIN supp sa ON sa.item = pairs.item_a
-            JOIN supp sb ON sb.item = pairs.item_b
-            CROSS JOIN nb
-        """,
-        "b15_forward_fill": """
-            WITH ev AS (
-              SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
-                     value, event_type
-              FROM events
-            ),
-            sparse AS (
-              SELECT cohort, day,
-                     round(CAST(sum(CAST(floor(value * 100) AS BIGINT))
-                                AS DOUBLE)
-                           / (count(*) * 100.0), 6) AS obs
-              FROM ev WHERE event_type = 'purchase'
-              GROUP BY cohort, day
-            ),
-            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
-            calendar AS (
-              SELECT CAST(unnest(generate_series(lo, hi,
-                                                 INTERVAL 1 DAY)) AS DATE)
-                       AS day
-              FROM bounds
-            ),
-            grid AS (
-              SELECT c.cohort, cal.day
-              FROM (SELECT DISTINCT cohort FROM ev) c
-              CROSS JOIN calendar cal
-            ),
-            dense AS (
-              SELECT g.cohort, g.day, s.obs
-              FROM grid g LEFT JOIN sparse s
-                ON s.cohort = g.cohort AND s.day = g.day
-            )
-            SELECT cohort, day,
-                   obs IS NOT NULL AS observed,
-                   last_value(obs IGNORE NULLS) OVER (
-                     PARTITION BY cohort ORDER BY day ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS value_filled
-            FROM dense
-        """,
-        "b15_concurrency": """
-            WITH base AS (
-              SELECT event_id, user_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
-              FROM events
-            ),
-            marked AS (
-              SELECT event_id, user_id, sec,
-                     CASE WHEN sec - lag(sec, 1) OVER (
-                       PARTITION BY user_id
-                       ORDER BY sec ASC, event_id ASC) > 1800
-                     THEN 1 ELSE 0 END AS newf
-              FROM base
-            ),
-            sessioned AS (
-              SELECT user_id, sec,
-                     sum(newf) OVER (
-                       PARTITION BY user_id
-                       ORDER BY sec ASC, event_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       + 1 AS session_id
-              FROM marked
-            ),
-            sess AS (
-              SELECT user_id, session_id,
-                     min(sec) AS s, max(sec) AS e
-              FROM sessioned GROUP BY user_id, session_id
-            ),
-            deltas AS (
-              SELECT user_id, session_id, s AS sec, 1 AS delta FROM sess
-              UNION ALL
-              SELECT user_id, session_id, e + 1 AS sec, -1 AS delta FROM sess
-            ),
-            dayd AS (
-              SELECT *, CAST(sec // 86400 AS BIGINT) AS day FROM deltas
-            ),
-            run AS (
-              SELECT *, sum(delta) OVER (
-                PARTITION BY day
-                ORDER BY sec ASC, delta DESC, user_id ASC, session_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
-              FROM dayd
-            ),
-            daytot AS (
-              SELECT day, sum(delta) AS t FROM dayd GROUP BY day
-            ),
-            basea AS (
-              SELECT day, COALESCE(sum(t) OVER (
-                ORDER BY day ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS b
-              FROM daytot
-            )
-            SELECT run.day,
-                   CAST(max(basea.b + run.r) AS BIGINT) AS max_concurrency,
-                   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_sessions_started
-            FROM run JOIN basea ON run.day = basea.day
-            GROUP BY run.day
-        """,
-        "b15_sessionize": """
-            WITH base AS (
-              SELECT event_id, user_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
-              FROM events
-            ),
-            marked AS (
-              SELECT event_id, user_id, sec,
-                     CASE WHEN sec - lag(sec, 1) OVER (
-                       PARTITION BY user_id
-                       ORDER BY sec ASC, event_id ASC) > 1800
-                     THEN 1 ELSE 0 END AS newf
-              FROM base
-            )
-            SELECT event_id, user_id,
-                   CAST(sum(newf) OVER (
-                     PARTITION BY user_id
-                     ORDER BY sec ASC, event_id ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     + 1 AS BIGINT) AS session_id
-            FROM marked
-        """,
-        "b19_source_overlap": f"""
-            WITH tk AS (
-              SELECT source, string_split({_NORM_SQL}, ' ') AS toks
-              FROM documents
-            ),
-            fps AS (
-              SELECT DISTINCT source,
-                     md5(array_to_string(
-                       list_slice(toks, i*8 + 1, i*8 + 16), ' ')) AS fp
-              FROM tk,
-                   unnest(generate_series(0,
-                     greatest((len(toks) - 16) // 8, 0))) AS t(i)
-            ),
-            sizes AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n FROM fps
-              GROUP BY source
-            ),
-            common AS (
-              SELECT a.source AS source_a, b.source AS source_b,
-                     CAST(count(*) AS BIGINT) AS n_common
-              FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
-              GROUP BY a.source, b.source
-            )
-            SELECT c.source_a, c.source_b, c.n_common,
-                   round(CAST(c.n_common AS DOUBLE)
-                         / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6)
-                     AS jaccard
-            FROM common c
-            JOIN sizes sa ON c.source_a = sa.source
-            JOIN sizes sb ON c.source_b = sb.source
-        """,
-        "b11_range_frame": """
-            WITH base AS (
-              SELECT event_id, user_id, value,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
-              FROM events
-            )
-            SELECT event_id, user_id,
-                   CAST(count(*) OVER w AS BIGINT) AS n_30m,
-                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w
-                         AS DOUBLE), 6) AS sum_30m
-            FROM base
-            WINDOW w AS (PARTITION BY user_id ORDER BY sec
-                         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
-        """,
-        "b7_skew_diagnosis": """
-            WITH per_key AS (
-              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
-              FROM lineitem GROUP BY l_orderkey
-            ),
-            scal AS (
-              SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
-                     avg(CAST(n_rows AS DOUBLE)) AS mean
-              FROM per_key
-            )
-            SELECT l_orderkey, n_rows,
-                   round(n_rows / s.total, 6) AS share,
-                   round(n_rows / s.mean, 6) AS skew_ratio,
-                   CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                ORDER BY n_rows DESC, l_orderkey ASC) AS rank
-              FROM per_key
-            ) p CROSS JOIN scal s
-            WHERE rank <= 20
-        """,
-        "b19_pair_dataset": f"""
-            WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
-            pos AS (
-              SELECT id_a, id_b, CAST(1 AS BIGINT) AS label FROM pairs
-            ),
-            pri AS (
-              SELECT doc_id,
-                     {sampling.bucket_sql('doc_id', 64)} AS b,
-                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
-              FROM documents
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY b ORDER BY p ASC, doc_id ASC) AS r
-              FROM pri
-            ),
-            shifted AS (
-              SELECT DISTINCT least(l.doc_id, rr.doc_id) AS id_a,
-                     greatest(l.doc_id, rr.doc_id) AS id_b
-              FROM ranked l JOIN ranked rr
-                ON ((l.b + 37) % 64) = rr.b AND l.r = rr.r
-              WHERE l.doc_id <> rr.doc_id
-            ),
-            neg AS (
-              SELECT s.id_a, s.id_b, CAST(0 AS BIGINT) AS label
-              FROM shifted s
-              ANTI JOIN pos p ON s.id_a = p.id_a AND s.id_b = p.id_b
-            )
-            SELECT * FROM pos UNION ALL SELECT * FROM neg
-        """,
-        "b21_corpus_card": f"""
-            WITH per_doc AS (
-              SELECT doc_id, source, lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     round(least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 50.0,
-                                 1.0) * 0.4
-                           + round(CAST(length(regexp_replace(text,
-                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                               / CAST(greatest(length(text), 1) AS DOUBLE), 6)
-                             * 0.4
-                           + least(round(CAST({_sw_hits_sql('en')} AS DOUBLE)
-                               / CAST(greatest(len({_TOKS_SQL}), 1)
-                                      AS DOUBLE), 6) * 5.0, 1.0) * 0.2, 6)
-                       AS quality_score
-              FROM documents
-            ),
-            per_source AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(q_tokens) AS BIGINT) AS sum_tok,
-                     round(avg(quality_score), 6) AS mean_quality
-              FROM per_doc GROUP BY source
-            ),
-            lc AS (
-              SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
-              FROM documents GROUP BY source, lang
-            ),
-            ent AS (
-              SELECT source,
-                     round(-sum((c / n) * ln(c / n)), 6) AS lang_entropy
-              FROM (
-                SELECT source, lang, c,
-                       sum(c) OVER (PARTITION BY source) AS n
-                FROM lc
-              ) GROUP BY source
-            )
-            SELECT p.source, p.n_docs, p.sum_tok, p.mean_quality,
-                   e.lang_entropy
-            FROM per_source p JOIN ent e ON p.source = e.source
-        """,
-        "b26_kfold": f"""
-            SELECT doc_id, lang,
-                   CAST({sampling.bucket_sql('doc_id', 5)} AS BIGINT) AS fold
-            FROM documents
-        """,
-        "b28_epochs": f"""
-            WITH sized AS (
-              SELECT doc_id, lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
-              FROM documents
-            ),
-            totals AS (
-              SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
-            ),
-            rates AS (
-              SELECT lang,
-                     CASE WHEN total IS NULL OR total <= 0 THEN NULL
-                          ELSE ((CASE lang WHEN 'en' THEN 4000
-                                           WHEN 'de' THEN 20000
-                                           WHEN 'zh' THEN 15000
-                                           ELSE NULL END) * 100) // total
-                     END AS r
-              FROM totals
-            )
-            SELECT s.doc_id, s.lang, s.n_tok,
-                   CAST(CASE WHEN r.r IS NULL THEN 1
-                        ELSE (r.r // 100)
-                             + (CASE WHEN {sampling.bucket_sql('s.doc_id')}
-                                     < (r.r % 100) THEN 1 ELSE 0 END)
-                        END AS BIGINT) AS n_copies
-            FROM sized s JOIN rates r ON s.lang = r.lang
-        """,
-        "b24_corpus_v3": f"""
-            WITH base AS (
-              SELECT doc_id, lang,
-                     {_sw_hits_sql('en')} AS s_en,
-                     CAST(length(text) AS BIGINT) AS q_chars,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          AS BIGINT) AS alpha
-              FROM documents
-            ),
-            feat AS (
-              SELECT doc_id, lang, q_tokens,
-                round(CAST(alpha AS DOUBLE)
-                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
-                  AS q_alpha_ratio,
-                round(CAST(s_en AS DOUBLE)
-                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
-                  AS q_stopword_ratio
-              FROM base
-            ),
-            scored AS (
-              SELECT doc_id, lang, q_tokens,
-                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                           + q_alpha_ratio * 0.4
-                           + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
-                       AS quality_score
-              FROM feat
-            ),
-            toksx AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            nzx AS (SELECT doc_id, tok FROM toksx WHERE tok <> ''),
-            modelx AS (SELECT tok, count(*) AS cnt FROM nzx GROUP BY tok),
-            scalx AS (
-              SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
-                     CAST(count(*) AS DOUBLE) AS v_size
-              FROM modelx
-            ),
-            pdtx AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c FROM nzx
-              GROUP BY doc_id, tok
-            ),
-            xent AS (
-              SELECT a.doc_id,
-                     round(ln(s.t_total + 1.0 * s.v_size)
-                           - a.num / CAST(a.n_tok AS DOUBLE), 6) AS xent
-              FROM (
-                SELECT pdtx.doc_id,
-                       CAST(sum(pdtx.c) AS BIGINT) AS n_tok,
-                       sum(pdtx.c * ln(m.cnt + 1.0)) AS num
-                FROM pdtx JOIN modelx m USING (tok) GROUP BY pdtx.doc_id
-              ) a CROSS JOIN scalx s
-            ),
-            j AS (
-              SELECT sc.doc_id, sc.lang, sc.q_tokens, sc.quality_score,
-                     x.xent
-              FROM scored sc JOIN xent x ON sc.doc_id = x.doc_id
-            ),
-            g1 AS (
-              SELECT * FROM (
-                SELECT *,
-                       round(percent_rank() OVER w, 6) AS pctile,
-                       row_number() OVER w AS rn,
-                       count(*) OVER (PARTITION BY lang) AS n
-                FROM j
-                WINDOW w AS (PARTITION BY lang
-                             ORDER BY quality_score ASC, doc_id ASC)
-              ) WHERE rn > floor(n * 0.25)
-            ),
-            g2 AS (
-              SELECT * FROM (
-                SELECT *, round(percent_rank() OVER (
-                  PARTITION BY lang ORDER BY xent ASC, doc_id ASC), 6)
-                  AS xpr
-                FROM g1
-              ) WHERE xpr <= 0.9
-            ),
-            totals AS (
-              SELECT lang, sum(q_tokens) AS total FROM g2 GROUP BY lang
-            ),
-            z AS (
-              SELECT sum(sqrt(CAST(total AS DOUBLE))) AS z FROM totals
-            ),
-            rates AS (
-              SELECT lang,
-                     least(100, CAST(floor(
-                       sqrt(CAST(total AS DOUBLE)) / z.z
-                       * 20000.0 * 100.0 / CAST(total AS DOUBLE)
-                       + 1e-9) AS BIGINT)) AS keep_b
-              FROM totals CROSS JOIN z
-            ),
-            mixed AS (
-              SELECT g.doc_id, g.q_tokens AS n_tok, g.quality_score
-              FROM g2 g JOIN rates r ON g.lang = r.lang
-              WHERE {sampling.bucket_sql('g.doc_id')} < r.keep_b
-            ),
-            staged AS (
-              SELECT doc_id, n_tok,
-                     least(CAST(floor(quality_score * 10) AS BIGINT), 9)
-                       AS phase
-              FROM mixed
-            ),
-            keyed AS (
-              SELECT *, phase * 10000000 + doc_id AS okey FROM staged
-            ),
-            cum AS (
-              SELECT *, COALESCE(sum(n_tok) OVER (
-                ORDER BY okey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
-              FROM keyed
-            ),
-            packed AS (
-              SELECT *, CAST(floor(c / 2000.0) AS BIGINT) AS pack_id
-              FROM cum
-            )
-            SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-                   CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs
-            FROM packed GROUP BY phase
-        """,
-        "b27_sketch_bounds": """
-            SELECT l_returnflag,
-                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
-                   abs(approx_count_distinct(l_orderkey)
-                       - count(DISTINCT l_orderkey))
-                     <= 0.15 * count(DISTINCT l_orderkey) AS cd_within_bound,
-                   abs(approx_quantile(l_extendedprice, 0.5)
-                       - quantile_cont(l_extendedprice, 0.5))
-                     <= 0.05 * quantile_cont(l_extendedprice, 0.5)
-                     AS p50_within_bound
-            FROM lineitem GROUP BY l_returnflag
-        """,
-        "b7_shipping_priority": """
-            WITH agg AS (
-              SELECT l.l_orderkey,
-                     CAST(o.o_orderdate AS DATE) AS o_orderdate,
-                     o.o_orderpriority,
-                     round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))
-                           * (CAST(1 AS DECIMAL(38,6))
-                              - CAST(l.l_discount AS DECIMAL(38,6))))
-                           AS DOUBLE), 2) AS revenue
-              FROM lineitem l
-              JOIN orders o ON l.l_orderkey = o.o_orderkey
-              JOIN customer c ON o.o_custkey = c.c_custkey
-              WHERE c.c_mktsegment = 'BUILDING'
-                AND o.o_orderdate < TIMESTAMP '1996-06-01'
-                AND l.l_shipdate > TIMESTAMP '1996-06-01'
-              GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-            )
-            SELECT l_orderkey, o_orderdate, o_orderpriority, revenue,
-                   CAST(rank AS BIGINT) AS rank
-            FROM (
-              SELECT *, row_number() OVER (
-                ORDER BY revenue DESC, l_orderkey ASC) AS rank
-              FROM agg
-            ) WHERE rank <= 10
-        """,
-        "b10_large_orders": """
-            WITH big AS (
-              SELECT l_orderkey,
-                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS q
-              FROM lineitem GROUP BY l_orderkey
-              HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300
-            )
-            SELECT o.o_orderkey, o.o_custkey,
-                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
-                   CAST(b.q AS DOUBLE) AS total_qty
-            FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
-        """,
-        "b15_funnel": """
-            WITH s1 AS (
-              SELECT user_id, min(ts) AS t1 FROM events
-              WHERE event_type = 'view' GROUP BY user_id
-            ),
-            s2 AS (
-              SELECT e.user_id, min(e.ts) AS t2
-              FROM events e JOIN s1 ON e.user_id = s1.user_id
-              WHERE e.event_type = 'click' AND e.ts > s1.t1
-              GROUP BY e.user_id
-            ),
-            s3 AS (
-              SELECT e.user_id, min(e.ts) AS t3
-              FROM events e JOIN s2 ON e.user_id = s2.user_id
-              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-              GROUP BY e.user_id
-            )
-            SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
-                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
-                     AS n_click_after_view,
-                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
-                     AS n_purchase_after_click
-        """,
-        "b15_cohorts": """
-            WITH first AS (
-              SELECT user_id,
-                     CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
-              FROM events GROUP BY user_id
-            )
-            SELECT f.cohort_week,
-                   CAST(datediff('day', f.cohort_week,
-                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
-                        AS BIGINT) AS week_offset,
-                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
-            FROM events e JOIN first f ON e.user_id = f.user_id
-            GROUP BY f.cohort_week, week_offset
-        """,
-        "b30_bool_search": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
-            FROM toks
-            WHERE tok IN ('batch', 'join', 'merge')
-            GROUP BY doc_id
-            HAVING count(DISTINCT tok) = 3
-        """,
-        "b21_lang_confusion": f"""
-            WITH base AS (
-              SELECT lang,
-                     {_sw_hits_sql('de')} AS s_de,
-                     {_sw_hits_sql('en')} AS s_en,
-                     {_sw_hits_sql('es')} AS s_es,
-                     {_sw_hits_sql('fr')} AS s_fr
-              FROM documents
-            )
-            SELECT lang,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                        ELSE 'fr' END AS lang_guess,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM base GROUP BY lang, lang_guess
-        """,
-        "b20_mean_pool": """
-            WITH ex AS (
-              SELECT label,
-                     generate_subscripts(embedding, 1) AS dim,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings
-            ),
-            per_dim AS (
-              SELECT label, dim, round(avg(v), 6) AS val
-              FROM ex GROUP BY label, dim
-            ),
-            counts AS (
-              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
-              FROM embeddings GROUP BY label
-            )
-            SELECT c.label, c.n_vecs,
-                   (SELECT string_agg(printf('%.6f', val), ',' ORDER BY dim)
-                    FROM per_dim p
-                    WHERE p.label = c.label) AS centroid_csv
-            FROM counts c
-        """,
-        "b20_centroid_drift": """
-            WITH ex AS (
-              SELECT label,
-                     generate_subscripts(embedding, 1) AS dim,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings
-            ),
-            per AS (
-              SELECT label, dim, round(avg(v), 6) AS lv
-              FROM ex GROUP BY label, dim
-            ),
-            gm AS (
-              SELECT dim, round(avg(v), 6) AS gv
-              FROM ex GROUP BY dim
-            ),
-            counts AS (
-              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
-              FROM embeddings GROUP BY label
-            ),
-            drift AS (
-              SELECT label,
-                     round(sqrt(sum((lv - gv) * (lv - gv))), 6) AS drift
-              FROM per JOIN gm USING (dim) GROUP BY label
-            )
-            SELECT CAST(c.label AS INTEGER) AS label, c.n_vecs, d.drift
-            FROM counts c JOIN drift d ON c.label = d.label
-        """,
-        "b3_fk_integrity": """
-            WITH r1 AS (
-              SELECT 'orders.o_custkey->customer' AS relation,
-                     CAST(count(*) AS BIGINT) AS n_child,
-                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_orphans
-              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-            ),
-            r2 AS (
-              SELECT 'lineitem.l_orderkey->orders',
-                     CAST(count(*) AS BIGINT),
-                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT)
-              FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
-            ),
-            r3 AS (
-              SELECT 'lineitem.l_partkey->part',
-                     CAST(count(*) AS BIGINT),
-                     CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT)
-              FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
-            ),
-            r4 AS (
-              SELECT 'lineitem.l_suppkey->supplier',
-                     CAST(count(*) AS BIGINT),
-                     CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT)
-              FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
-            ),
-            un AS (
-              SELECT * FROM r1 UNION ALL SELECT * FROM r2
-              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
-            )
-            SELECT relation, n_child, n_orphans,
-                   round(n_orphans / CAST(n_child AS DOUBLE), 6)
-                     AS orphan_rate
-            FROM un
-        """,
-        "b26_fixed_per_group": f"""
-            WITH pri AS (
-              SELECT doc_id, lang, n_chars,
-                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
-              FROM documents
-            ),
-            ranked AS (
-              SELECT doc_id, lang, n_chars, row_number() OVER (
-                PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS rn
-              FROM pri
-            )
-            SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
-        """,
-        "b30_kneser_ney": f"""
-            WITH tk AS (
-              SELECT doc_id,
-                     list_filter(string_split({_NORM_SQL}, ' '),
-                                 t -> t <> '') AS toks
-              FROM documents
-            ),
-            occ AS (
-              SELECT toks[i] AS a, toks[i + 1] AS b
-              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
-            ),
-            bg AS (
-              SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
-              FROM occ GROUP BY a, b
-            ),
-            ctx AS (
-              SELECT a, CAST(sum(cnt) AS BIGINT) AS ca,
-                     CAST(count(*) AS BIGINT) AS n1f
-              FROM bg GROUP BY a
-            ),
-            bwd AS (
-              SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY b
-            ),
-            nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bg)
-            SELECT bg.a, bg.b, cnt,
-                   round(greatest(cnt - 0.75, 0.0) / CAST(ca AS DOUBLE)
-                         + ((0.75 * n1f) / CAST(ca AS DOUBLE))
-                           * (n1b / CAST(nbt AS DOUBLE)), 6) AS p_kn,
-                   round((0.75 * n1f) / CAST(ca AS DOUBLE), 6) AS lam,
-                   round(n1b / CAST(nbt AS DOUBLE), 6) AS p_cont
-            FROM bg JOIN ctx ON ctx.a = bg.a
-                    JOIN bwd ON bwd.b = bg.b
-                    CROSS JOIN nbt
-        """,
-        "b30_bigram_xent": f"""
-            WITH tk AS (
-              SELECT doc_id,
-                     list_filter(string_split({_NORM_SQL}, ' '),
-                                 t -> t <> '') AS toks
-              FROM documents
-            ),
-            occ AS (
-              SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
-              FROM tk, unnest(generate_series(1, len(toks) - 1)) AS t(i)
-            ),
-            per_doc AS (
-              SELECT doc_id, a, b, CAST(count(*) AS DOUBLE) AS c
-              FROM occ GROUP BY doc_id, a, b
-            ),
-            gb AS (
-              SELECT a, b, CAST(count(*) AS DOUBLE) AS cab
-              FROM occ GROUP BY a, b
-            ),
-            ctx AS (
-              SELECT a, CAST(count(*) AS DOUBLE) AS ca FROM occ GROUP BY a
-            ),
-            uni AS (
-              SELECT tok, count(*) AS cnt FROM (
-                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
-                FROM documents
-              ) WHERE tok <> '' GROUP BY tok
-            ),
-            scal AS (
-              SELECT CAST(sum(cnt) AS DOUBLE) AS t_tot,
-                     CAST(count(*) AS DOUBLE) AS v_size
-              FROM uni
-            ),
-            agg AS (
-              SELECT d.doc_id,
-                     CAST(sum(d.c) AS BIGINT) AS n_pairs,
-                     -- (1.0 - 0.7), not 0.3: the Spark side computes the
-                     -- interpolation weight as 1-λ in IEEE doubles, and
-                     -- the literal 0.3 parses to a DIFFERENT double one
-                     -- ulp away; the subtraction folds identically
-                     sum(d.c * ln(0.7 * (g.cab / x.ca)
-                                  + (1.0 - 0.7) * ((u.cnt + 1.0)
-                                           / (s.t_tot + 1.0 * s.v_size))))
-                       AS num
-              FROM per_doc d
-              JOIN gb g ON d.a = g.a AND d.b = g.b
-              JOIN ctx x ON d.a = x.a
-              JOIN uni u ON d.b = u.tok
-              CROSS JOIN scal s
-              GROUP BY d.doc_id
-            )
-            SELECT doc_id, n_pairs,
-                   round(-num / CAST(n_pairs AS DOUBLE), 6) AS xent
-            FROM agg
-        """,
-        "b30_inverted_index": f"""
-            WITH dt AS (
-              SELECT DISTINCT doc_id, tok FROM (
-                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-                FROM documents
-              ) WHERE tok <> ''
-            ),
-            agg AS (
-              SELECT tok, CAST(count(*) AS BIGINT) AS df_t,
-                     array_to_string(list_sort(list(doc_id)), ',')
-                       AS postings_csv
-              FROM dt GROUP BY tok
-            )
-            SELECT tok, df_t, postings_csv FROM agg
-            WHERE df_t >= 2 AND df_t <= 100000
-        """,
-        "b30_pmi": f"""
-            WITH tk AS (
-              SELECT doc_id,
-                     list_filter(string_split({_NORM_SQL}, ' '),
-                                 t -> t <> '') AS toks
-              FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, toks,
-                     unnest(generate_series(1, len(toks))) AS i
-              FROM tk
-            ),
-            raw AS (
-              SELECT least(toks[i], toks[i + d]) AS tok_a,
-                     greatest(toks[i], toks[i + d]) AS tok_b
-              FROM pos, unnest(generate_series(1, 2)) AS dd(d)
-              WHERE i + d <= len(toks)
-            ),
-            cnts AS (
-              SELECT tok_a, tok_b, count(*) AS n_pair FROM raw
-              GROUP BY tok_a, tok_b
-            ),
-            uni AS (
-              SELECT tok, count(*) AS cnt FROM (
-                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
-                FROM documents
-              ) WHERE tok <> '' GROUP BY tok
-            ),
-            scal AS (
-              SELECT (SELECT CAST(sum(n_pair) AS DOUBLE) FROM cnts) AS p_tot,
-                     (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS t_tot
-            )
-            SELECT c.tok_a, c.tok_b, CAST(c.n_pair AS BIGINT) AS n_pair,
-                   round(ln((c.n_pair / s.p_tot)
-                            / ((ua.cnt / s.t_tot) * (ub.cnt / s.t_tot))), 6)
-                     AS pmi
-            FROM cnts c
-            JOIN uni ua ON c.tok_a = ua.tok
-            JOIN uni ub ON c.tok_b = ub.tok
-            CROSS JOIN scal s
-            WHERE c.n_pair >= 8
-        """,
-        "b30_incremental_lm": f"""
-            WITH eff AS (
-              SELECT text FROM documents
-              WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
-              UNION ALL
-              SELECT text || ' zzz' AS text FROM documents
-              WHERE doc_id % 7 = 0
-            ),
-            toks AS (
-              SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM eff
-            )
-            SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks
-            WHERE tok <> '' GROUP BY tok
-        """,
-        "b7_salted_join": """
-            SELECT o.o_custkey, count(*) AS n_items,
-                   CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
-                     AS sum_qty
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            GROUP BY o.o_custkey
-        """,
-        "b21_nchars_histogram": """
-            WITH per_lang AS (
-              SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang
-            ),
-            hist AS (
-              SELECT lang, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
-                     count(*) AS n_docs
-              FROM documents GROUP BY 1, 2
-            )
-            SELECT h.lang, h.bucket, h.n_docs,
-                   round(CAST(h.n_docs AS DOUBLE) / CAST(p.lang_total AS DOUBLE), 6)
-                     AS share
-            FROM hist h JOIN per_lang p ON h.lang = p.lang
-        """,
-        "b24_corpus_build": f"""
-            WITH {_DOCS_DUPS_SQL},
-            feat AS (
-              SELECT doc_id, text, lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS q_alpha_ratio,
-                     round(CAST({_sw_hits_sql('en')} AS DOUBLE)
-                           / CAST(greatest(len({_TOKS_SQL}), 1) AS DOUBLE), 6) AS q_sw_ratio
-              FROM docs
-            ),
-            scored AS (
-              SELECT *,
-                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                           + q_alpha_ratio * 0.4
-                           + least(q_sw_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
-              FROM feat
-            ),
-            gated AS (
-              SELECT * FROM scored WHERE quality_score >= 0.5 AND q_tokens >= 20
-            ),
-            deduped AS (
-              SELECT * FROM (
-                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-                FROM gated
-              ) WHERE rn = 1
-            )
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(q_tokens) AS BIGINT) AS total_tokens,
-                   round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
-                         / CAST(count(*) AS DOUBLE), 6) AS avg_quality
-            FROM deduped GROUP BY lang
-        """,
-        "b28_training_manifest": f"""
-            WITH {_DOCS_DUPS_SQL},
-            feat AS (
-              SELECT doc_id, text, lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS q_alpha_ratio,
-                     round(CAST({_sw_hits_sql('en')} AS DOUBLE)
-                           / CAST(greatest(len({_TOKS_SQL}), 1) AS DOUBLE), 6) AS q_sw_ratio
-              FROM docs
-            ),
-            scored AS (
-              SELECT *,
-                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                           + q_alpha_ratio * 0.4
-                           + least(q_sw_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
-              FROM feat
-            ),
-            gated AS (
-              SELECT * FROM scored WHERE quality_score >= 0.5 AND q_tokens >= 20
-            ),
-            deduped AS (
-              SELECT * FROM (
-                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-                FROM gated
-              ) WHERE rn = 1
-            ),
-            sampled AS (
-              SELECT * FROM deduped
-              WHERE {sampling.bucket_sql('doc_id')} <
-                    CASE lang WHEN 'en' THEN 50 ELSE 100 END
-            ),
-            manifest AS (
-              SELECT *,
-                     CASE WHEN {sampling.bucket_sql('doc_id')} < 80 THEN 'train'
-                          WHEN {sampling.bucket_sql('doc_id')} < 90 THEN 'val'
-                          WHEN {sampling.bucket_sql('doc_id')} < 100 THEN 'test'
-                     END AS split
-              FROM sampled
-            )
-            SELECT split, lang, count(*) AS n_docs,
-                   CAST(sum(q_tokens) AS BIGINT) AS total_tokens
-            FROM manifest GROUP BY split, lang
-        """,
-        "b22_multimodal_meta": """
-            SELECT doc_id,
-                   'text/plain' AS media_type,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   md5(text) AS checksum,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS rt_hex_bytes,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS rt_b64_bytes
-            FROM documents
-        """,
-        "b21_dup_ngram_coverage": f"""
-            WITH tk AS (
-              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
-              FROM documents
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                             || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
-              FROM tk, unnest(generate_series(1, len(toks) - 4)) AS t(i)
-            ),
-            gf AS (SELECT sh, count(*) AS dfv FROM sh GROUP BY sh)
-            SELECT s.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_grams,
-                   CAST(sum(CASE WHEN g.dfv >= 2 THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_dup_grams,
-                   round(CAST(sum(CASE WHEN g.dfv >= 2 THEN 1 ELSE 0 END)
-                              AS DOUBLE)
-                         / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
-            FROM sh s JOIN gf g USING (sh)
-            GROUP BY s.doc_id
-        """,
-        "b20_covariance": """
-            WITH ex AS (
-              SELECT vec_id AS rid,
-                     generate_subscripts(embedding, 1) - 1 AS dim,
-                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
-                          AS BIGINT) AS q
-              FROM embeddings
-            ),
-            pairs AS (
-              SELECT a.rid, a.dim AS i, b.dim AS j, a.q AS qi, b.q AS qj
-              FROM ex a JOIN ex b ON a.rid = b.rid AND a.dim <= b.dim
-            ),
-            sums AS (
-              SELECT i, j, CAST(count(*) AS DOUBLE) AS n,
-                     CAST(sum(qi) AS DOUBLE) AS sx,
-                     CAST(sum(qj) AS DOUBLE) AS sy,
-                     CAST(sum(qi * qj) AS DOUBLE) AS sxy
-              FROM pairs GROUP BY i, j
-            )
-            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
-                   round((sxy - sx * sy / n) / (n - 0.0)
-                         / 1000000000000.0, 8) AS cov
-            FROM sums
-        """,
-        "b10_column_profile": " UNION ALL ".join(
-            f"""
-            SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_nulls,
-                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-                   {"round(CAST(min(" + c + ") AS DOUBLE), 6)" if num
-                    else "CAST(NULL AS DOUBLE)"} AS min_num,
-                   {"round(CAST(max(" + c + ") AS DOUBLE), 6)" if num
-                    else "CAST(NULL AS DOUBLE)"} AS max_num,
-                   {"CAST(NULL AS VARCHAR)" if num
-                    else "CAST(min(" + c + ") AS VARCHAR)"} AS min_str,
-                   {"CAST(NULL AS VARCHAR)" if num
-                    else "CAST(max(" + c + ") AS VARCHAR)"} AS max_str
-            FROM orders
-            """
-            for c, num in [
-                ("o_orderkey", True), ("o_custkey", True),
-                ("o_orderstatus", False), ("o_totalprice", True),
-                ("o_orderdate", False), ("o_orderpriority", False),
-            ]
-        ),
-        "b10_groupwise_ols": """
-            WITH q AS (
-              SELECT l_returnflag,
-                     CAST(floor(l_quantity * 100) AS BIGINT) AS qx,
-                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS qy
-              FROM lineitem
-            ),
-            s AS (
-              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(qx) AS DOUBLE) AS sx,
-                     CAST(sum(qy) AS DOUBLE) AS sy,
-                     CAST(sum(qx * qy) AS DOUBLE) AS sxy,
-                     CAST(sum(qx * qx) AS DOUBLE) AS sxx,
-                     CAST(sum(qy * qy) AS DOUBLE) AS syy
-              FROM q GROUP BY l_returnflag
-            ),
-            fit AS (
-              SELECT l_returnflag, n, sx, sy,
-                     (CAST(n AS DOUBLE) * sxy - sx * sy)
-                       / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
-                       AS slope_raw,
-                     (CAST(n AS DOUBLE) * sxy - sx * sy)
-                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
-                       / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
-                                * (CAST(n AS DOUBLE) * syy - sy * sy), 0)
-                       AS r2_raw
-              FROM s
-            )
-            SELECT l_returnflag, n, round(slope_raw, 6) AS slope,
-                   round((sy - slope_raw * sx) / CAST(n AS DOUBLE) / 100, 6)
-                     AS intercept,
-                   round(r2_raw, 6) AS r2
-            FROM fit
-        """,
-        "b20_kmeans": _kmeans_oracle_sql(),
-        "b3_psi": _psi_oracle_sql(),
-        "b30_pagerank": _pagerank_oracle_sql(),
-        "b11_ewma": _ewma_oracle_sql(),
-        "b30_bpe_encode": _bpe_oracle_sql(),
-        "b7_bloom_join": _bloom_oracle_sql(),
-        "b12_zorder": _zorder_oracle_sql(),
-        "b19_prefix_filter": _prefix_filter_oracle_sql(),
-        "b7_bloom_incremental": _bloom_incremental_oracle_sql(),
-        "b10_bootstrap": _bootstrap_oracle_sql(),
-        "b25_sql_recursive": _RECURSIVE_SQL,
-        "b27_linear_counting": _linear_counting_oracle_sql(),
-        "b26_rendezvous": _rendezvous_oracle_sql(),
-        "b18_cdc_chunks": _cdc_chunks_oracle_sql(),
-        "b30_index_compression": f"""
-            WITH dt AS (
-              SELECT DISTINCT doc_id,
-                     unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS tok
-              FROM documents
-            ),
-            gaps AS (
-              SELECT tok,
-                     doc_id - COALESCE(lag(doc_id) OVER (
-                       PARTITION BY tok ORDER BY doc_id), 0) AS gap
-              FROM dt
-            ),
-            per AS (
-              SELECT tok, CAST(count(*) AS BIGINT) AS df,
-                     CAST(sum(CASE WHEN gap < 128 THEN 1
-                                   WHEN gap < 16384 THEN 2
-                                   WHEN gap < 2097152 THEN 3
-                                   ELSE 4 END) AS BIGINT) AS vb
-              FROM gaps GROUP BY tok
-            )
-            SELECT CAST(CASE WHEN df < 10 THEN 0 WHEN df < 100 THEN 1
-                             WHEN df < 1000 THEN 2 WHEN df < 10000 THEN 3
-                             ELSE 4 END AS INTEGER) AS df_decade,
-                   CAST(count(*) AS BIGINT) AS n_terms,
-                   CAST(sum(df) AS BIGINT) AS n_postings,
-                   CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
-                   CAST(sum(vb) AS BIGINT) AS varint_bytes,
-                   round(CAST(sum(df) * 8 AS BIGINT)
-                         / CAST(sum(vb) AS DOUBLE), 6) AS compression_x
-            FROM per GROUP BY 1
-        """,
-        "b22_byte_histogram": """
-            -- DuckDB can neither slice nor substring a BLOB, so the
-            -- leading BYTE comes from ascii() (corpus verified pure
-            -- ASCII: octet_length(encode(text)) == length(text) for
-            -- every row) and md5(VARCHAR) hashes the same UTF-8 bytes
-            -- Spark's md5(encode(text)) does. lpad matches Spark hex()'s
-            -- zero-padded 2-digit output for lead bytes < 0x10, and empty
-            -- text (ascii='' -> 0 -> '00') is mapped to NULL on both
-            -- engines (Spark: substring of empty payload -> '' -> hex '').
-            SELECT CASE WHEN text = '' THEN NULL
-                        ELSE lpad(upper(to_hex(ascii(text))), 2, '0')
-                   END AS lead_byte,
-                   CAST(count(*) AS BIGINT) AS n_blobs,
-                   CAST(sum(octet_length(encode(text))) AS BIGINT)
-                     AS total_bytes,
-                   CAST(count(DISTINCT substr(md5(text), 1, 8)) AS BIGINT)
-                     AS n_distinct_digests
-            FROM documents GROUP BY lead_byte
-        """,
-        "b22_image_resize": """
-            -- closed-form replay of synth_ppm + nearest-neighbor resize:
-            -- source geometry w=4+id%5, h=4+(id//5)%5; raster byte i is
-            -- (id*31+i)%256; NN source pixel for output (x,y) of 8x8 is
-            -- (x*w//8, y*h//8) — all nonneg integers, so DuckDB's
-            -- truncating // equals floor division
-            WITH px AS (
-              SELECT doc_id,
-                     CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
-                     CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS src_h
-              FROM documents
-            ),
-            o AS (
-              SELECT doc_id, src_w, src_h, c,
-                     (doc_id * 31
-                      + (((y * src_h) // 8) * src_w + ((x * src_w) // 8)) * 3
-                      + c) % 256 AS v
-              FROM px,
-                   generate_series(0, 7) gy(y),
-                   generate_series(0, 7) gx(x),
-                   generate_series(0, 2) gc(c)
-            )
-            SELECT doc_id, src_w, src_h,
-                   CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
-                   CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
-                   CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
-            FROM o GROUP BY doc_id, src_w, src_h
-        """,
-        "b22_image_stats": """
-            -- closed-form replay of synth_ppm + image_stats: raster byte
-            -- (y*w + x)*3 + c has value (id*31 + i) % 256; luma is the
-            -- integer Rec.601 fold; the crop window is rows h//4 ..
-            -- h//4+h//2, cols w//4 .. w//4+w//2 (all nonneg -> DuckDB //
-            -- equals floor)
-            WITH px AS (
-              SELECT doc_id,
-                     CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
-                     CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS src_h
-              FROM documents
-            ),
-            v AS (
-              -- DuckDB generate_series takes no correlated bounds; use
-              -- the fixed 0..7 grid (max dims are 8x8) and filter
-              SELECT doc_id, src_w, src_h, y, x, c,
-                     (doc_id * 31 + (y * src_w + x) * 3 + c) % 256 AS val
-              FROM px,
-                   generate_series(0, 7) gy(y),
-                   generate_series(0, 7) gx(x),
-                   generate_series(0, 2) gc(c)
-              WHERE y < src_h AND x < src_w
-            )
-            SELECT doc_id, src_w, src_h,
-                   CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
-                   CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
-                   CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b,
-                   CAST(299 * sum(CASE WHEN c = 0 THEN val END)
-                        + 587 * sum(CASE WHEN c = 1 THEN val END)
-                        + 114 * sum(CASE WHEN c = 2 THEN val END) AS BIGINT)
-                     AS luma_sum,
-                   CAST(sum(CASE WHEN y >= src_h // 4
-                                 AND y < src_h // 4 + src_h // 2
-                                 AND x >= src_w // 4
-                                 AND x < src_w // 4 + src_w // 2
-                            THEN val END) AS BIGINT) AS crop_sum
-            FROM v GROUP BY doc_id, src_w, src_h
-        """,
-        "b8_order_distribution": """
-            WITH per AS (
-              SELECT c.c_custkey,
-                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-              FROM customer c
-              LEFT JOIN orders o
-                ON o.o_custkey = c.c_custkey
-                   AND o.o_orderpriority NOT LIKE '1-%'
-              GROUP BY c.c_custkey
-            )
-            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-            FROM per GROUP BY c_count
-        """,
-        "b10_small_quantity_revenue": """
-            WITH pq AS (
-              SELECT l_partkey AS pk,
-                     avg(CAST(l_quantity AS DOUBLE)) AS avgq
-              FROM lineitem GROUP BY l_partkey
-            ),
-            sel AS (
-              SELECT l.l_extendedprice FROM lineitem l
-              JOIN part p ON p.p_partkey = l.l_partkey
-              JOIN pq ON pq.pk = l.l_partkey
-              WHERE p.p_brand = 'Brand#3' AND p.p_type = 'MEDIUM'
-                AND CAST(l.l_quantity AS DOUBLE) < 0.2 * pq.avgq
-            )
-            SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
-                              AS DOUBLE) / 7.0, 2) AS avg_yearly
-            FROM sel
-        """,
-        "b5_disjunctive_pushdown": """
-            SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
-                              * (CAST(1 AS DECIMAL(28,4))
-                                 - CAST(l_discount AS DECIMAL(28,4))))
-                              AS DOUBLE), 2) AS revenue
-            FROM lineitem JOIN part ON p_partkey = l_partkey
-            WHERE (p_brand = 'Brand#1' AND p_type = 'SMALL'
-                   AND CAST(l_quantity AS DOUBLE) <= 15 AND p_size <= 10)
-               OR (p_brand = 'Brand#2' AND p_type = 'MEDIUM'
-                   AND CAST(l_quantity AS DOUBLE) <= 25 AND p_size <= 20)
-               OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
-                   AND CAST(l_quantity AS DOUBLE) <= 35 AND p_size <= 30)
-            GROUP BY p_brand
-        """,
-        "b13_schema_union": """
-            WITH gen1 AS (
-              SELECT o_orderkey, o_orderstatus, o_totalprice
-              FROM orders WHERE o_orderkey % 2 = 0
-            ),
-            gen2 AS (
-              SELECT o_orderkey, o_orderstatus,
-                     o_orderpriority AS priority
-              FROM orders WHERE o_orderkey % 2 = 1
-            ),
-            merged AS (
-              SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2
-            )
-            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-                   CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
-                   CAST(count(priority) AS BIGINT) AS n_with_priority
-            FROM merged GROUP BY o_orderstatus
-        """,
-        "b2_collapse_repeats": """
-            WITH marked AS (
-              SELECT event_type,
-                     lag(event_type, 1) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                     ) AS prev
-              FROM events
-            ),
-            kept AS (
-              SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
-              FROM marked WHERE prev IS NULL OR prev <> event_type
-              GROUP BY event_type
-            ),
-            raw AS (
-              SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw
-              FROM events GROUP BY event_type
-            )
-            SELECT raw.event_type, n_raw, n_kept, n_raw - n_kept AS n_collapsed
-            FROM raw JOIN kept ON kept.event_type = raw.event_type
-        """,
-        "b24_corpus_v4": f"""
-            WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql()}),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pf
-              UNION
-              SELECT id_b AS src, id_a AS dst FROM pf
-            ),
-            reach AS (
-              SELECT DISTINCT src AS v, src AS r FROM edges
-              UNION
-              SELECT e.dst AS v, reach.r AS r
-              FROM reach JOIN edges e ON e.src = reach.v
-            ),
-            lab AS (SELECT v AS doc_id, min(r) AS cluster_id
-                    FROM reach GROUP BY v),
-            corpus AS ({_B19_CORPUS_SQL}),
-            golden AS (
-              SELECT lab.cluster_id AS doc_id,
-                     max_by(c.text, CAST(length(c.text) AS BIGINT)
-                            * 4294967296 + (4294967295 - c.doc_id)) AS text
-              FROM corpus c JOIN lab ON lab.doc_id = c.doc_id
-              GROUP BY lab.cluster_id
-            ),
-            singles AS (
-              SELECT doc_id, text FROM corpus
-              WHERE doc_id NOT IN (SELECT doc_id FROM lab)
-            ),
-            kept AS (SELECT * FROM golden UNION ALL SELECT * FROM singles),
-            gated AS (
-              SELECT doc_id,
-                     len(string_split({_NORM_SQL}, ' ')) AS nt
-              FROM kept
-            )
-            SELECT
-              (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_input,
-              (SELECT CAST(count(*) AS BIGINT) FROM pf) AS n_pairs,
-              (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM lab)
-                AS n_clusters,
-              (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
-              (SELECT CAST(count(*) AS BIGINT) FROM gated WHERE nt >= 10)
-                AS n_final,
-              (SELECT CAST(sum(nt) AS BIGINT) FROM gated WHERE nt >= 10)
-                AS total_tokens
-        """,
-        "b24_dedup_manifest": f"""
-            WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql()}),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pf
-              UNION
-              SELECT id_b AS src, id_a AS dst FROM pf
-            ),
-            reach AS (
-              SELECT DISTINCT src AS v, src AS r FROM edges
-              UNION
-              SELECT e.dst AS v, reach.r AS r
-              FROM reach JOIN edges e ON e.src = reach.v
-            ),
-            lab AS (SELECT v AS doc_id, min(r) AS cluster_id
-                    FROM reach GROUP BY v),
-            corpus AS ({_B19_CORPUS_SQL}),
-            golden AS (
-              SELECT lab.cluster_id AS cid,
-                     max_by(c.text, CAST(length(c.text) AS BIGINT)
-                            * 4294967296 + (4294967295 - c.doc_id)) AS text
-              FROM corpus c JOIN lab ON lab.doc_id = c.doc_id
-              GROUP BY lab.cluster_id
-            ),
-            gtok AS (
-              SELECT cid, len(string_split({_NORM_SQL}, ' ')) AS nt
-              FROM golden
-            ),
-            members AS (
-              SELECT l.doc_id,
-                     CASE WHEN l.doc_id <> l.cluster_id THEN 'drop'
-                          WHEN g.nt >= 10 THEN 'keep' ELSE 'drop'
-                     END AS decision,
-                     CASE WHEN l.doc_id <> l.cluster_id THEN 'dup'
-                          WHEN g.nt >= 10 THEN 'cluster_keeper' ELSE 'short'
-                     END AS reason
-              FROM lab l JOIN gtok g ON g.cid = l.cluster_id
-            ),
-            singles AS (
-              SELECT doc_id,
-                     len(string_split({_NORM_SQL}, ' ')) AS nt
-              FROM corpus
-              WHERE doc_id NOT IN (SELECT doc_id FROM lab)
-            )
-            SELECT doc_id, decision, reason FROM members
-            UNION ALL
-            SELECT doc_id,
-                   CASE WHEN nt >= 10 THEN 'keep' ELSE 'drop' END AS decision,
-                   CASE WHEN nt >= 10 THEN 'unique' ELSE 'short' END AS reason
-            FROM singles
-        """,
-        "b26_temporal_split": """
-            WITH test AS (
-              SELECT *, 'test' AS split FROM events
-              WHERE ts >= TIMESTAMP '2024-01-30 12:00:00'
-            ),
-            tk AS (SELECT DISTINCT user_id FROM test),
-            train AS (
-              SELECT e.*, 'train' AS split FROM events e
-              WHERE e.ts < TIMESTAMP '2024-01-28 00:00:00'
-                AND e.user_id NOT IN (SELECT user_id FROM tk)
-            ),
-            un AS (SELECT * FROM train UNION ALL SELECT * FROM test)
-            SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
-                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-            FROM un GROUP BY split, event_type
-        """,
-        "b19_golden_records": f"""
-            WITH labels AS ({_dup_clusters_oracle_sql()}),
-            corpus AS ({_B19_CORPUS_SQL}),
-            j AS (
-              SELECT c.doc_id, c.text, CAST(length(c.text) AS BIGINT) AS n_len,
-                     l.cluster_id
-              FROM corpus c JOIN labels l USING (doc_id)
-            )
-            SELECT cluster_id,
-                   CAST(count(*) AS BIGINT) AS n_members,
-                   max_by(text, CAST(length(text) AS BIGINT) * 4294967296
-                                + (4294967295 - doc_id)) AS best_text,
-                   min(doc_id) AS min_id,
-                   max(n_len) AS max_len,
-                   max(CASE WHEN doc_id = cluster_id THEN text END)
-                     AS keeper_text
-            FROM j GROUP BY cluster_id
-        """,
-        "b3_changepoint": """
-            WITH daily AS (
-              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
-                     CAST(count(*) AS BIGINT) AS c
-              FROM events GROUP BY 1
-            ),
-            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc,
-                           CAST(count(*) AS BIGINT) AS tn FROM daily),
-            cum AS (
-              SELECT b,
-                     CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
-                       PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
-                     CAST(count(*) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
-                       PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
-              FROM daily
-            ),
-            sc AS (
-              SELECT b AS split_bucket, cn AS n_left, tn - cn AS n_right,
-                     cs / CAST(cn AS DOUBLE) AS ml,
-                     (tc - cs) / CAST(tn - cn AS DOUBLE) AS mr
-              FROM cum CROSS JOIN tot WHERE cn < tn
-            )
-            SELECT split_bucket, n_left, n_right,
-                   round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
-                   round(abs(ml - mr), 6) AS delta,
-                   row_number() OVER (ORDER BY abs(ml - mr) DESC,
-                                      split_bucket) = 1 AS is_best
-            FROM sc
-        """,
-        "b10_woe_iv": """
-            WITH base AS (
-              SELECT o_totalprice AS v,
-                     CAST(o_orderstatus = 'F' AS INTEGER) AS y
-              FROM orders
-            ),
-            vh AS (SELECT v, CAST(count(*) AS BIGINT) AS c
-                   FROM base GROUP BY v),
-            cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
-                      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-                    FROM vh),
-            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vh),
-            edges AS (SELECT """ + ", ".join(
-            f"min(CASE WHEN cum >= floor((n - 1) * {k} / 10) + 1"
-            f" THEN v END) AS e{k}"
-            for k in range(1, 10)
-        ) + """ FROM cum CROSS JOIN tot),
-            bucketed AS (
-              SELECT """ + " + ".join(
-            f"CAST(v > e{k} AS INTEGER)" for k in range(1, 10)
-        ) + """ AS bucket, y
-              FROM base CROSS JOIN edges
-            ),
-            per AS (
-              SELECT bucket, CAST(sum(y) AS BIGINT) AS n_pos,
-                     CAST(sum(1 - y) AS BIGINT) AS n_neg
-              FROM bucketed GROUP BY bucket
-            ),
-            t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
-                         CAST(sum(n_neg) AS BIGINT) AS tn FROM per),
-            terms AS (
-              SELECT bucket, n_pos, n_neg,
-                     (n_pos + 1) / CAST(tp + 10 AS DOUBLE) AS p,
-                     (n_neg + 1) / CAST(tn + 10 AS DOUBLE) AS q
-              FROM per CROSS JOIN t
-            ),
-            scored AS (
-              SELECT bucket, n_pos, n_neg,
-                     round(ln(p / q), 6) AS woe,
-                     round((p - q) * ln(p / q), 6) AS iv_term,
-                     CAST(floor((p - q) * ln(p / q) * 1e8) AS BIGINT) AS t8
-              FROM terms
-            )
-            SELECT bucket, n_pos, n_neg, woe, iv_term,
-                   round(sum(t8) OVER () / 1e8, 6) AS iv_total
-            FROM scored
-        """,
-        "b15_markov": """
-            WITH seq AS (
-              SELECT event_type AS from_state,
-                     lead(event_type, 1) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                     ) AS to_state
-              FROM events
-            ),
-            pairs AS (
-              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
-              FROM seq WHERE to_state IS NOT NULL
-              GROUP BY from_state, to_state
-            ),
-            tot AS (
-              SELECT from_state, CAST(sum(n) AS BIGINT) AS t
-              FROM pairs GROUP BY from_state
-            )
-            SELECT p.from_state, p.to_state, p.n,
-                   round(p.n / CAST(t AS DOUBLE), 6) AS p
-            FROM pairs p JOIN tot USING (from_state)
-        """,
-        "b15_rfm": """
-            WITH ref AS (SELECT max(ts) AS r FROM events),
-            per AS (
-              SELECT user_id,
-                     date_diff('day', CAST(max(ts) AS DATE),
-                               CAST((SELECT r FROM ref) AS DATE)) AS rec_days,
-                     CAST(count(*) AS BIGINT) AS n_events,
-                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-                       AS m_cents
-              FROM events GROUP BY user_id
-            )
-            SELECT user_id, rec_days, n_events, m_cents, r, f, m,
-                   CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
-                     || CAST(m AS VARCHAR) AS segment
-            FROM (
-              SELECT user_id, rec_days, n_events, m_cents,
-                     ntile(5) OVER (ORDER BY rec_days, user_id) AS r,
-                     ntile(5) OVER (ORDER BY n_events DESC, user_id) AS f,
-                     ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS m
-              FROM per
-            )
-        """,
-        "b30_triangles": """
-            WITH ev AS (
-              SELECT DISTINCT user_id, event_type,
-                     date_trunc('hour', ts) AS h
-              FROM events
-            ),
-            e AS (
-              SELECT a.user_id AS src, b.user_id AS dst
-              FROM ev a JOIN ev b
-                ON a.event_type = b.event_type AND a.h = b.h
-                   AND a.user_id < b.user_id
-              GROUP BY 1, 2 HAVING count(*) >= 5
-            ),
-            deg AS (
-              SELECT node_id, CAST(count(*) AS BIGINT) AS degree FROM (
-                SELECT src AS node_id FROM e
-                UNION ALL SELECT dst FROM e
-              ) GROUP BY node_id
-            ),
-            tri AS (
-              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-              FROM e e1
-              JOIN e e2 ON e2.src = e1.dst
-              JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
-            ),
-            corner AS (
-              SELECT node_id, CAST(count(*) AS BIGINT) AS triangles FROM (
-                SELECT unnest([a, b, c]) AS node_id FROM tri
-              ) GROUP BY node_id
-            )
-            SELECT deg.node_id, degree,
-                   COALESCE(triangles, 0) AS triangles,
-                   CASE WHEN degree >= 2 THEN
-                     round(2.0 * COALESCE(triangles, 0)
-                           / (CAST(degree AS DOUBLE)
-                              * (CAST(degree AS DOUBLE) - 1.0)), 6)
-                   ELSE 0.0 END AS cc
-            FROM deg LEFT JOIN corner ON corner.node_id = deg.node_id
-        """,
-        "b20_pq": """
-            WITH comps AS (
-              SELECT vec_id AS id,
-                     CAST(floor((d - 1) / 8) AS INTEGER) AS s,
-                     (d - 1) % 8 AS dd,
-                     CAST(floor(CAST(e AS DOUBLE) * 1000.0) AS BIGINT) AS q
-              FROM (
-                SELECT vec_id, generate_subscripts(embedding, 1) AS d,
-                       unnest(embedding) AS e
-                FROM embeddings
-              )
-            ),
-            seeds AS (
-              SELECT s, dd, q AS cq,
-                     dense_rank() OVER (PARTITION BY s ORDER BY id) - 1 AS code
-              FROM comps WHERE id IN (3, 47, 91, 135, 179, 223, 267, 311)
-            ),
-            edist AS (
-              SELECT c.id, c.s, sd.code,
-                     sum((c.q - sd.cq) * (c.q - sd.cq)) AS dist
-              FROM comps c JOIN seeds sd ON sd.s = c.s AND sd.dd = c.dd
-              GROUP BY c.id, c.s, sd.code
-            ),
-            enc AS (
-              SELECT id, s, code FROM (
-                SELECT id, s, code,
-                       row_number() OVER (PARTITION BY id, s
-                                          ORDER BY dist, code) AS rn
-                FROM edist
-              ) WHERE rn = 1
-            ),
-            qtable AS (
-              SELECT id AS query_id, s, code, dist AS td
-              FROM edist WHERE id < 4
-            ),
-            scored AS (
-              SELECT qt.query_id, e.id AS neighbor_id,
-                     CAST(sum(qt.td) AS BIGINT) AS approx_dist
-              FROM enc e JOIN qtable qt ON qt.s = e.s AND qt.code = e.code
-              WHERE qt.query_id <> e.id
-              GROUP BY qt.query_id, e.id
-            )
-            SELECT query_id, neighbor_id, approx_dist, rnk FROM (
-              SELECT query_id, neighbor_id, approx_dist,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY approx_dist, neighbor_id)
-                       AS rnk
-              FROM scored
-            ) WHERE rnk <= 10
-        """,
-        "b19_sorted_neighborhood": """
-            WITH corpus AS (
-              SELECT p_partkey, p_name FROM part
-              UNION ALL
-              SELECT p_partkey + 1000000 AS p_partkey,
-                     substr(p_name, 1, 4) || 'x' || substr(p_name, 6) AS p_name
-              FROM part WHERE p_partkey % 9 = 0
-            ),
-            b AS (
-              SELECT p_partkey AS id, p_name AS k,
-                     substr(p_name, 1, 2) AS blk
-              FROM corpus
-            ),
-            leads AS (
-              SELECT id, k,
-                     lead(id, 1) OVER w AS nid1, lead(k, 1) OVER w AS nk1,
-                     lead(id, 2) OVER w AS nid2, lead(k, 2) OVER w AS nk2,
-                     lead(id, 3) OVER w AS nid3, lead(k, 3) OVER w AS nk3,
-                     lead(id, 4) OVER w AS nid4, lead(k, 4) OVER w AS nk4
-              FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)
-            ),
-            cand AS (
-              SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
-                     k AS ka, nk AS kb
-              FROM (
-                SELECT id, k,
-                       unnest([nid1, nid2, nid3, nid4]) AS nid,
-                       unnest([nk1, nk2, nk3, nk4]) AS nk
-                FROM leads
-              ) WHERE nid IS NOT NULL
-            )
-            SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
-            FROM cand WHERE levenshtein(ka, kb) <= 1
-        """,
-        "b19_blocking_quality": """
-            WITH corpus AS (
-              SELECT p_partkey, p_name FROM part
-              UNION ALL
-              SELECT p_partkey + 1000000 AS p_partkey,
-                     substr(p_name, 1, 4) || 'x' || substr(p_name, 6) AS p_name
-              FROM part WHERE p_partkey % 9 = 0
-            ),
-            b AS (
-              SELECT p_partkey AS id, p_name AS k,
-                     substr(p_name, 1, 2) AS blk
-              FROM corpus
-            ),
-            leads AS (
-              SELECT id,
-                     lead(id, 1) OVER w AS nid1,
-                     lead(id, 2) OVER w AS nid2,
-                     lead(id, 3) OVER w AS nid3,
-                     lead(id, 4) OVER w AS nid4
-              FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)
-            ),
-            cand AS (
-              SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b
-              FROM (
-                SELECT id, unnest([nid1, nid2, nid3, nid4]) AS nid
-                FROM leads
-              ) WHERE nid IS NOT NULL
-            ),
-            truth AS (
-              SELECT p_partkey AS id_a, p_partkey + 1000000 AS id_b
-              FROM part WHERE p_partkey % 9 = 0
-            ),
-            s AS (
-              SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_records,
-                     (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
-                     (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-                     (SELECT CAST(count(*) AS BIGINT) FROM truth t
-                      WHERE EXISTS (SELECT 1 FROM cand c
-                                    WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
-                       AS n_true_found
-            )
-            SELECT n_records, n_candidates, n_true, n_true_found,
-                   round(1.0 - n_candidates
-                         / (n_records * (n_records - 1) / 2.0), 6)
-                     AS reduction_ratio,
-                   round(n_true_found / CAST(n_true AS DOUBLE), 6)
-                     AS pairs_completeness
-            FROM s
-        """,
-        "b19_fuzzy_join": """
-            WITH corpus AS (
-              SELECT p_partkey, p_name FROM part
-              UNION ALL
-              SELECT p_partkey + 1000000 AS p_partkey,
-                     'x' || substr(p_name, 2) AS p_name
-              FROM part WHERE p_partkey % 9 = 0
-            )
-            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-            FROM corpus a JOIN corpus b ON a.p_partkey < b.p_partkey
-            WHERE levenshtein(a.p_name, b.p_name) <= 1
-        """,
-        "b21_lexical_diversity": f"""
-            WITH toks AS (
-              SELECT doc_id AS doc,
-                     unnest(list_filter({_TOKS_SQL}, t -> t <> '')) AS tok
-              FROM documents
-            ),
-            pt AS (
-              SELECT doc, tok, CAST(count(*) AS BIGINT) AS c
-              FROM toks GROUP BY doc, tok
-            ),
-            prof AS (
-              SELECT doc, CAST(sum(c) AS BIGINT) AS n_tokens,
-                     CAST(count(*) AS BIGINT) AS n_types,
-                     round(ln(CAST(sum(c) AS DOUBLE))
-                           - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
-                             / CAST(sum(c) AS DOUBLE), 6) AS token_entropy,
-                     round(CAST(count(*) AS DOUBLE)
-                           / CAST(sum(c) AS DOUBLE), 6) AS ttr
-              FROM pt GROUP BY doc
-            )
-            SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
-                   COALESCE(n_types, 0) AS n_types, ttr, token_entropy
-            FROM documents d LEFT JOIN prof ON prof.doc = d.doc_id
-        """,
-        "b26_weighted_sample": """
-            WITH wt AS (
-              SELECT doc_id,
-                     1 + CAST(floor(length(text) / 500.0) AS BIGINT) AS weight
-              FROM documents
-            ),
-            cl AS (
-              SELECT doc_id, weight,
-                     least(greatest(weight, 1), 32) AS w
-              FROM wt
-            ),
-            tick AS (
-              SELECT doc_id, weight, unnest(generate_series(1, w)) AS t
-              FROM cl
-            ),
-            drawn AS (
-              SELECT doc_id, weight,
-                     CAST('0x' || substr(md5(doc_id || ':' || t), 1, 15)
-                          AS BIGINT) AS u
-              FROM tick
-            ),
-            prio AS (
-              SELECT doc_id, weight, max(u) AS priority
-              FROM drawn GROUP BY doc_id, weight
-            )
-            SELECT doc_id, weight, priority,
-                   CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
-                        AS BIGINT) AS rk
-            FROM prio ORDER BY priority DESC, doc_id LIMIT 200
-        """,
-        "b1_incremental_agg": """
-            WITH eff AS (
-              SELECT o_orderstatus, o_orderpriority,
-                     CASE WHEN o_orderkey % 7 = 0
-                          THEN CAST(o_totalprice AS DECIMAL(38,6))
-                               + CAST(10 AS DECIMAL(38,6))
-                          ELSE CAST(o_totalprice AS DECIMAL(38,6))
-                     END AS p
-              FROM orders WHERE o_orderkey % 13 <> 0
-            )
-            SELECT o_orderstatus, o_orderpriority,
-                   CAST(count(*) AS BIGINT) AS cnt,
-                   round(CAST(sum(p) AS DOUBLE), 2) AS sum_price
-            FROM eff GROUP BY o_orderstatus, o_orderpriority
-        """,
-        # ---- round 9: evaluation / concentration / shape depth ----------
-        "b20_hubness": """
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 64
-            ),
-            c AS (
-              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ),
-            scored AS (
-              SELECT query_id, neighbor_id,
-                     list_dot_product(qv, cv)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv))) AS score
-              FROM q, c WHERE neighbor_id != query_id
-            ),
-            ranked AS (
-              SELECT query_id, neighbor_id, row_number() OVER (
-                PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
-              FROM scored
-            ),
-            occ AS (
-              SELECT neighbor_id, CAST(count(*) AS BIGINT) AS occ
-              FROM ranked WHERE rnk <= 10 GROUP BY neighbor_id
-            )
-            SELECT COALESCE(o.occ, 0) AS occ,
-                   CAST(count(*) AS BIGINT) AS n_vecs
-            FROM (SELECT vec_id AS neighbor_id FROM embeddings) v
-            LEFT JOIN occ o ON v.neighbor_id = o.neighbor_id
-            GROUP BY 1
-        """,
-        "b10_gini": """
-            WITH per AS (
-              SELECT o_custkey,
-                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
-                          AS BIGINT) AS cents
-              FROM orders GROUP BY o_custkey
-            ),
-            ranked AS (
-              SELECT cents, CAST(row_number() OVER (
-                ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS rn
-              FROM per
-            ),
-            t AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_customers,
-                     CAST(sum(cents) AS BIGINT) AS total_cents
-              FROM ranked
-            ),
-            num AS (
-              SELECT n_customers, total_cents,
-                     sum(CAST(2 * rn - n_customers - 1 AS HUGEINT)
-                         * CAST(cents AS HUGEINT)) AS w
-              FROM ranked, t GROUP BY n_customers, total_cents
-            )
-            SELECT n_customers, total_cents,
-                   round(CAST(w AS DOUBLE)
-                         / (CAST(n_customers AS DOUBLE)
-                            * CAST(total_cents AS DOUBLE)), 6) AS gini
-            FROM num
-        """,
-        "b7_cust_order_dist": """
-            WITH per AS (
-              SELECT c.c_custkey,
-                     CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-              GROUP BY c.c_custkey
-            )
-            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-            FROM per GROUP BY c_count
-        """,
-        "b8_min_cost_supplier": """
-            WITH u AS (
-              SELECT l_partkey, l_suppkey,
-                     l_extendedprice / l_quantity AS unit
-              FROM lineitem
-            ),
-            m AS (SELECT l_partkey, min(unit) AS mu FROM u GROUP BY l_partkey),
-            b AS (
-              SELECT u.l_partkey,
-                     CAST(min(u.l_suppkey) AS BIGINT) AS s_suppkey,
-                     min(u.unit) AS unit
-              FROM u JOIN m ON u.l_partkey = m.l_partkey AND u.unit = m.mu
-              GROUP BY u.l_partkey
-            )
-            SELECT b.l_partkey, b.s_suppkey, s.s_name,
-                   CAST(floor(b.unit * 1000000) AS BIGINT) AS unit_micros
-            FROM b JOIN supplier s ON b.s_suppkey = s.s_suppkey
-        """,
-        "b8_important_parts": """
-            WITH rev AS (
-              SELECT l_partkey,
-                     CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(38,6))
-                                    * (CAST(1 AS DECIMAL(38,6))
-                                       - CAST(l_discount AS DECIMAL(38,6))))
-                                * 100) AS BIGINT) AS revenue_cents
-              FROM lineitem GROUP BY l_partkey
-            ),
-            t AS (
-              SELECT CAST(sum(revenue_cents) AS BIGINT) AS total,
-                     CAST(count(*) AS BIGINT) AS n_parts
-              FROM rev
-            )
-            SELECT l_partkey, revenue_cents,
-                   round(CAST(revenue_cents AS DOUBLE)
-                         / CAST(total AS DOUBLE), 6) AS share
-            FROM rev, t
-            WHERE CAST(revenue_cents AS HUGEINT) * n_parts * 2 > CAST(total AS HUGEINT) * 3
-        """,
-        "b10_chi2": """
-            WITH obs AS (
-              SELECT o_orderpriority, o_orderstatus,
-                     CAST(count(*) AS BIGINT) AS obs
-              FROM orders GROUP BY o_orderpriority, o_orderstatus
-            ),
-            r AS (
-              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS r
-              FROM orders GROUP BY o_orderpriority
-            ),
-            c AS (
-              SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS c
-              FROM orders GROUP BY o_orderstatus
-            ),
-            g AS (SELECT CAST(count(*) AS BIGINT) AS g FROM orders)
-            SELECT obs.o_orderpriority, obs.o_orderstatus, obs.obs,
-                   round(CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
-                         / CAST(g.g AS DOUBLE), 6) AS expected,
-                   round((CAST(obs.obs AS DOUBLE)
-                          - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
-                            / CAST(g.g AS DOUBLE))
-                         * (CAST(obs.obs AS DOUBLE)
-                            - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
-                              / CAST(g.g AS DOUBLE))
-                         / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
-                            / CAST(g.g AS DOUBLE)), 6) AS contrib
-            FROM obs
-            JOIN r USING (o_orderpriority)
-            JOIN c USING (o_orderstatus), g
-        """,
-        "b10_benford": """
-            WITH d AS (
-              SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
-                                          AS BIGINT) AS VARCHAR), 1, 1)
-                          AS INTEGER) AS digit
-              FROM orders
-            ),
-            per AS (
-              SELECT digit, CAST(count(*) AS BIGINT) AS n
-              FROM d GROUP BY digit
-            ),
-            t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM d)
-            SELECT digit, n,
-                   round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
-                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
-                     AS expected,
-                   round(abs(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6)
-                             - round(log10(1.0 + 1.0
-                                           / CAST(digit AS DOUBLE)), 6)), 6)
-                     AS deviation
-            FROM per, t
-        """,
-        "b15_acf": _acf_oracle_sql(),
-        "b11_drawdown": """
-            WITH curved AS (
-              SELECT user_id, cents, cum,
-                     max(cum) OVER (PARTITION BY user_id
-                                    ORDER BY ts ASC, event_id ASC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS peak
-              FROM (
-                SELECT user_id, ts, event_id, cents,
-                       sum(cents) OVER (PARTITION BY user_id
-                                        ORDER BY ts ASC, event_id ASC
-                                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW) AS cum
-                FROM (
-                  SELECT user_id, ts, event_id,
-                         CAST(floor(value * 100) AS BIGINT) AS cents
-                  FROM events
-                )
-              )
-            )
-            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
-                   CAST(sum(cents) AS BIGINT) AS final_cents
-            FROM curved GROUP BY user_id
-        """,
-        "b21_oov_rate": f"""
-            WITH toks AS (
-              SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
-            vocab AS (
-              SELECT tok FROM (
-                SELECT tok, count(*) AS c FROM nz GROUP BY tok
-                ORDER BY c DESC, tok ASC LIMIT 200
-              )
-            )
-            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_oov,
-                   round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-                              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-                     AS oov_rate
-            FROM nz LEFT JOIN vocab v ON nz.tok = v.tok
-            GROUP BY source
-        """,
-        "b10_ks_screen": """
-            WITH o AS (
-              SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 100000
-                       AS bucket,
-                     CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
-                       AS g1
-              FROM orders
-              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-            ),
-            per AS (
-              SELECT bucket, CAST(sum(g1) AS BIGINT) AS n1,
-                     CAST(sum(1 - g1) AS BIGINT) AS n2
-              FROM o GROUP BY bucket
-            ),
-            cum AS (
-              SELECT bucket,
-                     sum(n1) OVER w AS c1, sum(n2) OVER w AS c2
-              FROM per WINDOW w AS (ORDER BY bucket ASC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW)
-            ),
-            t AS (
-              SELECT CAST(sum(n1) AS BIGINT) AS t1,
-                     CAST(sum(n2) AS BIGINT) AS t2
-              FROM per
-            )
-            SELECT t1 AS n_urgent, t2 AS n_low,
-                   round(CAST(max(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
-                         / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)), 6)
-                     AS ks_stat
-            FROM cum, t GROUP BY t1, t2
-        """,
-        "b22_scene_cuts": """
-            -- closed-form replay of synth_ppm_stream + extract_frames
-            -- (same grid as b22_frame_extract), then the lead-delta
-            WITH fr AS (
-              SELECT doc_id, f,
-                     CAST(3 + f AS INTEGER) AS width,
-                     CAST(2 AS INTEGER) AS height
-              FROM documents, generate_series(0, 4) g(f)
-              WHERE f < 2 + doc_id % 3
-            ),
-            px AS (
-              SELECT doc_id, f, width, height,
-                     (doc_id * 31 + f * 97 + i) % 256 AS val
-              FROM fr, generate_series(0, 41) gi(i)
-              WHERE i < width * height * 3
-            ),
-            fs AS (
-              SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
-                     CAST(sum(val) AS BIGINT) AS frame_sum,
-                     CAST(width * height * 3 AS BIGINT) AS area
-              FROM px GROUP BY doc_id, f, width, height
-            ),
-            l AS (
-              SELECT doc_id, frame_idx, frame_sum, area,
-                     lead(frame_sum) OVER w AS ns, lead(area) OVER w AS na
-              FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx ASC)
-            )
-            SELECT doc_id, frame_idx,
-                   round(CAST(abs(frame_sum * na - ns * area) AS DOUBLE)
-                         / CAST(area * na AS DOUBLE), 6) AS mean_delta,
-                   abs(frame_sum * na - ns * area) > 8 * area * na AS is_cut
-            FROM l WHERE ns IS NOT NULL
-        """,
-        "b28_length_buckets": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
-                       AS n_tok
-              FROM documents
-            ),
-            tiled AS (
-              SELECT doc_id, n_tok,
-                     ntile(8) OVER (ORDER BY n_tok ASC, doc_id ASC) AS bucket
-              FROM t
-            )
-            SELECT CAST(bucket AS INTEGER) AS bucket,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(min(n_tok) AS BIGINT) AS min_tok,
-                   CAST(max(n_tok) AS BIGINT) AS max_tok,
-                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-                   CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
-                     AS padding_waste
-            FROM tiled GROUP BY 1
-        """,
-        "b30_ndcg": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            dl AS (
-              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
-              WHERE tok <> '' GROUP BY doc_id
-            ),
-            scalars AS (
-              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
-                     CAST(count(*) AS DOUBLE) AS n_docs
-              FROM documents
-            ),
-            tf AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
-            ),
-            dfx AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
-            ),
-            scored AS (
-              SELECT tf.doc_id,
-                     round(sum(
-                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
-                       * tf.tf * 2.2
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-                     ), 6) AS score
-              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
-                   CROSS JOIN scalars s
-              GROUP BY tf.doc_id
-            ),
-            retrieved AS (
-              SELECT doc_id, rank FROM (
-                SELECT doc_id, row_number() OVER (
-                  ORDER BY score DESC, doc_id ASC) AS rank
-                FROM scored
-              ) WHERE rank <= 10
-            ),
-            rel AS (
-              SELECT doc_id,
-                     least(CAST(len(list_filter({_TOKS_SQL},
-                                                t -> t = 'merge'))
-                                AS BIGINT), 3) AS rel
-              FROM documents
-            ),
-            wt AS (SELECT [{", ".join(str(w) for w in _NDCG_W)}] AS w),
-            dcg AS (
-              SELECT CAST(sum(COALESCE(rel.rel, 0) * w[rank]) AS BIGINT)
-                       AS dcg_scaled
-              FROM retrieved LEFT JOIN rel USING (doc_id), wt
-            ),
-            ideal AS (
-              SELECT rel, row_number() OVER (
-                ORDER BY rel DESC, doc_id ASC) AS rank
-              FROM rel
-            ),
-            idcg AS (
-              SELECT CAST(sum(rel * w[rank]) AS BIGINT) AS idcg_scaled
-              FROM ideal, wt WHERE rank <= 10
-            )
-            SELECT dcg_scaled, idcg_scaled,
-                   round(CAST(dcg_scaled AS DOUBLE)
-                         / CAST(idcg_scaled AS DOUBLE), 6) AS ndcg
-            FROM dcg, idcg
-        """,
-        # ---- round 9 wave 2 ---------------------------------------------
-        "b20_cos_histogram": """
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 32
-            ),
-            c AS (
-              SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ),
-            scored AS (
-              SELECT list_dot_product(qv, cv)
-                     / (sqrt(list_dot_product(qv, qv))
-                        * sqrt(list_dot_product(cv, cv))) AS score
-              FROM q, c WHERE neighbor_id != query_id
-            ),
-            per AS (
-              SELECT CAST(floor(score * 10) AS INTEGER) AS bucket,
-                     CAST(count(*) AS BIGINT) AS n_pairs
-              FROM scored GROUP BY 1
-            ),
-            t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM per)
-            SELECT bucket, n_pairs,
-                   round(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6)
-                     AS share
-            FROM per, t
-        """,
-        "b10_welch_t": """
-            WITH sums AS (
-              SELECT o_orderpriority = '1-URGENT' AS g1,
-                     CAST(count(*) AS DOUBLE) AS n,
-                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
-                          AS DOUBLE) AS sx,
-                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))
-                              * CAST(o_totalprice AS DECIMAL(28,4)))
-                          AS DOUBLE) AS sxx
-              FROM orders
-              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-              GROUP BY 1
-            ),
-            one AS (
-              SELECT max(CASE WHEN g1 THEN n END) AS n1,
-                     max(CASE WHEN g1 THEN sx END) AS sx1,
-                     max(CASE WHEN g1 THEN sxx END) AS sxx1,
-                     max(CASE WHEN NOT g1 THEN n END) AS n2,
-                     max(CASE WHEN NOT g1 THEN sx END) AS sx2,
-                     max(CASE WHEN NOT g1 THEN sxx END) AS sxx2
-              FROM sums
-            ),
-            two AS (
-              SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
-                     (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
-                     (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
-              FROM one
-            ),
-            three AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM two)
-            SELECT CAST(n1 AS BIGINT) AS n_urgent,
-                   CAST(n2 AS BIGINT) AS n_low,
-                   round(m1 - m2, 6) AS mean_diff,
-                   round((m1 - m2) / sqrt(se2), 6) AS t_stat,
-                   round((se2 * se2)
-                         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                            + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
-            FROM three
-        """,
-        "b11_streaks": """
-            WITH days AS (
-              SELECT DISTINCT user_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
-              FROM events
-            ),
-            isl AS (
-              SELECT user_id,
-                     day - row_number() OVER (
-                       PARTITION BY user_id ORDER BY day ASC) AS g
-              FROM days
-            ),
-            islands AS (
-              SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
-              FROM isl GROUP BY user_id, g
-            )
-            SELECT user_id,
-                   CAST(sum(len) AS BIGINT) AS n_active_days,
-                   CAST(count(*) AS BIGINT) AS n_streaks,
-                   CAST(max(len) AS BIGINT) AS longest_streak
-            FROM islands GROUP BY user_id
-        """,
-        "b30_kwic": f"""
-            WITH tk AS (
-              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, i - 1 AS pos, toks[i] AS tok
-              FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
-            ),
-            m AS (
-              SELECT DISTINCT a.doc_id, a.pos
-              FROM pos a JOIN pos b
-                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-              WHERE a.tok = 'merge' AND b.tok = 'join'
-            )
-            SELECT m.doc_id, CAST(m.pos AS INTEGER) AS pos,
-                   array_to_string(
-                     list_slice(tk.toks, greatest(m.pos - 3, 0) + 1,
-                                least(m.pos + 5, len(tk.toks))), ' ')
-                     AS snippet
-            FROM m JOIN tk ON m.doc_id = tk.doc_id
-        """,
-        "b24_source_scorecard": f"""
-            WITH per_doc AS (
-              SELECT source,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
-                     md5({_NORM_SQL}) AS fp,
-                     CAST(len(list_filter({_TOKS_SQL}, t -> t <> ''))
-                          AS BIGINT) AS n_nz,
-                     CAST(len(list_distinct(
-                            list_filter({_TOKS_SQL}, t -> t <> '')))
-                          AS BIGINT) AS n_dist
-              FROM documents
-            ),
-            doc_agg AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-                     CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq,
-                     CAST(sum(CASE WHEN (n_dist * 1000)
-                                        // greatest(n_nz, 1) >= 300
-                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse
-              FROM per_doc GROUP BY source
-            ),
-            toks AS (
-              SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
-            vocab AS (
-              SELECT tok FROM (
-                SELECT tok, count(*) AS c FROM nz GROUP BY tok
-                ORDER BY c DESC, tok ASC LIMIT 200
-              )
-            ),
-            oov AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-                     CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-                          AS BIGINT) AS n_oov
-              FROM nz LEFT JOIN vocab v ON nz.tok = v.tok
-              GROUP BY source
-            )
-            SELECT d.source, n_docs, sum_tok, n_uniq,
-                   round(1.0 - CAST(n_uniq AS DOUBLE)
-                               / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
-                   round(CAST(n_oov AS DOUBLE)
-                         / CAST(n_tokens AS DOUBLE), 6) AS oov_rate,
-                   round(CAST(n_diverse AS DOUBLE)
-                         / CAST(n_docs AS DOUBLE), 6) AS diverse_share
-            FROM doc_agg d JOIN oov USING (source)
-        """,
-        "b2_write_amplification": f"""
-            WITH changes AS ({_EVENTS_CHANGES_SQL}),
-            agg AS (
-              SELECT operation, CAST(count(*) AS BIGINT) AS n_changes,
-                     CAST(sum(coalesce(length(before), 0)) AS BIGINT)
-                       AS before_bytes,
-                     CAST(sum(coalesce(length(after), 0)) AS BIGINT)
-                       AS after_bytes
-              FROM changes GROUP BY operation
-            )
-            SELECT operation, n_changes, before_bytes, after_bytes,
-                   round(CAST(before_bytes + after_bytes AS DOUBLE)
-                         / CAST(n_changes AS DOUBLE), 6) AS avg_image_bytes
-            FROM agg
-        """,
-        # ---- round 9 wave 3 ---------------------------------------------
-        "b13_block_digests": _block_digests_oracle_sql(),
-        "b27_lc_union": _lc_union_oracle_sql(),
-        "b20_recall_curve": _recall_curve_oracle_sql(),
-        "b11_rolling_median": """
-            WITH daily AS (
-              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-                     CAST(count(*) AS BIGINT) AS n
-              FROM events GROUP BY 1
-            )
-            SELECT day, n,
-                   CAST(median(n) OVER w AS DOUBLE) AS med7,
-                   CAST(count(*) OVER w AS BIGINT) AS n_days_in_frame
-            FROM daily WINDOW w AS (ORDER BY day ASC
-                                    RANGE BETWEEN 6 PRECEDING
-                                    AND CURRENT ROW)
-        """,
-        "b28_budget_allocation": f"""
-            WITH per AS (
-              SELECT source,
-                     CAST(sum(CAST(len({_TOKS_SQL}) AS BIGINT)) AS BIGINT)
-                       AS w
-              FROM documents GROUP BY source
-            ),
-            tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM per),
-            q AS (
-              SELECT source, w,
-                     (w * 1000000) // wt AS base,
-                     (w * 1000000) % wt AS rem
-              FROM per, tot
-            ),
-            s AS (SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM q),
-            r AS (
-              SELECT q.source, q.w, q.base,
-                     row_number() OVER (
-                       ORDER BY q.rem DESC, q.source ASC) AS rk,
-                     1000000 - s.base_sum AS leftover
-              FROM q, s
-            )
-            SELECT source, w,
-                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-                        AS BIGINT) AS alloc,
-                   round(CAST(base + CASE WHEN rk <= leftover
-                                          THEN 1 ELSE 0 END AS DOUBLE)
-                         / 1000000.0, 6) AS alloc_share
-            FROM r
-        """,
-        # ---- round 9 wave 4 ---------------------------------------------
-        "b27_hll_registers": _hll_registers_oracle_sql(),
-        "b30_bfs_hops": """
-            WITH e AS (
-              SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
-            ),
-            seed AS (SELECT min(s) AS sk FROM e),
-            d1 AS (
-              SELECT DISTINCT p FROM e CROSS JOIN seed WHERE e.s = seed.sk
-            ),
-            d2 AS (
-              SELECT DISTINCT e.s FROM e JOIN d1 USING (p)
-              CROSS JOIN seed WHERE e.s <> seed.sk
-            ),
-            d3 AS (
-              SELECT DISTINCT e.p FROM e JOIN d2 ON e.s = d2.s
-              WHERE e.p NOT IN (SELECT p FROM d1)
-            )
-            SELECT 0 AS dist, 'supplier' AS node_type,
-                   CAST(1 AS BIGINT) AS n_nodes
-            UNION ALL
-            SELECT 1, 'part', CAST(count(*) AS BIGINT) FROM d1
-            UNION ALL
-            SELECT 2, 'supplier', CAST(count(*) AS BIGINT) FROM d2
-            UNION ALL
-            SELECT 3, 'part', CAST(count(*) AS BIGINT) FROM d3
-        """,
-        "b13_zorder_layout": f"""
-            WITH b AS (
-              SELECT CAST(({_zorder_expr_sql()}) AS BIGINT) >> 6 AS zblock,
-                     l_partkey % 256 AS pb, l_suppkey % 256 AS sb
-              FROM lineitem
-            ),
-            per AS (
-              SELECT zblock,
-                     CAST(count(*) AS BIGINT) AS n_rows,
-                     CAST(min(pb) AS BIGINT) AS pk_lo,
-                     CAST(max(pb) AS BIGINT) AS pk_hi,
-                     CAST(min(sb) AS BIGINT) AS sk_lo,
-                     CAST(max(sb) AS BIGINT) AS sk_hi
-              FROM b GROUP BY zblock
-            )
-            SELECT zblock, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
-                   pk_hi - pk_lo + 1 AS pk_span,
-                   sk_hi - sk_lo + 1 AS sk_span
-            FROM per
-        """,
-        # ---- round 9 wave 5 ---------------------------------------------
-        "b7_volume_shipping": """
-            SELECT n1.n_name AS supp_nation,
-                   n2.n_name AS cust_nation,
-                   CAST(year(l.l_shipdate) AS INT) AS l_year,
-                   round(CAST(sum(
-                     CAST(l.l_extendedprice AS DECIMAL(38,6))
-                     * (CAST(1 AS DECIMAL(38,6))
-                        - CAST(l.l_discount AS DECIMAL(38,6)))
-                   ) AS DOUBLE), 2) AS revenue
-            FROM lineitem l
-            JOIN orders o ON l.l_orderkey = o.o_orderkey
-            JOIN supplier s ON l.l_suppkey = s.s_suppkey
-            JOIN customer c ON o.o_custkey = c.c_custkey
-            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
-            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-            WHERE l.l_shipdate >= '1995-01-01'
-              AND l.l_shipdate < '1997-01-01'
-              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-            GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
-        """,
-        "b7_market_share": """
-            WITH agg AS (
-              SELECT year(o.o_orderdate) AS o_year,
-                     sum(CASE WHEN sn.n_name = 'NATION_3' THEN
-                       CAST(l.l_extendedprice AS DECIMAL(38,6))
-                       * (CAST(1 AS DECIMAL(38,6))
-                          - CAST(l.l_discount AS DECIMAL(38,6)))
-                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS nat,
-                     sum(
-                       CAST(l.l_extendedprice AS DECIMAL(38,6))
-                       * (CAST(1 AS DECIMAL(38,6))
-                          - CAST(l.l_discount AS DECIMAL(38,6)))
-                     ) AS tot
-              FROM lineitem l
-              JOIN part p ON l.l_partkey = p.p_partkey
-              JOIN orders o ON l.l_orderkey = o.o_orderkey
-              JOIN customer c ON o.o_custkey = c.c_custkey
-              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-              JOIN supplier s ON l.l_suppkey = s.s_suppkey
-              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-              WHERE p.p_type = 'PROMO'
-                AND cn.n_regionkey = 3
-                AND o.o_orderdate >= '1995-01-01'
-                AND o.o_orderdate < '1997-01-01'
-              GROUP BY year(o.o_orderdate)
-            )
-            SELECT CAST(o_year AS INT) AS o_year,
-                   round(CAST(nat AS DOUBLE), 2) AS nation_revenue,
-                   round(CAST(tot AS DOUBLE), 2) AS total_revenue,
-                   CAST(floor(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE)
-                              * 1e6) AS BIGINT) AS share_micros
-            FROM agg
-        """,
-        "b8_top_supplier": """
-            WITH rev AS (
-              SELECT l_suppkey,
-                     sum(
-                       CAST(l_extendedprice AS DECIMAL(38,6))
-                       * (CAST(1 AS DECIMAL(38,6))
-                          - CAST(l_discount AS DECIMAL(38,6)))
-                     ) AS r
-              FROM lineitem
-              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
-              GROUP BY l_suppkey
-            )
-            SELECT s.s_suppkey, s.s_name,
-                   round(CAST(rev.r AS DOUBLE), 2) AS total_revenue
-            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
-            WHERE rev.r = (SELECT max(r) FROM rev)
-        """,
-        "b7_priority_lines": """
-            SELECT l.l_linestatus,
-                   CAST(sum(CASE WHEN o.o_orderpriority IN
-                     ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
-                     AS high_line_count,
-                   CAST(sum(CASE WHEN o.o_orderpriority IN
-                     ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
-                     AS low_line_count
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
-            GROUP BY l.l_linestatus
-        """,
-        "b8_dominant_supplier": """
-            WITH ps AS (
-              SELECT l.l_partkey, l.l_suppkey,
-                     sum(CAST(l.l_quantity AS BIGINT)) AS supp_qty
-              FROM lineitem l
-              JOIN part p ON l.l_partkey = p.p_partkey
-              WHERE p.p_name LIKE 'small%'
-              GROUP BY l.l_partkey, l.l_suppkey
-            ),
-            pt AS (
-              SELECT l_partkey, sum(supp_qty) AS total_qty,
-                     CAST(count(*) AS BIGINT) AS n_supp
-              FROM ps GROUP BY l_partkey
-            ),
-            dom AS (
-              SELECT ps.l_suppkey,
-                     CAST(count(*) AS BIGINT) AS n_dominated_parts,
-                     CAST(sum(ps.supp_qty) AS BIGINT) AS dominated_qty
-              FROM ps JOIN pt USING (l_partkey)
-              WHERE ps.supp_qty * pt.n_supp > 2 * pt.total_qty
-              GROUP BY ps.l_suppkey
-            )
-            SELECT s.s_suppkey, s.s_name, d.n_dominated_parts,
-                   d.dominated_qty
-            FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
-        """,
-        "b27_cms_heavy_hitters": """
-            WITH per_user AS (
-              SELECT user_id, CAST(count(*) AS BIGINT) AS n
-              FROM events GROUP BY user_id
-            ),
-            hashed AS (
-              SELECT user_id, n,
-                     CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
-                          1, 15) AS BIGINT) % 64 AS b0,
-                     CAST('0x' || substr(md5('1:' || CAST(user_id AS VARCHAR)),
-                          1, 15) AS BIGINT) % 64 AS b1,
-                     CAST('0x' || substr(md5('2:' || CAST(user_id AS VARCHAR)),
-                          1, 15) AS BIGINT) % 64 AS b2,
-                     CAST('0x' || substr(md5('3:' || CAST(user_id AS VARCHAR)),
-                          1, 15) AS BIGINT) % 64 AS b3
-              FROM per_user
-            ),
-            cells AS (
-              SELECT 0 AS r, b0 AS b, n FROM hashed
-              UNION ALL SELECT 1, b1, n FROM hashed
-              UNION ALL SELECT 2, b2, n FROM hashed
-              UNION ALL SELECT 3, b3, n FROM hashed
-            ),
-            counters AS (
-              SELECT r, b, sum(n) AS cnt FROM cells GROUP BY r, b
-            ),
-            cand AS (
-              SELECT * FROM hashed ORDER BY n DESC, user_id ASC LIMIT 10
-            ),
-            cand_cells AS (
-              SELECT user_id, n, 0 AS r, b0 AS b FROM cand
-              UNION ALL SELECT user_id, n, 1, b1 FROM cand
-              UNION ALL SELECT user_id, n, 2, b2 FROM cand
-              UNION ALL SELECT user_id, n, 3, b3 FROM cand
-            )
-            SELECT cc.user_id, cc.n AS n_exact,
-                   CAST(min(ct.cnt) AS BIGINT) AS cms_estimate,
-                   CAST(min(ct.cnt) - cc.n AS BIGINT) AS overcount
-            FROM cand_cells cc JOIN counters ct ON cc.r = ct.r AND cc.b = ct.b
-            GROUP BY cc.user_id, cc.n
-        """,
-        "b30_hits": """
-            WITH e AS (
-              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-            ),
-            a1 AS (
-              SELECT l_partkey, CAST(count(*) AS BIGINT) AS auth1
-              FROM e GROUP BY l_partkey
-            ),
-            h1 AS (
-              SELECT e.l_suppkey, CAST(sum(a1.auth1) AS BIGINT) AS hub1
-              FROM e JOIN a1 USING (l_partkey) GROUP BY e.l_suppkey
-            ),
-            a2 AS (
-              SELECT e.l_partkey, CAST(sum(h1.hub1) AS BIGINT) AS auth2
-              FROM e JOIN h1 USING (l_suppkey) GROUP BY e.l_partkey
-            )
-            SELECT a2.l_partkey AS partkey, a1.auth1, a2.auth2,
-                   CAST(row_number() OVER (
-                     ORDER BY a2.auth2 DESC, a2.l_partkey ASC) AS BIGINT)
-                     AS rank
-            FROM a2 JOIN a1 USING (l_partkey)
-            ORDER BY a2.auth2 DESC, a2.l_partkey ASC LIMIT 10
-        """,
-        "b19_prefix_dups": """
-            WITH corpus AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 400000,
-                     substr(text, 1, (length(text) * 3) // 5)
-              FROM documents
-              WHERE doc_id % 9 = 3 AND length(text) >= 120
-            ),
-            keyed AS (
-              SELECT doc_id, text, length(text) AS len,
-                     substr(text, 1, 24) AS k
-              FROM corpus
-            )
-            SELECT a.doc_id AS short_id, b.doc_id AS long_id,
-                   CAST(a.len AS INT) AS short_len,
-                   CAST(b.len AS INT) AS long_len
-            FROM keyed a JOIN keyed b ON a.k = b.k
-            WHERE a.len < b.len
-              AND substr(b.text, 1, a.len) = a.text
-        """,
-        "b20_jl_projection": _jl_projection_oracle_sql(),
-        # ---- round 9 wave 6 ---------------------------------------------
-        "b21_calibration": f"""
-            WITH base AS (
-              SELECT lang,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                          AS BIGINT) AS alpha,
-                     CAST(length(text) AS BIGINT) AS q_chars,
-                     {_sw_hits_sql('en')} AS s_en
-              FROM documents
-            ),
-            scored AS (
-              SELECT lang,
-                round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-                      + round(CAST(alpha AS DOUBLE)
-                              / CAST(greatest(q_chars, 1) AS DOUBLE), 6) * 0.4
-                      + least(round(CAST(s_en AS DOUBLE)
-                              / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
-                              * 5.0, 1.0) * 0.2, 6) AS score
-              FROM base
-            ),
-            binned AS (
-              SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
-                     CAST(floor(score * 1e6) AS BIGINT) AS sm,
-                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-              FROM scored
-            ),
-            per AS (
-              SELECT bin, CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(pos) AS BIGINT) AS n_pos,
-                     CAST(sum(sm) AS BIGINT) AS ssm
-              FROM binned GROUP BY bin
-            )
-            SELECT bin, n, n_pos,
-                   CAST(ssm // n AS BIGINT) AS mean_score_micros,
-                   CAST((n_pos * 1000000) // n AS BIGINT) AS pos_rate_micros,
-                   CAST(abs(ssm // n - (n_pos * 1000000) // n) AS BIGINT)
-                     AS gap_micros
-            FROM per
-        """,
-        "b26_ht_estimate": """
-            WITH ev AS (
-              SELECT event_type, user_id,
-                     CAST(floor(value * 1e6) AS BIGINT) AS vm
-              FROM events
-            ),
-            ex AS (
-              SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
-                     CAST(sum(vm) AS BIGINT) AS sum_micros_exact
-              FROM ev GROUP BY event_type
-            ),
-            est AS (
-              SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS n_est,
-                     CAST(sum(vm) * 16 AS BIGINT) AS sum_micros_est
-              FROM ev
-              WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
-                         AS BIGINT) % 16 = 0
-              GROUP BY event_type
-            )
-            SELECT ex.event_type, ex.n_exact, est.n_est,
-                   ex.sum_micros_exact, est.sum_micros_est,
-                   CAST((abs(est.n_est - ex.n_exact) * 1000000) // ex.n_exact
-                        AS BIGINT) AS n_err_micros,
-                   CAST((abs(est.sum_micros_est - ex.sum_micros_exact)
-                         * 1000000) // ex.sum_micros_exact AS BIGINT)
-                     AS sum_err_micros
-            FROM ex JOIN est USING (event_type)
-        """,
-        "b27_quantile_sketch": """
-            WITH ev AS (
-              SELECT event_type,
-                     CAST(floor(value * 1e6) AS BIGINT) AS vm
-              FROM events
-            ),
-            bounds AS (
-              SELECT min(vm) AS lo, max(vm) - min(vm) + 1 AS r FROM ev
-            ),
-            bucketed AS (
-              SELECT event_type, vm,
-                     CAST(least(((vm - lo) * 128) // r, 127) AS INT) AS bkt
-              FROM ev CROSS JOIN bounds
-            ),
-            scope_sk AS (
-              SELECT event_type AS scope, bkt,
-                     CAST(count(*) AS BIGINT) AS cnt
-              FROM bucketed GROUP BY event_type, bkt
-            ),
-            sk AS (
-              SELECT scope, bkt, cnt FROM scope_sk
-              UNION ALL
-              SELECT '(all)', bkt, CAST(sum(cnt) AS BIGINT)
-              FROM scope_sk GROUP BY bkt
-            ),
-            ns AS (
-              SELECT scope, CAST(sum(cnt) AS BIGINT) AS n
-              FROM sk GROUP BY scope
-            ),
-            cum AS (
-              SELECT sk.scope, bkt, cnt, ns.n,
-                     CAST(sum(cnt) OVER (
-                       PARTITION BY sk.scope ORDER BY bkt
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
-              FROM sk JOIN ns USING (scope)
-            ),
-            est AS (
-              SELECT scope, n,
-                     min(CASE WHEN c * 100 >= 50 * n THEN bkt END) AS b50,
-                     min(CASE WHEN c * 100 >= 95 * n THEN bkt END) AS b95,
-                     min(CASE WHEN c * 100 >= 99 * n THEN bkt END) AS b99
-              FROM cum GROUP BY scope, n
-            ),
-            sv AS (
-              SELECT event_type AS scope, vm FROM ev
-              UNION ALL
-              SELECT '(all)', vm FROM ev
-            ),
-            dv AS (
-              SELECT scope, vm, CAST(count(*) AS BIGINT) AS cc
-              FROM sv GROUP BY scope, vm
-            ),
-            dvc AS (
-              SELECT dv.scope, vm, ns.n,
-                     CAST(sum(cc) OVER (
-                       PARTITION BY dv.scope ORDER BY vm
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
-              FROM dv JOIN ns USING (scope)
-            ),
-            exact AS (
-              SELECT scope,
-                     min(CASE WHEN c * 100 >= 50 * n THEN vm END) AS x50,
-                     min(CASE WHEN c * 100 >= 95 * n THEN vm END) AS x95,
-                     min(CASE WHEN c * 100 >= 99 * n THEN vm END) AS x99
-              FROM dvc GROUP BY scope
-            )
-            SELECT e.scope, e.n,
-                   x.x50 AS exact_p50,
-                   CAST(lo + ((b50 * r) + 127) // 128 AS BIGINT)
-                     AS est_lo_p50,
-                   CAST(lo + (((b50 + 1) * r) + 127) // 128 - 1 AS BIGINT)
-                     AS est_hi_p50,
-                   x.x50 >= lo + ((b50 * r) + 127) // 128
-                     AND x.x50 <= lo + (((b50 + 1) * r) + 127) // 128 - 1
-                     AS in_bucket_p50,
-                   x.x95 AS exact_p95,
-                   CAST(lo + ((b95 * r) + 127) // 128 AS BIGINT)
-                     AS est_lo_p95,
-                   CAST(lo + (((b95 + 1) * r) + 127) // 128 - 1 AS BIGINT)
-                     AS est_hi_p95,
-                   x.x95 >= lo + ((b95 * r) + 127) // 128
-                     AND x.x95 <= lo + (((b95 + 1) * r) + 127) // 128 - 1
-                     AS in_bucket_p95,
-                   x.x99 AS exact_p99,
-                   CAST(lo + ((b99 * r) + 127) // 128 AS BIGINT)
-                     AS est_lo_p99,
-                   CAST(lo + (((b99 + 1) * r) + 127) // 128 - 1 AS BIGINT)
-                     AS est_hi_p99,
-                   x.x99 >= lo + ((b99 * r) + 127) // 128
-                     AND x.x99 <= lo + (((b99 + 1) * r) + 127) // 128 - 1
-                     AS in_bucket_p99
-            FROM est e JOIN exact x USING (scope) CROSS JOIN bounds
-        """,
-        # ---- round 9 wave 7 ---------------------------------------------
-        "b30_rank_eval": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
-              FROM documents
-            ),
-            dl AS (
-              SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks
-              WHERE tok <> '' GROUP BY doc_id
-            ),
-            scalars AS (
-              SELECT (SELECT avg(dl) FROM dl) AS avgdl,
-                     CAST(count(*) AS DOUBLE) AS n_docs
-              FROM documents
-            ),
-            tf AS (
-              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
-              WHERE tok IN ('merge', 'join', 'batch') GROUP BY doc_id, tok
-            ),
-            dfx AS (
-              SELECT tok, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY tok
-            ),
-            scored AS (
-              SELECT tf.doc_id,
-                     round(sum(
-                       ln(1.0 + (s.n_docs - dfx.dfv + 0.5) / (dfx.dfv + 0.5))
-                       * tf.tf * 2.2
-                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-                     ), 6) AS score
-              FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
-                   CROSS JOIN scalars s
-              GROUP BY tf.doc_id
-            ),
-            retrieved AS (
-              SELECT doc_id, rank FROM (
-                SELECT doc_id, row_number() OVER (
-                  ORDER BY score DESC, doc_id ASC) AS rank
-                FROM scored
-              ) WHERE rank <= 10
-            ),
-            rel AS (
-              SELECT doc_id,
-                     CASE WHEN len(list_filter({_TOKS_SQL},
-                                               t -> t = 'merge')) >= 2
-                          THEN 1 ELSE 0 END AS rel
-              FROM documents
-            ),
-            r10 AS (
-              SELECT rank, COALESCE(rel.rel, 0) AS rel
-              FROM retrieved LEFT JOIN rel USING (doc_id)
-            ),
-            cum AS (
-              SELECT rank, rel,
-                     CAST(sum(rel) OVER (
-                       ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                       AS relcum
-              FROM r10
-            ),
-            nrel AS (SELECT CAST(sum(rel) AS BIGINT) AS r FROM rel),
-            m AS (
-              SELECT CAST(sum(rel) AS BIGINT) AS hits10,
-                     min(CASE WHEN rel = 1 THEN rank END) AS fr,
-                     CAST(sum(CASE WHEN rel = 1
-                                   THEN (relcum * 1000000) // rank
-                                   ELSE 0 END) AS BIGINT) AS apnum
-              FROM cum
-            )
-            SELECT r AS n_rel_corpus, hits10,
-                   CAST(COALESCE(fr, 0) AS INT) AS first_rel_rank,
-                   CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_micros,
-                   CAST(apnum // greatest(least(r, 10), 1) AS BIGINT)
-                     AS ap10_micros,
-                   CAST((hits10 * 1000000) // 10 AS BIGINT) AS p10_micros,
-                   CAST((hits10 * 1000000) // greatest(r, 1) AS BIGINT)
-                     AS recall10_micros
-            FROM m, nrel
-        """,
-        "b15_hazard": """
-            WITH ev AS (
-              SELECT user_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
-              FROM events
-            ),
-            pu AS (
-              SELECT user_id, min(hr) AS fd, max(hr) AS ld
-              FROM ev GROUP BY user_id
-            ),
-            e AS (SELECT max(hr) AS endd FROM ev),
-            lived AS (
-              SELECT ld - fd AS t,
-                     CASE WHEN ld <= endd - 24 THEN 1 ELSE 0 END AS churned
-              FROM pu CROSS JOIN e
-            ),
-            pt AS (
-              SELECT t, CAST(sum(churned) AS BIGINT) AS d_events,
-                     CAST(sum(1 - churned) AS BIGINT) AS c_censored
-              FROM lived GROUP BY t
-            ),
-            n AS (
-              SELECT *, CAST(sum(d_events + c_censored) OVER (
-                       ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                       AS n_risk
-              FROM pt
-            )
-            SELECT t AS lifetime_hours, n_risk, d_events, c_censored,
-                   CAST((d_events * 1000000) // n_risk AS BIGINT)
-                     AS hazard_micros
-            FROM n
-        """,
-        "b30_link_prediction": """
-            WITH e AS (
-              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-            ),
-            pd AS (
-              SELECT l_partkey FROM e GROUP BY l_partkey
-              HAVING count(*) <= 64
-            ),
-            c AS (
-              SELECT e.l_partkey, e.l_suppkey FROM e JOIN pd USING (l_partkey)
-            ),
-            sd AS (
-              SELECT l_suppkey, CAST(count(*) AS BIGINT) AS deg
-              FROM e GROUP BY l_suppkey
-            ),
-            sh AS (
-              SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
-                     CAST(count(*) AS BIGINT) AS n_shared
-              FROM c a JOIN c b
-                ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
-              GROUP BY a.l_suppkey, b.l_suppkey
-            ),
-            sc AS (
-              SELECT s1, s2, n_shared,
-                     CAST((n_shared * 1000000)
-                          // (d1.deg + d2.deg - n_shared) AS BIGINT)
-                       AS jaccard_micros
-              FROM sh JOIN sd d1 ON sh.s1 = d1.l_suppkey
-                      JOIN sd d2 ON sh.s2 = d2.l_suppkey
-            )
-            SELECT s1, s2, n_shared, jaccard_micros,
-                   CAST(row_number() OVER (
-                     ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC) AS BIGINT)
-                     AS rank
-            FROM sc ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC LIMIT 20
-        """,
-        "b24_corpus_v6": f"""
-            WITH corpus AS (
-              SELECT doc_id, source, text FROM documents
-              UNION ALL
-              SELECT doc_id + 400000, source,
-                     substr(text, 1, (length(text) * 3) // 5)
-              FROM documents
-              WHERE doc_id % 9 = 3 AND length(text) >= 120
-            ),
-            keyed AS (
-              SELECT doc_id, source, text, length(text) AS len,
-                     substr(text, 1, 24) AS k
-              FROM corpus
-            ),
-            short_ids AS (
-              SELECT DISTINCT a.doc_id
-              FROM keyed a JOIN keyed b ON a.k = b.k
-              WHERE a.len < b.len AND substr(b.text, 1, a.len) = a.text
-            ),
-            dup_drops AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n_dropped_dup
-              FROM corpus WHERE doc_id IN (SELECT doc_id FROM short_ids)
-              GROUP BY source
-            ),
-            deduped AS (
-              SELECT * FROM corpus
-              WHERE doc_id NOT IN (SELECT doc_id FROM short_ids)
-            ),
-            feats AS (
-              SELECT doc_id, source,
-                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
-                     round(least(CAST(len({_TOKS_SQL}) AS DOUBLE) / 50.0,
-                                 1.0) * 0.4
-                           + round(CAST(length(regexp_replace(text,
-                               '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                               / CAST(greatest(length(text), 1) AS DOUBLE),
-                               6) * 0.4
-                           + least(round(CAST({_sw_hits_sql('en')} AS DOUBLE)
-                               / CAST(greatest(len({_TOKS_SQL}), 1)
-                                      AS DOUBLE), 6) * 5.0, 1.0) * 0.2,
-                           6) AS quality_score
-              FROM deduped
-            ),
-            kept AS (SELECT * FROM feats WHERE quality_score >= 0.5),
-            q_drops AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n_dropped_quality
-              FROM feats WHERE quality_score < 0.5 GROUP BY source
-            ),
-            base AS (
-              SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-                     CAST(sum(q_tokens) AS BIGINT) AS tokens_kept
-              FROM kept GROUP BY source
-            ),
-            sk AS (
-              SELECT source AS scope,
-                     CAST(least(greatest((q_tokens * 128) // 256, 0), 127)
-                          AS INT) AS bkt,
-                     CAST(count(*) AS BIGINT) AS cnt
-              FROM kept GROUP BY source, bkt
-            ),
-            ns AS (
-              SELECT scope, CAST(sum(cnt) AS BIGINT) AS n
-              FROM sk GROUP BY scope
-            ),
-            cum AS (
-              SELECT sk.scope, bkt, ns.n,
-                     CAST(sum(cnt) OVER (
-                       PARTITION BY sk.scope ORDER BY bkt
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
-              FROM sk JOIN ns USING (scope)
-            ),
-            p50 AS (
-              SELECT scope AS source,
-                     CAST(0 + ((min(CASE WHEN c * 100 >= 50 * n THEN bkt END)
-                                * 256) + 127) // 128 AS BIGINT)
-                       AS p50_tok_lo,
-                     CAST(0 + (((min(CASE WHEN c * 100 >= 50 * n THEN bkt END)
-                                 + 1) * 256) + 127) // 128 - 1 AS BIGINT)
-                       AS p50_tok_hi
-              FROM cum GROUP BY scope
-            )
-            SELECT base.source, base.n_kept,
-                   CAST(COALESCE(dup_drops.n_dropped_dup, 0) AS BIGINT)
-                     AS n_dropped_dup,
-                   CAST(COALESCE(q_drops.n_dropped_quality, 0) AS BIGINT)
-                     AS n_dropped_quality,
-                   base.tokens_kept, p50.p50_tok_lo, p50.p50_tok_hi
-            FROM base
-            JOIN p50 USING (source)
-            LEFT JOIN dup_drops USING (source)
-            LEFT JOIN q_drops USING (source)
-        """,
-        # ---- round 9 wave 8 ---------------------------------------------
-        "b2_idempotency": f"""
-            WITH ch AS ({_EVENTS_CHANGES_SQL}),
-            delivered AS (
-              SELECT * FROM ch
-              UNION ALL
-              SELECT * FROM ch WHERE id % 13 = 5
-            ),
-            keyed AS (
-              SELECT operation,
-                     md5(concat_ws('|', tablename, CAST(id AS VARCHAR),
-                                   operation, COALESCE(before, ''),
-                                   COALESCE(after, ''))) AS k
-              FROM delivered
-            ),
-            per AS (
-              SELECT operation, k, CAST(count(*) AS BIGINT) AS n
-              FROM keyed GROUP BY operation, k
-            )
-            SELECT operation,
-                   CAST(count(*) AS BIGINT) AS n_logical_changes,
-                   CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS n_duplicated,
-                   CAST(sum(n - 1) AS BIGINT) AS n_redundant_deliveries,
-                   CAST((sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000)
-                        // count(*) AS BIGINT) AS dup_rate_micros
-            FROM per GROUP BY operation
-        """,
-        "b10_winsorized": """
-            WITH li AS (
-              SELECT l_returnflag,
-                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
-              FROM lineitem
-            ),
-            th AS (
-              SELECT l_returnflag,
-                     CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT)
-                       AS p05c,
-                     CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT)
-                       AS p95c
-              FROM li GROUP BY l_returnflag
-            ),
-            clamped AS (
-              SELECT li.l_returnflag, th.p05c, th.p95c, cents,
-                     greatest(least(cents, th.p95c), th.p05c) AS w,
-                     cents BETWEEN th.p05c AND th.p95c AS inr
-              FROM li JOIN th USING (l_returnflag)
-            )
-            SELECT l_returnflag, p05c, p95c,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST((sum(cents) * 10000) // count(*) AS BIGINT)
-                     AS raw_mean_micros,
-                   CAST((sum(w) * 10000) // count(*) AS BIGINT)
-                     AS winsor_mean_micros,
-                   CAST((sum(CASE WHEN inr THEN cents ELSE 0 END) * 10000)
-                        // sum(CASE WHEN inr THEN 1 ELSE 0 END) AS BIGINT)
-                     AS trimmed_mean_micros,
-                   CAST(sum(CASE WHEN inr THEN 0 ELSE 1 END) AS BIGINT)
-                     AS n_clamped
-            FROM clamped GROUP BY l_returnflag, p05c, p95c
-        """,
-        "b14_format_funcs": """
-            SELECT n_nationkey,
-                   lpad(n_name, 12, '.') AS padded_l,
-                   rpad(n_name, 12, '.') AS padded_r,
-                   repeat(substr(n_name, 1, 2), 3) AS repeated,
-                   reverse(n_name) AS reversed,
-                   translate(n_name, 'NAT', 'nat') AS translated,
-                   CAST(ascii(n_name) AS INT) AS first_byte,
-                   chr(65 + n_nationkey % 26) AS letter,
-                   left(n_name, 6) AS left6,
-                   right(n_name, 2) AS right2,
-                   split_part(n_name, '_', 2) AS num_part,
-                   CAST(instr(n_name, '_') AS BIGINT) AS underscore_at
-            FROM nation ORDER BY n_nationkey LIMIT 10
-        """,
-        # ---- round 9 wave 9 ---------------------------------------------
-        "b11_ohlc": """
-            WITH ev AS (
-              SELECT event_id,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-                     CAST(floor(value * 100) AS BIGINT) AS cents
-              FROM events
-            ),
-            hr AS (SELECT *, sec // 3600 AS hr FROM ev),
-            ranked AS (
-              SELECT hr, cents,
-                     row_number() OVER (
-                       PARTITION BY hr ORDER BY sec ASC, event_id ASC)
-                       AS ra,
-                     row_number() OVER (
-                       PARTITION BY hr ORDER BY sec DESC, event_id DESC)
-                       AS rd
-              FROM hr
-            )
-            SELECT hr,
-                   max(CASE WHEN ra = 1 THEN cents END) AS open_cents,
-                   max(cents) AS high_cents,
-                   min(cents) AS low_cents,
-                   max(CASE WHEN rd = 1 THEN cents END) AS close_cents,
-                   CAST(count(*) AS BIGINT) AS volume
-            FROM ranked GROUP BY hr
-        """,
-        "b3_slo_burn": """
-            WITH w AS (
-              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS win6h,
-                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
-              FROM events
-            )
-            SELECT win6h,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(e) AS BIGINT) AS n_errors,
-                   CAST((sum(e) * 1000000) // count(*) AS BIGINT)
-                     AS err_rate_micros,
-                   sum(e) * 50 > count(*) AS page_alert
-            FROM w GROUP BY win6h
-        """,
-        "b13_file_skipping": """
-            WITH li AS (
-              SELECT l_orderkey // 2000 AS file_id,
-                     CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
-                       AS day
-              FROM lineitem
-            ),
-            stats AS (
-              SELECT file_id, min(day) AS min_day, max(day) AS max_day,
-                     CAST(count(*) AS BIGINT) AS n_rows
-              FROM li GROUP BY file_id
-            ),
-            bounds AS (
-              SELECT CAST(floor(epoch(CAST('1996-01-01' AS TIMESTAMP)))
-                          AS BIGINT) // 86400 AS lo,
-                     CAST(floor(epoch(CAST('1996-07-01' AS TIMESTAMP)))
-                          AS BIGINT) // 86400 AS hi
-            ),
-            flagged AS (
-              SELECT n_rows,
-                     (max_day < lo OR min_day >= hi) AS skippable
-              FROM stats CROSS JOIN bounds
-            )
-            SELECT CAST(count(*) AS BIGINT) AS n_files,
-                   CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_skipped,
-                   CAST(sum(CASE WHEN skippable THEN n_rows ELSE 0 END)
-                        AS BIGINT) AS rows_skipped,
-                   CAST((sum(CASE WHEN skippable THEN 1 ELSE 0 END)
-                         * 1000000) // count(*) AS BIGINT)
-                     AS skip_rate_micros
-            FROM flagged
-        """,
-        # ---- round 9 wave 10 --------------------------------------------
-        "b21_rake_keywords": f"""
-            WITH tk AS (
-              SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
-            ),
-            marked AS (
-              SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
-                     CASE WHEN toks[i] IN ({", ".join(
-                         f"'{w}'" for w in textops.STOPWORDS['en']
-                     )}) THEN 1 ELSE 0 END AS is_sw
-              FROM tk, unnest(generate_series(1, len(toks))) AS t(i)
-            ),
-            phrased AS (
-              SELECT doc_id, tok, phrase_id FROM (
-                SELECT doc_id, tok, is_sw,
-                       CAST(sum(is_sw) OVER (
-                         PARTITION BY doc_id ORDER BY pos
-                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
-                FROM marked
-              ) WHERE is_sw = 0
-            ),
-            plen AS (
-              SELECT doc_id, phrase_id,
-                     CAST(count(*) AS BIGINT) AS plen
-              FROM phrased GROUP BY doc_id, phrase_id
-            ),
-            scored AS (
-              SELECT tok, CAST(count(*) AS BIGINT) AS freq,
-                     CAST(sum(plen) AS BIGINT) AS degree
-              FROM phrased JOIN plen USING (doc_id, phrase_id)
-              GROUP BY tok
-            )
-            SELECT tok, freq, degree,
-                   CAST((degree * 1000000) // freq AS BIGINT)
-                     AS rake_micros,
-                   CAST(row_number() OVER (
-                     ORDER BY (degree * 1000000) // freq DESC, freq DESC,
-                              tok ASC) AS BIGINT) AS rank
-            FROM scored
-            ORDER BY rake_micros DESC, freq DESC, tok ASC LIMIT 20
-        """,
-        "b18_chunk_dedup": """
-            WITH corpus AS (
-              SELECT doc_id, source, text FROM documents
-              UNION ALL
-              SELECT doc_id + 500000, source, text FROM documents
-              WHERE doc_id % 11 = 7
-            ),
-            chunks AS (
-              SELECT source,
-                     md5(substr(text, i * 64 + 1, 64)) AS h,
-                     CAST(length(substr(text, i * 64 + 1, 64)) AS BIGINT)
-                       AS blen
-              FROM corpus,
-                   unnest(generate_series(0, (length(text) - 1) // 64))
-                     AS t(i)
-            ),
-            per_chunk AS (
-              SELECT source, h, CAST(count(*) AS BIGINT) AS n,
-                     max(blen) AS blen
-              FROM chunks GROUP BY source, h
-            )
-            SELECT source,
-                   CAST(sum(n) AS BIGINT) AS n_blocks,
-                   CAST(count(*) AS BIGINT) AS n_unique_blocks,
-                   CAST(sum(n * blen) AS BIGINT) AS bytes_total,
-                   CAST(sum(blen) AS BIGINT) AS bytes_unique,
-                   CAST((sum(blen) * 1000000) // sum(n * blen) AS BIGINT)
-                     AS unique_share_micros
-            FROM per_chunk GROUP BY source
-        """,
-        # ---- round 9 wave 11 --------------------------------------------
-        "b20_triplet_mining": """
-            WITH a AS (
-              SELECT vec_id AS anchor_id, label AS anchor_label,
-                     CAST(embedding AS DOUBLE[]) AS av
-              FROM embeddings WHERE vec_id < 8
-            ),
-            c AS (
-              SELECT vec_id AS neighbor_id, label AS neighbor_label,
-                     CAST(embedding AS DOUBLE[]) AS cv
-              FROM embeddings
-            ),
-            scored AS (
-              SELECT anchor_id, anchor_label, neighbor_id,
-                     anchor_label = neighbor_label AS same,
-                     list_dot_product(av, cv)
-                     / (sqrt(list_dot_product(av, av))
-                        * sqrt(list_dot_product(cv, cv))) AS s
-              FROM a, c WHERE neighbor_id != anchor_id
-            ),
-            pos AS (
-              SELECT anchor_id, anchor_label,
-                     neighbor_id AS positive_id, s AS ps
-              FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY anchor_id
-                  ORDER BY s DESC, neighbor_id ASC) AS rn
-                FROM scored WHERE same
-              ) WHERE rn = 1
-            ),
-            neg AS (
-              SELECT anchor_id, neighbor_id AS negative_id, s AS ns
-              FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY anchor_id
-                  ORDER BY s DESC, neighbor_id ASC) AS rn
-                FROM scored WHERE NOT same
-              ) WHERE rn = 1
-            )
-            SELECT pos.anchor_id, pos.anchor_label, pos.positive_id,
-                   round(ps, 6) AS pos_score,
-                   neg.negative_id,
-                   round(ns, 6) AS neg_score,
-                   round(ps - ns, 6) AS margin,
-                   ns > ps AS violation
-            FROM pos JOIN neg USING (anchor_id)
-        """,
-    }
+    """DuckDB equivalents, assembled from the per-family modules in
+    :mod:`oracles` (VERDICT r9 item 8 split; entries verbatim)."""
+    from oracles import SQL
+
+    return dict(SQL)

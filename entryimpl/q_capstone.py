@@ -1,0 +1,546 @@
+"""Registry query functions — capstone family (split from
+__spark_entry__.py; pure move)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+
+def q_b24_incremental_card(spark, sf_dir):
+    """Incremental reporting under CDC (B24 × B3): the per-(source,lang)
+    doc/token counters maintained by ADDITIVE merge with a CDC batch
+    (doc_id%7 UPDATEd with ' zzz' appended, doc_id%11 and-not-%7
+    DELETEd) — cost ∝ batch, the corpus is never recounted. The oracle
+    recomputes from scratch over the effective corpus, so the driver row
+    proves counter-maintenance-equals-recount, the same invariant the
+    LSH-index / cluster / LM incremental legs already carry."""
+    docs = _t(spark, sf_dir, "documents")
+    standing = textops.corpus_counters(docs)
+    upd = docs.filter(F.col("doc_id") % 7 == 0)
+    dels = upd.select("source", "lang", "text").unionByName(
+        docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("source", "lang", "text")
+    )
+    ins = upd.select(
+        "source", "lang", F.concat(F.col("text"), F.lit(" zzz")).alias("text")
+    )
+    return textops.update_corpus_counters(standing, inserts=ins, deletes=dels)
+
+
+def q_b24_corpus_v3(spark, sf_dir):
+    """Corpus-build capstone v3 (B24, round 5): the build recomposed from
+    this round's operators, ONE lazy plan —
+
+    1. quality features + unigram-LM cross-entropy per doc;
+    2. per-lang percentile gates: drop the bottom quality quartile AND
+       the top 10% most-surprising (the CCNet-style two-sided filter);
+    3. temperature mixture (α=0.5, 20k-token budget) over survivors;
+    4. curriculum packing (quality deciles, 2k-token packs);
+    5. per-phase report: docs, tokens, packs.
+
+    Everything is keyed aggs + broadcast scalars + narrow filters; the
+    only ordered structure is the distributed prefix sum inside
+    pack_sequences. Oracle replays every stage in SQL.
+
+    The 4-column survivor manifest is localCheckpoint-ed before the
+    mixture (r7, the multi-reference rule): temperature_sample scans
+    its input twice (group totals, then the keep filter), and without
+    the checkpoint each scan re-executes the whole curation pipeline —
+    the r6 bench regression. At 100 TB the manifest is doc-id metadata
+    (4 narrow columns), executor-disk-resident, far cheaper than two
+    passes of tokenize+join+window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs.select("doc_id", "lang", "text"))
+    xent = lm.doc_cross_entropy(docs, "doc_id").select("doc_id", "xent")
+    joined = feats.join(xent, "doc_id")
+    g1 = textops.quality_gate(joined)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("xent").asc(), F.col("doc_id").asc()
+    )
+    g2 = (
+        g1.withColumn("__xpr", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("__xpr") <= 0.9)
+    )
+    mixed = sampling.temperature_sample(
+        g2.select("doc_id", "lang", "q_tokens", "quality_score").localCheckpoint(
+            eager=False
+        ),
+        "lang",
+        "doc_id",
+        "q_tokens",
+        total_budget=20_000,
+        alpha=0.5,
+    )
+    staged = mixed.select(
+        "doc_id",
+        F.col("q_tokens").alias("n_tok"),
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+        ).alias("phase"),
+    ).withColumn("okey", F.col("phase") * F.lit(10_000_000) + F.col("doc_id"))
+    packed = sampling.pack_sequences(staged, "okey", "n_tok", budget=2000)
+    return packed.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+    )
+
+
+def q_b24_corpus_build(spark, sf_dir):
+    """Capstone composition (B18+B21): training-corpus build — quality
+    scoring → language/quality gates → exact dedup on normalized text →
+    per-language corpus stats."""
+    docs = _docs_with_dups(spark, sf_dir)
+    feats = textops.quality_features(docs)
+    gated = feats.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    )
+    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_tokens").alias("total_tokens"),
+            # avg as exact-decimal sum ÷ count in double (engine avg()
+            # return types differ on decimals)
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def q_b24_corpus_v2(spark, sf_dir):
+    """Round-3 capstone (B24 depth): the corpus build recomposed from this
+    round's operators — near-dup CLUSTER dedup (transitive closure, keep
+    each cluster's min id), token gate, budget-aware mixture sampling,
+    then document chunking — ending in per-lang chunk statistics. Every
+    stage is the library operator, and the whole chain is one lazy plan
+    replayed bit-exact by the DuckDB oracle (closure via recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "lang", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    clusters = dedup.dup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    surv = corpus.join(dropped, "doc_id", "left_anti")
+    gated = surv.select(
+        "doc_id", "lang", "text", textops.token_count("text").alias("n_tok")
+    ).filter(F.col("n_tok") >= 20)
+    mixed = sampling.mixture_sample(
+        gated, "lang", "doc_id", "n_tok",
+        budgets={"en": 4000, "de": 1500}, default_budget=2000,
+    )
+    chunks = textops.chunk_rows(mixed, "doc_id", "text", 16, 4)
+    return (
+        chunks.join(mixed.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("sum_chunk_tokens"),
+        )
+    )
+
+
+def q_b24_dedup_manifest(spark, sf_dir):
+    """Per-document dedup DECISION manifest (r7) — the artifact a corpus
+    build actually ships: for every input doc, keep/drop plus a reason
+    code (``cluster_keeper`` — the cluster's canonical survivor whose
+    golden text passes the token gate; ``dup`` — a non-keeper cluster
+    member; ``unique`` — a singleton passing the gate; ``short`` — gate
+    failure). b24_corpus_v4 certifies the same pipeline as a one-row
+    build card; THIS row certifies the row-level decisions (auditable,
+    joinable back to storage for deletion), over the identical
+    prefix-filter → closure → survivorship → gate composition."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    pairs = dedup.set_similarity_join(corpus, "doc_id", "text", threshold=0.8)
+    # labels feed the member manifest, the golden join AND the singleton
+    # anti-join — three references, one checkpoint
+    labels = dedup.dup_clusters(pairs).localCheckpoint(eager=False)
+    golden = dedup.golden_records(
+        corpus, labels, "doc_id", {"text": ("longest", "text")}
+    )
+    n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
+    gtok = golden.select(
+        F.col("cluster_id").alias("__cid"), n_tok.alias("__nt")
+    )
+    members = (
+        labels.select("doc_id", "cluster_id")
+        .join(F.broadcast(gtok), F.col("cluster_id") == F.col("__cid"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("drop"))
+            .when(F.col("__nt") >= 10, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.when(F.col("doc_id") != F.col("cluster_id"), F.lit("dup"))
+            .when(F.col("__nt") >= 10, F.lit("cluster_keeper"))
+            .otherwise(F.lit("short"))
+            .alias("reason"),
+        )
+    )
+    singles = (
+        corpus.join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("__nt", n_tok)
+        .select(
+            "doc_id",
+            F.when(F.col("__nt") >= 10, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+            F.when(F.col("__nt") >= 10, F.lit("unique"))
+            .otherwise(F.lit("short"))
+            .alias("reason"),
+        )
+    )
+    return members.unionByName(singles)
+
+
+def q_b24_corpus_v4(spark, sf_dir):
+    """Corpus capstone v4 (B24) — the EXACT-dedup build composing this
+    round's operators end to end: prefix-filter set-similarity join
+    (complete, no LSH recall question) → transitive closure → golden-
+    record survivorship (longest text per cluster, keeper id = cluster
+    min) → token-count gate — reported as a one-row build card. Every
+    stage is the already-oracled component; the oracle is their SQL
+    composition, so the driver row certifies the WHOLE pipeline
+    (dedup.py: set_similarity_join + dup_clusters + golden_records)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    # the pair relation is referenced twice (closure input + the build
+    # card's n_pairs) — checkpoint once per the iterative-consumer rule
+    pairs = dedup.set_similarity_join(
+        corpus, "doc_id", "text", threshold=0.8
+    ).localCheckpoint()
+    labels = dedup.dup_clusters(pairs).localCheckpoint()
+    golden = dedup.golden_records(
+        corpus, labels, "doc_id", {"text": ("longest", "text")}
+    ).select(F.col("cluster_id").alias("doc_id"), "text")
+    singles = corpus.join(labels.select("doc_id"), "doc_id", "left_anti")
+    kept = golden.unionByName(singles)
+    n_tok = F.size(F.split(dedup.normalize_text("text"), " "))
+    gated = kept.withColumn("__nt", n_tok).filter(F.col("__nt") >= 10)
+    return (
+        corpus.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+        .crossJoin(
+            labels.agg(
+                F.count_distinct("cluster_id").cast("bigint").alias("n_clusters")
+            )
+        )
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        .crossJoin(
+            gated.agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum("__nt").cast("bigint").alias("total_tokens"),
+            )
+        )
+    )
+
+
+def q_b24_effective_tokens(spark, sf_dir):
+    """Dedup-weighted corpus accounting (B24 depth, r8): every doc
+    weighted ``1 / |its exact-dup group|`` (the C4/RefinedWeb-style
+    effective-size correction), reported per source as raw vs
+    effective token counts and the inflation ratio — the number that
+    says how much of a source's apparent volume is copies. Group
+    sizes come from one keyed agg on the normalized-text key; weights
+    stay exact as integer token-count / group-size rationals summed
+    at 1e-6 quantization (order-independent integer sum)."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        textops.token_count("text").alias("__nt"),
+        dedup.normalize_text("text").alias("__k"),
+    )
+    sizes = keyed.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__g")
+    )
+    per = keyed.join(sizes, "__k").select(
+        "source",
+        "__nt",
+        # floor((nt * 1e6) / g): integer rational at 1e-6 grain
+        F.expr("(__nt * 1000000) div __g").alias("__eff6"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("raw_tokens"),
+        F.round(F.sum("__eff6") / 1e6, 6).alias("effective_tokens"),
+        F.round(
+            F.sum("__nt") / (F.sum("__eff6") / 1e6), 6
+        ).alias("inflation"),
+    )
+
+
+def q_b24_corpus_v5(spark, sf_dir):
+    """Corpus-build capstone v5 (B24, r8) — the build recomposed from
+    THIS round's operators, one lazy plan:
+
+    1. exact dedup: keep each normalized-text group's min-id doc;
+    2. exact per-lang quota (60) by deterministic hash rank via the
+       two-phase ``distributed_row_number`` — no hot-lang straggler;
+    3. 1024-token packs over survivors (distributed prefix sum);
+    4. per-lang report: docs, tokens, packs, and the mean pack fill.
+
+    Keyed aggs + two-phase ranks + the prefix sum — no global sort of
+    the corpus anywhere; the oracle replays every stage."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        textops.token_count("text").alias("n_tok"),
+        dedup.normalize_text("text").alias("__k"),
+    )
+    keeper = keyed.groupBy("__k").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keeper, ["__k", "doc_id"]).select(
+        "doc_id", "lang", "n_tok",
+        sampling.hash_bucket("doc_id", 1 << 32).alias("__pri"),
+    )
+    ranked = derive.distributed_row_number(
+        kept, ["lang"], [F.col("__pri").asc(), F.col("doc_id").asc()],
+        out_col="__r",
+    )
+    quota = ranked.filter(F.col("__r") <= 60).select(
+        "doc_id", "lang", "n_tok"
+    )
+    packed = sampling.pack_sequences(
+        quota.localCheckpoint(eager=False), "doc_id", "n_tok", budget=1024
+    )
+    return packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.countDistinct("pack_id").cast("long").alias("n_packs"),
+    )
+
+
+def q_b24_source_scorecard(spark, sf_dir):
+    """Per-source corpus quality scorecard (B24 capstone depth, r9
+    wave 2): the one-page artifact a mixture owner reads per ingest
+    source — doc/token volume, exact-dup rate (fingerprint distinct),
+    OOV rate vs the corpus top-200 vocabulary (b21_oov_rate's kernel),
+    and the share of docs passing an integer lexical-diversity gate
+    (distinct·1000 div tokens ≥ 300). One composed lazy plan: two
+    keyed doc-level aggs + the token-level OOV leg joined on source.
+    All decisions integer; only the reported rates divide."""
+    docs = _t(spark, sf_dir, "documents")
+    nz = F.filter(textops.tokens(F.col("text")), lambda t: t != "")
+    per_doc = docs.select(
+        "source",
+        textops.token_count("text").alias("n_tok"),
+        textops.fingerprint("text").alias("fp"),
+        F.size(nz).cast("long").alias("n_nz"),
+        F.size(F.array_distinct(nz)).cast("long").alias("n_dist"),
+    )
+    doc_agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.countDistinct("fp").cast("long").alias("n_uniq"),
+        F.sum(
+            F.when(
+                F.expr("(n_dist * 1000) div greatest(n_nz, 1)") >= 300, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_diverse"),
+    )
+    toks = docs.select(
+        "source", F.explode(textops.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok", F.lit(1).alias("__inv"))
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_tokens"),
+            F.sum(F.when(F.col("__inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("__n_oov"),
+        )
+    )
+    return doc_agg.join(oov, "source").select(
+        "source",
+        "n_docs",
+        "sum_tok",
+        "n_uniq",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_uniq").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
+        F.round(
+            F.col("__n_oov").cast("double") / F.col("__n_tokens").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.round(
+            F.col("n_diverse").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("diverse_share"),
+    )
+
+
+def q_b24_corpus_v6(spark, sf_dir):
+    """Corpus-build capstone v6 (B24 depth, r9 wave 7 closer):
+    composes this round's operators into ONE lazy plan — the planted
+    truncation corpus is screened by the prefix-dup equi-join (drop
+    every doc that is a strict prefix of a longer one, the
+    keep-longest decision), survivors pass the composite quality gate
+    (score ≥ 0.5, the b21_calibration score), and the per-source
+    report carries kept/dropped accounting plus the p50 token-count
+    bucket from `derive.histogram_sketch` under FIXED bounds (the
+    streaming-contract form — the same sketch the foreachBatch leg
+    maintains incrementally). Per-source telemetry a mixture owner
+    reads before committing a training run."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(
+        (F.col("doc_id") % 9 == 3) & (F.length("text") >= 120)
+    ).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        "source",
+        "lang",
+        F.expr("substring(text, 1, CAST(length(text) * 3 AS INT) div 5)").alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "source", "lang", "text").unionByName(
+        planted
+    )
+    keyed = corpus.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("len"),
+        F.substring("text", 1, 24).alias("__k"),
+        "text",
+    ).localCheckpoint(eager=False)
+    a = keyed.select(
+        F.col("doc_id").alias("short_id"),
+        F.col("text").alias("__st"),
+        F.col("len").alias("short_len"),
+        "__k",
+    )
+    b = keyed.select(
+        F.col("text").alias("__lt"), F.col("len").alias("long_len"), "__k"
+    )
+    short_ids = (
+        a.join(b, "__k")
+        .filter(
+            (F.col("short_len") < F.col("long_len"))
+            & (
+                F.expr("substring(__lt, 1, CAST(short_len AS INT))")
+                == F.col("__st")
+            )
+        )
+        .select(F.col("short_id").alias("doc_id"))
+        .distinct()
+    )
+    dup_drops = corpus.join(short_ids, "doc_id", "semi").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped_dup")
+    )
+    deduped = corpus.join(short_ids, "doc_id", "anti")
+    feats = textops.quality_features(
+        deduped.select("doc_id", "source", "text")
+    ).select("doc_id", "source", "q_tokens", "quality_score")
+    kept = feats.filter(F.col("quality_score") >= 0.5).localCheckpoint(
+        eager=False
+    )
+    q_drops = (
+        feats.filter(F.col("quality_score") < 0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped_quality"))
+    )
+    base = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("q_tokens").cast("long").alias("tokens_kept"),
+    )
+    LO, R, BK = 0, 256, 128
+    sk = derive.histogram_sketch(kept, "source", "q_tokens", LO, R, BK)
+    wcum = (
+        Window.partitionBy("scope")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ns = sk.groupBy("scope").agg(F.sum("cnt").cast("long").alias("__n"))
+    p50 = (
+        sk.withColumn("cum", F.sum("cnt").over(wcum))
+        .join(ns, "scope")
+        .groupBy("scope")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= 50 * F.col("__n"), F.col("bkt"))
+            ).alias("__b50")
+        )
+        .select(
+            F.col("scope").alias("source"),
+            F.expr(f"{LO} + ((__b50 * {R}) + {BK - 1}) div {BK}")
+            .cast("long")
+            .alias("p50_tok_lo"),
+            F.expr(f"{LO} + (((__b50 + 1) * {R}) + {BK - 1}) div {BK} - 1")
+            .cast("long")
+            .alias("p50_tok_hi"),
+        )
+    )
+    return (
+        base.join(p50, "source")
+        .join(dup_drops, "source", "left")
+        .join(q_drops, "source", "left")
+        .select(
+            "source",
+            "n_kept",
+            F.coalesce("n_dropped_dup", F.lit(0)).cast("long").alias(
+                "n_dropped_dup"
+            ),
+            F.coalesce("n_dropped_quality", F.lit(0)).cast("long").alias(
+                "n_dropped_quality"
+            ),
+            "tokens_kept",
+            "p50_tok_lo",
+            "p50_tok_hi",
+        )
+    )

@@ -1,0 +1,522 @@
+"""Registry query functions — cdc family (split from
+__spark_entry__.py; pure move)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+
+def q_b3_change_stats(spark, sf_dir):
+    return log.change_stats(_events_changes(spark, sf_dir), "hour").drop("approx_ids")
+
+
+def q_b1_snapshot_diff(spark, sf_dir):
+    old, new = _orders_old_new(spark, sf_dir)
+    return derive.snapshot_diff(old, new, ["o_orderkey"])
+
+
+def q_b1_apply_roundtrip(spark, sf_dir):
+    """Replication roundtrip (B1+B2): apply the snapshot diff to the old
+    snapshot; the oracle is the mutated snapshot itself — value-hash
+    equality IS the replication-correctness proof."""
+    old, new = _orders_old_new(spark, sf_dir)
+    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
+    return derive.apply_changes(old, diff, ["o_orderkey"])
+
+
+def q_b2_log_compaction(spark, sf_dir):
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+    state = derive.compact_log(ch, key, order_cols=["id"])
+    return state.select(
+        F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+        .cast("bigint")
+        .alias("user_id"),
+        F.col("id").alias("last_id"),
+        F.col("operation").alias("last_op"),
+        F.get_json_object("after", "$.value").cast("double").alias("last_value"),
+    )
+
+
+def q_b5_filter_json(spark, sf_dir):
+    ch = _events_changes(spark, sf_dir)
+    return ch.filter(
+        (F.col("operation") == "UPDATE")
+        & (model.image_field("after", "event_type") == "purchase")
+        & (model.image_field("after", "value").cast("double") > 150.0)
+    ).select("id", "timestamp", model.image_field("after", "value").cast("double").alias("value"))
+
+
+def q_b6_projection(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey"),
+        F.upper(F.col("p_brand")).alias("brand_uc"),
+        (F.col("p_retailprice") * F.lit(0.9)).alias("discounted"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).cast("bigint").alias("name_len"),
+    )
+
+
+def q_b4_event_source(spark, sf_dir):
+    """Event-stream CDC source, batch parity (B4): the full append-only
+    events table projected to the canonical change schema."""
+    return _events_changes(spark, sf_dir)
+
+
+def q_b2_scd2(spark, sf_dir):
+    """SCD type-2 history table from the change feed (B2 depth): one
+    version row per non-DELETE change, valid until the key's next change;
+    DELETEs close versions without emitting rows."""
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(F.coalesce("after", "before"), "$.user_id").cast("bigint")
+    versions = derive.scd2(ch.withColumn("user_id", key), "user_id")
+    return versions.select(
+        "user_id", "id", "after", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_b1_column_diff(spark, sf_dir):
+    """Column-level change tracking (B1 depth): per UPDATE, which fields
+    actually differ between before/after images — audit-trail flattening."""
+    old, new = _orders_old_new(spark, sf_dir)
+    diff = derive.snapshot_diff(old, new, ["o_orderkey"])
+    out = derive.column_diff(
+        diff, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+    # Stringify the array column: the driver's pandas-based canonicalizer
+    # cannot sort/hash list cells (r02 `unhashable type: 'list'`), and a
+    # csv rendering is just as checkable. Oracle mirrors via array_to_string.
+    return out.select(
+        "o_orderkey",
+        F.concat_ws(",", "changed_cols").alias("changed_cols"),
+        "n_changed",
+    )
+
+
+def q_b3_op_drift(spark, sf_dir):
+    """Feed-mix drift detection (B3 ops depth): each event type's share
+    of the stream in the first vs second half of the time range, with
+    the drift delta — the monitoring read that catches a producer
+    change or capture bug (one op type surging/vanishing). Two
+    conditional aggregates in one pass + a 1-row totals broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_type = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < mid, 1).otherwise(0))
+        .cast("double")
+        .alias("__early"),
+        F.sum(F.when(F.col("ts") >= mid, 1).otherwise(0))
+        .cast("double")
+        .alias("__late"),
+    )
+    totals = per_type.agg(
+        F.sum("__early").alias("__te"), F.sum("__late").alias("__tl")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            F.col("__early").cast("bigint").alias("n_early"),
+            F.col("__late").cast("bigint").alias("n_late"),
+            F.round(F.col("__early") / F.col("__te"), 6).alias("share_early"),
+            F.round(F.col("__late") / F.col("__tl"), 6).alias("share_late"),
+            F.round(
+                F.col("__late") / F.col("__tl")
+                - F.col("__early") / F.col("__te"),
+                6,
+            ).alias("drift"),
+        )
+    )
+
+
+def q_b5_time_range(spark, sf_dir):
+    """Time-range + JSON predicate scan (B5 depth): changes inside a
+    one-week window whose after-image value exceeds a threshold — the
+    canonical 'what changed last week for big accounts' slice over the
+    change feed."""
+    ch = _events_changes(spark, sf_dir)
+    v = F.get_json_object("after", "$.value").cast("double")
+    return ch.filter(
+        (F.col("timestamp") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("timestamp") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        & (v > 50.0)
+    ).select("id", "operation", "timestamp", F.round(v, 6).alias("value"))
+
+
+def q_b1_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance (B1/B2 depth): a
+    count+sum MV over orders, grouped by (status, priority), is
+    maintained from a CDC batch — deletes (%13), price updates (%7) —
+    via the delta rule (after images +1, before images −1) at cost ∝
+    batch + touched groups, never re-aggregating the base. The oracle
+    recomputes from scratch over the effective table, so the driver row
+    IS the incremental-equals-batch invariant (derive.py:
+    incremental_agg). Money sums in exact decimal, rounded after the
+    double cast."""
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    old = _t(spark, sf_dir, "orders").withColumn("o_totalprice", dec)
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_totalprice") + F.lit(10).cast("decimal(38,6)"),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    groups = ["o_orderstatus", "o_orderpriority"]
+    state = derive.aggregate_base(old, groups, ["o_totalprice"])
+    batch = derive.snapshot_diff(old, new, ["o_orderkey"])
+    schema = (
+        "o_orderstatus string, o_orderpriority string,"
+        " o_totalprice decimal(38,6)"
+    )
+    mv = derive.incremental_agg(state, batch, groups, ["o_totalprice"], schema)
+    return mv.select(
+        *groups,
+        "cnt",
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
+    )
+
+
+def q_b3_freshness(spark, sf_dir):
+    """Feed-freshness audit (B3 monitoring depth, r7): per event type,
+    how far its newest event lags the newest event overall — the
+    staleness alarm a CDC consumer fires when one producer stops
+    (b3_op_drift catches SHARE shifts; this catches SILENCE). The
+    global high-water mark is a 1-row broadcast; integer seconds."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("__sec")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.max("__sec").alias("__latest"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    hw = ev.agg(F.max("__sec").alias("__hw"))
+    return per.crossJoin(F.broadcast(hw)).select(
+        "event_type",
+        "n_events",
+        (F.col("__hw") - F.col("__latest")).cast("long").alias("lag_seconds"),
+    )
+
+
+def q_b3_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit (B3 monitoring depth, r7): orphan
+    counts and rates for every FK relation in the star schema — the
+    data-quality gate a warehouse runs after every CDC load (an orphan
+    spike means the change feed dropped parent rows or applied children
+    first). One anti-join count per relation; dims broadcast, facts
+    never move twice; four scalar rows unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def audit(name, child, key, parent, pkey):
+        n = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orph = (
+            child.join(
+                parent.select(F.col(pkey).alias("__p")),
+                child[key] == F.col("__p"),
+                "left_anti",
+            ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        return n.crossJoin(F.broadcast(orph)).select(
+            F.lit(name).alias("relation"),
+            "n_child",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans") / F.col("n_child").cast("double"), 6
+            ).alias("orphan_rate"),
+        )
+
+    return (
+        audit("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        .unionByName(
+            audit("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        )
+        .unionByName(
+            audit("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey")
+        )
+        .unionByName(
+            audit("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey")
+        )
+    )
+
+
+def q_b3_changepoint(spark, sf_dir):
+    """Change-point scan over daily event counts (B3 monitoring depth
+    — b3_psi says THAT the distribution moved, this localizes WHEN):
+    every interior day boundary scored |mean_left − mean_right| from
+    one cumulative window over the bounded daily relation; exact
+    integer sums, deterministic best-split tie-break (derive.py:
+    changepoint_splits)."""
+    ev = _t(spark, sf_dir, "events")
+    return derive.changepoint_splits(ev)
+
+
+def q_b2_collapse_repeats(spark, sf_dir):
+    """Consecutive-duplicate collapse (B2 depth): drop events repeating
+    the previous event_type for the same user — the feed-compaction
+    read that removes redundant heartbeats/idempotent writes while
+    keeping every state TRANSITION. One lag() window per user, narrow
+    filter; the kept-row relation then summarizes per type."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    kept = ev.withColumn("__prev", F.lag("event_type", 1).over(w)).filter(
+        (F.col("__prev").isNull()) | (F.col("__prev") != F.col("event_type"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    ).join(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw")),
+        "event_type",
+    ).select(
+        "event_type",
+        "n_raw",
+        "n_kept",
+        (F.col("n_raw") - F.col("n_kept")).alias("n_collapsed"),
+    )
+
+
+def q_b5_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape (B5 predicate depth): disjunction of
+    conjunctions across the join (brand × type × quantity × size
+    bands) — the OR-of-ANDs pattern that tests predicate normalization
+    and join-condition pushdown. Decimal-exact revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity").cast("double")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL") & (q <= 15) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_type") == "MEDIUM") & (q <= 25) & (F.col("p_size") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "LARGE") & (q <= 35) & (F.col("p_size") <= 30))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,6)")
+        * (F.lit(1).cast("decimal(38,6)") - F.col("l_discount").cast("decimal(38,6)"))
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_b3_psi(spark, sf_dir):
+    """Population Stability Index over the event-value distribution,
+    first half vs second half of the stream (B3 monitoring depth) —
+    the numeric-distribution companion to b3_op_drift's categorical
+    share check. Bucket edges are the baseline's exact element-rank
+    deciles (no interpolation → pure comparison logic, engine-exact);
+    shares Laplace-smoothed; terms floor-quantized to 1e-8 so the
+    cross-bucket total is an integer sum. No global sort: edges come
+    from a distinct-value count + one window over that bounded
+    relation (derive.py: psi_drift)."""
+    ev = _t(spark, sf_dir, "events")
+    mid = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return derive.psi_drift(
+        ev.filter(F.col("ts") < mid).select("value"),
+        ev.filter(F.col("ts") >= mid).select("value"),
+        "value",
+    )
+
+
+def q_b3_anomaly(spark, sf_dir):
+    """Seasonal-naive anomaly screen (B3 monitoring depth, r8 —
+    b3_changepoint localizes a LEVEL shift; this flags individual
+    outlier days): daily event counts vs the same weekday one week
+    earlier; a day is anomalous when its residual exceeds 3× the MAD
+    of all residuals. Day counts contract the stream to a |days|-row
+    relation; the lag-7 window and the 1-row MAD broadcast run over
+    that bounded relation only (the psi/changepoint rule)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 86400"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy(F.col("day").asc())
+    with_prev = daily.withColumn("__prev", F.lag("n", 7).over(w)).withColumn(
+        "resid", (F.col("n") - F.col("__prev")).cast("long")
+    )
+    mad = with_prev.filter(F.col("resid").isNotNull()).agg(
+        F.median(F.abs("resid")).alias("__mad")
+    )
+    return (
+        with_prev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            F.col("__prev").cast("long").alias("expected"),
+            "resid",
+            F.when(
+                F.col("resid").isNotNull(),
+                F.abs("resid") > 3 * F.greatest(F.col("__mad"), F.lit(1.0)),
+            ).alias("anomalous"),
+        )
+    )
+
+
+def q_b2_vacuum_stats(spark, sf_dir):
+    """Log-retention accounting (B2 ops depth, r8): per table-key, how
+    many superseded change rows a compaction could reclaim and how many
+    image bytes they hold — the sizing number a log-vacuum policy needs
+    BEFORE it runs (streaming.prune_log is the executor; this is its
+    planner). One keyed agg over the change log; reclaimable = all but
+    the key's latest row."""
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(
+        F.coalesce("after", "before"), "$.user_id"
+    ).cast("bigint")
+    sized = ch.select(
+        key.alias("user_id"),
+        "id",
+        (
+            F.coalesce(F.octet_length("before"), F.lit(0))
+            + F.coalesce(F.octet_length("after"), F.lit(0))
+        ).cast("long").alias("__bytes"),
+    )
+    return sized.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("reclaimable_rows"),
+        (F.sum("__bytes") - F.max_by("__bytes", "id")).cast("long").alias(
+            "reclaimable_bytes"
+        ),
+        F.sum("__bytes").cast("long").alias("total_bytes"),
+    )
+
+
+def q_b2_write_amplification(spark, sf_dir):
+    """CDC capture-overhead report (B2 depth, r9 wave 2): per
+    operation, the JSON image bytes the capture triggers write beside
+    every base-table change — the cost the reference's design pays for
+    before/after images (full-row ``json_object`` per trigger fire,
+    /root/reference/triggers.go:457-518) surfaced as an analytics
+    read. Byte counts are lengths of the SAME deterministic image
+    strings both engines render (the a4/a10 parity), so the report is
+    integer-exact; only the per-change average divides."""
+    ch = _events_changes(spark, sf_dir)
+    agg = ch.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes"),
+        F.sum(F.coalesce(F.length("before"), F.lit(0)))
+        .cast("long")
+        .alias("before_bytes"),
+        F.sum(F.coalesce(F.length("after"), F.lit(0)))
+        .cast("long")
+        .alias("after_bytes"),
+    )
+    return agg.select(
+        "operation",
+        "n_changes",
+        "before_bytes",
+        "after_bytes",
+        F.round(
+            (F.col("before_bytes") + F.col("after_bytes")).cast("double")
+            / F.col("n_changes").cast("double"),
+            6,
+        ).alias("avg_image_bytes"),
+    )
+
+
+def q_b2_idempotency(spark, sf_dir):
+    """At-least-once redelivery screen (B2 depth, r9 wave 8): the
+    reference's delivery contract is at-least-once (README.md:26-30 —
+    a consumer restart between acks replays a slice), so the
+    downstream exactly-once consumer needs an idempotency key. This
+    screen simulates a replayed slice (id % 13 == 5 redelivered),
+    keys every delivery by md5(table|id|op|payload), and reports per
+    operation how many logical changes arrived more than once and the
+    redundant-delivery volume a dedup sink would absorb. Two keyed
+    aggs, integer exact."""
+    ch = _events_changes(spark, sf_dir)
+    replay = ch.filter(F.col("id") % 13 == 5)
+    delivered = ch.unionByName(replay)
+    keyed = delivered.select(
+        "operation",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("tablename"),
+                F.col("id").cast("string"),
+                F.col("operation"),
+                F.coalesce(F.col("before"), F.lit("")),
+                F.coalesce(F.col("after"), F.lit("")),
+            )
+        ).alias("__k"),
+    )
+    per = keyed.groupBy("operation", "__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return per.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_logical_changes"),
+        F.sum(F.when(F.col("__n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_duplicated"),
+        F.sum(F.col("__n") - 1).cast("long").alias("n_redundant_deliveries"),
+    ).select(
+        "operation",
+        "n_logical_changes",
+        "n_duplicated",
+        "n_redundant_deliveries",
+        F.expr("(n_duplicated * 1000000) div n_logical_changes")
+        .cast("long")
+        .alias("dup_rate_micros"),
+    )
+
+
+def q_b3_slo_burn(spark, sf_dir):
+    """SLO burn-rate monitor (B3 monitoring depth, r9 wave 9): per
+    6-hour window, the error-event share against a 1% error budget,
+    with the 2×-budget page condition decided on CROSS-MULTIPLIED
+    integers (errors·50 > total ⟺ rate > 2%) — the multiwindow
+    burn-rate alert shape. One keyed agg over the bucketed stream."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.select(
+        F.expr(
+            "cast(floor(unix_timestamp(cast(ts as timestamp))) as bigint)"
+            " div 21600"
+        ).alias("win6h"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("__e"),
+    )
+    return win.groupBy("win6h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__e").cast("long").alias("n_errors"),
+        F.expr("(sum(__e) * 1000000) div count(1)")
+        .cast("long")
+        .alias("err_rate_micros"),
+        (F.sum("__e") * 50 > F.count(F.lit(1))).alias("page_alert"),
+    )

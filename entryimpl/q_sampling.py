@@ -1,0 +1,976 @@
+"""Registry query functions — sampling family (split from
+__spark_entry__.py; pure move)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+
+def q_b26_split_leakage(spark, sf_dir):
+    """Dedup-aware splitting (B26 × B19): a near-dup pair straddling
+    train/test is leakage — eval measures memorization. Doc-keyed split
+    assignment leaks (pair endpoints hash independently); keying the
+    split by CLUSTER id puts every member of a dup cluster in the same
+    split, so cross-split pairs are impossible by construction. One-row
+    report: leak counts under both keyings + total pairs — the
+    cluster_keyed_leaks == 0 column is the design property, oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    clusters = dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
+    keyed = clusters.select(
+        "doc_id",
+        sampling.split_assign("doc_id").alias("dsp"),
+        sampling.split_assign("cluster_id").alias("csp"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dsp").alias("da"), F.col("csp").alias("ca"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dsp").alias("db"), F.col("csp").alias("cb"),
+    )
+    return pairs.join(a, "id_a").join(b, "id_b").select(
+        F.sum((F.col("da") != F.col("db")).cast("bigint")).alias("doc_keyed_leaks"),
+        F.sum((F.col("ca") != F.col("cb")).cast("bigint")).alias(
+            "cluster_keyed_leaks"
+        ),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def q_b27_sketches(spark, sf_dir):
+    """Approximate sketches (rows-only: approx values are engine-specific
+    by design; error bounds vs exact are asserted in unit tests). At 100 TB
+    these are THE distinct/quantile operators — HLL++ and KLL-style
+    sketches merge associatively so the agg stays one partial+final pass
+    with tiny shuffle payloads, where exact distinct counts would shuffle
+    every key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_exact"),
+    )
+
+
+def q_b26_cluster_kfold(spark, sf_dir):
+    """Dedup-aware k-fold (B26 × B19): folds keyed by CLUSTER id (docs
+    outside any cluster key on their own id), so near-duplicate documents
+    can never straddle folds — the k-fold form of the split-leakage
+    lesson (`b26_split_leakage`). Output: per-fold doc and cluster
+    counts. Narrow fold arithmetic over the component labeling."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.near_dup_pairs(
+        corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+        base_hash="md5",
+    ).select("id_a", "id_b")
+    labels = dedup.dup_clusters(pairs)
+    keyed = (
+        corpus.select("doc_id")
+        .join(labels.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("__key"),
+        )
+    )
+    return (
+        keyed.select(
+            "doc_id", sampling.hash_bucket("__key", 5).alias("fold"), "__key"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("__key").cast("bigint").alias("n_keys"),
+        )
+    )
+
+
+def q_b26_kfold(spark, sf_dir):
+    """K-fold split assignment (B26 depth): fold = deterministic hash
+    bucket in [0,5) — cross-validation splits that survive repartitioning
+    and replay identically on any engine; the narrow-map companion to
+    train/val/test assignment (sampling.py: hash_bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        sampling.hash_bucket("doc_id", 5).alias("fold"),
+    )
+
+
+def q_b28_epochs(spark, sf_dir):
+    """Epoch-aware mixture manifest (B28 depth): per-doc repeat counts
+    hitting per-lang token budgets that may EXCEED the group size — the
+    up-sampling half of data mixing (low-resource languages get >1
+    epoch, the dominant language is downsampled). Integer-exact repeat
+    arithmetic; totals broadcast; corpus never shuffled
+    (sampling.py: epoch_mixture)."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", textops.token_count("text").alias("n_tok")
+    )
+    return sampling.epoch_mixture(
+        sized,
+        "lang",
+        "doc_id",
+        "n_tok",
+        budgets={"en": 4000, "de": 20000, "zh": 15000},
+    )
+
+
+def q_b27_sketch_bounds(spark, sf_dir):
+    """Oracle-able read of the sketch family (B27): the approx values
+    themselves are engine-specific (each engine runs its own HLL/quantile
+    sketch), but BOTH engines' sketches must sit within the declared
+    error bounds of the exact answers — so the deterministic output is
+    (exact values, within-bound booleans), and the driver row proves the
+    bound holds on both engines simultaneously. Bounds are generous
+    (15% distinct / 5% quantile vs ~1-3% typical error) so the booleans
+    are far from the flip threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("__acd"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("__ap50"),
+        F.percentile("l_extendedprice", 0.5).alias("__p50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.round(F.col("__p50"), 6).alias("p50_exact"),
+        (
+            F.abs(F.col("__acd") - F.col("exact_orders"))
+            <= 0.15 * F.col("exact_orders")
+        ).alias("cd_within_bound"),
+        (
+            F.abs(F.col("__ap50") - F.col("__p50")) <= 0.05 * F.col("__p50")
+        ).alias("p50_within_bound"),
+    )
+
+
+def q_b26_hash_sample(spark, sf_dir):
+    """Deterministic keyed sampling (B26): ~10% of lineitem by order key —
+    group-coherent (whole orders in or out), shuffle-free, replayable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sampling.sample_by_key(li, "l_orderkey", 10).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def q_b26_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment per document —
+    disjoint + exhaustive by construction, stable across runs/partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", sampling.split_assign("doc_id").alias("split")
+    )
+
+
+def q_b26_stratified_sample(spark, sf_dir):
+    """Per-language stratified sampling: downsample dominant English to
+    25%, keep low-resource languages whole — corpus rebalancing as one
+    narrow filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 25, "de": 100, "fr": 100}, default_rate=50
+    ).select("doc_id", "lang", "source")
+
+
+def q_b28_mixture(spark, sf_dir):
+    """Budget-aware mixture sampling (B28 depth): downsample each language
+    to a token budget with integer-exact deterministic keep rates
+    (sampling.mixture_sample) — the data-mixing step of a corpus build."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", textops.token_count("text").alias("n_tok")
+    )
+    mixed = sampling.mixture_sample(
+        sized, "lang", "doc_id", "n_tok",
+        budgets={"en": 4000, "de": 1500}, default_budget=2000,
+    )
+    return mixed.select("doc_id", "lang", "n_tok")
+
+
+def q_b28_training_manifest(spark, sf_dir):
+    """Full training-data pipeline composed end to end (B18+B21+B26):
+    quality gate → exact dedup → per-language stratified downsampling →
+    deterministic train/val/test split → the manifest a trainer consumes
+    (doc/token counts per split × language). Every stage is a narrow map
+    or keyed shuffle; the whole plan is one job."""
+    docs = _docs_with_dups(spark, sf_dir)
+    feats = textops.quality_features(docs)
+    gated = feats.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("q_tokens") >= 20)
+    )
+    deduped = dedup.exact_dedup(gated, ["text"], "doc_id")
+    sampled = sampling.stratified_sample(
+        deduped, "doc_id", "lang", {"en": 50}, default_rate=100
+    )
+    manifest = sampled.select(
+        "*", sampling.split_assign("doc_id").alias("split")
+    )
+    return manifest.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_tokens").alias("total_tokens"),
+    )
+
+
+def q_b28_packing(spark, sf_dir):
+    """Sequence packing for training (the op after the manifest): docs in
+    doc_id order packed into 512-token budgets via a DISTRIBUTED exclusive
+    prefix sum (two-phase bucket cumsum + broadcast offsets — no
+    single-partition global window). Oracle: plain window cumsum."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    packed = sampling.pack_sequences(
+        sized, "doc_id", "n_tok", budget=512, bucket_size=64
+    )
+    return packed.select("doc_id", "n_tok", "pack_id")
+
+
+def q_b28_temperature(spark, sf_dir):
+    """Temperature-reweighted mixture (B28 depth): α=0.5 sampling (the
+    mBERT/XLM-R α-sampling rule — share ∝ total^α, flattening toward
+    low-resource groups) against a 100k-char budget. sqrt is IEEE-exact
+    on both engines; keep rates are integer buckets with an epsilon'd
+    floor; the corpus is filtered narrowly, never shuffled
+    (sampling.py: temperature_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "doc_id",
+        "n_chars",
+        total_budget=100_000,
+        alpha=0.5,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_b28_curriculum(spark, sf_dir):
+    """Curriculum packing (B28 depth): documents quantized into quality
+    deciles (phase 0 = worst … 9 = best), then token-budget packs
+    assigned in phase-major order via the two-phase distributed prefix
+    sum — a curriculum-ordered training manifest with NO global sort by
+    the continuous score (the decile quantization is exactly the price
+    of scalability; doc_id breaks ties inside a phase). Composition:
+    quality_features → phase arithmetic → pack_sequences
+    (sampling.py:92)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(docs.select("doc_id", "text"))
+    staged = feats.select(
+        "doc_id",
+        F.col("q_tokens").alias("n_tok"),
+        F.least(
+            F.floor(F.col("quality_score") * 10).cast("long"), F.lit(9)
+        ).alias("phase"),
+    ).withColumn("okey", F.col("phase") * F.lit(10_000_000) + F.col("doc_id"))
+    packed = sampling.pack_sequences(staged, "okey", "n_tok", budget=4000)
+    return packed.select(
+        "doc_id", "phase", F.col("pack_id").cast("bigint").alias("pack_id"), "n_tok"
+    )
+
+
+def q_b26_fixed_per_group(spark, sf_dir):
+    """Fixed-count-per-group sampling (B26 depth): exactly 20 docs per
+    language by deterministic hash priority (full 32-bit Knuth hash, not
+    a coarse bucket) — the "n docs per domain" eval-carving request.
+    Integer arithmetic end to end; one shuffle on the group key
+    (sampling.py: sample_fixed_per_group)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_fixed_per_group(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "doc_id", k=20
+    )
+
+
+def q_b26_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (B26 depth), exact and
+    rand()-free: inclusion ∝ doc length via integer A-ES — classic
+    Efraimidis–Spirakis orders by u^(1/w) (unreplayable float pow); this
+    uses the identity u^(1/w) ~ max of w iid uniforms with md5-derived
+    integer uniforms, so the 200-doc sample replays bit-for-bit on any
+    engine. Ticket explode bounded by max_weight=32, per-item max agg,
+    distributed take-ordered — no global sort (sampling.py:
+    weighted_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "doc_id",
+        (F.lit(1) + F.floor(F.length("text") / 500)).cast("bigint").alias("weight"),
+    )
+    return sampling.weighted_sample(wdf, "doc_id", "weight", k=200, max_weight=32).select(
+        "doc_id",
+        "weight",
+        F.col("__priority").alias("priority"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+def q_b26_interleave(spark, sf_dir):
+    """Deterministic round-robin source interleaving (B26/B28 depth,
+    r7): assign every doc a GLOBAL training position such that sources
+    alternate — the data-ordering control that stops a shard-sequential
+    reader from seeing one source for an hour (ordering bias is a real
+    training pathology). Zero global sort: each doc's position is pure
+    arithmetic ``(rank_within_source − 1) · |S| + source_index`` from
+    its per-source hash-priority rank (one keyed window) and a
+    |sources|-row broadcast index. Writing the corpus
+    ``repartitionByRange(pos)`` then realizes the order physically
+    (storage.py). Integer-exact."""
+    from pyspark.sql import Window
+
+    from sqlite_cdc_spark.pipeline.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("source").asc())
+                )
+                - 1
+            ).alias("__six"),
+        )
+    )
+    n_src = srcs.agg(F.count(F.lit(1)).alias("__ns"))
+    # per-source hash-priority rank via the two-phase distributed
+    # row_number (r8): a keyed window would put a dominant source's
+    # whole order on ONE task — the straggler this operator exists to
+    # prevent in the first place
+    staged = docs.withColumn("__pri", hash_bucket("doc_id", 1 << 32))
+    return (
+        derive.distributed_row_number(
+            staged,
+            ["source"],
+            [F.col("__pri").asc(), F.col("doc_id").asc()],
+            out_col="__r",
+        )
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "doc_id",
+            "source",
+            ((F.col("__r") - 1) * F.col("__ns") + F.col("__six"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+
+
+def q_b26_temporal_split(spark, sf_dir):
+    """Leakage-aware temporal split (B26 depth): train < Jan 28,
+    embargo to Jan 30 noon, test = the last half-day, and every user
+    active in test is PURGED from train (per-entity leakage, the failure random splits
+    can't see). Output: per (split, event_type) counts + distinct
+    users — auditing both the calendar boundary and the purge
+    (sampling.py: temporal_split)."""
+    ev = _t(spark, sf_dir, "events")
+    split = sampling.temporal_split(
+        ev, "ts", "user_id", "2024-01-28 00:00:00", "2024-01-30 12:00:00"
+    )
+    return split.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+def q_b27_linear_counting(spark, sf_dir):
+    """Linear-counting distinct estimate (B27 sketch depth — the one
+    sketch whose every bit replays cross-engine, giving the sketch
+    family an ORACLED row beside the rows-only HLL/CMS): customer keys
+    hash into an m-bit bitmap (same portable build as b7_bloom_join
+    with k=1), estimate = −m·ln(z/m) with z the zero-bit count from
+    integer popcounts. The row carries exact vs estimate vs relative
+    error, so the driver check certifies the estimator's math AND its
+    accuracy claim (derive.py: bloom_build)."""
+    m_bits = 4096
+    cust = _t(spark, sf_dir, "customer")
+    bitmap = derive.bloom_build(
+        cust.select("c_custkey"), "c_custkey", m_bits=m_bits, k_hashes=1
+    )
+    used = bitmap.agg(F.sum(F.bit_count("bits")).cast("long").alias("__set"))
+    exact = cust.agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("n_exact")
+    )
+    z = F.lit(m_bits) - F.col("__set")
+    est = F.round(
+        -F.lit(float(m_bits))
+        * F.log(z.cast("double") / F.lit(float(m_bits))),
+        6,
+    )
+    return (
+        exact.crossJoin(F.broadcast(used))
+        .select(
+            "n_exact",
+            F.col("__set").alias("bits_set"),
+            est.alias("estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def q_b26_rendezvous(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing (B26 placement
+    depth): every order key routes to the shard maximizing
+    h(key, shard) — the consistent-placement rule behind shard
+    routing, cache assignment and co-partitioned layouts. The query
+    assigns keys under 5 shards AND under 6, then reports per-shard
+    counts plus how many keys MOVED — certifying HRW's minimal-
+    disruption property (≈ n/(N+1) keys move when a shard joins,
+    vs ~all under mod-N). Portable md5 base hash + universal family,
+    ties to the lowest shard id; pure narrow maps, one keyed agg."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60,
+    )
+
+    fam = _hash_family(6, seed=0x44C)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    h = F.pmod(
+        portable_hash60(F.col("o_orderkey").cast("string")), F.lit(MINHASH_P)
+    )
+
+    def assign(n_shards: int):
+        scored = [
+            F.struct(
+                (-F.pmod(h * fam[s][0] + fam[s][1], F.lit(MINHASH_P))).alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+        return F.array_min(F.array(*scored)).getField("s")
+
+    routed = orders.select(
+        "o_orderkey",
+        assign(5).alias("shard5"),
+        assign(6).alias("shard6"),
+    )
+    per = routed.groupBy(F.col("shard6").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    moved = routed.agg(
+        F.sum((F.col("shard5") != F.col("shard6")).cast("long")).alias("n_moved"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return per.crossJoin(F.broadcast(moved)).select(
+        "shard",
+        "n_keys",
+        "n_moved",
+        "n_total",
+        F.round(F.col("n_moved") / F.col("n_total").cast("double"), 6).alias(
+            "moved_frac"
+        ),
+    )
+
+
+def q_b28_pack_efficiency(spark, sf_dir):
+    """Sequence-packing efficiency report (B28 depth, r8): per 512-token
+    pack of b28_packing's manifest — doc count, token sum, fill ratio
+    and the overflow flag (exclusive-cumsum packing lets a boundary doc
+    spill past the budget; the report quantifies how much budget is
+    actually used vs wasted, the number that prices a packing policy).
+    One keyed agg over the distributed prefix-sum output."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    packed = sampling.pack_sequences(
+        sized, "doc_id", "n_tok", budget=512, bucket_size=64
+    )
+    return packed.groupBy(F.col("pack_id").cast("bigint").alias("pack_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.round(F.sum("n_tok") / F.lit(512.0), 6).alias("fill"),
+        (F.sum("n_tok") > 512).alias("overflow"),
+    )
+
+
+def q_b26_exact_quota(spark, sf_dir):
+    """Exact per-stratum quota sampling (B26 depth, r8): exactly
+    ``min(|stratum|, quota)`` docs per language by deterministic hash
+    rank — the exact-count companion to the rate-based stratified
+    sampler (rates give expected counts; audits and eval sets need
+    exact ones). The per-stratum rank uses the two-phase
+    ``distributed_row_number``, so a dominant stratum never serializes
+    through one task; output is the per-stratum audit (taken vs
+    available)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", sampling.hash_bucket("doc_id", 1 << 32).alias("__pri")
+    )
+    ranked = derive.distributed_row_number(
+        staged, ["lang"], [F.col("__pri").asc(), F.col("doc_id").asc()],
+        out_col="__r",
+    )
+    taken = ranked.filter(F.col("__r") <= 40)
+    avail = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_available")
+    )
+    return (
+        taken.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_taken"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .join(F.broadcast(avail), "lang")
+    )
+
+
+def q_b28_length_buckets(spark, sf_dir):
+    """Length-bucketed batching report (B28 depth, r9): docs split into
+    8 equal-count token-length tiles via the two-phase
+    ``distributed_ntile`` (no single-task global window), then per
+    bucket the padding waste a max-length batcher would pay
+    (n·max − Σ). The report that justifies length bucketing in a
+    training data loader. Integer exact."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", textops.token_count("text").alias("n_tok")
+    )
+    tiled = derive.distributed_ntile(
+        sized, [F.col("n_tok").asc(), F.col("doc_id").asc()], 8,
+        out_col="bucket",
+    )
+    return tiled.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
+def q_b27_lc_union(spark, sf_dir):
+    """Mergeable-sketch union invariant (B27 depth, r9 wave 3): per
+    event-type linear-counting bitmaps over user ids, then the MERGED
+    (bit_or across types) bitmap — the property that makes sketches a
+    100 TB tool (per-partition/per-day sketches combine without
+    rescanning). Every scope row carries exact vs estimate; the
+    '(all)' row's bitmap is provably the OR of the per-type bitmaps
+    because OR is associative — the driver hash certifies the whole
+    merge algebra since every bit replays cross-engine (the
+    b27_linear_counting build, k=1, m=4096)."""
+    from sqlite_cdc_spark.pipeline.dedup import (
+        MINHASH_P,
+        _hash_family,
+        portable_hash60,
+    )
+
+    m_bits = 4096
+    a, b = _hash_family(1, seed=0xB100)[0]
+    ev = _t(spark, sf_dir, "events")
+    pos = ev.select(
+        "event_type",
+        (
+            F.pmod(
+                F.pmod(
+                    portable_hash60(F.col("user_id").cast("string")),
+                    F.lit(MINHASH_P),
+                )
+                * a
+                + b,
+                F.lit(MINHASH_P),
+            )
+            % m_bits
+        ).alias("pos"),
+    )
+    words = pos.select(
+        "event_type",
+        (F.col("pos") / 63).cast("int").alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+        ).alias("__bit"),
+    ).groupBy("event_type", "word").agg(F.expr("bit_or(__bit)").alias("bits"))
+    merged = words.groupBy("word").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    ).select(F.lit("(all)").alias("scope"), "word", "bits")
+    scoped = words.select(
+        F.col("event_type").alias("scope"), "word", "bits"
+    ).unionByName(merged)
+    used = scoped.groupBy("scope").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bits_set")
+    )
+    ex = (
+        ev.select(F.col("event_type").alias("scope"), "user_id")
+        .unionByName(ev.select(F.lit("(all)").alias("scope"), "user_id"))
+        .groupBy("scope")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    est = F.round(
+        -F.lit(float(m_bits))
+        * F.log(
+            (F.lit(m_bits) - F.col("bits_set")).cast("double")
+            / F.lit(float(m_bits))
+        ),
+        6,
+    )
+    return used.join(ex, "scope").select(
+        "scope",
+        "bits_set",
+        "n_exact",
+        est.alias("estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def q_b28_budget_allocation(spark, sf_dir):
+    """Token-budget apportionment (B28 mixture depth, r9 wave 3):
+    allocate a 1M-token budget across sources proportionally to their
+    token mass with LARGEST-REMAINDER rounding — the integer-exact
+    apportionment (Hamilton method) whose allocations sum EXACTLY to
+    the budget, unlike naive floor/round shares. base = (B·w) div W,
+    remainder rank breaks ties by source; the only windows run over
+    the |sources|-row aggregate."""
+    from pyspark.sql import Window
+
+    budget = 1_000_000
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(textops.token_count("text")).cast("long").alias("w")
+    )
+    tot = per.agg(F.sum("w").cast("long").alias("__W"))
+    q = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        F.expr(f"(w * {budget}) div __W").alias("base"),
+        F.expr(f"(w * {budget}) % __W").alias("rem"),
+        "__W",
+    )
+    sums = q.agg(
+        F.sum("base").cast("long").alias("__base_sum")
+    )
+    wrank = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = q.crossJoin(F.broadcast(sums)).select(
+        "source",
+        "w",
+        "base",
+        "rem",
+        F.row_number().over(wrank).alias("__rk"),
+        (F.lit(budget) - F.col("__base_sum")).alias("__leftover"),
+    )
+    alloc = F.col("base") + F.when(
+        F.col("__rk") <= F.col("__leftover"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        "w",
+        alloc.cast("long").alias("alloc"),
+        F.round(alloc.cast("double") / F.lit(float(budget)), 6).alias(
+            "alloc_share"
+        ),
+    )
+
+
+def q_b27_hll_registers(spark, sf_dir):
+    """True HyperLogLog distinct sketch (B27 depth, r9 wave 4 — the
+    register-based estimator beside the bitmap-based b27_linear_counting):
+    the portable 60-bit hash splits into an 8-bit register index and a
+    52-bit suffix whose leading-zero rank (rho, via length(bin(w)) —
+    pure integer/string ops, no float log2 at the bit boundary) feeds
+    register-wise MAX. The '(all)' scope is the register-wise max-merge
+    of the per-event-type sketches — max is associative, so this row IS
+    the HLL mergeability invariant (per-partition sketches combine
+    without rescans, the property that makes HLL the 100 TB distinct
+    counter). The harmonic estimate keeps the sum EXACT: Sum 2^-r is
+    computed as integer numerators 2^(53-r) (max 256*2^53 < 2^62), and
+    the only float ops are one division + one multiply of identical
+    doubles, floor-quantized to micros; the small-range linear-counting
+    correction branch (est <= 2.5m, the Flajolet et al. rule) uses the
+    established round-6 ln rule. Every register replays cross-engine,
+    so the driver hash certifies the sketch construction, the merge
+    algebra AND the accuracy claim."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        portable_hash60(F.col("user_id").cast("string")).alias("__h"),
+    ).select(
+        "event_type",
+        F.expr("__h % 256").alias("reg"),
+        F.expr("__h div 256").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("w"))
+    )
+    regs = (
+        hashed.select("event_type", "reg", rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("(all)").alias("scope"), "reg", "r")
+    )
+    scoped = regs.select(
+        F.col("event_type").alias("scope"), "reg", "r"
+    ).unionByName(merged)
+    per = scoped.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("long").alias("regs_used"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+        ).cast("long").alias("__s_present"),
+    )
+    ex = (
+        ev.select(F.col("event_type").alias("scope"), "user_id")
+        .unionByName(ev.select(F.lit("(all)").alias("scope"), "user_id"))
+        .groupBy("scope")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(256) - F.col("regs_used")) * F.lit(9007199254740992)
+    )
+    est_raw = F.lit(_HLL_ALPHA_NUM) / s_total.cast("double")
+    v = F.lit(256) - F.col("regs_used")
+    est_micros = F.floor(est_raw * F.lit(1e6)).cast("long")
+    est_sel = F.when(
+        (est_raw <= F.lit(640.0)) & (v > 0),
+        F.round(
+            F.lit(256.0) * F.log(F.lit(256.0) / v.cast("double")), 6
+        ),
+    ).otherwise(est_micros.cast("double") / F.lit(1000000.0))
+    return per.join(ex, "scope").select(
+        "scope",
+        "n_exact",
+        "regs_used",
+        est_micros.alias("est_micros"),
+        F.floor(
+            F.abs(est_sel - F.col("n_exact"))
+            / F.col("n_exact")
+            * F.lit(1e6)
+        ).cast("long").alias("rel_err_micros"),
+    )
+
+
+def q_b27_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters (B27 sketch depth, r9 wave 5 —
+    the frequency estimator beside HLL's distinct counter and linear
+    counting's bitmap): a 4x64 CMS over per-user event counts, then the
+    exact top-10 users read back THROUGH the sketch. Counters are plain
+    sums → map-side combinable and mergeable across partitions without
+    rescans (the 100 TB sketch property); the stream contracts to the
+    |users| relation BEFORE the 4-row explode. The d hash rows come
+    from the portable md5-60 family, so every counter replays
+    cross-engine, and the row set certifies construction, the exact
+    counts, AND the CMS one-sided-error invariant (est >= exact,
+    overcount = est - exact >= 0)."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bcols = [
+        (
+            portable_hash60(
+                F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))
+            )
+            % 64
+        ).alias(f"b{i}")
+        for i in range(4)
+    ]
+    hashed = per_user.select("user_id", "n", *bcols)
+    counters = (
+        hashed.selectExpr(
+            "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        )
+        .groupBy("r", "b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    cand = hashed.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    est = (
+        cand.selectExpr(
+            "user_id", "n", "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (r, b)"
+        )
+        .join(F.broadcast(counters), ["r", "b"])
+        .groupBy("user_id", "n")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").alias("n_exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n")).cast("long").alias("overcount"),
+    )
+
+
+def q_b26_ht_estimate(spark, sf_dir):
+    """Horvitz–Thompson sample estimation audit (B26 depth, r9 wave 6):
+    per event type, corpus totals estimated from the deterministic
+    1/16 user-hash sample with inverse-propensity weight 16, beside the
+    exact totals and the integer relative error. This is the audit that
+    prices cheap-sample corpus statistics at 100 TB (profile the 1/16
+    slice, multiply, know the error you paid); the user-keyed sample
+    reuses the b26_hash_sample predicate so sampled USERS keep all
+    their events (cluster sampling, the realistic shape). Values stay
+    integer micros throughout."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("__vm"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum("__vm").cast("long").alias("sum_micros_exact"),
+    )
+    samp = ev.filter(
+        portable_hash60(F.col("user_id").cast("string")) % 16 == 0
+    )
+    est = samp.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * 16).cast("long").alias("n_est"),
+        (F.sum("__vm") * 16).cast("long").alias("sum_micros_est"),
+    )
+    return ex.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_est",
+        "sum_micros_exact",
+        "sum_micros_est",
+        F.expr("(abs(n_est - n_exact) * 1000000) div n_exact")
+        .cast("long")
+        .alias("n_err_micros"),
+        F.expr(
+            "(abs(sum_micros_est - sum_micros_exact) * 1000000)"
+            " div sum_micros_exact"
+        )
+        .cast("long")
+        .alias("sum_err_micros"),
+    )
+
+
+def q_b27_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile-histogram sketch (B27 sketch depth, r9 wave 6
+    — the quantile member beside HLL's distinct, CMS's frequency and
+    linear counting's bitmap): a 128-bucket equi-width histogram over
+    integer-micro values, per event type, with the '(all)' scope
+    MERGED from the per-scope sketches by bucket-count addition (sums
+    merge — the property that lets per-partition histograms combine
+    without rescans). For p50/p95/p99 the row carries the sketch
+    bucket's exact integer value range AND the true k-th smallest
+    value (k = ceil(q·n), via cross-multiplied 100·cum ≥ q·n — no
+    division), so `in_bucket` certifies construction, merge algebra
+    and the accuracy bound in one driver hash. Everything is integer
+    arithmetic — bucketing uses `div`, never float multiply. The
+    exact leg (distinct-value cumulative per scope) is the audit
+    baseline; the sketch is the 100 TB path."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1e6).cast("long").alias("vm")
+    )
+    bounds = ev.agg(
+        F.min("vm").alias("lo"), (F.max("vm") - F.min("vm") + 1).alias("r")
+    )
+    bucketed = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "vm",
+        F.least(F.expr("((vm - lo) * 128) div r"), F.lit(127))
+        .cast("int")
+        .alias("bkt"),
+    )
+    scope_sk = bucketed.groupBy(
+        F.col("event_type").alias("scope"), "bkt"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    all_sk = (
+        scope_sk.groupBy("bkt")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit("(all)").alias("scope"), "bkt", "cnt")
+    )
+    sk = scope_sk.unionByName(all_sk)
+    ns = sk.groupBy("scope").agg(F.sum("cnt").cast("long").alias("n"))
+    wcum = (
+        Window.partitionBy("scope")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sk.withColumn("cum", F.sum("cnt").over(wcum)).join(ns, "scope")
+    est = cum.groupBy("scope", "n").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("bkt"))
+            ).alias(f"b{q}")
+            for q in (50, 95, 99)
+        ]
+    )
+    # exact k-th smallest per scope over the distinct-value cumulative
+    scoped_vals = ev.select(
+        F.col("event_type").alias("scope"), "vm"
+    ).unionByName(ev.select(F.lit("(all)").alias("scope"), "vm"))
+    dv = scoped_vals.groupBy("scope", "vm").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wv = (
+        Window.partitionBy("scope")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dvc = dv.withColumn("cum", F.sum("c").over(wv)).join(ns, "scope")
+    exact = dvc.groupBy("scope").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("vm"))
+            ).alias(f"x{q}")
+            for q in (50, 95, 99)
+        ]
+    )
+    out = est.join(exact, "scope").crossJoin(F.broadcast(bounds))
+    cols = [F.col("scope"), F.col("n")]
+    for q in (50, 95, 99):
+        blo = F.expr(f"lo + ((b{q} * r) + 127) div 128")
+        bhi = F.expr(f"lo + (((b{q} + 1) * r) + 127) div 128 - 1")
+        cols += [
+            F.col(f"x{q}").alias(f"exact_p{q}"),
+            blo.cast("long").alias(f"est_lo_p{q}"),
+            bhi.cast("long").alias(f"est_hi_p{q}"),
+            ((F.col(f"x{q}") >= blo) & (F.col(f"x{q}") <= bhi)).alias(
+                f"in_bucket_p{q}"
+            ),
+        ]
+    return out.select(*cols)

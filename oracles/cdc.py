@@ -1,0 +1,411 @@
+"""DuckDB oracle SQL — cdc family (split from
+__spark_entry__.py oracle_sql(); entries verbatim)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+SQL = {
+        "b3_change_stats": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT tablename, operation,
+                   date_trunc('hour', timestamp) AS bucket,
+                   count(*) AS n_changes
+            FROM changes GROUP BY 1, 2, 3
+        """,
+        "b1_snapshot_diff": f"""
+            WITH {_ORDERS_OLD_NEW_SQL},
+            j AS (
+              SELECT o.o_orderkey AS ok, o.o_custkey AS ock, o.o_orderstatus AS ost,
+                     o.o_totalprice AS otp, o.o_orderpriority AS opr,
+                     n.o_orderkey AS nk, n.o_custkey AS nck, n.o_orderstatus AS nst,
+                     n.o_totalprice AS ntp, n.o_orderpriority AS npr
+              FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            ),
+            cl AS (
+              SELECT *,
+                     CASE WHEN ok IS NULL THEN 'INSERT'
+                          WHEN nk IS NULL THEN 'DELETE'
+                          WHEN ock IS DISTINCT FROM nck
+                            OR ost IS DISTINCT FROM nst
+                            OR otp IS DISTINCT FROM ntp
+                            OR opr IS DISTINCT FROM npr THEN 'UPDATE'
+                     END AS operation
+              FROM j
+            )
+            SELECT coalesce(nk, ok) AS o_orderkey, operation,
+                   CASE WHEN operation != 'INSERT' THEN CAST(json_object(
+                     'o_orderkey', ok, 'o_custkey', ock, 'o_orderstatus', ost,
+                     'o_totalprice', otp, 'o_orderpriority', opr) AS VARCHAR)
+                   END AS before,
+                   CASE WHEN operation != 'DELETE' THEN CAST(json_object(
+                     'o_orderkey', nk, 'o_custkey', nck, 'o_orderstatus', nst,
+                     'o_totalprice', ntp, 'o_orderpriority', npr) AS VARCHAR)
+                   END AS after
+            FROM cl WHERE operation IS NOT NULL
+        """,
+        "b1_apply_roundtrip": f"""
+            WITH {_ORDERS_OLD_NEW_SQL}
+            SELECT * FROM new
+        """,
+        "b2_log_compaction": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT *,
+                     json_extract_string(coalesce(after, before), '$.user_id') AS uk
+              FROM changes
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY uk ORDER BY id DESC) AS rn
+              FROM keyed
+            )
+            SELECT CAST(uk AS BIGINT) AS user_id, id AS last_id,
+                   operation AS last_op,
+                   CAST(json_extract_string(after, '$.value') AS DOUBLE) AS last_value
+            FROM ranked WHERE rn = 1 AND operation != 'DELETE'
+        """,
+        "b5_filter_json": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT id, timestamp,
+                   CAST(json_extract_string(after, '$.value') AS DOUBLE) AS value
+            FROM changes
+            WHERE operation = 'UPDATE'
+              AND json_extract_string(after, '$.event_type') = 'purchase'
+              AND CAST(json_extract_string(after, '$.value') AS DOUBLE) > 150.0
+        """,
+        "b6_projection": """
+            SELECT p_partkey, upper(p_brand) AS brand_uc,
+                   p_retailprice * 0.9 AS discounted,
+                   p_brand || '/' || p_type AS brand_type,
+                   length(p_name) AS name_len
+            FROM part
+        """,
+        "b2_scd2": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT id, timestamp, operation, after,
+                     CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT) AS user_id
+              FROM changes
+            ),
+            v AS (
+              SELECT *,
+                     lead(timestamp) OVER (PARTITION BY user_id ORDER BY id)
+                       AS valid_to
+              FROM keyed
+            )
+            SELECT user_id, id, after,
+                   timestamp AS valid_from, valid_to,
+                   (valid_to IS NULL) AS is_current
+            FROM v
+            WHERE operation <> 'DELETE'
+        """,
+        "b1_column_diff": f"""
+            WITH {_ORDERS_OLD_NEW_SQL},
+            j AS (
+              SELECT o.o_orderkey AS ok,
+                     o.o_custkey AS ock, o.o_orderstatus AS ost,
+                     o.o_totalprice AS otp, o.o_orderpriority AS opr,
+                     n.o_custkey AS nck, n.o_orderstatus AS nst,
+                     n.o_totalprice AS ntp, n.o_orderpriority AS npr
+              FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT ok AS o_orderkey,
+                   array_to_string(list_filter([
+                     CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
+                     CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
+                     CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
+                     CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
+                   ], x -> x IS NOT NULL), ',') AS changed_cols,
+                   CAST(len(list_filter([
+                     CASE WHEN ock IS DISTINCT FROM nck THEN 'o_custkey' END,
+                     CASE WHEN ost IS DISTINCT FROM nst THEN 'o_orderstatus' END,
+                     CASE WHEN otp IS DISTINCT FROM ntp THEN 'o_totalprice' END,
+                     CASE WHEN opr IS DISTINCT FROM npr THEN 'o_orderpriority' END
+                   ], x -> x IS NOT NULL)) AS BIGINT) AS n_changed
+            FROM j
+            WHERE (ock IS DISTINCT FROM nck) OR (ost IS DISTINCT FROM nst)
+               OR (otp IS DISTINCT FROM ntp) OR (opr IS DISTINCT FROM npr)
+        """,
+        "b5_time_range": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT id, operation, timestamp,
+                   round(CAST(json_extract_string(after, '$.value') AS DOUBLE),
+                         6) AS value
+            FROM changes
+            WHERE timestamp >= TIMESTAMP '2024-01-08 00:00:00'
+              AND timestamp < TIMESTAMP '2024-01-15 00:00:00'
+              AND CAST(json_extract_string(after, '$.value') AS DOUBLE) > 50.0
+        """,
+        "b2_vacuum_stats": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            sized AS (
+              SELECT CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT)
+                       AS user_id,
+                     id,
+                     coalesce(strlen(before), 0)
+                       + coalesce(strlen(after), 0) AS b
+              FROM changes
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - 1 AS BIGINT) AS reclaimable_rows,
+                   CAST(sum(b) - max_by(b, id) AS BIGINT)
+                     AS reclaimable_bytes,
+                   CAST(sum(b) AS BIGINT) AS total_bytes
+            FROM sized GROUP BY user_id
+        """,
+        "b4_event_source": _EVENTS_CHANGES_SQL,
+        "b3_anomaly": """
+            WITH daily AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1
+            ),
+            wp AS (
+              SELECT day, n,
+                     lag(n, 7) OVER (ORDER BY day ASC) AS prev,
+                     n - lag(n, 7) OVER (ORDER BY day ASC) AS resid
+              FROM daily
+            ),
+            mad AS (
+              SELECT median(abs(resid)) AS m FROM wp WHERE resid IS NOT NULL
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(prev AS BIGINT) AS expected,
+                   CAST(resid AS BIGINT) AS resid,
+                   CASE WHEN resid IS NOT NULL
+                        THEN abs(resid) > 3 * greatest(mad.m, 1.0)
+                        END AS anomalous
+            FROM wp, mad
+        """,
+        "b3_op_drift": """
+            WITH per_type AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS e,
+                     CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS l
+              FROM events GROUP BY event_type
+            ),
+            tot AS (SELECT sum(e) AS te, sum(l) AS tl FROM per_type)
+            SELECT event_type,
+                   CAST(e AS BIGINT) AS n_early,
+                   CAST(l AS BIGINT) AS n_late,
+                   round(e / t.te, 6) AS share_early,
+                   round(l / t.tl, 6) AS share_late,
+                   round(l / t.tl - e / t.te, 6) AS drift
+            FROM per_type CROSS JOIN tot t
+        """,
+        "b3_freshness": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            per AS (
+              SELECT event_type, max(sec) AS latest,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM ev GROUP BY event_type
+            ),
+            hw AS (SELECT max(sec) AS h FROM ev)
+            SELECT event_type, n_events,
+                   CAST(h - latest AS BIGINT) AS lag_seconds
+            FROM per CROSS JOIN hw
+        """,
+        "b3_fk_integrity": """
+            WITH r1 AS (
+              SELECT 'orders.o_custkey->customer' AS relation,
+                     CAST(count(*) AS BIGINT) AS n_child,
+                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_orphans
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ),
+            r2 AS (
+              SELECT 'lineitem.l_orderkey->orders',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            ),
+            r3 AS (
+              SELECT 'lineitem.l_partkey->part',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            ),
+            r4 AS (
+              SELECT 'lineitem.l_suppkey->supplier',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+            ),
+            un AS (
+              SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+            )
+            SELECT relation, n_child, n_orphans,
+                   round(n_orphans / CAST(n_child AS DOUBLE), 6)
+                     AS orphan_rate
+            FROM un
+        """,
+        "b3_psi": _psi_oracle_sql(),
+        "b5_disjunctive_pushdown": """
+            SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+                              * (CAST(1 AS DECIMAL(28,4))
+                                 - CAST(l_discount AS DECIMAL(28,4))))
+                              AS DOUBLE), 2) AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_type = 'SMALL'
+                   AND CAST(l_quantity AS DOUBLE) <= 15 AND p_size <= 10)
+               OR (p_brand = 'Brand#2' AND p_type = 'MEDIUM'
+                   AND CAST(l_quantity AS DOUBLE) <= 25 AND p_size <= 20)
+               OR (p_brand = 'Brand#3' AND p_type = 'LARGE'
+                   AND CAST(l_quantity AS DOUBLE) <= 35 AND p_size <= 30)
+            GROUP BY p_brand
+        """,
+        "b2_collapse_repeats": """
+            WITH marked AS (
+              SELECT event_type,
+                     lag(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ),
+            kept AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept
+              FROM marked WHERE prev IS NULL OR prev <> event_type
+              GROUP BY event_type
+            ),
+            raw AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw
+              FROM events GROUP BY event_type
+            )
+            SELECT raw.event_type, n_raw, n_kept, n_raw - n_kept AS n_collapsed
+            FROM raw JOIN kept ON kept.event_type = raw.event_type
+        """,
+        "b3_changepoint": """
+            WITH daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc,
+                           CAST(count(*) AS BIGINT) AS tn FROM daily),
+            cum AS (
+              SELECT b,
+                     CAST(sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+                     CAST(count(*) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+              FROM daily
+            ),
+            sc AS (
+              SELECT b AS split_bucket, cn AS n_left, tn - cn AS n_right,
+                     cs / CAST(cn AS DOUBLE) AS ml,
+                     (tc - cs) / CAST(tn - cn AS DOUBLE) AS mr
+              FROM cum CROSS JOIN tot WHERE cn < tn
+            )
+            SELECT split_bucket, n_left, n_right,
+                   round(ml, 6) AS mean_left, round(mr, 6) AS mean_right,
+                   round(abs(ml - mr), 6) AS delta,
+                   row_number() OVER (ORDER BY abs(ml - mr) DESC,
+                                      split_bucket) = 1 AS is_best
+            FROM sc
+        """,
+        "b1_incremental_agg": """
+            WITH eff AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN CAST(o_totalprice AS DECIMAL(38,6))
+                               + CAST(10 AS DECIMAL(38,6))
+                          ELSE CAST(o_totalprice AS DECIMAL(38,6))
+                     END AS p
+              FROM orders WHERE o_orderkey % 13 <> 0
+            )
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(sum(p) AS DOUBLE), 2) AS sum_price
+            FROM eff GROUP BY o_orderstatus, o_orderpriority
+        """,
+        # ---- round 9: evaluation / concentration / shape depth ----------
+        "b2_write_amplification": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            agg AS (
+              SELECT operation, CAST(count(*) AS BIGINT) AS n_changes,
+                     CAST(sum(coalesce(length(before), 0)) AS BIGINT)
+                       AS before_bytes,
+                     CAST(sum(coalesce(length(after), 0)) AS BIGINT)
+                       AS after_bytes
+              FROM changes GROUP BY operation
+            )
+            SELECT operation, n_changes, before_bytes, after_bytes,
+                   round(CAST(before_bytes + after_bytes AS DOUBLE)
+                         / CAST(n_changes AS DOUBLE), 6) AS avg_image_bytes
+            FROM agg
+        """,
+        # ---- round 9 wave 3 ---------------------------------------------
+        "b2_idempotency": f"""
+            WITH ch AS ({_EVENTS_CHANGES_SQL}),
+            delivered AS (
+              SELECT * FROM ch
+              UNION ALL
+              SELECT * FROM ch WHERE id % 13 = 5
+            ),
+            keyed AS (
+              SELECT operation,
+                     md5(concat_ws('|', tablename, CAST(id AS VARCHAR),
+                                   operation, COALESCE(before, ''),
+                                   COALESCE(after, ''))) AS k
+              FROM delivered
+            ),
+            per AS (
+              SELECT operation, k, CAST(count(*) AS BIGINT) AS n
+              FROM keyed GROUP BY operation, k
+            )
+            SELECT operation,
+                   CAST(count(*) AS BIGINT) AS n_logical_changes,
+                   CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_duplicated,
+                   CAST(sum(n - 1) AS BIGINT) AS n_redundant_deliveries,
+                   CAST((sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1000000)
+                        // count(*) AS BIGINT) AS dup_rate_micros
+            FROM per GROUP BY operation
+        """,
+        "b3_slo_burn": """
+            WITH w AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS win6h,
+                     CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+              FROM events
+            )
+            SELECT win6h,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(e) AS BIGINT) AS n_errors,
+                   CAST((sum(e) * 1000000) // count(*) AS BIGINT)
+                     AS err_rate_micros,
+                   sum(e) * 50 > count(*) AS page_alert
+            FROM w GROUP BY win6h
+        """,
+}

@@ -1,0 +1,265 @@
+"""DuckDB oracle SQL — multimodal family (split from
+__spark_entry__.py oracle_sql(); entries verbatim)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+SQL = {
+        "b23_udf_features": _udf_features_oracle_sql(),
+        "b22_phash_dups": """
+            -- closed-form replay of synth_ppm + ahash64: source raster
+            -- byte (y*w+x)*3+c of image img_id is (img_id*31+i)%256 with
+            -- w=4+img_id%5, h=4+(img_id//5)%5; 8x8 NN sample at
+            -- (ny,nx)=((y*h)//8,(x*w)//8); grayscale (r+g+b)//3; bit
+            -- j=y*8+x set iff 64*g >= sum(g); halves pack bits 0..31 /
+            -- 32..63 (all values nonneg -> // is floor)
+            WITH staged AS (
+              SELECT doc_id, doc_id AS img_id FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id, doc_id AS img_id
+              FROM documents WHERE doc_id % 9 = 0
+            ),
+            geom AS (
+              SELECT doc_id, img_id,
+                     4 + img_id % 5 AS w, 4 + (img_id // 5) % 5 AS h
+              FROM staged
+            ),
+            g AS (
+              SELECT doc_id, y * 8 + x AS j,
+                     ((img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 0) % 256
+                      + (img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 1) % 256
+                      + (img_id * 31 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + 2) % 256
+                     ) // 3 AS gray
+              FROM geom,
+                   generate_series(0, 7) gy(y),
+                   generate_series(0, 7) gx(x)
+            ),
+            tot AS (SELECT doc_id, sum(gray) AS s FROM g GROUP BY doc_id),
+            bits AS (
+              SELECT g.doc_id, g.j,
+                     CASE WHEN 64 * g.gray >= tot.s THEN 1 ELSE 0 END AS b
+              FROM g JOIN tot ON tot.doc_id = g.doc_id
+            ),
+            hashes AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN j >= 32
+                                   THEN b * (CAST(1 AS BIGINT) << (j - 32))
+                                   ELSE 0 END) AS BIGINT) AS hash_hi,
+                     CAST(sum(CASE WHEN j < 32
+                                   THEN b * (CAST(1 AS BIGINT) << j)
+                                   ELSE 0 END) AS BIGINT) AS hash_lo
+              FROM bits GROUP BY doc_id
+            )
+            SELECT hash_hi, hash_lo,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id
+            FROM hashes GROUP BY hash_hi, hash_lo
+            HAVING count(*) > 1
+        """,
+        "b23_grouped_agg_udf": """
+            -- np.average = sum(p*q)/sum(q) over float64; identical
+            -- products, sum-order noise absorbed by round(6)
+            SELECT l_returnflag,
+                   round(sum(CAST(l_extendedprice AS DOUBLE)
+                             * CAST(l_quantity AS DOUBLE))
+                         / sum(CAST(l_quantity AS DOUBLE)), 6)
+                     AS wmean_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "b22_frame_extract": """
+            -- closed-form replay of synth_ppm_stream + extract_frames:
+            -- doc id has 2 + id%3 frames; frame f is (3+f) x 2 with
+            -- raster byte i = (id*31 + f*97 + i) % 256
+            WITH fr AS (
+              SELECT doc_id, f,
+                     CAST(3 + f AS INTEGER) AS width,
+                     CAST(2 AS INTEGER) AS height
+              FROM documents, generate_series(0, 4) g(f)
+              WHERE f < 2 + doc_id % 3
+            ),
+            px AS (
+              SELECT doc_id, f, width, height,
+                     (doc_id * 31 + f * 97 + i) % 256 AS val
+              FROM fr, generate_series(0, 41) gi(i)
+              WHERE i < width * height * 3
+            )
+            SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                   width, height,
+                   CAST(sum(val) AS BIGINT) AS frame_sum
+            FROM px GROUP BY doc_id, f, width, height
+        """,
+        "b22_audio_stats": """
+            -- closed-form replay of synth_pcm + audio_stats: sample i is
+            -- (id*7 + i*13) % 4096 - 2048 over n = 800 + (id%5)*160
+            -- samples; a zero crossing is a sign-bit flip (x<0 vs x>=0)
+            WITH px AS (
+              SELECT doc_id,
+                     800 + (doc_id % 5) * 160 AS n
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n, i,
+                     (doc_id * 7 + i * 13) % 4096 - 2048 AS val,
+                     CASE WHEN i >= 1
+                          THEN (doc_id * 7 + (i - 1) * 13) % 4096 - 2048
+                     END AS prev
+              FROM px, generate_series(0, 1439) g(i)
+              WHERE i < n
+            )
+            SELECT doc_id,
+                   CAST(min(n) AS BIGINT) AS n_samples,
+                   CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(val)) AS BIGINT) AS max_abs,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                 AND ((val < 0) <> (prev < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS zero_crossings,
+                   CAST(sum(val * val) AS BIGINT) AS energy
+            FROM v GROUP BY doc_id
+        """,
+        "b22_multimodal_meta": """
+            SELECT doc_id,
+                   'text/plain' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS rt_hex_bytes,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS rt_b64_bytes
+            FROM documents
+        """,
+        "b22_byte_histogram": """
+            -- DuckDB can neither slice nor substring a BLOB, so the
+            -- leading BYTE comes from ascii() (corpus verified pure
+            -- ASCII: octet_length(encode(text)) == length(text) for
+            -- every row) and md5(VARCHAR) hashes the same UTF-8 bytes
+            -- Spark's md5(encode(text)) does. lpad matches Spark hex()'s
+            -- zero-padded 2-digit output for lead bytes < 0x10, and empty
+            -- text (ascii='' -> 0 -> '00') is mapped to NULL on both
+            -- engines (Spark: substring of empty payload -> '' -> hex '').
+            SELECT CASE WHEN text = '' THEN NULL
+                        ELSE lpad(upper(to_hex(ascii(text))), 2, '0')
+                   END AS lead_byte,
+                   CAST(count(*) AS BIGINT) AS n_blobs,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT)
+                     AS total_bytes,
+                   CAST(count(DISTINCT substr(md5(text), 1, 8)) AS BIGINT)
+                     AS n_distinct_digests
+            FROM documents GROUP BY lead_byte
+        """,
+        "b22_image_resize": """
+            -- closed-form replay of synth_ppm + nearest-neighbor resize:
+            -- source geometry w=4+id%5, h=4+(id//5)%5; raster byte i is
+            -- (id*31+i)%256; NN source pixel for output (x,y) of 8x8 is
+            -- (x*w//8, y*h//8) — all nonneg integers, so DuckDB's
+            -- truncating // equals floor division
+            WITH px AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
+                     CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS src_h
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, src_w, src_h, c,
+                     (doc_id * 31
+                      + (((y * src_h) // 8) * src_w + ((x * src_w) // 8)) * 3
+                      + c) % 256 AS v
+              FROM px,
+                   generate_series(0, 7) gy(y),
+                   generate_series(0, 7) gx(x),
+                   generate_series(0, 2) gc(c)
+            )
+            SELECT doc_id, src_w, src_h,
+                   CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+            FROM o GROUP BY doc_id, src_w, src_h
+        """,
+        "b22_image_stats": """
+            -- closed-form replay of synth_ppm + image_stats: raster byte
+            -- (y*w + x)*3 + c has value (id*31 + i) % 256; luma is the
+            -- integer Rec.601 fold; the crop window is rows h//4 ..
+            -- h//4+h//2, cols w//4 .. w//4+w//2 (all nonneg -> DuckDB //
+            -- equals floor)
+            WITH px AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 5 AS INTEGER) AS src_w,
+                     CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS src_h
+              FROM documents
+            ),
+            v AS (
+              -- DuckDB generate_series takes no correlated bounds; use
+              -- the fixed 0..7 grid (max dims are 8x8) and filter
+              SELECT doc_id, src_w, src_h, y, x, c,
+                     (doc_id * 31 + (y * src_w + x) * 3 + c) % 256 AS val
+              FROM px,
+                   generate_series(0, 7) gy(y),
+                   generate_series(0, 7) gx(x),
+                   generate_series(0, 2) gc(c)
+              WHERE y < src_h AND x < src_w
+            )
+            SELECT doc_id, src_w, src_h,
+                   CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+                   CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b,
+                   CAST(299 * sum(CASE WHEN c = 0 THEN val END)
+                        + 587 * sum(CASE WHEN c = 1 THEN val END)
+                        + 114 * sum(CASE WHEN c = 2 THEN val END) AS BIGINT)
+                     AS luma_sum,
+                   CAST(sum(CASE WHEN y >= src_h // 4
+                                 AND y < src_h // 4 + src_h // 2
+                                 AND x >= src_w // 4
+                                 AND x < src_w // 4 + src_w // 2
+                            THEN val END) AS BIGINT) AS crop_sum
+            FROM v GROUP BY doc_id, src_w, src_h
+        """,
+        "b22_scene_cuts": """
+            -- closed-form replay of synth_ppm_stream + extract_frames
+            -- (same grid as b22_frame_extract), then the lead-delta
+            WITH fr AS (
+              SELECT doc_id, f,
+                     CAST(3 + f AS INTEGER) AS width,
+                     CAST(2 AS INTEGER) AS height
+              FROM documents, generate_series(0, 4) g(f)
+              WHERE f < 2 + doc_id % 3
+            ),
+            px AS (
+              SELECT doc_id, f, width, height,
+                     (doc_id * 31 + f * 97 + i) % 256 AS val
+              FROM fr, generate_series(0, 41) gi(i)
+              WHERE i < width * height * 3
+            ),
+            fs AS (
+              SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+                     CAST(sum(val) AS BIGINT) AS frame_sum,
+                     CAST(width * height * 3 AS BIGINT) AS area
+              FROM px GROUP BY doc_id, f, width, height
+            ),
+            l AS (
+              SELECT doc_id, frame_idx, frame_sum, area,
+                     lead(frame_sum) OVER w AS ns, lead(area) OVER w AS na
+              FROM fs WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx ASC)
+            )
+            SELECT doc_id, frame_idx,
+                   round(CAST(abs(frame_sum * na - ns * area) AS DOUBLE)
+                         / CAST(area * na AS DOUBLE), 6) AS mean_delta,
+                   abs(frame_sum * na - ns * area) > 8 * area * na AS is_cut
+            FROM l WHERE ns IS NOT NULL
+        """,
+}

@@ -1,0 +1,594 @@
+"""DuckDB oracle SQL — sampling family (split from
+__spark_entry__.py oracle_sql(); entries verbatim)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+SQL = {
+        "b26_hash_sample": f"""
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM lineitem
+            WHERE {sampling.bucket_sql('l_orderkey')} < 10
+        """,
+        "b26_train_split": f"""
+            SELECT doc_id, lang,
+                   CASE WHEN {sampling.bucket_sql('doc_id')} < 80 THEN 'train'
+                        WHEN {sampling.bucket_sql('doc_id')} < 90 THEN 'val'
+                        WHEN {sampling.bucket_sql('doc_id')} < 100 THEN 'test'
+                   END AS split
+            FROM documents
+        """,
+        "b26_stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {sampling.bucket_sql('doc_id')} <
+                  CASE lang WHEN 'de' THEN 100 WHEN 'en' THEN 25
+                            WHEN 'fr' THEN 100 ELSE 50 END
+        """,
+        "b26_exact_quota": f"""
+            WITH pri AS (
+              SELECT doc_id, lang,
+                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS r
+              FROM pri
+            ),
+            avail AS (
+              SELECT lang, count(*) AS n_available FROM pri GROUP BY lang
+            )
+            SELECT t.lang,
+                   CAST(count(*) AS BIGINT) AS n_taken,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc,
+                   CAST(max(doc_id) AS BIGINT) AS last_doc,
+                   CAST(min(avail.n_available) AS BIGINT) AS n_available
+            FROM ranked t JOIN avail ON avail.lang = t.lang
+            WHERE t.r <= 40
+            GROUP BY t.lang
+        """,
+        "b28_packing": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            )
+            SELECT doc_id, n_tok,
+                   CAST(floor(
+                     CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS DOUBLE) / 512) AS BIGINT) AS pack_id
+            FROM t
+        """,
+        "b28_pack_efficiency": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+            ),
+            packed AS (
+              SELECT doc_id, n_tok,
+                     CAST(floor(
+                       CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS DOUBLE) / 512)
+                       AS BIGINT) AS pack_id
+              FROM t
+            )
+            SELECT pack_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   round(sum(n_tok) / 512.0, 6) AS fill,
+                   sum(n_tok) > 512 AS overflow
+            FROM packed GROUP BY pack_id
+        """,
+        "b26_split_leakage": _split_leakage_oracle_sql(),
+        "b28_mixture": f"""
+            WITH sized AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            totals AS (
+              SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
+            ),
+            rates AS (
+              -- total IS NULL / <= 0 => keep everything (mirrors the ANSI
+              -- divide-by-zero guard in sampling.mixture_sample)
+              SELECT lang,
+                     CASE WHEN total IS NULL OR total <= 0 THEN 100
+                          ELSE least(100,
+                            ((CASE lang WHEN 'en' THEN 4000
+                                        WHEN 'de' THEN 1500
+                                        ELSE 2000 END) * 100) // total)
+                     END AS keep_b
+              FROM totals
+            )
+            SELECT s.doc_id, s.lang, s.n_tok
+            FROM sized s JOIN rates r ON s.lang = r.lang
+            WHERE {sampling.bucket_sql('s.doc_id')} < r.keep_b
+        """,
+        "b28_temperature": f"""
+            WITH totals AS (
+              SELECT lang, sum(n_chars) AS total FROM documents GROUP BY lang
+            ),
+            z AS (
+              SELECT sum(sqrt(CAST(total AS DOUBLE))) AS z FROM totals
+            ),
+            rates AS (
+              SELECT lang,
+                     least(100, CAST(floor(
+                       sqrt(CAST(total AS DOUBLE)) / z.z
+                       * 100000.0 * 100.0 / CAST(total AS DOUBLE)
+                       + 1e-9) AS BIGINT)) AS keep_b
+              FROM totals CROSS JOIN z
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE {sampling.bucket_sql('d.doc_id')} < r.keep_b
+        """,
+        "b28_curriculum": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_sw_hits_sql('en')} AS s_en,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, q_tokens,
+                round(CAST(alpha AS DOUBLE)
+                      / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                  AS q_alpha_ratio,
+                round(CAST(s_en AS DOUBLE)
+                      / CAST(greatest(q_tokens, 1) AS DOUBLE), 6)
+                  AS q_stopword_ratio
+              FROM base
+            ),
+            staged AS (
+              SELECT doc_id, q_tokens AS n_tok,
+                     least(CAST(floor(
+                       round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                             + q_alpha_ratio * 0.4
+                             + least(q_stopword_ratio * 5.0, 1.0) * 0.2, 6)
+                       * 10) AS BIGINT), 9) AS phase
+              FROM feat
+            ),
+            keyed AS (
+              SELECT *, phase * 10000000 + doc_id AS okey FROM staged
+            ),
+            cum AS (
+              SELECT *, COALESCE(sum(n_tok) OVER (
+                ORDER BY okey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+              FROM keyed
+            )
+            SELECT doc_id, phase,
+                   CAST(floor(c / 4000.0) AS BIGINT) AS pack_id,
+                   CAST(n_tok AS BIGINT) AS n_tok
+            FROM cum
+        """,
+        "b26_cluster_kfold": f"""
+            WITH labels AS ({_dup_clusters_oracle_sql()}),
+            corpus AS ({_B19_CORPUS_SQL}),
+            keyed AS (
+              SELECT c.doc_id,
+                     COALESCE(l.cluster_id, c.doc_id) AS k
+              FROM corpus c LEFT JOIN labels l ON c.doc_id = l.doc_id
+            )
+            SELECT CAST({sampling.bucket_sql('k', 5)} AS BIGINT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+            FROM keyed GROUP BY fold
+        """,
+        "b26_interleave": f"""
+            WITH srcs AS (
+              SELECT source,
+                     row_number() OVER (ORDER BY source ASC) - 1 AS six
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM srcs),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {sampling.bucket_sql('doc_id', 1 << 32)} ASC,
+                                doc_id ASC) AS r
+              FROM documents
+            )
+            SELECT doc_id, ranked.source,
+                   CAST((r - 1) * ns.n + srcs.six AS BIGINT) AS pos
+            FROM ranked
+            JOIN srcs ON srcs.source = ranked.source
+            CROSS JOIN ns
+        """,
+        "b26_kfold": f"""
+            SELECT doc_id, lang,
+                   CAST({sampling.bucket_sql('doc_id', 5)} AS BIGINT) AS fold
+            FROM documents
+        """,
+        "b28_epochs": f"""
+            WITH sized AS (
+              SELECT doc_id, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+              FROM documents
+            ),
+            totals AS (
+              SELECT lang, sum(n_tok) AS total FROM sized GROUP BY lang
+            ),
+            rates AS (
+              SELECT lang,
+                     CASE WHEN total IS NULL OR total <= 0 THEN NULL
+                          ELSE ((CASE lang WHEN 'en' THEN 4000
+                                           WHEN 'de' THEN 20000
+                                           WHEN 'zh' THEN 15000
+                                           ELSE NULL END) * 100) // total
+                     END AS r
+              FROM totals
+            )
+            SELECT s.doc_id, s.lang, s.n_tok,
+                   CAST(CASE WHEN r.r IS NULL THEN 1
+                        ELSE (r.r // 100)
+                             + (CASE WHEN {sampling.bucket_sql('s.doc_id')}
+                                     < (r.r % 100) THEN 1 ELSE 0 END)
+                        END AS BIGINT) AS n_copies
+            FROM sized s JOIN rates r ON s.lang = r.lang
+        """,
+        "b27_sketch_bounds": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+                   abs(approx_count_distinct(l_orderkey)
+                       - count(DISTINCT l_orderkey))
+                     <= 0.15 * count(DISTINCT l_orderkey) AS cd_within_bound,
+                   abs(approx_quantile(l_extendedprice, 0.5)
+                       - quantile_cont(l_extendedprice, 0.5))
+                     <= 0.05 * quantile_cont(l_extendedprice, 0.5)
+                     AS p50_within_bound
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "b26_fixed_per_group": f"""
+            WITH pri AS (
+              SELECT doc_id, lang, n_chars,
+                     {sampling.bucket_sql('doc_id', 1 << 32)} AS p
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, lang, n_chars, row_number() OVER (
+                PARTITION BY lang ORDER BY p ASC, doc_id ASC) AS rn
+              FROM pri
+            )
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+        """,
+        "b28_training_manifest": f"""
+            WITH {_DOCS_DUPS_SQL},
+            feat AS (
+              SELECT doc_id, text, lang,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS q_tokens,
+                     round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                           / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS q_alpha_ratio,
+                     round(CAST({_sw_hits_sql('en')} AS DOUBLE)
+                           / CAST(greatest(len({_TOKS_SQL}), 1) AS DOUBLE), 6) AS q_sw_ratio
+              FROM docs
+            ),
+            scored AS (
+              SELECT *,
+                     round(least(CAST(q_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + q_alpha_ratio * 0.4
+                           + least(q_sw_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+              FROM feat
+            ),
+            gated AS (
+              SELECT * FROM scored WHERE quality_score >= 0.5 AND q_tokens >= 20
+            ),
+            deduped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            ),
+            sampled AS (
+              SELECT * FROM deduped
+              WHERE {sampling.bucket_sql('doc_id')} <
+                    CASE lang WHEN 'en' THEN 50 ELSE 100 END
+            ),
+            manifest AS (
+              SELECT *,
+                     CASE WHEN {sampling.bucket_sql('doc_id')} < 80 THEN 'train'
+                          WHEN {sampling.bucket_sql('doc_id')} < 90 THEN 'val'
+                          WHEN {sampling.bucket_sql('doc_id')} < 100 THEN 'test'
+                     END AS split
+              FROM sampled
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(q_tokens) AS BIGINT) AS total_tokens
+            FROM manifest GROUP BY split, lang
+        """,
+        "b27_linear_counting": _linear_counting_oracle_sql(),
+        "b26_rendezvous": _rendezvous_oracle_sql(),
+        "b26_temporal_split": """
+            WITH test AS (
+              SELECT *, 'test' AS split FROM events
+              WHERE ts >= TIMESTAMP '2024-01-30 12:00:00'
+            ),
+            tk AS (SELECT DISTINCT user_id FROM test),
+            train AS (
+              SELECT e.*, 'train' AS split FROM events e
+              WHERE e.ts < TIMESTAMP '2024-01-28 00:00:00'
+                AND e.user_id NOT IN (SELECT user_id FROM tk)
+            ),
+            un AS (SELECT * FROM train UNION ALL SELECT * FROM test)
+            SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM un GROUP BY split, event_type
+        """,
+        "b26_weighted_sample": """
+            WITH wt AS (
+              SELECT doc_id,
+                     1 + CAST(floor(length(text) / 500.0) AS BIGINT) AS weight
+              FROM documents
+            ),
+            cl AS (
+              SELECT doc_id, weight,
+                     least(greatest(weight, 1), 32) AS w
+              FROM wt
+            ),
+            tick AS (
+              SELECT doc_id, weight, unnest(generate_series(1, w)) AS t
+              FROM cl
+            ),
+            drawn AS (
+              SELECT doc_id, weight,
+                     CAST('0x' || substr(md5(doc_id || ':' || t), 1, 15)
+                          AS BIGINT) AS u
+              FROM tick
+            ),
+            prio AS (
+              SELECT doc_id, weight, max(u) AS priority
+              FROM drawn GROUP BY doc_id, weight
+            )
+            SELECT doc_id, weight, priority,
+                   CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+                        AS BIGINT) AS rk
+            FROM prio ORDER BY priority DESC, doc_id LIMIT 200
+        """,
+        "b28_length_buckets": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                       AS n_tok
+              FROM documents
+            ),
+            tiled AS (
+              SELECT doc_id, n_tok,
+                     ntile(8) OVER (ORDER BY n_tok ASC, doc_id ASC) AS bucket
+              FROM t
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_tok) AS BIGINT) AS min_tok,
+                   CAST(max(n_tok) AS BIGINT) AS max_tok,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT)
+                     AS padding_waste
+            FROM tiled GROUP BY 1
+        """,
+        "b27_lc_union": _lc_union_oracle_sql(),
+        "b28_budget_allocation": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(sum(CAST(len({_TOKS_SQL}) AS BIGINT)) AS BIGINT)
+                       AS w
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM per),
+            q AS (
+              SELECT source, w,
+                     (w * 1000000) // wt AS base,
+                     (w * 1000000) % wt AS rem
+              FROM per, tot
+            ),
+            s AS (SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM q),
+            r AS (
+              SELECT q.source, q.w, q.base,
+                     row_number() OVER (
+                       ORDER BY q.rem DESC, q.source ASC) AS rk,
+                     1000000 - s.base_sum AS leftover
+              FROM q, s
+            )
+            SELECT source, w,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc,
+                   round(CAST(base + CASE WHEN rk <= leftover
+                                          THEN 1 ELSE 0 END AS DOUBLE)
+                         / 1000000.0, 6) AS alloc_share
+            FROM r
+        """,
+        # ---- round 9 wave 4 ---------------------------------------------
+        "b27_hll_registers": _hll_registers_oracle_sql(),
+        "b27_cms_heavy_hitters": """
+            WITH per_user AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY user_id
+            ),
+            hashed AS (
+              SELECT user_id, n,
+                     CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b0,
+                     CAST('0x' || substr(md5('1:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b1,
+                     CAST('0x' || substr(md5('2:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b2,
+                     CAST('0x' || substr(md5('3:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 64 AS b3
+              FROM per_user
+            ),
+            cells AS (
+              SELECT 0 AS r, b0 AS b, n FROM hashed
+              UNION ALL SELECT 1, b1, n FROM hashed
+              UNION ALL SELECT 2, b2, n FROM hashed
+              UNION ALL SELECT 3, b3, n FROM hashed
+            ),
+            counters AS (
+              SELECT r, b, sum(n) AS cnt FROM cells GROUP BY r, b
+            ),
+            cand AS (
+              SELECT * FROM hashed ORDER BY n DESC, user_id ASC LIMIT 10
+            ),
+            cand_cells AS (
+              SELECT user_id, n, 0 AS r, b0 AS b FROM cand
+              UNION ALL SELECT user_id, n, 1, b1 FROM cand
+              UNION ALL SELECT user_id, n, 2, b2 FROM cand
+              UNION ALL SELECT user_id, n, 3, b3 FROM cand
+            )
+            SELECT cc.user_id, cc.n AS n_exact,
+                   CAST(min(ct.cnt) AS BIGINT) AS cms_estimate,
+                   CAST(min(ct.cnt) - cc.n AS BIGINT) AS overcount
+            FROM cand_cells cc JOIN counters ct ON cc.r = ct.r AND cc.b = ct.b
+            GROUP BY cc.user_id, cc.n
+        """,
+        "b26_ht_estimate": """
+            WITH ev AS (
+              SELECT event_type, user_id,
+                     CAST(floor(value * 1e6) AS BIGINT) AS vm
+              FROM events
+            ),
+            ex AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+                     CAST(sum(vm) AS BIGINT) AS sum_micros_exact
+              FROM ev GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS n_est,
+                     CAST(sum(vm) * 16 AS BIGINT) AS sum_micros_est
+              FROM ev
+              WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 16 = 0
+              GROUP BY event_type
+            )
+            SELECT ex.event_type, ex.n_exact, est.n_est,
+                   ex.sum_micros_exact, est.sum_micros_est,
+                   CAST((abs(est.n_est - ex.n_exact) * 1000000) // ex.n_exact
+                        AS BIGINT) AS n_err_micros,
+                   CAST((abs(est.sum_micros_est - ex.sum_micros_exact)
+                         * 1000000) // ex.sum_micros_exact AS BIGINT)
+                     AS sum_err_micros
+            FROM ex JOIN est USING (event_type)
+        """,
+        "b27_quantile_sketch": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(floor(value * 1e6) AS BIGINT) AS vm
+              FROM events
+            ),
+            bounds AS (
+              SELECT min(vm) AS lo, max(vm) - min(vm) + 1 AS r FROM ev
+            ),
+            bucketed AS (
+              SELECT event_type, vm,
+                     CAST(least(((vm - lo) * 128) // r, 127) AS INT) AS bkt
+              FROM ev CROSS JOIN bounds
+            ),
+            scope_sk AS (
+              SELECT event_type AS scope, bkt,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM bucketed GROUP BY event_type, bkt
+            ),
+            sk AS (
+              SELECT scope, bkt, cnt FROM scope_sk
+              UNION ALL
+              SELECT '(all)', bkt, CAST(sum(cnt) AS BIGINT)
+              FROM scope_sk GROUP BY bkt
+            ),
+            ns AS (
+              SELECT scope, CAST(sum(cnt) AS BIGINT) AS n
+              FROM sk GROUP BY scope
+            ),
+            cum AS (
+              SELECT sk.scope, bkt, cnt, ns.n,
+                     CAST(sum(cnt) OVER (
+                       PARTITION BY sk.scope ORDER BY bkt
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM sk JOIN ns USING (scope)
+            ),
+            est AS (
+              SELECT scope, n,
+                     min(CASE WHEN c * 100 >= 50 * n THEN bkt END) AS b50,
+                     min(CASE WHEN c * 100 >= 95 * n THEN bkt END) AS b95,
+                     min(CASE WHEN c * 100 >= 99 * n THEN bkt END) AS b99
+              FROM cum GROUP BY scope, n
+            ),
+            sv AS (
+              SELECT event_type AS scope, vm FROM ev
+              UNION ALL
+              SELECT '(all)', vm FROM ev
+            ),
+            dv AS (
+              SELECT scope, vm, CAST(count(*) AS BIGINT) AS cc
+              FROM sv GROUP BY scope, vm
+            ),
+            dvc AS (
+              SELECT dv.scope, vm, ns.n,
+                     CAST(sum(cc) OVER (
+                       PARTITION BY dv.scope ORDER BY vm
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM dv JOIN ns USING (scope)
+            ),
+            exact AS (
+              SELECT scope,
+                     min(CASE WHEN c * 100 >= 50 * n THEN vm END) AS x50,
+                     min(CASE WHEN c * 100 >= 95 * n THEN vm END) AS x95,
+                     min(CASE WHEN c * 100 >= 99 * n THEN vm END) AS x99
+              FROM dvc GROUP BY scope
+            )
+            SELECT e.scope, e.n,
+                   x.x50 AS exact_p50,
+                   CAST(lo + ((b50 * r) + 127) // 128 AS BIGINT)
+                     AS est_lo_p50,
+                   CAST(lo + (((b50 + 1) * r) + 127) // 128 - 1 AS BIGINT)
+                     AS est_hi_p50,
+                   x.x50 >= lo + ((b50 * r) + 127) // 128
+                     AND x.x50 <= lo + (((b50 + 1) * r) + 127) // 128 - 1
+                     AS in_bucket_p50,
+                   x.x95 AS exact_p95,
+                   CAST(lo + ((b95 * r) + 127) // 128 AS BIGINT)
+                     AS est_lo_p95,
+                   CAST(lo + (((b95 + 1) * r) + 127) // 128 - 1 AS BIGINT)
+                     AS est_hi_p95,
+                   x.x95 >= lo + ((b95 * r) + 127) // 128
+                     AND x.x95 <= lo + (((b95 + 1) * r) + 127) // 128 - 1
+                     AS in_bucket_p95,
+                   x.x99 AS exact_p99,
+                   CAST(lo + ((b99 * r) + 127) // 128 AS BIGINT)
+                     AS est_lo_p99,
+                   CAST(lo + (((b99 + 1) * r) + 127) // 128 - 1 AS BIGINT)
+                     AS est_hi_p99,
+                   x.x99 >= lo + ((b99 * r) + 127) // 128
+                     AND x.x99 <= lo + (((b99 + 1) * r) + 127) // 128 - 1
+                     AS in_bucket_p99
+            FROM est e JOIN exact x USING (scope) CROSS JOIN bounds
+        """,
+        # ---- round 9 wave 7 ---------------------------------------------
+}

@@ -1,0 +1,801 @@
+"""DuckDB oracle SQL — stats family (split from
+__spark_entry__.py oracle_sql(); entries verbatim)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+SQL = {
+        "b10_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "b10_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "b10_pivot": """
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+                   CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 2), 0.0) AS total_f,
+                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 2), 0.0) AS total_o,
+                   coalesce(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                     FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 2), 0.0) AS total_p
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "b10_unpivot": """
+            SELECT p_partkey, 'p_size' AS measure,
+                   CAST(p_size AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice' AS measure,
+                   p_retailprice AS value FROM part
+        """,
+        "b10_profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DOUBLE), 2) AS profit,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_type LIKE 'ECONOMY%'
+            GROUP BY 1, 2
+        """,
+        "b10_promo_share": """
+            SELECT round(CAST(CAST(100 AS DECIMAL(18,4))
+                     * sum(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                * (CAST(1 AS DECIMAL(18,4))
+                                   - CAST(l_discount AS DECIMAL(18,4)))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+                     AS promo_share,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "b10_mad_outliers": """
+            WITH med AS (
+              SELECT l_returnflag, median(l_extendedprice) AS m
+              FROM lineitem GROUP BY l_returnflag
+            ),
+            dev AS (
+              SELECT l.l_returnflag, l.l_extendedprice, med.m,
+                     abs(l.l_extendedprice - med.m) AS ad
+              FROM lineitem l JOIN med USING (l_returnflag)
+            ),
+            mad AS (
+              SELECT l_returnflag, median(ad) AS md
+              FROM dev GROUP BY l_returnflag
+            )
+            SELECT d.l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(min(d.m), 6) AS med_price,
+                   round(min(mad.md), 6) AS mad,
+                   CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * mad.md
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mad USING (l_returnflag)
+            GROUP BY d.l_returnflag
+        """,
+        "b10_stats_agg": """
+            WITH sums AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
+                              * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))
+                              * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,4))
+                              * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
+                   round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS sd_price,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                         6) AS corr_qty_price
+            FROM sums
+        """,
+        "b11_value_funcs": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                   first_value(l_extendedprice) OVER wf AS first_price,
+                   last_value(l_extendedprice) OVER wf AS last_price,
+                   nth_value(l_extendedprice, 2) OVER wf AS second_price
+            FROM lineitem
+            WINDOW wf AS (PARTITION BY l_orderkey
+                          ORDER BY l_partkey, l_suppkey, l_linenumber,
+                                   l_quantity, l_extendedprice, l_discount,
+                                   l_tax, l_returnflag, l_linestatus, l_shipdate
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+        """,
+        "b10_bool_agg": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (o_totalprice > 200000) AS n_big,
+                   bool_and(o_totalprice > 0) AS all_positive,
+                   bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "b11_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ntile(4) OVER (
+                     PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC
+                   ) AS BIGINT) AS price_quartile
+            FROM orders
+        """,
+        "b10_median_mode": """
+            WITH counts AS (
+              SELECT l_returnflag, l_quantity, count(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_quantity
+            ),
+            mode AS (
+              SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC
+                ) AS rn FROM counts
+              ) WHERE rn = 1
+            ),
+            med AS (
+              SELECT l_returnflag,
+                     median(CAST(l_quantity AS DOUBLE)) AS median_qty,
+                     count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT m.l_returnflag, m.median_qty, mo.mode_qty, mo.mode_n,
+                   m.n_rows
+            FROM med m JOIN mode mo ON m.l_returnflag = mo.l_returnflag
+        """,
+        "b11_cumulative_distinct": """
+            WITH first AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                       AS first_day
+              FROM events GROUP BY user_id
+            ),
+            per_day AS (
+              SELECT first_day, count(*) AS new_users
+              FROM first GROUP BY first_day
+            )
+            SELECT CAST(first_day AS BIGINT) AS day,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(sum(new_users) OVER (ORDER BY first_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_users
+            FROM per_day
+        """,
+        "b11_reconstruct_befores": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            keyed AS (
+              SELECT id,
+                     CAST(json_extract_string(coalesce(after, before),
+                                              '$.user_id') AS BIGINT) AS user_id,
+                     operation, after
+              FROM changes
+            )
+            SELECT id, user_id, operation,
+                   lag(after) OVER (PARTITION BY user_id ORDER BY id) AS before,
+                   after
+            FROM keyed
+        """,
+        "b11_window_funcs": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   lag(l_extendedprice) OVER w AS prev_price,
+                   lead(l_extendedprice) OVER w AS next_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                     w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS run_qty
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_partkey, l_suppkey, l_linenumber, l_quantity,
+                                  l_extendedprice, l_discount, l_tax,
+                                  l_returnflag, l_linestatus, l_shipdate)
+        """,
+        "b12_topk": """
+            SELECT l_returnflag, CAST(rnk AS BIGINT) AS rnk,
+                   l_orderkey, l_linenumber, l_extendedprice
+            FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_partkey,
+                                l_suppkey, l_linenumber, l_quantity) AS rnk
+              FROM lineitem
+            ) WHERE rnk <= 5
+        """,
+        "b10_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.9) AS p90,
+                   min(l_extendedprice) AS pmin,
+                   max(l_extendedprice) AS pmax
+            FROM lineitem GROUP BY 1
+        """,
+        "b10_cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "b11_ranks": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   CAST(rank() OVER wr AS BIGINT) AS rnk_bucket,
+                   CAST(dense_rank() OVER wr AS BIGINT) AS drnk_bucket,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey ASC),
+                   wr AS (PARTITION BY o_orderstatus
+                          ORDER BY floor(o_totalprice / 100000) DESC)
+            QUALIFY rn <= 200
+        """,
+        "b10_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "b11_twap": """
+            WITH staged AS (
+              SELECT user_id,
+                     CAST(floor(value * 100) AS BIGINT) AS cents,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS nxt
+              FROM events
+            ),
+            weighted AS (
+              SELECT user_id, cents, nxt - sec AS w FROM staged
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(w) AS BIGINT) AS held_seconds,
+                   round(CASE WHEN sum(w) > 0
+                              THEN sum(cents * w) / (sum(w) * 100.0)
+                              END, 6) AS twap
+            FROM weighted GROUP BY user_id
+        """,
+        "b10_filtered_agg": """
+            SELECT l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(count(*) FILTER (WHERE l_returnflag = 'R')
+                        AS BIGINT) AS n_returned,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                         FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 2)
+                     AS returned_revenue,
+                   round(avg(CAST(l_quantity AS DOUBLE))
+                         FILTER (WHERE l_returnflag = 'R'), 6)
+                     AS avg_returned_qty
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "b10_price_histogram": """
+            WITH bounds AS (
+              SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                     CAST(max(l_extendedprice) AS DOUBLE) AS hi
+              FROM lineitem
+            )
+            SELECT CAST(least(19, floor(
+                     (CAST(l_extendedprice AS DOUBLE) - b.lo)
+                     / ((b.hi - b.lo) / 20.0))) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem CROSS JOIN bounds b
+            GROUP BY bin
+        """,
+        "b10_share_of_total": """
+            WITH rev AS (
+              SELECT n_name,
+                     sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS r
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n_name
+            )
+            SELECT n_name,
+                   round(CAST(r AS DOUBLE), 2) AS revenue,
+                   round(CAST(r AS DOUBLE)
+                         / CAST(sum(r) OVER () AS DOUBLE), 6) AS share
+            FROM rev
+        """,
+        "b10_max_by": """
+            WITH m AS (
+              SELECT l_returnflag, max(l_extendedprice) AS mx,
+                     min(l_extendedprice) AS mn
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT m.l_returnflag,
+                   (SELECT CAST(max(li.l_orderkey) AS BIGINT) FROM lineitem li
+                    WHERE li.l_returnflag = m.l_returnflag
+                      AND li.l_extendedprice = m.mx) AS top_order,
+                   (SELECT CAST(min(li.l_orderkey) AS BIGINT) FROM lineitem li
+                    WHERE li.l_returnflag = m.l_returnflag
+                      AND li.l_extendedprice = m.mn) AS bottom_order,
+                   m.mx AS top_price, m.mn AS bottom_price
+            FROM m
+        """,
+        "b11_lag_features": """
+            WITH ev AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT event_id, user_id, cents,
+                   lag(cents, 1) OVER w AS lag1_cents,
+                   lag(cents, 2) OVER w AS lag2_cents,
+                   round(CAST(sum(cents) OVER r AS DOUBLE)
+                         / (count(*) OVER r * 100.0), 6) AS rolling3_mean
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   r AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "b11_range_frame": """
+            WITH base AS (
+              SELECT event_id, user_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS n_30m,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w
+                         AS DOUBLE), 6) AS sum_30m
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+        """,
+        "b10_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(38,6))) AS q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 300
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                   CAST(b.q AS DOUBLE) AS total_qty
+            FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        """,
+        "b10_column_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   {"round(CAST(min(" + c + ") AS DOUBLE), 6)" if num
+                    else "CAST(NULL AS DOUBLE)"} AS min_num,
+                   {"round(CAST(max(" + c + ") AS DOUBLE), 6)" if num
+                    else "CAST(NULL AS DOUBLE)"} AS max_num,
+                   {"CAST(NULL AS VARCHAR)" if num
+                    else "CAST(min(" + c + ") AS VARCHAR)"} AS min_str,
+                   {"CAST(NULL AS VARCHAR)" if num
+                    else "CAST(max(" + c + ") AS VARCHAR)"} AS max_str
+            FROM orders
+            """
+            for c, num in [
+                ("o_orderkey", True), ("o_custkey", True),
+                ("o_orderstatus", False), ("o_totalprice", True),
+                ("o_orderdate", False), ("o_orderpriority", False),
+            ]
+        ),
+        "b10_groupwise_ols": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_quantity * 100) AS BIGINT) AS qx,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS qy
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(qx) AS DOUBLE) AS sx,
+                     CAST(sum(qy) AS DOUBLE) AS sy,
+                     CAST(sum(qx * qy) AS DOUBLE) AS sxy,
+                     CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+                     CAST(sum(qy * qy) AS DOUBLE) AS syy
+              FROM q GROUP BY l_returnflag
+            ),
+            fit AS (
+              SELECT l_returnflag, n, sx, sy,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)
+                       AS slope_raw,
+                     (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy), 0)
+                       AS r2_raw
+              FROM s
+            )
+            SELECT l_returnflag, n, round(slope_raw, 6) AS slope,
+                   round((sy - slope_raw * sx) / CAST(n AS DOUBLE) / 100, 6)
+                     AS intercept,
+                   round(r2_raw, 6) AS r2
+            FROM fit
+        """,
+        "b11_ewma": _ewma_oracle_sql(),
+        "b12_zorder": _zorder_oracle_sql(),
+        "b10_bootstrap": _bootstrap_oracle_sql(),
+        "b10_small_quantity_revenue": """
+            WITH pq AS (
+              SELECT l_partkey AS pk,
+                     avg(CAST(l_quantity AS DOUBLE)) AS avgq
+              FROM lineitem GROUP BY l_partkey
+            ),
+            sel AS (
+              SELECT l.l_extendedprice FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              JOIN pq ON pq.pk = l.l_partkey
+              WHERE p.p_brand = 'Brand#3' AND p.p_type = 'MEDIUM'
+                AND CAST(l.l_quantity AS DOUBLE) < 0.2 * pq.avgq
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM sel
+        """,
+        "b10_woe_iv": """
+            WITH base AS (
+              SELECT o_totalprice AS v,
+                     CAST(o_orderstatus = 'F' AS INTEGER) AS y
+              FROM orders
+            ),
+            vh AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY v),
+            cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM vh),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vh),
+            edges AS (SELECT """ + ", ".join(
+            f"min(CASE WHEN cum >= floor((n - 1) * {k} / 10) + 1"
+            f" THEN v END) AS e{k}"
+            for k in range(1, 10)
+        ) + """ FROM cum CROSS JOIN tot),
+            bucketed AS (
+              SELECT """ + " + ".join(
+            f"CAST(v > e{k} AS INTEGER)" for k in range(1, 10)
+        ) + """ AS bucket, y
+              FROM base CROSS JOIN edges
+            ),
+            per AS (
+              SELECT bucket, CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(1 - y) AS BIGINT) AS n_neg
+              FROM bucketed GROUP BY bucket
+            ),
+            t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+                         CAST(sum(n_neg) AS BIGINT) AS tn FROM per),
+            terms AS (
+              SELECT bucket, n_pos, n_neg,
+                     (n_pos + 1) / CAST(tp + 10 AS DOUBLE) AS p,
+                     (n_neg + 1) / CAST(tn + 10 AS DOUBLE) AS q
+              FROM per CROSS JOIN t
+            ),
+            scored AS (
+              SELECT bucket, n_pos, n_neg,
+                     round(ln(p / q), 6) AS woe,
+                     round((p - q) * ln(p / q), 6) AS iv_term,
+                     CAST(floor((p - q) * ln(p / q) * 1e8) AS BIGINT) AS t8
+              FROM terms
+            )
+            SELECT bucket, n_pos, n_neg, woe, iv_term,
+                   round(sum(t8) OVER () / 1e8, 6) AS iv_total
+            FROM scored
+        """,
+        "b10_gini": """
+            WITH per AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey
+            ),
+            ranked AS (
+              SELECT cents, CAST(row_number() OVER (
+                ORDER BY cents ASC, o_custkey ASC) AS BIGINT) AS rn
+              FROM per
+            ),
+            t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(cents) AS BIGINT) AS total_cents
+              FROM ranked
+            ),
+            num AS (
+              SELECT n_customers, total_cents,
+                     sum(CAST(2 * rn - n_customers - 1 AS HUGEINT)
+                         * CAST(cents AS HUGEINT)) AS w
+              FROM ranked, t GROUP BY n_customers, total_cents
+            )
+            SELECT n_customers, total_cents,
+                   round(CAST(w AS DOUBLE)
+                         / (CAST(n_customers AS DOUBLE)
+                            * CAST(total_cents AS DOUBLE)), 6) AS gini
+            FROM num
+        """,
+        "b10_chi2": """
+            WITH obs AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     CAST(count(*) AS BIGINT) AS obs
+              FROM orders GROUP BY o_orderpriority, o_orderstatus
+            ),
+            r AS (
+              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS r
+              FROM orders GROUP BY o_orderpriority
+            ),
+            c AS (
+              SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS c
+              FROM orders GROUP BY o_orderstatus
+            ),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS g FROM orders)
+            SELECT obs.o_orderpriority, obs.o_orderstatus, obs.obs,
+                   round(CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                         / CAST(g.g AS DOUBLE), 6) AS expected,
+                   round((CAST(obs.obs AS DOUBLE)
+                          - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                            / CAST(g.g AS DOUBLE))
+                         * (CAST(obs.obs AS DOUBLE)
+                            - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                              / CAST(g.g AS DOUBLE))
+                         / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)
+                            / CAST(g.g AS DOUBLE)), 6) AS contrib
+            FROM obs
+            JOIN r USING (o_orderpriority)
+            JOIN c USING (o_orderstatus), g
+        """,
+        "b10_benford": """
+            WITH d AS (
+              SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                          AS INTEGER) AS digit
+              FROM orders
+            ),
+            per AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY digit
+            ),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS t FROM d)
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+                   round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+                     AS expected,
+                   round(abs(round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                             - round(log10(1.0 + 1.0
+                                           / CAST(digit AS DOUBLE)), 6)), 6)
+                     AS deviation
+            FROM per, t
+        """,
+        "b11_drawdown": """
+            WITH curved AS (
+              SELECT user_id, cents, cum,
+                     max(cum) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS peak
+              FROM (
+                SELECT user_id, ts, event_id, cents,
+                       sum(cents) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum
+                FROM (
+                  SELECT user_id, ts, event_id,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events
+                )
+              )
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+                   CAST(sum(cents) AS BIGINT) AS final_cents
+            FROM curved GROUP BY user_id
+        """,
+        "b10_ks_screen": """
+            WITH o AS (
+              SELECT CAST(floor(o_totalprice * 100) AS BIGINT) // 100000
+                       AS bucket,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS g1
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ),
+            per AS (
+              SELECT bucket, CAST(sum(g1) AS BIGINT) AS n1,
+                     CAST(sum(1 - g1) AS BIGINT) AS n2
+              FROM o GROUP BY bucket
+            ),
+            cum AS (
+              SELECT bucket,
+                     sum(n1) OVER w AS c1, sum(n2) OVER w AS c2
+              FROM per WINDOW w AS (ORDER BY bucket ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            ),
+            t AS (
+              SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                     CAST(sum(n2) AS BIGINT) AS t2
+              FROM per
+            )
+            SELECT t1 AS n_urgent, t2 AS n_low,
+                   round(CAST(max(abs(c1 * t2 - c2 * t1)) AS DOUBLE)
+                         / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)), 6)
+                     AS ks_stat
+            FROM cum, t GROUP BY t1, t2
+        """,
+        "b10_welch_t": """
+            WITH sums AS (
+              SELECT o_orderpriority = '1-URGENT' AS g1,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,4)))
+                          AS DOUBLE) AS sx,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,4))
+                              * CAST(o_totalprice AS DECIMAL(28,4)))
+                          AS DOUBLE) AS sxx
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+              GROUP BY 1
+            ),
+            one AS (
+              SELECT max(CASE WHEN g1 THEN n END) AS n1,
+                     max(CASE WHEN g1 THEN sx END) AS sx1,
+                     max(CASE WHEN g1 THEN sxx END) AS sxx1,
+                     max(CASE WHEN NOT g1 THEN n END) AS n2,
+                     max(CASE WHEN NOT g1 THEN sx END) AS sx2,
+                     max(CASE WHEN NOT g1 THEN sxx END) AS sxx2
+              FROM sums
+            ),
+            two AS (
+              SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+                     (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+                     (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+              FROM one
+            ),
+            three AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM two)
+            SELECT CAST(n1 AS BIGINT) AS n_urgent,
+                   CAST(n2 AS BIGINT) AS n_low,
+                   round(m1 - m2, 6) AS mean_diff,
+                   round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+                   round((se2 * se2)
+                         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                            + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+            FROM three
+        """,
+        "b11_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events
+            ),
+            isl AS (
+              SELECT user_id,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day ASC) AS g
+              FROM days
+            ),
+            islands AS (
+              SELECT user_id, g, CAST(count(*) AS BIGINT) AS len
+              FROM isl GROUP BY user_id, g
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS BIGINT) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM islands GROUP BY user_id
+        """,
+        "b11_rolling_median": """
+            WITH daily AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            )
+            SELECT day, n,
+                   CAST(median(n) OVER w AS DOUBLE) AS med7,
+                   CAST(count(*) OVER w AS BIGINT) AS n_days_in_frame
+            FROM daily WINDOW w AS (ORDER BY day ASC
+                                    RANGE BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW)
+        """,
+        "b10_winsorized": """
+            WITH li AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+            ),
+            th AS (
+              SELECT l_returnflag,
+                     CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT)
+                       AS p05c,
+                     CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT)
+                       AS p95c
+              FROM li GROUP BY l_returnflag
+            ),
+            clamped AS (
+              SELECT li.l_returnflag, th.p05c, th.p95c, cents,
+                     greatest(least(cents, th.p95c), th.p05c) AS w,
+                     cents BETWEEN th.p05c AND th.p95c AS inr
+              FROM li JOIN th USING (l_returnflag)
+            )
+            SELECT l_returnflag, p05c, p95c,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST((sum(cents) * 10000) // count(*) AS BIGINT)
+                     AS raw_mean_micros,
+                   CAST((sum(w) * 10000) // count(*) AS BIGINT)
+                     AS winsor_mean_micros,
+                   CAST((sum(CASE WHEN inr THEN cents ELSE 0 END) * 10000)
+                        // sum(CASE WHEN inr THEN 1 ELSE 0 END) AS BIGINT)
+                     AS trimmed_mean_micros,
+                   CAST(sum(CASE WHEN inr THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_clamped
+            FROM clamped GROUP BY l_returnflag, p05c, p95c
+        """,
+        "b11_ohlc": """
+            WITH ev AS (
+              SELECT event_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            hr AS (SELECT *, sec // 3600 AS hr FROM ev),
+            ranked AS (
+              SELECT hr, cents,
+                     row_number() OVER (
+                       PARTITION BY hr ORDER BY sec ASC, event_id ASC)
+                       AS ra,
+                     row_number() OVER (
+                       PARTITION BY hr ORDER BY sec DESC, event_id DESC)
+                       AS rd
+              FROM hr
+            )
+            SELECT hr,
+                   max(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+                   max(cents) AS high_cents,
+                   min(cents) AS low_cents,
+                   max(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+                   CAST(count(*) AS BIGINT) AS volume
+            FROM ranked GROUP BY hr
+        """,
+}

@@ -1,0 +1,654 @@
+"""DuckDB oracle SQL — storage family (split from
+__spark_entry__.py oracle_sql(); entries verbatim)."""
+
+# ruff: noqa: F401,F403,F405
+from __future__ import annotations
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from sqlite_cdc_spark import bootstrap as bs
+from sqlite_cdc_spark import derive, log, meta, model
+from sqlite_cdc_spark.pipeline import (
+    decontam,
+    dedup,
+    lm,
+    multimodal,
+    sampling,
+    similarity,
+    text as textops,
+)
+from sqlite_cdc_spark.sources import load_table
+import math as _math
+
+from entryimpl.common import *
+
+SQL = {
+        "b15_interval_join": """
+            SELECT s.user_id AS s_user, s.event_id AS s_event,
+                   p.event_id AS p_event, p.value AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON s.user_id = p.user_id
+             AND p.ts >= s.ts
+             AND p.ts <= s.ts + INTERVAL 7 DAY
+        """,
+        "b15_gap_fill": """
+            WITH ev AS (
+              SELECT user_id % 20 AS cohort, CAST(ts AS DATE) AS day
+              FROM events
+            ),
+            sparse AS (
+              SELECT cohort, day, CAST(count(*) AS BIGINT) AS n
+              FROM ev GROUP BY cohort, day
+            ),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+            calendar AS (
+              SELECT CAST(unnest(generate_series(lo, hi,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS day
+              FROM bounds
+            ),
+            cohorts AS (SELECT DISTINCT cohort FROM ev)
+            SELECT c.cohort, cal.day,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_events
+            FROM cohorts c
+            CROSS JOIN calendar cal
+            LEFT JOIN sparse s ON s.cohort = c.cohort AND s.day = cal.day
+        """,
+        "b14_regex_funcs": """
+            SELECT p_partkey,
+                   coalesce(regexp_extract(p_name, '(\\w+)$', 1), '') AS last_word,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                   regexp_matches(p_name, '^[a-m]') AS first_half,
+                   coalesce(regexp_extract(p_type, '(\\w+)', 1), '') AS type_head
+            FROM part
+        """,
+        "b14_string_sim": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+                   1.0 - levenshtein(a.p_name, b.p_name)
+                       / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE)
+                     AS sim
+            FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
+        """,
+        "b14_null_funcs": """
+            WITH s AS (
+              SELECT *,
+                     CASE WHEN c_custkey % 3 = 0 THEN c_name END AS sp
+              FROM customer
+            )
+            SELECT c_custkey,
+                   coalesce(sp, '<missing>') AS comment_or_default,
+                   nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+                   CASE WHEN sp IS NOT NULL THEN 'has' ELSE 'none' END
+                     AS nvl2_shape,
+                   sp IS NOT DISTINCT FROM c_name AS nullsafe_eq,
+                   sp IS NULL AS is_missing
+            FROM s
+        """,
+        "b14_bitwise_funcs": """
+            SELECT o_orderkey,
+                   o_orderkey << 3 AS shl3,
+                   o_orderkey >> 2 AS shr2,
+                   o_orderkey & 255 AS low_byte,
+                   o_orderkey | 16 AS with_flag,
+                   xor(o_orderkey, o_custkey) AS xor_cust,
+                   CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT)
+                     AS popcount
+            FROM orders
+        """,
+        "b14_url_funcs": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     'https://shard' || CAST(o_orderkey % 8 AS VARCHAR)
+                     || '.example.com/orders/' || CAST(o_orderkey AS VARCHAR)
+                     || '?prio=' || regexp_replace(o_orderpriority, '\\s+', '+', 'g')
+                       AS url
+              FROM orders
+            )
+            SELECT o_orderkey, url,
+                   regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                   regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, 'prio=([^&]+)', 1) AS prio_param
+            FROM u
+        """,
+        "b14_trig_funcs": """
+            SELECT p_partkey,
+                   round(sin(p_size / 10.0), 6) AS sin_x,
+                   round(cos(p_size / 10.0), 6) AS cos_x,
+                   round(tan((p_partkey % 13) / 7.0), 6) AS tan_y,
+                   round(atan2((p_partkey % 13) / 7.0,
+                               p_size / 10.0 + 0.1), 6) AS atan2_yx,
+                   round(sqrt(CAST(p_retailprice AS DOUBLE)), 6) AS sqrt_p,
+                   round(exp(-(p_size / 10.0)), 6) AS exp_nx,
+                   round(pow(p_size / 10.0 + 1.0, 3), 6) AS pow3,
+                   round(degrees((p_partkey % 13) / 7.0), 6) AS deg_y,
+                   round(radians(CAST(p_size AS DOUBLE)), 6) AS rad_s,
+                   CAST(sign(CAST(p_size AS DOUBLE) - 25.0) AS INTEGER)
+                     AS sgn
+            FROM part
+        """,
+        "b13_set_ops": """
+            SELECT k, 'inactive' AS status FROM (
+              SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT k, 'active' AS status FROM (
+              SELECT c_custkey AS k FROM customer
+              INTERSECT SELECT o_custkey FROM orders)
+        """,
+        "b14_scalar_funcs": """
+            SELECT p_partkey,
+                   substr(p_name, 1, 8) AS name8,
+                   upper(p_brand) AS brand_uc,
+                   lower(p_type) AS type_lc,
+                   length(p_name) AS name_len,
+                   round(p_retailprice * 1.1, 2) AS price_up,
+                   CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+                   p_partkey % 7 AS k_mod,
+                   coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_o
+            FROM part
+        """,
+        "b14_date_funcs": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(day(o_orderdate) AS BIGINT) AS dom,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  DATE '1998-12-31') AS BIGINT) AS days_to_eoy
+            FROM orders
+        """,
+        "b15_session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            grp AS (
+              SELECT *, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS sess_start,
+                   max(ts) + INTERVAL 30 MINUTE AS sess_end,
+                   count(*) AS n_events
+            FROM grp GROUP BY user_id, sid
+        """,
+        "b14_array_funcs": """
+            SELECT p_partkey,
+                   unnest(string_split(p_type, ' ')) AS word,
+                   CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_words,
+                   string_split(p_type, ' ')[1] AS first_word,
+                   array_to_string(list_sort(string_split(p_type, ' ')), ',')
+                     AS sorted_words
+            FROM part
+        """,
+        "b14_map_funcs": """
+            SELECT p_partkey,
+                   map(['brand','type'], [p_brand, p_type])['brand'][1] AS m_brand,
+                   map(['brand','type'], [p_brand, p_type])['type'][1] AS m_type,
+                   CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_size,
+                   array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS m_keys
+            FROM part
+        """,
+        "b14_json_funcs": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_dyn,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+                   CAST(json_array_length('[' || props || ']') AS BIGINT) AS arr_len,
+                   CAST(json_object('event_type', event_type,
+                                    'user_id', user_id) AS VARCHAR) AS packed
+            FROM events
+        """,
+        "b15_sliding_windows": f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            landed AS (
+              SELECT date_trunc('hour', timestamp) AS win_start, operation
+              FROM changes
+              UNION ALL
+              SELECT date_trunc('hour', timestamp) - INTERVAL 1 HOUR, operation
+              FROM changes
+            )
+            SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+                   operation, count(*) AS n
+            FROM landed GROUP BY 1, 3
+        """,
+        "b17_join_view": """
+            -- from-scratch recompute over the POST-batch tables: the
+            -- oracle row is the increment-equals-recompute invariant
+            WITH a_new AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 13 = 0
+                          THEN round(o_totalprice + 1.0, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders
+            ),
+            b_new AS (
+              SELECT c_custkey AS o_custkey, c_name,
+                     CASE WHEN c_custkey % 17 = 0
+                          THEN round(c_acctbal + 5.0, 2)
+                          ELSE c_acctbal END AS c_acctbal
+              FROM customer
+            )
+            SELECT a_new.o_custkey, o_orderkey, o_totalprice,
+                   c_name, c_acctbal
+            FROM a_new JOIN b_new USING (o_custkey)
+        """,
+        "b15_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id
+            ),
+            cells AS (
+              SELECT first.cw, uw.wk - first.cw AS week_offset,
+                     count(DISTINCT uw.user_id) AS n_active
+              FROM uw JOIN first USING (user_id)
+              GROUP BY first.cw, uw.wk - first.cw
+            ),
+            sizes AS (
+              SELECT cw, count(*) AS cohort_size FROM first GROUP BY cw
+            )
+            SELECT CAST(cells.cw AS BIGINT) AS cohort_week,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   round(n_active / CAST(cohort_size AS DOUBLE), 6)
+                     AS retention
+            FROM cells JOIN sizes ON sizes.cw = cells.cw
+        """,
+        "b15_funnel_steps": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "b15_session_stats": """
+            WITH base AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT *,
+                     CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            ),
+            tagged AS (
+              SELECT *, sum(newf) OVER (
+                PARTITION BY user_id
+                ORDER BY sec ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                AS session_id
+              FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+            FROM tagged GROUP BY user_id, session_id
+        """,
+        "b14_string_agg": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(count(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "b15_forward_fill": """
+            WITH ev AS (
+              SELECT user_id % 10 AS cohort, CAST(ts AS DATE) AS day,
+                     value, event_type
+              FROM events
+            ),
+            sparse AS (
+              SELECT cohort, day,
+                     round(CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                                AS DOUBLE)
+                           / (count(*) * 100.0), 6) AS obs
+              FROM ev WHERE event_type = 'purchase'
+              GROUP BY cohort, day
+            ),
+            bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+            calendar AS (
+              SELECT CAST(unnest(generate_series(lo, hi,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS day
+              FROM bounds
+            ),
+            grid AS (
+              SELECT c.cohort, cal.day
+              FROM (SELECT DISTINCT cohort FROM ev) c
+              CROSS JOIN calendar cal
+            ),
+            dense AS (
+              SELECT g.cohort, g.day, s.obs
+              FROM grid g LEFT JOIN sparse s
+                ON s.cohort = g.cohort AND s.day = g.day
+            )
+            SELECT cohort, day,
+                   obs IS NOT NULL AS observed,
+                   last_value(obs IGNORE NULLS) OVER (
+                     PARTITION BY cohort ORDER BY day ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS value_filled
+            FROM dense
+        """,
+        "b15_concurrency": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT event_id, user_id, sec,
+                     CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            ),
+            sessioned AS (
+              SELECT user_id, sec,
+                     sum(newf) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       + 1 AS session_id
+              FROM marked
+            ),
+            sess AS (
+              SELECT user_id, session_id,
+                     min(sec) AS s, max(sec) AS e
+              FROM sessioned GROUP BY user_id, session_id
+            ),
+            deltas AS (
+              SELECT user_id, session_id, s AS sec, 1 AS delta FROM sess
+              UNION ALL
+              SELECT user_id, session_id, e + 1 AS sec, -1 AS delta FROM sess
+            ),
+            dayd AS (
+              SELECT *, CAST(sec // 86400 AS BIGINT) AS day FROM deltas
+            ),
+            run AS (
+              SELECT *, sum(delta) OVER (
+                PARTITION BY day
+                ORDER BY sec ASC, delta DESC, user_id ASC, session_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+              FROM dayd
+            ),
+            daytot AS (
+              SELECT day, sum(delta) AS t FROM dayd GROUP BY day
+            ),
+            basea AS (
+              SELECT day, COALESCE(sum(t) OVER (
+                ORDER BY day ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS b
+              FROM daytot
+            )
+            SELECT run.day,
+                   CAST(max(basea.b + run.r) AS BIGINT) AS max_concurrency,
+                   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sessions_started
+            FROM run JOIN basea ON run.day = basea.day
+            GROUP BY run.day
+        """,
+        "b15_sessionize": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT event_id, user_id, sec,
+                     CASE WHEN sec - lag(sec, 1) OVER (
+                       PARTITION BY user_id
+                       ORDER BY sec ASC, event_id ASC) > 1800
+                     THEN 1 ELSE 0 END AS newf
+              FROM base
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(newf) OVER (
+                     PARTITION BY user_id
+                     ORDER BY sec ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     + 1 AS BIGINT) AS session_id
+            FROM marked
+        """,
+        "b15_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              GROUP BY e.user_id
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+                     AS n_click_after_view,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
+                     AS n_purchase_after_click
+        """,
+        "b15_cohorts": """
+            WITH first AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id
+            )
+            SELECT f.cohort_week,
+                   CAST(datediff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                        AS BIGINT) AS week_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM events e JOIN first f ON e.user_id = f.user_id
+            GROUP BY f.cohort_week, week_offset
+        """,
+        "b13_schema_union": """
+            WITH gen1 AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            gen2 AS (
+              SELECT o_orderkey, o_orderstatus,
+                     o_orderpriority AS priority
+              FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            merged AS (
+              SELECT * FROM gen1 UNION ALL BY NAME SELECT * FROM gen2
+            )
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(o_totalprice) AS BIGINT) AS n_with_price,
+                   CAST(count(priority) AS BIGINT) AS n_with_priority
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "b15_markov": """
+            WITH seq AS (
+              SELECT event_type AS from_state,
+                     lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_state
+              FROM events
+            ),
+            pairs AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE to_state IS NOT NULL
+              GROUP BY from_state, to_state
+            ),
+            tot AS (
+              SELECT from_state, CAST(sum(n) AS BIGINT) AS t
+              FROM pairs GROUP BY from_state
+            )
+            SELECT p.from_state, p.to_state, p.n,
+                   round(p.n / CAST(t AS DOUBLE), 6) AS p
+            FROM pairs p JOIN tot USING (from_state)
+        """,
+        "b15_rfm": """
+            WITH ref AS (SELECT max(ts) AS r FROM events),
+            per AS (
+              SELECT user_id,
+                     date_diff('day', CAST(max(ts) AS DATE),
+                               CAST((SELECT r FROM ref) AS DATE)) AS rec_days,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS m_cents
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, rec_days, n_events, m_cents, r, f, m,
+                   CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+                     || CAST(m AS VARCHAR) AS segment
+            FROM (
+              SELECT user_id, rec_days, n_events, m_cents,
+                     ntile(5) OVER (ORDER BY rec_days, user_id) AS r,
+                     ntile(5) OVER (ORDER BY n_events DESC, user_id) AS f,
+                     ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS m
+              FROM per
+            )
+        """,
+        "b15_acf": _acf_oracle_sql(),
+        "b13_block_digests": _block_digests_oracle_sql(),
+        "b13_zorder_layout": f"""
+            WITH b AS (
+              SELECT CAST(({_zorder_expr_sql()}) AS BIGINT) >> 6 AS zblock,
+                     l_partkey % 256 AS pb, l_suppkey % 256 AS sb
+              FROM lineitem
+            ),
+            per AS (
+              SELECT zblock,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(min(pb) AS BIGINT) AS pk_lo,
+                     CAST(max(pb) AS BIGINT) AS pk_hi,
+                     CAST(min(sb) AS BIGINT) AS sk_lo,
+                     CAST(max(sb) AS BIGINT) AS sk_hi
+              FROM b GROUP BY zblock
+            )
+            SELECT zblock, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
+                   pk_hi - pk_lo + 1 AS pk_span,
+                   sk_hi - sk_lo + 1 AS sk_span
+            FROM per
+        """,
+        # ---- round 9 wave 5 ---------------------------------------------
+        "b15_hazard": """
+            WITH ev AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+              FROM events
+            ),
+            pu AS (
+              SELECT user_id, min(hr) AS fd, max(hr) AS ld
+              FROM ev GROUP BY user_id
+            ),
+            e AS (SELECT max(hr) AS endd FROM ev),
+            lived AS (
+              SELECT ld - fd AS t,
+                     CASE WHEN ld <= endd - 24 THEN 1 ELSE 0 END AS churned
+              FROM pu CROSS JOIN e
+            ),
+            pt AS (
+              SELECT t, CAST(sum(churned) AS BIGINT) AS d_events,
+                     CAST(sum(1 - churned) AS BIGINT) AS c_censored
+              FROM lived GROUP BY t
+            ),
+            n AS (
+              SELECT *, CAST(sum(d_events + c_censored) OVER (
+                       ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS n_risk
+              FROM pt
+            )
+            SELECT t AS lifetime_hours, n_risk, d_events, c_censored,
+                   CAST((d_events * 1000000) // n_risk AS BIGINT)
+                     AS hazard_micros
+            FROM n
+        """,
+        "b14_format_funcs": """
+            SELECT n_nationkey,
+                   lpad(n_name, 12, '.') AS padded_l,
+                   rpad(n_name, 12, '.') AS padded_r,
+                   repeat(substr(n_name, 1, 2), 3) AS repeated,
+                   reverse(n_name) AS reversed,
+                   translate(n_name, 'NAT', 'nat') AS translated,
+                   CAST(ascii(n_name) AS INT) AS first_byte,
+                   chr(65 + n_nationkey % 26) AS letter,
+                   left(n_name, 6) AS left6,
+                   right(n_name, 2) AS right2,
+                   split_part(n_name, '_', 2) AS num_part,
+                   CAST(instr(n_name, '_') AS BIGINT) AS underscore_at
+            FROM nation ORDER BY n_nationkey LIMIT 10
+        """,
+        # ---- round 9 wave 9 ---------------------------------------------
+        "b13_file_skipping": """
+            WITH li AS (
+              SELECT l_orderkey // 2000 AS file_id,
+                     CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+                       AS day
+              FROM lineitem
+            ),
+            stats AS (
+              SELECT file_id, min(day) AS min_day, max(day) AS max_day,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM li GROUP BY file_id
+            ),
+            bounds AS (
+              SELECT CAST(floor(epoch(CAST('1996-01-01' AS TIMESTAMP)))
+                          AS BIGINT) // 86400 AS lo,
+                     CAST(floor(epoch(CAST('1996-07-01' AS TIMESTAMP)))
+                          AS BIGINT) // 86400 AS hi
+            ),
+            flagged AS (
+              SELECT n_rows,
+                     (max_day < lo OR min_day >= hi) AS skippable
+              FROM stats CROSS JOIN bounds
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(CASE WHEN skippable THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_skipped,
+                   CAST(sum(CASE WHEN skippable THEN n_rows ELSE 0 END)
+                        AS BIGINT) AS rows_skipped,
+                   CAST((sum(CASE WHEN skippable THEN 1 ELSE 0 END)
+                         * 1000000) // count(*) AS BIGINT)
+                     AS skip_rate_micros
+            FROM flagged
+        """,
+        # ---- round 9 wave 10 --------------------------------------------
+}
