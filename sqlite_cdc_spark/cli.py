@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--setup", action="store_true")
     mode.add_argument("--teardown", action="store_true")
+    mode.add_argument("--resync", action="store_true",
+                      help="re-install capture triggers from CURRENT table "
+                           "metadata (run after ALTER TABLE; log untouched)")
     mode.add_argument("--bootstrap", metavar="HANDLER")
     mode.add_argument("--cdc", metavar="HANDLER")
     mode.add_argument("--both", metavar="HANDLER", help="bootstrap then cdc")
@@ -120,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.teardown:
         sqlite_bridge.teardown(sqlite_conn(), tables, args.log_table)
         print("teardown complete")
+        return 0
+    if args.resync:
+        try:
+            sqlite_bridge.resync(sqlite_conn(), tables, args.log_table, args.blobs)
+        except ValueError as e:
+            raise SystemExit(str(e)) from e
+        print(f"resync complete: triggers refreshed on {len(tables)} tables")
         return 0
 
     spark = get_spark("sqlite-cdc-spark-cli", cpus=args.cpus)

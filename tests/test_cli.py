@@ -259,3 +259,26 @@ def test_cli_lm_modes(tmp_path, sf_dir, spark, capsys):
     ) == 0
     got2 = spark.read.parquet(sampled)
     assert 0 < got2.count() < docs.count()
+
+
+def test_cli_resync_after_alter(tmp_path, capsys):
+    """--resync refreshes capture triggers from current metadata (the
+    post-ALTER repair; see test_sqlite_bridge for the full semantics)."""
+    import json
+    import sqlite3
+
+    db = str(tmp_path / "r.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+    assert cli.main(["--db", db, "--tables", "t", "--setup"]) == 0
+    conn.execute("ALTER TABLE t ADD COLUMN extra TEXT")
+    conn.commit()
+    assert cli.main(["--db", db, "--tables", "t", "--resync"]) == 0
+    out = capsys.readouterr().out
+    assert "resync complete" in out
+    conn.execute("INSERT INTO t (id, v, extra) VALUES (1, 'a', 'b')")
+    conn.commit()
+    after = conn.execute("SELECT after FROM __cdc_log").fetchone()[0]
+    assert json.loads(after) == {"id": 1, "v": "a", "extra": "b"}
+    conn.close()
