@@ -370,6 +370,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_triplet_mining": q_b20_triplet_mining,
         # --- round 10 wave 1 ---------------------------------------------
         "b20_triplet_mining_ann": q_b20_triplet_mining_ann,
+        # --- round 10 wave 2 ---------------------------------------------
+        "b20_hubness_ann": q_b20_hubness_ann,
+        "b19_span_dups": q_b19_span_dups,
     }
 
 

@@ -783,3 +783,52 @@ def q_b18_chunk_dedup(spark, sf_dir):
         .cast("long")
         .alias("unique_share_micros"),
     )
+
+
+def q_b19_span_dups(spark, sf_dir):
+    """Intra-corpus span-duplication screen (B19 depth, r10 — the
+    train-train twin of the b29 train-test containment family, the
+    C4/RefinedWeb verbatim-span filter signal): every 16-token window
+    fingerprint (stride 8 — text.fingerprint_rows, the codegen rolling
+    form), a window is DUPLICATED if its fingerprint appears in ≥ 2
+    distinct docs, and the per-source report carries doc count, window
+    counts, the duplicated-window share, and how many docs are
+    majority-duplicated (2·dup ≥ total, integer-exact). Scale shape:
+    fingerprint rows (codegen) → one fp-keyed distinct-doc agg
+    (window-vocabulary-sized — shuffle-joined back, never broadcast) →
+    one doc-keyed agg → one |sources|-row rollup; no pairwise join at
+    all — the screen is linear where pair-based dedup is quadratic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fps = textops.fingerprint_rows(docs, "doc_id", "text", 16, 8)
+    shared = fps.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("__nd")
+    )
+    per_doc = (
+        fps.join(shared.hint("shuffle_hash"), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__w"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("__d"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("total_windows"),
+            F.sum("__d").cast("long").alias("dup_windows"),
+            F.round(
+                F.sum("__d").cast("double") / F.sum("__w").cast("double"), 6
+            ).alias("dup_share"),
+            F.sum(
+                F.when(
+                    F.col("__d") * 2 >= F.col("__w"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("heavy_dup_docs"),
+        )
+    )

@@ -491,3 +491,21 @@ def q_b20_triplet_mining_ann(spark, sf_dir):
     return similarity.triplet_mining_ann(
         emb, anchors, dim=64, n_planes=4, n_tables=12
     ).orderBy("anchor_id")
+
+
+def q_b20_hubness_ann(spark, sf_dir):
+    """Hubness audit at corpus scale (B20 depth, r10 — the
+    scaled companion the r9 verdict asked for beside triplet mining):
+    every 8th vector probes (unbounded in production — never
+    broadcast); probes route through the portable integer-LSH buckets
+    (12 tables × 4 planes, probe-side multiprobe), per-probe top-10
+    comes from the exact cosine rescore of bucket equi-join candidates
+    only, and the k-occurrence histogram includes the zero-occurrence
+    mass (similarity.py: hubness_ann). Bucket decisions are
+    integer-exact, so the oracle replays candidates, ranks, and the
+    histogram bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 8 == 0)
+    return similarity.hubness_ann(
+        emb, probes, k=10, dim=64, n_planes=4, n_tables=12
+    ).orderBy("occ")

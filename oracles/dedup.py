@@ -389,4 +389,38 @@ SQL = {
             FROM per_chunk GROUP BY source
         """,
         # ---- round 9 wave 11 --------------------------------------------
+    "b19_span_dups": f"""
+        WITH tk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+          FROM documents
+        ),
+        fps AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, i*8 + 1, i*8 + 16),
+                     ' ')) AS fp
+          FROM tk,
+               unnest(generate_series(0,
+                 greatest((len(toks) - 16) // 8, 0))) AS t(i)
+        ),
+        shared AS (
+          SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS w,
+                 CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dd
+          FROM fps JOIN shared USING (fp) GROUP BY doc_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pd.w) AS BIGINT) AS total_windows,
+               CAST(sum(pd.dd) AS BIGINT) AS dup_windows,
+               round(CAST(sum(pd.dd) AS DOUBLE)
+                     / CAST(sum(pd.w) AS DOUBLE), 6) AS dup_share,
+               CAST(sum(CASE WHEN pd.dd * 2 >= pd.w THEN 1 ELSE 0 END)
+                    AS BIGINT) AS heavy_dup_docs
+        FROM per_doc pd JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """,
 }

@@ -398,4 +398,75 @@ SQL = {
                    ns > ps AS violation
             FROM pos JOIN neg USING (anchor_id)
         """,
+    "b20_hubness_ann": f"""
+        WITH planes AS (
+          SELECT p // 4 AS t, p % 4 AS pb, d,
+                 CASE WHEN ((p * {similarity.PLANE_MIX} + d)
+                            * {similarity.PLANE_KNUTH}) % 4294967296
+                           < 2147483648 THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, 47)) AS p),
+               (SELECT unnest(generate_series(0, 63)) AS d)
+        ),
+        comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000)
+                      AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        dots AS (
+          SELECT id, t, pb, sum(s * q) AS dp
+          FROM comp JOIN planes USING (d) GROUP BY id, t, pb
+        ),
+        buckets AS (
+          SELECT id, t,
+                 CAST(sum(CASE WHEN dp >= 0
+                               THEN (CAST(1 AS BIGINT) << pb)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t
+        ),
+        pb AS (
+          SELECT id AS pid, t,
+                 unnest([bucket,
+                         {", ".join(f"xor(bucket, {1 << i})" for i in range(4))}
+                        ]) AS bucket
+          FROM buckets WHERE id % 8 = 0
+        ),
+        cand AS (
+          SELECT DISTINCT pb.pid, c.id AS cid
+          FROM buckets c JOIN pb ON c.t = pb.t AND c.bucket = pb.bucket
+          WHERE c.id <> pb.pid
+        ),
+        vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        scored AS (
+          SELECT cand.pid, cand.cid,
+                 CASE WHEN sqrt(list_dot_product(pv.e, pv.e))
+                           * sqrt(list_dot_product(cv.e, cv.e)) > 0
+                      THEN list_dot_product(pv.e, cv.e)
+                           / (sqrt(list_dot_product(pv.e, pv.e))
+                              * sqrt(list_dot_product(cv.e, cv.e)))
+                      ELSE 0.0 END AS s
+          FROM cand
+          JOIN vecs pv ON pv.vec_id = cand.pid
+          JOIN vecs cv ON cv.vec_id = cand.cid
+        ),
+        topk AS (
+          SELECT cid FROM (
+            SELECT pid, cid, row_number() OVER (
+              PARTITION BY pid ORDER BY s DESC, cid) AS rn
+            FROM scored
+          ) WHERE rn <= 10
+        ),
+        occ AS (
+          SELECT cid, CAST(count(*) AS BIGINT) AS occ
+          FROM topk GROUP BY cid
+        ),
+        per AS (
+          SELECT coalesce(occ.occ, 0) AS occ
+          FROM embeddings e LEFT JOIN occ ON occ.cid = e.vec_id
+        )
+        SELECT occ, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM per GROUP BY occ ORDER BY occ
+    """,
 }

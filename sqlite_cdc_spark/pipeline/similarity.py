@@ -607,6 +607,97 @@ def triplet_mining_ann(
     )
 
 
+def hubness_ann(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    quant: int = 1000,
+    n_tables: int = 12,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Hubness audit at corpus scale (VERDICT r9 item 6 companion to
+    :func:`triplet_mining_ann`): the broadcast variant caps the probe
+    sample at driver limits; here probes route through the portable
+    integer-LSH buckets, per-probe top-``k`` comes from the exact
+    cosine rescore of (table, bucket) equi-join candidates only, and
+    the k-occurrence histogram (how often each corpus vector lands in a
+    probe's top-k, zero-occurrence mass included) is two keyed aggs.
+    Probe count scales to the full corpus — the production form of the
+    audit is "every vector probes", which no broadcast survives. LSH
+    recall caveat: a probe with no bucket collision contributes no
+    neighbor rows (raise ``n_tables``); bucket decisions are
+    integer-exact so a SQL oracle replays candidates, ranks, and the
+    histogram bit-for-bit.
+
+    Output: ``(occ, n_vecs)``.
+    """
+    planes = _plane_table(
+        corpus.sparkSession, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+    cb = portable_lsh_buckets(
+        corpus, planes, id_col=id_col, vec_col=vec_col, quant=quant
+    ).select(F.col("id").alias("__cid"), "t", "bucket")
+    pb = portable_lsh_buckets(
+        probes, planes, id_col=id_col, vec_col=vec_col, quant=quant
+    ).select(F.col("id").alias("__pid"), "t", "bucket")
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        pb = pb.select("__pid", "t", F.explode(flips).alias("bucket"))
+    cand = (
+        cb.join(pb, ["t", "bucket"])
+        .filter(F.col("__cid") != F.col("__pid"))
+        .select("__pid", "__cid")
+        .distinct()
+    )
+    v = as_double(vec_col)
+    p = probes.select(
+        F.col(id_col).alias("__pid"), v.alias("pv"), l2_norm(v).alias("pn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), v.alias("cv"), l2_norm(v).alias("cn")
+    )
+    scored = (
+        cand.join(c, "__cid")
+        .join(p, "__pid")
+        .select(
+            "__pid",
+            "__cid",
+            F.when(
+                F.col("pn") * F.col("cn") > 0,
+                dot(F.col("pv"), F.col("cv")) / (F.col("pn") * F.col("cn")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("__s"),
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("__s").desc(), F.col("__cid").asc()
+    )
+    topk = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__cid")
+    )
+    occ = topk.groupBy("__cid").agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    allv = corpus.select(F.col(id_col).alias("__cid"))
+    per_vec = allv.join(occ.hint("shuffle_hash"), "__cid", "left").select(
+        F.coalesce(F.col("occ"), F.lit(0).cast("long")).alias("occ")
+    )
+    return per_vec.groupBy("occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
 def ann_lsh_portable(
     corpus: DataFrame,
     queries: DataFrame,

@@ -570,3 +570,20 @@ def test_triplet_mining_ann_no_anchor_broadcast_product(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b20_triplet_mining_ann")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hubness_ann_no_probe_broadcast_product(spark, sf_dir):
+    # r10 wave 2: probes are unbounded in production — candidates must
+    # come from the (table, bucket) equi-join, no nested-loop/cartesian
+    plan = _plan(spark, sf_dir, "b20_hubness_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dups_is_linear_no_pair_join(spark, sf_dir):
+    # r10 wave 2: the span-duplication screen must stay linear — one
+    # fp-keyed agg joined back (never broadcast: window vocabulary is
+    # corpus-sized), no pairwise doc x doc join anywhere
+    plan = _plan(spark, sf_dir, "b19_span_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
