@@ -373,6 +373,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 2 ---------------------------------------------
         "b20_hubness_ann": q_b20_hubness_ann,
         "b19_span_dups": q_b19_span_dups,
+        # --- round 10 wave 3 ---------------------------------------------
+        "b21_winnowing": q_b21_winnowing,
+        "b28_quality_knapsack": q_b28_quality_knapsack,
+        "b21_blocklist": q_b21_blocklist,
     }
 
 

@@ -974,3 +974,47 @@ def q_b27_quantile_sketch(spark, sf_dir):
             ),
         ]
     return out.select(*cols)
+
+
+def q_b28_quality_knapsack(spark, sf_dir):
+    """Greedy quality-knapsack selection (B28 depth, r10): per source,
+    admit docs in descending lexical-diversity order (distinct-token
+    count, doc_id tie-break — a total order) until a 20k-token budget
+    is hit — the "take the best until the budget runs out" selection
+    every curated-corpus build runs, distinct from rate-based mixture
+    sampling (b28_mixture scales sources DOWN proportionally; the
+    knapsack CUTS a ranked tail). One tokenize pass, one partitioned
+    cumulative-sum window per source, one |sources|-row rollup —
+    integer arithmetic until the final utilization ratio."""
+    from pyspark.sql import Window
+
+    BUDGET = 20000
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(textops.tokens("text")).cast("long").alias("__nt"),
+        F.size(F.array_distinct(textops.tokens("text")))
+        .cast("long")
+        .alias("__nd"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__nd").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn("__cum", F.sum("__nt").over(w))
+    kept = F.col("__cum") <= F.lit(BUDGET)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("__nt")).otherwise(0))
+        .cast("long")
+        .alias("tokens_used"),
+        F.round(
+            F.sum(F.when(kept, F.col("__nt")).otherwise(0)).cast("double")
+            / F.lit(float(BUDGET)),
+            6,
+        ).alias("utilization"),
+        F.min(F.when(kept, F.col("__nd"))).cast("long").alias("cutoff_ndist"),
+    )

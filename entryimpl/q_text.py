@@ -647,3 +647,77 @@ def q_b21_rake_keywords(spark, sf_dir):
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+def q_b21_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (B21/B19 depth, r10 — the MOSS
+    algorithm, text.winnowed_fingerprints): per doc the selected
+    fingerprint count, selection density, and min selected hash, from
+    k=3-gram hashes winnowed with window w=4 (rightmost-minimum rule).
+    Unlike stride fingerprints, any shared run of w+k−1 = 6 tokens is
+    GUARANTEED to share a selection (pytest-proven against a literal
+    pure-Python reference); density ≈ 2/(w+1). Integer/md5 arithmetic
+    end to end — the oracle replays every selection decision."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sel = textops.winnowed_fingerprints(docs, "doc_id", k=3, window=4)
+    per = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.min("fp").alias("min_fp"),
+    )
+    n_tok = F.size(textops.tokens("text"))
+    grams = docs.select(
+        "doc_id",
+        F.greatest(n_tok - F.lit(2), F.lit(1)).cast("long").alias("n_grams"),
+    )
+    return per.join(grams, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_selected",
+        F.round(
+            F.col("n_selected").cast("double") / F.col("n_grams"), 6
+        ).alias("density"),
+        "min_fp",
+    )
+
+
+def q_b21_blocklist(spark, sf_dir):
+    """Token-join blocklist screen (B21 depth, r10): per source, how
+    many docs contain any blocked term, the flagged share, total hits,
+    and distinct blocked terms seen. The scale point vs a regex
+    alternation: the blocklist is a RELATION broadcast into a token
+    equi-join, so a 100k-term list costs one hash probe per token
+    where the compiled-regex scan degrades with pattern count — this
+    is how wordlist filters (NSFW/spam) actually run at corpus scale.
+    Zero-hit docs are counted via the per-source totals, not a join."""
+    TERMS = ["slow", "sort", "merge", "batch"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bl = spark.createDataFrame([(t,) for t in TERMS], "tok string")
+    tok = docs.select(
+        "doc_id", "source", F.explode(textops.tokens("text")).alias("tok")
+    )
+    hits = tok.join(F.broadcast(bl), "tok")
+    per_doc = hits.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("__h"),
+        F.count_distinct("tok").alias("__t"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    flagged = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged"),
+        F.sum("__h").cast("long").alias("total_hits"),
+        F.max("__t").cast("long").alias("max_terms_in_doc"),
+    )
+    return totals.join(flagged, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+        F.round(
+            F.coalesce("n_flagged", F.lit(0)).cast("double") / F.col("n_docs"),
+            6,
+        ).alias("flag_share"),
+        F.coalesce("total_hits", F.lit(0)).cast("long").alias("total_hits"),
+        F.coalesce("max_terms_in_doc", F.lit(0))
+        .cast("long")
+        .alias("max_terms_in_doc"),
+    )

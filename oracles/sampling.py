@@ -591,4 +591,29 @@ SQL = {
             FROM est e JOIN exact x USING (scope) CROSS JOIN bounds
         """,
         # ---- round 9 wave 7 ---------------------------------------------
+    "b28_quality_knapsack": f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS nt,
+                 CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS nd
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *, sum(nt) OVER (PARTITION BY source
+                   ORDER BY nd DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM toks
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(CASE WHEN cum <= 20000 THEN nt ELSE 0 END) AS BIGINT)
+                 AS tokens_used,
+               round(CAST(sum(CASE WHEN cum <= 20000 THEN nt ELSE 0 END)
+                          AS DOUBLE) / 20000.0, 6) AS utilization,
+               CAST(min(CASE WHEN cum <= 20000 THEN nd END) AS BIGINT)
+                 AS cutoff_ndist
+        FROM ranked GROUP BY source
+    """,
 }

@@ -621,4 +621,90 @@ SQL = {
             FROM scored
             ORDER BY rake_micros DESC, freq DESC, tok ASC LIMIT 20
         """,
+    "b21_winnowing": f"""
+        WITH tk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, i AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, i + 1, i + 3), ' ')), 1, 15) AS BIGINT)
+                   AS h
+          FROM tk,
+               unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS t(i)
+          WHERE i <= len(toks) - 3 OR i = 0
+        ),
+        starts AS (
+          SELECT * FROM (
+            SELECT doc_id, pos AS s,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM grams
+          ) WHERE rn <= ng - 3 OR rn = 1
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id, pos, fp FROM (
+            SELECT st.doc_id, st.s, max(g.pos) AS pos, min(st.wm) AS fp
+            FROM starts st
+            JOIN grams g ON g.doc_id = st.doc_id
+                        AND g.pos BETWEEN st.s AND st.s + 3
+                        AND g.h = st.wm
+            GROUP BY st.doc_id, st.s
+          )
+        ),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+                 min(fp) AS min_fp
+          FROM sel GROUP BY doc_id
+        ),
+        ng AS (
+          SELECT doc_id,
+                 CAST(greatest(len(toks) - 2, 1) AS BIGINT) AS n_grams
+          FROM tk
+        )
+        SELECT per.doc_id, ng.n_grams, per.n_selected,
+               round(CAST(per.n_selected AS DOUBLE) / ng.n_grams, 6)
+                 AS density,
+               per.min_fp
+        FROM per JOIN ng USING (doc_id)
+    """,
+    "b21_blocklist": f"""
+        WITH tok AS (
+          SELECT doc_id, source, unnest({_TOKS_SQL}) AS tok
+          FROM documents
+        ),
+        hits AS (
+          SELECT doc_id, source, tok FROM tok
+          WHERE tok IN ('slow', 'sort', 'merge', 'batch')
+        ),
+        per_doc AS (
+          SELECT doc_id, source,
+                 CAST(count(*) AS BIGINT) AS h,
+                 CAST(count(DISTINCT tok) AS BIGINT) AS t
+          FROM hits GROUP BY doc_id, source
+        ),
+        totals AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        flagged AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_flagged,
+                 CAST(sum(h) AS BIGINT) AS total_hits,
+                 CAST(max(t) AS BIGINT) AS max_terms_in_doc
+          FROM per_doc GROUP BY source
+        )
+        SELECT t.source, t.n_docs,
+               CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+               round(CAST(coalesce(f.n_flagged, 0) AS DOUBLE) / t.n_docs, 6)
+                 AS flag_share,
+               CAST(coalesce(f.total_hits, 0) AS BIGINT) AS total_hits,
+               CAST(coalesce(f.max_terms_in_doc, 0) AS BIGINT)
+                 AS max_terms_in_doc
+        FROM totals t LEFT JOIN flagged f USING (source)
+    """,
 }

@@ -531,3 +531,89 @@ def update_corpus_counters(
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken, the
+    MOSS algorithm) — the GUARANTEED-coverage alternative to
+    stride-spaced fingerprints (:func:`fingerprint_rows`): hash every
+    ``k``-gram, slide a ``window`` of consecutive hashes, select each
+    window's minimum (rightmost on ties), dedupe selections. The
+    guarantee stride sampling lacks: any shared token run of
+    ``window + k - 1`` or longer ALWAYS shares a selected fingerprint,
+    while expected density stays 2/(window+1).
+
+    Plan shape (100 TB story): k-gram rows via posexplode + ``lead``
+    (codegen, one shuffle on the doc key shared by both window passes);
+    window minima from a frame ``min``; the rightmost-argmin resolves
+    through an EQUI-join — each window start explodes its ``window``
+    candidate positions via ``sequence`` so no range join exists — then
+    a max-pos agg and a distinct. Everything is integer/md5 arithmetic
+    (:func:`dedup.portable_hash60`), so a SQL engine replays selections
+    bit-for-bit.
+
+    Output: one row per selected fingerprint ``(id_col, pos, fp)``.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import portable_hash60
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    grams = (
+        ex.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *parts).alias("__g"),
+            n.alias("__n"),
+        )
+        # short docs (< k tokens) keep their single truncated gram at
+        # pos 0, mirroring fingerprint_rows' short-doc rule
+        .filter((F.col("pos") <= F.col("__n") - k) | (F.col("pos") == 0))
+        .select(
+            F.col(id_col), "pos", portable_hash60(F.col("__g")).alias("__h")
+        )
+    )
+    fr = w.rowsBetween(0, window - 1)
+    ng = F.count(F.lit(1)).over(W.partitionBy(id_col))
+    starts = (
+        grams.select(
+            F.col(id_col),
+            F.col("pos").alias("__s"),
+            F.min("__h").over(fr).alias("__wm"),
+            F.row_number().over(w).alias("__rn"),
+            ng.alias("__ng"),
+        )
+        # a window must be full-width unless the doc has fewer grams
+        # than one window (then the single all-grams window survives)
+        .filter(
+            (F.col("__rn") <= F.col("__ng") - window + 1) | (F.col("__rn") == 1)
+        )
+    )
+    cand = starts.select(
+        F.col(id_col),
+        "__s",
+        "__wm",
+        F.explode(
+            F.sequence(F.col("__s"), F.col("__s") + F.lit(window - 1))
+        ).alias("pos"),
+    )
+    sel = (
+        cand.join(grams, [id_col, "pos"])
+        .filter(F.col("__h") == F.col("__wm"))
+        .groupBy(id_col, "__s")
+        .agg(F.max("pos").alias("pos"), F.min("__wm").alias("fp"))
+        .select(id_col, "pos", "fp")
+        .distinct()
+    )
+    return sel

@@ -1400,3 +1400,67 @@ def test_ahash64_groups_visual_duplicates(spark):
         spark.createDataFrame([(9, b"not an image")], ["doc_id", "payload"])
     ).collect()[0]
     assert bad.decode_ok is False and bad.hash_hi is None
+
+
+def _winnow_ref(text, k=3, window=4):
+    """Pure-Python literal winnowing (Schleimer et al. Fig. 5 semantics:
+    per full window, rightmost minimal hash; dedupe selections)."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+    if len(toks) >= k:
+        grams = [
+            (i, " ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)
+        ]
+    else:
+        grams = [(0, " ".join(toks))] if toks else []
+    hs = [
+        (p, int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+        for p, g in grams
+    ]
+    sel = set()
+    n = len(hs)
+    if not n:
+        return sel
+    spans = (
+        [(s, min(window, n)) for s in range(n - window + 1)]
+        if n >= window
+        else [(0, n)]
+    )
+    for s, wlen in spans:
+        frame = hs[s : s + wlen]
+        wm = min(h for _, h in frame)
+        pos = max(p for p, h in frame if h == wm)
+        sel.add((pos, wm))
+    return sel
+
+
+def test_winnowed_fingerprints_match_reference_and_guarantee(spark):
+    import random
+
+    from sqlite_cdc_spark.pipeline import text as textops
+
+    r = random.Random(7)
+    rows = []
+    vocab = [f"t{i}" for i in range(30)]
+    for i in range(24):
+        rows.append((i, " ".join(r.choice(vocab) for _ in range(r.randint(1, 40)))))
+    # planted shared run of window + k - 1 = 6 tokens between 100 and 101
+    run = "a b c d e f"
+    rows.append((100, "x y " + run + " z w q"))
+    rows.append((101, run + " m n o p"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in textops.winnowed_fingerprints(df, "doc_id").collect()
+    }
+    want = {
+        (i, p, h) for i, t in rows for (p, h) in _winnow_ref(t)
+    }
+    assert got == want
+    # the winnowing guarantee: a shared run of >= window+k-1 tokens
+    # always shares a selected fingerprint value
+    f100 = {fp for d, p, fp in got if d == 100}
+    f101 = {fp for d, p, fp in got if d == 101}
+    assert f100 & f101
