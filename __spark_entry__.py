@@ -377,6 +377,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_winnowing": q_b21_winnowing,
         "b28_quality_knapsack": q_b28_quality_knapsack,
         "b21_blocklist": q_b21_blocklist,
+        # --- round 10 wave 4 ---------------------------------------------
+        "b25_sql_lateral": q_b25_sql_lateral,
+        "b26_weighted_sample": q_b26_weighted_sample,
+        "b27_kmv_sketch": q_b27_kmv_sketch,
     }
 
 

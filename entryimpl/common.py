@@ -2157,7 +2157,22 @@ li_img_json = (
     "'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus)"
 )
 
+_SQL_LATERAL = """
+SELECT o.o_orderkey, o.o_totalprice, t.l_partkey, t.l_suppkey,
+       t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (
+  SELECT l_partkey, l_suppkey, l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber, l_partkey, l_suppkey
+  LIMIT 2
+) t
+WHERE o.o_orderkey % 997 = 0
+"""
+
 __all__ = [
+    "_SQL_LATERAL",
     "BOOTSTRAP_TS",
     "_t",
     "_LI_IMG_COLS",

@@ -1018,3 +1018,120 @@ def q_b28_quality_knapsack(spark, sf_dir):
         ).alias("utilization"),
         F.min(F.when(kept, F.col("__nd"))).cast("long").alias("cutoff_ndist"),
     )
+
+
+def q_b26_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (B26 depth, r10 —
+    Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1) from the
+    portable 60-bit hash and competes with key ln(u)/w (w = n_chars;
+    order-equivalent to u^(1/w)); the top-50 keys ARE a weighted
+    sample without replacement — one pass, no rejection loop, the
+    only distributed way to weighted-sample a 100 TB corpus. Keys are
+    round-6 BEFORE ranking with a doc_id tie-break (ln differs by ≤1
+    ulp across engines — the r5 float-parity rule), so both engines
+    select identical rows. Output ordered by rank."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = (
+        F.pmod(dedup.portable_hash60(F.concat(F.lit("ws:"), F.col("doc_id"))),
+               F.lit(2**53))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(2**53))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars").cast("double"), 6).alias("__k"),
+    )
+    # exact top-50: TakeOrdered (per-partition heaps, driver merge) then
+    # a row_number over only the 50 survivors — the registry's bounded
+    # idiom for global top-k, never a whole-corpus sort
+    w = Window.orderBy(F.col("__k").desc(), F.col("doc_id").asc())
+    return (
+        keyed.orderBy(F.col("__k").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "source", "n_chars", F.col("__k").alias("key"))
+    )
+
+
+def q_b27_kmv_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch with the merge invariant
+    in-row (B27 depth, r10 — the third mergeable cardinality sketch
+    beside linear counting and HLL, and the one with an UNBIASED
+    estimator): per source keep the k=16 smallest distinct 60-bit text
+    hashes; estimate = (k−1) / (h_k / 2^60), exact-count fallback when
+    a source has fewer than k distinct values (the standard KMV rule —
+    half the fixture's sources exercise it). The '__ALL__' row carries
+    the mergeability proof the sketch family demands: the global kth-min
+    computed by MERGING the per-source sketches (union → 16 smallest)
+    must equal the kth-min computed directly over all hashes —
+    an integer equality, oracled. Scale shape: one hash pass, one
+    partitioned top-k window, bounded limit+agg for the global row;
+    the union-of-sketches merge is exactly how 1000 executors combine."""
+    K = 16
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    hashes = docs.select(
+        "source", dedup.portable_hash60(F.col("text")).alias("__h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("__h").asc())
+    topk = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= K
+    )
+    per = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    kth = topk.filter(F.col("__rn") == K).select(
+        "source", F.col("__h").alias("kth_min")
+    )
+    est = F.when(
+        F.col("kth_min").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(K - 1))
+            * F.lit(float(2**60))
+            / F.col("kth_min").cast("double"),
+            6,
+        )
+    )
+    per_source = per.join(kth, "source", "left").select(
+        "source",
+        "n_exact",
+        "kth_min",
+        est.alias("est_distinct"),
+        F.lit(None).cast("boolean").alias("merge_ok"),
+    )
+    # global row: direct 16 smallest over ALL distinct hashes vs the
+    # MERGE of the per-source sketches — bounded limit+agg, no window
+    allh = hashes.select("__h").distinct()
+    direct = allh.orderBy(F.col("__h").asc()).limit(K).agg(
+        F.max("__h").alias("kth_d"), F.count(F.lit(1)).alias("__n")
+    )
+    merged = (
+        topk.select("__h")
+        .distinct()
+        .orderBy(F.col("__h").asc())
+        .limit(K)
+        .agg(F.max("__h").alias("kth_m"))
+    )
+    g = (
+        allh.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .crossJoin(direct)
+        .crossJoin(merged)
+        .select(
+            F.lit("__ALL__").alias("source"),
+            "n_exact",
+            F.col("kth_d").alias("kth_min"),
+            F.round(
+                F.lit(float(K - 1))
+                * F.lit(float(2**60))
+                / F.col("kth_d").cast("double"),
+                6,
+            ).alias("est_distinct"),
+            (F.col("kth_d") == F.col("kth_m")).alias("merge_ok"),
+        )
+    )
+    return per_source.unionByName(g)

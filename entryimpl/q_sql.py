@@ -43,3 +43,13 @@ def q_b25_sql_recursive(spark, sf_dir):
 
 
 q_b25_sql_window = _sql_query(_SQL_WINDOW_FUNCS, "lineitem")
+
+
+
+#: SQL-surface depth (B25, r10): correlated LATERAL derived table with
+#: ORDER BY + LIMIT — the "top-N per row" idiom in pure SQL. Catalyst
+#: decorrelates it into a ranked join (no per-row re-execution); the
+#: ORDER BY is total (extendedprice, then every remaining key — the
+#: (l_orderkey, l_linenumber) pair alone is NOT unique in the fixture),
+#: so both engines pick identical rows. Oracle = the same SQL verbatim.
+q_b25_sql_lateral = _sql_query(_SQL_LATERAL, "orders", "lineitem")

@@ -616,4 +616,63 @@ SQL = {
                  AS cutoff_ndist
         FROM ranked GROUP BY source
     """,
+    "b26_weighted_sample": """
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 round(ln((CAST('0x' || substr(md5('ws:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           % 9007199254740992 + 1) / 9007199254740992.0)
+                       / CAST(n_chars AS DOUBLE), 6) AS k
+          FROM documents
+        )
+        SELECT rank, doc_id, source, n_chars, key FROM (
+          SELECT doc_id, source, n_chars, k AS key,
+                 CAST(row_number() OVER (ORDER BY k DESC, doc_id)
+                      AS INTEGER) AS rank
+          FROM keyed
+        ) WHERE rank <= 50
+    """,
+    "b27_kmv_sketch": """
+        WITH hashes AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+          FROM documents
+        ),
+        topk AS (
+          SELECT * FROM (
+            SELECT source, h, row_number() OVER (
+              PARTITION BY source ORDER BY h) AS rn
+            FROM hashes
+          ) WHERE rn <= 16
+        ),
+        per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+          FROM hashes GROUP BY source
+        ),
+        kth AS (SELECT source, h AS kth_min FROM topk WHERE rn = 16),
+        allh AS (SELECT DISTINCT h FROM hashes),
+        direct AS (
+          SELECT max(h) AS kth_d, CAST(count(*) AS BIGINT) AS nn
+          FROM (SELECT h FROM allh ORDER BY h LIMIT 16)
+        ),
+        merged AS (
+          SELECT max(h) AS kth_m
+          FROM (SELECT DISTINCT h FROM topk ORDER BY h LIMIT 16)
+        ),
+        gn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM allh)
+        SELECT per.source, per.n_exact, kth.kth_min,
+               CASE WHEN kth.kth_min IS NULL
+                    THEN CAST(per.n_exact AS DOUBLE)
+                    ELSE round(15.0 * 1152921504606846976.0
+                               / CAST(kth.kth_min AS DOUBLE), 6) END
+                 AS est_distinct,
+               CAST(NULL AS BOOLEAN) AS merge_ok
+        FROM per LEFT JOIN kth USING (source)
+        UNION ALL
+        SELECT '__ALL__', gn.n_exact, direct.kth_d,
+               round(15.0 * 1152921504606846976.0
+                     / CAST(direct.kth_d AS DOUBLE), 6),
+               direct.kth_d = merged.kth_m
+        FROM gn, direct, merged
+    """,
 }

@@ -28,4 +28,5 @@ SQL = {
         "b25_sql_correlated": _SQL_CORRELATED_COUNT,
         "b25_sql_cte_top_supplier": _SQL_CTE_TOP_SUPPLIER,
         "b25_sql_recursive": _RECURSIVE_SQL,
+    "b25_sql_lateral": _SQL_LATERAL,
 }
