@@ -381,6 +381,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b25_sql_lateral": q_b25_sql_lateral,
         "b26_weighted_sample": q_b26_weighted_sample,
         "b27_kmv_sketch": q_b27_kmv_sketch,
+        # --- round 10 wave 5 ---------------------------------------------
+        "b30_ppr": q_b30_ppr,
+        "b14_hof_funcs": q_b14_hof_funcs,
+        "b26_temporal_split": q_b26_temporal_split,
     }
 
 

@@ -2171,7 +2171,69 @@ LATERAL (
 WHERE o.o_orderkey % 997 = 0
 """
 
+
+def _ppr_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of q_b30_ppr: pagerank's integer floor-division
+    updates with seed-only init and seed-only teleport base."""
+    share = (
+        "CAST(((rr.r * 17) - (((rr.r * 17) % (20 * od.od) + (20 * od.od))"
+        " % (20 * od.od))) / (20 * od.od) AS BIGINT)"
+    )
+    parts = [
+        """ed AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        e AS (
+          SELECT c AS src, s AS dst FROM ed
+          UNION ALL
+          SELECT s AS src, c AS dst FROM ed
+        ),
+        nodes AS (
+          SELECT node_id,
+                 CASE WHEN node_id IN (SELECT c_custkey FROM customer
+                                       WHERE c_custkey % 500 = 0)
+                      THEN 1 ELSE 0 END AS seed
+          FROM (SELECT src AS node_id FROM e UNION SELECT dst FROM e)
+        ),
+        od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM e GROUP BY src),
+        r0 AS (
+          SELECT node_id,
+                 CAST(CASE WHEN seed = 1 THEN 1000000 ELSE 0 END AS BIGINT)
+                   AS r
+          FROM nodes
+        )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+          SELECT e.dst AS node_id, {share} AS share
+          FROM r{t - 1} rr
+          JOIN od ON od.src = rr.node_id
+          JOIN e ON e.src = rr.node_id
+        ),
+        r{t} AS (
+          SELECT n.node_id,
+                 CAST(CASE WHEN n.seed = 1 THEN 150000 ELSE 0 END
+                      + COALESCE(sum(share), 0) AS BIGINT) AS r
+          FROM nodes n LEFT JOIN s{t} ON s{t}.node_id = n.node_id
+          GROUP BY n.node_id, n.seed
+        )""")
+    return (
+        "WITH " + ",\n        ".join(parts) + f"""
+        SELECT node_id, rank_units, rnk FROM (
+          SELECT node_id, r AS rank_units,
+                 row_number() OVER (ORDER BY r DESC, node_id) AS rnk
+          FROM r{iters}
+          WHERE node_id NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 500 = 0)
+        ) WHERE rnk <= 30
+    """
+    )
+
+
+
 __all__ = [
+    "_ppr_oracle_sql",
     "_SQL_LATERAL",
     "BOOTSTRAP_TS",
     "_t",

@@ -698,3 +698,46 @@ def q_b30_link_prediction(spark, sf_dir):
         .limit(20)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
     )
+
+
+def q_b30_ppr(spark, sf_dir):
+    """Personalized PageRank / random walk with restart (B30 graph
+    depth, r10 — derive.personalized_pagerank): proximity to a seed
+    set over the same customer↔supplier purchase graph as
+    b30_pagerank, 3 exact integer iterations with the teleport mass
+    returning ONLY to the 30 seed customers (c_custkey % 500 = 0) —
+    the "related suppliers for THESE customers" local-relevance read,
+    vs global authority. Every intermediate rank vector replays
+    bit-for-bit in the oracle's chained CTEs; top 30 non-seed nodes by
+    rank via the bounded TakeOrdered + k-row window idiom."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 500 == 0)
+        .select("c_custkey")
+    )
+    pr = derive.personalized_pagerank(edges, seeds, iters=3)
+    nonseed = pr.join(
+        seeds.select(F.col("c_custkey").alias("node_id")), "node_id",
+        "left_anti",
+    )
+    w = Window.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
+    return (
+        nonseed.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
+        .limit(30)
+        .withColumn("rnk", F.row_number().over(w))
+    )

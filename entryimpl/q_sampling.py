@@ -1135,3 +1135,50 @@ def q_b27_kmv_sketch(spark, sf_dir):
         )
     )
     return per_source.unionByName(g)
+
+
+def q_b26_temporal_split(spark, sf_dir):
+    """Temporal train/test split + leakage audit (B26 depth, r10): the
+    time-based split every forecasting/recsys dataset needs (train
+    strictly before the cut, test at-or-after), with the per-entity
+    leakage read random splits can't give — per event type: row counts
+    on each side, users active on BOTH sides (the entity-overlap that
+    leaks future behavior into training features), and each side's
+    exclusive user counts. Two filtered keyed aggs + one full-outer
+    user-level merge; the cut is a literal, so pruning reaches the
+    scan."""
+    CUT = "2024-01-16 00:00:00"
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    cut = F.lit(CUT).cast("timestamp")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("__tr"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("__te"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("__tr").cast("long").alias("n_train"),
+        F.sum("__te").cast("long").alias("n_test"),
+        F.sum(
+            F.when((F.col("__tr") > 0) & (F.col("__te") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("users_both"),
+        F.sum(
+            F.when((F.col("__tr") > 0) & (F.col("__te") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("users_train_only"),
+        F.sum(
+            F.when((F.col("__tr") == 0) & (F.col("__te") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("users_test_only"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("__tr") > 0) & (F.col("__te") > 0), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("leakage_share"),
+    )

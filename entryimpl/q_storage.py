@@ -941,3 +941,32 @@ def q_b13_file_skipping(spark, sf_dir):
         .cast("long")
         .alias("skip_rate_micros"),
     )
+
+
+def q_b14_hof_funcs(spark, sf_dir):
+    """Array higher-order-function surface (B14 depth, r10 —
+    lambda expressions; complements b14_array_funcs' split/sort ops):
+    transform/filter/aggregate/exists/forall + array_sort over the
+    token arrays — the lambda-expression API a reference user needs
+    for in-row array computing. Caveat stated where it matters: HOF
+    lambdas evaluate interpreted per element, so the repo's HOT paths
+    use codegen rewrites instead (text.fingerprint_rows' posexplode +
+    lead replaced a transform() lambda at ~50×, PERF.md); this family
+    row is the API-coverage read, over bounded per-doc arrays."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = textops.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 3))
+        .cast("long")
+        .alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists(toks, lambda t: t == F.lit("spark")).alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) <= 10).alias("all_short"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+    )

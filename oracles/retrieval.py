@@ -762,4 +762,5 @@ SQL = {
                      AS rank
             FROM sc ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC LIMIT 20
         """,
+    "b30_ppr": _ppr_oracle_sql(),
 }

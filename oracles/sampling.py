@@ -675,4 +675,26 @@ SQL = {
                direct.kth_d = merged.kth_m
         FROM gn, direct, merged
     """,
+    "b26_temporal_split": """
+        WITH per_user AS (
+          SELECT event_type, user_id,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END) AS tr,
+                 sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                          THEN 1 ELSE 0 END) AS te
+          FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               CAST(sum(tr) AS BIGINT) AS n_train,
+               CAST(sum(te) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS users_both,
+               CAST(sum(CASE WHEN tr > 0 AND te = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS users_train_only,
+               CAST(sum(CASE WHEN tr = 0 AND te > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS users_test_only,
+               round(CAST(sum(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS leakage_share
+        FROM per_user GROUP BY event_type
+    """,
 }

@@ -651,4 +651,19 @@ SQL = {
             FROM flagged
         """,
         # ---- round 9 wave 10 --------------------------------------------
+    "b14_hof_funcs": f"""
+        WITH tk AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT)
+                 AS n_long,
+               CAST(list_sum(list_transform(toks, t -> length(t)))
+                    AS BIGINT) AS total_chars,
+               len(list_filter(toks, t -> t = 'spark')) > 0 AS has_spark,
+               len(list_filter(toks, t -> length(t) > 10)) = 0 AS all_short,
+               list_sort(toks)[1] AS first_sorted
+        FROM tk
+    """,
 }

@@ -820,6 +820,86 @@ def pagerank(
     return ranks.select("node_id", F.col("__r").alias("rank_units"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: tuple[int, int] = (17, 20),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) — proximity TO A
+    SEED SET rather than global authority: the teleport mass returns to
+    the seeds every step, so rank concentrates in the seeds' graph
+    neighborhood (the "related entities" / local-relevance read; the
+    candidate generator behind graph-based retrieval and
+    recommend-similar screens).
+
+    Same bit-exact integer discipline as :func:`pagerank` (rational
+    damping, floor-division shares, integer units): initial rank is
+    ``scale`` on seeds / 0 elsewhere, and each iteration's teleport
+    base lands ONLY on seeds — per-seed (un-normalized) restart mass,
+    the deterministic analog of the e_seed teleport vector; PPR is
+    linear in the teleport vector so ranks differ from the normalized
+    form by the same global factor, and the deterministic floor rules
+    are shared with the SQL oracle. Same scale shape as pagerank: per
+    iteration one src-keyed equi-join + one dst-keyed sum; bounded
+    multi-referenced relations checkpointed once.
+
+    ``seeds``: one column of node ids. Output: ``(node_id,
+    rank_units)`` for every node in any edge.
+    """
+    num, den = damping
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+    sd = seeds.select(
+        F.col(seeds.columns[0]).alias("node_id"),
+        F.lit(1).alias("__seed"),
+    ).distinct()
+    nodes = nodes.join(sd, "node_id", "left").select(
+        "node_id", F.coalesce("__seed", F.lit(0)).alias("__seed")
+    ).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
+    base = (scale * (den - num)) // den
+
+    def fdiv(a, b):
+        return ((a - ((a % b + b) % b)) / b).cast("long")
+
+    ranks = nodes.withColumn(
+        "__r",
+        F.when(F.col("__seed") == 1, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long"),
+    )
+    for _ in range(iters):
+        shares = ranks.join(outdeg, ranks["node_id"] == outdeg["src"]).select(
+            F.col("src"),
+            fdiv(F.col("__r") * num, F.lit(den) * F.col("__od")).alias(
+                "__share"
+            ),
+        )
+        inflow = (
+            e.join(shares, "src")
+            .groupBy("dst")
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = nodes.join(
+            inflow, nodes["node_id"] == inflow["dst"], "left"
+        ).select(
+            "node_id",
+            "__seed",
+            (
+                F.when(F.col("__seed") == 1, F.lit(base)).otherwise(F.lit(0))
+                + F.coalesce(F.col("__in"), F.lit(0))
+            )
+            .cast("long")
+            .alias("__r"),
+        )
+    return ranks.select("node_id", F.col("__r").alias("rank_units"))
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over an
     undirected graph given as canonical edges (``src < dst``, distinct)
