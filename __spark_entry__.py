@@ -385,6 +385,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_ppr": q_b30_ppr,
         "b14_hof_funcs": q_b14_hof_funcs,
         "b26_temporal_split": q_b26_temporal_split,
+        # --- round 10 wave 6 ---------------------------------------------
+        "b22_image_patches": q_b22_image_patches,
+        "b24_corpus_v7": q_b24_corpus_v7,
     }
 
 

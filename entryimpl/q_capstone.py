@@ -544,3 +544,135 @@ def q_b24_corpus_v6(spark, sf_dir):
             "p50_tok_hi",
         )
     )
+
+
+def q_b24_corpus_v7(spark, sf_dir):
+    """Corpus capstone v7 (B24, r10) — composes this round's operators
+    into one manifest read: (1) token-join blocklist drop ('dup' —
+    the rare-term screen), (2) intra-corpus span-duplication gate
+    (drop majority-duplicated docs, 2·dup ≥ windows over 16-token
+    stride-8 fingerprints measured WITHIN the surviving corpus),
+    (3) per-source greedy quality knapsack (lexical-diversity order,
+    15k-token budget), then per-source telemetry over the KEPT set:
+    KMV distinct estimate (k=8, exact fallback below k) and POOLED
+    winnowing density (Σ selected / Σ grams — integer sums, one
+    division; a mean-of-ratios would drift by sum order). Every stage
+    reuses an individually-oracled kernel; the whole composition
+    replays bit-exact."""
+    from pyspark.sql import Window
+
+    K = 8
+    BUDGET = 15000
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    bl = spark.createDataFrame([("dup",)], "tok string")
+    flagged = (
+        docs.select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+        .join(F.broadcast(bl), "tok")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.join(flagged, "doc_id", "left_anti")
+    fps = textops.fingerprint_rows(clean, "doc_id", "text", 16, 8)
+    shared = fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("__nd"))
+    per_doc = (
+        fps.join(shared.hint("shuffle_hash"), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__w"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("__d"),
+        )
+    )
+    gated = clean.join(
+        per_doc.filter(F.col("__d") * 2 < F.col("__w")).select("doc_id"),
+        "doc_id",
+    )
+    sized = gated.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(textops.tokens("text")).cast("long").alias("__nt"),
+        F.size(F.array_distinct(textops.tokens("text")))
+        .cast("long")
+        .alias("__lex"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__lex").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = sized.withColumn("__cum", F.sum("__nt").over(w)).filter(
+        F.col("__cum") <= BUDGET
+    ).localCheckpoint()
+    # telemetry over the kept set: KMV + pooled winnowing density
+    hashes = kept.select(
+        "source", dedup.portable_hash60(F.col("text")).alias("__h")
+    ).distinct()
+    wk = Window.partitionBy("source").orderBy(F.col("__h").asc())
+    kth = (
+        hashes.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == K)
+        .select("source", F.col("__h").alias("__kth"))
+    )
+    nx = hashes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__nx")
+    )
+    est = F.when(
+        F.col("__kth").isNull(), F.col("__nx").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(K - 1)) * F.lit(float(2**60))
+            / F.col("__kth").cast("double"),
+            6,
+        )
+    )
+    kmv = nx.join(kth, "source", "left").select(
+        "source", est.alias("kmv_est")
+    )
+    sel = textops.winnowed_fingerprints(
+        kept.select("doc_id", "text"), "doc_id", k=3, window=4
+    )
+    nsel = sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__ns")
+    )
+    dens = (
+        kept.select(
+            "doc_id",
+            "source",
+            F.greatest(F.col("__nt") - F.lit(2), F.lit(1))
+            .cast("long")
+            .alias("__ng"),
+        )
+        .join(nsel, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum("__ns").cast("double") / F.sum("__ng").cast("double"), 6
+            ).alias("winnow_density")
+        )
+    )
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+        .join(
+            clean.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_clean")
+            ),
+            "source",
+        )
+        .join(
+            gated.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_gated")
+            ),
+            "source",
+        )
+        .join(
+            kept.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("__nt").cast("long").alias("tokens_used"),
+            ),
+            "source",
+        )
+    )
+    return counts.join(kmv, "source").join(dens, "source")

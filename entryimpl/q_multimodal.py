@@ -271,3 +271,34 @@ def q_b22_scene_cuts(spark, sf_dir):
         ),
         (dnum > 8 * dden).alias("is_cut"),
     )
+
+
+def q_b22_image_patches(spark, sf_dir):
+    """ViT-style patchify (B22 depth, r10 — multimodal.image_patches):
+    each synthesized PPM decodes and splits into non-overlapping 2×2
+    patches (full patches only, the divisible-crop rule); per doc the
+    patch-grid dims, patch count, total patch luma, and the brightest
+    patch's luma + grid coordinates (max_by with a total (luma, py,
+    px) order). Pure integers through the decode → reshape-sum → agg
+    path, so the oracle replays the synthesis + patch arithmetic in
+    closed form. Arrow-batched mapInPandas, narrow, scan-shaped."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    patches = multimodal.image_patches(
+        multimodal.synth_ppm(docs), patch_h=2, patch_w=2
+    )
+    # a total order for the argmax: luma desc, then grid coords — packed
+    # into one integer key so max_by is deterministic
+    key = (
+        F.col("luma_sum") * 10000
+        - F.col("py") * 100
+        - F.col("px")
+    )
+    return patches.groupBy("doc_id").agg(
+        (F.max("py") + 1).cast("int").alias("grid_h"),
+        (F.max("px") + 1).cast("int").alias("grid_w"),
+        F.count(F.lit(1)).cast("long").alias("n_patches"),
+        F.sum("luma_sum").cast("long").alias("total_luma"),
+        F.max("luma_sum").cast("long").alias("max_patch_luma"),
+        F.max_by("py", key).cast("int").alias("max_py"),
+        F.max_by("px", key).cast("int").alias("max_px"),
+    )

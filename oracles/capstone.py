@@ -483,4 +483,142 @@ SQL = {
             LEFT JOIN q_drops USING (source)
         """,
         # ---- round 9 wave 8 ---------------------------------------------
+    "b24_corpus_v7": f"""
+        WITH flagged AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+          ) WHERE tok = 'dup'
+        ),
+        clean AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ),
+        tkc AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM clean),
+        fps AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, i*8 + 1, i*8 + 16),
+                     ' ')) AS fp
+          FROM tkc,
+               unnest(generate_series(0,
+                 greatest((len(toks) - 16) // 8, 0))) AS t(i)
+        ),
+        shared AS (
+          SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY fp
+        ),
+        pd AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS w,
+                 CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dd
+          FROM fps JOIN shared USING (fp) GROUP BY doc_id
+        ),
+        gated AS (
+          SELECT c.* FROM clean c JOIN pd USING (doc_id)
+          WHERE pd.dd * 2 < pd.w
+        ),
+        sized AS (
+          SELECT doc_id, source, text,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS lex
+          FROM (SELECT *, {_TOKS_SQL} AS toks FROM gated)
+        ),
+        ranked AS (
+          SELECT *, sum(nt) OVER (PARTITION BY source
+                   ORDER BY lex DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM sized
+        ),
+        kept AS (SELECT * FROM ranked WHERE cum <= 15000),
+        hashes AS (
+          SELECT DISTINCT source,
+                 CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+          FROM kept
+        ),
+        kth AS (
+          SELECT source, h AS kthv FROM (
+            SELECT source, h, row_number() OVER (
+              PARTITION BY source ORDER BY h) AS rn
+            FROM hashes
+          ) WHERE rn = 8
+        ),
+        nx AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS nxv
+          FROM hashes GROUP BY source
+        ),
+        kmv AS (
+          SELECT nx.source,
+                 CASE WHEN kth.kthv IS NULL THEN CAST(nx.nxv AS DOUBLE)
+                      ELSE round(7.0 * 1152921504606846976.0
+                                 / CAST(kth.kthv AS DOUBLE), 6) END
+                   AS kmv_est
+          FROM nx LEFT JOIN kth USING (source)
+        ),
+        tkk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM kept),
+        gr AS (
+          SELECT doc_id, i AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, i + 1, i + 3), ' ')), 1, 15) AS BIGINT)
+                   AS h
+          FROM tkk,
+               unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS t(i)
+          WHERE i <= len(toks) - 3 OR i = 0
+        ),
+        st AS (
+          SELECT * FROM (
+            SELECT doc_id, pos AS s,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM gr
+          ) WHERE rn <= ng - 3 OR rn = 1
+        ),
+        selw AS (
+          SELECT DISTINCT doc_id, pos, fp FROM (
+            SELECT st.doc_id, st.s, max(g.pos) AS pos, min(st.wm) AS fp
+            FROM st
+            JOIN gr g ON g.doc_id = st.doc_id
+                     AND g.pos BETWEEN st.s AND st.s + 3
+                     AND g.h = st.wm
+            GROUP BY st.doc_id, st.s
+          )
+        ),
+        nsel AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS ns
+          FROM selw GROUP BY doc_id
+        ),
+        dens AS (
+          SELECT k.source,
+                 round(CAST(sum(nsel.ns) AS DOUBLE)
+                       / CAST(sum(greatest(k.nt - 2, 1)) AS DOUBLE), 6)
+                   AS winnow_density
+          FROM kept k JOIN nsel USING (doc_id) GROUP BY k.source
+        ),
+        cnt_in AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_input
+          FROM documents GROUP BY source
+        ),
+        cnt_cl AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_clean
+          FROM clean GROUP BY source
+        ),
+        cnt_g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_gated
+          FROM gated GROUP BY source
+        ),
+        cnt_k AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(nt) AS BIGINT) AS tokens_used
+          FROM kept GROUP BY source
+        )
+        SELECT i.source, i.n_input, cnt_cl.n_clean, cnt_g.n_gated,
+               cnt_k.n_kept, cnt_k.tokens_used, kmv.kmv_est,
+               dens.winnow_density
+        FROM cnt_in i
+        JOIN cnt_cl USING (source)
+        JOIN cnt_g USING (source)
+        JOIN cnt_k USING (source)
+        JOIN kmv USING (source)
+        JOIN dens USING (source)
+    """,
 }

@@ -262,4 +262,51 @@ SQL = {
                    abs(frame_sum * na - ns * area) > 8 * area * na AS is_cut
             FROM l WHERE ns IS NOT NULL
         """,
+    "b22_image_patches": """
+        -- closed-form replay of synth_ppm + 2x2 patchify: geometry
+        -- w=4+id%5, h=4+(id//5)%5; raster byte (y*w+x)*3+c has value
+        -- (id*31 + (y*w+x)*3 + c) % 256; full patches only (y < 2*(h//2),
+        -- x < 2*(w//2)); luma = 299R+587G+114B per patch; argmax via the
+        -- same packed integer key (luma*10000 - py*100 - px)
+        WITH px AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                 CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS h
+          FROM documents
+        ),
+        v AS (
+          SELECT doc_id, w, h, y, x, c,
+                 CAST(y // 2 AS INTEGER) AS py,
+                 CAST(x // 2 AS INTEGER) AS px_,
+                 (doc_id * 31 + (y * w + x) * 3 + c) % 256 AS val
+          FROM px,
+               generate_series(0, 7) gy(y),
+               generate_series(0, 7) gx(x),
+               generate_series(0, 2) gc(c)
+          WHERE y < 2 * (h // 2) AND x < 2 * (w // 2)
+        ),
+        patch AS (
+          SELECT doc_id, py, px_,
+                 CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sr,
+                 CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sg,
+                 CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sb
+          FROM v GROUP BY doc_id, py, px_
+        ),
+        lum AS (
+          SELECT doc_id, py, px_,
+                 299 * sr + 587 * sg + 114 * sb AS luma,
+                 (299 * sr + 587 * sg + 114 * sb) * 10000
+                   - py * 100 - px_ AS k
+          FROM patch
+        )
+        SELECT doc_id,
+               CAST(max(py) + 1 AS INTEGER) AS grid_h,
+               CAST(max(px_) + 1 AS INTEGER) AS grid_w,
+               CAST(count(*) AS BIGINT) AS n_patches,
+               CAST(sum(luma) AS BIGINT) AS total_luma,
+               CAST(max(luma) AS BIGINT) AS max_patch_luma,
+               CAST(max_by(py, k) AS INTEGER) AS max_py,
+               CAST(max_by(px_, k) AS INTEGER) AS max_px
+        FROM lum GROUP BY doc_id
+    """,
 }
