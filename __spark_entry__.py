@@ -388,6 +388,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 6 ---------------------------------------------
         "b22_image_patches": q_b22_image_patches,
         "b24_corpus_v7": q_b24_corpus_v7,
+        # --- round 10 wave 7 ---------------------------------------------
+        "b30_modularity": q_b30_modularity,
+        "b28_cluster_balanced": q_b28_cluster_balanced,
     }
 
 

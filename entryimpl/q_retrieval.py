@@ -741,3 +741,87 @@ def q_b30_ppr(spark, sf_dir):
         .limit(30)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+def q_b30_modularity(spark, sf_dir):
+    """Graph-modularity audit of the dup clusters (B30 × B19, r10):
+    Newman's Q for the 0.8-closure cluster partition, measured against
+    the WIDER 0.5-Jaccard similarity graph — the blocking-quality read
+    at the structure level (a clean clustering keeps the loose
+    similarity edges inside clusters; Q near 0 means the partition
+    ignores real structure). Unlabeled docs are their own singleton
+    community (a cluster_id is the min member id, so doc-id labels
+    can't collide with cluster labels). Q = (4m·Σe_c − Σd_c²)/(4m²) —
+    INTEGER numerator and denominator, one division, round 6 — so the
+    oracle replays it exactly on top of the two proven kernels
+    (prefix-filter join at t=0.5, recursive-CTE closure at 0.8)."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    edges = dedup.set_similarity_join(
+        corpus, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    labels = dedup.dup_clusters(
+        dedup.near_dup_pairs(
+            corpus, "doc_id", "text", threshold=0.8, num_hashes=32, bands=8,
+            base_hash="md5",
+        )
+    ).select("doc_id", "cluster_id").localCheckpoint()
+    la = labels.select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("__ca")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("__cb")
+    )
+    le = (
+        edges.join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("__ca", F.col("id_a")).alias("__la"),
+            F.coalesce("__cb", F.col("id_b")).alias("__lb"),
+        )
+        .localCheckpoint()
+    )
+    m = le.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        le.filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__ec"))
+    )
+    deg = (
+        le.select(F.col("id_a").alias("node"), F.col("__la").alias("__c"))
+        .unionAll(
+            le.select(F.col("id_b").alias("node"), F.col("__lb").alias("__c"))
+        )
+        .groupBy("node", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    )
+    dc = deg.groupBy("__c").agg(F.sum("__d").cast("long").alias("__dsum"))
+    agg = (
+        dc.join(intra, "__c", "left")
+        .agg(
+            F.sum(F.coalesce("__ec", F.lit(0))).cast("long").alias("sum_ec"),
+            F.sum(F.col("__dsum") * F.col("__dsum"))
+            .cast("long")
+            .alias("sum_d2"),
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+        )
+    )
+    return m.crossJoin(agg).select(
+        F.col("m").alias("n_edges"),
+        F.col("sum_ec").alias("n_intra"),
+        (F.col("m") - F.col("sum_ec")).cast("long").alias("n_inter"),
+        "n_communities",
+        F.round(
+            (
+                F.lit(4) * F.col("m") * F.col("sum_ec") - F.col("sum_d2")
+            ).cast("double")
+            / (F.lit(4) * F.col("m") * F.col("m")).cast("double"),
+            6,
+        ).alias("q_modularity"),
+    )

@@ -1182,3 +1182,42 @@ def q_b26_temporal_split(spark, sf_dir):
             6,
         ).alias("leakage_share"),
     )
+
+
+def q_b28_cluster_balanced(spark, sf_dir):
+    """Cluster-balanced sampling (B28 × B20, r10): embedding-space
+    diversity quotas — assign every vector with the bit-exact k-means
+    (k=4, 3 rounds, the b20_kmeans kernel), then take at most 50 per
+    cluster by hash-rank (the deterministic coin) so no embedding
+    region dominates the training mix; the report carries per-cluster
+    member/sample counts, the sampled share, and the sampled-id sum as
+    the selection checksum. This is the topic-diversity companion to
+    source-level quotas (b26_exact_quota): quota keys come from the
+    LEARNED space, not metadata."""
+    from pyspark.sql import Window
+
+    QUOTA = 50
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_exact(emb, k=4, iters=3)
+    u = dedup.portable_hash60(
+        F.concat(F.lit("cb:"), F.col("vec_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__u").asc(), F.col("vec_id").asc()
+    )
+    ranked = assign.withColumn("__u", u).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    sampled = F.col("__rn") <= QUOTA
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.round(
+            F.sum(F.when(sampled, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("sampled_share"),
+        F.sum(F.when(sampled, F.col("vec_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_sampled_ids"),
+    )

@@ -763,4 +763,42 @@ SQL = {
             FROM sc ORDER BY jaccard_micros DESC, s1 ASC, s2 ASC LIMIT 20
         """,
     "b30_ppr": _ppr_oracle_sql(),
+    "b30_modularity": f"""
+        WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql(0.5)}),
+        labels AS ({_dup_clusters_oracle_sql()}),
+        e AS (SELECT id_a, id_b FROM pf),
+        le AS (
+          SELECT e.id_a, e.id_b,
+                 coalesce(la.cluster_id, e.id_a) AS ca,
+                 coalesce(lb.cluster_id, e.id_b) AS cb
+          FROM e
+          LEFT JOIN labels la ON la.doc_id = e.id_a
+          LEFT JOIN labels lb ON lb.doc_id = e.id_b
+        ),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM le),
+        intra AS (
+          SELECT ca AS c, CAST(count(*) AS BIGINT) AS ec
+          FROM le WHERE ca = cb GROUP BY ca
+        ),
+        deg AS (
+          SELECT node, c, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT id_a AS node, ca AS c FROM le
+            UNION ALL
+            SELECT id_b AS node, cb AS c FROM le
+          ) GROUP BY node, c
+        ),
+        dc AS (SELECT c, CAST(sum(d) AS BIGINT) AS dsum FROM deg GROUP BY c),
+        agg AS (
+          SELECT CAST(sum(coalesce(intra.ec, 0)) AS BIGINT) AS sum_ec,
+                 CAST(sum(dc.dsum * dc.dsum) AS BIGINT) AS sum_d2,
+                 CAST(count(*) AS BIGINT) AS n_communities
+          FROM dc LEFT JOIN intra ON intra.c = dc.c
+        )
+        SELECT m.m AS n_edges, agg.sum_ec AS n_intra,
+               CAST(m.m - agg.sum_ec AS BIGINT) AS n_inter,
+               agg.n_communities,
+               round(CAST(4 * m.m * agg.sum_ec - agg.sum_d2 AS DOUBLE)
+                     / CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_modularity
+        FROM m, agg
+    """,
 }

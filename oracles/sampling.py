@@ -697,4 +697,23 @@ SQL = {
                           AS DOUBLE) / count(*), 6) AS leakage_share
         FROM per_user GROUP BY event_type
     """,
+    "b28_cluster_balanced": f"""
+        WITH km AS ({_kmeans_oracle_sql()}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY CAST('0x' || substr(md5('cb:' ||
+                     CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                   vec_id) AS rn
+          FROM km
+        )
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sampled,
+               round(CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS sampled_share,
+               CAST(sum(CASE WHEN rn <= 50 THEN vec_id ELSE 0 END)
+                    AS BIGINT) AS sum_sampled_ids
+        FROM ranked GROUP BY cluster_id
+    """,
 }
