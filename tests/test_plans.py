@@ -587,3 +587,26 @@ def test_span_dups_is_linear_no_pair_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "b19_span_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_takeordered_not_sort(spark, sf_dir):
+    # r10 wave 4: the global top-50 must be per-partition heaps + a
+    # driver merge, never a whole-corpus range-partitioned sort
+    plan = _plan(spark, sf_dir, "b26_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kmv_global_row_is_bounded(spark, sf_dir):
+    # r10 wave 4: the '__ALL__' row's 16-smallest must come from
+    # TakeOrdered limits, and nothing in the plan may cartesian beyond
+    # the two documented 1-row aggregate cross joins
+    plan = _plan(spark, sf_dir, "b27_kmv_sketch")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_and_v7_no_cartesian(spark, sf_dir):
+    for name in ("b30_modularity", "b24_corpus_v7"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
