@@ -391,6 +391,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 7 ---------------------------------------------
         "b30_modularity": q_b30_modularity,
         "b28_cluster_balanced": q_b28_cluster_balanced,
+        # --- round 10 wave 8 ---------------------------------------------
+        "b22_audio_decimate": q_b22_audio_decimate,
+        "b25_sql_pivot": q_b25_sql_pivot,
     }
 
 

@@ -302,3 +302,17 @@ def q_b22_image_patches(spark, sf_dir):
         F.max_by("py", key).cast("int").alias("max_py"),
         F.max_by("px", key).cast("int").alias("max_px"),
     )
+
+
+def q_b22_audio_decimate(spark, sf_dir):
+    """Audio 2× downsample (B22 depth, r10 — multimodal.audio_decimate):
+    per synthesized PCM waveform, integer stats of the pair-averaged
+    decimated wave (n in/out, sum, Σ|x|, max). Sample i of doc id is
+    ((id·7 + i·13) mod 4096) − 2048 with n = 800 + (id%5)·160, so the
+    oracle replays decode + biased-average decimation in closed form —
+    the driver row certifies the byte path end to end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.audio_decimate(multimodal.synth_pcm(docs))
+    return out.select(
+        "doc_id", "n_in", "n_out", "sum_out", "sum_abs_out", "max_out"
+    )

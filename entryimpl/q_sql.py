@@ -53,3 +53,20 @@ q_b25_sql_window = _sql_query(_SQL_WINDOW_FUNCS, "lineitem")
 #: (l_orderkey, l_linenumber) pair alone is NOT unique in the fixture),
 #: so both engines pick identical rows. Oracle = the same SQL verbatim.
 q_b25_sql_lateral = _sql_query(_SQL_LATERAL, "orders", "lineitem")
+
+
+#: SQL PIVOT surface (B25 depth, r10): Spark's PIVOT clause turning
+#: order-status rows into columns with per-priority counts. The oracle
+#: intentionally uses conditional aggregation (FILTER) instead — the
+#: contract is identical RESULTS, not identical dialect, and pinning
+#: both spellings documents the translation a reference user needs.
+_SQL_PIVOT = """
+SELECT o_orderpriority, status_o, status_f, status_p
+FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+PIVOT (
+  CAST(count(*) AS BIGINT)
+  FOR o_orderstatus IN ('O' AS status_o, 'F' AS status_f, 'P' AS status_p)
+)
+"""
+
+q_b25_sql_pivot = _sql_query(_SQL_PIVOT, "orders")

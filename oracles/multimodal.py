@@ -309,4 +309,28 @@ SQL = {
                CAST(max_by(px_, k) AS INTEGER) AS max_px
         FROM lum GROUP BY doc_id
     """,
+    "b22_audio_decimate": """
+        -- closed-form replay of synth_pcm + pair-average decimation:
+        -- sample i = ((id*7 + i*13) % 4096) - 2048, n = 800+(id%5)*160;
+        -- out j = (biased(2j) + biased(2j+1)) // 2 - 2048 on the +2048
+        -- NON-NEGATIVE bias so DuckDB's truncating // equals floor
+        WITH d AS (
+          SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+        ),
+        o AS (
+          SELECT doc_id, n, j,
+                 (((doc_id * 7 + (2*j) * 13) % 4096)
+                  + ((doc_id * 7 + (2*j + 1) * 13) % 4096)) // 2
+                 - 2048 AS v
+          FROM d, generate_series(0, 719) g(j)
+          WHERE j < n // 2
+        )
+        SELECT doc_id,
+               CAST(min(n) AS BIGINT) AS n_in,
+               CAST(count(*) AS BIGINT) AS n_out,
+               CAST(sum(v) AS BIGINT) AS sum_out,
+               CAST(sum(abs(v)) AS BIGINT) AS sum_abs_out,
+               CAST(max(v) AS BIGINT) AS max_out
+        FROM o GROUP BY doc_id
+    """,
 }

@@ -29,4 +29,14 @@ SQL = {
         "b25_sql_cte_top_supplier": _SQL_CTE_TOP_SUPPLIER,
         "b25_sql_recursive": _RECURSIVE_SQL,
     "b25_sql_lateral": _SQL_LATERAL,
+    "b25_sql_pivot": """
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                 AS status_o,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                 AS status_f,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT)
+                 AS status_p
+        FROM orders GROUP BY o_orderpriority
+    """,
 }

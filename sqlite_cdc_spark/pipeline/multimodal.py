@@ -765,6 +765,84 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
+#: output of audio_decimate: integer stats of the 2x-downsampled wave
+DECIMATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_in", T.LongType(), True),
+        T.StructField("n_out", T.LongType(), True),
+        T.StructField("sum_out", T.LongType(), True),
+        T.StructField("sum_abs_out", T.LongType(), True),
+        T.StructField("max_out", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_decimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """GENUINE audio 2× downsample — the resample step every audio
+    corpus runs to normalize sample rates: s16le payload decoded with
+    numpy, each output sample the pair average ``floor((x[2j] +
+    x[2j+1]) / 2)`` (a boxcar low-pass, the honest crude anti-alias;
+    a production path would use a longer FIR — the BYTE→vector→stride
+    plumbing is what this operator makes real). The floor is computed
+    on the +2048-biased NON-NEGATIVE values so truncating and flooring
+    agree — the cross-engine negative-division trap documented by the
+    pagerank fdiv rule, avoided instead of special-cased. Integer
+    stats of the decimated wave ride along so the whole path replays
+    bit-exact. Odd-length payloads → ``decode_ok false``. Arrow-batched
+    ``mapInPandas``, narrow, scan-shaped."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in DECIMATE_SCHEMA.fieldNames()}
+            for did, buf in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                rows["doc_id"].append(int(did))
+                b = bytes(buf)
+                if len(b) % 2:
+                    for k in ("n_in", "n_out", "sum_out", "sum_abs_out",
+                              "max_out"):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+                    continue
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                n = x.size
+                half = n // 2
+                pairs = x[: half * 2].reshape(half, 2)
+                biased = pairs + 2048  # non-negative: trunc == floor
+                out = (biased[:, 0] + biased[:, 1]) // 2 - 2048
+                rows["n_in"].append(int(n))
+                rows["n_out"].append(int(half))
+                rows["sum_out"].append(int(out.sum()))
+                rows["sum_abs_out"].append(int(np.abs(out).sum()))
+                rows["max_out"].append(int(out.max()) if half else None)
+                rows["decode_ok"].append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "n_in": pd.array(rows["n_in"], dtype="Int64"),
+                    "n_out": pd.array(rows["n_out"], dtype="Int64"),
+                    "sum_out": pd.array(rows["sum_out"], dtype="Int64"),
+                    "sum_abs_out": pd.array(
+                        rows["sum_abs_out"], dtype="Int64"
+                    ),
+                    "max_out": pd.array(rows["max_out"], dtype="Int64"),
+                    "decode_ok": rows["decode_ok"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, DECIMATE_SCHEMA)
+
+
 def audio_stats(
     df: DataFrame,
     id_col: str = "doc_id",
