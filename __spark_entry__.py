@@ -394,6 +394,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 8 ---------------------------------------------
         "b22_audio_decimate": q_b22_audio_decimate,
         "b25_sql_pivot": q_b25_sql_pivot,
+        "b21_filter_matrix": q_b21_filter_matrix,
     }
 
 

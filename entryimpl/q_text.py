@@ -721,3 +721,73 @@ def q_b21_blocklist(spark, sf_dir):
         .cast("long")
         .alias("max_terms_in_doc"),
     )
+
+
+def q_b21_filter_matrix(spark, sf_dir):
+    """Quality-filter rule matrix (B21 depth, r10 — the Gopher-style
+    rule breakdown a corpus build reads before committing thresholds):
+    four integer-compare rules — too short (n_tok < 25), low lexical
+    diversity (2·distinct < total), repetition (top-token share > 12%,
+    as 100·topc > 12·n), too long (n_tok > 90) — with per-rule kill
+    counts AND the overlap reads that decide whether rules are
+    redundant: docs failing ANY rule, and docs failing ≥ 2. One
+    tokenize pass + one per-doc top-token window + one agg; every rule
+    decision is an integer compare, so no float threshold can drift
+    across engines. Output: (rule, n_failed, fail_share)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = textops.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.explode(toks).alias("tok"),
+    )
+    topc = (
+        base.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__topc"))
+    )
+    per = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("__nt"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__nd"),
+    ).join(topc, "doc_id")
+    flags = per.select(
+        (F.col("__nt") < 25).alias("r_short"),
+        (F.col("__nd") * 2 < F.col("__nt")).alias("r_lowdiv"),
+        (F.col("__topc") * 100 > F.col("__nt") * 12).alias("r_rep"),
+        (F.col("__nt") > 90).alias("r_long"),
+    ).select(
+        "*",
+        (
+            F.col("r_short") | F.col("r_lowdiv") | F.col("r_rep")
+            | F.col("r_long")
+        ).alias("r_any"),
+        (
+            F.col("r_short").cast("int")
+            + F.col("r_lowdiv").cast("int")
+            + F.col("r_rep").cast("int")
+            + F.col("r_long").cast("int")
+            >= 2
+        ).alias("r_multi"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).cast("long")).alias(c)
+            for c in ("r_short", "r_lowdiv", "r_rep", "r_long", "r_any",
+                      "r_multi")
+        ],
+    )
+    stacked = agg.selectExpr(
+        "__n",
+        "stack(6, 'short', r_short, 'low_diversity', r_lowdiv, "
+        "'repetition', r_rep, 'long', r_long, 'any', r_any, "
+        "'multi', r_multi) AS (rule, n_failed)",
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.round(F.col("n_failed").cast("double") / F.col("__n"), 6).alias(
+            "fail_share"
+        ),
+    )

@@ -707,4 +707,58 @@ SQL = {
                  AS max_terms_in_doc
         FROM totals t LEFT JOIN flagged f USING (source)
     """,
+    "b21_filter_matrix": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        topc AS (
+          SELECT doc_id, max(c) AS topc FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+          ) GROUP BY doc_id
+        ),
+        per AS (
+          SELECT t.doc_id,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+                 topc.topc
+          FROM t JOIN topc USING (doc_id)
+        ),
+        flags AS (
+          SELECT nt < 25 AS r_short,
+                 nd * 2 < nt AS r_lowdiv,
+                 topc * 100 > nt * 12 AS r_rep,
+                 nt > 90 AS r_long
+          FROM per
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_short,
+                 CAST(sum(CASE WHEN r_lowdiv THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_lowdiv,
+                 CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_rep,
+                 CAST(sum(CASE WHEN r_long THEN 1 ELSE 0 END) AS BIGINT)
+                   AS s_long,
+                 CAST(sum(CASE WHEN r_short OR r_lowdiv OR r_rep OR r_long
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s_any,
+                 CAST(sum(CASE WHEN (CASE WHEN r_short THEN 1 ELSE 0 END
+                                   + CASE WHEN r_lowdiv THEN 1 ELSE 0 END
+                                   + CASE WHEN r_rep THEN 1 ELSE 0 END
+                                   + CASE WHEN r_long THEN 1 ELSE 0 END) >= 2
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s_multi
+          FROM flags
+        )
+        SELECT rule, n_failed,
+               round(CAST(n_failed AS DOUBLE) / n, 6) AS fail_share
+        FROM (
+          SELECT n, unnest(['short', 'low_diversity', 'repetition', 'long',
+                            'any', 'multi']) AS rule,
+                 unnest([s_short, s_lowdiv, s_rep, s_long, s_any, s_multi])
+                   AS n_failed
+          FROM agg
+        )
+    """,
 }
