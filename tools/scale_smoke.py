@@ -793,6 +793,48 @@ def r9_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r10_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-10-wave families with genuinely NEW scale shapes: the
+    span-duplication screen (fingerprint rows → fp-keyed distinct-doc
+    agg joined back — linear, no pairwise join), MOSS winnowing
+    (two doc-keyed window passes + the sequence-explode argmin
+    equi-join), ViT patchify (mapInPandas reshape-sum, rows-out ∝
+    pixels/patch_area), and audio pair-average decimation. The other
+    r10 queries reuse already-smoked shapes (partitioned top-k windows,
+    pagerank's join+agg loop, TakeOrdered)."""
+    from sqlite_cdc_spark.pipeline import multimodal
+    from sqlite_cdc_spark.pipeline import text as textops2
+
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    def span_dups():
+        fps = textops2.fingerprint_rows(docs, "doc_id", "text", 16, 8)
+        shared = fps.groupBy("fp").agg(
+            F.count_distinct("doc_id").alias("nd")
+        )
+        fps.join(shared.hint("shuffle_hash"), "fp").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("d"),
+        ).write.format("noop").mode("overwrite").save()
+
+    run("span_dups", span_dups)
+    run("winnowing", lambda: textops2.winnowed_fingerprints(
+        docs, "doc_id", k=3, window=4)
+        .write.format("noop").mode("overwrite").save())
+    ids = docs.select("doc_id")
+    run("image_patchify", lambda: multimodal.image_patches(
+        multimodal.synth_ppm(ids), patch_h=2, patch_w=2)
+        .write.format("noop").mode("overwrite").save())
+    run("audio_decimate", lambda: multimodal.audio_decimate(
+        multimodal.synth_pcm(ids))
+        .write.format("noop").mode("overwrite").save())
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -841,6 +883,7 @@ def main():
             results[label].update(r7_ops(spark, path, dpath, rows))
             results[label].update(r8_ops(spark, dpath, rows))
             results[label].update(r9_ops(spark, dpath, rows))
+            results[label].update(r10_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
