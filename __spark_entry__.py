@@ -395,6 +395,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_audio_decimate": q_b22_audio_decimate,
         "b25_sql_pivot": q_b25_sql_pivot,
         "b21_filter_matrix": q_b21_filter_matrix,
+        # --- round 10 wave 10 --------------------------------------------
+        "b1_out_of_order": q_b1_out_of_order,
+        "b19_threshold_curve": q_b19_threshold_curve,
     }
 
 

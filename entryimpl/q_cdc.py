@@ -520,3 +520,31 @@ def q_b3_slo_burn(spark, sf_dir):
         .alias("err_rate_micros"),
         (F.sum("__e") * 50 > F.count(F.lit(1))).alias("page_alert"),
     )
+
+
+def q_b1_out_of_order(spark, sf_dir):
+    """Out-of-order replica convergence (B1 depth, r10 —
+    derive.apply_changes_guarded): split the change log by id parity
+    and apply the batches in the WRONG order (odd-id batch first, then
+    the even-id batch containing many per-key STALE changes); the
+    version-guarded, tombstone-retaining merge must still converge to
+    the in-order ground truth — which is exactly what the oracle
+    computes directly (latest change per user, deletes dropped at
+    read). Order-independence is structural: each merge is
+    latest-version-wins compaction over state ∪ batch, a max-id
+    semilattice."""
+    ch = _events_changes(spark, sf_dir)
+    odd = ch.filter(F.col("id") % 2 == 1)
+    even = ch.filter(F.col("id") % 2 == 0)
+    state = derive.empty_guarded_state(
+        spark, "user_id bigint, event_type string, value double"
+    )
+    state = derive.apply_changes_guarded(state, odd, ["user_id"])
+    state = derive.apply_changes_guarded(state, even, ["user_id"])
+    return state.filter(F.col("_op") != "DELETE").select(
+        "user_id",
+        F.col("_version").alias("last_id"),
+        F.col("_op").alias("last_op"),
+        "event_type",
+        F.col("value").alias("last_value"),
+    )

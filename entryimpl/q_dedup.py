@@ -832,3 +832,40 @@ def q_b19_span_dups(spark, sf_dir):
             .alias("heavy_dup_docs"),
         )
     )
+
+
+def q_b19_threshold_curve(spark, sf_dir):
+    """Dedup threshold-sensitivity curve (B19 depth, r10): pair and
+    affected-doc counts at Jaccard thresholds 0.5–0.9 from ONE exact
+    set-similarity pass at the loosest threshold — the tuning read
+    that decides a dedup threshold BEFORE committing a corpus build
+    (each threshold is a filter over the same scored pair relation,
+    never a re-run). Thresholds compare the round-6 jaccard both
+    engines already agree on."""
+    docs = _t(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = dedup.set_similarity_join(
+        corpus, "doc_id", "text", threshold=0.5
+    ).localCheckpoint()
+    grid = spark.createDataFrame(
+        [(t / 10.0,) for t in range(5, 10)], "threshold double"
+    )
+    qual = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    docs_hit = (
+        qual.select("threshold", F.col("id_a").alias("d"))
+        .unionAll(qual.select("threshold", F.col("id_b").alias("d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    return (
+        qual.groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .join(docs_hit, "threshold")
+        .select("threshold", "n_pairs", "n_docs")
+    )

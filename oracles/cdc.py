@@ -408,4 +408,27 @@ SQL = {
                    sum(e) * 50 > count(*) AS page_alert
             FROM w GROUP BY win6h
         """,
+    "b1_out_of_order": f"""
+        WITH changes AS ({_EVENTS_CHANGES_SQL}),
+        keyed AS (
+          SELECT id, operation,
+                 CAST(json_extract_string(coalesce(after, before),
+                                          '$.user_id') AS BIGINT) AS user_id,
+                 json_extract_string(coalesce(after, before),
+                                     '$.event_type') AS event_type,
+                 CAST(json_extract_string(coalesce(after, before),
+                                          '$.value') AS DOUBLE) AS value
+          FROM changes
+        ),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY id DESC) AS rn
+            FROM keyed
+          ) WHERE rn = 1
+        )
+        SELECT user_id, id AS last_id, operation AS last_op, event_type,
+               value AS last_value
+        FROM latest WHERE operation <> 'DELETE'
+    """,
 }

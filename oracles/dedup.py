@@ -423,4 +423,23 @@ SQL = {
         FROM per_doc pd JOIN documents d USING (doc_id)
         GROUP BY d.source
     """,
+    "b19_threshold_curve": f"""
+        WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql(0.5)}),
+        grid AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        qual AS (
+          SELECT g.threshold, pf.id_a, pf.id_b
+          FROM pf, grid g WHERE pf.jaccard >= g.threshold
+        ),
+        dh AS (
+          SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+          FROM (
+            SELECT threshold, id_a AS d FROM qual
+            UNION ALL
+            SELECT threshold, id_b FROM qual
+          ) GROUP BY threshold
+        )
+        SELECT q.threshold, CAST(count(*) AS BIGINT) AS n_pairs, dh.n_docs
+        FROM qual q JOIN dh ON dh.threshold = q.threshold
+        GROUP BY q.threshold, dh.n_docs
+    """,
 }

@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .model import OP_DELETE, OP_INSERT, OP_UPDATE
 
@@ -275,6 +276,60 @@ def apply_changes(
         *[F.col(f"__row.{c}").alias(c) for c in state.columns]
     )
     return survivors.unionByName(upserts)
+
+
+def apply_changes_guarded(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    id_col: str = "id",
+) -> DataFrame:
+    """Out-of-order-safe replica merge — :func:`apply_changes` for logs
+    whose batches can arrive LATE or be REPLAYED (retries, backfills,
+    multi-source logs): the state keeps per-key ``_op``/``_version``
+    columns (version = last applied change id), DELETEs persist as
+    TOMBSTONE rows rather than physical removals, and each merge is
+    simply latest-version-wins compaction over ``state ∪ batch`` — so
+    applying batches in ANY order converges to the same state (the
+    algebra is a max-id semilattice; order-independence is structural,
+    not procedural). Tombstones are what make replay safe: a physical
+    delete would let a stale pre-delete INSERT resurrect the key — the
+    classic log-compacted-replica rule (tested). Read the replica with
+    ``.filter(col('_op') != 'DELETE')``.
+
+    Scale: one union + one keyed window per merge (bounded rows per
+    key); batches shuffle on the key, the state side reuses the same
+    partitioning across merges.
+    """
+    data_fields = [
+        f for f in state.schema.fields if f.name not in ("_op", "_version")
+    ]
+    schema = T.StructType(data_fields)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    parsed = changes.select(
+        F.col("operation").alias("_op"),
+        F.col(id_col).cast("long").alias("_version"),
+        F.from_json(img, schema).alias("__row"),
+    ).select(
+        *[F.col(f"__row.{f.name}").alias(f.name) for f in data_fields],
+        "_op",
+        "_version",
+    )
+    merged = state.unionByName(parsed)
+    w = Window.partitionBy(*keys).orderBy(F.col("_version").desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def empty_guarded_state(spark, schema_ddl: str) -> DataFrame:
+    """An empty replica for :func:`apply_changes_guarded`: the data
+    columns plus the ``_op``/``_version`` bookkeeping pair."""
+    return spark.createDataFrame(
+        [], schema_ddl + ", _op string, _version long"
+    )
 
 
 def scd2(

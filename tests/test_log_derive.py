@@ -772,3 +772,50 @@ def test_incremental_join_view_both_sides_same_key(spark):
     gs = sorted(tuple(r) for r in got.select(sorted(got.columns)).collect())
     ws = sorted(tuple(r) for r in want.select(sorted(want.columns)).collect())
     assert gs == ws
+
+
+def test_apply_changes_guarded_out_of_order_and_tombstones(spark):
+    """Out-of-order replica merge (r10): a replayed STALE batch must not
+    overwrite newer state and must not resurrect a deleted key (the
+    tombstone rule); merge order must not matter."""
+    import datetime as dt
+
+    from sqlite_cdc_spark import derive
+
+    ts = dt.datetime(2024, 1, 1)
+    sch = (
+        "id long, timestamp timestamp, tablename string, operation string,"
+        " before string, after string"
+    )
+    newer = spark.createDataFrame(
+        [
+            (10, ts, "t", "UPDATE", None, '{"k":1,"v":"new"}'),
+            (11, ts, "t", "DELETE", '{"k":2,"v":"x"}', None),
+        ],
+        sch,
+    )
+    older = spark.createDataFrame(
+        [
+            (1, ts, "t", "INSERT", None, '{"k":1,"v":"old"}'),
+            (2, ts, "t", "INSERT", None, '{"k":2,"v":"dead"}'),
+            (3, ts, "t", "INSERT", None, '{"k":3,"v":"keep"}'),
+        ],
+        sch,
+    )
+    empty = derive.empty_guarded_state(spark, "k long, v string")
+
+    def final(*batches):
+        s = empty
+        for b in batches:
+            s = derive.apply_changes_guarded(s, b, ["k"])
+        return sorted((r.k, r.v, r._op, r._version) for r in s.collect())
+
+    want = [(1, "new", "UPDATE", 10), (2, "x", "DELETE", 11),
+            (3, "keep", "INSERT", 3)]
+    assert final(newer, older) == want  # stale replay after newer
+    assert final(older, newer) == want  # in-order
+    assert final(older, newer, older) == want  # full batch re-delivery
+    live = final(newer, older)
+    assert [(k, v) for k, v, op, _ in live if op != "DELETE"] == [
+        (1, "new"), (3, "keep"),
+    ]
