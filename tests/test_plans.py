@@ -610,3 +610,41 @@ def test_modularity_and_v7_no_cartesian(spark, sf_dir):
     for name in ("b30_modularity", "b24_corpus_v7"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_driver_materialization_policy():
+    """r10: the 'nothing collects an unbounded relation' policy the r9
+    verdict audited by hand is now machine-enforced — every real
+    .collect()/.toPandas()/.toLocalIterator() call in the engine and
+    registry sources must sit in this allowlist, each entry documenting
+    why the collected relation is bounded. A new unaudited call fails
+    here until its boundedness is argued and listed."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import scan_collect
+
+    ALLOW = {
+        # per-batch delivery IS the sink contract (handler receives rows)
+        "sqlite_cdc_spark/sinks.py": 4,
+        # keyset-pagination parity mode: single-node by definition,
+        # each page <= batch_size rows
+        "sqlite_cdc_spark/bootstrap.py": 2,
+        # CLI --search result print: top-k rows
+        "sqlite_cdc_spark/cli.py": 1,
+        # bloom bitmap words: <= n_words rows (~1 KB), guarded by m_bits
+        "sqlite_cdc_spark/derive.py": 1,
+        # ordered drain generator: hands bounded pages to a consumer
+        "sqlite_cdc_spark/log.py": 1,
+        # similarity: broadcast probe sets (bounded queries), IVF train
+        # sample (limit(sample_size)), d x d covariance + d-row means,
+        # k seed centroids + k x d centroid readback per k-means round
+        "sqlite_cdc_spark/pipeline/similarity.py": 6,
+    }
+    counts: dict = {}
+    for rel, _line in scan_collect.scan():
+        counts[rel] = counts.get(rel, 0) + 1
+    assert counts == ALLOW, (
+        f"driver-materialization sites changed: {counts} != {ALLOW}; "
+        "audit the new call's boundedness and update the allowlist"
+    )
