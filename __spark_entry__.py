@@ -398,6 +398,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 10 --------------------------------------------
         "b1_out_of_order": q_b1_out_of_order,
         "b19_threshold_curve": q_b19_threshold_curve,
+        # --- round 10 wave 11 --------------------------------------------
+        "b9_nearest_event": q_b9_nearest_event,
     }
 
 

@@ -882,3 +882,43 @@ def q_b8_dominant_supplier(spark, sf_dir):
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "n_dominated_parts", "dominated_qty")
     )
+
+
+def q_b9_nearest_event(spark, sf_dir):
+    """Bidirectional nearest-event join (B9 depth, r10 —
+    derive.nearest_join): each sampled order attaches the user's
+    single closest event by |Δt| within ±3 days, looking BOTH ways —
+    the sensor-alignment rule the backward-only as-of family can't
+    express (b9_asof_tolerance is the backward half). Candidates from
+    the (key, tolerance-bucket) equi-join with a 3-bucket probe
+    explode — complete for |Δt| ≤ T, fan-out bounded by bucket
+    density; exact integer micros end to end."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "ts", "event_id", "value"
+    )
+    # the fixture's order dates (1995-2001) don't overlap the event
+    # stream (Jan 2024): derive a deterministic in-window probe time
+    # from the keys instead — day = orderkey mod 30, hour = custkey
+    # mod 24 (the join semantics are what's under test, not the dates)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 100).alias("k"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_dt_interval(
+                    F.col("o_orderkey") % 30, F.col("o_custkey") % 24
+                )
+            ).alias("odate"),
+        )
+        .filter(F.col("o_orderkey") % 29 == 0)
+    )
+    out = derive.nearest_join(
+        o, ev, ["k"], "o_orderkey", "odate", "event_id", "ts",
+        tolerance_seconds=3 * 86400,
+    )
+    return out.select(
+        "o_orderkey", "k", "r_event_id", "dt_us",
+        F.round("r_value", 6).alias("nearest_value"),
+    )

@@ -451,4 +451,39 @@ SQL = {
                    d.dominated_qty
             FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
         """,
+    "b9_nearest_event": f"""
+        WITH ev AS (
+          SELECT user_id AS k, ts, event_id, value,
+                 CAST(epoch_us(ts) AS BIGINT) AS rt,
+                 CAST(epoch_us(ts) AS BIGINT) // 259200000000 AS rb
+          FROM events
+        ),
+        o AS (
+          SELECT o_orderkey, o_custkey % 100 AS k, lt, lt // 259200000000 AS b
+          FROM (
+            SELECT o_orderkey, o_custkey,
+                   CAST(epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                        + to_days(CAST(o_orderkey % 30 AS INTEGER))
+                        + to_hours(CAST(o_custkey % 24 AS INTEGER)))
+                        AS BIGINT) AS lt
+            FROM orders WHERE o_orderkey % 29 = 0
+          )
+        ),
+        cand AS (
+          SELECT o.o_orderkey, o.k, ev.event_id, ev.value,
+                 ev.rt - o.lt AS dt
+          FROM o
+          JOIN ev ON ev.k = o.k
+                 AND ev.rb BETWEEN o.b - 1 AND o.b + 1
+          WHERE abs(ev.rt - o.lt) <= 259200000000
+        )
+        SELECT o_orderkey, k, event_id AS r_event_id,
+               CAST(dt AS BIGINT) AS dt_us,
+               round(value, 6) AS nearest_value
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                 ORDER BY abs(dt), dt, event_id) AS rn
+          FROM cand
+        ) WHERE rn = 1
+    """,
 }

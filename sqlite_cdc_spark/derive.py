@@ -278,6 +278,83 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_id: str,
+    left_ts: str,
+    right_id: str,
+    right_ts: str,
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Bidirectional nearest-event join — the sensor-alignment /
+    feature-attach rule as-of joins can't express: each left row takes
+    the single right row (same keys) with the SMALLEST |Δt|, looking
+    BOTH directions, but only within the tolerance; ties break to the
+    earlier right timestamp. The classic uses: aligning two irregular
+    measurement streams, attaching the closest log line to an alert.
+
+    Scale shape: both sides bucket their epoch-micros by the tolerance
+    and candidates come from an EQUI-join on (keys, bucket) with the
+    left side exploding its 3 adjacent buckets — any |Δt| ≤ T pair
+    shares or neighbors a bucket, so the join is complete and fan-out
+    is bounded by per-bucket density, never a full time-range product.
+    All arithmetic in exact integer micros; one per-left top-1 window.
+
+    Output: left columns + ``r_ts``/``dt_us`` (signed right − left) and
+    the right's remaining columns prefixed ``r_``. ``right_id`` is the
+    final tie-break (same key, same |Δt|, same timestamp), making the
+    pick total and the result hash-stable.
+    """
+    T = int(tolerance_seconds) * 1_000_000
+    # NTZ-safe: cast to timestamp first (session tz is UTC in this
+    # engine's sessions; DuckDB's epoch_us on a naive timestamp agrees)
+    lt = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l = left.withColumn("__lt", lt).withColumn(
+        "__b", F.expr(f"unix_micros(cast({left_ts} as timestamp)) div {T}")
+    )
+    l = l.withColumn("__probe", F.explode(F.array(
+        F.col("__b") - 1, F.col("__b"), F.col("__b") + 1
+    )))
+    rcols = [c for c in right.columns if c not in keys]
+    r = right.withColumn("__rt", rt).withColumn(
+        "__rb", F.expr(f"unix_micros(cast({right_ts} as timestamp)) div {T}")
+    ).select(
+        *keys, "__rt", "__rb",
+        *[F.col(c).alias(f"r_{c}") for c in rcols],
+    )
+    L, R = l.alias("L"), r.alias("R")
+    cond = F.col("L.__probe") == F.col("R.__rb")
+    for k in keys:
+        cond = cond & (F.col(f"L.{k}") == F.col(f"R.{k}"))
+    cand = (
+        L.join(R, cond)
+        .select(
+            *[F.col(f"L.{c}") for c in left.columns],
+            F.col("L.__lt").alias("__lt"),
+            F.col("R.__rt").alias("__rt"),
+            *[F.col(f"R.r_{c}") for c in rcols],
+        )
+        .filter(F.abs(F.col("__rt") - F.col("__lt")) <= T)
+    )
+    w = Window.partitionBy(left_id).orderBy(
+        F.abs(F.col("__rt") - F.col("__lt")).asc(),
+        F.col("__rt").asc(),
+        F.col(f"r_{right_id}").asc(),
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *left.columns,
+            (F.col("__rt") - F.col("__lt")).alias("dt_us"),
+            *[f"r_{c}" for c in rcols],
+        )
+    )
+
+
 def apply_changes_guarded(
     state: DataFrame,
     changes: DataFrame,
