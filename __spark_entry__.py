@@ -400,6 +400,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b19_threshold_curve": q_b19_threshold_curve,
         # --- round 10 wave 11 --------------------------------------------
         "b9_nearest_event": q_b9_nearest_event,
+        "b22_media_scorecard": q_b22_media_scorecard,
     }
 
 

@@ -316,3 +316,61 @@ def q_b22_audio_decimate(spark, sf_dir):
     return out.select(
         "doc_id", "n_in", "n_out", "sum_out", "sum_abs_out", "max_out"
     )
+
+
+def q_b22_media_scorecard(spark, sf_dir):
+    """Multimodal health scorecard (B22 capstone, r10): the per-source
+    triage every media corpus runs before spending model compute —
+    composes the genuine image decode (integer Rec.601 luma) and audio
+    decode (amplitude/zero-crossing stats) into one report: dark-image
+    counts (luma below the mid-scale integer bound), clipped audio
+    (max |x| at the int16 rail), near-silent audio (mean |x| < 10% of
+    half-scale, as the integer cross-product sum_abs·10 < n·2048), and
+    the POOLED zero-crossing rate (Σzc/Σn — one division, no
+    mean-of-ratios drift). Every rule an integer compare over the
+    closed-form-oracled decode outputs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    img = multimodal.image_stats(multimodal.synth_ppm(docs.select("doc_id")))
+    aud = multimodal.audio_stats(multimodal.synth_pcm(docs.select("doc_id")))
+    per = (
+        docs.join(
+            img.select(
+                "doc_id", "src_w", "src_h", "luma_sum"
+            ),
+            "doc_id",
+        )
+        .join(
+            aud.select(
+                "doc_id", "n_samples", "sum_abs", "max_abs",
+                "zero_crossings",
+            ),
+            "doc_id",
+        )
+    )
+    dark = (
+        F.col("luma_sum")
+        < F.col("src_w").cast("long") * F.col("src_h") * F.lit(127500)
+    )
+    clipped = F.col("max_abs") >= 2040
+    silent = F.col("sum_abs") * 10 < F.col("n_samples") * 2048
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(dark, 1).otherwise(0)).cast("long").alias("n_dark_images"),
+        F.round(
+            F.sum(F.when(dark, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dark_share"),
+        F.sum(F.when(clipped, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_audio"),
+        F.sum(F.when(silent, 1).otherwise(0))
+        .cast("long")
+        .alias("n_silent_audio"),
+        F.round(
+            F.sum("zero_crossings").cast("double")
+            / F.sum("n_samples").cast("double"),
+            6,
+        ).alias("pooled_zcr"),
+        F.sum("luma_sum").cast("long").alias("total_luma"),
+    )

@@ -333,4 +333,78 @@ SQL = {
                CAST(max(v) AS BIGINT) AS max_out
         FROM o GROUP BY doc_id
     """,
+    "b22_media_scorecard": """
+        -- closed-form replay of synth_ppm+image_stats and
+        -- synth_pcm+audio_stats composed per source (same formulas as
+        -- the b22_image_stats / b22_audio_stats oracles)
+        WITH ipx AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                 CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS h
+          FROM documents
+        ),
+        iv AS (
+          SELECT doc_id, w, h, c,
+                 (doc_id * 31 + (y * w + x) * 3 + c) % 256 AS val
+          FROM ipx,
+               generate_series(0, 7) gy(y),
+               generate_series(0, 7) gx(x),
+               generate_series(0, 2) gc(c)
+          WHERE y < h AND x < w
+        ),
+        img AS (
+          SELECT doc_id, min(w) AS w, min(h) AS h,
+                 299 * sum(CASE WHEN c = 0 THEN val END)
+                 + 587 * sum(CASE WHEN c = 1 THEN val END)
+                 + 114 * sum(CASE WHEN c = 2 THEN val END) AS luma_sum
+          FROM iv GROUP BY doc_id
+        ),
+        apx AS (
+          SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+        ),
+        av AS (
+          SELECT doc_id, n, i,
+                 (doc_id * 7 + i * 13) % 4096 - 2048 AS val,
+                 CASE WHEN i >= 1
+                      THEN (doc_id * 7 + (i - 1) * 13) % 4096 - 2048
+                 END AS prev
+          FROM apx, generate_series(0, 1439) g(i)
+          WHERE i < n
+        ),
+        aud AS (
+          SELECT doc_id,
+                 CAST(min(n) AS BIGINT) AS n_samples,
+                 CAST(sum(abs(val)) AS BIGINT) AS sum_abs,
+                 CAST(max(abs(val)) AS BIGINT) AS max_abs,
+                 CAST(sum(CASE WHEN prev IS NOT NULL
+                               AND ((val < 0) <> (prev < 0))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS zc
+          FROM av GROUP BY doc_id
+        ),
+        per AS (
+          SELECT d.source,
+                 img.luma_sum,
+                 img.luma_sum < img.w * img.h * 127500 AS dark,
+                 aud.max_abs >= 2040 AS clipped,
+                 aud.sum_abs * 10 < aud.n_samples * 2048 AS silent,
+                 aud.zc, aud.n_samples
+          FROM documents d
+          JOIN img USING (doc_id)
+          JOIN aud USING (doc_id)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN dark THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dark_images,
+               round(CAST(sum(CASE WHEN dark THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS dark_share,
+               CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_audio,
+               CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_silent_audio,
+               round(CAST(sum(zc) AS DOUBLE) / CAST(sum(n_samples) AS DOUBLE),
+                     6) AS pooled_zcr,
+               CAST(sum(luma_sum) AS BIGINT) AS total_luma
+        FROM per GROUP BY source
+    """,
 }
