@@ -401,6 +401,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 11 --------------------------------------------
         "b9_nearest_event": q_b9_nearest_event,
         "b22_media_scorecard": q_b22_media_scorecard,
+        # --- round 10 wave 12 --------------------------------------------
+        "b7_promo_share": q_b7_promo_share,
+        "b8_supplier_part_counts": q_b8_supplier_part_counts,
     }
 
 

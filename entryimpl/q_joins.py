@@ -922,3 +922,61 @@ def q_b9_nearest_event(spark, sf_dir):
         "o_orderkey", "k", "r_event_id", "dt_us",
         F.round("r_value", 6).alias("nearest_value"),
     )
+
+
+def q_b7_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape (B7 depth, r10): monthly promo-revenue share —
+    the broadcast part-dim join feeding a conditional aggregate. The
+    per-row discounted price is a double PRODUCT (identical on both
+    engines), summed as exact DECIMAL(38,10) so the monthly totals
+    can't drift with shuffle order; the share is one final double
+    division, round 6."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    j = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"]
+    ).select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        (F.col("p_type") == "PROMO").alias("__promo"),
+        rev.alias("__rev"),
+    )
+    return j.groupBy("month").agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("__promo"), F.col("__rev")).otherwise(
+                F.lit(0).cast("decimal(38,10)")
+            )).cast("double")
+            / F.sum("__rev").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q_b8_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (B8 depth, r10): distinct-supplier counts per
+    (brand, type, size bucket) for everything EXCEPT one brand — the
+    assortment-breadth read. Supplier↔part pairs come from lineitem
+    (the fixture has no partsupp); the pair relation is distinct-ed
+    BEFORE the dimension join so the count-distinct agg sees minimal
+    rows, and the part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#4")
+        .select(
+            "p_partkey", "p_brand", "p_type",
+            F.expr("p_size div 10").cast("int").alias("size_bucket"),
+        )
+    )
+    pairs = li.distinct()
+    return (
+        pairs.join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "size_bucket")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

@@ -486,4 +486,29 @@ SQL = {
           FROM cand
         ) WHERE rn = 1
     """,
+    "b7_promo_share": """
+        SELECT date_trunc('month', l_shipdate)::DATE AS month,
+               round(100.0
+                     * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(l_extendedprice * (1.0 - l_discount)
+                                          AS DECIMAL(38,10))
+                                ELSE CAST(0 AS DECIMAL(38,10)) END)
+                            AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(38,10))) AS DOUBLE), 6)
+                 AS promo_share_pct,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    "b8_supplier_part_counts": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, CAST(p_size // 10 AS INTEGER) AS size_bucket,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#4'
+        GROUP BY 1, 2, 3
+    """,
 }
