@@ -404,6 +404,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 12 --------------------------------------------
         "b7_promo_share": q_b7_promo_share,
         "b8_supplier_part_counts": q_b8_supplier_part_counts,
+        "b3_freshness": q_b3_freshness,
     }
 
 

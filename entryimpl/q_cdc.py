@@ -548,3 +548,42 @@ def q_b1_out_of_order(spark, sf_dir):
         "event_type",
         F.col("value").alias("last_value"),
     )
+
+
+def q_b3_freshness(spark, sf_dir):
+    """CDC freshness / staleness monitor (B3 depth, r10): per event
+    type — last-change timestamp, integer minutes of lag against the
+    fixture's frozen "now" (the max ts in the log: a deterministic
+    anchor both engines compute identically), and the day-over-day
+    change-rate ratio for the final two days (the stalled-pipeline
+    screen: lag jumps and the ratio collapses). One keyed agg over the
+    log plus a 1-row max-ts anchor broadcast back; lag in exact
+    integer minutes, ratio = one division of exact counts, round 6."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    anchor = ev.agg(F.max("ts").alias("__now"))
+    j = ev.crossJoin(F.broadcast(anchor))
+    day = F.expr(
+        "(unix_micros(cast(__now as timestamp))"
+        " - unix_micros(cast(ts as timestamp))) div 86400000000"
+    )
+    per = j.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.expr(
+            "CAST(min((unix_micros(cast(__now as timestamp))"
+            " - unix_micros(cast(ts as timestamp))) div 60000000) AS BIGINT)"
+        ).alias("lag_minutes"),
+        F.sum(F.when(day == 0, 1).otherwise(0)).cast("long").alias("n_last_day"),
+        F.sum(F.when(day == 1, 1).otherwise(0)).cast("long").alias("n_prev_day"),
+    )
+    return per.select(
+        "event_type",
+        "last_ts",
+        "lag_minutes",
+        "n_last_day",
+        "n_prev_day",
+        F.round(
+            F.col("n_last_day").cast("double")
+            / F.greatest(F.col("n_prev_day"), F.lit(1)).cast("double"),
+            6,
+        ).alias("day_over_day"),
+    )

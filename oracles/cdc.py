@@ -431,4 +431,28 @@ SQL = {
                value AS last_value
         FROM latest WHERE operation <> 'DELETE'
     """,
+    "b3_freshness": """
+        WITH anchor AS (
+          SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS now_us, max(ts) AS mx
+          FROM events
+        ),
+        j AS (
+          SELECT event_type, ts,
+                 (a.now_us - CAST(epoch_us(ts) AS BIGINT)) AS lag_us
+          FROM events, anchor a
+        )
+        SELECT event_type,
+               max(ts) AS last_ts,
+               CAST(min(lag_us // 60000000) AS BIGINT) AS lag_minutes,
+               CAST(sum(CASE WHEN lag_us // 86400000000 = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_last_day,
+               CAST(sum(CASE WHEN lag_us // 86400000000 = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_prev_day,
+               round(CAST(sum(CASE WHEN lag_us // 86400000000 = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / greatest(CAST(sum(CASE WHEN lag_us // 86400000000 = 1
+                                     THEN 1 ELSE 0 END) AS DOUBLE), 1.0), 6)
+                 AS day_over_day
+        FROM j GROUP BY event_type
+    """,
 }
