@@ -379,12 +379,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_blocklist": q_b21_blocklist,
         # --- round 10 wave 4 ---------------------------------------------
         "b25_sql_lateral": q_b25_sql_lateral,
-        "b26_weighted_sample": q_b26_weighted_sample,
         "b27_kmv_sketch": q_b27_kmv_sketch,
         # --- round 10 wave 5 ---------------------------------------------
         "b30_ppr": q_b30_ppr,
         "b14_hof_funcs": q_b14_hof_funcs,
-        "b26_temporal_split": q_b26_temporal_split,
+        "b26_leakage_audit": q_b26_leakage_audit,
         # --- round 10 wave 6 ---------------------------------------------
         "b22_image_patches": q_b22_image_patches,
         "b24_corpus_v7": q_b24_corpus_v7,
@@ -404,7 +403,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 10 wave 12 --------------------------------------------
         "b7_promo_share": q_b7_promo_share,
         "b8_supplier_part_counts": q_b8_supplier_part_counts,
-        "b3_freshness": q_b3_freshness,
+        "b3_staleness_trend": q_b3_staleness_trend,
     }
 
 

@@ -550,8 +550,9 @@ def q_b1_out_of_order(spark, sf_dir):
     )
 
 
-def q_b3_freshness(spark, sf_dir):
-    """CDC freshness / staleness monitor (B3 depth, r10): per event
+def q_b3_staleness_trend(spark, sf_dir):
+    """Staleness TREND monitor (B3 depth, r10 — b3_freshness reports
+    the instantaneous lag; this adds the trajectory): per event
     type — last-change timestamp, integer minutes of lag against the
     fixture's frozen "now" (the max ts in the log: a deterministic
     anchor both engines compute identically), and the day-over-day

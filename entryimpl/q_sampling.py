@@ -1020,42 +1020,6 @@ def q_b28_quality_knapsack(spark, sf_dir):
     )
 
 
-def q_b26_weighted_sample(spark, sf_dir):
-    """Weighted sampling without replacement (B26 depth, r10 —
-    Efraimidis–Spirakis A-ES): each doc draws u ∈ (0,1) from the
-    portable 60-bit hash and competes with key ln(u)/w (w = n_chars;
-    order-equivalent to u^(1/w)); the top-50 keys ARE a weighted
-    sample without replacement — one pass, no rejection loop, the
-    only distributed way to weighted-sample a 100 TB corpus. Keys are
-    round-6 BEFORE ranking with a doc_id tie-break (ln differs by ≤1
-    ulp across engines — the r5 float-parity rule), so both engines
-    select identical rows. Output ordered by rank."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    u = (
-        F.pmod(dedup.portable_hash60(F.concat(F.lit("ws:"), F.col("doc_id"))),
-               F.lit(2**53))
-        + F.lit(1)
-    ).cast("double") / F.lit(float(2**53))
-    keyed = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.round(F.log(u) / F.col("n_chars").cast("double"), 6).alias("__k"),
-    )
-    # exact top-50: TakeOrdered (per-partition heaps, driver merge) then
-    # a row_number over only the 50 survivors — the registry's bounded
-    # idiom for global top-k, never a whole-corpus sort
-    w = Window.orderBy(F.col("__k").desc(), F.col("doc_id").asc())
-    return (
-        keyed.orderBy(F.col("__k").desc(), F.col("doc_id").asc())
-        .limit(50)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "doc_id", "source", "n_chars", F.col("__k").alias("key"))
-    )
-
-
 def q_b27_kmv_sketch(spark, sf_dir):
     """KMV (k-minimum-values) distinct sketch with the merge invariant
     in-row (B27 depth, r10 — the third mergeable cardinality sketch
@@ -1137,11 +1101,11 @@ def q_b27_kmv_sketch(spark, sf_dir):
     return per_source.unionByName(g)
 
 
-def q_b26_temporal_split(spark, sf_dir):
-    """Temporal train/test split + leakage audit (B26 depth, r10): the
-    time-based split every forecasting/recsys dataset needs (train
-    strictly before the cut, test at-or-after), with the per-entity
-    leakage read random splits can't give — per event type: row counts
+def q_b26_leakage_audit(spark, sf_dir):
+    """Leakage audit of a NAIVE temporal cut (B26 depth, r10 — the
+    diagnosis b26_temporal_split's embargo+purge then FIXES): train
+    strictly before the cut, test at-or-after, with the per-entity
+    overlap read random splits can't give — per event type: row counts
     on each side, users active on BOTH sides (the entity-overlap that
     leaks future behavior into training features), and each side's
     exclusive user counts. Two filtered keyed aggs + one full-outer

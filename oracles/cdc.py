@@ -431,7 +431,7 @@ SQL = {
                value AS last_value
         FROM latest WHERE operation <> 'DELETE'
     """,
-    "b3_freshness": """
+    "b3_staleness_trend": """
         WITH anchor AS (
           SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS now_us, max(ts) AS mx
           FROM events

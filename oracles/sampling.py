@@ -616,22 +616,6 @@ SQL = {
                  AS cutoff_ndist
         FROM ranked GROUP BY source
     """,
-    "b26_weighted_sample": """
-        WITH keyed AS (
-          SELECT doc_id, source, n_chars,
-                 round(ln((CAST('0x' || substr(md5('ws:' ||
-                           CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-                           % 9007199254740992 + 1) / 9007199254740992.0)
-                       / CAST(n_chars AS DOUBLE), 6) AS k
-          FROM documents
-        )
-        SELECT rank, doc_id, source, n_chars, key FROM (
-          SELECT doc_id, source, n_chars, k AS key,
-                 CAST(row_number() OVER (ORDER BY k DESC, doc_id)
-                      AS INTEGER) AS rank
-          FROM keyed
-        ) WHERE rank <= 50
-    """,
     "b27_kmv_sketch": """
         WITH hashes AS (
           SELECT DISTINCT source,
@@ -675,7 +659,7 @@ SQL = {
                direct.kth_d = merged.kth_m
         FROM gn, direct, merged
     """,
-    "b26_temporal_split": """
+    "b26_leakage_audit": """
         WITH per_user AS (
           SELECT event_type, user_id,
                  sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'

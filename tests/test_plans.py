@@ -590,8 +590,8 @@ def test_span_dups_is_linear_no_pair_join(spark, sf_dir):
 
 
 def test_weighted_sample_is_takeordered_not_sort(spark, sf_dir):
-    # r10 wave 4: the global top-50 must be per-partition heaps + a
-    # driver merge, never a whole-corpus range-partitioned sort
+    # r10: the A-ES sample's global top-k must be per-partition heaps +
+    # a driver merge, never a whole-corpus range-partitioned sort
     plan = _plan(spark, sf_dir, "b26_weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
