@@ -67,3 +67,28 @@ def test_driver_window_is_exactly_50_known_names():
     assert unknown == []
     # the rotation must actually control the gate: queries() leads with it
     assert list(q)[:50] == window
+
+
+def test_registry_literal_has_no_duplicate_keys():
+    """r10: three r10 additions once reused round-6 names — the dict
+    literal silently deduped and the later same-named function SHADOWED
+    the original operator. Parse the literal and fail on any repeated
+    key so a collision surfaces as a test failure, not a silent
+    operator replacement."""
+    import re
+    from collections import Counter
+
+    src = open("__spark_entry__.py").read()
+    body = src[src.index("def _all_queries"):src.index("_R10_WINDOW")]
+    keys = re.findall(r'^\s{8}"([a-z0-9_]+)":', body, re.M)
+    dups = {k: c for k, c in Counter(keys).items() if c > 1}
+    assert not dups, f"duplicate registry keys: {dups}"
+    # and no two same-named q_ functions across entryimpl modules
+    import glob
+
+    defs = Counter()
+    for path in glob.glob("entryimpl/q_*.py"):
+        for m in re.finditer(r"^def (q_\w+)\(", open(path).read(), re.M):
+            defs[m.group(1)] += 1
+    shadowed = {k: c for k, c in defs.items() if c > 1}
+    assert not shadowed, f"shadowed query functions: {shadowed}"
