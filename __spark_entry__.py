@@ -404,6 +404,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b7_promo_share": q_b7_promo_share,
         "b8_supplier_part_counts": q_b8_supplier_part_counts,
         "b3_staleness_trend": q_b3_staleness_trend,
+        "b19_winnow_pairs": q_b19_winnow_pairs,
     }
 
 

@@ -869,3 +869,33 @@ def q_b19_threshold_curve(spark, sf_dir):
         .join(docs_hit, "threshold")
         .select("threshold", "n_pairs", "n_docs")
     )
+
+
+def q_b19_winnow_pairs(spark, sf_dir):
+    """Winnowing pair screen (B19 × B21, r10 — the plagiarism-detector
+    read on top of text.winnowed_fingerprints): doc pairs sharing ≥ 2
+    selected fingerprints, with the shared count — unlike the stride
+    screen (b19_span_dups), selection here carries the MOSS guarantee
+    (any shared ≥ w+k−1 = 6-token run shares a selection), so a pair
+    with enough shared verbatim runs CANNOT hide between strides. The
+    pair join is fp-keyed (selected fingerprints are ~2/(w+1) of
+    grams, so the join input is already winnowed down); hot
+    fingerprints are exact-counted, never crossed per posting."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    sel = textops.winnowed_fingerprints(corpus, "doc_id", k=3, window=4)
+    # distinct fp per doc: shared-count = |fp-set intersection|
+    fps = sel.select("doc_id", "fp").distinct()
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b.hint("shuffle_hash"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

@@ -442,4 +442,43 @@ SQL = {
         FROM qual q JOIN dh ON dh.threshold = q.threshold
         GROUP BY q.threshold, dh.n_docs
     """,
+    "b19_winnow_pairs": f"""
+        WITH corpus AS ({_B19_CORPUS_SQL}),
+        tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+        gr AS (
+          SELECT doc_id, i AS pos,
+                 CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, i + 1, i + 3), ' ')), 1, 15) AS BIGINT)
+                   AS h
+          FROM tk,
+               unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS t(i)
+          WHERE i <= len(toks) - 3 OR i = 0
+        ),
+        st AS (
+          SELECT * FROM (
+            SELECT doc_id, pos AS s,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS rn,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM gr
+          ) WHERE rn <= ng - 3 OR rn = 1
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, fp FROM (
+            SELECT st.doc_id, st.s, min(st.wm) AS fp
+            FROM st
+            JOIN gr g ON g.doc_id = st.doc_id
+                     AND g.pos BETWEEN st.s AND st.s + 3
+                     AND g.h = st.wm
+            GROUP BY st.doc_id, st.s
+          )
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= 2
+    """,
 }
