@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R10_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R11_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -408,78 +408,80 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-10 driver window (first 50 of queries(); the driver's correctness
-#: gate checks exactly these). Computed, not hand-curated (VERDICT r8
-#: item 8 / r9 item 1): ``python tools/staleness.py --window 50`` ranks
-#: never-attested queries first, then stalest-green. This round that
-#: yields exactly 50 of the 53 r9-registered queries the driver has
-#: never windowed (all judge-verified bit-exact locally in r9; first
-#: driver rows here take cumulative driver-green to 286/290). The 3
-#: overflow latecomers (b18_chunk_dedup, b20_triplet_mining,
-#: b21_rake_keywords) lead the r11 window.
-_R10_WINDOW = [
-    "b20_hubness",
-    "b10_gini",
-    "b7_cust_order_dist",
-    "b8_min_cost_supplier",
-    "b8_important_parts",
-    "b10_chi2",
-    "b10_benford",
-    "b15_acf",
-    "b11_drawdown",
-    "b21_oov_rate",
-    "b10_ks_screen",
-    "b22_scene_cuts",
-    "b28_length_buckets",
-    "b30_ndcg",
-    "b20_cos_histogram",
-    "b10_welch_t",
-    "b11_streaks",
-    "b30_kwic",
-    "b24_source_scorecard",
-    "b2_write_amplification",
-    "b13_block_digests",
-    "b27_lc_union",
-    "b20_recall_curve",
-    "b11_rolling_median",
-    "b28_budget_allocation",
-    "b27_hll_registers",
-    "b30_bfs_hops",
-    "b13_zorder_layout",
-    "b7_volume_shipping",
-    "b7_market_share",
-    "b8_top_supplier",
-    "b7_priority_lines",
-    "b8_dominant_supplier",
-    "b27_cms_heavy_hitters",
-    "b30_hits",
-    "b19_prefix_dups",
-    "b20_jl_projection",
-    "b21_calibration",
-    "b26_ht_estimate",
-    "b27_quantile_sketch",
-    "b30_rank_eval",
-    "b15_hazard",
-    "b30_link_prediction",
-    "b24_corpus_v6",
-    "b2_idempotency",
-    "b10_winsorized",
-    "b14_format_funcs",
-    "b11_ohlc",
-    "b3_slo_burn",
-    "b13_file_skipping",
+#: Round-11 driver window (first 50 of queries(); the driver's correctness
+#: gate checks exactly these). Computed, not hand-curated: ``python
+#: tools/staleness.py --window 50`` ranks never-attested queries first,
+#: then stalest-green. This round that yields the 29 queries with no
+#: driver row yet (26 r10 additions + 3 r9 overflow latecomers, all
+#: judge-verified bit-exact in the r10 verdict) followed by 21 queries
+#: whose last green row is r5 — the first leg of the two-window schedule
+#: that drains the r5-stale block (VERDICT r10 items 1 and 6). The
+#: remaining 19 r5-stale rows lead the r12 window
+#: (``tools/staleness.py --plan`` emits it).
+_R11_WINDOW = [
+    "b21_rake_keywords",
+    "b18_chunk_dedup",
+    "b20_triplet_mining",
+    "b20_triplet_mining_ann",
+    "b20_hubness_ann",
+    "b19_span_dups",
+    "b21_winnowing",
+    "b28_quality_knapsack",
+    "b21_blocklist",
+    "b25_sql_lateral",
+    "b27_kmv_sketch",
+    "b30_ppr",
+    "b14_hof_funcs",
+    "b26_leakage_audit",
+    "b22_image_patches",
+    "b24_corpus_v7",
+    "b30_modularity",
+    "b28_cluster_balanced",
+    "b22_audio_decimate",
+    "b25_sql_pivot",
+    "b21_filter_matrix",
+    "b1_out_of_order",
+    "b19_threshold_curve",
+    "b9_nearest_event",
+    "b22_media_scorecard",
+    "b7_promo_share",
+    "b8_supplier_part_counts",
+    "b3_staleness_trend",
+    "b19_winnow_pairs",
+    "b14_bitwise_funcs",
+    "b14_url_funcs",
+    "b11_ntile",
+    "b10_median_mode",
+    "b21_tfidf",
+    "b21_bm25",
+    "b21_perplexity",
+    "b21_bpe_pairs",
+    "b28_temperature",
+    "b30_pmi",
+    "b30_incremental_lm",
+    "b21_quality_gate",
+    "b28_curriculum",
+    "b30_bigram_xent",
+    "b26_fixed_per_group",
+    "b30_bool_search",
+    "b21_lang_confusion",
+    "b15_funnel",
+    "b15_cohorts",
+    "b10_large_orders",
+    "b27_sketch_bounds",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R10_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R11_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R10_WINDOW}
+    ordered = {k: q[k] for k in _R11_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

@@ -878,9 +878,14 @@ def q_b19_winnow_pairs(spark, sf_dir):
     screen (b19_span_dups), selection here carries the MOSS guarantee
     (any shared ≥ w+k−1 = 6-token run shares a selection), so a pair
     with enough shared verbatim runs CANNOT hide between strides. The
-    pair join is fp-keyed (selected fingerprints are ~2/(w+1) of
-    grams, so the join input is already winnowed down); hot
-    fingerprints are exact-counted, never crossed per posting."""
+    pair join is fp-keyed and HOT-FINGERPRINT CAPPED
+    (:func:`textops.winnow_pair_screen`, max_df=64): winnowing's
+    per-window minima favor globally-small hashes, so a common gram's
+    posting list is O(corpus); fingerprints in more than 64 docs are
+    dropped before the self-join (MOSS's boilerplate suppression),
+    bounding per-key fan-out at 64². Recall consequence: a run shared
+    by >64 docs is reported only via rarer co-occurring fingerprints —
+    the oracle replays the same cap."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
@@ -889,13 +894,6 @@ def q_b19_winnow_pairs(spark, sf_dir):
     corpus = docs.unionByName(mutated)
     sel = textops.winnowed_fingerprints(corpus, "doc_id", k=3, window=4)
     # distinct fp per doc: shared-count = |fp-set intersection|
-    fps = sel.select("doc_id", "fp").distinct()
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b.hint("shuffle_hash"), "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 2)
+    return textops.winnow_pair_screen(
+        sel, "doc_id", min_shared=2, max_df=64
     )

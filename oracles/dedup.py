@@ -474,10 +474,18 @@ SQL = {
                      AND g.h = st.wm
             GROUP BY st.doc_id, st.s
           )
+        ),
+        -- hot-fingerprint cap (max_df=64), replaying the Spark side's
+        -- winnow_pair_screen boilerplate suppression
+        capped AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+            FROM fps
+          ) WHERE df <= 64
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(count(*) AS BIGINT) AS shared_fps
-        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) >= 2
     """,

@@ -307,6 +307,15 @@ def nearest_join(
     final tie-break (same key, same |Δt|, same timestamp), making the
     pick total and the result hash-stable.
     """
+    if int(tolerance_seconds) <= 0:
+        # T=0 would make the bucket expr `div 0` → NULL in Spark SQL, so
+        # the equi-join matches nothing and the call silently returns
+        # empty instead of exact-timestamp matches. Fail loudly.
+        raise ValueError(
+            "tolerance_seconds must be >= 1 "
+            f"(got {tolerance_seconds}); for exact-timestamp alignment "
+            "use an equi-join on the timestamp column"
+        )
     T = int(tolerance_seconds) * 1_000_000
     # NTZ-safe: cast to timestamp first (session tz is UTC in this
     # engine's sessions; DuckDB's epoch_us on a naive timestamp agrees)

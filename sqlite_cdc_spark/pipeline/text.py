@@ -617,3 +617,52 @@ def winnowed_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_pair_screen(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_df: int = 64,
+) -> DataFrame:
+    """Pair screen over winnowed fingerprints: doc pairs sharing at
+    least ``min_shared`` selected fingerprints, with the shared count.
+
+    Hot-fingerprint cap (VERDICT r10 item 4): winnowing selects
+    per-window MINIMUM hashes, which systematically favors globally
+    small hash values — a common k-gram with a small hash is selected
+    in nearly every document containing it, so its posting list is
+    O(corpus) and an uncapped self-join would emit O(postings²) pairs
+    on that single skewed key. MOSS-family systems drop high-frequency
+    fingerprints for exactly this reason (they are boilerplate, not
+    plagiarism). Here any fingerprint appearing in more than
+    ``max_df`` documents is EXCLUDED before the self-join, bounding
+    per-key fan-out at ``max_df²`` — the same guard
+    ``b30_inverted_index`` applies via max_df and
+    ``b30_link_prediction`` via its 64-degree cap.
+
+    Recall consequence (documented, deliberate): a verbatim run shared
+    by MORE than ``max_df`` documents produces no pairs from its
+    fingerprints; a pair is still reported if it also shares
+    ``min_shared`` rarer fingerprints. Oracles must replay the cap.
+
+    Plan shape: one fp-keyed count agg + an fp equi-join back (both
+    hash-partition on fp, co-partitioned — no extra shuffle), then the
+    capped fp self-join and a pair-keyed count agg. No cartesian, no
+    broadcast of corpus-sized sides.
+    """
+    base = fps.select(F.col(id_col), F.col(fp_col).alias("fp")).distinct()
+    df_per_fp = base.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = base.join(
+        df_per_fp.filter(F.col("__df") <= max_df).select("fp"), "fp"
+    )
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b.hint("shuffle_hash"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -231,7 +231,21 @@ def resync(
     untouched, so rows logged before the resync simply lack the new
     column — consumers treat absent JSON keys as NULL, same as the
     reference's consumers must.
+
+    Requires :func:`setup` to have run: installing triggers that
+    reference a missing log table would succeed here but make every
+    later INSERT/UPDATE/DELETE on the tracked tables fail with "no such
+    table" at trigger-fire time — breaking application writes instead
+    of this call.
     """
+    exists = conn.execute(
+        "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+        (log_table,),
+    ).fetchone()
+    if exists is None:
+        raise ValueError(
+            f"log table {log_table!r} does not exist — run --setup first"
+        )
     cur = conn.cursor()
     cur.execute("BEGIN")
     try:

@@ -819,3 +819,20 @@ def test_apply_changes_guarded_out_of_order_and_tombstones(spark):
     assert [(k, v) for k, v, op, _ in live if op != "DELETE"] == [
         (1, "new"), (3, "keep"),
     ]
+
+
+def test_nearest_join_rejects_nonpositive_tolerance(spark):
+    """ADVICE r10: tolerance_seconds=0 made the bucket id `div 0` ->
+    NULL, so the equi-join matched nothing and the call silently
+    returned empty. Now it raises up front."""
+    import pytest
+
+    df = spark.range(1).select(
+        F.col("id"), F.lit("2024-01-01 00:00:00").alias("ts")
+    )
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="tolerance_seconds"):
+            derive.nearest_join(
+                df, df, ["id"], "id", "ts", "id", "ts",
+                tolerance_seconds=bad,
+            )

@@ -1464,3 +1464,40 @@ def test_winnowed_fingerprints_match_reference_and_guarantee(spark):
     f100 = {fp for d, p, fp in got if d == 100}
     f101 = {fp for d, p, fp in got if d == 101}
     assert f100 & f101
+
+
+def test_winnow_pair_screen_caps_hot_fingerprints(spark):
+    """VERDICT r10 item 4: winnowing's per-window minima favor small
+    hash values, so a common gram's posting list is O(corpus) and an
+    uncapped fp self-join is O(postings²) on one skewed key. The pair
+    screen must DROP fingerprints with df > max_df before the join —
+    and still count rarer shared fingerprints for the same pairs."""
+    rows = []
+    # fp=1 is boilerplate: present in 100 docs (df=100 > max_df=64)
+    for d in range(100):
+        rows.append((d, 1))
+    # fp=2 shared by docs 0 and 1 only; fp=3 likewise (rare evidence)
+    rows += [(0, 2), (1, 2), (0, 3), (1, 3)]
+    # fp=4 shared by docs 2 and 3 ONCE only -> below min_shared
+    rows += [(2, 4), (3, 4)]
+    fps = spark.createDataFrame(rows, "doc_id int, fp long")
+
+    out = textops.winnow_pair_screen(
+        fps, "doc_id", min_shared=2, max_df=64
+    ).collect()
+    # without the cap, fp=1 alone emits C(100,2)=4950 pairs with
+    # shared_fps>=1 and every (i,j) in the first 100 docs would reach
+    # min_shared via fp=1 + any other shared fp; with it, only the
+    # rare-fp pair survives, and its count EXCLUDES the hot fp
+    assert len(out) == 1
+    assert (out[0].id_a, out[0].id_b, out[0].shared_fps) == (0, 1, 2)
+
+    # cap boundary is inclusive: df == max_df is kept
+    small = spark.createDataFrame(
+        [(d, 7) for d in range(4)] + [(0, 8), (1, 8)],
+        "doc_id int, fp long",
+    )
+    kept = textops.winnow_pair_screen(small, "doc_id", min_shared=2, max_df=4)
+    assert {
+        (r.id_a, r.id_b, r.shared_fps) for r in kept.collect()
+    } == {(0, 1, 2)}

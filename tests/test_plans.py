@@ -648,3 +648,14 @@ def test_driver_materialization_policy():
         f"driver-materialization sites changed: {counts} != {ALLOW}; "
         "audit the new call's boundedness and update the allowlist"
     )
+
+
+def test_winnow_pairs_fp_self_join_is_df_capped(spark, sf_dir):
+    # VERDICT r10 item 4: the pair screen must never self-join raw
+    # postings — the df<=64 filter (winnow_pair_screen's hot-fp cap)
+    # has to sit between the per-fp count agg and the pair join, so a
+    # refactor that drops the cap re-opens the O(postings²) skew hole
+    plan = _plan(spark, sf_dir, "b19_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__df" in plan and "64" in plan, "hot-fp df cap missing from plan"

@@ -565,3 +565,23 @@ def test_alter_table_capture_blindness_and_resync(tmp_path):
     ).fetchone()[0]
     assert json.loads(last)["extra"] == "q"
     conn.close()
+
+
+def test_resync_before_setup_raises(tmp_path):
+    """ADVICE r10: resync() run before --setup used to install triggers
+    referencing the missing log table; SQLite only errors at fire time,
+    so every subsequent application write failed with 'no such table'.
+    Now resync() refuses up front and installs nothing."""
+    conn = sqlite3.connect(str(tmp_path / "nolog.db"))
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+    with pytest.raises(ValueError, match="run --setup first"):
+        sqlite_bridge.resync(conn, ["t"])
+    # no triggers were left behind; application writes still work
+    n = conn.execute(
+        "SELECT COUNT(*) FROM sqlite_master WHERE type='trigger'"
+    ).fetchone()[0]
+    assert n == 0
+    conn.execute("INSERT INTO t (id, v) VALUES (1, 'a')")
+    conn.commit()
+    conn.close()

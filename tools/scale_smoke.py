@@ -835,6 +835,53 @@ def r10_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r11_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-11 families (VERDICT r10 items 4+7): the winnowing PAIR
+    SCREEN — previously only the selection kernel was smoked — with its
+    hot-fingerprint cap (df<=64) over a corpus with planted near-dups
+    (the same %7 mutation the oracled query uses), and the winnowing
+    DENSITY property asserted at scale: expected selection density is
+    2/(w+1) (Schleimer et al. §4); drift here would silently inflate
+    the pair screen's input, so the smoke FAILS outside the band
+    instead of just timing it."""
+    from sqlite_cdc_spark.pipeline import text as textops2
+
+    docs = spark.read.parquet(docs_path)
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+
+    def winnow_pairs():
+        sel = textops2.winnowed_fingerprints(corpus, "doc_id", k=3, window=4)
+        textops2.winnow_pair_screen(
+            sel, "doc_id", min_shared=2, max_df=64
+        ).write.format("noop").mode("overwrite").save()
+
+    run("winnow_pair_screen", winnow_pairs)
+
+    # density property: selections / grams must sit in the 2/(w+1) band.
+    # Docs are 30 tokens -> 28 3-grams, 25 full windows; w=4 => expected
+    # 0.4. A generous +-25% band catches a selection-rule regression
+    # (e.g. tie-break flip to leftmost, off-by-one window width) without
+    # flaking on vocabulary-collision noise.
+    n_docs = docs.count()
+    sel = textops2.winnowed_fingerprints(docs, "doc_id", k=3, window=4)
+    density = sel.count() / float(n_docs * 28)
+    out["winnow_density"] = round(density, 4)
+    assert 0.30 <= density <= 0.50, (
+        f"winnowing selection density {density:.4f} outside the "
+        f"2/(w+1)=0.4 band — selection rule drifted"
+    )
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -884,12 +931,13 @@ def main():
             results[label].update(r8_ops(spark, dpath, rows))
             results[label].update(r9_ops(spark, dpath, rows))
             results[label].update(r10_ops(spark, dpath, rows))
+            results[label].update(r11_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
     for op in results["sf1x"]:
-        if op in ("rows", "doc_rows"):
-            continue
+        if op in ("rows", "doc_rows", "winnow_density"):
+            continue  # not wall-times (winnow_density is an asserted property)
         ratios[op] = round(
             (results["sf1x"][op] / max(results["sf0.1x"][op], 1e-6)) / 10.0, 2
         )
