@@ -405,6 +405,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b8_supplier_part_counts": q_b8_supplier_part_counts,
         "b3_staleness_trend": q_b3_staleness_trend,
         "b19_winnow_pairs": q_b19_winnow_pairs,
+        # --- round 11 wave 1 ---------------------------------------------
+        "b11_seasonality": q_b11_seasonality,
+        "b15_bursts": q_b15_bursts,
+        "b21_fertility": q_b21_fertility,
+        "b20_int8_quant": q_b20_int8_quant,
+        "b28_dsir_weights": q_b28_dsir_weights,
+        "b26_k_anonymity": q_b26_k_anonymity,
+        "b27_theta_intersect": q_b27_theta_intersect,
+        "b24_gate_dedup_matrix": q_b24_gate_dedup_matrix,
     }
 
 

@@ -676,3 +676,68 @@ def q_b24_corpus_v7(spark, sf_dir):
         )
     )
     return counts.join(kmv, "source").join(dens, "source")
+
+
+def q_b24_gate_dedup_matrix(spark, sf_dir):
+    """Pipeline-stage interaction audit (B24 depth, r11): the 2×2
+    contingency of the quality gate (pass = ≥25 tokens AND ≥150 chars)
+    against the exact-dedup keeper decision (first doc_id per
+    normalized text), with each cell's share and LIFT (observed /
+    expected-under-independence). The question this answers for a
+    pipeline owner: do the two stages prune independently, or does one
+    subsume the other (lift ≫ 1 on the keep×pass diagonal means the
+    gate is mostly re-dropping what dedup already drops — reorder the
+    stages and save a pass). Shape: one dedup window keyed by text
+    hash, one 4-row agg, margins broadcast back; lift = divisions of
+    exact counts, round 6."""
+    from pyspark.sql import Window
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    # the b18-family planted-dup corpus (every 10th doc copied) so the
+    # keep=false row of the matrix is populated at every SF
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    w = Window.partitionBy(dedup.normalize_text("text")).orderBy(
+        F.col("doc_id").asc()
+    )
+    flagged = docs.select(
+        "doc_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+        (
+            (textops.token_count("text") >= 25) & (F.col("n_chars") >= 150)
+        ).alias("pass_gate"),
+    )
+    cells = flagged.groupBy("keep", "pass_gate").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mk = flagged.groupBy("keep").agg(
+        F.count(F.lit(1)).cast("long").alias("__mk")
+    )
+    mp = flagged.groupBy("pass_gate").agg(
+        F.count(F.lit(1)).cast("long").alias("__mp")
+    )
+    tot = flagged.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        cells.join(F.broadcast(mk), "keep")
+        .join(F.broadcast(mp), "pass_gate")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "keep",
+            "pass_gate",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__n"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("__n")
+                / (F.col("__mk") * F.col("__mp")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1185,3 +1185,210 @@ def q_b28_cluster_balanced(spark, sf_dir):
         .cast("long")
         .alias("sum_sampled_ids"),
     )
+
+
+def q_b28_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights for data selection (B28 depth,
+    r11): score every document by its log-likelihood ratio under a
+    TARGET unigram LM (here: the English slice as the stand-in target
+    domain) vs the BACKGROUND corpus LM, both Laplace-smoothed over the
+    shared vocabulary — the Data Selection with Importance Resampling
+    recipe (Xie et al. 2023): sample training data ∝ exp(weight) to
+    tilt a generic corpus toward a target domain. Output: the top 20
+    most target-like documents. Exactness: per-TOKEN log ratio is
+    floor-quantized to the 1e-8 grid once, multiplied by the exact
+    per-doc occurrence count and summed as integers (the source_kl
+    recipe), so the per-doc weight is order-independent. Shape: token
+    counts are keyed aggs; the per-token term table joins the (doc,tok)
+    relation on tok — vocab-sized equi-join, never broadcast (vocab is
+    corpus-sized at 100 TB); top-20 via TakeOrdered."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(textops.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    bg = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("__cb"))
+    tg = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("__nt"),
+        F.countDistinct("tok").cast("long").alias("__v"),
+    )
+    terms = (
+        bg.join(tg, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                        / (F.col("__nt") + F.col("__v")).cast("double")
+                    )
+                    / (
+                        (F.col("__cb") + 1)
+                        / (F.col("__nb") + F.col("__v")).cast("double")
+                    )
+                )
+                * 1e8
+            )
+            .cast("long")
+            .alias("__t8"),
+        )
+    )
+    perdoc = (
+        dt.join(terms, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").cast("long").alias("n_tok"),
+            F.sum(F.col("__m") * F.col("__t8")).cast("long").alias("w8"),
+        )
+    )
+    return (
+        perdoc.orderBy(F.col("w8").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_tok",
+            "w8",
+            F.round(F.col("w8") / 1e8, 6).alias("weight"),
+        )
+    )
+
+
+def q_b26_k_anonymity(spark, sf_dir):
+    """k-anonymity risk screen over quasi-identifiers (B26 depth, r11):
+    group the customer table by the QI tuple (nation, market segment,
+    account-balance kilobucket) and classify each equivalence class —
+    unique (k=1, re-identifiable outright), small (k<5, linkable), or
+    anonymous (k≥5). The privacy audit run before releasing training
+    data derived from user records; the class shares are the headline
+    numbers of a DPIA. Shape: one keyed agg to class sizes (group
+    count is bounded by the QI domain), one tiny agg over classes;
+    share = division of exact counts, round 6."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias(
+            "__kb"
+        ),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "__kb").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    cls = F.when(F.col("__k") == 1, "unique").when(
+        F.col("__k") < 5, "small"
+    ).otherwise("anonymous")
+    tot = qi.agg(F.count(F.lit(1)).cast("long").alias("__tot"))
+    return (
+        groups.select(cls.alias("risk_class"), "__k")
+        .groupBy("risk_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("__k").cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "risk_class",
+            "n_groups",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("__tot"), 6).alias(
+                "row_share"
+            ),
+        )
+    )
+
+
+def q_b27_theta_intersect(spark, sf_dir):
+    """Theta-sketch set intersection (B27 depth, r11 — the sketch
+    family's SET-OPERATION leg: KMV/HLL/LC estimate one set's size;
+    theta sketches estimate sizes of set EXPRESSIONS from mergeable
+    samples): estimate |A∩B| where A = customers with even orders and
+    B = customers with odd orders, from two k=64 KMV sketches — merge
+    to the union sketch, θ = its kth smallest hash, then count union
+    samples below θ present in BOTH sets; est∩ = (both/k)·estU. The
+    exact intersection is computed alongside, so the row audits the
+    estimator's error the way b27_sketch_bounds audits KMV. Fully
+    deterministic given the portable md5-60 hash — bit-replayable.
+    Shape: two hash-distinct aggs, two TakeOrdered k-limits, one
+    bounded membership join over ≤2k sample rows."""
+    K = 64
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    h = dedup.portable_hash60(F.col("o_custkey").cast("string"))
+    a = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(h.alias("__h"))
+        .distinct()
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select(h.alias("__h"))
+        .distinct()
+    )
+    ka = a.orderBy("__h").limit(K).select("__h", F.lit(1).alias("__a"))
+    kb = b.orderBy("__h").limit(K).select("__h", F.lit(1).alias("__b"))
+    merged = (
+        ka.select("__h")
+        .unionByName(kb.select("__h"))
+        .distinct()
+        .orderBy("__h")
+        .limit(K)
+    )
+    theta = merged.agg(
+        F.max("__h").alias("__theta"), F.count(F.lit(1)).alias("__ku")
+    )
+    samples = (
+        merged.join(ka, "__h", "left")
+        .join(kb, "__h", "left")
+        .crossJoin(F.broadcast(theta))
+    )
+    est_u = F.round(
+        (F.col("__ku") - 1) * F.lit(float(2**60)) / F.col("__theta"), 6
+    )
+    # exact intersection for the audit column (semi-join, keyed)
+    ac = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    bc = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey")
+    exact = (
+        ac.distinct()
+        .join(bc.distinct(), "o_custkey", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("__exact"))
+    )
+    return (
+        samples.agg(
+            F.min("__ku").cast("long").alias("k"),
+            F.min("__theta").cast("long").alias("theta"),
+            F.sum(
+                F.when(
+                    F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+            F.min(est_u).alias("est_union"),
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "k",
+            "theta",
+            "n_both",
+            "est_union",
+            F.round(
+                F.col("n_both").cast("double")
+                / F.col("k")
+                * F.col("est_union"),
+                6,
+            ).alias("est_intersect"),
+            F.col("__exact").alias("exact_intersect"),
+        )
+    )

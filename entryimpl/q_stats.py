@@ -1238,3 +1238,42 @@ def q_b11_ohlc(spark, sf_dir):
         ),
         F.count(F.lit(1)).cast("long").alias("volume"),
     )
+
+
+def q_b11_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile (B11 depth, r11): per event
+    type × weekday — event count, share of the type's total, and the
+    busiest-day rank. The load-shaping view capacity planning reads
+    before picking maintenance windows. Weekday comes from integer
+    epoch-day arithmetic ((days + 4) mod 7, 0 = Sunday) instead of each
+    engine's dayofweek() — Spark counts 1=Sunday..7, DuckDB 0=Sunday..6,
+    so the portable form IS the parity fix. One keyed agg + a per-type
+    totals join broadcast back; share = one division of exact counts,
+    round 6."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    dow = F.expr(
+        "pmod(unix_micros(cast(ts as timestamp)) div 86400000000 + 4, 7)"
+    ).cast("int")
+    cells = ev.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow").asc()
+    )
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__t"), 6).alias(
+                "share"
+            ),
+            F.row_number().over(w).cast("int").alias("busy_rank"),
+        )
+    )

@@ -970,3 +970,52 @@ def q_b14_hof_funcs(spark, sf_dir):
         F.forall(toks, lambda t: F.length(t) <= 10).alias("all_short"),
         F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
     )
+
+
+def q_b15_bursts(spark, sf_dir):
+    """Burst detection over the event stream (B15 depth, r11): hourly
+    per-type counts, each hour compared against its TRAILING window of
+    the previous 6 hour-slots via an integer RANGE frame on the hour
+    index (gaps in the series stay gaps — a rows-frame would silently
+    reach back across them). An hour is a burst when its count ≥ 3× the
+    trailing mean with ≥ 3 observed trailing hours; the comparison is
+    cross-multiplied (n · trail_hours ≥ 3 · trail_sum) so the screen is
+    INTEGER-exact — no division anywhere. One keyed agg + one ranged
+    window; shuffle keys are (event_type), cardinality-bounded."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    hr = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 3600000000"
+    ).cast("long")
+    hourly = ev.groupBy("event_type", hr.alias("hr_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hr_idx").asc())
+        .rangeBetween(-6, -1)
+    )
+    trail = hourly.select(
+        "event_type",
+        "hr_idx",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias(
+            "trail_sum"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_hours"),
+    )
+    return trail.select(
+        "event_type",
+        "hr_idx",
+        "n",
+        "trail_sum",
+        "trail_hours",
+        (
+            (F.col("trail_hours") >= 3)
+            & (
+                F.col("n") * F.col("trail_hours")
+                >= F.lit(3) * F.col("trail_sum")
+            )
+        ).alias("is_burst"),
+    )

@@ -791,3 +791,41 @@ def q_b21_filter_matrix(spark, sf_dir):
             "fail_share"
         ),
     )
+
+
+def q_b21_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per source (B21 depth, r11): the
+    corpus-report metric tokenizer papers lead with — sub-word tokens
+    per whitespace word ("fertility") and bytes per sub-word token —
+    computed with the shipped BPE-ish pre-tokenizer proxy
+    (:func:`textops.bpe_ish_token_count`). High-fertility sources waste
+    sequence length at training time; the knapsack/mixture samplers
+    read this to price sources in tokens rather than documents. Shape:
+    pure narrow per-doc counts (regex + split, codegen) → one keyed
+    agg; ratios are divisions of exact integer sums, round 6."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    per = docs.select(
+        "source",
+        textops.token_count("text").alias("__ws"),
+        textops.bpe_ish_token_count("text").alias("__bpe"),
+        F.octet_length("text").cast("bigint").alias("__bytes"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+        F.sum("__bytes").cast("long").alias("n_bytes"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_bytes",
+        F.round(
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("bpe_tokens"), 6
+        ).alias("bytes_per_token"),
+    )

@@ -509,3 +509,54 @@ def q_b20_hubness_ann(spark, sf_dir):
     return similarity.hubness_ann(
         emb, probes, k=10, dim=64, n_planes=4, n_tables=12
     ).orderBy("occ")
+
+
+def q_b20_int8_quant(spark, sf_dir):
+    """Symmetric int8 quantization audit over the embedding table (B20
+    depth, r11): per dimension — the max-abs scale, the accumulated
+    squared reconstruction error of floor-quantize/dequantize at 127
+    levels, and the saturation count. The audit run before shipping a
+    vector index in int8 (4× memory, SIMD dot products): dimensions
+    with outsized error or saturation need per-dim rescaling. Exactness
+    contract: quantize = floor(v·127/scale) clamped at −127 (floor at
+    −scale lands on −128), dequantize error squared is quantized to
+    1e-12 grid and SUMMED AS INTEGERS, so cross-engine float-sum order
+    cannot drift the hash; mul/div are IEEE-correctly-rounded and
+    written in the same literal order on both sides. Shape: posexplode
+    → (dim) max-agg → broadcast back → (dim) sum-agg; rows ∝ cells."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        ),
+    )
+    scales = ex.groupBy("dim").agg(F.max(F.abs("v")).alias("__s"))
+    j = ex.join(F.broadcast(scales), "dim")
+    q = F.when(F.col("__s") == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(
+            F.floor(F.col("v") * F.lit(127.0) / F.col("__s")),
+            F.lit(-127.0),
+        )
+    )
+    err = F.when(F.col("__s") == 0.0, F.lit(0.0)).otherwise(
+        F.col("v") - F.col("__q") * F.col("__s") / F.lit(127.0)
+    )
+    rows = j.withColumn("__q", q).withColumn("__e", err)
+    return (
+        rows.groupBy("dim")
+        .agg(
+            F.round(F.max(F.abs("v")), 6).alias("scale"),
+            F.sum(
+                F.floor(F.col("__e") * F.col("__e") * F.lit(1e12))
+            )
+            .cast("long")
+            .alias("sse12"),
+            F.sum(
+                F.when(F.abs(F.col("__q")) == 127.0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sat"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "scale", "sse12", "n_sat")
+    )

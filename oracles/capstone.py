@@ -621,4 +621,36 @@ SQL = {
         JOIN kmv USING (source)
         JOIN dens USING (source)
     """,
+
+        "b24_gate_dedup_matrix": f"""
+            WITH docs AS (
+              SELECT doc_id, text, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text, n_chars
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            flagged AS (
+              SELECT doc_id,
+                     (row_number() OVER (PARTITION BY {_NORM_SQL}
+                        ORDER BY doc_id) = 1) AS keep,
+                     (CAST(len({_TOKS_SQL}) AS BIGINT) >= 25
+                        AND n_chars >= 150) AS pass_gate
+              FROM docs
+            ),
+            cells AS (
+              SELECT keep, pass_gate, CAST(count(*) AS BIGINT) AS n
+              FROM flagged GROUP BY 1, 2
+            ),
+            mk AS (SELECT keep, count(*) AS mk FROM flagged GROUP BY 1),
+            mp AS (
+              SELECT pass_gate, count(*) AS mp FROM flagged GROUP BY 1
+            ),
+            tot AS (SELECT count(*) AS t FROM flagged)
+            SELECT c.keep, c.pass_gate, c.n,
+                   round(CAST(c.n AS DOUBLE) / tot.t, 6) AS share,
+                   round(CAST(c.n AS DOUBLE) * tot.t
+                         / CAST(mk.mk * mp.mp AS DOUBLE), 6) AS lift
+            FROM cells c
+            JOIN mk USING (keep) JOIN mp USING (pass_gate) CROSS JOIN tot
+        """,
 }

@@ -700,4 +700,114 @@ SQL = {
                     AS BIGINT) AS sum_sampled_ids
         FROM ranked GROUP BY cluster_id
     """,
+
+        "b28_dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM documents
+            ),
+            tk AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+            dt AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+              FROM tk GROUP BY doc_id, tok
+            ),
+            bg AS (SELECT tok, count(*) AS cb FROM tk GROUP BY tok),
+            tg AS (
+              SELECT tok, count(*) AS ct FROM tk WHERE lang = 'en'
+              GROUP BY tok
+            ),
+            tot AS (
+              SELECT count(*) AS nb,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                     count(DISTINCT tok) AS v
+              FROM tk
+            ),
+            terms AS (
+              SELECT bg.tok,
+                     CAST(floor(ln(
+                       ((coalesce(tg.ct, 0) + 1)
+                          / CAST(tot.nt + tot.v AS DOUBLE))
+                       / ((bg.cb + 1) / CAST(tot.nb + tot.v AS DOUBLE))
+                     ) * 1e8) AS BIGINT) AS t8
+              FROM bg LEFT JOIN tg ON bg.tok = tg.tok CROSS JOIN tot
+            )
+            SELECT dt.doc_id,
+                   CAST(sum(dt.m) AS BIGINT) AS n_tok,
+                   CAST(sum(dt.m * terms.t8) AS BIGINT) AS w8,
+                   round(sum(dt.m * terms.t8) / 1e8, 6) AS weight
+            FROM dt JOIN terms USING (tok)
+            GROUP BY dt.doc_id
+            ORDER BY w8 DESC, doc_id ASC LIMIT 20
+        """,
+
+        "b26_k_anonymity": """
+            WITH qi AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS kb
+              FROM customer
+            ),
+            groups AS (
+              SELECT c_nationkey, c_mktsegment, kb,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM qi GROUP BY 1, 2, 3
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM qi)
+            SELECT CASE WHEN k = 1 THEN 'unique'
+                        WHEN k < 5 THEN 'small'
+                        ELSE 'anonymous' END AS risk_class,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(k) AS BIGINT) AS n_rows,
+                   round(CAST(sum(k) AS DOUBLE) / min(tot.t), 6) AS row_share
+            FROM groups CROSS JOIN tot
+            GROUP BY 1
+        """,
+        "b27_theta_intersect": """
+            WITH a AS (
+              SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS
+                     VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            b AS (
+              SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS
+                     VARCHAR)), 1, 15) AS BIGINT) AS h
+              FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+            kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+            merged AS (
+              SELECT DISTINCT h FROM (
+                SELECT h FROM ka UNION ALL SELECT h FROM kb
+              ) ORDER BY h LIMIT 64
+            ),
+            th AS (
+              SELECT max(h) AS theta, count(*) AS ku FROM merged
+            ),
+            marked AS (
+              SELECT m.h,
+                     (m.h IN (SELECT h FROM ka)) AS in_a,
+                     (m.h IN (SELECT h FROM kb)) AS in_b
+              FROM merged m
+            ),
+            ex AS (
+              SELECT CAST(count(*) AS BIGINT) AS exact_i FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderkey % 2 = 0
+                INTERSECT
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderkey % 2 = 1
+              )
+            )
+            SELECT CAST(th.ku AS BIGINT) AS k,
+                   CAST(th.theta AS BIGINT) AS theta,
+                   CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both,
+                   round((th.ku - 1) * 1152921504606846976.0 / th.theta, 6)
+                     AS est_union,
+                   round(CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                              AS DOUBLE) / th.ku
+                         * round((th.ku - 1) * 1152921504606846976.0
+                                 / th.theta, 6), 6) AS est_intersect,
+                   min(ex.exact_i) AS exact_intersect
+            FROM marked CROSS JOIN th CROSS JOIN ex
+            GROUP BY th.ku, th.theta
+        """,
 }

@@ -798,4 +798,23 @@ SQL = {
                    CAST(count(*) AS BIGINT) AS volume
             FROM ranked GROUP BY hr
         """,
+
+        "b11_seasonality": """
+            WITH cells AS (
+              SELECT event_type,
+                     CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 4)
+                          % 7 AS INT) AS dow,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS t
+              FROM events GROUP BY 1
+            )
+            SELECT c.event_type, c.dow, c.n,
+                   round(CAST(c.n AS DOUBLE) / t.t, 6) AS share,
+                   CAST(row_number() OVER (PARTITION BY c.event_type
+                        ORDER BY c.n DESC, c.dow ASC) AS INT) AS busy_rank
+            FROM cells c JOIN tot t USING (event_type)
+        """,
 }

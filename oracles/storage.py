@@ -666,4 +666,26 @@ SQL = {
                list_sort(toks)[1] AS first_sorted
         FROM tk
     """,
+
+        "b15_bursts": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                          AS BIGINT) AS hr_idx,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            trail AS (
+              SELECT event_type, hr_idx, n,
+                     CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS trail_sum,
+                     CAST(count(*) OVER w AS BIGINT) AS trail_hours
+              FROM hourly
+              WINDOW w AS (PARTITION BY event_type ORDER BY hr_idx
+                           RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, hr_idx, n, trail_sum, trail_hours,
+                   (trail_hours >= 3 AND n * trail_hours >= 3 * trail_sum)
+                     AS is_burst
+            FROM trail
+        """,
 }

@@ -761,4 +761,24 @@ SQL = {
           FROM agg
         )
     """,
+
+        "b21_fertility": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(len({_TOKS_SQL}) AS BIGINT) AS ws,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe,
+                     CAST(strlen(text) AS BIGINT) AS b
+              FROM documents
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                   CAST(sum(b) AS BIGINT) AS n_bytes,
+                   round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
+                   round(CAST(sum(b) AS DOUBLE) / sum(bpe), 6)
+                     AS bytes_per_token
+            FROM per GROUP BY source
+        """,
 }

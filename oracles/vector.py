@@ -469,4 +469,35 @@ SQL = {
         SELECT occ, CAST(count(*) AS BIGINT) AS n_vecs
         FROM per GROUP BY occ ORDER BY occ
     """,
+
+        "b20_int8_quant": """
+            WITH ex AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            scales AS (
+              SELECT dim, max(abs(v)) AS s FROM ex GROUP BY dim
+            ),
+            rows_q AS (
+              SELECT ex.dim, ex.v, scales.s,
+                     CASE WHEN scales.s = 0.0 THEN 0.0
+                          ELSE greatest(floor(ex.v * 127.0 / scales.s),
+                                        -127.0) END AS q
+              FROM ex JOIN scales USING (dim)
+            ),
+            rows_e AS (
+              SELECT dim, v, s, q,
+                     CASE WHEN s = 0.0 THEN 0.0
+                          ELSE v - q * s / 127.0 END AS e
+              FROM rows_q
+            )
+            SELECT CAST(dim AS INTEGER) AS dim,
+                   round(max(abs(v)), 6) AS scale,
+                   CAST(sum(floor(e * e * 1e12)) AS BIGINT) AS sse12,
+                   CAST(sum(CASE WHEN abs(q) = 127.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sat
+            FROM rows_e GROUP BY dim
+        """,
 }
