@@ -414,6 +414,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b26_k_anonymity": q_b26_k_anonymity,
         "b27_theta_intersect": q_b27_theta_intersect,
         "b24_gate_dedup_matrix": q_b24_gate_dedup_matrix,
+        # --- round 11 wave 2 ---------------------------------------------
+        "b15_interarrival": q_b15_interarrival,
+        "b26_capture_recapture": q_b26_capture_recapture,
+        "b20_matryoshka_recall": q_b20_matryoshka_recall,
+        "b13_merkle_diff": q_b13_merkle_diff,
+        "b29_decontam_venn": q_b29_decontam_venn,
+        "b30_hash_walks": q_b30_hash_walks,
+        "b19_lsh_operating_point": q_b19_lsh_operating_point,
     }
 
 

@@ -140,3 +140,51 @@ def q_b29_semantic_decontam_ann(spark, sf_dir):
     return similarity.semantic_contamination_bucketed(
         corpus, bench, threshold=0.35, dim=64, n_planes=4, n_tables=12
     )
+
+
+def q_b29_decontam_venn(spark, sf_dir):
+    """Defense-in-depth decontamination audit (B29 capstone, r11): the
+    Venn of the two screens the family ships — exact 5-gram overlap
+    (the GPT-3 recipe) vs embedding-space similarity (the paraphrase
+    catcher) — over the SAME benchmark split (every 50th id). Corpus
+    docs bucket into ngram_only / semantic_only / both / clean with
+    shares: the overlap report papers publish to justify running both
+    screens (a large semantic_only mass means n-gram alone leaks
+    paraphrases; a large both mass means the cheap screen suffices).
+    Composes two individually-oracled kernels; final rollup is one
+    4-row agg + broadcast total."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ng = decontam.ngram_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    ).select("doc_id", F.col("contaminated").alias("__ng"))
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = similarity.semantic_contamination(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0),
+        threshold=0.35,
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("contaminated").alias("__sem"),
+    )
+    j = ng.join(sem, "doc_id")
+    cat = (
+        F.when(F.col("__ng") & F.col("__sem"), "both")
+        .when(F.col("__ng"), "ngram_only")
+        .when(F.col("__sem"), "semantic_only")
+        .otherwise("clean")
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    return (
+        j.select(cat.alias("caught_by"))
+        .groupBy("caught_by")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "caught_by",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("__t"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -897,3 +897,63 @@ def q_b19_winnow_pairs(spark, sf_dir):
     return textops.winnow_pair_screen(
         sel, "doc_id", min_shared=2, max_df=64
     )
+
+
+def q_b19_lsh_operating_point(spark, sf_dir):
+    """MinHash-LSH operating-point audit (B19 depth, r11): measured vs
+    analytic candidate-capture rate per exact-Jaccard bucket for the
+    family's shipped config (32 hashes, 8 bands × r=4). Ground truth =
+    the COMPLETE prefix-filter join at J ≥ 0.5; each true pair is
+    flagged caught iff the banded LSH emitted it as a candidate; the
+    analytic S-curve 1−(1−m⁴)⁸ at each bucket midpoint sits alongside —
+    the before-you-commit read that says whether the (b, r) choice
+    matches its textbook recall at each similarity level (a measured
+    rate far under the curve means signature correlation from short
+    docs). Exactness: the curve uses MULTIPLICATION CHAINS only (pow is
+    not correctly rounded cross-engine; m·m·m·m is); bucket = floor of
+    the round-6 jaccard both engines share. Shape: two proven kernels +
+    one left-semi flag join + a ≤5-row agg."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(mutated)
+    exact = dedup.set_similarity_join(
+        corpus, "doc_id", "text", threshold=0.5
+    ).localCheckpoint()
+    cand = dedup.minhash_candidates(
+        corpus, "doc_id", "text", num_hashes=32, bands=8, base_hash="md5"
+    ).select("id_a", "id_b", F.lit(True).alias("__c"))
+    flagged = exact.join(cand, ["id_a", "id_b"], "left").select(
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+        .cast("int")
+        .alias("bucket"),
+        F.coalesce(F.col("__c"), F.lit(False)).alias("caught"),
+    )
+    m = (F.col("bucket").cast("double") + 0.5) / 10.0
+    m2 = m * m
+    m4 = m2 * m2
+    x = F.lit(1.0) - m4
+    x2 = x * x
+    x4 = x2 * x2
+    x8 = x4 * x4
+    return (
+        flagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("caught").cast("long")).cast("long").alias(
+                "n_caught"
+            ),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("j_lo"),
+            "n_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_pairs"), 6
+            ).alias("caught_rate"),
+            F.round(F.lit(1.0) - x8, 6).alias("analytic_rate"),
+        )
+    )

@@ -825,3 +825,89 @@ def q_b30_modularity(spark, sf_dir):
             6,
         ).alias("q_modularity"),
     )
+
+
+def q_b30_hash_walks(spark, sf_dir):
+    """Deterministic random-walk sampling (B30 depth, r11 — the WALK
+    GENERATION kernel next to the family's stationary-distribution
+    reads: pagerank/PPR integrate over all paths; node2vec-style
+    samplers need actual walk instances): 4 walkers from each of the 8
+    smallest part nodes take 3 steps over the undirected part↔supplier
+    bipartite graph, the next hop drawn by PORTABLE HASH — edge rank =
+    md5-60(walker|step|node) mod degree over the dst-sorted adjacency —
+    so the "random" walks replay bit-identically on any engine and any
+    partitioning (the property that makes distributed walk tables
+    joinable across reruns). Shape: per-step one (node)-keyed join to
+    the degree relation + one (node, rank) equi-join to the ranked
+    adjacency — 3 unrolled steps, no driver loop; walk count scales to
+    any fleet because each step is a keyed join, never a gather."""
+    from pyspark.sql import Window
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    OFF = 1_000_000
+    edges = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + OFF).alias("dst"),
+    ).unionByName(
+        li.select(
+            (F.col("l_suppkey") + OFF).alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    ranked = edges.select(
+        "src", "dst", (F.row_number().over(wr) - 1).alias("__r")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    seeds = (
+        li.select(F.col("l_partkey").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(8)
+    )
+    walkers = seeds.crossJoin(
+        spark.range(4).select(F.col("id").alias("__w"))
+    ).select(
+        (F.col("seed") * 4 + F.col("__w")).alias("walker_id"),
+        "seed",
+        F.col("seed").alias("node"),
+        F.col("seed").cast("string").alias("path"),
+    )
+    cur = walkers
+    for step in (1, 2, 3):
+        pick = F.pmod(
+            dedup.portable_hash60(
+                F.concat_ws(
+                    "|",
+                    F.col("walker_id").cast("string"),
+                    F.lit(str(step)),
+                    F.col("node").cast("string"),
+                )
+            ),
+            F.col("__deg"),
+        )
+        cur = (
+            cur.join(deg, cur["node"] == deg["src"])
+            .withColumn("__pick", pick)
+            .drop("src", "__deg")
+            .join(
+                ranked,
+                (F.col("node") == ranked["src"])
+                & (F.col("__pick") == ranked["__r"]),
+            )
+            .select(
+                "walker_id",
+                "seed",
+                F.col("dst").alias("node"),
+                F.concat_ws(
+                    ">", F.col("path"), F.col("dst").cast("string")
+                ).alias("path"),
+            )
+        )
+    return cur.select(
+        "walker_id", "seed", F.col("node").alias("end_node"), "path"
+    )

@@ -1392,3 +1392,52 @@ def q_b27_theta_intersect(spark, sf_dir):
             F.col("__exact").alias("exact_intersect"),
         )
     )
+
+
+def q_b26_capture_recapture(spark, sf_dir):
+    """Capture–recapture population estimate (B26 depth, r11): treat
+    the even-orderkey and odd-orderkey order slices as two independent
+    "captures" of the customer population and estimate the total
+    active-customer count from overlap — Lincoln–Petersen n_a·n_b/n_ab
+    and the bias-corrected Chapman (n_a+1)(n_b+1)/(n_ab+1)−1. The
+    survey-sampling read for "how many distinct entities exist that we
+    have only partial feeds of" (dedup-cluster undercount, crawl
+    frontier size); the exact union sits alongside as the in-row error
+    audit. Shape: two distinct aggs + one semi-join count + one
+    distinct-union count, all keyed; estimates = two divisions of
+    exact counts, round 6."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").distinct()
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey").distinct()
+    na = a.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    nab = a.join(b, "o_custkey", "semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+    nu = a.unionByName(b).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union")
+    )
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nab))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "n_a",
+            "n_b",
+            "n_both",
+            "exact_union",
+            F.round(
+                F.col("n_a").cast("double")
+                * F.col("n_b")
+                / F.col("n_both"),
+                6,
+            ).alias("lincoln_petersen"),
+            F.round(
+                (F.col("n_a") + 1).cast("double")
+                * (F.col("n_b") + 1)
+                / (F.col("n_both") + 1)
+                - 1.0,
+                6,
+            ).alias("chapman"),
+        )
+    )

@@ -1019,3 +1019,118 @@ def q_b15_bursts(spark, sf_dir):
             )
         ).alias("is_burst"),
     )
+
+
+def q_b15_interarrival(spark, sf_dir):
+    """Inter-arrival time distribution per event type (B15 depth, r11):
+    exact integer-microsecond gaps between consecutive events (total
+    (ts, event_id) order), summarized as exact ORDER-STATISTIC
+    percentiles — rank ⌊(n−1)·p⌋+1, the nearest-rank definition — so
+    p50/p90/p99 are actual observed gaps, not interpolated floats (the
+    cross-engine percentile_cont/quantile interpolation mismatch never
+    arises). The capacity/SLO read: p99 inter-arrival bounds the
+    burst head-room a consumer needs. Shape: one lag window + one
+    rank window on the same (type) key + a keyed agg — all integer."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    gaps = (
+        ev.select(
+            "event_type",
+            (us - F.lag(us).over(wt)).cast("long").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("gap_us").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+
+    def pick(p):
+        k = F.floor((F.col("__n") - 1) * F.lit(p) / F.lit(100)) + 1
+        return F.max(F.when(F.col("__rn") == k, F.col("gap_us")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("__n").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        pick(50).cast("long").alias("p50_us"),
+        pick(90).cast("long").alias("p90_us"),
+        pick(99).cast("long").alias("p99_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )
+
+
+def q_b13_merkle_diff(spark, sf_dir):
+    """Two-level Merkle reconciliation (B13 depth, r11 — the LOG-WORK
+    upgrade of b13_block_digests' flat block scan): level-0 blocks
+    (o_orderkey div 512, xor-of-row-hash digests) roll up into level-1
+    supernodes of 16 blocks whose digest is the xor of child digests;
+    replicas compare |supernodes| digests FIRST and descend only into
+    diverging subtrees — at 100 TB that is exchanging thousands of
+    digests instead of millions, the standard anti-entropy shape
+    (Dynamo/Cassandra repair). Same injected one-cent drift on keys ≡ 0
+    mod 997. Output: one row per DIVERGING supernode — child-block
+    counts total/diverged plus the first diverged block id, proving the
+    descent localizes damage. xor folds are order-independent and
+    map-side combinable at both levels; everything integer."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    replica = base.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("cents") + 1
+        ).otherwise(F.col("cents")),
+    )
+
+    def level0(df, tag):
+        h = portable_hash60(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("cents").cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+        return (
+            df.select(
+                F.expr("o_orderkey div 512").alias("block"), h.alias("__h")
+            )
+            .groupBy("block")
+            .agg(F.expr("bit_xor(__h)").alias(f"d_{tag}"))
+        )
+    l0 = level0(base, "a").join(level0(replica, "b"), "block")
+    l0 = l0.select(
+        "block",
+        F.expr("block div 16").alias("super"),
+        (F.col("d_a") != F.col("d_b")).alias("__div"),
+        "d_a",
+        "d_b",
+    )
+    l1 = l0.groupBy("super").agg(
+        F.expr("bit_xor(d_a)").alias("s_a"),
+        F.expr("bit_xor(d_b)").alias("s_b"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("__div").cast("long")).cast("long").alias("n_diverged"),
+        F.min(F.when(F.col("__div"), F.col("block"))).cast("long").alias(
+            "first_diverged_block"
+        ),
+    )
+    return l1.filter(F.col("s_a") != F.col("s_b")).select(
+        F.col("super").cast("long").alias("supernode"),
+        "n_blocks",
+        "n_diverged",
+        "first_diverged_block",
+    )

@@ -560,3 +560,49 @@ def q_b20_int8_quant(spark, sf_dir):
         )
         .select(F.col("dim").cast("int").alias("dim"), "scale", "sse12", "n_sat")
     )
+
+
+def q_b20_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation RECALL curve (B20 depth, r11 — the eval
+    b20_dim_truncation's energy-retention numbers approximate): for
+    every probe (each 50th vector), compare exact cosine top-10 under
+    prefix-truncated embeddings (16/32/48 dims) against the full-dim
+    top-10 and report recall@10 per dimension — the measurement that
+    decides whether MRL-style truncation is safe for a served index
+    (energy retention can be high while RANK ORDER scrambles; recall is
+    the ground truth). Shape: the deliberate broadcast-probe exact
+    scorer (same contract as b20_cosine_topk; the bucketed ANN family
+    is the unbounded-probe path), one top-k window per dim, semi-join
+    overlap counts; recall = division of exact counts, round 6."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    full = similarity.cosine_topk(emb, probes, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    npr = probes.agg(F.count(F.lit(1)).cast("long").alias("__np"))
+    parts = []
+    for d in (16, 32, 48):
+        tc = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tp = probes.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        t10 = similarity.cosine_topk(tc, tp, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        parts.append(
+            t10.join(full, ["query_id", "neighbor_id"], "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .select(F.lit(d).cast("int").alias("dim"), "n_overlap")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(npr)).select(
+        "dim",
+        F.col("__np").alias("n_probes"),
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / (F.lit(10.0) * F.col("__np")),
+            6,
+        ).alias("recall_at_10"),
+    )

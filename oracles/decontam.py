@@ -117,4 +117,77 @@ SQL = {
         "b29_decontamination": _decontam_oracle_sql(),
         "b29_incremental_decontam": _incr_decontam_oracle_sql(),
         "b29_containment": _containment_oracle_sql(),
+
+        "b29_decontam_venn": f"""
+            WITH bench AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+            ),
+            btk AS (
+              SELECT string_split({_NORM_SQL}, ' ') AS toks FROM bench
+            ),
+            bg AS (
+              SELECT DISTINCT sh FROM (
+                SELECT unnest(list_transform(
+                  generate_series(1, len(toks) - 4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+                FROM btk)
+            ),
+            ctk AS (
+              SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+              FROM corpus
+            ),
+            cg AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(toks) - 4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS sh
+                FROM ctk)
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (sh)
+              GROUP BY doc_id
+            ),
+            ngf AS (
+              SELECT c.doc_id, COALESCE(hits.n, 0) > 0 AS ng
+              FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+            ),
+            be AS (
+              SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            ce AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 50 <> 0
+            ),
+            scored AS (
+              SELECT ce.vec_id, be.bench_id,
+                     list_dot_product(cv, bv)
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product(bv, bv))) AS s
+              FROM ce, be
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, bench_id) AS rn
+              FROM scored
+            ),
+            semf AS (
+              SELECT vec_id AS doc_id, round(s, 6) >= 0.35 AS sem
+              FROM ranked WHERE rn = 1
+            ),
+            j AS (
+              SELECT ngf.doc_id, ngf.ng, semf.sem
+              FROM ngf JOIN semf USING (doc_id)
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM j)
+            SELECT CASE WHEN ng AND sem THEN 'both'
+                        WHEN ng THEN 'ngram_only'
+                        WHEN sem THEN 'semantic_only'
+                        ELSE 'clean' END AS caught_by,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(count(*) AS DOUBLE) / min(tot.t), 6) AS share
+            FROM j CROSS JOIN tot
+            GROUP BY 1
+        """,
 }

@@ -489,4 +489,40 @@ SQL = {
         GROUP BY a.doc_id, b.doc_id
         HAVING count(*) >= 2
     """,
+
+    "b19_lsh_operating_point": f"""
+        WITH RECURSIVE pf AS ({_prefix_filter_oracle_sql(0.5)}),
+        mh AS (
+          SELECT id_a, id_b FROM (
+            WITH {_minhash_cand_ctes()}
+            SELECT id_a, id_b FROM cand
+          )
+        ),
+        flagged AS (
+          SELECT CAST(least(floor(pf.jaccard * 10), 9) AS INT) AS bucket,
+                 (mh.id_a IS NOT NULL) AS caught
+          FROM pf LEFT JOIN mh USING (id_a, id_b)
+        ),
+        agg AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_caught
+          FROM flagged GROUP BY bucket
+        ),
+        curve AS (
+          SELECT bucket, n_pairs, n_caught,
+                 (CAST(bucket AS DOUBLE) + 0.5) / 10.0 AS m
+          FROM agg
+        ),
+        c2 AS (SELECT *, m * m AS m2 FROM curve),
+        c4 AS (SELECT *, m2 * m2 AS m4 FROM c2),
+        cx AS (SELECT *, 1.0 - m4 AS x FROM c4),
+        cx2 AS (SELECT *, x * x AS x2 FROM cx),
+        cx4 AS (SELECT *, x2 * x2 AS x4 FROM cx2),
+        cx8 AS (SELECT *, x4 * x4 AS x8 FROM cx4)
+        SELECT bucket, round(bucket / 10.0, 1) AS j_lo, n_pairs, n_caught,
+               round(CAST(n_caught AS DOUBLE) / n_pairs, 6) AS caught_rate,
+               round(1.0 - x8, 6) AS analytic_rate
+        FROM cx8
+    """,
 }

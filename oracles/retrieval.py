@@ -801,4 +801,62 @@ SQL = {
                      / CAST(4 * m.m * m.m AS DOUBLE), 6) AS q_modularity
         FROM m, agg
     """,
+
+        "b30_hash_walks": """
+            WITH li AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            edges AS (
+              SELECT l_partkey AS src, l_suppkey + 1000000 AS dst FROM li
+              UNION ALL
+              SELECT l_suppkey + 1000000 AS src, l_partkey AS dst FROM li
+            ),
+            ranked AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS r
+              FROM edges
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            seeds AS (
+              SELECT DISTINCT l_partkey AS seed FROM li
+              ORDER BY seed LIMIT 8
+            ),
+            s0 AS (
+              SELECT seed * 4 + w AS walker_id, seed, seed AS node,
+                     CAST(seed AS VARCHAR) AS path
+              FROM seeds, (SELECT unnest(generate_series(0, 3)) AS w)
+            ),
+            s1 AS (
+              SELECT w.walker_id, w.seed, r.dst AS node,
+                     w.path || '>' || CAST(r.dst AS VARCHAR) AS path
+              FROM s0 w
+              JOIN deg ON deg.src = w.node
+              JOIN ranked r ON r.src = w.node
+               AND r.r = CAST('0x' || substr(md5(
+                     CAST(w.walker_id AS VARCHAR) || '|1|' ||
+                     CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % deg.deg
+            ),
+            s2 AS (
+              SELECT w.walker_id, w.seed, r.dst AS node,
+                     w.path || '>' || CAST(r.dst AS VARCHAR) AS path
+              FROM s1 w
+              JOIN deg ON deg.src = w.node
+              JOIN ranked r ON r.src = w.node
+               AND r.r = CAST('0x' || substr(md5(
+                     CAST(w.walker_id AS VARCHAR) || '|2|' ||
+                     CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % deg.deg
+            ),
+            s3 AS (
+              SELECT w.walker_id, w.seed, r.dst AS node,
+                     w.path || '>' || CAST(r.dst AS VARCHAR) AS path
+              FROM s2 w
+              JOIN deg ON deg.src = w.node
+              JOIN ranked r ON r.src = w.node
+               AND r.r = CAST('0x' || substr(md5(
+                     CAST(w.walker_id AS VARCHAR) || '|3|' ||
+                     CAST(w.node AS VARCHAR)), 1, 15) AS BIGINT) % deg.deg
+            )
+            SELECT walker_id, seed, node AS end_node, path FROM s3
+        """,
 }

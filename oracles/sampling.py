@@ -810,4 +810,30 @@ SQL = {
             FROM marked CROSS JOIN th CROSS JOIN ex
             GROUP BY th.ku, th.theta
         """,
+
+        "b26_capture_recapture": """
+            WITH a AS (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            b AS (
+              SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+            nab AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_both FROM a
+              WHERE o_custkey IN (SELECT o_custkey FROM b)
+            ),
+            nu AS (
+              SELECT CAST(count(*) AS BIGINT) AS exact_union FROM (
+                SELECT o_custkey FROM a UNION SELECT o_custkey FROM b
+              )
+            )
+            SELECT n_a, n_b, n_both, exact_union,
+                   round(CAST(n_a AS DOUBLE) * n_b / n_both, 6)
+                     AS lincoln_petersen,
+                   round(CAST(n_a + 1 AS DOUBLE) * (n_b + 1) / (n_both + 1)
+                         - 1.0, 6) AS chapman
+            FROM na, nb, nab, nu
+        """,
 }

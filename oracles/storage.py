@@ -688,4 +688,83 @@ SQL = {
                      AS is_burst
             FROM trail
         """,
+
+        "b15_interarrival": """
+            WITH gaps AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) AS BIGINT)
+                       - lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                         (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS gap_us
+              FROM events
+            ),
+            g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+            ranked AS (
+              SELECT event_type, gap_us,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY gap_us) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM g
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_gaps,
+                   CAST(min(gap_us) AS BIGINT) AS min_us,
+                   CAST(max(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                            THEN gap_us END) AS BIGINT) AS p50_us,
+                   CAST(max(CASE WHEN rn = (n - 1) * 90 // 100 + 1
+                            THEN gap_us END) AS BIGINT) AS p90_us,
+                   CAST(max(CASE WHEN rn = (n - 1) * 99 // 100 + 1
+                            THEN gap_us END) AS BIGINT) AS p99_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_us
+            FROM ranked GROUP BY event_type
+        """,
+
+        "b13_merkle_diff": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                     o_orderstatus
+              FROM orders
+            ),
+            rep AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 997 = 0 THEN cents + 1
+                          ELSE cents END AS cents,
+                     o_orderstatus
+              FROM base
+            ),
+            la AS (
+              SELECT o_orderkey // 512 AS block,
+                     bit_xor(CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(cents AS VARCHAR) || '|' || o_orderstatus),
+                       1, 15) AS BIGINT)) AS d_a
+              FROM base GROUP BY 1
+            ),
+            lb AS (
+              SELECT o_orderkey // 512 AS block,
+                     bit_xor(CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(cents AS VARCHAR) || '|' || o_orderstatus),
+                       1, 15) AS BIGINT)) AS d_b
+              FROM rep GROUP BY 1
+            ),
+            l0 AS (
+              SELECT la.block, la.block // 16 AS sn, d_a, d_b,
+                     (d_a != d_b) AS dv
+              FROM la JOIN lb USING (block)
+            ),
+            l1 AS (
+              SELECT sn, bit_xor(d_a) AS s_a, bit_xor(d_b) AS s_b,
+                     CAST(count(*) AS BIGINT) AS n_blocks,
+                     CAST(sum(CASE WHEN dv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_diverged,
+                     CAST(min(CASE WHEN dv THEN block END) AS BIGINT)
+                       AS first_diverged_block
+              FROM l0 GROUP BY sn
+            )
+            SELECT CAST(sn AS BIGINT) AS supernode, n_blocks, n_diverged,
+                   first_diverged_block
+            FROM l1 WHERE s_a != s_b
+        """,
 }

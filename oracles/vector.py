@@ -500,4 +500,49 @@ SQL = {
                         AS BIGINT) AS n_sat
             FROM rows_e GROUP BY dim
         """,
+
+        "b20_matryoshka_recall": """
+            WITH probes AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings
+            ),
+            full_r AS (
+              SELECT p.vec_id AS qid, c.vec_id AS nid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       list_dot_product(pv, cv)
+                       / (sqrt(list_dot_product(pv, pv))
+                          * sqrt(list_dot_product(cv, cv))) DESC,
+                       c.vec_id ASC) AS rnk
+              FROM probes p, c WHERE c.vec_id != p.vec_id
+            ),
+            full10 AS (SELECT qid, nid FROM full_r WHERE rnk <= 10),
+            tr AS (
+              SELECT d.dim, p.vec_id AS qid, c.vec_id AS nid,
+                     row_number() OVER (PARTITION BY d.dim, p.vec_id
+                       ORDER BY
+                       list_dot_product(list_slice(pv, 1, d.dim),
+                                        list_slice(cv, 1, d.dim))
+                       / (sqrt(list_dot_product(list_slice(pv, 1, d.dim),
+                                                list_slice(pv, 1, d.dim)))
+                          * sqrt(list_dot_product(list_slice(cv, 1, d.dim),
+                                                  list_slice(cv, 1, d.dim))))
+                       DESC, c.vec_id ASC) AS rnk
+              FROM probes p, c, (SELECT unnest([16, 32, 48]) AS dim) d
+              WHERE c.vec_id != p.vec_id
+            ),
+            tr10 AS (SELECT dim, qid, nid FROM tr WHERE rnk <= 10),
+            np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+            ov AS (
+              SELECT dim, CAST(count(*) AS BIGINT) AS n_overlap
+              FROM tr10 JOIN full10 USING (qid, nid) GROUP BY dim
+            )
+            SELECT CAST(ov.dim AS INTEGER) AS dim, np.n_probes, ov.n_overlap,
+                   round(CAST(ov.n_overlap AS DOUBLE) / (10.0 * np.n_probes),
+                         6) AS recall_at_10
+            FROM ov CROSS JOIN np
+        """,
 }
