@@ -422,6 +422,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b29_decontam_venn": q_b29_decontam_venn,
         "b30_hash_walks": q_b30_hash_walks,
         "b19_lsh_operating_point": q_b19_lsh_operating_point,
+        # --- round 11 wave 3 ---------------------------------------------
+        "b10_two_proportion": q_b10_two_proportion,
+        "b11_cusum": q_b11_cusum,
+        "b27_bloom_fpp": q_b27_bloom_fpp,
+        "b26_neyman_allocation": q_b26_neyman_allocation,
+        "b24_corpus_v8": q_b24_corpus_v8,
+        # --- round 11 wave 4 ---------------------------------------------
+        "b3_schema_drift": q_b3_schema_drift,
+        "b2_retention_policies": q_b2_retention_policies,
+        "b21_burstiness": q_b21_burstiness,
+        "b14_struct_funcs": q_b14_struct_funcs,
     }
 
 

@@ -741,3 +741,116 @@ def q_b24_gate_dedup_matrix(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+def q_b24_corpus_v8(spark, sf_dir):
+    """Corpus capstone v8 (r11): the TARGET-DOMAIN selection manifest —
+    compose exact dedup (planted %10 dups, keeper = first id per
+    normalized text), DSIR importance weighting (per-doc integer log
+    ratio vs the English-slice target LM, the b28_dsir_weights kernel
+    over THIS corpus), and a minimum-length gate (≥25 whitespace
+    tokens) into a per-source admission report: docs, admitted docs,
+    admitted BPE tokens (what the trainer actually pays for), summed
+    admitted DSIR weight, admission share. The v1–v7 pattern
+    continued: every constituent is individually oracled; the
+    composition must replay bit-exact end to end. Shape: token-keyed
+    aggs + one vocab equi-join (never broadcast) + one dedup window +
+    a |sources|-row rollup."""
+    from pyspark.sql import Window
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "lang",
+            "source",
+            "text",
+        )
+    )
+    toks = corpus.select(
+        "doc_id", "lang", F.explode(textops.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    dt = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    bg = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("__cb"))
+    tg = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("__nt"),
+        F.countDistinct("tok").cast("long").alias("__v"),
+    )
+    terms = (
+        bg.join(tg, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                        / (F.col("__nt") + F.col("__v")).cast("double")
+                    )
+                    / (
+                        (F.col("__cb") + 1)
+                        / (F.col("__nb") + F.col("__v")).cast("double")
+                    )
+                )
+                * 1e8
+            )
+            .cast("long")
+            .alias("__t8"),
+        )
+    )
+    perdoc = (
+        dt.join(terms, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").cast("long").alias("__ws"),
+            F.sum(F.col("__m") * F.col("__t8")).cast("long").alias("__w8"),
+        )
+    )
+    wk = Window.partitionBy(dedup.normalize_text("text")).orderBy(
+        F.col("doc_id").asc()
+    )
+    flagged = corpus.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(wk) == 1).alias("__keep"),
+        textops.bpe_ish_token_count("text").alias("__bpe"),
+    ).join(perdoc, "doc_id")
+    admit = F.col("__keep") & (F.col("__w8") > 0) & (F.col("__ws") >= 25)
+    return (
+        flagged.withColumn("__admit", admit)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("__admit").cast("long")).cast("long").alias(
+                "n_admitted"
+            ),
+            F.sum(F.when(admit, F.col("__bpe")).otherwise(0))
+            .cast("long")
+            .alias("admitted_bpe_tokens"),
+            F.sum(F.when(admit, F.col("__w8")).otherwise(0))
+            .cast("long")
+            .alias("admitted_w8"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_admitted",
+            "admitted_bpe_tokens",
+            "admitted_w8",
+            F.round(
+                F.col("n_admitted").cast("double") / F.col("n_docs"), 6
+            ).alias("admit_share"),
+        )
+    )

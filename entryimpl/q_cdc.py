@@ -588,3 +588,100 @@ def q_b3_staleness_trend(spark, sf_dir):
             6,
         ).alias("day_over_day"),
     )
+
+
+def q_b3_schema_drift(spark, sf_dir):
+    """Schema-drift monitor over JSON payloads (B3 depth, r11): per
+    (event type, JSON key) — first-seen day, last-seen day, occurrence
+    count, and the drift flag for keys that APPEARED after the feed
+    started (the silent-producer-upgrade signal; the payload twin of
+    the bridge's ALTER-TABLE blindness, which resync() fixes on the
+    capture side — this is how the CONSUMER notices). Drift material
+    is planted deterministically: events in the second half of the
+    time range carry an extra `v2` key. json_object_keys is the
+    schema-free probe — no fixed from_json schema to go stale. Shape:
+    one explode of the (small) key set + one keyed agg + a 1-row
+    anchor broadcast; days in integer epoch-day arithmetic."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "props")
+    anchor = ev.agg(
+        F.expr("min(unix_micros(cast(ts as timestamp)))").alias("__t0"),
+        F.expr("max(unix_micros(cast(ts as timestamp)))").alias("__t1"),
+    )
+    j = ev.crossJoin(F.broadcast(anchor))
+    evolved = j.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) - __t0) div 86400000000"
+        ).alias("day"),
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp))")
+            >= (F.col("__t0") + F.col("__t1")) / 2,
+            F.expr(
+                "concat(substring(props, 1, length(props) - 1), "
+                "', \"v2\": 1}')"
+            ),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    keys = evolved.select(
+        "event_type",
+        "day",
+        F.explode(F.json_object_keys("props")).alias("key"),
+    )
+    return keys.groupBy("event_type", "key").agg(
+        F.min("day").cast("long").alias("first_day"),
+        F.max("day").cast("long").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.min("day") > 0).alias("drifted"),
+    )
+
+
+def q_b2_retention_policies(spark, sf_dir):
+    """Log-retention policy simulator (B2 depth, r11): what fraction of
+    the change log survives under the three standard GC policies —
+    time-based (keep the last 7 days against the frozen max-ts
+    anchor), per-key last-N (keep each user's 3 newest entries), and
+    full compaction (latest per user) — the sizing table an operator
+    reads before committing a retention config (b2_vacuum_stats
+    measures ONE policy's reclaim; this compares the menu). One scan
+    feeding three bounded evaluations: a narrow filter, one keyed
+    window, one keyed max — integer epoch-µs arithmetic throughout."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    anchor = ev.agg(F.max(us).alias("__now"))
+    j = ev.select("event_id", "user_id", us.alias("__us")).crossJoin(
+        F.broadcast(anchor)
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    time_kept = j.filter(
+        F.col("__us") > F.col("__now") - F.lit(7 * 86400000000)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("__us").desc(), F.col("event_id").desc()
+    )
+    lastn_kept = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    compact_kept = j.groupBy("user_id").agg(F.max("__us")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    parts = [
+        time_kept.select(F.lit("time_7d").alias("policy"), "n_kept"),
+        lastn_kept.select(F.lit("per_key_last_3").alias("policy"), "n_kept"),
+        compact_kept.select(F.lit("compact_latest").alias("policy"), "n_kept"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "policy",
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("__t"), 6).alias(
+            "kept_share"
+        ),
+    )

@@ -1441,3 +1441,93 @@ def q_b26_capture_recapture(spark, sf_dir):
             ).alias("chapman"),
         )
     )
+
+
+def q_b27_bloom_fpp(spark, sf_dir):
+    """Bloom-filter false-positive audit (B27 depth, r11): probe the
+    b7 family's engine-portable Bloom filter (4096 bits × 4 universal
+    hashes over BUILDING-segment customers) with every key KNOWN to be
+    outside the set and measure the actual false-positive rate, next
+    to the bitmap load (set-bit share) — the capacity check run before
+    trusting a Bloom semi-join's pruning factor at scale (a filter
+    past ~50% load stops pruning). Fully deterministic: bit positions
+    replay bit-for-bit (md5-60 + universal family), so measured FPP is
+    a hashable integer ratio, not a statistical estimate. Shape:
+    bitmap build (one bit_or agg), narrow probe filter, four 1-row
+    aggs broadcast together."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    nonmembers = cust.filter(F.col("c_mktsegment") != "BUILDING").select(
+        "c_custkey"
+    ).distinct()
+    bloom = derive.bloom_build(members, "c_custkey")
+    passed = derive.bloom_probe(nonmembers, bloom, "c_custkey")
+    nm = members.distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    np_ = nonmembers.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    nf = passed.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+    bs = bloom.agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bits_set")
+    )
+    return (
+        nm.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            F.lit(4096).cast("int").alias("m_bits"),
+            F.lit(4).cast("int").alias("k_hashes"),
+            "n_keys",
+            "n_probes",
+            "n_false_pos",
+            "bits_set",
+            F.round(
+                F.col("n_false_pos").cast("double") / F.col("n_probes"), 6
+            ).alias("measured_fpp"),
+            F.round(
+                F.col("bits_set").cast("double") / F.lit(4096.0), 6
+            ).alias("load"),
+        )
+    )
+
+
+def q_b26_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation (B26 depth, r11 — the survey-design
+    read beside proportional stratification b26_stratified_sample and
+    the HT estimator b26_ht_estimate): allocate a 1000-unit sample
+    across market-segment strata ∝ N_h·σ_h — bigger AND more variable
+    strata get more budget, the variance-minimizing rule. σ_h from
+    EXACT decimal power sums (n, Σx, Σx² — order-independent,
+    map-side combinable; the b10_stats_agg recipe), allocation floored
+    to integers so the output hashes exactly. One keyed agg + a 1-row
+    denominator broadcast."""
+    cust = _t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    dec4 = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    sums = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec4("c_acctbal")).cast("double").alias("sx"),
+        F.sum(dec4("c_acctbal") * dec4("c_acctbal")).cast("double").alias(
+            "sxx"
+        ),
+    )
+    sigma = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    )
+    w = sums.select(
+        "c_mktsegment", "n", (F.col("n") * sigma).alias("__w")
+    )
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(F.col("__w") / F.col("n"), 6).alias("sigma"),
+            F.round(F.col("__w") / F.col("__tw"), 6).alias("weight_share"),
+            F.floor(F.col("__w") / F.col("__tw") * F.lit(1000.0))
+            .cast("long")
+            .alias("alloc_1000"),
+        )
+    )

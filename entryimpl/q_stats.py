@@ -1277,3 +1277,167 @@ def q_b11_seasonality(spark, sf_dir):
             F.row_number().over(w).cast("int").alias("busy_rank"),
         )
     )
+
+
+def q_b10_two_proportion(spark, sf_dir):
+    """Two-proportion z-test (B10 depth, r11 — the A/B-test read for
+    RATES, beside b10_welch_t's means): conversion = value > 50 events,
+    variants = the alphabetically first and last event types (a
+    deterministic pick both engines compute), pooled-variance z
+    statistic with the significance flag compared on the ROUNDED z so
+    the decision replays cross-engine. Counts are exact integers; the
+    z derivation is division/sqrt only (both IEEE-correctly-rounded)
+    in identical literal order. Shape: one keyed agg + two 1-row
+    broadcasts."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    picks = ev.agg(
+        F.min("event_type").alias("__va"), F.max("event_type").alias("__vb")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(picks))
+        .filter(
+            (F.col("event_type") == F.col("__va"))
+            | (F.col("event_type") == F.col("__vb"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    a = per.crossJoin(F.broadcast(picks)).filter(
+        F.col("event_type") == F.col("__va")
+    ).select(
+        F.col("event_type").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("x").alias("x_a"),
+    )
+    b = per.crossJoin(F.broadcast(picks)).filter(
+        F.col("event_type") == F.col("__vb")
+    ).select(
+        F.col("event_type").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("x").alias("x_b"),
+    )
+    r = a.crossJoin(F.broadcast(b))
+    p1 = F.col("x_a").cast("double") / F.col("n_a")
+    p2 = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = F.round((p1 - p2) / se, 6)
+    return r.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p1, 6).alias("p_a"),
+        F.round(p2, 6).alias("p_b"),
+        z.alias("z"),
+        (F.abs(z) >= 1.96).alias("significant"),
+    )
+
+
+def q_b11_cusum(spark, sf_dir):
+    """CUSUM level-shift monitor (B11 depth, r11 — the SEQUENTIAL
+    changepoint statistic beside b3_changepoint's retrospective mean
+    split): per event type, the running sum of hourly-count deviations
+    from the type mean, reported at its extreme — where |CUSUM| peaks
+    is where the level shifted. INTEGER-exact trick: the deviation sum
+    scaled by the hour count H (Σ(nᵗ·H − T), T = type total) is pure
+    integer arithmetic — cumulative over a window, compared exactly,
+    divided by H only for the final display column. One keyed agg +
+    one ordered window + one argmax window on the same type key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .cast("long")
+        .alias("hr_idx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hr_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hr_idx",
+        F.col("n"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("__h"),
+        F.sum("n").over(wt).cast("long").alias("__t"),
+    ).select(
+        "event_type",
+        "hr_idx",
+        "__h",
+        F.sum(F.col("n") * F.col("__h") - F.col("__t"))
+        .over(wo)
+        .cast("long")
+        .alias("__s"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__s")).desc(), F.col("hr_idx").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wpk))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("__h").alias("n_hours"),
+            F.col("hr_idx").alias("peak_hr_idx"),
+            F.col("__s").alias("cusum_scaled"),
+            F.round(F.col("__s").cast("double") / F.col("__h"), 6).alias(
+                "cusum_peak"
+            ),
+        )
+    )
+
+
+def q_b14_struct_funcs(spark, sf_dir):
+    """Struct/row-value function surface (B14 depth, r11 — the nested
+    type family's missing leg beside the array/map/json rows): build
+    structs, extract fields, and use SQL ROW-VALUE (tuple) comparison
+    — the composite-key idiom the keyset paginator (A3) relies on,
+    here exercised as a first-class scalar surface. Per return flag:
+    rows where (quantity, price) > (25, 30000.0) lexicographically,
+    the max struct by tuple order with its fields re-extracted, and a
+    struct-equality count. Narrow maps + one keyed agg."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_linenumber"
+    )
+    s = F.struct(
+        F.col("l_quantity").alias("q"), F.col("l_extendedprice").alias("p")
+    )
+    rows = li.select(
+        "l_returnflag",
+        s.alias("__s"),
+        (s > F.struct(F.lit(25.0).alias("q"), F.lit(30000.0).alias("p")))
+        .alias("__gt"),
+        (
+            F.struct(F.col("l_linenumber").alias("a"))
+            == F.struct(F.lit(1).alias("a"))
+        ).alias("__eq1"),
+    )
+    agg = rows.groupBy("l_returnflag").agg(
+        F.sum(F.col("__gt").cast("long")).cast("long").alias("n_gt"),
+        F.sum(F.col("__eq1").cast("long")).cast("long").alias("n_line1"),
+        F.max("__s").alias("__mx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_gt",
+        "n_line1",
+        F.col("__mx.q").alias("max_q"),
+        F.round(F.col("__mx.p"), 2).alias("max_p"),
+    )

@@ -829,3 +829,47 @@ def q_b21_fertility(spark, sf_dir):
             F.col("n_bytes").cast("double") / F.col("bpe_tokens"), 6
         ).alias("bytes_per_token"),
     )
+
+
+def q_b21_burstiness(spark, sf_dir):
+    """Word burstiness screen (B21 depth, r11): the top-20 most BURSTY
+    tokens among those in ≥20 docs — variance-to-mean ratio (index of
+    dispersion) of per-document counts over ALL documents, zeros
+    included. VMR ≈ 1 is Poisson background vocabulary; VMR ≫ 1 is a
+    token that clumps (topical or boilerplate) — the Katz/Church
+    signal behind "burstiness-aware" TF weighting, and a cheap
+    template detector (a navigation token repeated 30× in a few docs
+    outranks a uniformly common word). Exactness: with n docs, total
+    count c, per-doc squares Σx² — VMR = (n·Σx² − c²)/(n·c), a SINGLE
+    division of exact integers, round 6; rank on the rounded value
+    with token tie-break. One (doc,tok) agg + one tok agg +
+    TakeOrdered 20."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    dt = (
+        docs.select(
+            "doc_id", F.explode(textops.tokens("text")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
+    per = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("__x").cast("long").alias("__c"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__xx"),
+    )
+    vmr = F.round(
+        (F.col("__n") * F.col("__xx") - F.col("__c") * F.col("__c")).cast(
+            "double"
+        )
+        / (F.col("__n") * F.col("__c")).cast("double"),
+        6,
+    )
+    return (
+        per.filter(F.col("df") >= 20)
+        .crossJoin(F.broadcast(ndocs))
+        .select("tok", "df", F.col("__c").alias("n_occ"), vmr.alias("vmr"))
+        .orderBy(F.col("vmr").desc(), F.col("tok").asc())
+        .limit(20)
+    )

@@ -653,4 +653,72 @@ SQL = {
             FROM cells c
             JOIN mk USING (keep) JOIN mp USING (pass_gate) CROSS JOIN tot
         """,
+
+        "b24_corpus_v8": f"""
+            WITH corpus AS (
+              SELECT doc_id, lang, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, lang, source, text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            toks AS (
+              SELECT doc_id, lang, unnest({_TOKS_SQL}) AS tok FROM corpus
+            ),
+            tk AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''),
+            dt AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+              FROM tk GROUP BY doc_id, tok
+            ),
+            bg AS (SELECT tok, count(*) AS cb FROM tk GROUP BY tok),
+            tg AS (
+              SELECT tok, count(*) AS ct FROM tk WHERE lang = 'en'
+              GROUP BY tok
+            ),
+            tot AS (
+              SELECT count(*) AS nb,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                     count(DISTINCT tok) AS v
+              FROM tk
+            ),
+            terms AS (
+              SELECT bg.tok,
+                     CAST(floor(ln(
+                       ((coalesce(tg.ct, 0) + 1)
+                          / CAST(tot.nt + tot.v AS DOUBLE))
+                       / ((bg.cb + 1) / CAST(tot.nb + tot.v AS DOUBLE))
+                     ) * 1e8) AS BIGINT) AS t8
+              FROM bg LEFT JOIN tg ON bg.tok = tg.tok CROSS JOIN tot
+            ),
+            perdoc AS (
+              SELECT dt.doc_id,
+                     CAST(sum(dt.m) AS BIGINT) AS ws,
+                     CAST(sum(dt.m * terms.t8) AS BIGINT) AS w8
+              FROM dt JOIN terms USING (tok) GROUP BY dt.doc_id
+            ),
+            flagged AS (
+              SELECT c.doc_id, c.source,
+                     (row_number() OVER (PARTITION BY {_NORM_SQL}
+                        ORDER BY doc_id) = 1) AS keep,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+                       AS bpe
+              FROM corpus c
+            ),
+            j AS (
+              SELECT f.source, f.keep, f.bpe, p.ws, p.w8,
+                     (f.keep AND p.w8 > 0 AND p.ws >= 25) AS admit
+              FROM flagged f JOIN perdoc p USING (doc_id)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN admit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_admitted,
+                   CAST(sum(CASE WHEN admit THEN bpe ELSE 0 END) AS BIGINT)
+                     AS admitted_bpe_tokens,
+                   CAST(sum(CASE WHEN admit THEN w8 ELSE 0 END) AS BIGINT)
+                     AS admitted_w8,
+                   round(CAST(sum(CASE WHEN admit THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS admit_share
+            FROM j GROUP BY source
+        """,
 }

@@ -455,4 +455,67 @@ SQL = {
                  AS day_over_day
         FROM j GROUP BY event_type
     """,
+
+    "b3_schema_drift": """
+        WITH anchor AS (
+          SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS t0,
+                 max(CAST(epoch_us(ts) AS BIGINT)) AS t1
+          FROM events
+        ),
+        evolved AS (
+          SELECT event_type,
+                 (CAST(epoch_us(ts) AS BIGINT) - a.t0) // 86400000000 AS day,
+                 CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                           >= (a.t0 + a.t1) / 2
+                      THEN substr(props, 1, length(props) - 1)
+                           || ', "v2": 1}'
+                      ELSE props END AS props
+          FROM events, anchor a
+        ),
+        keys AS (
+          SELECT event_type, day, unnest(json_keys(props)) AS key
+          FROM evolved
+        )
+        SELECT event_type, key,
+               CAST(min(day) AS BIGINT) AS first_day,
+               CAST(max(day) AS BIGINT) AS last_day,
+               CAST(count(*) AS BIGINT) AS n,
+               (min(day) > 0) AS drifted
+        FROM keys GROUP BY event_type, key
+    """,
+
+    "b2_retention_policies": """
+        WITH ev AS (
+          SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us
+          FROM events
+        ),
+        anchor AS (SELECT max(us) AS now_us FROM ev),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ev),
+        tk AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_kept FROM ev, anchor
+          WHERE us > now_us - 604800000000
+        ),
+        ln AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_kept FROM (
+            SELECT row_number() OVER (PARTITION BY user_id
+                     ORDER BY us DESC, event_id DESC) AS rn
+            FROM ev
+          ) WHERE rn <= 3
+        ),
+        ck AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_kept FROM (
+            SELECT user_id, max(us) FROM ev GROUP BY user_id
+          )
+        ),
+        u AS (
+          SELECT 'time_7d' AS policy, n_kept FROM tk
+          UNION ALL
+          SELECT 'per_key_last_3', n_kept FROM ln
+          UNION ALL
+          SELECT 'compact_latest', n_kept FROM ck
+        )
+        SELECT policy, n_kept,
+               round(CAST(n_kept AS DOUBLE) / tot.t, 6) AS kept_share
+        FROM u CROSS JOIN tot
+    """,
 }

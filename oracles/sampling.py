@@ -836,4 +836,81 @@ SQL = {
                          - 1.0, 6) AS chapman
             FROM na, nb, nab, nu
         """,
+
+        "b27_bloom_fpp": """
+            WITH members AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ),
+            nonmembers AS (
+              SELECT DISTINCT c_custkey FROM customer
+              WHERE c_mktsegment <> 'BUILDING'
+            ),
+            dpos AS (
+              SELECT unnest([((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 968614405 + 1355113225) % 2147483647) % 4096, ((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 952418058 + 1478279456) % 2147483647) % 4096, ((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 1716193455 + 2129089114) % 2147483647) % 4096, ((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 472834119 + 1178865607) % 2147483647) % 4096]) AS pos FROM members
+            ),
+            bitmap AS (
+              SELECT CAST(floor(pos / 63) AS INTEGER) AS word,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER))
+                       AS bits
+              FROM dpos GROUP BY 1
+            ),
+            ppos AS (
+              SELECT c_custkey, unnest([((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 968614405 + 1355113225) % 2147483647) % 4096, ((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 952418058 + 1478279456) % 2147483647) % 4096, ((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 1716193455 + 2129089114) % 2147483647) % 4096, ((((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT)) % 2147483647) * 472834119 + 1178865607) % 2147483647) % 4096]) AS pos FROM nonmembers
+            ),
+            pass AS (
+              SELECT c_custkey FROM (
+                SELECT c_custkey,
+                       CAST(floor(pos / 63) AS INTEGER) AS word,
+                       CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER) AS bit
+                FROM ppos
+              ) p JOIN bitmap USING (word)
+              WHERE (bits & bit) <> 0
+              GROUP BY c_custkey HAVING count(*) = 4
+            ),
+            nm AS (
+              SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys
+              FROM members
+            ),
+            np AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_probes FROM nonmembers
+            ),
+            nf AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_false_pos FROM pass
+            ),
+            bs AS (
+              SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+              FROM bitmap
+            )
+            SELECT CAST(4096 AS INTEGER) AS m_bits,
+                   CAST(4 AS INTEGER) AS k_hashes,
+                   n_keys, n_probes, n_false_pos, bits_set,
+                   round(CAST(n_false_pos AS DOUBLE) / n_probes, 6)
+                     AS measured_fpp,
+                   round(CAST(bits_set AS DOUBLE) / 4096.0, 6) AS load
+            FROM nm, np, nf, bs
+        """,
+        "b26_neyman_allocation": """
+            WITH sums AS (
+              SELECT c_mktsegment,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                       AS sx,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))
+                              * CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE)
+                       AS sxx
+              FROM customer GROUP BY 1
+            ),
+            w AS (
+              SELECT c_mktsegment, n,
+                     n * sqrt((sxx - sx * sx / n) / n) AS wt
+              FROM sums
+            ),
+            tot AS (SELECT sum(wt) AS tw FROM w)
+            SELECT c_mktsegment,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round(wt / n, 6) AS sigma,
+                   round(wt / tw, 6) AS weight_share,
+                   CAST(floor(wt / tw * 1000.0) AS BIGINT) AS alloc_1000
+            FROM w CROSS JOIN tot
+        """,
 }

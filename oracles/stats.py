@@ -817,4 +817,103 @@ SQL = {
                         ORDER BY c.n DESC, c.dow ASC) AS INT) AS busy_rank
             FROM cells c JOIN tot t USING (event_type)
         """,
+
+        "b10_two_proportion": """
+            WITH picks AS (
+              SELECT min(event_type) AS va, max(event_type) AS vb FROM events
+            ),
+            per AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS x
+              FROM events, picks
+              WHERE event_type = picks.va OR event_type = picks.vb
+              GROUP BY event_type
+            ),
+            a AS (
+              SELECT event_type AS variant_a, n AS n_a, x AS x_a
+              FROM per, picks WHERE event_type = picks.va
+            ),
+            b AS (
+              SELECT event_type AS variant_b, n AS n_b, x AS x_b
+              FROM per, picks WHERE event_type = picks.vb
+            ),
+            r AS (
+              SELECT *,
+                     CAST(x_a AS DOUBLE) / n_a AS p1,
+                     CAST(x_b AS DOUBLE) / n_b AS p2,
+                     CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pp
+              FROM a CROSS JOIN b
+            ),
+            rz AS (
+              SELECT *, round((p1 - p2) / sqrt(pp * (1.0 - pp)
+                     * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+              FROM r
+            )
+            SELECT variant_a, variant_b, n_a, x_a, n_b, x_b,
+                   round(p1, 6) AS p_a, round(p2, 6) AS p_b, z,
+                   (abs(z) >= 1.96) AS significant
+            FROM rz
+        """,
+        "b11_cusum": """
+            WITH hourly AS (
+              SELECT event_type,
+                     CAST(CAST(epoch_us(ts) AS BIGINT) // 3600000000
+                          AS BIGINT) AS hr_idx,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT event_type, hr_idx, n,
+                     CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS h,
+                     CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS t
+              FROM hourly
+            ),
+            scored AS (
+              SELECT event_type, hr_idx, h,
+                     CAST(sum(n * h - t)
+                          OVER (PARTITION BY event_type ORDER BY hr_idx
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+              FROM tot
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(s) DESC, hr_idx ASC) AS rn
+              FROM scored
+            )
+            SELECT event_type, h AS n_hours, hr_idx AS peak_hr_idx,
+                   s AS cusum_scaled,
+                   round(CAST(s AS DOUBLE) / h, 6) AS cusum_peak
+            FROM ranked WHERE rn = 1
+        """,
+
+        "b14_struct_funcs": """
+            WITH rows_s AS (
+              SELECT l_returnflag,
+                     ((l_quantity, l_extendedprice) > (25.0, 30000.0))
+                       AS gt,
+                     (l_linenumber = 1) AS eq1,
+                     l_quantity AS q, l_extendedprice AS p
+              FROM lineitem
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY q DESC, p DESC) AS rn
+              FROM rows_s
+            ),
+            agg AS (
+              SELECT l_returnflag,
+                     CAST(sum(CASE WHEN gt THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_gt,
+                     CAST(sum(CASE WHEN eq1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_line1
+              FROM rows_s GROUP BY l_returnflag
+            )
+            SELECT a.l_returnflag, a.n_gt, a.n_line1,
+                   r.q AS max_q, round(r.p, 2) AS max_p
+            FROM agg a JOIN ranked r
+              ON r.l_returnflag = a.l_returnflag AND r.rn = 1
+        """,
 }

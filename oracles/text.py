@@ -781,4 +781,27 @@ SQL = {
                      AS bytes_per_token
             FROM per GROUP BY source
         """,
+
+        "b21_burstiness": f"""
+            WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            dt AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS x
+              FROM (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+              ) WHERE tok <> ''
+              GROUP BY doc_id, tok
+            ),
+            per AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(x) AS BIGINT) AS c,
+                     CAST(sum(x * x) AS BIGINT) AS xx
+              FROM dt GROUP BY tok
+            )
+            SELECT tok, df, c AS n_occ,
+                   round(CAST(nd.n * xx - c * c AS DOUBLE)
+                         / CAST(nd.n * c AS DOUBLE), 6) AS vmr
+            FROM per, nd
+            WHERE df >= 20
+            ORDER BY vmr DESC, tok ASC LIMIT 20
+        """,
 }
