@@ -433,6 +433,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b2_retention_policies": q_b2_retention_policies,
         "b21_burstiness": q_b21_burstiness,
         "b14_struct_funcs": q_b14_struct_funcs,
+        # --- round 11 wave 5 ---------------------------------------------
+        "b20_silhouette": q_b20_silhouette,
+        "b28_ablation_grid": q_b28_ablation_grid,
+        "b7_join_size_estimate": q_b7_join_size_estimate,
     }
 
 

@@ -980,3 +980,60 @@ def q_b8_supplier_part_counts(spark, sf_dir):
         .groupBy("p_brand", "p_type", "size_bucket")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+def q_b7_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimator audit (B7 depth, r11 — the
+    optimizer-statistics read behind b7_skew_diagnosis's remedy): per
+    customer-key bucket (custkey div 512), the equi-join output size a
+    HISTOGRAM-based optimizer would ESTIMATE under the uniformity
+    assumption (Σc_a · Σc_b / d, d = distinct keys in the bucket) vs
+    the ACTUAL Σ(c_a·c_b) — the underestimation ratio is exactly the
+    skew an AQE re-plan or a salted join exists to absorb, surfaced
+    per key range BEFORE the join runs. Pure keyed aggs over the two
+    key-count relations; estimate = one division, actual = exact
+    integer sum."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("l_custkey"))
+    )
+    ca = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__ca")
+    )
+    cb = li.groupBy("l_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__cb")
+    )
+    j = ca.join(
+        cb, F.col("o_custkey") == F.col("l_custkey")
+    ).select(
+        F.expr("o_custkey div 512").alias("bucket"),
+        "__ca",
+        "__cb",
+    )
+    agg = j.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("__ca").cast("long").alias("sum_a"),
+        F.sum("__cb").cast("long").alias("sum_b"),
+        F.sum(F.col("__ca") * F.col("__cb")).cast("long").alias("actual"),
+    )
+    est = F.round(
+        (F.col("sum_a") * F.col("sum_b")).cast("double") / F.col("n_keys"),
+        6,
+    )
+    return agg.select(
+        "bucket",
+        "n_keys",
+        "actual",
+        est.alias("estimate"),
+        F.round(
+            F.col("actual").cast("double")
+            / ((F.col("sum_a") * F.col("sum_b")).cast("double")
+               / F.col("n_keys")),
+            6,
+        ).alias("skew_ratio"),
+    )

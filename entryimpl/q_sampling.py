@@ -1531,3 +1531,43 @@ def q_b26_neyman_allocation(spark, sf_dir):
             .alias("alloc_1000"),
         )
     )
+
+
+def q_b28_ablation_grid(spark, sf_dir):
+    """Source-ablation planning grid (B28 depth, r11): for every
+    leave-one-source-out ablation run, the remaining sources'
+    REBALANCED token shares — the manifest an ablation study ships to
+    the trainer alongside the full-mix manifest (b28_training
+    families): row (ablated, remaining) = remaining source's share of
+    the corpus with `ablated` removed. |S|² rows, all from ONE
+    |S|-row token agg self-joined — the corpus is tokenized once and
+    never shuffled again. Shares = divisions of exact integer sums,
+    round 6."""
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.sum(textops.token_count("text")).cast("long").alias("n_tok")
+    )
+    tot = per.agg(F.sum("n_tok").cast("long").alias("__t"))
+    a = per.select(
+        F.col("source").alias("ablated_source"),
+        F.col("n_tok").alias("__abl_tok"),
+    )
+    r = per.select(
+        F.col("source").alias("remaining_source"),
+        F.col("n_tok").alias("n_tok"),
+    )
+    return (
+        a.crossJoin(r)
+        .filter(F.col("ablated_source") != F.col("remaining_source"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ablated_source",
+            "remaining_source",
+            "n_tok",
+            F.round(
+                F.col("n_tok").cast("double")
+                / (F.col("__t") - F.col("__abl_tok")),
+                6,
+            ).alias("rebalanced_share"),
+        )
+    )

@@ -606,3 +606,77 @@ def q_b20_matryoshka_recall(spark, sf_dir):
             6,
         ).alias("recall_at_10"),
     )
+
+
+def q_b20_silhouette(spark, sf_dir):
+    """Centroid silhouette score per k-means cluster (B20 depth, r11 —
+    the cluster-QUALITY read the family lacked: kmeans gives the
+    partition, centroid_drift tracks movement, this says whether the
+    partition is any good): for every point, a = squared distance to
+    its own cluster's centroid, b = min squared distance to any other
+    centroid; s = (b−a)/max(a,b) — the centroid-based silhouette
+    (Rousseeuw's simplified form; the O(n²) pairwise version is not a
+    corpus-scale object). Per cluster: size and mean s. Exactness:
+    components and centroids live in the kernel's floor-quantized
+    int64 space, distances are integer sums, each point's s is
+    floor-quantized to 1e-6 BEFORE the cluster mean so the sum is
+    order-independent. Shape: the oracled kmeans assignment + one
+    (cluster,dim) centroid agg + an n·k·d distance join — the
+    kernel's own assignment shape."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    labels = similarity.kmeans_exact(emb, k=4, iters=3).select(
+        "vec_id", "cluster_id"
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "qv"),
+    )
+    ql = q.join(labels, "vec_id")
+    cent = ql.groupBy("cluster_id", "dim").agg(
+        F.expr(
+            "CAST((sum(qv) - pmod(sum(qv), count(1))) div count(1) AS BIGINT)"
+        ).alias("cv")
+    )
+    c = cent.select(
+        F.col("cluster_id").alias("cid"), "dim", "cv"
+    )
+    dists = (
+        q.join(c, "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")))
+            .cast("long")
+            .alias("d2")
+        )
+        .join(labels, "vec_id")
+    )
+    per = dists.groupBy("vec_id").agg(
+        F.min(F.col("cluster_id")).alias("cluster_id"),
+        F.max(
+            F.when(F.col("cid") == F.col("cluster_id"), F.col("d2"))
+        ).alias("__a"),
+        F.min(
+            F.when(F.col("cid") != F.col("cluster_id"), F.col("d2"))
+        ).alias("__b"),
+    )
+    s6 = F.floor(
+        (F.col("__b") - F.col("__a")).cast("double")
+        / F.greatest(F.col("__a"), F.col("__b"), F.lit(1)).cast("double")
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        per.select("cluster_id", s6.alias("__s6"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.sum("__s6") / (F.count(F.lit(1)) * F.lit(1e6)), 6)
+            .alias("mean_silhouette"),
+        )
+    )

@@ -511,4 +511,35 @@ SQL = {
         WHERE p_brand <> 'Brand#4'
         GROUP BY 1, 2, 3
     """,
+
+        "b7_join_size_estimate": """
+            WITH ca AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS na
+              FROM orders GROUP BY o_custkey
+            ),
+            cb AS (
+              SELECT o.o_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_custkey
+            ),
+            j AS (
+              SELECT ca.o_custkey // 512 AS bucket, ca.na, cb.nb
+              FROM ca JOIN cb ON ca.o_custkey = cb.k
+            ),
+            agg AS (
+              SELECT bucket,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(na) AS BIGINT) AS sum_a,
+                     CAST(sum(nb) AS BIGINT) AS sum_b,
+                     CAST(sum(na * nb) AS BIGINT) AS actual
+              FROM j GROUP BY bucket
+            )
+            SELECT bucket, n_keys, actual,
+                   round(CAST(sum_a * sum_b AS DOUBLE) / n_keys, 6)
+                     AS estimate,
+                   round(CAST(actual AS DOUBLE)
+                         / (CAST(sum_a * sum_b AS DOUBLE) / n_keys), 6)
+                     AS skew_ratio
+            FROM agg
+        """,
 }

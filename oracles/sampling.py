@@ -913,4 +913,20 @@ SQL = {
                    CAST(floor(wt / tw * 1000.0) AS BIGINT) AS alloc_1000
             FROM w CROSS JOIN tot
         """,
+
+        "b28_ablation_grid": f"""
+            WITH per AS (
+              SELECT source,
+                     CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tok
+              FROM documents GROUP BY source
+            ),
+            tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM per)
+            SELECT a.source AS ablated_source,
+                   r.source AS remaining_source,
+                   r.n_tok,
+                   round(CAST(r.n_tok AS DOUBLE) / (tot.t - a.n_tok), 6)
+                     AS rebalanced_share
+            FROM per a CROSS JOIN per r CROSS JOIN tot
+            WHERE a.source <> r.source
+        """,
 }

@@ -545,4 +545,51 @@ SQL = {
                          6) AS recall_at_10
             FROM ov CROSS JOIN np
         """,
+
+        "b20_silhouette": f"""
+            WITH labels AS (
+              SELECT vec_id, cluster_id FROM ({_kmeans_oracle_sql()})
+            ),
+            q AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                          AS BIGINT) AS qv
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT l.cluster_id AS cid, q.dim,
+                     CAST((sum(q.qv) - ((sum(q.qv) % count(*)) + count(*))
+                           % count(*)) // count(*) AS BIGINT) AS cv
+              FROM q JOIN labels l USING (vec_id)
+              GROUP BY l.cluster_id, q.dim
+            ),
+            dists AS (
+              SELECT q.vec_id, c.cid,
+                     CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2
+              FROM q JOIN cent c USING (dim)
+              GROUP BY q.vec_id, c.cid
+            ),
+            dl AS (
+              SELECT d.vec_id, d.cid, d.d2, l.cluster_id
+              FROM dists d JOIN labels l USING (vec_id)
+            ),
+            per AS (
+              SELECT vec_id, min(cluster_id) AS cluster_id,
+                     max(CASE WHEN cid = cluster_id THEN d2 END) AS a,
+                     min(CASE WHEN cid <> cluster_id THEN d2 END) AS b
+              FROM dl GROUP BY vec_id
+            ),
+            s AS (
+              SELECT cluster_id,
+                     CAST(floor(CAST(b - a AS DOUBLE)
+                          / CAST(greatest(a, b, 1) AS DOUBLE) * 1e6)
+                          AS BIGINT) AS s6
+              FROM per
+            )
+            SELECT cluster_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   round(sum(s6) / (count(*) * 1e6), 6) AS mean_silhouette
+            FROM s GROUP BY cluster_id
+        """,
 }
