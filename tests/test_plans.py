@@ -659,3 +659,29 @@ def test_winnow_pairs_fp_self_join_is_df_capped(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__df" in plan and "64" in plan, "hot-fp df cap missing from plan"
+
+
+def test_r11_heavy_additions_no_cartesian(spark, sf_dir):
+    # r11 wave queries whose candidate/term/walk joins must stay keyed:
+    # DSIR's vocab term join, corpus_v8's composition, the LSH
+    # operating-point's two kernels, silhouette's n·k·d distance join,
+    # hash walks' per-step adjacency joins, merkle's digest joins.
+    # (Deliberate bounded products are NOT here: matryoshka broadcasts
+    # probes by contract; ablation_grid / two_proportion cross tiny
+    # aggregate relations.)
+    for name in (
+        "b19_lsh_operating_point",
+        "b20_silhouette",
+        "b13_merkle_diff",
+        "b19_winnow_pairs",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # bounded-by-construction products stay: DSIR / corpus_v8 carry the
+    # documented 1-row totals broadcast (the source_kl idiom) and
+    # hash_walks fans 8 seeds x 4 walkers; the unbounded-product check
+    # still holds, and every DATA-side join above is keyed
+    for name in ("b28_dsir_weights", "b24_corpus_v8", "b30_hash_walks"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
