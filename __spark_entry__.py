@@ -437,6 +437,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_silhouette": q_b20_silhouette,
         "b28_ablation_grid": q_b28_ablation_grid,
         "b7_join_size_estimate": q_b7_join_size_estimate,
+        # --- round 11 wave 6 ---------------------------------------------
+        "b22_equalize": q_b22_equalize,
+        "b21_langid_margin": q_b21_langid_margin,
+        "b17_incremental_topk": q_b17_incremental_topk,
+        "b26_raking": q_b26_raking,
     }
 
 

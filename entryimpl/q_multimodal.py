@@ -374,3 +374,27 @@ def q_b22_media_scorecard(spark, sf_dir):
         ).alias("pooled_zcr"),
         F.sum("luma_sum").cast("long").alias("total_luma"),
     )
+
+
+def q_b22_equalize(spark, sf_dir):
+    """Histogram-equalization audit (B22 depth, r11): the contrast-
+    normalization statistics pass — per decoded image, the 8-bit luma
+    histogram CDF drives the standard integer remap and the row
+    reports dynamic range + level counts before/after plus the
+    remapped checksum (multimodal.equalize_stats; genuine PPM decode,
+    one numpy pass per image, Arrow-batched mapInPandas, narrow). All
+    integer floor arithmetic, so the oracle replays synthesis →
+    per-pixel luma → histogram → CDF → remap in closed form."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.equalize_stats(multimodal.synth_ppm(docs))
+    return out.select(
+        "doc_id",
+        "n_px",
+        "pre_min",
+        "pre_max",
+        "pre_levels",
+        "post_min",
+        "post_max",
+        "post_levels",
+        "post_sum",
+    )

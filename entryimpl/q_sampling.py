@@ -1571,3 +1571,58 @@ def q_b28_ablation_grid(spark, sf_dir):
             ).alias("rebalanced_share"),
         )
     )
+
+
+def q_b26_raking(spark, sf_dir):
+    """Iterative proportional fitting / raking (B26 depth, r11 — the
+    survey-weighting algorithm the stratified family leads to: adjust
+    per-cell weights so BOTH the language and source marginals hit
+    their targets simultaneously, when per-cell targets don't exist):
+    3 unrolled IPF rounds (lang → source → lang) over the (lang,
+    source) doc-count grid, targets = equal shares per group.
+    Exactness: weights live as integer micro-units (w6), each round's
+    marginal sums are exact integer Σ n·w6, the scale ratio is one
+    double division, and the updated weight re-floors to integer —
+    so round order is the ONLY order and both engines replay every
+    intermediate weight bit-for-bit. Cell grid is |langs|×|sources|;
+    each round is one keyed agg + one broadcast join back."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("__t"),
+        F.countDistinct("lang").cast("long").alias("__nl"),
+        F.countDistinct("source").cast("long").alias("__ns"),
+    )
+    cur = cells.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n", "__t", "__nl", "__ns",
+        F.lit(1_000_000).cast("long").alias("w6"),
+    )
+    for dim, ng in (("lang", "__nl"), ("source", "__ns"), ("lang", "__nl")):
+        s = cur.groupBy(dim).agg(
+            F.sum(F.col("n") * F.col("w6")).cast("long").alias("__s")
+        )
+        cur = (
+            cur.join(F.broadcast(s), dim)
+            .withColumn(
+                "w6",
+                F.floor(
+                    F.col("w6")
+                    * (
+                        F.col("__t").cast("double")
+                        / F.col(ng)
+                        * F.lit(1e6)
+                        / F.col("__s")
+                    )
+                ).cast("long"),
+            )
+            .drop("__s")
+        )
+    return cur.select(
+        "lang",
+        "source",
+        "n",
+        "w6",
+        F.round(F.col("w6") / F.lit(1e6), 6).alias("weight"),
+    )

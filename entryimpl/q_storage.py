@@ -1134,3 +1134,45 @@ def q_b13_merkle_diff(spark, sf_dir):
         "n_diverged",
         "first_diverged_block",
     )
+
+
+def q_b17_incremental_topk(spark, sf_dir):
+    """Incremental top-k view maintenance (B17 depth, r11 — the
+    bounded-state leg of the incremental-view family beside the join
+    view and counter merges): a standing per-flag top-10 (by price,
+    totally ordered) absorbs a CDC batch by re-ranking ONLY the k·
+    groups standing rows ∪ the batch — the classic monotone-view
+    shortcut (a row outside the standing top-k can never enter it on
+    INSERT-only deltas), cost ∝ batch + k·groups, never the corpus.
+    The oracle recomputes the top-10 from the FULL table, so the
+    driver row proves merge == recompute. Standing/batch split =
+    orderkey mod 10."""
+    cols = [
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+    ]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    order = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+        F.col("l_suppkey").asc(),
+    ]
+    standing = li.filter(F.col("l_orderkey") % 10 != 0)
+    batch = li.filter(F.col("l_orderkey") % 10 == 0)
+    st_topk = derive.topk_per_group(standing, ["l_returnflag"], order, 10)
+    merged = derive.topk_per_group(
+        st_topk.select(*cols).unionByName(batch), ["l_returnflag"], order, 10
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("rnk").cast("int").alias("rnk"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )

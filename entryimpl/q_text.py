@@ -873,3 +873,35 @@ def q_b21_burstiness(spark, sf_dir):
         .orderBy(F.col("vmr").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+def q_b21_langid_margin(spark, sf_dir):
+    """Language-ID confidence margin (B21 QA depth, r11 — the
+    CALIBRATION read next to b21_lang_confusion's accuracy matrix):
+    per labeled language × decision margin (top stopword-hit score
+    minus runner-up, capped at 5+), how many docs and how many the
+    argmax guess got right — low-margin cells are where lang-ID
+    mistakes concentrate, so a router gating on margin knows exactly
+    what it trades. Integer hit counts end to end; margin via a
+    descending sort of the 5-score array (ties → margin 0). One
+    narrow scoring map + one keyed agg."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    scores = textops.lang_scores("text")
+    arr = F.sort_array(
+        F.array(*[scores[lang] for lang in sorted(textops.STOPWORDS)]),
+        asc=False,
+    )
+    margin = F.least(
+        F.element_at(arr, 1) - F.element_at(arr, 2), F.lit(5).cast("bigint")
+    )
+    correct = (textops.lang_id("text") == F.col("lang")).cast("long")
+    return (
+        docs.select(
+            "lang", margin.alias("margin"), correct.alias("__ok")
+        )
+        .groupBy("lang", "margin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__ok").cast("long").alias("n_correct"),
+        )
+    )

@@ -407,4 +407,62 @@ SQL = {
                CAST(sum(luma_sum) AS BIGINT) AS total_luma
         FROM per GROUP BY source
     """,
+
+        "b22_equalize": """
+            -- closed-form replay of synth_ppm + equalize_stats: per
+            -- pixel luma bucket v = (299R+587G+114B) // 1000 where
+            -- channel byte = (id*31 + (y*w+x)*3 + c) % 256; histogram
+            -- -> running CDF -> integer remap floor((cdf-cdf_min)*255
+            -- / (n_px-cdf_min)); constant images (denom 0) map to 0
+            WITH px AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                     CAST(4 + (doc_id // 5) % 5 AS INTEGER) AS h
+              FROM documents
+            ),
+            lum AS (
+              SELECT doc_id, w, h, y, x,
+                     (  299 * ((doc_id * 31 + (y * w + x) * 3 + 0) % 256)
+                      + 587 * ((doc_id * 31 + (y * w + x) * 3 + 1) % 256)
+                      + 114 * ((doc_id * 31 + (y * w + x) * 3 + 2) % 256)
+                     ) // 1000 AS v
+              FROM px,
+                   generate_series(0, 7) gy(y),
+                   generate_series(0, 7) gx(x)
+              WHERE y < h AND x < w
+            ),
+            hist AS (
+              SELECT doc_id, w, h, v, CAST(count(*) AS BIGINT) AS c
+              FROM lum GROUP BY doc_id, w, h, v
+            ),
+            cdf AS (
+              SELECT doc_id, w, h, v, c,
+                     sum(c) OVER (PARTITION BY doc_id ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cdf
+              FROM hist
+            ),
+            base AS (
+              SELECT doc_id, min(cdf) AS cdf_min,
+                     CAST(min(w) * min(h) AS BIGINT) AS n_px
+              FROM cdf GROUP BY doc_id
+            ),
+            remap AS (
+              SELECT cdf.doc_id, cdf.v, cdf.c, b.n_px,
+                     CASE WHEN b.n_px - b.cdf_min > 0
+                          THEN ((cdf.cdf - b.cdf_min) * 255)
+                               // (b.n_px - b.cdf_min)
+                          ELSE 0 END AS r
+              FROM cdf JOIN base b USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(min(n_px) AS BIGINT) AS n_px,
+                   CAST(min(v) AS INTEGER) AS pre_min,
+                   CAST(max(v) AS INTEGER) AS pre_max,
+                   CAST(count(*) AS BIGINT) AS pre_levels,
+                   CAST(min(r) AS INTEGER) AS post_min,
+                   CAST(max(r) AS INTEGER) AS post_max,
+                   CAST(count(DISTINCT r) AS BIGINT) AS post_levels,
+                   CAST(sum(r * c) AS BIGINT) AS post_sum
+            FROM remap GROUP BY doc_id
+        """,
 }

@@ -929,4 +929,55 @@ SQL = {
             FROM per a CROSS JOIN per r CROSS JOIN tot
             WHERE a.source <> r.source
         """,
+
+        "b26_raking": """
+            WITH cells AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang, source
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS t,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+                     CAST(count(DISTINCT source) AS BIGINT) AS ns
+              FROM cells
+            ),
+            w0 AS (
+              SELECT lang, source, n, t, nl, ns,
+                     CAST(1000000 AS BIGINT) AS w6
+              FROM cells CROSS JOIN tot
+            ),
+            s1 AS (
+              SELECT lang, CAST(sum(n * w6) AS BIGINT) AS s
+              FROM w0 GROUP BY lang
+            ),
+            w1 AS (
+              SELECT w.lang, w.source, w.n, w.t, w.nl, w.ns,
+                     CAST(floor(w.w6 * (CAST(w.t AS DOUBLE) / w.nl * 1e6
+                                        / s1.s)) AS BIGINT) AS w6
+              FROM w0 w JOIN s1 USING (lang)
+            ),
+            s2 AS (
+              SELECT source, CAST(sum(n * w6) AS BIGINT) AS s
+              FROM w1 GROUP BY source
+            ),
+            w2 AS (
+              SELECT w.lang, w.source, w.n, w.t, w.nl, w.ns,
+                     CAST(floor(w.w6 * (CAST(w.t AS DOUBLE) / w.ns * 1e6
+                                        / s2.s)) AS BIGINT) AS w6
+              FROM w1 w JOIN s2 USING (source)
+            ),
+            s3 AS (
+              SELECT lang, CAST(sum(n * w6) AS BIGINT) AS s
+              FROM w2 GROUP BY lang
+            ),
+            w3 AS (
+              SELECT w.lang, w.source, w.n, w.t, w.nl, w.ns,
+                     CAST(floor(w.w6 * (CAST(w.t AS DOUBLE) / w.nl * 1e6
+                                        / s3.s)) AS BIGINT) AS w6
+              FROM w2 w JOIN s3 USING (lang)
+            )
+            SELECT lang, source, n, w6,
+                   round(w6 / 1e6, 6) AS weight
+            FROM w3
+        """,
 }

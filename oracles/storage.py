@@ -767,4 +767,19 @@ SQL = {
                    first_diverged_block
             FROM l1 WHERE s_a != s_b
         """,
+
+        "b17_incremental_topk": """
+            WITH ranked AS (
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                     l_extendedprice,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                l_linenumber ASC, l_partkey ASC,
+                                l_suppkey ASC) AS rnk
+              FROM lineitem
+            )
+            SELECT l_returnflag, CAST(rnk AS INTEGER) AS rnk,
+                   l_orderkey, l_linenumber, l_extendedprice
+            FROM ranked WHERE rnk <= 10
+        """,
 }

@@ -804,4 +804,27 @@ SQL = {
             WHERE df >= 20
             ORDER BY vmr DESC, tok ASC LIMIT 20
         """,
+
+        "b21_langid_margin": f"""
+            WITH scored AS (
+              SELECT lang,
+                     CAST(len(list_filter({_TOKS_SQL}, t -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'auf', 'zu'], t))) AS BIGINT) AS s_de,
+                     CAST(len(list_filter({_TOKS_SQL}, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'], t))) AS BIGINT) AS s_en,
+                     CAST(len(list_filter({_TOKS_SQL}, t -> list_contains(['el', 'la', 'los', 'y', 'es', 'un', 'una', 'en', 'para', 'que'], t))) AS BIGINT) AS s_es,
+                     CAST(len(list_filter({_TOKS_SQL}, t -> list_contains(['le', 'la', 'les', 'et', 'est', 'un', 'une', 'dans', 'pour', 'que'], t))) AS BIGINT) AS s_fr
+              FROM documents
+            ),
+            m AS (
+              SELECT lang,
+                     least(list_reverse_sort([s_de, s_en, s_es, s_fr])[1]
+                           - list_reverse_sort([s_de, s_en, s_es, s_fr])[2],
+                           CAST(5 AS BIGINT)) AS margin,
+                     CASE WHEN (CASE WHEN s_fr > CASE WHEN s_es > (CASE WHEN s_en > (CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END) THEN s_en ELSE (CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END) END) THEN s_es ELSE (CASE WHEN s_en > (CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END) THEN s_en ELSE (CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END) END) END THEN 'fr' ELSE CASE WHEN s_es > CASE WHEN s_en > (CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END) THEN s_en ELSE (CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END) END THEN 'es' ELSE CASE WHEN s_en > CASE WHEN s_de > (CAST(0 AS BIGINT)) THEN s_de ELSE (CAST(0 AS BIGINT)) END THEN 'en' ELSE CASE WHEN s_de > CAST(0 AS BIGINT) THEN 'de' ELSE 'und' END END END END) = lang THEN 1 ELSE 0 END AS ok
+              FROM scored
+            )
+            SELECT lang, margin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ok) AS BIGINT) AS n_correct
+            FROM m GROUP BY lang, margin
+        """,
 }

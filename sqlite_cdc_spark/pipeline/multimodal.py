@@ -1101,3 +1101,104 @@ def audio_chunk_plan(
         ).alias("chunk_len"),
         (F.col("chunk_idx") * F.lit(float(chunk_seconds))).alias("chunk_start_s"),
     )
+
+
+EQUALIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("pre_min", T.IntegerType(), True),
+        T.StructField("pre_max", T.IntegerType(), True),
+        T.StructField("pre_levels", T.LongType(), True),
+        T.StructField("post_min", T.IntegerType(), True),
+        T.StructField("post_max", T.IntegerType(), True),
+        T.StructField("post_levels", T.LongType(), True),
+        T.StructField("post_sum", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def equalize_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Histogram-equalization audit — the classic contrast-normalization
+    step of image corpus prep, run as a BEFORE/AFTER statistics pass:
+    per image, the 8-bit luma histogram's CDF drives the standard
+    integer remap ``floor((cdf(v) − cdf_min)·255 / (n_px − cdf_min))``
+    and the output reports dynamic range and level counts pre/post plus
+    the remapped-luma checksum. A flat-contrast image (pre_max−pre_min
+    small) expanding to full range confirms the remap; constant images
+    (denominator 0) map to 0 by convention on both engines.
+
+    Everything integer: luma = (299R+587G+114B) // 1000 per pixel,
+    floor divisions throughout — an engine that can do arithmetic
+    replays the whole pass bit-exact. Same genuine PPM/BMP decode as
+    :func:`image_stats`; Arrow-batched ``mapInPandas``, narrow."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in EQUALIZE_SCHEMA.fieldNames()}
+            for did, buf in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                rows["doc_id"].append(int(did))
+                try:
+                    w, h, px = _decode_any(bytes(buf))
+                    p = px.astype(np.int64)
+                    lum = (
+                        299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+                    ) // 1000
+                    flat = lum.ravel()
+                    hist = np.bincount(flat, minlength=256)
+                    cdf = hist.cumsum()
+                    occ = np.nonzero(hist)[0]
+                    n_px = int(w * h)
+                    cdf_min = int(cdf[occ[0]])
+                    denom = n_px - cdf_min
+                    if denom > 0:
+                        remap = ((cdf - cdf_min) * 255) // denom
+                    else:
+                        remap = np.zeros(256, dtype=np.int64)
+                    post_occ = remap[occ]
+                    rows["n_px"].append(n_px)
+                    rows["pre_min"].append(int(occ[0]))
+                    rows["pre_max"].append(int(occ[-1]))
+                    rows["pre_levels"].append(int(len(occ)))
+                    rows["post_min"].append(int(post_occ.min()))
+                    rows["post_max"].append(int(post_occ.max()))
+                    rows["post_levels"].append(
+                        int(len(np.unique(post_occ)))
+                    )
+                    rows["post_sum"].append(int(remap[flat].sum()))
+                    rows["decode_ok"].append(True)
+                except Exception:
+                    for k in (
+                        "n_px", "pre_min", "pre_max", "pre_levels",
+                        "post_min", "post_max", "post_levels", "post_sum",
+                    ):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(rows["doc_id"], dtype="int64"),
+                    "n_px": pd.array(rows["n_px"], dtype="Int64"),
+                    "pre_min": pd.array(rows["pre_min"], dtype="Int32"),
+                    "pre_max": pd.array(rows["pre_max"], dtype="Int32"),
+                    "pre_levels": pd.array(rows["pre_levels"], dtype="Int64"),
+                    "post_min": pd.array(rows["post_min"], dtype="Int32"),
+                    "post_max": pd.array(rows["post_max"], dtype="Int32"),
+                    "post_levels": pd.array(
+                        rows["post_levels"], dtype="Int64"
+                    ),
+                    "post_sum": pd.array(rows["post_sum"], dtype="Int64"),
+                    "decode_ok": pd.array(rows["decode_ok"], dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(run, EQUALIZE_SCHEMA)
