@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R11_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R12_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -445,80 +445,81 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-11 driver window (first 50 of queries(); the driver's correctness
+#: Round-12 driver window (first 50 of queries(); the driver's correctness
 #: gate checks exactly these). Computed, not hand-curated: ``python
 #: tools/staleness.py --window 50`` ranks never-attested queries first,
-#: then stalest-green. This round that yields the 29 queries with no
-#: driver row yet (26 r10 additions + 3 r9 overflow latecomers, all
-#: judge-verified bit-exact in the r10 verdict) followed by 21 queries
-#: whose last green row is r5 — the first leg of the two-window schedule
-#: that drains the r5-stale block (VERDICT r10 items 1 and 6). The
-#: remaining 19 r5-stale rows lead the r12 window
-#: (``tools/staleness.py --plan`` emits it).
-_R11_WINDOW = [
-    "b21_rake_keywords",
-    "b18_chunk_dedup",
-    "b20_triplet_mining",
-    "b20_triplet_mining_ann",
-    "b20_hubness_ann",
-    "b19_span_dups",
-    "b21_winnowing",
-    "b28_quality_knapsack",
-    "b21_blocklist",
-    "b25_sql_lateral",
-    "b27_kmv_sketch",
-    "b30_ppr",
-    "b14_hof_funcs",
-    "b26_leakage_audit",
-    "b22_image_patches",
-    "b24_corpus_v7",
-    "b30_modularity",
-    "b28_cluster_balanced",
-    "b22_audio_decimate",
-    "b25_sql_pivot",
-    "b21_filter_matrix",
-    "b1_out_of_order",
-    "b19_threshold_curve",
-    "b9_nearest_event",
-    "b22_media_scorecard",
-    "b7_promo_share",
-    "b8_supplier_part_counts",
-    "b3_staleness_trend",
-    "b19_winnow_pairs",
-    "b14_bitwise_funcs",
-    "b14_url_funcs",
-    "b11_ntile",
-    "b10_median_mode",
-    "b21_tfidf",
-    "b21_bm25",
-    "b21_perplexity",
-    "b21_bpe_pairs",
-    "b28_temperature",
-    "b30_pmi",
-    "b30_incremental_lm",
-    "b21_quality_gate",
-    "b28_curriculum",
-    "b30_bigram_xent",
-    "b26_fixed_per_group",
-    "b30_bool_search",
-    "b21_lang_confusion",
-    "b15_funnel",
-    "b15_cohorts",
-    "b10_large_orders",
-    "b27_sketch_bounds",
+#: then stalest-green. This round that yields the 31 round-11 additions
+#: (none has a driver row yet; all 31 passed the judge's own bit-strict
+#: gate in the r11 verdict) followed by the 19 remaining queries whose
+#: last green row is r5 — the second and final leg of the two-window
+#: schedule that drains the r5-stale block (VERDICT r11 item 2). After
+#: this window lands green: never-green = {b27_sketches} (rows-only by
+#: design) and the stalest attested row is r8. ``tools/staleness.py
+#: --plan`` emits the committed r13 leg (WINDOW_PLAN.json).
+_R12_WINDOW = [
+    "b11_seasonality",
+    "b15_bursts",
+    "b21_fertility",
+    "b20_int8_quant",
+    "b28_dsir_weights",
+    "b26_k_anonymity",
+    "b27_theta_intersect",
+    "b24_gate_dedup_matrix",
+    "b15_interarrival",
+    "b26_capture_recapture",
+    "b20_matryoshka_recall",
+    "b13_merkle_diff",
+    "b29_decontam_venn",
+    "b30_hash_walks",
+    "b19_lsh_operating_point",
+    "b10_two_proportion",
+    "b11_cusum",
+    "b27_bloom_fpp",
+    "b26_neyman_allocation",
+    "b24_corpus_v8",
+    "b3_schema_drift",
+    "b2_retention_policies",
+    "b21_burstiness",
+    "b14_struct_funcs",
+    "b20_silhouette",
+    "b28_ablation_grid",
+    "b7_join_size_estimate",
+    "b22_equalize",
+    "b21_langid_margin",
+    "b17_incremental_topk",
+    "b26_raking",
+    "b24_corpus_v3",
+    "b28_epochs",
+    "b21_corpus_card",
+    "b26_kfold",
+    "b19_pair_dataset",
+    "b19_source_overlap",
+    "b11_range_frame",
+    "b15_sessionize",
+    "b22_multimodal_meta",
+    "b25_sql_cte_top_supplier",
+    "b2_scd2",
+    "b7_multi_join_revenue",
+    "b1_snapshot_diff",
+    "b19_simhash",
+    "b10_stats_agg",
+    "b15_interval_join",
+    "b21_lang_quality",
+    "b21_nchars_histogram",
+    "b25_sql_exists",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R11_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R12_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R11_WINDOW}
+    ordered = {k: q[k] for k in _R12_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

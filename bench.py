@@ -178,6 +178,79 @@ SYNTH_CANARIES = {
 }
 
 
+def _recover_from_tail(tail: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Recover (queries, canaries) from a driver artifact whose final
+    stdout line overflowed the driver's 2000-char tail capture and
+    therefore has ``parsed: null`` (the BENCH_r11 defect — VERDICT r11
+    item 1). The tail is the END of the line, so the closing maps
+    survive even when the front is cut: regex the numeric pairs out."""
+    canaries: dict[str, float] = {}
+    m = re.search(r'"canaries": (\{[^{}]*\})', tail)
+    if m:
+        try:
+            canaries = {k: float(v) for k, v in json.loads(m.group(1)).items()}
+        except ValueError:
+            canaries = {}
+    head = tail[: m.start()] if m else tail
+    queries = {
+        k: float(v)
+        for k, v in re.findall(r'"([a-z][a-z0-9_]+)": ([0-9][0-9.]*)', head)
+        if k not in ("value", "sf", "runs_per_query", "n", "rc", "cpus")
+    }
+    return queries, canaries
+
+
+def _medians_from_runs(runs: dict[str, list[float]]) -> dict[str, float]:
+    """Per-query medians from a BENCH_RUNS.json ``runs`` map, applying
+    the same rules as main(): canaries discard their 2 warmup samples."""
+    out = {}
+    for name, samples in runs.items():
+        s = samples[2:] if name in SYNTH_CANARIES and len(samples) > 2 else samples
+        if s:
+            out[name] = sorted(s)[len(s) // 2]
+    return out
+
+
+def _queries_from_archived_runs(artifact: str) -> dict[str, float]:
+    """Per-query medians for a compact-format round (r12+): the final
+    stdout line no longer carries the queries map (it must fit the
+    driver's 2000-char tail — VERDICT r11 item 1), so read the
+    BENCH_RUNS.json that was committed alongside that round's artifact
+    via git. Falls back to the working tree copy."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    content = None
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1",
+             "--", artifact],
+            capture_output=True, text=True, cwd=here, timeout=30,
+        ).stdout.strip()
+        if sha:
+            content = subprocess.run(
+                ["git", "show", f"{sha}:BENCH_RUNS.json"],
+                capture_output=True, text=True, cwd=here, timeout=30,
+            ).stdout or None
+    except Exception:
+        content = None
+    if content is None:
+        try:
+            with open(os.path.join(here, "BENCH_RUNS.json")) as f:
+                content = f.read()
+        except OSError:
+            return {}
+    try:
+        data = json.loads(content)
+    except ValueError:
+        return {}
+    med = data.get("medians")
+    if isinstance(med, dict) and med:
+        return {k: float(v) for k, v in med.items()}
+    runs = data.get("runs")
+    return _medians_from_runs(runs) if isinstance(runs, dict) else {}
+
+
 def _drift_normalization(
     timings: dict[str, float], canary_timings: dict[str, float]
 ) -> dict:
@@ -186,9 +259,13 @@ def _drift_normalization(
     Drift = median of per-canary (now / then) ratios, preferring the
     multi-second synthetic canaries when the prior artifact carries
     them (r11+), falling back to the registry canaries otherwise. ALL
-    individual ratios are emitted (``canary_ratios``) so a 0.94-vs-1.48
-    spread like r10's is visible in-artifact instead of laundered into
-    a single median. Returns {} if no prior parsed artifact exists."""
+    individual ratios are emitted (``canary_ratios``, stderr+side file)
+    so a 0.94-vs-1.48 spread like r10's is visible instead of laundered
+    into a single median, and the registry-vs-synthetic medians are
+    cross-checked in-artifact (``canary_basis_disagreement`` — VERDICT
+    r11 item 3). Returns {} if no prior artifact is readable. Handles
+    all three artifact generations: legacy full-line (≤r10), truncated
+    tail (r11), and compact line + archived BENCH_RUNS.json (r12+)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -198,11 +275,17 @@ def _drift_normalization(
         try:
             with open(path) as f:
                 data = json.load(f)
-            parsed = data.get("parsed") or data
-            q = parsed.get("queries") or data.get("queries")
+            parsed = data.get("parsed") or {}
+            q = parsed.get("queries") if isinstance(parsed, dict) else None
+            c = parsed.get("canaries") if isinstance(parsed, dict) else None
+            if not (isinstance(q, dict) and q):
+                if isinstance(c, dict) and c:
+                    # compact format: canaries in-line, queries archived
+                    q = _queries_from_archived_runs(os.path.basename(path))
+                elif isinstance(data.get("tail"), str):
+                    q, c = _recover_from_tail(data["tail"])
             if isinstance(q, dict) and q:
                 prev = {k: float(v) for k, v in q.items()}
-                c = parsed.get("canaries")
                 if isinstance(c, dict):
                     prev_canaries = {k: float(v) for k, v in c.items()}
                 m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -221,12 +304,14 @@ def _drift_normalization(
             per_canary[c] = round(t / prev_canaries[c], 4)
     if not per_canary:
         return {}
-    synth = [v for k, v in per_canary.items() if k in SYNTH_CANARIES]
-    basis = sorted(synth) if synth else sorted(per_canary.values())
+    synth = sorted(v for k, v in per_canary.items() if k in SYNTH_CANARIES)
+    registry = sorted(v for k, v in per_canary.items()
+                      if k not in SYNTH_CANARIES)
+    basis = synth if synth else registry
     drift = basis[len(basis) // 2]
     common = [k for k in timings if k in prev]
     raw = sum(timings[k] for k in common) / sum(prev[k] for k in common)
-    return {
+    out = {
         "prev_round": prev_round,
         "canary_drift": round(drift, 4),
         "canary_drift_basis": "synthetic" if synth else "registry",
@@ -235,6 +320,16 @@ def _drift_normalization(
         "common_raw_ratio": round(raw, 4),
         "common_norm_ratio": round(raw / drift, 4),
     }
+    # in-artifact contradiction flag (VERDICT r11 item 3): when the
+    # registry-canary median and the synthetic pair disagree by >20%,
+    # say so machine-readably instead of leaving a judge to re-derive
+    # an r10-style self-contradiction from the ratios.
+    if synth and registry:
+        reg_med = registry[len(registry) // 2]
+        disagreement = round(abs(reg_med / drift - 1.0), 4)
+        out["canary_basis_disagreement"] = disagreement
+        out["canary_basis_conflict"] = disagreement > 0.20
+    return out
 
 
 def main() -> None:
@@ -293,35 +388,55 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     norm = _drift_normalization(timings, canary_timings)
-    # The stdout contract is ONE COMPACT line — the driver tail-captures
-    # stdout, and embedding the full per-run samples overflowed its buffer
-    # in r5 (BENCH_r05 "parsed": null). Raw samples go to stderr + a side
-    # file instead.
+    # The stdout contract is ONE COMPACT line: the driver tail-captures
+    # only the last ~2000 chars of stdout. The r5 artifact broke on
+    # embedded raw samples; the r11 artifact broke again when the
+    # queries map + canary_ratios pushed the line past the window
+    # (BENCH_r11 "parsed": null — VERDICT r11 item 1). Per-query medians
+    # and per-canary ratios therefore go to stderr + BENCH_RUNS.json
+    # (committed per round; _queries_from_archived_runs reads them back
+    # via git for the next round's common-set ratio), and the final
+    # stdout line stays a compact summary well under the capture window.
+    canary_ratios = norm.pop("canary_ratios", None)
+    print(f"# queries: {json.dumps(timings)}", file=sys.stderr)
+    if canary_ratios is not None:
+        print(f"# canary_ratios: {json.dumps(canary_ratios)}", file=sys.stderr)
     print(f"# runs: {json.dumps(all_runs)}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_RUNS.json"), "w") as f:
-            json.dump({"sf": sf, "runs_per_query": runs_n, "runs": all_runs}, f)
+            json.dump(
+                {
+                    "sf": sf,
+                    "runs_per_query": runs_n,
+                    "runs": all_runs,
+                    "medians": timings,
+                    "canary_medians": canary_timings,
+                    "canary_ratios": canary_ratios,
+                },
+                f,
+            )
+            f.write("\n")
     except OSError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "canaries": canary_timings,
-                "sf": sf,
-                "runs_per_query": runs_n,
-                # box-drift normalization vs the previous committed round
-                # (VERDICT r8 item 2): the ≤1.05 round-over-round criterion
-                # applies to common_norm_ratio, ending the box-drift
-                # argument inside the artifact itself.
-                **norm,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_total",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "canaries": canary_timings,
+            "sf": sf,
+            "runs_per_query": runs_n,
+            # box-drift normalization vs the previous committed round
+            # (VERDICT r8 item 2): the ≤1.05 round-over-round criterion
+            # applies to common_norm_ratio, ending the box-drift
+            # argument inside the artifact itself.
+            **norm,
+        }
     )
+    assert len(line) < 1200, f"stdout contract: {len(line)}B > 1200B budget"
+    print(line)
 
 
 if __name__ == "__main__":

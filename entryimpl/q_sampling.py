@@ -1353,8 +1353,16 @@ def q_b27_theta_intersect(spark, sf_dir):
         .join(kb, "__h", "left")
         .crossJoin(F.broadcast(theta))
     )
-    est_u = F.round(
-        (F.col("__ku") - 1) * F.lit(float(2**60)) / F.col("__theta"), 6
+    # exact-count fallback below k (ADVICE r11): when the distinct union
+    # is smaller than K the merged sketch holds EVERY union element, so
+    # the estimator's (ku-1)·2^60/θ read would bias low — return the
+    # exact count ku instead, matching b27_kmv_sketch's contract.
+    est_u = F.when(
+        F.col("__ku") < K, F.col("__ku").cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("__ku") - 1) * F.lit(float(2**60)) / F.col("__theta"), 6
+        )
     )
     # exact intersection for the audit column (semi-join, keyed)
     ac = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
@@ -1426,11 +1434,18 @@ def q_b26_capture_recapture(spark, sf_dir):
             "n_b",
             "n_both",
             "exact_union",
-            F.round(
-                F.col("n_a").cast("double")
-                * F.col("n_b")
-                / F.col("n_both"),
-                6,
+            # NULL (not Infinity) when the captures are disjoint
+            # (ADVICE r11): Spark's double x/0 yields Infinity while
+            # DuckDB errors/NULLs, so the degenerate case must be
+            # decided on the engine-portable side of the division.
+            F.when(
+                F.col("n_both") > 0,
+                F.round(
+                    F.col("n_a").cast("double")
+                    * F.col("n_b")
+                    / F.col("n_both"),
+                    6,
+                ),
             ).alias("lincoln_petersen"),
             F.round(
                 (F.col("n_a") + 1).cast("double")

@@ -800,12 +800,17 @@ SQL = {
                    CAST(th.theta AS BIGINT) AS theta,
                    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_both,
-                   round((th.ku - 1) * 1152921504606846976.0 / th.theta, 6)
-                     AS est_union,
+                   CASE WHEN th.ku < 64 THEN CAST(th.ku AS DOUBLE)
+                        ELSE round((th.ku - 1) * 1152921504606846976.0
+                                   / th.theta, 6)
+                   END AS est_union,
                    round(CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
                               AS DOUBLE) / th.ku
-                         * round((th.ku - 1) * 1152921504606846976.0
-                                 / th.theta, 6), 6) AS est_intersect,
+                         * CASE WHEN th.ku < 64 THEN CAST(th.ku AS DOUBLE)
+                                ELSE round((th.ku - 1)
+                                           * 1152921504606846976.0
+                                           / th.theta, 6)
+                           END, 6) AS est_intersect,
                    min(ex.exact_i) AS exact_intersect
             FROM marked CROSS JOIN th CROSS JOIN ex
             GROUP BY th.ku, th.theta
@@ -830,8 +835,9 @@ SQL = {
               )
             )
             SELECT n_a, n_b, n_both, exact_union,
-                   round(CAST(n_a AS DOUBLE) * n_b / n_both, 6)
-                     AS lincoln_petersen,
+                   CASE WHEN n_both > 0
+                        THEN round(CAST(n_a AS DOUBLE) * n_b / n_both, 6)
+                   END AS lincoln_petersen,
                    round(CAST(n_a + 1 AS DOUBLE) * (n_b + 1) / (n_both + 1)
                          - 1.0, 6) AS chapman
             FROM na, nb, nab, nu

@@ -116,11 +116,14 @@ def plan(window_n: int = 50) -> None:
         after[n] = this_round + 1
     greens = [after.get(n, 0) for n in registry if n in oracles]
     n_oracled = len([n for n in registry if n in oracles])
+    # min(default=0) guards the fresh-checkout / wiped-artifacts case
+    # where no query has any green row yet (ADVICE r11).
+    stalest = min((g for g in greens if g), default=0)
     print(json.dumps({
         f"r{this_round}_window": w_now,
         f"r{this_round + 1}_window": w_next,
         "max_age_after_both_if_green": (
-            this_round + 1 - min(g for g in greens if g)
+            this_round + 1 - stalest if stalest else None
         ),
         # honesty note (r10 item 6 asked for max age <= 4): with
         # n_oracled queries and 50 slots/round the steady-state max age
