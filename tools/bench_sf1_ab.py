@@ -1,0 +1,119 @@
+"""Same-box back-to-back A/B: bench.py at sf0.1 then at the synthesized
+10x set (tools/make_sf1.py), assembled into BENCH_SF1.json (VERDICT r9
+item 3; refreshed per VERDICT r11 item 4 when the headline board grows).
+
+The sf0.1 run inside this artifact IS the box normalization — both runs
+land within the same session on the same box, so per-line ratios are
+box-drift-free. Timing fixture ONLY — sf0.01 remains the correctness
+scale and /tmp/sf1 is never oracle-checked.
+
+Usage::
+
+    python tools/make_sf1.py                 # if /tmp/sf1 absent/stale
+    python tools/bench_sf1_ab.py             # writes BENCH_SF1.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+
+#: headline lines with a DOCUMENTED designed-linear rationale — a ratio
+#: near 10 on these is the expected contract, not a regression (see
+#: BENCH_SF1.json "caveats" and PERF.md): semantic_decontam scales BOTH
+#: sides of its broadcast-scorer product (corpus x benchmark = 100x
+#: pairs by design; the _ann line is the prescribed large-scale path).
+DESIGNED_LINEAR = {"b29_semantic_decontam"}
+
+
+def run_bench(sf_dir: str) -> dict:
+    """Run bench.py as the driver does; recover the queries map from the
+    stderr echo (the final stdout line is compact by contract)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, cwd=REPO, env=env,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench.py failed at {sf_dir}: {proc.stderr[-2000:]}"
+        )
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    queries = {}
+    for line in proc.stderr.splitlines():
+        if line.startswith("# queries: "):
+            queries = json.loads(line[len("# queries: "):])
+    summary["queries"] = queries
+    return summary
+
+
+def main() -> None:
+    if not os.path.isdir(SF1_DIR):
+        raise SystemExit(f"{SF1_DIR} missing — run tools/make_sf1.py first")
+    a = run_bench(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    print(f"# sf0.1 total {a['value']}s over {len(a['queries'])}", flush=True)
+    b = run_bench(SF1_DIR)
+    print(f"# sf1 total {b['value']}s over {len(b['queries'])}", flush=True)
+    ratios = {
+        k: round(b["queries"][k] / max(a["queries"][k], 1e-6), 3)
+        for k in a["queries"] if k in b["queries"]
+    }
+    super_linear = sorted(
+        k for k, r in ratios.items()
+        if r > 10 and k not in DESIGNED_LINEAR
+    )
+    out = {
+        "design": (
+            "same-box back-to-back A/B: bench.py at sf0.1 then at the "
+            "synthesized 10x set (tools/make_sf1.py; key-shifted "
+            "replicas, disjoint per-replica doc vocabularies, rotated "
+            "embeddings). The sf0.1 run in this artifact IS the box "
+            "normalization - both runs back-to-back on the same box "
+            "(VERDICT r9 item 3; refreshed for the 60-line board per "
+            "VERDICT r11 item 4)."
+        ),
+        "caveats": [
+            "sf1 fixture is 32-way partitioned parquet vs sf0.1's single "
+            "files, so small-query ratios benefit from extra scan "
+            "parallelism; the sub-linear conclusion is therefore "
+            "strongest for the heavy lines where scan layout is "
+            "negligible.",
+            "b29_semantic_decontam is the documented designed-linear "
+            "broadcast scorer; BOTH its sides scale 10x here (corpus x "
+            "benchmark = 100x pairs) - the ANN-bucketed line "
+            "(b29_semantic_decontam_ann) is the prescribed scale path.",
+        ],
+        "criterion": (
+            "no headline query super-linear (ratio > 10) vs its sf0.1 "
+            "time, designed-linear exceptions documented"
+        ),
+        "super_linear": super_linear,
+        "worst_ratio": max(ratios.values()) if ratios else None,
+        "worst_line": max(ratios, key=ratios.get) if ratios else None,
+        "total_sf01_sec": a["value"],
+        "total_sf1_sec": b["value"],
+        "total_ratio": round(b["value"] / max(a["value"], 1e-6), 3),
+        "canaries_sf01": a.get("canaries"),
+        "canaries_sf1": b.get("canaries"),
+        "ratios": ratios,
+        "sf01": a,
+        "sf1": b,
+    }
+    with open(os.path.join(REPO, "BENCH_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({
+        "super_linear": super_linear,
+        "worst_ratio": out["worst_ratio"],
+        "worst_line": out["worst_line"],
+        "total_ratio": out["total_ratio"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
