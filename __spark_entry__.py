@@ -442,6 +442,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b21_langid_margin": q_b21_langid_margin,
         "b17_incremental_topk": q_b17_incremental_topk,
         "b26_raking": q_b26_raking,
+        # --- round 12 wave 1 (additions capped at 15/round — COVERAGE.md
+        # registry-growth policy) -----------------------------------------
+        "b7_semijoin_program": q_b7_semijoin_program,
+        "b13_partition_skew_audit": q_b13_partition_skew_audit,
+        "b26_global_shuffle": q_b26_global_shuffle,
+        "b10_permutation_fdr": q_b10_permutation_fdr,
+        # --- round 12 wave 2 ----------------------------------------------
+        "b30_label_propagation": q_b30_label_propagation,
+        "b10_mann_kendall": q_b10_mann_kendall,
+        "b15_changepoint": q_b15_changepoint,
     }
 
 

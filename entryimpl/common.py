@@ -2234,6 +2234,7 @@ def _ppr_oracle_sql(iters: int = 3) -> str:
 
 __all__ = [
     "_ppr_oracle_sql",
+    "_label_propagation_oracle_sql",
     "_SQL_LATERAL",
     "BOOTSTRAP_TS",
     "_t",
@@ -2305,3 +2306,56 @@ __all__ = [
     "_recall_curve_oracle_sql",
     "li_img_json",
 ]
+
+
+def _label_propagation_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of q_b30_label_propagation: identical synchronous
+    plurality-label rounds (count desc, label asc ties), round by
+    round, over the same customer↔supplier edge relation."""
+    parts = [
+        """ed AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        e AS (
+          SELECT c AS src, s AS dst FROM ed
+          UNION
+          SELECT s AS src, c AS dst FROM ed
+        ),
+        nodes AS (
+          SELECT src AS node_id FROM e UNION SELECT dst FROM e
+        ),
+        l0 AS (SELECT node_id, CAST(node_id AS BIGINT) AS label FROM nodes)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""p{t} AS (
+          SELECT e.dst AS node_id, l.label, count(*) AS n
+          FROM e JOIN l{t - 1} l ON l.node_id = e.src
+          GROUP BY e.dst, l.label
+        ),
+        b{t} AS (
+          SELECT node_id, label FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY node_id ORDER BY n DESC, label ASC) AS rn
+            FROM p{t}
+          ) WHERE rn = 1
+        ),
+        l{t} AS (
+          SELECT n.node_id,
+                 CAST(COALESCE(b.label, l.label) AS BIGINT) AS label
+          FROM nodes n
+          LEFT JOIN b{t} b ON b.node_id = n.node_id
+          JOIN l{t - 1} l ON l.node_id = n.node_id
+        )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(node_id) AS BIGINT) AS min_node,
+               CAST(max(node_id) AS BIGINT) AS max_node,
+               CAST(sum(CASE WHEN node_id >= 1000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_suppliers
+        FROM l{iters}
+        GROUP BY label
+    """

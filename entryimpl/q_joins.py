@@ -1037,3 +1037,68 @@ def q_b7_join_size_estimate(spark, sf_dir):
             6,
         ).alias("skew_ratio"),
     )
+
+
+def q_b7_semijoin_program(spark, sf_dir):
+    """Yannakakis full-reducer audit (B7 depth, r12): before shuffling
+    a large acyclic multi-join, run the classic two-pass semi-join
+    program — forward down the chain region→nation→customer→orders→
+    lineitem (predicates at both ends: region = ASIA, lineitem shipped
+    in a 1995 window), then backward — and report, per relation, the
+    base cardinality vs the fully-reduced cardinality. At 100 TB this
+    is the decision table for semi-join/Bloom pre-reduction: a relation
+    whose reduced count is a small fraction of base should be pruned
+    BEFORE the shuffle join (the b7_bloom_join kernel is the executed
+    form; THIS row sizes the opportunity). Shape: a chain of keyed
+    left-semi joins (each one equi-shuffle or broadcast — Catalyst
+    picks broadcast for the dim ends), five 1-row count aggs unioned;
+    no row images ever move, only keys. Reductions are exact integers;
+    the pct is a round-6 rational.
+
+    Reference parity: the reference has no query planner — this is the
+    Spark-first scale surface built on the same snapshot tables
+    (readme.md:21-38)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lf = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    # forward pass (root predicate flows down the chain)
+    n1 = n.join(r, n["n_regionkey"] == r["r_regionkey"], "semi")
+    c1 = c.join(n1, c["c_nationkey"] == n1["n_nationkey"], "semi")
+    o1 = o.join(c1, o["o_custkey"] == c1["c_custkey"], "semi")
+    l1 = lf.join(o1, lf["l_orderkey"] == o1["o_orderkey"], "semi")
+    # backward pass (leaf predicate flows back up)
+    o2 = o1.join(l1, o1["o_orderkey"] == l1["l_orderkey"], "semi")
+    c2 = c1.join(o2, c1["c_custkey"] == o2["o_custkey"], "semi")
+    n2 = n1.join(c2, n1["n_nationkey"] == c2["c_nationkey"], "semi")
+
+    def row(name, base, reduced):
+        b = base.agg(F.count(F.lit(1)).cast("long").alias("rows_base"))
+        x = reduced.agg(
+            F.count(F.lit(1)).cast("long").alias("rows_reduced")
+        )
+        return b.crossJoin(F.broadcast(x)).select(
+            F.lit(name).alias("relation"),
+            "rows_base",
+            "rows_reduced",
+            F.round(
+                F.lit(1.0)
+                - F.col("rows_reduced").cast("double")
+                / F.col("rows_base"),
+                6,
+            ).alias("reduction_pct"),
+        )
+
+    out = row("nation", n, n2)
+    for nm, base, red in (
+        ("customer", c, c2),
+        ("orders", o, o2),
+        ("lineitem", li, l1),
+    ):
+        out = out.unionByName(row(nm, base, red))
+    return out

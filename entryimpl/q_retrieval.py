@@ -911,3 +911,40 @@ def q_b30_hash_walks(spark, sf_dir):
     return cur.select(
         "walker_id", "seed", F.col("node").alias("end_node"), "path"
     )
+
+
+def q_b30_label_propagation(spark, sf_dir):
+    """Label-propagation communities (B30 graph depth, r12 — the cheap
+    linear-time community pass beside modularity's quality read and
+    PageRank/HITS' authority reads): 3 synchronous rounds over the
+    customer↔supplier purchase graph, every node adopting its
+    neighbors' plurality label with ties to the smallest label — all
+    integer counts and total orders, so each round replays bit-for-bit
+    in the oracle's chained CTEs (derive.py: label_propagation).
+    Output: per final community — size, smallest/largest member, and
+    the customer/supplier composition split (supplier ids offset 1e6).
+    Scale: per round one src-keyed equi-join + one (dst,label) count
+    with map-side combine + one per-node argmax over the bounded
+    neighbor-label set; edges checkpointed once."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = derive.label_propagation(edges, iters=3)
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node_id").cast("long").alias("min_node"),
+        F.max("node_id").cast("long").alias("max_node"),
+        F.sum(F.when(F.col("node_id") >= 1000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suppliers"),
+    )

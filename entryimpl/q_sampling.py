@@ -1641,3 +1641,52 @@ def q_b26_raking(spark, sf_dir):
         "w6",
         F.round(F.col("w6") / F.lit(1e6), 6).alias("weight"),
     )
+
+
+def q_b26_global_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle + uniformity audit
+    (B26 depth, r12): training wants every epoch's example order to be
+    a reproducible pseudo-random permutation — position = rank of
+    portable md5-60(doc_id) (doc_id tie-break), the seedable shuffle
+    that replays identically on any engine/cluster and needs no stored
+    permutation table. The audit read: per (position-decile, source)
+    example counts with the integer deviation |10·n − n_source| from a
+    perfectly uniform spread — a source that clumps into one decile
+    means correlated batches (the thing shuffling exists to prevent).
+    Scale shape: the permutation is a SORT on a hash column — Spark
+    range-partitions it (sample → balanced ranges), the one shuffle
+    this op is ABOUT; the audit itself is one keyed agg. All integers
+    except the round-6 share."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    h = dedup.portable_hash60(F.col("doc_id").cast("string"))
+    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    pos = docs.select(
+        "doc_id", "source", (F.row_number().over(w) - 1).alias("__pos")
+    )
+    tot = pos.agg(F.count(F.lit(1)).alias("__n"))
+    dec = pos.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr("__pos * 10 div __n").alias("decile"),
+        "__n",
+    )
+    per_src = dec.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__ns")
+    )
+    return (
+        dec.groupBy("source", "decile", "__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(per_src, "source")
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            F.abs(F.lit(10) * F.col("n") - F.col("__ns"))
+            .cast("long")
+            .alias("dev_x10"),
+            F.round(F.col("n").cast("double") * 10 / F.col("__n"), 6).alias(
+                "decile_share_x10"
+            ),
+        )
+    )

@@ -1441,3 +1441,274 @@ def q_b14_struct_funcs(spark, sf_dir):
         F.col("__mx.q").alias("max_q"),
         F.round(F.col("__mx.p"), 2).alias("max_p"),
     )
+
+
+def q_b10_permutation_fdr(spark, sf_dir):
+    """Permutation test + Benjamini–Hochberg FDR (B10 depth, r12): the
+    multiple-testing layer the b10 screen family (two-proportion, chi²,
+    Welch, KS) feeds at scale — run one screen per event type and you
+    MUST correct for the family or ~α·m screens fire by chance. Per
+    event type: observed statistic T₀ = |Σ s·v| with s = ±1 by early/
+    late half of the time range and v = floor(value·1000); null
+    replicates T_b (b = 1..32) re-sign each event by the parity of
+    md5-60(event_id·33 + b) — a deterministic sign-flip permutation
+    test, so the empirical p-value p = (1 + #{T_b ≥ T₀})/33 is an EXACT
+    integer rational (p_num/33), and the BH step-up at α = 0.10 is pure
+    integer arithmetic: reject ranks ≤ max{i : 10·m·p_num(i) ≤ 33·i}.
+    No erf, no normal quantile — every column replays bit-for-bit.
+    Scale shape: one 33-way explode into a (type, b) keyed agg with
+    map-side partial combine (33 running sums per task, never a row
+    product), then window ops over the m-row family table."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    anchor = ev.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("__mid")
+    )
+    base = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("__v"),
+        F.when(
+            F.expr("unix_micros(cast(ts as timestamp))") < F.col("__mid"), 1
+        )
+        .otherwise(-1)
+        .alias("__s0"),
+        "event_id",
+    )
+    perms = base.select(
+        "event_type",
+        "__v",
+        "__s0",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(32))).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        (
+            F.when(F.col("b") == 0, F.col("__s0")).otherwise(
+                1
+                - 2
+                * F.pmod(
+                    dedup.portable_hash60(
+                        (F.col("event_id") * 33 + F.col("b")).cast("string")
+                    ),
+                    F.lit(2),
+                )
+            )
+            * F.col("__v")
+        ).alias("__sv"),
+    )
+    t = perms.groupBy("event_type", "b").agg(
+        F.abs(F.sum("__sv")).cast("long").alias("__t")
+    )
+    obs = t.filter(F.col("b") == 0).select(
+        "event_type", F.col("__t").alias("t_obs")
+    )
+    p = (
+        t.filter(F.col("b") > 0)
+        .join(obs, "event_type")
+        .groupBy("event_type", "t_obs")
+        .agg(
+            (
+                1
+                + F.sum(F.when(F.col("__t") >= F.col("t_obs"), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("p_num")
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.col("p_num").asc(), F.col("event_type").asc())
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        p.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__ok",
+            F.when(
+                10 * F.col("__m") * F.col("p_num") <= 33 * F.col("rank"),
+                F.col("rank"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__istar", F.max("__ok").over(wall))
+    )
+    return ranked.select(
+        "event_type",
+        "t_obs",
+        "p_num",
+        "rank",
+        (F.col("rank") <= F.col("__istar")).alias("rejected"),
+    )
+
+
+def q_b10_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test + Theil–Sen slope (B10 depth, r12 — the
+    RANK-based trend pair beside the parametric b10_groupwise_ols: no
+    residual normality assumption, robust to outliers, the standard
+    monotone-trend screen for telemetry series): per event type, over
+    the bounded daily-count series — S = Σ sign(c_j − c_i) over day
+    pairs i<j, the tie-corrected variance kept as the EXACT integer
+    18·Var(S) (n(n−1)(2n+5) − Σ t(t−1)(2t+5) over tie groups), the
+    continuity-corrected z (sqrt is IEEE-exact; round 6), and the
+    Theil–Sen slope = lower-median of floor(1e6·Δc/Δd) over pairs
+    (pure integers). Scale shape: the pair 'join' is over the per-type
+    DAY GRID (30 days → ≤435 pairs/type), never events; the event scan
+    contributes one keyed count. Everything downstream of the daily agg
+    is bounded by days², independent of corpus size."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "d"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("d1") < F.col("d2"))
+    s_and_slope = pairs.select(
+        "event_type",
+        F.signum(F.col("c2") - F.col("c1")).cast("long").alias("__sg"),
+        F.expr("(c2 - c1) * 1000000 div (d2 - d1)").alias("__sl"),
+    )
+    from pyspark.sql import Window
+
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.col("__sl").asc(), F.col("__sg").asc()
+    )
+    wnp = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        s_and_slope.withColumn("__rn", F.row_number().over(wrk))
+        .withColumn("__np", F.count(F.lit(1)).over(wnp))
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("__sg").cast("long").alias("s_stat"),
+        # lower median: the rank-ceil(np/2) slope in ascending order
+        F.min(
+            F.when(
+                F.col("__rn") == F.expr("(__np + 1) div 2"),
+                F.col("__sl"),
+            )
+        ).alias("sen_slope_x1e6"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("__tie")
+        )
+    )
+    out = (
+        agg.join(nd, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("__tie")
+            )
+            .cast("long")
+            .alias("var_s_x18"),
+            "sen_slope_x1e6",
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var_s_x18",
+        F.round(
+            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+            .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+            .otherwise(F.lit(0))
+            .cast("double")
+            / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)),
+            6,
+        ).alias("z"),
+        "sen_slope_x1e6",
+    )
+
+
+def q_b15_changepoint(spark, sf_dir):
+    """CUSUM changepoint estimator (B15 depth, r12 — the SEGMENTATION
+    read beside b11_cusum's sequential alarm: cusum answers "has the
+    level shifted YET", this answers "WHERE did it shift", the
+    retrospective split a pipeline runs after the alarm fires): per
+    event type over the daily-count series, the split t* maximizing
+    the centered-prefix deviation |n·S_t − t·S_n| (the integer-exact
+    form of the classic max-CUSUM estimator — no denominators, no
+    floats in the argmax), ties to the earliest day. Output: the split
+    position, its day, the exact deviation, and the floor-quantized
+    before/after means the operator reads for shift size. Scale shape:
+    one keyed daily count, then windows over the bounded day grid."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    wall = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pre = (
+        daily.withColumn("t", F.row_number().over(wo).cast("long"))
+        .withColumn("s_t", F.sum("c").over(wo).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("s_n", F.sum("c").over(wall).cast("long"))
+    )
+    scored = pre.filter(F.col("t") < F.col("n")).select(
+        "event_type",
+        "t",
+        "day",
+        "n",
+        "s_t",
+        "s_n",
+        F.abs(
+            F.col("n") * F.col("s_t") - F.col("t") * F.col("s_n")
+        ).alias("__dev"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("__dev").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("t").alias("t_star"),
+            F.col("day").alias("split_day"),
+            F.col("__dev").cast("long").alias("dev_max"),
+            F.expr("s_t * 1000000 div t").alias("mean_before_x1e6"),
+            F.expr("(s_n - s_t) * 1000000 div (n - t)").alias(
+                "mean_after_x1e6"
+            ),
+        )
+    )

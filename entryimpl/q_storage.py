@@ -1176,3 +1176,64 @@ def q_b17_incremental_topk(spark, sf_dir):
         "l_linenumber",
         "l_extendedprice",
     )
+
+
+def q_b13_partition_skew_audit(spark, sf_dir):
+    """Partition-skew audit (B13 depth, r12): simulate the 32-way hash
+    partitioning a shuffle would apply to lineitem on its join key
+    (portable md5-60 of l_orderkey mod 32) and report the distribution
+    health the salting/AQE-skew decision reads: per-bucket row count,
+    distinct keys, the heaviest single key's rows (splittability — a
+    bucket dominated by ONE key cannot be salted finer than that key),
+    plus the global max/mean skew ratio and the integer-exact Gini of
+    bucket sizes (Lorenz form G = 2·Σ(rank·n)/(B·Σn) − (B+1)/B over
+    size-ascending buckets). At 100 TB this row is run BEFORE the big
+    join: skew_ratio ≈ 1 → plain hash join; a fat bucket with many
+    keys → more partitions; a fat bucket with one key → salting or an
+    AQE skew split. Shape: one keyed agg to per-key counts, one agg to
+    32 buckets, one 32-row window — nothing beyond the key table ever
+    shuffles. All counts integer; ratios round-6 rationals."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__kn")
+    )
+    keyed = per_key.select(
+        F.pmod(
+            dedup.portable_hash60(F.col("l_orderkey").cast("string")),
+            F.lit(32),
+        ).alias("bucket"),
+        "__kn",
+    )
+    buckets = keyed.groupBy("bucket").agg(
+        F.sum("__kn").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__kn").cast("long").alias("max_key_rows"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_rows").asc(), F.col("bucket").asc())
+    ranked = buckets.withColumn("__r", F.row_number().over(w))
+    tot = ranked.agg(
+        F.sum("n_rows").alias("__tot"),
+        F.max("n_rows").alias("__mx"),
+        F.count(F.lit(1)).alias("__b"),
+        F.sum(F.col("__r") * F.col("n_rows")).alias("__wsum"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("__tot"), 6
+        ).alias("share"),
+        F.round(
+            F.col("__mx").cast("double") * F.col("__b") / F.col("__tot"), 6
+        ).alias("skew_ratio"),
+        F.round(
+            F.lit(2.0) * F.col("__wsum")
+            / (F.col("__b").cast("double") * F.col("__tot"))
+            - (F.col("__b") + 1).cast("double") / F.col("__b"),
+            6,
+        ).alias("gini"),
+    )

@@ -542,4 +542,66 @@ SQL = {
                      AS skew_ratio
             FROM agg
         """,
+
+        "b7_semijoin_program": """
+            WITH rf AS (
+              SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+            ),
+            lf AS (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1995-07-01'
+            ),
+            n1 AS (
+              SELECT * FROM nation
+              WHERE n_regionkey IN (SELECT r_regionkey FROM rf)
+            ),
+            c1 AS (
+              SELECT * FROM customer
+              WHERE c_nationkey IN (SELECT n_nationkey FROM n1)
+            ),
+            o1 AS (
+              SELECT * FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM c1)
+            ),
+            l1 AS (
+              SELECT * FROM lf
+              WHERE l_orderkey IN (SELECT o_orderkey FROM o1)
+            ),
+            o2 AS (
+              SELECT * FROM o1
+              WHERE o_orderkey IN (SELECT l_orderkey FROM l1)
+            ),
+            c2 AS (
+              SELECT * FROM c1
+              WHERE c_custkey IN (SELECT o_custkey FROM o2)
+            ),
+            n2 AS (
+              SELECT * FROM n1
+              WHERE n_nationkey IN (SELECT c_nationkey FROM c2)
+            ),
+            stats AS (
+              SELECT 'nation' AS relation,
+                     (SELECT count(*) FROM nation) AS rows_base,
+                     (SELECT count(*) FROM n2) AS rows_reduced
+              UNION ALL
+              SELECT 'customer',
+                     (SELECT count(*) FROM customer),
+                     (SELECT count(*) FROM c2)
+              UNION ALL
+              SELECT 'orders',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM o2)
+              UNION ALL
+              SELECT 'lineitem',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM l1)
+            )
+            SELECT relation,
+                   CAST(rows_base AS BIGINT) AS rows_base,
+                   CAST(rows_reduced AS BIGINT) AS rows_reduced,
+                   round(1.0 - CAST(rows_reduced AS DOUBLE) / rows_base, 6)
+                     AS reduction_pct
+            FROM stats
+        """,
 }

@@ -859,4 +859,6 @@ SQL = {
             )
             SELECT walker_id, seed, node AS end_node, path FROM s3
         """,
+
+        "b30_label_propagation": _label_propagation_oracle_sql(),
 }

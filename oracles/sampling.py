@@ -986,4 +986,30 @@ SQL = {
                    round(w6 / 1e6, 6) AS weight
             FROM w3
         """,
+
+        "b26_global_shuffle": """
+            WITH pos AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       ORDER BY (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)) ASC, doc_id ASC) - 1 AS p
+              FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM pos),
+            dec AS (
+              SELECT source, (p * 10) // n AS decile, n
+              FROM pos CROSS JOIN tot
+            ),
+            per_src AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS ns
+              FROM dec GROUP BY source
+            )
+            SELECT d.source,
+                   CAST(d.decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(abs(10 * count(*) - min(s.ns)) AS BIGINT) AS dev_x10,
+                   round(CAST(count(*) AS DOUBLE) * 10 / min(d.n), 6)
+                     AS decile_share_x10
+            FROM dec d JOIN per_src s ON s.source = d.source
+            GROUP BY d.source, d.decile
+        """,
 }

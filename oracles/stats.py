@@ -916,4 +916,152 @@ SQL = {
             FROM agg a JOIN ranked r
               ON r.l_returnflag = a.l_returnflag AND r.rn = 1
         """,
+
+        "b10_permutation_fdr": """
+            WITH anchor AS (
+              SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+              FROM events
+            ),
+            base AS (
+              SELECT event_type, event_id,
+                     CAST(floor(value * 1000) AS BIGINT) AS v,
+                     CASE WHEN epoch_us(ts) < mid THEN 1 ELSE -1 END AS s0
+              FROM events CROSS JOIN anchor
+            ),
+            perms AS (
+              SELECT event_type, b,
+                     CASE WHEN b = 0 THEN s0
+                          ELSE 1 - 2 * ((CAST('0x' || substr(md5(CAST(event_id * 33 + b AS VARCHAR)), 1, 15) AS BIGINT)) % 2)
+                     END * v AS sv
+              FROM base CROSS JOIN (
+                SELECT unnest(generate_series(0, 32)) AS b
+              )
+            ),
+            t AS (
+              SELECT event_type, b,
+                     CAST(abs(sum(sv)) AS BIGINT) AS t
+              FROM perms GROUP BY event_type, b
+            ),
+            obs AS (
+              SELECT event_type, t AS t_obs FROM t WHERE b = 0
+            ),
+            p AS (
+              SELECT t.event_type, min(obs.t_obs) AS t_obs,
+                     CAST(1 + sum(CASE WHEN t.t >= obs.t_obs
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS p_num
+              FROM t JOIN obs ON obs.event_type = t.event_type
+              WHERE t.b > 0
+              GROUP BY t.event_type
+            ),
+            ranked AS (
+              SELECT *,
+                     CAST(row_number() OVER (
+                       ORDER BY p_num ASC, event_type ASC) AS BIGINT) AS rank,
+                     count(*) OVER () AS m
+              FROM p
+            ),
+            istar AS (
+              SELECT max(CASE WHEN 10 * m * p_num <= 33 * rank
+                              THEN rank ELSE 0 END) AS i FROM ranked
+            )
+            SELECT event_type, t_obs, p_num, rank,
+                   rank <= istar.i AS rejected
+            FROM ranked CROSS JOIN istar
+        """,
+
+        "b10_mann_kendall": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS d,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.event_type,
+                     CAST(sign(b.c - a.c) AS BIGINT) AS sg,
+                     (b.c - a.c) * 1000000 // (b.d - a.d) AS sl
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.d < b.d
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY sl ASC, sg ASC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS np
+              FROM pairs
+            ),
+            agg AS (
+              SELECT event_type,
+                     CAST(sum(sg) AS BIGINT) AS s_stat,
+                     CAST(min(CASE WHEN rn = (np + 1) // 2 THEN sl END)
+                          AS BIGINT) AS sen_slope_x1e6
+              FROM ranked GROUP BY event_type
+            ),
+            nd AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY event_type
+            ),
+            ties AS (
+              SELECT event_type,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+              FROM (
+                SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY event_type, c
+              ) GROUP BY event_type
+            )
+            SELECT a.event_type, nd.n_days, a.s_stat,
+                   CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                        - ties.tie AS BIGINT) AS var_s_x18,
+                   round(CAST(CASE WHEN a.s_stat > 0 THEN a.s_stat - 1
+                                   WHEN a.s_stat < 0 THEN a.s_stat + 1
+                                   ELSE 0 END AS DOUBLE)
+                         / sqrt(CAST(nd.n_days * (nd.n_days - 1)
+                                     * (2 * nd.n_days + 5) - ties.tie
+                                     AS DOUBLE) / 18.0), 6) AS z,
+                   a.sen_slope_x1e6
+            FROM agg a
+            JOIN nd ON nd.event_type = a.event_type
+            JOIN ties ON ties.event_type = a.event_type
+        """,
+
+        "b15_changepoint": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            pre AS (
+              SELECT event_type, day, c,
+                     CAST(row_number() OVER w AS BIGINT) AS t,
+                     CAST(sum(c) OVER w AS BIGINT) AS s_t,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n,
+                     CAST(sum(c) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS s_n
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ),
+            scored AS (
+              SELECT *, abs(n * s_t - t * s_n) AS dev
+              FROM pre WHERE t < n
+            ),
+            best AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY dev DESC, t ASC) AS rn
+              FROM scored
+            )
+            SELECT event_type,
+                   n AS n_days,
+                   t AS t_star,
+                   day AS split_day,
+                   CAST(dev AS BIGINT) AS dev_max,
+                   s_t * 1000000 // t AS mean_before_x1e6,
+                   (s_n - s_t) * 1000000 // (n - t) AS mean_after_x1e6
+            FROM best WHERE rn = 1
+        """,
 }

@@ -782,4 +782,39 @@ SQL = {
                    l_orderkey, l_linenumber, l_extendedprice
             FROM ranked WHERE rnk <= 10
         """,
+
+        "b13_partition_skew_audit": """
+            WITH per_key AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS kn
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            keyed AS (
+              SELECT (CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)) % 32 AS bucket, kn FROM per_key
+            ),
+            buckets AS (
+              SELECT bucket,
+                     CAST(sum(kn) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(max(kn) AS BIGINT) AS max_key_rows
+              FROM keyed GROUP BY bucket
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                ORDER BY n_rows ASC, bucket ASC) AS r
+              FROM buckets
+            ),
+            tot AS (
+              SELECT CAST(sum(n_rows) AS BIGINT) AS tot,
+                     CAST(max(n_rows) AS BIGINT) AS mx,
+                     CAST(count(*) AS BIGINT) AS b,
+                     CAST(sum(r * n_rows) AS BIGINT) AS wsum
+              FROM ranked
+            )
+            SELECT bucket, n_rows, n_keys, max_key_rows,
+                   round(CAST(n_rows AS DOUBLE) / tot, 6) AS share,
+                   round(CAST(mx AS DOUBLE) * b / tot, 6) AS skew_ratio,
+                   round(2.0 * wsum / (CAST(b AS DOUBLE) * tot)
+                         - CAST(b + 1 AS DOUBLE) / b, 6) AS gini
+            FROM ranked CROSS JOIN tot
+        """,
 }

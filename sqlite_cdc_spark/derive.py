@@ -1858,3 +1858,67 @@ def woe_iv(
         "iv_term",
         F.round(F.sum("__t8").over(wall) / 1e8, 6).alias("iv_total"),
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) with
+    bit-exact cross-engine replay — the cheap communities-from-edges
+    pass run before a costlier modularity read (``src``/``dst`` edge
+    relation, treated as directed adjacency; pass both directions for
+    an undirected graph).
+
+    Every node starts labeled with its own id; per round, each node
+    adopts the most frequent label among its in-neighbors, ties to the
+    SMALLEST label — integer counts and a total (count desc, label asc)
+    order, so rounds replay identically on any engine at any
+    parallelism (no RNG, no float). A node with no in-edges keeps its
+    label. Fixed ``iters`` (asynchronous/converged LPA is
+    order-dependent by construction and therefore unreplayable).
+
+    Scale shape: per round one equi-join of the label table onto edges
+    (keyed by ``src``) + one (dst, label) count with map-side combine +
+    one per-dst argmax window over label-cardinality-bounded rows. The
+    edge relation is localCheckpoint'd once (multi-referenced bounded
+    input — the repo's iterative-consumer rule); labels chain lazily,
+    one reference per round (linear, not exponential, lineage).
+
+    Output: ``(node_id, label bigint)`` — one row per node.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .union(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node_id").cast("long"))
+    w = Window.partitionBy("node_id").orderBy(
+        F.col("__n").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        prop = (
+            e.join(labels, e["src"] == labels["node_id"])
+            .groupBy(F.col("dst").alias("node_id"), "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        best = (
+            prop.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node_id", "label")
+        )
+        labels = (
+            nodes.join(best, "node_id", "left")
+            .join(
+                labels.select(
+                    F.col("node_id"), F.col("label").alias("__old")
+                ),
+                "node_id",
+            )
+            .select(
+                "node_id",
+                F.coalesce(F.col("label"), F.col("__old"))
+                .cast("long")
+                .alias("label"),
+            )
+        )
+    return labels
