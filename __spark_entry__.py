@@ -452,6 +452,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_label_propagation": q_b30_label_propagation,
         "b10_mann_kendall": q_b10_mann_kendall,
         "b15_changepoint": q_b15_changepoint,
+        # --- round 12 wave 3 ----------------------------------------------
+        "b28_pareto_frontier": q_b28_pareto_frontier,
+        "b28_kcenter_diversity": q_b28_kcenter_diversity,
+        "b22_audio_vad": q_b22_audio_vad,
+        "b24_corpus_v9": q_b24_corpus_v9,
     }
 
 

@@ -2234,6 +2234,9 @@ def _ppr_oracle_sql(iters: int = 3) -> str:
 
 __all__ = [
     "_ppr_oracle_sql",
+    "_kcenter_parts",
+    "_corpus_v9_oracle_sql",
+    "_kcenter_oracle_sql",
     "_label_propagation_oracle_sql",
     "_SQL_LATERAL",
     "BOOTSTRAP_TS",
@@ -2358,4 +2361,137 @@ def _label_propagation_oracle_sql(iters: int = 3) -> str:
                     AS BIGINT) AS n_suppliers
         FROM l{iters}
         GROUP BY label
+    """
+
+
+def _kcenter_parts(k: int = 8, d: int = 64, quant: int = 10**6) -> str:
+    """Shared CTE chain for the k-center oracles: quantize -> seed ->
+    (farthest pick -> running-min fold) x (k-1) -> per-point assignment.
+    Returns (with_parts, assigned_cte_name)."""
+    parts = [
+        f"""q AS (
+          SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)}) AS BIGINT)) AS qe
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT 0 AS r, vec_id AS cid, qe AS ce
+          FROM q ORDER BY vec_id LIMIT 1
+        ),
+        m0 AS MATERIALIZED (
+          SELECT q.vec_id, q.qe,
+                 list_sum(list_transform(generate_series(1, {d}),
+                   i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))) AS md
+          FROM q CROSS JOIN c0 c
+        )"""
+    ]
+    for t in range(1, k):
+        parts.append(f"""p{t} AS MATERIALIZED (
+          SELECT {t} AS r, vec_id AS cid, qe AS ce
+          FROM m{t - 1} ORDER BY md DESC, vec_id ASC LIMIT 1
+        ),
+        c{t} AS (
+          SELECT * FROM c{t - 1} UNION ALL SELECT * FROM p{t}
+        ),
+        m{t} AS MATERIALIZED (
+          SELECT m.vec_id, m.qe,
+                 least(m.md,
+                   list_sum(list_transform(generate_series(1, {d}),
+                     i -> (m.qe[i]-p.ce[i])*(m.qe[i]-p.ce[i])))) AS md
+          FROM m{t - 1} m CROSS JOIN p{t} p
+        )""")
+    parts.append(f"""assigned AS (
+          SELECT vec_id, r, cid, dist FROM (
+            SELECT q.vec_id, c.r, c.cid,
+                   list_sum(list_transform(generate_series(1, {d}),
+                     i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))) AS dist,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_sum(list_transform(
+                       generate_series(1, {d}),
+                       i -> (q.qe[i]-c.ce[i])*(q.qe[i]-c.ce[i]))) ASC,
+                       c.r ASC) AS rn
+            FROM q CROSS JOIN c{k - 1} c
+          ) WHERE rn = 1
+        )""")
+    return ",\n        ".join(parts)
+
+
+def _kcenter_oracle_sql(k: int = 8, d: int = 64, quant: int = 10**6) -> str:
+    """DuckDB replay of q_b28_kcenter_diversity: smallest-id seed, then
+    k-1 chained (min-distance desc, id asc) farthest-point picks, all
+    integer squared-L2 over the same floor-quantized components."""
+    body = _kcenter_parts(k, d, quant)
+    return f"""
+        WITH {body}
+        SELECT CAST(r AS INTEGER) AS center_rank,
+               cid AS center_id,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               CAST(max(dist) AS BIGINT) AS radius_sq
+        FROM assigned
+        GROUP BY r, cid
+    """
+
+
+def _corpus_v9_oracle_sql(k: int = 8, d: int = 64, quant: int = 10**6) -> str:
+    """DuckDB replay of q_b24_corpus_v9: Pareto-frontier gate +
+    k-center assignment + hash-rank training order, all re-derived
+    from base tables and composed (not a replay of Spark output)."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60_sql
+
+    kc = _kcenter_parts(k, d, quant)
+    h = portable_hash60_sql("CAST(f.doc_id AS VARCHAR)")
+    return f"""
+        WITH {kc},
+        base AS (
+          SELECT doc_id, lang,
+                 {_sw_hits_sql('en')} AS s_en,
+                 CAST(length(text) AS BIGINT) AS q_chars,
+                 CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                      AS BIGINT) AS alpha
+          FROM documents
+        ),
+        feats AS (
+          SELECT doc_id, lang, n_tok,
+                 round(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.4
+                       + round(CAST(alpha AS DOUBLE)
+                               / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                         * 0.4
+                       + least(round(CAST(s_en AS DOUBLE)
+                               / CAST(greatest(n_tok, 1) AS DOUBLE), 6)
+                               * 5.0, 1.0) * 0.2, 6) AS quality_score
+          FROM base
+        ),
+        per_q AS (
+          SELECT lang, quality_score, CAST(min(n_tok) AS BIGINT) AS mt
+          FROM feats GROUP BY lang, quality_score
+        ),
+        prefix AS (
+          SELECT *, min(mt) OVER (
+            PARTITION BY lang ORDER BY quality_score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+          FROM per_q
+        ),
+        frontier AS (
+          SELECT f.doc_id, f.lang, f.n_tok
+          FROM feats f
+          JOIN prefix p ON p.lang = f.lang
+                       AND p.quality_score = f.quality_score
+          WHERE (p.pmin IS NULL OR p.pmin > f.n_tok)
+            AND f.n_tok = p.mt
+        ),
+        kept AS (
+          SELECT f.doc_id, f.lang, f.n_tok,
+                 a.r AS center_rank, a.dist,
+                 CAST(row_number() OVER (
+                   ORDER BY ({h}) ASC, f.doc_id ASC) AS BIGINT) AS pos
+          FROM frontier f JOIN assigned a ON a.vec_id = f.doc_id
+        )
+        SELECT lang, CAST(center_rank AS INTEGER) AS center_rank,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+               CAST(min(pos) AS BIGINT) AS first_pos,
+               CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist_sq
+        FROM kept
+        GROUP BY lang, center_rank
     """

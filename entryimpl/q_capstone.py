@@ -854,3 +854,61 @@ def q_b24_corpus_v8(spark, sf_dir):
             ).alias("admit_share"),
         )
     )
+
+
+def q_b24_corpus_v9(spark, sf_dir):
+    """Corpus build v9 (B24 capstone, r12): the round's three new
+    sampling kernels composed into one lazy training-manifest plan —
+    (1) per-language Pareto-frontier gate (keep every doc that is
+    quality/token-cost optimal at SOME price — the skyline form of the
+    quality gate), (2) greedy k-center diversity bucketing of the
+    embedding space (which of the 8 cover balls does each kept doc
+    fall in — the coverage audit of the kept set), (3) deterministic
+    global-shuffle training order (hash-rank permutation). Output: per
+    (lang, center_rank) manifest — docs kept, token budget, earliest
+    training position, mean cover distance — the table that shows
+    WHERE the frontier-kept corpus lives in embedding space and that
+    no (lang, bucket) cell starves. Every kernel is individually
+    oracled (b28_pareto_frontier, b28_kcenter_diversity,
+    b26_global_shuffle); the oracle here re-derives all three from
+    base tables and composes them, so the driver row proves the
+    COMPOSITION, not a replay."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = textops.quality_features(docs).select(
+        "doc_id", "lang", "quality_score", F.col("q_tokens").alias("n_tok")
+    )
+    per_q = feats.groupBy("lang", "quality_score").agg(
+        F.min("n_tok").cast("long").alias("__mt")
+    )
+    from pyspark.sql import Window
+
+    wq = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_q.withColumn("__pmin", F.min("__mt").over(wq))
+    frontier = (
+        feats.join(prefix, ["lang", "quality_score"])
+        .filter(
+            (F.col("__pmin").isNull() | (F.col("__pmin") > F.col("n_tok")))
+            & (F.col("n_tok") == F.col("__mt"))
+        )
+        .select("doc_id", "lang", "n_tok")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.kcenter_greedy(emb, k=8, assignments=True).select(
+        F.col("vec_id").alias("doc_id"), "center_rank", "dist_sq"
+    )
+    h = dedup.portable_hash60(F.col("doc_id").cast("string"))
+    wp = Window.orderBy(h.asc(), F.col("doc_id").asc())
+    kept = (
+        frontier.join(buckets, "doc_id")
+        .withColumn("__pos", F.row_number().over(wp).cast("long"))
+    )
+    return kept.groupBy("lang", "center_rank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.min("__pos").cast("long").alias("first_pos"),
+        F.expr("sum(dist_sq) div count(1)").alias("mean_dist_sq"),
+    )

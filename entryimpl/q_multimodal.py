@@ -398,3 +398,29 @@ def q_b22_equalize(spark, sf_dir):
         "post_levels",
         "post_sum",
     )
+
+
+def q_b22_audio_vad(spark, sf_dir):
+    """Energy-based voice-activity detection (B22 audio depth, r12 —
+    the SEGMENTATION read beside b22_audio_stats' whole-clip screen:
+    stats say "is this clip healthy", VAD says "which parts carry
+    speech", the pass an ASR/captioning pipeline runs to drop silence
+    before the model step): each doc synthesizes gated s16le PCM with
+    planted silent frames (multimodal.synth_pcm_gated — integer modular
+    samples, low-amplitude noise floor on silent frames), the payload
+    is decoded byte-for-byte and cut into 160-sample frames, each
+    scored by integer energy Σx² against a fixed threshold, and
+    consecutive speech frames merge into segments (run-length). The
+    oracle replays synthesis, framing, energies, and the gaps-and-
+    islands merge in closed form, so the driver row certifies the
+    byte-level decode AND the segmentation logic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.audio_vad(multimodal.synth_pcm_gated(docs))
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_speech_frames",
+        "n_segments",
+        "max_run",
+        "speech_ratio",
+    )

@@ -1690,3 +1690,51 @@ def q_b26_global_shuffle(spark, sf_dir):
             ),
         )
     )
+
+
+def q_b28_pareto_frontier(spark, sf_dir):
+    """Quality–cost Pareto frontier (B28 depth, r12 — the SKYLINE read
+    beside the knapsack's single-λ answer: the knapsack picks docs for
+    ONE price of quality in tokens; the frontier is every doc that is
+    optimal at SOME price, i.e. no other doc is at least as good AND
+    at least as cheap with one strict): per language, skyline of
+    (quality_score ↑, token cost ↓). 2-D skylines need no pair join —
+    group to the per-(lang, score) cheapest doc, then one prefix-min
+    sweep down the score order: a doc survives iff it matches its
+    score group's min tokens and beats the running min of all strictly
+    higher scores. Equal (score, tokens) twins both survive (neither
+    strictly dominates). quality_score is the round-6 engine-identical
+    composite the b21 gate family hashes. Scale: one keyed agg + one
+    window over the bounded distinct-score table + one equi-join —
+    linear, no self-join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = textops.quality_features(docs).select(
+        "doc_id", "lang", "quality_score", F.col("q_tokens").alias("n_tok")
+    )
+    per_q = feats.groupBy("lang", "quality_score").agg(
+        F.min("n_tok").cast("long").alias("__mt")
+    )
+    from pyspark.sql import Window
+
+    wq = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_q.withColumn("__pmin", F.min("__mt").over(wq))
+    j = feats.join(prefix, ["lang", "quality_score"])
+    frontier = j.filter(
+        (F.col("__pmin").isNull() | (F.col("__pmin") > F.col("n_tok")))
+        & (F.col("n_tok") == F.col("__mt"))
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("n_tok").asc(),
+        F.col("doc_id").asc(),
+    )
+    return frontier.select(
+        "lang",
+        "doc_id",
+        "quality_score",
+        "n_tok",
+        F.row_number().over(wr).cast("long").alias("frontier_rank"),
+    )

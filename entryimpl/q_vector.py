@@ -680,3 +680,18 @@ def q_b20_silhouette(spark, sf_dir):
             .alias("mean_silhouette"),
         )
     )
+
+
+def q_b28_kcenter_diversity(spark, sf_dir):
+    """Greedy k-center diversity selection (B28 × B20, r12 — the
+    coverage-driven sampler beside the score-driven knapsack and the
+    density-driven k-means: pick the k docs that together COVER the
+    embedding space, the standard coreset/diversity pass for training
+    subsets and eval-set seeding): farthest-point greedy, k=8, integer
+    squared-L2 on floor-quantized components, smallest-id seed,
+    (distance desc, id asc) picks — every pick replays in the oracle's
+    chained CTEs (similarity.py: kcenter_greedy). Output per center:
+    rank, id, cover size, and the k-center objective (max assigned
+    distance). Driver-side data is k·d quantized components only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kcenter_greedy(emb, k=8)

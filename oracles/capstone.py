@@ -721,4 +721,6 @@ SQL = {
                               AS DOUBLE) / count(*), 6) AS admit_share
             FROM j GROUP BY source
         """,
+
+        "b24_corpus_v9": _corpus_v9_oracle_sql(),
 }

@@ -465,4 +465,55 @@ SQL = {
                    CAST(sum(r * c) AS BIGINT) AS post_sum
             FROM remap GROUP BY doc_id
         """,
+
+        "b22_audio_vad": """
+            WITH docs AS (
+              SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, n, unnest(generate_series(0, 1439)) AS i
+              FROM docs
+            ),
+            samples AS (
+              SELECT doc_id, i // 160 AS f,
+                     CASE WHEN (doc_id + (i // 160) * 31) % 4 = 0
+                          THEN ((doc_id * 7 + i * 13) % 4096) % 256 - 128
+                          ELSE (doc_id * 7 + i * 13) % 4096 - 2048
+                     END AS x
+              FROM idx WHERE i < n
+            ),
+            frames AS (
+              SELECT doc_id, f, sum(x * x) AS energy
+              FROM samples GROUP BY doc_id, f
+            ),
+            speech AS (
+              SELECT doc_id, f,
+                     f - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY f) AS grp
+              FROM frames WHERE energy > 10000000
+            ),
+            runs AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+              FROM speech GROUP BY doc_id, grp
+            ),
+            seg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_segments,
+                     CAST(max(run_len) AS BIGINT) AS max_run,
+                     CAST(sum(run_len) AS BIGINT) AS n_speech
+              FROM runs GROUP BY doc_id
+            ),
+            base AS (
+              SELECT d.doc_id,
+                     CAST(d.n // 160 AS BIGINT) AS n_frames,
+                     COALESCE(seg.n_speech, 0) AS n_speech_frames,
+                     COALESCE(seg.n_segments, 0) AS n_segments,
+                     COALESCE(seg.max_run, 0) AS max_run
+              FROM docs d LEFT JOIN seg ON seg.doc_id = d.doc_id
+            )
+            SELECT doc_id, n_frames, n_speech_frames, n_segments, max_run,
+                   round(CAST(n_speech_frames AS DOUBLE) / n_frames, 6)
+                     AS speech_ratio
+            FROM base
+        """,
 }

@@ -1012,4 +1012,52 @@ SQL = {
             FROM dec d JOIN per_src s ON s.source = d.source
             GROUP BY d.source, d.decile
         """,
+
+        "b28_pareto_frontier": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'], t))) AS s_en,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, lang, n_tok,
+                     round(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + round(CAST(alpha AS DOUBLE)
+                                   / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                             * 0.4
+                           + least(round(CAST(s_en AS DOUBLE)
+                                   / CAST(greatest(n_tok, 1) AS DOUBLE), 6)
+                                   * 5.0, 1.0) * 0.2, 6) AS quality_score
+              FROM base
+            ),
+            per_q AS (
+              SELECT lang, quality_score,
+                     CAST(min(n_tok) AS BIGINT) AS mt
+              FROM feats GROUP BY lang, quality_score
+            ),
+            prefix AS (
+              SELECT *, min(mt) OVER (
+                PARTITION BY lang ORDER BY quality_score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+              FROM per_q
+            ),
+            frontier AS (
+              SELECT f.lang, f.doc_id, f.quality_score, f.n_tok
+              FROM feats f
+              JOIN prefix p ON p.lang = f.lang
+                           AND p.quality_score = f.quality_score
+              WHERE (p.pmin IS NULL OR p.pmin > f.n_tok)
+                AND f.n_tok = p.mt
+            )
+            SELECT lang, doc_id, quality_score, n_tok,
+                   CAST(row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY quality_score DESC, n_tok ASC, doc_id ASC)
+                     AS BIGINT) AS frontier_rank
+            FROM frontier
+        """,
 }

@@ -592,4 +592,6 @@ SQL = {
                    round(sum(s6) / (count(*) * 1e6), 6) AS mean_silhouette
             FROM s GROUP BY cluster_id
         """,
+
+        "b28_kcenter_diversity": _kcenter_oracle_sql(),
 }

@@ -1202,3 +1202,140 @@ def equalize_stats(
             )
 
     return df.mapInPandas(run, EQUALIZE_SCHEMA)
+
+
+def synth_pcm_gated(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a deterministic s16le PCM waveform with SILENT frames
+    planted for the VAD row — :func:`synth_pcm`'s modular sample law
+    with a per-frame amplitude gate, all integer (no divisions, so both
+    engines replay samples exactly):
+
+    - ``n_samples = 800 + (id % 5) * 160``  (5–9 whole 160-sample frames)
+    - frame ``f = i div 160`` is SILENT iff ``(id + f*31) % 4 == 0``
+    - speech sample ``i`` = ``((id*7 + i*13) % 4096) - 2048``
+    - silent sample ``i`` = ``((id*7 + i*13) % 4096) % 256 - 128``
+      (low-amplitude residue noise — a real noise floor, not zeros)
+
+    Output: the input plus ``payload`` (binary PCM, s16le).
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType(), False)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        tmpl13 = (np.arange(1440, dtype=np.int64) * 13) % 4096
+        frame_ix = np.arange(1440, dtype=np.int64) // 160
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            n = 800 + (ids % 5) * 160
+            payloads = []
+            for i in range(len(ids)):
+                ni = int(n[i])
+                raw = (ids[i] * 7 + tmpl13[:ni]) % 4096
+                silent = ((ids[i] + frame_ix[:ni] * 31) % 4) == 0
+                seg = np.where(silent, raw % 256 - 128, raw - 2048)
+                payloads.append(seg.astype(np.int16).tobytes())
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+#: output of audio_vad: per-doc frame-energy voice-activity summary
+AUDIO_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_speech_frames", T.LongType(), True),
+        T.StructField("n_segments", T.LongType(), True),
+        T.StructField("max_run", T.LongType(), True),
+        T.StructField("speech_ratio", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_vad(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame: int = 160,
+    threshold: int = 10_000_000,
+) -> DataFrame:
+    """GENUINE energy-based voice-activity detection over PCM bytes
+    (B22 audio depth): payload parsed as s16le (numpy frombuffer — no
+    codec library, no stub), cut into ``frame``-sample frames, each
+    scored by integer energy Σx²; a frame is speech iff energy >
+    ``threshold``, and consecutive speech frames merge into segments
+    (the run-length read a captioning/ASR pipeline uses to drop
+    silence before the model step). Pure integers up to the round-6
+    ratio — bit-exact on any engine. A payload not a whole number of
+    frames is corrupt → ``decode_ok false``. Arrow-batched
+    ``mapInPandas``, narrow, scan-shaped; per-row work is a reduceat
+    over its ≤9 frames."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].to_numpy(dtype="int64"),
+                "n_frames": [],
+                "n_speech_frames": [],
+                "n_segments": [],
+                "max_run": [],
+                "speech_ratio": [],
+                "decode_ok": [],
+            }
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                if len(b) == 0 or len(b) % (2 * frame):
+                    for k in ("n_frames", "n_speech_frames", "n_segments",
+                              "max_run", "speech_ratio"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+                nf = x.size // frame
+                energy = np.add.reduceat(x * x, np.arange(0, x.size, frame))
+                sp = energy > threshold
+                n_sp = int(sp.sum())
+                # run-length over the bounded per-doc frame vector
+                starts = int(sp[0]) + int(
+                    np.count_nonzero(~sp[:-1] & sp[1:])
+                )
+                max_run = 0
+                run_len = 0
+                for flag in sp:
+                    run_len = run_len + 1 if flag else 0
+                    max_run = max(max_run, run_len)
+                out["n_frames"].append(nf)
+                out["n_speech_frames"].append(n_sp)
+                out["n_segments"].append(starts)
+                out["max_run"].append(max_run)
+                out["speech_ratio"].append(round(n_sp / nf, 6))
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "n_speech_frames": pd.array(
+                        out["n_speech_frames"], dtype="Int64"
+                    ),
+                    "n_segments": pd.array(out["n_segments"], dtype="Int64"),
+                    "max_run": pd.array(out["max_run"], dtype="Int64"),
+                    "speech_ratio": pd.array(
+                        out["speech_ratio"], dtype="float64"
+                    ),
+                    "decode_ok": pd.array(out["decode_ok"], dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_VAD_SCHEMA)

@@ -1447,3 +1447,105 @@ def ann_topk_pq(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+    assignments: bool = False,
+) -> DataFrame:
+    """Greedy farthest-point k-center selection with bit-exact
+    cross-engine replay — the classic 2-approximation coreset /
+    diversity sampler (pick the point farthest from everything picked
+    so far): the embedding-space "cover the corpus with k balls" read
+    that training-data diversity sampling runs where the knapsack
+    family maximizes per-doc scores.
+
+    Deterministic end to end: components floor-quantize to
+    ``floor(v·quant)`` int64; distances are integer squared L2; the
+    seed is the smallest id; each next center is the (min-distance
+    desc, id asc) argmax — no RNG, so the oracle replays every pick as
+    a chained CTE. Assignment ties break to the earliest-picked center.
+
+    Scale shape: per iteration ONE narrow codegen pass computes each
+    row's distance to the single newly-picked center and folds it into
+    a running min (k lazy column stages over the same checkpointed
+    quantized base — no pair join, no explode), then a global (dist,
+    id) argmax via ``limit(1)``; the only driver-side data is k rows of
+    d quantized components (the centers themselves — bounded by k·d,
+    never |rows|), re-broadcast as literals exactly like the k-means
+    centroid table.
+
+    Output: ``(center_rank int, center_id, n_assigned bigint,
+    radius_sq bigint)`` — per center, its cover size and the k-center
+    objective (max assigned distance). With ``assignments=True``,
+    instead one row per input point: ``(id_col, center_rank int,
+    center_id, dist_sq bigint)``.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            as_double(vec_col),
+            lambda x: F.floor(x * F.lit(float(quant))).cast("long"),
+        ).alias("__qe"),
+    ).localCheckpoint()
+
+    def dist_to(center_vec: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("__qe"), lit, lambda x, m: (x - m) * (x - m)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    centers = [(seed[id_col], list(seed["__qe"]))]
+    # running min-distance + owning center; rebuilt lazily per pick
+    for _ in range(k - 1):
+        dists = [dist_to(v) for _, v in centers]
+        cur = base.select(
+            F.col(id_col),
+            "__qe",
+            (dists[0] if len(dists) == 1 else F.least(*dists)).alias("__d"),
+        )
+        nxt = (
+            cur.orderBy(F.col("__d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((nxt[id_col], list(nxt["__qe"])))
+    assigned = base.select(
+        F.col(id_col),
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        dist_to(v).alias("d"),
+                        F.lit(i).alias("r"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for i, (cid, v) in enumerate(centers)
+                ]
+            )
+        ).alias("__best"),
+    )
+    if assignments:
+        return assigned.select(
+            F.col(id_col),
+            F.col("__best.r").cast("int").alias("center_rank"),
+            F.col("__best.cid").alias("center_id"),
+            F.col("__best.d").cast("long").alias("dist_sq"),
+        )
+    return (
+        assigned.groupBy(
+            F.col("__best.r").cast("int").alias("center_rank"),
+            F.col("__best.cid").alias("center_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.max("__best.d").cast("long").alias("radius_sq"),
+        )
+    )

@@ -638,8 +638,10 @@ def test_driver_materialization_policy():
         "sqlite_cdc_spark/log.py": 1,
         # similarity: broadcast probe sets (bounded queries), IVF train
         # sample (limit(sample_size)), d x d covariance + d-row means,
-        # k seed centroids + k x d centroid readback per k-means round
-        "sqlite_cdc_spark/pipeline/similarity.py": 6,
+        # k seed centroids + k x d centroid readback per k-means round,
+        # k-center seed + per-pick limit(1) readback (k x d components,
+        # never |rows| — the k-means centroid-literal pattern)
+        "sqlite_cdc_spark/pipeline/similarity.py": 8,
     }
     counts: dict = {}
     for rel, _line in scan_collect.scan():
