@@ -98,6 +98,16 @@ HEADLINE = [
     "b22_image_patches",       # ViT patchify mapInPandas reshape (B22)
     "b9_nearest_event",        # bidirectional nearest-event join (B9)
     "b24_corpus_v7",           # r10 capstone: five-kernel composite (B24)
+    # r12 additions — one line per genuinely new kernel. partition_skew /
+    # mann_kendall / changepoint / pareto_frontier are keyed-agg + bounded-
+    # window shapes the b10/b11 lines already measure; audio_vad rides the
+    # audio mapInPandas family benched by b22_audio_stats.
+    "b7_semijoin_program",     # Yannakakis two-pass semi-join reducer (B7)
+    "b26_global_shuffle",      # hash-rank global sort permutation (B26)
+    "b10_permutation_fdr",     # 33-way explode permutation test + BH (B10)
+    "b30_label_propagation",   # 3-round synchronous LPA (B30 graph)
+    "b28_kcenter_diversity",   # k x (scan + limit-1 collect) greedy picks
+    "b24_corpus_v9",           # r12 capstone: frontier+kcenter+shuffle
 ]
 
 

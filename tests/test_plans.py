@@ -687,3 +687,21 @@ def test_r11_heavy_additions_no_cartesian(spark, sf_dir):
     for name in ("b28_dsir_weights", "b24_corpus_v8", "b30_hash_walks"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_r12_heavy_additions_no_cartesian(spark, sf_dir):
+    # r12 wave queries whose joins must stay keyed: the semi-join
+    # reducer chain, LPA's per-round label joins, corpus_v9's
+    # frontier/bucket/order composition, the FDR explode-agg, and the
+    # Mann-Kendall day-grid pair join (bounded, but must be an
+    # equi-join on event_type, not a product).
+    for name in (
+        "b7_semijoin_program",
+        "b30_label_propagation",
+        "b24_corpus_v9",
+        "b10_permutation_fdr",
+        "b10_mann_kendall",
+        "b28_pareto_frontier",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
