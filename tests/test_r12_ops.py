@@ -1,0 +1,186 @@
+"""Round-12 operator semantics (SURVEY §2 r12 rows) — unit tests for
+the properties the oracle rows can't see: guard behavior, known-answer
+fixtures, and the algorithmic invariants a refactor could silently drop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlite_cdc_spark import derive
+from sqlite_cdc_spark.pipeline import multimodal, similarity
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    # two disjoint triangles: every node must adopt its component's
+    # smallest id within one round, and stay there
+    tri = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], "src long, dst long"
+    )
+    got = {
+        r.node_id: r.label
+        for r in derive.label_propagation(edges, iters=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_plurality_with_min_label_ties(spark):
+    # node 5 hears labels {1, 2} once each after round 1 — the tie must
+    # break to the SMALLER label deterministically
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 5), (5, 1), (5, 2)], "src long, dst long"
+    )
+    got = {
+        r.node_id: r.label
+        for r in derive.label_propagation(edges, iters=1).collect()
+    }
+    assert got[5] == 1
+
+
+def test_kcenter_second_pick_is_farthest_from_seed(spark):
+    # seed = smallest id (0 at origin); farthest point is id 3 at x=100
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [100.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.center_rank: r.center_id
+        for r in similarity.kcenter_greedy(df, k=2).collect()
+    }
+    assert out == {0: 0, 1: 3}
+
+
+def test_kcenter_assignment_partitions_all_points(spark):
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    summary = similarity.kcenter_greedy(df, k=4).collect()
+    assert sum(r.n_assigned for r in summary) == 40
+    assigned = similarity.kcenter_greedy(df, k=4, assignments=True)
+    assert assigned.count() == 40
+    # a center is assigned to itself at distance zero
+    zero = {r.vec_id for r in assigned.filter(F.col("dist_sq") == 0).collect()}
+    assert {r.center_id for r in summary} <= zero
+
+
+def test_audio_vad_rejects_corrupt_payload_and_counts_segments(spark):
+    import numpy as np
+
+    frame = 4
+    loud = np.array([1000] * frame, dtype="<i2").tobytes()
+    quiet = np.array([1] * frame, dtype="<i2").tobytes()
+    # speech, silence, speech, speech -> 2 segments, max_run 2
+    payload = loud + quiet + loud + loud
+    rows = [(1, payload), (2, b"\x00\x01\x02")]  # row 2: odd length
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in multimodal.audio_vad(
+            df, frame=frame, threshold=100
+        ).collect()
+    }
+    assert got[1].decode_ok
+    assert (got[1].n_frames, got[1].n_speech_frames) == (4, 3)
+    assert (got[1].n_segments, got[1].max_run) == (2, 2)
+    assert got[2].decode_ok is False and got[2].n_frames is None
+
+
+def test_synth_pcm_gated_plants_silent_frames(spark):
+    df = spark.createDataFrame([(4,)], "doc_id long")
+    payload = bytes(
+        multimodal.synth_pcm_gated(df).collect()[0]["payload"]
+    )
+    import numpy as np
+
+    x = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+    assert x.size == 800 + (4 % 5) * 160
+    energies = np.add.reduceat(x * x, np.arange(0, x.size, 160))
+    silent = {f for f in range(x.size // 160) if (4 + f * 31) % 4 == 0}
+    for f, e in enumerate(energies):
+        if f in silent:
+            assert e < 10_000_000, f"frame {f} should be noise-floor"
+        else:
+            assert e > 10_000_000, f"frame {f} should be speech"
+
+
+def _daily(spark, series):
+    rows = [
+        ("t", d, c) for d, c in enumerate(series)
+    ]
+    return spark.createDataFrame(rows, "event_type string, day long, c long")
+
+
+def test_changepoint_statistic_finds_planted_shift(spark):
+    # level shift after day 5: argmax |n*S_t - t*S_n| must land on t=5
+    series = [10, 10, 10, 10, 10, 100, 100, 100, 100, 100]
+    daily = _daily(spark, series)
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pre = (
+        daily.withColumn("t", F.row_number().over(wo).cast("long"))
+        .withColumn("s_t", F.sum("c").over(wo).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("s_n", F.sum("c").over(wall).cast("long"))
+        .filter(F.col("t") < F.col("n"))
+        .withColumn(
+            "dev", F.abs(F.col("n") * F.col("s_t") - F.col("t") * F.col("s_n"))
+        )
+    )
+    best = pre.orderBy(F.col("dev").desc(), F.col("t").asc()).first()
+    assert best.t == 5
+
+
+def test_mann_kendall_monotone_series_saturates_s(spark, sf_dir):
+    # a strictly increasing series has S = n(n-1)/2 and positive z;
+    # sanity the registered query returns one row per event type
+    import __spark_entry__ as entry
+
+    out = entry.queries()["b10_mann_kendall"](spark, sf_dir).collect()
+    assert len(out) >= 1
+    types = {r.event_type for r in out}
+    assert len(out) == len(types)
+    for r in out:
+        n = r.n_days
+        assert abs(r.s_stat) <= n * (n - 1) // 2
+        assert r.var_s_x18 > 0
+
+
+def test_semijoin_reduction_never_exceeds_base(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b7_semijoin_program"](spark, sf_dir).collect()
+    assert {r.relation for r in rows} == {
+        "nation", "customer", "orders", "lineitem",
+    }
+    for r in rows:
+        assert 0 <= r.rows_reduced <= r.rows_base
+        # the ASIA + 1995-window predicates must genuinely reduce
+    assert any(r.rows_reduced < r.rows_base for r in rows)
+
+
+def test_pareto_frontier_no_survivor_is_dominated(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b28_pareto_frontier"](spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert rows, "frontier empty"
+    for lang, rs in by_lang.items():
+        for a in rs:
+            for b in rs:
+                strictly_dominates = (
+                    b.quality_score >= a.quality_score
+                    and b.n_tok <= a.n_tok
+                    and (
+                        b.quality_score > a.quality_score
+                        or b.n_tok < a.n_tok
+                    )
+                )
+                assert not strictly_dominates, (lang, a, b)

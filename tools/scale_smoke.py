@@ -882,6 +882,144 @@ def r11_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r12_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-12 families with genuinely NEW scale shapes: the Yannakakis
+    two-pass semi-join reducer (key-only traffic), the deterministic
+    global-shuffle permutation (the board's one deliberate range-
+    partition sort), the 33-way permutation-test explode agg, 3-round
+    label propagation (iterative keyed join + bounded argmax), greedy
+    k-center (k narrow scans + limit-1 readbacks), and the gated-PCM
+    VAD decode. partition_skew / mann_kendall / changepoint /
+    pareto_frontier are keyed-agg + bounded-window shapes the base ops
+    already smoke; corpus_v9 composes kernels smoked individually
+    (the dedup_manifest precedent)."""
+    from sqlite_cdc_spark.pipeline import multimodal, similarity
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    docs = spark.read.parquet(docs_path)
+
+    # Yannakakis reducer: fact + two derived "dims", forward then
+    # backward semi passes, count only (key-only traffic end to end)
+    fact = spark.range(rows).select(
+        (F.col("id") / 4).cast("long").alias("okey"),
+        F.pmod(F.xxhash64("id"), 1000).alias("skey"),
+    )
+    orders = fact.select("okey").distinct().filter(F.col("okey") % 3 == 0)
+    supp = spark.range(1000).select(F.col("id").alias("skey")).filter(
+        F.col("skey") % 2 == 0
+    )
+
+    def semijoin_program():
+        f1 = fact.join(orders, "okey", "semi")
+        f2 = f1.join(supp, "skey", "semi")
+        o2 = orders.join(f2, "okey", "semi")
+        s2 = supp.join(f2, "skey", "semi")
+        o2.unionByName(s2.select(F.col("skey").alias("okey"))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run("semijoin_program", semijoin_program)
+
+    def global_shuffle():
+        w = Window.orderBy(
+            portable_hash60(F.col("doc_id").cast("string")).asc(),
+            F.col("doc_id").asc(),
+        )
+        pos = docs.select(
+            "doc_id", (F.row_number().over(w) - 1).alias("p")
+        )
+        pos.groupBy(F.expr("p * 10 div " + str(rows))).agg(
+            F.count(F.lit(1))
+        ).write.format("noop").mode("overwrite").save()
+
+    run("global_shuffle", global_shuffle)
+
+    ev = spark.range(rows // 4).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), F.pmod(F.col("id"), 5)).alias("etype"),
+        F.pmod(F.xxhash64("id"), 100000).alias("v"),
+        F.pmod(F.col("id"), 2).alias("s0"),
+    )
+
+    def permutation_fdr():
+        perms = ev.select(
+            "etype",
+            F.explode(F.sequence(F.lit(0), F.lit(32))).alias("b"),
+            "event_id",
+            "v",
+            "s0",
+        ).select(
+            "etype",
+            "b",
+            (
+                F.when(F.col("b") == 0, 1 - 2 * F.col("s0")).otherwise(
+                    1
+                    - 2
+                    * F.pmod(
+                        F.xxhash64(
+                            (F.col("event_id") * 33 + F.col("b")).cast(
+                                "string"
+                            )
+                        ),
+                        F.lit(2),
+                    )
+                )
+                * F.col("v")
+            ).alias("sv"),
+        )
+        perms.groupBy("etype", "b").agg(
+            F.abs(F.sum("sv")).alias("t")
+        ).write.format("noop").mode("overwrite").save()
+
+    run("permutation_fdr", permutation_fdr)
+
+    ed = fact.select(
+        F.col("okey").alias("src"), (F.col("skey") + 10_000_000).alias("dst")
+    ).distinct()
+    edges = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def lpa():
+        derive.label_propagation(edges, iters=3).groupBy("label").agg(
+            F.count(F.lit(1))
+        ).write.format("noop").mode("overwrite").save()
+
+    run("label_propagation", lpa)
+
+    emb = spark.range(rows // 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64("id", F.lit(i)), 2000) / 1000.0 - 1.0)
+                for i in range(16)
+            ]
+        ).alias("embedding"),
+    )
+
+    def kcenter():
+        similarity.kcenter_greedy(emb, k=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("kcenter_greedy", kcenter)
+
+    ids = docs.select("doc_id")
+
+    def audio_vad():
+        multimodal.audio_vad(
+            multimodal.synth_pcm_gated(ids)
+        ).write.format("noop").mode("overwrite").save()
+
+    run("audio_vad", audio_vad)
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -932,6 +1070,7 @@ def main():
             results[label].update(r9_ops(spark, dpath, rows))
             results[label].update(r10_ops(spark, dpath, rows))
             results[label].update(r11_ops(spark, dpath, rows))
+            results[label].update(r12_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
