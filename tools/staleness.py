@@ -106,7 +106,17 @@ def plan(window_n: int = 50) -> None:
         ranked = sorted(registry, key=lambda n: (greens.get(n, 0), order[n]))
         return [n for n in ranked if n in oracles][:window_n]
 
-    w_now = window(last_green)
+    # the CURRENT round's window is the one PINNED in __spark_entry__
+    # (the driver checks queries()[:50], which the _R*_WINDOW constant
+    # controls) — mid-round additions must not silently displace the
+    # committed slots in this round's leg; they lead the NEXT round's
+    # computed window instead.
+    pins = sorted(
+        (int(re.match(r"_R(\d+)_WINDOW$", a).group(1)), a)
+        for a in dir(entry)
+        if re.match(r"_R(\d+)_WINDOW$", a)
+    )
+    w_now = list(getattr(entry, pins[-1][1])) if pins else window(last_green)
     simulated = dict(last_green)
     for n in w_now:
         simulated[n] = this_round
