@@ -445,7 +445,22 @@ def main() -> None:
             **norm,
         }
     )
-    assert len(line) < 1200, f"stdout contract: {len(line)}B > 1200B budget"
+    if len(line) >= 1200:
+        # never lose the artifact to growth: degrade to the minimal
+        # summary instead of overflowing the driver's ~2000-char tail
+        # capture (the r5/r11 failure mode) or crashing with no line
+        print(f"# oversized summary ({len(line)}B), degrading", file=sys.stderr)
+        line = json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+                "canary_drift": norm.get("canary_drift"),
+                "common_norm_ratio": norm.get("common_norm_ratio"),
+            }
+        )
     print(line)
 
 
