@@ -1052,7 +1052,11 @@ def q_b7_semijoin_program(spark, sf_dir):
     form; THIS row sizes the opportunity). Shape: a chain of keyed
     left-semi joins (each one equi-shuffle or broadcast — Catalyst
     picks broadcast for the dim ends), five 1-row count aggs unioned;
-    no row images ever move, only keys. Reductions are exact integers;
+    no row images ever move, only keys. The four audit branches share
+    the chain's subplans (AQE reuses identical exchanges); they are
+    deliberately NOT checkpointed — the relations are key-only but
+    corpus-sized, so re-deriving a semi-join is cheaper at scale than
+    materializing order-key sets. Reductions are exact integers;
     the pct is a round-6 rational.
 
     Reference parity: the reference has no query planner — this is the
