@@ -901,11 +901,14 @@ def q_b24_corpus_v9(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "center_rank", "dist_sq"
     )
     h = dedup.portable_hash60(F.col("doc_id").cast("string"))
-    wp = Window.orderBy(h.asc(), F.col("doc_id").asc())
-    kept = (
-        frontier.join(buckets, "doc_id")
-        .withColumn("__pos", F.row_number().over(wp).cast("long"))
-    )
+    # two-phase distributed rank — same no-single-task-window rule as
+    # b26_global_shuffle (the kept set is corpus-scale before gating)
+    kept = derive.distributed_row_number(
+        frontier.join(buckets, "doc_id").withColumn("__h", h),
+        [],
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        out_col="__rn",
+    ).withColumn("__pos", F.col("__rn").cast("long"))
     return kept.groupBy("lang", "center_rank").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("sum_tok"),

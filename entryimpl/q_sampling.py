@@ -1658,13 +1658,18 @@ def q_b26_global_shuffle(spark, sf_dir):
     this op is ABOUT; the audit itself is one keyed agg. All integers
     except the round-6 share."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    from pyspark.sql import Window
-
     h = dedup.portable_hash60(F.col("doc_id").cast("string"))
-    w = Window.orderBy(h.asc(), F.col("doc_id").asc())
-    pos = docs.select(
-        "doc_id", "source", (F.row_number().over(w) - 1).alias("__pos")
-    )
+    # two-phase distributed rank (derive.distributed_row_number): the
+    # permutation must NOT serialize the corpus through one window
+    # task — ranks are local per range partition, offsets come from the
+    # bounded |partitions|-row count relation (bit-identical to the
+    # naive global row_number; parity-tested)
+    pos = derive.distributed_row_number(
+        docs.withColumn("__h", h),
+        [],
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        out_col="__rn",
+    ).select("doc_id", "source", (F.col("__rn") - 1).alias("__pos"))
     tot = pos.agg(F.count(F.lit(1)).alias("__n"))
     dec = pos.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -467,6 +467,16 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     # r9 wave 7: descending risk-set cumulative over the per-user stream
     # contracted to the |lifetime-days| relation (the b15_acf rule)
     "b15_hazard",
+    # r12: Lorenz rank + prefix windows over the 32-row bucket relation
+    "b13_partition_skew_audit",
+    # r12: BH rank/max windows over the m-row (|event types|) family
+    # table of the permutation test
+    "b10_permutation_fdr",
+    # r12: distributed_row_number phase 2 with no partition cols — the
+    # offsets window runs over the |partitions|-row count relation (the
+    # b10_gini rule); the corpus-scale rank itself is range-partitioned
+    "b26_global_shuffle",
+    "b24_corpus_v9",
 }
 
 

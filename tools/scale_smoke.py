@@ -926,14 +926,17 @@ def r12_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     run("semijoin_program", semijoin_program)
 
     def global_shuffle():
-        w = Window.orderBy(
-            portable_hash60(F.col("doc_id").cast("string")).asc(),
-            F.col("doc_id").asc(),
+        # two-phase distributed rank — mirrors b26_global_shuffle (the
+        # naive global row_number serializes the corpus in ONE task)
+        pos = derive.distributed_row_number(
+            docs.withColumn(
+                "__h", portable_hash60(F.col("doc_id").cast("string"))
+            ),
+            [],
+            [F.col("__h").asc(), F.col("doc_id").asc()],
+            out_col="p",
         )
-        pos = docs.select(
-            "doc_id", (F.row_number().over(w) - 1).alias("p")
-        )
-        pos.groupBy(F.expr("p * 10 div " + str(rows))).agg(
+        pos.groupBy(F.expr("(p - 1) * 10 div " + str(rows))).agg(
             F.count(F.lit(1))
         ).write.format("noop").mode("overwrite").save()
 
