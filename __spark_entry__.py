@@ -457,6 +457,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b28_kcenter_diversity": q_b28_kcenter_diversity,
         "b22_audio_vad": q_b22_audio_vad,
         "b24_corpus_v9": q_b24_corpus_v9,
+        # --- round 12 wave 4 ----------------------------------------------
+        "b20_ivf_probe_sweep": q_b20_ivf_probe_sweep,
+        "b17_incremental_frontier": q_b17_incremental_frontier,
+        "b13_delta_encoding": q_b13_delta_encoding,
     }
 
 

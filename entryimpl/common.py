@@ -2234,6 +2234,7 @@ def _ppr_oracle_sql(iters: int = 3) -> str:
 
 __all__ = [
     "_ppr_oracle_sql",
+    "_ivf_probe_sweep_oracle_sql",
     "_kcenter_parts",
     "_corpus_v9_oracle_sql",
     "_kcenter_oracle_sql",
@@ -2494,4 +2495,75 @@ def _corpus_v9_oracle_sql(k: int = 8, d: int = 64, quant: int = 10**6) -> str:
                CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist_sq
         FROM kept
         GROUP BY lang, center_rank
+    """
+
+
+def _ivf_probe_sweep_oracle_sql() -> str:
+    """DuckDB replay of q_b20_ivf_probe_sweep: the b20_ann_ivf cell
+    assignment computed once, the probe grid filtering the ranked
+    query-cell relation, recall@5 vs full exact-cosine top-5."""
+    cids = ", ".join(str(c) for c in similarity.IVF_SEED_CENTROIDS)
+    return f"""
+        WITH comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        cents AS (
+          SELECT id AS cid, d, q AS cq FROM comp WHERE id IN ({cids})
+        ),
+        dots AS (
+          SELECT comp.id, cid, sum(comp.q * cq) AS dp
+          FROM comp JOIN cents USING (d) GROUP BY comp.id, cid
+        ),
+        ranked_cells AS (
+          SELECT id, cid,
+                 row_number() OVER (PARTITION BY id ORDER BY dp DESC, cid ASC) AS r
+          FROM dots
+        ),
+        ccell AS (
+          SELECT id AS neighbor_id, cid AS cell FROM ranked_cells WHERE r = 1
+        ),
+        qcell AS (
+          SELECT id AS query_id, cid AS cell, r
+          FROM ranked_cells WHERE r <= 4 AND id < 4
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id, min(r) AS first_probe
+          FROM qcell JOIN ccell USING (cell)
+          WHERE neighbor_id != query_id
+          GROUP BY query_id, neighbor_id
+        ),
+        vecs AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))) DESC,
+                       c.vec_id ASC) AS rnk
+            FROM vecs q JOIN vecs c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 4
+          ) WHERE rnk <= 5
+        ),
+        grid AS (
+          SELECT cand.query_id, cand.neighbor_id, p.nprobe,
+                 CASE WHEN exact.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS hit
+          FROM cand
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS nprobe) p
+          LEFT JOIN exact ON exact.query_id = cand.query_id
+                         AND exact.neighbor_id = cand.neighbor_id
+          WHERE cand.first_probe <= p.nprobe
+        )
+        SELECT CAST(nprobe AS INTEGER) AS nprobe, query_id,
+               CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(hit) AS BIGINT) AS n_hits,
+               round(CAST(sum(hit) AS DOUBLE) / 5.0, 6) AS recall_at_5
+        FROM grid
+        GROUP BY nprobe, query_id
     """

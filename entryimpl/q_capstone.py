@@ -875,27 +875,12 @@ def q_b24_corpus_v9(spark, sf_dir):
     COMPOSITION, not a replay."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     feats = textops.quality_features(docs).select(
-        "doc_id", "lang", "quality_score", F.col("q_tokens").alias("n_tok")
+        "doc_id", "lang", "quality_score",
+        F.col("q_tokens").cast("long").alias("n_tok"),
     )
-    per_q = feats.groupBy("lang", "quality_score").agg(
-        F.min("n_tok").cast("long").alias("__mt")
-    )
-    from pyspark.sql import Window
-
-    wq = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("quality_score").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = per_q.withColumn("__pmin", F.min("__mt").over(wq))
-    frontier = (
-        feats.join(prefix, ["lang", "quality_score"])
-        .filter(
-            (F.col("__pmin").isNull() | (F.col("__pmin") > F.col("n_tok")))
-            & (F.col("n_tok") == F.col("__mt"))
-        )
-        .select("doc_id", "lang", "n_tok")
-    )
+    frontier = sampling.pareto_frontier(
+        feats, "lang", "quality_score", "n_tok"
+    ).select("doc_id", "lang", "n_tok")
     emb = _t(spark, sf_dir, "embeddings")
     buckets = similarity.kcenter_greedy(emb, k=8, assignments=True).select(
         F.col("vec_id").alias("doc_id"), "center_rank", "dist_sq"

@@ -1714,24 +1714,14 @@ def q_b28_pareto_frontier(spark, sf_dir):
     linear, no self-join."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     feats = textops.quality_features(docs).select(
-        "doc_id", "lang", "quality_score", F.col("q_tokens").alias("n_tok")
+        "doc_id", "lang", "quality_score",
+        F.col("q_tokens").cast("long").alias("n_tok"),
     )
-    per_q = feats.groupBy("lang", "quality_score").agg(
-        F.min("n_tok").cast("long").alias("__mt")
+    frontier = sampling.pareto_frontier(
+        feats, "lang", "quality_score", "n_tok"
     )
     from pyspark.sql import Window
 
-    wq = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("quality_score").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = per_q.withColumn("__pmin", F.min("__mt").over(wq))
-    j = feats.join(prefix, ["lang", "quality_score"])
-    frontier = j.filter(
-        (F.col("__pmin").isNull() | (F.col("__pmin") > F.col("n_tok")))
-        & (F.col("n_tok") == F.col("__mt"))
-    )
     wr = Window.partitionBy("lang").orderBy(
         F.col("quality_score").desc(), F.col("n_tok").asc(),
         F.col("doc_id").asc(),

@@ -1237,3 +1237,110 @@ def q_b13_partition_skew_audit(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+def q_b17_incremental_frontier(spark, sf_dir):
+    """Incremental Pareto-frontier view (B17 depth, r12 — the SKYLINE
+    leg of the incremental-view family beside the monotone top-k: the
+    2-D frontier is a sublattice, frontier(frontier(A) ∪ B) ==
+    frontier(A ∪ B), so a standing view absorbs an INSERT-only batch
+    by re-sweeping ONLY its own rows ∪ the batch — cost ∝ batch +
+    |frontier|, never the corpus). Standing/batch split = doc_id mod
+    10; the oracle recomputes the frontier from the FULL table, so the
+    driver row proves merge == recompute (the b17_incremental_topk
+    contract, on a harder view shape: a batch row can EVICT standing
+    frontier rows)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = textops.quality_features(docs).select(
+        "doc_id", "lang", "quality_score",
+        F.col("q_tokens").cast("long").alias("n_tok"),
+    )
+    standing = feats.filter(F.col("doc_id") % 10 != 0)
+    batch = feats.filter(F.col("doc_id") % 10 == 0)
+    st_front = sampling.pareto_frontier(
+        standing, "lang", "quality_score", "n_tok"
+    )
+    merged = sampling.pareto_frontier(
+        st_front.unionByName(batch), "lang", "quality_score", "n_tok"
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("n_tok").asc(),
+        F.col("doc_id").asc(),
+    )
+    return merged.select(
+        "lang",
+        "doc_id",
+        "quality_score",
+        "n_tok",
+        F.row_number().over(wr).cast("long").alias("frontier_rank"),
+    )
+
+
+def q_b13_delta_encoding(spark, sf_dir):
+    """Delta+varint layout audit (B13 depth, r12 — the ENCODING-cost
+    read beside b13_zorder_layout's clustering read and
+    b13_file_skipping's pruning read: how many bytes does l_partkey
+    cost under each candidate sort order?): within contiguous
+    key-range buckets (the row-group proxy — buckets of a sort key ARE
+    contiguous runs of that order), each value delta-encodes against
+    its predecessor and the delta prices as a zigzag varint (exact
+    integer CASE ladder, 1–8 bytes; bucket-first values price raw 8).
+    Variant 'by_partkey' sorts by the audited column (deltas tiny);
+    'by_orderkey' is the natural load order (deltas ~random). The gap
+    is the measured \"sort before write\" win the layout decision
+    reads. Shape: two bucket-partitioned lag windows + keyed aggs —
+    no global window, no shuffle beyond the bucket sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    from pyspark.sql import Window
+
+    def priced(bucket_col, order_cols, variant):
+        w = Window.partitionBy("__b").orderBy(*order_cols)
+        d = li.withColumn("__b", bucket_col).withColumn(
+            "__prev", F.lag("l_partkey").over(w)
+        )
+        delta = F.col("l_partkey") - F.col("__prev")
+        zig = F.when(delta >= 0, 2 * delta).otherwise(-2 * delta - 1)
+        vbytes = (
+            F.when(F.col("__prev").isNull(), 8)
+            .when(zig < (1 << 7), 1)
+            .when(zig < (1 << 14), 2)
+            .when(zig < (1 << 21), 3)
+            .when(zig < (1 << 28), 4)
+            .when(zig < (1 << 35), 5)
+            .otherwise(8)
+        )
+        return d.select(vbytes.alias("__bytes")).agg(
+            F.lit(variant).alias("variant"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("__bytes").cast("long").alias("total_bytes"),
+            F.round(
+                F.sum("__bytes").cast("double") / F.count(F.lit(1)), 6
+            ).alias("bytes_per_value"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("__bytes").cast("double")
+                / (8.0 * F.count(F.lit(1))),
+                6,
+            ).alias("savings_vs_raw"),
+        )
+
+    by_part = priced(
+        F.expr("l_partkey div 512"),
+        [
+            F.col("l_partkey").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "by_partkey",
+    )
+    by_order = priced(
+        F.expr("l_orderkey div 512"),
+        [F.col("l_orderkey").asc(), F.col("l_linenumber").asc(),
+         F.col("l_partkey").asc()],
+        "by_orderkey",
+    )
+    return by_part.unionByName(by_order)

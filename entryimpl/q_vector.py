@@ -695,3 +695,77 @@ def q_b28_kcenter_diversity(spark, sf_dir):
     distance). Driver-side data is k·d quantized components only."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kcenter_greedy(emb, k=8)
+
+
+def q_b20_ivf_probe_sweep(spark, sf_dir):
+    """IVF operating-point sweep (B20 eval depth, r12 — the IVF twin of
+    b19_lsh_operating_point: that row validates the shipped LSH
+    banding, THIS one validates the shipped n_probe by measuring the
+    whole recall-vs-cost curve): for n_probe ∈ {1,2,3,4} — candidate
+    count per query (the cost axis: cells scanned) and recall@5 against
+    exact cosine. Cell assignment (integer-exact quantized dot, ties to
+    lowest centroid id — the b20_ann_ivf kernel's rule) is computed
+    ONCE; the probe grid filters the ranked query-cell relation, so the
+    sweep costs one assignment + one (cell) equi-join, not 4 kernel
+    runs. All integers except the round-6 recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    quant = 1000
+    cids = list(similarity.IVF_SEED_CENTROIDS)
+    comp = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(similarity.as_double("embedding")).alias("d", "v"),
+    ).select("id", "d", F.floor(F.col("v") * quant).cast("long").alias("q"))
+    cents = comp.filter(F.col("id").isin(cids)).select(
+        F.col("id").alias("cid"), "d", F.col("q").alias("cq")
+    )
+    dots = (
+        comp.join(F.broadcast(cents), "d")
+        .groupBy("id", "cid")
+        .agg(F.sum(F.col("q") * F.col("cq")).alias("dp"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("id").orderBy(
+        F.col("dp").desc(), F.col("cid").asc()
+    )
+    ranked = dots.withColumn("r", F.row_number().over(wr))
+    ccell = ranked.filter(F.col("r") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    qcell = (
+        ranked.filter((F.col("r") <= 4) & (F.col("id") < 4))
+        .select(
+            F.col("id").alias("query_id"), F.col("cid").alias("cell"), "r"
+        )
+    )
+    cand = (
+        qcell.join(ccell, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("r").alias("__first_probe"))
+    )
+    topk = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 4), k=5
+    ).select("query_id", "neighbor_id")
+    grid = cand.select(
+        "query_id",
+        "neighbor_id",
+        "__first_probe",
+        F.explode(F.array(*[F.lit(p) for p in (1, 2, 3, 4)])).alias(
+            "nprobe"
+        ),
+    ).filter(F.col("__first_probe") <= F.col("nprobe"))
+    hits = grid.join(
+        topk.withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy(
+        F.col("nprobe").cast("int").alias("nprobe"), "query_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("double") / 5.0, 6
+        ).alias("recall_at_5"),
+    )

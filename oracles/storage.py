@@ -817,4 +817,112 @@ SQL = {
                          - CAST(b + 1 AS DOUBLE) / b, 6) AS gini
             FROM ranked CROSS JOIN tot
         """,
+
+        # merge == recompute: the oracle is the FULL-table frontier,
+        # identical output contract to b28_pareto_frontier
+        "b17_incremental_frontier": """
+            WITH base AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'], t))) AS s_en,
+                     CAST(length(text) AS BIGINT) AS q_chars,
+                     CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                          AS BIGINT) AS alpha
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, lang, n_tok,
+                     round(least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.4
+                           + round(CAST(alpha AS DOUBLE)
+                                   / CAST(greatest(q_chars, 1) AS DOUBLE), 6)
+                             * 0.4
+                           + least(round(CAST(s_en AS DOUBLE)
+                                   / CAST(greatest(n_tok, 1) AS DOUBLE), 6)
+                                   * 5.0, 1.0) * 0.2, 6) AS quality_score
+              FROM base
+            ),
+            per_q AS (
+              SELECT lang, quality_score,
+                     CAST(min(n_tok) AS BIGINT) AS mt
+              FROM feats GROUP BY lang, quality_score
+            ),
+            prefix AS (
+              SELECT *, min(mt) OVER (
+                PARTITION BY lang ORDER BY quality_score DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+              FROM per_q
+            ),
+            frontier AS (
+              SELECT f.lang, f.doc_id, f.quality_score, f.n_tok
+              FROM feats f
+              JOIN prefix p ON p.lang = f.lang
+                           AND p.quality_score = f.quality_score
+              WHERE (p.pmin IS NULL OR p.pmin > f.n_tok)
+                AND f.n_tok = p.mt
+            )
+            SELECT lang, doc_id, quality_score, n_tok,
+                   CAST(row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY quality_score DESC, n_tok ASC, doc_id ASC)
+                     AS BIGINT) AS frontier_rank
+            FROM frontier
+        """,
+
+        "b13_delta_encoding": """
+            WITH priced AS (
+              SELECT 'by_partkey' AS variant,
+                     CASE WHEN prev IS NULL THEN 8
+                          WHEN zig < 128 THEN 1
+                          WHEN zig < 16384 THEN 2
+                          WHEN zig < 2097152 THEN 3
+                          WHEN zig < 268435456 THEN 4
+                          WHEN zig < 34359738368 THEN 5
+                          ELSE 8 END AS b
+              FROM (
+                SELECT prev,
+                       CASE WHEN l_partkey - prev >= 0
+                            THEN 2 * (l_partkey - prev)
+                            ELSE -2 * (l_partkey - prev) - 1 END AS zig
+                FROM (
+                  SELECT l_partkey,
+                         lag(l_partkey) OVER (
+                           PARTITION BY l_partkey // 512
+                           ORDER BY l_partkey, l_orderkey, l_linenumber)
+                           AS prev
+                  FROM lineitem
+                )
+              )
+              UNION ALL
+              SELECT 'by_orderkey',
+                     CASE WHEN prev IS NULL THEN 8
+                          WHEN zig < 128 THEN 1
+                          WHEN zig < 16384 THEN 2
+                          WHEN zig < 2097152 THEN 3
+                          WHEN zig < 268435456 THEN 4
+                          WHEN zig < 34359738368 THEN 5
+                          ELSE 8 END
+              FROM (
+                SELECT prev,
+                       CASE WHEN l_partkey - prev >= 0
+                            THEN 2 * (l_partkey - prev)
+                            ELSE -2 * (l_partkey - prev) - 1 END AS zig
+                FROM (
+                  SELECT l_partkey,
+                         lag(l_partkey) OVER (
+                           PARTITION BY l_orderkey // 512
+                           ORDER BY l_orderkey, l_linenumber, l_partkey)
+                           AS prev
+                  FROM lineitem
+                )
+              )
+            )
+            SELECT variant,
+                   CAST(count(*) AS BIGINT) AS n_values,
+                   CAST(sum(b) AS BIGINT) AS total_bytes,
+                   round(CAST(sum(b) AS DOUBLE) / count(*), 6)
+                     AS bytes_per_value,
+                   round(1.0 - CAST(sum(b) AS DOUBLE) / (8.0 * count(*)), 6)
+                     AS savings_vs_raw
+            FROM priced GROUP BY variant
+        """,
 }

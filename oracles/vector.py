@@ -594,4 +594,6 @@ SQL = {
         """,
 
         "b28_kcenter_diversity": _kcenter_oracle_sql(),
+
+        "b20_ivf_probe_sweep": _ivf_probe_sweep_oracle_sql(),
 }

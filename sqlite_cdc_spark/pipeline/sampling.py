@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Knuth's multiplicative constant (2^32 / phi)
@@ -658,3 +658,42 @@ def temporal_split(
         .withColumn("split", F.lit("train"))
     )
     return train.unionByName(test)
+
+
+def pareto_frontier(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    cost_col: str,
+) -> DataFrame:
+    """2-D Pareto skyline per group (score ↑ better, cost ↓ better):
+    keep every row no other row in its group strictly dominates (≥
+    score AND ≤ cost with one strict). Equal (score, cost) twins both
+    survive — neither strictly dominates.
+
+    A 2-D skyline needs NO pair join: group to the per-(group, score)
+    cheapest cost, sweep a prefix-min down the descending score order
+    (one window over the bounded distinct-score relation), and a row
+    survives iff it matches its score group's min cost and beats the
+    running min of all strictly-higher scores. Linear: one keyed agg +
+    one window + one equi-join back. The frontier is a sublattice —
+    ``frontier(frontier(A) ∪ B) == frontier(A ∪ B)`` — so incremental
+    maintenance folds batches against standing frontier rows only
+    (b17_incremental_frontier proves merge == recompute).
+
+    Output: the input rows that survive (all columns preserved).
+    """
+    per_q = df.groupBy(group_col, score_col).agg(
+        F.min(cost_col).alias("__mt")
+    )
+    wq = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_q.withColumn("__pmin", F.min("__mt").over(wq))
+    j = df.join(prefix, [group_col, score_col])
+    return j.filter(
+        (F.col("__pmin").isNull() | (F.col("__pmin") > F.col(cost_col)))
+        & (F.col(cost_col) == F.col("__mt"))
+    ).drop("__mt", "__pmin")

@@ -1746,3 +1746,65 @@ def test_streaming_schema_drift_monitor_matches_batch(spark, tmp_path):
         (x.etype, x.key) for x in got_rows if x.first_day > start
     )
     assert drifted == [("click", "v2"), ("view", "v2")]
+
+
+def test_streaming_incremental_frontier_matches_batch(spark, tmp_path):
+    """b17_incremental_frontier's streaming leg: the 2-D Pareto skyline
+    is a sublattice — frontier(frontier(A) ∪ B) == frontier(A ∪ B) —
+    so folding the standing frontier with each micro-batch must equal
+    the from-scratch frontier of the full feed, including batches that
+    EVICT standing frontier rows (a new cheaper-and-better doc)."""
+    import time
+
+    from sqlite_cdc_spark.pipeline import sampling
+
+    waves = [
+        [(1, "en", 0.5, 100), (2, "en", 0.8, 200), (3, "de", 0.4, 50)],
+        # doc 10 dominates doc 1 (better score, cheaper) -> evicts it
+        [(10, "en", 0.6, 80), (11, "de", 0.4, 50)],  # 11 ties 3 exactly
+        [(20, "en", 0.9, 90), (21, "de", 0.2, 10)],
+    ]
+    schema = "doc_id long, lang string, score double, cost long"
+    src = str(tmp_path / "src")
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(
+            f"{src}/w{i}"
+        )
+        time.sleep(1.2)
+
+    state = {
+        "front": spark.createDataFrame([], schema)
+    }
+
+    def handle(batch, bid):
+        state["front"] = sampling.pareto_frontier(
+            state["front"].unionByName(batch.select("doc_id", "lang",
+                                                    "score", "cost")),
+            "lang", "score", "cost",
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/w*")
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    full = spark.createDataFrame([r for w in waves for r in w], schema)
+    want = sorted(
+        (x.doc_id, x.lang, x.score, x.cost)
+        for x in sampling.pareto_frontier(
+            full, "lang", "score", "cost"
+        ).collect()
+    )
+    got = sorted(
+        (x.doc_id, x.lang, x.score, x.cost) for x in state["front"].collect()
+    )
+    assert got == want
+    ids = {x[0] for x in got}
+    assert 1 not in ids, "dominated standing row must be evicted"
+    assert {3, 11} <= ids, "equal twins must both survive"
