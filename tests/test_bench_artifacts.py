@@ -1,0 +1,81 @@
+"""Bench artifact contract (VERDICT r11 item 1) — the pieces that keep
+the round-over-round perf series machine-readable: truncated-tail
+recovery, archived-runs medians, and the compact-line size budget.
+No Spark session needed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_recover_from_tail_reconstructs_the_r11_artifact():
+    # the committed BENCH_r11.json is the real broken artifact this
+    # machinery exists for: parsed null, tail = the END of the line
+    path = os.path.join(REPO, "BENCH_r11.json")
+    with open(path) as f:
+        data = json.load(f)
+    assert data.get("parsed") is None  # the r11 defect, preserved
+    queries, canaries = bench._recover_from_tail(data["tail"])
+    assert canaries == {"canary_cpu": 2.604, "canary_shuffle": 5.274}
+    # spot values the r11 verdict hand-parsed from the same tail
+    assert queries["b24_corpus_v7"] == 5.58
+    assert queries["b30_ppr"] == 3.431
+    assert len(queries) >= 30  # the tail holds most of the board
+    # scalar fields must not leak in as fake query timings
+    for junk in ("value", "sf", "runs_per_query"):
+        assert junk not in queries
+
+
+def test_medians_from_runs_discards_canary_warmups():
+    runs = {
+        "q1": [3.0, 1.0, 2.0],
+        "canary_cpu": [25.0, 9.0, 4.0, 5.0, 4.5],  # 2 warmups discarded
+    }
+    med = bench._medians_from_runs(runs)
+    assert med["q1"] == 2.0
+    assert med["canary_cpu"] == 4.5
+
+
+def test_drift_normalization_prefers_synthetic_basis():
+    # with the repo's committed artifacts present, the prior round must
+    # resolve (r11 via tail recovery or r12+ compact) and the basis must
+    # be the synthetic pair, with the disagreement cross-check emitted
+    timings = {"a6_bootstrap": 0.5, "b24_corpus_v7": 5.0}
+    canaries = {"canary_cpu": 2.6, "canary_shuffle": 4.3}
+    norm = bench._drift_normalization(timings, canaries)
+    assert norm["prev_round"] >= 11
+    assert norm["canary_drift_basis"] == "synthetic"
+    assert "canary_basis_disagreement" in norm
+    assert norm["common_n"] >= 1
+
+
+def test_compact_summary_line_fits_the_driver_tail_window():
+    # the final stdout line must stay far inside the ~2000-char capture;
+    # rebuild it the way main() does, from a 66-line board
+    # include one real overlap key so the common-set fields populate;
+    # the rest are novel names (also covers the no-overlap guard path
+    # for the remaining 65)
+    timings = {f"b{i}_long_query_name_{i}": 1.234 for i in range(65)}
+    timings["b24_corpus_v7"] = 6.454
+    canaries = {"canary_cpu": 2.672, "canary_shuffle": 4.266}
+    norm = bench._drift_normalization(timings, canaries)
+    norm.pop("canary_ratios", None)
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_total",
+            "value": 95.708,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "canaries": canaries,
+            "sf": 0.1,
+            "runs_per_query": 3,
+            **norm,
+        }
+    )
+    assert len(line) < 1200, len(line)
