@@ -378,6 +378,32 @@ def test_distributed_row_number_property(spark, rows):
     assert got == want
 
 
+@given(rows=ranked_rows_st)
+@settings(**SETTINGS)
+def test_distributed_row_number_global_property(spark, rows):
+    """The NO-partition-cols (global permutation) case — the shape
+    b26_global_shuffle / b24_corpus_v9 ship — must equal the naive
+    unpartitioned row_number for any duplicate/tie structure."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "id long, k long"
+    )
+    order = [F.col("k").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order)
+    want = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(w).alias("rn")
+        ).collect()
+    }
+    got = {
+        r.id: r.rn
+        for r in derive.distributed_row_number(df, [], order).collect()
+    }
+    assert got == want
+
+
 ab_tables_st = st.tuples(
     # A rows: (apk unique via enumeration, join key, payload)
     st.lists(
