@@ -712,6 +712,13 @@ def test_r12_heavy_additions_no_cartesian(spark, sf_dir):
         "b10_permutation_fdr",
         "b10_mann_kendall",
         "b28_pareto_frontier",
+        # wave 4: the probe sweep's (cell) equi-join (the only
+        # nested-loop allowed is cosine_topk's deliberate 4-probe
+        # broadcast), the incremental frontier's keyed sweep, and the
+        # delta audit's bucket-partitioned windows
+        "b20_ivf_probe_sweep",
+        "b17_incremental_frontier",
+        "b13_delta_encoding",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
