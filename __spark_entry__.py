@@ -461,6 +461,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_ivf_probe_sweep": q_b20_ivf_probe_sweep,
         "b17_incremental_frontier": q_b17_incremental_frontier,
         "b13_delta_encoding": q_b13_delta_encoding,
+        "b23_grouped_map_udf": q_b23_grouped_map_udf,
     }
 
 

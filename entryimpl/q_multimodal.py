@@ -424,3 +424,49 @@ def q_b22_audio_vad(spark, sf_dir):
         "max_run",
         "speech_ratio",
     )
+
+
+def q_b23_grouped_map_udf(spark, sf_dir):
+    """Grouped-MAP pandas UDF (B23 surface completion, r12 — the third
+    pandas-UDF execution mode as a bit-exact correctness row beside the
+    scalar/mapInPandas row and the grouped-AGG row): per-language
+    z-score normalization of document length via ``applyInPandas`` —
+    each language's rows arrive as ONE pandas frame, the UDF returns a
+    transformed frame. Exactness recipe: z = (n·x − Σx)/√(n·Σx² −
+    (Σx)²) — integer numerator and radicand from exact int64 sums
+    (the b10_stats_agg power-sum rule), one IEEE sqrt + divide, round
+    6, so the oracle replays it from SQL window sums bit-for-bit.
+    Scale note: grouped-map shuffles by group and a dominant group
+    serializes through one worker — for THIS computation the
+    production shape is the window/agg form; the row exists to certify
+    the applyInPandas path (schema contract, Arrow group transfer)
+    exactly."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = pdf["n_chars"].to_numpy("int64")
+        n = int(len(x))
+        s = int(x.sum())
+        ss = int((x * x).sum())
+        import math
+
+        rad = n * ss - s * s
+        denom = math.sqrt(rad) if rad > 0 else float("nan")
+        z = [
+            round((n * int(v) - s) / denom, 6) if rad > 0 else None
+            for v in x
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_chars": pdf["n_chars"],
+                "z": z,
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, "doc_id long, lang string, n_chars long, z double"
+    )

@@ -516,4 +516,21 @@ SQL = {
                      AS speech_ratio
             FROM base
         """,
+
+        "b23_grouped_map_udf": """
+            WITH sums AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(count(*) OVER w AS BIGINT) AS n,
+                     CAST(sum(n_chars) OVER w AS BIGINT) AS s,
+                     CAST(sum(n_chars * n_chars) OVER w AS BIGINT) AS ss
+              FROM documents
+              WINDOW w AS (PARTITION BY lang)
+            )
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN n * ss - s * s > 0
+                        THEN round((n * n_chars - s)
+                                   / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6)
+                   END AS z
+            FROM sums
+        """,
 }
