@@ -1638,13 +1638,19 @@ def q_b10_mann_kendall(spark, sf_dir):
         "n_days",
         "s_stat",
         "var_s_x18",
-        F.round(
-            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
-            .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
-            .otherwise(F.lit(0))
-            .cast("double")
-            / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)),
-            6,
+        # degenerate series (all daily counts equal) ⇒ Var(S)=0: NULL z
+        # on BOTH engines, never NaN (ADVICE r12 — the same
+        # zero-denominator class as capture_recapture/theta_intersect)
+        F.when(
+            F.col("var_s_x18") > 0,
+            F.round(
+                F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+                .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+                .otherwise(F.lit(0))
+                .cast("double")
+                / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)),
+                6,
+            ),
         ).alias("z"),
         "sen_slope_x1e6",
     )

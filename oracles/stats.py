@@ -1013,12 +1013,15 @@ SQL = {
             SELECT a.event_type, nd.n_days, a.s_stat,
                    CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
                         - ties.tie AS BIGINT) AS var_s_x18,
-                   round(CAST(CASE WHEN a.s_stat > 0 THEN a.s_stat - 1
-                                   WHEN a.s_stat < 0 THEN a.s_stat + 1
-                                   ELSE 0 END AS DOUBLE)
-                         / sqrt(CAST(nd.n_days * (nd.n_days - 1)
-                                     * (2 * nd.n_days + 5) - ties.tie
-                                     AS DOUBLE) / 18.0), 6) AS z,
+                   CASE WHEN nd.n_days * (nd.n_days - 1)
+                             * (2 * nd.n_days + 5) - ties.tie > 0 THEN
+                     round(CAST(CASE WHEN a.s_stat > 0 THEN a.s_stat - 1
+                                     WHEN a.s_stat < 0 THEN a.s_stat + 1
+                                     ELSE 0 END AS DOUBLE)
+                           / sqrt(CAST(nd.n_days * (nd.n_days - 1)
+                                       * (2 * nd.n_days + 5) - ties.tie
+                                       AS DOUBLE) / 18.0), 6)
+                   END AS z,
                    a.sen_slope_x1e6
             FROM agg a
             JOIN nd ON nd.event_type = a.event_type

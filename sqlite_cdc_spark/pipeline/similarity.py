@@ -1472,12 +1472,17 @@ def kcenter_greedy(
 
     Scale shape: per iteration ONE narrow codegen pass computes each
     row's distance to the single newly-picked center and folds it into
-    a running min (k lazy column stages over the same checkpointed
-    quantized base — no pair join, no explode), then a global (dist,
-    id) argmax via ``limit(1)``; the only driver-side data is k rows of
-    d quantized components (the centers themselves — bounded by k·d,
-    never |rows|), re-broadcast as literals exactly like the k-means
-    centroid table.
+    a MATERIALIZED running min (``localCheckpoint`` per pick — the LPA
+    per-round rule, VERDICT r12 item 3), so the total work is
+    O(k·n·d), not O(k²·n·d); then a global (dist, id) argmax via
+    ``limit(1)``. The only driver-side data is k rows of d quantized
+    components (the centers themselves — bounded by k·d, never
+    |rows|), re-broadcast as literals exactly like the k-means
+    centroid table. Degenerate inputs (ADVICE r12): an EMPTY input
+    returns an empty frame of the declared schema, and when the input
+    has fewer than k distinct points the pick loop short-circuits once
+    the max min-distance hits 0 (every remaining point IS a picked
+    center) instead of emitting duplicate zero-distance centers.
 
     Output: ``(center_rank int, center_id, n_assigned bigint,
     radius_sq bigint)`` — per center, its cover size and the k-center
@@ -1501,22 +1506,46 @@ def kcenter_greedy(
             lambda acc, x: acc + x,
         )
 
-    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
-    centers = [(seed[id_col], list(seed["__qe"]))]
-    # running min-distance + owning center; rebuilt lazily per pick
-    for _ in range(k - 1):
-        dists = [dist_to(v) for _, v in centers]
-        cur = base.select(
-            F.col(id_col),
-            "__qe",
-            (dists[0] if len(dists) == 1 else F.least(*dists)).alias("__d"),
+    seed_rows = base.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        # empty input ⇒ empty output of the declared schema (no seed to
+        # pick; collect()[0] would IndexError — ADVICE r12)
+        if assignments:
+            return base.select(
+                F.col(id_col),
+                F.lit(0).cast("int").alias("center_rank"),
+                F.col(id_col).alias("center_id"),
+                F.lit(0).cast("long").alias("dist_sq"),
+            )
+        return base.select(
+            F.lit(0).cast("int").alias("center_rank"),
+            F.col(id_col).alias("center_id"),
+            F.lit(0).cast("long").alias("n_assigned"),
+            F.lit(0).cast("long").alias("radius_sq"),
         )
+    seed = seed_rows[0]
+    centers = [(seed[id_col], list(seed["__qe"]))]
+    # running min-distance, MATERIALIZED per pick so each iteration
+    # computes exactly one new distance column (O(k·n·d) total)
+    cur = base.select(
+        F.col(id_col), "__qe", dist_to(centers[0][1]).alias("__d")
+    ).localCheckpoint()
+    for _ in range(k - 1):
         nxt = (
             cur.orderBy(F.col("__d").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()[0]
         )
+        if nxt["__d"] == 0:
+            # fewer than k distinct points: every remaining point is
+            # already a picked center — stop instead of duplicating
+            break
         centers.append((nxt[id_col], list(nxt["__qe"])))
+        cur = cur.select(
+            F.col(id_col),
+            "__qe",
+            F.least(F.col("__d"), dist_to(list(nxt["__qe"]))).alias("__d"),
+        ).localCheckpoint()
     assigned = base.select(
         F.col(id_col),
         F.array_min(

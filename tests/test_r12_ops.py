@@ -184,3 +184,79 @@ def test_pareto_frontier_no_survivor_is_dominated(spark, sf_dir):
                     )
                 )
                 assert not strictly_dominates, (lang, a, b)
+
+
+def test_kcenter_empty_input_returns_empty_declared_schema(spark):
+    # ADVICE r12: collect()[0] on the seed used to IndexError
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    summary = similarity.kcenter_greedy(df, k=3)
+    assert summary.count() == 0
+    assert summary.columns == [
+        "center_rank", "center_id", "n_assigned", "radius_sq",
+    ]
+    assigned = similarity.kcenter_greedy(df, k=3, assignments=True)
+    assert assigned.count() == 0
+    assert assigned.columns == [
+        "vec_id", "center_rank", "center_id", "dist_sq",
+    ]
+
+
+def test_kcenter_short_circuits_below_k_distinct_points(spark):
+    # 2 distinct points, k=5: stop at 2 centers, no duplicate
+    # zero-distance picks (ADVICE r12)
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    summary = similarity.kcenter_greedy(df, k=5).collect()
+    assert sorted(r.center_id for r in summary) == [0, 2]
+    assert sum(r.n_assigned for r in summary) == 3
+    assert all(r.radius_sq == 0 for r in summary)
+
+
+def test_kcenter_running_min_matches_reference_fold(spark):
+    # bit-identity of the materialized running-min refactor (VERDICT
+    # r12 item 3) against an in-test naive re-derivation: quantized
+    # integer min-distances, argmax picks, assignment partition
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = 8
+    got = similarity.kcenter_greedy(df, k=k, assignments=True).collect()
+
+    # naive reference: same float32-storage + floor-quantization path
+    # (the table column is array<float>, so quantize the f32 value)
+    import math
+
+    import numpy as np
+
+    q = {
+        i: [
+            int(math.floor(float(np.float64(np.float32(x))) * 10**6))
+            for x in v
+        ]
+        for i, v in rows
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centers = [min(q)]
+    while len(centers) < k:
+        best = max(
+            ((min(d2(q[i], q[c]) for c in centers), -i), i) for i in q
+        )
+        if best[0][0] == 0:
+            break
+        centers.append(best[1])
+    exp = {}
+    for i in q:
+        dd, r = min(
+            (d2(q[i], q[c]), r) for r, c in enumerate(centers)
+        )
+        exp[i] = (r, centers[r], dd)
+    assert {
+        r.vec_id: (r.center_rank, r.center_id, r.dist_sq) for r in got
+    } == exp
