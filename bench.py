@@ -221,16 +221,27 @@ def _medians_from_runs(runs: dict[str, list[float]]) -> dict[str, float]:
     return out
 
 
-def _queries_from_archived_runs(artifact: str) -> dict[str, float]:
+def _queries_from_archived_runs(
+    artifact: str,
+    expect_total: float | None = None,
+    expect_n: int | None = None,
+) -> dict[str, float]:
     """Per-query medians for a compact-format round (r12+): the final
     stdout line no longer carries the queries map (it must fit the
     driver's 2000-char tail — VERDICT r11 item 1), so read the
     BENCH_RUNS.json that was committed alongside that round's artifact
-    via git. Falls back to the working tree copy."""
+    via git, falling back to the working tree copy.
+
+    Each candidate is VALIDATED against the artifact's own compact
+    summary (ADVICE r12): the archived medians must reproduce the
+    artifact's ``value`` (within rounding) and ``n_queries``. Without
+    this, an artifact and its runs file landing in separate commits
+    made ``git show`` silently return the PREVIOUS round's runs and
+    the drift common-set ratios were computed from stale medians."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    content = None
+    candidates: list[str] = []
     try:
         sha = subprocess.run(
             ["git", "log", "--diff-filter=A", "--format=%H", "-n", "1",
@@ -238,27 +249,45 @@ def _queries_from_archived_runs(artifact: str) -> dict[str, float]:
             capture_output=True, text=True, cwd=here, timeout=30,
         ).stdout.strip()
         if sha:
-            content = subprocess.run(
+            shown = subprocess.run(
                 ["git", "show", f"{sha}:BENCH_RUNS.json"],
                 capture_output=True, text=True, cwd=here, timeout=30,
-            ).stdout or None
+            ).stdout
+            if shown:
+                candidates.append(shown)
     except Exception:
-        content = None
-    if content is None:
-        try:
-            with open(os.path.join(here, "BENCH_RUNS.json")) as f:
-                content = f.read()
-        except OSError:
-            return {}
+        pass
     try:
-        data = json.loads(content)
-    except ValueError:
-        return {}
-    med = data.get("medians")
-    if isinstance(med, dict) and med:
-        return {k: float(v) for k, v in med.items()}
-    runs = data.get("runs")
-    return _medians_from_runs(runs) if isinstance(runs, dict) else {}
+        with open(os.path.join(here, "BENCH_RUNS.json")) as f:
+            candidates.append(f.read())
+    except OSError:
+        pass
+
+    def _valid(med: dict[str, float]) -> bool:
+        if expect_n is not None and len(med) != expect_n:
+            return False
+        if expect_total is not None and abs(
+            sum(med.values()) - expect_total
+        ) > 0.05:
+            return False
+        return True
+
+    for content in candidates:
+        try:
+            data = json.loads(content)
+        except ValueError:
+            continue
+        med = data.get("medians")
+        if not (isinstance(med, dict) and med):
+            runs = data.get("runs")
+            med = (
+                _medians_from_runs(runs) if isinstance(runs, dict) else {}
+            )
+        if med:
+            med = {k: float(v) for k, v in med.items()}
+            if _valid(med):
+                return med
+    return {}
 
 
 def _drift_normalization(
@@ -291,7 +320,19 @@ def _drift_normalization(
             if not (isinstance(q, dict) and q):
                 if isinstance(c, dict) and c:
                     # compact format: canaries in-line, queries archived
-                    q = _queries_from_archived_runs(os.path.basename(path))
+                    q = _queries_from_archived_runs(
+                        os.path.basename(path),
+                        expect_total=(
+                            float(parsed["value"])
+                            if isinstance(parsed.get("value"), (int, float))
+                            else None
+                        ),
+                        expect_n=(
+                            int(parsed["n_queries"])
+                            if isinstance(parsed.get("n_queries"), int)
+                            else None
+                        ),
+                    )
                 elif isinstance(data.get("tail"), str):
                     q, c = _recover_from_tail(data["tail"])
             if isinstance(q, dict) and q:
@@ -402,6 +443,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     norm = _drift_normalization(timings, canary_timings)
+
+    # Companion-run plumbing (VERDICT r12 item 7): the driver-box and the
+    # builder's quiet-box read the same code ~10% apart (the documented
+    # box-swing band), and reconciling them used to require PERF.md prose.
+    # The builder's end-of-round run sets SPARK_GRAFT_BENCH_ROLE=companion,
+    # which snapshots its own compact summary to BENCH_COMPANION.json; the
+    # driver's run then embeds that snapshot verbatim as ``companion_run``
+    # so both readings live in one artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    companion_path = os.path.join(here, "BENCH_COMPANION.json")
+    role = os.environ.get("SPARK_GRAFT_BENCH_ROLE", "driver")
+    if role == "companion":
+        try:
+            import subprocess
+
+            sha7 = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd=here, timeout=30,
+            ).stdout.strip() or None
+        except Exception:
+            sha7 = None
+        snap = {
+            "sha": sha7,
+            "total": total,
+            "n_queries": len(timings),
+            "common_raw_ratio": norm.get("common_raw_ratio"),
+            "common_norm_ratio": norm.get("common_norm_ratio"),
+            "canary_drift": norm.get("canary_drift"),
+        }
+        try:
+            with open(companion_path, "w") as f:
+                json.dump(snap, f)
+                f.write("\n")
+        except OSError:
+            pass
+    else:
+        try:
+            with open(companion_path) as f:
+                snap = json.load(f)
+            if isinstance(snap, dict) and snap.get("total") is not None:
+                norm["companion_run"] = {
+                    k: snap.get(k)
+                    for k in ("sha", "total", "common_norm_ratio")
+                }
+        except (OSError, ValueError):
+            pass
     # The stdout contract is ONE COMPACT line: the driver tail-captures
     # only the last ~2000 chars of stdout. The r5 artifact broke on
     # embedded raw samples; the r11 artifact broke again when the

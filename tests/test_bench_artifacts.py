@@ -79,3 +79,61 @@ def test_compact_summary_line_fits_the_driver_tail_window():
         }
     )
     assert len(line) < 1200, len(line)
+
+def test_archived_runs_validation_rejects_stale_medians(tmp_path, monkeypatch):
+    # ADVICE r12: when the git-archived BENCH_RUNS.json belongs to a
+    # DIFFERENT round than the artifact (separate commits), the expected
+    # total/n must reject it instead of silently feeding stale medians
+    # into the drift ratios. Point the lookup at a repo-less dir so the
+    # only candidate is the working-tree copy we control.
+    stale = {"medians": {"q1": 1.0, "q2": 2.0}}
+    runs_file = tmp_path / "BENCH_RUNS.json"
+    runs_file.write_text(json.dumps(stale))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    # matches: accepted
+    ok = bench._queries_from_archived_runs(
+        "BENCH_r99.json", expect_total=3.0, expect_n=2
+    )
+    assert ok == {"q1": 1.0, "q2": 2.0}
+    # wrong count: rejected
+    assert bench._queries_from_archived_runs(
+        "BENCH_r99.json", expect_total=3.0, expect_n=3
+    ) == {}
+    # wrong total: rejected
+    assert bench._queries_from_archived_runs(
+        "BENCH_r99.json", expect_total=9.0, expect_n=2
+    ) == {}
+    # no expectations (legacy caller): accepted as before
+    assert bench._queries_from_archived_runs("BENCH_r99.json") == stale[
+        "medians"
+    ]
+
+
+def test_compact_line_with_companion_still_fits_tail_window():
+    # VERDICT r12 item 7: the companion_run block must not push the
+    # compact line past the size budget
+    timings = {f"b{i}_long_query_name_{i}": 1.234 for i in range(65)}
+    timings["b24_corpus_v7"] = 6.454
+    canaries = {"canary_cpu": 2.672, "canary_shuffle": 4.266}
+    norm = bench._drift_normalization(timings, canaries)
+    norm.pop("canary_ratios", None)
+    norm["companion_run"] = {
+        "sha": "abcdef0",
+        "total": 97.123,
+        "common_norm_ratio": 0.923,
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_total",
+            "value": 95.708,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "canaries": canaries,
+            "sf": 0.1,
+            "runs_per_query": 3,
+            **norm,
+        }
+    )
+    assert len(line) < 1200, len(line)
