@@ -2368,7 +2368,8 @@ def _label_propagation_oracle_sql(iters: int = 3) -> str:
 def _kcenter_parts(k: int = 8, d: int = 64, quant: int = 10**6) -> str:
     """Shared CTE chain for the k-center oracles: quantize -> seed ->
     (farthest pick -> running-min fold) x (k-1) -> per-point assignment.
-    Returns (with_parts, assigned_cte_name)."""
+    Returns a single SQL string of comma-joined CTE bodies (to splice
+    after WITH) ending in the ``assigned`` CTE."""
     parts = [
         f"""q AS (
           SELECT vec_id, list_transform(embedding,

@@ -1311,6 +1311,8 @@ def q_b13_delta_encoding(spark, sf_dir):
             .when(zig < (1 << 21), 3)
             .when(zig < (1 << 28), 4)
             .when(zig < (1 << 35), 5)
+            .when(zig < (1 << 42), 6)
+            .when(zig < (1 << 49), 7)
             .otherwise(8)
         )
         return d.select(vbytes.alias("__bytes")).agg(

@@ -877,6 +877,8 @@ SQL = {
                           WHEN zig < 2097152 THEN 3
                           WHEN zig < 268435456 THEN 4
                           WHEN zig < 34359738368 THEN 5
+                          WHEN zig < 4398046511104 THEN 6
+                          WHEN zig < 562949953421312 THEN 7
                           ELSE 8 END AS b
               FROM (
                 SELECT prev,
@@ -900,6 +902,8 @@ SQL = {
                           WHEN zig < 2097152 THEN 3
                           WHEN zig < 268435456 THEN 4
                           WHEN zig < 34359738368 THEN 5
+                          WHEN zig < 4398046511104 THEN 6
+                          WHEN zig < 562949953421312 THEN 7
                           ELSE 8 END
               FROM (
                 SELECT prev,
