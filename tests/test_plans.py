@@ -722,3 +722,55 @@ def test_r12_heavy_additions_no_cartesian(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+# --- iterative-plan join budgets (VERDICT r12 item 2) ------------------
+# The LPA double-reference hazard (42 joins in the 3-round lazy plan vs
+# the expected ~9 — fixed by per-round checkpoints, commit de6ad9c) was
+# caught by eye; this pins the class by machine. Each budget is the
+# operator's documented per-round join shape × its fixed iteration
+# count, counted as raw node-name occurrences in the FORMATTED plan
+# (each physical node prints twice there: once in the tree, once in the
+# details section — the budgets below are therefore 2× the join count).
+# A dropped checkpoint or a double-referenced loop frame multiplies the
+# count severalfold, so a tight ceiling catches it.
+_JOIN_NODES = (
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+_ITERATIVE_JOIN_BUDGETS = {
+    # per-round labels checkpointed: final plan is a scan of the last
+    # checkpoint + one keyed agg — effectively 0 joins survive
+    "b30_label_propagation": 2,
+    # 3 rounds × (ranks⋈outdeg + e⋈shares + nodes⋈inflow) = 9 joins
+    "b30_pagerank": 18,
+    # pagerank shape + seed-teleport joins = 10 joins
+    "b30_ppr": 20,
+    # frontier legs are lazily checkpointed LogicalRDDs: only the last
+    # hop's expand + anti-join survive in the plan = 2 joins
+    "b30_bfs_hops": 4,
+    # 2 power rounds + the final auth1 re-join = 3 joins
+    "b30_hits": 6,
+}
+
+
+@pytest.mark.parametrize(
+    "name,budget", sorted(_ITERATIVE_JOIN_BUDGETS.items())
+)
+def test_iterative_plan_join_count_within_budget(spark, sf_dir, name, budget):
+    import re
+
+    plan = _plan(spark, sf_dir, name)
+    counts = {
+        n: len(re.findall(r"\b" + n, plan)) for n in _JOIN_NODES
+    }
+    total = sum(counts.values())
+    assert total <= budget, (
+        f"{name}: {total} join-node occurrences (budget {budget}) — "
+        f"{ {k: v for k, v in counts.items() if v} }; a lazy iterative "
+        "chain is probably re-executing prior rounds (the de6ad9c class)"
+    )
