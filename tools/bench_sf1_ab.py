@@ -22,6 +22,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+SF01_32_DIR = os.environ.get("SPARK_GRAFT_SF01_32_DIR", "/tmp/sf0.1_32")
 
 #: headline lines with a DOCUMENTED designed-linear rationale — a ratio
 #: near 10 on these is the expected contract, not a regression (see
@@ -55,7 +56,17 @@ def run_bench(sf_dir: str) -> dict:
 def main() -> None:
     if not os.path.isdir(SF1_DIR):
         raise SystemExit(f"{SF1_DIR} missing — run tools/make_sf1.py first")
-    a = run_bench(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    # A side: prefer the layout-matched 32-way rewrite of sf0.1 (VERDICT
+    # r12 item 6) so both sides share the same file layout; fall back to
+    # the shipped single-file fixture if make_sf1.py hasn't produced it
+    a_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    layout_matched = False
+    if not a_dir:
+        if os.path.isdir(SF01_32_DIR):
+            a_dir, layout_matched = SF01_32_DIR, True
+        else:
+            a_dir = "/root/testdata/sf0.1"
+    a = run_bench(a_dir)
     print(f"# sf0.1 total {a['value']}s over {len(a['queries'])}", flush=True)
     b = run_bench(SF1_DIR)
     print(f"# sf1 total {b['value']}s over {len(b['queries'])}", flush=True)
@@ -75,14 +86,23 @@ def main() -> None:
             "embeddings). The sf0.1 run in this artifact IS the box "
             "normalization - both runs back-to-back on the same box "
             "(VERDICT r9 item 3; refreshed for the 60-line board per "
-            "VERDICT r11 item 4)."
+            "VERDICT r11 item 4; A side layout-matched 32-way per "
+            "VERDICT r12 item 6)."
         ),
-        "caveats": [
-            "sf1 fixture is 32-way partitioned parquet vs sf0.1's single "
-            "files, so small-query ratios benefit from extra scan "
-            "parallelism; the sub-linear conclusion is therefore "
-            "strongest for the heavy lines where scan layout is "
-            "negligible.",
+        "a_side_dir": a_dir,
+        "layout_matched": layout_matched,
+        "caveats": (
+            []
+            if layout_matched
+            else [
+                "sf1 fixture is 32-way partitioned parquet vs the A "
+                "side's single files, so small-query ratios benefit "
+                "from extra scan parallelism; run tools/make_sf1.py to "
+                "produce the layout-matched 32-way sf0.1 rewrite "
+                "(VERDICT r12 item 6)."
+            ]
+        )
+        + [
             "b29_semantic_decontam is the documented designed-linear "
             "broadcast scorer; BOTH its sides scale 10x here (corpus x "
             "benchmark = 100x pairs) - the ANN-bucketed line "

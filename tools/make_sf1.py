@@ -36,6 +36,10 @@ from sqlite_cdc_spark.sources import load_table
 
 SRC = os.environ.get("SPARK_GRAFT_SRC_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+#: layout-matched 32-way rewrite of sf0.1 — the A side of the SF1 A/B
+#: (VERDICT r12 item 6: both sides share the same file layout so 10x
+#: ratios measure data volume, not scan-parallelism asymmetry)
+SRC32 = os.environ.get("SPARK_GRAFT_SF01_32_DIR", "/tmp/sf0.1_32")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SF1_REPLICAS", "10"))
 SHIFT = 10**9
 
@@ -89,6 +93,24 @@ def main() -> None:
         )
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(t, n)
+    # Layout-matched A side (VERDICT r12 item 6): the shipped sf0.1 is
+    # single-file parquet while sf1 above is 32-way — that asymmetry
+    # gave small queries extra scan parallelism at 10x and flattered
+    # their ratios. Re-write sf0.1 through the SAME 32-way writer so
+    # the A/B isolates data volume, not file layout.
+    os.makedirs(SRC32, exist_ok=True)
+    for t in ("region", "nation"):
+        load_table(spark, SRC, t).write.mode("overwrite").parquet(
+            f"{SRC32}/{t}.parquet"
+        )
+    for t in KEY_SHIFTS:
+        (
+            load_table(spark, SRC, t)
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{SRC32}/{t}.parquet")
+        )
+        print(t, "32-way sf0.1 written")
     spark.stop()
 
 
