@@ -462,6 +462,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b17_incremental_frontier": q_b17_incremental_frontier,
         "b13_delta_encoding": q_b13_delta_encoding,
         "b23_grouped_map_udf": q_b23_grouped_map_udf,
+        # --- round 13 wave 1 (additions capped at 15/round — COVERAGE.md
+        # registry-growth policy) -----------------------------------------
+        "b23_stateful_udf": q_b23_stateful_udf,
     }
 
 

@@ -470,3 +470,25 @@ def q_b23_grouped_map_udf(spark, sf_dir):
     return docs.groupBy("lang").applyInPandas(
         normalize, "doc_id long, lang string, n_chars long, z double"
     )
+
+
+def q_b23_stateful_udf(spark, sf_dir):
+    """Stateful per-key UDF surface (B23 completion, r13 — the fourth
+    and final pandas-UDF execution mode beside scalar/mapInPandas,
+    grouped-agg, and grouped-map: an arbitrary per-key STATE MACHINE
+    folded over time-ordered events): the browse-funnel DFA — per
+    user, browse events (click/view) build a streak, any other type
+    breaks it, and a purchase immediately preceded by browse counts as
+    a conversion (pipeline/stateful.py). The transition kernel is
+    shared verbatim with the streaming ``applyInPandasWithState`` leg,
+    and the stream-equals-batch parity test proves the fold is
+    chunking-invariant (tests/test_streaming.py) — the O(1)-per-key
+    state is what makes the operator viable on an unbounded feed.
+    All-integer outputs; the oracle replays the DFA with lag +
+    gaps-and-islands windows."""
+    from sqlite_cdc_spark.pipeline import stateful
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return stateful.browse_funnel_batch(ev)

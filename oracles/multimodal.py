@@ -533,4 +533,59 @@ SQL = {
                    END AS z
             FROM sums
         """,
+
+        "b23_stateful_udf": """
+            WITH ordered AS (
+              SELECT user_id,
+                     row_number() OVER w AS rn,
+                     (event_type IN ('click', 'view')) AS browse,
+                     (event_type = 'purchase') AS purch,
+                     (lag(event_type) OVER w IN ('click', 'view'))
+                       AS prev_browse
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            islands AS (
+              -- gaps-and-islands over browse rows: rn minus the
+              -- browse-only rank is constant within a run
+              SELECT user_id, rn,
+                     rn - row_number() OVER (
+                       PARTITION BY user_id ORDER BY rn) AS grp
+              FROM ordered WHERE browse
+            ),
+            runs AS (
+              SELECT user_id, grp,
+                     count(*) AS run_len,
+                     max(rn) AS run_end
+              FROM islands GROUP BY user_id, grp
+            ),
+            runs2 AS (
+              SELECT *, max(grp) OVER (PARTITION BY user_id) AS last_grp
+              FROM runs
+            ),
+            streaks AS (
+              SELECT user_id,
+                     CAST(max(run_len) AS BIGINT) AS max_streak,
+                     CAST(max(CASE WHEN grp = last_grp THEN run_len
+                              ELSE 0 END) AS BIGINT) AS last_run,
+                     CAST(max(run_end) AS BIGINT) AS last_browse_rn
+              FROM runs2 GROUP BY user_id
+            ),
+            counters AS (
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN purch THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_purchases,
+                     CAST(sum(CASE WHEN purch AND prev_browse
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_conversions,
+                     CAST(max(rn) AS BIGINT) AS last_rn
+              FROM ordered GROUP BY user_id
+            )
+            SELECT c.user_id, c.n_events, c.n_purchases, c.n_conversions,
+                   COALESCE(s.max_streak, 0) AS max_browse_streak,
+                   CASE WHEN s.last_browse_rn = c.last_rn
+                        THEN s.last_run ELSE 0 END AS open_streak
+            FROM counters c LEFT JOIN streaks s ON s.user_id = c.user_id
+        """,
 }

@@ -1,0 +1,53 @@
+"""Round-13 operator semantics — unit tests for the properties the
+oracle rows can't see (kernel invariants, guard behavior)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sqlite_cdc_spark.pipeline import stateful
+
+
+def _fold_all(etypes, cuts=()):
+    s = stateful.init_state()
+    prev = 0
+    for c in list(cuts) + [len(etypes)]:
+        s = stateful.fold_chunk(s, etypes[prev:c])
+        prev = c
+    return s
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fold_chunk_is_chunking_invariant(seed):
+    # the core applyInPandasWithState property: any micro-batch slicing
+    # of the ordered feed folds to the same state as one pass
+    import random
+
+    rng = random.Random(seed)
+    types = ["click", "view", "purchase", "error", "signup"]
+    seq = [rng.choice(types) for _ in range(200)]
+    whole = _fold_all(seq)
+    for _ in range(10):
+        k = rng.randint(1, 8)
+        cuts = sorted(rng.sample(range(1, 200), k))
+        assert _fold_all(seq, cuts) == whole
+
+
+def test_fold_chunk_known_answer():
+    # click view click | purchase click -> conversion across the cut,
+    # streak 3, open streak 1 at the end
+    s = _fold_all(
+        ["click", "view", "click", "purchase", "click"], cuts=[3]
+    )
+    n_ev, n_pu, n_cv, mx, open_, last_browse = s
+    assert (n_ev, n_pu, n_cv, mx, open_, last_browse) == (
+        5, 1, 1, 3, 1, True
+    )
+
+
+def test_fold_chunk_empty_and_all_browse():
+    s = stateful.fold_chunk(stateful.init_state(), [])
+    assert s == stateful.init_state()
+    s = _fold_all(["view"] * 7, cuts=[2, 5])
+    assert s[3] == 7 and s[4] == 7  # max streak and open streak
+    assert s[1] == 0 and s[2] == 0
