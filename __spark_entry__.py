@@ -465,6 +465,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 13 wave 1 (additions capped at 15/round — COVERAGE.md
         # registry-growth policy) -----------------------------------------
         "b23_stateful_udf": q_b23_stateful_udf,
+        "b26_pps_systematic": q_b26_pps_systematic,
     }
 
 

@@ -1733,3 +1733,21 @@ def q_b28_pareto_frontier(spark, sf_dir):
         "n_tok",
         F.row_number().over(wr).cast("long").alias("frontier_rank"),
     )
+
+
+def q_b26_pps_systematic(spark, sf_dir):
+    """Systematic PPS sample (B26 depth, r13 — the SELECTION leg of
+    the survey-sampling family: ht_estimate estimates from a given
+    sample, neyman_allocation sizes strata, THIS row draws the sample
+    itself): 500 equally-spaced points on the cumulative n_chars line
+    over documents in doc_id order, each unit selected once per point
+    inside its interval (pipeline/sampling.py: pps_systematic —
+    deterministic half-stride start, integer floor arithmetic, units
+    heavier than the stride legitimately repeat). The cumulative line
+    is the range-partitioned two-phase prefix sum
+    (derive.distributed_prefix_sum) — never a one-task global window;
+    the offsets relation is |partitions| rows (the b10_gini rule)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling.pps_systematic(
+        docs, "n_chars", 500, [F.col("doc_id").asc()]
+    ).select("doc_id", "weight", "cum_before", "n_hits")

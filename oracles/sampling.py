@@ -1060,4 +1060,32 @@ SQL = {
                      AS BIGINT) AS frontier_rank
             FROM frontier
         """,
+
+        "b26_pps_systematic": """
+            WITH cum AS (
+              SELECT doc_id,
+                     CAST(n_chars AS BIGINT) AS weight,
+                     CAST(COALESCE(sum(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM documents
+            ),
+            params AS (
+              SELECT CAST(sum(n_chars) AS BIGINT) AS w_total,
+                     CAST(sum(n_chars) AS BIGINT) // 500 AS stride,
+                     (CAST(sum(n_chars) AS BIGINT) // 500) // 2 AS r
+              FROM documents
+            )
+            SELECT doc_id, weight, cum_before,
+                   CAST(greatest(0, least(
+                     (cum_before + weight - r + stride - 1) // stride,
+                     500)
+                     - ((cum_before - r + stride - 1) // stride))
+                     AS BIGINT) AS n_hits
+            FROM cum CROSS JOIN params
+            WHERE greatest(0, least(
+                    (cum_before + weight - r + stride - 1) // stride, 500)
+                  - ((cum_before - r + stride - 1) // stride)) >= 1
+        """,
 }

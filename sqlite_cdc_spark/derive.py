@@ -1266,6 +1266,66 @@ def distributed_row_number(
     )
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    weight_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE global running sum of ``weight_col`` in ``order_cols``
+    order WITHOUT a single-partition window — the weighted sibling of
+    :func:`distributed_row_number` (r13; built for PPS systematic
+    sampling, where every row needs the total weight BEFORE it).
+
+    Two-phase scan: (1) ``repartitionByRange`` on the ordering, then an
+    exclusive cumulative sum windowed by the physical partition id —
+    every partition sums in parallel; (2) per-partition weight totals
+    (one row per partition) prefix-summed into base offsets and
+    broadcast back, so ``global prefix = offset + local prefix``
+    exactly. Bit-identical to the one-task
+    ``sum().over(orderBy(...).rowsBetween(unboundedPreceding, -1))``
+    for any total order (parity-tested). The offsets window is the
+    |partitions|-row relation (the b10_gini rule). Ranked relation
+    checkpointed once — range-boundary re-sampling across plan
+    branches would desync ``spark_partition_id`` (same rule as
+    :func:`distributed_ntile`).
+
+    ``order_cols`` must be a total order (include an id tie-break);
+    weights must be integral for exactness (sum order is immaterial
+    for int64).
+    """
+    d = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summed = d.withColumn(
+        "__lc", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0))
+    ).localCheckpoint(eager=False)
+    totals = summed.groupBy("__pid").agg(
+        F.sum(weight_col).cast("long").alias("__t")
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__t").over(
+                Window.orderBy(F.col("__pid").asc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return (
+        summed.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lc")).cast("long"))
+        .drop("__pid", "__lc", "__off")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_cols: Sequence[Column],

@@ -697,3 +697,63 @@ def pareto_frontier(
         (F.col("__pmin").isNull() | (F.col("__pmin") > F.col(cost_col)))
         & (F.col(cost_col) == F.col("__mt"))
     ).drop("__mt", "__pmin")
+
+
+def pps_systematic(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    order_cols: Sequence[Column],
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (r13 — the
+    SELECTION leg beside the estimation legs ``ht_estimate`` /
+    ``neyman_allocation``): lay the units end-to-end on the cumulative
+    weight line, drop ``n`` equally-spaced points (stride = W div n,
+    deterministic half-stride start), and a unit is selected once per
+    point inside its weight interval — the classic exactly-
+    proportional, zero-variance-in-total design a pretraining mixture
+    uses to hit a token budget without per-doc RNG. A unit heavier
+    than the stride is selected MULTIPLE times (``n_hits`` ≥ 2, its
+    repetition count in the sample) — the documented PPS property, not
+    a bug.
+
+    All integer arithmetic (floor divisions with non-negative
+    numerators, so Spark's ``div`` and DuckDB's ``//`` agree), so the
+    oracle replays selection bit-for-bit. Scale shape: the global
+    cumulative line comes from :func:`derive.distributed_prefix_sum`
+    (range-partitioned two-phase scan, never a one-task window); the
+    (W, stride, start) scalars are a 1-row broadcast; selection is a
+    narrow filter.
+
+    Output: the selected units with ``(weight, cum_before, n_hits)``.
+    """
+    from sqlite_cdc_spark import derive
+
+    base = df.withColumn("__w", F.col(weight_col).cast("long"))
+    cum = derive.distributed_prefix_sum(
+        base, order_cols, "__w", out_col="__cb"
+    )
+    # NB: Spark resolves names case-insensitively, so the total must
+    # not be spelled "__W" beside "__w"
+    tot = base.agg(F.sum("__w").cast("long").alias("__wtot"))
+    params = tot.select(
+        "__wtot",
+        F.expr(f"__wtot div {n}").alias("__stride"),
+        F.expr(f"(__wtot div {n}) div 2").alias("__r"),
+    )
+    scored = cum.crossJoin(F.broadcast(params))
+    k_min = F.expr("(__cb - __r + __stride - 1) div __stride")
+    k_hi = F.expr("(__cb + __w - __r + __stride - 1) div __stride")
+    return (
+        scored.withColumn(
+            "n_hits",
+            F.greatest(
+                F.lit(0),
+                F.least(k_hi, F.lit(n).cast("long")) - k_min,
+            ).cast("long"),
+        )
+        .filter(F.col("n_hits") >= 1)
+        .withColumn("weight", F.col("__w"))
+        .withColumn("cum_before", F.col("__cb"))
+        .drop("__w", "__cb", "__wtot", "__stride", "__r")
+    )

@@ -477,6 +477,10 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     # b10_gini rule); the corpus-scale rank itself is range-partitioned
     "b26_global_shuffle",
     "b24_corpus_v9",
+    # r13: distributed_prefix_sum phase 2 — the offsets window runs
+    # over the |partitions|-row totals relation (the b10_gini rule);
+    # the cumulative-weight line itself is range-partitioned
+    "b26_pps_systematic",
 }
 
 

@@ -51,3 +51,59 @@ def test_fold_chunk_empty_and_all_browse():
     s = _fold_all(["view"] * 7, cuts=[2, 5])
     assert s[3] == 7 and s[4] == 7  # max streak and open streak
     assert s[1] == 0 and s[2] == 0
+
+
+def test_distributed_prefix_sum_matches_single_task_window(spark):
+    # bit-identity vs the one-task global window it replaces
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark import derive
+
+    rng = random.Random(31)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w long").repartition(8)
+    got = {
+        r.id: r.cum_before
+        for r in derive.distributed_prefix_sum(
+            df, [F.col("id").asc()], "w"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.id: r.cb
+        for r in df.withColumn(
+            "cb", F.coalesce(F.sum("w").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pps_systematic_hits_exactly_n_points(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.pipeline import sampling
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(1, 400)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    n = 40
+    out = sampling.pps_systematic(
+        df, "n_chars", n, [F.col("doc_id").asc()]
+    ).collect()
+    # every point lands in exactly one interval: total hits == n
+    assert sum(r.n_hits for r in out) == n
+    wt = dict(rows)
+    total = sum(wt.values())
+    stride = total // n
+    for r in out:
+        # a unit can repeat only if heavier than the stride
+        if r.n_hits > 1:
+            assert wt[r.doc_id] > stride * (r.n_hits - 1)
