@@ -466,6 +466,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registry-growth policy) -----------------------------------------
         "b23_stateful_udf": q_b23_stateful_udf,
         "b26_pps_systematic": q_b26_pps_systematic,
+        "b30_neighborhood_jaccard": q_b30_neighborhood_jaccard,
+        "b13_rle_encoding": q_b13_rle_encoding,
     }
 
 

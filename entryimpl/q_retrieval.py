@@ -948,3 +948,66 @@ def q_b30_label_propagation(spark, sf_dir):
         .cast("long")
         .alias("n_suppliers"),
     )
+
+
+def q_b30_neighborhood_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard node similarity (B30 graph depth, r13 —
+    the LINK-PREDICTION / related-entity read beside PPR's walk
+    proximity: two suppliers are similar when they serve the same
+    parts, scored by Jaccard of part neighborhoods): over the
+    part↔supplier bipartite graph induced by lineitem, restricted to
+    parts with supplier-degree ≤ 16 — the df-cap rule every dedup
+    candidate screen in this repo uses, here defining the operator
+    itself (frequency-capped graph similarity: hub parts assert
+    nothing about supplier affinity AND would blow the pair join
+    quadratically, so they are excluded from candidates, intersections
+    and degrees alike — one consistent subgraph). Pairs come from one
+    part-keyed equi-join bounded by cap²/2 per part; jaccard ships as
+    integer micros (inter·1e6 div union). Top 20 via the bounded
+    TakeOrdered + k-row window idiom."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    capped = (
+        edges.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__pd"))
+        .filter(F.col("__pd") <= 16)
+        .select("l_partkey")
+    )
+    sub = edges.join(capped, "l_partkey")
+    deg = sub.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__d")
+    )
+    a = sub.select("l_partkey", F.col("l_suppkey").alias("s1"))
+    b = sub.select("l_partkey", F.col("l_suppkey").alias("s2"))
+    inter = (
+        a.join(b, "l_partkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    scored = (
+        inter.join(deg.select(F.col("l_suppkey").alias("s1"),
+                              F.col("__d").alias("deg1")), "s1")
+        .join(deg.select(F.col("l_suppkey").alias("s2"),
+                         F.col("__d").alias("deg2")), "s2")
+        .withColumn(
+            "jaccard_x1e6",
+            F.expr("n_shared * 1000000 div (deg1 + deg2 - n_shared)"),
+        )
+    )
+    wr = Window.orderBy(
+        F.col("jaccard_x1e6").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    return (
+        scored.orderBy(
+            F.col("jaccard_x1e6").desc(), F.col("s1").asc(),
+            F.col("s2").asc(),
+        )
+        .limit(20)
+        .select(
+            "s1", "s2", "n_shared", "deg1", "deg2", "jaccard_x1e6",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+    )

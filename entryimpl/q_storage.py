@@ -1346,3 +1346,91 @@ def q_b13_delta_encoding(spark, sf_dir):
         "by_orderkey",
     )
     return by_part.unionByName(by_order)
+
+
+def q_b13_rle_encoding(spark, sf_dir):
+    """Run-length-encoding layout audit (B13 depth, r13 — the RLE leg
+    beside b13_delta_encoding's delta+varint leg: delta prices a
+    monotone-ish NUMERIC column, RLE prices a LOW-CARDINALITY one, and
+    together they cover the two encodings a columnar writer actually
+    chooses between): within l_orderkey-div-512 buckets (the row-group
+    proxy), l_returnflag runs are counted under the clustered sort
+    (returnflag first) vs the natural load order, and each run prices
+    as 1 dictionary byte + a varint run length (1 byte < 128, else 2 —
+    runs are bucket-bounded). The gap is the measured "cluster before
+    write" win for enum-ish columns.
+
+    The run segmentation CONTRACTS to the distinct sort-grain first
+    (group by bucket + ordering columns, carrying a row count): the
+    synthetic feed contains full-duplicate rows, so the raw relation
+    has no total order and a lag-then-cumsum over it is not
+    well-defined (tied rows may permute between the two window
+    evaluations — measured as a phantom extra run); on the contracted
+    relation the ordering IS total, both engines replay identically,
+    and run lengths come back as the sum of carried counts. The
+    contraction is also the scale shape: the windowed relation shrinks
+    to the distinct grain. Two bucket-partitioned window passes +
+    keyed aggs — no global window."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    from pyspark.sql import Window
+
+    grain = (
+        li.withColumn("__b", F.expr("l_orderkey div 512"))
+        .groupBy("__b", "l_orderkey", "l_linenumber", "l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+
+    def priced(order_cols, variant):
+        w = Window.partitionBy("__b").orderBy(*order_cols)
+        d = grain.withColumn("__prev", F.lag("l_returnflag").over(w))
+        new_run = (
+            F.col("__prev").isNull()
+            | (F.col("__prev") != F.col("l_returnflag"))
+        ).cast("long")
+        wsum = (
+            Window.partitionBy("__b")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        runs = (
+            d.withColumn("__rid", F.sum(new_run).over(wsum))
+            .groupBy("__b", "__rid")
+            .agg(F.sum("__cnt").cast("long").alias("__len"))
+            .select(
+                "__len",
+                F.when(F.col("__len") < 128, 2).otherwise(3).alias("__rb"),
+            )
+        )
+        return runs.agg(
+            F.lit(variant).alias("variant"),
+            F.sum("__len").cast("long").alias("n_values"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.sum("__rb").cast("long").alias("rle_bytes"),
+            F.round(
+                F.sum("__rb").cast("double") / F.sum("__len"), 6
+            ).alias("bytes_per_value"),
+            F.round(
+                F.lit(1.0) - F.sum("__rb").cast("double") / F.sum("__len"),
+                6,
+            ).alias("savings_vs_dict"),
+        )
+
+    clustered = priced(
+        [
+            F.col("l_returnflag").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "by_returnflag",
+    )
+    natural = priced(
+        [
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_returnflag").asc(),
+        ],
+        "natural",
+    )
+    return clustered.unionByName(natural)

@@ -861,4 +861,46 @@ SQL = {
         """,
 
         "b30_label_propagation": _label_propagation_oracle_sql(),
+
+        "b30_neighborhood_jaccard": """
+            WITH edges AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ),
+            capped AS (
+              SELECT l_partkey FROM edges
+              GROUP BY l_partkey HAVING count(*) <= 16
+            ),
+            sub AS (
+              SELECT e.l_partkey, e.l_suppkey
+              FROM edges e JOIN capped c ON c.l_partkey = e.l_partkey
+            ),
+            deg AS (
+              SELECT l_suppkey, CAST(count(*) AS BIGINT) AS d
+              FROM sub GROUP BY l_suppkey
+            ),
+            pairs AS (
+              SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM sub a JOIN sub b
+                ON a.l_partkey = b.l_partkey
+               AND a.l_suppkey < b.l_suppkey
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT p.s1, p.s2, p.n_shared,
+                     d1.d AS deg1, d2.d AS deg2,
+                     p.n_shared * 1000000
+                       // (d1.d + d2.d - p.n_shared) AS jaccard_x1e6
+              FROM pairs p
+              JOIN deg d1 ON d1.l_suppkey = p.s1
+              JOIN deg d2 ON d2.l_suppkey = p.s2
+            )
+            SELECT s1, s2, n_shared, deg1, deg2, jaccard_x1e6,
+                   CAST(row_number() OVER (
+                     ORDER BY jaccard_x1e6 DESC, s1 ASC, s2 ASC)
+                     AS BIGINT) AS rnk
+            FROM scored
+            ORDER BY jaccard_x1e6 DESC, s1 ASC, s2 ASC
+            LIMIT 20
+        """,
 }

@@ -929,4 +929,67 @@ SQL = {
                      AS savings_vs_raw
             FROM priced GROUP BY variant
         """,
+
+        "b13_rle_encoding": """
+            WITH grain AS (
+              SELECT l_orderkey // 512 AS b,
+                     l_orderkey, l_linenumber, l_returnflag,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY 1, 2, 3, 4
+            ),
+            priced AS (
+              SELECT 'by_returnflag' AS variant, len FROM (
+                SELECT b, rid, CAST(sum(cnt) AS BIGINT) AS len FROM (
+                  SELECT b, cnt, sum(new_run) OVER (
+                           PARTITION BY b
+                           ORDER BY l_returnflag, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS rid
+                  FROM (
+                    SELECT b, l_returnflag, l_orderkey, l_linenumber, cnt,
+                           CASE WHEN lag(l_returnflag) OVER w IS NULL
+                                  OR lag(l_returnflag) OVER w
+                                     <> l_returnflag
+                                THEN 1 ELSE 0 END AS new_run
+                    FROM grain
+                    WINDOW w AS (
+                      PARTITION BY b
+                      ORDER BY l_returnflag, l_orderkey, l_linenumber)
+                  )
+                ) GROUP BY b, rid
+              )
+              UNION ALL
+              SELECT 'natural', len FROM (
+                SELECT b, rid, CAST(sum(cnt) AS BIGINT) AS len FROM (
+                  SELECT b, cnt, sum(new_run) OVER (
+                           PARTITION BY b
+                           ORDER BY l_orderkey, l_linenumber, l_returnflag
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS rid
+                  FROM (
+                    SELECT b, l_returnflag, l_orderkey, l_linenumber, cnt,
+                           CASE WHEN lag(l_returnflag) OVER w IS NULL
+                                  OR lag(l_returnflag) OVER w
+                                     <> l_returnflag
+                                THEN 1 ELSE 0 END AS new_run
+                    FROM grain
+                    WINDOW w AS (
+                      PARTITION BY b
+                      ORDER BY l_orderkey, l_linenumber, l_returnflag)
+                  )
+                ) GROUP BY b, rid
+              )
+            )
+            SELECT variant,
+                   CAST(sum(len) AS BIGINT) AS n_values,
+                   CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(sum(CASE WHEN len < 128 THEN 2 ELSE 3 END)
+                        AS BIGINT) AS rle_bytes,
+                   round(CAST(sum(CASE WHEN len < 128 THEN 2 ELSE 3 END)
+                              AS DOUBLE) / sum(len), 6) AS bytes_per_value,
+                   round(1.0 - CAST(sum(CASE WHEN len < 128 THEN 2 ELSE 3
+                                        END) AS DOUBLE) / sum(len), 6)
+                     AS savings_vs_dict
+            FROM priced GROUP BY variant
+        """,
 }
