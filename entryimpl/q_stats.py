@@ -1718,3 +1718,51 @@ def q_b15_changepoint(spark, sf_dir):
             ),
         )
     )
+
+
+def q_b12_diversified_topk(spark, sf_dir):
+    """Diversity-constrained global top-k (B12 depth, r13 — the
+    "don't let one source dominate the head" ranking read beside
+    b12_topk's plain per-group top-k: a retrieval head or a
+    training-sample preview caps how many rows any one provider may
+    place in the global top): top 20 lineitems by extended price with
+    AT MOST 2 per supplier. Two bounded passes: a supplier-keyed rank
+    window (parallel across suppliers) filters to each supplier's top
+    2, then the global head comes from the TakeOrdered + k-row window
+    idiom — never a global sort of the corpus."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    ws = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    capped = li.withColumn(
+        "within_supp_rank", F.row_number().over(ws).cast("long")
+    ).filter(F.col("within_supp_rank") <= 2)
+    wg = Window.orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("within_supp_rank").asc(),
+    )
+    return (
+        capped.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("within_supp_rank").asc(),
+        )
+        .limit(20)
+        .select(
+            F.row_number().over(wg).cast("long").alias("rnk"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_extendedprice",
+            "within_supp_rank",
+        )
+    )

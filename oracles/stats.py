@@ -1067,4 +1067,26 @@ SQL = {
                    (s_n - s_t) * 1000000 // (n - t) AS mean_after_x1e6
             FROM best WHERE rn = 1
         """,
+
+        "b12_diversified_topk": """
+            WITH capped AS (
+              SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+                     CAST(row_number() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                l_linenumber ASC) AS BIGINT)
+                       AS within_supp_rank
+              FROM lineitem
+            )
+            SELECT CAST(row_number() OVER (
+                     ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                              l_linenumber ASC, within_supp_rank ASC)
+                     AS BIGINT) AS rnk,
+                   l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+                   within_supp_rank
+            FROM capped WHERE within_supp_rank <= 2
+            ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                     l_linenumber ASC, within_supp_rank ASC
+            LIMIT 20
+        """,
 }
