@@ -1769,6 +1769,76 @@ def _ann_lsh_topk_oracle_sql(n_planes: int = 8, n_tables: int = 4) -> str:
     """
 
 
+def _ann_lsh_radius_oracle_sql(
+    n_planes: int = 8,
+    n_tables: int = 4,
+    theta_num: int = 3,
+    theta_den: int = 20,
+) -> str:
+    """DuckDB replay of q_b20_radius_search: the same multi-table
+    portable LSH candidate chain as _ann_lsh_topk_oracle_sql, with the
+    pure-integer radius-membership tail (den^2*dot^2 >= num^2*nq2*nc2)
+    instead of the top-k rescore."""
+    mix, knuth = similarity.PLANE_MIX, similarity.PLANE_KNUTH
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+        WITH planes AS (
+          SELECT p // {n_planes} AS t, p % {n_planes} AS pb, d,
+                 CASE WHEN ((p * {mix} + d) * {knuth}) % 4294967296
+                           < 2147483648 THEN 1 ELSE -1 END AS s
+          FROM (SELECT unnest(generate_series(0, {n_tables * n_planes - 1})) AS p),
+               (SELECT unnest(generate_series(0, 63)) AS d)
+        ),
+        comp AS (
+          SELECT vec_id AS id, ds.d - 1 AS d,
+                 CAST(floor(CAST(embedding[ds.d] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS d) ds
+        ),
+        dots AS (
+          SELECT id, t, pb, sum(s * q) AS dp
+          FROM comp JOIN planes USING (d) GROUP BY id, t, pb
+        ),
+        buckets AS (
+          SELECT id, t,
+                 CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << pb)
+                               ELSE 0 END) AS BIGINT) AS bucket
+          FROM dots GROUP BY id, t
+        ),
+        qb AS (
+          SELECT id AS query_id, t, unnest([{probes}]) AS bucket
+          FROM buckets WHERE id < 8
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, c.id AS neighbor_id
+          FROM qb JOIN buckets c ON qb.t = c.t AND qb.bucket = c.bucket
+          WHERE c.id != query_id
+        ),
+        norms AS (
+          SELECT id, CAST(sum(q * q) AS BIGINT) AS n2 FROM comp GROUP BY id
+        ),
+        pair_dots AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 CAST(sum(cq.q * cc.q) AS BIGINT) AS dot_q
+          FROM cand
+          JOIN comp cq ON cq.id = cand.query_id
+          JOIN comp cc ON cc.id = cand.neighbor_id AND cc.d = cq.d
+          GROUP BY 1, 2
+        )
+        SELECT p.query_id, p.neighbor_id, p.dot_q,
+               round(CAST(p.dot_q AS DOUBLE)
+                     / (sqrt(CAST(nq.n2 AS DOUBLE))
+                        * sqrt(CAST(nc.n2 AS DOUBLE))), 6) AS cos
+        FROM pair_dots p
+        JOIN norms nq ON nq.id = p.query_id
+        JOIN norms nc ON nc.id = p.neighbor_id
+        WHERE p.dot_q > 0
+          AND {theta_den * theta_den} * p.dot_q * p.dot_q
+              >= {theta_num * theta_num} * nq.n2 * nc.n2
+    """
+
+
 def _ann_ivf_topk_oracle_sql() -> str:
     """DuckDB replay of q_b20_ann_ivf: seed-centroid IVF — integer-exact
     cell assignment (argmax quantized dot, ties to lowest centroid id),
@@ -2301,6 +2371,7 @@ __all__ = [
     "_ann_recall_oracle_sql",
     "_ANN_RESCORE_SQL",
     "_ann_lsh_topk_oracle_sql",
+    "_ann_lsh_radius_oracle_sql",
     "_ann_ivf_topk_oracle_sql",
     "_cluster_stability_oracle_sql",
     "_acf_oracle_sql",

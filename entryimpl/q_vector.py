@@ -769,3 +769,17 @@ def q_b20_ivf_probe_sweep(spark, sf_dir):
             F.sum(F.coalesce("__hit", F.lit(0))).cast("double") / 5.0, 6
         ).alias("recall_at_5"),
     )
+
+
+def q_b20_radius_search(spark, sf_dir):
+    """LSH-bucketed radius (range) similarity search (B20 depth, r13 —
+    the threshold-membership read beside the top-k ANN rows; see
+    pipeline/similarity.py: radius_search_portable): all bucket-mate
+    neighbors with cosine ≥ 0.15 for the first 8 vectors, membership
+    decided by the pure-integer den²·dot² ≥ num²·|q|²·|c|² test so the
+    hit set replays bit-for-bit in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.radius_search_portable(
+        emb, queries_df, theta_num=3, theta_den=20
+    )

@@ -104,6 +104,7 @@ SQL = {
         """,
         "b20_ann_recall": _ann_recall_oracle_sql(),
         "b20_ann_lsh": _ann_lsh_topk_oracle_sql(),
+        "b20_radius_search": _ann_lsh_radius_oracle_sql(),
         "b20_ann_ivf": _ann_ivf_topk_oracle_sql(),
         "b20_cosine_topk": """
             WITH q AS (

@@ -1578,3 +1578,92 @@ def kcenter_greedy(
             F.max("__best.d").cast("long").alias("radius_sq"),
         )
     )
+
+
+def radius_search_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    theta_num: int = 3,
+    theta_den: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    quant: int = 1000,
+    multiprobe: bool = True,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Deterministic, oracle-able RADIUS (range) similarity search — the
+    "all neighbors within cosine ≥ θ" read beside the top-k ANN rows
+    (r13): a recall pipeline asks "give me the k best", a decontam or
+    near-dup sweep asks "give me EVERYTHING above the line", and the
+    two need different operators because the result size is data-, not
+    parameter-, bounded.
+
+    Candidates come from the shared portable LSH index
+    (:func:`ann_lsh_portable` — integer-exact buckets, multiprobe);
+    membership is then decided by a PURE-INTEGER threshold test on the
+    quantized components: with θ = num/den > 0, ``cos ≥ θ`` ⟺
+    ``dot > 0 ∧ den²·dot² ≥ num²·|q|²·|c|²`` — no float touches the
+    selection, so any SQL engine replays the hit set bit-for-bit
+    (the reported cosine itself is one IEEE sqrt+divide, round 6).
+    Approximate in which pairs it CONSIDERS (bucket mates), exact in
+    the threshold decision. Bounds: int64-safe to |comp| ≤ quant,
+    dim·quant² ≤ ~6.8e7 (den²·dot² < 2^63 at den ≤ 20).
+
+    Output: ``(query_id, neighbor_id, dot_q bigint, cos double)`` —
+    one row per in-radius candidate pair.
+    """
+    cand = ann_lsh_portable(
+        corpus, queries, id_col, vec_col, dim, n_planes, quant, multiprobe,
+        n_tables,
+    )
+    qcomp = F.transform(
+        as_double(vec_col),
+        lambda x: F.floor(x * F.lit(float(quant))).cast("long"),
+    )
+
+    def with_q(df, idname, qname, nname):
+        return df.select(
+            F.col(id_col).alias(idname),
+            qcomp.alias(qname),
+            F.aggregate(
+                F.transform(qcomp, lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias(nname),
+        )
+
+    q = with_q(queries, "query_id", "__qq", "__qn2")
+    c = with_q(corpus, "neighbor_id", "__cq", "__cn2")
+    dot_q = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", dot_q.alias("dot_q"),
+                "__qn2", "__cn2")
+    )
+    thr = (
+        (F.col("dot_q") > 0)
+        & (
+            F.lit(theta_den * theta_den) * F.col("dot_q") * F.col("dot_q")
+            >= F.lit(theta_num * theta_num) * F.col("__qn2") * F.col("__cn2")
+        )
+    )
+    return scored.filter(thr).select(
+        "query_id",
+        "neighbor_id",
+        "dot_q",
+        F.round(
+            F.col("dot_q").cast("double")
+            / (
+                F.sqrt(F.col("__qn2").cast("double"))
+                * F.sqrt(F.col("__cn2").cast("double"))
+            ),
+            6,
+        ).alias("cos"),
+    )
