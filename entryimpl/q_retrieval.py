@@ -1011,3 +1011,30 @@ def q_b30_neighborhood_jaccard(spark, sf_dir):
             F.row_number().over(wr).cast("long").alias("rnk"),
         )
     )
+
+
+def q_b30_kcore(spark, sf_dir):
+    """Fixed-round k-core peeling (B30 graph depth, r13 —
+    derive.kcore_peel): 3 peel rounds at k=3 over the same
+    customer↔supplier purchase graph as pagerank/LPA, reporting the
+    surviving subgraph's (nodes, edges, degree range) per round — the
+    density screen a graph pipeline runs before an expensive community
+    or embedding pass. Per-round edges are checkpointed (the LPA
+    double-reference rule: the stats branch and the next round both
+    consume them); each round is one keyed degree agg + two keyed
+    semi-joins. Integer-exact; the oracle replays the peel in chained
+    CTEs."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return derive.kcore_peel(edges, k=3, rounds=3)

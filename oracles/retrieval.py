@@ -903,4 +903,70 @@ SQL = {
             ORDER BY jaccard_x1e6 DESC, s1 ASC, s2 ASC
             LIMIT 20
         """,
+
+        "b30_kcore": """
+            WITH ed AS (
+              SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ),
+            e0 AS (
+              SELECT c AS src, s AS dst FROM ed
+              UNION ALL
+              SELECT s AS src, c AS dst FROM ed
+            ),
+            k1 AS (
+              SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3
+            ),
+            e1 AS (
+              SELECT e.src, e.dst FROM e0 e
+              WHERE e.src IN (SELECT src FROM k1)
+                AND e.dst IN (SELECT src FROM k1)
+            ),
+            k2 AS (
+              SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3
+            ),
+            e2 AS (
+              SELECT e.src, e.dst FROM e1 e
+              WHERE e.src IN (SELECT src FROM k2)
+                AND e.dst IN (SELECT src FROM k2)
+            ),
+            k3 AS (
+              SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3
+            ),
+            e3 AS (
+              SELECT e.src, e.dst FROM e2 e
+              WHERE e.src IN (SELECT src FROM k3)
+                AND e.dst IN (SELECT src FROM k3)
+            ),
+            stats AS (
+              SELECT CAST(0 AS BIGINT) AS round,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(coalesce(sum(d), 0) AS BIGINT) AS n_edges,
+                     CAST(min(d) AS BIGINT) AS min_deg,
+                     CAST(max(d) AS BIGINT) AS max_deg
+              FROM (SELECT src, count(*) AS d FROM e0 GROUP BY src)
+              UNION ALL
+              SELECT CAST(1 AS BIGINT) AS round,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(coalesce(sum(d), 0) AS BIGINT) AS n_edges,
+                     CAST(min(d) AS BIGINT) AS min_deg,
+                     CAST(max(d) AS BIGINT) AS max_deg
+              FROM (SELECT src, count(*) AS d FROM e1 GROUP BY src)
+              UNION ALL
+              SELECT CAST(2 AS BIGINT) AS round,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(coalesce(sum(d), 0) AS BIGINT) AS n_edges,
+                     CAST(min(d) AS BIGINT) AS min_deg,
+                     CAST(max(d) AS BIGINT) AS max_deg
+              FROM (SELECT src, count(*) AS d FROM e2 GROUP BY src)
+              UNION ALL
+              SELECT CAST(3 AS BIGINT) AS round,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(coalesce(sum(d), 0) AS BIGINT) AS n_edges,
+                     CAST(min(d) AS BIGINT) AS min_deg,
+                     CAST(max(d) AS BIGINT) AS max_deg
+              FROM (SELECT src, count(*) AS d FROM e3 GROUP BY src)
+            )
+            SELECT * FROM stats
+        """,
 }

@@ -1986,3 +1986,59 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling (r13 — the DENSITY read completing
+    the graph family: PageRank/HITS rank authority, LPA finds
+    communities, BFS measures reachability, neighborhood-Jaccard
+    scores node similarity, THIS strips the sparse fringe): per round,
+    every node with degree < ``k`` in the CURRENT subgraph is removed,
+    along with its edges. Fixed ``rounds`` (full peeling to the core
+    fixpoint is data-dependent in depth; a bounded peel is the
+    deterministic, replayable form — and in practice the fringe decays
+    geometrically, so a few rounds carry the signal).
+
+    ``edges`` is a directed (src, dst) relation; pass both directions
+    for an undirected graph (degrees then count each undirected edge
+    once per endpoint). All counts are integers; rounds replay
+    bit-for-bit in chained SQL CTEs.
+
+    Scale shape: per round one src-keyed degree agg (map-side combine)
+    + TWO keyed semi-joins (src-survivors, dst-survivors) — no
+    cartesian, no global window; the edge relation is localCheckpoint'd
+    PER ROUND because each round's stats branch AND the next round both
+    consume it (the LPA double-reference rule — a lazy chain would
+    re-peel prior rounds per consumer; join budget pinned in
+    tests/test_plans.py).
+
+    Output: one row per round 0..rounds — ``(round, n_nodes, n_edges,
+    min_deg, max_deg)`` of the surviving subgraph (round 0 = input;
+    a 0-row subgraph reports 0/0/NULL/NULL).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+
+    def stats(ed, rnd):
+        deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        return deg.agg(
+            F.lit(rnd).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias("n_edges"),
+            F.min("__d").cast("long").alias("min_deg"),
+            F.max("__d").cast("long").alias("max_deg"),
+        )
+
+    out = stats(e, 0)
+    cur = e
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(stats(cur, r))
+    return out

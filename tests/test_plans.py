@@ -759,6 +759,10 @@ _ITERATIVE_JOIN_BUDGETS = {
     "b30_bfs_hops": 4,
     # 2 power rounds + the final auth1 re-join = 3 joins
     "b30_hits": 6,
+    # r13: per-round edges checkpointed (stats branch + next round both
+    # consume them): final plan is unions of keyed aggs over the round
+    # checkpoints — effectively 0 joins survive
+    "b30_kcore": 2,
 }
 
 

@@ -107,3 +107,38 @@ def test_pps_systematic_hits_exactly_n_points(spark):
         # a unit can repeat only if heavier than the stride
         if r.n_hits > 1:
             assert wt[r.doc_id] > stride * (r.n_hits - 1)
+
+
+def test_kcore_peels_planted_fringe(spark):
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark import derive
+
+    # 4-clique core (1-4) + a pendant chain 5-6 hanging off node 1
+    und = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    und += [(1, 5), (5, 1), (5, 6), (6, 5)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r.round: (r.n_nodes, r.n_edges, r.min_deg, r.max_deg)
+        for r in derive.kcore_peel(edges, k=3, rounds=3).collect()
+    }
+    assert got[0] == (6, 16, 1, 4)
+    # round 1 removes node 6 (deg 1) and node 5 (deg 2): the 4-clique
+    # (every degree 3) survives all remaining rounds unchanged
+    assert got[1] == (4, 12, 3, 3)
+    assert got[2] == (4, 12, 3, 3)
+    assert got[3] == (4, 12, 3, 3)
+
+
+def test_kcore_empty_subgraph_reports_zero_rows_stats(spark):
+    from sqlite_cdc_spark import derive
+
+    # a path graph has no 3-core: rounds collapse to the empty graph
+    und = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r.round: (r.n_nodes, r.n_edges, r.min_deg, r.max_deg)
+        for r in derive.kcore_peel(edges, k=3, rounds=2).collect()
+    }
+    assert got[1] == (0, 0, None, None)
+    assert got[2] == (0, 0, None, None)
