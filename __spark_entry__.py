@@ -471,6 +471,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b12_diversified_topk": q_b12_diversified_topk,
         "b20_radius_search": q_b20_radius_search,
         "b30_kcore": q_b30_kcore,
+        "b15_watermark_audit": q_b15_watermark_audit,
     }
 
 

@@ -1434,3 +1434,46 @@ def q_b13_rle_encoding(spark, sf_dir):
         "natural",
     )
     return clustered.unionByName(natural)
+
+
+def q_b15_watermark_audit(spark, sf_dir):
+    """Watermark-lateness audit (B15 depth, r13 — the CONFIG read for
+    the streaming legs: before picking ``withWatermark`` delays, a
+    pipeline measures how much data each candidate delay would drop):
+    per event type, events replay in ARRIVAL order (event_id — the
+    log's delivery order) against their EVENT time (ts); an event is
+    late by ``running_max(ts) − ts``, and for each candidate delay
+    (1/5/15 min) the row reports how many events a watermark that
+    tight would discard, plus the observed worst lateness. All integer
+    micros. Scale shape: ONE event_type-keyed cumulative-max window
+    (arrival order) + one keyed agg — partitioned, single pass, no
+    global window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("__tus"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.withColumn(
+        "__late_us", F.max("__tus").over(w) - F.col("__tus")
+    )
+    m = 60_000_000
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("__late_us") > 1 * m).cast("long"))
+        .cast("long")
+        .alias("n_late_1m"),
+        F.sum((F.col("__late_us") > 5 * m).cast("long"))
+        .cast("long")
+        .alias("n_late_5m"),
+        F.sum((F.col("__late_us") > 15 * m).cast("long"))
+        .cast("long")
+        .alias("n_late_15m"),
+        F.max("__late_us").cast("long").alias("max_late_us"),
+    )

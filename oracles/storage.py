@@ -992,4 +992,28 @@ SQL = {
                      AS savings_vs_dict
             FROM priced GROUP BY variant
         """,
+
+        "b15_watermark_audit": """
+            WITH late AS (
+              SELECT event_type,
+                     max(epoch_us(ts)) OVER w - epoch_us(ts) AS late_us
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN late_us > 60000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late_1m,
+                   CAST(sum(CASE WHEN late_us > 300000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late_5m,
+                   CAST(sum(CASE WHEN late_us > 900000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late_15m,
+                   CAST(max(late_us) AS BIGINT) AS max_late_us
+            FROM late GROUP BY event_type
+        """,
 }
