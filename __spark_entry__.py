@@ -472,6 +472,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b20_radius_search": q_b20_radius_search,
         "b30_kcore": q_b30_kcore,
         "b15_watermark_audit": q_b15_watermark_audit,
+        # --- round 13 wave 2 ----------------------------------------------
+        "b10_anova": q_b10_anova,
+        "b13_dict_encoding": q_b13_dict_encoding,
     }
 
 

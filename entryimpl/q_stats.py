@@ -1766,3 +1766,79 @@ def q_b12_diversified_topk(spark, sf_dir):
             "within_supp_rank",
         )
     )
+
+
+def q_b10_anova(spark, sf_dir):
+    """One-way ANOVA F screen (B10 depth, r13 — the k-group mean
+    comparison beside the 2-group b10_welch_t and the rank-based
+    b10_mann_kendall): does event `value` differ across event types?
+    Values quantize to milli-units (floor(v*1000) int64) so every sum
+    of squares is exact integer arithmetic; the floored per-group
+    projection term ``S_g² div n_g`` defines the statistic (deviation
+    from the rational SS ≤ k absolute — mirrored verbatim in the
+    oracle), so SSB/SSW ship as exact BIGINTs and only the final F is
+    a double (a fixed 4-node expression over two exact scalars,
+    round 6 — the b10_mann_kendall z rule). Zero within-variance
+    (ssw ≤ 0) or a flooring-negative SSB ⇒ NULL f on BOTH engines.
+
+    Scale shape: ONE keyed pass over events (map-side combinable sums
+    of v, v², 1), then everything downstream lives on the
+    |event_types|-row relation — broadcast back over it for the
+    per-group output. Σv² ≈ n·(5·10⁵)² stays under int64 through
+    ~3·10⁷ rows/group; a 100 TB run lifts the two power sums to
+    decimal(38,0) (same expression tree, documented here rather than
+    paid on the small path)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    per_g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("sum_milli"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ssq_milli"),
+    )
+    glob = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.sum("sum_milli").cast("long").alias("s_all"),
+        F.sum("ssq_milli").cast("long").alias("q_all"),
+        F.sum(
+            F.expr("sum_milli * sum_milli div n_g")
+        ).cast("long").alias("b_all"),
+    )
+    return (
+        per_g.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            "n_g",
+            "sum_milli",
+            "ssq_milli",
+            "k_groups",
+            "n_total",
+            F.expr("b_all - (s_all * s_all div n_total)").alias("ssb_x"),
+            F.expr("q_all - b_all").alias("ssw_x"),
+            (F.col("k_groups") - 1).cast("long").alias("df_between"),
+            (F.col("n_total") - F.col("k_groups"))
+            .cast("long")
+            .alias("df_within"),
+        )
+        .withColumn(
+            "f",
+            F.when(
+                (F.col("ssw_x") > 0)
+                & (F.col("ssb_x") >= 0)
+                & (F.col("df_between") > 0)
+                & (F.col("df_within") > 0),
+                F.round(
+                    (
+                        F.col("ssb_x").cast("double")
+                        * F.col("df_within").cast("double")
+                    )
+                    / (
+                        F.col("ssw_x").cast("double")
+                        * F.col("df_between").cast("double")
+                    ),
+                    6,
+                ),
+            ),
+        )
+    )

@@ -1477,3 +1477,81 @@ def q_b15_watermark_audit(spark, sf_dir):
         .alias("n_late_15m"),
         F.max("__late_us").cast("long").alias("max_late_us"),
     )
+
+
+def q_b13_dict_encoding(spark, sf_dir):
+    """Dictionary-encoding layout audit (B13 depth, r13 — completes the
+    encoding triptych beside b13_delta_encoding's numeric read and
+    b13_rle_encoding's run read: which STRING columns should a parquet
+    writer dictionary-encode, and which fall back to plain?). Per
+    documents string column: exact NDV, the bit-width a dictionary code
+    needs (``length(bin(ndv−1))`` — pure integer, no float log2),
+    dictionary cost = Σ distinct (bytes + 4-byte offset entry),
+    code-stream cost = ``(n·bits + 7) div 8``, plain cost =
+    Σ occurrences bytes + 4·n, and the signed savings ratio in micros.
+    The low-cardinality `lang`/`source` win big; the raw `text`
+    payload must flag ``dict_beneficial = false`` — the fallback the
+    audit exists to catch (no writer should dictionary-encode a
+    near-unique document body).
+
+    Scale shape: ONE projection-pruned scan, stack(3) column→row pivot
+    (rows ×3, bytes unchanged), then a (column, value) keyed agg — the
+    exact-NDV shuffle a writer's stats pass pays anyway — contracting
+    to the |distinct|-row relation before the per-column agg. No
+    window, no join, map-side combinable throughout."""
+    cols = ["lang", "source", "text"]
+    docs = _t(spark, sf_dir, "documents").select(*cols)
+    stacked = docs.select(
+        F.expr(
+            "stack({}, {}) as (col_name, val)".format(
+                len(cols),
+                ", ".join(f"'{c}', {c}" for c in cols),
+            )
+        )
+    )
+    per_val = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    return (
+        per_val.groupBy("col_name")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_values"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.octet_length("val") + F.lit(4))
+            .cast("long")
+            .alias("dict_bytes"),
+            F.sum(F.col("n_occ") * F.octet_length("val"))
+            .cast("long")
+            .alias("plain_payload_bytes"),
+        )
+        .select(
+            "col_name",
+            "n_values",
+            "n_distinct",
+            F.length(F.bin(F.col("n_distinct") - 1))
+            .cast("long")
+            .alias("code_bits"),
+            "dict_bytes",
+            (F.col("plain_payload_bytes") + 4 * F.col("n_values"))
+            .cast("long")
+            .alias("plain_bytes"),
+        )
+        .select(
+            "col_name",
+            "n_values",
+            "n_distinct",
+            "code_bits",
+            "dict_bytes",
+            F.expr("(n_values * code_bits + 7) div 8").alias("codes_bytes"),
+            "plain_bytes",
+        )
+        .select(
+            "*",
+            (F.col("dict_bytes") + F.col("codes_bytes") < F.col("plain_bytes"))
+            .alias("dict_beneficial"),
+            F.expr(
+                "(plain_bytes - dict_bytes - codes_bytes) * 1000000"
+                " div plain_bytes"
+            ).alias("savings_x1e6"),
+        )
+    )

@@ -1089,4 +1089,50 @@ SQL = {
                      l_linenumber ASC, within_supp_rank ASC
             LIMIT 20
         """,
+
+        "b10_anova": """
+            -- one-way ANOVA over milli-quantized event values: exact
+            -- integer power sums; the floored projection term
+            -- S_g*S_g // n_g defines the statistic on BOTH engines
+            WITH q AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000) AS BIGINT) AS v
+              FROM events
+            ),
+            per_g AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_g,
+                     CAST(sum(v) AS BIGINT) AS sum_milli,
+                     CAST(sum(v * v) AS BIGINT) AS ssq_milli
+              FROM q GROUP BY event_type
+            ),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                     CAST(sum(n_g) AS BIGINT) AS n_total,
+                     CAST(sum(sum_milli) AS BIGINT) AS s_all,
+                     CAST(sum(ssq_milli) AS BIGINT) AS q_all,
+                     CAST(sum(sum_milli * sum_milli // n_g) AS BIGINT)
+                       AS b_all
+              FROM per_g
+            )
+            SELECT p.event_type, p.n_g, p.sum_milli, p.ssq_milli,
+                   g.k_groups, g.n_total,
+                   CAST(g.b_all - (g.s_all * g.s_all // g.n_total)
+                        AS BIGINT) AS ssb_x,
+                   CAST(g.q_all - g.b_all AS BIGINT) AS ssw_x,
+                   CAST(g.k_groups - 1 AS BIGINT) AS df_between,
+                   CAST(g.n_total - g.k_groups AS BIGINT) AS df_within,
+                   CASE WHEN g.q_all - g.b_all > 0
+                             AND g.b_all - (g.s_all * g.s_all // g.n_total)
+                                 >= 0
+                             AND g.k_groups > 1
+                             AND g.n_total > g.k_groups THEN
+                     round(CAST(g.b_all - (g.s_all * g.s_all // g.n_total)
+                                AS DOUBLE)
+                           * CAST(g.n_total - g.k_groups AS DOUBLE)
+                           / (CAST(g.q_all - g.b_all AS DOUBLE)
+                              * CAST(g.k_groups - 1 AS DOUBLE)), 6)
+                   END AS f
+            FROM per_g p CROSS JOIN tot g
+        """,
 }

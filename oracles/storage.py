@@ -1016,4 +1016,52 @@ SQL = {
                    CAST(max(late_us) AS BIGINT) AS max_late_us
             FROM late GROUP BY event_type
         """,
+
+        "b13_dict_encoding": """
+            -- dictionary layout audit: exact NDV + integer bit-width
+            -- (length(bin(ndv-1))), 4-byte offset entries on both the
+            -- dictionary and the plain stream; corpus is pure ASCII so
+            -- octet_length(encode(v)) prices the same bytes Spark's
+            -- octet_length does
+            WITH stacked AS (
+              SELECT 'lang' AS col_name, lang AS val FROM documents
+              UNION ALL
+              SELECT 'source', source FROM documents
+              UNION ALL
+              SELECT 'text', text FROM documents
+            ),
+            per_val AS (
+              SELECT col_name, val, CAST(count(*) AS BIGINT) AS n_occ
+              FROM stacked GROUP BY col_name, val
+            ),
+            per_col AS (
+              SELECT col_name,
+                     CAST(sum(n_occ) AS BIGINT) AS n_values,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(octet_length(encode(val)) + 4) AS BIGINT)
+                       AS dict_bytes,
+                     CAST(sum(n_occ * octet_length(encode(val)))
+                          + 4 * sum(n_occ) AS BIGINT) AS plain_bytes
+              FROM per_val GROUP BY col_name
+            ),
+            bits AS (
+              SELECT *,
+                     CAST(length(bin(n_distinct - 1)) AS BIGINT)
+                       AS code_bits
+              FROM per_col
+            ),
+            priced AS (
+              SELECT col_name, n_values, n_distinct, code_bits,
+                     dict_bytes,
+                     (n_values * code_bits + 7) // 8 AS codes_bytes,
+                     plain_bytes
+              FROM bits
+            )
+            SELECT *,
+                   dict_bytes + codes_bytes < plain_bytes
+                     AS dict_beneficial,
+                   (plain_bytes - dict_bytes - codes_bytes) * 1000000
+                     // plain_bytes AS savings_x1e6
+            FROM priced
+        """,
 }

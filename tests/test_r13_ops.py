@@ -142,3 +142,61 @@ def test_kcore_empty_subgraph_reports_zero_rows_stats(spark):
     }
     assert got[1] == (0, 0, None, None)
     assert got[2] == (0, 0, None, None)
+
+
+def test_anova_planted_separation_and_degenerate_null(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b10_anova"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 5  # one row per event type
+    r0 = rows[0]
+    # global fields repeat identically on every per-group row
+    assert all(
+        (r.ssb_x, r.ssw_x, r.f) == (r0.ssb_x, r0.ssw_x, r0.f) for r in rows
+    )
+    assert r0.n_total == sum(r.n_g for r in rows)
+    assert r0.ssw_x > 0 and r0.f is not None and r0.f >= 0.0
+    # exact identity: ssb + ssw == total SS (both floored the same way)
+    q_all = sum(r.ssq_milli for r in rows)
+    s_all = sum(r.sum_milli for r in rows)
+    assert r0.ssb_x + r0.ssw_x == q_all - (s_all * s_all) // r0.n_total
+
+
+def test_anova_zero_within_variance_yields_null_f(spark):
+    # every value identical within AND across groups -> ssw == 0 -> NULL
+    # (the capture_recapture/mann_kendall degenerate-division rule)
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, "t%d" % (i % 2), 2.5) for i in range(20)],
+            "event_id long, event_type string, value double",
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        rows = entry.queries()["b10_anova"](spark, d).collect()
+    assert rows and all(r.ssw_x == 0 and r.f is None for r in rows)
+
+
+def test_dict_encoding_flags_low_card_in_high_card_out(spark):
+    import __spark_entry__ as entry
+
+    rows = {
+        r.col_name: r
+        for r in entry.queries()["b13_dict_encoding"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"lang", "source", "text"}
+    # low-cardinality lang dictionary-encodes at a big saving;
+    # the near-unique text payload must fall back to plain
+    assert rows["lang"].dict_beneficial
+    assert rows["lang"].savings_x1e6 > 300000
+    assert not rows["text"].dict_beneficial
+    # bit-width is the integer ceil(log2(ndv)): re-derive in python
+    for r in rows.values():
+        assert r.code_bits == max(1, (r.n_distinct - 1).bit_length())
+        assert r.codes_bytes == (r.n_values * r.code_bits + 7) // 8
