@@ -475,6 +475,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 13 wave 2 ----------------------------------------------
         "b10_anova": q_b10_anova,
         "b13_dict_encoding": q_b13_dict_encoding,
+        "b23_map_in_arrow": q_b23_map_in_arrow,
+        "b30_symspell": q_b30_symspell,
+        "b30_bellman_ford": q_b30_bellman_ford,
     }
 
 

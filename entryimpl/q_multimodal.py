@@ -492,3 +492,50 @@ def q_b23_stateful_udf(spark, sf_dir):
         "user_id", "event_type", "ts", "event_id"
     )
     return stateful.browse_funnel_batch(ev)
+
+
+def q_b23_map_in_arrow(spark, sf_dir):
+    """mapInArrow surface (B23 completion, r13 — the fifth UDF
+    execution mode beside scalar-pandas, mapInPandas, grouped-agg,
+    grouped-map, and the stateful fold: raw Arrow RecordBatches in and
+    out, ZERO pandas conversion): per-document byte/char/token
+    telemetry computed entirely with ``pyarrow.compute`` kernels —
+    utf8 char count, encoded byte count, space count, and whitespace
+    token count. The pandas bridge is the usual copy+boxing tax on
+    string-heavy batches; mapInArrow keeps the columns as Arrow
+    buffers end to end, which is the right shape for a 100 TB
+    string-scan UDF that built-ins can't express (here they CAN —
+    the oracle is plain SQL — which is exactly what makes the mode
+    certifiable bit-exact). Narrow, batch-preserving, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for b in batches:
+            t = b.column("text")
+            n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+            n_bytes = pc.cast(pc.binary_length(t), pa.int64())
+            n_spaces = pc.cast(pc.count_substring(t, " "), pa.int64())
+            n_tokens = pc.if_else(
+                pc.greater(n_chars, 0),
+                pc.add(n_spaces, 1),
+                pa.scalar(0, pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), n_chars, n_bytes, n_spaces, n_tokens],
+                names=[
+                    "doc_id",
+                    "n_chars_a",
+                    "n_bytes_a",
+                    "n_spaces",
+                    "n_tokens_ws",
+                ],
+            )
+
+    return docs.mapInArrow(
+        kernel,
+        "doc_id long, n_chars_a long, n_bytes_a long,"
+        " n_spaces long, n_tokens_ws long",
+    )

@@ -1038,3 +1038,151 @@ def q_b30_kcore(spark, sf_dir):
         ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return derive.kcore_peel(edges, k=3, rounds=3)
+
+
+def q_b30_symspell(spark, sf_dir):
+    """SymSpell spell-correction join (B30 depth, r13 — the
+    delete-neighborhood trick that makes fuzzy lookup an EQUI-join:
+    instead of comparing a query against every vocabulary term, both
+    sides expand to their 1-deletion variants and meet on an exact
+    string key — the candidate set shrinks from |V| to the handful
+    sharing a delete). Vocabulary = corpus tokens (normalized split,
+    len ≥ 4, freq ≥ 2) with occurrence counts; queries are the
+    freq ≥ 5, len ≥ 5 terms with their MIDDLE character deleted (the
+    deterministic typo — mirrored verbatim in SQL). Candidates verify
+    with true Levenshtein ≤ 1 and rank (distance asc, freq desc, term
+    asc); `recovered` audits whether top-1 restored the source term
+    (a mid-deletion can legitimately resolve to a different, more
+    frequent dictionary word — that IS the corrector's behavior).
+
+    Scale shape: the delete expansion is a per-row transform (arrays
+    stay inside the row, ×(len+1) rows only at the explode), the
+    candidate meet is ONE string equi-join on the variant key, and the
+    verify runs levenshtein only on the joined handful — never |Q|·|V|.
+    Vocabulary grows sub-linearly in corpus bytes (Heaps), so the
+    dictionary side broadcasts at any realistic scale."""
+    from sqlite_cdc_spark.pipeline.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 4)
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= 2)
+    )
+    deletes = F.array_distinct(
+        F.concat(
+            F.array(F.col("term")),
+            F.expr(
+                "transform(sequence(1, length(term)),"
+                " i -> concat(substring(term, 1, i - 1),"
+                " substring(term, i + 1, length(term))))"
+            ),
+        )
+    )
+    dict_vars = vocab.select(
+        "term", "freq", F.explode(deletes).alias("variant")
+    )
+    queries = vocab.filter(
+        (F.col("freq") >= 5) & (F.length("term") >= 5)
+    ).select(
+        F.col("term").alias("src_term"),
+        F.expr(
+            "concat(substring(term, 1, (length(term) + 1) div 2 - 1),"
+            " substring(term, (length(term) + 1) div 2 + 1,"
+            " length(term)))"
+        ).alias("query_text"),
+    )
+    q_vars = queries.select(
+        "src_term",
+        "query_text",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("query_text")),
+                    F.expr(
+                        "transform(sequence(1, length(query_text)),"
+                        " i -> concat(substring(query_text, 1, i - 1),"
+                        " substring(query_text, i + 1,"
+                        " length(query_text))))"
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        q_vars.join(dict_vars, "variant")
+        .select("src_term", "query_text", "term", "freq")
+        .distinct()
+        .withColumn(
+            "distance",
+            F.levenshtein(F.col("query_text"), F.col("term")).cast("long"),
+        )
+        .filter(F.col("distance") <= 1)
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("src_term").orderBy(
+        F.col("distance").asc(), F.col("freq").desc(), F.col("term").asc()
+    )
+    wn = Window.partitionBy("src_term")
+    return (
+        cand.withColumn("rnk", F.row_number().over(wq))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wn).cast("long"))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "src_term",
+            "query_text",
+            F.col("term").alias("suggestion"),
+            "distance",
+            F.col("freq").alias("suggestion_freq"),
+            "n_candidates",
+            (F.col("term") == F.col("src_term")).alias("recovered"),
+        )
+    )
+
+
+def q_b30_bellman_ford(spark, sf_dir):
+    """Bounded-hop weighted shortest paths over the nation logistics
+    graph (B30 depth, r13): edge (supplier nation → customer nation)
+    weighs the MINIMUM observed order-to-ship lag in days across all
+    lineitems shipped between that pair; Bellman–Ford from nation 0
+    then answers "what is the cheapest relay route" — the weighted
+    twin of b30_bfs_hops (derive.bellman_ford: per round ONE keyed
+    equi-join + ONE keyed min-agg, distances checkpointed per round).
+    The graph build is the scale-heavy part and it is pure join
+    reduction: lineitem⋈orders⋈supplier⋈customer contracts to a
+    ≤25×25 edge relation BEFORE any iteration; the relaxation loop
+    runs on broadcast-sized frames. Unreached-within-4-rounds nations
+    surface as NULL dist."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(
+            F.min(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    dist = derive.bellman_ford(edges, source=0, rounds=4)
+    return n.join(
+        dist, n["n_nationkey"] == dist["node"], "left"
+    ).select(
+        F.col("n_nationkey").cast("long").alias("nation"),
+        F.col("dist").alias("dist_4hop"),
+    )

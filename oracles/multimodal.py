@@ -588,4 +588,20 @@ SQL = {
                         THEN s.last_run ELSE 0 END AS open_streak
             FROM counters c LEFT JOIN streaks s ON s.user_id = c.user_id
         """,
+
+        "b23_map_in_arrow": """
+            -- plain-SQL replay of the Arrow-kernel telemetry (corpus is
+            -- pure ASCII, so octet_length(encode(text)) == the utf8
+            -- byte length Spark's Arrow batch carries)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_a,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_a,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        AS BIGINT) AS n_spaces,
+                   CAST(CASE WHEN length(text) > 0
+                             THEN length(text)
+                                  - length(replace(text, ' ', '')) + 1
+                             ELSE 0 END AS BIGINT) AS n_tokens_ws
+            FROM documents
+        """,
 }

@@ -969,4 +969,125 @@ SQL = {
             )
             SELECT * FROM stats
         """,
+
+        "b30_symspell": """
+            -- SymSpell delete-neighborhood correction: both sides expand
+            -- to {self} ∪ 1-deletions and meet on an exact variant key;
+            -- verify with true levenshtein <= 1; rank dist asc, freq
+            -- desc, term asc
+            WITH toks AS (
+              SELECT unnest(string_split(
+                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                ' ')) AS term
+              FROM documents
+            ),
+            vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS freq
+              FROM toks WHERE length(term) >= 4
+              GROUP BY term HAVING count(*) >= 2
+            ),
+            dict_vars AS (
+              SELECT DISTINCT term, freq, term AS variant FROM vocab
+              UNION
+              SELECT DISTINCT term, freq,
+                     substr(term, 1, i - 1) || substr(term, i + 1)
+                       AS variant
+              FROM vocab, generate_series(1, 40) g(i)
+              WHERE i <= length(term)
+            ),
+            queries AS (
+              SELECT term AS src_term,
+                     substr(term, 1, (length(term) + 1) // 2 - 1)
+                       || substr(term, (length(term) + 1) // 2 + 1)
+                       AS query_text
+              FROM vocab WHERE freq >= 5 AND length(term) >= 5
+            ),
+            q_vars AS (
+              SELECT DISTINCT src_term, query_text,
+                     query_text AS variant FROM queries
+              UNION
+              SELECT DISTINCT src_term, query_text,
+                     substr(query_text, 1, i - 1) || substr(query_text, i + 1)
+              FROM queries, generate_series(1, 40) g(i)
+              WHERE i <= length(query_text)
+            ),
+            cand AS (
+              SELECT DISTINCT q.src_term, q.query_text, d.term, d.freq
+              FROM q_vars q JOIN dict_vars d USING (variant)
+            ),
+            verified AS (
+              SELECT *,
+                     CAST(levenshtein(query_text, term) AS BIGINT)
+                       AS distance
+              FROM cand
+              WHERE levenshtein(query_text, term) <= 1
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY src_term
+                       ORDER BY distance ASC, freq DESC, term ASC) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY src_term) AS BIGINT)
+                       AS n_candidates
+              FROM verified
+            )
+            SELECT src_term, query_text, term AS suggestion, distance,
+                   freq AS suggestion_freq, n_candidates,
+                   term = src_term AS recovered
+            FROM ranked WHERE rnk = 1
+        """,
+
+        "b30_bellman_ford": """
+            -- 4-round Bellman-Ford from nation 0 over min order-to-ship
+            -- lag edges; round CTEs MATERIALIZED (each is referenced by
+            -- both the union leg and the join leg of the next round -- the
+            -- kcenter AS MATERIALIZED lesson, else 2^rounds re-evals)
+            WITH edges AS MATERIALIZED (
+              SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                     CAST(min(datediff('day', o.o_orderdate, l.l_shipdate))
+                          AS BIGINT) AS w
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              WHERE s.s_nationkey <> c.c_nationkey
+              GROUP BY 1, 2
+            ),
+            d0 AS (SELECT 0 AS node, CAST(0 AS BIGINT) AS dist),
+            d1 AS MATERIALIZED (
+              SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d0 d JOIN edges e ON e.src = d.node
+              ) GROUP BY node
+            ),
+            d2 AS MATERIALIZED (
+              SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d1 d JOIN edges e ON e.src = d.node
+              ) GROUP BY node
+            ),
+            d3 AS MATERIALIZED (
+              SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d2 d JOIN edges e ON e.src = d.node
+              ) GROUP BY node
+            ),
+            d4 AS MATERIALIZED (
+              SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d3
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d3 d JOIN edges e ON e.src = d.node
+              ) GROUP BY node
+            )
+            SELECT CAST(n.n_nationkey AS BIGINT) AS nation,
+                   d.dist AS dist_4hop
+            FROM nation n LEFT JOIN d4 d ON d.node = n.n_nationkey
+        """,
 }

@@ -2042,3 +2042,51 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         )
         out = out.unionByName(stats(cur, r))
     return out
+
+
+def bellman_ford(
+    edges: DataFrame, source, rounds: int = 4
+) -> DataFrame:
+    """Fixed-round Bellman–Ford single-source shortest paths (r13 — the
+    WEIGHTED reachability read beside the unweighted bfs_hops: after
+    ``rounds`` relaxations the distance is exact for every node whose
+    shortest path uses ≤ ``rounds`` edges, the classic bounded-hop
+    form a distributed engine runs — Dijkstra's priority queue is
+    inherently sequential, synchronous relaxation is one keyed join +
+    one keyed min-agg per round).
+
+    ``edges`` is a directed ``(src, dst, w)`` relation with integer
+    non-negative weights. Per round: the current distance frontier
+    (≤ |nodes| rows, broadcast-sized for any bounded node universe)
+    equi-joins edges on ``src``, candidate ``dist + w`` values union
+    with the standing distances, and a keyed min contracts back to one
+    row per node. Distances are localCheckpoint'd PER ROUND — the
+    relation is double-referenced (union leg + join leg), so a lazy
+    chain re-executes prior rounds exponentially (the LPA/de6ad9c
+    rule; join budget pinned in tests/test_plans.py).
+
+    Output: ``(node, dist)`` — nodes never reached within ``rounds``
+    relaxations are absent (callers left-join their node universe to
+    surface NULLs). Integer-exact; rounds replay as chained SQL CTEs.
+    """
+    e = edges.select("src", "dst", "w").localCheckpoint()
+    dist = (
+        e.sparkSession.range(1)
+        .select(
+            F.lit(source).alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relax = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

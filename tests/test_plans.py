@@ -763,6 +763,9 @@ _ITERATIVE_JOIN_BUDGETS = {
     # consume them): final plan is unions of keyed aggs over the round
     # checkpoints — effectively 0 joins survive
     "b30_kcore": 2,
+    # r13: per-round distances checkpointed (union leg + join leg both
+    # consume them): only the final nation left-join survives = 1 join
+    "b30_bellman_ford": 4,
 }
 
 

@@ -200,3 +200,28 @@ def test_dict_encoding_flags_low_card_in_high_card_out(spark):
     for r in rows.values():
         assert r.code_bits == max(1, (r.n_distinct - 1).bit_length())
         assert r.codes_bytes == (r.n_values * r.code_bits + 7) // 8
+
+
+def test_bellman_ford_bounded_hops_and_min_path(spark):
+    from sqlite_cdc_spark import derive
+
+    # 0 -> 1 -> 2 -> 3 -> 4 -> 5 chain (w=1 each) plus a heavy shortcut
+    # 0 -> 3 (w=10): node 3 takes the 3-hop relay (cost 3), never the
+    # 1-hop shortcut; node 5's true shortest path (cost 5) needs 5
+    # edges, so 4 rounds report the best <=4-edge route via the
+    # shortcut (10+1+1 = 12) — the documented bounded-hop guarantee
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)] + [(0, 3, 10)],
+        "src long, dst long, w long",
+    )
+    got = {
+        r.node: r.dist
+        for r in derive.bellman_ford(edges, source=0, rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 12}
+    # one more round settles node 5 to the true shortest path
+    got5 = {
+        r.node: r.dist
+        for r in derive.bellman_ford(edges, source=0, rounds=5).collect()
+    }
+    assert got5[5] == 5
