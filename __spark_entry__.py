@@ -478,6 +478,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b23_map_in_arrow": q_b23_map_in_arrow,
         "b30_symspell": q_b30_symspell,
         "b30_bellman_ford": q_b30_bellman_ford,
+        "b20_mmr_rerank": q_b20_mmr_rerank,
     }
 
 

@@ -2304,6 +2304,7 @@ def _ppr_oracle_sql(iters: int = 3) -> str:
 
 __all__ = [
     "_ppr_oracle_sql",
+    "_mmr_oracle_sql",
     "_ivf_probe_sweep_oracle_sql",
     "_kcenter_parts",
     "_corpus_v9_oracle_sql",
@@ -2638,4 +2639,58 @@ def _ivf_probe_sweep_oracle_sql() -> str:
                round(CAST(sum(hit) AS DOUBLE) / 5.0, 6) AS recall_at_5
         FROM grid
         GROUP BY nprobe, query_id
+    """
+
+
+def _mmr_oracle_sql(k: int = 10, d: int = 64, quant: int = 10**6) -> str:
+    """DuckDB replay of q_b20_mmr_rerank: query = vec 0's quantized
+    embedding; k chained (2·rel − maxsim desc, id asc) argmax picks
+    with a running max-sim fold. Every pick CTE is MATERIALIZED (each
+    cand{t} is referenced by both the pick and the fold — the kcenter
+    AS MATERIALIZED lesson, else re-evaluation is exponential in k)."""
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        " i -> c.qe[i] * p.ce[i]))"
+    )
+    parts = [
+        f"""q AS (
+          SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)})
+                      AS BIGINT)) AS qe
+          FROM embeddings
+        ),
+        qv AS (SELECT qe AS ce FROM q WHERE vec_id = 0),
+        cand0 AS MATERIALIZED (
+          SELECT c.vec_id, c.qe,
+                 {dot} AS rel,
+                 CAST(0 AS BIGINT) AS ms
+          FROM q c CROSS JOIN qv p
+          WHERE c.vec_id <> 0
+        )"""
+    ]
+    for t in range(k):
+        parts.append(f"""p{t} AS MATERIALIZED (
+          SELECT {t} AS r, vec_id, qe AS ce, rel, ms,
+                 2 * rel - ms AS score
+          FROM cand{t} ORDER BY 2 * rel - ms DESC, vec_id ASC LIMIT 1
+        )""")
+        if t < k - 1:
+            parts.append(f"""cand{t + 1} AS MATERIALIZED (
+          SELECT c.vec_id, c.qe, c.rel,
+                 greatest(c.ms, {dot}) AS ms
+          FROM cand{t} c CROSS JOIN p{t} p
+          WHERE c.vec_id <> p.vec_id
+        )""")
+    body = ",\n        ".join(parts)
+    union = "\n              UNION ALL ".join(
+        f"SELECT r, vec_id, rel, ms, score FROM p{t}" for t in range(k)
+    )
+    return f"""
+        WITH {body}
+        SELECT CAST(r AS INTEGER) AS mmr_rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(rel AS BIGINT) AS rel,
+               CAST(ms AS BIGINT) AS maxsim,
+               CAST(score AS BIGINT) AS score
+        FROM ({union})
     """

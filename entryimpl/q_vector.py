@@ -783,3 +783,16 @@ def q_b20_radius_search(spark, sf_dir):
     return similarity.radius_search_portable(
         emb, queries_df, theta_num=3, theta_den=20
     )
+
+
+def q_b20_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-ranking of the corpus against query vector 0
+    (B20 depth, r13 — the retrieval-side greedy beside the coverage
+    greedy b28_kcenter_diversity: λ=2/3 relevance-vs-redundancy, pure
+    integer objective over floor-quantized components, every pick
+    replayed as a chained MATERIALIZED CTE in the oracle). Kernel:
+    similarity.mmr_rerank — per pick ONE new dot-product column folded
+    into a materialized running max + a limit(1) argmax; driver
+    traffic bounded by k·d."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, query_id=0, k=10)

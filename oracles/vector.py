@@ -595,6 +595,7 @@ SQL = {
         """,
 
         "b28_kcenter_diversity": _kcenter_oracle_sql(),
+        "b20_mmr_rerank": _mmr_oracle_sql(),
 
         "b20_ivf_probe_sweep": _ivf_probe_sweep_oracle_sql(),
 }

@@ -1667,3 +1667,101 @@ def radius_search_portable(
             6,
         ).alias("cos"),
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_id,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10**6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (r13 — the RETRIEVAL-side
+    greedy beside kcenter_greedy's coverage greedy: instead of "cover
+    the corpus", pick the k results that balance relevance to a query
+    against redundancy with what's already picked — the classic search
+    / RAG-context diversifier). Integer objective with λ = 2/3:
+    ``score = 2·rel − maxsim`` (the λ·rel − (1−λ)·sim tradeoff scaled
+    by 3 to stay in int64), where rel = dot(query, candidate) and
+    maxsim = max dot against the picked set, all over floor-quantized
+    components — no RNG, no floats, so the oracle replays every pick
+    as a chained CTE.
+
+    Scale shape (the kcenter_greedy rule): candidates carry a
+    MATERIALIZED running max-sim column (``localCheckpoint`` per
+    pick), so each pick computes ONE new dot-product column in a
+    narrow codegen pass + a ``limit(1)`` argmax readback of d
+    quantized components — O(k·n·d) total, driver traffic bounded by
+    k·d, never |rows| (collect sites on the audited allowlist,
+    tests/test_plans.py). Raises ``ValueError`` if the query id is
+    absent; stops early when candidates run out.
+
+    Output: ``(mmr_rank int, vec_id, rel bigint, maxsim bigint,
+    score bigint)`` — maxsim/score as of the moment of the pick.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            as_double(vec_col),
+            lambda x: F.floor(x * F.lit(float(quant))).cast("long"),
+        ).alias("__qe"),
+    ).localCheckpoint()
+
+    def dot_to(vec: list[int]) -> Column:
+        lit = F.array(*[F.lit(int(x)) for x in vec])
+        return F.aggregate(
+            F.zip_with(F.col("__qe"), lit, lambda x, m: x * m),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qrows = base.filter(F.col(id_col) == query_id).limit(1).collect()
+    if not qrows:
+        raise ValueError(f"mmr_rerank: query id {query_id!r} not found")
+    qvec = list(qrows[0]["__qe"])
+    cur = base.filter(F.col(id_col) != query_id).select(
+        F.col(id_col),
+        "__qe",
+        dot_to(qvec).alias("__rel"),
+        F.lit(0).cast("long").alias("__ms"),
+    ).localCheckpoint()
+    picks: list[tuple] = []
+    for rank in range(k):
+        top = (
+            cur.orderBy(
+                (2 * F.col("__rel") - F.col("__ms")).desc(),
+                F.col(id_col).asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p = top[0]
+        picks.append(
+            (
+                rank,
+                p[id_col],
+                int(p["__rel"]),
+                int(p["__ms"]),
+                2 * int(p["__rel"]) - int(p["__ms"]),
+            )
+        )
+        pvec = list(p["__qe"])
+        cur = (
+            cur.filter(F.col(id_col) != p[id_col])
+            .select(
+                F.col(id_col),
+                "__qe",
+                "__rel",
+                F.greatest(F.col("__ms"), dot_to(pvec)).alias("__ms"),
+            )
+            .localCheckpoint()
+        )
+    id_type = base.schema[id_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        picks,
+        f"mmr_rank int, {id_col} {id_type}, rel long,"
+        " maxsim long, score long",
+    )

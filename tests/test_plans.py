@@ -654,8 +654,10 @@ def test_driver_materialization_policy():
         # sample (limit(sample_size)), d x d covariance + d-row means,
         # k seed centroids + k x d centroid readback per k-means round,
         # k-center seed + per-pick limit(1) readback (k x d components,
-        # never |rows| — the k-means centroid-literal pattern)
-        "sqlite_cdc_spark/pipeline/similarity.py": 8,
+        # never |rows| — the k-means centroid-literal pattern), and the
+        # r13 MMR twin: query-vector readback + per-pick limit(1)
+        # argmax (again k x d components, never |rows|)
+        "sqlite_cdc_spark/pipeline/similarity.py": 10,
     }
     counts: dict = {}
     for rel, _line in scan_collect.scan():

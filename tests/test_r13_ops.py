@@ -225,3 +225,36 @@ def test_bellman_ford_bounded_hops_and_min_path(spark):
         for r in derive.bellman_ford(edges, source=0, rounds=5).collect()
     }
     assert got5[5] == 5
+
+
+def test_mmr_rerank_diversifies_and_guards(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+    from sqlite_cdc_spark.pipeline import similarity
+
+    # query q = [1, 0]; an exact duplicate of the best match and one
+    # diverse vector: pure top-3-by-relevance would rank the dup
+    # second (rel 2 > rel 3), but its self-similarity penalty
+    # (maxsim = |v1|^2 = 2e12 > rel) drives its MMR score to 0, so
+    # MMR (2*rel - maxsim) must pick the diverse vector second
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),   # query
+        Row(vec_id=1, embedding=[1.0, 1.0]),   # best match
+        Row(vec_id=2, embedding=[1.0, 1.0]),   # exact dup of 1
+        Row(vec_id=3, embedding=[0.9, 0.0]),   # diverse, lower rel
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.mmr_rerank(df, query_id=0, k=3).collect()
+    assert [r.vec_id for r in out] == [1, 3, 2]
+    assert [r.mmr_rank for r in out] == [0, 1, 2]
+    # first pick is pure relevance (maxsim 0), later picks carry the
+    # running max against the picked set
+    assert out[0].maxsim == 0 and out[1].maxsim > 0
+    assert all(r.score == 2 * r.rel - r.maxsim for r in out)
+    # fewer candidates than k: early stop, no duplicate picks
+    short = similarity.mmr_rerank(df, query_id=0, k=10).collect()
+    assert len(short) == 3
+    # missing query id is a clear error, not an IndexError
+    with _pytest.raises(ValueError, match="not found"):
+        similarity.mmr_rerank(df, query_id=99, k=2)
