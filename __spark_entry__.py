@@ -479,6 +479,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_symspell": q_b30_symspell,
         "b30_bellman_ford": q_b30_bellman_ford,
         "b20_mmr_rerank": q_b20_mmr_rerank,
+        "b22_audio_fingerprint": q_b22_audio_fingerprint,
     }
 
 

@@ -539,3 +539,60 @@ def q_b23_map_in_arrow(spark, sf_dir):
         "doc_id long, n_chars_a long, n_bytes_a long,"
         " n_spaces long, n_tokens_ws long",
     )
+
+
+def q_b22_audio_fingerprint(spark, sf_dir):
+    """Audio near-duplicate detection via amplitude-invariant shape
+    fingerprints (B22 depth, r13 — the cross-doc MATCHING step the
+    per-doc audio screens stop short of: find re-encoded copies of the
+    same recording): content-driven PCM per document
+    (multimodal.pcm_from_text — byte pairs as s16le samples, so the
+    waveform SHAPE follows the content), a planted rescale twin per
+    doc (scale_pcm ×3, the volume-normalized re-upload), then
+    landmark extraction (audio_fingerprints: frame energies →
+    rise/fall bits → 8-bit sliding shingles — a positive rescale
+    multiplies every energy by 9, leaving every bit, hence every
+    landmark, bit-identical) and a (pos, shingle) EQUI-join pair
+    screen. Hot landmark buckets are df-capped at 64 before the join
+    (the winnow_pairs rule — the pair count stays linear in corpus
+    size, never |bucket|²-unbounded); pairs sharing ≥ 8 landmarks
+    surface, flagged ``is_rescale_pair`` when they are a planted twin.
+    The fingerprint relation is localCheckpoint'd once — three
+    consumers (bucket counts + both join sides) would otherwise
+    re-run the decode pipeline per reference (the iterative-consumer
+    rule)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    orig = multimodal.pcm_from_text(docs)
+    mut = multimodal.scale_pcm(orig, 3).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "payload"
+    )
+    corpus = orig.unionByName(mut)
+    lm = multimodal.audio_fingerprints(corpus, frame=8).localCheckpoint()
+    bc = lm.groupBy("pos", "shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    capped = lm.join(
+        bc.filter(F.col("__df") <= 64).select("pos", "shingle"),
+        ["pos", "shingle"],
+    )
+    a = capped.select(
+        "pos", "shingle", F.col("doc_id").alias("doc_a")
+    )
+    b = capped.select(
+        "pos", "shingle", F.col("doc_id").alias("doc_b")
+    )
+    pairs = (
+        a.join(b, ["pos", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 8)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        (F.col("doc_b") == F.col("doc_a") + 300000).alias(
+            "is_rescale_pair"
+        ),
+    )

@@ -604,4 +604,65 @@ SQL = {
                              ELSE 0 END AS BIGINT) AS n_tokens_ws
             FROM documents
         """,
+
+        "b22_audio_fingerprint": """
+            -- closed-form replay of pcm_from_text + scale_pcm(3) +
+            -- audio_fingerprints(frame=8) + the df-capped pair screen:
+            -- sample i = b(2i) + 256*(b(2i+1) %% 16) - 2048 (ASCII corpus,
+            -- so ascii(substr(..)) IS the byte); rescale scales every
+            -- energy by 9 exactly, so bits replay scale-free
+            WITH sides AS (
+              SELECT doc_id, text, 1 AS scale FROM documents
+              UNION ALL
+              SELECT doc_id + 300000, text, 3 FROM documents
+            ),
+            samp AS (
+              SELECT s.doc_id, g.i,
+                     s.scale * (ascii(substr(s.text, 2*g.i + 1, 1))
+                       + 256 * (ascii(substr(s.text, 2*g.i + 2, 1)) % 16)
+                       - 2048) AS v
+              FROM sides s, generate_series(0, 511) g(i)
+              WHERE g.i < length(s.text) // 2
+            ),
+            en AS (
+              SELECT doc_id, i // 8 AS f,
+                     CAST(sum(v * v) AS BIGINT) AS e,
+                     count(*) AS cnt
+              FROM samp GROUP BY doc_id, i // 8
+            ),
+            fe AS (SELECT doc_id, f, e FROM en WHERE cnt = 8),
+            bits AS (
+              SELECT doc_id, f,
+                     CASE WHEN lead(e) OVER w > e THEN 1 ELSE 0 END AS b,
+                     count(*) OVER (PARTITION BY doc_id) AS nf
+              FROM fe WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+            ),
+            sh AS (
+              SELECT doc_id, CAST(f AS INTEGER) AS pos,
+                     CAST(b * 128 + lead(b, 1) OVER w * 64 + lead(b, 2) OVER w * 32 + lead(b, 3) OVER w * 16 + lead(b, 4) OVER w * 8 + lead(b, 5) OVER w * 4 + lead(b, 6) OVER w * 2 + lead(b, 7) OVER w * 1
+                          AS INTEGER) AS shingle
+              FROM bits WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+              QUALIFY f <= nf - 9
+            ),
+            bc AS (
+              SELECT pos, shingle, count(*) AS df
+              FROM sh GROUP BY pos, shingle
+            ),
+            lm AS (
+              SELECT s.doc_id, s.pos, s.shingle
+              FROM sh s JOIN bc USING (pos, shingle)
+              WHERE bc.df <= 64
+            ),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM lm a JOIN lm b
+                ON a.pos = b.pos AND a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   doc_b = doc_a + 300000 AS is_rescale_pair
+            FROM pairs WHERE n_shared >= 8
+        """,
 }

@@ -258,3 +258,61 @@ def test_mmr_rerank_diversifies_and_guards(spark):
     # missing query id is a clear error, not an IndexError
     with _pytest.raises(ValueError, match="not found"):
         similarity.mmr_rerank(df, query_id=99, k=2)
+
+
+def test_audio_fingerprints_rescale_invariant_and_guards(spark):
+    from pyspark.sql import Row
+
+    from sqlite_cdc_spark.pipeline import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy "
+                               "dog while seventeen noisy parrots debate "
+                               "the merits of lossless audio encodings "
+                               "and a tuba hums quietly in the corner of "
+                               "the archive room all afternoon long ok"),
+            Row(doc_id=2, text="tiny"),  # < 9 frames: no landmarks
+        ]
+    )
+    orig = mm.pcm_from_text(docs)
+    fp_o = sorted(
+        (r.doc_id, r.pos, r.shingle)
+        for r in mm.audio_fingerprints(orig, frame=8).collect()
+    )
+    # every landmark is doc 1's; doc 2 is too short for one shingle
+    assert fp_o and all(d == 1 for d, _, _ in fp_o)
+    # the amplitude-invariance contract: x3 rescale scales every frame
+    # energy by 9, so rise/fall bits and shingles replay identically
+    fp_s = sorted(
+        (r.doc_id, r.pos, r.shingle)
+        for r in mm.audio_fingerprints(
+            mm.scale_pcm(orig, 3), frame=8
+        ).collect()
+    )
+    assert fp_s == fp_o
+
+
+def test_scale_pcm_saturates_and_passes_corrupt_through(spark):
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from sqlite_cdc_spark.pipeline import multimodal as mm
+
+    loud = np.array([30000, -30000, 5, -5], dtype="<i2").tobytes()
+    rows = [
+        Row(doc_id=1, payload=loud),
+        Row(doc_id=2, payload=b"\x01"),  # odd length: corrupt s16le
+    ]
+    got = {
+        r.doc_id: r.payload
+        for r in mm.scale_pcm(
+            spark.createDataFrame(rows), 3
+        ).collect()
+    }
+    out = np.frombuffer(got[1], dtype="<i2")
+    # 3x of 30000 saturates at the int16 rails instead of wrapping
+    assert list(out) == [32767, -32768, 15, -15]
+    # corrupt payloads pass through unchanged
+    assert bytes(got[2]) == b"\x01"
