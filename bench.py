@@ -108,6 +108,13 @@ HEADLINE = [
     "b30_label_propagation",   # 3-round synchronous LPA (B30 graph)
     "b28_kcenter_diversity",   # k x (scan + limit-1 collect) greedy picks
     "b24_corpus_v9",           # r12 capstone: frontier+kcenter+shuffle
+    # --- round 13 additions (one line per new execution shape) --------
+    "b30_kcore",               # r13 iterative peel w/ per-round ckpts
+    "b30_bellman_ford",        # r13 4-table reduce + relax iteration
+    "b30_symspell",            # r13 delete-expansion equi-join
+    "b22_audio_fingerprint",   # r13 decode + landmark pair screen
+    "b20_mmr_rerank",          # r13 k-pick greedy w/ running-max fold
+    "b23_stateful_udf",        # r13 applyInPandas state-machine mode
 ]
 
 

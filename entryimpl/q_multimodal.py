@@ -562,7 +562,10 @@ def q_b22_audio_fingerprint(spark, sf_dir):
     re-run the decode pipeline per reference (the iterative-consumer
     rule)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    orig = multimodal.pcm_from_text(docs)
+    # orig feeds two structurally different consumers (the plain branch
+    # and the rescale branch of the union) — checkpoint once or the
+    # text→PCM encode and the corpus scan run twice
+    orig = multimodal.pcm_from_text(docs).localCheckpoint()
     mut = multimodal.scale_pcm(orig, 3).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "payload"
     )

@@ -1067,10 +1067,15 @@ def q_b30_symspell(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(normalize_text("text"), " ")).alias("term")
     ).filter(F.length("term") >= 4)
+    # vocab feeds two STRUCTURALLY different consumers (the dict-side
+    # full expansion and the query-side filter+mutate+expansion), so a
+    # lazy plan tokenizes the corpus twice — checkpoint once (the
+    # iterative-consumer rule; AQE only reuses verbatim-shared subplans)
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .filter(F.col("freq") >= 2)
+        .localCheckpoint()
     )
     deletes = F.array_distinct(
         F.concat(

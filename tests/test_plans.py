@@ -787,3 +787,25 @@ def test_iterative_plan_join_count_within_budget(spark, sf_dir, name, budget):
         f"{ {k: v for k, v in counts.items() if v} }; a lazy iterative "
         "chain is probably re-executing prior rounds (the de6ad9c class)"
     )
+
+
+def test_r13_heavy_additions_no_cartesian(spark, sf_dir):
+    # r13 wave queries whose candidate/pair/graph joins must stay
+    # keyed: the SymSpell delete-variant equi-join, the audio
+    # fingerprint (pos, shingle) pair screen, Bellman-Ford's 4-table
+    # edge reduction, the neighborhood-Jaccard shared-part pairs, the
+    # radius search's banded probe join, and k-core's per-round
+    # survivor semi-joins. (b10_anova's 1-row totals broadcast is the
+    # documented source_kl idiom and is exempt like dsir/corpus_v8.)
+    for name in (
+        "b30_symspell",
+        "b22_audio_fingerprint",
+        "b30_bellman_ford",
+        "b30_neighborhood_jaccard",
+        "b20_radius_search",
+        "b30_kcore",
+        "b13_dict_encoding",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
