@@ -1023,6 +1023,201 @@ def r12_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r13_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
+    """Round-13 families with genuinely NEW scale shapes: fixed-round
+    k-core peeling and Bellman-Ford (iterative keyed joins with
+    per-round checkpoints), the SymSpell delete-expansion equi-join,
+    the audio-fingerprint decode + df-capped landmark pair screen, MMR
+    re-ranking (k narrow scans + limit-1 readbacks, the kcenter
+    shape), the browse-funnel applyInPandas state machine, the
+    mapInArrow telemetry pass, and PPS systematic selection (two-phase
+    prefix sum). anova / dict_encoding / watermark_audit are keyed-agg
+    shapes the base ops smoke; radius search rides the smoked LSH
+    banding; neighborhood-jaccard / diversified-topk / rle ride the
+    smoked df-capped pair and bucket-window shapes."""
+    from sqlite_cdc_spark.pipeline import multimodal, sampling, similarity
+    from sqlite_cdc_spark.pipeline import stateful
+    from sqlite_cdc_spark.pipeline.text import normalize_text
+
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    docs = spark.read.parquet(docs_path)
+    n_nodes = max(rows // 20, 100)
+    edges = spark.range(rows // 2).select(
+        F.pmod(F.col("id"), n_nodes).alias("src"),
+        F.pmod(F.xxhash64("id"), n_nodes).alias("dst"),
+    )
+
+    def kcore():
+        derive.kcore_peel(edges, k=3, rounds=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("kcore", kcore)
+
+    def bellman_ford():
+        # the heavy part is the edge contraction; the relax loop runs on
+        # the bounded 50-node relation (mirrors the nation graph build)
+        e50 = (
+            spark.range(rows)
+            .select(
+                F.pmod(F.col("id"), 50).alias("src"),
+                F.pmod(F.xxhash64("id"), 50).alias("dst"),
+                F.pmod(F.xxhash64("id", F.lit(1)), 100).alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("w").cast("long").alias("w"))
+        )
+        derive.bellman_ford(e50, source=0, rounds=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run("bellman_ford", bellman_ford)
+
+    def symspell():
+        toks = docs.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("term")
+        ).filter(F.length("term") >= 4)
+        vocab = (
+            toks.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .filter(F.col("freq") >= 2)
+            .localCheckpoint()
+        )
+        deletes = F.array_distinct(
+            F.concat(
+                F.array(F.col("term")),
+                F.expr(
+                    "transform(sequence(1, length(term)),"
+                    " i -> concat(substring(term, 1, i - 1),"
+                    " substring(term, i + 1, length(term))))"
+                ),
+            )
+        )
+        dv = vocab.select("term", "freq", F.explode(deletes).alias("v"))
+        qv = (
+            vocab.filter((F.col("freq") >= 5) & (F.length("term") >= 5))
+            .select(
+                F.col("term").alias("qt"),
+                F.explode(deletes).alias("v"),
+            )
+        )
+        (
+            qv.join(dv, "v")
+            .filter(F.levenshtein(F.col("qt"), F.col("term")) <= 1)
+            .groupBy("qt")
+            .agg(F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    run("symspell", symspell)
+
+    def audio_fingerprint():
+        orig = multimodal.pcm_from_text(docs).localCheckpoint()
+        mut = multimodal.scale_pcm(orig, 3).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "payload"
+        )
+        lm13 = multimodal.audio_fingerprints(
+            orig.unionByName(mut), frame=8
+        ).localCheckpoint()
+        bc = lm13.groupBy("pos", "shingle").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        capped = lm13.join(
+            bc.filter(F.col("__df") <= 64).select("pos", "shingle"),
+            ["pos", "shingle"],
+        )
+        a = capped.select("pos", "shingle", F.col("doc_id").alias("a"))
+        b = capped.select("pos", "shingle", F.col("doc_id").alias("b"))
+        (
+            a.join(b, ["pos", "shingle"])
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 8)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    run("audio_fingerprint", audio_fingerprint)
+
+    vecs = spark.range(rows // 100).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16),"
+            " i -> cast(pmod(xxhash64(id, i), 1000) as double) / 1000.0)"
+        ).alias("embedding"),
+    )
+
+    def mmr():
+        similarity.mmr_rerank(vecs, query_id=0, k=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run("mmr_rerank", mmr)
+
+    ev13 = spark.range(rows // 4).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), max(rows // 400, 10)).alias("user_id"),
+        F.col("id").cast("timestamp").alias("ts"),
+        F.element_at(
+            F.array(
+                F.lit("click"), F.lit("view"), F.lit("purchase"),
+                F.lit("error"), F.lit("signup"),
+            ),
+            (F.pmod(F.xxhash64("id"), 5) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+
+    def stateful_udf():
+        stateful.browse_funnel_batch(ev13).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("stateful_udf", stateful_udf)
+
+    def map_in_arrow():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def kernel(batches):
+            for b in batches:
+                t = b.column("text")
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column("doc_id"),
+                        pc.cast(pc.utf8_length(t), pa.int64()),
+                        pc.cast(pc.count_substring(t, " "), pa.int64()),
+                    ],
+                    names=["doc_id", "n_chars", "n_spaces"],
+                )
+
+        docs.select("doc_id", "text").mapInArrow(
+            kernel, "doc_id long, n_chars long, n_spaces long"
+        ).write.format("noop").mode("overwrite").save()
+
+    run("map_in_arrow", map_in_arrow)
+
+    def pps():
+        sampling.pps_systematic(
+            docs.select("doc_id", F.length("text").alias("w")),
+            "w",
+            1000,
+            [F.col("doc_id").asc()],
+        ).write.format("noop").mode("overwrite").save()
+
+    run("pps_systematic", pps)
+
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -1074,6 +1269,7 @@ def main():
             results[label].update(r10_ops(spark, dpath, rows))
             results[label].update(r11_ops(spark, dpath, rows))
             results[label].update(r12_ops(spark, dpath, rows))
+            results[label].update(r13_ops(spark, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
