@@ -1784,10 +1784,11 @@ def q_b10_anova(spark, sf_dir):
     Scale shape: ONE keyed pass over events (map-side combinable sums
     of v, v², 1), then everything downstream lives on the
     |event_types|-row relation — broadcast back over it for the
-    per-group output. Σv² ≈ n·(5·10⁵)² stays under int64 through
-    ~3·10⁷ rows/group; a 100 TB run lifts the two power sums to
-    decimal(38,0) (same expression tree, documented here rather than
-    paid on the small path)."""
+    per-group output. The squared sums S² are computed in
+    decimal(38,0) (S ≈ n·5·10⁵ overflows int64² at ~6·10⁶ rows —
+    caught by the sf0.1 gate); Σv² itself stays under int64 through
+    ~3·10⁷ rows/group, after which it too lifts to decimal(38,0)
+    (same expression tree)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
     )
@@ -1801,8 +1802,14 @@ def q_b10_anova(spark, sf_dir):
         F.sum("n_g").cast("long").alias("n_total"),
         F.sum("sum_milli").cast("long").alias("s_all"),
         F.sum("ssq_milli").cast("long").alias("q_all"),
+        # the squared sums outgrow int64 long before the power sums do
+        # (S ≈ n·5·10⁵ ⇒ S² > 2⁶³ at ~6·10⁶ rows): square in
+        # decimal(38,0), floor-div back to long
         F.sum(
-            F.expr("sum_milli * sum_milli div n_g")
+            F.expr(
+                "cast(cast(sum_milli as decimal(38,0)) * sum_milli"
+                " div n_g as long)"
+            )
         ).cast("long").alias("b_all"),
     )
     return (
@@ -1814,7 +1821,10 @@ def q_b10_anova(spark, sf_dir):
             "ssq_milli",
             "k_groups",
             "n_total",
-            F.expr("b_all - (s_all * s_all div n_total)").alias("ssb_x"),
+            F.expr(
+                "b_all - cast(cast(s_all as decimal(38,0)) * s_all"
+                " div n_total as long)"
+            ).alias("ssb_x"),
             F.expr("q_all - b_all").alias("ssw_x"),
             (F.col("k_groups") - 1).cast("long").alias("df_between"),
             (F.col("n_total") - F.col("k_groups"))

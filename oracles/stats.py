@@ -1111,23 +1111,24 @@ SQL = {
                      CAST(sum(n_g) AS BIGINT) AS n_total,
                      CAST(sum(sum_milli) AS BIGINT) AS s_all,
                      CAST(sum(ssq_milli) AS BIGINT) AS q_all,
-                     CAST(sum(sum_milli * sum_milli // n_g) AS BIGINT)
+                     CAST(sum(CAST(sum_milli AS HUGEINT) * sum_milli
+                              // n_g) AS BIGINT)
                        AS b_all
               FROM per_g
             )
             SELECT p.event_type, p.n_g, p.sum_milli, p.ssq_milli,
                    g.k_groups, g.n_total,
-                   CAST(g.b_all - (g.s_all * g.s_all // g.n_total)
+                   CAST(g.b_all - (CAST(g.s_all AS HUGEINT) * g.s_all // g.n_total)
                         AS BIGINT) AS ssb_x,
                    CAST(g.q_all - g.b_all AS BIGINT) AS ssw_x,
                    CAST(g.k_groups - 1 AS BIGINT) AS df_between,
                    CAST(g.n_total - g.k_groups AS BIGINT) AS df_within,
                    CASE WHEN g.q_all - g.b_all > 0
-                             AND g.b_all - (g.s_all * g.s_all // g.n_total)
+                             AND g.b_all - (CAST(g.s_all AS HUGEINT) * g.s_all // g.n_total)
                                  >= 0
                              AND g.k_groups > 1
                              AND g.n_total > g.k_groups THEN
-                     round(CAST(g.b_all - (g.s_all * g.s_all // g.n_total)
+                     round(CAST(g.b_all - (CAST(g.s_all AS HUGEINT) * g.s_all // g.n_total)
                                 AS DOUBLE)
                            * CAST(g.n_total - g.k_groups AS DOUBLE)
                            / (CAST(g.q_all - g.b_all AS DOUBLE)
