@@ -316,3 +316,29 @@ def test_scale_pcm_saturates_and_passes_corrupt_through(spark):
     assert list(out) == [32767, -32768, 15, -15]
     # corrupt payloads pass through unchanged
     assert bytes(got[2]) == b"\x01"
+
+
+def test_audio_fingerprints_partition_invariant(spark):
+    # mapInPandas batch boundaries must not change the landmark set —
+    # the kernel's repeat/cumsum index algebra is per-batch, so a
+    # repartitioned corpus has different batch compositions
+    from sqlite_cdc_spark.pipeline import multimodal as mm
+    from sqlite_cdc_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    pcm = mm.pcm_from_text(docs).localCheckpoint()
+    one = sorted(
+        (r.doc_id, r.pos, r.shingle)
+        for r in mm.audio_fingerprints(
+            pcm.coalesce(1), frame=8
+        ).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.pos, r.shingle)
+        for r in mm.audio_fingerprints(
+            pcm.repartition(16), frame=8
+        ).collect()
+    )
+    assert one == many and len(one) > 0
