@@ -1786,16 +1786,26 @@ def q_b10_anova(spark, sf_dir):
     |event_types|-row relation — broadcast back over it for the
     per-group output. The squared sums S² are computed in
     decimal(38,0) (S ≈ n·5·10⁵ overflows int64² at ~6·10⁶ rows —
-    caught by the sf0.1 gate); Σv² itself stays under int64 through
-    ~3·10⁷ rows/group, after which it too lifts to decimal(38,0)
-    (same expression tree)."""
+    caught by the sf0.1 gate); Σv² likewise accumulates in
+    decimal(38,0)/HUGEINT (r14 — same expression tree), so the only
+    int64 boundary anywhere is the exposed-column cast, which fails
+    loud (NULL / ANSI error / HUGEINT cast error) instead of
+    wrapping to a wrong value."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
     )
     per_g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
         F.sum("v").cast("long").alias("sum_milli"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("ssq_milli"),
+        # accumulate Σv² in decimal(38,0) (HUGEINT on the oracle): the
+        # products fit int64 easily (v² ≈ 2.5e11) but the SUM crosses
+        # 2⁶³ at ~3.7e7 rows/group, where int64 would silently wrap —
+        # with decimal accumulation the only int64 boundary left is
+        # this exposed-column cast, which fails loud (NULL / ANSI
+        # error) instead of producing a wrong value
+        F.sum(F.expr("cast(v as decimal(38,0)) * v"))
+        .cast("long")
+        .alias("ssq_milli"),
     )
     glob = per_g.agg(
         F.count(F.lit(1)).cast("long").alias("k_groups"),

@@ -617,12 +617,17 @@ SQL = {
               SELECT doc_id + 300000, text, 3 FROM documents
             ),
             samp AS (
-              SELECT s.doc_id, g.i,
-                     s.scale * (ascii(substr(s.text, 2*g.i + 1, 1))
-                       + 256 * (ascii(substr(s.text, 2*g.i + 2, 1)) % 16)
+              -- unnest(range(..)) derives the sample count from EACH
+              -- document's own length (the engine's pcm_from_text is
+              -- uncapped, so a fixed series bound would silently
+              -- diverge the day a document exceeds it)
+              SELECT doc_id, i,
+                     scale * (ascii(substr(text, 2*i + 1, 1))
+                       + 256 * (ascii(substr(text, 2*i + 2, 1)) % 16)
                        - 2048) AS v
-              FROM sides s, generate_series(0, 511) g(i)
-              WHERE g.i < length(s.text) // 2
+              FROM (SELECT doc_id, text, scale,
+                           unnest(range(0, length(text) // 2)) AS i
+                    FROM sides)
             ),
             en AS (
               SELECT doc_id, i // 8 AS f,

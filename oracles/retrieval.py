@@ -989,11 +989,15 @@ SQL = {
             dict_vars AS (
               SELECT DISTINCT term, freq, term AS variant FROM vocab
               UNION
+              -- unnest(range(..)) bounds the deletion positions by EACH
+              -- term's own length (the engine expands sequence(1,
+              -- length(term)) uncapped, so no fixed series ceiling)
               SELECT DISTINCT term, freq,
                      substr(term, 1, i - 1) || substr(term, i + 1)
                        AS variant
-              FROM vocab, generate_series(1, 40) g(i)
-              WHERE i <= length(term)
+              FROM (SELECT term, freq,
+                           unnest(range(1, length(term) + 1)) AS i
+                    FROM vocab)
             ),
             queries AS (
               SELECT term AS src_term,
@@ -1008,8 +1012,9 @@ SQL = {
               UNION
               SELECT DISTINCT src_term, query_text,
                      substr(query_text, 1, i - 1) || substr(query_text, i + 1)
-              FROM queries, generate_series(1, 40) g(i)
-              WHERE i <= length(query_text)
+              FROM (SELECT src_term, query_text,
+                           unnest(range(1, length(query_text) + 1)) AS i
+                    FROM queries)
             ),
             cand AS (
               SELECT DISTINCT q.src_term, q.query_text, d.term, d.freq

@@ -1103,7 +1103,10 @@ SQL = {
               SELECT event_type,
                      CAST(count(*) AS BIGINT) AS n_g,
                      CAST(sum(v) AS BIGINT) AS sum_milli,
-                     CAST(sum(v * v) AS BIGINT) AS ssq_milli
+                     -- HUGEINT product mirrors the engine's
+                     -- decimal(38,0) accumulation of the squares
+                     CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT)
+                       AS ssq_milli
               FROM q GROUP BY event_type
             ),
             tot AS (

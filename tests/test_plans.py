@@ -767,7 +767,9 @@ _ITERATIVE_JOIN_BUDGETS = {
     "b30_kcore": 2,
     # r13: per-round distances checkpointed (union leg + join leg both
     # consume them): only the final nation left-join survives = 1 join
-    "b30_bellman_ford": 4,
+    # (r14: tightened from 4 — the 3 joins of slack could have masked a
+    # dropped-checkpoint regression, the exact class this pin exists for)
+    "b30_bellman_ford": 2,
 }
 
 
