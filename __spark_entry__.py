@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R13_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R14_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -480,83 +480,85 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b30_bellman_ford": q_b30_bellman_ford,
         "b20_mmr_rerank": q_b20_mmr_rerank,
         "b22_audio_fingerprint": q_b22_audio_fingerprint,
+        # --- round 14 ------------------------------------------------------
+        "b20_mmr_topn": q_b20_mmr_topn,
     }
 
 
-#: Round-13 driver window (first 50 of queries(); the driver's correctness
+#: Round-14 driver window (first 50 of queries(); the driver's correctness
 #: gate checks exactly these). Executed VERBATIM from the committed
-#: ``WINDOW_PLAN.json`` r13 leg (VERDICT r12 item 1): the 15 round-12
+#: ``WINDOW_PLAN.json`` r14 leg (VERDICT r13 item 1): the 15 round-13
 #: additions first (none has a driver row yet; all 15 passed the judge's
-#: own bit-strict gate at sf0.01, the 5 heaviest also at sf0.1), then the
-#: 35 stalest-green rows ranked by ``python tools/staleness.py --window
-#: 50``. After this window lands green: never-green = {b27_sketches}
-#: (rows-only by design) and the stalest attested row is r9.
-#: ``tools/staleness.py --plan`` emits the committed r14 leg
+#: own bit-strict gate at sf0.01, the 6 heaviest also at sf0.1), then the
+#: 35 stalest-green rows (all 12 r6-attested + 23 of the r7 cohort).
+#: After this window lands green: never-green = {b27_sketches} (rows-only
+#: by design), cumulative driver-green 376/377, stalest attested row r7.
+#: ``tools/staleness.py --plan`` emits the committed r15 leg
 #: (WINDOW_PLAN.json).
-_R13_WINDOW = [
-    "b7_semijoin_program",
-    "b13_partition_skew_audit",
-    "b26_global_shuffle",
-    "b10_permutation_fdr",
-    "b30_label_propagation",
-    "b10_mann_kendall",
-    "b15_changepoint",
-    "b28_pareto_frontier",
-    "b28_kcenter_diversity",
-    "b22_audio_vad",
-    "b24_corpus_v9",
-    "b20_ivf_probe_sweep",
-    "b17_incremental_frontier",
-    "b13_delta_encoding",
-    "b23_grouped_map_udf",
-    "b30_inverted_index",
-    "b20_mean_pool",
-    "b25_sql_correlated",
-    "b7_outer_join",
-    "b10_pivot",
-    "b10_unpivot",
-    "b11_value_funcs",
-    "b14_regex_funcs",
-    "b14_string_sim",
-    "b21_pii_scrub",
-    "b21_repetition",
-    "b19_incremental_index",
-    "b28_packing",
-    "b26_train_split",
-    "b26_stratified_sample",
-    "a16_bootstrap_union_log",
-    "b1_apply_roundtrip",
-    "b4_event_source",
-    "b5_filter_json",
-    "b6_projection",
-    "b8_semi_join",
-    "b10_price_histogram",
-    "b10_share_of_total",
-    "b10_max_by",
-    "b14_string_agg",
-    "b23_grouped_agg_udf",
-    "b21_readability",
-    "b21_zipf_fit",
-    "b15_funnel_steps",
-    "b30_query_expansion",
-    "b20_vector_audit",
-    "b10_filtered_agg",
-    "b21_heaps_curve",
-    "b19_source_novelty",
-    "b15_session_stats",
+_R14_WINDOW = [
+    "b23_stateful_udf",
+    "b26_pps_systematic",
+    "b30_neighborhood_jaccard",
+    "b13_rle_encoding",
+    "b12_diversified_topk",
+    "b20_radius_search",
+    "b30_kcore",
+    "b15_watermark_audit",
+    "b10_anova",
+    "b13_dict_encoding",
+    "b23_map_in_arrow",
+    "b30_symspell",
+    "b30_bellman_ford",
+    "b20_mmr_rerank",
+    "b22_audio_fingerprint",
+    "b3_op_drift",
+    "b8_anti_join",
+    "b9_asof",
+    "b9_asof_join",
+    "b13_set_ops",
+    "b20_kmeans",
+    "b20_pq",
+    "b30_pagerank",
+    "b7_bloom_join",
+    "b19_prefix_filter",
+    "b10_bootstrap",
+    "b25_sql_recursive",
+    "a6_bootstrap",
+    "a10_drain_batch",
+    "b2_log_compaction",
+    "b3_change_stats",
+    "b7_join_enrich",
+    "b10_agg_pricing",
+    "b11_window_funcs",
+    "a2_snapshot_first_page",
+    "a3_keyset_page",
+    "a4_row_json",
+    "a5_hex",
+    "a10_drain_after",
+    "a11_ts_codec",
+    "a12_op_decode",
+    "b21_dup_ngram_coverage",
+    "b20_covariance",
+    "b1_incremental_agg",
+    "b10_column_profile",
+    "b8_waiting_suppliers",
+    "b26_weighted_sample",
+    "b21_lexical_diversity",
+    "b8_idle_customers",
+    "b19_fuzzy_join",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R13_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R14_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R13_WINDOW}
+    ordered = {k: q[k] for k in _R14_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

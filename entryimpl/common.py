@@ -2642,15 +2642,27 @@ def _ivf_probe_sweep_oracle_sql() -> str:
     """
 
 
-def _mmr_oracle_sql(k: int = 10, d: int = 64, quant: int = 10**6) -> str:
-    """DuckDB replay of q_b20_mmr_rerank: query = vec 0's quantized
-    embedding; k chained (2·rel − maxsim desc, id asc) argmax picks
-    with a running max-sim fold. Every pick CTE is MATERIALIZED (each
-    cand{t} is referenced by both the pick and the fold — the kcenter
-    AS MATERIALIZED lesson, else re-evaluation is exponential in k)."""
+def _mmr_oracle_sql(
+    k: int = 10,
+    d: int = 64,
+    quant: int = 10**6,
+    topn: int | None = None,
+) -> str:
+    """DuckDB replay of q_b20_mmr_rerank / q_b20_mmr_topn: query =
+    vec 0's quantized embedding; k chained (2·rel − maxsim desc, id
+    asc) argmax picks with a running max-sim fold. Every pick CTE is
+    MATERIALIZED (each cand{t} is referenced by both the pick and the
+    fold — the kcenter AS MATERIALIZED lesson, else re-evaluation is
+    exponential in k). With ``topn``, cand0 keeps only the rel-topN
+    (rel desc, id asc) — the engine's bounded-candidate prefilter."""
     dot = (
         f"list_sum(list_transform(generate_series(1, {d}),"
         " i -> c.qe[i] * p.ce[i]))"
+    )
+    bound = (
+        f"\n          ORDER BY rel DESC, c.vec_id ASC LIMIT {topn}"
+        if topn is not None
+        else ""
     )
     parts = [
         f"""q AS (
@@ -2665,7 +2677,7 @@ def _mmr_oracle_sql(k: int = 10, d: int = 64, quant: int = 10**6) -> str:
                  {dot} AS rel,
                  CAST(0 AS BIGINT) AS ms
           FROM q c CROSS JOIN qv p
-          WHERE c.vec_id <> 0
+          WHERE c.vec_id <> 0{bound}
         )"""
     ]
     for t in range(k):

@@ -597,5 +597,9 @@ SQL = {
         "b28_kcenter_diversity": _kcenter_oracle_sql(),
         "b20_mmr_rerank": _mmr_oracle_sql(),
 
+        # production composition (VERDICT r13 item 3): rel-top50
+        # prefilter, then the same chained picks over 50 candidates
+        "b20_mmr_topn": _mmr_oracle_sql(topn=50),
+
         "b20_ivf_probe_sweep": _ivf_probe_sweep_oracle_sql(),
 }

@@ -1676,6 +1676,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 10**6,
+    topn: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (r13 — the RETRIEVAL-side
     greedy beside kcenter_greedy's coverage greedy: instead of "cover
@@ -1692,10 +1693,22 @@ def mmr_rerank(
     MATERIALIZED running max-sim column (``localCheckpoint`` per
     pick), so each pick computes ONE new dot-product column in a
     narrow codegen pass + a ``limit(1)`` argmax readback of d
-    quantized components — O(k·n·d) total, driver traffic bounded by
-    k·d, never |rows| (collect sites on the audited allowlist,
-    tests/test_plans.py). Raises ``ValueError`` if the query id is
-    absent; stops early when candidates run out.
+    quantized components — O(k·|candidates|·d) total, driver traffic
+    bounded by k·d, never |rows| (collect sites on the audited
+    allowlist, tests/test_plans.py). Raises ``ValueError`` if the
+    query id is absent; stops early when candidates run out.
+
+    Bounded-candidate contract (the 100 TB shape): each of the k
+    picks MATERIALIZES the full candidate relation, so the per-pick
+    checkpoint cost is O(|candidates|) writes — fine for the bounded
+    candidate sets a re-ranker consumes by definition, corpus-sized
+    only as a certification exercise. MMR's production position is
+    AFTER retrieval: feed it a rel-topN / radius-search result, not
+    the corpus. ``topn`` applies that contract in-kernel: ONE
+    relevance scan over the corpus (a TakeOrderedAndProject — no
+    global sort materializes), then the k pick/fold rounds run on the
+    N surviving rows; mirrors how hubness/triplet-mining each grew an
+    ``_ann`` twin as their scale path.
 
     Output: ``(mmr_rank int, vec_id, rel bigint, maxsim bigint,
     score bigint)`` — maxsim/score as of the moment of the pick.
@@ -1725,7 +1738,15 @@ def mmr_rerank(
         "__qe",
         dot_to(qvec).alias("__rel"),
         F.lit(0).cast("long").alias("__ms"),
-    ).localCheckpoint()
+    )
+    if topn is not None:
+        # bounded-candidate prefilter: rel-topN with a deterministic id
+        # tie-break; orderBy+limit plans as TakeOrderedAndProject (per-
+        # partition heaps + a driver-side merge of N rows, no shuffle)
+        cur = cur.orderBy(F.col("__rel").desc(), F.col(id_col).asc()).limit(
+            topn
+        )
+    cur = cur.localCheckpoint()
     picks: list[tuple] = []
     for rank in range(k):
         top = (
