@@ -482,6 +482,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b22_audio_fingerprint": q_b22_audio_fingerprint,
         # --- round 14 ------------------------------------------------------
         "b20_mmr_topn": q_b20_mmr_topn,
+        "b2_compaction_cost": q_b2_compaction_cost,
+        "b6_typed_projection": q_b6_typed_projection,
+        "b12_limit_pushdown_audit": q_b12_limit_pushdown_audit,
+        "b2_compaction_cadence": q_b2_compaction_cadence,
     }
 
 

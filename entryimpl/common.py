@@ -2305,6 +2305,8 @@ def _ppr_oracle_sql(iters: int = 3) -> str:
 __all__ = [
     "_ppr_oracle_sql",
     "_mmr_oracle_sql",
+    "_compaction_cost_sql",
+    "_compaction_cadence_sql",
     "_ivf_probe_sweep_oracle_sql",
     "_kcenter_parts",
     "_corpus_v9_oracle_sql",
@@ -2641,6 +2643,90 @@ def _ivf_probe_sweep_oracle_sql() -> str:
         GROUP BY nprobe, query_id
     """
 
+
+
+def _compaction_cost_sql(epoch_size: int) -> str:
+    """Per-epoch compaction cost model over a ``changes`` CTE already in
+    scope — the DuckDB mirror of :func:`sqlite_cdc_spark.derive.
+    compaction_cost` (keyed liveness ±1 deltas, running sums over the
+    epoch grid). Parameterized by cadence so the b2_compaction_cadence
+    sweep replays the same algebra at each operating point."""
+    w = int(epoch_size)
+    return f"""
+            ke_{w} AS (
+              SELECT CAST(json_extract_string(coalesce(after, before),
+                          '$.user_id') AS BIGINT) AS k,
+                     id // {w} AS epoch,
+                     CAST(count(*) AS BIGINT) AS n,
+                     arg_max(operation, id) AS op_last
+              FROM changes GROUP BY 1, 2
+            ),
+            kd_{w} AS (
+              SELECT k, epoch, n,
+                     CASE WHEN op_last <> 'DELETE' THEN 1 ELSE 0 END
+                       - coalesce(lag(CASE WHEN op_last <> 'DELETE'
+                                           THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY k ORDER BY epoch), 0) AS delta
+              FROM ke_{w}
+            ),
+            ep_{w} AS (
+              SELECT epoch, CAST(sum(n) AS BIGINT) AS n_changes,
+                     CAST(count(*) AS BIGINT) AS n_keys_touched,
+                     CAST(sum(delta) AS BIGINT) AS ds
+              FROM kd_{w} GROUP BY epoch
+            ),
+            run_{w} AS (
+              SELECT epoch, n_changes, n_keys_touched,
+                     CAST(coalesce(sum(ds) OVER (ORDER BY epoch
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS carried_in,
+                     CAST(sum(ds) OVER (ORDER BY epoch) AS BIGINT)
+                       AS live_at_end
+              FROM ep_{w}
+            ),
+            o_{w} AS (
+              SELECT epoch, n_changes, n_keys_touched, carried_in,
+                     live_at_end,
+                     carried_in + n_changes AS rows_read,
+                     live_at_end AS rows_written,
+                     CAST(sum(live_at_end) OVER (ORDER BY epoch)
+                          AS BIGINT) AS cum_written
+              FROM run_{w}
+            )"""
+
+
+def _compaction_cadence_sql(cadences=(500, 1000, 2000, 4000)) -> str:
+    """Full DuckDB query for the b2_compaction_cadence sweep: one
+    :func:`_compaction_cost_sql` CTE chain per operating point, each
+    summarized to a single row and unioned."""
+    chains = ",\n            ".join(
+        _compaction_cost_sql(w) for w in cadences
+    )
+    legs = []
+    for w in cadences:
+        legs.append(
+            f"""SELECT CAST({w} AS BIGINT) AS epoch_size,
+                     CAST(count(*) AS BIGINT) AS n_runs,
+                     CAST(sum(n_changes) AS BIGINT) AS n_changes,
+                     CAST(sum(rows_read) AS BIGINT) AS total_rows_read,
+                     CAST(sum(rows_written) AS BIGINT)
+                       AS total_rows_written,
+                     CAST(arg_max(live_at_end, epoch) AS BIGINT)
+                       AS final_live,
+                     round(CAST(sum(rows_read) AS DOUBLE)
+                           / CAST(sum(n_changes) AS DOUBLE), 6)
+                       AS read_amp,
+                     round(CAST(sum(rows_written) AS DOUBLE)
+                           / CAST(arg_max(live_at_end, epoch)
+                                  AS DOUBLE), 6) AS write_amp
+              FROM o_{w}"""
+        )
+    union = "\n              UNION ALL ".join(legs)
+    return f"""
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            {chains}
+            SELECT * FROM ({union})
+    """
 
 def _mmr_oracle_sql(
     k: int = 10,

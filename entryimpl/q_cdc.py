@@ -685,3 +685,94 @@ def q_b2_retention_policies(spark, sf_dir):
             "kept_share"
         ),
     )
+
+
+def q_b2_compaction_cost(spark, sf_dir):
+    """Streaming-compaction cost model (B2 depth, r14 — VERDICT r13
+    item 5's suggested row): per 1000-change epoch, what a micro-batch
+    compactor run reads (carried live state + the epoch's delta),
+    writes (keys live after folding), and the cumulative write
+    amplification the cadence buys. The per-key liveness carry is ±1
+    deltas from a KEYED lag window; the epoch-grid running sums ride
+    derive.distributed_prefix_sum, so nothing single-partition touches
+    the corpus. Kernel: derive.compaction_cost; all columns integer-
+    exact except the round-6 write_amp ratio."""
+    ch = _events_changes(spark, sf_dir)
+    key = F.get_json_object(
+        F.coalesce("after", "before"), "$.user_id"
+    ).cast("bigint")
+    return derive.compaction_cost(ch, key, epoch_size=1000)
+
+
+def q_b6_typed_projection(spark, sf_dir):
+    """Typed-view materialization from CDC JSON images (B6 depth, r14
+    — the projection family's CDC-native row beside the base-table
+    b6_projection): the change feed's after-images projected into
+    typed columns (the "consume the log as a table" step every
+    downstream pipeline starts with) plus computed/renamed columns.
+    JSON image text is the deterministic a4 rendering, so extracted
+    values parse to identical doubles on both engines; value_band is
+    one IEEE divide + floor of the same double."""
+    ch = _events_changes(spark, sf_dir)
+    val = model.image_field("after", "value").cast("double")
+    return ch.filter(F.col("after").isNotNull()).select(
+        "id",
+        F.col("operation").alias("op"),
+        model.image_field("after", "user_id").cast("bigint").alias("user_id"),
+        model.image_field("after", "event_type").alias("event_type"),
+        val.alias("value"),
+        F.floor(val / F.lit(50.0)).cast("long").alias("value_band"),
+        (model.image_field("after", "event_type") == "purchase").alias(
+            "is_purchase"
+        ),
+    )
+
+
+def q_b2_compaction_cadence(spark, sf_dir):
+    """Compaction-cadence tuning curve (B2 depth, r14 — the operating-
+    point sweep over b2_compaction_cost, the same pattern the dedup
+    family uses for its threshold curves): the per-epoch cost model
+    summarized to ONE row per candidate cadence (500/1000/2000/4000
+    changes per run), so the read-amplification-vs-staleness tradeoff
+    is a four-point curve a deployment can pick from. Four independent
+    keyed passes over the change log (one per cadence — embarrassingly
+    parallel, no cross-cadence shuffle); each summary is a tiny agg
+    over its epoch grid. Integer-exact except the round-6 ratios."""
+    ch = _events_changes(spark, sf_dir).localCheckpoint()
+    key = F.get_json_object(
+        F.coalesce("after", "before"), "$.user_id"
+    ).cast("bigint")
+    legs = []
+    for w in (500, 1000, 2000, 4000):
+        ep = derive.compaction_cost(ch, key, epoch_size=w)
+        legs.append(
+            ep.agg(
+                F.lit(w).cast("long").alias("epoch_size"),
+                F.count(F.lit(1)).cast("long").alias("n_runs"),
+                F.sum("n_changes").cast("long").alias("n_changes"),
+                F.sum("rows_read").cast("long").alias("total_rows_read"),
+                F.sum("rows_written").cast("long").alias("total_rows_written"),
+                F.max_by("live_at_end", "epoch").cast("long").alias("final_live"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "epoch_size",
+        "n_runs",
+        "n_changes",
+        "total_rows_read",
+        "total_rows_written",
+        "final_live",
+        F.round(
+            F.col("total_rows_read").cast("double")
+            / F.col("n_changes").cast("double"),
+            6,
+        ).alias("read_amp"),
+        F.round(
+            F.col("total_rows_written").cast("double")
+            / F.col("final_live").cast("double"),
+            6,
+        ).alias("write_amp"),
+    )

@@ -1862,3 +1862,63 @@ def q_b10_anova(spark, sf_dir):
             ),
         )
     )
+
+
+def q_b12_limit_pushdown_audit(spark, sf_dir):
+    """Distributed limit-pushdown audit (B12 depth, r14 — VERDICT r13
+    item 5's suggested row): the two-phase algebra behind
+    TakeOrderedAndProject, surfaced as numbers. A global top-k
+    (k=100 lineitems by price cents desc, total-key tie-break) never
+    sorts the table: every partition keeps a k-row heap, the driver
+    merges Σ min(k, n_b) survivors, and only k win. This row computes
+    that reduction over a portable 32-bucket partition model
+    (md5-60 of the row key — replayable in SQL, unlike Spark's
+    physical hashpartitioning): per bucket, rows scanned, heap
+    survivors ≤ k, winners contributed, and the round-6 merge
+    fraction heap_out/n_rows. The winners leg is itself an
+    orderBy+limit (a real TakeOrderedAndProject — the audit uses the
+    operator it audits); the per-bucket joins are 32-row broadcasts.
+    Integer-exact except the final fraction."""
+    k = 100
+    n_buckets = 32
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        *[F.col(c) for c in _LI_PAGE_KEYS],
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            dedup.portable_hash60(
+                F.concat_ws(
+                    "|", "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+                )
+            ),
+            F.lit(n_buckets),
+        ).cast("long"),
+    )
+    order_cols = [F.col("price_c").desc()] + [
+        F.col(c).asc() for c in _LI_PAGE_KEYS
+    ]
+    winners = keyed.orderBy(*order_cols).limit(k)
+    per_bucket = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    win_bucket = winners.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_winners")
+    )
+    return (
+        per_bucket.join(F.broadcast(win_bucket), "bucket", "left")
+        .select(
+            "bucket",
+            "n_rows",
+            F.least(F.col("n_rows"), F.lit(k)).cast("long").alias("heap_out"),
+            F.coalesce("n_winners", F.lit(0)).cast("long").alias("n_winners"),
+        )
+        .withColumn(
+            "merge_frac",
+            F.round(
+                F.col("heap_out").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ),
+        )
+    )

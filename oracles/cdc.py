@@ -518,4 +518,41 @@ SQL = {
                round(CAST(n_kept AS DOUBLE) / tot.t, 6) AS kept_share
         FROM u CROSS JOIN tot
     """,
+
+        "b2_compaction_cost": f"""
+            -- streaming-compaction cost model: per 1000-change epoch,
+            -- liveness carried as keyed +/-1 deltas, running sums over
+            -- the epoch grid (mirrors derive.compaction_cost exactly;
+            -- CTE body shared with the cadence sweep via
+            -- _compaction_cost_sql)
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            {_compaction_cost_sql(1000)}
+            SELECT epoch, n_changes, n_keys_touched, carried_in,
+                   live_at_end, rows_read, rows_written,
+                   CASE WHEN live_at_end > 0 THEN
+                     round(CAST(cum_written AS DOUBLE)
+                           / CAST(live_at_end AS DOUBLE), 6)
+                   END AS write_amp
+            FROM o_1000
+        """,
+
+        "b2_compaction_cadence": _compaction_cadence_sql(),
+
+        "b6_typed_projection": f"""
+            -- typed view over the after-images: same JSON text both
+            -- engines render (a4 parity), so extracted doubles match
+            WITH changes AS ({_EVENTS_CHANGES_SQL})
+            SELECT id, operation AS op,
+                   CAST(json_extract_string(after, '$.user_id') AS BIGINT)
+                     AS user_id,
+                   json_extract_string(after, '$.event_type')
+                     AS event_type,
+                   CAST(json_extract_string(after, '$.value') AS DOUBLE)
+                     AS value,
+                   CAST(floor(CAST(json_extract_string(after, '$.value')
+                        AS DOUBLE) / 50.0) AS BIGINT) AS value_band,
+                   json_extract_string(after, '$.event_type')
+                     = 'purchase' AS is_purchase
+            FROM changes WHERE after IS NOT NULL
+        """,
 }

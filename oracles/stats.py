@@ -21,6 +21,7 @@ from sqlite_cdc_spark.sources import load_table
 import math as _math
 
 from entryimpl.common import *
+from sqlite_cdc_spark.pipeline.dedup import portable_hash60_sql
 
 SQL = {
         "b10_agg_pricing": """
@@ -1138,5 +1139,43 @@ SQL = {
                               * CAST(g.k_groups - 1 AS DOUBLE)), 6)
                    END AS f
             FROM per_g p CROSS JOIN tot g
+        """,
+
+        "b12_limit_pushdown_audit": f"""
+            -- two-phase top-k algebra: per 32-bucket partition model,
+            -- rows scanned vs heap survivors (<= k) vs winners; the
+            -- winners leg is the ORDER BY + LIMIT the audit audits
+            WITH keyed AS (
+              SELECT CAST(floor(l_extendedprice * 100) AS BIGINT)
+                       AS price_c,
+                     l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                     l_returnflag, l_linestatus, l_quantity,
+                     {portable_hash60_sql(
+                         "concat_ws('|', l_orderkey, l_partkey,"
+                         " l_suppkey, l_linenumber)"
+                     )} % 32 AS bucket
+              FROM lineitem
+            ),
+            winners AS (
+              SELECT bucket FROM keyed
+              ORDER BY price_c DESC, l_orderkey, l_partkey, l_suppkey,
+                       l_linenumber, l_returnflag, l_linestatus,
+                       l_quantity
+              LIMIT 100
+            ),
+            pb AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+              FROM keyed GROUP BY bucket
+            ),
+            wb AS (
+              SELECT bucket, CAST(count(*) AS BIGINT) AS n_winners
+              FROM winners GROUP BY bucket
+            )
+            SELECT p.bucket, p.n_rows,
+                   CAST(least(p.n_rows, 100) AS BIGINT) AS heap_out,
+                   CAST(coalesce(w.n_winners, 0) AS BIGINT) AS n_winners,
+                   round(CAST(least(p.n_rows, 100) AS DOUBLE)
+                         / CAST(p.n_rows AS DOUBLE), 6) AS merge_frac
+            FROM pb p LEFT JOIN wb w ON p.bucket = w.bucket
         """,
 }

@@ -2090,3 +2090,104 @@ def bellman_ford(
             .localCheckpoint()
         )
     return dist
+
+
+def compaction_cost(
+    changes: DataFrame,
+    key_col: Column,
+    epoch_size: int = 1000,
+    id_col: str = "id",
+    op_col: str = "operation",
+) -> DataFrame:
+    """Streaming-compaction cost model (r14, B2 depth — VERDICT r13
+    item 5's suggested row): if the change log is compacted to
+    latest-state every ``epoch_size`` changes (the micro-batch cadence
+    a Structured Streaming compactor would run at), what does each run
+    read, write, and carry? b2_vacuum_stats prices ONE compaction of
+    the whole log; this prices the SCHEDULE — the carried-state ×
+    cadence tradeoff a streaming deployment actually tunes
+    (reference scope: the read-replica use case, README.md:26-30).
+
+    Per epoch ``e = id div epoch_size``:
+
+    - ``n_changes``/``n_keys_touched`` — the epoch's delta volume;
+    - ``carried_in`` — keys live entering the epoch (prior state the
+      run must re-read);
+    - ``live_at_end`` — keys live after folding the epoch (rows the
+      run writes out);
+    - ``rows_read = carried_in + n_changes``,
+      ``rows_written = live_at_end`` — the run's I/O;
+    - ``write_amp`` — cumulative rows written across runs so far per
+      currently-live row (the steady-state amplification the cadence
+      buys).
+
+    Scale shape: one keyed (key, epoch) agg with map-side combine
+    (``max_by`` picks each key-epoch's last op), one per-key lag
+    window (keyed — never single-partition) turning liveness into ±1
+    deltas, then EVERYTHING lives on the ≤ max_id/epoch_size-row
+    epoch relation: the global running sums ride
+    :func:`distributed_prefix_sum` (exclusive prefix = carried_in /
+    prior cumulative writes), so no unpartitioned window touches a
+    corpus-sized relation at any step. Integer-exact except the final
+    ``write_amp`` ratio (round-6 of a ratio of exact int64).
+    """
+    ke = (
+        changes.select(
+            key_col.alias("__k"),
+            # integral `div`, not float `/`+cast: exact at any id scale
+            F.expr(f"{id_col} div {int(epoch_size)}")
+            .cast("long")
+            .alias("epoch"),
+            F.col(id_col).alias("__id"),
+            F.col(op_col).alias("__op"),
+        )
+        .groupBy("__k", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.max_by("__op", "__id").alias("__op_last"),
+        )
+        .withColumn(
+            "__live",
+            F.when(F.col("__op_last") != "DELETE", F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    w_key = Window.partitionBy("__k").orderBy("epoch")
+    deltas = ke.withColumn(
+        "__delta",
+        F.col("__live") - F.coalesce(F.lag("__live").over(w_key), F.lit(0)),
+    )
+    ep = deltas.groupBy("epoch").agg(
+        F.sum("__n").cast("long").alias("n_changes"),
+        F.count(F.lit(1)).cast("long").alias("n_keys_touched"),
+        F.sum("__delta").cast("long").alias("__ds"),
+    )
+    # exclusive prefix of liveness deltas = keys live ENTERING the epoch
+    ep = distributed_prefix_sum(
+        ep, [F.col("epoch")], "__ds", out_col="carried_in"
+    ).withColumn("live_at_end", F.col("carried_in") + F.col("__ds"))
+    ep = ep.withColumn("rows_written", F.col("live_at_end")).withColumn(
+        "rows_read", F.col("carried_in") + F.col("n_changes")
+    )
+    # second exclusive prefix: cumulative writes of all PRIOR runs
+    ep = distributed_prefix_sum(
+        ep, [F.col("epoch")], "rows_written", out_col="__cw"
+    )
+    return ep.select(
+        "epoch",
+        "n_changes",
+        "n_keys_touched",
+        F.col("carried_in").cast("long").alias("carried_in"),
+        "live_at_end",
+        "rows_read",
+        "rows_written",
+        F.when(
+            F.col("live_at_end") > 0,
+            F.round(
+                (F.col("__cw") + F.col("rows_written")).cast("double")
+                / F.col("live_at_end").cast("double"),
+                6,
+            ),
+        ).alias("write_amp"),
+    )

@@ -481,6 +481,14 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     # over the |partitions|-row totals relation (the b10_gini rule);
     # the cumulative-weight line itself is range-partitioned
     "b26_pps_systematic",
+    # r14: two distributed_prefix_sum passes over the epoch grid — the
+    # offsets windows run over the |partitions|-row totals relation,
+    # and the grid itself is <= max_id/epoch_size rows by construction
+    # (derive.compaction_cost documents the contraction)
+    "b2_compaction_cost",
+    # r14: the cadence sweep runs the same prefix-sum pair once per
+    # operating point — same epoch-grid bound at each cadence
+    "b2_compaction_cadence",
 }
 
 
