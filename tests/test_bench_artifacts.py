@@ -137,3 +137,54 @@ def test_compact_line_with_companion_still_fits_tail_window():
         }
     )
     assert len(line) < 1200, len(line)
+
+
+def test_registry_gate_artifact_covers_every_registered_query():
+    """REGISTRY_GATE.json (VERDICT r13 item 2) is the machine-readable
+    record of the builder's full-registry oracle gate — the mitigation
+    for the driver window's ~11-round re-attestation period. It must
+    cover EVERY query the entry module registers, at the granularity
+    the driver cares about: oracled queries pass bit-exact, rows-only
+    queries are recorded as such (never silently absent), and each
+    entry names the repo sha its run imported."""
+    import __spark_entry__ as entrymod
+
+    path = os.path.join(REPO, "REGISTRY_GATE.json")
+    with open(path) as f:
+        doc = json.load(f)
+    registered = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    gated = set(doc["queries"])
+    missing = registered - gated
+    assert not missing, f"registry-gate artifact missing {sorted(missing)}"
+    for name in sorted(registered):
+        scales = doc["queries"][name]["scales"]
+        assert scales, f"{name}: no gate run recorded"
+        want = "pass" if name in oracled else "rows_only"
+        for sf_label, entry in scales.items():
+            assert entry["status"] == want, (
+                f"{name}@{sf_label}: status {entry['status']!r}, "
+                f"expected {want!r}"
+            )
+            assert entry["sha"], f"{name}@{sf_label}: no sha recorded"
+        # the full-registry gate runs at >= 2 scales round-over-round;
+        # requiring one here keeps the test valid mid-accumulation
+        assert any(s.startswith("sf") for s in scales)
+
+
+def test_registry_gate_artifact_sha_is_a_real_commit():
+    import subprocess
+
+    path = os.path.join(REPO, "REGISTRY_GATE.json")
+    with open(path) as f:
+        doc = json.load(f)
+    shas = {s["sha"] for q in doc["queries"].values()
+            for s in q["scales"].values()}
+    shas.add(doc["last_run"]["sha"])
+    for sha in sorted(shas):
+        r = subprocess.run(
+            ["git", "cat-file", "-e", f"{sha}^{{commit}}"],
+            cwd=REPO,
+            capture_output=True,
+        )
+        assert r.returncode == 0, f"artifact sha {sha} is not a commit"
