@@ -115,6 +115,14 @@ HEADLINE = [
     "b22_audio_fingerprint",   # r13 decode + landmark pair screen
     "b20_mmr_rerank",          # r13 k-pick greedy w/ running-max fold
     "b23_stateful_udf",        # r13 applyInPandas state-machine mode
+    # --- round 14 additions (one line per new execution shape).
+    # b2_compaction_cadence stays out (4x the compaction_cost kernel —
+    # a second line would quadruple-count it in the total);
+    # b12_limit_pushdown_audit and b6_typed_projection are TakeOrdered/
+    # keyed-agg/projection shapes the b12_topk and b10/b6-family lines
+    # already measure.
+    "b2_compaction_cost",      # r14 liveness-carry + double prefix sum
+    "b20_mmr_topn",            # r14 production twin: rel-top50 -> MMR
 ]
 
 

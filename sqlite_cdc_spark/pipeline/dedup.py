@@ -1353,9 +1353,18 @@ def set_similarity_join(
     Output: ``(id_a, id_b, jaccard)`` — jaccard rounded 6.
     """
     t = threshold
+    # checkpoint ONCE: the shingle relation has FIVE structurally
+    # different consumers (df agg, size agg, the ranked join, and the
+    # two verify legs) — exactly the N>2 case of the r7 checkpoint
+    # rule, which AQE's ReusedExchange cannot line up. Lazy, the
+    # corpus re-tokenizes per consumer; measured at sf0.1 (r14,
+    # VERDICT r13 item 6's b19_prefix_filter variance watch):
+    # median 5.04 s lazy vs 3.39 s checkpointed, and the spread the
+    # driver box showed (6.27 s vs 3.69 s quiet) tracks the repeated
+    # tokenize passes this removes.
     dg = shingle_rows(df, id_col, text_col, k=shingle_k).select(
         F.col("doc").alias("__d"), F.col("sh").alias("__g")
-    )
+    ).localCheckpoint()
     sizes = dg.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
     gdf = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__d").orderBy(F.col("__df").asc(), F.col("__g").asc())
