@@ -326,6 +326,21 @@ def test_prefix_filter_never_broadcasts_vocab_relations(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_prefix_filter_shingle_relation_stays_lazy(spark, sf_dir):
+    """The r14 negative result frozen: a localCheckpoint on the shingle
+    relation wins at sf0.1 (5.04 s → 3.39 s) but pins corpus×shingles
+    rows in unified memory and the 10× smoke's dedup_manifest composite
+    OOMs building its verify-join hash maps (reproduced in isolation at
+    600k docs; DISK_ONLY persist survives but materializes a
+    corpus-sized intermediate per invocation — wrong at the 100 TB
+    target). A checkpointed/persisted shingle relation would appear as
+    Scan ExistingRDD / InMemoryTableScan in the plan; the lazy design
+    re-reads parquet per consumer instead."""
+    plan = _plan(spark, sf_dir, "b19_prefix_filter")
+    assert "Scan ExistingRDD" not in plan
+    assert "InMemoryTableScan" not in plan
+
+
 def test_bloom_probe_is_pure_narrow_filter(spark, sf_dir):
     # r7: the probe inlines the collected <=1 KB bitmap as a literal word
     # array, so the kept-side plan is a codegen Filter over the scan —
