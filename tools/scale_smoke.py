@@ -1218,6 +1218,106 @@ def r13_ops(spark, docs_path: str, rows: int) -> dict[str, float]:
     return out
 
 
+
+def r14_ops(spark, path: str, rows: int) -> dict[str, float]:
+    """Round-14 scale shapes: the streaming-compaction cost model
+    (keyed liveness deltas + two distributed prefix sums over the
+    epoch grid), its 4-point cadence sweep, the limit-pushdown audit
+    (double pruned scan + TakeOrderedAndProject + 32-row joins), and
+    MMR with the rel-topN prefilter (the bounded-candidate production
+    shape — pick cost is O(k*N), so wall time should be ~flat in
+    corpus size, unlike the corpus-wide mmr_rerank smoke)."""
+    from sqlite_cdc_spark.pipeline import similarity
+
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    n_keys = max(rows // 40, 100)
+    changes = spark.range(rows // 2).select(
+        F.col("id"),
+        F.element_at(
+            F.array(
+                F.lit("INSERT"), F.lit("UPDATE"),
+                F.lit("UPDATE"), F.lit("DELETE"),
+            ),
+            (F.pmod(F.xxhash64("id"), 4) + 1).cast("int"),
+        ).alias("operation"),
+        F.pmod(F.xxhash64("id", F.lit(7)), n_keys).alias("k"),
+    )
+    epoch = max(rows // 200, 10)
+
+    def compaction_cost():
+        derive.compaction_cost(
+            changes, F.col("k"), epoch_size=epoch
+        ).write.format("noop").mode("overwrite").save()
+
+    run("compaction_cost", compaction_cost)
+
+    def compaction_cadence():
+        ch = changes.localCheckpoint()
+        legs = []
+        for w in (epoch, epoch * 2, epoch * 4):
+            ep = derive.compaction_cost(ch, F.col("k"), epoch_size=w)
+            legs.append(
+                ep.agg(
+                    F.lit(w).cast("long").alias("epoch_size"),
+                    F.sum("rows_read").cast("long").alias("total_rows_read"),
+                    F.max_by("live_at_end", "epoch").cast("long").alias("final_live"),
+                )
+            )
+        outd = legs[0]
+        for leg in legs[1:]:
+            outd = outd.unionByName(leg)
+        outd.write.format("noop").mode("overwrite").save()
+
+    run("compaction_cadence", compaction_cadence)
+
+    li = spark.read.parquet(path)
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    def limit_pushdown_audit():
+        keyed = li.select(
+            F.col("l_extendedprice").alias("p"),
+            "l_orderkey",
+            "l_linenumber",
+        ).withColumn(
+            "bucket",
+            F.pmod(
+                portable_hash60(F.concat_ws("|", "l_orderkey", "l_linenumber")),
+                F.lit(32),
+            ),
+        )
+        winners = keyed.orderBy(
+            F.col("p").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+        ).limit(100)
+        pb = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+        wb = winners.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_winners"))
+        pb.join(F.broadcast(wb), "bucket", "left").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("limit_pushdown_audit", limit_pushdown_audit)
+
+    vecs14 = spark.range(rows // 100).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16),"
+            " i -> cast(pmod(xxhash64(id, i), 1000) as double) / 1000.0)"
+        ).alias("embedding"),
+    )
+
+    def mmr_topn():
+        similarity.mmr_rerank(
+            vecs14, query_id=0, k=8, topn=50
+        ).write.format("noop").mode("overwrite").save()
+
+    run("mmr_topn", mmr_topn)
+
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -1270,6 +1370,7 @@ def main():
             results[label].update(r11_ops(spark, dpath, rows))
             results[label].update(r12_ops(spark, dpath, rows))
             results[label].update(r13_ops(spark, dpath, rows))
+            results[label].update(r14_ops(spark, path, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
