@@ -486,6 +486,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b6_typed_projection": q_b6_typed_projection,
         "b12_limit_pushdown_audit": q_b12_limit_pushdown_audit,
         "b2_compaction_cadence": q_b2_compaction_cadence,
+        "b6_tolerant_projection": q_b6_tolerant_projection,
     }
 
 

@@ -776,3 +776,29 @@ def q_b2_compaction_cadence(spark, sf_dir):
             6,
         ).alias("write_amp"),
     )
+
+
+def q_b6_tolerant_projection(spark, sf_dir):
+    """Schema-TOLERANT typed projection over heterogeneous CDC images
+    (B6 depth, r14 — the consumer-side complement of the reference's
+    ALTER→resync handling, cmd/ + dbmeta.go: the log mixes image
+    shapes, DELETE rows carry only the before-image's key fields, and
+    a downstream view must still land on ONE typed schema). Missing
+    JSON fields extract as NULL on both engines; the projection fills
+    declared defaults and reports per-row how many fields needed
+    filling — the instrument a consumer uses to detect shape drift in
+    a live feed. Narrow single pruned scan, no shuffle."""
+    ch = _events_changes(spark, sf_dir)
+    img = F.coalesce("after", "before")
+    etype = model.image_field(img, "event_type")
+    val = model.image_field(img, "value").cast("double")
+    return ch.select(
+        "id",
+        F.col("operation").alias("op"),
+        model.image_field(img, "user_id").cast("bigint").alias("user_id"),
+        F.coalesce(etype, F.lit("unknown")).alias("event_type"),
+        F.coalesce(val, F.lit(-1.0)).alias("value"),
+        (
+            etype.isNull().cast("int") + val.isNull().cast("int")
+        ).cast("long").alias("n_filled"),
+    )
