@@ -95,7 +95,13 @@ def test_compaction_cost_known_answer(spark):
     assert abs(out[2].write_amp - round(7 / 3, 6)) < 1e-9
 
 
-def test_compaction_cost_terminal_liveness_matches_direct_compaction(spark):
+import pytest
+
+
+@pytest.mark.parametrize("seed", (7, 14, 21))
+def test_compaction_cost_terminal_liveness_matches_direct_compaction(
+    spark, seed
+):
     """The model's live_at_end at the final epoch must equal what a
     single full compaction (last image per key, drop DELETE) keeps —
     the b2_vacuum_stats/b2_log_compaction consistency triangle."""
@@ -105,7 +111,7 @@ def test_compaction_cost_terminal_liveness_matches_direct_compaction(spark):
     from pyspark.sql import functions as F
     from sqlite_cdc_spark import derive
 
-    rng = random.Random(14)
+    rng = random.Random(seed)
     rows = [
         Row(
             id=i,
