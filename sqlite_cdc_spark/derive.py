@@ -2121,6 +2121,10 @@ def compaction_cost(
       currently-live row (the steady-state amplification the cadence
       buys).
 
+    ``id_col`` must be non-negative (change-log ids are): Spark's
+    integral ``div`` truncates toward zero while DuckDB's ``//``
+    floors, so negative ids would bucket differently across engines.
+
     Scale shape: one keyed (key, epoch) agg with map-side combine
     (``max_by`` picks each key-epoch's last op), one per-key lag
     window (keyed — never single-partition) turning liveness into ±1

@@ -155,3 +155,15 @@ def test_compaction_cadence_nested_doublings_are_monotone(spark, sf_dir):
     assert reads == sorted(reads, reverse=True) or len(set(reads)) == 1
     # n_changes conservation: every cadence folds the same log
     assert len({r.n_changes for r in rows.values()}) == 1
+
+
+def test_compaction_cost_empty_log_is_empty_frame(spark):
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark import derive
+
+    empty = spark.createDataFrame(
+        [], "id long, operation string, k string"
+    )
+    out = derive.compaction_cost(empty, F.col("k"), epoch_size=10)
+    assert out.count() == 0
+    assert "write_amp" in out.columns
