@@ -167,3 +167,21 @@ def test_compaction_cost_empty_log_is_empty_frame(spark):
     out = derive.compaction_cost(empty, F.col("k"), epoch_size=10)
     assert out.count() == 0
     assert "write_amp" in out.columns
+
+
+def test_limit_pushdown_audit_conservation(spark, sf_dir):
+    """The two-phase top-k algebra's conservation laws: winners across
+    buckets total exactly k (the table has >= k rows), every bucket's
+    heap emits at most k rows and never more than it scanned, and the
+    driver-merge volume the audit prices is genuinely smaller than a
+    naive all-rows merge."""
+    import __spark_entry__ as se
+
+    rows = se.queries()["b12_limit_pushdown_audit"](spark, sf_dir).collect()
+    assert sum(r.n_winners for r in rows) == 100
+    assert all(r.heap_out <= 100 for r in rows)
+    assert all(r.heap_out <= r.n_rows for r in rows)
+    assert all(r.n_winners <= r.heap_out for r in rows)
+    merge_rows = sum(r.heap_out for r in rows)
+    scanned = sum(r.n_rows for r in rows)
+    assert merge_rows < scanned
