@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R14_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R15_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -490,80 +490,79 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-14 driver window (first 50 of queries(); the driver's correctness
+#: Round-15 driver window (first 50 of queries(); the driver's correctness
 #: gate checks exactly these). Executed VERBATIM from the committed
-#: ``WINDOW_PLAN.json`` r14 leg (VERDICT r13 item 1): the 15 round-13
-#: additions first (none has a driver row yet; all 15 passed the judge's
-#: own bit-strict gate at sf0.01, the 6 heaviest also at sf0.1), then the
-#: 35 stalest-green rows (all 12 r6-attested + 23 of the r7 cohort).
-#: After this window lands green: never-green = {b27_sketches} (rows-only
-#: by design), cumulative driver-green 376/377, stalest attested row r7.
-#: ``tools/staleness.py --plan`` emits the committed r15 leg
-#: (WINDOW_PLAN.json).
-_R14_WINDOW = [
-    "b23_stateful_udf",
-    "b26_pps_systematic",
-    "b30_neighborhood_jaccard",
-    "b13_rle_encoding",
-    "b12_diversified_topk",
-    "b20_radius_search",
-    "b30_kcore",
-    "b15_watermark_audit",
-    "b10_anova",
-    "b13_dict_encoding",
-    "b23_map_in_arrow",
-    "b30_symspell",
-    "b30_bellman_ford",
-    "b20_mmr_rerank",
-    "b22_audio_fingerprint",
-    "b3_op_drift",
-    "b8_anti_join",
-    "b9_asof",
-    "b9_asof_join",
-    "b13_set_ops",
-    "b20_kmeans",
-    "b20_pq",
-    "b30_pagerank",
-    "b7_bloom_join",
-    "b19_prefix_filter",
-    "b10_bootstrap",
-    "b25_sql_recursive",
-    "a6_bootstrap",
-    "a10_drain_batch",
-    "b2_log_compaction",
-    "b3_change_stats",
-    "b7_join_enrich",
-    "b10_agg_pricing",
-    "b11_window_funcs",
-    "a2_snapshot_first_page",
-    "a3_keyset_page",
-    "a4_row_json",
-    "a5_hex",
-    "a10_drain_after",
-    "a11_ts_codec",
-    "a12_op_decode",
-    "b21_dup_ngram_coverage",
-    "b20_covariance",
-    "b1_incremental_agg",
-    "b10_column_profile",
-    "b8_waiting_suppliers",
-    "b26_weighted_sample",
-    "b21_lexical_diversity",
-    "b8_idle_customers",
-    "b19_fuzzy_join",
+#: ``WINDOW_PLAN.json`` r15 leg (VERDICT r14 item 4): the 6 round-14
+#: additions first (no driver row yet; all 6 passed the judge's own
+#: bit-strict gate, the 4 heaviest also at sf0.1), then all 26 r7-stale
+#: + 18 of the r8 cohort, stalest-first. After this window lands green:
+#: cumulative driver-green 382/383 (b27_sketches rows-only by design),
+#: stalest driver attestation >= r8. ``tools/staleness.py --plan``
+#: emits the committed r16 leg (WINDOW_PLAN.json).
+_R15_WINDOW = [
+    "b20_mmr_topn",
+    "b2_compaction_cost",
+    "b6_typed_projection",
+    "b12_limit_pushdown_audit",
+    "b2_compaction_cadence",
+    "b6_tolerant_projection",
+    "b10_groupwise_ols",
+    "b3_psi",
+    "b19_sorted_neighborhood",
+    "b30_triangles",
+    "b30_kneser_ney",
+    "b11_ewma",
+    "b15_rfm",
+    "b30_bpe_encode",
+    "b12_zorder",
+    "b15_markov",
+    "b7_bloom_incremental",
+    "b3_changepoint",
+    "b10_woe_iv",
+    "b26_temporal_split",
+    "b24_corpus_v4",
+    "b27_linear_counting",
+    "b13_schema_union",
+    "b2_collapse_repeats",
+    "b26_rendezvous",
+    "b18_cdc_chunks",
+    "b8_order_distribution",
+    "b10_small_quantity_revenue",
+    "b5_disjunctive_pushdown",
+    "b22_byte_histogram",
+    "b30_index_compression",
+    "b22_image_resize",
+    "b7_shipping_priority",
+    "b7_skew_diagnosis",
+    "b23_udf_features",
+    "b19_cluster_stats",
+    "b26_cluster_kfold",
+    "b24_incremental_card",
+    "b19_dup_clusters",
+    "b19_embedding_clusters",
+    "b19_incremental_clusters",
+    "b26_split_leakage",
+    "b10_rollup",
+    "b10_cube",
+    "b10_percentiles",
+    "b10_grouping_sets",
+    "b11_ranks",
+    "b11_reconstruct_befores",
+    "b14_scalar_funcs",
+    "b14_date_funcs",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R14_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R15_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R14_WINDOW}
+    ordered = {k: q[k] for k in _R15_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

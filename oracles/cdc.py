@@ -559,19 +559,23 @@ SQL = {
         "b6_tolerant_projection": f"""
             -- schema-tolerant typed view over mixed-shape images:
             -- missing JSON fields extract as NULL on both engines;
-            -- defaults filled, fill count reported per row
+            -- defaults filled, fill count reported per row.
+            -- TRY_CAST, not CAST: Spark's cast-to-double NULLs on
+            -- non-numeric text, and this row exists to surface exactly
+            -- that malformed-image drift — a strict CAST would crash
+            -- the oracle leg instead of comparing (ADVICE r14)
             WITH changes AS ({_EVENTS_CHANGES_SQL})
             SELECT id, operation AS op,
-                   CAST(json_extract_string(coalesce(after, before),
+                   TRY_CAST(json_extract_string(coalesce(after, before),
                         '$.user_id') AS BIGINT) AS user_id,
                    coalesce(json_extract_string(coalesce(after, before),
                         '$.event_type'), 'unknown') AS event_type,
-                   coalesce(CAST(json_extract_string(
+                   coalesce(TRY_CAST(json_extract_string(
                         coalesce(after, before), '$.value') AS DOUBLE),
                         -1.0) AS value,
                    CAST((json_extract_string(coalesce(after, before),
                          '$.event_type') IS NULL)::INT
-                      + (CAST(json_extract_string(coalesce(after, before),
+                      + (TRY_CAST(json_extract_string(coalesce(after, before),
                          '$.value') AS DOUBLE) IS NULL)::INT AS BIGINT)
                      AS n_filled
             FROM changes

@@ -2135,6 +2135,10 @@ def compaction_cost(
     corpus-sized relation at any step. Integer-exact except the final
     ``write_amp`` ratio (round-6 of a ratio of exact int64).
     """
+    if int(epoch_size) < 1:
+        # div-by-zero yields NULL epochs under non-ANSI mode, silently
+        # collapsing the epoch grid to one NULL row (ADVICE r14)
+        raise ValueError(f"epoch_size must be >= 1, got {epoch_size}")
     ke = (
         changes.select(
             key_col.alias("__k"),

@@ -157,6 +157,11 @@ def test_registry_gate_artifact_covers_every_registered_query():
     gated = set(doc["queries"])
     missing = registered - gated
     assert not missing, f"registry-gate artifact missing {sorted(missing)}"
+    # and the converse (ADVICE r14): entries for queries later removed
+    # or renamed must be pruned at write time, not linger inflating
+    # totals with stale attestations
+    stale = gated - registered
+    assert not stale, f"registry-gate artifact has stale entries {sorted(stale)}"
     for name in sorted(registered):
         scales = doc["queries"][name]["scales"]
         assert scales, f"{name}: no gate run recorded"
@@ -181,6 +186,10 @@ def test_registry_gate_artifact_sha_is_a_real_commit():
     shas = {s["sha"] for q in doc["queries"].values()
             for s in q["scales"].values()}
     shas.add(doc["last_run"]["sha"])
+    # a committed artifact must never attest a dirty-tree run: the
+    # -dirty marker (ADVICE r14) exists to be caught right here
+    dirty = {s for s in shas if s.endswith("-dirty")}
+    assert not dirty, f"artifact attests dirty-tree runs: {sorted(dirty)}"
     for sha in sorted(shas):
         r = subprocess.run(
             ["git", "cat-file", "-e", f"{sha}^{{commit}}"],

@@ -169,6 +169,22 @@ def test_compaction_cost_empty_log_is_empty_frame(spark):
     assert "write_amp" in out.columns
 
 
+def test_compaction_cost_rejects_nonpositive_epoch_size(spark):
+    """epoch_size=0 would `id div 0` → NULL epochs under non-ANSI
+    mode, silently collapsing the grid to one NULL row (ADVICE r14) —
+    so the function must fail fast instead."""
+    import pytest
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark import derive
+
+    df = spark.createDataFrame(
+        [(1, "INSERT", "a")], "id long, operation string, k string"
+    )
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="epoch_size"):
+            derive.compaction_cost(df, F.col("k"), epoch_size=bad)
+
+
 def test_limit_pushdown_audit_conservation(spark, sf_dir):
     """The two-phase top-k algebra's conservation laws: winners across
     buckets total exactly k (the table has >= k rows), every bucket's

@@ -70,21 +70,43 @@ def value_hash(columns, rows) -> str:
 
 
 def _git_sha() -> str:
+    """HEAD sha, suffixed ``-dirty`` when the working tree differs from
+    it — an artifact entry must not attest uncommitted code under a
+    commit sha that never contained it (ADVICE r14)."""
     import subprocess
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        return subprocess.run(
+        sha = subprocess.run(
             ["git", "rev-parse", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo,
             capture_output=True,
             text=True,
             check=True,
         ).stdout.strip()
     except Exception:  # noqa: BLE001
         return "unknown"
+    try:
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        porcelain = ""
+    return sha + ("-dirty" if porcelain else "")
 
 
-def write_artifact(path: str, sf_label: str, sha: str, results) -> None:
+def _short_sha(sha: str) -> str:
+    """12-char abbreviation that preserves the ``-dirty`` marker."""
+    if sha.endswith("-dirty"):
+        return sha[: -len("-dirty")][:12] + "-dirty"
+    return sha[:12]
+
+
+def write_artifact(path: str, sf_label: str, sha: str, results, registered=None) -> None:
     """Merge this run's per-query outcomes into the committed
     machine-readable registry-gate artifact (REGISTRY_GATE.json).
 
@@ -105,15 +127,22 @@ def write_artifact(path: str, sf_label: str, sha: str, results) -> None:
         except Exception:  # noqa: BLE001
             doc = {"queries": {}}
     doc.setdefault("queries", {})
+    if registered is not None:
+        # prune entries for queries removed/renamed since the last run:
+        # stale attestations must not linger and inflate totals
+        # (ADVICE r14 — gated ⊆ registered, enforced at write time)
+        doc["queries"] = {
+            n: v for n, v in doc["queries"].items() if n in registered
+        }
     for name, status, rows, secs in results:
         q = doc["queries"].setdefault(name, {"scales": {}})
         q["scales"][sf_label] = {
             "status": status,
             "rows": rows,
-            "sha": sha[:12],
+            "sha": _short_sha(sha),
             "secs": round(secs, 1),
         }
-    doc["last_run"] = {"sf": sf_label, "sha": sha[:12], "n": len(results)}
+    doc["last_run"] = {"sf": sf_label, "sha": _short_sha(sha), "n": len(results)}
     counts = {}
     for q in doc["queries"].values():
         for s in q["scales"].values():
@@ -215,6 +244,7 @@ def main() -> int:
             sf_label,
             _git_sha(),
             [(n, st, rw, sc) for n, _l, _f, st, rw, sc in results],
+            registered=set(queries),
         )
         print(f"artifact: merged {len(results)} {sf_label} entries -> {artifact}")
 
