@@ -197,3 +197,121 @@ def test_registry_gate_artifact_sha_is_a_real_commit():
             capture_output=True,
         )
         assert r.returncode == 0, f"artifact sha {sha} is not a commit"
+
+
+def test_line_regressions_by_median_and_min():
+    # VERDICT r14 item 2: regression claims must be artifact fields.
+    # A line over 1.3x by median but back in band by min-of-runs is
+    # noise; over by both is real — the function must separate them.
+    timings = {"q_noise": 1.4, "q_real": 2.0, "q_flat": 1.0, "q_new": 3.0}
+    runs = {
+        "q_noise": [1.4, 1.5, 0.9],   # min 0.9 — noise
+        "q_real": [2.0, 2.1, 1.9],    # min 1.9 — real
+        "q_flat": [1.0, 1.0, 1.0],
+        "q_new": [3.0],               # no prior — excluded everywhere
+    }
+    prev_med = {"q_noise": 1.0, "q_real": 1.0, "q_flat": 1.0}
+    prev_runs = {"q_noise": [1.0, 1.1], "q_real": [1.0, 1.2],
+                 "q_flat": [1.0]}
+    reg = bench._line_regressions(timings, runs, prev_med, prev_runs)
+    assert reg["over_1p3x_median"] == ["q_noise", "q_real"]
+    assert reg["over_1p3x_min"] == ["q_real"]
+    assert reg["ratio_median"]["q_real"] == 2.0
+    assert reg["ratio_min"]["q_noise"] == 0.9
+    assert "q_new" not in reg["ratio_median"]
+    # prior round without archived runs: min leg degrades to empty,
+    # median leg still works
+    reg2 = bench._line_regressions(timings, runs, prev_med, None)
+    assert reg2["over_1p3x_median"] == ["q_noise", "q_real"]
+    assert reg2["ratio_min"] == {} and reg2["over_1p3x_min"] == []
+
+
+def test_drift_normalization_with_runs_emits_regression_ledger():
+    # against the real committed artifacts: the prior round resolves,
+    # the private _vs_prev ledger carries the full ratio maps, and the
+    # compact-line field carries only counts
+    timings = {"b24_corpus_v7": 50.0, "a6_bootstrap": 0.5}
+    runs = {"b24_corpus_v7": [50.0, 51.0, 49.0], "a6_bootstrap": [0.5] * 3}
+    canaries = {"canary_cpu": 2.6, "canary_shuffle": 4.3,
+                "canary_fixed": 0.12}
+    norm = bench._drift_normalization(timings, canaries, runs=runs)
+    vs = norm["_vs_prev"]
+    assert vs["prev_round"] == norm["prev_round"]
+    assert "b24_corpus_v7" in vs["over_1p3x_median"]  # 50 s is a regression
+    assert norm["lines_over_1p3x"]["median"] == len(vs["over_1p3x_median"])
+    assert norm["lines_over_1p3x"]["min"] == len(vs["over_1p3x_min"])
+    # the fixed-overhead canary has no r14 prior, so its CLASS must not
+    # pollute the synthetic drift basis
+    assert norm["canary_drift_basis"] == "synthetic"
+    assert "canary_class_medians" in norm
+
+
+def test_compact_line_with_regression_fields_fits_tail_window():
+    timings = {f"b{i}_long_query_name_{i}": 1.234 for i in range(65)}
+    timings["b24_corpus_v7"] = 6.454
+    runs = {k: [v, v, v] for k, v in timings.items()}
+    canaries = {"canary_cpu": 2.672, "canary_shuffle": 4.266,
+                "canary_fixed": 0.124}
+    norm = bench._drift_normalization(timings, canaries, runs=runs)
+    norm.pop("canary_ratios", None)
+    norm.pop("_vs_prev", None)
+    norm["companion_run"] = {"sha": "abcdef0", "total": 97.123,
+                             "common_norm_ratio": 0.923}
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_total",
+            "value": 95.708,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "canaries": canaries,
+            "sf": 0.1,
+            "runs_per_query": 3,
+            **norm,
+        }
+    )
+    assert len(line) < 1200, len(line)
+
+
+def test_perf_md_regression_claims_match_the_pinned_artifact():
+    """VERDICT r14 item 2, the enforcement half: every per-line
+    regression claim in PERF.md must be a citation of a sha-pinned
+    BENCH_RUNS.json, written as
+
+        lines_over_1p3x vs r{N} (BENCH_RUNS.json @ {sha}): median={a}, min={b}
+
+    and this test replays each citation against `git show
+    {sha}:BENCH_RUNS.json`. From round 15 on, a round section without
+    such a citation fails — prose like r14's "ZERO lines above 1.3x"
+    can no longer exist without an artifact behind it."""
+    import re
+    import subprocess
+
+    with open(os.path.join(REPO, "PERF.md")) as f:
+        text = f.read()
+    markers = re.findall(
+        r"lines_over_1p3x vs r(\d+) \(BENCH_RUNS\.json @ ([0-9a-f]{7,40})\):"
+        r" median=(\d+), min=(\d+)",
+        text,
+    )
+    rounds_documented = {
+        int(m) for m in re.findall(r"^##+ [Rr]ound (\d+)", text, re.M)
+    }
+    if any(r >= 15 for r in rounds_documented):
+        assert markers, (
+            "PERF.md documents round >= 15 but cites no sha-pinned "
+            "lines_over_1p3x artifact"
+        )
+    for prev_round, sha, n_med, n_min in markers:
+        shown = subprocess.run(
+            ["git", "show", f"{sha}:BENCH_RUNS.json"],
+            capture_output=True, text=True, cwd=REPO, timeout=30,
+        )
+        assert shown.returncode == 0, f"cited sha {sha} has no BENCH_RUNS.json"
+        doc = json.loads(shown.stdout)
+        vs = doc.get("vs_prev") or {}
+        assert vs.get("prev_round") == int(prev_round), (
+            f"citation says vs r{prev_round}, artifact says "
+            f"vs r{vs.get('prev_round')}"
+        )
+        assert len(vs.get("over_1p3x_median", ())) == int(n_med)
+        assert len(vs.get("over_1p3x_min", ())) == int(n_min)
