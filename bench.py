@@ -249,12 +249,19 @@ def _recover_from_tail(tail: str) -> tuple[dict[str, float], dict[str, float]]:
     return queries, canaries
 
 
-def _medians_from_runs(runs: dict[str, list[float]]) -> dict[str, float]:
+def _medians_from_runs(
+    runs: dict[str, list[float]], query_warmup: int = 0
+) -> dict[str, float]:
     """Per-query medians from a BENCH_RUNS.json ``runs`` map, applying
-    the same rules as main(): canaries discard their 2 warmup samples."""
+    the same rules as main(): canaries discard their 2 warmup samples;
+    queries discard ``query_warmup`` (the doc's ``warmup_discard``,
+    0 for rounds before r15)."""
     out = {}
     for name, samples in runs.items():
-        s = samples[2:] if name in SYNTH_CANARIES and len(samples) > 2 else samples
+        if name in SYNTH_CANARIES:
+            s = samples[2:] if len(samples) > 2 else samples
+        else:
+            s = samples[query_warmup:] if len(samples) > query_warmup else samples
         if s:
             out[name] = sorted(s)[len(s) // 2]
     return out
@@ -320,7 +327,11 @@ def _queries_from_archived_runs(
         if not (isinstance(med, dict) and med):
             runs = data.get("runs")
             med = (
-                _medians_from_runs(runs) if isinstance(runs, dict) else {}
+                _medians_from_runs(
+                    runs, int(data.get("warmup_discard", 0) or 0)
+                )
+                if isinstance(runs, dict)
+                else {}
             )
         if med:
             med = {k: float(v) for k, v in med.items()}
@@ -536,23 +547,36 @@ def main() -> None:
     # median under a second, 2 extra runs widen the sample to 5.
     runs_n = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     extra_subsec = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_EXTRA", "2"))
+    # Per-query warm-up discard (r15, the b1_snapshot_diff root cause):
+    # run 1 of a query pays JIT/codegen cold-start — up to 3x its steady
+    # state (b1's to_json projection is the board's worst). r14's driver
+    # box inflated early-session times past the 1.0 s threshold, the
+    # sub-second extra-runs rule stopped triggering, and 3-run medians
+    # landed entirely on cold runs: b1 read 3.7x with byte-identical
+    # code (interleaved A/B at the r13 sha vs HEAD: statistically
+    # identical). One untimed warm-up per query makes the median a
+    # steady-state reading regardless of box speed — the same rule the
+    # synthetic canaries have always used (2 discarded warmups).
+    warmup_discard = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     queries = entry.queries()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = EXTRA.get(name) or queries[name]
         samples = []
-        for _ in range(runs_n):
+        for _ in range(runs_n + warmup_discard):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
-        if sorted(samples)[len(samples) // 2] < 1.0:
+        timed = samples[warmup_discard:]
+        if sorted(timed)[len(timed) // 2] < 1.0:
             for _ in range(extra_subsec):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(round(time.time() - t0, 3))
-        all_runs[name] = samples
-        timings[name] = sorted(samples)[len(samples) // 2]
+            timed = samples[warmup_discard:]
+        all_runs[name] = samples  # warmups kept visible in the side file
+        timings[name] = sorted(timed)[len(timed) // 2]
         print(f"# {name}: {timings[name]}s {samples}", file=sys.stderr)
 
     # synthetic canaries: two DISCARDED warmups, then median-of-runs_n,
@@ -644,6 +668,7 @@ def main() -> None:
                 {
                     "sf": sf,
                     "runs_per_query": runs_n,
+                    "warmup_discard": warmup_discard,
                     "runs": all_runs,
                     "medians": timings,
                     "canary_medians": canary_timings,
@@ -666,6 +691,7 @@ def main() -> None:
             "canaries": canary_timings,
             "sf": sf,
             "runs_per_query": runs_n,
+            "warmup_runs": warmup_discard,
             # box-drift normalization vs the previous committed round
             # (VERDICT r8 item 2): the ≤1.05 round-over-round criterion
             # applies to common_norm_ratio, ending the box-drift

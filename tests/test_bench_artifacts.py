@@ -315,3 +315,14 @@ def test_perf_md_regression_claims_match_the_pinned_artifact():
         )
         assert len(vs.get("over_1p3x_median", ())) == int(n_med)
         assert len(vs.get("over_1p3x_min", ())) == int(n_min)
+
+
+def test_medians_from_runs_discards_query_warmup():
+    # r15 warmup policy: queries discard `warmup_discard` leading
+    # samples (the JIT cold run); canaries keep their own 2-warmup rule
+    runs = {"q1": [5.0, 1.0, 1.2, 0.8], "canary_cpu": [25.0, 9.0, 4.0]}
+    med = bench._medians_from_runs(runs, query_warmup=1)
+    assert med["q1"] == 1.0
+    assert med["canary_cpu"] == 4.0
+    # pre-r15 docs (no warmup field) keep the old semantics
+    assert bench._medians_from_runs(runs)["q1"] == 1.2
