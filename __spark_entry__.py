@@ -487,6 +487,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b12_limit_pushdown_audit": q_b12_limit_pushdown_audit,
         "b2_compaction_cadence": q_b2_compaction_cadence,
         "b6_tolerant_projection": q_b6_tolerant_projection,
+        # --- round 15 (VERDICT r14 item 7: depth rows in the four
+        # thinnest families — B4, B5, B17, B18) ----------------------------
+        "b4_source_audit": q_b4_source_audit,
+        "b5_pushdown_audit": q_b5_pushdown_audit,
+        "b17_incremental_distinct": q_b17_incremental_distinct,
+        "b18_shingle_fingerprint_dups": q_b18_shingle_fingerprint_dups,
     }
 
 

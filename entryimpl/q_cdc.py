@@ -802,3 +802,118 @@ def q_b6_tolerant_projection(spark, sf_dir):
             etype.isNull().cast("int") + val.isNull().cast("int")
         ).cast("long").alias("n_filled"),
     )
+
+
+def q_b4_source_audit(spark, sf_dir):
+    """Source-integrity audit over a degraded CDC replay (B4 depth,
+    r15 — the invariants the reference's single serialized log gets
+    for FREE (one writer, one AUTOINCREMENT id — cdc.go's ordered
+    drain) but a distributed ingest must CHECK: dense ids, no double-
+    delivery, per-key time monotonicity). The fixture's event stream
+    is pristine, so the audit runs over a deterministically degraded
+    replay — ids ≡0 mod 101 dropped (loss), ids ≡5 mod 103 delivered
+    twice (at-least-once duplication), ts of ids ≡3 mod 97 shifted
+    back an hour (reordering) — and must report each defect class
+    exactly. All counts integer-exact; one keyed (per-user) lag
+    window is the only corpus shuffle — id-gap math is pure
+    aggregation (span − distinct), never a global sort."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 97 == 3,
+            F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        "user_id",
+    )
+    replay = ev.filter(F.col("event_id") % 101 != 0).unionByName(
+        ev.filter(F.col("event_id") % 103 == 5)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = replay.withColumn("__pts", F.lag("ts", 1).over(w))
+    regress = seq.agg(
+        F.sum(
+            F.when(F.col("ts") < F.col("__pts"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ts_regressions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    base = replay.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_distinct_ids"),
+        (F.max("event_id") - F.min("event_id") + 1)
+        .cast("long")
+        .alias("id_span"),
+    )
+    return base.crossJoin(regress).select(
+        "n_rows",
+        "n_distinct_ids",
+        "id_span",
+        (F.col("id_span") - F.col("n_distinct_ids"))
+        .cast("long")
+        .alias("n_missing_ids"),
+        (F.col("n_rows") - F.col("n_distinct_ids"))
+        .cast("long")
+        .alias("n_dup_rows"),
+        "n_ts_regressions",
+        "n_users",
+    )
+
+
+def q_b5_pushdown_audit(spark, sf_dir):
+    """Predicate-pushdown audit as numbers (B5 depth, r15 — VERDICT
+    r14 item 7's suggested row; the selectivity twin of
+    b12_limit_pushdown_audit): one scan per predicate CLASS — IN-list,
+    string-prefix LIKE, closed range, equality, and their conjunction
+    — each expressed so Catalyst pushes it into the parquet scan
+    (tests/test_plans.py pins In/StringStartsWith/range in
+    PushedFilters), reporting rows matched and round-6 selectivity.
+    At 100 TB this ledger is the difference between reading a column
+    chunk and skipping it: a predicate class that stops appearing in
+    PushedFilters silently turns a skip-scan into a full scan, and
+    this row makes that regression a VALUE diff, not a plan diff.
+    Per-leg cost: one pruned single-column-ish scan + count; the
+    5-row union is bounded; the total joins in as a 1-row broadcast."""
+    def _leg(label, pushed, pred):
+        p = _t(spark, sf_dir, "part")
+        if pred is not None:
+            p = p.filter(pred)
+        return p.agg(F.count(F.lit(1)).cast("long").alias("n_match")).select(
+            F.lit(label).alias("predicate"),
+            F.lit(pushed).alias("pushed"),
+            "n_match",
+        )
+
+    in_list = F.col("p_brand").isin("Brand#1", "Brand#3")
+    prefix = F.col("p_name").startswith("s")
+    rng = (F.col("p_size") >= 5) & (F.col("p_size") <= 25)
+    eq = F.col("p_type") == "SMALL"
+    # the conjunction leg is the 3-way (brand ∧ prefix ∧ range): adding
+    # type_eq empties it at sf0.001 and a 0-match audit leg proves
+    # nothing about scan skipping
+    legs = (
+        _leg("brand_in", "In", in_list)
+        .unionByName(_leg("name_prefix", "StringStartsWith", prefix))
+        .unionByName(_leg("size_range", "Range", rng))
+        .unionByName(_leg("type_eq", "EqualTo", eq))
+        .unionByName(
+            _leg("conjunction", "And", in_list & prefix & rng)
+        )
+    )
+    total = _t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return legs.crossJoin(F.broadcast(total)).select(
+        "predicate",
+        "pushed",
+        "n_match",
+        "n_total",
+        F.round(
+            F.col("n_match").cast("double") / F.col("n_total").cast("double"),
+            6,
+        ).alias("selectivity"),
+    )

@@ -957,3 +957,47 @@ def q_b19_lsh_operating_point(spark, sf_dir):
             F.round(F.lit(1.0) - x8, 6).alias("analytic_rate"),
         )
     )
+
+
+def q_b18_shingle_fingerprint_dups(spark, sf_dir):
+    """Shingle-level EXACT-duplicate screen (B18 depth, r15 — VERDICT
+    r14 item 7's suggested row; deterministic, not probabilistic —
+    the gap between b18_dedup_exact's byte-identical texts and the
+    b19 MinHash families): two documents are duplicates iff their
+    DISTINCT word-5-gram shingle SETS are identical, so formatting /
+    whitespace / punctuation drift (which normalize_text canonicalizes)
+    and shingle ORDER cannot split a group, while a single changed
+    word always does. Per doc: canonical fingerprint = md5 of the
+    numerically-sorted distinct shingle hashes joined by ',' — a pure
+    set identity, replayed bit-exactly by DuckDB's
+    string_agg(... ORDER BY h). Output: one row per duplicate group.
+    Scale: one shingle pass (codegen lead-window), per-doc sorted-set
+    aggregation (state bounded by DOC length, never the corpus), one
+    fingerprint agg — no pairs, no cartesian; at 100 TB the group-by
+    ships one ~32-char fingerprint per document."""
+    docs = _docs_with_dups(spark, sf_dir)
+    rows = dedup.shingle_rows(docs, "doc_id", "text", k=5, unit="word")
+    hashed = rows.select(
+        "doc", dedup.portable_hash60(F.col("sh")).alias("h")
+    )
+    per_doc = hashed.groupBy("doc").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("h")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+    )
+    return (
+        per_doc.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc").cast("long").alias("canonical_doc_id"),
+            F.max("n_shingles").cast("long").alias("n_shingles"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1555,3 +1555,67 @@ def q_b13_dict_encoding(spark, sf_dir):
             ).alias("savings_x1e6"),
         )
     )
+
+
+def q_b17_incremental_distinct(spark, sf_dir):
+    """Incremental distinct-count view (B17 depth, r15 — VERDICT r14
+    item 7's suggested row; the KMV merge of b27_kmv_sketch recast as
+    a MAINTAINED view, joining the join-view/top-k/frontier legs of
+    the incremental family): a standing per-event-type KMV(k=32)
+    sketch of distinct users — the k smallest portable-md5-60 user
+    hashes — absorbs a CDC batch (ids ≡0 mod 10, the family's split
+    convention) by re-ranking ONLY its own ≤ k·groups rows ∪ the
+    batch's distinct hashes; KMV's merge law — bottomK(bottomK(A) ∪ B)
+    = bottomK(A ∪ B) for sets — makes the view exact, and the oracle
+    RECOMPUTES the sketch from the full log, so the driver row proves
+    merge == recompute bit-exactly (kth-min is an integer equality;
+    the estimate is a round-6 rational of it). View state is k·groups
+    rows forever — cost ∝ batch + k·groups, never the corpus."""
+    from pyspark.sql import Window
+
+    K = 32
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    h = dedup.portable_hash60(F.col("user_id").cast("string")).alias("h")
+    standing = (
+        ev.filter(F.col("event_id") % 10 != 0)
+        .select("event_type", h)
+        .distinct()
+    )
+    batch = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .select("event_type", h)
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    st_view = (
+        standing.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= K)
+        .select("event_type", "h")
+    )
+    merged = (
+        st_view.unionByName(batch)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= K)
+    )
+    per = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_min"),
+    )
+    return per.select(
+        "event_type",
+        "k_used",
+        "kth_min",
+        F.when(
+            F.col("k_used") < K, F.col("k_used").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(K - 1))
+                * F.lit(float(2**60))
+                / F.col("kth_min").cast("double"),
+                6,
+            )
+        )
+        .alias("est_distinct"),
+    )

