@@ -123,6 +123,14 @@ HEADLINE = [
     # already measure.
     "b2_compaction_cost",      # r14 liveness-carry + double prefix sum
     "b20_mmr_topn",            # r14 production twin: rel-top50 -> MMR
+    # --- round 15 additions. Only the fingerprint screen is a NEW
+    # execution shape (per-doc sorted-set md5 aggregation); the other
+    # three r15 rows are shapes the board already measures —
+    # b4_source_audit = keyed lag + agg (b3/b11 lines),
+    # b5_pushdown_audit = pushed scans + counts (every scan line),
+    # b17_incremental_distinct = distinct + keyed bottom-k window
+    # (b17/b27 lines).
+    "b18_shingle_fingerprint_dups",  # r15 shingle-set fingerprint screen
 ]
 
 

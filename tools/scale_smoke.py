@@ -1318,6 +1318,141 @@ def r14_ops(spark, path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r15_ops(spark, path: str, dpath: str, rows: int) -> dict[str, float]:
+    """Round-15 scale shapes: the degraded-replay source audit (keyed
+    lag window + pure aggregation — gap math never sorts globally),
+    the pushdown-audit scan fan (5 pruned pushed scans + counts), the
+    KMV incremental-distinct view (distinct + keyed bottom-k window —
+    view state k*groups), and the shingle-set fingerprint screen (the
+    heavy one: shingle pass + per-doc sorted-set md5, agg state
+    bounded by DOC length so it must scale with corpus size, not
+    blow up per-doc)."""
+    from sqlite_cdc_spark.pipeline.dedup import portable_hash60
+
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    ev = spark.range(rows // 3).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(secs=F.col("id").cast("double"))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(3)), max(rows // 600, 50)).alias(
+            "user_id"
+        ),
+    )
+
+    def source_audit():
+        src = ev.select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 97 == 3,
+                F.col("ts") - F.expr("INTERVAL 1 HOUR"),
+            ).otherwise(F.col("ts")).alias("ts"),
+            "user_id",
+        )
+        replay = src.filter(F.col("event_id") % 101 != 0).unionByName(
+            src.filter(F.col("event_id") % 103 == 5)
+        )
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        seq = replay.withColumn("__pts", F.lag("ts", 1).over(w))
+        reg = seq.agg(
+            F.sum(F.when(F.col("ts") < F.col("__pts"), 1).otherwise(0)).alias(
+                "n_reg"
+            )
+        )
+        base = replay.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        base.crossJoin(reg).write.format("noop").mode("overwrite").save()
+
+    run("source_audit", source_audit)
+
+    li = spark.read.parquet(path)
+
+    def pushdown_audit():
+        legs = []
+        for label, pred in (
+            ("flag_in", F.col("l_returnflag").isin("A", "R")),
+            ("qty_range", (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 25)),
+            ("line_eq", F.col("l_linenumber") == 1),
+            ("conj", F.col("l_returnflag").isin("A", "R")
+                     & (F.col("l_quantity") >= 5)),
+        ):
+            legs.append(
+                li.filter(pred)
+                .agg(F.count(F.lit(1)).alias("n_match"))
+                .select(F.lit(label).alias("p"), "n_match")
+            )
+        outd = legs[0]
+        for leg in legs[1:]:
+            outd = outd.unionByName(leg)
+        total = li.agg(F.count(F.lit(1)).alias("n_total"))
+        outd.crossJoin(F.broadcast(total)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("pushdown_audit", pushdown_audit)
+
+    def incremental_distinct():
+        h = portable_hash60(F.col("user_id").cast("string")).alias("h")
+        grp = F.pmod(F.col("event_id"), 6).alias("g")
+        standing = (
+            ev.filter(F.col("event_id") % 10 != 0).select(grp, h).distinct()
+        )
+        batch = ev.filter(F.col("event_id") % 10 == 0).select(grp, h).distinct()
+        w = Window.partitionBy("g").orderBy(F.col("h").asc())
+        st = (
+            standing.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 32)
+            .select("g", "h")
+        )
+        merged = (
+            st.unionByName(batch)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 32)
+        )
+        merged.groupBy("g").agg(
+            F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth")
+        ).write.format("noop").mode("overwrite").save()
+
+    run("incremental_distinct", incremental_distinct)
+
+    docs = spark.read.parquet(dpath)
+
+    def shingle_fingerprint():
+        rows_sh = dedup.shingle_rows(docs, "doc_id", "text", k=5, unit="word")
+        per_doc = (
+            rows_sh.select("doc", portable_hash60(F.col("sh")).alias("h"))
+            .groupBy("doc")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_set("h")),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("fp")
+            )
+        )
+        per_doc.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.min("doc").alias("canonical")
+        ).filter(F.col("n_docs") >= 2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("shingle_fingerprint", shingle_fingerprint)
+
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -1371,6 +1506,7 @@ def main():
             results[label].update(r12_ops(spark, dpath, rows))
             results[label].update(r13_ops(spark, dpath, rows))
             results[label].update(r14_ops(spark, path, rows))
+            results[label].update(r15_ops(spark, path, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
