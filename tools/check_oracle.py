@@ -87,8 +87,12 @@ def _git_sha() -> str:
     except Exception:  # noqa: BLE001
         return "unknown"
     try:
+        # the artifact itself mutates between same-run legs (leg 1's
+        # merge dirties the tree legs 2-3 would see) and cannot affect
+        # the attested code — exclude it from the dirtiness scan
         porcelain = subprocess.run(
-            ["git", "status", "--porcelain"],
+            ["git", "status", "--porcelain", "--",
+             ".", ":(exclude)REGISTRY_GATE.json"],
             cwd=repo,
             capture_output=True,
             text=True,
