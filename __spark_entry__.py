@@ -493,6 +493,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b5_pushdown_audit": q_b5_pushdown_audit,
         "b17_incremental_distinct": q_b17_incremental_distinct,
         "b18_shingle_fingerprint_dups": q_b18_shingle_fingerprint_dups,
+        # --- round 15 wave 2 (B6 and B12, the next-thinnest) ---------------
+        "b6_image_shape_profile": q_b6_image_shape_profile,
+        "b12_keyset_parity": q_b12_keyset_parity,
     }
 
 

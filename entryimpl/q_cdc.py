@@ -917,3 +917,45 @@ def q_b5_pushdown_audit(spark, sf_dir):
             6,
         ).alias("selectivity"),
     )
+
+
+def q_b6_image_shape_profile(spark, sf_dir):
+    """Per-FIELD image-shape profile over the mixed CDC log (B6 depth,
+    r15 — the aggregate companion of b6_tolerant_projection's per-row
+    fill count): for every (operation, field) pair, how many images
+    carry the field vs not — the drift dashboard a consumer of the
+    reference's ALTER→resync feed watches (dbmeta.go re-derives the
+    schema source-side; this is the consumer-side view of the same
+    fact). DELETE rows carry before-only key images, so the profile is
+    structurally non-trivial: their non-key fields read 0% present.
+    One scan, one explode over a 4-literal field array, one keyed agg
+    — 12 output rows regardless of corpus size."""
+    ch = _events_changes(spark, sf_dir)
+    img = F.coalesce("after", "before")
+    fields = ["user_id", "event_type", "value", "props"]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("field"),
+                model.image_field(img, f).isNotNull().alias("present"),
+            )
+            for f in fields
+        ]
+    )
+    ex = ch.select(
+        F.col("operation").alias("op"), F.explode(pairs).alias("p")
+    ).select("op", "p.field", "p.present")
+    return ex.groupBy("op", "field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(F.col("present").cast("int")).cast("long").alias("n_present"),
+    ).select(
+        "op",
+        "field",
+        "n_images",
+        "n_present",
+        (F.col("n_images") - F.col("n_present")).cast("long").alias("n_absent"),
+        F.round(
+            F.col("n_present").cast("double") / F.col("n_images").cast("double"),
+            6,
+        ).alias("presence_rate"),
+    )

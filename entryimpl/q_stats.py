@@ -1922,3 +1922,74 @@ def q_b12_limit_pushdown_audit(spark, sf_dir):
             ),
         )
     )
+
+
+def q_b12_keyset_parity(spark, sf_dir):
+    """Keyset-pagination parity audit (B12 depth, r15 — the pagination
+    twin of b12_limit_pushdown_audit: A2/A3's keyset pages PROVEN equal
+    to global-order slices, as values): four consecutive 200-row pages
+    of lineitem on the total page key, each computed TWO ways —
+    (a) keyset: boundary = max(key tuple) of the previous prefix (a
+    1-row broadcast, struct compare — the O(1)-state pagination the
+    reference's snapshot scan uses, handler.go-style), then
+    orderBy+limit after the boundary filter; (b) slice:
+    limit(200·(i+1)) exceptAll limit(200·i). Per page: row counts and
+    a bit_xor content hash of both legs plus their equality — a broken
+    boundary compare or a non-total sort order flips pages_match to
+    false. Every leg is TakeOrderedAndProject (per-partition heaps, no
+    global sort) on the engine side; the exceptAll operates on ≤800
+    already-limited rows. The ORACLE may use a global row_number — the
+    Spark side is what must never sort the corpus."""
+    k = 200
+    li = _t(spark, sf_dir, "lineitem").select(*_LI_PAGE_KEYS)
+    order = [F.col(c).asc() for c in _LI_PAGE_KEYS]
+    key_struct = F.struct(*[F.col(c) for c in _LI_PAGE_KEYS])
+    row_hash = dedup.portable_hash60(
+        F.concat_ws(
+            "|",
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            F.floor(F.col("l_quantity") * 100).cast("long"),
+        )
+    )
+    pages = []
+    for i in range(4):
+        prefix = li.orderBy(*order).limit(k * i)
+        bnd = prefix.agg(F.max(key_struct).alias("b"))
+        keyset = (
+            li.crossJoin(F.broadcast(bnd))
+            .filter(F.col("b").isNull() | (key_struct > F.col("b")))
+            .select(*_LI_PAGE_KEYS)
+            .orderBy(*order)
+            .limit(k)
+        )
+        slice_ = li.orderBy(*order).limit(k * (i + 1)).exceptAll(prefix)
+        ka = keyset.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keyset"),
+            F.bit_xor(row_hash).alias("keyset_xor"),
+        )
+        sa = slice_.agg(
+            F.count(F.lit(1)).cast("long").alias("n_slice"),
+            F.bit_xor(row_hash).alias("slice_xor"),
+        )
+        pages.append(
+            ka.crossJoin(sa).select(
+                F.lit(i).cast("int").alias("page"),
+                "n_keyset",
+                "n_slice",
+                "keyset_xor",
+                "slice_xor",
+                (
+                    (F.col("n_keyset") == F.col("n_slice"))
+                    & (F.col("keyset_xor") == F.col("slice_xor"))
+                ).alias("pages_match"),
+            )
+        )
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out

@@ -662,4 +662,29 @@ SQL = {
                          / CAST(t.n_total AS DOUBLE), 6) AS selectivity
             FROM legs, t
         """,
+
+        "b6_image_shape_profile": f"""
+            -- per-(op, field) presence profile over the mixed images;
+            -- DELETE rows carry before-only key images, so non-key
+            -- fields read 0% present there
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            f AS (
+              SELECT operation AS op, coalesce(after, before) AS img
+              FROM changes
+            ),
+            ex AS (
+              SELECT op, fld,
+                     (json_extract_string(img, '$.' || fld)
+                      IS NOT NULL)::INT AS present
+              FROM f, unnest(['user_id', 'event_type', 'value', 'props'])
+                     AS t(fld)
+            )
+            SELECT op, fld AS field,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(present) AS BIGINT) AS n_present,
+                   CAST(count(*) - sum(present) AS BIGINT) AS n_absent,
+                   round(CAST(sum(present) AS DOUBLE) / count(*), 6)
+                     AS presence_rate
+            FROM ex GROUP BY op, fld
+        """,
 }

@@ -1178,4 +1178,35 @@ SQL = {
                          / CAST(p.n_rows AS DOUBLE), 6) AS merge_frac
             FROM pb p LEFT JOIN wb w ON p.bucket = w.bucket
         """,
+
+        "b12_keyset_parity": """
+            -- ground truth via a global row_number (fine HERE: the
+            -- Spark side is what must never sort the corpus); both
+            -- legs of a correct paginator equal the rn slices, so the
+            -- oracle emits each page's slice stats twice + match=true
+            WITH ranked AS (
+              SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                     l_returnflag, l_linestatus, l_quantity,
+                     row_number() OVER (ORDER BY
+                       l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                       l_returnflag, l_linestatus, l_quantity) AS rn
+              FROM lineitem
+            ),
+            pages AS (
+              SELECT CAST((rn - 1) // 200 AS INT) AS page,
+                     CAST('0x' || substr(md5(concat_ws('|',
+                          l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                          l_returnflag, l_linestatus,
+                          CAST(floor(l_quantity * 100) AS BIGINT))), 1, 15)
+                       AS BIGINT) AS h
+              FROM ranked WHERE rn <= 800
+            )
+            SELECT page,
+                   CAST(count(*) AS BIGINT) AS n_keyset,
+                   CAST(count(*) AS BIGINT) AS n_slice,
+                   bit_xor(h) AS keyset_xor,
+                   bit_xor(h) AS slice_xor,
+                   TRUE AS pages_match
+            FROM pages GROUP BY page
+        """,
 }

@@ -172,3 +172,43 @@ def test_shingle_fingerprint_dups_finds_exactly_the_planted_copies(
     for r in out:
         assert r["n_docs"] >= 2
         assert r["n_shingles"] > 0
+
+
+def test_image_shape_profile_delete_rows_expose_missing_fields(spark, sf_dir):
+    """DELETE changes carry before-only key images, so the profile must
+    read 0% presence for non-key fields under DELETE and 100% for
+    user_id everywhere — the structural non-triviality of the row."""
+    rows = entry.queries()["b6_image_shape_profile"](spark, sf_dir).collect()
+    by = {(r["op"], r["field"]): r for r in rows}
+    assert len(by) == 12  # 3 ops x 4 fields
+    for f in ("event_type", "value", "props"):
+        assert by[("DELETE", f)]["n_present"] == 0
+        assert by[("DELETE", f)]["presence_rate"] == 0.0
+    for op in ("INSERT", "UPDATE", "DELETE"):
+        r = by[(op, "user_id")]
+        assert r["n_present"] == r["n_images"] > 0
+    # conservation: present + absent == images, every cell
+    for r in rows:
+        assert r["n_present"] + r["n_absent"] == r["n_images"]
+
+
+def test_keyset_parity_pages_match_and_never_globally_sort(spark, sf_dir):
+    """The audit's own verdict column must be TRUE on every page (a
+    broken boundary compare or non-total order flips it), and the
+    engine-side plan must be TakeOrderedAndProject legs — never a
+    range-partition global sort."""
+    df = entry.queries()["b12_keyset_parity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["pages_match"] is True
+        assert r["n_keyset"] == r["n_slice"] == 200
+        assert r["keyset_xor"] == r["slice_xor"]
