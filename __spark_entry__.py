@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R15_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R16_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -499,79 +499,79 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-15 driver window (first 50 of queries(); the driver's correctness
+#: Round-16 driver window (first 50 of queries(); the driver's correctness
 #: gate checks exactly these). Executed VERBATIM from the committed
-#: ``WINDOW_PLAN.json`` r15 leg (VERDICT r14 item 4): the 6 round-14
+#: ``WINDOW_PLAN.json`` r16 leg (VERDICT r15 item 1): the 6 round-15
 #: additions first (no driver row yet; all 6 passed the judge's own
-#: bit-strict gate, the 4 heaviest also at sf0.1), then all 26 r7-stale
-#: + 18 of the r8 cohort, stalest-first. After this window lands green:
-#: cumulative driver-green 382/383 (b27_sketches rows-only by design),
-#: stalest driver attestation >= r8. ``tools/staleness.py --plan``
-#: emits the committed r16 leg (WINDOW_PLAN.json).
-_R15_WINDOW = [
-    "b20_mmr_topn",
-    "b2_compaction_cost",
-    "b6_typed_projection",
-    "b12_limit_pushdown_audit",
-    "b2_compaction_cadence",
-    "b6_tolerant_projection",
-    "b10_groupwise_ols",
-    "b3_psi",
-    "b19_sorted_neighborhood",
-    "b30_triangles",
-    "b30_kneser_ney",
-    "b11_ewma",
-    "b15_rfm",
-    "b30_bpe_encode",
-    "b12_zorder",
-    "b15_markov",
-    "b7_bloom_incremental",
-    "b3_changepoint",
-    "b10_woe_iv",
-    "b26_temporal_split",
-    "b24_corpus_v4",
-    "b27_linear_counting",
-    "b13_schema_union",
-    "b2_collapse_repeats",
-    "b26_rendezvous",
-    "b18_cdc_chunks",
-    "b8_order_distribution",
-    "b10_small_quantity_revenue",
-    "b5_disjunctive_pushdown",
-    "b22_byte_histogram",
-    "b30_index_compression",
-    "b22_image_resize",
-    "b7_shipping_priority",
-    "b7_skew_diagnosis",
-    "b23_udf_features",
-    "b19_cluster_stats",
-    "b26_cluster_kfold",
-    "b24_incremental_card",
-    "b19_dup_clusters",
-    "b19_embedding_clusters",
-    "b19_incremental_clusters",
-    "b26_split_leakage",
-    "b10_rollup",
-    "b10_cube",
-    "b10_percentiles",
-    "b10_grouping_sets",
-    "b11_ranks",
-    "b11_reconstruct_befores",
-    "b14_scalar_funcs",
-    "b14_date_funcs",
+#: bit-strict gate, the 4 heaviest also at sf0.1), then the stalest-green
+#: r8 cohort stalest-first. After this window lands green: cumulative
+#: driver-green 388/389 (b27_sketches rows-only by design), stalest
+#: driver attestation >= r9. ``tools/staleness.py --plan`` emits the
+#: committed r17 leg (WINDOW_PLAN.json).
+_R16_WINDOW = [
+    "b4_source_audit",
+    "b5_pushdown_audit",
+    "b17_incremental_distinct",
+    "b18_shingle_fingerprint_dups",
+    "b6_image_shape_profile",
+    "b12_keyset_parity",
+    "b14_json_funcs",
+    "b14_array_funcs",
+    "b14_map_funcs",
+    "b15_session_windows",
+    "b15_sliding_windows",
+    "b19_golden_records",
+    "b22_image_stats",
+    "b19_blocking_quality",
+    "b7_nation_volume",
+    "b10_profit_by_nation_year",
+    "b10_promo_share",
+    "b8_supplier_part_types",
+    "b19_lsh_quality",
+    "b29_incremental_decontam",
+    "b24_dedup_manifest",
+    "b3_fk_integrity",
+    "b20_centroid_drift",
+    "b9_scd2_pit",
+    "b10_mad_outliers",
+    "b29_semantic_decontam",
+    "b29_semantic_decontam_ann",
+    "b15_gap_fill",
+    "b30_ql_search",
+    "b15_concurrency",
+    "b15_forward_fill",
+    "b30_assoc_rules",
+    "b21_quantile_norm",
+    "b11_lag_features",
+    "b3_freshness",
+    "b22_audio_stats",
+    "b22_frame_extract",
+    "b26_interleave",
+    "b21_chunking",
+    "b5_time_range",
+    "b9_band_join",
+    "b10_bool_agg",
+    "b14_null_funcs",
+    "b21_token_stats",
+    "b24_corpus_build",
+    "b28_training_manifest",
+    "b1_column_diff",
+    "b21_token_per_doc",
+    "b7_salted_join",
+    "b21_fingerprints",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R15_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R16_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R15_WINDOW}
+    ordered = {k: q[k] for k in _R16_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

@@ -472,6 +472,8 @@ def _drift_normalization(
     # the compute pair stays the drift basis; registry canaries are the
     # legacy fallback; the fixed-overhead class never normalizes compute
     drift = class_med.get("synthetic", class_med.get("registry"))
+    if drift is None:  # prior artifact carried only fixed-class canaries
+        return {}
     out = {
         "prev_round": prev_round,
         "canary_drift": round(drift, 4),

@@ -980,17 +980,24 @@ def q_b18_shingle_fingerprint_dups(spark, sf_dir):
     hashed = rows.select(
         "doc", dedup.portable_hash60(F.col("sh")).alias("h")
     )
-    per_doc = hashed.groupBy("doc").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_set("h")),
-                    lambda x: x.cast("string"),
-                ),
-            )
-        ).alias("fp"),
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+    # one set-build per doc; n_shingles counts distinct HASHES (not
+    # distinct shingle strings) so both legs and both engines use the
+    # identical set semantics — a within-doc md5-60 collision can no
+    # longer make the count diverge from the oracle's DISTINCT(doc, h)
+    # granularity (ADVICE r15 item 2).
+    per_doc = (
+        hashed.groupBy("doc")
+        .agg(F.array_sort(F.collect_set("h")).alias("hs"))
+        .select(
+            "doc",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("hs"), lambda x: x.cast("string")),
+                )
+            ).alias("fp"),
+            F.size("hs").cast("long").alias("n_shingles"),
+        )
     )
     return (
         per_doc.groupBy("fp")

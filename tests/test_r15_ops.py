@@ -212,3 +212,34 @@ def test_keyset_parity_pages_match_and_never_globally_sort(spark, sf_dir):
         assert r["pages_match"] is True
         assert r["n_keyset"] == r["n_slice"] == 200
         assert r["keyset_xor"] == r["slice_xor"]
+
+
+def test_keyset_page_key_tuple_is_unique_over_paged_prefix(spark):
+    """ADVICE r15 item 1: the keyset leg's strict `>` boundary drops a
+    row iff the full 7-column _LI_PAGE_KEYS tuple repeats across one of
+    the first four 200-row page boundaries. The audit assumes tuple
+    uniqueness over the paged prefix; enforce it at EVERY on-box
+    fixture scale (the reference's keyset is PK-backed, triggers.go —
+    ours must prove the surrogate tuple is key-like where it pages)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from entryimpl.common import _LI_PAGE_KEYS, _t
+
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        prefix = (
+            _t(spark, d, "lineitem")
+            .select(*_LI_PAGE_KEYS)
+            .orderBy(*[F.col(c).asc() for c in _LI_PAGE_KEYS])
+            .limit(800)
+        )
+        row = prefix.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*_LI_PAGE_KEYS).alias("nd"),
+        ).collect()[0]
+        assert row["n"] == row["nd"], (
+            f"{d}: page-key tuple repeats inside the paged prefix "
+            f"({row['n']} rows, {row['nd']} distinct) — keyset leg "
+            "would drop the tied row at a page boundary"
+        )
