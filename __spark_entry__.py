@@ -496,6 +496,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 15 wave 2 (B6 and B12, the next-thinnest) ---------------
         "b6_image_shape_profile": q_b6_image_shape_profile,
         "b12_keyset_parity": q_b12_keyset_parity,
+        # --- round 16 (VERDICT r15 item 6: depth rows in the three
+        # thinnest families — B4, B5, B17) ----------------------------------
+        "b4_gap_repair_manifest": q_b4_gap_repair_manifest,
+        "b5_partition_pruning": q_b5_partition_pruning,
+        "b17_incremental_histogram": q_b17_incremental_histogram,
     }
 
 

@@ -1619,3 +1619,59 @@ def q_b17_incremental_distinct(spark, sf_dir):
         )
         .alias("est_distinct"),
     )
+
+
+def q_b17_incremental_histogram(spark, sf_dir):
+    """Incremental histogram view (B17 depth, r16 — VERDICT r15 item
+    6's suggested row: the counting-histogram leg of the incremental
+    family, joining b17_incremental_distinct's KMV merge). A standing
+    fixed-bin histogram of event values (bin = floor(value/50), count
+    + integer-quantized sum per bin) absorbs a CDC batch (ids ≡0 mod
+    10, the family's split convention) by per-bin ADDITION — the
+    counting-sketch merge law — and the oracle RECOMPUTES the
+    histogram from the full log, so the driver row proves merge ==
+    recompute integer-exactly per bin. View state is #bins rows
+    forever; maintenance cost ∝ batch, never the corpus; both sums
+    stay integer (floor(value·100)) so no float accumulation order
+    can split the equality."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    b = F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bin")
+    q = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+
+    def _hist(df, nc, sc):
+        return df.groupBy(b).agg(
+            F.count(F.lit(1)).cast("long").alias(nc),
+            F.sum(q).cast("long").alias(sc),
+        )
+
+    st = _hist(ev.filter(F.col("event_id") % 10 != 0), "n_standing", "s_standing")
+    ba = _hist(ev.filter(F.col("event_id") % 10 == 0), "n_batch", "s_batch")
+    merged = (
+        st.join(ba, "bin", "full_outer")
+        .na.fill(0, ["n_standing", "s_standing", "n_batch", "s_batch"])
+        .select(
+            "bin",
+            "n_standing",
+            "n_batch",
+            (F.col("n_standing") + F.col("n_batch"))
+            .cast("long")
+            .alias("n_merged"),
+            (F.col("s_standing") + F.col("s_batch"))
+            .cast("long")
+            .alias("s_merged"),
+        )
+    )
+    rec = _hist(ev, "n_recompute", "s_recompute")
+    return merged.join(rec, "bin", "full_outer").select(
+        "bin",
+        "n_standing",
+        "n_batch",
+        "n_merged",
+        "n_recompute",
+        "s_merged",
+        "s_recompute",
+        (
+            (F.col("n_merged") == F.col("n_recompute"))
+            & (F.col("s_merged") == F.col("s_recompute"))
+        ).alias("merge_ok"),
+    )

@@ -687,4 +687,90 @@ SQL = {
                      AS presence_rate
             FROM ex GROUP BY op, fld
         """,
+        "b4_gap_repair_manifest": """
+            -- the audit's counts as the consumer-side FIX: per-1024-id
+            -- bucket of the degraded replay, expected-vs-got ids and
+            -- the keyset re-request bounds; defective buckets only
+            WITH replay AS (
+              SELECT event_id FROM events WHERE event_id % 101 != 0
+              UNION ALL
+              SELECT event_id FROM events WHERE event_id % 103 = 5
+            ),
+            bounds AS (
+              SELECT CAST(min(event_id) AS BIGINT) AS lo_id,
+                     CAST(max(event_id) AS BIGINT) AS hi_id
+              FROM replay
+            ),
+            pb AS (
+              SELECT CAST(event_id // 1024 AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT event_id) AS BIGINT) AS n_got
+              FROM replay GROUP BY 1
+            ),
+            m AS (
+              SELECT pb.bucket,
+                     greatest(pb.bucket * 1024, b.lo_id) AS lo,
+                     least(pb.bucket * 1024 + 1023, b.hi_id) AS hi,
+                     pb.n_rows, pb.n_got
+              FROM pb, bounds b
+            )
+            SELECT bucket,
+                   CAST(lo AS BIGINT) AS rerequest_from,
+                   CAST(hi AS BIGINT) AS rerequest_to,
+                   CAST(hi - lo + 1 AS BIGINT) AS n_expected,
+                   n_got,
+                   CAST(hi - lo + 1 - n_got AS BIGINT) AS n_missing,
+                   CAST(n_rows - n_got AS BIGINT) AS n_dup_deliveries,
+                   CASE WHEN hi - lo + 1 - n_got > 0 THEN 'rerequest'
+                        ELSE 'dedup_ack' END AS action
+            FROM m
+            WHERE hi - lo + 1 - n_got > 0 OR n_rows - n_got > 0
+        """,
+
+        "b5_partition_pruning": """
+            -- directory-partition pruning ledger: partitions surviving
+            -- the partition predicate, rows SCANNED (whole surviving
+            -- partitions) vs rows MATCHED (full predicate)
+            WITH o AS (
+              SELECT year(o_orderdate) AS y, o_totalprice FROM orders
+            ),
+            t AS (
+              SELECT CAST(count(DISTINCT y) AS BIGINT) AS n_parts_total,
+                     CAST(count(*) AS BIGINT) AS n_rows_total
+              FROM o
+            ),
+            legs AS (
+              SELECT 'year_eq' AS predicate,
+                     CAST(count(DISTINCT y) AS BIGINT) AS n_parts_read,
+                     CAST(count(*) AS BIGINT) AS n_rows_scanned,
+                     CAST(sum((y = 1998)::INT) AS BIGINT) AS n_match
+              FROM o WHERE y = 1998
+              UNION ALL
+              SELECT 'year_in', CAST(count(DISTINCT y) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum((y IN (1995, 2001))::INT) AS BIGINT)
+              FROM o WHERE y IN (1995, 2001)
+              UNION ALL
+              SELECT 'year_range', CAST(count(DISTINCT y) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum((y BETWEEN 1996 AND 1998)::INT) AS BIGINT)
+              FROM o WHERE y BETWEEN 1996 AND 1998
+              UNION ALL
+              SELECT 'residual', CAST(count(DISTINCT y) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum((y = 1998 AND o_totalprice >= 1000.0)::INT)
+                          AS BIGINT)
+              FROM o WHERE y = 1998
+              UNION ALL
+              SELECT 'none', CAST(count(DISTINCT y) AS BIGINT),
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum((o_totalprice >= 1000.0)::INT) AS BIGINT)
+              FROM o
+            )
+            SELECT legs.predicate, legs.n_parts_read, t.n_parts_total,
+                   legs.n_rows_scanned, legs.n_match,
+                   round(CAST(legs.n_rows_scanned AS DOUBLE)
+                         / CAST(t.n_rows_total AS DOUBLE), 6) AS scan_frac
+            FROM legs, t
+        """,
 }

@@ -1091,4 +1091,50 @@ SQL = {
                      AS est_distinct
             FROM kept GROUP BY event_type
         """,
+        "b17_incremental_histogram": """
+            -- counting-histogram merge law: standing (ids %10 != 0)
+            -- + batch (ids %10 = 0) per-bin addition must equal the
+            -- full recompute, integer-exactly (count + floor(v*100))
+            WITH ev AS (
+              SELECT event_id,
+                     CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                     CAST(floor(value * 100.0) AS BIGINT) AS q
+              FROM events
+            ),
+            st AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n_standing,
+                     CAST(sum(q) AS BIGINT) AS s_standing
+              FROM ev WHERE event_id % 10 != 0 GROUP BY bin
+            ),
+            ba AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n_batch,
+                     CAST(sum(q) AS BIGINT) AS s_batch
+              FROM ev WHERE event_id % 10 = 0 GROUP BY bin
+            ),
+            m AS (
+              SELECT coalesce(st.bin, ba.bin) AS bin,
+                     coalesce(st.n_standing, 0) AS n_standing,
+                     coalesce(ba.n_batch, 0) AS n_batch,
+                     coalesce(st.n_standing, 0) + coalesce(ba.n_batch, 0)
+                       AS n_merged,
+                     coalesce(st.s_standing, 0) + coalesce(ba.s_batch, 0)
+                       AS s_merged
+              FROM st FULL JOIN ba ON st.bin = ba.bin
+            ),
+            rec AS (
+              SELECT bin, CAST(count(*) AS BIGINT) AS n_recompute,
+                     CAST(sum(q) AS BIGINT) AS s_recompute
+              FROM ev GROUP BY bin
+            )
+            SELECT coalesce(m.bin, rec.bin) AS bin,
+                   CAST(m.n_standing AS BIGINT) AS n_standing,
+                   CAST(m.n_batch AS BIGINT) AS n_batch,
+                   CAST(m.n_merged AS BIGINT) AS n_merged,
+                   rec.n_recompute,
+                   CAST(m.s_merged AS BIGINT) AS s_merged,
+                   rec.s_recompute,
+                   (m.n_merged = rec.n_recompute
+                    AND m.s_merged = rec.s_recompute) AS merge_ok
+            FROM m FULL JOIN rec ON m.bin = rec.bin
+        """,
 }

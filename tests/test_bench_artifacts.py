@@ -226,6 +226,31 @@ def test_line_regressions_by_median_and_min():
     assert reg2["ratio_min"] == {} and reg2["over_1p3x_min"] == []
 
 
+def test_elastic_lines_page_only_when_over_by_both_stats():
+    """r16 (VERDICT r15 items 2-3): declared CPU-elastic lines page the
+    1.3x screen only over-by-BOTH median and min; their raw ratios stay
+    visible in elastic_ratios either way. Non-elastic behavior is
+    unchanged (previous test)."""
+    el = sorted(bench.ELASTIC_LINES)[0]  # b19_prefix_filter
+    timings = {el: 1.8, "q_other": 1.0}
+    runs = {el: [1.8, 1.9, 0.9], "q_other": [1.0]}
+    prev_med = {el: 1.0, "q_other": 1.0}
+    prev_runs = {el: [1.0, 1.1], "q_other": [1.0]}
+    # elastic, median 1.8x but min 0.82x -> does NOT page, ratio visible
+    reg = bench._line_regressions(timings, runs, prev_med, prev_runs)
+    assert reg["over_1p3x_median"] == []
+    assert reg["elastic_ratios"][el] == {"median": 1.8, "min": 0.9 / 1.0}
+    # over by BOTH -> still pages (a real regression moves the min too)
+    runs2 = {el: [1.8, 1.9, 1.7], "q_other": [1.0]}
+    reg2 = bench._line_regressions(timings, runs2, prev_med, prev_runs)
+    assert reg2["over_1p3x_median"] == [el]
+    assert reg2["over_1p3x_min"] == [el]
+    # no archived prior runs -> min unknown -> median alone pages
+    # (fail-closed: elasticity must be PROVEN by a min reading)
+    reg3 = bench._line_regressions(timings, runs, prev_med, None)
+    assert reg3["over_1p3x_median"] == [el]
+
+
 def test_drift_normalization_with_runs_emits_regression_ledger():
     # against the real committed artifacts: the prior round resolves,
     # the private _vs_prev ledger carries the full ratio maps, and the
