@@ -131,6 +131,13 @@ HEADLINE = [
     # b17_incremental_distinct = distinct + keyed bottom-k window
     # (b17/b27 lines).
     "b18_shingle_fingerprint_dups",  # r15 shingle-set fingerprint screen
+    # --- round 16: no new board lines. All four r16 rows are execution
+    # shapes the board already measures — b4_gap_repair_manifest /
+    # b17_incremental_histogram = keyed agg + 1-row-broadcast or tiny
+    # full-outer join (b3/b10/b17 lines), b5_partition_pruning = pruned
+    # scans + counts (every scan line), b6_cast_failure_ledger =
+    # scan + 4-literal explode + keyed agg (the b6_image_shape_profile
+    # shape). A second line per shape would double-count in the total.
 ]
 
 

@@ -132,3 +132,31 @@ def test_incremental_histogram_merge_law_and_conservation(spark, sf_dir):
 
     total = load_table(spark, sf_dir, "events").count()
     assert sum(r["n_merged"] for r in rows) == total
+
+
+def test_cast_failure_ledger_counts_exactly_the_corrupted_rows(spark, sf_dir):
+    """`value` cast failures must be exactly the corrupted images that
+    CARRY value (ids ≡0 mod 13 whose op isn't DELETE — error rows keep
+    before-only key images); key/string fields never fail."""
+    from pyspark.sql import functions as F
+
+    from sqlite_cdc_spark.sources import load_table
+
+    rows = entry.queries()["b6_cast_failure_ledger"](spark, sf_dir).collect()
+    by = {r["field"]: r for r in rows}
+    assert set(by) == {"user_id", "event_type", "value", "props"}
+    n = by["user_id"]["n_images"]
+    assert all(r["n_images"] == n for r in rows)
+    # user_id is in every image (the key survives DELETE)
+    assert by["user_id"]["n_present"] == n
+    for f in ("user_id", "event_type", "props"):
+        assert by[f]["n_cast_fail"] == 0
+        assert by[f]["fail_rate"] == 0.0
+    expected_fail = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") % 13 == 0) & (F.col("event_type") != "error"))
+        .count()
+    )
+    assert expected_fail > 0
+    assert by["value"]["n_cast_fail"] == expected_fail
+    assert by["value"]["n_cast_ok"] == by["value"]["n_present"] - expected_fail
