@@ -501,6 +501,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b4_gap_repair_manifest": q_b4_gap_repair_manifest,
         "b5_partition_pruning": q_b5_partition_pruning,
         "b17_incremental_histogram": q_b17_incremental_histogram,
+        "b6_cast_failure_ledger": q_b6_cast_failure_ledger,
     }
 
 

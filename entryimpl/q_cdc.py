@@ -1070,3 +1070,65 @@ def q_b5_partition_pruning(spark, sf_dir):
             6,
         ).alias("scan_frac"),
     )
+
+
+def q_b6_cast_failure_ledger(spark, sf_dir):
+    """Per-field CAST-failure ledger over a deterministically corrupted
+    image feed (B6 depth, r16 — the aggregate data-quality gate beside
+    b6_tolerant_projection's per-row fill count: tolerant TRY-casts
+    NULL on malformed text, and this row counts exactly WHERE). The
+    fixture's images are well-formed, so images of ids ≡0 mod 13 are
+    degraded in JSON-string space — the numeric `value` token replaced
+    with the non-numeric literal "corrupt" (regexp on the rendered
+    image, one occurrence per image so first-vs-all replace semantics
+    agree across engines) — and the ledger reports, per field:
+    present, cast-to-target OK, cast failures, round-6 failure rate.
+    `value` fails exactly on corrupted rows that carry it; string
+    targets never fail; DELETE rows carry before-only key images so
+    their non-key fields don't reach the cast at all. One scan, one
+    4-literal explode, one keyed agg — 4 rows out at any scale."""
+    ch = _events_changes(spark, sf_dir)
+    img0 = F.coalesce("after", "before")
+    img = F.when(
+        F.col("id") % 13 == 0,
+        F.regexp_replace(
+            img0, '"value":[0-9.eE+-]+', '"value":"corrupt"'
+        ),
+    ).otherwise(img0)
+    casts = {
+        "user_id": lambda c: c.try_cast("bigint"),
+        "event_type": lambda c: c,
+        "value": lambda c: c.try_cast("double"),
+        "props": lambda c: c,
+    }
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(f).alias("field"),
+                model.image_field(img, f).isNotNull().alias("present"),
+                cast(model.image_field(img, f)).isNotNull().alias("ok"),
+            )
+            for f, cast in casts.items()
+        ]
+    )
+    ex = ch.select(F.explode(pairs).alias("p")).select(
+        "p.field", "p.present", "p.ok"
+    )
+    return ex.groupBy("field").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum(F.col("present").cast("int")).cast("long").alias("n_present"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_cast_ok"),
+    ).select(
+        "field",
+        "n_images",
+        "n_present",
+        "n_cast_ok",
+        (F.col("n_present") - F.col("n_cast_ok"))
+        .cast("long")
+        .alias("n_cast_fail"),
+        F.round(
+            (F.col("n_present") - F.col("n_cast_ok")).cast("double")
+            / F.greatest(F.col("n_present"), F.lit(1)).cast("double"),
+            6,
+        ).alias("fail_rate"),
+    )

@@ -773,4 +773,45 @@ SQL = {
                          / CAST(t.n_rows_total AS DOUBLE), 6) AS scan_frac
             FROM legs, t
         """,
+        "b6_cast_failure_ledger": f"""
+            -- per-field TRY_CAST ledger over images corrupted in JSON-
+            -- string space (ids %13: numeric value token -> "corrupt");
+            -- value fails exactly on corrupted rows that carry it
+            WITH changes AS ({_EVENTS_CHANGES_SQL}),
+            f0 AS (
+              SELECT id, coalesce(after, before) AS img0 FROM changes
+            ),
+            c AS (
+              SELECT CASE WHEN id % 13 = 0
+                          THEN regexp_replace(img0,
+                               '"value":[0-9.eE+-]+', '"value":"corrupt"')
+                          ELSE img0 END AS img
+              FROM f0
+            ),
+            ex AS (
+              SELECT fld,
+                     (json_extract_string(img, '$.' || fld)
+                      IS NOT NULL)::INT AS present,
+                     (CASE fld
+                        WHEN 'user_id' THEN
+                          TRY_CAST(json_extract_string(img, '$.user_id')
+                                   AS BIGINT) IS NOT NULL
+                        WHEN 'value' THEN
+                          TRY_CAST(json_extract_string(img, '$.value')
+                                   AS DOUBLE) IS NOT NULL
+                        ELSE json_extract_string(img, '$.' || fld)
+                             IS NOT NULL
+                      END)::INT AS ok
+              FROM c, unnest(['user_id', 'event_type', 'value', 'props'])
+                     AS t(fld)
+            )
+            SELECT fld AS field,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(present) AS BIGINT) AS n_present,
+                   CAST(sum(ok) AS BIGINT) AS n_cast_ok,
+                   CAST(sum(present) - sum(ok) AS BIGINT) AS n_cast_fail,
+                   round(CAST(sum(present) - sum(ok) AS DOUBLE)
+                         / greatest(sum(present), 1), 6) AS fail_rate
+            FROM ex GROUP BY fld
+        """,
 }
