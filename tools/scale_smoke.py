@@ -1453,6 +1453,145 @@ def r15_ops(spark, path: str, dpath: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r16_ops(spark, path: str, rows: int) -> dict[str, float]:
+    """Round-16 scale shapes: the gap-repair manifest (per-bucket keyed
+    agg over the degraded replay + 1-row broadcast span — output ∝
+    defective buckets), the partition-pruning scan fan (5 pruned scans
+    + counts), the incremental histogram (three keyed aggs + bounded
+    full-outer joins on ≤ #bins rows), and the cast-failure ledger
+    (JSON render + regexp corrupt + 4-literal explode + keyed agg)."""
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    ev = spark.range(rows // 3).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit(3)), max(rows // 600, 50)).alias(
+            "user_id"
+        ),
+        (F.pmod(F.xxhash64("id", F.lit(4)), 49000) / 100.0 + 0.01).alias(
+            "value"
+        ),
+    )
+
+    def gap_repair():
+        replay = ev.select("event_id").filter(
+            F.col("event_id") % 101 != 0
+        ).unionByName(
+            ev.select("event_id").filter(F.col("event_id") % 103 == 5)
+        )
+        bounds = replay.agg(
+            F.min("event_id").alias("lo_id"), F.max("event_id").alias("hi_id")
+        )
+        pb = replay.groupBy(
+            F.expr("event_id div 1024").alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_got"),
+        )
+        lo = F.greatest(F.col("bucket") * 1024, F.col("lo_id"))
+        hi = F.least(F.col("bucket") * 1024 + 1023, F.col("hi_id"))
+        pb.crossJoin(F.broadcast(bounds)).select(
+            "bucket",
+            (hi - lo + 1 - F.col("n_got")).alias("n_missing"),
+            (F.col("n_rows") - F.col("n_got")).alias("n_dup"),
+        ).filter(
+            (F.col("n_missing") > 0) | (F.col("n_dup") > 0)
+        ).write.format("noop").mode("overwrite").save()
+
+    run("gap_repair_manifest", gap_repair)
+
+    li = spark.read.parquet(path)
+
+    def partition_pruning():
+        o = li.select(
+            F.year("l_shipdate").alias("y"), "l_extendedprice"
+        )
+        legs = []
+        for label, pred in (
+            ("year_eq", F.col("y") == 2023),
+            ("year_in", F.col("y").isin(2023, 2024)),
+            ("none", None),
+        ):
+            scanned = o.filter(pred) if pred is not None else o
+            legs.append(
+                scanned.agg(
+                    F.countDistinct("y").alias("n_parts"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                ).select(F.lit(label).alias("p"), "*")
+            )
+        outd = legs[0]
+        for leg in legs[1:]:
+            outd = outd.unionByName(leg)
+        total = o.agg(F.count(F.lit(1)).alias("n_total"))
+        outd.crossJoin(F.broadcast(total)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("partition_pruning", partition_pruning)
+
+    def incremental_histogram():
+        b = F.floor(F.col("value") / F.lit(50.0)).alias("bin")
+        q = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+
+        def hist(df, nc, sc):
+            return df.groupBy(b).agg(
+                F.count(F.lit(1)).alias(nc), F.sum(q).alias(sc)
+            )
+
+        st = hist(ev.filter(F.col("event_id") % 10 != 0), "ns", "ss")
+        ba = hist(ev.filter(F.col("event_id") % 10 == 0), "nb", "sb")
+        merged = st.join(ba, "bin", "full_outer").na.fill(0).select(
+            "bin",
+            (F.col("ns") + F.col("nb")).alias("nm"),
+            (F.col("ss") + F.col("sb")).alias("sm"),
+        )
+        rec = hist(ev, "nr", "sr")
+        merged.join(rec, "bin", "full_outer").select(
+            "bin", (F.col("nm") == F.col("nr")).alias("ok")
+        ).write.format("noop").mode("overwrite").save()
+
+    run("incremental_histogram", incremental_histogram)
+
+    def cast_ledger():
+        img0 = F.to_json(
+            F.struct(
+                F.col("user_id"),
+                F.lit("click").alias("event_type"),
+                F.col("value"),
+            )
+        )
+        img = F.when(
+            F.col("event_id") % 13 == 0,
+            F.regexp_replace(
+                img0, '"value":[0-9.eE+-]+', '"value":"corrupt"'
+            ),
+        ).otherwise(img0)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("field"),
+                    F.get_json_object(img, f"$.{f}").isNotNull().alias("p"),
+                    c(F.get_json_object(img, f"$.{f}")).isNotNull().alias("ok"),
+                )
+                for f, c in (
+                    ("user_id", lambda x: x.try_cast("bigint")),
+                    ("event_type", lambda x: x),
+                    ("value", lambda x: x.try_cast("double")),
+                )
+            ]
+        )
+        ev.select(F.explode(pairs).alias("x")).groupBy("x.field").agg(
+            F.sum(F.col("x.p").cast("int")).alias("n_present"),
+            F.sum(F.col("x.ok").cast("int")).alias("n_ok"),
+        ).write.format("noop").mode("overwrite").save()
+
+    run("cast_ledger", cast_ledger)
+
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -1507,6 +1646,7 @@ def main():
             results[label].update(r13_ops(spark, dpath, rows))
             results[label].update(r14_ops(spark, path, rows))
             results[label].update(r15_ops(spark, path, dpath, rows))
+            results[label].update(r16_ops(spark, path, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
