@@ -184,6 +184,18 @@ EXTRA = {"b19_minhash_xxh64": _minhash_xxh64}
 #: still pages.
 ELASTIC_LINES = {"b19_prefix_filter", "b20_kmeans"}
 
+#: Per-line deep-warm-up overrides (r16). b1_snapshot_diff's JIT/codegen
+#: tail is 4-5 EXECUTIONS deep, not 1 (measured back-to-back same box,
+#: fresh JVM: [3.63 w, 1.181, 0.955, 0.818, 0.803, 0.808] — runs 2-3 are
+#: still 18-46% above steady state), so with the global 1-warm-up policy
+#: a 3-run median can land entirely inside the tail while never dipping
+#: under the 1.0 s extra-runs threshold — the r14 cold-median artifact
+#: at smaller amplitude (this round's companion b1 series [1.387, 1.087,
+#: 1.104] read 1.69x vs r15 on byte-identical code; steady state on the
+#: same box minutes later: 0.81 s). The synthetic canaries already use
+#: 2 discarded warm-ups for the same reason.
+DEEP_WARMUP = {"b1_snapshot_diff": 3}
+
 #: Registry drift canaries (VERDICT r8 item 2): plan-frozen zero/low-
 #: shuffle queries whose round-over-round ratio measures BOX drift, not
 #: code. r10 finding: all five are sub-second and scheduling-noise-
@@ -282,18 +294,24 @@ def _recover_from_tail(tail: str) -> tuple[dict[str, float], dict[str, float]]:
 
 
 def _medians_from_runs(
-    runs: dict[str, list[float]], query_warmup: int = 0
+    runs: dict[str, list[float]],
+    query_warmup: int = 0,
+    overrides: dict[str, int] | None = None,
 ) -> dict[str, float]:
     """Per-query medians from a BENCH_RUNS.json ``runs`` map, applying
     the same rules as main(): canaries discard their 2 warmup samples;
     queries discard ``query_warmup`` (the doc's ``warmup_discard``,
-    0 for rounds before r15)."""
+    0 for rounds before r15) or the DOC's own per-line override (r16
+    ``warmup_overrides`` — never the current DEEP_WARMUP constant, so
+    replaying an old doc slices exactly where ITS main() sliced."""
     out = {}
+    overrides = overrides or {}
     for name, samples in runs.items():
         if name in SYNTH_CANARIES:
             s = samples[2:] if len(samples) > 2 else samples
         else:
-            s = samples[query_warmup:] if len(samples) > query_warmup else samples
+            w = max(query_warmup, int(overrides.get(name, 0)))
+            s = samples[w:] if len(samples) > w else samples
         if s:
             out[name] = sorted(s)[len(s) // 2]
     return out
@@ -360,7 +378,9 @@ def _queries_from_archived_runs(
             runs = data.get("runs")
             med = (
                 _medians_from_runs(
-                    runs, int(data.get("warmup_discard", 0) or 0)
+                    runs,
+                    int(data.get("warmup_discard", 0) or 0),
+                    data.get("warmup_overrides"),
                 )
                 if isinstance(runs, dict)
                 else {}
@@ -621,11 +641,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = EXTRA.get(name) or queries[name]
         samples = []
-        for _ in range(runs_n + warmup_discard):
+        q_warmup = max(warmup_discard, DEEP_WARMUP.get(name, 0))
+        for _ in range(runs_n + q_warmup):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
-        timed = samples[warmup_discard:]
+        timed = samples[q_warmup:]
         if sorted(timed)[len(timed) // 2] < 1.0:
             for _ in range(extra_subsec):
                 t0 = time.time()
@@ -737,6 +758,7 @@ def main() -> None:
                     "sf": sf,
                     "runs_per_query": runs_n,
                     "warmup_discard": warmup_discard,
+                    "warmup_overrides": DEEP_WARMUP,
                     "runs": all_runs,
                     "medians": timings,
                     "canary_medians": canary_timings,

@@ -351,3 +351,26 @@ def test_medians_from_runs_discards_query_warmup():
     assert med["canary_cpu"] == 4.0
     # pre-r15 docs (no warmup field) keep the old semantics
     assert bench._medians_from_runs(runs)["q1"] == 1.2
+
+
+def test_medians_from_runs_applies_doc_carried_deep_warmup():
+    """r16: per-line warm-up overrides are DOC-carried — replaying an
+    old doc must slice where ITS main() sliced, never where the current
+    DEEP_WARMUP constant says (r15 docs have no overrides field and
+    must keep their medians bit-identical)."""
+    runs = {"b1_snapshot_diff": [3.0, 1.2, 0.9, 0.8, 0.8, 0.8]}
+    # r15-style doc: global 1-warm-up only
+    assert bench._medians_from_runs(runs, query_warmup=1)[
+        "b1_snapshot_diff"
+    ] == 0.8  # median of [1.2, 0.9, 0.8, 0.8, 0.8]
+    # r16-style doc: override 3 -> median of [0.8, 0.8, 0.8]
+    assert bench._medians_from_runs(
+        runs, query_warmup=1, overrides={"b1_snapshot_diff": 3}
+    )["b1_snapshot_diff"] == 0.8
+    runs2 = {"b1_snapshot_diff": [3.0, 1.2, 1.1, 0.9, 0.8, 0.7]}
+    assert bench._medians_from_runs(runs2, query_warmup=1)[
+        "b1_snapshot_diff"
+    ] == 0.9
+    assert bench._medians_from_runs(
+        runs2, query_warmup=1, overrides={"b1_snapshot_diff": 3}
+    )["b1_snapshot_diff"] == 0.8
