@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R16_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R17_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -505,79 +505,79 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-16 driver window (first 50 of queries(); the driver's correctness
+#: Round-17 driver window (first 50 of queries(); the driver's correctness
 #: gate checks exactly these). Executed VERBATIM from the committed
-#: ``WINDOW_PLAN.json`` r16 leg (VERDICT r15 item 1): the 6 round-15
-#: additions first (no driver row yet; all 6 passed the judge's own
-#: bit-strict gate, the 4 heaviest also at sf0.1), then the stalest-green
-#: r8 cohort stalest-first. After this window lands green: cumulative
-#: driver-green 388/389 (b27_sketches rows-only by design), stalest
-#: driver attestation >= r9. ``tools/staleness.py --plan`` emits the
-#: committed r17 leg (WINDOW_PLAN.json).
-_R16_WINDOW = [
-    "b4_source_audit",
-    "b5_pushdown_audit",
-    "b17_incremental_distinct",
-    "b18_shingle_fingerprint_dups",
-    "b6_image_shape_profile",
-    "b12_keyset_parity",
-    "b14_json_funcs",
-    "b14_array_funcs",
-    "b14_map_funcs",
-    "b15_session_windows",
-    "b15_sliding_windows",
-    "b19_golden_records",
-    "b22_image_stats",
-    "b19_blocking_quality",
-    "b7_nation_volume",
-    "b10_profit_by_nation_year",
-    "b10_promo_share",
-    "b8_supplier_part_types",
-    "b19_lsh_quality",
-    "b29_incremental_decontam",
-    "b24_dedup_manifest",
-    "b3_fk_integrity",
-    "b20_centroid_drift",
-    "b9_scd2_pit",
-    "b10_mad_outliers",
-    "b29_semantic_decontam",
-    "b29_semantic_decontam_ann",
-    "b15_gap_fill",
-    "b30_ql_search",
-    "b15_concurrency",
-    "b15_forward_fill",
-    "b30_assoc_rules",
-    "b21_quantile_norm",
-    "b11_lag_features",
-    "b3_freshness",
-    "b22_audio_stats",
-    "b22_frame_extract",
-    "b26_interleave",
-    "b21_chunking",
-    "b5_time_range",
-    "b9_band_join",
-    "b10_bool_agg",
-    "b14_null_funcs",
-    "b21_token_stats",
-    "b24_corpus_build",
-    "b28_training_manifest",
-    "b1_column_diff",
-    "b21_token_per_doc",
-    "b7_salted_join",
-    "b21_fingerprints",
+#: ``WINDOW_PLAN.json`` r17 leg (VERDICT r16 item 4): the 4 round-16
+#: additions first (never driver-attested; all 4 passed the judge's own
+#: bit-strict gate at sf0.01 AND sf0.1), then the stalest-green cohort
+#: stalest-first. After this window lands green: cumulative driver-green
+#: 392/393 (b27_sketches rows-only by design), stalest driver
+#: attestation >= r10. ``tools/staleness.py --plan`` emits the
+#: committed r18 leg (WINDOW_PLAN.json).
+_R17_WINDOW = [
+    "b4_gap_repair_manifest",
+    "b5_partition_pruning",
+    "b17_incremental_histogram",
+    "b6_cast_failure_ledger",
+    "b28_mixture",
+    "b29_containment",
+    "b21_top_tokens",
+    "b24_corpus_v2",
+    "b12_topk",
+    "b18_dedup_exact",
+    "b19_word_jaccard",
+    "b20_cosine_topk",
+    "a18_stdout_lines",
+    "a19_json_lines",
+    "b18_dup_groups",
+    "b19_embedding_dups",
+    "b20_ann_lsh",
+    "b20_ann_ivf",
+    "b19_minhash_candidates",
+    "b20_ann_recall",
+    "b29_decontamination",
+    "b26_hash_sample",
+    "b19_cluster_stability",
+    "b20_dim_truncation",
+    "b11_twap",
+    "b21_source_kl",
+    "b22_phash_dups",
+    "b15_retention",
+    "b30_phrase_search",
+    "b24_effective_tokens",
+    "b28_pack_efficiency",
+    "b3_anomaly",
+    "b17_join_view",
+    "b30_rrf_fusion",
+    "b9_asof_tolerance",
+    "b25_sql_window",
+    "b14_trig_funcs",
+    "b2_vacuum_stats",
+    "b11_cumulative_distinct",
+    "b26_exact_quota",
+    "b24_corpus_v5",
+    "b7_returned_revenue",
+    "b20_hubness",
+    "b10_gini",
+    "b7_cust_order_dist",
+    "b8_min_cost_supplier",
+    "b8_important_parts",
+    "b10_chi2",
+    "b10_benford",
+    "b15_acf",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R16_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R17_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R16_WINDOW}
+    ordered = {k: q[k] for k in _R17_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

@@ -971,12 +971,21 @@ def q_b4_gap_repair_manifest(spark, sf_dir):
     per-BUCKET (id div 1024): expected ids in the bucket's delivered
     span vs distinct ids got, missing count, duplicate deliveries, and
     the re-request bounds [rerequest_from, rerequest_to] a keyset scan
-    needs. Only defective buckets are emitted. Scale: one keyed
-    groupBy over the replay + a 1-row broadcast of the delivered span;
-    output ∝ defective buckets, never the corpus; gap math stays pure
-    integer aggregation (expected − distinct), no global sort, no id
-    enumeration."""
+    needs. Only defective buckets are emitted. The bucket grid is
+    GENERATED from the delivered span (r17 ADVICE: a groupBy over the
+    replay alone cannot see a bucket whose deliveries were ALL dropped
+    — the most defective bucket would be invisible), then the
+    per-bucket delivered counts are left-joined on: an all-dropped
+    bucket now surfaces as n_got=0 / n_missing=n_expected. Scale: one
+    keyed groupBy over the replay + a grid of span/1024 integers built
+    by a TWO-LEVEL explode (coarse 4096-bucket chunks first, then
+    buckets within a chunk) so no single task materializes more than
+    4096 rows however wide the id span; the grid join shuffles
+    span/1024 rows, not the corpus; output ∝ defective buckets; gap
+    math stays pure integer aggregation (expected − distinct), no
+    global sort, no id enumeration."""
     B = 1024
+    C = 4096  # buckets per coarse grid chunk (bounds per-task explode)
     ev = _t(spark, sf_dir, "events").select("event_id")
     replay = ev.filter(F.col("event_id") % 101 != 0).unionByName(
         ev.filter(F.col("event_id") % 103 == 5)
@@ -991,10 +1000,39 @@ def q_b4_gap_repair_manifest(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("event_id").cast("long").alias("n_got"),
     )
+    coarse = bounds.select(
+        "lo_id",
+        "hi_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo_id div {B} div {C}"),
+                F.expr(f"hi_id div {B} div {C}"),
+            )
+        ).alias("chunk"),
+    )
+    grid = coarse.repartition(32, "chunk").select(
+        "lo_id",
+        "hi_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("chunk") * C, F.expr(f"lo_id div {B}")),
+                F.least(
+                    F.col("chunk") * C + (C - 1), F.expr(f"hi_id div {B}")
+                ),
+            )
+        ).alias("bucket"),  # sequence-of-long elements are already long
+    )
+    joined = grid.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        "lo_id",
+        "hi_id",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.col("n_got"), F.lit(0)).cast("long").alias("n_got"),
+    )
     lo = F.greatest(F.col("bucket") * B, F.col("lo_id"))
     hi = F.least(F.col("bucket") * B + (B - 1), F.col("hi_id"))
     return (
-        per_bucket.crossJoin(F.broadcast(bounds))
+        joined
         .select(
             "bucket",
             lo.cast("long").alias("rerequest_from"),

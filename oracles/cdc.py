@@ -690,7 +690,11 @@ SQL = {
         "b4_gap_repair_manifest": """
             -- the audit's counts as the consumer-side FIX: per-1024-id
             -- bucket of the degraded replay, expected-vs-got ids and
-            -- the keyset re-request bounds; defective buckets only
+            -- the keyset re-request bounds; defective buckets only.
+            -- The bucket grid is generated from the delivered span and
+            -- the per-bucket counts LEFT-joined on (r17 ADVICE), so a
+            -- bucket whose deliveries were ALL dropped still surfaces
+            -- (n_got=0, n_missing=n_expected)
             WITH replay AS (
               SELECT event_id FROM events WHERE event_id % 101 != 0
               UNION ALL
@@ -707,12 +711,20 @@ SQL = {
                      CAST(count(DISTINCT event_id) AS BIGINT) AS n_got
               FROM replay GROUP BY 1
             ),
+            grid AS (
+              SELECT CAST(unnest(generate_series(b.lo_id // 1024,
+                                                 b.hi_id // 1024))
+                          AS BIGINT) AS bucket,
+                     b.lo_id, b.hi_id
+              FROM bounds b
+            ),
             m AS (
-              SELECT pb.bucket,
-                     greatest(pb.bucket * 1024, b.lo_id) AS lo,
-                     least(pb.bucket * 1024 + 1023, b.hi_id) AS hi,
-                     pb.n_rows, pb.n_got
-              FROM pb, bounds b
+              SELECT g.bucket,
+                     greatest(g.bucket * 1024, g.lo_id) AS lo,
+                     least(g.bucket * 1024 + 1023, g.hi_id) AS hi,
+                     COALESCE(pb.n_rows, 0) AS n_rows,
+                     COALESCE(pb.n_got, 0) AS n_got
+              FROM grid g LEFT JOIN pb ON g.bucket = pb.bucket
             )
             SELECT bucket,
                    CAST(lo AS BIGINT) AS rerequest_from,

@@ -374,3 +374,68 @@ def test_medians_from_runs_applies_doc_carried_deep_warmup():
     assert bench._medians_from_runs(
         runs2, query_warmup=1, overrides={"b1_snapshot_diff": 3}
     )["b1_snapshot_diff"] == 0.8
+
+
+def test_main_median_window_always_matches_the_replay_slice():
+    """r17 ADVICE: the sub-second extra-runs branch and the elastic
+    branch in main() once re-sliced `timed` by the GLOBAL
+    warmup_discard instead of the per-line q_warmup, re-including the
+    DEEP_WARMUP-discarded JIT tail for sub-second deep-warmup lines
+    (b1_snapshot_diff's steady state ~0.7 s fires that branch for the
+    exact line the override targets) — so the recorded median and the
+    doc-carried replay disagreed. Pin: main() must never slice by
+    warmup_discard after the initial q_warmup assignment, and the
+    q_warmup slice must reproduce the replay's override semantics."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "samples[warmup_discard:]" not in src, (
+        "main() re-sliced the median window by the global discard; "
+        "use samples[q_warmup:] so it matches the warmup_overrides replay"
+    )
+    assert src.count("samples[q_warmup:]") >= 3  # initial + subsec + elastic
+    # behavioral equivalence: a b1-class series (deep warm-up 3, steady
+    # state sub-second, 2 extra runs appended) medians identically under
+    # main()'s slice and the doc replay with the carried override
+    samples = [2.1, 1.4, 1.066, 0.7, 0.69, 0.68, 0.67, 0.66]
+    q_warmup = 3
+    timed = samples[q_warmup:]
+    main_median = sorted(timed)[len(timed) // 2]
+    replay = bench._medians_from_runs(
+        {"b1_snapshot_diff": samples},
+        query_warmup=1,
+        overrides={"b1_snapshot_diff": 3},
+    )["b1_snapshot_diff"]
+    assert main_median == replay == 0.68
+
+
+def test_elastic_screen_helper_requires_the_other_statistic_over():
+    """r17 ADVICE: the elastic relaxation helper reads only the OTHER
+    statistic (the comprehension already filtered this one > 1.3); a
+    missing other-statistic fails closed (still pages)."""
+    reg = bench._line_regressions(
+        timings={"b19_prefix_filter": 2.0, "q_other": 2.0},
+        runs={"b19_prefix_filter": [2.0, 2.0], "q_other": [2.0, 2.0]},
+        prev_medians={"b19_prefix_filter": 1.0, "q_other": 1.0},
+        prev_runs={"b19_prefix_filter": [1.3, 1.3], "q_other": [1.3, 1.3]},
+    )
+    # elastic line over by BOTH (median 2.0, min 1.54) -> pages
+    assert "b19_prefix_filter" in reg["over_1p3x_median"]
+    assert "q_other" in reg["over_1p3x_median"]
+    # elastic over by median only -> suppressed from the median screen
+    reg2 = bench._line_regressions(
+        timings={"b19_prefix_filter": 2.0},
+        runs={"b19_prefix_filter": [2.0, 1.2]},
+        prev_medians={"b19_prefix_filter": 1.0},
+        prev_runs={"b19_prefix_filter": [1.0, 1.0]},
+    )
+    assert reg2["ratio_min"]["b19_prefix_filter"] == 1.2
+    assert "b19_prefix_filter" not in reg2["over_1p3x_median"]
+    # elastic over by median with NO min data -> fails closed, pages
+    reg3 = bench._line_regressions(
+        timings={"b19_prefix_filter": 2.0},
+        runs={"b19_prefix_filter": [2.0]},
+        prev_medians={"b19_prefix_filter": 1.0},
+        prev_runs=None,
+    )
+    assert "b19_prefix_filter" in reg3["over_1p3x_median"]

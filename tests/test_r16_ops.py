@@ -49,6 +49,50 @@ def test_gap_repair_manifest_conserves_audit_totals_at_sf001(spark):
     assert tot["d"] == audit["n_dup_rows"]
 
 
+def test_gap_repair_manifest_sees_an_all_dropped_bucket(spark, tmp_path):
+    """r17 ADVICE: a keyset page whose deliveries were ALL dropped must
+    still produce a manifest row. The grid is generated from the
+    delivered span and left-joined with the per-bucket counts, so a
+    bucket with zero surviving deliveries reads n_got=0 /
+    n_missing=n_expected instead of vanishing. Fixture: bucket 5's only
+    source ids are multiples of 101 (all dropped, none ≡5 mod 103 so
+    none re-enter via the dup leg); buckets 0 and 9 anchor the span."""
+    ids = (
+        list(range(1, 1024))  # bucket 0 (id 0 excluded: span starts at 1)
+        + [
+            101 * k
+            for k in range(51, 61)  # 5151..6060, all inside bucket 5
+            if (101 * k) % 103 != 5
+        ]
+        + list(range(9216, 10240))  # bucket 9
+    )
+    assert all(5120 <= 101 * k < 6144 for k in range(51, 61))
+    out = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        [(i,) for i in ids], "event_id long"
+    ).write.parquet(out)
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["b4_gap_repair_manifest"](
+        spark, str(tmp_path)
+    ).collect()
+    by = {r["bucket"]: r for r in rows}
+    # the all-dropped bucket is VISIBLE, fully missing, and rerequested
+    assert 5 in by
+    assert by[5]["n_got"] == 0
+    assert by[5]["n_expected"] == 1024
+    assert by[5]["n_missing"] == 1024
+    assert by[5]["n_dup_deliveries"] == 0
+    assert by[5]["action"] == "rerequest"
+    # span-interior buckets with no source rows at all surface too (the
+    # manifest models a dense keyspace within the delivered span)
+    for b in (1, 2, 3, 4, 6, 7, 8):
+        assert b in by and by[b]["n_got"] == 0
+    # span edges clamp to delivered ids, as before
+    assert by[0]["rerequest_from"] == 1
+    assert by[9]["rerequest_to"] == 10239
+
+
 def test_partition_pruning_ledger_values(spark, sf_dir):
     """Pure-partition predicates scan exactly what they match; the
     residual leg scans one partition but matches fewer rows; the
