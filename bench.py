@@ -182,7 +182,30 @@ EXTRA = {"b19_minhash_xxh64": _minhash_xxh64}
 #: raw ratios for every elastic line (``elastic_ratios``), so nothing
 #: is hidden, and a real code regression (which moves the min too)
 #: still pages.
-ELASTIC_LINES = {"b19_prefix_filter", "b20_kmeans"}
+#:
+#: r17 additions, same instrument (r15 sha eec0ef4 vs HEAD, 2
+#: interleaved passes x 5 timed runs, fresh JVM per leg, all function
+#: bodies and shared modules verified byte-identical across the shas —
+#: `git diff eec0ef4..HEAD -- sqlite_cdc_spark/ entryimpl/...` empty):
+#: the four r16 DRIVER over-lines are all elastic, not regressed.
+#: b20_cosine_topk between-sha medians 2.74x/1.00x vs within-sha
+#: pass-to-pass spreads 2.05x/5.61x (pass-2 medians IDENTICAL: 0.707
+#: vs 0.706 s); b28_packing 1.11x/1.54x vs 2.25x/1.63x (by-min
+#: 0.96x/1.27x); b29_containment 1.11x/1.17x vs within 1.15x/1.08x,
+#: tracking the cpu canary's own between-leg movement; b22_audio_stats
+#: (bimodal series 0.52-3.33 s) 1.67x/1.58x vs within 1.52x/1.61x,
+#: by-min 0.87x/1.28x. The same A/B read b18_dedup_exact — 1.53x on
+#: the r16 driver board — at 1.00x/0.97x between shas, directly
+#: confirming the driver readings were box state. Full tables in
+#: PERF.md Round 17.
+ELASTIC_LINES = {
+    "b19_prefix_filter",
+    "b20_kmeans",
+    "b20_cosine_topk",
+    "b28_packing",
+    "b29_containment",
+    "b22_audio_stats",
+}
 
 #: Per-line deep-warm-up overrides (r16). b1_snapshot_diff's JIT/codegen
 #: tail is 4-5 EXECUTIONS deep, not 1 (measured back-to-back same box,
@@ -194,7 +217,21 @@ ELASTIC_LINES = {"b19_prefix_filter", "b20_kmeans"}
 #: 1.104] read 1.69x vs r15 on byte-identical code; steady state on the
 #: same box minutes later: 0.81 s). The synthetic canaries already use
 #: 2 discarded warm-ups for the same reason.
-DEEP_WARMUP = {"b1_snapshot_diff": 3}
+#:
+#: r17: b20_cosine_topk and b28_packing are the same failure class —
+#: their A/B series are still descending 4-5 executions deep
+#: (b20 fresh-JVM: [9.33 w, 5.14, 4.13, 3.96, 1.74, 2.96] one leg,
+#: [2.84 w, 0.97, 0.86, 0.71, 0.67, 0.59] another — steady state
+#: ~0.6-0.7 s; b28: [5.63 w, 1.96, 1.87, 1.33, 0.84, 0.80] → ~0.6-0.8
+#: s), so a 1-warm-up 3-run median lands inside the tail whenever the
+#: box starts them cold — the r16 DRIVER board's 2.31x / 1.76x
+#: readings on byte-identical code. Overrides are doc-carried in the
+#: artifact (``warmup_overrides``); replay always uses the doc's map.
+DEEP_WARMUP = {
+    "b1_snapshot_diff": 3,
+    "b20_cosine_topk": 3,
+    "b28_packing": 3,
+}
 
 #: Registry drift canaries (VERDICT r8 item 2): plan-frozen zero/low-
 #: shuffle queries whose round-over-round ratio measures BOX drift, not
@@ -268,6 +305,29 @@ CANARY_CLASS = {
     "canary_cpu": "synthetic",
     "canary_shuffle": "synthetic",
     "canary_fixed": "fixed",
+}
+
+#: Per-class conflict tolerances for the basis-disagreement flag,
+#: CALIBRATED from the r17 interleaved same-box A/B (4 fresh-JVM legs
+#: on byte-identical code minutes apart — box state known to be the
+#: only variable). Measured same-code between-session spreads:
+#: canary_cpu 1.03x (the lowest-variance canary on the board — hence
+#: the basis), canary_shuffle 1.35x, canary_fixed 2.81x, and the
+#: registry-vs-synthetic relative reading itself moved by up to 0.20
+#: WITHIN MINUTES (per-leg reg/syn 0.0577-0.0695). A flat 0.20
+#: threshold across two different sessions therefore fires on box
+#: noise by construction — the r16 driver artifact's conflict=TRUE at
+#: disagreement 0.289 (registry 0.91 / synthetic 1.28 / fixed 1.50)
+#: is exactly that failure. Rule: a class gates the conflict flag only
+#: when its median departs from the basis by more than ITS measured
+#: same-code spread with ~1.75x margin; ``fixed`` (2.81x same-code
+#: spread — two sessions routinely read 1.5x apart on identical code)
+#: can never gate and is diagnostic-only. Raw per-class medians and
+#: disagreements are always emitted, so nothing is laundered.
+CANARY_TOLERANCE: dict[str, float | None] = {
+    "synthetic": 0.35,
+    "registry": 0.35,
+    "fixed": None,  # diagnostic only — measured spread exceeds any gate
 }
 
 
@@ -539,17 +599,26 @@ def _drift_normalization(
     class_med = {
         cls: sorted(vs)[len(vs) // 2] for cls, vs in by_class.items()
     }
-    # the compute pair stays the drift basis; registry canaries are the
-    # legacy fallback; the fixed-overhead class never normalizes compute
-    drift = class_med.get("synthetic", class_med.get("registry"))
+    # Basis preference (r17, test-pinned): canary_cpu alone when both
+    # rounds carry it — the r17 same-box A/B measured its same-code
+    # between-session spread at 1.03x vs canary_shuffle's 1.35x, and
+    # the 2-element synthetic-class "median" (sorted[n//2]) always
+    # picks the LARGER ratio, i.e. whichever canary drifted more.
+    # Fallbacks: synthetic class median (pre-r11-style artifacts
+    # without a cpu ratio), then registry. The fixed-overhead class
+    # never normalizes compute.
+    if "canary_cpu" in per_canary:
+        drift, basis = per_canary["canary_cpu"], "cpu"
+    elif "synthetic" in class_med:
+        drift, basis = class_med["synthetic"], "synthetic"
+    else:
+        drift, basis = class_med.get("registry"), "registry"
     if drift is None:  # prior artifact carried only fixed-class canaries
         return {}
     out = {
         "prev_round": prev_round,
         "canary_drift": round(drift, 4),
-        "canary_drift_basis": (
-            "synthetic" if "synthetic" in class_med else "registry"
-        ),
+        "canary_drift_basis": basis,
         "canary_ratios": per_canary,
     }
     common = [k for k in timings if k in prev]
@@ -562,24 +631,41 @@ def _drift_normalization(
             common_norm_ratio=round(raw / drift, 4),
         )
     # in-artifact contradiction flag (VERDICT r11 item 3, widened per
-    # r14 item 3): each non-basis CLASS median is compared to the drift
-    # basis — registry-vs-synthetic disagreement means short-query
-    # overhead moved differently from compute; fixed-vs-synthetic
-    # (r15's third class) separates "box added per-query latency" from
-    # "box compute slowed". The scalar field stays the max so the
-    # conflict flag has one threshold.
-    basis_cls = "synthetic" if "synthetic" in class_med else "registry"
+    # r14 item 3, CALIBRATED per r16 item 2): each non-basis CLASS
+    # median is compared to the drift basis — registry-vs-synthetic
+    # disagreement means short-query overhead moved differently from
+    # compute; fixed-vs-synthetic separates "box added per-query
+    # latency" from "box compute slowed". The raw max disagreement is
+    # still emitted for series continuity, but the CONFLICT flag now
+    # applies CANARY_TOLERANCE: a class gates only beyond its measured
+    # same-code between-session spread (see the constant's docstring —
+    # the flat 0.20 threshold fired on box noise by construction).
+    basis_cls = "synthetic" if basis == "cpu" else basis
     others = {
         cls: round(abs(med / drift - 1.0), 4)
         for cls, med in class_med.items()
         if cls != basis_cls
     }
+    if basis == "cpu" and "synthetic" in class_med:
+        # with the cpu basis, shuffle-vs-cpu divergence is still worth
+        # surfacing: report the synthetic class median against the basis
+        others["synthetic"] = round(abs(class_med["synthetic"] / drift - 1.0), 4)
     if others:
         out["canary_class_medians"] = {
             c: round(m, 4) for c, m in class_med.items()
         }
         out["canary_basis_disagreement"] = max(others.values())
-        out["canary_basis_conflict"] = max(others.values()) > 0.20
+        over = {
+            cls: dis
+            for cls, dis in others.items()
+            if CANARY_TOLERANCE.get(cls, 0.20) is not None
+            and dis > CANARY_TOLERANCE.get(cls, 0.20)
+        }
+        out["canary_class_tolerance"] = {
+            c: CANARY_TOLERANCE.get(c, 0.20) for c in others
+        }
+        out["canary_class_over_tolerance"] = over
+        out["canary_basis_conflict"] = bool(over)
     # per-line regression ledger (VERDICT r14 item 2): counts go on the
     # compact stdout line; the full ratio maps ride BENCH_RUNS.json via
     # the private _vs_prev key (popped by main before printing).

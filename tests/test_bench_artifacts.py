@@ -42,17 +42,53 @@ def test_medians_from_runs_discards_canary_warmups():
     assert med["canary_cpu"] == 4.5
 
 
-def test_drift_normalization_prefers_synthetic_basis():
+def test_drift_normalization_prefers_cpu_basis():
     # with the repo's committed artifacts present, the prior round must
     # resolve (r11 via tail recovery or r12+ compact) and the basis must
-    # be the synthetic pair, with the disagreement cross-check emitted
+    # be canary_cpu alone (r17 calibration: 1.03x same-code spread vs
+    # shuffle's 1.35x — and the 2-element class "median" always picked
+    # whichever canary drifted MORE), with the disagreement cross-check
+    # and per-class tolerance fields emitted
     timings = {"a6_bootstrap": 0.5, "b24_corpus_v7": 5.0}
     canaries = {"canary_cpu": 2.6, "canary_shuffle": 4.3}
     norm = bench._drift_normalization(timings, canaries)
     assert norm["prev_round"] >= 11
-    assert norm["canary_drift_basis"] == "synthetic"
+    assert norm["canary_drift_basis"] == "cpu"
+    # drift equals the cpu canary's own ratio, not the class max
+    assert norm["canary_drift"] == norm["canary_ratios"]["canary_cpu"]
     assert "canary_basis_disagreement" in norm
+    assert "canary_class_tolerance" in norm
     assert norm["common_n"] >= 1
+
+
+def test_canary_conflict_gates_by_calibrated_class_tolerance():
+    """r17 (VERDICT r16 item 2): the conflict flag applies per-class
+    tolerances calibrated from the same-box A/B — registry gates only
+    beyond 0.35 (its reg/syn relative reading moved 0.20 within
+    minutes on identical code), and the fixed class (2.81x same-code
+    spread) can NEVER gate. The r16 driver artifact's readings
+    (registry 0.9069 / synthetic basis 1.2758 / fixed 1.5 →
+    disagreement 0.289) must now read conflict=False."""
+    tol = bench.CANARY_TOLERANCE
+    assert tol["fixed"] is None
+    assert tol["registry"] == 0.35
+    # replay the r16 driver arithmetic under the calibrated rule
+    drift = 1.2758
+    class_med = {"registry": 0.9069, "synthetic": 1.2758, "fixed": 1.5}
+    others = {
+        cls: round(abs(m / drift - 1.0), 4)
+        for cls, m in class_med.items()
+        if cls != "synthetic"
+    }
+    assert round(max(others.values()), 2) == 0.29  # raw max still visible
+    over = {
+        cls: d
+        for cls, d in others.items()
+        if tol.get(cls, 0.20) is not None and d > tol.get(cls, 0.20)
+    }
+    assert over == {}  # calibrated flag: no conflict on the r16 numbers
+    # a genuinely anomalous registry reading still gates
+    assert abs(0.5 / drift - 1.0) > tol["registry"]
 
 
 def test_compact_summary_line_fits_the_driver_tail_window():
@@ -265,9 +301,9 @@ def test_drift_normalization_with_runs_emits_regression_ledger():
     assert "b24_corpus_v7" in vs["over_1p3x_median"]  # 50 s is a regression
     assert norm["lines_over_1p3x"]["median"] == len(vs["over_1p3x_median"])
     assert norm["lines_over_1p3x"]["min"] == len(vs["over_1p3x_min"])
-    # the fixed-overhead canary has no r14 prior, so its CLASS must not
-    # pollute the synthetic drift basis
-    assert norm["canary_drift_basis"] == "synthetic"
+    # the fixed-overhead canary's CLASS must not pollute the drift
+    # basis (r17: cpu-only basis; fixed stays diagnostic)
+    assert norm["canary_drift_basis"] == "cpu"
     assert "canary_class_medians" in norm
 
 
