@@ -502,6 +502,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b5_partition_pruning": q_b5_partition_pruning,
         "b17_incremental_histogram": q_b17_incremental_histogram,
         "b6_cast_failure_ledger": q_b6_cast_failure_ledger,
+        # --- round 17 (VERDICT r16 item 5: depth rows in the five
+        # thinnest families — B4, B1, B12, B17, B23) -----------------------
+        "b4_watermark_gap": q_b4_watermark_gap,
+        "b1_batch_compaction": q_b1_batch_compaction,
+        "b12_topk_ties": q_b12_topk_ties,
+        "b17_incremental_minmax": q_b17_incremental_minmax,
+        "b23_arrow_parity": q_b23_arrow_parity,
     }
 
 

@@ -1170,3 +1170,210 @@ def q_b6_cast_failure_ledger(spark, sf_dir):
             6,
         ).alias("fail_rate"),
     )
+
+
+def q_b4_watermark_gap(spark, sf_dir):
+    """Watermark-vs-gap interaction manifest (B4 depth, r17 — VERDICT
+    r16 item 5's suggested row: the gap-repair manifest under
+    OUT-OF-ORDER delivery). With in-flight reordering the consumer
+    cannot tell "dropped" from "not yet arrived": an id may trail the
+    delivery frontier by seconds legitimately. The repair decision
+    therefore splits on a high-watermark over the id space — hw =
+    max(delivered id) − 1536 (the reference's serialized log makes ids
+    dense and monotone, triggers.go AUTOINCREMENT, so an id more than
+    a bounded number of keyset pages behind the frontier can no longer
+    be in flight; 1.5 buckets of slack guarantees at least one FULLY
+    open bucket whenever the span allows, so both action classes are
+    non-vacuous).
+    Per 1024-id bucket of the degraded replay (drops = ids ≡0 mod
+    101): ids at-or-below hw that are missing are DECLARED missing
+    (`rerequest` — the watermark has passed them), ids above hw that
+    are missing are merely `await_watermark` (re-requesting them
+    would double-deliver against in-flight rows). The bucket grid is
+    generated from the delivered span and left-joined (the
+    all-dropped-bucket rule, r17 ADVICE), so a fully-dropped closed
+    bucket still surfaces. Scale: one 1-row broadcast of the
+    span+watermark onto the replay, one keyed groupBy with
+    conditional distinct counts (closed/open split), the two-level
+    grid explode bounded at 4096 rows per task; output ∝ defective
+    buckets; pure integer gap math, no global sort, no id
+    enumeration."""
+    B = 1024
+    C = 4096
+    SLACK = 1536
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    replay = ev.filter(F.col("event_id") % 101 != 0)
+    bounds = replay.agg(
+        F.min("event_id").cast("long").alias("lo_id"),
+        F.max("event_id").cast("long").alias("hi_id"),
+    ).select(
+        "lo_id",
+        "hi_id",
+        # span shorter than the slack => everything is still open
+        F.greatest(F.col("hi_id") - SLACK, F.col("lo_id") - 1)
+        .cast("long")
+        .alias("hw"),
+    )
+    rep = replay.crossJoin(F.broadcast(bounds))
+    per_bucket = rep.groupBy(
+        F.expr(f"event_id div {B}").cast("long").alias("bucket")
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("event_id") <= F.col("hw"), F.col("event_id"))
+        )
+        .cast("long")
+        .alias("n_got_closed"),
+        F.countDistinct(
+            F.when(F.col("event_id") > F.col("hw"), F.col("event_id"))
+        )
+        .cast("long")
+        .alias("n_got_open"),
+    )
+    coarse = bounds.select(
+        "lo_id",
+        "hi_id",
+        "hw",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo_id div {B} div {C}"),
+                F.expr(f"hi_id div {B} div {C}"),
+            )
+        ).alias("chunk"),
+    )
+    grid = coarse.repartition(32, "chunk").select(
+        "lo_id",
+        "hi_id",
+        "hw",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("chunk") * C, F.expr(f"lo_id div {B}")),
+                F.least(
+                    F.col("chunk") * C + (C - 1), F.expr(f"hi_id div {B}")
+                ),
+            )
+        ).alias("bucket"),
+    )
+    j = grid.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        "lo_id",
+        "hi_id",
+        "hw",
+        F.coalesce(F.col("n_got_closed"), F.lit(0))
+        .cast("long")
+        .alias("n_got_closed"),
+        F.coalesce(F.col("n_got_open"), F.lit(0))
+        .cast("long")
+        .alias("n_got_open"),
+    )
+    lo_b = F.greatest(F.col("bucket") * B, F.col("lo_id"))
+    hi_b = F.least(F.col("bucket") * B + (B - 1), F.col("hi_id"))
+    closed_hi = F.least(hi_b, F.col("hw"))
+    n_exp_closed = F.greatest(closed_hi - lo_b + 1, F.lit(0))
+    n_exp_open = (hi_b - lo_b + 1) - n_exp_closed
+    out = j.select(
+        "bucket",
+        F.col("hw").alias("watermark_id"),
+        n_exp_closed.cast("long").alias("n_expected_closed"),
+        "n_got_closed",
+        (n_exp_closed - F.col("n_got_closed"))
+        .cast("long")
+        .alias("n_missing_final"),
+        n_exp_open.cast("long").alias("n_expected_open"),
+        "n_got_open",
+        (n_exp_open - F.col("n_got_open")).cast("long").alias("n_pending"),
+    )
+    return out.filter(
+        (F.col("n_missing_final") > 0) | (F.col("n_pending") > 0)
+    ).withColumn(
+        "action",
+        F.when(F.col("n_missing_final") > 0, F.lit("rerequest")).otherwise(
+            F.lit("await_watermark")
+        ),
+    )
+
+
+def _orders_second_mutation(s1):
+    """Batch-2 snapshot mutation on top of ``_orders_old_new``'s new
+    snapshot (FIXTURES.md §2 extension, r17): keys ≡3 mod 89 deleted,
+    ≡4 mod 89 price-bumped +2.0, ≡5 mod 89 re-keyed (+200000000) as
+    fresh inserts. Applied to S1 — including S1's own batch-1 inserts —
+    so every two-batch interaction class (I+U, I+D, U+U, U+D) occurs
+    in the fixture at sf ≥ 0.01 (pinned by test)."""
+    k = F.col("o_orderkey")
+    surviving = s1.filter(k % 89 != 3).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 4, F.col("o_totalprice") + F.lit(2.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserts = s1.filter(k % 89 == 5).select(
+        (k + F.lit(200000000)).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    return surviving.unionByName(inserts)
+
+
+def q_b1_batch_compaction(spark, sf_dir):
+    """Multi-batch change compaction == endpoint diff (B1 depth, r17):
+    two consecutive CDC batches (S0→S1, S1→S2 snapshot diffs — the
+    sets the reference's triggers would have appended across two log
+    spans, triggers.go:420-437) compacted into ONE net change set by
+    the per-key first-before/last-after rule — INSERT+DELETE cancels,
+    INSERT+UPDATE folds to INSERT of the final image, UPDATE+UPDATE
+    folds to one UPDATE spanning both edits, UPDATE+DELETE folds to
+    DELETE of the original image, and a fold whose before equals its
+    after (a perfect revert) drops. The oracle never sees the batches:
+    it diffs S0 directly against S2, so value-hash equality proves the
+    delta-route compaction law Δ(S0→S2) = compact(Δ(S0→S1) ∪
+    Δ(S1→S2)) image-exactly — what a downstream applier needs to
+    replay a drained multi-batch log span in one pass (cdc.go ordered
+    drain). Scale: each diff is one key-shuffled full-outer join; the
+    compaction itself is ONE groupBy on the same key with six
+    conditional aggregates (a key appears at most once per batch) —
+    no windows, no collects; net set ∝ changed keys."""
+    old, s1 = _orders_old_new(spark, sf_dir)
+    s2 = _orders_second_mutation(s1)
+    d01 = derive.snapshot_diff(old, s1, ["o_orderkey"]).withColumn(
+        "batch", F.lit(0)
+    )
+    d12 = derive.snapshot_diff(s1, s2, ["o_orderkey"]).withColumn(
+        "batch", F.lit(1)
+    )
+    ch = d01.unionByName(d12)
+    g = ch.groupBy("o_orderkey").agg(
+        F.max(F.when(F.col("batch") == 0, F.col("operation"))).alias("op0"),
+        F.max(F.when(F.col("batch") == 0, F.col("before"))).alias("b0"),
+        F.max(F.when(F.col("batch") == 0, F.col("after"))).alias("a0"),
+        F.max(F.when(F.col("batch") == 1, F.col("operation"))).alias("op1"),
+        F.max(F.when(F.col("batch") == 1, F.col("before"))).alias("b1"),
+        F.max(F.when(F.col("batch") == 1, F.col("after"))).alias("a1"),
+    )
+    op0, op1 = F.col("op0"), F.col("op1")
+    net_op = (
+        F.when(op1.isNull(), op0)
+        .when(op0.isNull(), op1)
+        .when((op0 == "INSERT") & (op1 == "DELETE"), F.lit(None))
+        .when(op0 == "INSERT", F.lit("INSERT"))
+        .when(op1 == "DELETE", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    net = g.select(
+        "o_orderkey",
+        net_op.alias("operation"),
+        F.when(net_op == "INSERT", F.lit(None))
+        .otherwise(F.coalesce("b0", "b1"))
+        .alias("before"),
+        F.when(net_op == "DELETE", F.lit(None))
+        .otherwise(F.when(op1.isNotNull(), F.col("a1")).otherwise(F.col("a0")))
+        .alias("after"),
+    )
+    return net.filter(
+        F.col("operation").isNotNull()
+        & ~(
+            (F.col("operation") == "UPDATE")
+            & F.col("before").eqNullSafe(F.col("after"))
+        )
+    )

@@ -599,3 +599,94 @@ def q_b22_audio_fingerprint(spark, sf_dir):
             "is_rescale_pair"
         ),
     )
+
+
+def q_b23_arrow_parity(spark, sf_dir):
+    """Cross-mode UDF parity certification (B23 depth, r17 — VERDICT
+    r16 item 5's suggested Arrow-UDF parity row). The same pure-integer
+    text kernel — h = 1000003·whitespace_tokens + 31·chars +
+    digit_count — is computed three ways in ONE corpus pass: JVM
+    built-ins (whole-stage codegen, the plan every hot path should
+    have), an Arrow-batched scalar pandas_udf, and mapInArrow on raw
+    RecordBatches (zero pandas conversion). Per mode the row reports
+    count / sum / bit_xor of h plus the per-ROW mismatch count against
+    the built-in column, carried through the same pass — so a single
+    differing row anywhere in the corpus flips n_mismatch AND the
+    hashes. This is the certificate that lets an operator substitute
+    the Arrow path for a built-in hot path (or vice versa) at 100 TB
+    knowing the swap is bit-safe: the bench measures the speed gap,
+    this row pins the values identical. Integer-only math (no float
+    accumulation order anywhere); narrow, batch-preserving, one final
+    3-group agg; no shuffle before it."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    n_chars = F.length("t")
+    n_spaces = n_chars - F.length(F.translate("t", " ", ""))
+    n_tokens = F.when(n_chars > 0, n_spaces + 1).otherwise(F.lit(0))
+    n_digits = n_chars - F.length(F.translate("t", "0123456789", ""))
+    h_builtin = (
+        F.lit(1000003) * n_tokens + F.lit(31) * n_chars + n_digits
+    ).cast("long")
+
+    # NB: no type annotations — ``from __future__ import annotations``
+    # turns them into strings, which pandas_udf can't interpret
+    def _h_pd(s):
+        s = s.fillna("")
+        nc = s.str.len()
+        nt = (s.str.count(" ") + 1).where(nc > 0, 0)
+        nd = s.str.count("[0-9]")
+        return (1000003 * nt + 31 * nc + nd).astype("int64")
+
+    _h_pd.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    h_pandas = F.pandas_udf(_h_pd, "long")
+
+    two = docs.select(
+        "doc_id",
+        "t",
+        h_builtin.alias("h_b"),
+        h_pandas("t").alias("h_p"),
+    )
+
+    def kernel(batches):
+        for b in batches:
+            t = b.column("t")
+            nc = pc.cast(pc.utf8_length(t), pa.int64())
+            nsp = pc.cast(pc.count_substring(t, " "), pa.int64())
+            nt = pc.if_else(
+                pc.greater(nc, 0),
+                pc.add(nsp, 1),
+                pa.scalar(0, pa.int64()),
+            )
+            nd = pc.cast(pc.count_substring_regex(t, "[0-9]"), pa.int64())
+            h = pc.add(
+                pc.add(pc.multiply(nt, 1000003), pc.multiply(nc, 31)), nd
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), b.column("h_b"), b.column("h_p"), h],
+                names=["doc_id", "h_b", "h_p", "h_a"],
+            )
+
+    three = two.mapInArrow(
+        kernel, "doc_id long, h_b long, h_p long, h_a long"
+    )
+    modes = F.array(
+        F.struct(F.lit("builtin").alias("mode"), F.col("h_b").alias("h")),
+        F.struct(F.lit("pandas").alias("mode"), F.col("h_p").alias("h")),
+        F.struct(F.lit("arrow").alias("mode"), F.col("h_a").alias("h")),
+    )
+    ex = three.select(F.col("h_b"), F.explode(modes).alias("m")).select(
+        "m.mode", "m.h", "h_b"
+    )
+    return ex.groupBy("mode").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("sum_h"),
+        F.bit_xor("h").cast("long").alias("xor_h"),
+        F.sum((F.col("h") != F.col("h_b")).cast("int"))
+        .cast("long")
+        .alias("n_mismatch"),
+    )

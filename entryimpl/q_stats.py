@@ -1993,3 +1993,74 @@ def q_b12_keyset_parity(spark, sf_dir):
     for p in pages[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_b12_topk_ties(spark, sf_dir):
+    """Distributed top-k WITH TIES audit (B12 depth, r17 — VERDICT r16
+    item 5's suggested row). Rank-based top-k (every row tying at the
+    k-th value included — SQL's FETCH FIRST k WITH TIES) is the
+    semantics a keyset-paginated reader actually needs (A3: a page
+    boundary mid-tie silently drops tied rows). The oracle computes it
+    the textbook way — a per-group rank() window over the CORPUS —
+    while the engine takes the scale route: one keyed groupBy to a
+    (group, value) histogram (the only corpus shuffle), a cumulative
+    window over the ≤|groups|·|distinct values| histogram rows (never
+    the corpus) to find the threshold value whose strictly-above count
+    is < k, then conditional sums against the broadcast threshold.
+    Hash equality proves threshold-route == rank-route per group:
+    n_kept ≥ k exposes exactly how many tied rows a naive LIMIT k
+    would have dropped. The histogram is localCheckpoint'd once (two
+    consumers — threshold derivation and the stats pass — would
+    otherwise re-shuffle the corpus per reference)."""
+    from pyspark.sql import Window
+
+    K = 5
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor("l_quantity").cast("long").alias("v"),
+    )
+    hist = (
+        li.groupBy("l_returnflag", "l_linestatus", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    th = (
+        hist.withColumn(
+            "n_above", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .filter(F.col("n_above") < K)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.min("v").cast("long").alias("threshold"))
+    )
+    return (
+        hist.join(
+            F.broadcast(th), ["l_returnflag", "l_linestatus"]
+        )
+        .groupBy("l_returnflag", "l_linestatus", "threshold")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("threshold"), F.col("cnt")))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(F.when(F.col("v") == F.col("threshold"), F.col("cnt")))
+            .cast("long")
+            .alias("n_at_threshold"),
+            F.sum(F.when(F.col("v") >= F.col("threshold"), F.col("cnt")))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.lit(K).cast("long").alias("k"),
+            "threshold",
+            F.coalesce("n_above", F.lit(0)).cast("long").alias("n_above"),
+            "n_at_threshold",
+            "n_kept",
+        )
+    )

@@ -1675,3 +1675,98 @@ def q_b17_incremental_histogram(spark, sf_dir):
             & (F.col("s_merged") == F.col("s_recompute"))
         ).alias("merge_ok"),
     )
+
+
+def q_b17_incremental_minmax(spark, sf_dir):
+    """Delete-aware incremental MAX view (B17 depth, r17). MAX is the
+    canonical NOT-delta-maintainable aggregate: inserts merge by
+    max(), but a delete that removes the last row holding the stored
+    extreme leaves the maintainer with no correct answer short of a
+    rescan. The standing view therefore keeps (max, count-at-max) per
+    group — the minimal supporting state — and a CDC batch (inserts =
+    ids ≡0 mod 10, the family's split convention; deletes = standing
+    rows with id ≡0 mod 7) merges by the case law: a higher insert
+    max wins outright (deletes only touch standing rows); an equal
+    insert max replenishes the count; otherwise the view survives iff
+    count-at-max outlives the deletes that hit it, else it flags
+    needs_rescan and abstains. The oracle recomputes ground truth
+    from (standing − deletes) ∪ inserts, and merge_ok pins the
+    invariant: wherever the maintainer did NOT abstain, its answer is
+    recompute-exact — the split between maintainable and
+    rescan-needed groups is itself the oracled output. Scale: three
+    keyed histogram aggs (group×value, so count-at-max falls out of
+    max_by with no second pass) + full-outer joins on ≤64-row
+    per-group states; values integer-quantized (floor·100) so no
+    float accumulation order splits the equality; state is 2 longs
+    per group forever."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    g = (F.col("user_id") % 64).cast("long").alias("g")
+    q = F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("q")
+    standing = ev.filter(F.col("event_id") % 10 != 0)
+    inserts = ev.filter(F.col("event_id") % 10 == 0)
+    deletes = standing.filter(F.col("event_id") % 7 == 0)
+
+    def _hist(df):
+        return df.groupBy(g, q).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+
+    st = _hist(standing).groupBy("g").agg(
+        F.max("q").cast("long").alias("state_max"),
+        F.max_by("cnt", "q").cast("long").alias("n_at_max"),
+    )
+    ins = _hist(inserts).groupBy("g").agg(
+        F.max("q").cast("long").alias("ins_max"),
+        F.max_by("cnt", "q").cast("long").alias("ins_at"),
+    )
+    # deletes only ever hit standing rows, so the state the maintainer
+    # must defend is state_max: count the deleted rows AT that value
+    dl = (
+        _hist(deletes)
+        .join(F.broadcast(st.select("g", "state_max")), "g")
+        .filter(F.col("q") == F.col("state_max"))
+        .groupBy("g")
+        .agg(F.sum("cnt").cast("long").alias("del_at_max"))
+    )
+    m = (
+        st.join(ins, "g", "full_outer")
+        .join(dl, "g", "left")
+        .na.fill(0, ["del_at_max"])
+    )
+    rem = F.col("n_at_max") - F.col("del_at_max")
+    merged = (
+        F.when(
+            F.col("ins_max").isNotNull()
+            & (
+                F.col("state_max").isNull()
+                | (F.col("ins_max") > F.col("state_max"))
+            ),
+            F.col("ins_max"),
+        )
+        .when(F.col("ins_max").eqNullSafe(F.col("state_max")), F.col("state_max"))
+        .when(rem > 0, F.col("state_max"))
+    )
+    needs_rescan = merged.isNull()
+    rec = (
+        standing.filter(F.col("event_id") % 7 != 0)
+        .unionByName(inserts)
+        .groupBy(g)
+        .agg(F.max(q).cast("long").alias("recomputed_max"))
+    )
+    return (
+        m.join(rec, "g", "full_outer")
+        .select(
+            "g",
+            "state_max",
+            "n_at_max",
+            "del_at_max",
+            "ins_max",
+            merged.cast("long").alias("merged_max"),
+            needs_rescan.alias("needs_rescan"),
+            "recomputed_max",
+            (
+                needs_rescan
+                | merged.eqNullSafe(F.col("recomputed_max"))
+            ).alias("merge_ok"),
+        )
+    )

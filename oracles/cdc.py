@@ -826,4 +826,119 @@ SQL = {
                          / greatest(sum(present), 1), 6) AS fail_rate
             FROM ex GROUP BY fld
         """,
+        "b4_watermark_gap": """
+            -- gap repair under out-of-order delivery: missing ids at or
+            -- below the id high-watermark (max delivered - 1536) are
+            -- DECLARED missing (rerequest); missing ids above it are
+            -- merely awaiting the watermark. Grid generated from the
+            -- delivered span, per-bucket counts LEFT-joined on (the
+            -- all-dropped-bucket rule)
+            WITH replay AS (
+              SELECT event_id FROM events WHERE event_id % 101 != 0
+            ),
+            bounds AS (
+              SELECT CAST(min(event_id) AS BIGINT) AS lo_id,
+                     CAST(max(event_id) AS BIGINT) AS hi_id,
+                     CAST(greatest(max(event_id) - 1536,
+                                   min(event_id) - 1) AS BIGINT) AS hw
+              FROM replay
+            ),
+            pb AS (
+              SELECT CAST(r.event_id // 1024 AS BIGINT) AS bucket,
+                     CAST(count(DISTINCT CASE WHEN r.event_id <= b.hw
+                                              THEN r.event_id END)
+                          AS BIGINT) AS n_got_closed,
+                     CAST(count(DISTINCT CASE WHEN r.event_id > b.hw
+                                              THEN r.event_id END)
+                          AS BIGINT) AS n_got_open
+              FROM replay r, bounds b GROUP BY 1
+            ),
+            grid AS (
+              SELECT CAST(unnest(generate_series(b.lo_id // 1024,
+                                                 b.hi_id // 1024))
+                          AS BIGINT) AS bucket,
+                     b.lo_id, b.hi_id, b.hw
+              FROM bounds b
+            ),
+            m AS (
+              SELECT g.bucket, g.hw,
+                     greatest(g.bucket * 1024, g.lo_id) AS lo_b,
+                     least(g.bucket * 1024 + 1023, g.hi_id) AS hi_b,
+                     COALESCE(pb.n_got_closed, 0) AS n_got_closed,
+                     COALESCE(pb.n_got_open, 0) AS n_got_open
+              FROM grid g LEFT JOIN pb ON g.bucket = pb.bucket
+            ),
+            e AS (
+              SELECT bucket, hw, n_got_closed, n_got_open,
+                     greatest(least(hi_b, hw) - lo_b + 1, 0)
+                       AS n_exp_closed,
+                     (hi_b - lo_b + 1)
+                       - greatest(least(hi_b, hw) - lo_b + 1, 0)
+                       AS n_exp_open
+              FROM m
+            )
+            SELECT bucket,
+                   CAST(hw AS BIGINT) AS watermark_id,
+                   CAST(n_exp_closed AS BIGINT) AS n_expected_closed,
+                   n_got_closed,
+                   CAST(n_exp_closed - n_got_closed AS BIGINT)
+                     AS n_missing_final,
+                   CAST(n_exp_open AS BIGINT) AS n_expected_open,
+                   n_got_open,
+                   CAST(n_exp_open - n_got_open AS BIGINT) AS n_pending,
+                   CASE WHEN n_exp_closed - n_got_closed > 0
+                        THEN 'rerequest' ELSE 'await_watermark' END
+                     AS action
+            FROM e
+            WHERE n_exp_closed - n_got_closed > 0
+               OR n_exp_open - n_got_open > 0
+        """,
+        "b1_batch_compaction": f"""
+            -- the oracle never sees the two batches: it diffs S0
+            -- directly against S2, so hash equality proves the
+            -- delta-route compaction law image-exactly
+            WITH {_ORDERS_OLD_NEW_SQL},
+            new2 AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 89 = 4 THEN o_totalprice + 2.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM new WHERE o_orderkey % 89 != 3
+              UNION ALL
+              SELECT o_orderkey + 200000000, o_custkey, 'N', o_totalprice,
+                     o_orderpriority
+              FROM new WHERE o_orderkey % 89 = 5
+            ),
+            j AS (
+              SELECT o.o_orderkey AS ok, o.o_custkey AS ock,
+                     o.o_orderstatus AS ost, o.o_totalprice AS otp,
+                     o.o_orderpriority AS opr,
+                     n.o_orderkey AS nk, n.o_custkey AS nck,
+                     n.o_orderstatus AS nst, n.o_totalprice AS ntp,
+                     n.o_orderpriority AS npr
+              FROM old o FULL OUTER JOIN new2 n
+                ON o.o_orderkey = n.o_orderkey
+            ),
+            cl AS (
+              SELECT *,
+                     CASE WHEN ok IS NULL THEN 'INSERT'
+                          WHEN nk IS NULL THEN 'DELETE'
+                          WHEN ock IS DISTINCT FROM nck
+                            OR ost IS DISTINCT FROM nst
+                            OR otp IS DISTINCT FROM ntp
+                            OR opr IS DISTINCT FROM npr THEN 'UPDATE'
+                     END AS operation
+              FROM j
+            )
+            SELECT coalesce(nk, ok) AS o_orderkey, operation,
+                   CASE WHEN operation != 'INSERT' THEN CAST(json_object(
+                     'o_orderkey', ok, 'o_custkey', ock, 'o_orderstatus', ost,
+                     'o_totalprice', otp, 'o_orderpriority', opr) AS VARCHAR)
+                   END AS before,
+                   CASE WHEN operation != 'DELETE' THEN CAST(json_object(
+                     'o_orderkey', nk, 'o_custkey', nck, 'o_orderstatus', nst,
+                     'o_totalprice', ntp, 'o_orderpriority', npr) AS VARCHAR)
+                   END AS after
+            FROM cl WHERE operation IS NOT NULL
+        """,
 }

@@ -670,4 +670,33 @@ SQL = {
                    doc_b = doc_a + 300000 AS is_rescale_pair
             FROM pairs WHERE n_shared >= 8
         """,
+        "b23_arrow_parity": """
+            -- the kernel computed once (the built-in definition); the
+            -- three engine modes must all agree with it bit-exactly,
+            -- so the oracle emits the same aggregate under each mode
+            -- label with a zero mismatch count
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST(1000003 * (CASE WHEN length(t) > 0
+                            THEN length(t) - length(replace(t, ' ', '')) + 1
+                            ELSE 0 END)
+                          + 31 * length(t)
+                          + (length(t)
+                             - length(regexp_replace(t, '[0-9]', '', 'g')))
+                       AS BIGINT) AS h
+              FROM d
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(h) AS BIGINT) AS sum_h,
+                     CAST(bit_xor(h) AS BIGINT) AS xor_h
+              FROM h
+            )
+            SELECT m.mode, agg.n_rows, agg.sum_h, agg.xor_h,
+                   CAST(0 AS BIGINT) AS n_mismatch
+            FROM agg, (VALUES ('builtin'), ('pandas'), ('arrow')) m(mode)
+        """,
 }

@@ -1209,4 +1209,35 @@ SQL = {
                    TRUE AS pages_match
             FROM pages GROUP BY page
         """,
+        "b12_topk_ties": """
+            -- the textbook route the engine must match: a per-group
+            -- rank() window over the corpus (the engine is forbidden
+            -- that shuffle; it goes histogram -> threshold -> sums)
+            WITH li AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity) AS BIGINT) AS v
+              FROM lineitem
+            ),
+            r AS (
+              SELECT l_returnflag, l_linestatus, v,
+                     rank() OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY v DESC) AS rk
+              FROM li
+            ),
+            th AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(min(CASE WHEN rk <= 5 THEN v END) AS BIGINT)
+                       AS threshold
+              FROM r GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT r.l_returnflag, r.l_linestatus,
+                   CAST(5 AS BIGINT) AS k,
+                   th.threshold,
+                   CAST(sum((r.v > th.threshold)::INT) AS BIGINT) AS n_above,
+                   CAST(sum((r.v = th.threshold)::INT) AS BIGINT)
+                     AS n_at_threshold,
+                   CAST(sum((r.v >= th.threshold)::INT) AS BIGINT) AS n_kept
+            FROM r JOIN th USING (l_returnflag, l_linestatus)
+            GROUP BY r.l_returnflag, r.l_linestatus, th.threshold
+        """,
 }

@@ -1137,4 +1137,80 @@ SQL = {
                     AND m.s_merged = rec.s_recompute) AS merge_ok
             FROM m FULL JOIN rec ON m.bin = rec.bin
         """,
+        "b17_incremental_minmax": """
+            -- delete-aware MAX maintenance: (max, count-at-max) state,
+            -- merge by case law, abstain (needs_rescan) when deletes
+            -- exhaust the count at the stored extreme; merge_ok pins
+            -- maintained == recomputed wherever the view did not abstain
+            WITH ev AS (
+              SELECT event_id,
+                     CAST(user_id % 64 AS BIGINT) AS g,
+                     CAST(floor(value * 100) AS BIGINT) AS q
+              FROM events
+            ),
+            sh AS (
+              SELECT g, q, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev WHERE event_id % 10 != 0 GROUP BY g, q
+            ),
+            st AS (
+              SELECT g, CAST(max(q) AS BIGINT) AS state_max,
+                     CAST(max_by(cnt, q) AS BIGINT) AS n_at_max
+              FROM sh GROUP BY g
+            ),
+            ih AS (
+              SELECT g, q, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev WHERE event_id % 10 = 0 GROUP BY g, q
+            ),
+            ins AS (
+              SELECT g, CAST(max(q) AS BIGINT) AS ins_max
+              FROM ih GROUP BY g
+            ),
+            dh AS (
+              SELECT g, q, CAST(count(*) AS BIGINT) AS cnt
+              FROM ev
+              WHERE event_id % 10 != 0 AND event_id % 7 = 0
+              GROUP BY g, q
+            ),
+            dl AS (
+              SELECT d.g, CAST(sum(d.cnt) AS BIGINT) AS del_at_max
+              FROM dh d JOIN st ON d.g = st.g AND d.q = st.state_max
+              GROUP BY d.g
+            ),
+            m AS (
+              SELECT coalesce(st.g, ins.g) AS g,
+                     st.state_max, st.n_at_max, ins.ins_max,
+                     CAST(coalesce(dl.del_at_max, 0) AS BIGINT)
+                       AS del_at_max
+              FROM st FULL JOIN ins ON st.g = ins.g
+              LEFT JOIN dl ON coalesce(st.g, ins.g) = dl.g
+            ),
+            mm AS (
+              SELECT *,
+                     CAST(CASE
+                       WHEN ins_max IS NOT NULL
+                            AND (state_max IS NULL OR ins_max > state_max)
+                         THEN ins_max
+                       WHEN ins_max IS NOT DISTINCT FROM state_max
+                         THEN state_max
+                       WHEN n_at_max - del_at_max > 0 THEN state_max
+                     END AS BIGINT) AS merged_max
+              FROM m
+            ),
+            rec AS (
+              SELECT g, CAST(max(q) AS BIGINT) AS recomputed_max
+              FROM ev
+              WHERE event_id % 10 = 0
+                 OR (event_id % 10 != 0 AND event_id % 7 != 0)
+              GROUP BY g
+            )
+            SELECT coalesce(mm.g, rec.g) AS g,
+                   mm.state_max, mm.n_at_max, mm.del_at_max, mm.ins_max,
+                   mm.merged_max,
+                   (mm.merged_max IS NULL) AS needs_rescan,
+                   rec.recomputed_max,
+                   ((mm.merged_max IS NULL)
+                    OR mm.merged_max IS NOT DISTINCT FROM rec.recomputed_max)
+                     AS merge_ok
+            FROM mm FULL JOIN rec ON mm.g = rec.g
+        """,
 }
