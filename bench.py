@@ -138,6 +138,17 @@ HEADLINE = [
     # scans + counts (every scan line), b6_cast_failure_ledger =
     # scan + 4-literal explode + keyed agg (the b6_image_shape_profile
     # shape). A second line per shape would double-count in the total.
+    # --- round 17: one new board line. b23_arrow_parity chains a JVM
+    # built-in projection, an Arrow scalar pandas_udf, and mapInArrow
+    # in ONE plan — the only Python-UDF line to date is the
+    # applyInPandas state machine (b23_stateful_udf), so the scalar
+    # Arrow-batched modes had no round-over-round throughput tracking.
+    # The other four r17 rows are covered shapes: b4_watermark_gap /
+    # b17_incremental_minmax = keyed agg + 1-row/64-row broadcast
+    # (b3/b10 lines), b1_batch_compaction = 2x the b1_snapshot_diff
+    # full-outer diff + a keyed fold, b12_topk_ties = histogram agg +
+    # bounded window (b12_topk / b10 lines).
+    "b23_arrow_parity",        # r17 built-in + pandas_udf + mapInArrow pass
 ]
 
 

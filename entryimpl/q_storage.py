@@ -1693,46 +1693,42 @@ def q_b17_incremental_minmax(spark, sf_dir):
     from (standing − deletes) ∪ inserts, and merge_ok pins the
     invariant: wherever the maintainer did NOT abstain, its answer is
     recompute-exact — the split between maintainable and
-    rescan-needed groups is itself the oracled output. Scale: three
-    keyed histogram aggs (group×value, so count-at-max falls out of
-    max_by with no second pass) + full-outer joins on ≤64-row
-    per-group states; values integer-quantized (floor·100) so no
-    float accumulation order splits the equality; state is 2 longs
-    per group forever."""
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    g = (F.col("user_id") % 64).cast("long").alias("g")
-    q = F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("q")
+    rescan-needed groups is itself the oracled output. Scale: ZERO
+    corpus-wide shuffles — every aggregate is a per-group max/count
+    that map-side-combines to ≤64 rows per task (a (group, value)
+    histogram would NOT: the quantized double is near-unique at
+    scale, making that shuffle corpus-sized); count-at-max and
+    deleted-at-max fall out of ONE conditional pass against the
+    broadcast 64-row max state; values integer-quantized (floor·100)
+    so no float accumulation order splits the equality; state is 2
+    longs per group forever."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 64).cast("long").alias("g"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("long").alias("q"),
+        "event_id",
+    )
     standing = ev.filter(F.col("event_id") % 10 != 0)
     inserts = ev.filter(F.col("event_id") % 10 == 0)
-    deletes = standing.filter(F.col("event_id") % 7 == 0)
-
-    def _hist(df):
-        return df.groupBy(g, q).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        )
-
-    st = _hist(standing).groupBy("g").agg(
-        F.max("q").cast("long").alias("state_max"),
-        F.max_by("cnt", "q").cast("long").alias("n_at_max"),
+    st_max = standing.groupBy("g").agg(
+        F.max("q").cast("long").alias("state_max")
     )
-    ins = _hist(inserts).groupBy("g").agg(
-        F.max("q").cast("long").alias("ins_max"),
-        F.max_by("cnt", "q").cast("long").alias("ins_at"),
-    )
-    # deletes only ever hit standing rows, so the state the maintainer
-    # must defend is state_max: count the deleted rows AT that value
-    dl = (
-        _hist(deletes)
-        .join(F.broadcast(st.select("g", "state_max")), "g")
+    # count-at-max AND deleted-at-max in one conditional pass against
+    # the broadcast 64-row state (deletes only ever hit standing rows)
+    at = (
+        standing.join(F.broadcast(st_max), "g")
         .filter(F.col("q") == F.col("state_max"))
-        .groupBy("g")
-        .agg(F.sum("cnt").cast("long").alias("del_at_max"))
+        .groupBy("g", "state_max")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_at_max"),
+            F.sum((F.col("event_id") % 7 == 0).cast("int"))
+            .cast("long")
+            .alias("del_at_max"),
+        )
     )
-    m = (
-        st.join(ins, "g", "full_outer")
-        .join(dl, "g", "left")
-        .na.fill(0, ["del_at_max"])
+    ins = inserts.groupBy("g").agg(
+        F.max("q").cast("long").alias("ins_max")
     )
+    m = at.join(ins, "g", "full_outer").na.fill(0, ["del_at_max"])
     rem = F.col("n_at_max") - F.col("del_at_max")
     merged = (
         F.when(
@@ -1748,10 +1744,11 @@ def q_b17_incremental_minmax(spark, sf_dir):
     )
     needs_rescan = merged.isNull()
     rec = (
-        standing.filter(F.col("event_id") % 7 != 0)
-        .unionByName(inserts)
-        .groupBy(g)
-        .agg(F.max(q).cast("long").alias("recomputed_max"))
+        ev.filter(
+            (F.col("event_id") % 10 == 0) | (F.col("event_id") % 7 != 0)
+        )
+        .groupBy("g")
+        .agg(F.max("q").cast("long").alias("recomputed_max"))
     )
     return (
         m.join(rec, "g", "full_outer")

@@ -1592,6 +1592,215 @@ def r16_ops(spark, path: str, rows: int) -> dict[str, float]:
     return out
 
 
+def r17_ops(spark, path: str, dpath: str, rows: int) -> dict[str, float]:
+    """Round-17 scale shapes: the watermark-gap manifest (1-row
+    broadcast span+hw onto the replay + keyed conditional distinct
+    counts), two-batch compaction (two key-shuffled diffs + ONE keyed
+    six-aggregate fold), top-k WITH TIES (corpus histogram groupBy +
+    tiny-window threshold + broadcast-join sums), delete-aware MAX
+    maintenance (three keyed histogram aggs + bounded joins), and the
+    cross-mode UDF parity pass (built-in + pandas_udf + mapInArrow in
+    one corpus pass)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: dict[str, float] = {}
+
+    def run(name, fn):
+        out[name] = _best_of(fn)
+
+    ev = spark.range(rows // 3).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id", F.lit(3)), 64).alias("g"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), 4900000)).alias("q"),
+    )
+
+    def watermark_gap():
+        replay = ev.select("event_id").filter(F.col("event_id") % 101 != 0)
+        bounds = replay.agg(
+            F.min("event_id").alias("lo_id"),
+            F.max("event_id").alias("hi_id"),
+        ).select(
+            "lo_id",
+            "hi_id",
+            F.greatest(F.col("hi_id") - 1536, F.col("lo_id") - 1).alias("hw"),
+        )
+        pb = replay.crossJoin(F.broadcast(bounds)).groupBy(
+            F.expr("event_id div 1024").alias("bucket")
+        ).agg(
+            F.countDistinct(
+                F.when(F.col("event_id") <= F.col("hw"), F.col("event_id"))
+            ).alias("gc"),
+            F.countDistinct(
+                F.when(F.col("event_id") > F.col("hw"), F.col("event_id"))
+            ).alias("go"),
+        )
+        lo = F.greatest(F.col("bucket") * 1024, F.col("lo_id"))
+        hi = F.least(F.col("bucket") * 1024 + 1023, F.col("hi_id"))
+        ch = F.least(hi, F.col("hw"))
+        ec = F.greatest(ch - lo + 1, F.lit(0))
+        pb.crossJoin(F.broadcast(bounds)).select(
+            "bucket",
+            (ec - F.col("gc")).alias("n_missing_final"),
+            ((hi - lo + 1) - ec - F.col("go")).alias("n_pending"),
+        ).filter(
+            (F.col("n_missing_final") > 0) | (F.col("n_pending") > 0)
+        ).write.format("noop").mode("overwrite").save()
+
+    run("watermark_gap", watermark_gap)
+
+    def batch_compaction():
+        k = F.col("k")
+        s0 = spark.range(rows // 3).select(
+            F.col("id").alias("k"), F.xxhash64("id").cast("string").alias("v")
+        )
+        s1 = s0.filter(k % 97 != 0).withColumn(
+            "v", F.when(k % 97 == 1, F.concat("v", F.lit("x"))).otherwise(F.col("v"))
+        )
+        s2 = s1.filter(k % 89 != 3).withColumn(
+            "v", F.when(k % 89 == 4, F.concat("v", F.lit("y"))).otherwise(F.col("v"))
+        )
+        d01 = derive.snapshot_diff(s0, s1, ["k"]).withColumn("batch", F.lit(0))
+        d12 = derive.snapshot_diff(s1, s2, ["k"]).withColumn("batch", F.lit(1))
+        ch = d01.unionByName(d12)
+        g = ch.groupBy("k").agg(
+            F.max(F.when(F.col("batch") == 0, F.col("operation"))).alias("op0"),
+            F.max(F.when(F.col("batch") == 0, F.col("before"))).alias("b0"),
+            F.max(F.when(F.col("batch") == 0, F.col("after"))).alias("a0"),
+            F.max(F.when(F.col("batch") == 1, F.col("operation"))).alias("op1"),
+            F.max(F.when(F.col("batch") == 1, F.col("before"))).alias("b1"),
+            F.max(F.when(F.col("batch") == 1, F.col("after"))).alias("a1"),
+        )
+        op0, op1 = F.col("op0"), F.col("op1")
+        net_op = (
+            F.when(op1.isNull(), op0)
+            .when(op0.isNull(), op1)
+            .when((op0 == "INSERT") & (op1 == "DELETE"), F.lit(None))
+            .when(op0 == "INSERT", F.lit("INSERT"))
+            .when(op1 == "DELETE", F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+        )
+        g.select("k", net_op.alias("operation")).filter(
+            F.col("operation").isNotNull()
+        ).write.format("noop").mode("overwrite").save()
+
+    run("batch_compaction", batch_compaction)
+
+    li = spark.read.parquet(path)
+
+    def topk_ties():
+        hist = (
+            li.groupBy(
+                "l_returnflag", F.floor("l_quantity").cast("long").alias("v")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(F.col("v").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        th = (
+            hist.withColumn(
+                "n_above", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            )
+            .filter(F.col("n_above") < 5)
+            .groupBy("l_returnflag")
+            .agg(F.min("v").alias("threshold"))
+        )
+        hist.join(F.broadcast(th), "l_returnflag").groupBy(
+            "l_returnflag", "threshold"
+        ).agg(
+            F.sum(F.when(F.col("v") >= F.col("threshold"), F.col("cnt"))).alias(
+                "n_kept"
+            )
+        ).write.format("noop").mode("overwrite").save()
+
+    run("topk_ties", topk_ties)
+
+    def incremental_minmax():
+        standing = ev.filter(F.col("event_id") % 10 != 0)
+        st_max = standing.groupBy("g").agg(F.max("q").alias("state_max"))
+        at = (
+            standing.join(F.broadcast(st_max), "g")
+            .filter(F.col("q") == F.col("state_max"))
+            .groupBy("g", "state_max")
+            .agg(
+                F.count(F.lit(1)).alias("n_at"),
+                F.sum((F.col("event_id") % 7 == 0).cast("int")).alias(
+                    "del_at"
+                ),
+            )
+        )
+        ins = ev.filter(F.col("event_id") % 10 == 0).groupBy("g").agg(
+            F.max("q").alias("ins_max")
+        )
+        at.join(ins, "g", "full_outer").na.fill(0, ["del_at"]).select(
+            "g",
+            F.coalesce(
+                F.when(F.col("ins_max") > F.col("state_max"), F.col("ins_max")),
+                F.when(F.col("n_at") - F.col("del_at") > 0, F.col("state_max")),
+            ).alias("merged"),
+        ).write.format("noop").mode("overwrite").save()
+
+    run("incremental_minmax", incremental_minmax)
+
+    docs = spark.read.parquet(dpath)
+
+    def arrow_parity():
+        d = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("t"))
+        nc = F.length("t")
+        nt = F.when(
+            nc > 0, nc - F.length(F.translate("t", " ", "")) + 1
+        ).otherwise(F.lit(0))
+        nd = nc - F.length(F.translate("t", "0123456789", ""))
+        hb = (F.lit(1000003) * nt + F.lit(31) * nc + nd).cast("long")
+
+        def _h_pd(s):
+            s = s.fillna("")
+            c = s.str.len()
+            t = (s.str.count(" ") + 1).where(c > 0, 0)
+            return (1000003 * t + 31 * c + s.str.count("[0-9]")).astype(
+                "int64"
+            )
+
+        _h_pd.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        hp = F.pandas_udf(_h_pd, "long")
+
+        def kernel(batches):
+            for b in batches:
+                t = b.column("t")
+                c = pc.cast(pc.utf8_length(t), pa.int64())
+                sp = pc.cast(pc.count_substring(t, " "), pa.int64())
+                tk = pc.if_else(
+                    pc.greater(c, 0), pc.add(sp, 1), pa.scalar(0, pa.int64())
+                )
+                dg = pc.cast(
+                    pc.count_substring_regex(t, "[0-9]"), pa.int64()
+                )
+                h = pc.add(
+                    pc.add(pc.multiply(tk, 1000003), pc.multiply(c, 31)), dg
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [b.column("h_b"), b.column("h_p"), h],
+                    names=["h_b", "h_p", "h_a"],
+                )
+
+        three = d.select(
+            "doc_id", "t", hb.alias("h_b"), hp("t").alias("h_p")
+        ).mapInArrow(kernel, "h_b long, h_p long, h_a long")
+        three.agg(
+            F.sum((F.col("h_p") != F.col("h_b")).cast("int")).alias("mp"),
+            F.sum((F.col("h_a") != F.col("h_b")).cast("int")).alias("ma"),
+        ).write.format("noop").mode("overwrite").save()
+
+    run("arrow_parity", arrow_parity)
+
+    return out
+
+
 def skew_ops(spark, rows: int) -> dict[str, float]:
     """Adversarial skew: 60% of the fact rows share ONE join key. Times
     the plain equi-join (AQE skew-split on) against `derive.salted_join`
@@ -1647,6 +1856,7 @@ def main():
             results[label].update(r14_ops(spark, path, rows))
             results[label].update(r15_ops(spark, path, dpath, rows))
             results[label].update(r16_ops(spark, path, rows))
+            results[label].update(r17_ops(spark, path, dpath, rows))
             results[label].update(skew_ops(spark, rows))
     # scaling factor per op: time ratio / data ratio (1.0 = perfectly linear)
     ratios = {}
