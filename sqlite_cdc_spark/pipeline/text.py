@@ -315,46 +315,44 @@ def fingerprint_rows(
 
     Output-identical to ``explode(rolling_fingerprints(...))`` (one row
     per stride-spaced window: ``(id_col, win_idx, fp)``), but built from
-    ``posexplode`` + window ``lead``s + ``concat_ws`` instead of a
-    ``transform()`` lambda — higher-order-function lambdas run
-    interpreted per element, and this exact rewrite measured ~50× on the
-    shingle pipeline (PERF.md). Use this form on the corpus-scale side;
-    the array form remains for per-doc array consumers.
-
-    Window starts replicate the array form exactly: every ``stride``-th
-    position up to ``n - window_tokens``, plus position 0 for docs
-    shorter than one window (``concat_ws`` drops the NULL leads past the
-    end, matching the truncated ``slice``).
+    an explode of the stride-spaced START positions + in-row array
+    indexing (``get`` — NULL past the end, dropped by ``concat_ws``,
+    matching the truncated ``slice``) instead of a ``transform()``
+    lambda — higher-order-function lambdas run interpreted per element
+    (PERF.md). r17 (guide §2.4): the previous row form posexploded
+    EVERY token and built windows with ``lead`` over a (doc, pos)
+    window — one corpus-wide exchange + sort before any consumer, and
+    ``stride``× more generator rows than windows. This form explodes
+    only ``sequence(0, max_start_idx)`` and reads tokens from the
+    in-row array, so the operator is shuffle-free and generates exactly
+    one row per emitted window. Start positions replicate the array
+    form exactly: every ``stride``-th position up to
+    ``n - window_tokens``, plus position 0 for docs shorter than one
+    window.
     """
-    from pyspark.sql import Window as W
-
-    ex = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.size(F.col("__toks")) - window_tokens) / stride, F.lit(0)
+        ).cast("int"),
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, window_tokens)
-    ]
-    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
-    return (
-        ex.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.concat_ws(" ", *parts).alias("__win"),
-            n.alias("__n"),
-        )
-        .filter(
-            (F.col("pos") % stride == 0)
-            & (
-                (F.col("pos") <= F.col("__n") - window_tokens)
-                | (F.col("pos") == 0)
-            )
-        )
-        .select(
-            F.col(id_col),
-            F.expr(f"pos div {int(stride)}").cast("bigint").alias("win_idx"),
-            F.md5("__win").alias("fp"),
-        )
+    ex = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col),
+        "__toks",
+        # NULL-text guard: greatest(NULL, 0) is 0, which would emit a
+        # phantom pos-0 window for NULL docs — the explode(NULL) of the
+        # guarded form emits nothing, matching the posexplode(NULL) of
+        # the window form this replaces
+        F.explode(F.when(F.col("__toks").isNotNull(), starts)).alias("__i"),
+    )
+    pos = F.col("__i") * stride
+    parts = [F.get("__toks", pos + i) for i in range(window_tokens)]
+    return ex.select(
+        F.col(id_col),
+        F.col("__i").cast("bigint").alias("win_idx"),
+        F.md5(F.concat_ws(" ", *parts)).alias("fp"),
     )
 
 
@@ -370,45 +368,45 @@ def chunk_rows(
     ``chunk_tokens - overlap`` tokens. Emits ``(id_col, chunk_idx,
     chunk_text, n_tok)``.
 
-    Same whole-stage-codegen shape as :func:`fingerprint_rows`
-    (posexplode + window leads + concat_ws — no interpreted lambdas,
-    one shuffle on the doc key). A trailing window that adds no new
-    tokens beyond the previous chunk's coverage (start + overlap ≥ doc
-    length) is suppressed; position 0 always emits so short docs yield
-    exactly one chunk.
+    Same whole-stage-codegen, shuffle-free shape as
+    :func:`fingerprint_rows` (r17, guide §2.4): explode only the chunk
+    START positions and read tokens from the in-row array with ``get``
+    — no interpreted lambdas, no (doc, pos) window exchange, exactly
+    one generator row per emitted chunk. A trailing window that adds no
+    new tokens beyond the previous chunk's coverage (start + overlap ≥
+    doc length) is suppressed; position 0 always emits so short docs
+    yield exactly one chunk.
     """
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
-    from pyspark.sql import Window as W
 
     stride = chunk_tokens - overlap
-    ex = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    n = F.size(F.col("__toks"))
+    # largest start index i with i·stride + overlap < n (position 0
+    # always emits): i_max = floor((n − overlap − 1) / stride), clamped
+    # at 0 — double division + int cast truncates toward zero, and the
+    # clamp handles the negative short-doc case
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((n - overlap - 1) / stride, F.lit(0)).cast("int"),
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, chunk_tokens)
-    ]
-    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
-    return (
-        ex.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.concat_ws(" ", *parts).alias("chunk_text"),
-            n.alias("__n"),
-        )
-        .filter(
-            (F.col("pos") % stride == 0)
-            & ((F.col("pos") == 0) | (F.col("pos") + overlap < F.col("__n")))
-        )
-        .select(
-            F.col(id_col),
-            F.expr(f"pos div {stride}").cast("bigint").alias("chunk_idx"),
-            "chunk_text",
-            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("pos"))
-            .cast("bigint")
-            .alias("n_tok"),
-        )
+    ex = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        F.col(id_col),
+        "__toks",
+        # NULL-text guard — see fingerprint_rows
+        F.explode(F.when(F.col("__toks").isNotNull(), starts)).alias("__i"),
+    )
+    pos = F.col("__i") * stride
+    parts = [F.get("__toks", pos + i) for i in range(chunk_tokens)]
+    return ex.select(
+        F.col(id_col),
+        F.col("__i").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", *parts).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.size(F.col("__toks")) - pos)
+        .cast("bigint")
+        .alias("n_tok"),
     )
 
 
@@ -549,74 +547,82 @@ def winnowed_fingerprints(
     ``window + k - 1`` or longer ALWAYS shares a selected fingerprint,
     while expected density stays 2/(window+1).
 
-    Plan shape (100 TB story): k-gram rows via posexplode + ``lead``
-    (codegen, one shuffle on the doc key shared by both window passes);
-    window minima from a frame ``min``; the rightmost-argmin resolves
-    through an EQUI-join — each window start explodes its ``window``
-    candidate positions via ``sequence`` so no range join exists — then
-    a max-pos agg and a distinct. Everything is integer/md5 arithmetic
-    (:func:`dedup.portable_hash60`), so a SQL engine replays selections
-    bit-for-bit.
+    Plan shape (100 TB story, r17 — guide §2.4): per doc, ONE k-gram
+    hash array built in-row (``transform`` over the start ``sequence``,
+    indexing the token array with ``get`` — one md5 per gram, exactly
+    like the row form this replaces); then ONE explode of the window
+    START positions, each reading its ``window`` hashes back out of the
+    in-row array (``get``, codegen), taking the window min with
+    ``least`` (NULL-skipping: ``get`` past the array end is NULL, so
+    short docs' truncated windows resolve for free) and the
+    rightmost-argmin with a highest-offset-first CASE chain — then one
+    distinct. The previous form paid a (doc, pos) window exchange +
+    sort for the gram rows, a SECOND window pass for the frame min,
+    and a (doc, pos) equi-join for the argmin — three shuffles and a
+    per-doc-window skew hazard (a giant doc serialized into one window
+    task); this form's only exchange is the final distinct. The
+    ``transform`` lambda runs interpreted, but its body is one md5 —
+    measured 2× FASTER end-to-end than both the window form and a
+    pure-codegen variant that recomputed each gram hash per start
+    (sf0.1 interleaved A/B; md5 dominates interpretation overhead).
+    Everything is integer/md5 arithmetic, so a SQL engine replays
+    selections bit-for-bit.
 
     Output: one row per selected fingerprint ``(id_col, pos, fp)``.
     """
-    from pyspark.sql import Window as W
-
     from .dedup import portable_hash60
 
-    ex = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    toks = tokens(text_col)
+    n = F.size(F.col("__toks"))
+    # gram positions are 0..ng−1 (ng = n−k+1 full grams; short docs
+    # keep their single truncated gram at pos 0, mirroring
+    # fingerprint_rows' short-doc rule)
+    ng = F.greatest(n - (k - 1), F.lit(1))
+    # window starts: every full-width window, or the single all-grams
+    # window when the doc has fewer grams than one window
+    n_starts = F.greatest(ng - (window - 1), F.lit(1))
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), ng.cast("int") - 1),
+            lambda p: portable_hash60(
+                F.concat_ws(
+                    " ", *[F.get("__toks", p + i) for i in range(k)]
+                )
+            ),
+        ).alias("__h"),
+        # NULL-text guard — see fingerprint_rows. greatest() SKIPS
+        # nulls, so n_starts alone would read 1 for a NULL text; the
+        # explicit isNotNull gate makes __ns NULL and the explode below
+        # emit nothing, like posexplode over a NULL array
+        F.when(F.col("__toks").isNotNull(), n_starts.cast("int")).alias(
+            "__ns"
+        ),
     )
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    n = F.count(F.lit(1)).over(W.partitionBy(id_col))
-    grams = (
+    ex = base.select(
+        F.col(id_col),
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("__s"),
+    )
+    hashes = [F.get("__h", F.col("__s") + j) for j in range(window)]
+    wm = F.least(*hashes) if window > 1 else hashes[0]
+    # rightmost position whose hash equals the window min: test the
+    # highest offset first; NULL hashes compare NULL → fall through
+    if window > 1:
+        pick = F.when(hashes[window - 1] == wm, F.col("__s") + (window - 1))
+        for j in range(window - 2, 0, -1):
+            pick = pick.when(hashes[j] == wm, F.col("__s") + j)
+        pick = pick.otherwise(F.col("__s"))
+    else:
+        pick = F.col("__s")
+    return (
         ex.select(
             F.col(id_col),
-            "pos",
-            F.concat_ws(" ", *parts).alias("__g"),
-            n.alias("__n"),
+            pick.alias("pos"),
+            wm.alias("fp"),
         )
-        # short docs (< k tokens) keep their single truncated gram at
-        # pos 0, mirroring fingerprint_rows' short-doc rule
-        .filter((F.col("pos") <= F.col("__n") - k) | (F.col("pos") == 0))
-        .select(
-            F.col(id_col), "pos", portable_hash60(F.col("__g")).alias("__h")
-        )
-    )
-    fr = w.rowsBetween(0, window - 1)
-    ng = F.count(F.lit(1)).over(W.partitionBy(id_col))
-    starts = (
-        grams.select(
-            F.col(id_col),
-            F.col("pos").alias("__s"),
-            F.min("__h").over(fr).alias("__wm"),
-            F.row_number().over(w).alias("__rn"),
-            ng.alias("__ng"),
-        )
-        # a window must be full-width unless the doc has fewer grams
-        # than one window (then the single all-grams window survives)
-        .filter(
-            (F.col("__rn") <= F.col("__ng") - window + 1) | (F.col("__rn") == 1)
-        )
-    )
-    cand = starts.select(
-        F.col(id_col),
-        "__s",
-        "__wm",
-        F.explode(
-            F.sequence(F.col("__s"), F.col("__s") + F.lit(window - 1))
-        ).alias("pos"),
-    )
-    sel = (
-        cand.join(grams, [id_col, "pos"])
-        .filter(F.col("__h") == F.col("__wm"))
-        .groupBy(id_col, "__s")
-        .agg(F.max("pos").alias("pos"), F.min("__wm").alias("fp"))
-        .select(id_col, "pos", "fp")
         .distinct()
     )
-    return sel
 
 
 def winnow_pair_screen(
