@@ -211,12 +211,15 @@ def q_b30_pagerank(spark, sf_dir):
         )
         .distinct()
     )
+    # distinct by construction: ed is distinct and the two union halves
+    # are disjoint (c < 1e6 <= s), so the kernel's defensive distinct
+    # (one exchange + agg) is skipped via assume_distinct
     edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     from pyspark.sql import Window
 
-    pr = derive.pagerank(edges, iters=3)
+    pr = derive.pagerank(edges, iters=3, assume_distinct=True)
     w = Window.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
     return (
         pr.orderBy(F.col("rank_units").desc(), F.col("node_id").asc())
@@ -722,6 +725,9 @@ def q_b30_ppr(spark, sf_dir):
         )
         .distinct()
     )
+    # distinct by construction: ed is distinct and the two union halves
+    # are disjoint (c < 1e6 <= s), so the kernel's defensive distinct
+    # (one exchange + agg) is skipped via assume_distinct
     edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
@@ -730,7 +736,9 @@ def q_b30_ppr(spark, sf_dir):
         .filter(F.col("c_custkey") % 500 == 0)
         .select("c_custkey")
     )
-    pr = derive.personalized_pagerank(edges, seeds, iters=3)
+    pr = derive.personalized_pagerank(
+        edges, seeds, iters=3, assume_distinct=True
+    )
     nonseed = pr.join(
         seeds.select(F.col("c_custkey").alias("node_id")), "node_id",
         "left_anti",
@@ -936,10 +944,13 @@ def q_b30_label_propagation(spark, sf_dir):
         )
         .distinct()
     )
+    # distinct by construction: ed is distinct and the two union halves
+    # are disjoint (c < 1e6 <= s), so the kernel's defensive distinct
+    # (one exchange + agg) is skipped via assume_distinct
     edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    labels = derive.label_propagation(edges, iters=3)
+    labels = derive.label_propagation(edges, iters=3, assume_distinct=True)
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.min("node_id").cast("long").alias("min_node"),
@@ -1034,10 +1045,13 @@ def q_b30_kcore(spark, sf_dir):
         )
         .distinct()
     )
+    # distinct by construction: ed is distinct and the two union halves
+    # are disjoint (c < 1e6 <= s), so the kernel's defensive distinct
+    # (one exchange + agg) is skipped via assume_distinct
     edges = ed.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         ed.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return derive.kcore_peel(edges, k=3, rounds=3)
+    return derive.kcore_peel(edges, k=3, rounds=3, assume_distinct=True)
 
 
 def q_b30_symspell(spark, sf_dir):

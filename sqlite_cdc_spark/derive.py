@@ -896,6 +896,7 @@ def pagerank(
     iters: int = 3,
     damping: tuple[int, int] = (17, 20),
     scale: int = 10**6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank with bit-exact cross-engine replay —
     link-style authority scoring over any directed edge relation
@@ -911,19 +912,32 @@ def pagerank(
     nodes leak their mass — both documented properties of this
     deterministic variant, shared by the SQL oracle.
 
-    Scale shape: per iteration one equi-join of ranks onto edges (both
-    keyed by ``src`` — co-partitioned after the first shuffle) + one
-    keyed sum on ``dst`` with map-side combine. The edge relation and
-    out-degrees are localCheckpoint'd once (multi-referenced bounded
-    inputs — the repo's iterative-consumer rule). Quotients stay exact
-    in the double division as long as rank units < 2^53 (≈9e15 — holds
-    to ~10^9 nodes at the default scale).
+    Scale shape: per iteration one node-keyed join builds the per-src
+    share table (both sides node-sized — broadcast/cheap), then one
+    equi-join of shares onto edges + one keyed sum on ``dst`` with
+    map-side combine. The edge relation and node universe are
+    localCheckpoint'd once (multi-referenced bounded inputs — the
+    repo's iterative-consumer rule). r17 (guide §2.4):
+    ``assume_distinct=True`` skips the defensive edge distinct for
+    callers whose edge relation is distinct by construction (e.g. the
+    symmetric union of a distinct bipartite relation with disjoint id
+    ranges) — a full exchange + agg saved ("a distinct on data that is
+    already unique"). An r17 A/B also REJECTED pre-attaching out-degrees
+    to the edge relation (share computed per edge row, one join/iter):
+    measured 5–13% slower at sf0.1 — the removed join is the cheap
+    node-sized one while the attached form pays an edge-sized
+    checkpoint materialization up front. Quotients stay exact in the
+    double division as long as rank units < 2^53 (≈9e15 — holds to
+    ~10^9 nodes at the default scale).
 
     Output: ``(node_id, rank_units bigint)`` — one row per node that
     appears in any edge.
     """
     num, den = damping
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
@@ -967,6 +981,7 @@ def personalized_pagerank(
     iters: int = 3,
     damping: tuple[int, int] = (17, 20),
     scale: int = 10**6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart) — proximity TO A
     SEED SET rather than global authority: the teleport mass returns to
@@ -988,9 +1003,17 @@ def personalized_pagerank(
 
     ``seeds``: one column of node ids. Output: ``(node_id,
     rank_units)`` for every node in any edge.
+
+    r17 (guide §2.4, same as :func:`pagerank`): ``assume_distinct``
+    skips the defensive edge distinct for by-construction-distinct
+    callers; the e_od pre-attach variant was A/B-rejected (see
+    :func:`pagerank`).
     """
     num, den = damping
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
@@ -1304,7 +1327,7 @@ def distributed_prefix_sum(
     )
     summed = d.withColumn(
         "__lc", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     totals = summed.groupBy("__pid").agg(
         F.sum(weight_col).cast("long").alias("__t")
     )
@@ -1447,7 +1470,7 @@ def rfm_segments(
             "m_cents",
         )
         # three tile orderings read the same relation — one materialization
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     r_t = distributed_ntile(
         per, [F.col("rec_days").asc(), F.col("user_id").asc()], n_tiles, "r"
@@ -1920,7 +1943,9 @@ def woe_iv(
     )
 
 
-def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 3, assume_distinct: bool = False
+) -> DataFrame:
     """Synchronous label propagation (community detection) with
     bit-exact cross-engine replay — the cheap communities-from-edges
     pass run before a costlier modularity read (``src``/``dst`` edge
@@ -1935,19 +1960,29 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     label. Fixed ``iters`` (asynchronous/converged LPA is
     order-dependent by construction and therefore unreplayable).
 
-    Scale shape: per round one equi-join of the label table onto edges
-    (keyed by ``src``) + one (dst, label) count with map-side combine +
-    one per-dst argmax window over label-cardinality-bounded rows. The
+    Scale shape (r17, guide §2.4): per round one equi-join of the
+    label table onto edges (keyed by ``src``) + one (dst, label) count
+    with map-side combine + one per-dst argmax window over
+    label-cardinality-bounded rows. The keep-old rule ("a node with no
+    in-edges keeps its label") rides the SAME argmax: each node's
+    current label enters the window as a zero-count self-vote row
+    (union, no shuffle) — any real in-neighbor count ≥ 1 beats it, and
+    a no-in-edge node has only its self-vote, so the result is
+    label-identical to the previous left-join + coalesce form, which
+    paid TWO extra per-round joins (nodes ⨝ best ⨝ old labels). The
     edge relation is localCheckpoint'd once, and the label table is
     checkpointed PER ROUND: each round references the prior labels
-    twice (the propagation join AND the keep-old coalesce), so a lazy
-    chain re-executes prior rounds exponentially (measured: 42 joins in
-    the 3-round plan vs the expected ~9 — the repo's iterative-consumer
-    rule). Checkpoint cost ∝ nodes per round.
+    twice (the propagation join AND the self-vote union), so an
+    uncheckpointed chain re-executes prior rounds exponentially
+    (measured: 42 joins in the 3-round plan vs the expected ~9 — the
+    repo's iterative-consumer rule). Checkpoint cost ∝ nodes per round.
 
     Output: ``(node_id, label bigint)`` — one row per node.
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node_id"))
         .union(e.select(F.col("dst").alias("node_id")))
@@ -1964,31 +1999,24 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             .groupBy(F.col("dst").alias("node_id"), "label")
             .agg(F.count(F.lit(1)).alias("__n"))
         )
-        best = (
-            prop.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node_id", "label")
-        )
         labels = (
-            nodes.join(best, "node_id", "left")
-            .join(
+            prop.unionByName(
                 labels.select(
-                    F.col("node_id"), F.col("label").alias("__old")
-                ),
-                "node_id",
+                    "node_id", "label", F.lit(0).cast("long").alias("__n")
+                )
             )
-            .select(
-                "node_id",
-                F.coalesce(F.col("label"), F.col("__old"))
-                .cast("long")
-                .alias("label"),
-            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node_id", F.col("label").cast("long").alias("label"))
             .localCheckpoint()
         )
     return labels
 
 
-def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 3,
+    assume_distinct: bool = False,
+) -> DataFrame:
     """Fixed-round k-core peeling (r13 — the DENSITY read completing
     the graph family: PageRank/HITS rank authority, LPA finds
     communities, BFS measures reachability, neighborhood-Jaccard
@@ -2015,8 +2043,18 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     Output: one row per round 0..rounds — ``(round, n_nodes, n_edges,
     min_deg, max_deg)`` of the surviving subgraph (round 0 = input;
     a 0-row subgraph reports 0/0/NULL/NULL).
+
+    r17: ``assume_distinct=True`` skips the defensive edge distinct
+    for by-construction-distinct callers (guide §2.4). Checkpoints
+    stay EAGER: a lazily-checkpointed round chain materializes only
+    inside the final heavy job, and once storage pressure evicts a
+    lazily-persisted block its truncated lineage cannot recompute it
+    (measured: task failures + escalating reruns on the bench box).
     """
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
 
     def stats(ed, rnd):
         deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
@@ -2061,9 +2099,9 @@ def bellman_ford(
     equi-joins edges on ``src``, candidate ``dist + w`` values union
     with the standing distances, and a keyed min contracts back to one
     row per node. Distances are localCheckpoint'd PER ROUND — the
-    relation is double-referenced (union leg + join leg), so a lazy
-    chain re-executes prior rounds exponentially (the LPA/de6ad9c
-    rule; join budget pinned in tests/test_plans.py).
+    relation is double-referenced (union leg + join leg), so an
+    uncheckpointed chain re-executes prior rounds exponentially (the
+    LPA/de6ad9c rule; join budget pinned in tests/test_plans.py).
 
     Output: ``(node, dist)`` — nodes never reached within ``rounds``
     relaxations are absent (callers left-join their node universe to
