@@ -1470,19 +1470,26 @@ def kcenter_greedy(
     desc, id asc) argmax — no RNG, so the oracle replays every pick as
     a chained CTE. Assignment ties break to the earliest-picked center.
 
-    Scale shape: per iteration ONE narrow codegen pass computes each
-    row's distance to the single newly-picked center and folds it into
-    a MATERIALIZED running min (``localCheckpoint`` per pick — the LPA
-    per-round rule, VERDICT r12 item 3), so the total work is
-    O(k·n·d), not O(k²·n·d); then a global (dist, id) argmax via
-    ``limit(1)``. The only driver-side data is k rows of d quantized
-    components (the centers themselves — bounded by k·d, never
-    |rows|), re-broadcast as literals exactly like the k-means
-    centroid table. Degenerate inputs (ADVICE r12): an EMPTY input
-    returns an empty frame of the declared schema, and when the input
-    has fewer than k distinct points the pick loop short-circuits once
-    the max min-distance hits 0 (every remaining point IS a picked
-    center) instead of emitting duplicate zero-distance centers.
+    Scale shape (r17, guide §1.2 "remove passes"): per iteration ONE
+    narrow codegen pass computes each row's distance to the single
+    newly-picked center and folds it into a running (min-dist, rank,
+    center-id) triple — the argmin is CARRIED through the loop, so the
+    final assignment needs no extra k·n·d re-computation pass (the
+    pre-r17 form recomputed every row's distance to all k centers at
+    the end, doubling total distance work). Each generation is
+    ``persist()``-ed (lineage intact — eviction-safe, unlike a lazy
+    checkpoint) and materialized BY the pick's own (dist, id) argmax
+    ``limit(1)`` action — one job per pick instead of the previous
+    checkpoint-job + collect-job pair; superseded generations are
+    unpersisted as the loop advances. Total work O(k·n·d), k-1 jobs.
+    The only driver-side data is k rows of d quantized components (the
+    centers themselves — bounded by k·d, never |rows|), re-broadcast
+    as literals exactly like the k-means centroid table. Degenerate
+    inputs (ADVICE r12): an EMPTY input returns an empty frame of the
+    declared schema, and when the input has fewer than k distinct
+    points the pick loop short-circuits once the max min-distance hits
+    0 (every remaining point IS a picked center) instead of emitting
+    duplicate zero-distance centers.
 
     Output: ``(center_rank int, center_id, n_assigned bigint,
     radius_sq bigint)`` — per center, its cover size and the k-center
@@ -1525,57 +1532,66 @@ def kcenter_greedy(
         )
     seed = seed_rows[0]
     centers = [(seed[id_col], list(seed["__qe"]))]
-    # running min-distance, MATERIALIZED per pick so each iteration
-    # computes exactly one new distance column (O(k·n·d) total)
+    # running (min-dist, rank, center-id), persisted per pick; each
+    # iteration computes exactly one new distance column and CARRIES
+    # the argmin, so the final assignment needs no k·n·d re-scan
     cur = base.select(
-        F.col(id_col), "__qe", dist_to(centers[0][1]).alias("__d")
-    ).localCheckpoint()
-    for _ in range(k - 1):
+        F.col(id_col),
+        "__qe",
+        dist_to(centers[0][1]).alias("__d"),
+        F.lit(0).cast("int").alias("__r"),
+        F.lit(seed[id_col]).alias("__cid"),
+    ).persist()
+    prev = None
+    for i in range(1, k):
+        # this argmax action is what materializes cur's cache — one
+        # job per pick (the old checkpoint+collect pair was two)
         nxt = (
             cur.orderBy(F.col("__d").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()[0]
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
         if nxt["__d"] == 0:
             # fewer than k distinct points: every remaining point is
             # already a picked center — stop instead of duplicating
             break
         centers.append((nxt[id_col], list(nxt["__qe"])))
-        cur = cur.select(
-            F.col(id_col),
-            "__qe",
-            F.least(F.col("__d"), dist_to(list(nxt["__qe"]))).alias("__d"),
-        ).localCheckpoint()
-    assigned = base.select(
-        F.col(id_col),
-        F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        dist_to(v).alias("d"),
-                        F.lit(i).alias("r"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for i, (cid, v) in enumerate(centers)
-                ]
+        # strict < keeps the earliest-picked center on distance ties —
+        # identical to the (d, r, cid) array_min struct tie-break
+        upd = F.col("__nd") < F.col("__d")
+        cur = (
+            cur.withColumn("__nd", dist_to(list(nxt["__qe"])))
+            .select(
+                F.col(id_col),
+                "__qe",
+                F.when(upd, F.col("__nd")).otherwise(F.col("__d")).alias("__d"),
+                F.when(upd, F.lit(i).cast("int"))
+                .otherwise(F.col("__r"))
+                .alias("__r"),
+                F.when(upd, F.lit(nxt[id_col]))
+                .otherwise(F.col("__cid"))
+                .alias("__cid"),
             )
-        ).alias("__best"),
-    )
+            .persist()
+        )
     if assignments:
-        return assigned.select(
+        return cur.select(
             F.col(id_col),
-            F.col("__best.r").cast("int").alias("center_rank"),
-            F.col("__best.cid").alias("center_id"),
-            F.col("__best.d").cast("long").alias("dist_sq"),
+            F.col("__r").alias("center_rank"),
+            F.col("__cid").alias("center_id"),
+            F.col("__d").cast("long").alias("dist_sq"),
         )
     return (
-        assigned.groupBy(
-            F.col("__best.r").cast("int").alias("center_rank"),
-            F.col("__best.cid").alias("center_id"),
+        cur.groupBy(
+            F.col("__r").alias("center_rank"),
+            F.col("__cid").alias("center_id"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_assigned"),
-            F.max("__best.d").cast("long").alias("radius_sq"),
+            F.max(F.col("__d").cast("long")).alias("radius_sq"),
         )
     )
 
