@@ -565,14 +565,24 @@ def q_b24_corpus_v7(spark, sf_dir):
     BUDGET = 15000
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     bl = spark.createDataFrame([("dup",)], "tok string")
+    # r17 (guide §8): the three DECISION relations below are doc-id- or
+    # fingerprint-sized, never text-sized — checkpointing them means
+    # each is computed once and the heavy text column crosses the plan
+    # exactly three times (blocklist explode, fingerprint build, token
+    # sizing) instead of the 18 column-pruned re-scans the lazy
+    # composition paid (fps alone was built twice: its groupBy and its
+    # self-join re-derived the whole clean+flagged subtree each)
     flagged = (
         docs.select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
         .join(F.broadcast(bl), "tok")
         .select("doc_id")
         .distinct()
+        .localCheckpoint()
     )
     clean = docs.join(flagged, "doc_id", "left_anti")
-    fps = textops.fingerprint_rows(clean, "doc_id", "text", 16, 8)
+    fps = textops.fingerprint_rows(
+        clean, "doc_id", "text", 16, 8
+    ).localCheckpoint()
     shared = fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("__nd"))
     per_doc = (
         fps.join(shared.hint("shuffle_hash"), "fp")
@@ -584,10 +594,12 @@ def q_b24_corpus_v7(spark, sf_dir):
             ).alias("__d"),
         )
     )
-    gated = clean.join(
-        per_doc.filter(F.col("__d") * 2 < F.col("__w")).select("doc_id"),
-        "doc_id",
+    gated_ids = (
+        per_doc.filter(F.col("__d") * 2 < F.col("__w"))
+        .select("doc_id")
+        .localCheckpoint()
     )
+    gated = clean.join(gated_ids, "doc_id")
     sized = gated.select(
         "doc_id",
         "source",

@@ -1476,12 +1476,14 @@ def kcenter_greedy(
     center-id) triple — the argmin is CARRIED through the loop, so the
     final assignment needs no extra k·n·d re-computation pass (the
     pre-r17 form recomputed every row's distance to all k centers at
-    the end, doubling total distance work). Each generation is
-    ``persist()``-ed (lineage intact — eviction-safe, unlike a lazy
-    checkpoint) and materialized BY the pick's own (dist, id) argmax
-    ``limit(1)`` action — one job per pick instead of the previous
-    checkpoint-job + collect-job pair; superseded generations are
-    unpersisted as the loop advances. Total work O(k·n·d), k-1 jobs.
+    the end, doubling total distance work). Each generation is lazily
+    localCheckpoint'd and materialized BY the pick's own (dist, id)
+    argmax ``limit(1)`` action — one job per pick instead of the
+    previous eager-checkpoint-job + collect-job pair (only one
+    generation is ever unmaterialized at a time, so the lazy-chain
+    failure mode does not apply; a ``persist()`` variant pays a
+    columnar CachedBatch build for the d-wide arrays that raw RDD
+    checkpoint storage does not). Total work O(k·n·d), k-1 jobs.
     The only driver-side data is k rows of d quantized components (the
     centers themselves — bounded by k·d, never |rows|), re-broadcast
     as literals exactly like the k-means centroid table. Degenerate
@@ -1541,19 +1543,17 @@ def kcenter_greedy(
         dist_to(centers[0][1]).alias("__d"),
         F.lit(0).cast("int").alias("__r"),
         F.lit(seed[id_col]).alias("__cid"),
-    ).persist()
-    prev = None
+    ).localCheckpoint(eager=False)
     for i in range(1, k):
-        # this argmax action is what materializes cur's cache — one
-        # job per pick (the old checkpoint+collect pair was two)
+        # this argmax action is what materializes cur's checkpoint —
+        # one job per pick (the old eager-checkpoint+collect pair was
+        # two); only one generation is ever unmaterialized at a time,
+        # so the lazy-chain failure mode does not apply
         nxt = (
             cur.orderBy(F.col("__d").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()[0]
         )
-        if prev is not None:
-            prev.unpersist()
-        prev = cur
         if nxt["__d"] == 0:
             # fewer than k distinct points: every remaining point is
             # already a picked center — stop instead of duplicating
@@ -1575,7 +1575,7 @@ def kcenter_greedy(
                 .otherwise(F.col("__cid"))
                 .alias("__cid"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
     if assignments:
         return cur.select(
@@ -1705,14 +1705,21 @@ def mmr_rerank(
     components — no RNG, no floats, so the oracle replays every pick
     as a chained CTE.
 
-    Scale shape (the kcenter_greedy rule): candidates carry a
-    MATERIALIZED running max-sim column (``localCheckpoint`` per
-    pick), so each pick computes ONE new dot-product column in a
-    narrow codegen pass + a ``limit(1)`` argmax readback of d
-    quantized components — O(k·|candidates|·d) total, driver traffic
-    bounded by k·d, never |rows| (collect sites on the audited
-    allowlist, tests/test_plans.py). Raises ``ValueError`` if the
-    query id is absent; stops early when candidates run out.
+    Scale shape (the kcenter_greedy rule, r17 form): candidates carry
+    a running max-sim column lazily localCheckpoint'd per pick and
+    MATERIALIZED by the pick's own ``limit(1)`` argmax action, so each
+    pick is one job computing ONE new dot-product column in a narrow
+    codegen pass — the pre-r17 eager-checkpoint-job + collect-job pair
+    was two jobs and one extra full scan per pick (interleaved sf0.1
+    A/B: 3.2 s → 2.6 s median, identical picks; a ``persist()``
+    variant lost the same A/B because Dataset caching pays a columnar
+    CachedBatch build for the d-wide arrays that raw RDD checkpoint
+    storage does not). Only one generation is ever unmaterialized at a
+    time, so the lazy-chain failure mode does not apply. Total
+    O(k·|candidates|·d), driver traffic bounded by k·d, never |rows|
+    (collect sites on the audited allowlist, tests/test_plans.py).
+    Raises ``ValueError`` if the query id is absent; stops early when
+    candidates run out.
 
     Bounded-candidate contract (the 100 TB shape): each of the k
     picks MATERIALIZES the full candidate relation, so the per-pick
@@ -1762,9 +1769,11 @@ def mmr_rerank(
         cur = cur.orderBy(F.col("__rel").desc(), F.col(id_col).asc()).limit(
             topn
         )
-    cur = cur.localCheckpoint()
+    cur = cur.localCheckpoint(eager=False)
     picks: list[tuple] = []
     for rank in range(k):
+        # this argmax action is what materializes cur's checkpoint —
+        # one job per pick
         top = (
             cur.orderBy(
                 (2 * F.col("__rel") - F.col("__ms")).desc(),
@@ -1794,7 +1803,7 @@ def mmr_rerank(
                 "__rel",
                 F.greatest(F.col("__ms"), dot_to(pvec)).alias("__ms"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     id_type = base.schema[id_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(

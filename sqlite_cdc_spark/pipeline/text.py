@@ -656,9 +656,19 @@ def winnow_pair_screen(
     Plan shape: one fp-keyed count agg + an fp equi-join back (both
     hash-partition on fp, co-partitioned — no extra shuffle), then the
     capped fp self-join and a pair-keyed count agg. No cartesian, no
-    broadcast of corpus-sized sides.
+    broadcast of corpus-sized sides. r17: the distinct fingerprint
+    relation is localCheckpoint'd once — it is referenced three times
+    through structurally different shapes (the df count, and each side
+    of the self-join), and each lazy reference re-ran the caller's
+    whole fingerprint pipeline (measured: 16 parquet scans in the
+    b19_winnow_pairs plan, 4 after; the relation itself is (id, fp)
+    metadata, a fraction of the text it derives from).
     """
-    base = fps.select(F.col(id_col), F.col(fp_col).alias("fp")).distinct()
+    base = (
+        fps.select(F.col(id_col), F.col(fp_col).alias("fp"))
+        .distinct()
+        .localCheckpoint()
+    )
     df_per_fp = base.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
     kept = base.join(
         df_per_fp.filter(F.col("__df") <= max_df).select("fp"), "fp"
