@@ -1199,8 +1199,13 @@ def q_b30_bellman_ford(spark, sf_dir):
         )
     )
     dist = derive.bellman_ford(edges, source=0, rounds=4)
+    # r17 (guide §3.1): dist is a checkpointed RDD, so the planner has
+    # no size estimate and picked a SortMergeJoin with two exchanges
+    # for this ≤25-row ⋈ ≤25-row join (plans/r17/
+    # b30_bellman_ford_before.txt). dist is bounded by the node
+    # universe at ANY scale — broadcast it explicitly.
     return n.join(
-        dist, n["n_nationkey"] == dist["node"], "left"
+        F.broadcast(dist), n["n_nationkey"] == dist["node"], "left"
     ).select(
         F.col("n_nationkey").cast("long").alias("nation"),
         F.col("dist").alias("dist_4hop"),

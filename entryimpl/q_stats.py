@@ -1499,6 +1499,14 @@ def q_b10_permutation_fdr(spark, sf_dir):
             * F.col("__v")
         ).alias("__sv"),
     )
+    # r17 negative result (guide §1.1): the formatted plan shows the
+    # 33-way explode + md5 agg subtree TWICE (observed leg + broadcast
+    # null leg, plans/r17/b10_permutation_fdr_before.txt), but the two
+    # partial-agg exchanges are canonically identical and AQE's runtime
+    # stage reuse already computes them once — a localCheckpoint of `t`
+    # measured PARITY in the clean interleaved A/B pass (0.98×/1.02×
+    # med/min) and was not kept. The pre-execution plan overstates the
+    # work; trust the runtime stage cache for verbatim subtrees.
     t = perms.groupBy("event_type", "b").agg(
         F.abs(F.sum("__sv")).cast("long").alias("__t")
     )

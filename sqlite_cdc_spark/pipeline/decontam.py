@@ -139,13 +139,19 @@ def fingerprint_containment(
         .select("fp")
         .distinct()
     )
-    corp_fp = (
-        fingerprint_rows(corpus, id_col, text_col, window_tokens, stride)
-        .select(F.col(id_col).alias("doc"), "fp")
-        .distinct()
-    )
+    corp_fp = fingerprint_rows(
+        corpus, id_col, text_col, window_tokens, stride
+    ).select(F.col(id_col).alias("doc"), "fp")
+    # r17 (guide §2.3 "project/filter before the exchange"): the
+    # broadcast bench join is a map-side filter, so running it BEFORE
+    # the (doc, fp) distinct means the distinct's exchange carries only
+    # MATCHING fingerprint rows (≈0 at scale) instead of the whole
+    # ~|tokens|/stride corpus fingerprint relation. distinct∘join ≡
+    # join∘distinct for an equi-join on a distinct-key side, so the
+    # shared-window count is unchanged.
     hits = (
         corp_fp.join(F.broadcast(bench_fp), "fp")
+        .distinct()
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )

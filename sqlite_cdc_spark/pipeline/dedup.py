@@ -99,17 +99,23 @@ def shingle_rows(
 
     Array-returning shingle expressions (:func:`char_shingles`) run Spark's
     higher-order functions interpreted (~ms/doc); this path is pure
-    codegen: explode token/char positions, then index the token array
-    in-row (``get`` — 0-based, NULL past the end, ANSI-safe) to
-    concatenate k-grams. ZERO shuffles (r17, guide §2.4): the previous
-    form built grams with ``lead`` windows, paying a corpus-wide
-    (doc, pos) exchange + sort before any consumer; ``get`` reads the
-    same token from the in-row array instead, and Generate + the gram
-    projection fuse into one WholeStageCodegen span, so the array is
-    never materialized per output row. Output-identical to the window
-    form (``lead`` past the partition end and ``get`` past the array
-    end are both NULL; ``concat_ws`` drops them, the ``__full`` filter
-    keeps complete grams only).
+    codegen: explode tokens/chars with position, then ``lead`` windows
+    concatenate k-grams. One shuffle (window by doc); every operator is
+    whole-stage-codegen.
+
+    r17 note (measured, guide §1.1 "a fresh implementation of the ideal
+    plan is usually slower because of some gotcha"): a shuffle-free
+    variant (posexplode positions + in-row ``get(__toks, pos+i)`` array
+    reads) was tried and REVERTED — interleaved same-session A/B on the
+    b18 fingerprint shape read 2.5 s vs 1.6 s steady in the window
+    form's favor, and the full minhash family 1.6–2.3× worse. Two
+    reasons: (a) the Generate must carry the whole token array per
+    exploded row (O(tokens²) bytes per doc through the stage), and
+    (b) the window's (doc, pos) exchange is LOAD-BEARING downstream —
+    it pre-partitions by doc, so the per-doc set/signature aggregations
+    that follow need no exchange of their own, and AQE's ReusedExchange
+    shares the tokenize+explode work across every consumer of the same
+    shingle relation (the multi-reference jaccard/index pipelines).
 
     ``unit``: ``word`` (k-grams over whitespace tokens — discriminative
     for natural text) or ``char`` (classic k-char shingles).
@@ -119,14 +125,13 @@ def shingle_rows(
         parts = F.split(c, " ")
     else:
         parts = F.split(c, "")
-    sep = " " if unit == "word" else ""
     toks = df.select(
-        F.col(id_col).alias("doc"), parts.alias("__toks")
-    ).select(
-        "doc", "__toks", F.posexplode("__toks").alias("pos", "tok")
+        F.col(id_col).alias("doc"), F.posexplode(parts).alias("pos", "tok")
     )
+    w = Window.partitionBy("doc").orderBy("pos")
+    sep = " " if unit == "word" else ""
     gram_cols = [F.col("tok")] + [
-        F.get("__toks", F.col("pos") + i) for i in range(1, k)
+        F.lead("tok", i).over(w) for i in range(1, k)
     ]
     grams = toks.select(
         "doc",
@@ -438,28 +443,23 @@ def near_dup_pairs(
     The complete B19 operator: candidates via banding, then exact Jaccard
     ≥ threshold. Both stages are equi-joins — no cartesian anywhere.
 
-    The corpus is shingled ONCE (r17, guide §2.3/§2.4): a single
-    checkpointed DISTINCT ``(doc, sh)`` relation feeds both the LSH
-    index build (signatures can't tell distinct from multiset) and the
-    exact-Jaccard verify (where set semantics are load-bearing). The
-    previous composition ran the shingle pipeline twice — once
-    non-distinct for the index, once distinct for the verify — and the
-    verify side re-derived it per consumer reference. Same shape the
-    b19_incremental_clusters capstone already used; at 100 TB this is
-    the "materialize shingle rows once, everything reads them" rule.
+    r17 note (measured): a "shingle once" variant — one checkpointed
+    distinct ``(doc, sh)`` relation feeding both the index build and
+    the Jaccard verify — was tried and REVERTED: the interleaved
+    same-box A/B read the b19 minhash lines 1.9–2.6× SLOWER than this
+    composition. The sharing it aimed for already happens without it:
+    the index's shingle pass and the verify's three references all end
+    at the same (doc, pos) window exchange, and AQE's ReusedExchange
+    dedups verbatim subplans — while the checkpoint pays an extra
+    materialization of the corpus-sized shingle relation to executor
+    storage and severs that reuse (the round-7 rule: checkpoint only
+    references AQE can NOT line up).
     """
-    rows = shingle_rows(
-        df, id_col, text_col, k=shingle_k, unit=shingle_unit, distinct=True
-    ).localCheckpoint(eager=False)
-    cand = lsh_candidates_from_index(
-        build_lsh_index(
-            df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit,
-            base_hash=base_hash, rows=rows,
-        )
+    cand = minhash_candidates(
+        df, id_col, text_col, shingle_k, num_hashes, bands, shingle_unit,
+        base_hash=base_hash,
     )
-    scored = jaccard_pairs(
-        df, cand, id_col, text_col, shingle_k, shingle_unit, rows=rows
-    )
+    scored = jaccard_pairs(df, cand, id_col, text_col, shingle_k, shingle_unit)
     return scored.filter(F.col("jaccard") >= threshold)
 
 
