@@ -1578,10 +1578,19 @@ def bloom_probe(
         for r in bloom.collect():  # bounded: <= n_words rows (~1 KB)
             if 0 <= r["word"] < n_words:
                 words[r["word"]] = r["bits"] or 0
-        bitmap = F.array(*[F.lit(w).cast("long") for w in words])
+        # r17: literal arrays rendered as one parsed SQL string each —
+        # the Column form was ~260 py4j round-trips per probe build
+        # (identical tree; see build_lsh_index)
+        bitmap = F.expr(
+            "array(" + ", ".join(f"cast({w} as bigint)" for w in words) + ")"
+        )
         # F.shiftleft needs a literal shift amount, so single bits come
         # from a 63-entry literal lookup instead (element_at is 1-based)
-        bitvals = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+        bitvals = F.expr(
+            "array("
+            + ", ".join(f"cast({1 << i} as bigint)" for i in range(63))
+            + ")"
+        )
         cond = F.lit(True)
         for p in pos_exprs:
             word_ix = (p / 63).cast("int") + F.lit(1)

@@ -305,34 +305,51 @@ def build_lsh_index(
     exploded = rows if rows is not None else shingle_rows(
         df, id_col, text_col, k=shingle_k, unit=shingle_unit, distinct=False
     )
+    # r17 (guide §1.1 — profile first): every expression below is built
+    # as a SQL STRING and parsed once in the JVM instead of node-by-node
+    # Column calls over py4j. The board's build-vs-exec split measured
+    # the b19/b24 minhash consumers spending seconds per build in py4j
+    # round-trips (~0.3–1 ms each; this function alone was ~500+ calls,
+    # and bench re-builds the DataFrame every timed run). The parsed
+    # trees are identical (integer literals ≤ 2^31 parse as INT exactly
+    # like F.lit; md5/conv/pmod/xxhash64/hash/slice map 1:1), so every
+    # consumer stays bit-exact — re-gated against the DuckDB oracle.
     if base_hash == "md5":
-        base = F.pmod(portable_hash60("sh"), F.lit(MINHASH_P))
+        base_sql = (
+            "pmod(cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint),"
+            f" {MINHASH_P})"
+        )
     else:
-        base = F.pmod(F.xxhash64("sh"), F.lit(MINHASH_P))
-    hashed = exploded.select(
+        base_sql = f"pmod(xxhash64(sh), {MINHASH_P})"
+    hashed = exploded.selectExpr(
         "doc",
         *[
-            F.pmod(base * F.lit(a) + F.lit(b), F.lit(MINHASH_P)).alias(f"h{i}")
+            f"pmod({base_sql} * {a} + {b}, {MINHASH_P}) as h{i}"
             for i, (a, b) in enumerate(_hash_family(num_hashes))
         ],
     )
     signed = hashed.groupBy("doc").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        F.expr("min(h0) as h0"),
+        *[F.expr(f"min(h{i}) as h{i}") for i in range(1, num_hashes)],
     )
     if base_hash == "md5":
-        buckets = []
+        band_sqls = []
         for b in range(bands):
-            acc: Column = F.col(f"h{b * rows_per_band}")
+            acc = f"h{b * rows_per_band}"
             for j in range(1, rows_per_band):
-                acc = F.pmod(
-                    acc * F.lit(BAND_B) + F.col(f"h{b * rows_per_band + j}"),
-                    F.lit(MINHASH_P),
+                acc = (
+                    f"pmod({acc} * {BAND_B} + h{b * rows_per_band + j},"
+                    f" {MINHASH_P})"
                 )
-            buckets.append(acc)
-        banded = F.array(*buckets)
+            band_sqls.append(acc)
     else:
-        sig = F.array(*[f"h{i}" for i in range(num_hashes)])
-        banded = lsh_band_hashes(sig, bands, rows_per_band)
+        all_h = ", ".join(f"h{i}" for i in range(num_hashes))
+        band_sqls = [
+            f"hash(slice(array({all_h}), {b * rows_per_band + 1},"
+            f" {rows_per_band}))"
+            for b in range(bands)
+        ]
+    banded = F.expr(f"array({', '.join(band_sqls)})")
     return signed.select(
         "doc", F.posexplode(banded).alias("band", "bucket")
     )

@@ -562,17 +562,27 @@ def poisson_bootstrap(
     qv = F.floor(F.col(value_col) * quant).cast("long")
     h = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
 
-    def weight(r: int):
+    def weight_sql(r: int) -> str:
         # weight = |{k : cuts[k] <= u}| — a FLAT sum of 8 boolean
         # comparisons instead of an 8-deep nested CASE chain (identical
         # values; the nested form made the 2B-expression agg plan cost
-        # ~2.3 s in analysis+codegen alone at B=32)
+        # ~2.3 s in analysis+codegen alone at B=32). r17 (guide §1.1 —
+        # profile before optimizing): the Column-object form of this
+        # tree cost ~4 s PER CALL in driver-side construction alone
+        # (64 deep aggregate trees built node-by-node over py4j;
+        # execution of the whole query is ~0.3 s) — the expressions are
+        # now rendered as SQL strings and parsed once each in the JVM,
+        # which produces the identical Catalyst tree (integer literals
+        # ≤ 2^31 parse as INT exactly like ``F.lit``; codegen CSE
+        # dedups the repeated pmod subtree either way). Measured (same
+        # session, steady state, with the string unpivot below): line
+        # total 3.3–3.5 s → 1.5–1.6 s; the surviving ~1.3 s "build" is
+        # the eager checkpoint's own job, i.e. the actual computation.
+        # Bit-identical output (oracle PASS).
         a, b = fam[r]
-        u = F.pmod(F.col("__h") * a + b, F.lit(MINHASH_P))
-        w = F.lit(0)
-        for k in range(len(cuts)):
-            w = w + (u >= cuts[k]).cast("int")
-        return w.cast("long")
+        u = f"pmod(__h * {a} + {b}, {MINHASH_P})"
+        comps = " + ".join(f"cast(({u} >= {c}) as int)" for c in cuts)
+        return f"cast((0 + {comps}) as bigint)"
 
     # ONE aggregation pass over the N input rows: all 2B partial sums
     # (Σw_r, Σw_r·q for each replicate r) as conditional expressions in a
@@ -583,29 +593,21 @@ def poisson_bootstrap(
     base = df.select(qv.alias("__q"), h.alias("__h"))
     aggs = []
     for r in range(n_replicates):
-        w = weight(r)
-        aggs.append(F.sum(w).cast("long").alias(f"__n{r}"))
-        aggs.append(F.sum(w * F.col("__q")).cast("long").alias(f"__s{r}"))
+        w = weight_sql(r)
+        aggs.append(F.expr(f"cast(sum({w}) as bigint) as __n{r}"))
+        aggs.append(F.expr(f"cast(sum({w} * __q) as bigint) as __s{r}"))
     one = base.agg(*aggs)
-    per = one.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("replicate"),
-                        F.col(f"__n{r}").alias("n_eff"),
-                        F.col(f"__s{r}").alias("__s"),
-                    )
-                    for r in range(n_replicates)
-                ]
-            )
-        ).alias("__rw")
-    ).select(
-        F.col("__rw.replicate").alias("replicate"),
-        F.col("__rw.n_eff").alias("n_eff"),
-        F.round(
-            F.col("__rw.__s") / (F.col("__rw.n_eff") * F.lit(float(quant))), 6
-        ).alias("mean_r"),
+    # string-first unpivot (same r17 rationale as weight_sql: the
+    # Column-object struct array cost ~1 s of py4j round-trips per
+    # build; one parsed expression is the identical tree)
+    structs = ", ".join(
+        f"struct({r} as replicate, __n{r} as n_eff, __s{r} as __s)"
+        for r in range(n_replicates)
+    )
+    per = one.selectExpr(f"explode(array({structs})) as __rw").selectExpr(
+        "__rw.replicate as replicate",
+        "__rw.n_eff as n_eff",
+        f"round(__rw.__s / (__rw.n_eff * {float(quant)}D), 6) as mean_r",
     )
     # `per` (B rows, bounded) is referenced twice through different
     # shapes (plain + ci agg) — without a checkpoint each branch

@@ -1301,17 +1301,24 @@ def kmeans_exact(
     d = len(seed_rows[0]["__qe"])
 
     def assign(b: DataFrame) -> DataFrame:
-        scored = []
+        # r17 (guide §1.1): the centroid literals + fold lambdas are
+        # rendered as ONE SQL string per assignment pass — the Column
+        # form built k·(d+~30) expression nodes over py4j (~1,700
+        # round-trips per pass, 5 passes per query) and driver-side
+        # construction dominated the line. Identical Catalyst tree
+        # (integer literals, same zip_with/aggregate lambdas), proven
+        # bit-exact by the oracle gate.
+        structs = []
         for cid in range(k):
-            lit = F.array(*[F.lit(int(x)) for x in cents[cid]])
-            dist = F.aggregate(
-                F.zip_with(F.col("__qe"), lit, lambda x, m: (x - m) * (x - m)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            lits = ", ".join(str(int(x)) for x in cents[cid])
+            dist = (
+                f"aggregate(zip_with(__qe, array({lits}),"
+                " (x, m) -> (x - m) * (x - m)),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
             )
-            scored.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
+            structs.append(f"struct({dist} as d, {cid} as c)")
         return b.withColumn(
-            "cluster_id", F.array_min(F.array(*scored)).getField("c")
+            "cluster_id", F.expr(f"array_min(array({', '.join(structs)})).c")
         )
 
     for _ in range(iters):
@@ -1508,11 +1515,14 @@ def kcenter_greedy(
     ).localCheckpoint()
 
     def dist_to(center_vec: list[int]) -> Column:
-        lit = F.array(*[F.lit(int(x)) for x in center_vec])
-        return F.aggregate(
-            F.zip_with(F.col("__qe"), lit, lambda x, m: (x - m) * (x - m)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # r17: SQL-string form — the Column form built d+~30 nodes over
+        # py4j PER PICK (k picks per query); one parsed expression is
+        # the identical tree (see kmeans_exact.assign)
+        lits = ", ".join(str(int(x)) for x in center_vec)
+        return F.expr(
+            f"aggregate(zip_with(__qe, array({lits}),"
+            " (x, m) -> (x - m) * (x - m)),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
         )
 
     seed_rows = base.orderBy(F.col(id_col).asc()).limit(1).collect()
@@ -1745,11 +1755,12 @@ def mmr_rerank(
     ).localCheckpoint()
 
     def dot_to(vec: list[int]) -> Column:
-        lit = F.array(*[F.lit(int(x)) for x in vec])
-        return F.aggregate(
-            F.zip_with(F.col("__qe"), lit, lambda x, m: x * m),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # r17: SQL-string form, one parse per pick instead of d+~30
+        # py4j-built nodes (see kmeans_exact.assign)
+        lits = ", ".join(str(int(x)) for x in vec)
+        return F.expr(
+            f"aggregate(zip_with(__qe, array({lits}), (x, m) -> x * m),"
+            " cast(0 as bigint), (acc, x) -> acc + x)"
         )
 
     qrows = base.filter(F.col(id_col) == query_id).limit(1).collect()
