@@ -344,14 +344,21 @@ def plane_sign(p: int, d: int) -> int:
 
 def _plane_table(spark, dim: int, n_planes: int, n_tables: int) -> DataFrame:
     """The tiny (n_tables·n_planes·dim)-row Rademacher sign relation all
-    portable-LSH paths broadcast: entries from :func:`plane_sign`."""
-    return spark.createDataFrame(
-        [
-            (p // n_planes, p % n_planes, d, plane_sign(p, d))
-            for p in range(n_tables * n_planes)
-            for d in range(dim)
-        ],
-        "t int, p int, d int, s long",
+    portable-LSH paths broadcast: entries from :func:`plane_sign`.
+
+    r17: generated JVM-side from ``spark.range`` with the same integer
+    arithmetic (the Python form pickled ~3k driver rows through
+    ``createDataFrame`` on every build; row values are identical —
+    ``plane_sign`` is pure positive-integer arithmetic, so SQL ``pmod``
+    ≡ Python ``%``, and the products stay < 2^63)."""
+    n = n_tables * n_planes
+    return spark.range(n * dim).selectExpr(
+        f"cast((id div {dim}) div {n_planes} as int) as t",
+        f"cast((id div {dim}) % {n_planes} as int) as p",
+        f"cast(id % {dim} as int) as d",
+        "cast(case when pmod(((id div %d) * %d + (id %% %d)) * %d, %d) < %d"
+        " then 1 else -1 end as bigint) as s"
+        % (dim, PLANE_MIX, dim, PLANE_KNUTH, 1 << 32, 1 << 31),
     )
 
 
