@@ -22,6 +22,22 @@ def as_double(vec: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _sql_lit(v) -> str | None:
+    """Render an id value as a SQL literal for the string-first greedy
+    loops (r17 construction pass 2), or ``None`` when the type has no
+    safe rendering — callers then fall back to the ``F.lit`` Column
+    path. Ints parse as INT/BIGINT exactly like ``F.lit``; strings are
+    single-quote-escaped. bool is excluded (it is an int subclass but
+    ``F.lit(True)`` is BooleanType, not '1')."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate — sequential fold, deterministic."""
     return F.aggregate(
@@ -1561,16 +1577,19 @@ def kcenter_greedy(
         F.lit(0).cast("int").alias("__r"),
         F.lit(seed[id_col]).alias("__cid"),
     ).localCheckpoint(eager=False)
+    # r17 construction pass 2 (guide §4, driver side): loop-invariant
+    # argmax sort keys hoisted (Columns are immutable and reusable
+    # across generations) and the per-pick fold rendered as SQL strings
+    # parsed once in the JVM instead of ~14 py4j-built when/otherwise
+    # nodes — identical trees (CASE WHEN == F.when().otherwise()),
+    # identical picks (oracle re-gated).
+    by_dist = [F.col("__d").desc(), F.col(id_col).asc()]
     for i in range(1, k):
         # this argmax action is what materializes cur's checkpoint —
         # one job per pick (the old eager-checkpoint+collect pair was
         # two); only one generation is ever unmaterialized at a time,
         # so the lazy-chain failure mode does not apply
-        nxt = (
-            cur.orderBy(F.col("__d").desc(), F.col(id_col).asc())
-            .limit(1)
-            .collect()[0]
-        )
+        nxt = cur.orderBy(*by_dist).limit(1).collect()[0]
         if nxt["__d"] == 0:
             # fewer than k distinct points: every remaining point is
             # already a picked center — stop instead of duplicating
@@ -1578,22 +1597,46 @@ def kcenter_greedy(
         centers.append((nxt[id_col], list(nxt["__qe"])))
         # strict < keeps the earliest-picked center on distance ties —
         # identical to the (d, r, cid) array_min struct tie-break
-        upd = F.col("__nd") < F.col("__d")
-        cur = (
-            cur.withColumn("__nd", dist_to(list(nxt["__qe"])))
-            .select(
-                F.col(id_col),
-                "__qe",
-                F.when(upd, F.col("__nd")).otherwise(F.col("__d")).alias("__d"),
-                F.when(upd, F.lit(i).cast("int"))
-                .otherwise(F.col("__r"))
-                .alias("__r"),
-                F.when(upd, F.lit(nxt[id_col]))
-                .otherwise(F.col("__cid"))
-                .alias("__cid"),
+        cid = _sql_lit(nxt[id_col])
+        if cid is not None:
+            lits = ", ".join(str(int(x)) for x in nxt["__qe"])
+            nd_sql = (
+                f"aggregate(zip_with(__qe, array({lits}),"
+                " (x, m) -> (x - m) * (x - m)),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
             )
-            .localCheckpoint(eager=False)
-        )
+            cur = (
+                cur.selectExpr("*", f"{nd_sql} as __nd")
+                .selectExpr(
+                    f"`{id_col}`",
+                    "__qe",
+                    "case when __nd < __d then __nd else __d end as __d",
+                    f"case when __nd < __d then cast({i} as int)"
+                    " else __r end as __r",
+                    f"case when __nd < __d then {cid}"
+                    " else __cid end as __cid",
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            upd = F.col("__nd") < F.col("__d")
+            cur = (
+                cur.withColumn("__nd", dist_to(list(nxt["__qe"])))
+                .select(
+                    F.col(id_col),
+                    "__qe",
+                    F.when(upd, F.col("__nd"))
+                    .otherwise(F.col("__d"))
+                    .alias("__d"),
+                    F.when(upd, F.lit(i).cast("int"))
+                    .otherwise(F.col("__r"))
+                    .alias("__r"),
+                    F.when(upd, F.lit(nxt[id_col]))
+                    .otherwise(F.col("__cid"))
+                    .alias("__cid"),
+                )
+                .localCheckpoint(eager=False)
+            )
     if assignments:
         return cur.select(
             F.col(id_col),
@@ -1788,18 +1831,22 @@ def mmr_rerank(
             topn
         )
     cur = cur.localCheckpoint(eager=False)
+    # r17 construction pass 2 (guide §4, driver side): the pick loop
+    # re-built the argmax sort keys and the fold projection node-by-node
+    # over py4j EVERY pick (~185 round-trips/pick measured). Columns are
+    # immutable expression wrappers, so the loop-invariant sort keys are
+    # hoisted and reused across generations, and the per-pick filter +
+    # fold render as SQL strings parsed once in the JVM — identical
+    # trees, identical picks (oracle re-gated).
+    by_score = [
+        (2 * F.col("__rel") - F.col("__ms")).desc(),
+        F.col(id_col).asc(),
+    ]
     picks: list[tuple] = []
     for rank in range(k):
         # this argmax action is what materializes cur's checkpoint —
         # one job per pick
-        top = (
-            cur.orderBy(
-                (2 * F.col("__rel") - F.col("__ms")).desc(),
-                F.col(id_col).asc(),
-            )
-            .limit(1)
-            .collect()
-        )
+        top = cur.orderBy(*by_score).limit(1).collect()
         if not top:
             break
         p = top[0]
@@ -1813,16 +1860,34 @@ def mmr_rerank(
             )
         )
         pvec = list(p["__qe"])
-        cur = (
-            cur.filter(F.col(id_col) != p[id_col])
-            .select(
-                F.col(id_col),
-                "__qe",
-                "__rel",
-                F.greatest(F.col("__ms"), dot_to(pvec)).alias("__ms"),
+        pid = _sql_lit(p[id_col])
+        if pid is not None:
+            lits = ", ".join(str(int(x)) for x in pvec)
+            dot_sql = (
+                f"aggregate(zip_with(__qe, array({lits}), (x, m) -> x * m),"
+                " cast(0 as bigint), (acc, x) -> acc + x)"
             )
-            .localCheckpoint(eager=False)
-        )
+            cur = (
+                cur.where(f"not (`{id_col}` = {pid})")
+                .selectExpr(
+                    f"`{id_col}`",
+                    "__qe",
+                    "__rel",
+                    f"greatest(__ms, {dot_sql}) as __ms",
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            cur = (
+                cur.filter(F.col(id_col) != p[id_col])
+                .select(
+                    F.col(id_col),
+                    "__qe",
+                    "__rel",
+                    F.greatest(F.col("__ms"), dot_to(pvec)).alias("__ms"),
+                )
+                .localCheckpoint(eager=False)
+            )
     id_type = base.schema[id_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(
         picks,

@@ -47,10 +47,42 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     ).cast("bigint")
 
 
+# r17 construction pass 2 (guide §4 applied to the driver boundary):
+# the helpers below render their expression trees as SQL strings parsed
+# once in the JVM when given a column NAME (every repo call site does).
+# The Column path built the stopword literal arrays and the lang-id
+# argmax CASE chain node-by-node over py4j — several hundred round-trips
+# per quality_features/lang_id call, re-paid on every bench rebuild of
+# every capstone. The parsed trees are identical (Column reuse in the
+# old form COPIED each referenced subtree, exactly like the string
+# form's textual repetition; double literals carry the D suffix so they
+# parse as DOUBLE like F.lit(float), not DECIMAL) — every consumer
+# re-gated bit-exact against the DuckDB oracle.
+
+
+def _normalize_sql(col: str) -> str:
+    """SQL-string twin of :func:`..dedup.normalize_text`."""
+    return f"trim(regexp_replace(lower(`{col}`), '[^a-z0-9]+', ' '))"
+
+
+def _tokens_sql(col: str) -> str:
+    return f"split({_normalize_sql(col)}, ' ')"
+
+
+def _stopword_hits_sql(col: str, lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"cast(size(filter({_tokens_sql(col)},"
+        f" t -> array_contains(array({arr}), t))) as bigint)"
+    )
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """Number of tokens (with multiplicity) found in ``lang``'s stopword
     list — ``filter``/``array_contains``, not ``array_intersect`` (which
     would dedup and undercount)."""
+    if isinstance(col, str):
+        return F.expr(_stopword_hits_sql(col, lang))
     lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(lst, t))).cast(
         "bigint"
@@ -61,9 +93,22 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
     return {lang: stopword_hits(col, lang) for lang in STOPWORDS}
 
 
+def _lang_id_sql(col: str) -> str:
+    best_lang = "'und'"
+    best_score = "cast(0 as bigint)"
+    for lang in sorted(STOPWORDS):  # later langs win only on strict >
+        s = _stopword_hits_sql(col, lang)
+        is_better = f"({s}) > ({best_score})"
+        best_lang = f"case when {is_better} then '{lang}' else {best_lang} end"
+        best_score = f"case when {is_better} then {s} else {best_score} end"
+    return best_lang
+
+
 def lang_id(col: Column | str) -> Column:
     """Deterministic language guess: argmax stopword-hit rate, ties broken
     by language code order, 'und' (undetermined) when nothing hits."""
+    if isinstance(col, str):
+        return F.expr(_lang_id_sql(col))
     scores = lang_scores(col)
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("bigint")
@@ -80,37 +125,49 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     char/token counts, mean token length, alpha & space & punct ratios,
     stopword ratio (en), and a composite ``quality_score`` in [0,1].
     """
-    c = F.col(text_col)
-    n_chars = F.length(c).cast("bigint")
-    toks = tokens(text_col)
-    n_tokens = F.size(toks).cast("bigint")
-    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("bigint")
-    spaces = F.length(F.regexp_replace(c, "[^ ]", "")).cast("bigint")
-    punct = (n_chars - alpha - spaces
-             - F.length(F.regexp_replace(c, "[^0-9]", "")).cast("bigint"))
-    sw = stopword_hits(text_col, "en")
-    mean_tok_len = F.round(
-        (n_chars - spaces).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    # r17 construction pass 2: SQL-string form (see the note above the
+    # _sql helpers) — ~500 py4j round-trips per call down to 8 parses
+    c = f"`{text_col}`"
+    n_chars = f"cast(length({c}) as bigint)"
+    n_tokens = f"cast(size({_tokens_sql(text_col)}) as bigint)"
+    alpha = f"cast(length(regexp_replace({c}, '[^A-Za-z]', '')) as bigint)"
+    spaces = f"cast(length(regexp_replace({c}, '[^ ]', '')) as bigint)"
+    punct = (
+        f"{n_chars} - {alpha} - {spaces}"
+        f" - cast(length(regexp_replace({c}, '[^0-9]', '')) as bigint)"
     )
-    alpha_ratio = F.round(alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
-    punct_ratio = F.round(punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6)
-    sw_ratio = F.round(sw.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6)
+    sw = _stopword_hits_sql(text_col, "en")
+    mean_tok_len = (
+        f"round(cast({n_chars} - {spaces} as double)"
+        f" / cast(greatest({n_tokens}, 1) as double), 6)"
+    )
+    alpha_ratio = (
+        f"round(cast({alpha} as double)"
+        f" / cast(greatest({n_chars}, 1) as double), 6)"
+    )
+    punct_ratio = (
+        f"round(cast({punct} as double)"
+        f" / cast(greatest({n_chars}, 1) as double), 6)"
+    )
+    sw_ratio = (
+        f"round(cast({sw} as double)"
+        f" / cast(greatest({n_tokens}, 1) as double), 6)"
+    )
     # bounded composite: long-enough, wordy, low-punct documents score high
-    score = F.round(
-        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
-        + alpha_ratio * F.lit(0.4)
-        + F.least(sw_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.2),
-        6,
+    score = (
+        f"round(least(cast({n_tokens} as double) / 50.0D, 1.0D) * 0.4D"
+        f" + {alpha_ratio} * 0.4D"
+        f" + least({sw_ratio} * 5.0D, 1.0D) * 0.2D, 6)"
     )
-    return df.select(
+    return df.selectExpr(
         "*",
-        n_chars.alias("q_chars"),
-        n_tokens.alias("q_tokens"),
-        mean_tok_len.alias("q_mean_tok_len"),
-        alpha_ratio.alias("q_alpha_ratio"),
-        punct_ratio.alias("q_punct_ratio"),
-        sw_ratio.alias("q_stopword_ratio"),
-        score.alias("quality_score"),
+        f"{n_chars} as q_chars",
+        f"{n_tokens} as q_tokens",
+        f"{mean_tok_len} as q_mean_tok_len",
+        f"{alpha_ratio} as q_alpha_ratio",
+        f"{punct_ratio} as q_punct_ratio",
+        f"{sw_ratio} as q_stopword_ratio",
+        f"{score} as quality_score",
     )
 
 
@@ -347,12 +404,18 @@ def fingerprint_rows(
         # the window form this replaces
         F.explode(F.when(F.col("__toks").isNotNull(), starts)).alias("__i"),
     )
-    pos = F.col("__i") * stride
-    parts = [F.get("__toks", pos + i) for i in range(window_tokens)]
-    return ex.select(
-        F.col(id_col),
-        F.col("__i").cast("bigint").alias("win_idx"),
-        F.md5(F.concat_ws(" ", *parts)).alias("fp"),
+    # r17 construction pass 2 (guide §4 applied to the driver): the
+    # window parts were built as window_tokens F.get Columns — ~34 py4j
+    # round-trips each, 544 per build, paid again on every bench rebuild.
+    # One parsed SQL string is the identical tree (get/ concat_ws/ md5
+    # map 1:1; int literals parse as INT exactly like F.lit).
+    parts_sql = ", ".join(
+        f"get(__toks, __i * {stride} + {i})" for i in range(window_tokens)
+    )
+    return ex.selectExpr(
+        f"`{id_col}`",
+        "cast(__i as bigint) as win_idx",
+        f"md5(concat_ws(' ', {parts_sql})) as fp",
     )
 
 
@@ -398,15 +461,17 @@ def chunk_rows(
         # NULL-text guard — see fingerprint_rows
         F.explode(F.when(F.col("__toks").isNotNull(), starts)).alias("__i"),
     )
-    pos = F.col("__i") * stride
-    parts = [F.get("__toks", pos + i) for i in range(chunk_tokens)]
-    return ex.select(
-        F.col(id_col),
-        F.col("__i").cast("bigint").alias("chunk_idx"),
-        F.concat_ws(" ", *parts).alias("chunk_text"),
-        F.least(F.lit(chunk_tokens), F.size(F.col("__toks")) - pos)
-        .cast("bigint")
-        .alias("n_tok"),
+    # r17 construction pass 2: one parsed SQL string instead of
+    # chunk_tokens F.get Columns — identical tree, see fingerprint_rows
+    parts_sql = ", ".join(
+        f"get(__toks, __i * {stride} + {i})" for i in range(chunk_tokens)
+    )
+    return ex.selectExpr(
+        f"`{id_col}`",
+        "cast(__i as bigint) as chunk_idx",
+        f"concat_ws(' ', {parts_sql}) as chunk_text",
+        f"cast(least({chunk_tokens}, size(__toks) - (__i * {stride}))"
+        " as bigint) as n_tok",
     )
 
 
@@ -570,59 +635,61 @@ def winnowed_fingerprints(
 
     Output: one row per selected fingerprint ``(id_col, pos, fp)``.
     """
-    from .dedup import portable_hash60
-
+    # r17 construction pass 2 (guide §4, driver side): every expression
+    # below is rendered as a SQL string parsed once in the JVM — the
+    # Column form built the k-gram lambda body, the per-offset hash
+    # reads and the argmin CASE chain node-by-node over py4j (~700
+    # round-trips per build, on every bench rebuild). The parsed trees
+    # are identical (Column reuse in the old form COPIED the subtree
+    # per reference, exactly like the string form's textual repetition),
+    # so selections replay bit-for-bit — re-gated against the oracle.
     toks = tokens(text_col)
-    n = F.size(F.col("__toks"))
     # gram positions are 0..ng−1 (ng = n−k+1 full grams; short docs
     # keep their single truncated gram at pos 0, mirroring
     # fingerprint_rows' short-doc rule)
-    ng = F.greatest(n - (k - 1), F.lit(1))
+    ng = f"greatest(size(__toks) - {k - 1}, 1)"
     # window starts: every full-width window, or the single all-grams
     # window when the doc has fewer grams than one window
-    n_starts = F.greatest(ng - (window - 1), F.lit(1))
-    base = df.select(F.col(id_col), toks.alias("__toks")).select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(0), ng.cast("int") - 1),
-            lambda p: portable_hash60(
-                F.concat_ws(
-                    " ", *[F.get("__toks", p + i) for i in range(k)]
-                )
-            ),
-        ).alias("__h"),
+    n_starts = f"greatest({ng} - {window - 1}, 1)"
+    gram = "concat_ws(' ', {})".format(
+        ", ".join(f"get(__toks, p + {i})" for i in range(k))
+    )
+    gram_h = (
+        f"cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)"
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).selectExpr(
+        f"`{id_col}`",
+        f"transform(sequence(0, cast({ng} as int) - 1), p -> {gram_h})"
+        " as __h",
         # NULL-text guard — see fingerprint_rows. greatest() SKIPS
         # nulls, so n_starts alone would read 1 for a NULL text; the
         # explicit isNotNull gate makes __ns NULL and the explode below
         # emit nothing, like posexplode over a NULL array
-        F.when(F.col("__toks").isNotNull(), n_starts.cast("int")).alias(
-            "__ns"
-        ),
+        "case when __toks is not null then"
+        f" cast({n_starts} as int) end as __ns",
     )
-    ex = base.select(
-        F.col(id_col),
+    ex = base.selectExpr(
+        f"`{id_col}`",
         "__h",
-        F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("__s"),
+        "explode(sequence(0, __ns - 1)) as __s",
     )
-    hashes = [F.get("__h", F.col("__s") + j) for j in range(window)]
-    wm = F.least(*hashes) if window > 1 else hashes[0]
+    hashes = [f"get(__h, __s + {j})" for j in range(window)]
+    wm = f"least({', '.join(hashes)})" if window > 1 else hashes[0]
     # rightmost position whose hash equals the window min: test the
     # highest offset first; NULL hashes compare NULL → fall through
     if window > 1:
-        pick = F.when(hashes[window - 1] == wm, F.col("__s") + (window - 1))
-        for j in range(window - 2, 0, -1):
-            pick = pick.when(hashes[j] == wm, F.col("__s") + j)
-        pick = pick.otherwise(F.col("__s"))
-    else:
-        pick = F.col("__s")
-    return (
-        ex.select(
-            F.col(id_col),
-            pick.alias("pos"),
-            wm.alias("fp"),
+        whens = " ".join(
+            f"when {hashes[j]} = {wm} then __s + {j}"
+            for j in range(window - 1, 0, -1)
         )
-        .distinct()
-    )
+        pick = f"case {whens} else __s end"
+    else:
+        pick = "__s"
+    return ex.selectExpr(
+        f"`{id_col}`",
+        f"{pick} as pos",
+        f"{wm} as fp",
+    ).distinct()
 
 
 def winnow_pair_screen(
