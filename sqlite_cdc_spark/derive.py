@@ -18,6 +18,17 @@ from pyspark.sql import types as T
 from .model import OP_DELETE, OP_INSERT, OP_UPDATE
 
 
+def _fdiv_sql(a: str, b: str) -> str:
+    """SQL-string twin of the integer graph kernels' floor division
+    ``((a - ((a % b + b) % b)) / b) cast bigint`` (r17 construction
+    pass 2, guide §4 — one JVM parse instead of per-node py4j calls;
+    the parsed tree is identical)."""
+    return (
+        f"cast((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) / ({b})"
+        " as bigint)"
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -947,30 +958,27 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     base = (scale * (den - num)) // den
 
-    def fdiv(a, b):
-        return ((a - ((a % b + b) % b)) / b).cast("long")
-
+    # r17 construction pass 2 (guide §4, driver side): the per-round
+    # projections render as SQL strings parsed once in the JVM — the
+    # Column form re-built the floor-division tree every iteration over
+    # py4j. Identical trees (the fdiv chain, coalesce, casts map 1:1),
+    # re-gated bit-exact against the oracle.
+    share_sql = _fdiv_sql(f"__r * {num}", f"{den} * __od") + " as __share"
     ranks = nodes.withColumn("__r", F.lit(scale).cast("long"))
     for _ in range(iters):
-        shares = (
-            ranks.join(outdeg, ranks["node_id"] == outdeg["src"])
-            .select(
-                F.col("src"),
-                fdiv(F.col("__r") * num, F.lit(den) * F.col("__od")).alias("__share"),
-            )
-        )
+        shares = ranks.join(
+            outdeg, ranks["node_id"] == outdeg["src"]
+        ).selectExpr("src", share_sql)
         inflow = (
             e.join(shares, "src")
             .groupBy("dst")
-            .agg(F.sum("__share").alias("__in"))
+            .agg(F.expr("sum(__share) as __in"))
         )
         ranks = nodes.join(
             inflow, nodes["node_id"] == inflow["dst"], "left"
-        ).select(
+        ).selectExpr(
             "node_id",
-            (F.lit(base) + F.coalesce(F.col("__in"), F.lit(0)))
-            .cast("long")
-            .alias("__r"),
+            f"cast({base} + coalesce(__in, 0) as bigint) as __r",
         )
     return ranks.select("node_id", F.col("__r").alias("rank_units"))
 
@@ -1029,37 +1037,30 @@ def personalized_pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__od"))
     base = (scale * (den - num)) // den
 
-    def fdiv(a, b):
-        return ((a - ((a % b + b) % b)) / b).cast("long")
-
+    # r17 construction pass 2: SQL-string per-round projections (see
+    # :func:`pagerank`) — identical trees, re-gated bit-exact
+    share_sql = _fdiv_sql(f"__r * {num}", f"{den} * __od") + " as __share"
     ranks = nodes.withColumn(
         "__r",
         F.when(F.col("__seed") == 1, F.lit(scale)).otherwise(F.lit(0))
         .cast("long"),
     )
     for _ in range(iters):
-        shares = ranks.join(outdeg, ranks["node_id"] == outdeg["src"]).select(
-            F.col("src"),
-            fdiv(F.col("__r") * num, F.lit(den) * F.col("__od")).alias(
-                "__share"
-            ),
-        )
+        shares = ranks.join(
+            outdeg, ranks["node_id"] == outdeg["src"]
+        ).selectExpr("src", share_sql)
         inflow = (
             e.join(shares, "src")
             .groupBy("dst")
-            .agg(F.sum("__share").alias("__in"))
+            .agg(F.expr("sum(__share) as __in"))
         )
         ranks = nodes.join(
             inflow, nodes["node_id"] == inflow["dst"], "left"
-        ).select(
+        ).selectExpr(
             "node_id",
             "__seed",
-            (
-                F.when(F.col("__seed") == 1, F.lit(base)).otherwise(F.lit(0))
-                + F.coalesce(F.col("__in"), F.lit(0))
-            )
-            .cast("long")
-            .alias("__r"),
+            f"cast((case when __seed = 1 then {base} else 0 end)"
+            " + coalesce(__in, 0) as bigint) as __r",
         )
     return ranks.select("node_id", F.col("__r").alias("rank_units"))
 
@@ -1999,24 +2000,30 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = nodes.withColumn("label", F.col("node_id").cast("long"))
-    w = Window.partitionBy("node_id").orderBy(
-        F.col("__n").desc(), F.col("label").asc()
-    )
+    # r17 construction pass 2: per-round projections as SQL strings (the
+    # window spec inlines to the same row_number over (__n desc, label
+    # asc) — default null ordering matches desc()/asc()); identical
+    # trees, re-gated bit-exact
     for _ in range(iters):
         prop = (
             e.join(labels, e["src"] == labels["node_id"])
             .groupBy(F.col("dst").alias("node_id"), "label")
-            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.expr("count(1) as __n"))
         )
         labels = (
             prop.unionByName(
-                labels.select(
-                    "node_id", "label", F.lit(0).cast("long").alias("__n")
+                labels.selectExpr(
+                    "node_id", "label", "cast(0 as bigint) as __n"
                 )
             )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node_id", F.col("label").cast("long").alias("label"))
+            .selectExpr(
+                "node_id",
+                "label",
+                "row_number() over (partition by node_id"
+                " order by __n desc, label asc) as __rn",
+            )
+            .where("__rn = 1")
+            .selectExpr("node_id", "cast(label as bigint) as label")
             .localCheckpoint()
         )
     return labels
@@ -2065,26 +2072,27 @@ def kcore_peel(
         e = e.distinct()
     e = e.localCheckpoint()
 
+    # r17 construction pass 2: the per-round stats/peel projections as
+    # SQL strings parsed once in the JVM — identical trees (count(1),
+    # coalesce, casts map 1:1), re-gated bit-exact
     def stats(ed, rnd):
-        deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+        deg = ed.groupBy("src").agg(F.expr("count(1) as __d"))
         return deg.agg(
-            F.lit(rnd).cast("long").alias("round"),
-            F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.coalesce(F.sum("__d"), F.lit(0)).cast("long").alias("n_edges"),
-            F.min("__d").cast("long").alias("min_deg"),
-            F.max("__d").cast("long").alias("max_deg"),
+            F.expr(f"cast({rnd} as bigint) as round"),
+            F.expr("cast(count(1) as bigint) as n_nodes"),
+            F.expr("cast(coalesce(sum(__d), 0) as bigint) as n_edges"),
+            F.expr("cast(min(__d) as bigint) as min_deg"),
+            F.expr("cast(max(__d) as bigint) as max_deg"),
         )
 
     out = stats(e, 0)
     cur = e
     for r in range(1, rounds + 1):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
-        keep = deg.filter(F.col("__d") >= k).select("src")
+        deg = cur.groupBy("src").agg(F.expr("count(1) as __d"))
+        keep = deg.where(f"__d >= {k}").select("src")
         cur = (
             cur.join(keep, "src", "left_semi")
-            .join(
-                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-            )
+            .join(keep.selectExpr("src as dst"), "dst", "left_semi")
             .localCheckpoint()
         )
         out = out.unionByName(stats(cur, r))
@@ -2125,15 +2133,16 @@ def bellman_ford(
         )
         .localCheckpoint()
     )
+    # r17 construction pass 2: per-round relax/contract as SQL strings —
+    # identical trees, re-gated bit-exact
     for _ in range(rounds):
-        relax = dist.join(e, dist["node"] == e["src"]).select(
-            F.col("dst").alias("node"),
-            (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+        relax = dist.join(e, dist["node"] == e["src"]).selectExpr(
+            "dst as node", "cast(dist + w as bigint) as dist"
         )
         dist = (
             dist.unionByName(relax)
             .groupBy("node")
-            .agg(F.min("dist").cast("long").alias("dist"))
+            .agg(F.expr("cast(min(dist) as bigint) as dist"))
             .localCheckpoint()
         )
     return dist

@@ -120,23 +120,25 @@ def shingle_rows(
     ``unit``: ``word`` (k-grams over whitespace tokens — discriminative
     for natural text) or ``char`` (classic k-char shingles).
     """
-    c = normalize_text(text_col)
-    if unit == "word":
-        parts = F.split(c, " ")
-    else:
-        parts = F.split(c, "")
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(parts).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
+    # r17 construction pass 2 (guide §4, driver side): SQL-string form —
+    # the tokenize/lead/concat trees were ~250 py4j round-trips per
+    # consumer build (every minhash/LSH line pays this on every bench
+    # rebuild). Identical parsed trees (lead(tok, i) over the same spec,
+    # concat_ws, is-not-null map 1:1), bit-exact under the oracle gate.
+    norm = f"trim(regexp_replace(lower(`{text_col}`), '[^a-z0-9]+', ' '))"
     sep = " " if unit == "word" else ""
-    gram_cols = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, k)
+    toks = df.selectExpr(
+        f"`{id_col}` as doc",
+        f"posexplode(split({norm}, '{sep}')) as (pos, tok)",
+    )
+    over = "over (partition by doc order by pos)"
+    gram_sqls = ["tok"] + [
+        f"lead(tok, {i}) {over}" for i in range(1, k)
     ]
-    grams = toks.select(
+    grams = toks.selectExpr(
         "doc",
-        F.concat_ws(sep, *gram_cols).alias("sh"),
-        gram_cols[-1].isNotNull().alias("__full"),
+        f"concat_ws('{sep}', {', '.join(gram_sqls)}) as sh",
+        f"{gram_sqls[-1]} is not null as __full",
     )
     out = grams.filter(F.col("__full")).select("doc", "sh")
     # distinct costs a shuffle — set semantics matter for Jaccard sizes,
@@ -722,22 +724,26 @@ def _cc_propagate(
     """
     global LAST_CC_ROUNDS
 
+    # r17 construction pass 2 (guide §4, driver side): per-round
+    # projections render as SQL strings parsed once in the JVM (the
+    # Column form re-built them every round over py4j); identical trees
+    # (false/true literals == F.lit, CASE WHEN == F.when), re-gated.
     def step(cur: DataFrame) -> tuple[DataFrame, int]:
         nbr = edges.join(
             cur.withColumnRenamed("v", "src"), "src"
-        ).select(F.col("dst").alias("v"), "label", F.lit(False).alias("__own"))
+        ).selectExpr("dst as v", "label", "false as __own")
         new = (
-            cur.select("v", "label", F.lit(True).alias("__own"))
+            cur.selectExpr("v", "label", "true as __own")
             .unionByName(nbr)
             .groupBy("v")
             .agg(
-                F.min("label").alias("label"),
+                F.expr("min(label) as label"),
                 # each vertex has exactly one __own row -> its old label
-                F.min(F.when(F.col("__own"), F.col("label"))).alias("__old"),
+                F.expr("min(case when __own then label end) as __old"),
             )
             .localCheckpoint(eager=False)
         )
-        n_moved = new.filter(F.col("label") != F.col("__old")).limit(1).count()
+        n_moved = new.where("label != __old").limit(1).count()
         return new.select("v", "label"), n_moved
 
     if verts is not None:
@@ -962,8 +968,8 @@ def dup_clusters(
     # expensive (a full MinHash-LSH pipeline) — without this checkpoint it
     # recomputes once per derived relation (measured: b19_dup_clusters
     # carried ~2.5s of redundant minhash recompute at sf0.1).
-    e = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    e = pairs.selectExpr(
+        f"cast(`{id_a}` as bigint) as src", f"cast(`{id_b}` as bigint) as dst"
     ).localCheckpoint(eager=False)
     return _clusters_from_pairs(e, max_iter, algorithm, propagate_rounds)
 
@@ -990,13 +996,11 @@ def _clusters_from_pairs(
             global LAST_CC_ROUNDS
             LAST_CC_ROUNDS = 1  # single union-find pass
             labels = _cc_local(e)
-            sizes = Window.partitionBy("label")
-            return labels.select(
-                F.col("v").alias("doc_id"),
-                F.col("label").alias("cluster_id"),
-                F.count(F.lit(1)).over(sizes).cast("bigint").alias(
-                    "cluster_size"
-                ),
+            return labels.selectExpr(
+                "v as doc_id",
+                "label as cluster_id",
+                "cast(count(1) over (partition by label) as bigint)"
+                " as cluster_size",
             )
     # vertex universe BEFORE dropping self-loops: a (a,a)-only vertex still
     # deserves a singleton cluster. The propagate backend is SEEDED with
@@ -1004,13 +1008,13 @@ def _clusters_from_pairs(
     # coalesce-join afterwards); the star backend only sees real edges,
     # so its output is coalesce-joined back over the universe below.
     verts = (
-        e.select(F.col("src").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("v")))
+        e.selectExpr("src as v")
+        .unionByName(e.selectExpr("dst as v"))
         .distinct()
     )
     edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
+        e.unionByName(e.selectExpr("dst as src", "src as dst"))
+        .where("src != dst")
         .distinct()
         .localCheckpoint(eager=False)  # reused every round: compute the pair plan once
     )
@@ -1034,14 +1038,14 @@ def _clusters_from_pairs(
             f"'propagate' or 'star'"
         )
     if need_vert_join:
-        labels = verts.join(labels, "v", "left").select(
-            "v", F.coalesce("label", F.col("v")).alias("label")
+        labels = verts.join(labels, "v", "left").selectExpr(
+            "v", "coalesce(label, v) as label"
         )
-    sizes = Window.partitionBy("label")
-    return labels.select(
-        F.col("v").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(sizes).cast("bigint").alias("cluster_size"),
+    return labels.selectExpr(
+        "v as doc_id",
+        "label as cluster_id",
+        "cast(count(1) over (partition by label) as bigint)"
+        " as cluster_size",
     )
 
 
@@ -1083,9 +1087,9 @@ def update_clusters(
         labels = labels.select(
             "doc_id", "cluster_id", "cluster_size"
         ).localCheckpoint(eager=False)
-    lab = labels.select(
-        F.col("doc_id").cast("long").alias("v"),
-        F.col("cluster_id").cast("long").alias("label"),
+    lab = labels.selectExpr(
+        "cast(doc_id as bigint) as v",
+        "cast(cluster_id as bigint) as label",
     )
     # The batch pair plan (typically a query_lsh_index probe) is
     # referenced exactly ONCE — by the contraction below, whose output
@@ -1094,8 +1098,8 @@ def update_clusters(
     # (r8: the separate e-checkpoint was a leftover of the
     # pre-contraction design that read the probe twice; removing it
     # drops one materialization round-trip of |batch| rows).
-    e = new_pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    e = new_pairs.selectExpr(
+        f"cast(`{id_a}` as bigint) as src", f"cast(`{id_b}` as bigint) as dst"
     )
     # CLUSTER CONTRACTION: map each batch endpoint through its existing
     # label (cluster_id = the component-min member, itself a vertex), so
@@ -1105,14 +1109,14 @@ def update_clusters(
     # MEMBERSHIP. At 100 TB a hot cluster can hold millions of members;
     # contraction keeps the iterative CC strictly batch-bounded and
     # re-expands membership with ONE equi-join afterwards.
-    sl = lab.select(F.col("v").alias("src"), F.col("label").alias("__sl"))
-    dl = lab.select(F.col("v").alias("dst"), F.col("label").alias("__dl"))
+    sl = lab.selectExpr("v as src", "label as __sl")
+    dl = lab.selectExpr("v as dst", "label as __dl")
     m = (
         e.join(sl, "src", "left")
         .join(dl, "dst", "left")
-        .select(
-            F.coalesce("__sl", F.col("src")).alias("src"),
-            F.coalesce("__dl", F.col("dst")).alias("dst"),
+        .selectExpr(
+            "coalesce(__sl, src) as src",
+            "coalesce(__dl, dst) as dst",
         )
         # _clusters_from_pairs references its pair frame four times
         # (vertex universe ×2, symmetric edges ×2); the contraction is
@@ -1120,26 +1124,26 @@ def update_clusters(
         .localCheckpoint(eager=False)
     )
     sub = _clusters_from_pairs(m, max_iter, algorithm)
-    roots = sub.select(
-        F.col("doc_id").alias("__cv"), F.col("cluster_id").alias("__nl")
+    roots = sub.selectExpr(
+        "doc_id as __cv", "cluster_id as __nl"
     ).localCheckpoint(eager=False)
     # re-expansion: members of touched clusters take their root's new
     # label; contracted vertices that were never an existing label are
     # brand-new docs and label as themselves
-    expanded = lab.join(roots, lab["label"] == roots["__cv"]).select(
-        "v", F.col("__nl").alias("label")
+    expanded = lab.join(roots, lab["label"] == roots["__cv"]).selectExpr(
+        "v", "__nl as label"
     )
     # left_anti only probes existence — no distinct on the right side
     # (it would add a corpus-wide exchange+agg for nothing)
     fresh = roots.join(
-        lab.select(F.col("label").alias("__cv")), "__cv", "left_anti"
-    ).select(F.col("__cv").alias("v"), F.col("__nl").alias("label"))
+        lab.selectExpr("label as __cv"), "__cv", "left_anti"
+    ).selectExpr("__cv as v", "__nl as label")
     merged = expanded.unionByName(fresh)
-    sizes = Window.partitionBy("label")
-    renewed = merged.select(
-        F.col("v").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        F.count(F.lit(1)).over(sizes).cast("bigint").alias("cluster_size"),
+    renewed = merged.selectExpr(
+        "v as doc_id",
+        "label as cluster_id",
+        "cast(count(1) over (partition by label) as bigint)"
+        " as cluster_size",
     )
     untouched = labels.select("doc_id", "cluster_id", "cluster_size").join(
         renewed.select("doc_id"), "doc_id", "left_anti"

@@ -390,26 +390,25 @@ def portable_lsh_buckets(
     :func:`semantic_contamination_bucketed`: components floor-quantized
     to int64, sign bits from exact integer dots against the broadcast
     plane relation, bucket = the n_planes-bit code per table."""
-    comp = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(as_double(vec_col)).alias("d", "v"),
-    ).select(
-        "id", "d", F.floor(F.col("v") * quant).cast("long").alias("q")
-    )
+    # r17 construction pass 2 (guide §4, driver side): SQL-string form —
+    # identical parsed trees (posexplode/ transform/ floor/ shiftleft
+    # map 1:1; the column shift amount always needed the SQL form), so
+    # buckets replay bit-for-bit (oracle re-gated on every consumer)
+    comp = df.selectExpr(
+        f"`{id_col}` as id",
+        f"posexplode(transform(`{vec_col}`, x -> cast(x as double)))"
+        " as (d, v)",
+    ).selectExpr("id", "d", f"cast(floor(v * {quant}) as bigint) as q")
     dots = (
         comp.join(F.broadcast(planes), "d")
         .groupBy("id", "t", "p")
-        .agg(F.sum(F.col("s") * F.col("q")).alias("dp"))
+        .agg(F.expr("sum(s * q) as dp"))
     )
     return dots.groupBy("id", "t").agg(
-        F.sum(
-            F.when(
-                F.col("dp") >= 0,
-                # column shift amount needs the SQL form (the Python
-                # F.shiftleft only takes an int literal)
-                F.expr("shiftleft(cast(1 as bigint), p)"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("bucket")
+        F.expr(
+            "sum(case when dp >= 0 then shiftleft(cast(1 as bigint), p)"
+            " else cast(0 as bigint) end) as bucket"
+        )
     )
 
 
@@ -455,36 +454,39 @@ def semantic_contamination_bucketed(
     bb = portable_lsh_buckets(
         benchmark, planes, id_col=id_col, vec_col=vec_col, quant=quant
     ).select(F.col("id").alias("__bid"), "t", "bucket")
+    # r17 construction pass 2: SQL-string forms (identical trees — the
+    # XOR probe array, the transform/zip_with/aggregate dot and norm,
+    # and the CASE guard map 1:1; 0.0D parses as DOUBLE like F.lit(0.0))
     if multiprobe:
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(n_planes)
-            ],
+        flips = ", ".join(
+            f"bucket ^ cast({1 << i} as bigint)" for i in range(n_planes)
         )
-        bb = bb.select("__bid", "t", F.explode(flips).alias("bucket"))
+        bb = bb.selectExpr(
+            "__bid", "t", f"explode(array(bucket, {flips})) as bucket"
+        )
     cand = cb.join(bb, ["t", "bucket"]).select("__cid", "__bid").distinct()
 
-    v = as_double(vec_col)
-    b = benchmark.select(
-        F.col(id_col).alias("__bid"), v.alias("bv"), l2_norm(v).alias("bn")
+    vd = f"transform(`{vec_col}`, x -> cast(x as double))"
+    norm = (
+        f"sqrt(aggregate(zip_with({vd}, {vd}, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x))"
     )
-    c = corpus.select(
-        F.col(id_col).alias("__cid"), v.alias("cv"), l2_norm(v).alias("cn")
+    b = benchmark.selectExpr(
+        f"`{id_col}` as __bid", f"{vd} as bv", f"{norm} as bn"
+    )
+    c = corpus.selectExpr(
+        f"`{id_col}` as __cid", f"{vd} as cv", f"{norm} as cn"
     )
     scored = (
         cand.join(c, "__cid")
         .join(b, "__bid")
-        .select(
+        .selectExpr(
             "__cid",
             "__bid",
-            F.when(
-                F.col("cn") * F.col("bn") > 0,
-                dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("__s"),
+            "case when cn * bn > 0 then"
+            " aggregate(zip_with(cv, bv, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x) / (cn * bn)"
+            " else 0.0D end as __s",
         )
     )
     w = Window.partitionBy("__cid").orderBy(
@@ -762,14 +764,15 @@ def ann_lsh_portable(
     cb = buckets(corpus).select(F.col("id").alias("neighbor_id"), "t", "bucket")
     qb = buckets(queries).select(F.col("id").alias("query_id"), "t", "bucket")
     if multiprobe:
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(n_planes)
-            ],
+        # r17 construction pass 2: SQL-string probe array (identical
+        # tree — ^ is BitwiseXor, cast(int literal as bigint) == the
+        # F.lit(...).cast chain)
+        flips = ", ".join(
+            f"bucket ^ cast({1 << i} as bigint)" for i in range(n_planes)
         )
-        qb = qb.select("query_id", "t", F.explode(flips).alias("bucket"))
+        qb = qb.selectExpr(
+            "query_id", "t", f"explode(array(bucket, {flips})) as bucket"
+        )
     return (
         qb.join(cb, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -790,22 +793,27 @@ def _rescore_topk(
     neighbor_id)``: join the vectors back (query side broadcast), score,
     per-query top-k window with neighbor-id tiebreak. The shared tail of
     both portable ANN paths."""
-    v = as_double(vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), v.alias("qv"), l2_norm(v).alias("qn")
+    # r17 construction pass 2: SQL-string dot/norm (identical
+    # transform/zip_with/aggregate trees, 0.0D == F.lit(0.0))
+    vd = f"transform(`{vec_col}`, x -> cast(x as double))"
+    norm = (
+        f"sqrt(aggregate(zip_with({vd}, {vd}, (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x))"
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("cv"), l2_norm(v).alias("cn")
+    q = queries.selectExpr(
+        f"`{id_col}` as query_id", f"{vd} as qv", f"{norm} as qn"
+    )
+    c = corpus.selectExpr(
+        f"`{id_col}` as neighbor_id", f"{vd} as cv", f"{norm} as cn"
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-                "score"
-            ),
+            "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x) / (qn * cn) as score",
         )
     )
     w = Window.partitionBy("query_id").orderBy(
