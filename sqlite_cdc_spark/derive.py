@@ -48,43 +48,54 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in keys]
+    # r17 construction pass 2 (guide §4, driver side): every projection
+    # below renders as SQL strings parsed once in the JVM — the Column
+    # form built the rename lists, null-safe compare chains and JSON
+    # image structs node-by-node over py4j (~1.3k round-trips per build,
+    # re-paid on every bench rebuild and once per micro-batch in the
+    # streaming resync path). Identical trees (<=> is eqNullSafe, the
+    # and/or chains keep the same left-assoc seed literals), re-gated
+    # bit-exact against the oracle.
     # column-rename isolation: old and new may derive from the same source
     # (a snapshot and its mutation), which trips Spark's ambiguous-self-join
     # detection if we join on shared lineage columns
-    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
-    n = new.select([F.col(c).alias(f"__n_{c}") for c in new.columns])
+    o = old.selectExpr(*[f"`{c}` as `__o_{c}`" for c in old.columns])
+    n = new.selectExpr(*[f"`{c}` as `__n_{c}`" for c in new.columns])
     cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
 
-    old_key_null = F.lit(True)
-    new_key_null = F.lit(True)
-    for k in keys:
-        old_key_null = old_key_null & F.col(f"__o_{k}").isNull()
-        new_key_null = new_key_null & F.col(f"__n_{k}").isNull()
-    changed = F.lit(False)
-    for c in compare_cols:
-        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-
+    old_key_null = " and ".join(
+        ["true"] + [f"`__o_{k}` is null" for k in keys]
+    )
+    new_key_null = " and ".join(
+        ["true"] + [f"`__n_{k}` is null" for k in keys]
+    )
+    changed = " or ".join(
+        ["false"]
+        + [f"not (`__o_{c}` <=> `__n_{c}`)" for c in compare_cols]
+    )
     op = (
-        F.when(old_key_null, F.lit(OP_INSERT))
-        .when(new_key_null, F.lit(OP_DELETE))
-        .when(changed, F.lit(OP_UPDATE))
+        f"case when {old_key_null} then '{OP_INSERT}'"
+        f" when {new_key_null} then '{OP_DELETE}'"
+        f" when {changed} then '{OP_UPDATE}' end"
     )
-    before_img = F.to_json(
-        F.struct(*[F.col(f"__o_{c}").alias(c) for c in old.columns])
+    before_img = "to_json(struct({}))".format(
+        ", ".join(f"`__o_{c}` as `{c}`" for c in old.columns)
     )
-    after_img = F.to_json(
-        F.struct(*[F.col(f"__n_{c}").alias(c) for c in new.columns])
+    after_img = "to_json(struct({}))".format(
+        ", ".join(f"`__n_{c}` as `{c}`" for c in new.columns)
     )
     key_cols = [
-        F.coalesce(F.col(f"__n_{k}"), F.col(f"__o_{k}")).alias(k) for k in keys
+        f"coalesce(`__n_{k}`, `__o_{k}`) as `{k}`" for k in keys
     ]
     return (
-        joined.select(
+        joined.selectExpr(
             *key_cols,
-            op.alias("operation"),
-            F.when(op != OP_INSERT, before_img).alias("before"),
-            F.when(op != OP_DELETE, after_img).alias("after"),
+            f"{op} as operation",
+            f"case when not ({op} = '{OP_INSERT}') then {before_img} end"
+            " as before",
+            f"case when not ({op} = '{OP_DELETE}') then {after_img} end"
+            " as after",
         )
         .filter(F.col("operation").isNotNull())
     )
@@ -1270,22 +1281,26 @@ def distributed_row_number(
     ranked = d.withColumn("__lr", F.row_number().over(w_local)).localCheckpoint(
         eager=False
     )
-    counts = ranked.groupBy("__pid", *pc).agg(F.count(F.lit(1)).alias("__c"))
-    offsets = counts.select(
+    # r17 construction pass 2 (guide §4, driver side): the offsets
+    # projection renders as SQL strings (identical window — "rows
+    # between unbounded preceding and 1 preceding" == rowsBetween(
+    # unboundedPreceding, -1)); re-gated bit-exact
+    counts = ranked.groupBy("__pid", *pc).agg(F.expr("count(1) as __c"))
+    part_sql = (
+        "partition by " + ", ".join(f"`{c}`" for c in part_cols) + " "
+        if part_cols
+        else ""
+    )
+    offsets = counts.selectExpr(
         "__pid",
-        *pc,
-        F.coalesce(
-            F.sum("__c").over(
-                Window.partitionBy(*pc)
-                .orderBy(F.col("__pid").asc())
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__off"),
+        *[f"`{c}`" for c in part_cols],
+        f"coalesce(sum(__c) over ({part_sql}order by __pid asc"
+        " rows between unbounded preceding and 1 preceding), 0)"
+        " as __off",
     )
     return (
         ranked.join(F.broadcast(offsets), ["__pid", *part_cols])
-        .withColumn(out_col, (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn(out_col, F.expr("cast(__off + __lr as bigint)"))
         .drop("__pid", "__lr", "__off")
     )
 
@@ -1329,23 +1344,20 @@ def distributed_prefix_sum(
     summed = d.withColumn(
         "__lc", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0))
     ).localCheckpoint()
+    # r17 construction pass 2: SQL-string offsets (see
+    # :func:`distributed_row_number`), re-gated bit-exact
     totals = summed.groupBy("__pid").agg(
-        F.sum(weight_col).cast("long").alias("__t")
+        F.expr(f"cast(sum(`{weight_col}`) as bigint) as __t")
     )
-    offsets = totals.select(
+    offsets = totals.selectExpr(
         "__pid",
-        F.coalesce(
-            F.sum("__t").over(
-                Window.orderBy(F.col("__pid").asc()).rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("__off"),
+        "coalesce(sum(__t) over (order by __pid asc"
+        " rows between unbounded preceding and 1 preceding), 0)"
+        " as __off",
     )
     return (
         summed.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__off") + F.col("__lc")).cast("long"))
+        .withColumn(out_col, F.expr("cast(__off + __lc as bigint)"))
         .drop("__pid", "__lc", "__off")
     )
 
@@ -1518,24 +1530,24 @@ def bloom_build(
     built with one ``bit_or`` aggregation (map-side combinable).
     Output: ``(word int, bits long)``.
     """
-    from .pipeline.dedup import MINHASH_P, _hash_family, portable_hash60
+    from .pipeline.dedup import MINHASH_P, _hash_family
 
+    # r17 construction pass 2 (guide §4, driver side): SQL-string form —
+    # identical trees (the pmod/conv/md5 chain matches portable_hash60;
+    # int literals parse like F.lit), re-gated bit-exact
     fam = _hash_family(k_hashes, seed=0xB100)
-    base = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
-    rows = keys.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(base * a + b, F.lit(MINHASH_P)) % m_bits
-                    for a, b in fam
-                ]
-            )
-        ).alias("pos")
+    base = (
+        f"pmod(cast(conv(substring(md5(cast(`{key_col}` as string)),"
+        f" 1, 15), 16, 10) as bigint), {MINHASH_P})"
     )
+    pos = ", ".join(
+        f"pmod({base} * {a} + {b}, {MINHASH_P}) % {m_bits}" for a, b in fam
+    )
+    rows = keys.selectExpr(f"explode(array({pos})) as pos")
     return (
-        rows.select(
-            (F.col("pos") / 63).cast("int").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias("__bit"),
+        rows.selectExpr(
+            "cast(pos / 63 as int) as word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)) as __bit",
         )
         .groupBy("word")
         .agg(F.expr("bit_or(__bit)").alias("bits"))
@@ -1568,10 +1580,18 @@ def bloom_probe(
     (round-6 advice)."""
     from .pipeline.dedup import MINHASH_P, _hash_family, portable_hash60
 
+    # r17 construction pass 2: the whole probe predicate renders as ONE
+    # parsed SQL string (the Column form was ~450 py4j round-trips per
+    # probe build — literal arrays, four hash chains, the AND fold);
+    # identical tree, re-gated bit-exact
     fam = _hash_family(k_hashes, seed=0xB100)
-    base = F.pmod(portable_hash60(F.col(key_col).cast("string")), F.lit(MINHASH_P))
-    pos_exprs = [
-        F.pmod(base * a + b, F.lit(MINHASH_P)) % m_bits for a, b in fam
+    base_sql = (
+        f"pmod(cast(conv(substring(md5(cast(`{key_col}` as string)),"
+        f" 1, 15), 16, 10) as bigint), {MINHASH_P})"
+    )
+    pos_sqls = [
+        f"pmod({base_sql} * {a} + {b}, {MINHASH_P}) % {m_bits}"
+        for a, b in fam
     ]
     n_words = (m_bits + 62) // 63
     if m_bits <= (1 << 16):
@@ -1579,27 +1599,24 @@ def bloom_probe(
         for r in bloom.collect():  # bounded: <= n_words rows (~1 KB)
             if 0 <= r["word"] < n_words:
                 words[r["word"]] = r["bits"] or 0
-        # r17: literal arrays rendered as one parsed SQL string each —
-        # the Column form was ~260 py4j round-trips per probe build
-        # (identical tree; see build_lsh_index)
-        bitmap = F.expr(
+        bitmap = (
             "array(" + ", ".join(f"cast({w} as bigint)" for w in words) + ")"
         )
         # F.shiftleft needs a literal shift amount, so single bits come
         # from a 63-entry literal lookup instead (element_at is 1-based)
-        bitvals = F.expr(
+        bitvals = (
             "array("
             + ", ".join(f"cast({1 << i} as bigint)" for i in range(63))
             + ")"
         )
-        cond = F.lit(True)
-        for p in pos_exprs:
-            word_ix = (p / 63).cast("int") + F.lit(1)
-            bit = F.element_at(bitvals, (p % 63).cast("int") + F.lit(1))
-            cond = cond & (
-                F.element_at(bitmap, word_ix).bitwiseAND(bit) != 0
+        conds = ["true"]
+        for p in pos_sqls:
+            word_ix = f"cast(({p}) / 63 as int) + 1"
+            bit = f"element_at({bitvals}, cast(({p}) % 63 as int) + 1)"
+            conds.append(
+                f"(element_at({bitmap}, {word_ix}) & {bit}) != 0"
             )
-        return facts.filter(cond)
+        return facts.where(" and ".join(conds))
     keys = facts.select(F.col(key_col).alias("__k")).distinct()
     kbase = F.pmod(portable_hash60(F.col("__k").cast("string")), F.lit(MINHASH_P))
     pos = keys.select(

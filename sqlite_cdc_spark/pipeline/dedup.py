@@ -915,7 +915,7 @@ def _cc_local(e: DataFrame) -> DataFrame:
         )
 
     return (
-        e.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        e.selectExpr("cast(src as bigint) as src", "cast(dst as bigint) as dst")
         .coalesce(1)
         .mapInPandas(uf, "v long, label long")
     )

@@ -122,38 +122,34 @@ def prefix_sum(
 
     # exact long division (`div`), not float division-then-cast: double
     # rounding is only monotone below 2^53 while order_col is spec'd int64
+    # r17 construction pass 2 (guide §4, driver side): the window/agg
+    # projections render as SQL strings parsed once in the JVM —
+    # identical trees ("rows between unbounded preceding and 1
+    # preceding" == rowsBetween(unboundedPreceding, -1)), re-gated
     b = F.expr(f"cast(`{order_col}` as bigint) div {int(bucket_size)}").alias("__b")
     with_bucket = df.select("*", b)
-    w = W.partitionBy("__b").orderBy(F.col(order_col).asc())
-    local = with_bucket.withColumn(
-        "__local",
-        F.coalesce(
-            F.sum(F.col(value_col)).over(
-                w.rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
+    local = with_bucket.selectExpr(
+        "*",
+        f"coalesce(sum(`{value_col}`) over (partition by __b"
+        f" order by `{order_col}` asc"
+        " rows between unbounded preceding and 1 preceding), 0)"
+        " as __local",
     )
     totals = (
         with_bucket.groupBy("__b")
-        .agg(F.sum(F.col(value_col)).alias("__t"))
-        .select(
+        .agg(F.expr(f"sum(`{value_col}`) as __t"))
+        .selectExpr(
             "__b",
-            F.coalesce(
-                F.sum("__t").over(
-                    W.orderBy(F.col("__b").asc()).rowsBetween(
-                        W.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("__base"),
+            "coalesce(sum(__t) over (order by __b asc"
+            " rows between unbounded preceding and 1 preceding), 0)"
+            " as __base",
         )
     )
     # totals has ONE row per bucket — the only single-partition window in
     # the plan runs over that tiny relation, then broadcasts back
     return (
         local.join(F.broadcast(totals), "__b")
-        .withColumn(out_col, (F.col("__base") + F.col("__local")).cast("bigint"))
+        .withColumn(out_col, F.expr("cast(__base + __local as bigint)"))
         .drop("__b", "__local", "__base")
     )
 

@@ -1422,28 +1422,29 @@ def ann_topk_pq(
     """
     sub = dim // m
 
+    # r17 construction pass 2 (guide §4, driver side): SQL-string forms
+    # — identical trees (posexplode/transform/floor/dense_rank/
+    # row_number map 1:1, default asc null ordering matches), re-gated
     def comps(df: DataFrame, out_id: str) -> DataFrame:
         """(id, s, d, q): floor-quantized component per subspace."""
-        return (
-            df.select(
-                F.col(id_col).alias(out_id),
-                F.posexplode(as_double(vec_col)).alias("__d", "__v"),
-            )
-            .select(
-                out_id,
-                (F.col("__d") / sub).cast("int").alias("s"),
-                (F.col("__d") % sub).alias("d"),
-                F.floor(F.col("__v") * quant).cast("long").alias("q"),
-            )
+        return df.selectExpr(
+            f"`{id_col}` as {out_id}",
+            f"posexplode(transform(`{vec_col}`, x -> cast(x as double)))"
+            " as (__d, __v)",
+        ).selectExpr(
+            out_id,
+            f"cast(__d / {sub} as int) as s",
+            f"__d % {sub} as d",
+            f"cast(floor(__v * {quant}) as bigint) as q",
         )
 
-    seeds = (
-        comps(corpus.filter(F.col(id_col).isin(list(seed_ids))), "sid")
-        .withColumn(
-            "code",
-            F.dense_rank().over(Window.partitionBy("s").orderBy("sid")) - 1,
-        )
-        .select("s", "d", "code", F.col("q").alias("cq"))
+    seeds = comps(
+        corpus.filter(F.col(id_col).isin(list(seed_ids))), "sid"
+    ).selectExpr(
+        "s",
+        "d",
+        "dense_rank() over (partition by s order by sid) - 1 as code",
+        "q as cq",
     )
 
     def encode(df: DataFrame, out_id: str) -> DataFrame:
@@ -1451,14 +1452,17 @@ def ann_topk_pq(
             comps(df, out_id)
             .join(F.broadcast(seeds), ["s", "d"])
             .groupBy(out_id, "s", "code")
-            .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("dist"))
-        )
-        w = Window.partitionBy(out_id, "s").orderBy(
-            F.col("dist").asc(), F.col("code").asc()
+            .agg(F.expr("sum((q - cq) * (q - cq)) as dist"))
         )
         return (
-            dists.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
+            dists.selectExpr(
+                out_id,
+                "s",
+                "code",
+                f"row_number() over (partition by {out_id}, s"
+                " order by dist asc, code asc) as __r",
+            )
+            .where("__r = 1")
             .select(out_id, "s", "code")
         )
 
@@ -1469,21 +1473,23 @@ def ann_topk_pq(
         comps(queries, "query_id")
         .join(F.broadcast(seeds), ["s", "d"])
         .groupBy("query_id", "s", "code")
-        .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("td"))
+        .agg(F.expr("sum((q - cq) * (q - cq)) as td"))
     )
     scored = (
         codes.join(F.broadcast(qtable), ["s", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("td").alias("approx_dist"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+        .agg(F.expr("sum(td) as approx_dist"))
+        .where("query_id != neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+        scored.selectExpr(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            "row_number() over (partition by query_id"
+            " order by approx_dist asc, neighbor_id asc) as rnk",
+        )
+        .where(f"rnk <= {k}")
     )
 
 
