@@ -557,8 +557,16 @@ def _drift_normalization(
     here = os.path.dirname(os.path.abspath(__file__))
     prev, prev_canaries, prev_round, prev_runs = None, {}, None, None
     _queries_from_archived_runs.last_runs = None  # clear the side-channel
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
+    candidates = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        # main-board artifacts only: side legs like BENCH_r17_c8.json
+        # (the driver's low-core run) carry canaries from a different
+        # core count and must not become the normalization baseline
+        for m in [re.search(r"BENCH_r(\d+)\.json$", p)]
+        if m
+    ]
+    for _, path in sorted(candidates, reverse=True):
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -1987,22 +1987,26 @@ def label_propagation(
     label. Fixed ``iters`` (asynchronous/converged LPA is
     order-dependent by construction and therefore unreplayable).
 
-    Scale shape (r17, guide §2.4): per round one equi-join of the
-    label table onto edges (keyed by ``src``) + one (dst, label) count
-    with map-side combine + one per-dst argmax window over
-    label-cardinality-bounded rows. The keep-old rule ("a node with no
-    in-edges keeps its label") rides the SAME argmax: each node's
-    current label enters the window as a zero-count self-vote row
-    (union, no shuffle) — any real in-neighbor count ≥ 1 beats it, and
-    a no-in-edge node has only its self-vote, so the result is
-    label-identical to the previous left-join + coalesce form, which
-    paid TWO extra per-round joins (nodes ⨝ best ⨝ old labels). The
-    edge relation is localCheckpoint'd once, and the label table is
-    checkpointed PER ROUND: each round references the prior labels
-    twice (the propagation join AND the self-vote union), so an
+    Scale shape (r17/r18, guide §2.3–2.4): per round one equi-join of
+    the label table onto edges (keyed by ``src``) + one (dst, label)
+    count with map-side combine + one per-node argmax AGGREGATE
+    (``min(struct(-count, label))`` — max count, ties to smallest
+    label; partial-aggregates map-side, no sort — replacing the r16/r17
+    row_number window over the same rows). The keep-old rule ("a node
+    with no in-edges keeps its label") rides the SAME argmax: each
+    node's current label enters the aggregate as a zero-count self-vote
+    row (union, no shuffle) — any real in-neighbor count ≥ 1 beats it,
+    and a no-in-edge node has only its self-vote, so the result is
+    label-identical to the r16 left-join + coalesce form, which paid
+    TWO extra per-round joins (nodes ⨝ best ⨝ old labels). The edge
+    relation is localCheckpoint'd once, and INTERMEDIATE rounds'
+    label tables are checkpointed: each round references the prior
+    labels twice (the propagation join AND the self-vote union), so an
     uncheckpointed chain re-executes prior rounds exponentially
     (measured: 42 joins in the 3-round plan vs the expected ~9 — the
-    repo's iterative-consumer rule). Checkpoint cost ∝ nodes per round.
+    repo's iterative-consumer rule); the FINAL round has exactly one
+    consumer (the return) and pipelines into the caller's plan
+    uncheckpointed (r18). Checkpoint cost ∝ nodes per round.
 
     Output: ``(node_id, label bigint)`` — one row per node.
     """
@@ -2017,11 +2021,15 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = nodes.withColumn("label", F.col("node_id").cast("long"))
-    # r17 construction pass 2: per-round projections as SQL strings (the
-    # window spec inlines to the same row_number over (__n desc, label
-    # asc) — default null ordering matches desc()/asc()); identical
-    # trees, re-gated bit-exact
-    for _ in range(iters):
+    # r18: the per-round argmax is a two-level AGGREGATE, not a window —
+    # min(struct(-__n, label)) is lexicographically (max count, then min
+    # label), exactly the row_number-over-(__n desc, label asc) pick of
+    # the r16/r17 forms, but it partial-aggregates map-side and never
+    # sorts the (node, label, count) rows (guide §2.3 "aggregate before
+    # you shuffle"; integer-only, so bit-exact — re-gated). ``-__n`` is
+    # negated rather than ``label`` so arbitrary bigint labels need no
+    # overflow care (counts are ≥ 0).
+    for it in range(iters):
         prop = (
             e.join(labels, e["src"] == labels["node_id"])
             .groupBy(F.col("dst").alias("node_id"), "label")
@@ -2033,16 +2041,16 @@ def label_propagation(
                     "node_id", "label", "cast(0 as bigint) as __n"
                 )
             )
-            .selectExpr(
-                "node_id",
-                "label",
-                "row_number() over (partition by node_id"
-                " order by __n desc, label asc) as __rn",
-            )
-            .where("__rn = 1")
-            .selectExpr("node_id", "cast(label as bigint) as label")
-            .localCheckpoint()
+            .groupBy("node_id")
+            .agg(F.expr("min(named_struct('nn', -__n, 'l', label)) as __m"))
+            .selectExpr("node_id", "cast(__m.l as bigint) as label")
         )
+        # the final round's labels have exactly ONE consumer (the
+        # return), so only INTERMEDIATE rounds checkpoint — the last
+        # round pipelines straight into the caller's plan (r18; one
+        # fewer eager job + materialization per call, same results)
+        if it < iters - 1:
+            labels = labels.localCheckpoint()
     return labels
 
 
@@ -2107,11 +2115,16 @@ def kcore_peel(
     for r in range(1, rounds + 1):
         deg = cur.groupBy("src").agg(F.expr("count(1) as __d"))
         keep = deg.where(f"__d >= {k}").select("src")
-        cur = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.selectExpr("src as dst"), "dst", "left_semi")
-            .localCheckpoint()
+        cur = cur.join(keep, "src", "left_semi").join(
+            keep.selectExpr("src as dst"), "dst", "left_semi"
         )
+        # intermediate rounds are double-referenced (their stats leg AND
+        # the next round) and stay eagerly checkpointed; the FINAL
+        # round's subgraph feeds only its own stats leg, so it pipelines
+        # into the output job uncheckpointed (r18 — one fewer eager job
+        # + materialization per call, same results)
+        if r < rounds:
+            cur = cur.localCheckpoint()
         out = out.unionByName(stats(cur, r))
     return out
 
@@ -2132,10 +2145,13 @@ def bellman_ford(
     (≤ |nodes| rows, broadcast-sized for any bounded node universe)
     equi-joins edges on ``src``, candidate ``dist + w`` values union
     with the standing distances, and a keyed min contracts back to one
-    row per node. Distances are localCheckpoint'd PER ROUND — the
-    relation is double-referenced (union leg + join leg), so an
-    uncheckpointed chain re-executes prior rounds exponentially (the
-    LPA/de6ad9c rule; join budget pinned in tests/test_plans.py).
+    row per node. INTERMEDIATE rounds' distances are localCheckpoint'd —
+    each is double-referenced (the next round's union leg + join leg),
+    so an uncheckpointed chain re-executes prior rounds exponentially
+    (the LPA/de6ad9c rule; join budget pinned in tests/test_plans.py);
+    the FINAL round has exactly one consumer (the return) and pipelines
+    into the caller's plan uncheckpointed (r18 — one fewer eager job +
+    materialization per call, same results).
 
     Output: ``(node, dist)`` — nodes never reached within ``rounds``
     relaxations are absent (callers left-join their node universe to
@@ -2152,7 +2168,7 @@ def bellman_ford(
     )
     # r17 construction pass 2: per-round relax/contract as SQL strings —
     # identical trees, re-gated bit-exact
-    for _ in range(rounds):
+    for rnd in range(rounds):
         relax = dist.join(e, dist["node"] == e["src"]).selectExpr(
             "dst as node", "cast(dist + w as bigint) as dist"
         )
@@ -2160,8 +2176,9 @@ def bellman_ford(
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.expr("cast(min(dist) as bigint) as dist"))
-            .localCheckpoint()
         )
+        if rnd < rounds - 1:
+            dist = dist.localCheckpoint()
     return dist
 
 

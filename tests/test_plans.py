@@ -772,8 +772,9 @@ _JOIN_NODES = (
 )
 
 _ITERATIVE_JOIN_BUDGETS = {
-    # per-round labels checkpointed: final plan is a scan of the last
-    # checkpoint + one keyed agg — effectively 0 joins survive
+    # INTERMEDIATE rounds' labels checkpointed; r18: the final round
+    # pipelines uncheckpointed (single consumer), so its one propagation
+    # join survives in the plan
     "b30_label_propagation": 2,
     # 3 rounds × (ranks⋈outdeg + e⋈shares + nodes⋈inflow) = 9 joins
     "b30_pagerank": 18,
@@ -784,15 +785,17 @@ _ITERATIVE_JOIN_BUDGETS = {
     "b30_bfs_hops": 4,
     # 2 power rounds + the final auth1 re-join = 3 joins
     "b30_hits": 6,
-    # r13: per-round edges checkpointed (stats branch + next round both
-    # consume them): final plan is unions of keyed aggs over the round
-    # checkpoints — effectively 0 joins survive
-    "b30_kcore": 2,
-    # r13: per-round distances checkpointed (union leg + join leg both
-    # consume them): only the final nation left-join survives = 1 join
-    # (r14: tightened from 4 — the 3 joins of slack could have masked a
-    # dropped-checkpoint regression, the exact class this pin exists for)
-    "b30_bellman_ford": 2,
+    # r13: INTERMEDIATE rounds' edges checkpointed (stats branch + next
+    # round both consume them); r18: the final round is single-consumer
+    # and pipelines uncheckpointed, so its 2 survivor semi-joins survive
+    # in the plan = 2 joins (a dropped INTERMEDIATE checkpoint still
+    # multiplies the count severalfold past this)
+    "b30_kcore": 4,
+    # r13: INTERMEDIATE rounds' distances checkpointed (union leg + join
+    # leg both consume them); r18: the final round pipelines
+    # uncheckpointed (single consumer), so its relax join + the final
+    # nation left-join survive = 2 joins
+    "b30_bellman_ford": 4,
 }
 
 
