@@ -242,6 +242,15 @@ DEEP_WARMUP = {
     "b1_snapshot_diff": 3,
     "b20_cosine_topk": 3,
     "b28_packing": 3,
+    # r18: same pattern, caught by the interleaved A/B that cleared the
+    # r17 "untouched >1.3x" flags — raw traces b30_bpe_encode
+    # [4.87, 1.35, 1.31, 1.10, 1.01, ...] and b30_assoc_rules
+    # [3.83, 1.64, 1.43, 1.17, 0.98, ...]: a 3-sample JIT tail that a
+    # 1-warm-up 3-run median lands inside whenever the board starts
+    # them cold (both lines flapped across r16/r17 driver boards on
+    # byte-identical code).
+    "b30_bpe_encode": 3,
+    "b30_assoc_rules": 3,
 }
 
 #: Registry drift canaries (VERDICT r8 item 2): plan-frozen zero/low-
@@ -685,6 +694,21 @@ def _drift_normalization(
         }
         out["canary_class_over_tolerance"] = over
         out["canary_basis_conflict"] = bool(over)
+        # r18 (VERDICT r17 item 5): when classes disagree >= 0.40 the
+        # artifact ADJUDICATES instead of just flagging — the cpu canary
+        # is authoritative (measured same-code between-session spread
+        # 1.03x vs shuffle 1.35x / fixed 2.81x; see CANARY_TOLERANCE).
+        # Non-basis classes stay reported above but do not normalize.
+        if max(others.values()) >= 0.40:
+            out["canary_basis_adjudication"] = {
+                "authoritative": basis,
+                "rule": (
+                    "class disagreement >= 0.40: the drift basis"
+                    " (cpu canary when present) is authoritative;"
+                    " non-basis class medians are reported but do"
+                    " not normalize"
+                ),
+            }
     # per-line regression ledger (VERDICT r14 item 2): counts go on the
     # compact stdout line; the full ratio maps ride BENCH_RUNS.json via
     # the private _vs_prev key (popped by main before printing).

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .model import OP_DELETE, OP_INSERT, OP_UPDATE
+from .sqlident import bq
 
 
 def _fdiv_sql(a: str, b: str) -> str:
@@ -59,20 +60,20 @@ def snapshot_diff(
     # column-rename isolation: old and new may derive from the same source
     # (a snapshot and its mutation), which trips Spark's ambiguous-self-join
     # detection if we join on shared lineage columns
-    o = old.selectExpr(*[f"`{c}` as `__o_{c}`" for c in old.columns])
-    n = new.selectExpr(*[f"`{c}` as `__n_{c}`" for c in new.columns])
+    o = old.selectExpr(*[f"{bq(c)} as {bq('__o_' + c)}" for c in old.columns])
+    n = new.selectExpr(*[f"{bq(c)} as {bq('__n_' + c)}" for c in new.columns])
     cond = [F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
 
     old_key_null = " and ".join(
-        ["true"] + [f"`__o_{k}` is null" for k in keys]
+        ["true"] + [f"{bq('__o_' + k)} is null" for k in keys]
     )
     new_key_null = " and ".join(
-        ["true"] + [f"`__n_{k}` is null" for k in keys]
+        ["true"] + [f"{bq('__n_' + k)} is null" for k in keys]
     )
     changed = " or ".join(
         ["false"]
-        + [f"not (`__o_{c}` <=> `__n_{c}`)" for c in compare_cols]
+        + [f"not ({bq('__o_' + c)} <=> {bq('__n_' + c)})" for c in compare_cols]
     )
     op = (
         f"case when {old_key_null} then '{OP_INSERT}'"
@@ -80,13 +81,13 @@ def snapshot_diff(
         f" when {changed} then '{OP_UPDATE}' end"
     )
     before_img = "to_json(struct({}))".format(
-        ", ".join(f"`__o_{c}` as `{c}`" for c in old.columns)
+        ", ".join(f"{bq('__o_' + c)} as {bq(c)}" for c in old.columns)
     )
     after_img = "to_json(struct({}))".format(
-        ", ".join(f"`__n_{c}` as `{c}`" for c in new.columns)
+        ", ".join(f"{bq('__n_' + c)} as {bq(c)}" for c in new.columns)
     )
     key_cols = [
-        f"coalesce(`__n_{k}`, `__o_{k}`) as `{k}`" for k in keys
+        f"coalesce({bq('__n_' + k)}, {bq('__o_' + k)}) as {bq(k)}" for k in keys
     ]
     return (
         joined.selectExpr(
@@ -1287,13 +1288,13 @@ def distributed_row_number(
     # unboundedPreceding, -1)); re-gated bit-exact
     counts = ranked.groupBy("__pid", *pc).agg(F.expr("count(1) as __c"))
     part_sql = (
-        "partition by " + ", ".join(f"`{c}`" for c in part_cols) + " "
+        "partition by " + ", ".join(bq(c) for c in part_cols) + " "
         if part_cols
         else ""
     )
     offsets = counts.selectExpr(
         "__pid",
-        *[f"`{c}`" for c in part_cols],
+        *[bq(c) for c in part_cols],
         f"coalesce(sum(__c) over ({part_sql}order by __pid asc"
         " rows between unbounded preceding and 1 preceding), 0)"
         " as __off",
@@ -1347,7 +1348,7 @@ def distributed_prefix_sum(
     # r17 construction pass 2: SQL-string offsets (see
     # :func:`distributed_row_number`), re-gated bit-exact
     totals = summed.groupBy("__pid").agg(
-        F.expr(f"cast(sum(`{weight_col}`) as bigint) as __t")
+        F.expr(f"cast(sum({bq(weight_col)}) as bigint) as __t")
     )
     offsets = totals.selectExpr(
         "__pid",
@@ -1537,7 +1538,7 @@ def bloom_build(
     # int literals parse like F.lit), re-gated bit-exact
     fam = _hash_family(k_hashes, seed=0xB100)
     base = (
-        f"pmod(cast(conv(substring(md5(cast(`{key_col}` as string)),"
+        f"pmod(cast(conv(substring(md5(cast({bq(key_col)} as string)),"
         f" 1, 15), 16, 10) as bigint), {MINHASH_P})"
     )
     pos = ", ".join(
@@ -1586,7 +1587,7 @@ def bloom_probe(
     # identical tree, re-gated bit-exact
     fam = _hash_family(k_hashes, seed=0xB100)
     base_sql = (
-        f"pmod(cast(conv(substring(md5(cast(`{key_col}` as string)),"
+        f"pmod(cast(conv(substring(md5(cast({bq(key_col)} as string)),"
         f" 1, 15), 16, 10) as bigint), {MINHASH_P})"
     )
     pos_sqls = [

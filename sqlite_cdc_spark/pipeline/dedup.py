@@ -23,6 +23,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlident import bq
+
 # --- exact dedup (B18) -------------------------------------------------------
 
 
@@ -125,10 +127,10 @@ def shingle_rows(
     # consumer build (every minhash/LSH line pays this on every bench
     # rebuild). Identical parsed trees (lead(tok, i) over the same spec,
     # concat_ws, is-not-null map 1:1), bit-exact under the oracle gate.
-    norm = f"trim(regexp_replace(lower(`{text_col}`), '[^a-z0-9]+', ' '))"
+    norm = f"trim(regexp_replace(lower({bq(text_col)}), '[^a-z0-9]+', ' '))"
     sep = " " if unit == "word" else ""
     toks = df.selectExpr(
-        f"`{id_col}` as doc",
+        f"{bq(id_col)} as doc",
         f"posexplode(split({norm}, '{sep}')) as (pos, tok)",
     )
     over = "over (partition by doc order by pos)"
@@ -969,7 +971,7 @@ def dup_clusters(
     # recomputes once per derived relation (measured: b19_dup_clusters
     # carried ~2.5s of redundant minhash recompute at sf0.1).
     e = pairs.selectExpr(
-        f"cast(`{id_a}` as bigint) as src", f"cast(`{id_b}` as bigint) as dst"
+        f"cast({bq(id_a)} as bigint) as src", f"cast({bq(id_b)} as bigint) as dst"
     ).localCheckpoint(eager=False)
     return _clusters_from_pairs(e, max_iter, algorithm, propagate_rounds)
 
@@ -1099,7 +1101,7 @@ def update_clusters(
     # pre-contraction design that read the probe twice; removing it
     # drops one materialization round-trip of |batch| rows).
     e = new_pairs.selectExpr(
-        f"cast(`{id_a}` as bigint) as src", f"cast(`{id_b}` as bigint) as dst"
+        f"cast({bq(id_a)} as bigint) as src", f"cast({bq(id_b)} as bigint) as dst"
     )
     # CLUSTER CONTRACTION: map each batch endpoint through its existing
     # label (cluster_id = the component-min member, itself a vertex), so

@@ -23,6 +23,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlident import bq
+
 #: Knuth's multiplicative constant (2^32 / phi)
 KNUTH = 2654435761
 _M31 = 1 << 31
@@ -126,18 +128,18 @@ def prefix_sum(
     # projections render as SQL strings parsed once in the JVM —
     # identical trees ("rows between unbounded preceding and 1
     # preceding" == rowsBetween(unboundedPreceding, -1)), re-gated
-    b = F.expr(f"cast(`{order_col}` as bigint) div {int(bucket_size)}").alias("__b")
+    b = F.expr(f"cast({bq(order_col)} as bigint) div {int(bucket_size)}").alias("__b")
     with_bucket = df.select("*", b)
     local = with_bucket.selectExpr(
         "*",
-        f"coalesce(sum(`{value_col}`) over (partition by __b"
-        f" order by `{order_col}` asc"
+        f"coalesce(sum({bq(value_col)}) over (partition by __b"
+        f" order by {bq(order_col)} asc"
         " rows between unbounded preceding and 1 preceding), 0)"
         " as __local",
     )
     totals = (
         with_bucket.groupBy("__b")
-        .agg(F.expr(f"sum(`{value_col}`) as __t"))
+        .agg(F.expr(f"sum({bq(value_col)}) as __t"))
         .selectExpr(
             "__b",
             "coalesce(sum(__t) over (order by __b asc"

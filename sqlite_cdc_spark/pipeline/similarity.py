@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sqlident import bq
+
 
 def as_double(vec: Column | str) -> Column:
     c = F.col(vec) if isinstance(vec, str) else vec
@@ -26,15 +28,19 @@ def _sql_lit(v) -> str | None:
     """Render an id value as a SQL literal for the string-first greedy
     loops (r17 construction pass 2), or ``None`` when the type has no
     safe rendering — callers then fall back to the ``F.lit`` Column
-    path. Ints parse as INT/BIGINT exactly like ``F.lit``; strings are
-    single-quote-escaped. bool is excluded (it is an int subclass but
-    ``F.lit(True)`` is BooleanType, not '1')."""
+    path. Ints parse as INT/BIGINT exactly like ``F.lit``. bool is
+    excluded (it is an int subclass but ``F.lit(True)`` is BooleanType,
+    not '1'). Strings containing a quote or backslash are excluded too
+    (r17 ADVICE): backslash escaping is only valid while
+    ``spark.sql.parser.escapedStringLiterals`` stays false, and
+    quote-doubling cannot express a backslash portably across both
+    parser modes — the Column fallback is mode-independent."""
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
         return str(v)
-    if isinstance(v, str):
-        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, str) and "'" not in v and "\\" not in v:
+        return "'" + v + "'"
     return None
 
 
@@ -395,8 +401,8 @@ def portable_lsh_buckets(
     # map 1:1; the column shift amount always needed the SQL form), so
     # buckets replay bit-for-bit (oracle re-gated on every consumer)
     comp = df.selectExpr(
-        f"`{id_col}` as id",
-        f"posexplode(transform(`{vec_col}`, x -> cast(x as double)))"
+        f"{bq(id_col)} as id",
+        f"posexplode(transform({bq(vec_col)}, x -> cast(x as double)))"
         " as (d, v)",
     ).selectExpr("id", "d", f"cast(floor(v * {quant}) as bigint) as q")
     dots = (
@@ -466,16 +472,16 @@ def semantic_contamination_bucketed(
         )
     cand = cb.join(bb, ["t", "bucket"]).select("__cid", "__bid").distinct()
 
-    vd = f"transform(`{vec_col}`, x -> cast(x as double))"
+    vd = f"transform({bq(vec_col)}, x -> cast(x as double))"
     norm = (
         f"sqrt(aggregate(zip_with({vd}, {vd}, (x, y) -> x * y),"
         " 0.0D, (acc, x) -> acc + x))"
     )
     b = benchmark.selectExpr(
-        f"`{id_col}` as __bid", f"{vd} as bv", f"{norm} as bn"
+        f"{bq(id_col)} as __bid", f"{vd} as bv", f"{norm} as bn"
     )
     c = corpus.selectExpr(
-        f"`{id_col}` as __cid", f"{vd} as cv", f"{norm} as cn"
+        f"{bq(id_col)} as __cid", f"{vd} as cv", f"{norm} as cn"
     )
     scored = (
         cand.join(c, "__cid")
@@ -795,16 +801,16 @@ def _rescore_topk(
     both portable ANN paths."""
     # r17 construction pass 2: SQL-string dot/norm (identical
     # transform/zip_with/aggregate trees, 0.0D == F.lit(0.0))
-    vd = f"transform(`{vec_col}`, x -> cast(x as double))"
+    vd = f"transform({bq(vec_col)}, x -> cast(x as double))"
     norm = (
         f"sqrt(aggregate(zip_with({vd}, {vd}, (x, y) -> x * y),"
         " 0.0D, (acc, x) -> acc + x))"
     )
     q = queries.selectExpr(
-        f"`{id_col}` as query_id", f"{vd} as qv", f"{norm} as qn"
+        f"{bq(id_col)} as query_id", f"{vd} as qv", f"{norm} as qn"
     )
     c = corpus.selectExpr(
-        f"`{id_col}` as neighbor_id", f"{vd} as cv", f"{norm} as cn"
+        f"{bq(id_col)} as neighbor_id", f"{vd} as cv", f"{norm} as cn"
     )
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -1428,8 +1434,8 @@ def ann_topk_pq(
     def comps(df: DataFrame, out_id: str) -> DataFrame:
         """(id, s, d, q): floor-quantized component per subspace."""
         return df.selectExpr(
-            f"`{id_col}` as {out_id}",
-            f"posexplode(transform(`{vec_col}`, x -> cast(x as double)))"
+            f"{bq(id_col)} as {out_id}",
+            f"posexplode(transform({bq(vec_col)}, x -> cast(x as double)))"
             " as (__d, __v)",
         ).selectExpr(
             out_id,
@@ -1622,7 +1628,7 @@ def kcenter_greedy(
             cur = (
                 cur.selectExpr("*", f"{nd_sql} as __nd")
                 .selectExpr(
-                    f"`{id_col}`",
+                    bq(id_col),
                     "__qe",
                     "case when __nd < __d then __nd else __d end as __d",
                     f"case when __nd < __d then cast({i} as int)"
@@ -1882,9 +1888,9 @@ def mmr_rerank(
                 " cast(0 as bigint), (acc, x) -> acc + x)"
             )
             cur = (
-                cur.where(f"not (`{id_col}` = {pid})")
+                cur.where(f"not ({bq(id_col)} = {pid})")
                 .selectExpr(
-                    f"`{id_col}`",
+                    bq(id_col),
                     "__qe",
                     "__rel",
                     f"greatest(__ms, {dot_sql}) as __ms",

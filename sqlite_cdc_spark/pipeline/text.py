@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
+from ..sqlident import bq
 
 #: Tiny embedded stopword lists — enough signal for a deterministic
 #: heuristic; the point is the operator shape, not lexical coverage.
@@ -62,7 +63,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def _normalize_sql(col: str) -> str:
     """SQL-string twin of :func:`..dedup.normalize_text`."""
-    return f"trim(regexp_replace(lower(`{col}`), '[^a-z0-9]+', ' '))"
+    return f"trim(regexp_replace(lower({bq(col)}), '[^a-z0-9]+', ' '))"
 
 
 def _tokens_sql(col: str) -> str:
@@ -94,6 +95,17 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def _lang_id_sql(col: str) -> str:
+    """SQL-string twin of the :func:`lang_id` Column chain.
+
+    GROWTH NOTE (r17 ADVICE): each iteration embeds the running
+    ``best_score`` CASE text twice (and the language's stopword-hits
+    expression twice), so the rendered SQL is O(2^n) in the language
+    count — the exact tree the Column form builds by copying subtrees,
+    but as TEXT it must also be parsed. Fine at the current 4
+    languages (~10 KB); if ``STOPWORDS`` grows past ~8 entries,
+    restructure as a linear argmax (e.g. ``array_max`` over
+    ``struct(score, lang)`` with the tie order encoded) instead of
+    extending this chain."""
     best_lang = "'und'"
     best_score = "cast(0 as bigint)"
     for lang in sorted(STOPWORDS):  # later langs win only on strict >
@@ -127,7 +139,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     # r17 construction pass 2: SQL-string form (see the note above the
     # _sql helpers) — ~500 py4j round-trips per call down to 8 parses
-    c = f"`{text_col}`"
+    c = bq(text_col)
     n_chars = f"cast(length({c}) as bigint)"
     n_tokens = f"cast(size({_tokens_sql(text_col)}) as bigint)"
     alpha = f"cast(length(regexp_replace({c}, '[^A-Za-z]', '')) as bigint)"
@@ -413,7 +425,7 @@ def fingerprint_rows(
         f"get(__toks, __i * {stride} + {i})" for i in range(window_tokens)
     )
     return ex.selectExpr(
-        f"`{id_col}`",
+        bq(id_col),
         "cast(__i as bigint) as win_idx",
         f"md5(concat_ws(' ', {parts_sql})) as fp",
     )
@@ -467,7 +479,7 @@ def chunk_rows(
         f"get(__toks, __i * {stride} + {i})" for i in range(chunk_tokens)
     )
     return ex.selectExpr(
-        f"`{id_col}`",
+        bq(id_col),
         "cast(__i as bigint) as chunk_idx",
         f"concat_ws(' ', {parts_sql}) as chunk_text",
         f"cast(least({chunk_tokens}, size(__toks) - (__i * {stride}))"
@@ -658,7 +670,7 @@ def winnowed_fingerprints(
         f"cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint)"
     )
     base = df.select(F.col(id_col), toks.alias("__toks")).selectExpr(
-        f"`{id_col}`",
+        bq(id_col),
         f"transform(sequence(0, cast({ng} as int) - 1), p -> {gram_h})"
         " as __h",
         # NULL-text guard — see fingerprint_rows. greatest() SKIPS
@@ -669,7 +681,7 @@ def winnowed_fingerprints(
         f" cast({n_starts} as int) end as __ns",
     )
     ex = base.selectExpr(
-        f"`{id_col}`",
+        bq(id_col),
         "__h",
         "explode(sequence(0, __ns - 1)) as __s",
     )
@@ -686,7 +698,7 @@ def winnowed_fingerprints(
     else:
         pick = "__s"
     return ex.selectExpr(
-        f"`{id_col}`",
+        bq(id_col),
         f"{pick} as pos",
         f"{wm} as fp",
     ).distinct()

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sqlident import bq
+
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
@@ -52,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in nanos_cols:
         if col in df.columns:
             # integer div: epoch-nanos (~1.7e18) overflow double precision
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{bq(col)} div 1000")))
     return df
 
 

@@ -475,3 +475,74 @@ def test_elastic_screen_helper_requires_the_other_statistic_over():
         prev_runs=None,
     )
     assert "b19_prefix_filter" in reg3["over_1p3x_median"]
+
+
+def test_canary_adjudication_when_classes_disagree_past_0p40():
+    """r18 (VERDICT r17 item 5): a >= 0.40 class disagreement must carry
+    an explicit ruling — the drift basis (cpu) is authoritative — not
+    just the conflict flag. Below 0.40, no adjudication block."""
+    timings = {"a6_bootstrap": 0.5}
+    # cpu ratio will be ~0.78 vs a registry ratio ~1.17+ -> disagreement
+    # |1.17/0.78 - 1| >= 0.40 (mirrors the r17 driver reading)
+    canaries = {"canary_cpu": 2.0}
+    prevs = bench._drift_normalization(timings, canaries)
+    if not prevs:  # no committed artifact available: nothing to assert
+        return
+    # synthesize directly against the helper's contract instead of the
+    # committed artifact's values: feed timings whose registry ratio is
+    # far from the cpu ratio
+    import json as _json
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(bench.__file__))
+    arts = sorted(
+        (int(m.group(1)), p)
+        for p in _glob.glob(_os.path.join(here, "BENCH_r*.json"))
+        for m in [_re.search(r"BENCH_r(\d+)\.json$", p)]
+        if m
+    )
+    assert arts, "committed bench artifacts expected in the repo"
+    # load the newest artifact's canary values so ratios are exact
+    with open(arts[-1][1]) as f:
+        data = _json.load(f)
+    prev_can = (data.get("parsed") or {}).get("canaries") or {}
+    if "canary_cpu" not in prev_can:
+        return
+    prev_cpu = float(prev_can["canary_cpu"])
+    prev_reg = None
+    runs = bench._queries_from_archived_runs(
+        _os.path.basename(arts[-1][1]), expect_total=None, expect_n=None
+    )
+    for c in bench.CANARIES:
+        if runs and c in runs:
+            prev_reg = (c, float(runs[c]))
+            break
+    if prev_reg is None:
+        return
+    reg_name, reg_prev = prev_reg
+    # cpu ratio 0.78, registry ratio 1.17 -> disagreement ~0.50
+    norm = bench._drift_normalization(
+        {reg_name: reg_prev * 1.17}, {"canary_cpu": prev_cpu * 0.78}
+    )
+    adj = norm.get("canary_basis_adjudication")
+    assert adj and adj["authoritative"] == "cpu"
+    # and a mild disagreement does NOT adjudicate — derive the effective
+    # prior value from the ratio the helper itself reported, so the
+    # archived-runs warmup slicing cannot skew the synthetic reading
+    prev_eff = (reg_prev * 1.17) / norm["canary_ratios"][reg_name]
+    prev_cpu_eff = (prev_cpu * 0.78) / norm["canary_ratios"]["canary_cpu"]
+    norm2 = bench._drift_normalization(
+        {reg_name: prev_eff * 1.05}, {"canary_cpu": prev_cpu_eff * 0.95}
+    )
+    assert norm2["canary_basis_disagreement"] < 0.40
+    assert "canary_basis_adjudication" not in norm2
+
+
+def test_deep_warmup_covers_the_r18_jit_tail_lines():
+    """r18: b30_bpe_encode / b30_assoc_rules joined DEEP_WARMUP after
+    the interleaved A/B showed 3-sample JIT tails on identical code
+    (raw traces in OPTIMIZATION_r18.md). Replay stays doc-carried."""
+    assert bench.DEEP_WARMUP["b30_bpe_encode"] == 3
+    assert bench.DEEP_WARMUP["b30_assoc_rules"] == 3
