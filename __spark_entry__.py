@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry in family order. Driver-window ordering is
-    applied on top by :func:`queries` via ``_R17_WINDOW`` — keep THIS
+    applied on top by :func:`queries` via ``_R18_WINDOW`` — keep THIS
     dict grouped by family and let the window list do the rotation."""
     return {
         # --- never-driver-windowed until now (VERDICT r3 item 1) ---------
@@ -512,79 +512,77 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: Round-17 driver window (first 50 of queries(); the driver's correctness
-#: gate checks exactly these). Executed VERBATIM from the committed
-#: ``WINDOW_PLAN.json`` r17 leg (VERDICT r16 item 4): the 4 round-16
-#: additions first (never driver-attested; all 4 passed the judge's own
-#: bit-strict gate at sf0.01 AND sf0.1), then the stalest-green cohort
-#: stalest-first. After this window lands green: cumulative driver-green
-#: 392/393 (b27_sketches rows-only by design), stalest driver
-#: attestation >= r10. ``tools/staleness.py --plan`` emits the
-#: committed r18 leg (WINDOW_PLAN.json).
-_R17_WINDOW = [
-    "b4_gap_repair_manifest",
-    "b5_partition_pruning",
-    "b17_incremental_histogram",
-    "b6_cast_failure_ledger",
-    "b28_mixture",
-    "b29_containment",
-    "b21_top_tokens",
-    "b24_corpus_v2",
-    "b12_topk",
-    "b18_dedup_exact",
-    "b19_word_jaccard",
-    "b20_cosine_topk",
-    "a18_stdout_lines",
-    "a19_json_lines",
-    "b18_dup_groups",
-    "b19_embedding_dups",
-    "b20_ann_lsh",
-    "b20_ann_ivf",
-    "b19_minhash_candidates",
-    "b20_ann_recall",
-    "b29_decontamination",
-    "b26_hash_sample",
-    "b19_cluster_stability",
-    "b20_dim_truncation",
-    "b11_twap",
-    "b21_source_kl",
-    "b22_phash_dups",
-    "b15_retention",
-    "b30_phrase_search",
-    "b24_effective_tokens",
-    "b28_pack_efficiency",
-    "b3_anomaly",
-    "b17_join_view",
-    "b30_rrf_fusion",
-    "b9_asof_tolerance",
-    "b25_sql_window",
-    "b14_trig_funcs",
-    "b2_vacuum_stats",
-    "b11_cumulative_distinct",
-    "b26_exact_quota",
-    "b24_corpus_v5",
-    "b7_returned_revenue",
-    "b20_hubness",
-    "b10_gini",
-    "b7_cust_order_dist",
-    "b8_min_cost_supplier",
-    "b8_important_parts",
-    "b10_chi2",
-    "b10_benford",
-    "b15_acf",
+#: Round-18 driver window (first 50 of queries(); the driver's
+#: correctness gate checks exactly these). Computed stalest-green-first
+#: by ``tools/staleness.py --window 50`` over every CORRECTNESS_r*.json
+#: (VERDICT r17 item 10): the r17-attested cohort sinks to the bottom,
+#: so the 50 slots go to the rows whose last driver attestation is
+#: oldest. Landed verbatim in ``WINDOW_PLAN.json::r18_window`` alongside
+#: the simulated r19 leg.
+_R18_WINDOW = [
+    "b4_watermark_gap",
+    "b1_batch_compaction",
+    "b12_topk_ties",
+    "b17_incremental_minmax",
+    "b23_arrow_parity",
+    "b11_drawdown",
+    "b21_oov_rate",
+    "b10_ks_screen",
+    "b22_scene_cuts",
+    "b28_length_buckets",
+    "b30_ndcg",
+    "b20_cos_histogram",
+    "b10_welch_t",
+    "b11_streaks",
+    "b30_kwic",
+    "b24_source_scorecard",
+    "b2_write_amplification",
+    "b13_block_digests",
+    "b27_lc_union",
+    "b20_recall_curve",
+    "b11_rolling_median",
+    "b28_budget_allocation",
+    "b27_hll_registers",
+    "b30_bfs_hops",
+    "b13_zorder_layout",
+    "b7_volume_shipping",
+    "b7_market_share",
+    "b8_top_supplier",
+    "b7_priority_lines",
+    "b8_dominant_supplier",
+    "b27_cms_heavy_hitters",
+    "b30_hits",
+    "b19_prefix_dups",
+    "b20_jl_projection",
+    "b21_calibration",
+    "b26_ht_estimate",
+    "b27_quantile_sketch",
+    "b30_rank_eval",
+    "b15_hazard",
+    "b30_link_prediction",
+    "b24_corpus_v6",
+    "b2_idempotency",
+    "b10_winsorized",
+    "b14_format_funcs",
+    "b11_ohlc",
+    "b3_slo_burn",
+    "b13_file_skipping",
+    "b14_bitwise_funcs",
+    "b14_url_funcs",
+    "b11_ntile",
 ]
 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is load-bearing: the driver's correctness gate checks
-    the FIRST 50 entries per round. ``_R17_WINDOW`` pins this round's
+    the FIRST 50 entries per round. ``_R18_WINDOW`` pins this round's
     window; everything else follows in family order. Every registered
     query is verified bit-exact under the local gate
     (tools/check_oracle.py, full registry, sf0.01) before rotation.
     """
     q = _all_queries()
-    ordered = {k: q[k] for k in _R17_WINDOW}
+    ordered = {k: q[k] for k in _R18_WINDOW}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
     return ordered
 

@@ -594,10 +594,13 @@ def q_b24_corpus_v7(spark, sf_dir):
             ).alias("__d"),
         )
     )
-    gated_ids = (
-        per_doc.filter(F.col("__d") * 2 < F.col("__w"))
-        .select("doc_id")
-        .localCheckpoint()
+    # r18 (guide §5): gated_ids has exactly ONE consumer (the kept
+    # checkpoint's job below), so it pipelines into that job instead of
+    # paying its own eager materialization — fps/flagged stay
+    # checkpointed (multi-consumer), so the inlined subtree is two RDD
+    # scans + one agg, not a re-derivation
+    gated_ids = per_doc.filter(F.col("__d") * 2 < F.col("__w")).select(
+        "doc_id"
     )
     gated = clean.join(gated_ids, "doc_id")
     sized = gated.select(
@@ -614,9 +617,16 @@ def q_b24_corpus_v7(spark, sf_dir):
         .orderBy(F.col("__lex").desc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    kept = sized.withColumn("__cum", F.sum("__nt").over(w)).filter(
-        F.col("__cum") <= BUDGET
-    ).localCheckpoint()
+    # r18 (guide §5/§6 — prune columns INTO the materialization point):
+    # the knapsack's __lex order key and __cum running sum are decision
+    # scaffolding no downstream consumer reads; projecting them out
+    # narrows both the checkpointed rows and every consumer plan
+    kept = (
+        sized.withColumn("__cum", F.sum("__nt").over(w))
+        .filter(F.col("__cum") <= BUDGET)
+        .select("doc_id", "source", "text", "__nt")
+        .localCheckpoint()
+    )
     # telemetry over the kept set: KMV + pooled winnowing density
     hashes = kept.select(
         "source", dedup.portable_hash60(F.col("text")).alias("__h")

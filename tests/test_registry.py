@@ -60,7 +60,7 @@ def test_no_oracled_query_returns_array_or_map_columns(spark, sf_dir):
 
 def test_driver_window_is_exactly_50_known_names():
     q = entry.queries()
-    window = entry._R17_WINDOW
+    window = entry._R18_WINDOW
     assert len(window) == 50
     assert len(set(window)) == 50
     unknown = [k for k in window if k not in q]
@@ -83,7 +83,7 @@ def test_registry_literal_has_no_duplicate_keys():
     # mention — the _all_queries docstring names the window constant, and
     # r10's version of this test sliced there, scanning a 187-char
     # docstring prefix with zero keys (the duplicate guard never ran).
-    body = src[src.index("def _all_queries"):src.index("\n_R17_WINDOW =")]
+    body = src[src.index("def _all_queries"):src.index("\n_R18_WINDOW =")]
     keys = re.findall(r'^\s{8}"([a-z0-9_]+)":', body, re.M)
     # self-check against re-vacuation: the registry holds 316+ keys
     assert len(keys) > 300, f"scanned only {len(keys)} keys — slice broken"
