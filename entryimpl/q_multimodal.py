@@ -485,7 +485,13 @@ def q_b23_stateful_udf(spark, sf_dir):
     chunking-invariant (tests/test_streaming.py) — the O(1)-per-key
     state is what makes the operator viable on an unbounded feed.
     All-integer outputs; the oracle replays the DFA with lag +
-    gaps-and-islands windows."""
+    gaps-and-islands windows.
+
+    PERF NOTE (r17 verdict item 9, ratified): this row CERTIFIES the
+    grouped-map/applyInPandas(WithState) execution mode — converting it
+    to mapInPandas would roughly halve the line but un-certify the mode
+    it exists to cover. Off the optimization candidate list by verdict
+    decision; do not "optimize" it into a different operator."""
     from sqlite_cdc_spark.pipeline import stateful
 
     ev = _t(spark, sf_dir, "events").select(
