@@ -575,43 +575,72 @@ def _drift_normalization(
         for m in [re.search(r"BENCH_r(\d+)\.json$", p)]
         if m
     ]
-    for _, path in sorted(candidates, reverse=True):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-            parsed = data.get("parsed") or {}
-            q = parsed.get("queries") if isinstance(parsed, dict) else None
-            c = parsed.get("canaries") if isinstance(parsed, dict) else None
-            if not (isinstance(q, dict) and q):
-                if isinstance(c, dict) and c:
-                    # compact format: canaries in-line, queries archived
-                    q = _queries_from_archived_runs(
-                        os.path.basename(path),
-                        expect_total=(
-                            float(parsed["value"])
-                            if isinstance(parsed.get("value"), (int, float))
-                            else None
-                        ),
-                        expect_n=(
-                            int(parsed["n_queries"])
-                            if isinstance(parsed.get("n_queries"), int)
-                            else None
-                        ),
-                    )
-                elif isinstance(data.get("tail"), str):
-                    q, c = _recover_from_tail(data["tail"])
-            if isinstance(q, dict) and q:
-                prev = {k: float(v) for k, v in q.items()}
-                prev_runs = _queries_from_archived_runs.last_runs
-                if isinstance(c, dict):
-                    prev_canaries = {k: float(v) for k, v in c.items()}
-                m = re.search(r"BENCH_r(\d+)\.json$", path)
-                prev_round = int(m.group(1)) if m else None
-                break
-        except (OSError, ValueError, AttributeError, TypeError):
-            continue
+    prev_leg = None
+    for rnd, path in sorted(candidates, reverse=True):
+        # main artifact first, then the same round's SIDE LEGS (e.g.
+        # BENCH_r17_c8.json) before dropping a whole round: r17
+        # committed the c8 leg's BENCH_RUNS.json (last bench.py run
+        # wins the file), so the main artifact's archived-runs replay
+        # fails its own value check and the old code silently
+        # normalized r18 against r16 — a two-round-stale baseline that
+        # overstates round-over-round ratios. A same-round side leg
+        # (validated against ITS OWN compact value) is the honest
+        # fallback; ``baseline_leg`` marks it in the artifact.
+        legs = [path] + sorted(
+            glob.glob(os.path.join(here, f"BENCH_r{rnd}_*.json"))
+        )
+        for leg_path in legs:
+            try:
+                with open(leg_path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                continue
+            try:
+                parsed = data.get("parsed") or {}
+                q = parsed.get("queries") if isinstance(parsed, dict) else None
+                c = parsed.get("canaries") if isinstance(parsed, dict) else None
+                if not (isinstance(q, dict) and q):
+                    if isinstance(c, dict) and c:
+                        # compact format: canaries in-line, queries archived
+                        q = _queries_from_archived_runs(
+                            os.path.basename(leg_path),
+                            expect_total=(
+                                float(parsed["value"])
+                                if isinstance(parsed.get("value"), (int, float))
+                                else None
+                            ),
+                            expect_n=(
+                                int(parsed["n_queries"])
+                                if isinstance(parsed.get("n_queries"), int)
+                                else None
+                            ),
+                        )
+                    elif isinstance(data.get("tail"), str):
+                        q, c = _recover_from_tail(data["tail"])
+                if isinstance(q, dict) and q:
+                    prev = {k: float(v) for k, v in q.items()}
+                    prev_runs = _queries_from_archived_runs.last_runs
+                    if isinstance(c, dict):
+                        prev_canaries = {k: float(v) for k, v in c.items()}
+                    prev_round = rnd
+                    m = re.search(r"BENCH_r\d+_(\w+)\.json$", leg_path)
+                    prev_leg = m.group(1) if m else None
+                    break
+            except (ValueError, AttributeError, TypeError):
+                continue
+        if prev:
+            break
     if not prev:
         return {}
+    # side-leg baseline (different core count): per-line/total RAW
+    # ratios are meaningful (the board is construction-bound — the r17
+    # c8 and c32 totals differ by 6%), but its canaries are NOT — a c8
+    # cpu canary is ~4x a c32 one and would "normalize" the board by a
+    # fantasy factor. Disable canary normalization, keep everything
+    # else (raw ratios, regression ledger).
+    if prev_leg is not None:
+        prev = {k: v for k, v in prev.items() if not k.startswith("canary")}
+        prev_canaries = {}
     per_canary: dict[str, float] = {}
     for c in CANARIES:
         if c in timings and prev.get(c):
@@ -619,7 +648,7 @@ def _drift_normalization(
     for c, t in canary_timings.items():
         if prev_canaries.get(c):
             per_canary[c] = round(t / prev_canaries[c], 4)
-    if not per_canary:
+    if not per_canary and prev_leg is None:
         return {}
     by_class: dict[str, list[float]] = {}
     for k, v in per_canary.items():
@@ -635,17 +664,25 @@ def _drift_normalization(
     # Fallbacks: synthetic class median (pre-r11-style artifacts
     # without a cpu ratio), then registry. The fixed-overhead class
     # never normalizes compute.
-    if "canary_cpu" in per_canary:
+    if prev_leg is not None:
+        drift, basis = None, "none (side-leg baseline)"
+    elif "canary_cpu" in per_canary:
         drift, basis = per_canary["canary_cpu"], "cpu"
     elif "synthetic" in class_med:
         drift, basis = class_med["synthetic"], "synthetic"
     else:
         drift, basis = class_med.get("registry"), "registry"
-    if drift is None:  # prior artifact carried only fixed-class canaries
+    if drift is None and prev_leg is None:
+        # prior artifact carried only fixed-class canaries
         return {}
     out = {
         "prev_round": prev_round,
-        "canary_drift": round(drift, 4),
+        # non-None when the baseline came from a same-round SIDE leg
+        # (e.g. "c8") because the main leg's archived runs failed their
+        # value check — comparable in round but from a different core
+        # count; read the per-line ratios with that caveat
+        "baseline_leg": prev_leg,
+        "canary_drift": round(drift, 4) if drift is not None else None,
         "canary_drift_basis": basis,
         "canary_ratios": per_canary,
     }
@@ -653,11 +690,9 @@ def _drift_normalization(
     prev_sum = sum(prev[k] for k in common)
     if common and prev_sum > 0:  # a fully-renamed board has no overlap
         raw = sum(timings[k] for k in common) / prev_sum
-        out.update(
-            common_n=len(common),
-            common_raw_ratio=round(raw, 4),
-            common_norm_ratio=round(raw / drift, 4),
-        )
+        out.update(common_n=len(common), common_raw_ratio=round(raw, 4))
+        if drift is not None:
+            out["common_norm_ratio"] = round(raw / drift, 4)
     # in-artifact contradiction flag (VERDICT r11 item 3, widened per
     # r14 item 3, CALIBRATED per r16 item 2): each non-basis CLASS
     # median is compared to the drift basis — registry-vs-synthetic
@@ -669,7 +704,7 @@ def _drift_normalization(
     # same-code between-session spread (see the constant's docstring —
     # the flat 0.20 threshold fired on box noise by construction).
     basis_cls = "synthetic" if basis == "cpu" else basis
-    others = {
+    others = {} if drift is None else {
         cls: round(abs(med / drift - 1.0), 4)
         for cls, med in class_med.items()
         if cls != basis_cls

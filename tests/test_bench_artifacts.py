@@ -42,13 +42,29 @@ def test_medians_from_runs_discards_canary_warmups():
     assert med["canary_cpu"] == 4.5
 
 
-def test_drift_normalization_prefers_cpu_basis():
+def _hide_r17_artifacts(monkeypatch):
+    """r18: the committed r17 artifacts resolve via the c8 SIDE leg
+    (raw-only baseline — see test_side_leg_baseline_is_raw_only...);
+    the canary-basis tests pin the NORMAL path, so they run against the
+    newest round whose main leg still replays (r16)."""
+    import glob as _glob
+
+    real = _glob.glob
+
+    def filtered(pat, *a, **kw):
+        return [p for p in real(pat, *a, **kw) if "BENCH_r17" not in p]
+
+    monkeypatch.setattr(_glob, "glob", filtered)
+
+
+def test_drift_normalization_prefers_cpu_basis(monkeypatch):
     # with the repo's committed artifacts present, the prior round must
     # resolve (r11 via tail recovery or r12+ compact) and the basis must
     # be canary_cpu alone (r17 calibration: 1.03x same-code spread vs
     # shuffle's 1.35x — and the 2-element class "median" always picked
     # whichever canary drifted MORE), with the disagreement cross-check
     # and per-class tolerance fields emitted
+    _hide_r17_artifacts(monkeypatch)
     timings = {"a6_bootstrap": 0.5, "b24_corpus_v7": 5.0}
     canaries = {"canary_cpu": 2.6, "canary_shuffle": 4.3}
     norm = bench._drift_normalization(timings, canaries)
@@ -287,10 +303,11 @@ def test_elastic_lines_page_only_when_over_by_both_stats():
     assert reg3["over_1p3x_median"] == [el]
 
 
-def test_drift_normalization_with_runs_emits_regression_ledger():
+def test_drift_normalization_with_runs_emits_regression_ledger(monkeypatch):
     # against the real committed artifacts: the prior round resolves,
     # the private _vs_prev ledger carries the full ratio maps, and the
     # compact-line field carries only counts
+    _hide_r17_artifacts(monkeypatch)
     timings = {"b24_corpus_v7": 50.0, "a6_bootstrap": 0.5}
     runs = {"b24_corpus_v7": [50.0, 51.0, 49.0], "a6_bootstrap": [0.5] * 3}
     canaries = {"canary_cpu": 2.6, "canary_shuffle": 4.3,
@@ -477,10 +494,11 @@ def test_elastic_screen_helper_requires_the_other_statistic_over():
     assert "b19_prefix_filter" in reg3["over_1p3x_median"]
 
 
-def test_canary_adjudication_when_classes_disagree_past_0p40():
+def test_canary_adjudication_when_classes_disagree_past_0p40(monkeypatch):
     """r18 (VERDICT r17 item 5): a >= 0.40 class disagreement must carry
     an explicit ruling — the drift basis (cpu) is authoritative — not
     just the conflict flag. Below 0.40, no adjudication block."""
+    _hide_r17_artifacts(monkeypatch)
     timings = {"a6_bootstrap": 0.5}
     # cpu ratio will be ~0.78 vs a registry ratio ~1.17+ -> disagreement
     # |1.17/0.78 - 1| >= 0.40 (mirrors the r17 driver reading)
@@ -503,6 +521,7 @@ def test_canary_adjudication_when_classes_disagree_past_0p40():
         for m in [_re.search(r"BENCH_r(\d+)\.json$", p)]
         if m
     )
+    arts = [a for a in arts if a[0] != 17]  # r17 is hidden above
     assert arts, "committed bench artifacts expected in the repo"
     # load the newest artifact's canary values so ratios are exact
     with open(arts[-1][1]) as f:
@@ -546,3 +565,21 @@ def test_deep_warmup_covers_the_r18_jit_tail_lines():
     (raw traces in OPTIMIZATION_r18.md). Replay stays doc-carried."""
     assert bench.DEEP_WARMUP["b30_bpe_encode"] == 3
     assert bench.DEEP_WARMUP["b30_assoc_rules"] == 3
+
+
+def test_side_leg_baseline_is_raw_only_and_same_round():
+    """r18: BENCH_r17.json's archived-runs replay fails its own value
+    check (the committed BENCH_RUNS.json is the driver's C8 leg), so
+    normalization must fall back to the SAME round's side leg — flagged
+    via baseline_leg, with canary normalization disabled (a c8 cpu
+    canary would 'normalize' a c32 run by ~4x) — never silently to a
+    two-round-stale r16 baseline."""
+    norm = bench._drift_normalization(
+        {"a6_bootstrap": 0.4, "b24_corpus_v7": 3.7}, {"canary_cpu": 3.2}
+    )
+    if not norm:
+        return
+    assert norm["prev_round"] == 17
+    assert norm["baseline_leg"] == "c8"
+    assert norm["canary_drift"] is None
+    assert "common_raw_ratio" in norm and "common_norm_ratio" not in norm
