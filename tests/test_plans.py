@@ -316,12 +316,26 @@ def test_filtered_agg_single_pass(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial+final
 
 
-def test_prefix_filter_never_broadcasts_vocab_relations(spark, sf_dir):
-    """The r6 OOM lesson frozen: Catalyst's static post-agg estimate
-    must NOT be allowed to broadcast the gram-frequency / doc-size
-    relations (vocabulary-sized, unbounded at corpus scale)."""
+def test_prefix_filter_broadcast_policy_is_explicit_and_parameterised(
+    spark, sf_dir, monkeypatch
+):
+    """r18 policy (supersedes the r6 'never broadcast' pin): the
+    gram-frequency relation IS broadcast by default — an EXPLICIT,
+    deliberate decision (10×-smoke-tested, 2 fewer corpus-sized
+    exchanges), unlike the r6 failure where Catalyst's static post-agg
+    estimate broadcast it by accident. The escape hatch for
+    unbounded-vocabulary corpora must actually work: with
+    SPARK_GRAFT_PREFIX_BCAST_DF=0 the r17 shuffle form returns and NO
+    broadcast of the vocab relations appears. Accidental nested-loop/
+    cartesian shapes stay banned in both modes."""
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_BCAST_DF", "0")
     plan = _plan(spark, sf_dir, "b19_prefix_filter")
     assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_BCAST_DF", "1")
+    plan = _plan(spark, sf_dir, "b19_prefix_filter")
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
